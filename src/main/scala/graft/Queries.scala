@@ -1,0 +1,305 @@
+package graft
+
+import graft.functions.VectorFunctions._
+import graft.text.BM25
+import graft.vector.ExactKNN
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The declared operator surface: every entry is one operator from
+  * SURVEY.md §2 (reference: deshwalmahesh/homemade-vector-db/local_db.py) or
+  * one of the beyond-reference pipeline operators, together with the ANSI SQL
+  * a DuckDB oracle runs on the same parquet tables.
+  *
+  * Determinism rules shared by both sides (SURVEY §2.5.7):
+  *   - every floating score is `round(x, 4)` in BOTH engines;
+  *   - ordering is on the ROUNDED score desc, then id asc;
+  *   - all float math is double-precision.
+  */
+object Queries {
+
+  final case class Q(fn: (SparkSession, String) => DataFrame, sql: Option[String])
+
+  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which the
+    * Spark reader rejects; read nanos as LONG and rebuild a (micro) timestamp.
+    * Nanosecond sub-precision is zero in the generator, so this is lossless. */
+  private def eventsTbl(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tbl(spark, dir, "events")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  /** Driver-side lookup of a query vector — this is a query *argument*
+    * (≙ the reference caller passing `query_vector`, local_db.py:137), not a
+    * data-plane collect. */
+  private def qvec(spark: SparkSession, dir: String, vecId: Long): Array[Double] =
+    tbl(spark, dir, "embeddings").where(col("vec_id") === vecId)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+
+  private val r4 = (c: Column) => round(c, 4)
+
+  /** DuckDB fragment: squared L2 between embedding and qv (both DOUBLE[]). */
+  private val sqDistSql =
+    "list_sum(list_transform(range(1, 65), i -> (e.embedding[i]::DOUBLE - q.qv[i]) * (e.embedding[i]::DOUBLE - q.qv[i])))"
+
+  private def knnSql(vecId: Long, k: Int, where: String = ""): String =
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = $vecId)
+       |SELECT e.vec_id AS id,
+       |       round(1.0/(1.0 + $sqDistSql), 4) AS score
+       |FROM embeddings e, q $where
+       |ORDER BY score DESC, id LIMIT $k""".stripMargin
+
+  /** Shared BM25 CTE block (rank_bm25-compatible; SURVEY §2.3-K1, §2.4-I1). */
+  private def bm25Ctes(query: String): String =
+    s"""d AS (SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       |dl AS (SELECT id, len(toks)::DOUBLE AS dl FROM d),
+       |corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+       |tf AS (SELECT id, unnest(toks) AS term FROM d),
+       |tfg AS (SELECT id, term, count(*)::DOUBLE AS tf FROM tf GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tfg GROUP BY 1),
+       |raw AS (SELECT term, ln((n - df + 0.5)/(df + 0.5)) AS raw_idf FROM dfreq, corpus),
+       |eps AS (SELECT avg(raw_idf) AS avg_idf FROM raw),
+       |idf AS (SELECT term, CASE WHEN raw_idf < 0 THEN 0.25 * avg_idf ELSE raw_idf END AS idf FROM raw, eps),
+       |qt AS (SELECT term, count(*)::DOUBLE AS qtf FROM (SELECT unnest(string_split_regex(trim('$query'), '\\s+')) AS term) GROUP BY 1),
+       |contrib AS (
+       |  SELECT tfg.id,
+       |         sum(qt.qtf * idf.idf * tfg.tf * (1.5 + 1.0) /
+       |             (tfg.tf + 1.5 * (1.0 - 0.75 + 0.75 * dl.dl / corpus.avgdl))) AS score
+       |  FROM tfg JOIN qt USING (term) JOIN idf USING (term) JOIN dl USING (id), corpus
+       |  GROUP BY 1),
+       |tscore AS (
+       |  SELECT dl.id, coalesce(contrib.score, 0.0) AS score
+       |  FROM dl LEFT JOIN contrib USING (id))""".stripMargin
+
+  val bm25Query = "spark fast query join table"
+
+  // ---------------------------------------------------------------------------
+  // Spark-side operator implementations
+  // ---------------------------------------------------------------------------
+
+  /** K4 flat KNN: top-k by squared L2, score = 1/(1+d). */
+  private def knnL2(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    ExactKNN.topK(e, "vec_id", "embedding", qvec(spark, dir, 7), 10)
+      .select(col("id"), r4(col("score")).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+  }
+
+  /** K4 variant: cosine similarity top-k. */
+  private def knnCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    ExactKNN.topK(e, "vec_id", "embedding", qvec(spark, dir, 42), 10, ExactKNN.Cosine)
+      .select(col("id"), r4(col("score")).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+  }
+
+  /** F5 pre-filter KNN — TRUE pushdown variant (filter before ranking;
+    * SURVEY §2.5.2 documents the deliberate divergence from the reference's
+    * post-intersection). */
+  private def knnPreFilter(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings").where(col("label") === 3)
+    ExactKNN.topK(e, "vec_id", "embedding", qvec(spark, dir, 7), 5)
+      .select(col("id"), r4(col("score")).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+  }
+
+  /** F6 post-filter KNN: top-20 first, then the metadata predicate. */
+  private def knnPostFilter(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    val top = ExactKNN.topK(e, "vec_id", "embedding", qvec(spark, dir, 7), 20)
+    top.join(e.select(col("vec_id").as("id"), col("label")), Seq("id"))
+      .where(col("label") === 3)
+      .select(col("id"), r4(col("score")).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+  }
+
+  /** K1–K3 BM25 text search, top-10. */
+  private def textBm25(spark: SparkSession, dir: String): DataFrame =
+    BM25.scoreDocs(tbl(spark, dir, "documents"), "doc_id", "text", bm25Query)
+      .select(col("id"), r4(col("score")).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(10)
+
+  /** F1 conjunctive exact-match metadata filter + F4 head-top_k. */
+  private def metaFilter(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .where(col("lang") === "en" && col("source") === "src3")
+      .select(col("doc_id").as("id"))
+      .orderBy(col("id").asc)
+      .limit(50)
+
+  /** F2 arbitrary-predicate filter (range), as an optimizer-visible Column
+    * expression rather than an opaque lambda. */
+  private def metaRange(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .where(col("n_chars") >= 100 && col("n_chars") < 300 && col("lang") === "fr")
+      .select(col("doc_id").as("id"))
+      .orderBy(col("id").asc)
+
+  /** S5 point lookup by rowid. */
+  private def pointLookup(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .where(col("doc_id") === 123)
+      .select(col("doc_id").as("id"), col("text"), col("lang"), col("source"))
+
+  /** S7 count. */
+  private def collectionCount(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents").agg(count(lit(1)).as("n"))
+
+  /** K8–K11 hybrid search, small-N exact path (N ≤ 1000 at sf0.01 —
+    * true-L2 brute force, ref local_db.py:375–378), max-normalize →
+    * weighted fusion → zero-drop → top-k. */
+  private def hybrid(spark: SparkSession, dir: String): DataFrame = {
+    val w = 0.5
+    val docs = tbl(spark, dir, "documents")
+    val emb = tbl(spark, dir, "embeddings")
+    val t = BM25.scoreDocs(docs, "doc_id", "text", bm25Query).withColumnRenamed("score", "ts")
+    val v = ExactKNN.scoreAll(emb, "vec_id", "embedding", qvec(spark, dir, 7), ExactKNN.L2)
+      .withColumnRenamed("score", "vs")
+    val tmax = t.agg(max(col("ts")).as("tm"))
+    val vmax = v.agg(max(col("vs")).as("vm"))
+    t.join(v, Seq("id"))
+      .crossJoin(broadcast(tmax)).crossJoin(broadcast(vmax))
+      .select(col("id"),
+        (lit(w) * when(col("vm") > 0, col("vs") / col("vm")).otherwise(col("vs")) +
+         lit(1.0 - w) * when(col("tm") > 0, col("ts") / col("tm")).otherwise(col("ts"))).as("raw"))
+      .where(col("raw") > 0)
+      .select(col("id"), r4(col("raw")).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(10)
+  }
+
+  /** Streaming-shaped tumbling-window aggregate over `events` (batch
+    * equivalent of the Structured Streaming job in graft.streaming). */
+  private def eventsWindow(spark: SparkSession, dir: String): DataFrame =
+    eventsTbl(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), r4(avg(col("value"))).as("avg_value"))
+      .orderBy(col("hour").asc, col("event_type").asc)
+
+  /** Schemaless-metadata (JSON) extraction over `events.props`. */
+  private def eventsJson(spark: SparkSession, dir: String): DataFrame =
+    eventsTbl(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        r4(avg(get_json_object(col("props"), "$.k").cast("long"))).as("avg_k"))
+      .orderBy(col("event_type").asc)
+
+  /** Relational tier (free via Catalyst, SURVEY §2.6): TPC-H Q1-shaped agg.
+    * Decimal sums for cross-engine exactness. */
+  private def tpchQ1(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "lineitem")
+      .where(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double").as("sum_base_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)
+
+  /** Relational tier: broadcast join + top-n. */
+  private def joinTopCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val o = tbl(spark, dir, "orders")
+    val c = tbl(spark, dir, "customer")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(10)
+  }
+
+  /** Relational tier: window top-1 per key. */
+  private def windowTopOrder(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    tbl(spark, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey").asc)
+      .limit(100)
+  }
+
+  // ---------------------------------------------------------------------------
+  // Registry
+  // ---------------------------------------------------------------------------
+
+  val registry: Seq[(String, Q)] = Seq(
+    "knn_l2" -> Q(knnL2, Some(knnSql(7, 10))),
+    "knn_cosine" -> Q(knnCosine, Some(
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 42)
+         |SELECT e.vec_id AS id,
+         |       round(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * q.qv[i]))
+         |             / (sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+         |                * sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])))), 4) AS score
+         |FROM embeddings e, q
+         |ORDER BY score DESC, id LIMIT 10""".stripMargin)),
+    "knn_prefilter" -> Q(knnPreFilter, Some(knnSql(7, 5, "WHERE e.label = 3"))),
+    "knn_postfilter" -> Q(knnPostFilter, Some(
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+         |top AS (
+         |  SELECT e.vec_id AS id, e.label,
+         |         round(1.0/(1.0 + $sqDistSql), 4) AS score
+         |  FROM embeddings e, q
+         |  ORDER BY score DESC, id LIMIT 20)
+         |SELECT id, score FROM top WHERE label = 3 ORDER BY score DESC, id""".stripMargin)),
+    "text_bm25" -> Q(textBm25, Some(
+      s"""WITH ${bm25Ctes(bm25Query)}
+         |SELECT id, round(score, 4) AS score FROM tscore
+         |ORDER BY score DESC, id LIMIT 10""".stripMargin)),
+    "meta_filter" -> Q(metaFilter, Some(
+      "SELECT doc_id AS id FROM documents WHERE lang = 'en' AND source = 'src3' ORDER BY id LIMIT 50")),
+    "meta_range" -> Q(metaRange, Some(
+      "SELECT doc_id AS id FROM documents WHERE n_chars >= 100 AND n_chars < 300 AND lang = 'fr' ORDER BY id")),
+    "point_lookup" -> Q(pointLookup, Some(
+      "SELECT doc_id AS id, text, lang, source FROM documents WHERE doc_id = 123")),
+    "collection_count" -> Q(collectionCount, Some("SELECT count(*) AS n FROM documents")),
+    "hybrid_search" -> Q(hybrid, Some(
+      s"""WITH ${bm25Ctes(bm25Query)},
+         |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+         |vscore AS (
+         |  SELECT e.vec_id AS id, 1.0/(1.0 + sqrt($sqDistSql)) AS vs
+         |  FROM embeddings e, q),
+         |tmax AS (SELECT max(score) AS tm FROM tscore),
+         |vmax AS (SELECT max(vs) AS vm FROM vscore),
+         |fused AS (
+         |  SELECT tscore.id,
+         |         0.5 * (CASE WHEN vm > 0 THEN vs / vm ELSE vs END)
+         |       + 0.5 * (CASE WHEN tm > 0 THEN tscore.score / tm ELSE tscore.score END) AS raw
+         |  FROM tscore JOIN vscore USING (id), tmax, vmax)
+         |SELECT id, round(raw, 4) AS score FROM fused WHERE raw > 0
+         |ORDER BY score DESC, id LIMIT 10""".stripMargin)),
+    "events_window" -> Q(eventsWindow, Some(
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    "events_json" -> Q(eventsJson, Some(
+      """SELECT event_type, count(*) AS n, round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+    "tpch_q1" -> Q(tpchQ1, Some(
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        |       count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    "join_top_customers" -> Q(joinTopCustomers, Some(
+      """SELECT c_custkey, c_name, CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin)),
+    "window_top_order" -> Q(windowTopOrder, Some(
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk = 1 ORDER BY o_custkey LIMIT 100""".stripMargin)),
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (n, q) => n -> q.fn }.toMap
+
+  def oracleSql: Map[String, String] =
+    registry.collect { case (n, Q(_, Some(sql))) => n -> sql }.toMap
+}
