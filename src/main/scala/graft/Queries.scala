@@ -42,6 +42,16 @@ object Queries {
 
   private val r4 = (c: Column) => round(c, 4)
 
+  /** Memoized BM25 index per (session, documents dir) — the analog of the
+    * reference holding `_bm25` on the instance (local_db.py:38): built once,
+    * reused by every text/hybrid query against the same collection. */
+  private val bm25Cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), BM25.Index]
+
+  private def bm25Index(spark: SparkSession, dir: String): BM25.Index =
+    bm25Cache.getOrElseUpdate((spark, dir),
+      BM25.build(tbl(spark, dir, "documents"), "doc_id", "text"))
+
   /** DuckDB fragment: squared L2 between embedding and qv (both DOUBLE[]). */
   private val sqDistSql =
     "list_sum(list_transform(range(1, 65), i -> (e.embedding[i]::DOUBLE - q.qv[i]) * (e.embedding[i]::DOUBLE - q.qv[i])))"
@@ -119,7 +129,7 @@ object Queries {
 
   /** K1–K3 BM25 text search, top-10. */
   private def textBm25(spark: SparkSession, dir: String): DataFrame =
-    BM25.scoreDocs(tbl(spark, dir, "documents"), "doc_id", "text", bm25Query)
+    bm25Index(spark, dir).score(bm25Query)
       .select(col("id"), r4(col("score")).as("score"))
       .orderBy(col("score").desc, col("id").asc)
       .limit(10)
@@ -155,9 +165,8 @@ object Queries {
     * weighted fusion → zero-drop → top-k. */
   private def hybrid(spark: SparkSession, dir: String): DataFrame = {
     val w = 0.5
-    val docs = tbl(spark, dir, "documents")
     val emb = tbl(spark, dir, "embeddings")
-    val t = BM25.scoreDocs(docs, "doc_id", "text", bm25Query).withColumnRenamed("score", "ts")
+    val t = bm25Index(spark, dir).score(bm25Query).withColumnRenamed("score", "ts")
     val v = ExactKNN.scoreAll(emb, "vec_id", "embedding", qvec(spark, dir, 7), ExactKNN.L2)
       .withColumnRenamed("score", "vs")
     val tmax = t.agg(max(col("ts")).as("tm"))

@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Okapi BM25, decomposed relationally. Parameters and fine print replicate
   * the `rank_bm25.BM25Okapi` defaults the reference depends on
@@ -12,13 +13,14 @@ import org.apache.spark.sql.functions._
   * Tokenization replicates Python's argless `str.split()` (local_db.py:74,129):
   * split on runs of any whitespace, dropping empty tokens.
   *
-  * The index is three DataFrames — `postings(id, term, tf)`,
-  * `termStats(term, df, idf)`, `docLens(id, dl)` — plus a 1-row `corpus`
-  * frame (n, avgdl). At 100 TB these are plain shuffled aggregations that
-  * Spark executes as map-side-combined hash aggregates; nothing is collected
-  * to the driver. Scoring a query is: explode query terms → broadcast-join
-  * term stats (a query has few terms, so the term-side join is a broadcast)
-  * → join postings on term → groupBy(id) sum.
+  * The index is ONE persisted DataFrame `postings(id, term, tf, dl)` — the
+  * inverted index with document length denormalized in — plus three collected
+  * corpus scalars (n, avgdl, avgIdf). Collecting the scalars is deliberate:
+  * they are table statistics (3 doubles regardless of corpus size), the same
+  * role `avgdl` plays inside BM25Okapi. At 100 TB the postings frame is a
+  * bucketed-by-term table on disk; a query is then: per-term df lookup over
+  * the (term, df) side table → few-row broadcast join into postings → one
+  * map-side-combinable groupBy(id) sum. No full-corpus pass per query.
   */
 object BM25 {
 
@@ -28,63 +30,102 @@ object BM25 {
   def tokenize(c: Column): Column =
     filter(split(trim(c), "\\s+"), t => length(t) > lit(0))
 
-  /** Index state. `corpus` is 1 row: (n BIGINT, avgdl DOUBLE). */
-  final case class Stats(postings: DataFrame, termStats: DataFrame,
-                         docLens: DataFrame, corpus: DataFrame)
+  /** Driver-side tokenizer for query strings — must agree with [[tokenize]]. */
+  def tokenizeQuery(q: String): Array[String] =
+    q.trim.split("\\s+").filter(_.nonEmpty)
 
-  /** Build the BM25 statistics frames from (idCol, textCol) of `docs`.
-    * Deterministic batch job ≙ the reference's full rebuild on every add
-    * (local_db.py:73–75). */
-  def build(docs: DataFrame, idCol: String, textCol: String,
-            params: Params = Params()): Stats = {
-    val toks = docs.select(col(idCol).as("id"), tokenize(col(textCol)).as("toks"))
-    val docLens = toks.select(col("id"), size(col("toks")).cast("double").as("dl"))
-    val corpus = docLens.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
-    val postings = toks
-      .select(col("id"), explode(col("toks")).as("term"))
-      .groupBy("id", "term").agg(count(lit(1)).cast("double").as("tf"))
-    val dfByTerm = postings.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    val rawIdf = dfByTerm
-      .crossJoin(broadcast(corpus))
-      .withColumn("raw_idf", log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-    // rank_bm25 epsilon floor: avg over ALL terms of raw idf (negatives included),
-    // then negative idfs := epsilon * avg_idf.
-    val avgIdf = rawIdf.agg(avg(col("raw_idf")).as("avg_idf"))
-    val termStats = rawIdf.crossJoin(broadcast(avgIdf))
-      .select(col("term"), col("df"),
-        when(col("raw_idf") < 0, lit(params.epsilon) * col("avg_idf"))
-          .otherwise(col("raw_idf")).as("idf"))
-    Stats(postings, termStats, docLens, corpus)
+  /** The materialized text index.
+    *
+    * @param postings (id LONG, term STRING, tf DOUBLE, dl DOUBLE) — persisted
+    * @param docFreq  (term STRING, df DOUBLE) — persisted, vocabulary-sized
+    * @param docIds   (id LONG, dl DOUBLE) — all doc ids (zero-score docs must
+    *                 still be rankable, BM25Okapi.get_scores is dense)
+    */
+  final class Index(val postings: DataFrame, val docFreq: DataFrame,
+                    val docIds: DataFrame, val n: Long, val avgdl: Double,
+                    val avgIdf: Double, val params: Params) {
+
+    /** idf with the rank_bm25 epsilon floor, computed on the driver from the
+      * per-term df — query terms are few, so this is O(|query|). */
+    private def idf(df: Double): Double = {
+      val raw = math.log((n - df + 0.5) / (df + 0.5))
+      if (raw < 0) params.epsilon * avgIdf else raw
+    }
+
+    /** Score every document for `query` → (id, score). Dense: docs sharing no
+      * term with the query score 0.0 but are present (local_db.py:130).
+      * Query-term multiplicity multiplies the contribution, as in
+      * rank_bm25's loop over query tokens. */
+    def score(query: String): DataFrame = {
+      if (n == 0)
+        throw new IllegalStateException("No documents in the database") // ldb:127–128
+      val spark = postings.sparkSession
+      import spark.implicits._
+      val qtf = tokenizeQuery(query).groupBy(identity)
+        .view.mapValues(_.length.toDouble).toMap
+      // per-term df lookup: a filtered scan of the (small, persisted)
+      // vocabulary frame — the relational analog of a dictionary lookup.
+      val dfByTerm: Map[String, Double] =
+        if (qtf.isEmpty) Map.empty
+        else docFreq.where(col("term").isin(qtf.keys.toSeq: _*))
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      // weight folds qtf and idf into one per-term constant.
+      val weights = qtf.toSeq.flatMap { case (t, q) =>
+        dfByTerm.get(t).map(df => (t, q * idf(df)))
+      }
+      val matched =
+        if (weights.isEmpty) spark.emptyDataFrame
+          .select(lit(0L).as("id"), lit(0.0).as("score")).limit(0)
+        else {
+          val (k1, b) = (params.k1, params.b)
+          postings
+            .join(broadcast(weights.toDF("term", "w")), Seq("term"))
+            .groupBy(col("id"))
+            .agg(sum(col("w") * col("tf") * lit(k1 + 1.0) /
+              (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
+              .as("score"))
+        }
+      docIds.select("id")
+        .join(matched, Seq("id"), "left")
+        .select(col("id"), coalesce(col("score"), lit(0.0)).as("score"))
+    }
   }
 
-  /** Score every document for `query` → (id, score). Documents sharing no
-    * term with the query score 0.0 but are still present (rankable), matching
-    * BM25Okapi.get_scores' dense output (local_db.py:130). Query-term
-    * multiplicity multiplies the contribution, as in rank_bm25's loop over
-    * query tokens. */
-  def score(stats: Stats, query: String, params: Params = Params()): DataFrame = {
-    val spark = stats.postings.sparkSession
-    import spark.implicits._
-    val qTerms = query.trim.split("\\s+").filter(_.nonEmpty)
-      .groupBy(identity).view.mapValues(_.length.toDouble).toSeq
-      .toDF("term", "qtf")
-    val k1 = params.k1; val b = params.b
-    val perTerm = stats.postings
-      .join(broadcast(qTerms), Seq("term"))
-      .join(broadcast(stats.termStats.join(broadcast(qTerms), Seq("term")).select("term", "idf")), Seq("term"))
-      .join(stats.docLens, Seq("id"))
-      .crossJoin(broadcast(stats.corpus.select("avgdl")))
-      .select(col("id"),
-        (col("qtf") * col("idf") * col("tf") * lit(k1 + 1.0) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))).as("contrib"))
-    val matched = perTerm.groupBy("id").agg(sum(col("contrib")).as("score"))
-    stats.docLens.select("id")
-      .join(matched, Seq("id"), "left")
-      .select(col("id"), coalesce(col("score"), lit(0.0)).as("score"))
+  /** Build (and persist) the index from (idCol, textCol) of `docs` — the
+    * deterministic batch analog of the reference's full rebuild on every add
+    * (local_db.py:73–75). One shuffle for the (id, term) tf aggregation, one
+    * for the per-term df; the three corpus scalars are collected as stats. */
+  def build(docs: DataFrame, idCol: String, textCol: String,
+            params: Params = Params()): Index = {
+    val toks = docs.select(col(idCol).as("id"), tokenize(col(textCol)).as("toks"))
+    val postings = toks
+      .select(col("id"), size(col("toks")).cast("double").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val docFreq = postings.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val docIds = postings.groupBy(col("id")).agg(first(col("dl")).as("dl"))
+      .unionByName(
+        // docs whose text tokenizes to nothing still occupy a rowid.
+        toks.where(size(col("toks")) === 0).select(col("id"), lit(0.0).as("dl")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val Array(n, avgdl) = docIds.agg(count(lit(1)).cast("double"), avg(col("dl")))
+      .head() match { case r => Array(r.getDouble(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1)) }
+    // rank_bm25's epsilon floor references the average RAW idf over the whole
+    // vocabulary (negatives included) — one aggregate over the df frame.
+    val avgIdf =
+      if (n == 0) 0.0
+      else docFreq
+        .agg(avg(log((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))))
+        .head() match { case r => if (r.isNullAt(0)) 0.0 else r.getDouble(0) }
+    new Index(postings, docFreq, docIds, n.toLong, avgdl, avgIdf, params)
   }
 
   /** Convenience: build + score in one call over a (id, text) document table. */
   def scoreDocs(docs: DataFrame, idCol: String, textCol: String, query: String,
                 params: Params = Params()): DataFrame =
-    score(build(docs, idCol, textCol, params), query, params)
+    build(docs, idCol, textCol, params).score(query)
 }
