@@ -1,7 +1,8 @@
 package graft
 
+import graft.dedup.Dedup
 import graft.functions.VectorFunctions._
-import graft.text.BM25
+import graft.text.{BM25, TextAnalysis}
 import graft.vector.ExactKNN
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -234,6 +235,78 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------------
+  // Text analysis (graft.text.TextAnalysis)
+  // ---------------------------------------------------------------------------
+
+  private def docsTbl(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+
+  private def langId(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(docsTbl(spark, dir), "doc_id", "text").orderBy(col("id"))
+
+  private def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(docsTbl(spark, dir), "doc_id", "text").orderBy(col("id"))
+
+  private def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCount(docsTbl(spark, dir), "doc_id", "text").orderBy(col("id"))
+
+  private def fingerprintQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(docsTbl(spark, dir), "doc_id", "text").orderBy(col("id"))
+
+  // ---------------------------------------------------------------------------
+  // Dedup suite (graft.dedup.Dedup)
+  // ---------------------------------------------------------------------------
+
+  private def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(docsTbl(spark, dir), "doc_id", "text")
+
+  private def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(docsTbl(spark, dir), "doc_id", "text", n = 3, threshold = 0.8)
+
+  private def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(docsTbl(spark, dir), "doc_id", "text")
+
+  private def simhashQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(docsTbl(spark, dir), "doc_id", "text").orderBy(col("id"))
+
+  private def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docsTbl(spark, dir), "doc_id", "text", maxHamming = 3)
+
+  private def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingPairs(tbl(spark, dir, "embeddings"), "vec_id", "embedding", 0.45)
+
+  /** Shared DuckDB CTE: tokenized documents. */
+  private val toksCte =
+    raw"t AS (SELECT doc_id AS id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)"
+
+  /** Shared DuckDB CTE chain: distinct token-3-gram shingles per doc. */
+  private val shinglesCte =
+    raw"""$toksCte,
+         |grams AS (
+         |  SELECT id, unnest(list_distinct(list_transform(range(0, len(toks)-2),
+         |           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS gram
+         |  FROM t WHERE len(toks) >= 3)""".stripMargin
+
+  /** Shared DuckDB CTE chain: 64-bit tf-weighted SimHash per doc (16 md5
+    * nibbles × 4 bits; must mirror graft.dedup.Dedup.simhash exactly). */
+  private val simhashCtes =
+    raw"""$toksCte,
+         |tf AS (SELECT id, term, count(*)::DOUBLE AS tf
+         |       FROM (SELECT id, unnest(toks) AS term FROM t) GROUP BY 1, 2),
+         |bits AS (
+         |  SELECT id, p.pos,
+         |         sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(term), ((p.pos-1)//4)+1, 1)) - 1)
+         |                        >> (3 - ((p.pos-1)%4))) & 1 = 1
+         |                  THEN tf ELSE -tf END) AS w
+         |  FROM tf, (SELECT unnest(range(1, 65)) AS pos) p GROUP BY 1, 2),
+         |sh AS (SELECT id, string_agg(CASE WHEN w > 0 THEN '1' ELSE '0' END, '' ORDER BY pos) AS sim
+         |       FROM bits GROUP BY id)""".stripMargin
+
+  private val enList = TextAnalysis.stopwords("en").mkString("('", "','", "')")
+  private val deList = TextAnalysis.stopwords("de").mkString("('", "','", "')")
+  private val frList = TextAnalysis.stopwords("fr").mkString("('", "','", "')")
+
+  // ---------------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------------
 
@@ -299,6 +372,104 @@ object Queries {
       """SELECT c_custkey, c_name, CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin)),
+    "lang_id" -> Q(langId, Some(
+      raw"""WITH $toksCte,
+           |c AS (SELECT id,
+           |  len(list_filter(toks, w -> w IN $enList)) AS en,
+           |  len(list_filter(toks, w -> w IN $deList)) AS de,
+           |  len(list_filter(toks, w -> w IN $frList)) AS fr,
+           |  len(toks) AS n FROM t)
+           |SELECT id,
+           |  CASE WHEN en >= greatest(de, fr) THEN 'en'
+           |       WHEN de >= fr THEN 'de' ELSE 'fr' END AS pred_lang,
+           |  round(en::DOUBLE / n, 4) AS en_ratio
+           |FROM c ORDER BY id""".stripMargin)),
+    "quality_score" -> Q(qualityScore, Some(
+      raw"""WITH $toksCte,
+           |m AS (SELECT id,
+           |  len(toks)::DOUBLE AS n_tok,
+           |  len(list_filter(toks, w -> w IN $enList))::DOUBLE / len(toks) AS stop_ratio,
+           |  length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE / len(toks) AS avg_wlen
+           |  FROM t)
+           |SELECT id, n_tok::BIGINT AS n_tok, round(stop_ratio, 4) AS stop_ratio,
+           |  round(avg_wlen, 4) AS avg_wlen,
+           |  floor((0.4 * least(1.0, n_tok / 50.0) + 0.3 * least(1.0, stop_ratio * 5.0)
+           |      + 0.3 * least(1.0, avg_wlen / 5.0)) * 10000.0 + 0.5) / 10000.0 AS quality
+           |FROM m ORDER BY id""".stripMargin)),
+    "token_count" -> Q(tokenCount, Some(
+      raw"""SELECT doc_id AS id,
+           |  len(string_split_regex(trim(text), '\s+'))::BIGINT AS ws_tokens,
+           |  len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS subword_tokens,
+           |  length(text)::BIGINT AS n_chars
+           |FROM documents ORDER BY id""".stripMargin)),
+    "fingerprint" -> Q(fingerprintQ, Some(
+      raw"""WITH n AS (SELECT doc_id AS id,
+           |  lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt FROM documents)
+           |SELECT id, md5(nt) AS fp, md5(substr(nt, 1, 128)) AS fp_prefix
+           |FROM n ORDER BY id""".stripMargin)),
+    "dedup_exact" -> Q(dedupExact, Some(
+      raw"""WITH n AS (SELECT doc_id AS id,
+           |  md5(substr(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), 1, 128)) AS fp
+           |  FROM documents)
+           |SELECT fp, count(*)::BIGINT AS n, min(id) AS min_id, max(id) AS max_id
+           |FROM n GROUP BY fp HAVING count(*) > 1""".stripMargin)),
+    "dedup_jaccard" -> Q(dedupJaccard, Some(
+      raw"""WITH $shinglesCte,
+           |gsz AS (SELECT id, count(*)::DOUBLE AS sz FROM grams GROUP BY 1),
+           |inter AS (
+           |  SELECT l.id AS a, r.id AS b, count(*)::DOUBLE AS inter
+           |  FROM grams l JOIN grams r ON l.gram = r.gram AND l.id < r.id
+           |  GROUP BY 1, 2)
+           |SELECT a, b, round(inter / (sa.sz + sb.sz - inter), 4) AS jac
+           |FROM inter JOIN gsz sa ON inter.a = sa.id JOIN gsz sb ON inter.b = sb.id
+           |WHERE inter / (sa.sz + sb.sz - inter) >= 0.8
+           |ORDER BY jac DESC, a, b""".stripMargin)),
+    "dedup_minhash" -> Q(dedupMinhash, Some(
+      raw"""WITH $shinglesCte,
+           |sig AS (
+           |  SELECT id, s.seed, min(md5(s.seed || '_' || gram)) AS mh
+           |  FROM grams, (SELECT unnest(range(0, 16)) AS seed) s GROUP BY 1, 2),
+           |bands AS (
+           |  SELECT id, seed // 4 AS band, md5(string_agg(mh, '|' ORDER BY seed)) AS bh
+           |  FROM sig GROUP BY 1, 2),
+           |cand AS (
+           |  SELECT DISTINCT l.id AS a, r.id AS b
+           |  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.id < r.id),
+           |gsz AS (SELECT id, count(*)::DOUBLE AS sz FROM grams GROUP BY 1),
+           |inter AS (
+           |  SELECT c.a, c.b, count(*)::DOUBLE AS inter
+           |  FROM cand c
+           |  JOIN grams ga ON ga.id = c.a
+           |  JOIN grams gb ON gb.id = c.b AND gb.gram = ga.gram
+           |  GROUP BY 1, 2)
+           |SELECT a, b, round(inter / (sa.sz + sb.sz - inter), 4) AS jac
+           |FROM inter JOIN gsz sa ON inter.a = sa.id JOIN gsz sb ON inter.b = sb.id
+           |WHERE inter / (sa.sz + sb.sz - inter) >= 0.8
+           |ORDER BY jac DESC, a, b""".stripMargin)),
+    "simhash" -> Q(simhashQ, Some(
+      raw"""WITH $simhashCtes
+           |SELECT id, sim FROM sh ORDER BY id""".stripMargin)),
+    "dedup_simhash" -> Q(dedupSimhash, Some(
+      raw"""WITH $simhashCtes,
+           |blocks AS (SELECT id, sim, b.blk, substr(sim, 1 + 16 * b.blk, 16) AS bs
+           |           FROM sh, (SELECT unnest(range(0, 4)) AS blk) b),
+           |cand AS (SELECT DISTINCT l.id AS a, l.sim AS sa, r.id AS b, r.sim AS sb
+           |         FROM blocks l JOIN blocks r ON l.blk = r.blk AND l.bs = r.bs AND l.id < r.id)
+           |SELECT a, b, hamming FROM (
+           |  SELECT a, b, list_sum(list_transform(range(1, 65),
+           |    i -> CASE WHEN substr(sa, i, 1) = substr(sb, i, 1) THEN 0 ELSE 1 END))::BIGINT AS hamming
+           |  FROM cand)
+           |WHERE hamming <= 3 ORDER BY hamming, a, b""".stripMargin)),
+    "dedup_embedding" -> Q(dedupEmbedding, Some(
+      raw"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+           |p AS (
+           |  SELECT l.vec_id AS a, r.vec_id AS b,
+           |    list_sum(list_transform(range(1, 65), i -> l.emb[i] * r.emb[i]))
+           |     / (sqrt(list_sum(list_transform(range(1, 65), i -> l.emb[i] * l.emb[i])))
+           |      * sqrt(list_sum(list_transform(range(1, 65), i -> r.emb[i] * r.emb[i])))) AS cos
+           |  FROM v l JOIN v r ON l.vec_id < r.vec_id)
+           |SELECT a, b, round(cos, 4) AS cos FROM p WHERE cos >= 0.45
+           |ORDER BY cos DESC, a, b""".stripMargin)),
     "window_top_order" -> Q(windowTopOrder, Some(
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

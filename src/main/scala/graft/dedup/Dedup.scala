@@ -1,0 +1,192 @@
+package graft.dedup
+
+import graft.functions.VectorFunctions
+import graft.text.{BM25, TextAnalysis}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact (hash-groupBy),
+  * n-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  * Beyond-reference capability (the reference engine has none).
+  *
+  * Scale notes (the 100 TB story):
+  *  - exact dedup is one hash aggregate — map-side combined, one shuffle on
+  *    the 16-byte fingerprint, no text moves after the md5 projection.
+  *  - MinHash/LSH is the scale path for near-dup: cost is
+  *    O(rows × shingles × seeds) map work plus a shuffle keyed on
+  *    (band, band-hash); candidate verification touches only bucket
+  *    collisions, never the N² pair space.
+  *  - n-gram Jaccard self-join is exact but quadratic in the worst case —
+  *    use it to verify candidates or on bounded corpora; LSH above is the
+  *    funnel that keeps it bounded.
+  *  - SimHash reduces each doc to a 32-bit signature via one aggregation;
+  *    banding over 8-bit blocks (pigeonhole: hamming ≤ 3 ⇒ one of 4 blocks
+  *    equal) turns pair-finding into an equi-join.
+  *  - embedding near-dup below the LSH/IVF scale is a blocked self-join; at
+  *    scale, route candidates through [[graft.vector]] ANN instead.
+  *
+  * All hashing is md5-based so an external SQL oracle reproduces every
+  * signature bit-for-bit (no engine-private hash functions in results).
+  */
+object Dedup {
+
+  /** Token n-gram array (0-based window over the token array). */
+  def ngrams(toksCol: Column, n: Int): Column =
+    transform(sequence(lit(0), size(toksCol) - n),
+      i => concat_ws(" ", (0 until n).map(j => get(toksCol, i + lit(j))): _*))
+
+  /** (id, gram) — distinct token n-gram shingles per document. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val t = BM25.tokenize(col(textCol))
+    docs.where(size(t) >= n)
+      .select(col(idCol).as("id"), explode(array_distinct(ngrams(t, n))).as("gram"))
+  }
+
+  /** Exact duplicate groups under prefix-fingerprint normalization:
+    * groups of ≥2 docs sharing md5(first `prefixLen` normalized chars).
+    * Output: (fp, n, min_id, max_id). */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String,
+                  prefixLen: Int = 128): DataFrame =
+    TextAnalysis.fingerprint(docs, idCol, textCol, prefixLen)
+      .groupBy(col("fp_prefix").as("fp"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+      .where(col("n") > 1)
+
+  /** Exact n-gram Jaccard near-dup pairs (a < b, jac ≥ threshold).
+    * Shared-shingle equi-join → per-pair intersection count → Jaccard from
+    * set sizes. Output: (a, b, jac). */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).cast("double").as("sz"))
+    val inter = sh.as("l").join(sh.as("r"), col("l.gram") === col("r.gram") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("a"), col("r.id").as("b"))
+      .agg(count(lit(1)).cast("double").as("inter"))
+    val jac = col("inter") / (col("sza") + col("szb") - col("inter"))
+    inter
+      .join(sizes.select(col("id").as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizes.select(col("id").as("b"), col("sz").as("szb")), Seq("b"))
+      .where(jac >= threshold)
+      .select(col("a"), col("b"), round(jac, 4).as("jac"))
+      .orderBy(col("jac").desc, col("a").asc, col("b").asc)
+  }
+
+  /** MinHash signatures: for each of `numHashes` seeds, the minimum of
+    * md5(seed ++ "_" ++ shingle) over the doc's shingle set — hex-string
+    * min, which orders identically in any engine. */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val seeds = (0 until numHashes).map(_.toLong).toDF("seed")
+    sh.crossJoin(broadcast(seeds))
+      .groupBy(col("id"), col("seed"))
+      .agg(min(md5(concat(col("seed").cast("string"), lit("_"), col("gram")))).as("mh"))
+  }
+
+  /** LSH banding: `rowsPerBand` signature rows concatenated (seed order) and
+    * re-hashed per band. Docs colliding in any band become candidate pairs.
+    * P(collision per band) = jaccard^rowsPerBand — deeper bands keep the
+    * candidate set ~linear even on high-overlap corpora. */
+  def lshBands(sig: DataFrame, rowsPerBand: Int): DataFrame = {
+    val slots = (0 until rowsPerBand).map(k =>
+      min(when(col("seed") % rowsPerBand === k, col("mh"))))
+    sig.groupBy(col("id"), floor(col("seed") / rowsPerBand).as("band"))
+      .agg(md5(concat_ws("|", slots: _*)).as("bh"))
+  }
+
+  /** MinHash+LSH near-dup: signatures → bands → bucket-collision candidates
+    * → exact-Jaccard verification of candidates only.
+    * Output: (a, b, jac) with jac ≥ threshold, a < b. */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
+                   threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = lshBands(minhashSignatures(sh, numHashes), rowsPerBand)
+    val cand = bands.as("l")
+      .join(bands.as("r"), col("l.band") === col("r.band") && col("l.bh") === col("r.bh")
+        && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).cast("double").as("sz"))
+    val inter = cand
+      .join(sh.select(col("id").as("a"), col("gram")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("gram")), Seq("b", "gram"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).cast("double").as("inter"))
+    val jac = col("inter") / (col("sza") + col("szb") - col("inter"))
+    inter
+      .join(sizes.select(col("id").as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizes.select(col("id").as("b"), col("sz").as("szb")), Seq("b"))
+      .where(jac >= threshold)
+      .select(col("a"), col("b"), round(jac, 4).as("jac"))
+      .orderBy(col("jac").desc, col("a").asc, col("b").asc)
+  }
+
+  /** SimHash width in bits; 64 bits = first 16 md5 nibbles × 4 bits each.
+    * Wide signatures matter on near-dup-heavy corpora: 16-bit bands give a
+    * 65536-bucket space, so candidate generation stays ~linear where 8-bit
+    * bands degenerate to quadratic. */
+  val simhashBits = 64
+
+  /** 64-bit SimHash: per-term md5 → 16 nibble values → 4 bits each,
+    * tf-weighted vote per bit position, all 64 positions folded in one hash
+    * aggregate. Output: (id, sim) with sim a 64-char '0'/'1' string. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("id"), explode(BM25.tokenize(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .withColumn("h", md5(col("term")))
+    // 16 nibble-value columns (0–15), each feeding 4 bit positions.
+    val withNibbles = (1 to 16).foldLeft(tf) { (df, ni) =>
+      df.withColumn(s"v$ni", conv(substring(col("h"), ni, 1), 16, 10).cast("int"))
+    }
+    val ws = (1 to simhashBits).map { p =>
+      val ni = (p - 1) / 4 + 1; val k = (p - 1) % 4 // k=0 is the nibble's MSB
+      val bit = shiftright(col(s"v$ni"), 3 - k).bitwiseAND(lit(1))
+      sum(when(bit === 1, col("tf")).otherwise(-col("tf"))).as(s"w$p")
+    }
+    withNibbles.groupBy(col("id")).agg(ws.head, ws.tail: _*)
+      .select(col("id"),
+        concat((1 to simhashBits).map(p => when(col(s"w$p") > 0, "1").otherwise("0")): _*).as("sim"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ `maxHamming` (≤ 3):
+    * pigeonhole banding over 4 × 16-bit blocks (hamming ≤ 3 ⇒ some block
+    * identical) turns candidate generation into an equi-join; exact hamming
+    * check on candidates. Output: (a, b, hamming). */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "4-block banding guarantees recall only for hamming <= 3")
+    val blockLen = simhashBits / 4
+    val sim = simhash(docs, idCol, textCol)
+    val blocks = sim.select(col("id"), col("sim"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("blk"), substring(col("sim"), 1 + blockLen * b, blockLen).as("bs"))): _*)).as("e"))
+      .select(col("id"), col("sim"), col("e.blk"), col("e.bs"))
+    val cand = blocks.as("l")
+      .join(blocks.as("r"), col("l.blk") === col("r.blk") && col("l.bs") === col("r.bs")
+        && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("l.sim").as("sa"),
+        col("r.id").as("b"), col("r.sim").as("sb")).distinct()
+    val hamming = (1 to simhashBits).map(p =>
+      when(substring(col("sa"), p, 1) === substring(col("sb"), p, 1), 0).otherwise(1))
+      .reduce(_ + _)
+    cand.select(col("a"), col("b"), hamming.cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .orderBy(col("hamming").asc, col("a").asc, col("b").asc)
+  }
+
+  /** Embedding-cosine near-dup pairs (a < b, cos ≥ threshold) by blocked
+    * self-join — the small-N exact path; see scale notes above.
+    * Output: (a, b, cos). */
+  def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double): DataFrame = {
+    val l = emb.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val r = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    val cos = VectorFunctions.cosine(col("va"), col("vb"))
+    l.join(broadcast(r), col("a") < col("b"))
+      .where(cos >= threshold)
+      .select(col("a"), col("b"), round(cos, 4).as("cos"))
+      .orderBy(col("cos").desc, col("a").asc, col("b").asc)
+  }
+}

@@ -1,0 +1,153 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for vector math over ARRAY<FLOAT|DOUBLE>
+  * (SURVEY §4.2-2). The `zip_with`/`aggregate` built-ins are semantically
+  * right but their lambdas are interpreted (`ArrayAggregate.eval` is not
+  * codegen'd) — measured >100× slower inside pairwise joins. These fuse the
+  * whole fold into one generated loop over the unsafe array data: no
+  * per-element boxing, no intermediate array, whole-stage-codegen friendly.
+  *
+  * Determinism contract (shared with the DuckDB oracle): accumulate in
+  * double, strictly left-to-right, elements 0..n-1 — identical operation
+  * order to the `aggregate(zip_with(...))` formulation and to
+  * `list_sum(list_transform(...))`, so results are bit-equal.
+  *
+  * Semantics: null array → null; null element → null; length mismatch →
+  * folds the common prefix (the arrays in this engine are fixed-dim).
+  */
+abstract class PairFoldExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(lt, _), ArrayType(rt, _))
+        if Seq(lt, rt).forall(t => t == FloatType || t == DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<FLOAT|DOUBLE> args, got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+
+  protected def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  protected def getD(arr: ArrayData, i: Int, t: DataType): Double =
+    if (t == FloatType) arr.getFloat(i).toDouble else arr.getDouble(i)
+
+  protected def genGet(arr: String, i: String, t: DataType): String =
+    if (t == FloatType) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+
+  /** Codegen pieces, parameterized on three fresh accumulator names so two
+    * instances inside one generated method can't collide. */
+  protected def accDecl(a1: String, a2: String, a3: String): String
+  protected def accUpdate(x: String, y: String, a1: String, a2: String, a3: String): String
+  protected def accResult(a1: String, a2: String, a3: String): String
+  /** Interpreted twin of the generated loop. */
+  protected def evalLoop(a: ArrayData, b: ArrayData, lt: DataType, rt: DataType, n: Int): Any
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    evalLoop(a, b, elemType(left), elemType(right),
+      math.min(a.numElements(), b.numElements()))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val a1 = ctx.freshName("acc1"); val a2 = ctx.freshName("acc2"); val a3 = ctx.freshName("acc3")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${accDecl(a1, a2, a3)}
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  final double $x = ${genGet(a, i, elemType(left))};
+         |  final double $y = ${genGet(b, i, elemType(right))};
+         |  ${accUpdate(x, y, a1, a2, a3)}
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = ${accResult(a1, a2, a3)}; }
+         |""".stripMargin
+    })
+}
+
+/** Σ (a_i − b_i)² — the reference's vector distance (squared L2; hnswlib
+  * space='l2' and faiss.IndexFlatL2 both return it, local_db.py:42–48). */
+case class SquaredL2(left: Expression, right: Expression) extends PairFoldExpression {
+  override def prettyName: String = "vec_squared_l2"
+  protected def accDecl(a1: String, a2: String, a3: String) =
+    s"double $a1 = 0.0; double $a2 = 0.0;"
+  protected def accUpdate(x: String, y: String, a1: String, a2: String, a3: String) =
+    s"$a2 = $x - $y; $a1 += $a2 * $a2;"
+  protected def accResult(a1: String, a2: String, a3: String) = a1
+  protected def evalLoop(a: ArrayData, b: ArrayData, lt: DataType, rt: DataType, n: Int): Any = {
+    var s = 0.0; var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = getD(a, i, lt) - getD(b, i, rt); s += d * d; i += 1
+    }
+    s
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Σ a_i·b_i */
+case class DotProduct(left: Expression, right: Expression) extends PairFoldExpression {
+  override def prettyName: String = "vec_dot"
+  protected def accDecl(a1: String, a2: String, a3: String) = s"double $a1 = 0.0;"
+  protected def accUpdate(x: String, y: String, a1: String, a2: String, a3: String) =
+    s"$a1 += $x * $y;"
+  protected def accResult(a1: String, a2: String, a3: String) = a1
+  protected def evalLoop(a: ArrayData, b: ArrayData, lt: DataType, rt: DataType, n: Int): Any = {
+    var s = 0.0; var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += getD(a, i, lt) * getD(b, i, rt); i += 1
+    }
+    s
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** dot(a,b) / (‖a‖·‖b‖) in one fused pass (3 accumulators, 1 loop) —
+  * replaces three separate interpreted folds in the pairwise hot path. */
+case class CosineSim(left: Expression, right: Expression) extends PairFoldExpression {
+  override def prettyName: String = "vec_cosine"
+  protected def accDecl(a1: String, a2: String, a3: String) =
+    s"double $a1 = 0.0; double $a2 = 0.0; double $a3 = 0.0;"
+  protected def accUpdate(x: String, y: String, a1: String, a2: String, a3: String) =
+    s"$a1 += $x * $y; $a2 += $x * $x; $a3 += $y * $y;"
+  protected def accResult(a1: String, a2: String, a3: String) =
+    s"$a1 / (java.lang.Math.sqrt($a2) * java.lang.Math.sqrt($a3))"
+  protected def evalLoop(a: ArrayData, b: ArrayData, lt: DataType, rt: DataType, n: Int): Any = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = getD(a, i, lt); val y = getD(b, i, rt)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API entry points. */
+object VectorExpr {
+  private def c(e: Expression): Column = GraftColumnBridge.column(e)
+  private def x(col: Column): Expression = GraftColumnBridge.expression(col)
+
+  def squaredL2(a: Column, b: Column): Column = c(SquaredL2(x(a), x(b)))
+  def dot(a: Column, b: Column): Column = c(DotProduct(x(a), x(b)))
+  def cosine(a: Column, b: Column): Column = c(CosineSim(x(a), x(b)))
+}

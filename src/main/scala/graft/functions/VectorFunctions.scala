@@ -3,12 +3,11 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `ARRAY<FLOAT>` / `ARRAY<DOUBLE>` columns, composed from
-  * codegen'd Spark built-ins (`zip_with` / `aggregate` / `transform`) so the
-  * whole expression stays inside WholeStageCodegen — no UDFs, no boxing beyond
-  * the array lambda machinery. All accumulation is in DOUBLE with a
-  * sequential left fold, which makes results deterministic and bit-comparable
-  * with an external oracle that folds in the same order.
+/** Vector math over `ARRAY<FLOAT>` / `ARRAY<DOUBLE>` columns. The primary
+  * implementations are the fused codegen expressions in [[graft.expr]] (one
+  * generated loop, no boxing); the `*Hof` twins keep the equivalent
+  * `zip_with`/`aggregate` built-in formulations for differential testing —
+  * both fold left-to-right in DOUBLE, so they are bit-equal.
   *
   * Distance semantics follow the reference engine
   * (deshwalmahesh/homemade-vector-db): hnswlib `space='l2'` and
@@ -20,24 +19,32 @@ object VectorFunctions {
   private def d(c: Column): Column = c.cast("double")
 
   /** Σ (a_i − b_i)² — squared L2, the reference's vector distance. */
-  def squaredL2(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (d(x) - d(y)) * (d(x) - d(y))),
-      lit(0.0),
-      (acc, x) => acc + x)
+  def squaredL2(a: Column, b: Column): Column = graft.expr.VectorExpr.squaredL2(a, b)
 
   /** True (unsquared) L2 — used only by the reference's hybrid small-N path
     * (np.linalg.norm, local_db.py:377). */
   def l2(a: Column, b: Column): Column = sqrt(squaredL2(a, b))
 
   /** Σ a_i·b_i */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = graft.expr.VectorExpr.dot(a, b)
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity; NaN-safe only insofar as inputs are non-zero vectors. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+  def cosine(a: Column, b: Column): Column = graft.expr.VectorExpr.cosine(a, b)
+
+  /** Interpreted-builtin twins (differential-test reference). */
+  def squaredL2Hof(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (d(x) - d(y)) * (d(x) - d(y))),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0), (acc, x) => acc + x)
+
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
 
   /** distance → similarity mapping pinned by the reference (1/(1+d),
     * local_db.py:172,176; range (0,1] pinned by test_local_db.py:456–457). */

@@ -1,0 +1,98 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data text analysis: language-ID, quality scoring, token counting,
+  * document fingerprinting. Beyond-reference operators (the reference engine
+  * has no text analytics beyond BM25), designed for 100 TB corpora: every op
+  * is a single narrow projection over the document scan — no shuffle, no UDF,
+  * all whole-stage-codegen'd built-ins — so cost is one pass over the data
+  * and the plan parallelizes embarrassingly.
+  *
+  * Every formula is double-precision and deliberately expressible in ANSI SQL
+  * so an external engine (the DuckDB oracle) reproduces results bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Stopword profiles for the n-gram/stopword language heuristic. Kept
+    * small, disjoint, and ASCII so the heuristic is deterministic and
+    * portable across engines. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "une", "est"))
+
+  private def toks(textCol: Column): Column = BM25.tokenize(textCol)
+
+  private def hits(t: Column, words: Seq[String]): Column =
+    size(filter(t, w => w.isin(words: _*)))
+
+  /** Language ID by stopword-profile vote: count tokens in each language's
+    * stopword set; predict the best-scoring language with a deterministic
+    * en > de > fr preference on ties. Output: (id, pred_lang, en_ratio). */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = toks(col(textCol))
+    val (en, de, fr) = (hits(t, stopwords("en")), hits(t, stopwords("de")), hits(t, stopwords("fr")))
+    docs.select(
+      col(idCol).as("id"),
+      when(en >= greatest(de, fr), "en").when(de >= fr, "de").otherwise("fr").as("pred_lang"),
+      round(en.cast("double") / size(t), 4).as("en_ratio"))
+  }
+
+  /** Quality score: token count, stopword ratio, and average word length
+    * folded into one bounded [0,1] composite. The exact formula matters less
+    * than its determinism — it is the shape of every production quality
+    * classifier (cheap per-doc features, one scan). Output:
+    * (id, n_tok, stop_ratio, avg_wlen, quality). */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = toks(col(textCol))
+    val nTok = size(t).cast("double")
+    val stopRatio = hits(t, stopwords("en")).cast("double") / nTok
+    val avgWlen = length(regexp_replace(col(textCol), "\\s+", "")).cast("double") / nTok
+    docs.select(
+      col(idCol).as("id"),
+      nTok.cast("long").as("n_tok"),
+      round(stopRatio, 4).as("stop_ratio"),
+      round(avgWlen, 4).as("avg_wlen"),
+      // floor(x·1e4 + 0.5)/1e4 instead of round(): the composite lands on
+      // exact .5 boundaries at 4 dp (small-rational inputs), where Spark's
+      // decimal-string HALF_UP and an external engine's binary-double
+      // rounding disagree; this form is pure double math, bit-identical
+      // in any engine.
+      (floor((
+        lit(0.4) * least(lit(1.0), nTok / 50.0) +
+        lit(0.3) * least(lit(1.0), stopRatio * 5.0) +
+        lit(0.3) * least(lit(1.0), avgWlen / 5.0)) * 10000.0 + 0.5) / 10000.0).as("quality"))
+  }
+
+  /** BPE-ish subword pattern: letter runs, digit runs, single other symbols.
+    * A stand-in for a real tokenizer's pre-tokenization regex. */
+  val subwordPattern = "[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  /** Token counting: whitespace tokens, subword-regex tokens, characters.
+    * Output: (id, ws_tokens, subword_tokens, n_chars). */
+  def tokenCount(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("id"),
+      size(toks(col(textCol))).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit(subwordPattern), lit(0))).cast("long").as("subword_tokens"),
+      length(col(textCol)).cast("long").as("n_chars"))
+
+  /** Whitespace-collapsed, lowercased canonical form — the normalization
+    * under both fingerprints and exact dedup. */
+  def normalized(textCol: Column): Column =
+    lower(regexp_replace(trim(textCol), "\\s+", " "))
+
+  /** Document fingerprints: md5 over the full normalized text and over its
+    * first `prefixLen` chars (a cheap rolling-hash stand-in that catches
+    * shared-prefix near-duplicates). Output: (id, fp, fp_prefix). */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String,
+                  prefixLen: Int = 128): DataFrame = {
+    val norm = normalized(col(textCol))
+    docs.select(
+      col(idCol).as("id"),
+      md5(norm).as("fp"),
+      md5(substring(norm, 1, prefixLen)).as("fp_prefix"))
+  }
+}
