@@ -3,7 +3,7 @@ package graft
 import graft.dedup.Dedup
 import graft.functions.VectorFunctions._
 import graft.text.{BM25, TextAnalysis}
-import graft.vector.ExactKNN
+import graft.vector.{ExactKNN, IVFIndex}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -183,6 +183,33 @@ object Queries {
       .limit(10)
   }
 
+  /** Memoized IVF index per (session, dir) — built once, probed per query. */
+  private val ivfCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), IVFIndex]
+
+  private def ivfIndex(spark: SparkSession, dir: String): IVFIndex =
+    ivfCache.getOrElseUpdate((spark, dir),
+      IVFIndex.build(tbl(spark, dir, "embeddings"), "vec_id", "embedding", nlist = 16))
+
+  /** K6 approximate KNN via IVF probe: scans only nprobe/nlist of the data.
+    * Approximate → no SQL oracle (driver rows-only check); recall is pinned
+    * vs the exact path in IVFSpec instead (SURVEY §5.2-3). */
+  private def annIvf(spark: SparkSession, dir: String): DataFrame =
+    ivfIndex(spark, dir)
+      .search(qvec(spark, dir, 7), k = 10, nprobe = 4)
+      .select(col("id"), r4(col("score")).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+
+  /** K4 batch variant: bulk similarity join, 3 queries × top-5 each. */
+  private def knnBatch(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    val queries = e.where(col("vec_id").isin(1L, 2L, 3L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    ExactKNN.topKBatch(e, "vec_id", "embedding", queries, "qid", "qv", k = 5)
+      .select(col("qid"), col("id"), r4(col("score")).as("score"))
+      .orderBy(col("qid").asc, col("score").desc, col("id").asc)
+  }
+
   /** Streaming-shaped tumbling-window aggregate over `events` (batch
     * equivalent of the Structured Streaming job in graft.streaming). */
   private def eventsWindow(spark: SparkSession, dir: String): DataFrame =
@@ -321,6 +348,19 @@ object Queries {
          |FROM embeddings e, q
          |ORDER BY score DESC, id LIMIT 10""".stripMargin)),
     "knn_prefilter" -> Q(knnPreFilter, Some(knnSql(7, 5, "WHERE e.label = 3"))),
+    "ann_ivf" -> Q(annIvf, None),
+    "knn_batch" -> Q(knnBatch, Some(
+      s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+         |           FROM embeddings WHERE vec_id IN (1, 2, 3)),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id AS id,
+         |         1.0/(1.0 + list_sum(list_transform(range(1, 65),
+         |           i -> (e.embedding[i]::DOUBLE - q.qv[i]) * (e.embedding[i]::DOUBLE - q.qv[i])))) AS s
+         |  FROM embeddings e, q)
+         |SELECT qid, id, round(s, 4) AS score FROM (
+         |  SELECT qid, id, s, row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS rn
+         |  FROM scored)
+         |WHERE rn <= 5 ORDER BY qid, score DESC, id""".stripMargin)),
     "knn_postfilter" -> Q(knnPostFilter, Some(
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
          |top AS (

@@ -1,0 +1,74 @@
+package graft.model
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** Collection manifest — the relational replacement for the reference's
+  * index-type-detection-from-artifacts (local_db.py:233–248): one small JSON
+  * document recording schema + index configuration + the *effective* index
+  * type after any degrade (ldb:108 mutates index_type on IVF-PQ→flat
+  * fallback; repr/save must observe the mutated value, SURVEY §2.5.8).
+  *
+  * Hyperparameter defaults mirror the reference constructor
+  * (local_db.py:21–29): ef_construction=200, M=16, ivf_clusters=100,
+  * pq_code_size=16, ef_search=50.
+  */
+final case class Manifest(
+    dim: Int,
+    indexType: String,          // what the user asked for ('hnsw'|'flat'|'ivfpq')
+    effectiveType: String,      // what is physically built ('flat'|'ivf')
+    efConstruction: Int = 200,
+    m: Int = 16,
+    ivfClusters: Int = 100,
+    pqCodeSize: Int = 16,
+    efSearch: Int = 50) {
+
+  def toJson: String =
+    s"""{"dim":$dim,"indexType":"$indexType","effectiveType":"$effectiveType",""" +
+      s""""efConstruction":$efConstruction,"m":$m,"ivfClusters":$ivfClusters,""" +
+      s""""pqCodeSize":$pqCodeSize,"efSearch":$efSearch}"""
+
+  def save(dir: String): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(dir, "manifest.json"), toJson.getBytes(StandardCharsets.UTF_8))
+  }
+}
+
+object Manifest {
+  val knownTypes: Set[String] = Set("hnsw", "flat", "ivfpq")
+
+  /** Physical strategy per requested type: exact scan for 'flat'; the IVF
+    * probe path for both ANN types ('hnsw' has no data-parallel analog —
+    * SURVEY §7.3 — so its tunable-recall contract is served by IVF with
+    * ef_search mapped to nprobe). */
+  def effectiveFor(indexType: String): String =
+    if (indexType == "flat") "flat" else "ivf"
+
+  private val Field = """"(\w+)"\s*:\s*("?)([^",}]*)\2""".r
+
+  def fromJson(json: String): Manifest = {
+    val kv = Field.findAllMatchIn(json).map(m => m.group(1) -> m.group(3)).toMap
+    def i(k: String, d: Int) = kv.get(k).map(_.toInt).getOrElse(d)
+    val requested = kv.getOrElse("indexType", "flat")
+    // Unknown index type on disk downgrades to flat (≙ reference behavior
+    // for unrecognized FAISS index classes, test_local_db.py:196–198).
+    val known = Manifest.knownTypes.contains(requested)
+    Manifest(
+      dim = i("dim", 0),
+      indexType = requested,
+      effectiveType =
+        if (!known) "flat"
+        else kv.getOrElse("effectiveType", effectiveFor(requested)),
+      efConstruction = i("efConstruction", 200),
+      m = i("m", 16),
+      ivfClusters = i("ivfClusters", 100),
+      pqCodeSize = i("pqCodeSize", 16),
+      efSearch = i("efSearch", 50))
+  }
+
+  def load(dir: String): Manifest = {
+    val p = Paths.get(dir, "manifest.json")
+    require(Files.exists(p), s"no manifest at $dir")
+    fromJson(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+  }
+}

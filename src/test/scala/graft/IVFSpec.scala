@@ -1,0 +1,46 @@
+package graft
+
+import graft.vector.{ExactKNN, IVFIndex}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Recall pins for the approximate path (SURVEY §5.2-3): the reference never
+  * asserts ANN result contents, only set-level properties; we pin recall@k
+  * against the exact scan on the driver-generated embeddings table. */
+class IVFSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet").cache()
+  private lazy val index = IVFIndex.build(emb, "vec_id", "embedding", nlist = 16)
+
+  private def queryVec(id: Long): Array[Double] =
+    emb.where(emb("vec_id") === id).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+
+  test("full probe (nprobe = nlist) equals exact search") {
+    val q = queryVec(11)
+    val exact = ExactKNN.topK(emb, "vec_id", "embedding", q, 10).collect().map(_.getLong(0))
+    val full = index.search(q, 10, nprobe = 16).collect().map(_.getLong(0))
+    assert(full.sameElements(exact))
+  }
+
+  test("recall@10 >= 0.6 with nprobe=4 of 16, averaged over 10 queries") {
+    val recalls = (0L until 10L).map { qid =>
+      val q = queryVec(qid * 7)
+      val exact = ExactKNN.topK(emb, "vec_id", "embedding", q, 10)
+        .collect().map(_.getLong(0)).toSet
+      val approx = index.search(q, 10, nprobe = 4).collect().map(_.getLong(0)).toSet
+      (exact intersect approx).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean recall@10 = $mean (per-query: $recalls)")
+  }
+
+  test("partition count: a probe touches fewer rows than the full scan") {
+    val q = queryVec(3)
+    val probed = index.probeOrder(q).take(4)
+    val scanned = index.assignments
+      .where(index.assignments("cluster").isin(probed.map(Integer.valueOf): _*)).count()
+    assert(scanned < emb.count())
+  }
+}

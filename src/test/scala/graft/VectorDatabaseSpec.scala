@@ -1,0 +1,209 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** 1:1 port of the reference's pytest contracts (test_local_db.py),
+  * parametrized over the three index types (test:47 etc.), plus the
+  * §2.5 fine-print pins. */
+class VectorDatabaseSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val indexTypes = Seq("hnsw", "flat", "ivfpq")
+  private val dim = 8
+  private val rnd = new scala.util.Random(42)
+  private def vec(): Array[Float] = Array.fill(dim)(rnd.nextFloat())
+
+  // ≙ the reference fixtures: 5 docs, random vectors, heterogeneous metadata
+  // (test_local_db.py:13–31)
+  private val docs = Seq(
+    "machine learning is a subset of artificial intelligence",
+    "python is a popular programming language",
+    "vector databases store high dimensional embeddings",
+    "the quick brown fox jumps over the lazy dog",
+    "deep learning uses neural networks with many layers")
+  private val vecs = Seq.fill(5)(vec())
+  private val metas = Seq(
+    Map[String, Any]("priority" -> "high", "amount" -> 1250.75, "deadline" -> "2025-06-01"),
+    Map[String, Any]("priority" -> "low", "amount" -> 99.5),
+    Map[String, Any]("priority" -> "high", "amount" -> 500.0),
+    Map[String, Any]("category" -> "animals"),
+    Map[String, Any]("priority" -> "medium", "amount" -> 1250.75))
+
+  private def freshDb(indexType: String): VectorDatabase = {
+    val db = VectorDatabase.create(spark, dim, indexType)
+    db.add(docs, vecs, Some(metas))
+    db
+  }
+
+  test("invalid index type rejected (test:74–77)") {
+    intercept[IllegalArgumentException](VectorDatabase.create(spark, dim, "bogus"))
+  }
+
+  for (it <- indexTypes) {
+    test(s"[$it] add assigns dense ids; len; repr (test:222–230)") {
+      val db = freshDb(it)
+      assert(db.count == 5)
+      val ids = db.data.select("id").collect().map(_.getLong(0)).sorted
+      assert(ids.sameElements(0L until 5L))
+      assert(db.toString.startsWith("<VectorDatabase dim=8 docs=5 index_type="))
+      db.add(Seq("one more"), Seq(vec()), None)
+      assert(db.count == 6)
+      assert(db.getDocument(5L).contains("one more"))
+    }
+
+    test(s"[$it] dim mismatch rejected (ldb:66)") {
+      val db = freshDb(it)
+      intercept[IllegalArgumentException](db.add(Seq("bad"), Seq(Array.fill(3)(0f)), None))
+    }
+
+    test(s"[$it] queryVector: k results, scores in (0,1], sorted (test:86–91, 456)") {
+      val db = freshDb(it)
+      val r = db.queryVector(vecs(2), topK = 3).collect()
+      assert(r.length == 3)
+      val scores = r.map(_.getDouble(1))
+      assert(scores.forall(s => s > 0 && s <= 1))
+      assert(scores.sameElements(scores.sortBy(-_)))
+      // the query vector itself must be the nearest for exact paths
+      if (it == "flat") assert(r.head.getLong(0) == 2L)
+    }
+
+    test(s"[$it] queryVector pre/post filter postconditions (test:104–125)") {
+      val db = freshDb(it)
+      val pre = db.queryVector(vecs(0), topK = 5,
+        preFilter = Some(db.metaValue("priority") === lit("\"high\""))).collect()
+      assert(pre.nonEmpty && pre.length <= 5)
+      assert(pre.map(_.getLong(0)).toSet.subsetOf(Set(0L, 2L)))
+      val post = db.queryVector(vecs(0), topK = 5,
+        postFilter = Some(db.metaValue("priority") === lit("\"high\""))).collect()
+      assert(post.map(_.getLong(0)).toSet.subsetOf(Set(0L, 2L)))
+    }
+
+    test(s"[$it] queryText ranks term matches first (test: bm25 behavior)") {
+      val db = freshDb(it)
+      val r = db.queryText("python programming", topK = 3).collect()
+      assert(r.nonEmpty && r.head.getLong(0) == 1L)
+    }
+
+    test(s"[$it] queryMetadata: typed exact match + head-topk (ldb:306–319)") {
+      val db = freshDb(it)
+      val high = db.queryMetadata(Map("priority" -> "high")).collect().map(_.getLong(0))
+      assert(high.sameElements(Seq(0L, 2L)))
+      // typed: the double 1250.75 matches rows 0 and 4, the string does not
+      val amt = db.queryMetadata(Map("amount" -> 1250.75)).collect().map(_.getLong(0))
+      assert(amt.sameElements(Seq(0L, 4L)))
+      val amtStr = db.queryMetadata(Map("amount" -> "1250.75")).collect()
+      assert(amtStr.isEmpty)
+      // conjunctive
+      val both = db.queryMetadata(Map("priority" -> "high", "amount" -> 1250.75))
+        .collect().map(_.getLong(0))
+      assert(both.sameElements(Seq(0L)))
+      // no-filter → all ids ascending; topK is a head, not a rank (F4)
+      val all = db.queryMetadata().collect().map(_.getLong(0))
+      assert(all.sameElements(0L until 5L))
+      val head2 = db.queryMetadata(topK = 2).collect().map(_.getLong(0))
+      assert(head2.sameElements(Seq(0L, 1L)))
+    }
+
+    test(s"[$it] hybridSearch: ≤ topK, scores sorted, zero-drop (test:292–328)") {
+      val db = freshDb(it)
+      val r = db.hybridSearch("vector databases", vecs(2), topK = 3).collect()
+      assert(r.nonEmpty && r.length <= 3)
+      val scores = r.map(_.getDouble(1))
+      assert(scores.forall(_ > 0))
+      assert(scores.sameElements(scores.sortBy(-_)))
+    }
+
+    test(s"[$it] hybrid weight extremes reorder (test:331–342)") {
+      val db = freshDb(it)
+      // text query matches doc 1; vector query is doc 3's vector
+      val allText = db.hybridSearch("python programming language", vecs(3), 5, vectorWeight = 0.0)
+        .collect().map(_.getLong(0))
+      val allVec = db.hybridSearch("python programming language", vecs(3), 5, vectorWeight = 1.0)
+        .collect().map(_.getLong(0))
+      assert(allText.head == 1L)
+      assert(allVec.head == 3L)
+    }
+
+    test(s"[$it] empty-DB contracts (test:385–405)") {
+      val db = VectorDatabase.create(spark, dim, it)
+      assert(db.queryVector(vec(), 3).collect().isEmpty)
+      assert(db.queryMetadata(Map("a" -> "b")).collect().isEmpty)
+      assert(db.hybridSearch("q", vec(), 3).collect().isEmpty)
+      intercept[IllegalStateException](db.queryText("q"))
+    }
+  }
+
+  test("save/load roundtrip: docs, metas, exact query equality for flat (test:127–162)") {
+    val db = freshDb("flat")
+    val path = java.nio.file.Files.createTempDirectory("graftdb").toString
+    db.save(path)
+    val db2 = VectorDatabase.load(spark, path)
+    assert(db2.count == 5 && db2.dim == dim)
+    assert(db2.getDocument(3L) == db.getDocument(3L))
+    assert(db2.getMetadata(0L) == db.getMetadata(0L))
+    val a = db.queryVector(vecs(1), 5).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val b = db2.queryVector(vecs(1), 5).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.sameElements(b))
+  }
+
+  test("ivf roundtrip persists index artifacts and answers queries") {
+    val db = VectorDatabase.create(spark, dim, "ivfpq", ivfClusters = 2)
+    val many = Seq.fill(40)(vec())
+    db.add(many.indices.map(i => s"doc $i"), many, None)
+    val path = java.nio.file.Files.createTempDirectory("graftivf").toString
+    db.save(path)
+    assert(new java.io.File(s"$path/index/assignments").exists())
+    val db2 = VectorDatabase.load(spark, path)
+    val r = db2.queryVector(many(7), 3).collect()
+    assert(r.nonEmpty && r.head.getLong(0) == 7L)
+  }
+
+  test("unknown index type in manifest downgrades to flat (test:164–198)") {
+    val db = freshDb("flat")
+    val path = java.nio.file.Files.createTempDirectory("graftunk").toString
+    db.save(path)
+    val p = java.nio.file.Paths.get(path, "manifest.json")
+    val json = new String(java.nio.file.Files.readAllBytes(p))
+    java.nio.file.Files.write(p, json.replace("\"flat\"", "\"mystery\"").getBytes)
+    val db2 = VectorDatabase.load(spark, path)
+    assert(db2.manifest.effectiveType == "flat")
+    assert(db2.queryVector(vecs(0), 2).collect().length == 2)
+  }
+
+  test("missing index artifacts -> error (test:200–220)") {
+    val db = VectorDatabase.create(spark, dim, "ivfpq", ivfClusters = 2)
+    val many = Seq.fill(20)(vec())
+    db.add(many.indices.map(i => s"doc $i"), many, None)
+    val path = java.nio.file.Files.createTempDirectory("graftmiss").toString
+    db.save(path)
+    // delete the index artifacts but keep data + manifest
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+    }
+    rm(new java.io.File(s"$path/index"))
+    intercept[IllegalStateException](VectorDatabase.load(spark, path))
+  }
+
+  test("ivfpq tiny-dataset degrade ladder -> effectively flat (test:369–383)") {
+    val db = VectorDatabase.create(spark, dim, "ivfpq", ivfClusters = 100)
+    db.add(Seq("a", "b"), Seq(vec(), vec()), None)
+    // search still succeeds on a 2-row dataset
+    val r = db.queryVector(vec(), 2).collect()
+    assert(r.length == 2)
+    // effective type observable after the fallback (ldb:108)
+    assert(db.manifest.effectiveType == "flat")
+    assert(db.toString.contains("index_type=flat"))
+  }
+
+  test("bulk distributed ingest assigns dense ids") {
+    import spark.implicits._
+    val db = VectorDatabase.create(spark, 4, "flat")
+    val batch = (0 until 100).map(i => (s"k$i", s"doc $i", Seq.fill(4)(i.toFloat)))
+      .toDF("k", "d", "v")
+    db.addBulk(batch, "d", "v", None, "k")
+    assert(db.count == 100)
+    val ids = db.data.select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(0L until 100L))
+  }
+}
