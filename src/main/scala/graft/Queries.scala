@@ -302,6 +302,21 @@ object Queries {
   private def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingPairs(tbl(spark, dir, "embeddings"), "vec_id", "embedding", 0.45)
 
+  // ---------------------------------------------------------------------------
+  // Multimodal plumbing (graft.multimodal) — stub codec, real dataflow
+  // ---------------------------------------------------------------------------
+
+  private def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.imageFeatures(
+      graft.multimodal.Multimodal.packDocuments(docsTbl(spark, dir), "doc_id", "text"))
+      .toDF().orderBy(col("id"))
+
+  private def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.sampleFrames(
+      graft.multimodal.Multimodal.packDocuments(
+        docsTbl(spark, dir).where(col("doc_id") < 50), "doc_id", "text"), every = 2)
+      .toDF().orderBy(col("id"), col("frame_idx"))
+
   /** Shared DuckDB CTE: tokenized documents. */
   private val toksCte =
     raw"t AS (SELECT doc_id AS id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)"
@@ -395,6 +410,17 @@ object Queries {
          |  FROM tscore JOIN vscore USING (id), tmax, vmax)
          |SELECT id, round(raw, 4) AS score FROM fused WHERE raw > 0
          |ORDER BY score DESC, id LIMIT 10""".stripMargin)),
+    "multimodal_features" -> Q(multimodalFeatures, Some(
+      """SELECT doc_id AS id, octet_length(text::BLOB)::BIGINT AS n_bytes, md5(text) AS fp,
+        |       (octet_length(text::BLOB) % 64 + 1)::INT AS width,
+        |       (octet_length(text::BLOB) // 64 + 1)::INT AS height
+        |FROM documents ORDER BY id""".stripMargin)),
+    "multimodal_frames" -> Q(multimodalFrames, Some(
+      """SELECT id, frame_idx, md5(substr(text, frame_idx * 256 + 1, 256)) AS frame_fp
+        |FROM (SELECT doc_id AS id, text,
+        |        unnest(range(0, (octet_length(text::BLOB) + 255) // 256)) AS frame_idx
+        |      FROM documents WHERE doc_id < 50)
+        |WHERE frame_idx % 2 = 0 ORDER BY id, frame_idx""".stripMargin)),
     "events_window" -> Q(eventsWindow, Some(
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, round(avg(value), 4) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),

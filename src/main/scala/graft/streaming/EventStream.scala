@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming ingest for the `events` table — the north-star
+  * extension (SURVEY §2.6; the reference is batch-only, README.md:142–148).
+  * All transforms are written against plain DataFrames so the SAME code runs
+  * batch (finite parquet) and streaming (readStream) — Spark's unified
+  * Dataset semantics. At scale the windowed aggregate is an incremental
+  * stateful operator with watermark-bounded state; nothing here holds
+  * unbounded memory.
+  */
+object EventStream {
+
+  /** events schema (matches /root/testdata events.parquet modulo the nanos
+    * timestamp, which streaming sources deliver as proper timestamps). */
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of parquet event files. */
+  def fromDirectory(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Tumbling-window counts/averages per event_type with a watermark bound —
+    * the streaming twin of the batch `events_window` query. State per open
+    * window only; late rows beyond `watermark` are dropped. */
+  def windowedStats(events: DataFrame, watermark: String = "10 minutes",
+                    windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("avg_value"))
+
+  /** Start the windowed aggregation into an in-memory sink (for drive-by
+    * consumption/testing) or any sink via `format`. */
+  def startWindowed(events: DataFrame, queryName: String) =
+    windowedStats(events).writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+
+  final case class Keyed(key: String, event_id: Long)
+  final case class Seen(key: String, event_id: Long, first: Boolean)
+
+  /** Streaming exact-dedup on ingest: keeps only the FIRST row per key
+    * (e.g. a document fingerprint), implemented with
+    * flatMapGroupsWithState — the custom-state tier of the streaming API
+    * (SURVEY's mapGroupsWithState requirement). State per key is one
+    * boolean; pair with a TTL/timeout in production to bound it. */
+  def firstPerKey(events: Dataset[Keyed]): Dataset[Seen] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[Boolean, Seen](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[Keyed], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else rows.buffered.headOption match {
+            case Some(first) =>
+              state.update(true)
+              Iterator.single(Seen(key, first.event_id, first = true))
+            case None => Iterator.empty
+          }
+      }
+  }
+}

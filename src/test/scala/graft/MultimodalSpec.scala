@@ -1,0 +1,51 @@
+package graft
+
+import graft.multimodal.Multimodal
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docsDf = {
+    import spark.implicits._
+    Seq(
+      (0L, "a" * 700),   // 3 frames (256+256+188)
+      (1L, "short doc"),
+      (2L, "b" * 256))   // exactly 1 frame
+      .toDF("doc_id", "text")
+  }
+
+  test("packDocuments: binary payload + typed metadata, schema as declared") {
+    val assets = Multimodal.packDocuments(docsDf, "doc_id", "text").collect()
+    assert(assets.length == 3)
+    val a0 = assets.find(_.id == 0L).get
+    assert(a0.bytes.length == 700 && a0.kind == "image")
+    assert(a0.width == 700 % 64 + 1 && a0.height == 700 / 64 + 1)
+  }
+
+  test("imageFeatures: md5 matches an independent digest; narrow output") {
+    val feats = Multimodal.imageFeatures(
+      Multimodal.packDocuments(docsDf, "doc_id", "text"))
+      .collect().map(f => f.id -> f).toMap
+    assert(feats(1L).n_bytes == 9L)
+    val want = java.security.MessageDigest.getInstance("MD5")
+      .digest("short doc".getBytes("UTF-8")).map(x => f"$x%02x").mkString
+    assert(feats(1L).fp == want)
+  }
+
+  test("sampleFrames: every 2nd fixed-size frame, tail frame truncated") {
+    val frames = Multimodal.sampleFrames(
+      Multimodal.packDocuments(docsDf, "doc_id", "text"), every = 2)
+      .collect().groupBy(_.id)
+    // 700 bytes → frames 0,1,2 → sampled 0,2
+    assert(frames(0L).map(_.frame_idx).sorted.sameElements(Seq(0, 2)))
+    // 9 bytes → frame 0 only
+    assert(frames(1L).map(_.frame_idx).sameElements(Seq(0)))
+    // 256 bytes → exactly one frame
+    assert(frames(2L).map(_.frame_idx).sameElements(Seq(0)))
+    // frame 2 of doc 0 is the 188-byte tail
+    val want = java.security.MessageDigest.getInstance("MD5")
+      .digest(("a" * 188).getBytes("UTF-8")).map(x => f"$x%02x").mkString
+    assert(frames(0L).find(_.frame_idx == 2).get.frame_fp == want)
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+import graft.streaming.EventStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming: windowed aggregation with watermark semantics and
+  * stateful first-per-key dedup, driven through MemoryStream micro-batches. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  final case class Ev(ts: Timestamp, event_type: String, value: Double)
+
+  test("windowedStats aggregates tumbling windows across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStream.startWindowed(input.toDF(), "win_test")
+    try {
+      input.addData(
+        Ev(ts("2026-01-01 10:05:00"), "click", 1.0),
+        Ev(ts("2026-01-01 10:20:00"), "click", 3.0),
+        Ev(ts("2026-01-01 11:05:00"), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_test")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.contains(("2026-01-01 10:00:00.0", "click", 2L, 2.0)))
+      assert(rows.contains(("2026-01-01 11:00:00.0", "view", 1L, 5.0)))
+      // second batch updates the open 11:00 window incrementally
+      input.addData(Ev(ts("2026-01-01 11:40:00"), "view", 7.0))
+      q.processAllAvailable()
+      val upd = spark.table("win_test").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+      assert(upd.contains(("2026-01-01 11:00:00.0", "view", 2L)))
+    } finally q.stop()
+  }
+
+  test("watermark drops rows arriving too late") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStream.startWindowed(input.toDF(), "late_test")
+    try {
+      input.addData(Ev(ts("2026-01-01 12:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      // advance event time (and thus the watermark) far beyond 10:00
+      input.addData(Ev(ts("2026-01-01 15:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      val before = spark.table("late_test").count()
+      // 10:00-window row is now > 10 min behind the watermark → dropped
+      input.addData(Ev(ts("2026-01-01 10:00:01"), "click", 99.0))
+      q.processAllAvailable()
+      val rows = spark.table("late_test").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(2)))
+      assert(spark.table("late_test").count() == before)
+      assert(!rows.contains(("2026-01-01 10:00:00.0", 1L)))
+    } finally q.stop()
+  }
+
+  test("firstPerKey keeps only the first occurrence per key across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EventStream.Keyed]
+    val q = EventStream.firstPerKey(input.toDS()).writeStream
+      .outputMode("update").format("memory").queryName("dedup_test").start()
+    try {
+      input.addData(
+        EventStream.Keyed("fpA", 1L), EventStream.Keyed("fpA", 2L),
+        EventStream.Keyed("fpB", 3L))
+      q.processAllAvailable()
+      input.addData(
+        EventStream.Keyed("fpA", 4L), // duplicate in later batch → dropped
+        EventStream.Keyed("fpC", 5L))
+      q.processAllAvailable()
+      val seen = spark.table("dedup_test").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(seen == Map("fpA" -> 1L, "fpB" -> 3L, "fpC" -> 5L))
+    } finally q.stop()
+  }
+}
