@@ -3,7 +3,7 @@ package graft
 import graft.dedup.Dedup
 import graft.functions.VectorFunctions._
 import graft.text.{BM25, TextAnalysis}
-import graft.vector.{ExactKNN, IVFIndex}
+import graft.vector.{ExactKNN, IVFIndex, PQIndex}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -200,6 +200,22 @@ object Queries {
       .select(col("id"), r4(col("score")).as("score"))
       .orderBy(col("score").desc, col("id").asc)
 
+  /** Memoized PQ index per (session, dir). */
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), PQIndex]
+
+  private def pqIndex(spark: SparkSession, dir: String): PQIndex =
+    pqCache.getOrElseUpdate((spark, dir),
+      PQIndex.build(tbl(spark, dir, "embeddings"), "vec_id", "embedding", dim = 64, m = 16))
+
+  /** K6/PQ: ADC top-k over the compressed corpus (approximate → rows-only
+    * check; recall pinned in PQSpec). */
+  private def annPq(spark: SparkSession, dir: String): DataFrame =
+    pqIndex(spark, dir)
+      .search(qvec(spark, dir, 7), k = 10)
+      .select(col("id"), r4(col("score")).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+
   /** K4 batch variant: bulk similarity join, 3 queries × top-5 each. */
   private def knnBatch(spark: SparkSession, dir: String): DataFrame = {
     val e = tbl(spark, dir, "embeddings")
@@ -287,11 +303,23 @@ object Queries {
   private def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(docsTbl(spark, dir), "doc_id", "text")
 
+  /** Memoized persisted shingle frame per (session, dir) — one bounded copy
+    * shared by the Jaccard and MinHash dedup plans. */
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+    shingleCache.getOrElseUpdate((spark, dir),
+      Dedup.shingles(docsTbl(spark, dir), "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   private def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(docsTbl(spark, dir), "doc_id", "text", n = 3, threshold = 0.8)
+    Dedup.jaccardPairs(docsTbl(spark, dir), "doc_id", "text", n = 3, threshold = 0.8,
+      shingleFrame = Some(docShingles(spark, dir)))
 
   private def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashPairs(docsTbl(spark, dir), "doc_id", "text")
+    Dedup.minhashPairs(docsTbl(spark, dir), "doc_id", "text",
+      shingleFrame = Some(docShingles(spark, dir)))
 
   private def simhashQ(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docsTbl(spark, dir), "doc_id", "text").orderBy(col("id"))
@@ -364,6 +392,7 @@ object Queries {
          |ORDER BY score DESC, id LIMIT 10""".stripMargin)),
     "knn_prefilter" -> Q(knnPreFilter, Some(knnSql(7, 5, "WHERE e.label = 3"))),
     "ann_ivf" -> Q(annIvf, None),
+    "ann_pq" -> Q(annPq, None),
     "knn_batch" -> Q(knnBatch, Some(
       s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
          |           FROM embeddings WHERE vec_id IN (1, 2, 3)),

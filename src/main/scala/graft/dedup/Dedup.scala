@@ -56,8 +56,9 @@ object Dedup {
     * Shared-shingle equi-join → per-pair intersection count → Jaccard from
     * set sizes. Output: (a, b, jac). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
+                   n: Int = 3, threshold: Double = 0.8,
+                   shingleFrame: Option[DataFrame] = None): DataFrame = {
+    val sh = shingleFrame.getOrElse(shingles(docs, idCol, textCol, n))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).cast("double").as("sz"))
     val inter = sh.as("l").join(sh.as("r"), col("l.gram") === col("r.gram") && col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("a"), col("r.id").as("b"))
@@ -99,10 +100,18 @@ object Dedup {
     * Output: (a, b, jac) with jac ≥ threshold, a < b. */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
-                   threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                   threshold: Double = 0.8,
+                   shingleFrame: Option[DataFrame] = None): DataFrame = {
+    // Callers that run several dedup ops over one collection should pass a
+    // persisted shingleFrame (bounded: one per collection) — a per-call
+    // persist here would leak executor memory across a session's queries.
+    val sh = shingleFrame.getOrElse(shingles(docs, idCol, textCol, n))
+    // persisted: the self-join consumes bands twice, and everything under it
+    // (seed crossJoin + two SortAggregates — min(STRING) has a var-length
+    // buffer, so HashAggregate is unavailable) would otherwise run twice.
+    // One row per (doc, band): tiny relative to the corpus.
     val bands = lshBands(minhashSignatures(sh, numHashes), rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bands.as("l")
       .join(bands.as("r"), col("l.band") === col("r.band") && col("l.bh") === col("r.bh")
         && col("l.id") < col("r.id"))
@@ -127,10 +136,8 @@ object Dedup {
     * bands degenerate to quadratic. */
   val simhashBits = 64
 
-  /** 64-bit SimHash: per-term md5 → 16 nibble values → 4 bits each,
-    * tf-weighted vote per bit position, all 64 positions folded in one hash
-    * aggregate. Output: (id, sim) with sim a 64-char '0'/'1' string. */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Per-doc bit-vote aggregate: one column w_p per bit position. */
+  private def simhashVotes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tf = docs
       .select(col(idCol).as("id"), explode(BM25.tokenize(col(textCol))).as("term"))
       .groupBy(col("id"), col("term"))
@@ -146,9 +153,25 @@ object Dedup {
       sum(when(bit === 1, col("tf")).otherwise(-col("tf"))).as(s"w$p")
     }
     withNibbles.groupBy(col("id")).agg(ws.head, ws.tail: _*)
+  }
+
+  /** 64-bit SimHash: per-term md5 → 16 nibble values → 4 bits each,
+    * tf-weighted vote per bit position, all 64 positions folded in one hash
+    * aggregate. Output: (id, sim) with sim a 64-char '0'/'1' string. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashVotes(docs, idCol, textCol)
       .select(col("id"),
         concat((1 to simhashBits).map(p => when(col(s"w$p") > 0, "1").otherwise("0")): _*).as("sim"))
-  }
+
+  /** Same signature packed into one LONG (bit p of the string ↔ bit 64−p of
+    * the long) — the representation pair-finding wants: block extraction is
+    * shift+mask and hamming is bit_count(xor), not 64 substring compares. */
+  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashVotes(docs, idCol, textCol)
+      .select(col("id"),
+        (1 to simhashBits).map(p =>
+          when(col(s"w$p") > 0, lit(1L << (simhashBits - p))).otherwise(lit(0L)))
+          .reduce(_ + _).as("sim64"))
 
   /** SimHash near-dup pairs with hamming distance ≤ `maxHamming` (≤ 3):
     * pigeonhole banding over 4 × 16-bit blocks (hamming ≤ 3 ⇒ some block
@@ -157,21 +180,22 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4, "4-block banding guarantees recall only for hamming <= 3")
-    val blockLen = simhashBits / 4
-    val sim = simhash(docs, idCol, textCol)
-    val blocks = sim.select(col("id"), col("sim"),
+    // persisted for the same two-sided-self-join reason as minhashPairs'
+    // bands frame; one LONG per doc.
+    val sim = simhash64(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val blocks = sim.select(col("id"), col("sim64"),
         explode(array((0 until 4).map(b =>
-          struct(lit(b).as("blk"), substring(col("sim"), 1 + blockLen * b, blockLen).as("bs"))): _*)).as("e"))
-      .select(col("id"), col("sim"), col("e.blk"), col("e.bs"))
+          struct(lit(b).as("blk"),
+            shiftrightunsigned(col("sim64"), 16 * (3 - b)).bitwiseAND(lit(0xFFFFL)).as("bs"))): _*)).as("e"))
+      .select(col("id"), col("sim64"), col("e.blk"), col("e.bs"))
     val cand = blocks.as("l")
       .join(blocks.as("r"), col("l.blk") === col("r.blk") && col("l.bs") === col("r.bs")
         && col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("l.sim").as("sa"),
-        col("r.id").as("b"), col("r.sim").as("sb")).distinct()
-    val hamming = (1 to simhashBits).map(p =>
-      when(substring(col("sa"), p, 1) === substring(col("sb"), p, 1), 0).otherwise(1))
-      .reduce(_ + _)
-    cand.select(col("a"), col("b"), hamming.cast("long").as("hamming"))
+      .select(col("l.id").as("a"), col("l.sim64").as("sa"),
+        col("r.id").as("b"), col("r.sim64").as("sb")).distinct()
+    cand.select(col("a"), col("b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .orderBy(col("hamming").asc, col("a").asc, col("b").asc)
   }

@@ -1,0 +1,136 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Product quantization — the memory-compression half of the reference's
+  * IVF-PQ index (faiss.IndexIVFPQ with `pq_code_size` sub-quantizers of
+  * `nbits=8` → 256 centroids each, local_db.py:27–28, 50–52).
+  *
+  * The vector space is split into `m` contiguous subspaces; each subspace
+  * gets a 256-entry KMeans codebook; a vector is stored as `m` byte codes
+  * (dim × 4 bytes → m bytes, a 16–32× compression at the reference's
+  * defaults). Queries use asymmetric distance computation (ADC): the query
+  * is NOT quantized — per subspace, a 256-entry table of squared distances
+  * from the query sub-vector to each centroid is built driver-side (m × 256
+  * doubles, independent of N), broadcast, and the distance of a stored
+  * vector is the sum of m table lookups — `element_at` on a broadcast array
+  * literal, fully codegen-friendly, no per-row float math beyond the adds.
+  *
+  * Index frames: `codes(id, codes ARRAY<INT>)` (the compressed corpus) and
+  * driver-held codebooks `Array[m][256][subDim]`. Codebook training collects
+  * nothing data-sized: KMeans centers are 256 × subDim per subspace.
+  */
+final class PQIndex(val codes: DataFrame,
+                    val codebooks: Array[Array[Array[Double]]],
+                    val dim: Int) {
+
+  val m: Int = codebooks.length
+  private val subDim = dim / m
+
+  /** ADC distance tables for `query`: m × 256 squared sub-distances. */
+  def adcTables(query: Array[Double]): Array[Array[Double]] =
+    Array.tabulate(m) { s =>
+      val off = s * subDim
+      codebooks(s).map { c =>
+        var d = 0.0; var i = 0
+        while (i < subDim) { val x = query(off + i) - c(i); d += x * x; i += 1 }
+        d
+      }
+    }
+
+  /** Approximate top-k by ADC: Σ_s table_s[code_s]. Same output contract as
+    * [[ExactKNN.topK]] (score = 1/(1+d²-approx), desc, id tiebreak). */
+  def search(query: Array[Double], k: Int): DataFrame = {
+    val tables = adcTables(query)
+    // literal ARRAY<ARRAY<DOUBLE>>, broadcast with the plan (m×256 doubles)
+    val tablesCol: Column = array(tables.map(t => array(t.map(lit): _*)): _*)
+    val dist = (0 until m).map(s =>
+      element_at(element_at(tablesCol, s + 1), element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    codes.select(col("id"), (lit(1.0) / (lit(1.0) + dist)).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+}
+
+object PQIndex {
+
+  /** Train per-subspace codebooks on a bounded SAMPLE driver-side (what
+    * FAISS does too — PQ training needs ~thousands of points, not the
+    * corpus), then encode the whole corpus in ONE distributed pass with the
+    * codebooks shipped in the task closure. No per-subspace Spark jobs, no
+    * join chain: build cost is one collect of `trainSample` rows plus one
+    * mapPartitions scan. `m` must divide dim; codebook size adapts to tiny
+    * corpora (≙ the reference's IVF-PQ degrade behavior: training must not
+    * fail on small N, local_db.py:82–111). */
+  def build(data: DataFrame, idCol: String, vecCol: String,
+            dim: Int, m: Int = 16, nbits: Int = 8, seed: Long = 42L,
+            trainSample: Int = 10000): PQIndex = {
+    require(dim % m == 0, s"pq_code_size $m must divide dim $dim")
+    val subDim = dim / m
+    val spark = data.sparkSession
+    import spark.implicits._
+    val base = data.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v")).as[(Long, Seq[Double])]
+    val sample = base.limit(trainSample).collect().map(_._2.toArray)
+    require(sample.nonEmpty, "cannot train PQ on an empty corpus")
+    val k = math.min(1 << nbits, math.max(2, sample.length / 2))
+    val codebooks = Array.tabulate(m)(s =>
+      lloyd(sample.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim)),
+        k, iters = 10, new scala.util.Random(seed + s)))
+    val cb = codebooks // stable reference for the task closure
+    val codes = base.mapPartitions(_.map { case (id, v) =>
+      val arr = v.toArray
+      val cs = Array.tabulate(m) { s =>
+        val off = s * subDim
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cb(s).length) {
+          var d = 0.0; var i = 0
+          while (i < subDim) { val x = arr(off + i) - cb(s)(c)(i); d += x * x; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+      (id, cs.toSeq)
+    }).toDF("id", "codes")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    new PQIndex(codes, codebooks, dim)
+  }
+
+  /** Plain Lloyd's iterations over a driver-held sample (bounded work:
+    * |sample| × k × subDim × iters). Deterministic given the seed. */
+  private def lloyd(points: Array[Array[Double]], k: Int, iters: Int,
+                    rnd: scala.util.Random): Array[Array[Double]] = {
+    val d = points.head.length
+    val n = points.length
+    // k distinct-ish starts: evenly strided through a shuffled sample
+    val perm = rnd.shuffle(points.indices.toVector)
+    var centers = Array.tabulate(k)(i => points(perm(i * n / k)).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k, d)(0.0)
+      val counts = new Array[Int](k)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var dist = 0.0; var i = 0
+          while (i < d) { val x = p(i) - centers(c)(i); dist += x * x; i += 1 }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < d) { sums(best)(i) += p(i); i += 1 }
+      }
+      centers = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centers(c) // empty cluster keeps its center
+        else { val s = sums(c); Array.tabulate(d)(i => s(i) / counts(c)) }
+      }
+    }
+    centers
+  }
+}

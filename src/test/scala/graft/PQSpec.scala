@@ -1,0 +1,45 @@
+package graft
+
+import graft.vector.{ExactKNN, PQIndex}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PQ/ADC recall pins — like the reference, approximate indexes are judged
+  * on behavior (recall vs exact), never on fixed result contents. */
+class PQSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet").cache()
+  private lazy val pq = PQIndex.build(emb, "vec_id", "embedding", dim = 64, m = 16)
+
+  private def queryVec(id: Long): Array[Double] =
+    emb.where(emb("vec_id") === id).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+
+  test("codes are m bytes per vector, all within codebook range") {
+    val rows = pq.codes.collect()
+    assert(rows.length == emb.count())
+    rows.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == 16 && cs.forall(c => c >= 0 && c < 256))
+    }
+  }
+
+  test("ADC recall@10 >= 0.5 vs exact, averaged over 10 queries") {
+    val recalls = (0L until 10L).map { i =>
+      val q = queryVec(i * 11)
+      val exact = ExactKNN.topK(emb, "vec_id", "embedding", q, 10)
+        .collect().map(_.getLong(0)).toSet
+      val approx = pq.search(q, 10).collect().map(_.getLong(0)).toSet
+      (exact intersect approx).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean ADC recall@10 = $mean (per-query: $recalls)")
+  }
+
+  test("the query's own vector ranks first under ADC") {
+    // self-distance in ADC is the quantization error — smallest by a margin
+    val r = pq.search(queryVec(42), 3).collect()
+    assert(r.head.getLong(0) == 42L)
+  }
+}
