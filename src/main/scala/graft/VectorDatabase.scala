@@ -157,10 +157,14 @@ class VectorDatabase private (
   // K4–K7, F5–F6 queryVector (ldb:137–200)
   // ---------------------------------------------------------------------
 
+  /** K3 score projection: `returnScores=false` projects ids only — the
+    * DataFrame analog of the reference's bare-ids return shape
+    * (ldb:197–200; pinned types test:411–457). */
   def queryVector(query: Array[Float], topK: Int = 5,
                   preFilter: Option[Column] = None,
                   postFilter: Option[Column] = None,
-                  faithfulPreFilter: Boolean = false): DataFrame = {
+                  faithfulPreFilter: Boolean = false,
+                  returnScores: Boolean = true): DataFrame = {
     val q = query.map(_.toDouble)
     require(query.length == dim, s"query dim ${query.length} != $dim")
     if (nRows == 0) return emptyResult // ldb:158–160
@@ -177,7 +181,8 @@ class VectorDatabase private (
       case Some(p) => result.join(df.where(p).select(col("id")), Seq("id"), "left_semi")
       case None => result
     }
-    post.orderBy(col("score").desc, col("id").asc)
+    val ordered = post.orderBy(col("score").desc, col("id").asc)
+    if (returnScores) ordered else ordered.select(col("id"))
   }
 
   private def searchTopK(base: DataFrame, q: Array[Double], k: Int): DataFrame =
@@ -192,12 +197,13 @@ class VectorDatabase private (
   // K1–K3 queryText (ldb:115–135)
   // ---------------------------------------------------------------------
 
-  def queryText(query: String, topK: Int = 5): DataFrame = {
+  def queryText(query: String, topK: Int = 5, returnScores: Boolean = true): DataFrame = {
     if (nRows == 0)
       throw new IllegalStateException("No documents in the database") // ldb:127–128
-    bm25.score(query)
+    val r = bm25.score(query)
       .orderBy(col("score").desc, col("id").asc)
       .limit(topK)
+    if (returnScores) r else r.select(col("id"))
   }
 
   // ---------------------------------------------------------------------
@@ -210,7 +216,8 @@ class VectorDatabase private (
     * index probe with widened k = max(10·topK, 100) above (ldb:359–378). */
   def hybridSearch(queryText: String, queryVector: Array[Float], topK: Int = 5,
                    vectorWeight: Double = 0.5,
-                   filter: Option[Column] = None): DataFrame = {
+                   filter: Option[Column] = None,
+                   returnScores: Boolean = true): DataFrame = {
     if (nRows == 0) return emptyResult // ldb:346–347
     val q = queryVector.map(_.toDouble)
     val t = bm25.score(queryText).withColumnRenamed("score", "ts")
@@ -234,9 +241,10 @@ class VectorDatabase private (
       case Some(p) => fused.join(df.where(p).select(col("id")), Seq("id"), "left_semi")
       case None => fused
     }
-    masked.where(col("score") > 0) // zero-drop, ldb:399–401
+    val r = masked.where(col("score") > 0) // zero-drop, ldb:399–401
       .orderBy(col("score").desc, col("id").asc)
       .limit(topK)
+    if (returnScores) r else r.select(col("id"))
   }
 
   private def emptyResult: DataFrame =
