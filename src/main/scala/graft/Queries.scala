@@ -265,6 +265,24 @@ object Queries {
       .limit(10)
   }
 
+  /** Relational tier: ROLLUP grouping sets (free via Catalyst, §2.6). */
+  private def rollupRevenue(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("revenue"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** Relational tier: set operations (INTERSECT / EXCEPT / UNION ALL). */
+  private def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsTbl(spark, dir)
+    val en = d.where(col("lang") === "en").select(col("doc_id").as("id"))
+    val long = d.where(col("n_chars") >= 300).select(col("doc_id").as("id"))
+    en.intersect(long).select(lit("both").as("tag"), col("id"))
+      .unionByName(en.except(long).select(lit("en_only").as("tag"), col("id")))
+      .orderBy(col("tag"), col("id"))
+  }
+
   /** Relational tier: window top-1 per key. */
   private def windowTopOrder(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -565,6 +583,18 @@ object Queries {
            |  FROM v l JOIN v r ON l.vec_id < r.vec_id)
            |SELECT a, b, round(cos, 4) AS cos FROM p WHERE cos >= 0.45
            |ORDER BY cos DESC, a, b""".stripMargin)),
+    "rollup_revenue" -> Q(rollupRevenue, Some(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+    "set_ops" -> Q(setOps, Some(
+      """WITH en AS (SELECT doc_id AS id FROM documents WHERE lang = 'en'),
+        |     lng AS (SELECT doc_id AS id FROM documents WHERE n_chars >= 300)
+        |SELECT 'both' AS tag, id FROM (SELECT id FROM en INTERSECT SELECT id FROM lng)
+        |UNION ALL
+        |SELECT 'en_only' AS tag, id FROM (SELECT id FROM en EXCEPT SELECT id FROM lng)
+        |ORDER BY tag, id""".stripMargin)),
     "window_top_order" -> Q(windowTopOrder, Some(
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
