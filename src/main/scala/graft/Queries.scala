@@ -3,7 +3,7 @@ package graft
 import graft.dedup.Dedup
 import graft.functions.VectorFunctions._
 import graft.text.{BM25, TextAnalysis}
-import graft.vector.{ExactKNN, IVFIndex, PQIndex}
+import graft.vector.{ExactKNN, IVFIndex, LSHIndex, PQIndex}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -216,6 +216,24 @@ object Queries {
       .select(col("id"), r4(col("score")).as("score"))
       .orderBy(col("score").desc, col("id").asc)
 
+  /** Memoized LSH index per (session, dir). bucketLength 0.25 ≈ 2σ of a
+    * unit vector's projection onto a random direction at dim 64. */
+  private val lshCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), LSHIndex]
+
+  private def lshIndex(spark: SparkSession, dir: String): LSHIndex =
+    lshCache.getOrElseUpdate((spark, dir),
+      LSHIndex.build(tbl(spark, dir, "embeddings"), "vec_id", "embedding",
+        numHashTables = 4, bucketLength = 0.25))
+
+  /** K5 via random-projection LSH (approximate → rows-only check; recall
+    * pinned in LSHSpec). */
+  private def annLsh(spark: SparkSession, dir: String): DataFrame =
+    lshIndex(spark, dir)
+      .search(qvec(spark, dir, 7), k = 10)
+      .select(col("id"), r4(col("score")).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+
   /** K4 batch variant: bulk similarity join, 3 queries × top-5 each. */
   private def knnBatch(spark: SparkSession, dir: String): DataFrame = {
     val e = tbl(spark, dir, "embeddings")
@@ -411,6 +429,7 @@ object Queries {
     "knn_prefilter" -> Q(knnPreFilter, Some(knnSql(7, 5, "WHERE e.label = 3"))),
     "ann_ivf" -> Q(annIvf, None),
     "ann_pq" -> Q(annPq, None),
+    "ann_lsh" -> Q(annLsh, None),
     "knn_batch" -> Q(knnBatch, Some(
       s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
          |           FROM embeddings WHERE vec_id IN (1, 2, 3)),

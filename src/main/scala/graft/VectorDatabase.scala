@@ -91,18 +91,38 @@ class VectorDatabase private (
     appendFrame(batch, rows.length.toLong)
   }
 
-  /** Bulk distributed append: assigns dense ids `offset + row_number() over
-    * (order by orderCol)` — the scale path for ingest jobs (documents the
-    * serialization point: dense ids require a total order, SURVEY §7.3). */
+  /** Bulk distributed append with dense ids, no global sort/window: sort by
+    * `orderCol` once (range-partitioned — the total order dense ids require,
+    * SURVEY §7.3), then assign `offset + partitionStart + positionInPart`
+    * via per-partition counts (O(#partitions) driver state, two passes,
+    * no single-task bottleneck — the scalable zipWithIndex shape). */
   def addBulk(batch: DataFrame, docCol: String, vecCol: String,
               metaJsonCol: Option[String], orderCol: String): Unit = {
-    val w = Window.orderBy(col(orderCol))
+    val spark0 = spark
+    import spark0.implicits._
     val prepared = batch.select(
-      (row_number().over(w).cast("long") - 1 + nRows).as("id"),
       col(docCol).cast("string").as("doc"),
       col(vecCol).cast("array<float>").as("vector"),
-      metaJsonCol.map(c => col(c).cast("string")).getOrElse(lit("{}")).as("meta"))
-    appendFrame(prepared, batch.count())
+      metaJsonCol.map(c => col(c).cast("string")).getOrElse(lit("{}")).as("meta"),
+      col(orderCol).as("__ord"))
+      .sortWithinPartitions(col("__ord"))
+      .sort(col("__ord")) // range partition + local sort = total order
+    val counts = prepared.select(spark_partition_id().as("p"))
+      .groupBy(col("p")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nParts = if (counts.isEmpty) 0 else counts.keys.max + 1
+    val offsets = new Array[Long](math.max(nParts, 0))
+    var acc = nRows
+    for (p <- 0 until nParts) { offsets(p) = acc; acc += counts.getOrElse(p, 0L) }
+    val offsetsDf = offsets.toSeq.zipWithIndex.map { case (o, p) => (p, o) }.toDF("p", "__off")
+    val withIds = prepared
+      .withColumn("p", spark_partition_id())
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("p")).orderBy(col("__ord"))))
+      .join(broadcast(offsetsDf), Seq("p"))
+      .select((col("__off") + col("__rn") - 1).as("id"),
+        col("doc"), col("vector"), col("meta"))
+    appendFrame(withIds, acc - nRows)
   }
 
   private def appendFrame(batch: DataFrame, n: Long): Unit = {

@@ -1,0 +1,35 @@
+package graft
+
+import graft.vector.{ExactKNN, LSHIndex}
+import org.scalatest.funsuite.AnyFunSuite
+
+class LSHSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet").cache()
+  private lazy val index = LSHIndex.build(emb, "vec_id", "embedding",
+    numHashTables = 4, bucketLength = 0.25)
+
+  private def queryVec(id: Long): Array[Double] =
+    emb.where(emb("vec_id") === id).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+
+  test("LSH recall@10 >= 0.5 vs exact, averaged over 10 queries") {
+    val recalls = (0L until 10L).map { i =>
+      val q = queryVec(i * 13)
+      val exact = ExactKNN.topK(emb, "vec_id", "embedding", q, 10)
+        .collect().map(_.getLong(0)).toSet
+      val approx = index.search(q, 10).collect().map(_.getLong(0)).toSet
+      (exact intersect approx).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean LSH recall@10 = $mean (per-query: $recalls)")
+  }
+
+  test("the query's own vector is always returned first") {
+    val r = index.search(queryVec(99), 5).collect()
+    assert(r.nonEmpty && r.head.getLong(0) == 99L)
+    assert(math.abs(r.head.getDouble(1) - 1.0) < 1e-9)
+  }
+}
