@@ -107,10 +107,9 @@ object BM25 {
     val docFreq = postings.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val docIds = postings.groupBy(col("id")).agg(first(col("dl")).as("dl"))
-      .unionByName(
-        // docs whose text tokenizes to nothing still occupy a rowid.
-        toks.where(size(col("toks")) === 0).select(col("id"), lit(0.0).as("dl")))
+    // straight from the tokenized scan — covers empty-text docs (dl=0) and
+    // costs no shuffle, unlike re-deriving doc ids from the postings agg
+    val docIds = toks.select(col("id"), size(col("toks")).cast("double").as("dl"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val Array(n, avgdl) = docIds.agg(count(lit(1)).cast("double"), avg(col("dl")))
       .head() match { case r => Array(r.getDouble(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1)) }
