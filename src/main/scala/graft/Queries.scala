@@ -244,6 +244,17 @@ object Queries {
       .orderBy(col("qid").asc, col("score").desc, col("id").asc)
   }
 
+  /** Same workload through the custom TopKPerKey LogicalPlan/SparkStrategy
+    * operator — exact results, so it shares knn_batch's oracle. */
+  private def knnBatchTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    val queries = e.where(col("vec_id").isin(1L, 2L, 3L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    ExactKNN.topKBatchHeap(e, "vec_id", "embedding", queries, "qid", "qv", k = 5)
+      .select(col("qid"), col("id"), r4(col("score")).as("score"))
+      .orderBy(col("qid").asc, col("score").desc, col("id").asc)
+  }
+
   /** Streaming-shaped tumbling-window aggregate over `events` (batch
     * equivalent of the Structured Streaming job in graft.streaming). */
   private def eventsWindow(spark: SparkSession, dir: String): DataFrame =
@@ -381,6 +392,20 @@ object Queries {
         docsTbl(spark, dir).where(col("doc_id") < 50), "doc_id", "text"), every = 2)
       .toDF().orderBy(col("id"), col("frame_idx"))
 
+  /** Oracle for both batch-KNN formulations (window and TopKPerKey). */
+  private val knnBatchSql =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+       |           FROM embeddings WHERE vec_id IN (1, 2, 3)),
+       |scored AS (
+       |  SELECT q.qid, e.vec_id AS id,
+       |         1.0/(1.0 + list_sum(list_transform(range(1, 65),
+       |           i -> (e.embedding[i]::DOUBLE - q.qv[i]) * (e.embedding[i]::DOUBLE - q.qv[i])))) AS s
+       |  FROM embeddings e, q)
+       |SELECT qid, id, round(s, 4) AS score FROM (
+       |  SELECT qid, id, s, row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS rn
+       |  FROM scored)
+       |WHERE rn <= 5 ORDER BY qid, score DESC, id""".stripMargin
+
   /** Shared DuckDB CTE: tokenized documents. */
   private val toksCte =
     raw"t AS (SELECT doc_id AS id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)"
@@ -430,18 +455,8 @@ object Queries {
     "ann_ivf" -> Q(annIvf, None),
     "ann_pq" -> Q(annPq, None),
     "ann_lsh" -> Q(annLsh, None),
-    "knn_batch" -> Q(knnBatch, Some(
-      s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
-         |           FROM embeddings WHERE vec_id IN (1, 2, 3)),
-         |scored AS (
-         |  SELECT q.qid, e.vec_id AS id,
-         |         1.0/(1.0 + list_sum(list_transform(range(1, 65),
-         |           i -> (e.embedding[i]::DOUBLE - q.qv[i]) * (e.embedding[i]::DOUBLE - q.qv[i])))) AS s
-         |  FROM embeddings e, q)
-         |SELECT qid, id, round(s, 4) AS score FROM (
-         |  SELECT qid, id, s, row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS rn
-         |  FROM scored)
-         |WHERE rn <= 5 ORDER BY qid, score DESC, id""".stripMargin)),
+    "knn_batch" -> Q(knnBatch, Some(knnBatchSql)),
+    "knn_batch_topk" -> Q(knnBatchTopk, Some(knnBatchSql)),
     "knn_postfilter" -> Q(knnPostFilter, Some(
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
          |top AS (

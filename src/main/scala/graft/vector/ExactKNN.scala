@@ -64,14 +64,33 @@ object ExactKNN {
   def topKBatch(data: DataFrame, idCol: String, vecCol: String,
                 queries: DataFrame, qidCol: String, qvecCol: String,
                 k: Int, metric: Metric = L2Sq): DataFrame = {
-    val scored = data.select(col(idCol).as("id"), col(vecCol).as("__v"))
-      .crossJoin(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("__qv"))))
-      .select(col("qid"), col("id"),
-        metric.score(metric.dist(col("__v"), col("__qv"))).as("score"))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id").asc)
-    scored.withColumn("__rk", row_number().over(w))
+    scoredPairs(data, idCol, vecCol, queries, qidCol, qvecCol, metric)
+      .withColumn("__rk", row_number().over(w))
       .where(col("__rk") <= k)
       .drop("__rk")
       .orderBy(col("qid").asc, col("score").desc, col("id").asc)
   }
+
+  /** Same contract as [[topKBatch]], planned through the custom
+    * [[graft.plans.TopKPerKey]] operator instead of a window: bounded
+    * per-key heaps before AND after the shuffle, so only
+    * k × queries × partitions rows shuffle and nothing is fully sorted —
+    * the plan shape that survives a 100 TB corpus. Identical results under
+    * the (score desc, id asc) total order. */
+  def topKBatchHeap(data: DataFrame, idCol: String, vecCol: String,
+                    queries: DataFrame, qidCol: String, qvecCol: String,
+                    k: Int, metric: Metric = L2Sq): DataFrame =
+    graft.plans.TopK.perKey(
+      scoredPairs(data, idCol, vecCol, queries, qidCol, qvecCol, metric),
+      Seq("qid"), Seq("score" -> true, "id" -> false), k)
+      .orderBy(col("qid").asc, col("score").desc, col("id").asc)
+
+  private def scoredPairs(data: DataFrame, idCol: String, vecCol: String,
+                          queries: DataFrame, qidCol: String, qvecCol: String,
+                          metric: Metric): DataFrame =
+    data.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("__qv"))))
+      .select(col("qid"), col("id"),
+        metric.score(metric.dist(col("__v"), col("__qv"))).as("score"))
 }
