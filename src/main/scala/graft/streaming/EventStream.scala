@@ -49,6 +49,22 @@ object EventStream {
       .queryName(queryName)
       .start()
 
+  /** Streaming ingest into a [[graft.VectorDatabase]]: each micro-batch
+    * appends through the bulk dense-id path (SURVEY §7.2-10 north star —
+    * the reference's `add` fed by a stream). Dense-id assignment serializes
+    * per micro-batch by construction (foreachBatch runs batches in order),
+    * which is exactly the total-order guarantee dense rowids need. */
+  def ingestInto(db: graft.VectorDatabase, stream: DataFrame,
+                 docCol: String, vecCol: String, metaJsonCol: Option[String],
+                 orderCol: String, queryName: String) =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .queryName(queryName)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) db.addBulk(batch, docCol, vecCol, metaJsonCol, orderCol)
+      }
+      .start()
+
   final case class Keyed(key: String, event_id: Long)
   final case class Seen(key: String, event_id: Long, first: Boolean)
 

@@ -1,8 +1,5 @@
 package graft.vector
 
-import graft.functions.VectorFunctions._
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -21,7 +18,11 @@ import org.apache.spark.storage.StorageLevel
   * with assignments written `partitionBy(cluster)`, that is partition-pruned
   * I/O, reading nprobe/nlist of the data.
   *
-  * Training replicates the reference's degrade ladder (local_db.py:86–111):
+  * Training is sample-based Lloyd's on the driver (what FAISS does: the
+  * coarse quantizer trains on a bounded sample, not the corpus) followed by
+  * ONE distributed assignment pass — no per-iteration Spark jobs.
+  *
+  * The build replicates the reference's degrade ladder (local_db.py:86–111):
   * tiny corpora shrink the cluster count (`max(1, min(4, n/2))`), and
   * anything unclusterable falls back to a single cluster = effectively flat.
   */
@@ -59,37 +60,46 @@ object IVFIndex {
   /** reference nprobe default: max(1, nlist // 10) (local_db.py:52). */
   def defaultNprobe(nlist: Int): Int = math.max(1, nlist / 10)
 
-  /** Fit k-means over (idCol, vecCol) and materialize the index frames.
-    * MLlib KMeans is the scalable trainer (map-side cost aggregation); the
-    * fitted centers are by definition ≤ nlist vectors, so collecting them is
-    * bounded, not data-sized. */
+  /** Train centroids on a bounded sample driver-side, assign the corpus in
+    * one mapPartitions pass with the centers in the task closure. */
   def build(data: DataFrame, idCol: String, vecCol: String,
-            nlist: Int, seed: Long = 42L): IVFIndex = {
-    val n = data.count()
-    val k = effectiveClusters(n, nlist)
-    if (k < 2) {
-      // single-cluster degenerate index: everything in cluster 0 — a probe
-      // scans the full table, i.e. effectively the flat index (the terminal
-      // rung of the reference's fallback ladder, local_db.py:101–111;
-      // MLlib KMeans requires k ≥ 2, so no training happens here).
-      val assigned = data
-        .select(col(idCol).as("id"), col(vecCol).as("vector"), lit(0).as("cluster"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      return new IVFIndex(Array((0, Array.empty[Double])), assigned, 1)
-    }
-    val feats = data.select(col(idCol).as("id"), col(vecCol).as("vector"),
-        array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(20).fit(feats)
-    val assigned = model.transform(feats)
-      .select(col("id"), col("vector"), col("prediction").as("cluster"))
+            nlist: Int, seed: Long = 42L, trainSample: Int = 50000): IVFIndex = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val base = data.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("vector"),
+      col(vecCol).cast("array<double>").as("__vd"))
+    val sample = base.select(col("__vd")).as[Seq[Double]]
+      .limit(trainSample).collect().map(_.toArray)
+    require(sample.nonEmpty, "cannot build an IVF index over an empty corpus")
+    val k = effectiveClusters(sample.length.toLong, nlist)
+    val centers: Array[Array[Double]] =
+      if (k < 2) Array(sample.head.map(_ => 0.0)) // single-cluster degenerate rung
+      else Lloyd.fit(sample, k, iters = 20, new scala.util.Random(seed))
+    val cLocal = centers
+    val assigned = base.select(col("id"), col("vector"), assignUdf(cLocal)(col("__vd")).as("cluster"))
       .repartition(col("cluster"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    assigned.count() // materialize before unpersisting features
-    feats.unpersist()
-    val centers = model.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) }
-    new IVFIndex(centers, assigned, k)
+    new IVFIndex(centers.zipWithIndex.map { case (c, i) => (i, c) }, assigned, centers.length)
   }
+
+  /** Nearest-centroid assignment as a closure-captured UDF: one pass, the
+    * centroid table is O(nlist × dim) — broadcast-sized by construction. */
+  private def assignUdf(centers: Array[Array[Double]]) =
+    udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < centers.length) {
+        var d = 0.0; var i = 0
+        val cen = centers(c)
+        val n = math.min(cen.length, arr.length)
+        while (i < n) { val x = arr(i) - cen(i); d += x * x; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
 
   /** Restore from frames persisted by save (centroids small, collect). */
   def fromFrames(centroidsDf: DataFrame, assignments: DataFrame, nlist: Int): IVFIndex = {
@@ -102,5 +112,39 @@ object IVFIndex {
   def centroidsToDf(spark: SparkSession, index: IVFIndex): DataFrame = {
     import spark.implicits._
     index.centroids.toSeq.toDF("cluster", "centroid")
+  }
+}
+
+/** Shared driver-side Lloyd's k-means over a bounded sample (also used by
+  * [[PQIndex]]): |sample| × k × dim × iters work, deterministic per seed. */
+private[vector] object Lloyd {
+  def fit(points: Array[Array[Double]], k: Int, iters: Int,
+          rnd: scala.util.Random): Array[Array[Double]] = {
+    val d = points.head.length
+    val n = points.length
+    val perm = rnd.shuffle(points.indices.toVector)
+    var centers = Array.tabulate(k)(i => points(perm(i * n / k)).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k, d)(0.0)
+      val counts = new Array[Int](k)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var dist = 0.0; var i = 0
+          while (i < d) { val x = p(i) - centers(c)(i); dist += x * x; i += 1 }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < d) { sums(best)(i) += p(i); i += 1 }
+      }
+      centers = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centers(c) // empty cluster keeps its center
+        else { val s = sums(c); Array.tabulate(d)(i => s(i) / counts(c)) }
+      }
+    }
+    centers
   }
 }

@@ -78,7 +78,7 @@ object PQIndex {
     require(sample.nonEmpty, "cannot train PQ on an empty corpus")
     val k = math.min(1 << nbits, math.max(2, sample.length / 2))
     val codebooks = Array.tabulate(m)(s =>
-      lloyd(sample.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim)),
+      Lloyd.fit(sample.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim)),
         k, iters = 10, new scala.util.Random(seed + s)))
     val cb = codebooks // stable reference for the task closure
     val codes = base.mapPartitions(_.map { case (id, v) =>
@@ -101,36 +101,4 @@ object PQIndex {
     new PQIndex(codes, codebooks, dim)
   }
 
-  /** Plain Lloyd's iterations over a driver-held sample (bounded work:
-    * |sample| × k × subDim × iters). Deterministic given the seed. */
-  private def lloyd(points: Array[Array[Double]], k: Int, iters: Int,
-                    rnd: scala.util.Random): Array[Array[Double]] = {
-    val d = points.head.length
-    val n = points.length
-    // k distinct-ish starts: evenly strided through a shuffled sample
-    val perm = rnd.shuffle(points.indices.toVector)
-    var centers = Array.tabulate(k)(i => points(perm(i * n / k)).clone())
-    for (_ <- 0 until iters) {
-      val sums = Array.fill(k, d)(0.0)
-      val counts = new Array[Int](k)
-      points.foreach { p =>
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < k) {
-          var dist = 0.0; var i = 0
-          while (i < d) { val x = p(i) - centers(c)(i); dist += x * x; i += 1 }
-          if (dist < bestD) { bestD = dist; best = c }
-          c += 1
-        }
-        counts(best) += 1
-        var i = 0
-        while (i < d) { sums(best)(i) += p(i); i += 1 }
-      }
-      centers = Array.tabulate(k) { c =>
-        if (counts(c) == 0) centers(c) // empty cluster keeps its center
-        else { val s = sums(c); Array.tabulate(d)(i => s(i) / counts(c)) }
-      }
-    }
-    centers
-  }
 }

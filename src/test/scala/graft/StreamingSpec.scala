@@ -59,6 +59,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingestInto appends micro-batches to a VectorDatabase with dense ids") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    final case class Doc(k: Long, d: String, v: Seq[Float])
+    val input = MemoryStream[(Long, String, Seq[Float])]
+    val db = VectorDatabase.create(spark, 4, "flat")
+    val q = EventStream.ingestInto(db,
+      input.toDF().toDF("k", "d", "v"), "d", "v", None, "k", "ingest_test")
+    try {
+      input.addData((0L, "doc zero", Seq(0f, 0f, 0f, 1f)), (1L, "doc one", Seq(0f, 0f, 1f, 0f)))
+      q.processAllAvailable()
+      assert(db.count == 2)
+      input.addData((2L, "doc two", Seq(0f, 1f, 0f, 0f)))
+      q.processAllAvailable()
+      assert(db.count == 3)
+      val ids = db.data.select("id").collect().map(_.getLong(0)).sorted
+      assert(ids.sameElements(0L until 3L))
+      assert(db.getDocument(2L).contains("doc two"))
+      // the appended collection is immediately queryable
+      val r = db.queryVector(Array(0f, 1f, 0f, 0f), 1).collect()
+      assert(r.head.getLong(0) == 2L)
+    } finally q.stop()
+  }
+
   test("firstPerKey keeps only the first occurrence per key across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
