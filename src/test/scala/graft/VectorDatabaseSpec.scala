@@ -206,4 +206,28 @@ class VectorDatabaseSpec extends AnyFunSuite {
     val ids = db.data.select("id").collect().map(_.getLong(0)).sorted
     assert(ids.sameElements(0L until 100L))
   }
+
+  test("bulk ingest: ids are dense AND follow the order column across partitions") {
+    import spark.implicits._
+    val db = VectorDatabase.create(spark, 2, "flat")
+    val n = 10000
+    val rnd = new scala.util.Random(3)
+    // shuffled insert order over many partitions; ordKey is zero-padded so
+    // string order == numeric order
+    val batch = rnd.shuffle((0 until n).toVector)
+      .map(i => (f"k$i%06d", s"doc $i", Seq(i.toFloat, 0f)))
+      .toDF("k", "d", "v").repartition(16)
+    db.addBulk(batch, "d", "v", None, "k")
+    assert(db.count == n)
+    // id must equal the rank of the order key: doc i carries ordKey k%06d,
+    // so id == i for every row — a partition-offset mismatch between the
+    // count pass and the assign pass would break this, not just density
+    val rows = db.data.select("id", "doc").collect()
+      .map(r => r.getLong(0) -> r.getString(1).stripPrefix("doc ").toInt)
+    assert(rows.length == n)
+    rows.foreach { case (id, i) => assert(id == i.toLong, s"doc $i got id $id") }
+    // appending again continues the sequence
+    db.addBulk(Seq(("zz", "tail doc", Seq(1f, 1f))).toDF("k", "d", "v"), "d", "v", None, "k")
+    assert(db.getDocument(n.toLong).contains("tail doc"))
+  }
 }

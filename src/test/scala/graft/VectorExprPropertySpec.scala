@@ -1,0 +1,50 @@
+package graft
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based differential: for arbitrary equal-length float vectors
+  * (including zeros, subnormals-adjacent magnitudes, empties), the fused
+  * codegen expressions and the interpreted HOF builtins are BIT-equal
+  * (same left-to-right double fold). Length-mismatch semantics diverge by
+  * design (HOF null-pads; codegen folds the common prefix) and are excluded.
+  */
+class VectorExprPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val finiteFloat: Gen[Float] =
+    Gen.chooseNum(-1e6f, 1e6f, 0f, 1f, -1f, 1e-6f)
+
+  private def vecPair: Gen[(List[Float], List[Float])] = for {
+    n <- Gen.chooseNum(0, 48)
+    a <- Gen.listOfN(n, finiteFloat)
+    b <- Gen.listOfN(n, finiteFloat)
+  } yield (a, b)
+
+  test("codegen == HOF for squaredL2/dot/cosine over arbitrary vectors") {
+    import spark.implicits._
+    val pairs = Gen.listOfN(120, vecPair).sample.get
+    val df = pairs.toDF("a", "b")
+      .select(col("a").cast("array<float>").as("a"), col("b").cast("array<float>").as("b"))
+      .cache()
+    val rows = df.select(
+      squaredL2(col("a"), col("b")), squaredL2Hof(col("a"), col("b")),
+      dot(col("a"), col("b")), dotHof(col("a"), col("b"))).collect()
+    def same(r: org.apache.spark.sql.Row, i: Int, j: Int): Boolean = {
+      val (x, y) = (r.getDouble(i), r.getDouble(j))
+      java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y) ||
+        (x.isNaN && y.isNaN)
+    }
+    rows.foreach(r => assert(same(r, 0, 1) && same(r, 2, 3), r.toString))
+    // cosine only over nonzero-norm pairs: the HOF form's Divide THROWS on
+    // 0/0 under Spark 4 ANSI mode, while the fused expression yields NaN
+    // (numpy-like). Real collections never hold zero vectors; the engine's
+    // behavior there is pinned in VectorFunctionsSpec instead.
+    val nz = df.where(dot(col("a"), col("a")) > 0 && dot(col("b"), col("b")) > 0)
+    val cosRows = nz.select(cosine(col("a"), col("b")), cosineHof(col("a"), col("b"))).collect()
+    assert(cosRows.nonEmpty)
+    cosRows.foreach(r => assert(same(r, 0, 1), r.toString))
+  }
+}
