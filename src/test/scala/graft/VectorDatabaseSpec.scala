@@ -105,6 +105,29 @@ class VectorDatabaseSpec extends AnyFunSuite {
       assert(head2.sameElements(Seq(0L, 1L)))
     }
 
+    test(s"[$it] queryMetadata custom filter: key-existence, OR, match-nothing (test:261–282)") {
+      val db = freshDb(it)
+      // "amount" in meta — key existence via variant extraction null-check;
+      // metas 0,1,2,4 carry amount here (the reference fixture has 1)
+      val hasAmount = db.queryMetadata(filter = Some(db.metaValue("amount").isNotNull))
+        .collect().map(_.getLong(0))
+      assert(hasAmount.sameElements(Seq(0L, 1L, 2L, 4L)))
+      // complex OR condition
+      val important = db.queryMetadata(filter = Some(
+        db.metaValue("priority") === lit("\"high\"") ||
+        db.metaValue("category") === lit("\"animals\""))).collect().map(_.getLong(0))
+      assert(important.sameElements(Seq(0L, 2L, 3L)))
+      // filter that matches nothing
+      assert(db.queryMetadata(filter = Some(lit(false))).collect().isEmpty)
+    }
+
+    test(s"[$it] queryMetadata top_k interactions (test:285–307)") {
+      val db = freshDb(it)
+      assert(db.queryMetadata(topK = 10).collect().length == 5) // more than available
+      assert(db.queryMetadata(Map("priority" -> "high"), topK = 1)
+        .collect().map(_.getLong(0)).sameElements(Seq(0L))) // filter + head
+    }
+
     test(s"[$it] hybridSearch: ≤ topK, scores sorted, zero-drop (test:292–328)") {
       val db = freshDb(it)
       val r = db.hybridSearch("vector databases", vecs(2), topK = 3).collect()
