@@ -294,6 +294,23 @@ object Queries {
       .limit(10)
   }
 
+  /** As-of join (graft.operators.AsOfJoin): each purchase gets the user's
+    * latest preceding click — checked against DuckDB's NATIVE ASOF JOIN. */
+  private def asofClicks(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTbl(spark, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+        col("value").as("click_value"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    graft.operators.AsOfJoin.asOf(clicks, purchases,
+        keyCols = Seq("user_id"), tsCol = "ts",
+        carryCols = Seq("click_id", "click_value"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        r4(col("click_value")).as("click_value"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Relational tier: ROLLUP grouping sets (free via Catalyst, §2.6). */
   private def rollupRevenue(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "orders")
@@ -617,6 +634,14 @@ object Queries {
            |  FROM v l JOIN v r ON l.vec_id < r.vec_id)
            |SELECT a, b, round(cos, 4) AS cos FROM p WHERE cos >= 0.45
            |ORDER BY cos DESC, a, b""".stripMargin)),
+    "asof_clicks" -> Q(asofClicks, Some(
+      """WITH c AS (SELECT user_id, ts, event_id AS click_id, value AS click_value
+        |           FROM events WHERE event_type = 'click'),
+        |     p AS (SELECT user_id, ts, event_id AS purchase_id
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id, c.click_id, round(c.click_value, 4) AS click_value
+        |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin)),
     "rollup_revenue" -> Q(rollupRevenue, Some(
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
