@@ -30,8 +30,11 @@ object Queries {
     * Nanosecond sub-precision is zero in the generator, so this is lossless. */
   private def eventsTbl(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // `div` (integral division) — `/` would promote the ~1.7e18 nanos LONG
+    // to DOUBLE, whose 2^53 mantissa rounds ±128 ns and shifts some
+    // timestamps by a microsecond.
     tbl(spark, dir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Driver-side lookup of a query vector — this is a query *argument*
@@ -309,6 +312,24 @@ object Queries {
       .select(col("purchase_id"), col("user_id"), col("click_id"),
         r4(col("click_value")).as("click_value"))
       .orderBy(col("purchase_id"))
+  }
+
+  /** Gap-based sessionization (30-min inactivity closes a session): the
+    * batch twin of streaming session windows, composed from lag + running
+    * sum — one shuffle on user_id, no self-join. */
+  private def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    eventsTbl(spark, dir)
+      .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("__new", when(col("__prev").isNull ||
+        col("ts").cast("long") - col("__prev").cast("long") > 1800L, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"),
+        r4(sum(col("value"))).as("total_value"))
+      .select(col("user_id"), col("session_start"), col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
   }
 
   /** Relational tier: ROLLUP grouping sets (free via Catalyst, §2.6). */
@@ -634,6 +655,20 @@ object Queries {
            |  FROM v l JOIN v r ON l.vec_id < r.vec_id)
            |SELECT a, b, round(cos, 4) AS cos FROM p WHERE cos >= 0.45
            |ORDER BY cos DESC, a, b""".stripMargin)),
+    "sessionize" -> Q(sessionize, Some(
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+        |       round(sum(value), 4) AS total_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
     "asof_clicks" -> Q(asofClicks, Some(
       """WITH c AS (SELECT user_id, ts, event_id AS click_id, value AS click_value
         |           FROM events WHERE event_type = 'click'),
