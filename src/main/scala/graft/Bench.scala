@@ -14,22 +14,36 @@ object Bench {
     // loading + janino compilation; touches no sfDir data caches beyond
     // file listings.
     spark.range(1000).selectExpr("sum(id)").collect()
-    // Two timed runs per query, report the min: run 1 pays one-time index
-    // builds (the reference amortizes those at add() time, so warm-index
-    // latency is the comparable number) and absorbs transient host stalls,
-    // which measure 10-60x on this shared machine.
-    def time(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => " "; case c => c.toString
+    }
+    // Two timed runs per query; headline = min (run 1 pays one-time index
+    // builds — the reference amortizes those at add() time — and absorbs
+    // transient host stalls, which measure 10-60x on this shared machine).
+    // A failed run reports -1, never its wall-clock (r1 ADVICE: the old
+    // catch swallowed the error and benched crashes as fast-and-green).
+    def time(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); ((System.nanoTime() - t0) / 1e9, None) }
+      catch { case e: Throwable =>
+        (-1.0, Some(s"${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage)).take(120)}"))
+      }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(time(fn), time(fn))
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (c, e1) = time(fn)
+      val (w, e2) = time(fn)
+      val best = if (c < 0) w else if (w < 0) c else math.min(c, w)
+      (name, best, c, e1.orElse(e2))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val cold = results.map { case (k, _, c, _) => s"\"$k\":$c" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) => s"\"$k\":\"${esc(e)}\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.count(_._2 < 0)
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$cold,"errors":$errs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

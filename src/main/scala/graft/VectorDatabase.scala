@@ -2,9 +2,8 @@ package graft
 
 import graft.model.Manifest
 import graft.text.BM25
-import graft.vector.{ExactKNN, IVFIndex}
+import graft.vector.{ExactKNN, IVFIndex, PQIndex}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
@@ -14,8 +13,8 @@ import org.apache.spark.storage.StorageLevel
   *
   * {{{ id LONG, doc STRING, vector ARRAY<FLOAT>, meta STRING (JSON) }}}
   *
-  * plus derived index frames (BM25 postings, IVF centroids/assignments) —
-  * an "index" here is data, not a live C++ object (SURVEY §1.3).
+  * plus derived index frames (BM25 postings, IVF centroids/assignments, PQ
+  * codes) — an "index" here is data, not a live C++ object (SURVEY §1.3).
   *
   * Contracts preserved from the reference (SURVEY §2.5):
   *  - append-only, dense rowids 0..N−1 assigned in insert order (ldb:68)
@@ -24,6 +23,10 @@ import org.apache.spark.storage.StorageLevel
   *  - `queryMetadata` top_k is a head over ascending ids, not a rank (ldb:317)
   *  - empty-DB: queryVector/queryMetadata/hybridSearch → empty;
   *    queryText → IllegalStateException (ldb:127–128, 158–160, 300, 346)
+  *  - `ivfpq` searches via IVF probe + PQ asymmetric-distance over compressed
+  *    codes (≙ faiss.IndexIVFPQ, ldb:50–52), nprobe = max(1, clusters/10)
+  *    (ldb:52); `hnsw` is served by the IVF probe with ef_search→nprobe
+  *    (SURVEY §7.3 — no data-parallel graph walk exists)
   *  - IVF degrade ladder on tiny corpora; effective index type is observable
   *    via repr/manifest (ldb:86–111; SURVEY §2.5.8)
   *  - unknown index type on load → flat; missing index artifacts → error
@@ -51,6 +54,8 @@ class VectorDatabase private (
   // ldb:73–75 — ours rebuilds lazily on next use) ----
   private var bm25Var: Option[BM25.Index] = None
   private var ivfVar: Option[IVFIndex] = None
+  private var pqVar: Option[PQIndex] = None
+  private var hybridCache: Option[DataFrame] = None
 
   private def bm25: BM25.Index = bm25Var.getOrElse {
     val b = BM25.build(df, "id", "doc"); bm25Var = Some(b); b
@@ -59,16 +64,34 @@ class VectorDatabase private (
   private def ivf: IVFIndex = ivfVar.getOrElse {
     val b = IVFIndex.build(df, "id", "vector", manifestVar.ivfClusters)
     // tiny-corpus shrink is observable: a 1-cluster IVF is effectively flat
-    // (≙ the reference mutating index_type on train fallback, ldb:101–111)
-    if (b.nlist <= 1 && manifestVar.effectiveType == "ivf")
+    // (≙ the reference mutating index_type on train fallback, ldb:101–111 —
+    // the same rung applies to the ivfpq request, whose PQ stage is moot
+    // once the coarse quantizer collapses)
+    if (b.nlist <= 1 &&
+        (manifestVar.effectiveType == "ivf" || manifestVar.effectiveType == "ivfpq"))
       manifestVar = manifestVar.copy(effectiveType = "flat")
     ivfVar = Some(b); b
+  }
+
+  /** PQ sub-quantizer count must divide dim; adapt the requested
+    * pq_code_size down to the nearest divisor (≙ FAISS's d % M == 0
+    * requirement — the reference would crash, we degrade). */
+  private def pqM: Int =
+    (math.min(manifestVar.pqCodeSize, dim) to 1 by -1).find(dim % _ == 0).get
+
+  private def pq: PQIndex = pqVar.getOrElse {
+    val b = PQIndex.build(df, "id", "vector", dim, pqM)
+    pqVar = Some(b); b
   }
 
   private def invalidate(): Unit = {
     bm25Var = None
     ivfVar.foreach(_.assignments.unpersist())
     ivfVar = None
+    pqVar.foreach(_.codes.unpersist())
+    pqVar = None
+    hybridCache.foreach(_.unpersist())
+    hybridCache = None
   }
 
   // ---------------------------------------------------------------------
@@ -88,46 +111,59 @@ class VectorDatabase private (
     }
     val batch = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, math.max(1, rows.length / 10000 + 1)), schema)
-    appendFrame(batch, rows.length.toLong)
+    appendFrame(batch)
   }
 
-  /** Bulk distributed append with dense ids, no global sort/window: sort by
-    * `orderCol` once (range-partitioned — the total order dense ids require,
-    * SURVEY §7.3), then assign `offset + partitionStart + positionInPart`
-    * via per-partition counts (O(#partitions) driver state, two passes,
-    * no single-task bottleneck — the scalable zipWithIndex shape). */
+  /** Bulk distributed append with dense ids: one range-partitioned sort on
+    * `orderCol` (the total order dense ids require, SURVEY §7.3), then
+    * `zipWithIndex` over that ONE RDD — its count and assignment jobs reuse
+    * the same shuffle output and the same RangePartitioner bounds, so ids
+    * are consistent by construction. (A two-execution formulation re-samples
+    * the partitioner per job and can skip/duplicate ids — r1 ADVICE.)
+    * `orderCol` values should be unique; ties get an arbitrary stable-only-
+    * per-run order. */
   def addBulk(batch: DataFrame, docCol: String, vecCol: String,
               metaJsonCol: Option[String], orderCol: String): Unit = {
-    val spark0 = spark
-    import spark0.implicits._
     val prepared = batch.select(
       col(docCol).cast("string").as("doc"),
       col(vecCol).cast("array<float>").as("vector"),
       metaJsonCol.map(c => col(c).cast("string")).getOrElse(lit("{}")).as("meta"),
       col(orderCol).as("__ord"))
-      .sortWithinPartitions(col("__ord"))
-      .sort(col("__ord")) // range partition + local sort = total order
-    val counts = prepared.select(spark_partition_id().as("p"))
-      .groupBy(col("p")).count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val nParts = if (counts.isEmpty) 0 else counts.keys.max + 1
-    val offsets = new Array[Long](math.max(nParts, 0))
-    var acc = nRows
-    for (p <- 0 until nParts) { offsets(p) = acc; acc += counts.getOrElse(p, 0L) }
-    val offsetsDf = offsets.toSeq.zipWithIndex.map { case (o, p) => (p, o) }.toDF("p", "__off")
-    val withIds = prepared
-      .withColumn("p", spark_partition_id())
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("p")).orderBy(col("__ord"))))
-      .join(broadcast(offsetsDf), Seq("p"))
-      .select((col("__off") + col("__rn") - 1).as("id"),
-        col("doc"), col("vector"), col("meta"))
-    appendFrame(withIds, acc - nRows)
+    val base = nRows
+    val withIds = prepared.sort(col("__ord")).rdd.zipWithIndex.map { case (r, i) =>
+      Row(base + i, r.get(0), r.get(1), r.get(2))
+    }
+    appendFrame(spark.createDataFrame(withIds, schema))
   }
 
-  private def appendFrame(batch: DataFrame, n: Long): Unit = {
-    df = df.unionByName(batch).persist(StorageLevel.MEMORY_AND_DISK)
+  private var appendsSinceCollapse = 0
+
+  /** Append `batch` to the canonical frame. The batch is checkpointed first:
+    * eager materialization freezes the (order-dependent) id assignment
+    * against any recompute, and keeps the union plan a stack of flat scans.
+    * The superseded cached frame is unpersisted (r1 ADVICE: the streaming
+    * ingest path would otherwise accumulate one cached copy per
+    * micro-batch), and the union is collapsed periodically so plan depth
+    * stays bounded on long-running streams. Uses a reliable checkpoint when
+    * `spark.sparkContext.setCheckpointDir` was called, else a local one. */
+  private def appendFrame(batch: DataFrame): Unit = {
+    val frozen =
+      if (spark.sparkContext.getCheckpointDir.isDefined) batch.checkpoint()
+      else batch.localCheckpoint()
+    val n = frozen.count() // reads the checkpoint, no recompute
+    val old = df
+    df = old.unionByName(frozen).persist(StorageLevel.MEMORY_AND_DISK)
     nRows += n
+    appendsSinceCollapse += 1
+    if (appendsSinceCollapse >= collapseEvery) {
+      val collapsed =
+        if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+        else df.localCheckpoint()
+      df.unpersist(blocking = false)
+      df = collapsed
+      appendsSinceCollapse = 0
+    }
+    old.unpersist(blocking = false)
     invalidate()
   }
 
@@ -154,6 +190,18 @@ class VectorDatabase private (
   def metaValue(key: String): Column =
     to_json(try_variant_get(parse_json(col("meta")), s"$$.$key", "variant"))
 
+  /** F2 escape hatch: an arbitrary Scala predicate over the metadata map —
+    * the typed analog of the reference's opaque Python filter functions
+    * (ldb:310–312). Values decode as String / Long / Double / Boolean /
+    * null (nested JSON → Map / Seq). Opaque to Catalyst — no pushdown, no
+    * pruning — so prefer `metaValue`-based Column predicates where the
+    * condition is expressible. Usable as any `filter` / `preFilter` /
+    * `postFilter` argument. */
+  def metaPredicate(f: Map[String, Any] => Boolean): Column = {
+    val u = udf((metaJson: String) => f(parseMetaJson(metaJson)))
+    u(col("meta"))
+  }
+
   // ---------------------------------------------------------------------
   // F1–F4 queryMetadata (ldb:276–321)
   // ---------------------------------------------------------------------
@@ -172,6 +220,11 @@ class VectorDatabase private (
     val ids = base.select(col("id")).orderBy(col("id").asc)
     if (topK > 0) ids.limit(topK) else ids
   }
+
+  /** queryMetadata with an opaque Scala predicate (≙ the reference's
+    * lambda filters, test_local_db.py:104–125). */
+  def queryMetadataWhere(f: Map[String, Any] => Boolean, topK: Int = 0): DataFrame =
+    queryMetadata(Map.empty, Some(metaPredicate(f)), topK)
 
   // ---------------------------------------------------------------------
   // K4–K7, F5–F6 queryVector (ldb:137–200)
@@ -208,7 +261,20 @@ class VectorDatabase private (
   private def searchTopK(base: DataFrame, q: Array[Double], k: Int): DataFrame =
     manifestVar.effectiveType match {
       case "ivf" if base.eq(df) =>
+        // hnsw-substitute recall knob: ef_search → nprobe (SURVEY §2.5.2)
         ivf.search(q, k, nprobe = math.max(1, manifestVar.efSearch / 10))
+      case "ivfpq" if base.eq(df) =>
+        val i = ivf // may degrade effectiveType → flat on tiny corpora
+        if (manifestVar.effectiveType == "flat")
+          ExactKNN.topK(base, "id", "vector", q, k)
+        else {
+          // reference nprobe rule: max(1, ivf_clusters // 10) on the
+          // CONFIGURED cluster count (ldb:52) — capped naturally by nlist
+          val probed = i.probeOrder(q)
+            .take(IVFIndex.defaultNprobe(manifestVar.ivfClusters)).toSeq
+          val cand = i.assignments.where(col("cluster").isin(probed: _*)).select(col("id"))
+          pq.search(q, k, among = Some(cand))
+        }
       case _ => // flat, or filtered base (IVF assignments don't carry filters)
         ExactKNN.topK(base, "id", "vector", q, k)
     }
@@ -232,17 +298,25 @@ class VectorDatabase private (
 
   /** Weighted fusion of max-normalized BM25 and vector scores; docs failing
     * `filter` (or scoring 0) are never returned (ldb:390–401). Mirrors the
-    * reference's physical switch: exact true-L2 brute force at N ≤ 1000,
-    * index probe with widened k = max(10·topK, 100) above (ldb:359–378). */
+    * reference's physical switch: exact true-L2 brute force at
+    * N ≤ `exactThreshold` (default 1000, ldb:359), index probe with widened
+    * k = max(10·topK, 100) + zero-scatter above (ldb:361–374).
+    *
+    * The scored frame is computed ONCE: both max-normalizers come from a
+    * single aggregate over a persisted (id, ts, vs) pass (r1 VERDICT #3 —
+    * the unpersisted formulation re-ran the BM25 join and the distance scan
+    * per max). The cached pass is retained for the final ranking and
+    * released on the next hybridSearch/add. */
   def hybridSearch(queryText: String, queryVector: Array[Float], topK: Int = 5,
                    vectorWeight: Double = 0.5,
                    filter: Option[Column] = None,
-                   returnScores: Boolean = true): DataFrame = {
+                   returnScores: Boolean = true,
+                   exactThreshold: Long = 1000L): DataFrame = {
     if (nRows == 0) return emptyResult // ldb:346–347
     val q = queryVector.map(_.toDouble)
     val t = bm25.score(queryText).withColumnRenamed("score", "ts")
     val v =
-      if (nRows <= 1000)
+      if (nRows <= exactThreshold)
         ExactKNN.scoreAll(df, "id", "vector", q, ExactKNN.L2).withColumnRenamed("score", "vs")
       else {
         val widened = math.min(nRows, math.max(10L * topK, 100L)).toInt // ldb:361
@@ -250,13 +324,15 @@ class VectorDatabase private (
         df.select(col("id")).join(probed, Seq("id"), "left")
           .select(col("id"), coalesce(col("vs"), lit(0.0)).as("vs")) // score scatter, ldb:365–374
       }
-    val tmax = t.agg(max(col("ts")).as("tm"))
-    val vmax = v.agg(max(col("vs")).as("vm"))
-    val fused = t.join(v, Seq("id"))
-      .crossJoin(broadcast(tmax)).crossJoin(broadcast(vmax))
-      .select(col("id"),
-        (lit(vectorWeight) * when(col("vm") > 0, col("vs") / col("vm")).otherwise(col("vs")) +
-         lit(1.0 - vectorWeight) * when(col("tm") > 0, col("ts") / col("tm")).otherwise(col("ts"))).as("score"))
+    hybridCache.foreach(_.unpersist(blocking = false))
+    val joined = t.join(v, Seq("id")).persist(StorageLevel.MEMORY_AND_DISK)
+    hybridCache = Some(joined)
+    val mr = joined.agg(max(col("ts")), max(col("vs"))).head()
+    val tm = if (mr.isNullAt(0)) 0.0 else mr.getDouble(0)
+    val vm = if (mr.isNullAt(1)) 0.0 else mr.getDouble(1)
+    val fused = joined.select(col("id"),
+      (lit(vectorWeight) * (if (vm > 0) col("vs") / lit(vm) else col("vs")) +
+       lit(1.0 - vectorWeight) * (if (tm > 0) col("ts") / lit(tm) else col("ts"))).as("score"))
     val masked = filter match {
       case Some(p) => fused.join(df.where(p).select(col("id")), Seq("id"), "left_semi")
       case None => fused
@@ -275,14 +351,24 @@ class VectorDatabase private (
   // S3 save / S4 load (ldb:210–265)
   // ---------------------------------------------------------------------
 
+  /** Persists data + EVERY derived index artifact (the reference persists
+    * its index binary, ldb:219–222): IVF centroids/assignments for the
+    * probe types, PQ codes + codebooks for ivfpq. BM25 rebuilds on load,
+    * matching the reference (ldb:256–257). The manifest is written last so
+    * it records any degrade the builds performed. */
   def save(path: String): Unit = {
     df.write.mode("overwrite").parquet(s"$path/data")
-    if (manifestVar.effectiveType == "ivf" && nRows > 0) {
-      IVFIndex.centroidsToDf(spark, ivf).write.mode("overwrite")
-        .parquet(s"$path/index/centroids")
-      ivf.assignments.write.mode("overwrite")
-        .partitionBy("cluster") // probed-cluster partition pruning at scale
-        .parquet(s"$path/index/assignments")
+    if (nRows > 0 && manifestVar.effectiveType != "flat") {
+      val i = ivf // building may degrade effectiveType; re-check below
+      if (manifestVar.effectiveType != "flat") {
+        IVFIndex.centroidsToDf(spark, i).write.mode("overwrite")
+          .parquet(s"$path/index/centroids")
+        i.assignments.write.mode("overwrite")
+          .partitionBy("cluster") // probed-cluster partition pruning at scale
+          .parquet(s"$path/index/assignments")
+        if (manifestVar.effectiveType == "ivfpq")
+          PQIndex.save(pq, s"$path/index/pq")
+      }
     }
     manifestVar.save(path)
   }
@@ -295,6 +381,10 @@ object VectorDatabase {
     StructField("doc", StringType, nullable = false),
     StructField("vector", ArrayType(FloatType, containsNull = false), nullable = false),
     StructField("meta", StringType, nullable = false)))
+
+  /** Collapse the union lineage after this many appends (streaming ingest
+    * calls appendFrame once per micro-batch). */
+  private val collapseEvery = 32
 
   /** S1 create — ≙ VectorDatabase(dim, index_type, ...), local_db.py:21–54. */
   def create(spark: SparkSession, dim: Int, indexType: String = "hnsw",
@@ -309,21 +399,25 @@ object VectorDatabase {
   }
 
   /** S4 load. Manifest-driven dispatch; unknown type → flat (handled in
-    * Manifest.fromJson); manifest says ivf but index artifacts missing →
-    * error (≙ missing faiss.idx crash, test_local_db.py:216–220). */
+    * Manifest.fromJson); manifest says ivf/ivfpq but index artifacts
+    * missing → error (≙ missing faiss.idx crash, test_local_db.py:216–220). */
   def load(spark: SparkSession, path: String): VectorDatabase = {
     val man = Manifest.load(path)
     val data = spark.read.parquet(s"$path/data").persist(StorageLevel.MEMORY_AND_DISK)
     val n = data.count()
     val db = new VectorDatabase(spark, data, man, n)
-    if (man.effectiveType == "ivf" && n > 0) {
-      val idxPath = new java.io.File(s"$path/index/assignments")
-      if (!idxPath.exists())
+    if ((man.effectiveType == "ivf" || man.effectiveType == "ivfpq") && n > 0) {
+      if (!new java.io.File(s"$path/index/assignments").exists())
         throw new IllegalStateException(s"index artifacts missing under $path/index")
       val cents = spark.read.parquet(s"$path/index/centroids")
       val assigns = spark.read.parquet(s"$path/index/assignments")
         .persist(StorageLevel.MEMORY_AND_DISK)
       db.ivfVar = Some(IVFIndex.fromFrames(cents, assigns, man.ivfClusters))
+      if (man.effectiveType == "ivfpq") {
+        if (!new java.io.File(s"$path/index/pq/codes").exists())
+          throw new IllegalStateException(s"PQ artifacts missing under $path/index/pq")
+        db.pqVar = Some(PQIndex.load(spark, s"$path/index/pq"))
+      }
     }
     db
   }
@@ -352,4 +446,26 @@ object VectorDatabase {
   private[graft] def renderJson(m: Map[String, Any]): String =
     m.map { case (k, v) => renderJsonValue(k) + ":" + renderJsonValue(v) }
       .mkString("{", ",", "}")
+
+  /** Metadata JSON → Map[String, Any] for opaque predicates (executor-side;
+    * json4s ships with Spark). Numbers decode as Long when integral, else
+    * Double — matching what [[renderJsonValue]] writes. */
+  private[graft] def parseMetaJson(s: String): Map[String, Any] = {
+    import org.json4s._
+    def conv(v: JValue): Any = v match {
+      case JString(x) => x
+      case JDouble(x) => x
+      case JDecimal(x) => x.toDouble
+      case JInt(x) => x.toLong
+      case JLong(x) => x
+      case JBool(x) => x
+      case JArray(xs) => xs.map(conv)
+      case JObject(fs) => fs.map { case (k, fv) => k -> conv(fv) }.toMap
+      case _ => null
+    }
+    org.json4s.jackson.JsonMethods.parseOpt(s) match {
+      case Some(JObject(fs)) => fs.map { case (k, v) => k -> conv(v) }.toMap
+      case _ => Map.empty
+    }
+  }
 }

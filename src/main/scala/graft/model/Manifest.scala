@@ -37,12 +37,17 @@ final case class Manifest(
 object Manifest {
   val knownTypes: Set[String] = Set("hnsw", "flat", "ivfpq")
 
-  /** Physical strategy per requested type: exact scan for 'flat'; the IVF
-    * probe path for both ANN types ('hnsw' has no data-parallel analog —
-    * SURVEY §7.3 — so its tunable-recall contract is served by IVF with
-    * ef_search mapped to nprobe). */
-  def effectiveFor(indexType: String): String =
-    if (indexType == "flat") "flat" else "ivf"
+  /** Physical strategy per requested type: exact scan for 'flat'; true
+    * IVF-probe + PQ/ADC compression for 'ivfpq' (the reference's
+    * faiss.IndexIVFPQ, local_db.py:50–52, searches via compressed codes —
+    * so do we); the plain IVF probe path for 'hnsw' ('hnsw' has no
+    * data-parallel analog — SURVEY §7.3 — so its tunable-recall contract is
+    * served by IVF with ef_search mapped to nprobe). */
+  def effectiveFor(indexType: String): String = indexType match {
+    case "flat" => "flat"
+    case "ivfpq" => "ivfpq"
+    case _ => "ivf"
+  }
 
   private val Field = """"(\w+)"\s*:\s*("?)([^",}]*)\2""".r
 

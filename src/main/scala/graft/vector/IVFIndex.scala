@@ -69,8 +69,13 @@ object IVFIndex {
     val base = data.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("vector"),
       col(vecCol).cast("array<double>").as("__vd"))
-    val sample = base.select(col("__vd")).as[Seq[Double]]
-      .limit(trainSample).collect().map(_.toArray)
+    // Deterministic pseudo-random sample (TakeOrdered on an id hash) — a
+    // head `limit` would train on the first partitions' worth of likely
+    // time-ordered, skewed rows and bias the centroids.
+    val sample = base.select(col("__vd"), col("id"))
+      .orderBy(xxhash64(col("id"), lit(seed)))
+      .limit(trainSample)
+      .collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "cannot build an IVF index over an empty corpus")
     val k = effectiveClusters(sample.length.toLong, nlist)
     val centers: Array[Array[Double]] =

@@ -1,50 +1,118 @@
 package graft.vector
 
-import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, BucketedRandomProjectionLSHModel}
-import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.ml.linalg.Vectors
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-/** Random-projection LSH ANN — the second capability substitute for the
-  * reference's HNSW index (SURVEY §2.3-K5 option (a); IVFIndex is option
-  * (b)). MLlib's BucketedRandomProjectionLSH hashes vectors into buckets of
-  * `bucketLength`-wide random projections; `numHashTables` plays the
-  * `ef_search`-style recall knob (more tables → more candidates → higher
-  * recall). A query probes only rows sharing a bucket in some table —
-  * candidate-bounded like the IVF probe, but data-independent (no training).
+/** Bucketed random-projection (Euclidean) LSH — a capability substitute for
+  * the reference's HNSW index (SURVEY §2.3-K5; IVFIndex is the other), built
+  * directly on the DataFrame API so the candidate predicate stays inside the
+  * scan (no opaque ML-model filter).
+  *
+  * Hashing: `numTables` unit direction vectors w_t (seeded Gaussian,
+  * driver-held — O(tables × dim)); bucket_t(v) = floor(v·w_t / bucketLength).
+  * The corpus is hashed ONCE into `hashed(id, vector, hashes ARRAY<INT>)`;
+  * a query touches only rows falling within `probeRadius` buckets of the
+  * query's bucket in SOME table — a pushed-down range predicate over the
+  * hash columns, then an exact re-rank of the candidates
+  * ([[ExactKNN.topK]] contract: score = 1/(1+d²), desc, id-asc ties).
+  *
+  * Exact-recoverable configuration (the oracle-verified gate): because every
+  * direction is unit-norm, |v·w − q·w| ≤ ‖v − q‖ ≤ ‖v‖ + ‖q‖ ≤ maxNorm +
+  * ‖q‖, so probing radius ⌈(maxNorm + ‖q‖)/bucketLength⌉ makes the candidate
+  * set a PROVABLE superset of any top-k — results are then bit-identical to
+  * the flat scan ([[search]] with `exact = true`). The tuned radius-0 probe
+  * is the approximate path whose recall is pinned in LSHSpec.
+  *
+  * At scale: write `hashed` bucketed by (hashes[0]) or partition by a hash
+  * prefix so the range predicate prunes files; the corpus is never shuffled
+  * at query time and only candidates are scanned.
   */
-final class LSHIndex(val model: BucketedRandomProjectionLSHModel,
+final class LSHIndex(val hyperplanes: Array[Array[Double]],
+                     val bucketLength: Double,
+                     val maxNorm: Double,
                      val hashed: DataFrame) {
 
-  /** Top-k by LSH candidate filter + exact distance on candidates. Output
-    * contract matches [[ExactKNN.topK]]: (id, score), score = 1/(1+d²)
-    * (the reference's squared-L2 score discipline, SURVEY §2.5.1). */
-  def search(query: Array[Double], k: Int): DataFrame = {
-    val knn = model.approxNearestNeighbors(hashed, Vectors.dense(query), k, "dist")
-    knn.select(col("id"),
-        (lit(1.0) / (lit(1.0) + col("dist") * col("dist"))).as("score"))
-      .orderBy(col("score").desc, col("id").asc)
+  private def bucketOf(query: Array[Double], w: Array[Double]): Int = {
+    var s = 0.0; var i = 0
+    while (i < math.min(w.length, query.length)) { s += w(i) * query(i); i += 1 }
+    math.floor(s / bucketLength).toInt
+  }
+
+  /** Candidate filter: ∃ table t with hash_t ∈ [bucket_t(q) − r, + r]. */
+  private def candidates(query: Array[Double], radius: Int): DataFrame = {
+    val pred = hyperplanes.zipWithIndex.map { case (w, t) =>
+      val b = bucketOf(query, w)
+      col("hashes").getItem(t).between(b - radius, b + radius)
+    }.reduce(_ || _)
+    hashed.where(pred)
+  }
+
+  /** Top-k via bucket probe + exact re-rank on candidates. `exact = true`
+    * widens the probe to the provable-superset radius (see class doc). */
+  def search(query: Array[Double], k: Int, probeRadius: Int = 0,
+             exact: Boolean = false): DataFrame = {
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    val r =
+      if (exact) math.ceil((maxNorm + qNorm) / bucketLength).toInt
+      else probeRadius
+    ExactKNN.topK(candidates(query, r), "id", "vector", query, k)
   }
 }
 
 object LSHIndex {
+
+  /** Seeded unit directions (Gaussian → normalize), deterministic. */
+  def directions(numTables: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numTables) {
+      val w = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(w.map(x => x * x).sum)
+      w.map(_ / n)
+    }
+  }
+
   def build(data: DataFrame, idCol: String, vecCol: String,
             numHashTables: Int = 4, bucketLength: Double = 2.0,
             seed: Long = 42L): LSHIndex = {
-    val feats = data.select(col(idCol).as("id"),
-        array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val base = data.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("vector"),
+      col(vecCol).cast("array<double>").as("__vd"))
+    val dim = base.select(size(col("vector"))).head().getInt(0)
+    val planes = directions(numHashTables, dim, seed)
+    val hashCols = planes.map { w =>
+      // dot(v, w) as a fused codegen expression against the literal direction
+      floor(graft.expr.VectorExpr.dot(col("__vd"),
+        graft.functions.VectorFunctions.vecLit(w)) / bucketLength).cast("int")
+    }
+    val hashed = base
+      .select(col("id"), col("vector"), array(hashCols: _*).as("hashes"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val model = new BucketedRandomProjectionLSH()
-      .setBucketLength(bucketLength)
-      .setNumHashTables(numHashTables)
-      .setSeed(seed)
-      .setInputCol("features")
-      .setOutputCol("hashes")
-      .fit(feats)
-    // pre-hash the corpus once so every query skips the transform
-    val hashed = model.transform(feats).persist(StorageLevel.MEMORY_AND_DISK)
-    new LSHIndex(model, hashed)
+    // one bounded scalar: the corpus max norm, for the exact-probe radius
+    val mn = base.select(max(sqrt(graft.expr.VectorExpr.dot(col("__vd"), col("__vd")))))
+      .head().getDouble(0)
+    new LSHIndex(planes, bucketLength, mn, hashed)
+  }
+
+  // ---- persistence (S3/S4 for the LSH artifact; the reference persists its
+  // index binary, local_db.py:219–222 — ours is a parquet frame + params) ----
+
+  def save(index: LSHIndex, path: String): Unit = {
+    val spark = index.hashed.sparkSession
+    import spark.implicits._
+    index.hashed.write.mode("overwrite").parquet(s"$path/hashed")
+    index.hyperplanes.zipWithIndex
+      .map { case (w, t) => (t, w.toSeq, index.bucketLength, index.maxNorm) }
+      .toSeq.toDF("table", "direction", "bucketLength", "maxNorm")
+      .write.mode("overwrite").parquet(s"$path/planes")
+  }
+
+  def load(spark: SparkSession, path: String): LSHIndex = {
+    val planesDf = spark.read.parquet(s"$path/planes").orderBy(col("table")).collect()
+    val planes = planesDf.map(_.getSeq[Double](1).toArray)
+    val bl = planesDf.head.getDouble(2)
+    val mn = planesDf.head.getDouble(3)
+    val hashed = spark.read.parquet(s"$path/hashed").persist(StorageLevel.MEMORY_AND_DISK)
+    new LSHIndex(planes, bl, mn, hashed)
   }
 }

@@ -1,6 +1,6 @@
 package graft.vector
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -41,15 +41,21 @@ final class PQIndex(val codes: DataFrame,
     }
 
   /** Approximate top-k by ADC: Σ_s table_s[code_s]. Same output contract as
-    * [[ExactKNN.topK]] (score = 1/(1+d²-approx), desc, id tiebreak). */
-  def search(query: Array[Double], k: Int): DataFrame = {
+    * [[ExactKNN.topK]] (score = 1/(1+d²-approx), desc, id tiebreak).
+    * `among` restricts scoring to a candidate id set (left-semi join) — the
+    * IVF-probe composition used by the facade's ivfpq path. */
+  def search(query: Array[Double], k: Int, among: Option[DataFrame] = None): DataFrame = {
     val tables = adcTables(query)
     // literal ARRAY<ARRAY<DOUBLE>>, broadcast with the plan (m×256 doubles)
     val tablesCol: Column = array(tables.map(t => array(t.map(lit): _*)): _*)
     val dist = (0 until m).map(s =>
       element_at(element_at(tablesCol, s + 1), element_at(col("codes"), s + 1) + 1))
       .reduce(_ + _)
-    codes.select(col("id"), (lit(1.0) / (lit(1.0) + dist)).as("score"))
+    val basis = among match {
+      case Some(cand) => codes.join(cand.select(col("id")), Seq("id"), "left_semi")
+      case None => codes
+    }
+    basis.select(col("id"), (lit(1.0) / (lit(1.0) + dist)).as("score"))
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
   }
@@ -74,14 +80,50 @@ object PQIndex {
     import spark.implicits._
     val base = data.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v")).as[(Long, Seq[Double])]
-    val sample = base.limit(trainSample).collect().map(_._2.toArray)
+    // Deterministic pseudo-random sample: TakeOrdered on a hash of the id —
+    // uniform across partitions (a head `limit` would take the first file's
+    // worth of likely time-ordered, skewed rows), no count job, bounded k.
+    val sample = base.toDF("id", "v")
+      .orderBy(xxhash64(col("id"), lit(seed)))
+      .limit(trainSample)
+      .collect().map(_.getSeq[Double](1).toArray)
     require(sample.nonEmpty, "cannot train PQ on an empty corpus")
     val k = math.min(1 << nbits, math.max(2, sample.length / 2))
     val codebooks = Array.tabulate(m)(s =>
       Lloyd.fit(sample.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim)),
         k, iters = 10, new scala.util.Random(seed + s)))
+    encode(base.toDF("id", "v"), codebooks, dim)
+  }
+
+  /** Deterministic codebooks from designated ANCHOR rows: codebook_s = the
+    * s-th sub-vectors of the anchor set (collected — bounded by |anchors|).
+    * Unlike KMeans training, this construction is expressible in ANSI SQL,
+    * so encode + ADC search are oracle-verifiable end to end (the
+    * `ann_pq` CORRECTNESS gate); the Lloyd-trained [[build]] stays the
+    * production path with recall pinned in PQSpec. */
+  def buildFromAnchors(data: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, m: Int, anchorFilter: Column): PQIndex = {
+    require(dim % m == 0, s"pq_code_size $m must divide dim $dim")
+    val base = data.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val subDim = dim / m
+    val anchors = base.where(anchorFilter).orderBy(col("id"))
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(anchors.nonEmpty, "anchor set is empty")
+    val codebooks = Array.tabulate(m)(s =>
+      anchors.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim)))
+    encode(base, codebooks, dim)
+  }
+
+  /** One distributed encode pass with the codebooks in the task closure. */
+  private def encode(base: DataFrame, codebooks: Array[Array[Array[Double]]],
+                     dim: Int): PQIndex = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val m = codebooks.length
+    val subDim = dim / m
     val cb = codebooks // stable reference for the task closure
-    val codes = base.mapPartitions(_.map { case (id, v) =>
+    val codes = base.as[(Long, Seq[Double])].mapPartitions(_.map { case (id, v) =>
       val arr = v.toArray
       val cs = Array.tabulate(m) { s =>
         val off = s * subDim
@@ -101,4 +143,26 @@ object PQIndex {
     new PQIndex(codes, codebooks, dim)
   }
 
+  // ---- persistence (the reference persists its index binary,
+  // local_db.py:219–222 — ours is the codes frame + codebook frame) ----
+
+  def save(index: PQIndex, path: String): Unit = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    index.codes.write.mode("overwrite").parquet(s"$path/codes")
+    index.codebooks.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (c, j) => (s, j, c.toSeq, index.dim) }
+    }.toSeq.toDF("subspace", "code", "centroid", "dim")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  def load(spark: SparkSession, path: String): PQIndex = {
+    val rows = spark.read.parquet(s"$path/codebooks").collect()
+    val dim = rows.head.getInt(3)
+    val codebooks = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, cs) =>
+      cs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+    }.toArray
+    val codes = spark.read.parquet(s"$path/codes").persist(StorageLevel.MEMORY_AND_DISK)
+    new PQIndex(codes, codebooks, dim)
+  }
 }
