@@ -52,17 +52,45 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"), max(col("id")).as("max_id"))
       .where(col("n") > 1)
 
-  /** Exact n-gram Jaccard near-dup pairs (a < b, jac ≥ threshold).
-    * Shared-shingle equi-join → per-pair intersection count → Jaccard from
-    * set sizes. Output: (a, b, jac). */
+  /** EXACT n-gram Jaccard near-dup pairs (a < b, jac ≥ threshold) with
+    * prefix-filter candidate generation (Bayardo et al., "Scaling Up All
+    * Pairs Similarity Search", WWW'07): jac(A,B) ≥ t implies
+    * |A∩B| ≥ t·max(|A|,|B|), so under ANY global gram order the two
+    * (|X| − ⌈t·|X|⌉ + 1)-prefixes must intersect. Ordering grams rarest-
+    * first makes those prefixes the lowest-df grams — the candidate
+    * equi-join touches only rare-gram collisions instead of every shared
+    * shingle (a hot boilerplate gram no longer fans out quadratically),
+    * and exact verification of candidates preserves exactness.
+    * Output: (a, b, jac). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.8,
                    shingleFrame: Option[DataFrame] = None): DataFrame = {
     val sh = shingleFrame.getOrElse(shingles(docs, idCol, textCol, n))
+    val dfg = sh.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val prefixes = sh.join(dfg, Seq("gram"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("df").asc, col("gram").asc)))
+      .withColumn("__sz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
+      .where(col("__rn") <= col("__sz") - ceil(lit(threshold) * col("__sz")) + 1)
+      .select(col("id"), col("gram"))
+    val cand = prefixes.as("l")
+      .join(prefixes.as("r"), col("l.gram") === col("r.gram") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
+    verifiedJaccard(cand, sh, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs (a, b) against the
+    * shingle frame — the shared back half of [[jaccardPairs]] and
+    * [[minhashPairs]]. */
+  private def verifiedJaccard(cand: DataFrame, sh: DataFrame,
+                              threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).cast("double").as("sz"))
-    val inter = sh.as("l").join(sh.as("r"), col("l.gram") === col("r.gram") && col("l.id") < col("r.id"))
-      .groupBy(col("l.id").as("a"), col("r.id").as("b"))
-      .agg(count(lit(1)).cast("double").as("inter"))
+    val inter = cand
+      .join(sh.select(col("id").as("a"), col("gram")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("gram")), Seq("b", "gram"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).cast("double").as("inter"))
     val jac = col("inter") / (col("sza") + col("szb") - col("inter"))
     inter
       .join(sizes.select(col("id").as("a"), col("sz").as("sza")), Seq("a"))
@@ -120,18 +148,7 @@ object Dedup {
       .join(bands.as("r"), col("l.band") === col("r.band") && col("l.bh") === col("r.bh")
         && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).cast("double").as("sz"))
-    val inter = cand
-      .join(sh.select(col("id").as("a"), col("gram")), Seq("a"))
-      .join(sh.select(col("id").as("b"), col("gram")), Seq("b", "gram"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).cast("double").as("inter"))
-    val jac = col("inter") / (col("sza") + col("szb") - col("inter"))
-    inter
-      .join(sizes.select(col("id").as("a"), col("sz").as("sza")), Seq("a"))
-      .join(sizes.select(col("id").as("b"), col("sz").as("szb")), Seq("b"))
-      .where(jac >= threshold)
-      .select(col("a"), col("b"), round(jac, 4).as("jac"))
-      .orderBy(col("jac").desc, col("a").asc, col("b").asc)
+    verifiedJaccard(cand, sh, threshold)
   }
 
   /** SimHash width in bits; 64 bits = first 16 md5 nibbles × 4 bits each.
