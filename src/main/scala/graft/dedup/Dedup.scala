@@ -288,14 +288,15 @@ object Dedup {
     * an external SQL oracle can reproduce every bucket bit-for-bit.
     * Output: (a, b, cos). */
   def embeddingPairsBanded(emb: DataFrame, idCol: String, vecCol: String,
-                           threshold: Double, bands: Int = 16, bitsPerBand: Int = 8,
+                           threshold: Double, dim: Int = 64,
+                           bands: Int = 16, bitsPerBand: Int = 8,
                            maxBucket: Int = 10000): DataFrame = {
     val rows = normalized(emb, idCol, vecCol)
     // hyperplane h(b,k)[i] = md5-derived uniform in (-0.5, 0.5): first 8 hex
     // chars of md5('b_k_i') as an unsigned int, scaled. Derived driver-side
     // (same md5 ⇒ bit-identical to a SQL oracle's) and shipped as literal
     // arrays so each sign bit is ONE fused-codegen dot, not a 64-term tree.
-    def hplane(b: Int, k: Int): Array[Double] = Array.tabulate(64) { i =>
+    def hplane(b: Int, k: Int): Array[Double] = Array.tabulate(dim) { i =>
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(s"${b}_${k}_$i".getBytes("UTF-8"))
       val u = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |

@@ -1,6 +1,7 @@
 package graft
 
 import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class DedupSpec extends AnyFunSuite {
@@ -58,5 +59,57 @@ class DedupSpec extends AnyFunSuite {
     val p = Dedup.embeddingPairs(emb, "id", "v", 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(p.toSeq == Seq((0L, 1L)))
+  }
+
+  test("blocked embeddingPairs matches a driver-side all-pairs computation") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 50L).map(i => i -> Seq.fill(8)(rnd.nextFloat()))
+    val emb = vecs.toDF("id", "v")
+    val got = Dedup.embeddingPairs(emb, "id", "v", 0.9, blocks = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // expected: normalize then dot, exactly as the operator computes
+    val unit = vecs.map { case (i, v) =>
+      val d = v.map(_.toDouble); val n = math.sqrt(d.map(x => x * x).sum)
+      i -> d.map(_ / n)
+    }.toMap
+    val want = (for {
+      a <- 0L until 50L; b <- (a + 1) until 50L
+      cos = unit(a).zip(unit(b)).map { case (x, y) => x * y }.sum
+      if cos >= 0.9
+    } yield (a, b) -> (math.floor(cos * 1e4 + 0.5) / 1e4)).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-9, s"$k") }
+  }
+
+  test("embeddingPairsBanded recovers planted near-dups at high threshold") {
+    val rnd = new scala.util.Random(11)
+    def v(): Seq[Float] = Seq.fill(64)(rnd.nextFloat() - 0.5f)
+    val baseV = v()
+    val nearDup = baseV.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f)
+    val emb = ((0L until 40L).map(i => i -> v()) ++
+      Seq(100L -> baseV, 101L -> nearDup)).toDF("id", "v")
+    val p = Dedup.embeddingPairsBanded(emb, "id", "v", threshold = 0.9, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(p.contains((100L, 101L)), s"planted pair missing from ${p.toSeq}")
+    // exact verification of candidates ⇒ no pair below the threshold
+    val all = Dedup.embeddingPairs(emb, "id", "v", 0.9, blocks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p.toSet.subsetOf(all))
+  }
+
+  test("maxBucket guard drops hot buckets; oversizedBuckets reports them") {
+    val many = (0L until 30L).map(i => i -> "identical boilerplate text body").toDF("id", "text")
+    val unguarded = Dedup.simhashPairs(many, "id", "text").collect()
+    assert(unguarded.length == 30 * 29 / 2) // all pairs, hamming 0
+    val guarded = Dedup.simhashPairs(many, "id", "text", maxBucket = 10).collect()
+    assert(guarded.isEmpty) // every bucket holds all 30 docs -> dropped
+    val sim = Dedup.simhash64(many, "id", "text")
+    val blocks = sim.select(col("id"),
+      explode(array((0 until 4).map(b =>
+        org.apache.spark.sql.functions.struct(lit(b).as("blk"),
+          shiftrightunsigned(col("sim64"), 16 * (3 - b)).bitwiseAND(lit(0xFFFFL)).as("bs"))): _*)).as("e"))
+      .select(col("id"), col("e.blk"), col("e.bs"))
+    val over = Dedup.oversizedBuckets(blocks, Seq("blk", "bs"), 10).collect()
+    assert(over.nonEmpty && over.forall(_.getLong(2) == 30L))
   }
 }

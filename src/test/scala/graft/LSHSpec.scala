@@ -32,4 +32,28 @@ class LSHSpec extends AnyFunSuite {
     assert(r.nonEmpty && r.head.getLong(0) == 99L)
     assert(math.abs(r.head.getDouble(1) - 1.0) < 1e-9)
   }
+
+  test("exact-probe configuration is bit-identical to the flat scan") {
+    for (qid <- Seq(3L, 21L, 77L)) {
+      val q = queryVec(qid)
+      val exact = ExactKNN.topK(emb, "vec_id", "embedding", q, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val lsh = index.search(q, 10, exact = true)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(lsh.sameElements(exact), s"qid=$qid")
+    }
+  }
+
+  test("save/load roundtrip preserves hashes, params, and search results") {
+    val path = java.nio.file.Files.createTempDirectory("graftlsh").toString
+    LSHIndex.save(index, path)
+    val loaded = LSHIndex.load(spark, path)
+    assert(loaded.bucketLength == index.bucketLength)
+    assert(loaded.maxNorm == index.maxNorm)
+    assert(loaded.hyperplanes.length == index.hyperplanes.length)
+    val q = queryVec(42)
+    val a = index.search(q, 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val b = loaded.search(q, 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.sameElements(b))
+  }
 }

@@ -42,4 +42,35 @@ class PQSpec extends AnyFunSuite {
     val r = pq.search(queryVec(42), 3).collect()
     assert(r.head.getLong(0) == 42L)
   }
+
+  test("anchor-codebook build: codes bounded by anchor count, deterministic") {
+    import org.apache.spark.sql.functions.col
+    val anchored = PQIndex.buildFromAnchors(emb, "vec_id", "embedding",
+      dim = 64, m = 8, anchorFilter = col("vec_id") < 16)
+    val rows = anchored.codes.collect()
+    assert(rows.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < 16)))
+    val a = anchored.search(queryVec(7), 10).collect().map(_.getLong(0))
+    val again = PQIndex.buildFromAnchors(emb, "vec_id", "embedding",
+      dim = 64, m = 8, anchorFilter = col("vec_id") < 16)
+      .search(queryVec(7), 10).collect().map(_.getLong(0))
+    assert(a.sameElements(again))
+  }
+
+  test("search restricted to a candidate set never returns outside it") {
+    import org.apache.spark.sql.functions.col
+    val cand = emb.select(col("vec_id").as("id")).where(col("id") < 100)
+    val r = pq.search(queryVec(7), 10, among = Some(cand)).collect().map(_.getLong(0))
+    assert(r.nonEmpty && r.forall(_ < 100))
+  }
+
+  test("save/load roundtrip preserves codebooks and ADC results") {
+    val path = java.nio.file.Files.createTempDirectory("graftpq").toString
+    PQIndex.save(pq, path)
+    val loaded = PQIndex.load(spark, path)
+    assert(loaded.dim == pq.dim && loaded.m == pq.m)
+    val q = queryVec(13)
+    val a = pq.search(q, 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val b = loaded.search(q, 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.sameElements(b))
+  }
 }

@@ -157,6 +157,41 @@ class VectorDatabaseSpec extends AnyFunSuite {
     }
   }
 
+  test("opaque lambda pre/post filters (test:100–125, ldb:310–312)") {
+    val db = freshDb("flat")
+    // pre-filter: high priority only
+    val pre = db.queryVector(vecs(0), 5,
+      preFilter = Some(db.metaPredicate(m => m.get("priority").contains("high"))))
+      .collect().map(_.getLong(0))
+    assert(pre.nonEmpty && pre.toSet.subsetOf(Set(0L, 2L)))
+    // post-filter: exclude 'system' type — no fixture doc has the key, so
+    // the lambda passes everything (the reference's .get semantics)
+    val post = db.queryVector(vecs(0), 5,
+      postFilter = Some(db.metaPredicate(m => !m.get("type").contains("system"))))
+      .collect().map(_.getLong(0))
+    assert(post.length == 5)
+    // both together
+    val both = db.queryVector(vecs(0), 5,
+      preFilter = Some(db.metaPredicate(m => m.get("priority").contains("high"))),
+      postFilter = Some(db.metaPredicate(m => !m.get("type").contains("system"))))
+      .collect().map(_.getLong(0))
+    assert(both.nonEmpty && both.toSet.subsetOf(Set(0L, 2L)))
+    // queryMetadata with a typed numeric lambda (amount > 100)
+    val rich = db.queryMetadataWhere(m =>
+      m.get("amount").exists { case d: Double => d > 100; case _ => false })
+      .collect().map(_.getLong(0))
+    assert(rich.sameElements(Seq(0L, 2L, 4L)))
+  }
+
+  test("hybridSearch forced probe path (exactThreshold = 0, ldb:359–374)") {
+    val db = freshDb("flat")
+    val r = db.hybridSearch("vector databases", vecs(2), topK = 3, exactThreshold = 0L)
+      .collect()
+    assert(r.nonEmpty && r.length <= 3)
+    val scores = r.map(_.getDouble(1))
+    assert(scores.forall(_ > 0) && scores.sameElements(scores.sortBy(-_)))
+  }
+
   test("save/load roundtrip: docs, metas, exact query equality for flat (test:127–162)") {
     val db = freshDb("flat")
     val path = java.nio.file.Files.createTempDirectory("graftdb").toString
@@ -177,9 +212,17 @@ class VectorDatabaseSpec extends AnyFunSuite {
     val path = java.nio.file.Files.createTempDirectory("graftivf").toString
     db.save(path)
     assert(new java.io.File(s"$path/index/assignments").exists())
+    // ivfpq persists the compressed codes + codebooks too (ldb:219–222)
+    assert(new java.io.File(s"$path/index/pq/codes").exists())
+    assert(new java.io.File(s"$path/index/pq/codebooks").exists())
     val db2 = VectorDatabase.load(spark, path)
+    assert(db2.manifest.effectiveType == "ivfpq")
     val r = db2.queryVector(many(7), 3).collect()
     assert(r.nonEmpty && r.head.getLong(0) == 7L)
+    // loaded ADC results match the pre-save index bit for bit
+    val a = db.queryVector(many(11), 5).collect().map(x => (x.getLong(0), x.getDouble(1)))
+    val b = db2.queryVector(many(11), 5).collect().map(x => (x.getLong(0), x.getDouble(1)))
+    assert(a.sameElements(b))
   }
 
   test("unknown index type in manifest downgrades to flat (test:164–198)") {
