@@ -123,6 +123,11 @@ object Dedup {
       .agg(md5(concat_ws("|", slots: _*)).as("bh"))
   }
 
+  /** Shingles → signatures → banded buckets, in one call (the reusable
+    * front half of [[minhashPairs]]). */
+  def minhashBands(sh: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame =
+    lshBands(minhashSignatures(sh, numHashes), rowsPerBand)
+
   /** MinHash+LSH near-dup: signatures → bands → bucket-collision candidates
     * → exact-Jaccard verification of candidates only.
     * Output: (a, b, jac) with jac ≥ threshold, a < b. */
@@ -130,17 +135,20 @@ object Dedup {
                    n: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
                    threshold: Double = 0.8,
                    shingleFrame: Option[DataFrame] = None,
-                   maxBucket: Int = 2000): DataFrame = {
+                   maxBucket: Int = 2000,
+                   bandsFrame: Option[DataFrame] = None): DataFrame = {
     // Callers that run several dedup ops over one collection should pass a
     // persisted shingleFrame (bounded: one per collection) — a per-call
     // persist here would leak executor memory across a session's queries.
+    // Same for bandsFrame (callers re-running pair queries: memoize
+    // `minhashBands` once — see graft.Queries' caches).
     val sh = shingleFrame.getOrElse(shingles(docs, idCol, textCol, n))
     // persisted: the self-join consumes bands twice, and everything under it
     // (seed crossJoin + two SortAggregates — min(STRING) has a var-length
     // buffer, so HashAggregate is unavailable) would otherwise run twice.
     // One row per (doc, band): tiny relative to the corpus.
-    val bands0 = lshBands(minhashSignatures(sh, numHashes), rowsPerBand)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands0 = bandsFrame.getOrElse(minhashBands(sh, numHashes, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // skew guard: a hot (band, bh) bucket makes the self-join quadratic in
     // its size (r1 VERDICT #5); see [[oversizedBuckets]] for what a cap drops
     val bands = bucketGuard(bands0, Seq("band", "bh"), maxBucket)

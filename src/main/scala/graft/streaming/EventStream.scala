@@ -49,6 +49,30 @@ object EventStream {
       .queryName(queryName)
       .start()
 
+  /** Gap-based streaming sessionization — the streaming twin of the batch
+    * `sessionize` operator (graft.Queries): `session_window` merges events
+    * within `gap` of each other into one per-user session that grows across
+    * micro-batches; the watermark finalizes sessions once event time passes
+    * their close, bounding state to open sessions only. Same output shape
+    * as the batch query: (user_id, session_start, n_events, total_value). */
+  def sessionized(events: DataFrame, gap: String = "30 minutes",
+                  watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("user_id"), col("session_start"), col("n_events"), col("total_value"))
+
+  /** Start the sessionization into a named in-memory sink. Append mode:
+    * a session row emits once, when the watermark closes it. */
+  def startSessionized(events: DataFrame, queryName: String) =
+    sessionized(events).writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+
   /** Streaming ingest into a [[graft.VectorDatabase]]: each micro-batch
     * appends through the bulk dense-id path (SURVEY §7.2-10 north star —
     * the reference's `add` fed by a stream). Dense-id assignment serializes

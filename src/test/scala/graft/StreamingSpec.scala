@@ -12,6 +12,7 @@ class StreamingSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
   final case class Ev(ts: Timestamp, event_type: String, value: Double)
+  final case class UEv(ts: Timestamp, user_id: Long, value: Double)
 
   test("windowedStats aggregates tumbling windows across micro-batches") {
     import spark.implicits._
@@ -56,6 +57,34 @@ class StreamingSpec extends AnyFunSuite {
         .map(r => (r.getTimestamp(0).toString, r.getLong(2)))
       assert(spark.table("late_test").count() == before)
       assert(!rows.contains(("2026-01-01 10:00:00.0", 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionized merges events within the gap and closes on watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[UEv]
+    val q = EventStream.startSessionized(input.toDF(), "sess_test")
+    try {
+      // user 1: two events 10 min apart (one session); user 2: one event
+      input.addData(
+        UEv(ts("2026-01-01 10:00:00"), 1L, 1.0),
+        UEv(ts("2026-01-01 10:10:00"), 1L, 2.0),
+        UEv(ts("2026-01-01 10:05:00"), 2L, 5.0))
+      q.processAllAvailable()
+      // sessions still open (watermark hasn't passed close) → nothing emitted
+      assert(spark.table("sess_test").isEmpty)
+      // user 1 again 2h later: new session AND the watermark advances past
+      // the old sessions' close (+30 min gap), finalizing them
+      input.addData(UEv(ts("2026-01-01 13:00:00"), 1L, 7.0))
+      q.processAllAvailable()
+      input.addData(UEv(ts("2026-01-01 15:00:00"), 9L, 0.0)) // push watermark
+      q.processAllAvailable()
+      val rows = spark.table("sess_test").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2), r.getDouble(3)))
+      assert(rows.contains((1L, "2026-01-01 10:00:00.0", 2L, 3.0))) // merged session
+      assert(rows.contains((2L, "2026-01-01 10:05:00.0", 1L, 5.0)))
+      assert(rows.contains((1L, "2026-01-01 13:00:00.0", 1L, 7.0))) // separate session
     } finally q.stop()
   }
 
