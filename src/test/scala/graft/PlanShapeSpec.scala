@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape pins for the gate queries — the ".explain and
+  * iterate" contract made executable. Each assertion encodes a scale
+  * property that must survive refactoring: no corpus-sized broadcasts, no
+  * nested-loop joins, top-k without a global sort, filters reaching the
+  * parquet scan. */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("knn_l2: top-k plans as TakeOrderedAndProject, no global sort, no shuffle of the corpus") {
+    val p = plan("knn_l2")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortExec"), s"unexpected full sort:\n$p")
+  }
+
+  test("dedup_embedding: pure equi-join structure — degrades to shuffle joins, never NLJ") {
+    // at sf0.001 the optimizer may legitimately broadcast the 500-row corpus;
+    // the 100 TB property is that with size-based broadcast off the plan is
+    // still hash/merge EQUI-joins (a nested-loop formulation would stay NLJ)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val p = plan("dedup_embedding")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"NLJ over the pair space:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+      assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin") ||
+        p.contains("BroadcastHashJoin"), p) // pair table is hint-broadcast
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("meta_range: predicates are pushed into the parquet scan") {
+    val p = plan("meta_range")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("n_chars") && p.contains("GreaterThanOrEqual"), p)
+  }
+
+  test("ann_lsh: candidate filter precedes the re-rank (filter, then top-k)") {
+    val p = plan("ann_lsh")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("Filter"), p)
+    assert(!p.contains("SortExec"), p)
+  }
+
+  test("knn_batch_topk: custom heap operator, not a window sort") {
+    val p = plan("knn_batch_topk")
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("WindowExec"), p)
+  }
+
+  test("ann_pq: ADC is a scan-side projection (no join against a codebook table)") {
+    val p = plan("ann_pq")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("tpch_q1: aggregate is hash-based with a partial (map-side) phase") {
+    val p = plan("tpch_q1")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+}
