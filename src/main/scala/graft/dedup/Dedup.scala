@@ -19,11 +19,16 @@ import org.apache.spark.sql.functions._
   *  - n-gram Jaccard self-join is exact but quadratic in the worst case —
   *    use it to verify candidates or on bounded corpora; LSH above is the
   *    funnel that keeps it bounded.
-  *  - SimHash reduces each doc to a 32-bit signature via one aggregation;
-  *    banding over 8-bit blocks (pigeonhole: hamming ≤ 3 ⇒ one of 4 blocks
-  *    equal) turns pair-finding into an equi-join.
-  *  - embedding near-dup below the LSH/IVF scale is a blocked self-join; at
-  *    scale, route candidates through [[graft.vector]] ANN instead.
+  *  - SimHash reduces each doc to a 64-bit signature via one aggregation;
+  *    banding over 16-bit blocks (pigeonhole: hamming ≤ 3 ⇒ one of 4 blocks
+  *    equal) turns pair-finding into an equi-join, with a bucket-size skew
+  *    guard against degenerate boilerplate buckets.
+  *  - exact n-gram Jaccard stays exact AND sub-quadratic through
+  *    prefix-filter candidate generation (rarest-first global gram order).
+  *  - embedding near-dup: exact block-partitioned equi-join (O(N²) FLOPs is
+  *    inherent to exactness at low thresholds, so the join distributes the
+  *    pair space — never broadcasts the corpus); the banded sign-projection
+  *    funnel is the sub-quadratic path for true near-dup thresholds.
   *
   * All hashing is md5-based so an external SQL oracle reproduces every
   * signature bit-for-bit (no engine-private hash functions in results).

@@ -2,7 +2,7 @@ package graft.expr
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
@@ -142,6 +142,76 @@ case class CosineSim(left: Expression, right: Expression) extends PairFoldExpres
     copy(left = newLeft, right = newRight)
 }
 
+/** argmin_c Σ (v_i − centroid_c_i)² — the IVF/k-means assignment kernel as a
+  * codegen expression (r1 VERDICT minor #6: the Scala-UDF formulation ran
+  * interpreted with per-row boxing). The centroid table is a broadcast-sized
+  * constant (≤ nlist × dim doubles — the same thing FAISS holds in RAM)
+  * carried as a plan reference object, so the generated code is one fused
+  * double loop per row with zero allocation. Ties break to the lowest
+  * cluster index (strict `<`), matching the driver-side probe order. */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+  override def prettyName: String = "vec_nearest_centroid"
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(t, _) if t == FloatType || t == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an ARRAY<FLOAT|DOUBLE> arg, got ${other.simpleString}")
+  }
+
+  private def elemT: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val isF = elemT == FloatType
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cen = centroids(c)
+      val n = math.min(cen.length, arr.numElements())
+      var d = 0.0; var i = 0
+      while (i < n) {
+        val x = (if (isF) arr.getFloat(i).toDouble else arr.getDouble(i)) - cen(i)
+        d += x * x; i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val get = if (elemT == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, v => {
+      val c = ctx.freshName("c"); val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val d = ctx.freshName("d"); val x = ctx.freshName("x")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val cen = ctx.freshName("cen")
+      s"""
+         |int $best = 0; double $bestD = Double.MAX_VALUE;
+         |for (int $c = 0; $c < $cents.length; $c++) {
+         |  final double[] $cen = $cents[$c];
+         |  final int $n = java.lang.Math.min($cen.length, $v.numElements());
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $x = ((double) $v.$get($i)) - $cen[$i];
+         |    $d += $x * $x;
+         |  }
+         |  if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |}
+         |${ev.value} = $best;
+         |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API entry points. */
 object VectorExpr {
   private def c(e: Expression): Column = GraftColumnBridge.column(e)
@@ -150,4 +220,6 @@ object VectorExpr {
   def squaredL2(a: Column, b: Column): Column = c(SquaredL2(x(a), x(b)))
   def dot(a: Column, b: Column): Column = c(DotProduct(x(a), x(b)))
   def cosine(a: Column, b: Column): Column = c(CosineSim(x(a), x(b)))
+  def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column =
+    c(NearestCentroid(x(v), centroids))
 }

@@ -81,30 +81,12 @@ object IVFIndex {
     val centers: Array[Array[Double]] =
       if (k < 2) Array(sample.head.map(_ => 0.0)) // single-cluster degenerate rung
       else Lloyd.fit(sample, k, iters = 20, new scala.util.Random(seed))
-    val cLocal = centers
-    val assigned = base.select(col("id"), col("vector"), assignUdf(cLocal)(col("__vd")).as("cluster"))
+    val assigned = base.select(col("id"), col("vector"),
+        graft.expr.VectorExpr.nearestCentroid(col("vector"), centers).as("cluster"))
       .repartition(col("cluster"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     new IVFIndex(centers.zipWithIndex.map { case (c, i) => (i, c) }, assigned, centers.length)
   }
-
-  /** Nearest-centroid assignment as a closure-captured UDF: one pass, the
-    * centroid table is O(nlist × dim) — broadcast-sized by construction. */
-  private def assignUdf(centers: Array[Array[Double]]) =
-    udf { (v: Seq[Double]) =>
-      val arr = v.toArray
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < centers.length) {
-        var d = 0.0; var i = 0
-        val cen = centers(c)
-        val n = math.min(cen.length, arr.length)
-        while (i < n) { val x = arr(i) - cen(i); d += x * x; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
 
   /** Restore from frames persisted by save (centroids small, collect). */
   def fromFrames(centroidsDf: DataFrame, assignments: DataFrame, nlist: Int): IVFIndex = {

@@ -47,4 +47,22 @@ class VectorExprPropertySpec extends AnyFunSuite {
     assert(cosRows.nonEmpty)
     cosRows.foreach(r => assert(same(r, 0, 1), r.toString))
   }
+
+  test("NearestCentroid codegen == driver-side argmin for arbitrary vectors") {
+    import spark.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(5)
+    val centroids = Array.fill(6)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val vecs = (0 until 200).map(i => i -> Seq.fill(dim)(rnd.nextFloat() * 2 - 1))
+    val got = vecs.toDF("i", "v")
+      .select(col("i"), graft.expr.VectorExpr.nearestCentroid(col("v"), centroids).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    vecs.foreach { case (i, v) =>
+      val d = v.map(_.toDouble).toArray
+      val want = centroids.zipWithIndex.map { case (cen, c) =>
+        (cen.zip(d).map { case (x, y) => (y - x) * (y - x) }.sum, c)
+      }.minBy(t => (t._1, t._2))._2
+      assert(got(i) == want, s"vec $i")
+    }
+  }
 }
