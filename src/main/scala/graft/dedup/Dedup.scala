@@ -105,9 +105,10 @@ object Dedup {
       .orderBy(col("jac").desc, col("a").asc, col("b").asc)
   }
 
-  /** MinHash signatures: for each of `numHashes` seeds, the minimum of
-    * md5(seed ++ "_" ++ shingle) over the doc's shingle set — hex-string
-    * min, which orders identically in any engine. */
+  /** MinHash signatures (Broder, "On the resemblance and containment of
+    * documents", SEQUENCES 1997): for each of `numHashes` seeds, the
+    * minimum of md5(seed ++ "_" ++ shingle) over the doc's shingle set —
+    * hex-string min, which orders identically in any engine. */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
     val spark = sh.sparkSession
     import spark.implicits._
@@ -189,9 +190,11 @@ object Dedup {
     withNibbles.groupBy(col("id")).agg(ws.head, ws.tail: _*)
   }
 
-  /** 64-bit SimHash: per-term md5 → 16 nibble values → 4 bits each,
-    * tf-weighted vote per bit position, all 64 positions folded in one hash
-    * aggregate. Output: (id, sim) with sim a 64-char '0'/'1' string. */
+  /** 64-bit SimHash (Charikar, "Similarity estimation techniques from
+    * rounding algorithms", STOC 2002): per-term md5 → 16 nibble values →
+    * 4 bits each, tf-weighted vote per bit position, all 64 positions
+    * folded in one hash aggregate. Output: (id, sim) with sim a 64-char
+    * '0'/'1' string. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     simhashVotes(docs, idCol, textCol)
       .select(col("id"),

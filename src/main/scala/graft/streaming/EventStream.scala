@@ -96,17 +96,30 @@ object EventStream {
     * (e.g. a document fingerprint), implemented with
     * flatMapGroupsWithState — the custom-state tier of the streaming API
     * (SURVEY's mapGroupsWithState requirement). State per key is one
-    * boolean; pair with a TTL/timeout in production to bound it. */
-  def firstPerKey(events: Dataset[Keyed]): Dataset[Seen] = {
+    * boolean; pass `ttl` (e.g. "1 hour") to expire idle keys via
+    * processing-time timeout so state stays bounded on unbounded key
+    * domains — at 100 TB/day of documents, unexpired fingerprint state IS
+    * the memory bill. A key seen again after expiry re-emits (standard
+    * windowed-dedup semantics); omit `ttl` for exact full-history dedup
+    * over bounded key spaces. */
+  def firstPerKey(events: Dataset[Keyed], ttl: Option[String] = None): Dataset[Seen] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.key)
-      .flatMapGroupsWithState[Boolean, Seen](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState[Boolean, Seen](OutputMode.Update(), timeoutConf) {
         (key: String, rows: Iterator[Keyed], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else rows.buffered.headOption match {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            ttl.foreach(state.setTimeoutDuration)
+            Iterator.empty
+          } else rows.buffered.headOption match {
             case Some(first) =>
               state.update(true)
+              ttl.foreach(state.setTimeoutDuration)
               Iterator.single(Seen(key, first.event_id, first = true))
             case None => Iterator.empty
           }

@@ -4,10 +4,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-/** Bucketed random-projection (Euclidean) LSH — a capability substitute for
-  * the reference's HNSW index (SURVEY §2.3-K5; IVFIndex is the other), built
-  * directly on the DataFrame API so the candidate predicate stays inside the
-  * scan (no opaque ML-model filter).
+/** Bucketed random-projection (Euclidean) LSH (Datar, Immorlica, Indyk,
+  * Mirrokni, "Locality-sensitive hashing scheme based on p-stable
+  * distributions", SoCG 2004) — a capability substitute for the reference's
+  * HNSW index (SURVEY §2.3-K5; IVFIndex is the other), built directly on
+  * the DataFrame API so the candidate predicate stays inside the scan (no
+  * opaque ML-model filter).
   *
   * Hashing: `numTables` unit direction vectors w_t (seeded Gaussian,
   * driver-held — O(tables × dim)); bucket_t(v) = floor(v·w_t / bucketLength).

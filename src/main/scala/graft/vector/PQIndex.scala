@@ -4,9 +4,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-/** Product quantization — the memory-compression half of the reference's
-  * IVF-PQ index (faiss.IndexIVFPQ with `pq_code_size` sub-quantizers of
-  * `nbits=8` → 256 centroids each, local_db.py:27–28, 50–52).
+/** Product quantization (Jégou, Douze, Schmid, "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011) — the memory-compression half of
+  * the reference's IVF-PQ index (faiss.IndexIVFPQ with `pq_code_size`
+  * sub-quantizers of `nbits=8` → 256 centroids each, local_db.py:27–28,
+  * 50–52).
   *
   * The vector space is split into `m` contiguous subspaces; each subspace
   * gets a 256-entry KMeans codebook; a vector is stored as `m` byte codes

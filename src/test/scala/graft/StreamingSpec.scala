@@ -132,4 +132,31 @@ class StreamingSpec extends AnyFunSuite {
       assert(seen == Map("fpA" -> 1L, "fpB" -> 3L, "fpC" -> 5L))
     } finally q.stop()
   }
+
+  test("firstPerKey with ttl expires idle state; key re-emits after expiry") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EventStream.Keyed]
+    val q = EventStream.firstPerKey(input.toDS(), ttl = Some("50 milliseconds"))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("ttl_test").start()
+    // With ProcessingTimeTimeout the engine re-runs (empty) batches
+    // continuously to fire timers, so processAllAvailable never settles —
+    // poll the sink with a deadline instead.
+    def await(pred: => Boolean): Boolean = {
+      val t0 = System.currentTimeMillis
+      while (!pred && System.currentTimeMillis - t0 < 60000) Thread.sleep(100)
+      pred
+    }
+    def rows() = spark.table("ttl_test").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    try {
+      input.addData(EventStream.Keyed("ttlX", 1L))
+      assert(await(rows().contains(("ttlX", 1L))), rows().toSeq.toString)
+      Thread.sleep(500) // let the timer fire in a background batch → state gone
+      input.addData(EventStream.Keyed("ttlX", 3L)) // re-emits after expiry
+      assert(await(rows().contains(("ttlX", 3L))), rows().toSeq.toString)
+      assert(rows().count(_._1 == "ttlX") == 2, rows().toSeq.toString)
+    } finally q.stop()
+  }
 }
