@@ -343,6 +343,27 @@ object Queries {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)
 
+  /** Relational tier: TPC-H Q3-shaped 3-way join — the selective dimension
+    * filter broadcasts, the fact-fact join shuffles on the join key, the
+    * revenue expression folds in exact DECIMAL (order-independent across
+    * engines; prices/discounts carry ≤2 dp so the 6-dp cast never rounds). */
+  private def tpchQ3(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = java.sql.Timestamp.valueOf("1997-06-15 00:00:00")
+    val c = tbl(spark, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+    val o = tbl(spark, dir, "orders").where(col("o_orderdate") < lit(cutoff))
+    val l = tbl(spark, dir, "lineitem").where(col("l_shipdate") > lit(cutoff))
+    val rev = (col("l_extendedprice").cast("decimal(18,6)") *
+      (lit(java.math.BigDecimal.ONE).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
+      .cast("decimal(18,6)")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(rev).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+  }
+
   /** Relational tier: broadcast join + top-n. */
   private def joinTopCustomers(spark: SparkSession, dir: String): DataFrame = {
     val o = tbl(spark, dir, "orders")
@@ -675,6 +696,19 @@ object Queries {
         |       count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    "tpch_q3" -> Q(tpchQ3, Some(
+      """SELECT l_orderkey,
+        |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |                     (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+        |                AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |       o_orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-15 00:00:00'
+        |  AND l_shipdate  > TIMESTAMP '1997-06-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
     "join_top_customers" -> Q(joinTopCustomers, Some(
       """SELECT c_custkey, c_name, CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
