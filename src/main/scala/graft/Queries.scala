@@ -121,6 +121,18 @@ object Queries {
       .orderBy(col("score").desc, col("id").asc)
   }
 
+  /** F5 in the reference's FAITHFUL order (ldb:179–185): ANN search first
+    * over the whole corpus, intersect with the filter after — the
+    * documented divergence's other mode (SURVEY §2.5.2; the default gate
+    * `knn_prefilter` pins the true-pushdown order). */
+  private def knnPreFilterFaithful(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    val top = ExactKNN.topK(e, "vec_id", "embedding", qvec(spark, dir, 7), 20)
+    top.join(e.where(col("label") === 3).select(col("vec_id").as("id")), Seq("id"), "left_semi")
+      .select(col("id"), r4(col("score")).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+  }
+
   /** F6 post-filter KNN: top-20 first, then the metadata predicate. */
   private def knnPostFilter(spark: SparkSession, dir: String): DataFrame = {
     val e = tbl(spark, dir, "embeddings")
@@ -293,6 +305,18 @@ object Queries {
       .search(qvec(spark, dir, 21), k = 10, exact = true)
       .select(col("id"), r4(col("score")).as("score"))
       .orderBy(col("score").desc, col("id").asc)
+
+  /** Per-label embedding centroids through the custom VectorAvg typed
+    * aggregate (graft.expr.VectorAgg) — map-side-combined (Σ, n) buffers,
+    * O(dim) per group on the wire. Long format (label, i, avg_v) for the
+    * cross-engine compare. */
+  private def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "embeddings")
+      .groupBy(col("label"))
+      .agg(graft.expr.VectorAgg.vecAvg(col("embedding")).as("c"))
+      .select(col("label"), posexplode(col("c")).as(Seq("i", "v")))
+      .select(col("label"), col("i").cast("long").as("i"), r4(col("v")).as("avg_v"))
+      .orderBy(col("label").asc, col("i").asc)
 
   /** K4 batch variant: bulk similarity join, 3 queries × top-5 each. */
   private def knnBatch(spark: SparkSession, dir: String): DataFrame = {
@@ -594,6 +618,14 @@ object Queries {
          |FROM embeddings e, q
          |ORDER BY score DESC, id LIMIT 10""".stripMargin)),
     "knn_prefilter" -> Q(knnPreFilter, Some(knnSql(7, 5, "WHERE e.label = 3"))),
+    "knn_prefilter_faithful" -> Q(knnPreFilterFaithful, Some(
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+         |top AS (
+         |  SELECT e.vec_id AS id, e.label,
+         |         round(1.0/(1.0 + $sqDistSql), 4) AS score
+         |  FROM embeddings e, q
+         |  ORDER BY 1.0/(1.0 + $sqDistSql) DESC, id LIMIT 20)
+         |SELECT id, score FROM top WHERE label = 3 ORDER BY score DESC, id""".stripMargin)),
     "ann_ivf" -> Q(annIvf, Some(knnSql(13, 10))),
     "ann_pq" -> Q(annPq, Some(
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -621,6 +653,12 @@ object Queries {
         |SELECT id, round(1.0/(1.0 + dist), 4) AS score
         |FROM adc ORDER BY score DESC, id LIMIT 10""".stripMargin)),
     "ann_lsh" -> Q(annLsh, Some(knnSql(21, 10))),
+    "label_centroids" -> Q(labelCentroids, Some(
+      """WITH x AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS i,
+        |                  unnest(embedding::DOUBLE[]) AS v
+        |           FROM embeddings)
+        |SELECT label, i, round(avg(v), 4) AS avg_v
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     "knn_batch" -> Q(knnBatch, Some(knnBatchSql)),
     "knn_batch_topk" -> Q(knnBatchTopk, Some(knnBatchSql)),
     "knn_postfilter" -> Q(knnPostFilter, Some(

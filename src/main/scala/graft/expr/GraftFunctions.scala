@@ -17,30 +17,31 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object GraftFunctions {
 
-  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "vec_squared_l2" -> (args => SquaredL2(args(0), args(1))),
-    "vec_dot" -> (args => DotProduct(args(0), args(1))),
-    "vec_cosine" -> (args => CosineSim(args(0), args(1))))
+  private val fns: Seq[(String, Int, Seq[Expression] => Expression)] = Seq(
+    ("vec_squared_l2", 2, args => SquaredL2(args(0), args(1))),
+    ("vec_dot", 2, args => DotProduct(args(0), args(1))),
+    ("vec_cosine", 2, args => CosineSim(args(0), args(1))),
+    ("vec_avg", 1, args => VectorAvg(args(0))))
 
-  def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
+  private def checked(name: String, arity: Int,
+                      builder: Seq[Expression] => Expression)(args: Seq[Expression]): Expression = {
+    require(args.length == arity, s"$name expects $arity argument(s), got ${args.length}")
+    builder(args)
+  }
+
+  def register(spark: SparkSession): Unit = fns.foreach { case (name, arity, builder) =>
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(name),
       new ExpressionInfo("graft.expr", name),
-      args => {
-        require(args.length == 2, s"$name expects 2 arguments, got ${args.length}")
-        builder(args)
-      })
+      checked(name, arity, builder) _)
   }
 
   private[expr] def inject(ext: SparkSessionExtensions): Unit =
-    fns.foreach { case (name, builder) =>
+    fns.foreach { case (name, arity, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.expr", name),
-        (args: Seq[Expression]) => {
-          require(args.length == 2, s"$name expects 2 arguments, got ${args.length}")
-          builder(args)
-        }))
+        checked(name, arity, builder) _))
     }
 }
 

@@ -25,6 +25,31 @@ class SqlFunctionsSpec extends AnyFunSuite {
     intercept[Exception](spark.sql("SELECT vec_dot(array(1.0F))").head())
   }
 
+  test("vec_avg aggregate: elementwise mean, partial-merge path, empty group null") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // spread over many partitions so partial buffers actually merge
+    val df = Seq(
+      (1, Seq(1.0f, 2.0f)), (1, Seq(3.0f, 4.0f)), (1, Seq(5.0f, 6.0f)),
+      (2, Seq(10.0f, 20.0f))).toDF("k", "v").repartition(8)
+    df.createOrReplaceTempView("vecavg_in")
+    val r = spark.sql(
+      "SELECT k, vec_avg(v) AS c FROM vecavg_in GROUP BY k ORDER BY k")
+      .collect().map(row => row.getInt(0) -> row.getSeq[Double](1)).toMap
+    assert(r(1) == Seq(3.0, 4.0))
+    assert(r(2) == Seq(10.0, 20.0))
+    // Column API + HashAggregate plan shape (partial + final, no sort agg)
+    val agg = df.groupBy($"k").agg(graft.expr.VectorAgg.vecAvg($"v").as("c"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+    // null input vectors are skipped, not poisoning the mean
+    val withNull = Seq((1, Some(Seq(2.0f, 2.0f))), (1, None)).toDF("k", "v")
+    val m = withNull.groupBy($"k").agg(graft.expr.VectorAgg.vecAvg($"v").as("c"))
+      .head().getSeq[Double](1)
+    assert(m == Seq(2.0, 2.0))
+  }
+
   test("returnScores=false projects bare ids on all three query paths") {
     val rnd = new scala.util.Random(1)
     val db = VectorDatabase.create(spark, 4, "flat")
