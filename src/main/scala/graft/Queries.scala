@@ -315,7 +315,10 @@ object Queries {
       .groupBy(col("label"))
       .agg(graft.expr.VectorAgg.vecAvg(col("embedding")).as("c"))
       .select(col("label"), posexplode(col("c")).as(Seq("i", "v")))
-      .select(col("label"), col("i").cast("long").as("i"), r4(col("v")).as("avg_v"))
+      // + 0.0 canonicalizes IEEE -0.0 → 0.0: a ~1e-18 mean can round to
+      // negative zero on one engine and positive zero on the other
+      .select(col("label"), col("i").cast("long").as("i"),
+        (r4(col("v")) + lit(0.0)).as("avg_v"))
       .orderBy(col("label").asc, col("i").asc)
 
   /** K4 batch variant: bulk similarity join, 3 queries × top-5 each. */
@@ -657,7 +660,7 @@ object Queries {
       """WITH x AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS i,
         |                  unnest(embedding::DOUBLE[]) AS v
         |           FROM embeddings)
-        |SELECT label, i, round(avg(v), 4) AS avg_v
+        |SELECT label, i, round(avg(v), 4) + 0.0 AS avg_v
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     "knn_batch" -> Q(knnBatch, Some(knnBatchSql)),
     "knn_batch_topk" -> Q(knnBatchTopk, Some(knnBatchSql)),

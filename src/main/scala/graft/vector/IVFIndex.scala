@@ -60,10 +60,33 @@ object IVFIndex {
   /** reference nprobe default: max(1, nlist // 10) (local_db.py:52). */
   def defaultNprobe(nlist: Int): Int = math.max(1, nlist / 10)
 
-  /** Train centroids on a bounded sample driver-side, assign the corpus in
-    * one mapPartitions pass with the centers in the task closure. */
+  /** Distributed Lloyd refinement: each iteration is ONE pass over the
+    * corpus — nearest-centroid assignment via the codegen
+    * [[graft.expr.NearestCentroid]] expression, then per-cluster means via
+    * the map-side-combined [[graft.expr.VectorAgg.vecAvg]] aggregate
+    * (O(nlist × dim) on the wire and at the driver, never O(rows)). The
+    * k-means objective is non-increasing per iteration; empty clusters
+    * keep their center. Use after sample-based training when the sample
+    * may under-represent tail clusters at full corpus scale. */
+  def refine(data: DataFrame, vecCol: String,
+             centers: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
+    var cs = centers
+    for (_ <- 0 until iters) {
+      val means = data.select(col(vecCol).as("v"),
+          graft.expr.VectorExpr.nearestCentroid(col(vecCol), cs).as("c"))
+        .groupBy(col("c")).agg(graft.expr.VectorAgg.vecAvg(col("v")).as("m"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      cs = cs.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }
+    }
+    cs
+  }
+
+  /** Train centroids on a bounded sample driver-side (optionally refined
+    * over the full corpus with `refineIters` distributed Lloyd passes),
+    * assign the corpus in one codegen-expression pass. */
   def build(data: DataFrame, idCol: String, vecCol: String,
-            nlist: Int, seed: Long = 42L, trainSample: Int = 50000): IVFIndex = {
+            nlist: Int, seed: Long = 42L, trainSample: Int = 50000,
+            refineIters: Int = 0): IVFIndex = {
     val spark = data.sparkSession
     import spark.implicits._
     val base = data.select(col(idCol).cast("long").as("id"),
@@ -78,9 +101,12 @@ object IVFIndex {
       .collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "cannot build an IVF index over an empty corpus")
     val k = effectiveClusters(sample.length.toLong, nlist)
-    val centers: Array[Array[Double]] =
+    val trained: Array[Array[Double]] =
       if (k < 2) Array(sample.head.map(_ => 0.0)) // single-cluster degenerate rung
       else Lloyd.fit(sample, k, iters = 20, new scala.util.Random(seed))
+    val centers =
+      if (refineIters > 0 && k >= 2) refine(base, "__vd", trained, refineIters)
+      else trained
     val assigned = base.select(col("id"), col("vector"),
         graft.expr.VectorExpr.nearestCentroid(col("vector"), centers).as("cluster"))
       .repartition(col("cluster"))

@@ -36,6 +36,30 @@ class IVFSpec extends AnyFunSuite {
     assert(mean >= 0.6, s"mean recall@10 = $mean (per-query: $recalls)")
   }
 
+  test("distributed Lloyd refinement never increases the quantization error") {
+    import org.apache.spark.sql.functions.col
+    // mean squared distance to the assigned centroid, computed driver-side
+    // over the small test table (assignment itself uses the codegen expr)
+    def msd(centers: Array[Array[Double]]): Double = {
+      val rows = emb.select(col("embedding"),
+          graft.expr.VectorExpr.nearestCentroid(col("embedding"), centers).as("c"))
+        .collect()
+      rows.map { r =>
+        val v = r.getSeq[Float](0).map(_.toDouble).toArray
+        val cen = centers(r.getInt(1))
+        v.zip(cen).map { case (x, y) => (x - y) * (x - y) }.sum
+      }.sum / rows.length
+    }
+    val sampleTrained = IVFIndex.build(emb, "vec_id", "embedding", nlist = 8)
+      .centroids.map(_._2)
+    val before = msd(sampleTrained)
+    val refined = IVFIndex.refine(
+      emb.select(col("embedding").cast("array<double>").as("__vd")), "__vd",
+      sampleTrained, iters = 3)
+    val after = msd(refined)
+    assert(after <= before + 1e-9, s"refinement increased MSD: $before -> $after")
+  }
+
   test("partition count: a probe touches fewer rows than the full scan") {
     val q = queryVec(3)
     val probed = index.probeOrder(q).take(4)
