@@ -23,19 +23,11 @@ object Queries {
   final case class Q(fn: (SparkSession, String) => DataFrame, sql: Option[String])
 
   private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    graft.sources.Tables.parquet(spark, dir, name)
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which the
-    * Spark reader rejects; read nanos as LONG and rebuild a (micro) timestamp.
-    * Nanosecond sub-precision is zero in the generator, so this is lossless. */
-  private def eventsTbl(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // `div` (integral division) — `/` would promote the ~1.7e18 nanos LONG
-    // to DOUBLE, whose 2^53 mantissa rounds ±128 ns and shifts some
-    // timestamps by a microsecond.
-    tbl(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  /** Nanos-safe events read — see [[graft.sources.Tables.events]]. */
+  private def eventsTbl(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.events(spark, dir)
 
   /** Driver-side lookup of a query vector — this is a query *argument*
     * (≙ the reference caller passing `query_vector`, local_db.py:137), not a
@@ -222,14 +214,8 @@ object Queries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), VectorDatabase]
 
   private def vdb(spark: SparkSession, dir: String): VectorDatabase =
-    vdbCache.getOrElseUpdate((spark, dir), {
-      val joined = tbl(spark, dir, "documents")
-        .join(tbl(spark, dir, "embeddings"),
-          col("doc_id") === col("vec_id"))
-      val db = VectorDatabase.create(spark, 64, "flat")
-      db.addBulk(joined, "text", "embedding", None, "doc_id")
-      db
-    })
+    vdbCache.getOrElseUpdate((spark, dir),
+      graft.sources.CollectionLoader.fromTestTables(spark, dir))
 
   /** K11 widened-probe hybrid path (ldb:359–374): index probe with
     * k = max(10·topK, 100), squared-L2 score discipline, zero-scatter over

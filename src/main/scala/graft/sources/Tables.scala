@@ -1,0 +1,59 @@
+package graft.sources
+
+import graft.VectorDatabase
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dataset access for the driver-generated tables and user collections —
+  * the engine's source tier. Centralizes the one genuinely tricky read
+  * (TIMESTAMP(NANOS) events) and the canonical-collection ingest path.
+  */
+object Tables {
+
+  def parquet(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
+    * the Spark reader rejects; read nanos as LONG and rebuild a (micro)
+    * timestamp. `div` (integral division) is load-bearing: `/` would
+    * promote the ~1.7e18 nanos LONG to DOUBLE, whose 2^53 mantissa rounds
+    * ±128 ns and shifts some timestamps by a microsecond. Nanosecond
+    * sub-precision is zero in the generator, so this is lossless. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    parquet(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    parquet(spark, dir, "documents")
+
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    parquet(spark, dir, "embeddings")
+}
+
+/** Bulk collection ingest: build a [[VectorDatabase]] from any DataFrame
+  * source (parquet/csv/json/jdbc — whatever `spark.read` produced) through
+  * the dense-id `addBulk` path. The reference has no bulk loader (its `add`
+  * is a driver-array call, local_db.py:56); at pipeline scale, loading a
+  * collection IS a distributed job, so this is first-class here. */
+object CollectionLoader {
+
+  /** `orderCol` defines insert order (⇒ rowids); it should be unique. */
+  def load(spark: SparkSession, source: DataFrame, dim: Int,
+           docCol: String, vecCol: String, orderCol: String,
+           metaJsonCol: Option[String] = None,
+           indexType: String = "flat"): VectorDatabase = {
+    val db = VectorDatabase.create(spark, dim, indexType)
+    db.addBulk(source, docCol, vecCol, metaJsonCol, orderCol)
+    db
+  }
+
+  /** The docs ⋈ embeddings join of the driver test tables as a collection. */
+  def fromTestTables(spark: SparkSession, dir: String, dim: Int = 64,
+                     indexType: String = "flat"): VectorDatabase =
+    load(spark,
+      Tables.documents(spark, dir).join(Tables.embeddings(spark, dir),
+        col("doc_id") === col("vec_id")),
+      dim, "text", "embedding", "doc_id", None, indexType)
+}

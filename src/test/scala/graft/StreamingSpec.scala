@@ -60,6 +60,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("fromDirectory streams parquet event files as they arrive") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftevdir").toString
+    def writeBatch(sub: String, rows: Seq[(Long, Timestamp, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+    writeBatch("a", Seq((1L, ts("2026-01-01 10:05:00"), 7L, "click", 2.0, "{}")))
+    val q = EventStream.startWindowed(EventStream.fromDirectory(spark, dir), "dirwin_test")
+    try {
+      q.processAllAvailable()
+      // a new file appearing in the directory is picked up incrementally
+      writeBatch("b", Seq((2L, ts("2026-01-01 10:40:00"), 8L, "click", 4.0, "{}")))
+      q.processAllAvailable()
+      val rows = spark.table("dirwin_test").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.contains(("2026-01-01 10:00:00.0", "click", 2L, 3.0)), rows.toSeq.toString)
+    } finally q.stop()
+  }
+
   test("sessionized merges events within the gap and closes on watermark") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

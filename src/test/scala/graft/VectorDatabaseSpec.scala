@@ -183,6 +183,21 @@ class VectorDatabaseSpec extends AnyFunSuite {
     assert(rich.sameElements(Seq(0L, 2L, 4L)))
   }
 
+  test("faithfulPreFilter reproduces the reference's search-then-intersect order (ldb:179–185)") {
+    val db = freshDb("flat")
+    val pred = db.metaValue("priority") === lit("\"high\"")
+    val unfiltered = db.queryVector(vecs(0), 3).collect().map(_.getLong(0)).toSet
+    val faithful = db.queryVector(vecs(0), 3,
+      preFilter = Some(pred), faithfulPreFilter = true).collect().map(_.getLong(0)).toSet
+    // faithful mode intersects AFTER ranking: results ⊆ (top-k ∩ filter)
+    assert(faithful.subsetOf(unfiltered))
+    assert(faithful.subsetOf(Set(0L, 2L)))
+    // pushdown mode can recall filtered rows outside the global top-k
+    val pushdown = db.queryVector(vecs(0), 3,
+      preFilter = Some(pred)).collect().map(_.getLong(0)).toSet
+    assert(pushdown == Set(0L, 2L)) // both high-priority rows rank within k=3
+  }
+
   test("hybridSearch forced probe path (exactThreshold = 0, ldb:359–374)") {
     val db = freshDb("flat")
     val r = db.hybridSearch("vector databases", vecs(2), topK = 3, exactThreshold = 0L)
