@@ -405,6 +405,23 @@ object Queries {
       .orderBy(col("purchase_id"))
   }
 
+  /** Keyed range join (graft.operators.RangeJoin): clicks in the hour
+    * preceding each purchase, per user — bucketed equi-join candidates +
+    * exact microsecond filter, never a per-key nested loop. */
+  private def rangeClicks(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTbl(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("event_id").as("purchase_id"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"), col("value").as("click_value"))
+    graft.operators.RangeJoin.preceding(purchases, clicks,
+        keyCols = Seq("user_id"), leftTs = "pts", rightTs = "cts",
+        beforeUs = 3600L * 1000000L)
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_clicks"), r4(sum(col("click_value"))).as("click_sum"))
+      .orderBy(col("purchase_id").asc)
+  }
+
   /** Gap-based sessionization (30-min inactivity closes a session): the
     * batch twin of streaming session windows, composed from lag + running
     * sum — one shuffle on user_id, no self-join. */
@@ -851,6 +868,16 @@ object Queries {
         |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
         |       round(sum(value), 4) AS total_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
+    "range_clicks" -> Q(rangeClicks, Some(
+      """WITH p AS (SELECT user_id, ts AS pts, event_id AS purchase_id
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, ts AS cts, value AS click_value
+        |           FROM events WHERE event_type = 'click')
+        |SELECT p.purchase_id, count(*) AS n_clicks,
+        |       round(sum(c.click_value), 4) AS click_sum
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |   AND epoch_us(c.cts) BETWEEN epoch_us(p.pts) - 3600000000 AND epoch_us(p.pts)
+        |GROUP BY p.purchase_id ORDER BY p.purchase_id""".stripMargin)),
     "asof_clicks" -> Q(asofClicks, Some(
       """WITH c AS (SELECT user_id, ts, event_id AS click_id, value AS click_value
         |           FROM events WHERE event_type = 'click'),
