@@ -49,6 +49,20 @@ object EventStream {
       .queryName(queryName)
       .start()
 
+  /** Durable sink: watermark-finalized windowed stats appended to parquet
+    * with exactly-once file-sink semantics (offset log + file manifest in
+    * `checkpoint`). Append mode emits a window once, when the watermark
+    * closes it — the contract a downstream batch reader wants. */
+  def startWindowedParquet(events: DataFrame, path: String, checkpoint: String,
+                           queryName: String) =
+    windowedStats(events).writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .queryName(queryName)
+      .start()
+
   /** Gap-based streaming sessionization — the streaming twin of the batch
     * `sessionize` operator (graft.Queries): `session_window` merges events
     * within `gap` of each other into one per-user session that grows across

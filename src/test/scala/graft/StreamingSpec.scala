@@ -107,6 +107,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("startWindowedParquet appends watermark-closed windows to a durable sink") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graftsink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graftsinkck").toString
+    val input = MemoryStream[Ev]
+    val q = EventStream.startWindowedParquet(input.toDF(), out, ckpt, "pq_sink_test")
+    try {
+      input.addData(
+        Ev(ts("2026-01-01 10:05:00"), "click", 1.0),
+        Ev(ts("2026-01-01 10:20:00"), "click", 3.0))
+      q.processAllAvailable()
+      // advance the watermark past the 10:00 window's close (+10 min)
+      input.addData(Ev(ts("2026-01-01 12:00:00"), "view", 5.0))
+      q.processAllAvailable()
+      input.addData(Ev(ts("2026-01-01 13:00:00"), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(out).collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.contains(("2026-01-01 10:00:00.0", "click", 2L, 2.0)), rows.toSeq.toString)
+    } finally q.stop()
+  }
+
   test("ingestInto appends micro-batches to a VectorDatabase with dense ids") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
