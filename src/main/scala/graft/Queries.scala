@@ -450,6 +450,15 @@ object Queries {
         sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("revenue"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
+  /** Relational tier: CUBE grouping sets (all four rollup combinations —
+    * free via Catalyst's Expand operator, §2.6). */
+  private def cubeRevenue(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("revenue"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
   /** Relational tier: set operations (INTERSECT / EXCEPT / UNION ALL). */
   private def setOps(spark: SparkSession, dir: String): DataFrame = {
     val d = docsTbl(spark, dir)
@@ -890,6 +899,11 @@ object Queries {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+    "cube_revenue" -> Q(cubeRevenue, Some(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
     "set_ops" -> Q(setOps, Some(
       """WITH en AS (SELECT doc_id AS id FROM documents WHERE lang = 'en'),
