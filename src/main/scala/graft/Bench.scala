@@ -18,9 +18,16 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"
       case c if c < ' ' => " "; case c => c.toString
     }
-    // Two timed runs per query; headline = min (run 1 pays one-time index
-    // builds — the reference amortizes those at add() time — and absorbs
-    // transient host stalls, which measure 10-60x on this shared machine).
+    // Protocol (r2 VERDICT next-round #3): THREE timed runs per query.
+    //  - headline `queries`/`value` = min (run 1 pays one-time index builds —
+    //    the reference amortizes those at add() time — and this shared host
+    //    stalls 10-60x transiently);
+    //  - `cold` = run 1 (build-inclusive), `median` = per-query median, with
+    //    `total_cold`/`total_median` beside the headline so a reader sees
+    //    every protocol at once;
+    //  - any run > 5x the query's median lands in `anomalies` — a stall is
+    //    flagged, never silently averaged in (r2's cold column recorded a
+    //    237.9 s host stall for a 16 s query).
     // A failed run reports -1, never its wall-clock (r1 ADVICE: the old
     // catch swallowed the error and benched crashes as fast-and-green).
     def time(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)
@@ -31,19 +38,31 @@ object Bench {
         (-1.0, Some(s"${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage)).take(120)}"))
       }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (c, e1) = time(fn)
-      val (w, e2) = time(fn)
-      val best = if (c < 0) w else if (w < 0) c else math.min(c, w)
-      (name, best, c, e1.orElse(e2))
+    final case class R(name: String, runs: Seq[Double], err: Option[String]) {
+      val valid: Seq[Double] = runs.filter(_ >= 0)
+      val best: Double = if (valid.isEmpty) -1.0 else valid.min
+      val cold: Double = runs.head
+      val median: Double =
+        if (valid.isEmpty) -1.0 else valid.sorted.apply((valid.size - 1) / 2)
+      val suspect: Seq[Double] =
+        if (median <= 0) Nil else valid.filter(_ > 5 * median)
     }
-    val qs = results.map { case (k, v, _, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    val cold = results.map { case (k, _, c, _) => s"\"$k\":$c" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(e)) => s"\"$k\":\"${esc(e)}\"" }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val timed = (1 to 3).map(_ => time(fn))
+      R(name, timed.map(_._1), timed.flatMap(_._2).headOption)
+    }
+    def obj(f: R => String): String =
+      results.map(r => s""""${r.name}":${f(r)}""").mkString("{", ",", "}")
+    val qs = obj(_.best.toString)
+    val cold = obj(_.cold.toString)
+    val med = obj(_.median.toString)
+    val anomalies = results.filter(_.suspect.nonEmpty)
+      .map(r => s""""${r.name}":[${r.suspect.mkString(",")}]""").mkString("{", ",", "}")
+    val errs = results.collect { case r if r.err.isDefined => s""""${r.name}":"${esc(r.err.get)}"""" }
       .mkString("{", ",", "}")
-    val failed = results.count(_._2 < 0)
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$cold,"errors":$errs,"failed":$failed,"sf":"$sfDir"}""")
+    val failed = results.count(_.best < 0)
+    def tot(f: R => Double): Double = results.map(f).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${tot(_.best)},"unit":"sec","total_cold":${tot(_.cold)},"total_median":${tot(_.median)},"queries":$qs,"cold":$cold,"median":$med,"anomalies":$anomalies,"errors":$errs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import graft.model.Manifest
 import graft.text.BM25
-import graft.vector.{ExactKNN, IVFIndex, PQIndex}
+import graft.vector.{ExactKNN, IVFIndex, LSHIndex, PQIndex}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -55,6 +55,7 @@ class VectorDatabase private (
   private var bm25Var: Option[BM25.Index] = None
   private var ivfVar: Option[IVFIndex] = None
   private var pqVar: Option[PQIndex] = None
+  private var lshVar: Option[LSHIndex] = None
   private var hybridCache: Option[DataFrame] = None
 
   private def bm25: BM25.Index = bm25Var.getOrElse {
@@ -84,12 +85,24 @@ class VectorDatabase private (
     pqVar = Some(b); b
   }
 
+  /** The second HNSW capability substitute (SURVEY §2.3-K5): bucketed
+    * random-projection LSH. Needs no training, so there is no degrade rung;
+    * bucketLength 2/√dim ≈ 2σ of a unit vector's projection onto a unit
+    * direction at this dim (the 0.25-at-dim-64 rule, LSHSpec). */
+  private def lshIdx: LSHIndex = lshVar.getOrElse {
+    val b = LSHIndex.build(df, "id", "vector",
+      numHashTables = 4, bucketLength = 2.0 / math.sqrt(dim.toDouble))
+    lshVar = Some(b); b
+  }
+
   private def invalidate(): Unit = {
     bm25Var = None
     ivfVar.foreach(_.assignments.unpersist())
     ivfVar = None
     pqVar.foreach(_.codes.unpersist())
     pqVar = None
+    lshVar.foreach(_.hashed.unpersist())
+    lshVar = None
     hybridCache.foreach(_.unpersist())
     hybridCache = None
   }
@@ -185,6 +198,14 @@ class VectorDatabase private (
   /** The canonical frame (read-only view). */
   def data: DataFrame = df
 
+  /** Releases every cached frame this instance holds (canonical data +
+    * derived indexes) — for callers managing many collections in one
+    * long-lived session. The instance must not be used afterwards. */
+  def close(): Unit = {
+    invalidate()
+    df.unpersist(blocking = false)
+  }
+
   /** Typed accessor for a metadata key as a canonical-JSON string column —
     * numbers render bare, strings quoted, so typed equality is preserved. */
   def metaValue(key: String): Column =
@@ -244,12 +265,9 @@ class VectorDatabase private (
     val result =
       if (faithfulPreFilter && preFilter.isDefined) {
         // reference order: ANN search first, intersect after (ldb:179–185)
-        val top = searchTopK(df, q, topK)
+        val top = searchTopK(q, topK)
         top.join(df.where(preFilter.get).select(col("id")), Seq("id"), "left_semi")
-      } else {
-        val base = preFilter.map(df.where).getOrElse(df)
-        searchTopK(base, q, topK)
-      }
+      } else searchTopK(q, topK, preFilter)
     val post = postFilter match {
       case Some(p) => result.join(df.where(p).select(col("id")), Seq("id"), "left_semi")
       case None => result
@@ -258,26 +276,44 @@ class VectorDatabase private (
     if (returnScores) ordered else ordered.select(col("id"))
   }
 
-  private def searchTopK(base: DataFrame, q: Array[Double], k: Int): DataFrame =
+  /** Index dispatch for a top-k probe. `pre` is the optional pre-filter,
+    * PUSHED INTO the index probe (r2 VERDICT next-round #6): cluster/bucket
+    * pruning happens first, then the filter semi-joins the pruned
+    * candidates — a filtered IVF query still reads nprobe/nlist of the
+    * data instead of silently degenerating to a full exact scan. */
+  private def searchTopK(q: Array[Double], k: Int,
+                         pre: Option[Column] = None): DataFrame = {
+    lazy val restrict = pre.map(p => df.where(p).select(col("id")))
     manifestVar.effectiveType match {
-      case "ivf" if base.eq(df) =>
+      case "ivf" =>
         // hnsw-substitute recall knob: ef_search → nprobe (SURVEY §2.5.2)
-        ivf.search(q, k, nprobe = math.max(1, manifestVar.efSearch / 10))
-      case "ivfpq" if base.eq(df) =>
+        ivf.search(q, k, nprobe = math.max(1, manifestVar.efSearch / 10),
+          restrict = restrict)
+      case "ivfpq" =>
         val i = ivf // may degrade effectiveType → flat on tiny corpora
         if (manifestVar.effectiveType == "flat")
-          ExactKNN.topK(base, "id", "vector", q, k)
+          ExactKNN.topK(pre.map(df.where).getOrElse(df), "id", "vector", q, k)
         else {
           // reference nprobe rule: max(1, ivf_clusters // 10) on the
           // CONFIGURED cluster count (ldb:52) — capped naturally by nlist
           val probed = i.probeOrder(q)
             .take(IVFIndex.defaultNprobe(manifestVar.ivfClusters)).toSeq
-          val cand = i.assignments.where(col("cluster").isin(probed: _*)).select(col("id"))
+          val cand0 = i.assignments.where(col("cluster").isin(probed: _*))
+          val cand = restrict
+            .map(r => cand0.join(r, Seq("id"), "left_semi"))
+            .getOrElse(cand0)
+            .select(col("id"))
           pq.search(q, k, among = Some(cand))
         }
-      case _ => // flat, or filtered base (IVF assignments don't carry filters)
-        ExactKNN.topK(base, "id", "vector", q, k)
+      case "lsh" =>
+        // ef_search → multiprobe radius (50 ≙ the reference's default
+        // ef_search ↔ radius 1; radius 0 is the pure bucket probe)
+        lshIdx.search(q, k, probeRadius = math.max(0, manifestVar.efSearch / 50),
+          restrict = restrict)
+      case _ => // flat
+        ExactKNN.topK(pre.map(df.where).getOrElse(df), "id", "vector", q, k)
     }
+  }
 
   // ---------------------------------------------------------------------
   // K1–K3 queryText (ldb:115–135)
@@ -320,7 +356,7 @@ class VectorDatabase private (
         ExactKNN.scoreAll(df, "id", "vector", q, ExactKNN.L2).withColumnRenamed("score", "vs")
       else {
         val widened = math.min(nRows, math.max(10L * topK, 100L)).toInt // ldb:361
-        val probed = searchTopK(df, q, widened).withColumnRenamed("score", "vs")
+        val probed = searchTopK(q, widened).withColumnRenamed("score", "vs")
         df.select(col("id")).join(probed, Seq("id"), "left")
           .select(col("id"), coalesce(col("vs"), lit(0.0)).as("vs")) // score scatter, ldb:365–374
       }
@@ -358,19 +394,23 @@ class VectorDatabase private (
     * it records any degrade the builds performed. */
   def save(path: String): Unit = {
     df.write.mode("overwrite").parquet(s"$path/data")
-    if (nRows > 0 && manifestVar.effectiveType != "flat") {
-      val i = ivf // building may degrade effectiveType; re-check below
-      if (manifestVar.effectiveType != "flat") {
-        IVFIndex.centroidsToDf(spark, i).write.mode("overwrite")
-          .parquet(s"$path/index/centroids")
-        i.assignments.write.mode("overwrite")
-          .partitionBy("cluster") // probed-cluster partition pruning at scale
-          .parquet(s"$path/index/assignments")
-        if (manifestVar.effectiveType == "ivfpq")
-          PQIndex.save(pq, s"$path/index/pq")
-      }
+    if (nRows > 0) manifestVar.effectiveType match {
+      case "lsh" =>
+        LSHIndex.save(lshIdx, s"$path/index/lsh")
+      case "ivf" | "ivfpq" =>
+        val i = ivf // building may degrade effectiveType; re-check below
+        if (manifestVar.effectiveType != "flat") {
+          IVFIndex.centroidsToDf(spark, i).write.mode("overwrite")
+            .parquet(s"$path/index/centroids")
+          i.assignments.write.mode("overwrite")
+            .partitionBy("cluster") // probed-cluster partition pruning at scale
+            .parquet(s"$path/index/assignments")
+          if (manifestVar.effectiveType == "ivfpq")
+            PQIndex.save(pq, s"$path/index/pq")
+        }
+      case _ => () // flat: data + manifest only
     }
-    manifestVar.save(path)
+    manifestVar.save(path, spark.sparkContext.hadoopConfiguration)
   }
 }
 
@@ -401,23 +441,36 @@ object VectorDatabase {
   /** S4 load. Manifest-driven dispatch; unknown type → flat (handled in
     * Manifest.fromJson); manifest says ivf/ivfpq but index artifacts
     * missing → error (≙ missing faiss.idx crash, test_local_db.py:216–220). */
+  /** FS-agnostic existence check (HDFS/S3/file: — everything else in the
+    * save/load path is parquet through the Hadoop FileSystem API already;
+    * a java.io.File check here would break any non-local fs.defaultFS). */
+  private def artifactExists(spark: SparkSession, p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
   def load(spark: SparkSession, path: String): VectorDatabase = {
-    val man = Manifest.load(path)
+    val man = Manifest.load(path, spark.sparkContext.hadoopConfiguration)
     val data = spark.read.parquet(s"$path/data").persist(StorageLevel.MEMORY_AND_DISK)
     val n = data.count()
     val db = new VectorDatabase(spark, data, man, n)
     if ((man.effectiveType == "ivf" || man.effectiveType == "ivfpq") && n > 0) {
-      if (!new java.io.File(s"$path/index/assignments").exists())
+      if (!artifactExists(spark, s"$path/index/assignments"))
         throw new IllegalStateException(s"index artifacts missing under $path/index")
       val cents = spark.read.parquet(s"$path/index/centroids")
       val assigns = spark.read.parquet(s"$path/index/assignments")
         .persist(StorageLevel.MEMORY_AND_DISK)
       db.ivfVar = Some(IVFIndex.fromFrames(cents, assigns, man.ivfClusters))
       if (man.effectiveType == "ivfpq") {
-        if (!new java.io.File(s"$path/index/pq/codes").exists())
+        if (!artifactExists(spark, s"$path/index/pq/codes"))
           throw new IllegalStateException(s"PQ artifacts missing under $path/index/pq")
         db.pqVar = Some(PQIndex.load(spark, s"$path/index/pq"))
       }
+    }
+    if (man.effectiveType == "lsh" && n > 0) {
+      if (!artifactExists(spark, s"$path/index/lsh/hashed"))
+        throw new IllegalStateException(s"LSH artifacts missing under $path/index/lsh")
+      db.lshVar = Some(LSHIndex.load(spark, s"$path/index/lsh"))
     }
     db
   }

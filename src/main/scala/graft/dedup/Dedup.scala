@@ -71,27 +71,36 @@ object Dedup {
                    n: Int = 3, threshold: Double = 0.8,
                    shingleFrame: Option[DataFrame] = None): DataFrame = {
     val sh = shingleFrame.getOrElse(shingles(docs, idCol, textCol, n))
+    // one map-side-combined shingle-count aggregate, shared by the prefix
+    // bound and the verification stage (a count().over(partitionBy(id))
+    // window here re-sorts the whole shingle frame a second time — it was
+    // the bulk of this operator's cold cost at sf0.1)
+    val sizes = docSizes(sh)
     val dfg = sh.groupBy(col("gram")).agg(count(lit(1)).as("df"))
     val prefixes = sh.join(dfg, Seq("gram"))
+      .join(sizes, Seq("id"))
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
           .orderBy(col("df").asc, col("gram").asc)))
-      .withColumn("__sz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
-      .where(col("__rn") <= col("__sz") - ceil(lit(threshold) * col("__sz")) + 1)
+      .where(col("__rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select(col("id"), col("gram"))
     val cand = prefixes.as("l")
       .join(prefixes.as("r"), col("l.gram") === col("r.gram") && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
-    verifiedJaccard(cand, sh, threshold)
+    verifiedJaccard(cand, sh, threshold, Some(sizes))
   }
+
+  /** (id, sz): per-doc distinct-shingle counts as DOUBLE. */
+  private def docSizes(sh: DataFrame): DataFrame =
+    sh.groupBy(col("id")).agg(count(lit(1)).cast("double").as("sz"))
 
   /** Exact-Jaccard verification of candidate pairs (a, b) against the
     * shingle frame — the shared back half of [[jaccardPairs]] and
     * [[minhashPairs]]. */
   private def verifiedJaccard(cand: DataFrame, sh: DataFrame,
-                              threshold: Double): DataFrame = {
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).cast("double").as("sz"))
+                              threshold: Double,
+                              sizeFrame: Option[DataFrame] = None): DataFrame = {
+    val sizes = sizeFrame.getOrElse(docSizes(sh))
     val inter = cand
       .join(sh.select(col("id").as("a"), col("gram")), Seq("a"))
       .join(sh.select(col("id").as("b"), col("gram")), Seq("b", "gram"))
@@ -261,8 +270,11 @@ object Dedup {
     *    BroadcastNestedLoopJoin, per-task memory bounded by two blocks;
     *  - size `blocks` ≳ cluster parallelism (shuffle volume is N·blocks/2
     *    narrow rows; AQE splits residual skew).
-    * For true near-dup thresholds (≥ ~0.8) prefer [[embeddingPairsBanded]],
-    * which makes candidate generation sub-quadratic. Output: (a, b, cos). */
+    * For true near-dup thresholds (≥ ~0.7) DEFAULT to
+    * [[embeddingPairsBanded]] (oracle-gated as `dedup_embedding_banded`),
+    * which makes candidate generation sub-quadratic; reserve this exact
+    * join for low thresholds where banding recall decays.
+    * Output: (a, b, cos). */
   def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, blocks: Int = 32): DataFrame = {
     val spark = emb.sparkSession

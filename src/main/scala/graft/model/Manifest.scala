@@ -1,7 +1,9 @@
 package graft.model
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
 
 /** Collection manifest — the relational replacement for the reference's
   * index-type-detection-from-artifacts (local_db.py:233–248): one small JSON
@@ -28,24 +30,33 @@ final case class Manifest(
       s""""efConstruction":$efConstruction,"m":$m,"ivfClusters":$ivfClusters,""" +
       s""""pqCodeSize":$pqCodeSize,"efSearch":$efSearch}"""
 
-  def save(dir: String): Unit = {
-    Files.createDirectories(Paths.get(dir))
-    Files.write(Paths.get(dir, "manifest.json"), toJson.getBytes(StandardCharsets.UTF_8))
+  /** Writes through the Hadoop FileSystem API, so a collection saves to any
+    * fs.defaultFS (HDFS/S3/file:) — pass the session's hadoopConfiguration
+    * to pick up its filesystem credentials/settings. */
+  def save(dir: String, conf: Configuration = new Configuration()): Unit = {
+    val p = new Path(dir, "manifest.json")
+    val out = p.getFileSystem(conf).create(p, true)
+    try out.write(toJson.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 }
 
 object Manifest {
-  val knownTypes: Set[String] = Set("hnsw", "flat", "ivfpq")
+  /** The reference's three types (local_db.py:53–54) plus 'lsh' — the second
+    * documented HNSW capability substitute (SURVEY §2.3-K5), selectable and
+    * persistable through the same facade API (r2 VERDICT next-round #4). */
+  val knownTypes: Set[String] = Set("hnsw", "flat", "ivfpq", "lsh")
 
   /** Physical strategy per requested type: exact scan for 'flat'; true
     * IVF-probe + PQ/ADC compression for 'ivfpq' (the reference's
     * faiss.IndexIVFPQ, local_db.py:50–52, searches via compressed codes —
-    * so do we); the plain IVF probe path for 'hnsw' ('hnsw' has no
-    * data-parallel analog — SURVEY §7.3 — so its tunable-recall contract is
-    * served by IVF with ef_search mapped to nprobe). */
+    * so do we); bucketed random-projection LSH for 'lsh'; the plain IVF
+    * probe path for 'hnsw' ('hnsw' has no data-parallel analog — SURVEY
+    * §7.3 — so its tunable-recall contract is served by IVF with ef_search
+    * mapped to nprobe). */
   def effectiveFor(indexType: String): String = indexType match {
     case "flat" => "flat"
     case "ivfpq" => "ivfpq"
+    case "lsh" => "lsh"
     case _ => "ivf"
   }
 
@@ -71,9 +82,13 @@ object Manifest {
       efSearch = i("efSearch", 50))
   }
 
-  def load(dir: String): Manifest = {
-    val p = Paths.get(dir, "manifest.json")
-    require(Files.exists(p), s"no manifest at $dir")
-    fromJson(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+  def load(dir: String, conf: Configuration = new Configuration()): Manifest = {
+    val p = new Path(dir, "manifest.json")
+    val fs = p.getFileSystem(conf)
+    require(fs.exists(p), s"no manifest at $dir")
+    val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    val in = fs.open(p)
+    try in.readFully(buf) finally in.close()
+    fromJson(new String(buf, StandardCharsets.UTF_8))
   }
 }

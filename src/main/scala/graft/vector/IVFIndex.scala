@@ -39,13 +39,20 @@ final class IVFIndex(val centroids: Array[(Int, Array[Double])],
     }.map(_._1)
 
   /** Exact top-k over the `nprobe` nearest clusters only. Same output
-    * contract as [[ExactKNN.topK]]: (id, score), score = 1/(1+d²). */
+    * contract as [[ExactKNN.topK]]: (id, score), score = 1/(1+d²).
+    * `restrict` (an (id, …) frame) pre-filters the probed candidates via a
+    * semi-join — cluster pruning happens FIRST, so a filtered query still
+    * reads nprobe/nlist of the data instead of degenerating to a full scan
+    * (r2 VERDICT next-round #6). */
   def search(query: Array[Double], k: Int, nprobe: Int,
-             metric: ExactKNN.Metric = ExactKNN.L2Sq): DataFrame = {
+             metric: ExactKNN.Metric = ExactKNN.L2Sq,
+             restrict: Option[DataFrame] = None): DataFrame = {
     val probed = probeOrder(query).take(math.max(1, nprobe)).toSeq
-    ExactKNN.topK(
-      assignments.where(col("cluster").isin(probed: _*)),
-      "id", "vector", query, k, metric)
+    val cand0 = assignments.where(col("cluster").isin(probed: _*))
+    val cand = restrict
+      .map(r => cand0.join(r.select(col("id")), Seq("id"), "left_semi"))
+      .getOrElse(cand0)
+    ExactKNN.topK(cand, "id", "vector", query, k, metric)
   }
 }
 

@@ -51,14 +51,22 @@ final class LSHIndex(val hyperplanes: Array[Array[Double]],
   }
 
   /** Top-k via bucket probe + exact re-rank on candidates. `exact = true`
-    * widens the probe to the provable-superset radius (see class doc). */
+    * widens the probe to the provable-superset radius (see class doc).
+    * `restrict` (an (id, …) frame) pre-filters candidates via a semi-join —
+    * the bucket-range predicate still prunes first, so a filtered query
+    * scans only in-bucket rows. */
   def search(query: Array[Double], k: Int, probeRadius: Int = 0,
-             exact: Boolean = false): DataFrame = {
+             exact: Boolean = false,
+             restrict: Option[DataFrame] = None): DataFrame = {
     val qNorm = math.sqrt(query.map(x => x * x).sum)
     val r =
       if (exact) math.ceil((maxNorm + qNorm) / bucketLength).toInt
       else probeRadius
-    ExactKNN.topK(candidates(query, r), "id", "vector", query, k)
+    val cand0 = candidates(query, r)
+    val cand = restrict
+      .map(rf => cand0.join(rf.select(col("id")), Seq("id"), "left_semi"))
+      .getOrElse(cand0)
+    ExactKNN.topK(cand, "id", "vector", query, k)
   }
 }
 

@@ -247,6 +247,9 @@ class VectorDatabaseSpec extends AnyFunSuite {
     val p = java.nio.file.Paths.get(path, "manifest.json")
     val json = new String(java.nio.file.Files.readAllBytes(p))
     java.nio.file.Files.write(p, json.replace("\"flat\"", "\"mystery\"").getBytes)
+    // the rewrite bypassed Hadoop's checksummed LocalFileSystem — drop the
+    // stale .crc sidecar so the tampered manifest reads back
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path, ".manifest.json.crc"))
     val db2 = VectorDatabase.load(spark, path)
     assert(db2.manifest.effectiveType == "flat")
     assert(db2.queryVector(vecs(0), 2).collect().length == 2)
@@ -310,5 +313,88 @@ class VectorDatabaseSpec extends AnyFunSuite {
     // appending again continues the sequence
     db.addBulk(Seq(("zz", "tail doc", Seq(1f, 1f))).toDF("k", "d", "v"), "d", "v", None, "k")
     assert(db.getDocument(n.toLong).contains("tail doc"))
+  }
+
+  test("lsh facade roundtrip: create -> add -> save -> load -> queryVector (r2 VERDICT #4)") {
+    // efSearch 500 → probe radius 10 ≥ ⌈(maxNorm + qNorm)/bucketLength⌉ = 8
+    // at dim 8, so the LSH probe is a provable candidate superset here and
+    // results must equal the flat scan bit for bit
+    val db = VectorDatabase.create(spark, dim, "lsh", efSearch = 500)
+    val many = Seq.fill(40)(vec())
+    db.add(many.indices.map(i => s"doc $i"), many, None)
+    assert(db.manifest.effectiveType == "lsh")
+    assert(db.toString.contains("index_type=lsh"))
+    val flat = VectorDatabase.create(spark, dim, "flat")
+    flat.add(many.indices.map(i => s"doc $i"), many, None)
+    val viaLsh = db.queryVector(many(7), 5).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val viaFlat = flat.queryVector(many(7), 5).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(viaLsh.sameElements(viaFlat))
+    val path = java.nio.file.Files.createTempDirectory("graftlsh").toString
+    db.save(path)
+    assert(new java.io.File(s"$path/index/lsh/hashed").exists())
+    assert(new java.io.File(s"$path/index/lsh/planes").exists())
+    val db2 = VectorDatabase.load(spark, path)
+    assert(db2.manifest.effectiveType == "lsh")
+    val again = db2.queryVector(many(7), 5).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(again.sameElements(viaLsh))
+  }
+
+  test("lsh missing artifacts -> error") {
+    val db = VectorDatabase.create(spark, dim, "lsh")
+    val many = Seq.fill(10)(vec())
+    db.add(many.indices.map(i => s"doc $i"), many, None)
+    val path = java.nio.file.Files.createTempDirectory("graftlshmiss").toString
+    db.save(path)
+    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles.foreach(rm); f.delete() }
+    rm(new java.io.File(s"$path/index"))
+    intercept[IllegalStateException](VectorDatabase.load(spark, path))
+  }
+
+  test("filtered queryVector on an ivf collection equals the exact filtered scan when all clusters probe (r2 VERDICT #6)") {
+    // efSearch 40 → nprobe 4 = nlist: the filtered probe covers every
+    // cluster, so pushdown-into-probe must reproduce the flat filtered scan
+    val db = VectorDatabase.create(spark, dim, "hnsw", ivfClusters = 4, efSearch = 40)
+    val many = Seq.fill(60)(vec())
+    val ms = many.indices.map(i =>
+      Map[String, Any]("priority" -> (if (i % 2 == 0) "high" else "low")))
+    db.add(many.indices.map(i => s"doc $i"), many, Some(ms))
+    assert(db.manifest.effectiveType == "ivf")
+    val pred = db.metaValue("priority") === lit("\"high\"")
+    val viaIvf = db.queryVector(many(8), 5, preFilter = Some(pred))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val flat = VectorDatabase.create(spark, dim, "flat")
+    flat.add(many.indices.map(i => s"doc $i"), many, Some(ms))
+    val viaFlat = flat.queryVector(many(8), 5, preFilter = Some(pred))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(viaIvf.sameElements(viaFlat))
+    assert(viaIvf.map(_._1).forall(_ % 2 == 0)) // only high-priority (even) ids
+  }
+
+  test("filtered ivf probe still prunes clusters (plan pin, r2 VERDICT #6)") {
+    val db = VectorDatabase.create(spark, dim, "hnsw", ivfClusters = 4, efSearch = 10)
+    val many = Seq.fill(60)(vec())
+    val ms = many.indices.map(i =>
+      Map[String, Any]("priority" -> (if (i % 2 == 0) "high" else "low")))
+    db.add(many.indices.map(i => s"doc $i"), many, Some(ms))
+    val pred = db.metaValue("priority") === lit("\"high\"")
+    val p = db.queryVector(many(3), 5, preFilter = Some(pred))
+      .queryExecution.executedPlan.toString
+    // nprobe = efSearch/10 = 1: the probed-cluster IN-filter must survive
+    // the filter pushdown (no silent fallback to a full exact scan)
+    assert(p.contains("cluster"), s"no cluster pruning in plan:\n$p")
+    assert(p.contains("LeftSemi"), s"filter not applied as semi-join:\n$p")
+  }
+
+  test("save/load through an explicit file: URI (Hadoop FileSystem API, r2 VERDICT #7)") {
+    val db = VectorDatabase.create(spark, dim, "ivfpq", ivfClusters = 2)
+    val many = Seq.fill(40)(vec())
+    db.add(many.indices.map(i => s"doc $i"), many, None)
+    val path = "file://" + java.nio.file.Files.createTempDirectory("graftfsuri").toString
+    db.save(path) // manifest + artifact checks all go through Hadoop FS
+    val db2 = VectorDatabase.load(spark, path)
+    assert(db2.count == 40 && db2.manifest.effectiveType == "ivfpq")
+    val a = db.queryVector(many(5), 5).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val b = db2.queryVector(many(5), 5).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.sameElements(b))
   }
 }
