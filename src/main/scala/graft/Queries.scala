@@ -584,8 +584,20 @@ object Queries {
     * derived hyperplanes make every bucket bit-reproducible by the SQL
     * oracle, so this gate pins the funnel end to end — buckets, guard,
     * candidates, and verified scores. */
+  /** Memoized persisted sign-projection buckets (one narrow row per
+    * doc × band) — the 128-dot signature projection runs once per
+    * (session, dir), not four times per pair query (the guard and the
+    * bucket self-join each consume the frame twice). */
+  private val embBandsCache = new Memo[DataFrame](memoMax)(unp)
+
+  private def docEmbeddingBands(spark: SparkSession, dir: String): DataFrame =
+    embBandsCache.get(spark, dir)(
+      Dedup.embeddingBands(tbl(spark, dir, "embeddings"), "vec_id", "embedding")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   private def dedupEmbeddingBanded(spark: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingPairsBanded(tbl(spark, dir, "embeddings"), "vec_id", "embedding", 0.45)
+    Dedup.embeddingPairsBanded(tbl(spark, dir, "embeddings"), "vec_id", "embedding", 0.45,
+      bucketsFrame = Some(docEmbeddingBands(spark, dir)))
 
   // ---------------------------------------------------------------------------
   // Multimodal plumbing (graft.multimodal) — stub codec, real dataflow

@@ -318,12 +318,43 @@ object Dedup {
   def embeddingPairsBanded(emb: DataFrame, idCol: String, vecCol: String,
                            threshold: Double, dim: Int = 64,
                            bands: Int = 16, bitsPerBand: Int = 8,
-                           maxBucket: Int = 10000): DataFrame = {
+                           maxBucket: Int = 10000,
+                           bucketsFrame: Option[DataFrame] = None): DataFrame = {
     val rows = normalized(emb, idCol, vecCol)
-    // hyperplane h(b,k)[i] = md5-derived uniform in (-0.5, 0.5): first 8 hex
-    // chars of md5('b_k_i') as an unsigned int, scaled. Derived driver-side
-    // (same md5 ⇒ bit-identical to a SQL oracle's) and shipped as literal
-    // arrays so each sign bit is ONE fused-codegen dot, not a 64-term tree.
+    // Buckets carry IDS ONLY: a candidate pair is two longs, so the
+    // dedup-distinct and the bucket self-join shuffle narrow rows. Vectors
+    // join back in only for the final verification dot — carrying vn through
+    // the exploded per-band frame (and distinct-ing rows holding TWO
+    // 64-double arrays) made this funnel ~50x slower than its own exact-N²
+    // fallback at sf0.1. Callers re-running pair queries should pass a
+    // persisted bucketsFrame (one narrow row per doc × band — the 128-dot
+    // signature projection is the dominant map cost and the guard + self-join
+    // otherwise recompute it four times; see graft.Queries' caches).
+    val buckets = bucketsFrame.getOrElse(embeddingBands(emb, idCol, vecCol, dim, bands, bitsPerBand))
+    val guarded = bucketGuard(buckets, Seq("band", "sig"), maxBucket)
+    val cand = guarded.as("l")
+      .join(guarded.as("r"), col("l.band") === col("r.band") && col("l.sig") === col("r.sig")
+        && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .distinct()
+    val dot = VectorFunctions.dot(col("va"), col("vb"))
+    cand
+      .join(rows.select(col("id").as("a"), col("vn").as("va")), Seq("a"))
+      .join(rows.select(col("id").as("b"), col("vn").as("vb")), Seq("b"))
+      .where(dot >= threshold)
+      .select(col("a"), col("b"), round(dot, 4).as("cos"))
+      .orderBy(col("cos").desc, col("a").asc, col("b").asc)
+  }
+
+  /** Sign-random-projection banded buckets: (id, band, sig) — one narrow row
+    * per doc × band, the reusable front half of [[embeddingPairsBanded]].
+    * Hyperplane h(b,k)[i] = md5-derived uniform in (-0.5, 0.5): first 4
+    * bytes of md5('b_k_i') as an unsigned int, scaled. Derived driver-side
+    * (same md5 ⇒ bit-identical to a SQL oracle's) and shipped as literal
+    * arrays so each sign bit is ONE fused-codegen dot, not a 64-term tree. */
+  def embeddingBands(emb: DataFrame, idCol: String, vecCol: String,
+                     dim: Int = 64, bands: Int = 16, bitsPerBand: Int = 8): DataFrame = {
+    val rows = normalized(emb, idCol, vecCol)
     def hplane(b: Int, k: Int): Array[Double] = Array.tabulate(dim) { i =>
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(s"${b}_${k}_$i".getBytes("UTF-8"))
@@ -331,26 +362,14 @@ object Dedup {
               ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
       u.toDouble / 4294967296.0 - 0.5
     }
-    def bit(b: Int, k: Int): Column =
-      when(VectorFunctions.dot(col("vn"), VectorFunctions.vecLit(hplane(b, k))) > 0, "1")
-        .otherwise("0")
-    val sigs = rows.select(col("id") +: col("vn") +:
-      (0 until bands).map(b => concat((0 until bitsPerBand).map(k => bit(b, k)): _*).as(s"band$b")): _*)
-    val buckets = sigs.select(col("id"), col("vn"),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"), col(s"band$b").as("sig"))): _*)).as("e"))
-      .select(col("id"), col("vn"), col("e.band"), col("e.sig"))
-    val guarded = bucketGuard(buckets, Seq("band", "sig"), maxBucket)
-    val cand = guarded.as("l")
-      .join(guarded.as("r"), col("l.band") === col("r.band") && col("l.sig") === col("r.sig")
-        && col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("l.vn").as("va"),
-        col("r.id").as("b"), col("r.vn").as("vb"))
-      .distinct()
-    val dot = VectorFunctions.dot(col("va"), col("vb"))
-    cand.where(dot >= threshold)
-      .select(col("a"), col("b"), round(dot, 4).as("cos"))
-      .orderBy(col("cos").desc, col("a").asc, col("b").asc)
+    val planes = Array.tabulate(bands * bitsPerBand)(idx =>
+      hplane(idx / bitsPerBand, idx % bitsPerBand))
+    // one fused codegen pass computes every band signature (SignBands holds
+    // the plane matrix as a reference object); posexplode's position IS the
+    // band index, so the frame matches the per-band struct-explode layout
+    rows.select(col("id"),
+        posexplode(graft.expr.VectorExpr.signBands(col("vn"), planes, bitsPerBand)))
+      .toDF("id", "band", "sig")
   }
 
   /** Skew guard for banded self-joins: drops buckets with more than

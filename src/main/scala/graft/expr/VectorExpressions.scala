@@ -212,6 +212,93 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** All sign-random-projection band signatures in ONE fused pass: for band b
+  * and bit k, bit = (Σ_i v_i · planes[b·bitsPerBand+k][i] > 0) ? '1' : '0';
+  * output is one `bitsPerBand`-char string per band. The plane matrix rides
+  * as a plan reference object (bands × bitsPerBand × dim doubles — constant-
+  * sized, like [[NearestCentroid]]'s centroid table), so the generated code
+  * is three nested double loops with zero allocation beyond the output
+  * strings. Replaces a Project of bands × bitsPerBand separate dot
+  * expressions over 64-element literal arrays, whose generated method was
+  * the dominant janino-compile cost of the banded dedup funnel.
+  * Accumulation is strictly left-to-right in double — bit-identical to
+  * [[DotProduct]] and to the SQL oracle's `list_sum(list_transform(...))`. */
+case class SignBands(child: Expression, planes: Array[Array[Double]], bitsPerBand: Int)
+    extends UnaryExpression {
+  require(planes.nonEmpty && planes.length % bitsPerBand == 0,
+    "planes must hold bands × bitsPerBand rows")
+  override def prettyName: String = "vec_sign_bands"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(t, _) if t == FloatType || t == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an ARRAY<FLOAT|DOUBLE> arg, got ${other.simpleString}")
+  }
+
+  private def elemT: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val isF = elemT == FloatType
+    val nBands = planes.length / bitsPerBand
+    val out = new Array[Any](nBands)
+    var b = 0
+    while (b < nBands) {
+      val bytes = new Array[Byte](bitsPerBand)
+      var k = 0
+      while (k < bitsPerBand) {
+        val p = planes(b * bitsPerBand + k)
+        val n = math.min(p.length, arr.numElements())
+        var d = 0.0; var i = 0
+        while (i < n) {
+          d += (if (isF) arr.getFloat(i).toDouble else arr.getDouble(i)) * p(i)
+          i += 1
+        }
+        bytes(k) = if (d > 0) '1' else '0'
+        k += 1
+      }
+      out(b) = org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes)
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ps = ctx.addReferenceObj("planes", planes, "double[][]")
+    val get = if (elemT == FloatType) "getFloat" else "getDouble"
+    val nBands = planes.length / bitsPerBand
+    nullSafeCodeGen(ctx, ev, v => {
+      val b = ctx.freshName("b"); val k = ctx.freshName("k"); val i = ctx.freshName("i")
+      val n = ctx.freshName("n"); val d = ctx.freshName("d")
+      val p = ctx.freshName("p"); val bytes = ctx.freshName("bytes")
+      val out = ctx.freshName("out")
+      s"""
+         |final Object[] $out = new Object[$nBands];
+         |for (int $b = 0; $b < $nBands; $b++) {
+         |  final byte[] $bytes = new byte[$bitsPerBand];
+         |  for (int $k = 0; $k < $bitsPerBand; $k++) {
+         |    final double[] $p = $ps[$b * $bitsPerBand + $k];
+         |    final int $n = java.lang.Math.min($p.length, $v.numElements());
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $d += ((double) $v.$get($i)) * $p[$i];
+         |    }
+         |    $bytes[$k] = $d > 0 ? (byte) '1' : (byte) '0';
+         |  }
+         |  $out[$b] = org.apache.spark.unsafe.types.UTF8String.fromBytes($bytes);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API entry points. */
 object VectorExpr {
   private def c(e: Expression): Column = GraftColumnBridge.column(e)
@@ -222,4 +309,6 @@ object VectorExpr {
   def cosine(a: Column, b: Column): Column = c(CosineSim(x(a), x(b)))
   def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column =
     c(NearestCentroid(x(v), centroids))
+  def signBands(v: Column, planes: Array[Array[Double]], bitsPerBand: Int): Column =
+    c(SignBands(x(v), planes, bitsPerBand))
 }
