@@ -38,7 +38,10 @@ object Bench {
         (-1.0, Some(s"${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage)).take(120)}"))
       }
     }
-    final case class R(name: String, runs: Seq[Double], err: Option[String]) {
+    // errs is per-run ("run N: msg") — a run-1-only failure (e.g. an index
+    // build crash recovered by retry) must stay distinguishable from a flaky
+    // later run, and tot(_.cold) dropping a query is visible as such.
+    final case class R(name: String, runs: Seq[Double], errs: Seq[String]) {
       val valid: Seq[Double] = runs.filter(_ >= 0)
       val best: Double = if (valid.isEmpty) -1.0 else valid.min
       val cold: Double = runs.head
@@ -49,7 +52,8 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val timed = (1 to 3).map(_ => time(fn))
-      R(name, timed.map(_._1), timed.flatMap(_._2).headOption)
+      R(name, timed.map(_._1),
+        timed.zipWithIndex.collect { case ((_, Some(e)), i) => s"run ${i + 1}: $e" })
     }
     def obj(f: R => String): String =
       results.map(r => s""""${r.name}":${f(r)}""").mkString("{", ",", "}")
@@ -58,7 +62,8 @@ object Bench {
     val med = obj(_.median.toString)
     val anomalies = results.filter(_.suspect.nonEmpty)
       .map(r => s""""${r.name}":[${r.suspect.mkString(",")}]""").mkString("{", ",", "}")
-    val errs = results.collect { case r if r.err.isDefined => s""""${r.name}":"${esc(r.err.get)}"""" }
+    val errs = results.collect { case r if r.errs.nonEmpty =>
+        s""""${r.name}":[${r.errs.map(e => s""""${esc(e)}"""").mkString(",")}]""" }
       .mkString("{", ",", "}")
     val failed = results.count(_.best < 0)
     def tot(f: R => Double): Double = results.map(f).filter(_ >= 0).sum

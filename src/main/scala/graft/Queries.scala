@@ -39,8 +39,8 @@ object Queries {
   private val r4 = (c: Column) => round(c, 4)
 
   /** Bounded (session, dir)-keyed memo (r2 VERDICT next-round #8): at most
-    * `max` live entries; inserting past the cap evicts the oldest entry and
-    * `dispose`s it (unpersisting its cached frames), so repeated
+    * `max` live entries; inserting past the cap evicts the least-recently-
+    * used entry and `dispose`s it (unpersisting its cached frames), so repeated
     * bench/verify runs across many sf dirs hold executor storage flat
     * instead of leaking one persisted copy per dir forever. */
   private final class Memo[V](max: Int)(dispose: V => Unit) {
@@ -48,16 +48,22 @@ object Queries {
       scala.collection.mutable.LinkedHashMap.empty[(SparkSession, String), V]
     def get(spark: SparkSession, dir: String)(build: => V): V = synchronized {
       val key = (spark, dir)
-      map.getOrElse(key, {
-        if (map.size >= max) {
-          val (k0, v0) = map.head
-          map.remove(k0)
-          try dispose(v0) catch { case _: Throwable => () }
-        }
-        val v = build
-        map.put(key, v)
-        v
-      })
+      map.remove(key) match {
+        case Some(v) =>
+          // re-insert on hit so eviction is LRU — FIFO evicts exactly the
+          // entry about to be reused when > max dirs interleave
+          map.put(key, v)
+          v
+        case None =>
+          if (map.size >= max) {
+            val (k0, v0) = map.head
+            map.remove(k0)
+            try dispose(v0) catch { case _: Throwable => () }
+          }
+          val v = build
+          map.put(key, v)
+          v
+      }
     }
   }
 

@@ -35,9 +35,16 @@ import org.apache.spark.storage.StorageLevel
   *    argsort; we pin them (SURVEY §2.5.7)
   *
   * Deliberate divergence (SURVEY §2.5.2): `preFilter` is a true pushdown
-  * (filter before ranking) by default — strictly better recall than the
-  * reference's post-intersection; set `faithfulPreFilter=true` for the
-  * reference's search-then-intersect order.
+  * (filter before ranking) by default — better recall than the reference's
+  * post-intersection at the same probe budget; set `faithfulPreFilter=true`
+  * for the reference's search-then-intersect order. On `flat` collections
+  * the pushdown is exact. On ivf/ivfpq/lsh it is PROBE-BOUNDED like any
+  * other query on those indexes: only probed clusters/buckets are scanned,
+  * so a highly selective filter can return < topK rows when survivors sit
+  * in unprobed partitions. The probe budget widens automatically (4×)
+  * whenever a preFilter is present; for exact filtered search either use a
+  * flat collection or raise efSearch to ≥ 10 × ivfClusters (nprobe = nlist
+  * ≡ exact scan).
   */
 class VectorDatabase private (
     val spark: SparkSession,
@@ -284,10 +291,14 @@ class VectorDatabase private (
   private def searchTopK(q: Array[Double], k: Int,
                          pre: Option[Column] = None): DataFrame = {
     lazy val restrict = pre.map(p => df.where(p).select(col("id")))
+    // a filter thins every probed partition, so widen the probe budget to
+    // keep ≥ topK survivors likely (class doc: filtered probes stay
+    // probe-bounded; efSearch ≥ 10 × nlist is the exact escape hatch)
+    val widen = if (pre.isDefined) 4 else 1
     manifestVar.effectiveType match {
       case "ivf" =>
         // hnsw-substitute recall knob: ef_search → nprobe (SURVEY §2.5.2)
-        ivf.search(q, k, nprobe = math.max(1, manifestVar.efSearch / 10),
+        ivf.search(q, k, nprobe = widen * math.max(1, manifestVar.efSearch / 10),
           restrict = restrict)
       case "ivfpq" =>
         val i = ivf // may degrade effectiveType → flat on tiny corpora
@@ -297,7 +308,7 @@ class VectorDatabase private (
           // reference nprobe rule: max(1, ivf_clusters // 10) on the
           // CONFIGURED cluster count (ldb:52) — capped naturally by nlist
           val probed = i.probeOrder(q)
-            .take(IVFIndex.defaultNprobe(manifestVar.ivfClusters)).toSeq
+            .take(widen * IVFIndex.defaultNprobe(manifestVar.ivfClusters)).toSeq
           val cand0 = i.assignments.where(col("cluster").isin(probed: _*))
           val cand = restrict
             .map(r => cand0.join(r, Seq("id"), "left_semi"))
@@ -307,8 +318,10 @@ class VectorDatabase private (
         }
       case "lsh" =>
         // ef_search → multiprobe radius (50 ≙ the reference's default
-        // ef_search ↔ radius 1; radius 0 is the pure bucket probe)
-        lshIdx.search(q, k, probeRadius = math.max(0, manifestVar.efSearch / 50),
+        // ef_search ↔ radius 1; radius 0 is the pure bucket probe);
+        // a filter widens the radius by one ring
+        lshIdx.search(q, k,
+          probeRadius = math.max(0, manifestVar.efSearch / 50) + (widen / 4),
           restrict = restrict)
       case _ => // flat
         ExactKNN.topK(pre.map(df.where).getOrElse(df), "id", "vector", q, k)

@@ -7,8 +7,21 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Structured Streaming: windowed aggregation with watermark semantics and
   * stateful first-per-key dedup, driven through MemoryStream micro-batches. */
-class StreamingSpec extends AnyFunSuite {
+class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
   private lazy val spark = TestSpark.spark
+
+  private val tempDirs = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+
+  override def afterAll(): Unit = {
+    tempDirs.foreach { d =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case _: Throwable => () }
+    }
+    super.afterAll()
+  }
 
   private def ts(s: String) = Timestamp.valueOf(s)
   final case class Ev(ts: Timestamp, event_type: String, value: Double)
@@ -218,7 +231,8 @@ class StreamingSpec extends AnyFunSuite {
     * parquet, so the file-source stream (whose schema declares
     * TimestampType) reads the exact same rows the batch gates see. */
   private def streamableEvents(): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graftevdiff").toString
+    val dir = java.nio.file.Files.createTempDirectory("graftevdiff")
+    tempDirs += dir
     graft.sources.Tables.events(spark, sfDir)
       .coalesce(4).write.mode("overwrite").parquet(s"$dir/in")
     s"$dir/in"
@@ -258,15 +272,26 @@ class StreamingSpec extends AnyFunSuite {
       // Append mode emits a session only once the watermark passes its
       // close: a sentinel event far past max(ts) (user -1, excluded below)
       // flushes every real session — the standard end-of-stream technique.
-      val maxTs = graft.sources.Tables.events(spark, sfDir)
-        .agg(max(col("ts"))).head().getTimestamp(0)
+      val src = graft.sources.Tables.events(spark, sfDir)
+      val maxTs = src.agg(max(col("ts"))).head().getTimestamp(0)
       val far = new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000)
-      import spark.implicits._
-      Seq((-1L, far, -1L, "sentinel", 0.0, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"), col("props"))
-        .coalesce(1).write.mode("append").parquet(in)
+      // derive the sentinel from the SOURCE schema (one real row with the
+      // marker fields replaced), so an events-schema change fails here as a
+      // clear assertion, not as a file-source schema-merge error downstream
+      val sentinel = src.limit(1).select(src.schema.fieldNames.map {
+        case "event_id" => lit(-1L).as("event_id")
+        case "user_id" => lit(-1L).as("user_id")
+        case "ts" => lit(far).as("ts")
+        case "event_type" => lit("sentinel").as("event_type")
+        case "value" => lit(0.0).as("value")
+        case other => col(other) // new columns ride along with real values
+      }: _*)
+      // names + types must match (nullability may differ: literals are
+      // non-nullable while the parquet source is nullable)
+      assert(sentinel.schema.map(f => (f.name, f.dataType)) ==
+               src.schema.map(f => (f.name, f.dataType)),
+        s"sentinel row drifted from the events schema:\n${sentinel.schema}\nvs\n${src.schema}")
+      sentinel.coalesce(1).write.mode("append").parquet(in)
       q.processAllAvailable()
       val stream = spark.table("diff_sess")
         .where(col("user_id") =!= -1L)

@@ -379,10 +379,32 @@ class VectorDatabaseSpec extends AnyFunSuite {
     val pred = db.metaValue("priority") === lit("\"high\"")
     val p = db.queryVector(many(3), 5, preFilter = Some(pred))
       .queryExecution.executedPlan.toString
-    // nprobe = efSearch/10 = 1: the probed-cluster IN-filter must survive
-    // the filter pushdown (no silent fallback to a full exact scan)
+    // the probed-cluster IN-filter must survive the filter pushdown (no
+    // silent fallback to a full exact scan); nprobe here is 4 × efSearch/10
+    // (the presence of a filter widens the probe budget)
     assert(p.contains("cluster"), s"no cluster pruning in plan:\n$p")
     assert(p.contains("LeftSemi"), s"filter not applied as semi-join:\n$p")
+  }
+
+  test("a preFilter widens the ivf probe budget 4x (probe-bounded recall, r3 ADVICE)") {
+    // efSearch 10 → unfiltered nprobe 1; with a filter the widened budget
+    // (4 = nlist) covers every cluster, so the filtered ivf result must
+    // equal the exact filtered scan even though the unfiltered probe of the
+    // same collection reads a single cluster.
+    val db = VectorDatabase.create(spark, dim, "hnsw", ivfClusters = 4, efSearch = 10)
+    val many = Seq.fill(60)(vec())
+    val ms = many.indices.map(i =>
+      Map[String, Any]("priority" -> (if (i % 2 == 0) "high" else "low")))
+    db.add(many.indices.map(i => s"doc $i"), many, Some(ms))
+    assert(db.manifest.effectiveType == "ivf")
+    val pred = db.metaValue("priority") === lit("\"high\"")
+    val viaIvf = db.queryVector(many(8), 5, preFilter = Some(pred))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val flat = VectorDatabase.create(spark, dim, "flat")
+    flat.add(many.indices.map(i => s"doc $i"), many, Some(ms))
+    val viaFlat = flat.queryVector(many(8), 5, preFilter = Some(pred))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(viaIvf.sameElements(viaFlat))
   }
 
   test("save/load through an explicit file: URI (Hadoop FileSystem API, r2 VERDICT #7)") {
