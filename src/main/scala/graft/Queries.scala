@@ -545,9 +545,21 @@ object Queries {
       Dedup.shingles(docsTbl(spark, dir), "doc_id", "text", 3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Memoized persisted per-doc sorted gram-set frame (ONE row per doc) —
+    * the verification-side cache. Compact where the exploded shingle frame
+    * is ~|doc| rows per doc, and the only input the merge-walk intersect
+    * verification needs. */
+  private val gramSetsCache = new Memo[DataFrame](memoMax)(unp)
+
+  private def docGramSets(spark: SparkSession, dir: String): DataFrame =
+    gramSetsCache.get(spark, dir)(
+      Dedup.docGramSets(docShingles(spark, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   private def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(docsTbl(spark, dir), "doc_id", "text", n = 3, threshold = 0.8,
-      shingleFrame = Some(docShingles(spark, dir)))
+      shingleFrame = Some(docShingles(spark, dir)),
+      gramSetsFrame = Some(docGramSets(spark, dir)))
 
   /** Memoized persisted banded-signature frame (one row per doc × band) —
     * the expensive SortAggregate chain behind minhash runs once per
@@ -562,7 +574,8 @@ object Queries {
   private def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(docsTbl(spark, dir), "doc_id", "text",
       shingleFrame = Some(docShingles(spark, dir)),
-      bandsFrame = Some(docMinhashBands(spark, dir)))
+      bandsFrame = Some(docMinhashBands(spark, dir)),
+      gramSetsFrame = Some(docGramSets(spark, dir)))
 
   private def simhashQ(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docsTbl(spark, dir), "doc_id", "text").orderBy(col("id"))

@@ -69,46 +69,71 @@ object Dedup {
     * Output: (a, b, jac). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.8,
-                   shingleFrame: Option[DataFrame] = None): DataFrame = {
+                   shingleFrame: Option[DataFrame] = None,
+                   gramSetsFrame: Option[DataFrame] = None): DataFrame = {
     val sh = shingleFrame.getOrElse(shingles(docs, idCol, textCol, n))
-    // one map-side-combined shingle-count aggregate, shared by the prefix
-    // bound and the verification stage (a count().over(partitionBy(id))
-    // window here re-sorts the whole shingle frame a second time — it was
-    // the bulk of this operator's cold cost at sf0.1)
-    val sizes = docSizes(sh)
+    val gramSets = gramSetsFrame.getOrElse(docGramSets(sh))
+    // per-doc sizes derive from the compact gram-set frame (one row per
+    // doc), shared by the prefix bound and the verification ratio filter
+    val sizes = gramSets.select(col("id"), size(col("grams")).cast("double").as("sz"))
     val dfg = sh.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-    val prefixes = sh.join(dfg, Seq("gram"))
-      .join(sizes, Seq("id"))
+    // shuffle-hash hints: both are aggregate-back-joins whose build side is
+    // the (smaller) aggregate — hash beats sort-merge at every scale here,
+    // and the hint stops the planner flip-flopping between rogue broadcasts
+    // (underestimated explode output, cold stats) and full sorts of the
+    // shingle frame (accurate cached stats)
+    val prefixes = sh.join(dfg.hint("shuffle_hash"), Seq("gram"))
+      .join(sizes.hint("shuffle_hash"), Seq("id"))
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
           .orderBy(col("df").asc, col("gram").asc)))
       .where(col("__rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select(col("id"), col("gram"))
+    // shuffle-hash, not broadcast: the prefix frame's size is invisible to
+    // the parquet-derived estimate (it sits above an explode), and the
+    // planner's rogue broadcast of a million-row side is a driver OOM on a
+    // real cluster
     val cand = prefixes.as("l")
-      .join(prefixes.as("r"), col("l.gram") === col("r.gram") && col("l.id") < col("r.id"))
+      .join(prefixes.as("r").hint("shuffle_hash"),
+        col("l.gram") === col("r.gram") && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
-    verifiedJaccard(cand, sh, threshold, Some(sizes))
+    verifiedJaccard(cand, gramSets, threshold)
   }
 
-  /** (id, sz): per-doc distinct-shingle counts as DOUBLE. */
-  private def docSizes(sh: DataFrame): DataFrame =
-    sh.groupBy(col("id")).agg(count(lit(1)).cast("double").as("sz"))
+  /** (id, grams): per-doc SORTED distinct-shingle array — one compact row
+    * per document, the frame set-similarity verification actually wants
+    * (and the one worth caching at scale: the raw exploded shingle frame is
+    * ~|doc| rows per doc and cheaper to recompute from columnar storage
+    * than to keep pinned). Sort order is Spark's UTF8String binary order,
+    * the contract [[graft.expr.SortedIntersectCount]] requires. */
+  def docGramSets(sh: DataFrame): DataFrame =
+    sh.groupBy(col("id")).agg(sort_array(collect_list(col("gram"))).as("grams"))
 
   /** Exact-Jaccard verification of candidate pairs (a, b) against the
-    * shingle frame — the shared back half of [[jaccardPairs]] and
-    * [[minhashPairs]]. */
-  private def verifiedJaccard(cand: DataFrame, sh: DataFrame,
-                              threshold: Double,
-                              sizeFrame: Option[DataFrame] = None): DataFrame = {
-    val sizes = sizeFrame.getOrElse(docSizes(sh))
-    val inter = cand
-      .join(sh.select(col("id").as("a"), col("gram")), Seq("a"))
-      .join(sh.select(col("id").as("b"), col("gram")), Seq("b", "gram"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).cast("double").as("inter"))
+    * per-doc gram-set frame — the shared back half of [[jaccardPairs]],
+    * [[minhashPairs]] and [[minhashPairs64]]. Two one-row-per-doc joins +
+    * a merge-walk intersect per pair; the old exploded formulation
+    * (cand ⨝ shingles(a) ⨝ shingles(b) on (id, gram) + count) shuffled
+    * |cand| × |doc| rows and dominated the whole funnel once candidates
+    * outnumbered true pairs (measured 84 of ~90 s at 10× sf0.1, where the
+    * low-entropy corpus yields 1.19 M candidates for 2 560 real pairs).
+    * A length-ratio prefilter (jac ≥ t ⟹ t·max(|A|,|B|) ≤ min(|A|,|B|),
+    * Bayardo WWW'07 §3.1) drops size-mismatched pairs before the walk. */
+  private def verifiedJaccard(cand: DataFrame, gramSets: DataFrame,
+                              threshold: Double): DataFrame = {
+    val inter = graft.expr.VectorExpr
+      .sortedIntersectCount(col("ga"), col("gb")).cast("double")
     val jac = col("inter") / (col("sza") + col("szb") - col("inter"))
-    inter
-      .join(sizes.select(col("id").as("a"), col("sz").as("sza")), Seq("a"))
-      .join(sizes.select(col("id").as("b"), col("sz").as("szb")), Seq("b"))
+    cand
+      .join(gramSets.select(col("id").as("a"), col("grams").as("ga")), Seq("a"))
+      .join(gramSets.select(col("id").as("b"), col("grams").as("gb")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(col("ga")).cast("double").as("sza"),
+        size(col("gb")).cast("double").as("szb"),
+        col("ga"), col("gb"))
+      .where(col("sza") >= lit(threshold) * col("szb") &&
+             col("szb") >= lit(threshold) * col("sza"))
+      .select(col("a"), col("b"), col("sza"), col("szb"), inter.as("inter"))
       .where(jac >= threshold)
       .select(col("a"), col("b"), round(jac, 4).as("jac"))
       .orderBy(col("jac").desc, col("a").asc, col("b").asc)
@@ -143,6 +168,58 @@ object Dedup {
   def minhashBands(sh: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame =
     lshBands(minhashSignatures(sh, numHashes), rowsPerBand)
 
+  /** PRODUCTION-SCALE signature variant: min(xxhash64(seed, gram)) per
+    * (id, seed) — a LONG signature, so the aggregate has a fixed-width
+    * buffer and runs as a map-side-combined HashAggregate, where the
+    * md5-hex [[minhashSignatures]] forces SortAggregate (var-length string
+    * min). The trade: xxhash64 is engine-private, so an external SQL oracle
+    * cannot reproduce the buckets — use this path at scale and the md5 path
+    * where cross-engine bit-parity is required. Candidate recall is
+    * statistically equivalent (both are uniform hash families; see the
+    * differential spec in DedupSpec). */
+  def minhashSignatures64(sh: DataFrame, numHashes: Int): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val seeds = (0 until numHashes).map(_.toLong).toDF("seed")
+    sh.crossJoin(broadcast(seeds))
+      .groupBy(col("id"), col("seed"))
+      .agg(min(xxhash64(col("seed"), col("gram"))).as("mh"))
+  }
+
+  /** LONG-signature banding twin of [[lshBands]]: the band hash is one
+    * xxhash64 over the band's slot minima — fixed-width end to end. */
+  def lshBands64(sig: DataFrame, rowsPerBand: Int): DataFrame = {
+    val slots = (0 until rowsPerBand).map(k =>
+      min(when(col("seed") % rowsPerBand === k, col("mh"))))
+    sig.groupBy(col("id"), floor(col("seed") / rowsPerBand).as("band"))
+      .agg(xxhash64(slots: _*).as("bh"))
+  }
+
+  /** MinHash+LSH near-dup over LONG signatures — same funnel as
+    * [[minhashPairs]] (bands → guarded bucket candidates → exact-Jaccard
+    * verification, so results are EXACT pairs above threshold either way;
+    * only candidate recall depends on the hash family). The scale default;
+    * [[minhashPairs]] is the oracle-parity twin. */
+  def minhashPairs64(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
+                     threshold: Double = 0.8,
+                     shingleFrame: Option[DataFrame] = None,
+                     maxBucket: Int = 2000,
+                     bandsFrame: Option[DataFrame] = None,
+                     gramSetsFrame: Option[DataFrame] = None): DataFrame = {
+    // same caller contract as [[minhashPairs]]: pass persisted bands/gram-set
+    // frames when running repeated queries over one collection (the bands
+    // self-join consumes its input twice)
+    val sh = shingleFrame.getOrElse(shingles(docs, idCol, textCol, n))
+    val bands0 = bandsFrame.getOrElse(lshBands64(minhashSignatures64(sh, numHashes), rowsPerBand))
+    val bands = bucketGuard(bands0, Seq("band", "bh"), maxBucket)
+    val cand = bands.as("l")
+      .join(bands.as("r"), col("l.band") === col("r.band") && col("l.bh") === col("r.bh")
+        && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
+    verifiedJaccard(cand, gramSetsFrame.getOrElse(docGramSets(sh)), threshold)
+  }
+
   /** MinHash+LSH near-dup: signatures → bands → bucket-collision candidates
     * → exact-Jaccard verification of candidates only.
     * Output: (a, b, jac) with jac ≥ threshold, a < b. */
@@ -151,7 +228,8 @@ object Dedup {
                    threshold: Double = 0.8,
                    shingleFrame: Option[DataFrame] = None,
                    maxBucket: Int = 2000,
-                   bandsFrame: Option[DataFrame] = None): DataFrame = {
+                   bandsFrame: Option[DataFrame] = None,
+                   gramSetsFrame: Option[DataFrame] = None): DataFrame = {
     // Callers that run several dedup ops over one collection should pass a
     // persisted shingleFrame (bounded: one per collection) — a per-call
     // persist here would leak executor memory across a session's queries.
@@ -171,7 +249,7 @@ object Dedup {
       .join(bands.as("r"), col("l.band") === col("r.band") && col("l.bh") === col("r.bh")
         && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
-    verifiedJaccard(cand, sh, threshold)
+    verifiedJaccard(cand, gramSetsFrame.getOrElse(docGramSets(sh)), threshold)
   }
 
   /** SimHash width in bits; 64 bits = first 16 md5 nibbles × 4 bits each.

@@ -299,6 +299,59 @@ case class SignBands(child: Expression, planes: Array[Array[Double]], bitsPerBan
     copy(child = newChild)
 }
 
+/** |A ∩ B| of two SORTED, de-duplicated ARRAY<STRING> columns via a single
+  * merge walk — the set-similarity verification kernel. The exploded-join
+  * formulation (pair ⨝ shingles(a) ⨝ shingles(b) on (id, gram) + count)
+  * shuffles |pairs| × |doc| rows; this joins each pair to TWO one-row-per-doc
+  * array frames and intersects in ~|A|+|B| binary string compares, no
+  * shuffle of per-gram rows at all. Inputs MUST be sorted ascending in
+  * Spark's UTF8String binary order (`sort_array(array_distinct(...))`) —
+  * the merge walk silently undercounts otherwise. */
+case class SortedIntersectCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "sorted_intersect_count"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<STRING> args, got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var n = 0L
+    while (i < a.numElements() && j < b.numElements()) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val c = ctx.freshName("c")
+      s"""
+         |long $n = 0L; int $i = 0; int $j = 0;
+         |while ($i < $a.numElements() && $j < $b.numElements()) {
+         |  final int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($c == 0) { $n++; $i++; $j++; }
+         |  else if ($c < 0) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $n;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API entry points. */
 object VectorExpr {
   private def c(e: Expression): Column = GraftColumnBridge.column(e)
@@ -311,4 +364,6 @@ object VectorExpr {
     c(NearestCentroid(x(v), centroids))
   def signBands(v: Column, planes: Array[Array[Double]], bitsPerBand: Int): Column =
     c(SignBands(x(v), planes, bitsPerBand))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    c(SortedIntersectCount(x(a), x(b)))
 }

@@ -39,6 +39,27 @@ class DedupSpec extends AnyFunSuite {
     assert(p.contains((0L, 4L)) && p.contains((0L, 1L)))
   }
 
+  test("minhashPairs64 recovers the same pairs as the md5 path (scale-variant differential)") {
+    val md5 = Dedup.minhashPairs(docs, "id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val xx = Dedup.minhashPairs64(docs, "id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // both hash families must surface the planted dup pairs; verified jac
+    // is exact, so any pair found by both carries the identical score
+    assert(xx.contains((0L, 4L)) && xx.contains((0L, 1L)))
+    md5.keySet.intersect(xx.keySet).foreach(k => assert(md5(k) == xx(k)))
+  }
+
+  test("minhashSignatures64 builds via HashAggregate, the md5 path via SortAggregate (plan pin)") {
+    val sh = Dedup.shingles(docs, "id", "text", 3)
+    val planXx = Dedup.minhashSignatures64(sh, 16).queryExecution.executedPlan.toString
+    assert(planXx.contains("HashAggregate"), s"LONG min should hash-aggregate:\n$planXx")
+    assert(!planXx.contains("SortAggregate"), s"LONG min should not sort-aggregate:\n$planXx")
+    val planMd5 = Dedup.minhashSignatures(sh, 16).queryExecution.executedPlan.toString
+    assert(planMd5.contains("SortAggregate"),
+      s"if STRING min stops sort-aggregating, minhashPairs' persist notes are stale:\n$planMd5")
+  }
+
   test("simhash: identical docs get identical signatures; pairs found at hamming 0") {
     val sims = Dedup.simhash(docs, "id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
