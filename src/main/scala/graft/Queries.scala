@@ -536,6 +536,30 @@ object Queries {
   private def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(docsTbl(spark, dir), "doc_id", "text")
 
+  /** Deterministic stratified sample (20 docs per lang) on the TopKPerKey
+    * bounded-heap operator — the training-pipeline subsample step, md5-keyed
+    * so the oracle replays the draw (graft.operators.Sampling). */
+  private def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratified(
+        docsTbl(spark, dir).select(col("doc_id"), col("lang")), "lang", "doc_id", 20)
+      .orderBy(col("lang"), col("doc_id"))
+
+  /** Deterministic 10% Bernoulli sample through an md5 threshold — stable
+    * under retries/repartitioning where rand()-based sample() is not. */
+  private def sampleHash(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.byHash(docsTbl(spark, dir).select(col("doc_id")), "doc_id", 0.1)
+      .orderBy(col("doc_id"))
+
+  /** Exact per-group value quantiles (linear interpolation — Spark
+    * `percentile` ≙ DuckDB `quantile_cont`) over the events stream. */
+  private def eventsQuantiles(spark: SparkSession, dir: String): DataFrame =
+    eventsTbl(spark, dir).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(percentile(col("value"), lit(0.25)), 4).as("q25"),
+        round(percentile(col("value"), lit(0.5)), 4).as("q50"),
+        round(percentile(col("value"), lit(0.9)), 4).as("q90"))
+      .orderBy(col("event_type"))
+
   /** Memoized persisted shingle frame per (session, dir) — one bounded copy
     * shared by the Jaccard and MinHash dedup plans. */
   private val shingleCache = new Memo[DataFrame](memoMax)(unp)
@@ -861,6 +885,27 @@ object Queries {
            |  lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt FROM documents)
            |SELECT id, md5(nt) AS fp, md5(substr(nt, 1, 128)) AS fp_prefix
            |FROM n ORDER BY id""".stripMargin)),
+    "sample_stratified" -> Q(sampleStratified, Some(
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin)),
+    "sample_hash" -> Q(sampleHash, Some(
+      """SELECT doc_id FROM documents
+        |WHERE list_sum(list_transform(range(1, 9), j ->
+        |        (strpos('0123456789abcdef',
+        |                substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1)
+        |          * pow(2.0, 4 * (8 - j))))
+        |      < 429496729
+        |ORDER BY doc_id""".stripMargin)),
+    "events_quantiles" -> Q(eventsQuantiles, Some(
+      """SELECT event_type, count(*) AS n,
+        |       round(quantile_cont(value, 0.25), 4) AS q25,
+        |       round(quantile_cont(value, 0.50), 4) AS q50,
+        |       round(quantile_cont(value, 0.90), 4) AS q90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
     "dedup_exact" -> Q(dedupExact, Some(
       raw"""WITH n AS (SELECT doc_id AS id,
            |  md5(substr(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), 1, 128)) AS fp
