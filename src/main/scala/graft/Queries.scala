@@ -536,6 +536,17 @@ object Queries {
   private def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(docsTbl(spark, dir), "doc_id", "text")
 
+  /** Near-dup clusters: exact-Jaccard pairs → Kiveris alternating-star
+    * connected components → (id, cluster-min-id). The end step of a dedup
+    * pipeline (pick one representative per cluster = where(id = cluster)). */
+  private def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.jaccardPairs(docsTbl(spark, dir), "doc_id", "text", n = 3, threshold = 0.8,
+          shingleFrame = Some(docShingles(spark, dir)),
+          gramSetsFrame = Some(docGramSets(spark, dir)))
+          .select(col("a"), col("b")))
+      .orderBy(col("id"))
+
   /** Deterministic stratified sample (20 docs per lang) on the TopKPerKey
     * bounded-heap operator — the training-pipeline subsample step, md5-keyed
     * so the oracle replays the draw (graft.operators.Sampling). */
@@ -885,6 +896,24 @@ object Queries {
            |  lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt FROM documents)
            |SELECT id, md5(nt) AS fp, md5(substr(nt, 1, 128)) AS fp_prefix
            |FROM n ORDER BY id""".stripMargin)),
+    "dedup_clusters" -> Q(dedupClusters, Some(
+      raw"""WITH RECURSIVE $shinglesCte,
+           |gsz AS (SELECT id, count(*)::DOUBLE AS sz FROM grams GROUP BY 1),
+           |inter AS (
+           |  SELECT l.id AS a, r.id AS b, count(*)::DOUBLE AS inter
+           |  FROM grams l JOIN grams r ON l.gram = r.gram AND l.id < r.id
+           |  GROUP BY 1, 2),
+           |p AS (
+           |  SELECT a, b FROM inter
+           |  JOIN gsz sa ON inter.a = sa.id JOIN gsz sb ON inter.b = sb.id
+           |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.8),
+           |e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+           |n AS (SELECT DISTINCT src AS id FROM e),
+           |reach AS (
+           |  SELECT id, id AS r FROM n
+           |  UNION
+           |  SELECT e.dst AS id, reach.r FROM reach JOIN e ON reach.id = e.src)
+           |SELECT id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin)),
     "sample_stratified" -> Q(sampleStratified, Some(
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,

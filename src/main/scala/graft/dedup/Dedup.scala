@@ -450,6 +450,81 @@ object Dedup {
       .toDF("id", "band", "sig")
   }
 
+  /** Connected components over a near-dup pair graph — the "keep one doc
+    * per duplicate cluster" step every dedup pipeline ends with. Input:
+    * (a, b) pair rows from any of the pair operators above; output:
+    * (id, cluster) for every id in the graph, cluster = the component's
+    * minimum id.
+    *
+    * Algorithm: alternating large-star / small-star rounds (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014) — the
+    * data-parallel CC formulation: each round is two hash aggregations and
+    * a join (no driver-side graph state), converging in O(log² n) rounds
+    * on any graph, vs O(diameter) for naive min-label propagation (a
+    * pathological dup CHAIN a~b~c~… makes naive propagation as deep as the
+    * chain). Every round truncates lineage via localCheckpoint — an
+    * iterative DataFrame loop otherwise compounds the plan until analysis
+    * itself dominates. On a multi-executor cluster prefer reliable
+    * checkpoints (`sparkContext.setCheckpointDir` + `checkpoint()`) so a
+    * lost executor cannot drop a round's blocks.
+    *
+    * Convergence detection: the canonical (max, min)-oriented edge set is
+    * fingerprinted per round (count + bit_xor of xxhash64) — order-free,
+    * and equality of consecutive fingerprints stops the loop. */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    // edges canonically oriented big → small (both star ops emit (v, m)
+    // with v > m, so the orientation is stable round over round)
+    var edges = pairs.select(
+        greatest(col("a").cast("long"), col("b").cast("long")).as("u"),
+        least(col("a").cast("long"), col("b").cast("long")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+
+    def sym(e: DataFrame): DataFrame =
+      e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    // (u, m): m = min(Γ(u) ∪ {u})
+    def neighborMin(s: DataFrame): DataFrame =
+      s.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+    // connect each strictly-larger neighbor of u to m(u)
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      s.join(neighborMin(s), Seq("u"))
+        .where(col("v") > col("u") && col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    // connect each ≤-neighbor of u, and u itself, to m(u)
+    def smallStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val m = s.join(neighborMin(s), Seq("u"))
+      m.where(col("v") <= col("u") && col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(m.select(col("u"), col("m").as("v")).where(col("u") =!= col("m")))
+        .distinct()
+    }
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)).as("n"),
+        expr("bit_xor(xxhash64(u, v))").as("x")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var fp = fingerprint(edges)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      edges = next; fp = nfp; rounds += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    // at the fixpoint every edge points a node at its component's min id
+    edges.select(col("u").as("id"), col("v").as("cluster"))
+      .unionAll(edges.select(col("v").as("id"), col("v").as("cluster")))
+      .distinct()
+  }
+
   /** Skew guard for banded self-joins: drops buckets with more than
     * `maxBucket` members (an in-bucket join is quadratic in bucket size —
     * one boilerplate-heavy hot bucket can dominate the whole job). Dropped

@@ -118,6 +118,29 @@ class DedupSpec extends AnyFunSuite {
     assert(p.toSet.subsetOf(all))
   }
 
+  test("connectedComponents: chains, triangles and singleton pairs label by component min") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),      // chain → cluster 1
+      (10L, 11L), (11L, 12L), (10L, 12L), // triangle → cluster 10
+      (21L, 20L))                         // reversed pair → cluster 20
+      .toDF("a", "b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents converges on a long chain and a star in few rounds") {
+    // a 64-node chain is the adversary for naive min-label propagation
+    // (O(diameter) rounds); alternating stars must stay within O(log² n)
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(chain, maxRounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(cc.length == 64 && cc.forall(_._2 == 0L))
+    assert(Dedup.connectedComponents(spark.emptyDataset[(Long, Long)].toDF("a", "b"))
+      .count() == 0)
+  }
+
   test("maxBucket guard drops hot buckets; oversizedBuckets reports them") {
     val many = (0L until 30L).map(i => i -> "identical boilerplate text body").toDF("id", "text")
     val unguarded = Dedup.simhashPairs(many, "id", "text").collect()
