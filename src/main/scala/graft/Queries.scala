@@ -471,6 +471,36 @@ object Queries {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Streaming gates (r2 VERDICT missing #3): each runs the REAL
+    * Structured Streaming machinery — file source → stateful incremental
+    * operator → sink — over the same rows the batch twin reads, so the
+    * twin's DuckDB oracle hash-pins the streaming execution path too. */
+  private def streamingWindow(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingGates.windowed(spark, dir)
+      .select(col("hour"), col("event_type"), col("n"),
+        r4(col("avg_value")).as("avg_value"))
+      .orderBy(col("hour").asc, col("event_type").asc)
+
+  private def streamingSessionize(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingGates.sessionized(spark, dir)
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        r4(col("total_value")).as("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** Memoized streaming-ingested collection per (session, dir): built once
+    * by the streaming drain, then queried — re-running the gate must NOT
+    * re-append (the collection is stateful), exactly like the reference
+    * querying an already-loaded DB. */
+  private val streamDbCache = new Memo[VectorDatabase](memoMax)(_.close())
+
+  private def streamingIngestKnn(spark: SparkSession, dir: String): DataFrame = {
+    val db = streamDbCache.get(spark, dir)(
+      graft.streaming.StreamingGates.ingestCollection(spark, dir))
+    db.queryVector(qvec(spark, dir, 7).map(_.toFloat), topK = 10)
+      .select(col("id"), r4(col("score")).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+  }
+
   /** Relational tier: ROLLUP grouping sets (free via Catalyst, §2.6). */
   private def rollupRevenue(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "orders")
@@ -1039,6 +1069,27 @@ object Queries {
         |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
         |       round(sum(value), 4) AS total_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
+    // streaming twins: the REAL incremental executors, pinned to the same
+    // oracles as their batch counterparts (events_window / sessionize /
+    // the flat-scan KNN) — see graft.streaming.StreamingGates
+    "streaming_window" -> Q(streamingWindow, Some(
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    "streaming_sessionize" -> Q(streamingSessionize, Some(
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+        |       round(sum(value), 4) AS total_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
+    "streaming_ingest_knn" -> Q(streamingIngestKnn, Some(knnSql(7, 10))),
     "range_clicks" -> Q(rangeClicks, Some(
       """WITH p AS (SELECT user_id, ts AS pts, event_id AS purchase_id
         |           FROM events WHERE event_type = 'purchase'),
