@@ -601,6 +601,72 @@ object Queries {
         round(percentile(col("value"), lit(0.9)), 4).as("q90"))
       .orderBy(col("event_type"))
 
+  /** KMV approximate-distinct sketch (graft.expr.KMinValues): per-group
+    * distinct-user estimate from the k smallest md5 hashes — an O(k)
+    * map-side-combined buffer per group where countDistinct shuffles every
+    * distinct value. The hash is md5 hex (caller-chosen), so the oracle
+    * reproduces the sketch bit for bit — unlike HLL++ register layouts.
+    * The exact count rides along to exhibit the estimate's accuracy; at
+    * 100 TB you'd run the sketch alone, with NO pre-distinct pass. */
+  private def approxDistinctKmv(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val agg = eventsTbl(spark, dir)
+      .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
+      .groupBy(col("event_type"))
+      .agg(graft.expr.SketchAgg.kminValues(col("h"), k).as("hs"),
+        countDistinct(col("h")).as("n_exact"))
+    // 13 hex digits = 52 bits: exact in a double on both engines
+    val frac = conv(substring(element_at(col("hs"), k), 1, 13), 16, 10).cast("double") /
+      lit(4503599627370496.0)
+    agg.select(col("event_type"), col("n_exact"),
+        round(when(size(col("hs")) < k, col("n_exact").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / frac), 4).as("est_kmv"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Skew-safe two-stage distinct count: salting BY THE DISTINCT KEY puts
+    * each distinct user in exactly one (group, salt) shard, so partial
+    * distinct counts SUM exactly — the standard rewrite when one hot group
+    * (here: every event_type is hot, 5 keys over all rows) would pin a
+    * single reducer holding the group's whole distinct set. Two bounded
+    * shuffles replace one skewed one; results are exact integers. */
+  private def skewDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val salts = 16
+    eventsTbl(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        pmod(xxhash64(col("user_id")), lit(salts)).as("__salt"))
+      .groupBy(col("event_type"), col("__salt"))
+      .agg(countDistinct(col("user_id")).as("pd"), count(lit(1)).as("pn"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pd")).as("n_users"), sum(col("pn")).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  /** PIVOT (free via Catalyst's pivot rewrite): order revenue by priority ×
+    * status, explicit value list so the plan is a single pass (no
+    * distinct-values pre-query) and the output schema is static. */
+  private def pivotRevenue(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,6)")).cast("double"))
+      .orderBy(col("o_orderpriority"))
+
+  /** The SQL surface (graft.expr.GraftFunctions): the same flat KNN scan
+    * issued through `spark.sql` against the REGISTERED `vec_squared_l2`
+    * Catalyst expression — pins the FunctionRegistry path a SQL-only
+    * client uses (SparkSessionExtensions route in GraftSparkExtensions). */
+  private def sqlKnn(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.GraftFunctions.register(spark)
+    tbl(spark, dir, "embeddings").createOrReplaceTempView("graft_embeddings")
+    val qlit = qvec(spark, dir, 7).map(d => s"CAST($d AS DOUBLE)")
+      .mkString("array(", ", ", ")")
+    spark.sql(
+      s"""SELECT vec_id AS id,
+         |       round(1.0/(1.0 + vec_squared_l2(embedding, $qlit)), 4) AS score
+         |FROM graft_embeddings ORDER BY score DESC, id ASC LIMIT 10""".stripMargin)
+  }
+
   /** Memoized persisted shingle frame per (session, dir) — one bounded copy
     * shared by the Jaccard and MinHash dedup plans. */
   private val shingleCache = new Memo[DataFrame](memoMax)(unp)
@@ -965,6 +1031,25 @@ object Queries {
         |       round(quantile_cont(value, 0.50), 4) AS q50,
         |       round(quantile_cont(value, 0.90), 4) AS q90
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    "approx_distinct_kmv" -> Q(approxDistinctKmv, Some(
+      """WITH h AS (SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+        |a AS (SELECT event_type, count(*) AS n_exact, list(h ORDER BY h)[64] AS hk
+        |      FROM h GROUP BY 1)
+        |SELECT event_type, n_exact,
+        |       round(CASE WHEN n_exact < 64 THEN CAST(n_exact AS DOUBLE)
+        |                  ELSE 63.0 / (CAST(CAST(concat('0x', substr(hk, 1, 13)) AS UBIGINT) AS DOUBLE) / 4503599627370496.0)
+        |             END, 4) AS est_kmv
+        |FROM a ORDER BY event_type""".stripMargin)),
+    "skew_distinct" -> Q(skewDistinct, Some(
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+    "pivot_revenue" -> Q(pivotRevenue, Some(
+      """SELECT o_orderpriority,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS F,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS O,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS P
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+    "sql_knn" -> Q(sqlKnn, Some(knnSql(7, 10))),
     "dedup_exact" -> Q(dedupExact, Some(
       raw"""WITH n AS (SELECT doc_id AS id,
            |  md5(substr(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), 1, 128)) AS fp
