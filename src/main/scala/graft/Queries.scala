@@ -571,10 +571,7 @@ object Queries {
     * pipeline (pick one representative per cluster = where(id = cluster)). */
   private def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(
-        Dedup.jaccardPairs(docsTbl(spark, dir), "doc_id", "text", n = 3, threshold = 0.8,
-          shingleFrame = Some(docShingles(spark, dir)),
-          gramSetsFrame = Some(docGramSets(spark, dir)))
-          .select(col("a"), col("b")))
+        jaccardPairsFrame(spark, dir).select(col("a"), col("b")))
       .orderBy(col("id"))
 
   /** Deterministic stratified sample (20 docs per lang) on the TopKPerKey
@@ -687,10 +684,22 @@ object Queries {
       Dedup.docGramSets(docShingles(spark, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Memoized verified Jaccard pair frame: shared by the pair gate and the
+    * clustering gate (whose connected-components loop re-reads its input
+    * every round — recomputing the whole prefix-filter funnel per round
+    * would dominate the loop). The analog of the reference holding a built
+    * index on the instance. */
+  private val jaccardPairsCache = new Memo[DataFrame](memoMax)(unp)
+
+  private def jaccardPairsFrame(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairsCache.get(spark, dir)(
+      Dedup.jaccardPairs(docsTbl(spark, dir), "doc_id", "text", n = 3, threshold = 0.8,
+          shingleFrame = Some(docShingles(spark, dir)),
+          gramSetsFrame = Some(docGramSets(spark, dir)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   private def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(docsTbl(spark, dir), "doc_id", "text", n = 3, threshold = 0.8,
-      shingleFrame = Some(docShingles(spark, dir)),
-      gramSetsFrame = Some(docGramSets(spark, dir)))
+    jaccardPairsFrame(spark, dir)
 
   /** Memoized persisted banded-signature frame (one row per doc × band) —
     * the expensive SortAggregate chain behind minhash runs once per

@@ -40,10 +40,22 @@ object Dedup {
     transform(sequence(lit(0), size(toksCol) - n),
       i => concat_ws(" ", (0 until n).map(j => get(toksCol, i + lit(j))): _*))
 
-  /** (id, gram) — distinct token n-gram shingles per document. */
+  /** (id, gram) — distinct token n-gram shingles per document.
+    *
+    * The per-doc n-gram transform is the most expensive projection in the
+    * dedup tier (a higher-order `transform` is interpreted, not codegen'd:
+    * ~2 ms/doc), and a small parquet table arrives as ONE input split — so
+    * a low-partition source is fanned out first or the whole corpus
+    * shingles on a single core (measured 9.8 s → 1.5 s on sf0.1). On a
+    * production many-split table the guard is a no-op: partitions already
+    * ≥ the cluster's parallelism. */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val src =
+      if (docs.rdd.getNumPartitions < math.max(2, par / 2)) docs.repartition(par)
+      else docs
     val t = BM25.tokenize(col(textCol))
-    docs.where(size(t) >= n)
+    src.where(size(t) >= n)
       .select(col(idCol).as("id"), explode(array_distinct(ngrams(t, n))).as("gram"))
   }
 
