@@ -501,6 +501,37 @@ object Queries {
       .orderBy(col("score").desc, col("id").asc)
   }
 
+  /** Streaming stream-stream interval join, aggregated batch-side to the
+    * range_clicks result shape — the raw matched pairs come out of the
+    * symmetric-hash streaming join executor. */
+  private def streamingRangeJoin(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingGates.rangeJoined(spark, dir)
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_clicks"), r4(sum(col("click_value"))).as("click_sum"))
+      .orderBy(col("purchase_id").asc)
+
+  /** F1 typed metadata equality through the VARIANT path: the collection
+    * carries per-doc JSON metadata ({lang, source, n_chars}), and the
+    * conditions compare canonical-JSON renderings of variant extractions —
+    * "en" (string) matches only the typed string, never a bare number
+    * (ldb:308's typed dict equality). Same result contract as meta_filter,
+    * but exercised through ingest-with-metadata + queryMetadata instead of
+    * a relational WHERE over parquet columns. */
+  private val metaDbCache = new Memo[VectorDatabase](memoMax)(_.close())
+
+  private def metaDb(spark: SparkSession, dir: String): VectorDatabase =
+    metaDbCache.get(spark, dir) {
+      val src = tbl(spark, dir, "documents")
+        .join(tbl(spark, dir, "embeddings"), col("doc_id") === col("vec_id"))
+        .withColumn("meta_json",
+          to_json(struct(col("lang"), col("source"), col("n_chars"))))
+      graft.sources.CollectionLoader.load(spark, src, 64, "text", "embedding",
+        "doc_id", Some("meta_json"))
+    }
+
+  private def metaVariant(spark: SparkSession, dir: String): DataFrame =
+    metaDb(spark, dir).queryMetadata(Map("lang" -> "en", "source" -> "src3"), topK = 50)
+
   /** Relational tier: ROLLUP grouping sets (free via Catalyst, §2.6). */
   private def rollupRevenue(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "orders")
@@ -1184,6 +1215,20 @@ object Queries {
         |       round(sum(value), 4) AS total_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
     "streaming_ingest_knn" -> Q(streamingIngestKnn, Some(knnSql(7, 10))),
+    "streaming_range_join" -> Q(streamingRangeJoin, Some(
+      """WITH p AS (SELECT user_id, ts AS pts, event_id AS purchase_id
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, ts AS cts, value AS click_value
+        |           FROM events WHERE event_type = 'click')
+        |SELECT p.purchase_id, count(*) AS n_clicks,
+        |       round(sum(c.click_value), 4) AS click_sum
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |   AND epoch_us(c.cts) BETWEEN epoch_us(p.pts) - 3600000000 AND epoch_us(p.pts)
+        |GROUP BY p.purchase_id ORDER BY p.purchase_id""".stripMargin)),
+    "meta_variant" -> Q(metaVariant, Some(
+      """SELECT doc_id AS id FROM documents
+        |WHERE lang = 'en' AND source = 'src3'
+        |ORDER BY id LIMIT 50""".stripMargin)),
     "range_clicks" -> Q(rangeClicks, Some(
       """WITH p AS (SELECT user_id, ts AS pts, event_id AS purchase_id
         |           FROM events WHERE event_type = 'purchase'),

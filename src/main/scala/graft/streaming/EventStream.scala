@@ -87,6 +87,26 @@ object EventStream {
       .queryName(queryName)
       .start()
 
+  /** Stream-stream interval join — the streaming twin of the batch
+    * [[graft.operators.RangeJoin]] gate: purchases matched to the clicks
+    * in their preceding `beforeSec` window, per user. Both sides carry a
+    * watermark AND the join condition bounds event-time distance, which is
+    * exactly what lets Spark expire join state (a click older than
+    * max(pts) − beforeSec − watermark can never match again) — without
+    * both, stream-stream join state grows unboundedly. Inner joins emit a
+    * match as soon as both rows have arrived; no end-of-stream flush is
+    * needed. */
+  def intervalJoin(purchases: DataFrame, clicks: DataFrame,
+                   beforeSec: Long = 3600L,
+                   watermark: String = "1 hour"): DataFrame = {
+    val p = purchases.withWatermark("pts", watermark)
+    val c = clicks.withWatermark("cts", watermark)
+    p.join(c,
+      p("user_id") === c("user_id") &&
+        c("cts") >= p("pts") - expr(s"INTERVAL $beforeSec SECONDS") &&
+        c("cts") <= p("pts"))
+  }
+
   /** Streaming ingest into a [[graft.VectorDatabase]]: each micro-batch
     * appends through the bulk dense-id path (SURVEY §7.2-10 north star —
     * the reference's `add` fed by a stream). Dense-id assignment serializes

@@ -96,6 +96,27 @@ object StreamingGates {
       spark.table(name).where(col("user_id") =!= -1L)
     }
 
+  /** Streaming twin of the `range_clicks` gate: stream-stream interval
+    * join (purchases × clicks within the preceding hour, per user) through
+    * the symmetric-hash join executor. The join emits raw matched pairs in
+    * Append mode (inner matches emit immediately; no flush sentinel);
+    * the per-purchase aggregation happens batch-side on the sink table,
+    * pinning the streaming operator itself, not the downstream rollup. */
+  def rangeJoined(spark: SparkSession, dir: String): DataFrame =
+    withStreamableEvents(spark, dir) { in =>
+      val name = s"gate_range_${seq.incrementAndGet()}"
+      val ev = EventStream.fromDirectory(spark, in)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("event_id").as("purchase_id"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"), col("value").as("click_value"))
+      val q = EventStream.intervalJoin(purchases, clicks)
+        .select(col("purchase_id"), col("click_value"))
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name)
+    }
+
   /** Streaming-ingest gate: stream the joined documents × embeddings
     * collection through [[EventStream.ingestInto]] (foreachBatch →
     * addBulk dense-id append) into a fresh flat collection, and return the
