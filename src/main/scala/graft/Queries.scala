@@ -532,6 +532,28 @@ object Queries {
   private def metaVariant(spark: SparkSession, dir: String): DataFrame =
     metaDb(spark, dir).queryMetadata(Map("lang" -> "en", "source" -> "src3"), topK = 50)
 
+  /** S3+S4 through the driver gate: save the flat collection to a folder,
+    * load it back as a NEW instance (manifest dispatch, persisted data
+    * re-read from parquet), and answer the exact-KNN oracle from the
+    * loaded copy. The memo disposes the instance AND its folder. */
+  private val loadedDbCache =
+    new Memo[(VectorDatabase, java.nio.file.Path)](memoMax)({ case (db, p) =>
+      db.close(); graft.streaming.StreamingGates.rmrf(p)
+    })
+
+  private def loadedDb(spark: SparkSession, dir: String): VectorDatabase =
+    loadedDbCache.get(spark, dir) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_saveload")
+      vdb(spark, dir).save(tmp.toString)
+      (VectorDatabase.load(spark, tmp.toString), tmp)
+    }._1
+
+  private def saveLoadKnn(spark: SparkSession, dir: String): DataFrame =
+    loadedDb(spark, dir)
+      .queryVector(qvec(spark, dir, 7).map(_.toFloat), topK = 10)
+      .select(col("id"), r4(col("score")).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+
   /** Relational tier: ROLLUP grouping sets (free via Catalyst, §2.6). */
   private def rollupRevenue(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "orders")
@@ -1225,6 +1247,7 @@ object Queries {
         |FROM p JOIN c ON p.user_id = c.user_id
         |   AND epoch_us(c.cts) BETWEEN epoch_us(p.pts) - 3600000000 AND epoch_us(p.pts)
         |GROUP BY p.purchase_id ORDER BY p.purchase_id""".stripMargin)),
+    "save_load_knn" -> Q(saveLoadKnn, Some(knnSql(7, 10))),
     "meta_variant" -> Q(metaVariant, Some(
       """SELECT doc_id AS id FROM documents
         |WHERE lang = 'en' AND source = 'src3'

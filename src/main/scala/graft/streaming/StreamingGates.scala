@@ -30,7 +30,7 @@ object StreamingGates {
     * bench times each gate three times in one process. */
   private val seq = new AtomicInteger(0)
 
-  private def rmrf(p: Path): Unit =
+  private[graft] def rmrf(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]())
         .forEach(f => Files.deleteIfExists(f))
