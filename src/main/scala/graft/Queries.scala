@@ -622,9 +622,28 @@ object Queries {
   /** Near-dup clusters: exact-Jaccard pairs → Kiveris alternating-star
     * connected components → (id, cluster-min-id). The end step of a dedup
     * pipeline (pick one representative per cluster = where(id = cluster)). */
+  /** Memoized cluster assignment (id → component-min id) over the verified
+    * near-dup pairs — shared by the cluster gate and the keep-filter gate. */
+  private val clustersCache = new Memo[DataFrame](memoMax)(unp)
+
+  private def clustersFrame(spark: SparkSession, dir: String): DataFrame =
+    clustersCache.get(spark, dir)(
+      Dedup.connectedComponents(
+          jaccardPairsFrame(spark, dir).select(col("a"), col("b")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   private def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponents(
-        jaccardPairsFrame(spark, dir).select(col("a"), col("b")))
+    clustersFrame(spark, dir).orderBy(col("id"))
+
+  /** The END of the dedup pipeline: the deduplicated corpus itself — keep
+    * every document that is its cluster's representative (the component-min
+    * id) or in no cluster at all. One anti-join against the (tiny) non-
+    * representative id set; the corpus never shuffles. */
+  private def dedupKeep(spark: SparkSession, dir: String): DataFrame =
+    docsTbl(spark, dir).select(col("doc_id").as("id"))
+      .join(clustersFrame(spark, dir)
+          .where(col("id") =!= col("cluster")).select(col("id")),
+        Seq("id"), "left_anti")
       .orderBy(col("id"))
 
   /** Deterministic stratified sample (20 docs per lang) on the TopKPerKey
@@ -1072,6 +1091,28 @@ object Queries {
            |  UNION
            |  SELECT e.dst AS id, reach.r FROM reach JOIN e ON reach.id = e.src)
            |SELECT id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin)),
+    "dedup_keep" -> Q(dedupKeep, Some(
+      raw"""WITH RECURSIVE $shinglesCte,
+           |gsz AS (SELECT id, count(*)::DOUBLE AS sz FROM grams GROUP BY 1),
+           |inter AS (
+           |  SELECT l.id AS a, r.id AS b, count(*)::DOUBLE AS inter
+           |  FROM grams l JOIN grams r ON l.gram = r.gram AND l.id < r.id
+           |  GROUP BY 1, 2),
+           |p AS (
+           |  SELECT a, b FROM inter
+           |  JOIN gsz sa ON inter.a = sa.id JOIN gsz sb ON inter.b = sb.id
+           |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.8),
+           |e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+           |n AS (SELECT DISTINCT src AS id FROM e),
+           |reach AS (
+           |  SELECT id, id AS r FROM n
+           |  UNION
+           |  SELECT e.dst AS id, reach.r FROM reach JOIN e ON reach.id = e.src),
+           |cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+           |SELECT d.doc_id AS id FROM documents d
+           |LEFT JOIN cl ON d.doc_id = cl.id
+           |WHERE cl.id IS NULL OR cl.cluster = d.doc_id
+           |ORDER BY id""".stripMargin)),
     "sample_stratified" -> Q(sampleStratified, Some(
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,
