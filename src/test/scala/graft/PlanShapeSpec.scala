@@ -66,4 +66,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
     assert(!p.contains("SortAggregate"), p)
   }
+
+  test("approx_distinct_kmv: sketch aggregates object-hash with a partial phase") {
+    val p = plan("approx_distinct_kmv")
+    // TypedImperativeAggregate → ObjectHashAggregate, with partial_kminvalues
+    // on the map side so only O(k) sketch bytes per group cross the exchange
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_kminvalues") || p.contains("partial_kmin_values"), p)
+  }
+
+  test("pivot_revenue: static value list plans as ONE aggregation pass (no distinct-values subquery)") {
+    val p = plan("pivot_revenue")
+    assert(p.contains("HashAggregate"), p)
+    // a dynamic pivot would first run a collect_set/distinct job; the plan
+    // here is a single scan → partial agg → exchange → final agg
+    assert(!p.contains("CollectLimit"), p)
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+  }
+
+  test("dedup_keep: corpus survives via anti-join — no corpus-side shuffle beyond the join") {
+    val p = plan("dedup_keep")
+    assert(p.contains("LeftAnti"), p)
+  }
 }

@@ -73,6 +73,46 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  final case class PEv(user_id: Long, pts: Timestamp, purchase_id: Long)
+  final case class CEv(user_id: Long, cts: Timestamp, click_value: Double)
+
+  test("intervalJoin matches clicks in the preceding window and expires old state") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[CEv]
+    val purchases = MemoryStream[PEv]
+    val q = EventStream.intervalJoin(purchases.toDF(), clicks.toDF(),
+        beforeSec = 3600L, watermark = "10 minutes")
+      .select($"purchase_id", $"click_value")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ij_test").start()
+    try {
+      clicks.addData(
+        CEv(1L, ts("2026-01-01 10:00:00"), 1.0),
+        CEv(1L, ts("2026-01-01 10:30:00"), 2.0),
+        CEv(2L, ts("2026-01-01 10:30:00"), 4.0))
+      purchases.addData(PEv(1L, ts("2026-01-01 10:45:00"), 100L))
+      q.processAllAvailable()
+      val got = spark.table("ij_test").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      // both user-1 clicks are within the preceding hour; user-2's is not his
+      assert(got == Set((100L, 1.0), (100L, 2.0)))
+
+      // advance BOTH watermarks far ahead, then issue a purchase whose
+      // preceding window covers the (now expired) early clicks: matches
+      // against expired state must NOT appear
+      clicks.addData(CEv(9L, ts("2026-01-01 14:00:00"), 0.0))
+      purchases.addData(PEv(9L, ts("2026-01-01 14:00:00"), 998L))
+      q.processAllAvailable()
+      purchases.addData(PEv(1L, ts("2026-01-01 10:50:00"), 999L))
+      q.processAllAvailable()
+      val after = spark.table("ij_test").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(!after.exists(_._1 == 999L),
+        s"late purchase matched against state that should be expired: $after")
+    } finally q.stop()
+  }
+
   test("fromDirectory streams parquet event files as they arrive") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftevdir").toString
