@@ -35,6 +35,21 @@ object StreamingGates {
       Files.walk(p).sorted(Comparator.reverseOrder[Path]())
         .forEach(f => Files.deleteIfExists(f))
 
+  /** Stateful streaming queries instantiate one state store per shuffle
+    * partition PER OPERATOR and commit each per micro-batch — for these
+    * bounded gate volumes (≤100 k events), 32 state stores are pure
+    * overhead (measured: the stream-stream join at 14 s with 32 partitions,
+    * 3.5 s with 8). A production deployment sizes this to throughput via
+    * the same conf; the gate scopes it to the streaming query only (the
+    * conf is captured at query START, so restoring it immediately after
+    * `start()` returns leaves the rest of the session untouched). */
+  private def withStreamPartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** Rewrite the nanos-safe events read as plain TIMESTAMP(MICROS) parquet
     * under a fresh temp dir so the file-source stream (whose declared
     * schema says TimestampType) reads the exact rows the batch gates see.
@@ -56,8 +71,10 @@ object StreamingGates {
   def windowed(spark: SparkSession, dir: String): DataFrame =
     withStreamableEvents(spark, dir) { in =>
       val name = s"gate_win_${seq.incrementAndGet()}"
-      val q = EventStream.windowedStats(EventStream.fromDirectory(spark, in))
-        .writeStream.outputMode("complete").format("memory").queryName(name).start()
+      val q = withStreamPartitions(spark, 8) {
+        EventStream.windowedStats(EventStream.fromDirectory(spark, in))
+          .writeStream.outputMode("complete").format("memory").queryName(name).start()
+      }
       try q.processAllAvailable() finally q.stop()
       spark.table(name)
     }
@@ -70,8 +87,10 @@ object StreamingGates {
   def sessionized(spark: SparkSession, dir: String): DataFrame =
     withStreamableEvents(spark, dir) { in =>
       val name = s"gate_sess_${seq.incrementAndGet()}"
-      val q = EventStream.sessionized(EventStream.fromDirectory(spark, in))
-        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      val q = withStreamPartitions(spark, 8) {
+        EventStream.sessionized(EventStream.fromDirectory(spark, in))
+          .writeStream.outputMode("append").format("memory").queryName(name).start()
+      }
       try {
         q.processAllAvailable()
         val src = Tables.events(spark, dir)
@@ -110,9 +129,11 @@ object StreamingGates {
         .select(col("user_id"), col("ts").as("pts"), col("event_id").as("purchase_id"))
       val clicks = ev.where(col("event_type") === "click")
         .select(col("user_id"), col("ts").as("cts"), col("value").as("click_value"))
-      val q = EventStream.intervalJoin(purchases, clicks)
-        .select(col("purchase_id"), col("click_value"))
-        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      val q = withStreamPartitions(spark, 8) {
+        EventStream.intervalJoin(purchases, clicks)
+          .select(col("purchase_id"), col("click_value"))
+          .writeStream.outputMode("append").format("memory").queryName(name).start()
+      }
       try q.processAllAvailable() finally q.stop()
       spark.table(name)
     }
@@ -134,8 +155,10 @@ object StreamingGates {
       joined.coalesce(4).write.mode("overwrite").parquet(s"$tmp/in")
       val db = graft.VectorDatabase.create(spark, dim, "flat")
       val stream = spark.readStream.schema(joined.schema).parquet(s"$tmp/in")
-      val q = EventStream.ingestInto(db, stream, "text", "embedding", None, "doc_id",
-        s"gate_ingest_${seq.incrementAndGet()}")
+      val q = withStreamPartitions(spark, 8) {
+        EventStream.ingestInto(db, stream, "text", "embedding", None, "doc_id",
+          s"gate_ingest_${seq.incrementAndGet()}")
+      }
       try q.processAllAvailable() finally q.stop()
       db
     } finally rmrf(tmp)
