@@ -736,6 +736,28 @@ object Queries {
          |FROM graft_embeddings ORDER BY score DESC, id ASC LIMIT 10""".stripMargin)
   }
 
+  /** The END-TO-END training-data pipeline as ONE declarative plan: start
+    * from the corpus, keep only near-dup cluster representatives
+    * (dedup_keep), require predicted language 'en' (lang_id) and a quality
+    * score ≥ 0.8 (quality_score), and emit the training shard's id/token
+    * manifest. Each stage is an already-gated operator; this composition
+    * gate pins that they also compose — the per-doc feature projections
+    * fuse into one scan and the keep-filter is the same tiny anti-join,
+    * so the composed plan costs barely more than its most expensive
+    * stage. */
+  private def trainingExport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsTbl(spark, dir)
+    val lang = graft.text.TextAnalysis.langId(docs, "doc_id", "text")
+      .select(col("id"), col("pred_lang"))
+    val qual = graft.text.TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .select(col("id"), col("n_tok"), col("quality"))
+    dedupKeep(spark, dir).select(col("id"))
+      .join(lang, Seq("id")).join(qual, Seq("id"))
+      .where(col("pred_lang") === "en" && col("quality") >= 0.8)
+      .select(col("id"), col("n_tok"), col("quality"))
+      .orderBy(col("id"))
+  }
+
   /** Memoized persisted shingle frame per (session, dir) — one bounded copy
     * shared by the Jaccard and MinHash dedup plans. */
   private val shingleCache = new Memo[DataFrame](memoMax)(unp)
@@ -1113,6 +1135,43 @@ object Queries {
            |LEFT JOIN cl ON d.doc_id = cl.id
            |WHERE cl.id IS NULL OR cl.cluster = d.doc_id
            |ORDER BY id""".stripMargin)),
+    "training_export" -> Q(trainingExport, Some(
+      raw"""WITH RECURSIVE $shinglesCte,
+           |gsz AS (SELECT id, count(*)::DOUBLE AS sz FROM grams GROUP BY 1),
+           |inter AS (
+           |  SELECT l.id AS a, r.id AS b, count(*)::DOUBLE AS inter
+           |  FROM grams l JOIN grams r ON l.gram = r.gram AND l.id < r.id
+           |  GROUP BY 1, 2),
+           |p AS (
+           |  SELECT a, b FROM inter
+           |  JOIN gsz sa ON inter.a = sa.id JOIN gsz sb ON inter.b = sb.id
+           |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.8),
+           |e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+           |n AS (SELECT DISTINCT src AS id FROM e),
+           |reach AS (
+           |  SELECT id, id AS r FROM n
+           |  UNION
+           |  SELECT e.dst AS id, reach.r FROM reach JOIN e ON reach.id = e.src),
+           |cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+           |keep AS (SELECT d.doc_id AS id FROM documents d
+           |         LEFT JOIN cl ON d.doc_id = cl.id
+           |         WHERE cl.id IS NULL OR cl.cluster = d.doc_id),
+           |m AS (SELECT id,
+           |  len(toks)::DOUBLE AS n_tok,
+           |  len(list_filter(toks, w -> w IN $enList))::DOUBLE AS en,
+           |  len(list_filter(toks, w -> w IN $deList))::DOUBLE AS de,
+           |  len(list_filter(toks, w -> w IN $frList))::DOUBLE AS fr,
+           |  len(list_filter(toks, w -> w IN $enList))::DOUBLE / len(toks) AS stop_ratio,
+           |  length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE / len(toks) AS avg_wlen
+           |  FROM t),
+           |q AS (SELECT id, n_tok::BIGINT AS n_tok,
+           |  floor((0.4 * least(1.0, n_tok / 50.0) + 0.3 * least(1.0, stop_ratio * 5.0)
+           |      + 0.3 * least(1.0, avg_wlen / 5.0)) * 10000.0 + 0.5) / 10000.0 AS quality,
+           |  CASE WHEN en >= greatest(de, fr) THEN 'en'
+           |       WHEN de >= fr THEN 'de' ELSE 'fr' END AS pred_lang
+           |  FROM m)
+           |SELECT q.id, q.n_tok, q.quality FROM q JOIN keep ON q.id = keep.id
+           |WHERE q.pred_lang = 'en' AND q.quality >= 0.8 ORDER BY q.id""".stripMargin)),
     "sample_stratified" -> Q(sampleStratified, Some(
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,
