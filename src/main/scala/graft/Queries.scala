@@ -736,6 +736,18 @@ object Queries {
          |FROM graft_embeddings ORDER BY score DESC, id ASC LIMIT 10""".stripMargin)
   }
 
+  /** Vocabulary heavy hitters: top-20 terms by document frequency — one
+    * explode → map-side-combined count → TakeOrdered; the corpus-profiling
+    * scan every tokenizer/vocab decision starts from. Exact at any scale:
+    * the aggregate state is the vocabulary (bounded), never the corpus. */
+  private def termTopk(spark: SparkSession, dir: String): DataFrame =
+    docsTbl(spark, dir)
+      .select(col("doc_id").as("id"),
+        explode(array_distinct(BM25.tokenize(col("text")))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(20)
+
   /** The END-TO-END training-data pipeline as ONE declarative plan: start
     * from the corpus, keep only near-dup cluster representatives
     * (dedup_keep), require predicted language 'en' (lang_id) and a quality
@@ -1135,6 +1147,11 @@ object Queries {
            |LEFT JOIN cl ON d.doc_id = cl.id
            |WHERE cl.id IS NULL OR cl.cluster = d.doc_id
            |ORDER BY id""".stripMargin)),
+    "term_topk" -> Q(termTopk, Some(
+      raw"""WITH $toksCte,
+           |d AS (SELECT id, unnest(list_distinct(toks)) AS term FROM t)
+           |SELECT term, count(*) AS df FROM d GROUP BY 1
+           |ORDER BY df DESC, term LIMIT 20""".stripMargin)),
     "training_export" -> Q(trainingExport, Some(
       raw"""WITH RECURSIVE $shinglesCte,
            |gsz AS (SELECT id, count(*)::DOUBLE AS sz FROM grams GROUP BY 1),
