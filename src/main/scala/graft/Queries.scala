@@ -753,22 +753,19 @@ object Queries {
     * (dedup_keep), require predicted language 'en' (lang_id) and a quality
     * score ≥ 0.8 (quality_score), and emit the training shard's id/token
     * manifest. Each stage is an already-gated operator; this composition
-    * gate pins that they also compose — the per-doc feature projections
-    * fuse into one scan and the keep-filter is the same tiny anti-join,
-    * so the composed plan costs barely more than its most expensive
-    * stage. */
-  private def trainingExport(spark: SparkSession, dir: String): DataFrame = {
-    val docs = docsTbl(spark, dir)
-    val lang = graft.text.TextAnalysis.langId(docs, "doc_id", "text")
-      .select(col("id"), col("pred_lang"))
-    val qual = graft.text.TextAnalysis.qualityScore(docs, "doc_id", "text")
-      .select(col("id"), col("n_tok"), col("quality"))
-    dedupKeep(spark, dir).select(col("id"))
-      .join(lang, Seq("id")).join(qual, Seq("id"))
+    * gate pins that they also compose: language + quality come from ONE
+    * corpus scan (TextAnalysis.features — joining the two single-feature
+    * ops would read the corpus twice), and the keep filter is an anti-join
+    * against only the TINY non-representative id set, so the composed plan
+    * costs barely more than its most expensive stage. */
+  private def trainingExport(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.features(docsTbl(spark, dir), "doc_id", "text")
       .where(col("pred_lang") === "en" && col("quality") >= 0.8)
+      .join(clustersFrame(spark, dir)
+          .where(col("id") =!= col("cluster")).select(col("id")),
+        Seq("id"), "left_anti")
       .select(col("id"), col("n_tok"), col("quality"))
       .orderBy(col("id"))
-  }
 
   /** Memoized persisted shingle frame per (session, dir) — one bounded copy
     * shared by the Jaccard and MinHash dedup plans. */

@@ -66,6 +66,28 @@ object TextAnalysis {
         lit(0.3) * least(lit(1.0), avgWlen / 5.0)) * 10000.0 + 0.5) / 10000.0).as("quality"))
   }
 
+  /** ALL per-doc text features in ONE projection — language vote + quality
+    * composite over a single corpus scan. A pipeline that joins
+    * [[langId]] ⨝ [[qualityScore]] reads the corpus twice and shuffles on
+    * id; at 100 TB the features are computed together or not at all.
+    * Column contract matches the two single-feature ops exactly. Output:
+    * (id, pred_lang, n_tok, quality). */
+  def features(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = toks(col(textCol))
+    val (en, de, fr) = (hits(t, stopwords("en")), hits(t, stopwords("de")), hits(t, stopwords("fr")))
+    val nTok = size(t).cast("double")
+    val stopRatio = en.cast("double") / nTok
+    val avgWlen = length(regexp_replace(col(textCol), "\\s+", "")).cast("double") / nTok
+    docs.select(
+      col(idCol).as("id"),
+      when(en >= greatest(de, fr), "en").when(de >= fr, "de").otherwise("fr").as("pred_lang"),
+      nTok.cast("long").as("n_tok"),
+      (floor((
+        lit(0.4) * least(lit(1.0), nTok / 50.0) +
+        lit(0.3) * least(lit(1.0), stopRatio * 5.0) +
+        lit(0.3) * least(lit(1.0), avgWlen / 5.0)) * 10000.0 + 0.5) / 10000.0).as("quality"))
+  }
+
   /** BPE-ish subword pattern: letter runs, digit runs, single other symbols.
     * A stand-in for a real tokenizer's pre-tokenization regex. */
   val subwordPattern = "[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\\s]"

@@ -88,4 +88,15 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("dedup_keep")
     assert(p.contains("LeftAnti"), p)
   }
+
+  test("training_export: language + quality features come from ONE corpus scan") {
+    val p = plan("training_export")
+    // the composed pipeline must not re-read documents per feature: one
+    // parquet scan feeds the fused feature projection; the keep filter is
+    // an anti-join against the tiny non-representative set (cached, not
+    // a second scan)
+    assert(p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents")) == 1, p)
+    assert(p.contains("LeftAnti"), p)
+  }
 }
