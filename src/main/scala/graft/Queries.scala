@@ -679,15 +679,23 @@ object Queries {
     * 100 TB you'd run the sketch alone, with NO pre-distinct pass. */
   private def approxDistinctKmv(spark: SparkSession, dir: String): DataFrame = {
     val k = 64
-    val agg = eventsTbl(spark, dir)
+    val hashed = eventsTbl(spark, dir)
       .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
-      .groupBy(col("event_type"))
-      .agg(graft.expr.SketchAgg.kminValues(col("h"), k).as("hs"),
-        countDistinct(col("h")).as("n_exact"))
+    // the sketch aggregates ALONE: mixing countDistinct into the same agg
+    // triggers Catalyst's distinct rewrite, which keys the sketch partials
+    // by (group, h) — one buffer per DISTINCT HASH, defeating the O(k)-
+    // per-group design (PlanShapeSpec pins the group-only keying). The
+    // exact count rides in a separate subtree, joined on the tiny group
+    // key — at 100 TB you'd drop that subtree and keep only the sketch.
+    val sketch = hashed.groupBy(col("event_type"))
+      .agg(graft.expr.SketchAgg.kminValues(col("h"), k).as("hs"))
+    val exact = hashed.groupBy(col("event_type"))
+      .agg(countDistinct(col("h")).as("n_exact"))
     // 13 hex digits = 52 bits: exact in a double on both engines
     val frac = conv(substring(element_at(col("hs"), k), 1, 13), 16, 10).cast("double") /
       lit(4503599627370496.0)
-    agg.select(col("event_type"), col("n_exact"),
+    sketch.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"),
         round(when(size(col("hs")) < k, col("n_exact").cast("double"))
           .otherwise(lit((k - 1).toDouble) / frac), 4).as("est_kmv"))
       .orderBy(col("event_type"))

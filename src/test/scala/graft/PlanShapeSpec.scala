@@ -67,12 +67,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortAggregate"), p)
   }
 
-  test("approx_distinct_kmv: sketch aggregates object-hash with a partial phase") {
+  test("approx_distinct_kmv: sketch partials are keyed by the GROUP alone (O(k) buffers)") {
     val p = plan("approx_distinct_kmv")
-    // TypedImperativeAggregate → ObjectHashAggregate, with partial_kminvalues
+    // TypedImperativeAggregate → ObjectHashAggregate, with partial_kmin_values
     // on the map side so only O(k) sketch bytes per group cross the exchange
     assert(p.contains("ObjectHashAggregate"), p)
-    assert(p.contains("partial_kminvalues") || p.contains("partial_kmin_values"), p)
+    val partial = p.linesIterator.find(_.contains("partial_kmin_values"))
+    assert(partial.isDefined, p)
+    // a countDistinct sharing the aggregate would rewrite the sketch's
+    // partial keys to (group, hash) — one buffer per DISTINCT VALUE
+    assert(partial.get.matches(""".*keys=\[event_type#\d+\].*"""),
+      s"sketch partial not keyed by the group alone: ${partial.get}")
   }
 
   test("pivot_revenue: static value list plans as ONE aggregation pass (no distinct-values subquery)") {
