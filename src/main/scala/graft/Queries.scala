@@ -701,12 +701,16 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
-  /** Skew-safe two-stage distinct count: salting BY THE DISTINCT KEY puts
+  /** Skew-safe salted distinct count: salting BY THE DISTINCT KEY puts
     * each distinct user in exactly one (group, salt) shard, so partial
-    * distinct counts SUM exactly — the standard rewrite when one hot group
-    * (here: every event_type is hot, 5 keys over all rows) would pin a
-    * single reducer holding the group's whole distinct set. Two bounded
-    * shuffles replace one skewed one; results are exact integers. */
+    * distinct counts SUM exactly. The plan is three shuffles, EACH with
+    * bounded fan-in per reducer: by (group, salt, user) to dedup, by
+    * (group, salt) to count shards (≤ 1/salts of a hot group's distinct
+    * set per reducer — the stage plain countDistinct lacks: its group-
+    * keyed count funnels a hot group's whole distinct set into one
+    * reducer), and by group to sum ≤ `salts` partial rows. The pattern
+    * generalizes to aggregates Catalyst has no distinct-rewrite for
+    * (collect_set, typed aggregates); results are exact integers. */
   private def skewDistinct(spark: SparkSession, dir: String): DataFrame = {
     val salts = 16
     eventsTbl(spark, dir)
