@@ -262,6 +262,15 @@ object Queries {
       .select(col("id"), r4(col("score")).as("score"))
       .orderBy(col("score").desc, col("id").asc)
 
+  /** K1–K3 through the FACADE: `queryText` over the ingested collection —
+    * create → addBulk → BM25 rebuild-on-demand → score, the reference's
+    * `query_text` end to end (ldb:115–135), sharing text_bm25's oracle
+    * (the collection's docs ARE the documents table, ids ≡ doc_id). */
+  private def facadeQueryText(spark: SparkSession, dir: String): DataFrame =
+    vdb(spark, dir).queryText(bm25Query, topK = 10)
+      .select(col("id"), r4(col("score")).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+
   /** Memoized IVF index per (session, dir) — built once, probed per query. */
   private val ivfCache = new Memo[IVFIndex](memoMax)(i => unp(i.assignments))
 
@@ -1000,6 +1009,10 @@ object Queries {
          |  ORDER BY score DESC, id LIMIT 20)
          |SELECT id, score FROM top WHERE label = 3 ORDER BY score DESC, id""".stripMargin)),
     "text_bm25" -> Q(textBm25, Some(
+      s"""WITH ${bm25Ctes(bm25Query)}
+         |SELECT id, round(score, 4) AS score FROM tscore
+         |ORDER BY score DESC, id LIMIT 10""".stripMargin)),
+    "facade_query_text" -> Q(facadeQueryText, Some(
       s"""WITH ${bm25Ctes(bm25Query)}
          |SELECT id, round(score, 4) AS score FROM tscore
          |ORDER BY score DESC, id LIMIT 10""".stripMargin)),
