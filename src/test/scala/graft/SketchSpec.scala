@@ -67,6 +67,25 @@ class SketchSpec extends AnyFunSuite {
     assert(out.sameElements(naive))
   }
 
+  test("approx_percentile stays inside the exact q45–q55 band (production quantile path)") {
+    // events_quantiles gates EXACT per-group percentiles (O(group) agg
+    // state — what the oracle needs); the 100 TB path is approx_percentile
+    // (bounded GK sketch state). Pin the approximate median between the
+    // exact 45th and 55th percentiles per group.
+    import org.apache.spark.sql.functions.{percentile_approx => pa}
+    val rows = graft.sources.Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(percentile($"value", lit(0.45)).as("lo"),
+        percentile($"value", lit(0.55)).as("hi"),
+        pa($"value", lit(0.5), lit(1000)).as("approx"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, hi, ap) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(ap >= lo && ap <= hi, s"${r.getString(0)}: $ap outside [$lo, $hi]")
+    }
+  }
+
   test("sql_knn through the FunctionRegistry equals the DataFrame-path knn_l2") {
     val viaSql = SparkEntry.queries("sql_knn")(spark, sfDir).collect().toSeq
     val viaDf = SparkEntry.queries("knn_l2")(spark, sfDir).collect().toSeq
