@@ -563,6 +563,34 @@ object Queries {
       .select(col("id"), r4(col("score")).as("score"))
       .orderBy(col("score").desc, col("id").asc)
 
+  /** Windowed analytics with a RANGE frame: per-user rolling 1-hour mean
+    * over event time — the time-decayed feature shape (rolling rates,
+    * moving averages) every behavioral pipeline computes. One shuffle on
+    * user_id; the frame bound is event-time, not row-count, so sparse and
+    * dense users get the same semantics. */
+  private def rollingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("__us"))
+      .rangeBetween(-3600L * 1000000L, Window.currentRow)
+    eventsTbl(spark, dir)
+      .withColumn("__us", unix_micros(col("ts")))
+      .withColumn("roll_avg", avg(col("value")).over(w))
+      .select(col("event_id"), col("user_id"), r4(col("roll_avg")).as("roll_avg"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Relational tier: TPC-H Q6 shape — the pure scan-pushdown query: every
+    * predicate reaches the parquet reader, the aggregate is one exact
+    * DECIMAL sum; the whole plan is scan → filter → partial/final agg. */
+  private def tpchQ6(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice").cast("decimal(18,6)") *
+          col("l_discount").cast("decimal(18,6)")).cast("decimal(18,6)"))
+        .cast("double").as("revenue"))
+
   /** Relational tier: ROLLUP grouping sets (free via Catalyst, §2.6). */
   private def rollupRevenue(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "orders")
@@ -1409,6 +1437,17 @@ object Queries {
         |SELECT p.purchase_id, p.user_id, c.click_id, round(c.click_value, 4) AS click_value
         |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY purchase_id""".stripMargin)),
+    "rolling_avg" -> Q(rollingAvg, Some(
+      """SELECT event_id, user_id,
+        |       round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4) AS roll_avg
+        |FROM events ORDER BY event_id""".stripMargin)),
+    "tpch_q6" -> Q(tpchQ6, Some(
+      """SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6)) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)),
     "rollup_revenue" -> Q(rollupRevenue, Some(
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
