@@ -94,6 +94,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("tpch_q6: every predicate is pushed to the parquet scan") {
+    val p = plan("tpch_q6")
+    assert(p.contains("PushedFilters: ["), p)
+    // all three predicate families must reach the reader
+    assert(p.contains("l_shipdate") && p.contains("l_discount") && p.contains("l_quantity"),
+      s"missing pushed predicate:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("training_export: language + quality features come from ONE corpus scan") {
     val p = plan("training_export")
     // the composed pipeline must not re-read documents per feature: one
