@@ -462,7 +462,14 @@ object VectorDatabase {
     hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
   }
 
-  def load(spark: SparkSession, path: String): VectorDatabase = {
+  /** `lazyIndexes = true` is the bigger-than-memory mode: the IVF
+    * assignment frame (the one artifact proportional to the corpus) stays
+    * a lazy partitioned-parquet read, so probes do file-level partition
+    * pruning instead of first caching every cluster — see
+    * [[IVFIndex.open]]. Default (eager) mirrors the reference's in-RAM
+    * index model. */
+  def load(spark: SparkSession, path: String,
+           lazyIndexes: Boolean = false): VectorDatabase = {
     val man = Manifest.load(path, spark.sparkContext.hadoopConfiguration)
     val data = spark.read.parquet(s"$path/data").persist(StorageLevel.MEMORY_AND_DISK)
     val n = data.count()
@@ -470,10 +477,14 @@ object VectorDatabase {
     if ((man.effectiveType == "ivf" || man.effectiveType == "ivfpq") && n > 0) {
       if (!artifactExists(spark, s"$path/index/assignments"))
         throw new IllegalStateException(s"index artifacts missing under $path/index")
-      val cents = spark.read.parquet(s"$path/index/centroids")
-      val assigns = spark.read.parquet(s"$path/index/assignments")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      db.ivfVar = Some(IVFIndex.fromFrames(cents, assigns, man.ivfClusters))
+      if (lazyIndexes)
+        db.ivfVar = Some(IVFIndex.open(spark, s"$path/index"))
+      else {
+        val cents = spark.read.parquet(s"$path/index/centroids")
+        val assigns = spark.read.parquet(s"$path/index/assignments")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        db.ivfVar = Some(IVFIndex.fromFrames(cents, assigns, man.ivfClusters))
+      }
       if (man.effectiveType == "ivfpq") {
         if (!artifactExists(spark, s"$path/index/pq/codes"))
           throw new IllegalStateException(s"PQ artifacts missing under $path/index/pq")

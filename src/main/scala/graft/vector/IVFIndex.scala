@@ -121,6 +121,26 @@ object IVFIndex {
     new IVFIndex(centers.zipWithIndex.map { case (c, i) => (i, c) }, assigned, centers.length)
   }
 
+  /** LAZY on-disk restore — the 100 TB mode. Centroids collect (≤ nlist
+    * rows, the driver-held quantizer); assignments stay a plain
+    * partitioned-parquet READ, never persisted, so a probe's
+    * `cluster IN (probed…)` predicate becomes file-level PARTITION
+    * PRUNING: only nprobe/nlist of the files are opened (IVFSpec pins
+    * `PartitionFilters` in the probe's scan). The eager `fromFrames`
+    * path caches the whole assignment frame — the reference's in-RAM
+    * index model, right when the index fits memory; `open` is the mode
+    * where it does not, and pruned I/O is the entire point of IVF.
+    * `indexDir` is the `$path/index` directory [[graft.VectorDatabase]]
+    * `save` writes. */
+  def open(spark: SparkSession, indexDir: String): IVFIndex = {
+    val centers = spark.read.parquet(s"$indexDir/centroids")
+      .select(col("cluster"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val assigns = spark.read.parquet(s"$indexDir/assignments")
+    new IVFIndex(centers.sortBy(_._1), assigns, centers.length)
+  }
+
   /** Restore from frames persisted by save (centroids small, collect). */
   def fromFrames(centroidsDf: DataFrame, assignments: DataFrame, nlist: Int): IVFIndex = {
     val centers = centroidsDf.select(col("cluster"), col("centroid"))

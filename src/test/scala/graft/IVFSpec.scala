@@ -67,4 +67,26 @@ class IVFSpec extends AnyFunSuite {
       .where(index.assignments("cluster").isin(probed.map(Integer.valueOf): _*)).count()
     assert(scanned < emb.count())
   }
+
+  test("open(): lazy on-disk probe does file-level partition pruning, same results as in-memory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_open")
+    try {
+      // persist exactly what VectorDatabase.save writes for an ivf index
+      IVFIndex.centroidsToDf(spark, index).write.mode("overwrite")
+        .parquet(s"$dir/centroids")
+      index.assignments.write.mode("overwrite").partitionBy("cluster")
+        .parquet(s"$dir/assignments")
+      val opened = IVFIndex.open(spark, dir.toString)
+      assert(opened.nlist == index.nlist)
+      val q = queryVec(7)
+      val viaDisk = opened.search(q, k = 5, nprobe = 2)
+      val plan = viaDisk.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+        s"probe did not prune parquet partitions:\n$plan")
+      val got = viaDisk.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val want = index.search(q, k = 5, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == want)
+    } finally graft.streaming.StreamingGates.rmrf(dir)
+  }
 }

@@ -240,6 +240,22 @@ class VectorDatabaseSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("lazy-index load: probes prune parquet partitions, results equal the eager load") {
+    val db = VectorDatabase.create(spark, dim, "hnsw", ivfClusters = 4, efSearch = 20)
+    val many = Seq.fill(40)(vec())
+    db.add(many.indices.map(i => s"doc $i"), many, None)
+    val path = java.nio.file.Files.createTempDirectory("graftivflazy").toString
+    db.save(path)
+    val eager = VectorDatabase.load(spark, path)
+    val lazyDb = VectorDatabase.load(spark, path, lazyIndexes = true)
+    val plan = lazyDb.queryVector(many(5), 3).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      s"lazy ivf probe did not prune partitions:\n$plan")
+    val a = eager.queryVector(many(5), 3).collect().map(x => (x.getLong(0), x.getDouble(1)))
+    val b = lazyDb.queryVector(many(5), 3).collect().map(x => (x.getLong(0), x.getDouble(1)))
+    assert(a.sameElements(b))
+  }
+
   test("unknown index type in manifest downgrades to flat (test:164–198)") {
     val db = freshDb("flat")
     val path = java.nio.file.Files.createTempDirectory("graftunk").toString
