@@ -490,6 +490,12 @@ object Queries {
         r4(col("avg_value")).as("avg_value"))
       .orderBy(col("hour").asc, col("event_type").asc)
 
+  private def streamingSinkWindow(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingGates.windowedToParquet(spark, dir)
+      .select(col("hour"), col("event_type"), col("n"),
+        r4(col("avg_value")).as("avg_value"))
+      .orderBy(col("hour").asc, col("event_type").asc)
+
   private def streamingSessionize(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamingGates.sessionized(spark, dir)
       .select(col("user_id"), col("session_start"), col("n_events"),
@@ -1387,6 +1393,9 @@ object Queries {
     // oracles as their batch counterparts (events_window / sessionize /
     // the flat-scan KNN) — see graft.streaming.StreamingGates
     "streaming_window" -> Q(streamingWindow, Some(
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    "streaming_sink_window" -> Q(streamingSinkWindow, Some(
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, round(avg(value), 4) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     "streaming_sessionize" -> Q(streamingSessionize, Some(

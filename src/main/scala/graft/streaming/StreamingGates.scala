@@ -93,26 +93,59 @@ object StreamingGates {
       }
       try {
         q.processAllAvailable()
-        val src = Tables.events(spark, dir)
-        val maxTs = src.agg(max(col("ts"))).head().getTimestamp(0)
-        val far = new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000)
-        // derive the sentinel from the SOURCE schema so an events-schema
-        // change fails as a clear mismatch here, not a file-source error
-        val sentinel = src.limit(1).select(src.schema.fieldNames.map {
-          case "event_id"   => lit(-1L).as("event_id")
-          case "user_id"    => lit(-1L).as("user_id")
-          case "ts"         => lit(far).as("ts")
-          case "event_type" => lit("sentinel").as("event_type")
-          case "value"      => lit(0.0).as("value")
-          case other        => col(other)
-        }: _*)
-        require(sentinel.schema.map(f => (f.name, f.dataType)) ==
-                  src.schema.map(f => (f.name, f.dataType)),
-          s"sentinel row drifted from the events schema: ${sentinel.schema} vs ${src.schema}")
-        sentinel.coalesce(1).write.mode("append").parquet(in)
+        appendSentinel(spark, dir, in)
         q.processAllAvailable()
       } finally q.stop()
       spark.table(name).where(col("user_id") =!= -1L)
+    }
+
+  /** Append-mode flush for finite input: a far-future sentinel row (user
+    * −1, event_type "sentinel" — both filtered from gate results) advances
+    * the watermark past every real window/session so Append emits them.
+    * Derived from the SOURCE schema so an events-schema change fails as a
+    * clear mismatch here, not a file-source error downstream. */
+  private def appendSentinel(spark: SparkSession, dir: String, in: String): Unit = {
+    val src = Tables.events(spark, dir)
+    val maxTs = src.agg(max(col("ts"))).head().getTimestamp(0)
+    val far = new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000)
+    val sentinel = src.limit(1).select(src.schema.fieldNames.map {
+      case "event_id"   => lit(-1L).as("event_id")
+      case "user_id"    => lit(-1L).as("user_id")
+      case "ts"         => lit(far).as("ts")
+      case "event_type" => lit("sentinel").as("event_type")
+      case "value"      => lit(0.0).as("value")
+      case other        => col(other)
+    }: _*)
+    require(sentinel.schema.map(f => (f.name, f.dataType)) ==
+              src.schema.map(f => (f.name, f.dataType)),
+      s"sentinel row drifted from the events schema: ${sentinel.schema} vs ${src.schema}")
+    sentinel.coalesce(1).write.mode("append").parquet(in)
+  }
+
+  /** Durable-sink twin of the `events_window` gate: the SAME windowed
+    * aggregation written through the exactly-once parquet FILE sink
+    * (offset log + file manifest) in Append mode — a window's row is
+    * written once, when the watermark closes it; the sentinel flushes the
+    * tail. The files are read back and materialized (bounded: the gate's
+    * result set), then the sink dir is deleted. */
+  def windowedToParquet(spark: SparkSession, dir: String): DataFrame =
+    withStreamableEvents(spark, dir) { in =>
+      val tmp = Files.createTempDirectory("graft_sink_gate")
+      try {
+        val q = withStreamPartitions(spark, 8) {
+          EventStream.startWindowedParquet(EventStream.fromDirectory(spark, in),
+            s"$tmp/out", s"$tmp/chk", s"gate_sink_${seq.incrementAndGet()}")
+        }
+        try {
+          q.processAllAvailable()
+          appendSentinel(spark, dir, in)
+          q.processAllAvailable()
+        } finally q.stop()
+        val sunk = spark.read.parquet(s"$tmp/out")
+          .where(col("event_type") =!= "sentinel")
+        val rows = java.util.Arrays.asList(sunk.collect(): _*)
+        spark.createDataFrame(rows, sunk.schema)
+      } finally rmrf(tmp)
     }
 
   /** Streaming twin of the `range_clicks` gate: stream-stream interval
