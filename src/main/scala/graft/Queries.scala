@@ -931,6 +931,12 @@ object Queries {
         docsTbl(spark, dir).where(col("doc_id") < 50), "doc_id", "text"), every = 2)
       .toDF().orderBy(col("id"), col("frame_idx"))
 
+  private def multimodalResize(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.resize(
+      graft.multimodal.Multimodal.packDocuments(
+        docsTbl(spark, dir), "doc_id", "text"), tw = 8, th = 8)
+      .toDF().orderBy(col("id"))
+
   /** Oracle for both batch-KNN formulations (window and TopKPerKey). */
   private val knnBatchSql =
     s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
@@ -1098,6 +1104,14 @@ object Queries {
         |        unnest(range(0, (octet_length(text::BLOB) + 255) // 256)) AS frame_idx
         |      FROM documents WHERE doc_id < 50)
         |WHERE frame_idx % 2 = 0 ORDER BY id, frame_idx""".stripMargin)),
+    "multimodal_resize" -> Q(multimodalResize, Some(
+      """WITH b AS (SELECT doc_id AS id, text, octet_length(text::BLOB) AS len FROM documents),
+        |kk AS (SELECT id, text, len, greatest(1, (len + 63) // 64) AS k FROM b),
+        |r AS (SELECT id, (len + k - 1) // k AS n,
+        |      array_to_string(list_transform(range(0, (len + k - 1) // k),
+        |        i -> substr(text, CAST(1 + i*k AS INT), 1)), '') AS s FROM kk)
+        |SELECT id, 8 AS out_w, 8 AS out_h, CAST(n AS INT) AS n_sampled, md5(s) AS resized_fp
+        |FROM r ORDER BY id""".stripMargin)),
     "events_window" -> Q(eventsWindow, Some(
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, round(avg(value), 4) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),

@@ -65,6 +65,29 @@ object Multimodal {
     })
   }
 
+  final case class Resized(id: Long, out_w: Int, out_h: Int, n_sampled: Int,
+                           resized_fp: String)
+
+  /** "Resize" for the stub codec: deterministic grid subsample of the
+    * payload down to ≤ tw×th samples (stride = ⌈len/(tw·th)⌉) — the shape
+    * of a real resize kernel (a gather at computed offsets over the
+    * decoded buffer) without a codec. Output stays narrow (scalars + a
+    * fingerprint of the resized buffer): payload bytes never shuffle. */
+  def resize(assets: Dataset[Asset], tw: Int, th: Int): Dataset[Resized] = {
+    import assets.sparkSession.implicits._
+    require(tw > 0 && th > 0, "target dims must be positive")
+    assets.mapPartitions(_.map { a =>
+      val len = a.bytes.length
+      val target = tw * th
+      val k = math.max(1, (len + target - 1) / target)
+      val n = (len + k - 1) / k
+      val out = new Array[Byte](n)
+      var i = 0
+      while (i < n) { out(i) = a.bytes(i * k); i += 1 }
+      Resized(a.id, tw, th, n, md5hex(out, 0, n))
+    })
+  }
+
   /** Sample every `every`-th fixed-length frame from the payload ("video"
     * frame extraction): per-asset iterator flatMap — no materialized frame
     * list, streaming through each partition. */

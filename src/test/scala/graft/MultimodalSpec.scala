@@ -48,4 +48,23 @@ class MultimodalSpec extends AnyFunSuite {
       .digest(("a" * 188).getBytes("UTF-8")).map(x => f"$x%02x").mkString
     assert(frames(0L).find(_.frame_idx == 2).get.frame_fp == want)
   }
+
+  test("resize: stride-sampled fingerprint, bounded output size, stride math") {
+    val rs = Multimodal.resize(
+      Multimodal.packDocuments(docsDf, "doc_id", "text"), tw = 8, th = 8)
+      .collect().map(r => r.id -> r).toMap
+    // doc 0: len 700, target 64 -> k = ceil(700/64) = 11, n = ceil(700/11) = 64
+    assert(rs(0L).n_sampled == 64 && rs(0L).out_w == 8 && rs(0L).out_h == 8)
+    // doc 1: len 9 < target -> k = 1, identity sample of all 9 bytes
+    assert(rs(1L).n_sampled == 9)
+    val text = "short doc"
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes("UTF-8")).map(x => f"$x%02x").mkString
+    assert(rs(1L).resized_fp == expected)
+    // constant input -> constant samples: doc 2 is 256 x 'b', k=4, n=64
+    assert(rs(2L).n_sampled == 64)
+    val bs = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array.fill(64)('b'.toByte)).map(x => f"$x%02x").mkString
+    assert(rs(2L).resized_fp == bs)
+  }
 }
