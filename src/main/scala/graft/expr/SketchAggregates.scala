@@ -52,6 +52,8 @@ case class KMinValues(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[KMinBuf] {
 
+  require(k > 0, s"kmin_values needs k >= 1, got $k")
+
   override def prettyName: String = "kmin_values"
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
