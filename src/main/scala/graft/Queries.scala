@@ -963,6 +963,29 @@ object Queries {
          |           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS gram
          |  FROM t WHERE len(toks) >= 3)""".stripMargin
 
+  /** Shared DuckDB CTE chain: exact-Jaccard pairs (threshold 0.8) →
+    * symmetric edges → recursive closure → `cl(id, cluster)` cluster
+    * assignment — the oracle for every connected-components-derived gate
+    * (dedup_clusters, dedup_keep, training_export). Requires `grams` from
+    * [[shinglesCte]] and a `WITH RECURSIVE` prelude. */
+  private val ccOracleCtes =
+    raw"""gsz AS (SELECT id, count(*)::DOUBLE AS sz FROM grams GROUP BY 1),
+         |inter AS (
+         |  SELECT l.id AS a, r.id AS b, count(*)::DOUBLE AS inter
+         |  FROM grams l JOIN grams r ON l.gram = r.gram AND l.id < r.id
+         |  GROUP BY 1, 2),
+         |p AS (
+         |  SELECT a, b FROM inter
+         |  JOIN gsz sa ON inter.a = sa.id JOIN gsz sb ON inter.b = sb.id
+         |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.8),
+         |e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+         |n AS (SELECT DISTINCT src AS id FROM e),
+         |reach AS (
+         |  SELECT id, id AS r FROM n
+         |  UNION
+         |  SELECT e.dst AS id, reach.r FROM reach JOIN e ON reach.id = e.src),
+         |cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)""".stripMargin
+
   /** Shared DuckDB CTE chain: 64-bit tf-weighted SimHash per doc (16 md5
     * nibbles × 4 bits; must mirror graft.dedup.Dedup.simhash exactly). */
   private val simhashCtes =
@@ -1179,40 +1202,11 @@ object Queries {
            |FROM n ORDER BY id""".stripMargin)),
     "dedup_clusters" -> Q(dedupClusters, Some(
       raw"""WITH RECURSIVE $shinglesCte,
-           |gsz AS (SELECT id, count(*)::DOUBLE AS sz FROM grams GROUP BY 1),
-           |inter AS (
-           |  SELECT l.id AS a, r.id AS b, count(*)::DOUBLE AS inter
-           |  FROM grams l JOIN grams r ON l.gram = r.gram AND l.id < r.id
-           |  GROUP BY 1, 2),
-           |p AS (
-           |  SELECT a, b FROM inter
-           |  JOIN gsz sa ON inter.a = sa.id JOIN gsz sb ON inter.b = sb.id
-           |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.8),
-           |e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
-           |n AS (SELECT DISTINCT src AS id FROM e),
-           |reach AS (
-           |  SELECT id, id AS r FROM n
-           |  UNION
-           |  SELECT e.dst AS id, reach.r FROM reach JOIN e ON reach.id = e.src)
-           |SELECT id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin)),
+           |$ccOracleCtes
+           |SELECT id, cluster FROM cl ORDER BY id""".stripMargin)),
     "dedup_keep" -> Q(dedupKeep, Some(
       raw"""WITH RECURSIVE $shinglesCte,
-           |gsz AS (SELECT id, count(*)::DOUBLE AS sz FROM grams GROUP BY 1),
-           |inter AS (
-           |  SELECT l.id AS a, r.id AS b, count(*)::DOUBLE AS inter
-           |  FROM grams l JOIN grams r ON l.gram = r.gram AND l.id < r.id
-           |  GROUP BY 1, 2),
-           |p AS (
-           |  SELECT a, b FROM inter
-           |  JOIN gsz sa ON inter.a = sa.id JOIN gsz sb ON inter.b = sb.id
-           |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.8),
-           |e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
-           |n AS (SELECT DISTINCT src AS id FROM e),
-           |reach AS (
-           |  SELECT id, id AS r FROM n
-           |  UNION
-           |  SELECT e.dst AS id, reach.r FROM reach JOIN e ON reach.id = e.src),
-           |cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+           |$ccOracleCtes
            |SELECT d.doc_id AS id FROM documents d
            |LEFT JOIN cl ON d.doc_id = cl.id
            |WHERE cl.id IS NULL OR cl.cluster = d.doc_id
@@ -1224,22 +1218,7 @@ object Queries {
            |ORDER BY df DESC, term LIMIT 20""".stripMargin)),
     "training_export" -> Q(trainingExport, Some(
       raw"""WITH RECURSIVE $shinglesCte,
-           |gsz AS (SELECT id, count(*)::DOUBLE AS sz FROM grams GROUP BY 1),
-           |inter AS (
-           |  SELECT l.id AS a, r.id AS b, count(*)::DOUBLE AS inter
-           |  FROM grams l JOIN grams r ON l.gram = r.gram AND l.id < r.id
-           |  GROUP BY 1, 2),
-           |p AS (
-           |  SELECT a, b FROM inter
-           |  JOIN gsz sa ON inter.a = sa.id JOIN gsz sb ON inter.b = sb.id
-           |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.8),
-           |e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
-           |n AS (SELECT DISTINCT src AS id FROM e),
-           |reach AS (
-           |  SELECT id, id AS r FROM n
-           |  UNION
-           |  SELECT e.dst AS id, reach.r FROM reach JOIN e ON reach.id = e.src),
-           |cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+           |$ccOracleCtes,
            |keep AS (SELECT d.doc_id AS id FROM documents d
            |         LEFT JOIN cl ON d.doc_id = cl.id
            |         WHERE cl.id IS NULL OR cl.cluster = d.doc_id),

@@ -485,11 +485,15 @@ object Dedup {
     * and equality of consecutive fingerprints stops the loop. */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     // edges canonically oriented big → small (both star ops emit (v, m)
-    // with v > m, so the orientation is stable round over round)
+    // with v > m, so the orientation is stable round over round). Ids keep
+    // their NATURAL type — least/greatest/min work on any orderable column
+    // (a cast("long") here would null out string/UUID ids and silently
+    // return an empty result); null ids are dropped explicitly.
     var edges = pairs.select(
-        greatest(col("a").cast("long"), col("b").cast("long")).as("u"),
-        least(col("a").cast("long"), col("b").cast("long")).as("v"))
-      .where(col("u") =!= col("v")).distinct()
+        greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
       .localCheckpoint(true)
 
     def sym(e: DataFrame): DataFrame =
@@ -528,6 +532,10 @@ object Dedup {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val nfp = fingerprint(next)
       converged = nfp == fp
+      // release the superseded round's checkpointed edge copy NOW — the
+      // loop otherwise pins one cached edge-set per round until GC, and a
+      // long-converging graph evicts the caches it depends on
+      edges.unpersist(blocking = false)
       edges = next; fp = nfp; rounds += 1
     }
     require(converged, s"connectedComponents did not converge in $maxRounds rounds")

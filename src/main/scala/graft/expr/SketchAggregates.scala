@@ -1,7 +1,6 @@
 package graft.expr
 
 import java.nio.ByteBuffer
-import java.nio.charset.StandardCharsets
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.InternalRow
@@ -14,10 +13,14 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** K-minimum-values sketch buffer: the k smallest DISTINCT strings seen so
   * far, kept in a bounded sorted set — O(k) state regardless of input
-  * cardinality. */
+  * cardinality. Elements are [[UTF8String]]s, whose `compareTo` is binary
+  * UTF-8 order — the SAME order Spark's `min`/`sort_array` and external
+  * SQL engines use. (A TreeSet[java.lang.String] would compare UTF-16 code
+  * units, which disagrees with UTF-8 order for supplementary characters.)
+  */
 final class KMinBuf(val k: Int) {
-  val set = new java.util.TreeSet[String]()
-  def add(s: String): Unit = {
+  val set = new java.util.TreeSet[UTF8String]()
+  def add(s: UTF8String): Unit = {
     // skip the insert when the buffer is full and s can't make the cut —
     // at 100 TB most rows take this O(log k) comparison-only path
     if (set.size < k || set.last().compareTo(s) > 0) {
@@ -69,7 +72,8 @@ case class KMinValues(
 
   override def update(buf: KMinBuf, input: InternalRow): KMinBuf = {
     val v = child.eval(input)
-    if (v != null) buf.add(v.asInstanceOf[UTF8String].toString)
+    // clone: the evaluated UTF8String may point into a reused row buffer
+    if (v != null) buf.add(v.asInstanceOf[UTF8String].clone())
     buf
   }
 
@@ -83,7 +87,7 @@ case class KMinValues(
     val arr = new Array[Any](buf.set.size)
     val it = buf.set.iterator()
     var i = 0
-    while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
     new GenericArrayData(arr)
   }
 
@@ -93,7 +97,7 @@ case class KMinValues(
     val it = buf.set.iterator()
     var i = 0
     while (it.hasNext) {
-      items(i) = it.next().getBytes(StandardCharsets.UTF_8)
+      items(i) = it.next().getBytes
       total += 4 + items(i).length
       i += 1
     }
@@ -112,7 +116,7 @@ case class KMinValues(
       val len = bb.getInt
       val b = new Array[Byte](len)
       bb.get(b)
-      buf.set.add(new String(b, StandardCharsets.UTF_8))
+      buf.set.add(UTF8String.fromBytes(b))
       i += 1
     }
     buf

@@ -72,7 +72,13 @@ object Multimodal {
     * payload down to ≤ tw×th samples (stride = ⌈len/(tw·th)⌉) — the shape
     * of a real resize kernel (a gather at computed offsets over the
     * decoded buffer) without a codec. Output stays narrow (scalars + a
-    * fingerprint of the resized buffer): payload bytes never shuffle. */
+    * fingerprint of the resized buffer): payload bytes never shuffle.
+    *
+    * The operator samples BYTES (the honest domain for a binary payload).
+    * The `multimodal_resize` gate's SQL oracle reproduces it with
+    * per-CHARACTER substr — equivalent only while the packed payloads are
+    * ASCII (true of the test corpus); the operator itself is byte-correct
+    * for any payload. */
   def resize(assets: Dataset[Asset], tw: Int, th: Int): Dataset[Resized] = {
     import assets.sparkSession.implicits._
     require(tw > 0 && th > 0, "target dims must be positive")

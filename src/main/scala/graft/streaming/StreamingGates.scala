@@ -104,7 +104,7 @@ object StreamingGates {
     * the watermark past every real window/session so Append emits them.
     * Derived from the SOURCE schema so an events-schema change fails as a
     * clear mismatch here, not a file-source error downstream. */
-  private def appendSentinel(spark: SparkSession, dir: String, in: String): Unit = {
+  private[graft] def appendSentinel(spark: SparkSession, dir: String, in: String): Unit = {
     val src = Tables.events(spark, dir)
     val maxTs = src.agg(max(col("ts"))).head().getTimestamp(0)
     val far = new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000)

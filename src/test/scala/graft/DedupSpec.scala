@@ -156,4 +156,15 @@ class DedupSpec extends AnyFunSuite {
     val over = Dedup.oversizedBuckets(blocks, Seq("blk", "bs"), 10).collect()
     assert(over.nonEmpty && over.forall(_.getLong(2) == 30L))
   }
+
+  test("connectedComponents works over STRING ids (no silent long-cast null-out)") {
+    import spark.implicits._
+    val pairs = Seq(("doc-b", "doc-a"), ("doc-c", "doc-b"), ("doc-z", "doc-y"))
+      .toDF("a", "b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc.size == 5)
+    assert(Set("doc-a", "doc-b", "doc-c").forall(cc(_) == "doc-a"))
+    assert(Set("doc-y", "doc-z").forall(cc(_) == "doc-y"))
+  }
 }

@@ -91,4 +91,15 @@ class SketchSpec extends AnyFunSuite {
     val viaDf = SparkEntry.queries("knn_l2")(spark, sfDir).collect().toSeq
     assert(viaSql == viaDf)
   }
+
+  test("kminValues orders by UTF-8 binary order, matching Spark's min/sort_array") {
+    // U+FFFF (UTF-8: EF BF BF) sorts BELOW U+10000 (F0 90 80 80) in binary
+    // UTF-8 order, but a UTF-16 code-unit compare would invert them
+    // (surrogate 0xD800 < 0xFFFF)
+    val df = Seq("\uFFFF", new String(Character.toChars(0x10000))).toDF("v")
+    val viaSketch = df.agg(SketchAgg.kminValues(col("v"), 1)).head().getSeq[String](0)
+    val viaMin = df.agg(min(col("v"))).head().getString(0)
+    assert(viaSketch == Seq(viaMin))
+    assert(viaMin == "\uFFFF")
+  }
 }

@@ -14,11 +14,7 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
 
   override def afterAll(): Unit = {
     tempDirs.foreach { d =>
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      } catch { case _: Throwable => () }
+      try graft.streaming.StreamingGates.rmrf(d) catch { case _: Throwable => () }
     }
     super.afterAll()
   }
@@ -310,28 +306,9 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     try {
       q.processAllAvailable()
       // Append mode emits a session only once the watermark passes its
-      // close: a sentinel event far past max(ts) (user -1, excluded below)
-      // flushes every real session — the standard end-of-stream technique.
-      val src = graft.sources.Tables.events(spark, sfDir)
-      val maxTs = src.agg(max(col("ts"))).head().getTimestamp(0)
-      val far = new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000)
-      // derive the sentinel from the SOURCE schema (one real row with the
-      // marker fields replaced), so an events-schema change fails here as a
-      // clear assertion, not as a file-source schema-merge error downstream
-      val sentinel = src.limit(1).select(src.schema.fieldNames.map {
-        case "event_id" => lit(-1L).as("event_id")
-        case "user_id" => lit(-1L).as("user_id")
-        case "ts" => lit(far).as("ts")
-        case "event_type" => lit("sentinel").as("event_type")
-        case "value" => lit(0.0).as("value")
-        case other => col(other) // new columns ride along with real values
-      }: _*)
-      // names + types must match (nullability may differ: literals are
-      // non-nullable while the parquet source is nullable)
-      assert(sentinel.schema.map(f => (f.name, f.dataType)) ==
-               src.schema.map(f => (f.name, f.dataType)),
-        s"sentinel row drifted from the events schema:\n${sentinel.schema}\nvs\n${src.schema}")
-      sentinel.coalesce(1).write.mode("append").parquet(in)
+      // close: the gates' shared sentinel flush (far-future row, user -1,
+      // excluded below) — one implementation, schema-drift-checked there
+      graft.streaming.StreamingGates.appendSentinel(spark, sfDir, in)
       q.processAllAvailable()
       val stream = spark.table("diff_sess")
         .where(col("user_id") =!= -1L)
