@@ -791,6 +791,10 @@ object Queries {
          |FROM graft_embeddings ORDER BY score DESC, id ASC LIMIT 10""".stripMargin)
   }
 
+  private def repetitionScore(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.repetition(docsTbl(spark, dir), "doc_id", "text")
+      .orderBy(col("id"))
+
   /** Vocabulary heavy hitters: top-20 terms by document frequency — one
     * explode → map-side-combined count → TakeOrdered; the corpus-profiling
     * scan every tokenizer/vocab decision starts from. Exact at any scale:
@@ -1211,6 +1215,18 @@ object Queries {
            |LEFT JOIN cl ON d.doc_id = cl.id
            |WHERE cl.id IS NULL OR cl.cluster = d.doc_id
            |ORDER BY id""".stripMargin)),
+    "repetition_score" -> Q(repetitionScore, Some(
+      raw"""WITH $toksCte,
+           |g AS (SELECT id, unnest(list_transform(range(0, len(toks)-2),
+           |        i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS gram
+           |      FROM t WHERE len(toks) >= 3),
+           |c AS (SELECT id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+           |a AS (SELECT id, CAST(sum(c) AS BIGINT) AS n_grams, count(*) AS n_distinct, max(c) AS max_c
+           |      FROM c GROUP BY 1)
+           |SELECT id, n_grams,
+           |       round(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 4) AS dup_gram_ratio,
+           |       round(CAST(max_c AS DOUBLE) / n_grams, 4) AS top_gram_ratio
+           |FROM a ORDER BY id""".stripMargin)),
     "term_topk" -> Q(termTopk, Some(
       raw"""WITH $toksCte,
            |d AS (SELECT id, unnest(list_distinct(toks)) AS term FROM t)

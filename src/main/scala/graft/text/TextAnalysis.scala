@@ -101,6 +101,30 @@ object TextAnalysis {
       size(regexp_extract_all(col(textCol), lit(subwordPattern), lit(0))).cast("long").as("subword_tokens"),
       length(col(textCol)).cast("long").as("n_chars"))
 
+  /** Repetition/boilerplate metrics per doc — the Gopher-rules-style
+    * repetition filters (Rae et al., "Scaling Language Models: … Gopher",
+    * 2021 §A1.1): the fraction of duplicate token n-grams and the share
+    * of the single most frequent n-gram. Machine-generated/boilerplate
+    * text scores high on both; a training pipeline thresholds them next
+    * to [[qualityScore]]. One explode + one map-side-combined count per
+    * doc — no cross-doc shuffle beyond the (id, gram) aggregation.
+    * Output: (id, n_grams, dup_gram_ratio, top_gram_ratio). */
+  def repetition(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val t = toks(col(textCol))
+    docs.where(size(t) >= n)
+      .select(col(idCol).as("id"),
+        explode(graft.dedup.Dedup.ngrams(t, n)).as("gram"))
+      .groupBy(col("id"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("max_c"))
+      .select(col("id"), col("n_grams"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 4)
+          .as("dup_gram_ratio"),
+        round(col("max_c").cast("double") / col("n_grams"), 4).as("top_gram_ratio"))
+  }
+
   /** Whitespace-collapsed, lowercased canonical form — the normalization
     * under both fingerprints and exact dedup. */
   def normalized(textCol: Column): Column =
