@@ -863,6 +863,27 @@ object Queries {
   private def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
     jaccardPairsFrame(spark, dir)
 
+  /** Incremental dedup gate: docs with id < 450 play the INDEXED CORPUS,
+    * ids ≥ 450 the incoming batch — the production shape (dedup each
+    * arriving batch against the collection, per-batch cost ∝ batch). The
+    * corpus index is memoized like every other per-collection index. */
+  private val jaccardIndexCache = new Memo[Dedup.JaccardIndex](memoMax)(ix => {
+    unp(ix.gramSets); unp(ix.df); unp(ix.prefixes)
+  })
+
+  private def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsTbl(spark, dir)
+    val ix = jaccardIndexCache.get(spark, dir) {
+      val built = Dedup.buildJaccardIndex(
+        docs.where(col("doc_id") < 450), "doc_id", "text")
+      val p = (df: DataFrame) =>
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      built.copy(gramSets = p(built.gramSets), df = p(built.df),
+        prefixes = p(built.prefixes))
+    }
+    Dedup.jaccardPairsIncremental(ix, docs.where(col("doc_id") >= 450), "doc_id", "text")
+  }
+
   /** Memoized persisted banded-signature frame (one row per doc × band) —
     * the expensive SortAggregate chain behind minhash runs once per
     * (session, dir), not once per bench run. */
@@ -1310,6 +1331,17 @@ object Queries {
            |SELECT a, b, round(inter / (sa.sz + sb.sz - inter), 4) AS jac
            |FROM inter JOIN gsz sa ON inter.a = sa.id JOIN gsz sb ON inter.b = sb.id
            |WHERE inter / (sa.sz + sb.sz - inter) >= 0.8
+           |ORDER BY jac DESC, a, b""".stripMargin)),
+    "dedup_incremental" -> Q(dedupIncremental, Some(
+      raw"""WITH $shinglesCte,
+           |gsz AS (SELECT id, count(*)::DOUBLE AS sz FROM grams GROUP BY 1),
+           |inter AS (
+           |  SELECT l.id AS a, r.id AS b, count(*)::DOUBLE AS inter
+           |  FROM grams l JOIN grams r ON l.gram = r.gram AND l.id < r.id
+           |  GROUP BY 1, 2)
+           |SELECT a, b, round(inter / (sa.sz + sb.sz - inter), 4) AS jac
+           |FROM inter JOIN gsz sa ON inter.a = sa.id JOIN gsz sb ON inter.b = sb.id
+           |WHERE inter / (sa.sz + sb.sz - inter) >= 0.8 AND b >= 450
            |ORDER BY jac DESC, a, b""".stripMargin)),
     "dedup_minhash" -> Q(dedupMinhash, Some(
       raw"""WITH $shinglesCte,

@@ -89,18 +89,7 @@ object Dedup {
     // doc), shared by the prefix bound and the verification ratio filter
     val sizes = gramSets.select(col("id"), size(col("grams")).cast("double").as("sz"))
     val dfg = sh.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-    // shuffle-hash hints: both are aggregate-back-joins whose build side is
-    // the (smaller) aggregate — hash beats sort-merge at every scale here,
-    // and the hint stops the planner flip-flopping between rogue broadcasts
-    // (underestimated explode output, cold stats) and full sorts of the
-    // shingle frame (accurate cached stats)
-    val prefixes = sh.join(dfg.hint("shuffle_hash"), Seq("gram"))
-      .join(sizes.hint("shuffle_hash"), Seq("id"))
-      .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-          .orderBy(col("df").asc, col("gram").asc)))
-      .where(col("__rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("id"), col("gram"))
+    val prefixes = prefixSelect(sh, dfg, sizes, threshold)
     // shuffle-hash, not broadcast: the prefix frame's size is invisible to
     // the parquet-derived estimate (it sits above an explode), and the
     // planner's rogue broadcast of a million-row side is a driver OOM on a
@@ -110,6 +99,76 @@ object Dedup {
         col("l.gram") === col("r.gram") && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
     verifiedJaccard(cand, gramSets, threshold)
+  }
+
+  /** Rarest-first Bayardo prefix selection: keep each doc's first
+    * (⌈sz⌉ − ⌈t·sz⌉ + 1) grams under the global (df asc, gram asc) order.
+    * The shuffle-hash hints pin the aggregate-back-joins: their
+    * post-explode cardinality is invisible to parquet-derived estimates,
+    * and the planner otherwise flip-flops between rogue broadcasts of
+    * million-row sides (a driver OOM on a real cluster) and full sorts of
+    * the shingle frame. */
+  private def prefixSelect(sh: DataFrame, dfg: DataFrame, sizes: DataFrame,
+                           threshold: Double): DataFrame =
+    sh.join(dfg.hint("shuffle_hash"), Seq("gram"))
+      .join(sizes.hint("shuffle_hash"), Seq("id"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("df").asc, col("gram").asc)))
+      .where(col("__rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("id"), col("gram"))
+
+  /** Corpus-side reusable state for INCREMENTAL near-dup joins — the
+    * frames a deployment computes once per corpus snapshot (and persists)
+    * to dedup every incoming batch against: per-doc gram sets, the global
+    * gram document frequencies (the prefix ORDER), and the corpus prefix
+    * frame itself. */
+  final case class JaccardIndex(gramSets: DataFrame, df: DataFrame,
+                                prefixes: DataFrame, n: Int, threshold: Double)
+
+  /** One pass over the corpus builds the [[JaccardIndex]]. */
+  def buildJaccardIndex(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.8): JaccardIndex = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val gramSets = docGramSets(sh)
+    val sizes = gramSets.select(col("id"), size(col("grams")).cast("double").as("sz"))
+    val dfg = sh.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    JaccardIndex(gramSets, dfg, prefixSelect(sh, dfg, sizes, threshold), n, threshold)
+  }
+
+  /** INCREMENTAL exact near-dup: Jaccard pairs (a < b, jac ≥ threshold)
+    * involving at least one `incoming` doc — new-vs-corpus and
+    * new-vs-new, never corpus-vs-corpus (those were found when the corpus
+    * was indexed). This is the production dedup query: per-batch work is
+    * proportional to the BATCH (+ its candidate collisions), not the
+    * corpus, because the corpus side reuses the prebuilt [[JaccardIndex]].
+    *
+    * Correctness of the prefix filter under reuse: the Bayardo guarantee
+    * holds under ANY fixed global gram order, so the incoming side simply
+    * adopts the CORPUS df order — grams unseen in the corpus take df 0
+    * (rarest-first, a conservative, strictly-larger prefix). Incoming ids
+    * must be disjoint from corpus ids (the dense-rowid contract). */
+  def jaccardPairsIncremental(index: JaccardIndex, incoming: DataFrame,
+                              idCol: String, textCol: String): DataFrame = {
+    val shN = shingles(incoming, idCol, textCol, index.n)
+    val gsN = docGramSets(shN)
+    val sizesN = gsN.select(col("id"), size(col("grams")).cast("double").as("sz"))
+    // adopt the corpus order: left join + df 0 for unseen grams
+    val dfN = shN.select(col("gram")).distinct()
+      .join(index.df.hint("shuffle_hash"), Seq("gram"), "left")
+      .na.fill(0L, Seq("df"))
+    val prefN = prefixSelect(shN, dfN, sizesN, index.threshold)
+    val newVsCorpus = prefN.as("l")
+      .join(index.prefixes.as("r").hint("shuffle_hash"), col("l.gram") === col("r.gram"))
+      .select(col("l.id").as("x"), col("r.id").as("y"))
+    val newVsNew = prefN.as("l")
+      .join(prefN.as("r").hint("shuffle_hash"),
+        col("l.gram") === col("r.gram") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("x"), col("r.id").as("y"))
+    val cand = newVsCorpus.unionByName(newVsNew)
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    verifiedJaccard(cand, index.gramSets.unionByName(gsN), index.threshold)
   }
 
   /** (id, grams): per-doc SORTED distinct-shingle array — one compact row

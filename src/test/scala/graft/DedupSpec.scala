@@ -167,4 +167,21 @@ class DedupSpec extends AnyFunSuite {
     assert(Set("doc-a", "doc-b", "doc-c").forall(cc(_) == "doc-a"))
     assert(Set("doc-y", "doc-z").forall(cc(_) == "doc-y"))
   }
+
+  test("jaccardPairsIncremental == full-union pairs restricted to batch-touching pairs") {
+    import spark.implicits._
+    val corpus = docs.where($"id" <= 2)
+    val incoming = docs.where($"id" >= 3)
+    val ix = Dedup.buildJaccardIndex(corpus, "id", "text", n = 3, threshold = 0.5)
+    val got = Dedup.jaccardPairsIncremental(ix, incoming, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = Dedup.jaccardPairs(docs, "id", "text", n = 3, threshold = 0.5)
+      .where($"b" >= 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+    // the exact dup (0, 4) crosses the corpus/batch boundary at jac 1.0
+    assert(got.contains((0L, 4L, 1.0)))
+    // corpus-vs-corpus pairs (e.g. 0-1) must NOT reappear per batch
+    assert(!got.exists { case (a, b, _) => a <= 2 && b <= 2 })
+  }
 }
