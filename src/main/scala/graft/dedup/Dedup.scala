@@ -50,12 +50,8 @@ object Dedup {
     * production many-split table the guard is a no-op: partitions already
     * ≥ the cluster's parallelism. */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val src =
-      if (docs.rdd.getNumPartitions < math.max(2, par / 2)) docs.repartition(par)
-      else docs
     val t = BM25.tokenize(col(textCol))
-    src.where(size(t) >= n)
+    graft.sources.Tables.fanOut(docs).where(size(t) >= n)
       .select(col(idCol).as("id"), explode(array_distinct(ngrams(t, n))).as("gram"))
   }
 

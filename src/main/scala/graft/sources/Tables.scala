@@ -28,6 +28,16 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame =
     parquet(spark, dir, "documents")
 
+  /** Fan a low-partition source out to the cluster's parallelism before an
+    * expensive per-row projection (interpreted HOFs like the n-gram
+    * `transform` cost ~ms/doc): a small parquet table arrives as ONE input
+    * split and would otherwise run the whole projection on a single core.
+    * On a production many-split table this is a no-op. */
+  private[graft] def fanOut(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, par / 2)) df.repartition(par) else df
+  }
+
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     parquet(spark, dir, "embeddings")
 }

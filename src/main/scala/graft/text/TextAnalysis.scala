@@ -111,7 +111,7 @@ object TextAnalysis {
     * Output: (id, n_grams, dup_gram_ratio, top_gram_ratio). */
   def repetition(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val t = toks(col(textCol))
-    docs.where(size(t) >= n)
+    graft.sources.Tables.fanOut(docs).where(size(t) >= n)
       .select(col(idCol).as("id"),
         explode(graft.dedup.Dedup.ngrams(t, n)).as("gram"))
       .groupBy(col("id"), col("gram")).agg(count(lit(1)).as("c"))
