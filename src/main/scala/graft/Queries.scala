@@ -863,25 +863,31 @@ object Queries {
   private def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
     jaccardPairsFrame(spark, dir)
 
-  /** Incremental dedup gate: docs with id < 450 play the INDEXED CORPUS,
-    * ids ≥ 450 the incoming batch — the production shape (dedup each
-    * arriving batch against the collection, per-batch cost ∝ batch). The
-    * corpus index is memoized like every other per-collection index. */
+  /** Incremental dedup gate: the FIRST 90% of doc ids play the INDEXED
+    * CORPUS, the last 10% the incoming batch — the production shape
+    * (dedup each arriving batch against the collection, per-batch cost
+    * ∝ batch), at every scale factor. The corpus index is memoized like
+    * every other per-collection index; the cut is a count-derived query
+    * argument (one driver scalar). */
   private val jaccardIndexCache = new Memo[Dedup.JaccardIndex](memoMax)(ix => {
     unp(ix.gramSets); unp(ix.df); unp(ix.prefixes)
   })
 
+  private def incrementalCut(spark: SparkSession, dir: String): Long =
+    math.ceil(0.9 * docsTbl(spark, dir).count()).toLong
+
   private def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = docsTbl(spark, dir)
+    val cut = incrementalCut(spark, dir)
     val ix = jaccardIndexCache.get(spark, dir) {
       val built = Dedup.buildJaccardIndex(
-        docs.where(col("doc_id") < 450), "doc_id", "text")
+        docs.where(col("doc_id") < cut), "doc_id", "text")
       val p = (df: DataFrame) =>
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       built.copy(gramSets = p(built.gramSets), df = p(built.df),
         prefixes = p(built.prefixes))
     }
-    Dedup.jaccardPairsIncremental(ix, docs.where(col("doc_id") >= 450), "doc_id", "text")
+    Dedup.jaccardPairsIncremental(ix, docs.where(col("doc_id") >= cut), "doc_id", "text")
   }
 
   /** Memoized persisted banded-signature frame (one row per doc × band) —
@@ -1341,7 +1347,8 @@ object Queries {
            |  GROUP BY 1, 2)
            |SELECT a, b, round(inter / (sa.sz + sb.sz - inter), 4) AS jac
            |FROM inter JOIN gsz sa ON inter.a = sa.id JOIN gsz sb ON inter.b = sb.id
-           |WHERE inter / (sa.sz + sb.sz - inter) >= 0.8 AND b >= 450
+           |WHERE inter / (sa.sz + sb.sz - inter) >= 0.8
+           |  AND b >= (SELECT CAST(ceil(0.9 * count(*)) AS BIGINT) FROM documents)
            |ORDER BY jac DESC, a, b""".stripMargin)),
     "dedup_minhash" -> Q(dedupMinhash, Some(
       raw"""WITH $shinglesCte,
