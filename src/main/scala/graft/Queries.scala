@@ -291,6 +291,17 @@ object Queries {
       .orderBy(col("score").desc, col("id").asc)
   }
 
+  /** K5/K6 metric dispatch: the IVF probe under COSINE scoring, in the
+    * exact-recoverable configuration (nprobe = nlist), sharing the exact
+    * cosine oracle — pins that the probe machinery is metric-generic, not
+    * an L2 special case. */
+  private def annIvfCosine(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ivfIndex(spark, dir)
+    idx.search(qvec(spark, dir, 42), k = 10, nprobe = idx.nlist, metric = ExactKNN.Cosine)
+      .select(col("id"), r4(col("score")).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+  }
+
   /** Memoized anchor-codebook PQ index per (session, dir): codebooks are
     * the sub-vectors of rows vec_id < 16 (m = 8 subspaces of 8 dims), a
     * deterministic SQL-expressible construction — so encode + ADC are
@@ -1060,6 +1071,14 @@ object Queries {
          |  ORDER BY 1.0/(1.0 + $sqDistSql) DESC, id LIMIT 20)
          |SELECT id, score FROM top WHERE label = 3 ORDER BY score DESC, id""".stripMargin)),
     "ann_ivf" -> Q(annIvf, Some(knnSql(13, 10))),
+    "ann_ivf_cosine" -> Q(annIvfCosine, Some(
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 42)
+         |SELECT e.vec_id AS id,
+         |       round(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * q.qv[i]))
+         |             / (sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+         |                * sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])))), 4) AS score
+         |FROM embeddings e, q
+         |ORDER BY score DESC, id LIMIT 10""".stripMargin)),
     "ann_pq" -> Q(annPq, Some(
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |a AS (SELECT vec_id AS aid, emb AS aemb FROM v WHERE vec_id < 16),
