@@ -118,6 +118,44 @@ object Queries {
 
   val bm25Query = "spark fast query join table"
 
+  /** Bulk-BM25 oracle: the corpus-side CTE chain once, one scoring block
+    * per query (qt/contrib are the only query-dependent pieces), each cut
+    * to top-k on the RAW score (matching the Spark-side heap cut), rounded
+    * in the outer select. */
+  private def bm25BatchSql(qs: Seq[(Long, String)], k: Int): String = {
+    val shared =
+      raw"""d AS (SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+           |dl AS (SELECT id, len(toks)::DOUBLE AS dl FROM d),
+           |corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+           |tf AS (SELECT id, unnest(toks) AS term FROM d),
+           |tfg AS (SELECT id, term, count(*)::DOUBLE AS tf FROM tf GROUP BY 1, 2),
+           |dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tfg GROUP BY 1),
+           |raw AS (SELECT term, ln((n - df + 0.5)/(df + 0.5)) AS raw_idf FROM dfreq, corpus),
+           |eps AS (SELECT avg(raw_idf) AS avg_idf FROM raw),
+           |idf AS (SELECT term, CASE WHEN raw_idf < 0 THEN 0.25 * avg_idf ELSE raw_idf END AS idf FROM raw, eps)""".stripMargin
+    val blocks = qs.map { case (qid, q) =>
+      raw"""qt$qid AS (SELECT term, count(*)::DOUBLE AS qtf FROM (SELECT unnest(string_split_regex(trim('$q'), '\s+')) AS term) GROUP BY 1),
+           |c$qid AS (
+           |  SELECT tfg.id,
+           |         sum(qt$qid.qtf * idf.idf * tfg.tf * (1.5 + 1.0) /
+           |             (tfg.tf + 1.5 * (1.0 - 0.75 + 0.75 * dl.dl / corpus.avgdl))) AS score
+           |  FROM tfg JOIN qt$qid USING (term) JOIN idf USING (term) JOIN dl USING (id), corpus
+           |  GROUP BY 1),
+           |s$qid AS (SELECT $qid AS qid, id, score FROM c$qid
+           |          ORDER BY score DESC, id LIMIT $k)""".stripMargin
+    }
+    val union = qs.map { case (qid, _) => s"SELECT * FROM s$qid" }.mkString(" UNION ALL ")
+    s"""WITH $shared,
+       |${blocks.mkString(",\n")}
+       |SELECT qid, id, round(score, 4) AS score FROM ($union)
+       |ORDER BY qid, score DESC, id""".stripMargin
+  }
+
+  private val bm25BatchQueries = Seq(
+    1L -> bm25Query,
+    2L -> "data column agg merge",
+    3L -> "customer order stream window")
+
   // ---------------------------------------------------------------------------
   // Spark-side operator implementations
   // ---------------------------------------------------------------------------
@@ -176,6 +214,16 @@ object Queries {
       .select(col("id"), r4(col("score")).as("score"))
       .orderBy(col("score").desc, col("id").asc)
       .limit(10)
+
+  /** BULK text retrieval: N queries through ONE postings join + one
+    * map-side-combined (qid, id) aggregate, each query's results bounded
+    * by the TopKPerKey heap operator — the training-data-mining shape
+    * (millions of mined queries against the corpus), never N separate
+    * scoring passes. */
+  private def textBm25Batch(spark: SparkSession, dir: String): DataFrame =
+    bm25Index(spark, dir).scoreBatchTopK(bm25BatchQueries, k = 5)
+      .select(col("qid"), col("id"), r4(col("score")).as("score"))
+      .orderBy(col("qid").asc, col("score").desc, col("id").asc)
 
   /** F1 conjunctive exact-match metadata filter + F4 head-top_k. */
   private def metaFilter(spark: SparkSession, dir: String): DataFrame =
@@ -1125,6 +1173,7 @@ object Queries {
       s"""WITH ${bm25Ctes(bm25Query)}
          |SELECT id, round(score, 4) AS score FROM tscore
          |ORDER BY score DESC, id LIMIT 10""".stripMargin)),
+    "text_bm25_batch" -> Q(textBm25Batch, Some(bm25BatchSql(bm25BatchQueries, 5))),
     "facade_query_text" -> Q(facadeQueryText, Some(
       s"""WITH ${bm25Ctes(bm25Query)}
          |SELECT id, round(score, 4) AS score FROM tscore

@@ -89,6 +89,47 @@ object BM25 {
         .join(matched, Seq("id"), "left")
         .select(col("id"), coalesce(col("score"), lit(0.0)).as("score"))
     }
+
+    /** BULK retrieval: score N queries through ONE postings join — the
+      * shape training-data mining needs (millions of mined queries against
+      * the corpus). All queries' (qid, term, weight) rows broadcast
+      * together; one join + one map-side-combinable groupBy(qid, id) later,
+      * [[graft.plans.TopKPerKey]] bounds each query's result to k. Sparse
+      * output (only matched docs) — the dense zero-score contract of
+      * [[score]] does not compose with a top-k cut. */
+    def scoreBatchTopK(queries: Seq[(Long, String)], k: Int): DataFrame = {
+      if (n == 0)
+        throw new IllegalStateException("No documents in the database")
+      val spark = postings.sparkSession
+      import spark.implicits._
+      val qtf: Seq[(Long, String, Double)] = queries.flatMap { case (qid, q) =>
+        tokenizeQuery(q).groupBy(identity).view.mapValues(_.length.toDouble)
+          .toSeq.map { case (t, c) => (qid, t, c) }
+      }
+      val terms = qtf.map(_._2).distinct
+      val dfByTerm: Map[String, Double] =
+        if (terms.isEmpty) Map.empty
+        else docFreq.where(col("term").isin(terms: _*))
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val weights = qtf.flatMap { case (qid, t, c) =>
+        dfByTerm.get(t).map(df => (qid, t, c * idf(df)))
+      }
+      if (weights.isEmpty)
+        return spark.emptyDataFrame
+          .select(lit(0L).as("qid"), lit(0L).as("id"), lit(0.0).as("score")).limit(0)
+      val (k1, b) = (params.k1, params.b)
+      val scored = postings
+        .join(broadcast(weights.toDF("qid", "term", "w")), Seq("term"))
+        .groupBy(col("qid"), col("id"))
+        .agg(sum(col("w") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
+          .as("score"))
+      // no score>0 cut: BM25 scores are legitimately ALL negative when the
+      // epsilon-floored avg idf is negative (high-df vocabularies) — the
+      // sparse contract is "docs sharing ≥1 query term", period
+      graft.plans.TopK.perKey(scored, Seq("qid"),
+        Seq(("score", true), ("id", false)), k)
+    }
   }
 
   /** Build (and persist) the index from (idCol, textCol) of `docs` — the

@@ -69,4 +69,21 @@ class BM25Spec extends AnyFunSuite {
     val got = idx.score("alpha").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(got.keySet == Set(0L, 1L, 2L) && got(1L) == 0.0 && got(2L) == 0.0 && got(0L) > 0)
   }
+
+  test("scoreBatchTopK: one-query batch equals the dense score()'s top-k matched docs") {
+    import spark.implicits._
+    val idx = BM25.build(corpus.toDF("id", "doc"), "id", "doc")
+    val q = "cat dog"
+    // the heap operator returns the top-k SET unordered; callers sort
+    val batch = idx.scoreBatchTopK(Seq(7L -> q), k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      .sortBy { case (_, id, sc) => (-sc, id) }
+    val dense = idx.score(q)
+      .where(org.apache.spark.sql.functions.col("score") =!= 0.0)
+      .orderBy(org.apache.spark.sql.functions.col("score").desc,
+        org.apache.spark.sql.functions.col("id").asc)
+      .limit(3).collect().map(r => (7L, r.getLong(0), r.getDouble(1))).toSeq
+    assert(batch == dense)
+    assert(batch.nonEmpty)
+  }
 }
