@@ -104,7 +104,7 @@ object Dedup {
     * and the planner otherwise flip-flops between rogue broadcasts of
     * million-row sides (a driver OOM on a real cluster) and full sorts of
     * the shingle frame. */
-  private def prefixSelect(sh: DataFrame, dfg: DataFrame, sizes: DataFrame,
+  private[graft] def prefixSelect(sh: DataFrame, dfg: DataFrame, sizes: DataFrame,
                            threshold: Double): DataFrame =
     sh.join(dfg.hint("shuffle_hash"), Seq("gram"))
       .join(sizes.hint("shuffle_hash"), Seq("id"))
