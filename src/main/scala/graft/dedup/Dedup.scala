@@ -132,6 +132,28 @@ object Dedup {
     JaccardIndex(gramSets, dfg, prefixSelect(sh, dfg, sizes, threshold), n, threshold)
   }
 
+  /** Persist a [[JaccardIndex]] as parquet + a one-row meta frame — the
+    * durable form of the corpus snapshot: a LATER job (different JVM,
+    * different cluster) loads it and dedups batches without re-indexing. */
+  def saveJaccardIndex(ix: JaccardIndex, path: String): Unit = {
+    ix.gramSets.write.mode("overwrite").parquet(s"$path/gram_sets")
+    ix.df.write.mode("overwrite").parquet(s"$path/df")
+    ix.prefixes.write.mode("overwrite").parquet(s"$path/prefixes")
+    val spark = ix.gramSets.sparkSession
+    import spark.implicits._
+    Seq((ix.n, ix.threshold)).toDF("n", "threshold")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def loadJaccardIndex(spark: org.apache.spark.sql.SparkSession, path: String): JaccardIndex = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    JaccardIndex(
+      spark.read.parquet(s"$path/gram_sets"),
+      spark.read.parquet(s"$path/df"),
+      spark.read.parquet(s"$path/prefixes"),
+      meta.getInt(0), meta.getDouble(1))
+  }
+
   /** INCREMENTAL exact near-dup: Jaccard pairs (a < b, jac ≥ threshold)
     * involving at least one `incoming` doc — new-vs-corpus and
     * new-vs-new, never corpus-vs-corpus (those were found when the corpus

@@ -184,4 +184,22 @@ class DedupSpec extends AnyFunSuite {
     // corpus-vs-corpus pairs (e.g. 0-1) must NOT reappear per batch
     assert(!got.exists { case (a, b, _) => a <= 2 && b <= 2 })
   }
+
+  test("JaccardIndex save/load roundtrip: a fresh load answers incremental queries identically") {
+    import spark.implicits._
+    val corpus = docs.where($"id" <= 2)
+    val incoming = docs.where($"id" >= 3)
+    val ix = Dedup.buildJaccardIndex(corpus, "id", "text", n = 3, threshold = 0.5)
+    val dir = java.nio.file.Files.createTempDirectory("graft_jix")
+    try {
+      Dedup.saveJaccardIndex(ix, dir.toString)
+      val loaded = Dedup.loadJaccardIndex(spark, dir.toString)
+      assert(loaded.n == ix.n && loaded.threshold == ix.threshold)
+      val a = Dedup.jaccardPairsIncremental(ix, incoming, "id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val b = Dedup.jaccardPairsIncremental(loaded, incoming, "id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(a == b && a.nonEmpty)
+    } finally graft.streaming.StreamingGates.rmrf(dir)
+  }
 }
