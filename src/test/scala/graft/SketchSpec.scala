@@ -102,4 +102,28 @@ class SketchSpec extends AnyFunSuite {
     assert(viaSketch == Seq(viaMin))
     assert(viaMin == "\uFFFF")
   }
+
+  test("property: kminValues == sorted distinct prefix over arbitrary string multisets") {
+    import org.scalacheck.Gen
+    val strGen = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(12)),
+      Gen.oneOf("", "a", "\u00e9\u00e9", "\uFFFF", new String(Character.toChars(0x10000))))
+    val caseGen = for {
+      n <- Gen.chooseNum(0, 60)
+      vs <- Gen.listOfN(n, strGen)
+      k <- Gen.chooseNum(1, 8)
+    } yield (vs, k)
+    val cases = Gen.listOfN(40, caseGen).sample.get
+    cases.zipWithIndex.foreach { case ((vs, k), i) =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(vs.map(org.apache.spark.sql.Row(_)), 4),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType))))
+      val got = df.agg(SketchAgg.kminValues(col("v"), k)).head().getSeq[String](0)
+      // reference: Spark's own sort order via sort_array over the distinct set
+      val want = df.distinct().agg(sort_array(collect_list(col("v"))))
+        .head().getSeq[String](0).take(k)
+      assert(got == want, s"case $i: vs=$vs k=$k got=$got want=$want")
+    }
+  }
 }
