@@ -320,7 +320,7 @@ object Queries {
       .orderBy(col("score").desc, col("id").asc)
 
   /** Memoized IVF index per (session, dir) — built once, probed per query. */
-  private val ivfCache = new Memo[IVFIndex](memoMax)(i => unp(i.assignments))
+  private val ivfCache = new Memo[IVFIndex](memoMax)(_.dispose())
 
   private def ivfIndex(spark: SparkSession, dir: String): IVFIndex =
     ivfCache.get(spark, dir)(
@@ -355,7 +355,7 @@ object Queries {
     * deterministic SQL-expressible construction — so encode + ADC are
     * oracle-verified end to end, unlike KMeans-trained codebooks (which
     * stay the production path, recall-pinned in PQSpec). */
-  private val pqCache = new Memo[PQIndex](memoMax)(p => unp(p.codes))
+  private val pqCache = new Memo[PQIndex](memoMax)(_.dispose())
 
   private def pqIndex(spark: SparkSession, dir: String): PQIndex =
     pqCache.get(spark, dir)(
@@ -371,7 +371,7 @@ object Queries {
 
   /** Memoized LSH index per (session, dir). bucketLength 0.25 ≈ 2σ of a
     * unit vector's projection onto a random direction at dim 64. */
-  private val lshCache = new Memo[LSHIndex](memoMax)(l => unp(l.hashed))
+  private val lshCache = new Memo[LSHIndex](memoMax)(_.dispose())
 
   private def lshIndex(spark: SparkSession, dir: String): LSHIndex =
     lshCache.get(spark, dir)(
@@ -625,6 +625,80 @@ object Queries {
   private def saveLoadKnn(spark: SparkSession, dir: String): DataFrame =
     loadedDb(spark, dir)
       .queryVector(qvec(spark, dir, 7).map(_.toFloat), topK = 10)
+      .select(col("id"), r4(col("score")).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+
+  /** S2+K4 incremental index maintenance end to end (r4 VERDICT #1): save
+    * an ivf collection over the first 90% of the embeddings, LOAD it (the
+    * trained centroids come off disk), `addBulk` the remaining 10% — the
+    * loaded index adopts the batch through
+    * [[graft.vector.IVFIndex.appendAssign]] (no Lloyd stage, no re-cluster;
+    * IncrementalAddSpec pins centroid identity across the add) — then
+    * answer the exact-KNN oracle from the UPDATED index. efSearch =
+    * 10 × nlist makes the probe exact-recoverable (nprobe = nlist), so the
+    * gate verifies the appended union's completeness against the full-table
+    * oracle; nprobe ≪ nlist recall of appended rows is spec-pinned. Dense
+    * rowids continue across save/load/add (vec_id ≡ rowid by ingest order),
+    * which is what lets this share the vec_id-keyed oracle at all. */
+  private val incAddDbCache =
+    new Memo[(VectorDatabase, java.nio.file.Path)](memoMax)({ case (db, p) =>
+      db.close(); graft.streaming.StreamingGates.rmrf(p)
+    })
+
+  private def incAddDb(spark: SparkSession, dir: String): VectorDatabase =
+    incAddDbCache.get(spark, dir) {
+      val e = tbl(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          col("vec_id").cast("string").as("doc"))
+      val n = e.count()
+      val cut = n - math.max(1L, n / 10) // the last 10% arrives as the append batch
+      val nlist = 16
+      val db = VectorDatabase.create(spark, 64, "hnsw",
+        ivfClusters = nlist, efSearch = 10 * nlist)
+      db.addBulk(e.where(col("vec_id") < cut), "doc", "embedding", None, "vec_id")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_incadd")
+      db.save(tmp.toString) // forces the IVF build over the base corpus
+      db.close()
+      val loaded = VectorDatabase.load(spark, tmp.toString)
+      loaded.addBulk(e.where(col("vec_id") >= cut), "doc", "embedding", None, "vec_id")
+      (loaded, tmp)
+    }._1
+
+  private def incrementalAddKnn(spark: SparkSession, dir: String): DataFrame =
+    incAddDb(spark, dir)
+      .queryVector(qvec(spark, dir, 13).map(_.toFloat), topK = 10)
+      .select(col("id"), r4(col("score")).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+
+  /** S4 lazy-load mode, oracle-gated (r4 VERDICT #2): save an ivf
+    * collection, reopen with `lazyIndexes = true` — the assignment frame
+    * stays an on-disk partitioned-parquet read (the 100 TB mode; probes
+    * prune files by cluster, IVFSpec pins PartitionFilters) — and answer
+    * the exact-KNN oracle through the facade. efSearch = 10 × nlist ⇒
+    * nprobe = nlist ⇒ exact-recoverable, same discipline as ann_ivf. */
+  private val lazyDbCache =
+    new Memo[(VectorDatabase, java.nio.file.Path)](memoMax)({ case (db, p) =>
+      db.close(); graft.streaming.StreamingGates.rmrf(p)
+    })
+
+  private def lazyIvfDb(spark: SparkSession, dir: String): VectorDatabase =
+    lazyDbCache.get(spark, dir) {
+      val e = tbl(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          col("vec_id").cast("string").as("doc"))
+      val nlist = 16
+      val db = VectorDatabase.create(spark, 64, "hnsw",
+        ivfClusters = nlist, efSearch = 10 * nlist)
+      db.addBulk(e, "doc", "embedding", None, "vec_id")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lazyivf")
+      db.save(tmp.toString)
+      db.close()
+      (VectorDatabase.load(spark, tmp.toString, lazyIndexes = true), tmp)
+    }._1
+
+  private def annIvfLazy(spark: SparkSession, dir: String): DataFrame =
+    lazyIvfDb(spark, dir)
+      .queryVector(qvec(spark, dir, 29).map(_.toFloat), topK = 10)
       .select(col("id"), r4(col("score")).as("score"))
       .orderBy(col("score").desc, col("id").asc)
 
@@ -1540,6 +1614,8 @@ object Queries {
         |   AND epoch_us(c.cts) BETWEEN epoch_us(p.pts) - 3600000000 AND epoch_us(p.pts)
         |GROUP BY p.purchase_id ORDER BY p.purchase_id""".stripMargin)),
     "save_load_knn" -> Q(saveLoadKnn, Some(knnSql(7, 10))),
+    "incremental_add_knn" -> Q(incrementalAddKnn, Some(knnSql(13, 10))),
+    "ann_ivf_lazy" -> Q(annIvfLazy, Some(knnSql(29, 10))),
     "meta_variant" -> Q(metaVariant, Some(
       """SELECT doc_id AS id FROM documents
         |WHERE lang = 'en' AND source = 'src3'

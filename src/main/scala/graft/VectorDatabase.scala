@@ -57,8 +57,10 @@ class VectorDatabase private (
   def manifest: Manifest = manifestVar
   def dim: Int = manifestVar.dim
 
-  // ---- derived indexes, invalidated on add (≙ full rebuild per add,
-  // ldb:73–75 — ours rebuilds lazily on next use) ----
+  // ---- derived indexes: built lazily on first use, maintained
+  // INCREMENTALLY on add (existing quantizers adopt the batch — see
+  // adoptBatch; ≙ hnsw add_items, ldb:78–80); BM25 rebuilds per add like
+  // the reference (ldb:73–75) ----
   private var bm25Var: Option[BM25.Index] = None
   private var ivfVar: Option[IVFIndex] = None
   private var pqVar: Option[PQIndex] = None
@@ -104,15 +106,40 @@ class VectorDatabase private (
 
   private def invalidate(): Unit = {
     bm25Var = None
-    ivfVar.foreach(_.assignments.unpersist())
+    ivfVar.foreach(_.dispose())
     ivfVar = None
-    pqVar.foreach(_.codes.unpersist())
+    pqVar.foreach(_.dispose())
     pqVar = None
-    lshVar.foreach(_.hashed.unpersist())
+    lshVar.foreach(_.dispose())
     lshVar = None
     hybridCache.foreach(_.unpersist())
     hybridCache = None
   }
+
+  /** Incremental index maintenance on append (≙ the reference adding items
+    * to a LIVE index with explicit ids — hnsw `add_items`, ldb:78–80):
+    * every vector index that already exists adopts the batch through its
+    * EXISTING quantizer — IVF assigns to trained centroids, LSH hashes with
+    * the same hyperplanes, PQ encodes with the trained codebooks — no
+    * retraining, no re-scan of the already-indexed corpus; cost ∝ |batch|.
+    * BM25 still rebuilds in full on next use: that IS the reference
+    * (`_build_bm25_index` per add, ldb:73–75), and idf/avgdl are global
+    * statistics an append genuinely shifts. Indexes not yet built stay
+    * unbuilt (lazy build sees the whole corpus later). */
+  private def adoptBatch(batch: DataFrame): Unit = {
+    bm25Var = None
+    ivfVar = ivfVar.map(_.appendAssign(batch, "id", "vector"))
+    pqVar = pqVar.map(_.append(batch, "id", "vector"))
+    lshVar = lshVar.map(_.append(batch, "id", "vector"))
+    hybridCache.foreach(_.unpersist())
+    hybridCache = None
+  }
+
+  // test/inspection access to the live derived indexes (IncrementalAddSpec
+  // pins that add() does NOT retrain: same centroid/codebook/plane objects)
+  private[graft] def ivfIfBuilt: Option[IVFIndex] = ivfVar
+  private[graft] def pqIfBuilt: Option[PQIndex] = pqVar
+  private[graft] def lshIfBuilt: Option[LSHIndex] = lshVar
 
   // ---------------------------------------------------------------------
   // S2 add — batch insert with dense-id append (ldb:56–113)
@@ -182,9 +209,11 @@ class VectorDatabase private (
       df.unpersist(blocking = false)
       df = collapsed
       appendsSinceCollapse = 0
-    }
+      // long append streams: drop derived indexes with the lineage collapse
+      // so their union plans stay bounded too — they rebuild lazily
+      invalidate()
+    } else adoptBatch(frozen)
     old.unpersist(blocking = false)
-    invalidate()
   }
 
   // ---------------------------------------------------------------------
@@ -478,7 +507,7 @@ object VectorDatabase {
       if (!artifactExists(spark, s"$path/index/assignments"))
         throw new IllegalStateException(s"index artifacts missing under $path/index")
       if (lazyIndexes)
-        db.ivfVar = Some(IVFIndex.open(spark, s"$path/index"))
+        db.ivfVar = Some(IVFIndex.open(spark, s"$path/index", Some(man.ivfClusters)))
       else {
         val cents = spark.read.parquet(s"$path/index/centroids")
         val assigns = spark.read.parquet(s"$path/index/assignments")

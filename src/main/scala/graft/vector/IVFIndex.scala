@@ -28,7 +28,33 @@ import org.apache.spark.storage.StorageLevel
   */
 final class IVFIndex(val centroids: Array[(Int, Array[Double])],
                      val assignments: DataFrame,
-                     val nlist: Int) {
+                     val nlist: Int,
+                     private val retained: Seq[DataFrame] = Nil) {
+
+  /** Releases every frame this index persisted (the build's assignment
+    * pass plus any [[appendAssign]] fragments). Lazily-opened indexes
+    * retain nothing. */
+  def dispose(): Unit = retained.foreach(_.unpersist(blocking = false))
+
+  /** Incremental maintenance (≙ hnsw `add_items` with explicit ids,
+    * local_db.py:78–80): assign `batch` to the EXISTING centroids — no
+    * retraining, no Lloyd pass, no touch of the already-assigned corpus —
+    * and union it into the assignment frame. The batch is the only thing
+    * scanned; cost ∝ |batch| × nlist. Assignment quality degrades gracefully
+    * as the corpus drifts from the trained centroids (exactly FAISS's
+    * contract for adding to a trained IVF index); rebuild to re-center. */
+  def appendAssign(batch: DataFrame, idCol: String, vecCol: String): IVFIndex = {
+    val centers = centroids.sortBy(_._1).map(_._2)
+    val assigned = batch.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("vector"),
+        graft.expr.VectorExpr.nearestCentroid(col(vecCol), centers).cast("int").as("cluster"))
+      .repartition(col("cluster"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    new IVFIndex(centroids,
+      assignments.select(col("id").cast("long"), col("vector").cast("array<float>"),
+        col("cluster").cast("int")).unionByName(assigned),
+      nlist, retained :+ assigned)
+  }
 
   /** Rank centroids by squared L2 to the query, driver-side. */
   def probeOrder(query: Array[Double]): Array[Int] =
@@ -118,7 +144,8 @@ object IVFIndex {
         graft.expr.VectorExpr.nearestCentroid(col("vector"), centers).as("cluster"))
       .repartition(col("cluster"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    new IVFIndex(centers.zipWithIndex.map { case (c, i) => (i, c) }, assigned, centers.length)
+    new IVFIndex(centers.zipWithIndex.map { case (c, i) => (i, c) }, assigned,
+      centers.length, Seq(assigned))
   }
 
   /** LAZY on-disk restore — the 100 TB mode. Centroids collect (≤ nlist
@@ -132,13 +159,19 @@ object IVFIndex {
     * where it does not, and pruned I/O is the entire point of IVF.
     * `indexDir` is the `$path/index` directory [[graft.VectorDatabase]]
     * `save` writes. */
-  def open(spark: SparkSession, indexDir: String): IVFIndex = {
+  /** `configuredNlist`, when given, overrides the persisted centroid count
+    * as the reported `nlist` — so the lazy and eager load paths of the same
+    * saved index agree on nprobe clamping even when k-means degraded to
+    * fewer clusters than configured (r4 ADVICE). */
+  def open(spark: SparkSession, indexDir: String,
+           configuredNlist: Option[Int] = None): IVFIndex = {
     val centers = spark.read.parquet(s"$indexDir/centroids")
       .select(col("cluster"), col("centroid"))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
     val assigns = spark.read.parquet(s"$indexDir/assignments")
-    new IVFIndex(centers.sortBy(_._1), assigns, centers.length)
+    new IVFIndex(centers.sortBy(_._1), assigns,
+      configuredNlist.getOrElse(centers.length))
   }
 
   /** Restore from frames persisted by save (centroids small, collect). */
@@ -146,7 +179,7 @@ object IVFIndex {
     val centers = centroidsDf.select(col("cluster"), col("centroid"))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-    new IVFIndex(centers, assignments, nlist)
+    new IVFIndex(centers.sortBy(_._1), assignments, nlist, Seq(assignments))
   }
 
   def centroidsToDf(spark: SparkSession, index: IVFIndex): DataFrame = {

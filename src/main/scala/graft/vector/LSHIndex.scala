@@ -33,7 +33,35 @@ import org.apache.spark.storage.StorageLevel
 final class LSHIndex(val hyperplanes: Array[Array[Double]],
                      val bucketLength: Double,
                      val maxNorm: Double,
-                     val hashed: DataFrame) {
+                     val hashed: DataFrame,
+                     private val retained: Seq[DataFrame] = Nil) {
+
+  /** Releases every frame this index persisted (build/load + appends). */
+  def dispose(): Unit = retained.foreach(_.unpersist(blocking = false))
+
+  /** Incremental maintenance (≙ hnsw `add_items`, local_db.py:78–80): hash
+    * `batch` with the EXISTING hyperplanes — LSH needs no training, so the
+    * appended rows are first-class citizens of the same bucket space — and
+    * union into the hashed frame. `maxNorm` (the exact-probe radius bound)
+    * widens to cover the batch; cost ∝ |batch| × tables. */
+  def append(batch: DataFrame, idCol: String, vecCol: String): LSHIndex = {
+    val base = batch.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<float>").as("vector"),
+      col(vecCol).cast("array<double>").as("__vd"))
+    val hashCols = hyperplanes.map { w =>
+      floor(graft.expr.VectorExpr.dot(col("__vd"),
+        graft.functions.VectorFunctions.vecLit(w)) / bucketLength).cast("int")
+    }
+    val hashedBatch = base
+      .select(col("id"), col("vector"), array(hashCols: _*).as("hashes"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val mn = base.select(max(sqrt(graft.expr.VectorExpr.dot(col("__vd"), col("__vd")))))
+      .head().getDouble(0)
+    new LSHIndex(hyperplanes, bucketLength, math.max(maxNorm, mn),
+      hashed.select(col("id").cast("long"), col("vector").cast("array<float>"),
+        col("hashes").cast("array<int>")).unionByName(hashedBatch),
+      retained :+ hashedBatch)
+  }
 
   private def bucketOf(query: Array[Double], w: Array[Double]): Int = {
     var s = 0.0; var i = 0
@@ -101,7 +129,7 @@ object LSHIndex {
     // one bounded scalar: the corpus max norm, for the exact-probe radius
     val mn = base.select(max(sqrt(graft.expr.VectorExpr.dot(col("__vd"), col("__vd")))))
       .head().getDouble(0)
-    new LSHIndex(planes, bucketLength, mn, hashed)
+    new LSHIndex(planes, bucketLength, mn, hashed, Seq(hashed))
   }
 
   // ---- persistence (S3/S4 for the LSH artifact; the reference persists its
@@ -123,6 +151,6 @@ object LSHIndex {
     val bl = planesDf.head.getDouble(2)
     val mn = planesDf.head.getDouble(3)
     val hashed = spark.read.parquet(s"$path/hashed").persist(StorageLevel.MEMORY_AND_DISK)
-    new LSHIndex(planes, bl, mn, hashed)
+    new LSHIndex(planes, bl, mn, hashed, Seq(hashed))
   }
 }

@@ -26,10 +26,30 @@ import org.apache.spark.storage.StorageLevel
   */
 final class PQIndex(val codes: DataFrame,
                     val codebooks: Array[Array[Array[Double]]],
-                    val dim: Int) {
+                    val dim: Int,
+                    private val retained: Seq[DataFrame] = Nil) {
 
   val m: Int = codebooks.length
   private val subDim = dim / m
+
+  /** Releases every frame this index persisted (build/load + appends). */
+  def dispose(): Unit = retained.foreach(_.unpersist(blocking = false))
+
+  /** Incremental maintenance (≙ hnsw `add_items`, local_db.py:78–80):
+    * encode `batch` with the EXISTING codebooks — no retraining, one
+    * mapPartitions pass over the batch only — and union into the codes
+    * frame. Quantization error grows if the corpus drifts from the trained
+    * codebooks (FAISS's add-to-trained-index contract); rebuild to retrain. */
+  def append(batch: DataFrame, idCol: String, vecCol: String): PQIndex = {
+    val base = batch.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val batchCodes = PQIndex.encodeFrame(base, codebooks, dim)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    new PQIndex(
+      codes.select(col("id").cast("long"), col("codes").cast("array<int>"))
+        .unionByName(batchCodes),
+      codebooks, dim, retained :+ batchCodes)
+  }
 
   /** ADC distance tables for `query`: m × 256 squared sub-distances. */
   def adcTables(query: Array[Double]): Array[Array[Double]] =
@@ -120,12 +140,21 @@ object PQIndex {
   /** One distributed encode pass with the codebooks in the task closure. */
   private def encode(base: DataFrame, codebooks: Array[Array[Array[Double]]],
                      dim: Int): PQIndex = {
+    val codes = encodeFrame(base, codebooks, dim)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    new PQIndex(codes, codebooks, dim, Seq(codes))
+  }
+
+  /** The encode pass as a lazy frame — shared by build and [[PQIndex.append]]. */
+  private[vector] def encodeFrame(base: DataFrame,
+                                  codebooks: Array[Array[Array[Double]]],
+                                  dim: Int): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
     val m = codebooks.length
     val subDim = dim / m
     val cb = codebooks // stable reference for the task closure
-    val codes = base.as[(Long, Seq[Double])].mapPartitions(_.map { case (id, v) =>
+    base.as[(Long, Seq[Double])].mapPartitions(_.map { case (id, v) =>
       val arr = v.toArray
       val cs = Array.tabulate(m) { s =>
         val off = s * subDim
@@ -141,8 +170,6 @@ object PQIndex {
       }
       (id, cs.toSeq)
     }).toDF("id", "codes")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    new PQIndex(codes, codebooks, dim)
   }
 
   // ---- persistence (the reference persists its index binary,
@@ -165,6 +192,6 @@ object PQIndex {
       cs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
     }.toArray
     val codes = spark.read.parquet(s"$path/codes").persist(StorageLevel.MEMORY_AND_DISK)
-    new PQIndex(codes, codebooks, dim)
+    new PQIndex(codes, codebooks, dim, Seq(codes))
   }
 }
