@@ -441,9 +441,20 @@ object Dedup {
     * [[embeddingPairsBanded]] (oracle-gated as `dedup_embedding_banded`),
     * which makes candidate generation sub-quadratic; reserve this exact
     * join for low thresholds where banding recall decays.
-    * Output: (a, b, cos). */
+    * Output: (a, b, cos).
+    *
+    * GUARD (r4 VERDICT #3): thresholds ≥ 0.7 are the near-dup regime the
+    * sub-quadratic [[embeddingPairsBanded]] covers with ~full recall, so
+    * requesting the O(N²) plan there is almost always a mistake that only
+    * surfaces at scale. Such calls are rejected unless `forceExact = true`
+    * (the deliberate exactness-over-cost escape hatch, e.g. for audits). */
   def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double, blocks: Int = 32): DataFrame = {
+                     threshold: Double, blocks: Int = 32,
+                     forceExact: Boolean = false): DataFrame = {
+    require(threshold < 0.7 || forceExact,
+      s"embeddingPairs is an exact all-pairs O(N^2) plan; at threshold $threshold " +
+        "(>= 0.7) embeddingPairsBanded finds the same near-duplicates sub-quadratically " +
+        "- use it, or pass forceExact=true to insist on the exact join")
     val spark = emb.sparkSession
     import spark.implicits._
     val rows = normalized(emb, idCol, vecCol)

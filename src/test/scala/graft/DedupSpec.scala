@@ -72,12 +72,21 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs((0L, 4L)) == 0L && pairs((0L, 2L)) == 0L)
   }
 
+  test("embeddingPairs: near-dup thresholds are rejected without forceExact (scale guard)") {
+    val emb = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("id", "v")
+    val e = intercept[IllegalArgumentException](
+      Dedup.embeddingPairs(emb, "id", "v", threshold = 0.9))
+    assert(e.getMessage.contains("embeddingPairsBanded"))
+    // below the near-dup regime the exact join is the intended tool — no guard
+    assert(Dedup.embeddingPairs(emb, "id", "v", threshold = 0.3).collect().isEmpty)
+  }
+
   test("embeddingPairs: only the near-parallel pair crosses the threshold") {
     val emb = Seq(
       (0L, Seq(1f, 0f, 0f, 0f)),
       (1L, Seq(0.99f, 0.1f, 0f, 0f)),
       (2L, Seq(0f, 1f, 0f, 0f))).toDF("id", "v")
-    val p = Dedup.embeddingPairs(emb, "id", "v", 0.9)
+    val p = Dedup.embeddingPairs(emb, "id", "v", 0.9, forceExact = true)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(p.toSeq == Seq((0L, 1L)))
   }
@@ -86,7 +95,7 @@ class DedupSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 50L).map(i => i -> Seq.fill(8)(rnd.nextFloat()))
     val emb = vecs.toDF("id", "v")
-    val got = Dedup.embeddingPairs(emb, "id", "v", 0.9, blocks = 8)
+    val got = Dedup.embeddingPairs(emb, "id", "v", 0.9, blocks = 8, forceExact = true)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     // expected: normalize then dot, exactly as the operator computes
     val unit = vecs.map { case (i, v) =>
@@ -113,7 +122,7 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(p.contains((100L, 101L)), s"planted pair missing from ${p.toSeq}")
     // exact verification of candidates ⇒ no pair below the threshold
-    val all = Dedup.embeddingPairs(emb, "id", "v", 0.9, blocks = 4)
+    val all = Dedup.embeddingPairs(emb, "id", "v", 0.9, blocks = 4, forceExact = true)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(p.toSet.subsetOf(all))
   }
