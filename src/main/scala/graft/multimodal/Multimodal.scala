@@ -41,6 +41,34 @@ object Multimodal {
     d.digest().map(x => f"$x%02x").mkString
   }
 
+  /** BINARY-SAFE fingerprint (r4 VERDICT #5): md5 over the canonical
+    * lowercase-HEX rendering of the bytes. Hex is injective, so this pins
+    * the exact byte content like [[md5hex]] does — but it stays computable
+    * by engines whose md5 accepts only strings (the DuckDB oracle cannot
+    * hash or slice raw BLOBs), which is what lets the `multimodal_binary_*`
+    * gates verify genuinely non-ASCII payloads end to end. */
+  private def md5OfHex(b: Array[Byte], off: Int, len: Int): String = {
+    val sb = new java.lang.StringBuilder(len * 2)
+    var i = 0
+    while (i < len) { sb.append(f"${b(off + i)}%02x"); i += 1 }
+    val d = MessageDigest.getInstance("MD5")
+    d.update(sb.toString.getBytes("US-ASCII"))
+    d.digest().map(x => f"$x%02x").mkString
+  }
+
+  /** Grid-subsample kernel shared by [[resize]] and [[resizeBinarySafe]]:
+    * stride k = ⌈len/(tw·th)⌉, gather every k-th byte. */
+  private def resampled(bytes: Array[Byte], tw: Int, th: Int): Array[Byte] = {
+    val len = bytes.length
+    val target = tw * th
+    val k = math.max(1, (len + target - 1) / target)
+    val n = (len + k - 1) / k
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) { out(i) = bytes(i * k); i += 1 }
+    out
+  }
+
   /** Pack a (id, text) table into binary assets — the ingest seam where real
     * pipelines read image/audio files; here the payload is the UTF-8 text. */
   def packDocuments(docs: DataFrame, idCol: String, textCol: String): Dataset[Asset] = {
@@ -83,14 +111,21 @@ object Multimodal {
     import assets.sparkSession.implicits._
     require(tw > 0 && th > 0, "target dims must be positive")
     assets.mapPartitions(_.map { a =>
-      val len = a.bytes.length
-      val target = tw * th
-      val k = math.max(1, (len + target - 1) / target)
-      val n = (len + k - 1) / k
-      val out = new Array[Byte](n)
-      var i = 0
-      while (i < n) { out(i) = a.bytes(i * k); i += 1 }
-      Resized(a.id, tw, th, n, md5hex(out, 0, n))
+      val out = resampled(a.bytes, tw, th)
+      Resized(a.id, tw, th, out.length, md5hex(out, 0, out.length))
+    })
+  }
+
+  /** [[resize]] with the binary-safe fingerprint ([[md5OfHex]]) — the
+    * variant whose gate packs a deliberately non-ASCII payload, so the
+    * per-byte gather is oracle-pinned for ANY byte value, not just the
+    * ASCII range the text corpus happens to occupy (r4 VERDICT #5). */
+  def resizeBinarySafe(assets: Dataset[Asset], tw: Int, th: Int): Dataset[Resized] = {
+    import assets.sparkSession.implicits._
+    require(tw > 0 && th > 0, "target dims must be positive")
+    assets.mapPartitions(_.map { a =>
+      val out = resampled(a.bytes, tw, th)
+      Resized(a.id, tw, th, out.length, md5OfHex(out, 0, out.length))
     })
   }
 
@@ -107,5 +142,34 @@ object Multimodal {
         Frame(a.id, i, md5hex(a.bytes, off, len))
       }
     })
+  }
+
+  /** [[sampleFrames]] with the binary-safe fingerprint ([[md5OfHex]]) —
+    * see [[resizeBinarySafe]]. */
+  def sampleFramesBinarySafe(assets: Dataset[Asset], every: Int): Dataset[Frame] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      val nFrames = (a.bytes.length + frameLen - 1) / frameLen
+      Iterator.range(0, nFrames).filter(_ % every == 0).map { i =>
+        val off = i * frameLen
+        val len = math.min(frameLen, a.bytes.length - off)
+        Frame(a.id, i, md5OfHex(a.bytes, off, len))
+      }
+    })
+  }
+
+  /** Ingest seam for REAL binary payloads: pack an (id, bytes BINARY) frame
+    * into assets — the path a production pipeline takes after
+    * `spark.read.format("binaryFile")` or a bytes column in parquet
+    * ([[packDocuments]] is the text-corpus convenience over the same
+    * plumbing). */
+  def packBinary(df: DataFrame, idCol: String, bytesCol: String): Dataset[Asset] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(bytesCol).as("b"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (_, w, h) = decodeStub(bytes)
+        Asset(id, "image", bytes, w, h)
+      })
   }
 }

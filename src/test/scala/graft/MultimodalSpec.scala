@@ -67,4 +67,26 @@ class MultimodalSpec extends AnyFunSuite {
       .digest(Array.fill(64)('b'.toByte)).map(x => f"$x%02x").mkString
     assert(rs(2L).resized_fp == bs)
   }
+
+  test("binary-safe variants: full 0x00-0xFF payload through packBinary, hex-canonical fp") {
+    import spark.implicits._
+    def md5s(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("US-ASCII")).map(x => f"$x%02x").mkString
+    // every byte value once, plus a tail — nothing ASCII about it
+    val payload = (0 until 300).map(i => (i % 256).toByte).toArray
+    val assets = Multimodal.packBinary(
+      Seq((5L, payload)).toDF("id", "b"), "id", "b")
+    // resize: target 64 -> k = ceil(300/64) = 5, n = 60; fp = md5 of the
+    // sampled bytes' lowercase hex
+    val rz = Multimodal.resizeBinarySafe(assets, tw = 8, th = 8).collect().head
+    assert(rz.n_sampled == 60)
+    val sampled = (0 until 60).map(j => payload(j * 5))
+    assert(rz.resized_fp == md5s(sampled.map(b => f"$b%02x").mkString))
+    // frames: 300 bytes -> frames 0 (256 B) and 1 (44 B tail); every=1 keeps both
+    val fr = Multimodal.sampleFramesBinarySafe(assets, every = 1)
+      .collect().sortBy(_.frame_idx)
+    assert(fr.map(_.frame_idx).toSeq == Seq(0, 1))
+    assert(fr(0).frame_fp == md5s(payload.take(256).map(b => f"$b%02x").mkString))
+    assert(fr(1).frame_fp == md5s(payload.drop(256).map(b => f"$b%02x").mkString))
+  }
 }
