@@ -32,10 +32,19 @@ object Tables {
     * expensive per-row projection (interpreted HOFs like the n-gram
     * `transform` cost ~ms/doc): a small parquet table arrives as ONE input
     * split and would otherwise run the whole projection on a single core.
-    * On a production many-split table this is a no-op. */
+    * On a production many-split table this is a no-op.
+    *
+    * Few-file detection reads `inputFiles` off the analyzed plan (r4
+    * ADVICE: the previous `df.rdd.getNumPartitions` materialized the whole
+    * RDD lineage per call and measured pre-AQE splits anyway). File count
+    * lower-bounds split count, so this reliably detects only the
+    * few-small-files case — exactly the case that starves; a frame with no
+    * file source (in-memory test data) reports zero files and is left
+    * alone, matching its already-parallel `parallelize` provenance. */
   private[graft] def fanOut(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < math.max(2, par / 2)) df.repartition(par) else df
+    val nFiles = df.inputFiles.length
+    if (nFiles > 0 && nFiles < math.max(2, par / 2)) df.repartition(par) else df
   }
 
   def embeddings(spark: SparkSession, dir: String): DataFrame =

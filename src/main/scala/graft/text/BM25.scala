@@ -90,13 +90,19 @@ object BM25 {
         .select(col("id"), coalesce(col("score"), lit(0.0)).as("score"))
     }
 
-    /** BULK retrieval: score N queries through ONE postings join — the
-      * shape training-data mining needs (millions of mined queries against
-      * the corpus). All queries' (qid, term, weight) rows broadcast
-      * together; one join + one map-side-combinable groupBy(qid, id) later,
-      * [[graft.plans.TopKPerKey]] bounds each query's result to k. Sparse
-      * output (only matched docs) — the dense zero-score contract of
-      * [[score]] does not compose with a top-k cut. */
+    /** BULK retrieval: score N queries through ONE postings join. All
+      * queries' (qid, term, weight) rows broadcast together; one join + one
+      * map-side-combinable groupBy(qid, id) later, [[graft.plans.TopKPerKey]]
+      * bounds each query's result to k. Sparse output (only matched docs) —
+      * the dense zero-score contract of [[score]] does not compose with a
+      * top-k cut.
+      *
+      * BOUND (r4 ADVICE): the query set arrives as a driver Seq and its
+      * distinct terms become one `isin` filter + a broadcast weights frame —
+      * driver memory and expression size grow with the batch, so this path
+      * serves up to ~thousands of queries. For mined-query volumes
+      * (millions), use [[scoreBatchTopKFrames]], whose query side is a
+      * DataFrame end to end. */
     def scoreBatchTopK(queries: Seq[(Long, String)], k: Int): DataFrame = {
       if (n == 0)
         throw new IllegalStateException("No documents in the database")
@@ -127,6 +133,42 @@ object BM25 {
       // no score>0 cut: BM25 scores are legitimately ALL negative when the
       // epsilon-floored avg idf is negative (high-df vocabularies) — the
       // sparse contract is "docs sharing ≥1 query term", period
+      graft.plans.TopK.perKey(scored, Seq("qid"),
+        Seq(("score", true), ("id", false)), k)
+    }
+
+    /** [[scoreBatchTopK]] at mined-query scale: the query set is a
+      * DataFrame (`qidCol`, `textCol`) and stays distributed end to end —
+      * tokenization (the same `str.split()` contract), per-term df lookup
+      * (an equi-join against the vocabulary frame instead of a collected
+      * map + isin), and idf weighting all run as one plan with NO
+      * query-proportional driver state (r4 ADVICE). The three corpus
+      * scalars (n, avgdl, avgIdf) remain literals — they are table
+      * statistics, independent of both corpus and batch size. Same output
+      * contract: sparse (qid, id, score), top-k per qid. BM25Spec pins
+      * row-for-row equality with the Seq path. */
+    def scoreBatchTopKFrames(queries: DataFrame, qidCol: String,
+                             textCol: String, k: Int): DataFrame = {
+      if (n == 0)
+        throw new IllegalStateException("No documents in the database")
+      val qtf = queries.select(col(qidCol).cast("long").as("qid"),
+          explode(BM25.tokenize(col(textCol))).as("term"))
+        .groupBy(col("qid"), col("term"))
+        .agg(count(lit(1)).cast("double").as("qtf"))
+      val raw = log((lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      // inner join ⇒ terms absent from the corpus drop out, exactly like the
+      // Seq path's dfByTerm.get(...) flatMap
+      val weights = qtf.join(docFreq, Seq("term"))
+        .select(col("qid"), col("term"),
+          (col("qtf") *
+            when(raw < 0, lit(params.epsilon * avgIdf)).otherwise(raw)).as("w"))
+      val (k1, b) = (params.k1, params.b)
+      val scored = postings
+        .join(weights, Seq("term"))
+        .groupBy(col("qid"), col("id"))
+        .agg(sum(col("w") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
+          .as("score"))
       graft.plans.TopK.perKey(scored, Seq("qid"),
         Seq(("score", true), ("id", false)), k)
     }

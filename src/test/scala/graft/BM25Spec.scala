@@ -86,4 +86,19 @@ class BM25Spec extends AnyFunSuite {
     assert(batch == dense)
     assert(batch.nonEmpty)
   }
+
+  test("scoreBatchTopKFrames: the distributed query side matches the Seq path row for row") {
+    import spark.implicits._
+    val idx = BM25.build(corpus.toDF("id", "doc"), "id", "doc")
+    val qs = Seq(1L -> "the cat", 2L -> "lorem fox dog", 3L -> "cat cat dog",
+      4L -> "zzz unseen terms only")
+    def norm(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.floor(r.getDouble(2) * 1e9 + 0.5) / 1e9)).toSeq
+        .sortBy { case (q, id, sc) => (q, -sc, id) }
+    val seqPath = norm(idx.scoreBatchTopK(qs, k = 2))
+    val framePath = norm(idx.scoreBatchTopKFrames(qs.toDF("qid", "text"), "qid", "text", k = 2))
+    assert(framePath == seqPath)
+    assert(framePath.nonEmpty)
+  }
 }

@@ -137,6 +137,20 @@ class IncrementalAddSpec extends AnyFunSuite {
     assert(got.head.getLong(0) == 60L)
   }
 
+  test("hnsw hyperparameters map to real knobs: M -> LSH tables, efConstruction -> refine passes") {
+    // m → numHashTables, observable on the built index
+    val db = VectorDatabase.create(spark, dim, "lsh", m = 2)
+    db.add(Seq.tabulate(10)(i => s"d$i"), Seq.fill(10)(vec()), None)
+    db.queryVector(vec(), topK = 2).collect()
+    assert(db.lshIfBuilt.get.hyperplanes.length == 2)
+    // efConstruction → bounded Lloyd refinement schedule
+    assert(VectorDatabase.refineItersFor(0) == 0)
+    assert(VectorDatabase.refineItersFor(199) == 0)
+    assert(VectorDatabase.refineItersFor(200) == 1)
+    assert(VectorDatabase.refineItersFor(450) == 2)
+    assert(VectorDatabase.refineItersFor(5000) == 3)
+  }
+
   test("ivfpq: add() keeps the codebooks, encodes only the batch") {
     val db = mkDb("ivfpq", 60)
     db.queryVector(vec(), topK = 3).collect() // force IVF + PQ builds
