@@ -684,12 +684,16 @@ object Queries {
       .select(col("id"), r4(col("score")).as("score"))
       .orderBy(col("score").desc, col("id").asc)
 
-  /** S4 lazy-load mode, oracle-gated (r4 VERDICT #2): save an ivf
-    * collection, reopen with `lazyIndexes = true` — the assignment frame
-    * stays an on-disk partitioned-parquet read (the 100 TB mode; probes
-    * prune files by cluster, IVFSpec pins PartitionFilters) — and answer
-    * the exact-KNN oracle through the facade. efSearch = 10 × nlist ⇒
-    * nprobe = nlist ⇒ exact-recoverable, same discipline as ann_ivf. */
+  /** S4 lazy-load mode, oracle-gated (r4 VERDICT #2): SAVE the
+    * incrementally-appended collection above (so incremental maintenance is
+    * also pinned to SURVIVE persistence — the appended rows' assignments
+    * round-trip through the partitioned parquet), reopen with
+    * `lazyIndexes = true` — the assignment frame stays an on-disk
+    * partitioned-parquet read (the 100 TB mode; probes prune files by
+    * cluster, IVFSpec + IncrementalAddSpec pin PartitionFilters) — and
+    * answer the full-corpus exact-KNN oracle through the facade.
+    * efSearch = 10 × nlist ⇒ nprobe = nlist ⇒ exact-recoverable, same
+    * discipline as ann_ivf. */
   private val lazyDbCache =
     new Memo[(VectorDatabase, java.nio.file.Path)](memoMax)({ case (db, p) =>
       db.close(); graft.streaming.StreamingGates.rmrf(p)
@@ -697,16 +701,8 @@ object Queries {
 
   private def lazyIvfDb(spark: SparkSession, dir: String): VectorDatabase =
     lazyDbCache.get(spark, dir) {
-      val e = tbl(spark, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          col("vec_id").cast("string").as("doc"))
-      val nlist = 16
-      val db = VectorDatabase.create(spark, 64, "hnsw",
-        ivfClusters = nlist, efSearch = 10 * nlist)
-      db.addBulk(e, "doc", "embedding", None, "vec_id")
       val tmp = java.nio.file.Files.createTempDirectory("graft_lazyivf")
-      db.save(tmp.toString)
-      db.close()
+      incAddDb(spark, dir).save(tmp.toString)
       (VectorDatabase.load(spark, tmp.toString, lazyIndexes = true), tmp)
     }._1
 
@@ -977,21 +973,32 @@ object Queries {
     * shared by the Jaccard and MinHash dedup plans. */
   private val shingleCache = new Memo[DataFrame](memoMax)(unp)
 
+  /** persist() alone is lazy: a cold query whose plan scans the frame from
+    * two PARALLEL stages (the funnel joins sh to its own aggregate) races
+    * the cache fill and computes the expensive projection twice — the
+    * eager count() pins one materialization (r4 VERDICT #4, cold path). */
+  private def eager(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    p
+  }
+
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
     shingleCache.get(spark, dir)(
-      Dedup.shingles(docsTbl(spark, dir), "doc_id", "text", 3)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      eager(Dedup.shingles(docsTbl(spark, dir), "doc_id", "text", 3)))
 
   /** Memoized persisted per-doc sorted gram-set frame (ONE row per doc) —
     * the verification-side cache. Compact where the exploded shingle frame
     * is ~|doc| rows per doc, and the only input the merge-walk intersect
-    * verification needs. */
+    * verification needs. Built DIRECTLY from the corpus (one fused-
+    * expression scan) — not by regrouping the exploded shingle frame,
+    * which re-shuffles the corpus's whole token volume (r4 VERDICT #4:
+    * the cold funnel). */
   private val gramSetsCache = new Memo[DataFrame](memoMax)(unp)
 
   private def docGramSets(spark: SparkSession, dir: String): DataFrame =
     gramSetsCache.get(spark, dir)(
-      Dedup.docGramSets(docShingles(spark, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      eager(Dedup.docGramSetsDirect(docsTbl(spark, dir), "doc_id", "text", 3)))
 
   /** Memoized verified Jaccard pair frame: shared by the pair gate and the
     * clustering gate (whose connected-components loop re-reads its input
@@ -1000,11 +1007,21 @@ object Queries {
     * index on the instance. */
   private val jaccardPairsCache = new Memo[DataFrame](memoMax)(unp)
 
+  /** Memoized persisted corpus prefix frame (a few rows per doc): the
+    * candidate self-join reads it TWICE, and without materialization each
+    * side re-runs the whole df-join-window chain (r4 VERDICT #4). */
+  private val prefixCache = new Memo[DataFrame](memoMax)(unp)
+
+  private def docPrefixes(spark: SparkSession, dir: String): DataFrame =
+    prefixCache.get(spark, dir)(
+      eager(Dedup.corpusPrefixes(docShingles(spark, dir), docGramSets(spark, dir), 0.8)))
+
   private def jaccardPairsFrame(spark: SparkSession, dir: String): DataFrame =
     jaccardPairsCache.get(spark, dir)(
       Dedup.jaccardPairs(docsTbl(spark, dir), "doc_id", "text", n = 3, threshold = 0.8,
           shingleFrame = Some(docShingles(spark, dir)),
-          gramSetsFrame = Some(docGramSets(spark, dir)))
+          gramSetsFrame = Some(docGramSets(spark, dir)),
+          prefixFrame = Some(docPrefixes(spark, dir)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
@@ -1023,18 +1040,22 @@ object Queries {
   private def incrementalCut(spark: SparkSession, dir: String): Long =
     math.ceil(0.9 * docsTbl(spark, dir).count()).toLong
 
-  private def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val docs = docsTbl(spark, dir)
-    val cut = incrementalCut(spark, dir)
-    val ix = jaccardIndexCache.get(spark, dir) {
+  private def memoizedJaccardIndex(spark: SparkSession, dir: String): Dedup.JaccardIndex =
+    jaccardIndexCache.get(spark, dir) {
+      val cut = incrementalCut(spark, dir)
       val built = Dedup.buildJaccardIndex(
-        docs.where(col("doc_id") < cut), "doc_id", "text")
+        docsTbl(spark, dir).where(col("doc_id") < cut), "doc_id", "text")
       val p = (df: DataFrame) =>
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       built.copy(gramSets = p(built.gramSets), df = p(built.df),
         prefixes = p(built.prefixes))
     }
-    Dedup.jaccardPairsIncremental(ix, docs.where(col("doc_id") >= cut), "doc_id", "text")
+
+  private def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsTbl(spark, dir)
+    val cut = incrementalCut(spark, dir)
+    Dedup.jaccardPairsIncremental(memoizedJaccardIndex(spark, dir),
+      docs.where(col("doc_id") >= cut), "doc_id", "text")
   }
 
   /** Durable incremental dedup (r4 VERDICT #6): the corpus index round-trips
@@ -1069,9 +1090,10 @@ object Queries {
     val cut = incrementalCut(spark, dir)
     val ix = durableIxCache.get(spark, dir) {
       val tmp = java.nio.file.Files.createTempDirectory("graft_jacix")
-      Dedup.saveJaccardIndex(
-        Dedup.buildJaccardIndex(docs.where(col("doc_id") < cut), "doc_id", "text"),
-        tmp.toString)
+      // save the MEMOIZED in-memory index (building it if this gate runs
+      // first) — the round-trip under test is save → load, not a second
+      // full index build of the same corpus
+      Dedup.saveJaccardIndex(memoizedJaccardIndex(spark, dir), tmp.toString)
       (Dedup.loadJaccardIndex(spark, tmp.toString), tmp)
     }._1
     Dedup.jaccardPairsIncremental(ix, docs.where(col("doc_id") >= cut), "doc_id", "text")

@@ -42,17 +42,30 @@ object Dedup {
 
   /** (id, gram) — distinct token n-gram shingles per document.
     *
-    * The per-doc n-gram transform is the most expensive projection in the
-    * dedup tier (a higher-order `transform` is interpreted, not codegen'd:
-    * ~2 ms/doc), and a small parquet table arrives as ONE input split — so
-    * a low-partition source is fanned out first or the whole corpus
-    * shingles on a single core (measured 9.8 s → 1.5 s on sf0.1). On a
-    * production many-split table the guard is a no-op: partitions already
-    * ≥ the cluster's parallelism. */
-  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val t = BM25.tokenize(col(textCol))
-    graft.sources.Tables.fanOut(docs).where(size(t) >= n)
-      .select(col(idCol).as("id"), explode(array_distinct(ngrams(t, n))).as("gram"))
+    * Shingling is the most expensive projection in the dedup tier; it runs
+    * through the fused [[graft.expr.WordShingles]] expression (one JVM pass
+    * per doc) rather than the interpreted `transform`-HOF chain (~2 ms/doc
+    * — r5 funnel profile: 3.5 s → 0.6 s cold at sf0.1). A small parquet
+    * table arrives as ONE input split, so a low-partition source is fanned
+    * out first or the whole corpus shingles on a single core; on a
+    * production many-split table the fan-out is a no-op. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    graft.sources.Tables.fanOut(docs)
+      .select(col(idCol).as("id"),
+        explode(graft.expr.TextExpr.wordShingles(col(textCol), n)).as("gram"))
+
+  /** [[docGramSets]] straight from the corpus — one narrow scan, NO
+    * explode → groupBy → sort_array round trip (the exploded shingle frame
+    * is ~|doc| rows per doc; regrouping it is a full shuffle of the
+    * corpus's token volume). Identical rows: sorted distinct shingles,
+    * empty-shingle docs dropped. Use when the exploded frame isn't needed
+    * anyway; [[docGramSets]] stays the shared-frame path when it is. */
+  def docGramSetsDirect(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int): DataFrame = {
+    val sh = graft.expr.TextExpr.wordShingles(col(textCol), n)
+    graft.sources.Tables.fanOut(docs)
+      .select(col(idCol).as("id"), sort_array(sh).as("grams"))
+      .where(size(col("grams")) > 0)
   }
 
   /** Exact duplicate groups under prefix-fingerprint normalization:
@@ -78,14 +91,17 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.8,
                    shingleFrame: Option[DataFrame] = None,
-                   gramSetsFrame: Option[DataFrame] = None): DataFrame = {
+                   gramSetsFrame: Option[DataFrame] = None,
+                   prefixFrame: Option[DataFrame] = None): DataFrame = {
     val sh = shingleFrame.getOrElse(shingles(docs, idCol, textCol, n))
     val gramSets = gramSetsFrame.getOrElse(docGramSets(sh))
-    // per-doc sizes derive from the compact gram-set frame (one row per
-    // doc), shared by the prefix bound and the verification ratio filter
-    val sizes = gramSets.select(col("id"), size(col("grams")).cast("double").as("sz"))
-    val dfg = sh.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-    val prefixes = prefixSelect(sh, dfg, sizes, threshold)
+    // The candidate generator self-joins the prefix frame, and Spark does
+    // NOT reuse the exchange across the two sides (the window's expression
+    // ids defeat canonicalization) — an unmaterialized prefix plan runs its
+    // whole df-join-window chain TWICE (measured: the cold funnel's single
+    // biggest slice, r4 VERDICT #4). Callers re-running pair queries should
+    // pass a persisted `prefixFrame` ([[corpusPrefixes]]).
+    val prefixes = prefixFrame.getOrElse(corpusPrefixes(sh, gramSets, threshold))
     // shuffle-hash, not broadcast: the prefix frame's size is invisible to
     // the parquet-derived estimate (it sits above an explode), and the
     // planner's rogue broadcast of a million-row side is a driver OOM on a
@@ -95,6 +111,16 @@ object Dedup {
         col("l.gram") === col("r.gram") && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
     verifiedJaccard(cand, gramSets, threshold)
+  }
+
+  /** The corpus prefix frame (rarest-first Bayardo prefixes) from the
+    * shared shingle + gram-set frames — the reusable, SMALL (a few rows per
+    * doc) front half of the candidate generator, worth persisting once per
+    * corpus. */
+  def corpusPrefixes(sh: DataFrame, gramSets: DataFrame, threshold: Double): DataFrame = {
+    val sizes = gramSets.select(col("id"), size(col("grams")).cast("double").as("sz"))
+    val dfg = sh.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    prefixSelect(sh, dfg, sizes, threshold)
   }
 
   /** Rarest-first Bayardo prefix selection: keep each doc's first
@@ -126,7 +152,7 @@ object Dedup {
   def buildJaccardIndex(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8): JaccardIndex = {
     val sh = shingles(docs, idCol, textCol, n)
-    val gramSets = docGramSets(sh)
+    val gramSets = docGramSetsDirect(docs, idCol, textCol, n)
     val sizes = gramSets.select(col("id"), size(col("grams")).cast("double").as("sz"))
     val dfg = sh.groupBy(col("gram")).agg(count(lit(1)).as("df"))
     JaccardIndex(gramSets, dfg, prefixSelect(sh, dfg, sizes, threshold), n, threshold)
@@ -169,13 +195,18 @@ object Dedup {
   def jaccardPairsIncremental(index: JaccardIndex, incoming: DataFrame,
                               idCol: String, textCol: String): DataFrame = {
     val shN = shingles(incoming, idCol, textCol, index.n)
-    val gsN = docGramSets(shN)
+    val gsN = docGramSetsDirect(incoming, idCol, textCol, index.n)
     val sizesN = gsN.select(col("id"), size(col("grams")).cast("double").as("sz"))
     // adopt the corpus order: left join + df 0 for unseen grams
     val dfN = shN.select(col("gram")).distinct()
       .join(index.df.hint("shuffle_hash"), Seq("gram"), "left")
       .na.fill(0L, Seq("df"))
-    val prefN = prefixSelect(shN, dfN, sizesN, index.threshold)
+    // the batch prefix frame feeds THREE joins below (corpus side + both
+    // sides of the new-vs-new self-join); left lazy, each scan re-runs the
+    // whole shingle→df→window chain. It is batch-bounded (a few rows per
+    // incoming doc), so an eager local checkpoint is safe and collapses
+    // the three computations into one.
+    val prefN = prefixSelect(shN, dfN, sizesN, index.threshold).localCheckpoint(true)
     val newVsCorpus = prefN.as("l")
       .join(index.prefixes.as("r").hint("shuffle_hash"), col("l.gram") === col("r.gram"))
       .select(col("l.id").as("x"), col("r.id").as("y"))
@@ -571,18 +602,38 @@ object Dedup {
     * Convergence detection: the canonical (max, min)-oriented edge set is
     * fingerprinted per round (count + bit_xor of xxhash64) — order-free,
     * and equality of consecutive fingerprints stops the loop. */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50,
+                          driverThreshold: Long = 100000L): DataFrame = {
     // edges canonically oriented big → small (both star ops emit (v, m)
     // with v > m, so the orientation is stable round over round). Ids keep
     // their NATURAL type — least/greatest/min work on any orderable column
     // (a cast("long") here would null out string/UUID ids and silently
     // return an empty result); null ids are dropped explicitly.
-    var edges = pairs.select(
+    val canon = pairs.select(
         greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+    // Size-adaptive dispatch (r4 VERDICT #4, cold path): a verified-pair
+    // set small enough for the driver (≤ driverThreshold edges — one count
+    // job to decide; true near-dup pairs are usually rare relative to the
+    // corpus) resolves in ONE in-memory union-find pass, where the
+    // O(log² n)-round Spark loop's per-job overhead dwarfs the actual work
+    // by orders of magnitude. The Kiveris loop below remains the path for
+    // massive pair sets, where collecting edges would OOM the driver;
+    // driverThreshold = 0 forces it (the differential spec pins equality).
+    val driverOrd: Option[Ordering[Any]] = pairs.schema.head.dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType =>
+        Some(Ordering.by((x: Any) => x.asInstanceOf[Number].longValue()))
+      case org.apache.spark.sql.types.StringType =>
+        Some(Ordering.by((x: Any) => x.asInstanceOf[String]))
+      case _ => None // exotic id types take the type-generic distributed path
+    }
+    if (driverOrd.isDefined && driverThreshold > 0 && canon.count() <= driverThreshold)
+      return ccUnionFind(canon, pairs.schema.head.dataType, driverOrd.get)
+
+    var edges = canon.localCheckpoint(true)
 
     def sym(e: DataFrame): DataFrame =
       e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
@@ -631,6 +682,37 @@ object Dedup {
     edges.select(col("u").as("id"), col("v").as("cluster"))
       .unionAll(edges.select(col("v").as("id"), col("v").as("cluster")))
       .distinct()
+  }
+
+  /** Driver union-find over a BOUNDED canonical edge set (the small-graph
+    * arm of [[connectedComponents]]): min-rooted unions + path compression,
+    * identical (id, component-min) contract to the Kiveris fixpoint. */
+  private def ccUnionFind(canon: DataFrame, dt: org.apache.spark.sql.types.DataType,
+                          ord: Ordering[Any]): DataFrame = {
+    val spark = canon.sparkSession
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // compress the walked path
+      while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    val nodes = scala.collection.mutable.LinkedHashSet.empty[Any]
+    canon.collect().foreach { row =>
+      val u = row.get(0); val v = row.get(1)
+      nodes += u; nodes += v
+      val ru = find(u); val rv = find(v)
+      if (ru != rv) { // min id becomes the root, matching the fixpoint labels
+        if (ord.lt(ru, rv)) parent(rv) = ru else parent(ru) = rv
+      }
+    }
+    val rows = nodes.toSeq.map(n => org.apache.spark.sql.Row(n, find(n)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", dt),
+        org.apache.spark.sql.types.StructField("cluster", dt))))
   }
 
   /** Skew guard for banded self-joins: drops buckets with more than

@@ -61,16 +61,29 @@ object StreamingGates {
   }
 
   /** Rewrite the nanos-safe events read as plain TIMESTAMP(MICROS) parquet
-    * under a fresh temp dir so the file-source stream (whose declared
-    * schema says TimestampType) reads the exact rows the batch gates see.
-    * The dir is deleted once the stream drains — results live in the
-    * memory sink / collection cache, not on disk. */
+    * so the file-source stream (whose declared schema says TimestampType)
+    * reads the exact rows the batch gates see. The rewrite is MEMOIZED per
+    * (session, dir): it is bench harness plumbing, not the machinery under
+    * test, and re-writing 100 k events before every gate run dominated the
+    * steady-state cost of every streaming gate. Bounded: one temp dir per
+    * sf dir touched (≤ a few per process), deleted on JVM exit. Sentinel
+    * files appended by Append-mode gates accumulate in the shared dir
+    * across runs — every gate filters sentinel rows from its RESULT, and a
+    * pre-existing sentinel only advances the watermark earlier, which the
+    * drain-then-flush protocol already tolerates. */
+  private val streamInputs =
+    scala.collection.mutable.HashMap.empty[(SparkSession, String), String]
+
   private def withStreamableEvents[T](spark: SparkSession, dir: String)(f: String => T): T = {
-    val tmp = Files.createTempDirectory("graft_stream_gate")
-    try {
-      Tables.events(spark, dir).coalesce(4).write.mode("overwrite").parquet(s"$tmp/in")
-      f(s"$tmp/in")
-    } finally rmrf(tmp)
+    val in = streamInputs.synchronized {
+      streamInputs.getOrElseUpdate((spark, dir), {
+        val tmp = Files.createTempDirectory("graft_stream_gate")
+        Runtime.getRuntime.addShutdownHook(new Thread(() => rmrf(tmp)))
+        Tables.events(spark, dir).coalesce(4).write.mode("overwrite").parquet(s"$tmp/in")
+        s"$tmp/in"
+      })
+    }
+    f(in)
   }
 
   /** Streaming twin of the `events_window` gate: tumbling-window stateful
@@ -85,7 +98,9 @@ object StreamingGates {
         val q = EventStream.windowedStats(EventStream.fromDirectory(ss, in))
           .writeStream.outputMode("complete").format("memory").queryName(name).start()
         try q.processAllAvailable() finally q.stop()
-        ss.table(name)
+        // the shared input dir may carry sentinel files from Append-mode
+        // gates' earlier runs — never part of a gate result
+        ss.table(name).where(col("event_type") =!= "sentinel")
       }
     }
 

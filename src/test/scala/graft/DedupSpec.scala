@@ -24,6 +24,32 @@ class DedupSpec extends AnyFunSuite {
     assert(g.head.getAs[Long]("min_id") == 0L && g.head.getAs[Long]("max_id") == 4L)
   }
 
+  test("WordShingles expression matches the HOF chain (differential, incl. messy whitespace)") {
+    val messy = docs.unionByName(Seq(
+      5L -> "  \t tabs\nand   runs of\r\n whitespace everywhere  ",
+      6L -> "one two",           // fewer than n tokens -> no shingles
+      7L -> "a b a b a b a b")   // repeated grams -> dedup matters
+      .toDF("id", "text"))
+    val t = graft.text.BM25.tokenize(col("text"))
+    val old = messy.where(size(t) >= 3)
+      .select(col("id"), explode(array_distinct(Dedup.ngrams(t, 3))).as("gram"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val fused = messy
+      .select(col("id"), explode(graft.expr.TextExpr.wordShingles(col("text"), 3)).as("gram"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(fused == old)
+    assert(!fused.exists(_._1 == 6L))
+  }
+
+  test("docGramSetsDirect equals the explode-regroup formulation") {
+    val direct = Dedup.docGramSetsDirect(docs, "id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val regrouped = Dedup.docGramSets(Dedup.shingles(docs, "id", "text", 3))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(direct == regrouped)
+    assert(direct.nonEmpty)
+  }
+
   test("jaccardPairs: exact dup at 1.0, near-dup high, reversal/unrelated absent") {
     val p = Dedup.jaccardPairs(docs, "id", "text", n = 3, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
@@ -141,13 +167,29 @@ class DedupSpec extends AnyFunSuite {
 
   test("connectedComponents converges on a long chain and a star in few rounds") {
     // a 64-node chain is the adversary for naive min-label propagation
-    // (O(diameter) rounds); alternating stars must stay within O(log² n)
+    // (O(diameter) rounds); alternating stars must stay within O(log² n).
+    // driverThreshold = 0 FORCES the distributed Kiveris loop — this test
+    // exists to pin the loop, not the small-graph driver arm
     val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
-    val cc = Dedup.connectedComponents(chain, maxRounds = 12)
+    val cc = Dedup.connectedComponents(chain, maxRounds = 12, driverThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(cc.length == 64 && cc.forall(_._2 == 0L))
     assert(Dedup.connectedComponents(spark.emptyDataset[(Long, Long)].toDF("a", "b"))
       .count() == 0)
+  }
+
+  test("connectedComponents: driver union-find arm equals the Kiveris loop (differential)") {
+    val rnd = new scala.util.Random(23)
+    // random graph over 200 nodes: chains, cliques-by-chance, singletons
+    val pairs = Seq.fill(180)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("a", "b")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDriver = asMap(Dedup.connectedComponents(pairs))
+    val viaLoop = asMap(Dedup.connectedComponents(pairs, driverThreshold = 0L))
+    assert(viaDriver == viaLoop)
+    assert(viaDriver.nonEmpty)
   }
 
   test("maxBucket guard drops hot buckets; oversizedBuckets reports them") {
