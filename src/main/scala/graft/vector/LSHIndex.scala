@@ -78,6 +78,12 @@ final class LSHIndex(val hyperplanes: Array[Array[Double]],
     hashed.where(pred)
   }
 
+  /** Number of candidate rows a probe at `radius` would re-rank — the
+    * honest cost axis of a recall curve (recall 1.0 by scanning the whole
+    * corpus is not a win). */
+  def candidateCount(query: Array[Double], radius: Int): Long =
+    candidates(query, radius).count()
+
   /** Top-k via bucket probe + exact re-rank on candidates. `exact = true`
     * widens the probe to the provable-superset radius (see class doc).
     * `restrict` (an (id, …) frame) pre-filters candidates via a semi-join —

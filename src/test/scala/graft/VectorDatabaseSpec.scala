@@ -435,4 +435,26 @@ class VectorDatabaseSpec extends AnyFunSuite {
     val b = db2.queryVector(many(5), 5).collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(a.sameElements(b))
   }
+
+  test("addBulkWithIds: non-dense unique ids, no global sort, all query paths accept them") {
+    import spark.implicits._
+    val many = Seq.fill(6)(vec())
+    val src = many.zipWithIndex.map { case (v, i) =>
+      (1000L + 10L * i, s"custom doc $i", v.toSeq, s"""{"grp":${i % 2}}""")
+    }.toDF("my_id", "text", "emb", "mj")
+    val db = VectorDatabase.create(spark, dim, "flat")
+    db.addBulkWithIds(src, "text", "emb", Some("mj"), "my_id", verifyUnique = true)
+    assert(db.count == 6)
+    // point lookup, metadata filter, text and vector search all key on id
+    assert(db.getDocument(1020L).contains("custom doc 2"))
+    assert(db.queryMetadata(Map("grp" -> 1L)).collect().map(_.getLong(0)).toSeq
+      == Seq(1010L, 1030L, 1050L))
+    assert(db.queryVector(many(3), topK = 1).head().getLong(0) == 1030L)
+    assert(db.queryText("custom doc", topK = 6).count() == 6)
+    // uniqueness is enforced when asked: colliding batch rejected
+    intercept[IllegalArgumentException] {
+      db.addBulkWithIds(src.limit(1), "text", "emb", Some("mj"), "my_id",
+        verifyUnique = true)
+    }
+  }
 }
