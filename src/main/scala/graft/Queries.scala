@@ -425,6 +425,35 @@ object Queries {
       .orderBy(col("qid").asc, col("score").desc, col("id").asc)
   }
 
+  /** BULK ANN through the IVF index as ONE distributed plan (no per-query
+    * driver probe): centroid ranking via broadcast + bounded heap,
+    * candidates through one cluster equi-join, exact re-rank per query.
+    * Exact-recoverable configuration (nprobe = nlist) ⇒ shares the exact
+    * batch oracle; the approximate-probe plan shape is spec-pinned. */
+  private def knnBatchIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    val idx = ivfIndex(spark, dir)
+    val queries = e.where(col("vec_id").isin(4L, 5L, 6L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    idx.searchBatch(queries, "qid", "qv", k = 5, nprobe = idx.nlist)
+      .select(col("qid"), col("id"), r4(col("score")).as("score"))
+      .orderBy(col("qid").asc, col("score").desc, col("id").asc)
+  }
+
+  /** BULK ANN through the LSH tables: queries hash with the same plane
+    * literals, both sides meet on one (table, bucket) equi-join, exact
+    * re-rank per query. `exact = true` = provable-superset radius over the
+    * batch ⇒ shares the exact batch oracle (tuned-radius recall pinned in
+    * LSHSpec). */
+  private def knnBatchLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    val queries = e.where(col("vec_id").isin(7L, 8L, 9L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    lshIndex(spark, dir).searchBatch(queries, "qid", "qv", k = 5, exact = true)
+      .select(col("qid"), col("id"), r4(col("score")).as("score"))
+      .orderBy(col("qid").asc, col("score").desc, col("id").asc)
+  }
+
   /** Streaming-shaped tumbling-window aggregate over `events` (batch
     * equivalent of the Structured Streaming job in graft.streaming). */
   private def eventsWindow(spark: SparkSession, dir: String): DataFrame =
@@ -1202,10 +1231,10 @@ object Queries {
     graft.multimodal.Multimodal.sampleFramesBinarySafe(binaryAssets(spark, dir), every = 2)
       .toDF().orderBy(col("id"), col("frame_idx"))
 
-  /** Oracle for both batch-KNN formulations (window and TopKPerKey). */
-  private val knnBatchSql =
+  /** Oracle for the batch-KNN formulations (window, TopKPerKey, bulk IVF). */
+  private def knnBatchSqlFor(qids: String): String =
     s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
-       |           FROM embeddings WHERE vec_id IN (1, 2, 3)),
+       |           FROM embeddings WHERE vec_id IN ($qids)),
        |scored AS (
        |  SELECT q.qid, e.vec_id AS id,
        |         1.0/(1.0 + list_sum(list_transform(range(1, 65),
@@ -1215,6 +1244,8 @@ object Queries {
        |  SELECT qid, id, s, row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS rn
        |  FROM scored)
        |WHERE rn <= 5 ORDER BY qid, score DESC, id""".stripMargin
+
+  private val knnBatchSql = knnBatchSqlFor("1, 2, 3")
 
   /** Shared DuckDB CTE: tokenized documents. */
   private val toksCte =
@@ -1336,6 +1367,8 @@ object Queries {
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     "knn_batch" -> Q(knnBatch, Some(knnBatchSql)),
     "knn_batch_topk" -> Q(knnBatchTopk, Some(knnBatchSql)),
+    "knn_batch_ivf" -> Q(knnBatchIvf, Some(knnBatchSqlFor("4, 5, 6"))),
+    "knn_batch_lsh" -> Q(knnBatchLsh, Some(knnBatchSqlFor("7, 8, 9"))),
     "knn_postfilter" -> Q(knnPostFilter, Some(
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
          |top AS (

@@ -64,6 +64,49 @@ final class IVFIndex(val centroids: Array[(Int, Array[Double])],
       s
     }.map(_._1)
 
+  /** BULK ANN: N queries through the IVF probe as ONE distributed plan —
+    * no per-query driver round-trip (the single-query [[search]] ranks
+    * centroids driver-side; a loop over it is N Spark jobs). The
+    * driver-held centroid set joins the query frame as a broadcast
+    * (|Q| × nlist narrow rows), [[graft.plans.TopKPerKey]] keeps each
+    * query's `nprobe` nearest clusters with bounded heaps (no global
+    * sort), and all candidates arrive through ONE equi-join against the
+    * cluster-partitioned assignment frame, exact-re-ranked per query by a
+    * second bounded heap. With the on-disk assignment layout
+    * (`partitionBy(cluster)`) and `broadcastQueries = true`, the cluster
+    * join is broadcast-shaped, so Spark's dynamic partition pruning can
+    * skip unprobed cluster files — the bulk analog of the single-probe
+    * partition pruning. Set `broadcastQueries = false` for query batches
+    * too large to broadcast: the join becomes a shuffle on `cluster`,
+    * still touching only probed-cluster rows.
+    * Output contract matches [[ExactKNN.topKBatch]]: (qid, id, score),
+    * exact within the probed clusters; nprobe = nlist recovers the exact
+    * batch scan bit-for-bit. */
+  def searchBatch(queries: DataFrame, qidCol: String, qvecCol: String,
+                  k: Int, nprobe: Int,
+                  metric: ExactKNN.Metric = ExactKNN.L2Sq,
+                  broadcastQueries: Boolean = true): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = centroids.toSeq.map { case (c, v) => (c, v.toSeq) }
+      .toDF("cluster", "centroid")
+    val q = queries.select(col(qidCol).as("qid"),
+      col(qvecCol).cast("array<double>").as("__qv"))
+    val ranked = q.crossJoin(broadcast(cents))
+      .select(col("qid"), col("__qv"), col("cluster"),
+        graft.expr.VectorExpr.squaredL2(col("__qv"), col("centroid")).as("__cd"))
+    val probed = graft.plans.TopK.perKey(ranked, Seq("qid"),
+        Seq("__cd" -> false, "cluster" -> false), math.max(1, nprobe))
+      .select(col("qid"), col("__qv"), col("cluster"))
+    val probedSide = if (broadcastQueries) broadcast(probed) else probed
+    val cand = assignments.join(probedSide, Seq("cluster"))
+    graft.plans.TopK.perKey(
+      cand.select(col("qid"), col("id"),
+        metric.score(metric.dist(col("vector"), col("__qv"))).as("score")),
+      Seq("qid"), Seq("score" -> true, "id" -> false), k)
+      .orderBy(col("qid").asc, col("score").desc, col("id").asc)
+  }
+
   /** Exact top-k over the `nprobe` nearest clusters only. Same output
     * contract as [[ExactKNN.topK]]: (id, score), score = 1/(1+d²).
     * `restrict` (an (id, …) frame) pre-filters the probed candidates via a

@@ -78,6 +78,53 @@ final class LSHIndex(val hyperplanes: Array[Array[Double]],
     hashed.where(pred)
   }
 
+  /** BULK ANN through the LSH tables as ONE distributed plan — the batch
+    * analog of [[search]] (whose bucket predicate is driver-built per
+    * query; a loop over it is N Spark jobs). Both sides land on the same
+    * narrow (table, bucket) key: queries hash with the SAME plane literals
+    * and explode to one row per (query, table, probe offset) —
+    * |Q| × tables × (2r+1) rows — while the corpus side explodes `hashed`
+    * to (id, table, bucket) once. One equi-join yields candidates,
+    * distinct (qid, id) pairs re-rank exactly via bounded per-query heaps.
+    * `exact = true` widens the radius to the provable-superset bound over
+    * the WHOLE batch (max corpus norm + max query norm), making the result
+    * bit-equal to the exact batch scan — the oracle-gated configuration.
+    * Output contract matches [[ExactKNN.topKBatch]]: (qid, id, score). */
+  def searchBatch(queries: DataFrame, qidCol: String, qvecCol: String,
+                  k: Int, probeRadius: Int = 0, exact: Boolean = false,
+                  metric: ExactKNN.Metric = ExactKNN.L2Sq): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast => bcast}
+    val q = queries.select(col(qidCol).as("qid"),
+      col(qvecCol).cast("array<double>").as("__qv"))
+    val r =
+      if (!exact) probeRadius
+      else {
+        val mq = q.select(max(sqrt(graft.expr.VectorExpr.dot(col("__qv"), col("__qv")))))
+          .head().getDouble(0)
+        math.ceil((maxNorm + mq) / bucketLength).toInt
+      }
+    val qBuckets = hyperplanes.zipWithIndex.map { case (w, t) =>
+      struct(lit(t).as("table"),
+        floor(graft.expr.VectorExpr.dot(col("__qv"),
+          graft.functions.VectorFunctions.vecLit(w)) / bucketLength).cast("int").as("b"))
+    }
+    val probes = q
+      .select(col("qid"), col("__qv"), explode(array(qBuckets: _*)).as("tb"))
+      .select(col("qid"), col("__qv"), col("tb.table").as("table"),
+        explode(sequence(col("tb.b") - r, col("tb.b") + r)).as("bucket"))
+    val corpus = hashed.select(col("id"), posexplode(col("hashes")).as(Seq("table", "bucket")))
+    val cand = corpus.join(bcast(probes.select(col("qid"), col("table"), col("bucket"))),
+        Seq("table", "bucket"))
+      .select(col("qid"), col("id")).distinct()
+    val scored = cand
+      .join(hashed.select(col("id"), col("vector")), Seq("id"))
+      .join(bcast(q), Seq("qid"))
+      .select(col("qid"), col("id"),
+        metric.score(metric.dist(col("vector"), col("__qv"))).as("score"))
+    graft.plans.TopK.perKey(scored, Seq("qid"), Seq("score" -> true, "id" -> false), k)
+      .orderBy(col("qid").asc, col("score").desc, col("id").asc)
+  }
+
   /** Number of candidate rows a probe at `radius` would re-rank — the
     * honest cost axis of a recall curve (recall 1.0 by scanning the whole
     * corpus is not a win). */

@@ -24,6 +24,40 @@ class IVFSpec extends AnyFunSuite {
     assert(full.sameElements(exact))
   }
 
+  test("searchBatch: one distributed plan equals the exact batch scan at nprobe = nlist") {
+    import org.apache.spark.sql.functions.col
+    val queries = emb.where(col("vec_id").isin(3L, 17L, 42L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = ExactKNN.topKBatch(emb, "vec_id", "embedding", queries, "qid", "qv", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaIvf = index.searchBatch(queries, "qid", "qv", k = 5, nprobe = index.nlist)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaIvf == exact)
+    // non-broadcast (shuffle-on-cluster) arm: identical results
+    val shuffled = index.searchBatch(queries, "qid", "qv", k = 5,
+      nprobe = index.nlist, broadcastQueries = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(shuffled == exact)
+  }
+
+  test("searchBatch: narrow probe keeps per-query results inside the probed clusters") {
+    import org.apache.spark.sql.functions.col
+    val queries = emb.where(col("vec_id").isin(5L, 9L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val got = index.searchBatch(queries, "qid", "qv", k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byQid = got.groupBy(_._1)
+    for ((qid, rows) <- byQid) {
+      val probed = index.probeOrder(queryVec(qid)).take(2).toSet
+      val clusters = index.assignments
+        .where(col("id").isin(rows.map(r => Long.box(r._2)): _*))
+        .select(col("id"), col("cluster")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(rows.forall { case (_, id) => probed.contains(clusters(id)) },
+        s"qid $qid returned an id outside its probed clusters")
+    }
+  }
+
   test("recall@10 >= 0.6 with nprobe=4 of 16, averaged over 10 queries") {
     val recalls = (0L until 10L).map { qid =>
       val q = queryVec(qid * 7)

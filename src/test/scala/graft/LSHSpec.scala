@@ -27,6 +27,23 @@ class LSHSpec extends AnyFunSuite {
     assert(mean >= 0.5, s"mean LSH recall@10 = $mean (per-query: $recalls)")
   }
 
+  test("searchBatch: exact superset radius equals the exact batch scan; tuned radius recalls") {
+    import org.apache.spark.sql.functions.col
+    val queries = emb.where(col("vec_id").isin(3L, 21L, 77L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = ExactKNN.topKBatch(emb, "vec_id", "embedding", queries, "qid", "qv", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaLsh = index.searchBatch(queries, "qid", "qv", k = 5, exact = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaLsh == exact)
+    // tuned (radius 0) bulk probe: each query still finds ITSELF first
+    val tuned = index.searchBatch(queries, "qid", "qv", k = 5, probeRadius = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    for (qid <- Seq(3L, 21L, 77L))
+      assert(tuned.find(_._1 == qid).exists(_._2 == qid),
+        s"query $qid did not find itself in its own bucket")
+  }
+
   test("the query's own vector is always returned first") {
     val r = index.search(queryVec(99), 5).collect()
     assert(r.nonEmpty && r.head.getLong(0) == 99L)
