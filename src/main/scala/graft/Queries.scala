@@ -362,6 +362,18 @@ object Queries {
       PQIndex.buildFromAnchors(tbl(spark, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, m = 8, anchorFilter = col("vec_id") < 16))
 
+  /** BULK ADC: N queries against the compressed corpus in one plan —
+    * per-query distance tables as a frame, one (s, code) equi-join, one
+    * map-side-combined sum. Anchor codebooks keep it SQL-reproducible. */
+  private def annPqBatch(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    val queries = e.where(col("vec_id").isin(11L, 12L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    pqIndex(spark, dir).searchBatch(queries, "qid", "qv", k = 5)
+      .select(col("qid"), col("id"), r4(col("score")).as("score"))
+      .orderBy(col("qid").asc, col("score").desc, col("id").asc)
+  }
+
   /** K6/PQ: ADC top-k over the compressed corpus (SURVEY §2.3-K6). */
   private def annPq(spark: SparkSession, dir: String): DataFrame =
     pqIndex(spark, dir)
@@ -1358,6 +1370,33 @@ object Queries {
         |  GROUP BY c.id)
         |SELECT id, round(1.0/(1.0 + dist), 4) AS score
         |FROM adc ORDER BY score DESC, id LIMIT 10""".stripMargin)),
+    "ann_pq_batch" -> Q(annPqBatch, Some(
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |a AS (SELECT vec_id AS aid, emb AS aemb FROM v WHERE vec_id < 16),
+        |s AS (SELECT unnest(range(0, 8)) AS s),
+        |rd AS (
+        |  SELECT v.vec_id AS id, s.s, a.aid,
+        |         list_sum(list_transform(range(1, 9),
+        |           i -> (v.emb[s.s*8 + i] - a.aemb[s.s*8 + i]) * (v.emb[s.s*8 + i] - a.aemb[s.s*8 + i]))) AS d2
+        |  FROM v, s, a),
+        |codes AS (
+        |  SELECT id, s, aid AS code FROM (
+        |    SELECT id, s, aid, row_number() OVER (PARTITION BY id, s ORDER BY d2, aid) AS rn FROM rd)
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, emb AS qe FROM v WHERE vec_id IN (11, 12)),
+        |qd AS (
+        |  SELECT q.qid, s.s, a.aid,
+        |         list_sum(list_transform(range(1, 9),
+        |           i -> (q.qe[s.s*8 + i] - a.aemb[s.s*8 + i]) * (q.qe[s.s*8 + i] - a.aemb[s.s*8 + i]))) AS d2
+        |  FROM q, s, a),
+        |adc AS (
+        |  SELECT qd.qid, c.id, list_sum(list(qd.d2 ORDER BY c.s)) AS dist
+        |  FROM codes c JOIN qd ON qd.s = c.s AND qd.aid = c.code
+        |  GROUP BY qd.qid, c.id)
+        |SELECT qid, id, round(1.0/(1.0 + dist), 4) AS score FROM (
+        |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+        |  FROM adc)
+        |WHERE rn <= 5 ORDER BY qid, score DESC, id""".stripMargin)),
     "ann_lsh" -> Q(annLsh, Some(knnSql(21, 10))),
     "label_centroids" -> Q(labelCentroids, Some(
       """WITH x AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS i,

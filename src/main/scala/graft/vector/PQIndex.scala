@@ -62,6 +62,41 @@ final class PQIndex(val codes: DataFrame,
       }
     }
 
+  /** BULK ADC: N queries against the compressed corpus as ONE distributed
+    * plan — the batch analog of [[search]] (whose m × 256 distance table
+    * is driver-built per query). The per-query tables become a FRAME:
+    * queries × the broadcast (s, code, centroid) codebook rows
+    * (|Q| × m × 256 narrow rows), the codes frame explodes once to
+    * (id, s, code), and one equi-join on (s, code) + a map-side-combined
+    * groupBy(qid, id) sum IS the asymmetric distance computation —
+    * N × m × |Q| tiny rows, the standard relational ADC formulation.
+    * Bounded per-query heaps cut to k. Output: (qid, id, score),
+    * score = 1/(1+dist), same contract as [[ExactKNN.topKBatch]]. */
+  def searchBatch(queries: DataFrame, qidCol: String, qvecCol: String,
+                  k: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val cb = codebooks.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (c, code) => (s, code, c.toSeq) }
+    }.toSeq.toDF("s", "code", "centroid")
+    val q = queries.select(col(qidCol).as("qid"),
+      col(qvecCol).cast("array<double>").as("__qv"))
+    val qd = q.crossJoin(broadcast(cb))
+      .select(col("qid"), col("s"), col("code"),
+        graft.expr.VectorExpr.squaredL2(
+          slice(col("__qv"), col("s") * subDim + 1, lit(subDim)),
+          col("centroid")).as("d2"))
+    val codesExp = codes.select(col("id"),
+      (posexplode(col("codes"))).as(Seq("s", "code")))
+    val dist = codesExp.join(qd.hint("shuffle_hash"), Seq("s", "code"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("d2")).as("dist"))
+    graft.plans.TopK.perKey(
+      dist.select(col("qid"), col("id"), (lit(1.0) / (lit(1.0) + col("dist"))).as("score")),
+      Seq("qid"), Seq("score" -> true, "id" -> false), k)
+      .orderBy(col("qid").asc, col("score").desc, col("id").asc)
+  }
+
   /** Approximate top-k by ADC: Σ_s table_s[code_s]. Same output contract as
     * [[ExactKNN.topK]] (score = 1/(1+d²-approx), desc, id tiebreak).
     * `among` restricts scoring to a candidate id set (left-semi join) — the

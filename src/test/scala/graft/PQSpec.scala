@@ -43,6 +43,21 @@ class PQSpec extends AnyFunSuite {
     assert(r.head.getLong(0) == 42L)
   }
 
+  test("searchBatch: the distributed ADC join matches the per-query driver-table path") {
+    import org.apache.spark.sql.functions.col
+    val qids = Seq(5L, 42L, 99L)
+    val queries = emb.where(col("vec_id").isin(qids.map(Long.box): _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val batch = pq.searchBatch(queries, "qid", "qv", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.floor(r.getDouble(2) * 1e9 + 0.5) / 1e9)).toSeq
+    val single = qids.flatMap { qid =>
+      pq.search(queryVec(qid), 4).collect()
+        .map(r => (qid, r.getLong(0), math.floor(r.getDouble(1) * 1e9 + 0.5) / 1e9))
+    }.sortBy { case (q, id, sc) => (q, -sc, id) }
+    assert(batch == single)
+  }
+
   test("anchor-codebook build: codes bounded by anchor count, deterministic") {
     import org.apache.spark.sql.functions.col
     val anchored = PQIndex.buildFromAnchors(emb, "vec_id", "embedding",
