@@ -836,6 +836,15 @@ object Queries {
   private def tokenCount(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenCount(docsTbl(spark, dir), "doc_id", "text").orderBy(col("id"))
 
+  /** Sequence packing: documents → fixed-token-budget packs per language —
+    * the corpus-to-training-shard assembly step (streaming-chunker
+    * formulation: deterministic, one window, SQL-expressible). */
+  private def packSequences(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packBudgeted(docsTbl(spark, dir), "doc_id", "text",
+        groupCol = "lang", budget = 2048L)
+      .select(col("grp").as("lang"), col("pack"), col("n_docs"), col("total_tokens"))
+      .orderBy(col("lang").asc, col("pack").asc)
+
   private def fingerprintQ(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(docsTbl(spark, dir), "doc_id", "text").orderBy(col("id"))
 
@@ -1564,6 +1573,18 @@ object Queries {
            |  len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS subword_tokens,
            |  length(text)::BIGINT AS n_chars
            |FROM documents ORDER BY id""".stripMargin)),
+    "pack_sequences" -> Q(packSequences, Some(
+      raw"""WITH t AS (
+           |  SELECT lang, doc_id AS id,
+           |         len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tok
+           |  FROM documents),
+           |p AS (
+           |  SELECT lang, id, n_tok,
+           |         CAST(floor(coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS pack
+           |  FROM t)
+           |SELECT lang, pack, count(*) AS n_docs, sum(n_tok)::BIGINT AS total_tokens
+           |FROM p GROUP BY lang, pack ORDER BY lang, pack""".stripMargin)),
     "fingerprint" -> Q(fingerprintQ, Some(
       raw"""WITH n AS (SELECT doc_id AS id,
            |  lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt FROM documents)

@@ -101,6 +101,33 @@ object TextAnalysis {
       size(regexp_extract_all(col(textCol), lit(subwordPattern), lit(0))).cast("long").as("subword_tokens"),
       length(col(textCol)).cast("long").as("n_chars"))
 
+  /** Sequence packing for training-data assembly: assign documents to
+    * fixed-token-budget packs, the step between a cleaned corpus and a
+    * tokenized training shard. This is the streaming-chunker formulation —
+    * pack = ⌊running-token-total / budget⌋ over a deterministic document
+    * order within each `groupCol` partition (language, source, …) — chosen
+    * over first-fit/best-fit bin packing because it is ONE window over one
+    * shuffle (no sequential bin state), deterministic, and SQL-expressible
+    * (oracle-gated); a pack overflows its budget by at most one document,
+    * the same slack every streaming packer accepts. At 100 TB: one shuffle
+    * on groupCol, the window's running sum is per-partition sequential but
+    * partitions (languages/shards) run in parallel — for a single giant
+    * group, pre-split by a hash salt to bound the window partition.
+    * Output: (group, pack, n_docs, total_tokens), one row per pack. */
+  def packBudgeted(docs: DataFrame, idCol: String, textCol: String,
+                   groupCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.select(col(groupCol).as("grp"), col(idCol).as("id"),
+        size(toks(col(textCol))).cast("long").as("n_tok"))
+      .withColumn("pack",
+        floor(coalesce(sum(col("n_tok")).over(w), lit(0L)) / lit(budget)))
+      .groupBy(col("grp"), col("pack"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+  }
+
   /** Repetition/boilerplate metrics per doc — the Gopher-rules-style
     * repetition filters (Rae et al., "Scaling Language Models: … Gopher",
     * 2021 §A1.1): the fraction of duplicate token n-grams and the share

@@ -1,0 +1,44 @@
+package graft
+
+import graft.text.TextAnalysis
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract pins for the sequence-packing operator (the text-analysis
+  * scalar operators are all oracle-gated; packing's invariants deserve
+  * direct pins too). */
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def doc(n: Int): String = Seq.fill(n)("tok").mkString(" ")
+
+  test("packBudgeted: chunker invariants — totals preserved, bounded overflow, dense packs") {
+    val docs = Seq(
+      (0L, "en", doc(10)), (1L, "en", doc(25)), (2L, "en", doc(5)),
+      (3L, "en", doc(40)), (4L, "en", doc(3)),
+      (5L, "de", doc(60)), (6L, "de", doc(2))).toDF("id", "lang", "text")
+    val packs = TextAnalysis.packBudgeted(docs, "id", "text", "lang", budget = 32L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // token mass is partitioned, nothing dropped
+    assert(packs.map(_._4).sum == 10 + 25 + 5 + 40 + 3 + 60 + 2)
+    assert(packs.map(_._3).sum == 7)
+    // pack indices dense from 0 within each group
+    for ((g, rows) <- packs.groupBy(_._1))
+      assert(rows.map(_._2).sorted.sameElements(0L until rows.length.toLong), s"group $g")
+    // streaming-chunker bound: a pack exceeds the budget by at most the
+    // doc that crossed the boundary (max doc here = 60)
+    assert(packs.forall(_._4 <= 32 + 60))
+  }
+
+  test("packBudgeted: assignment follows the running total in id order") {
+    val docs = Seq(
+      (0L, "x", doc(30)), // cum-before 0  -> pack 0
+      (1L, "x", doc(30)), // cum-before 30 -> pack 0 (overflows to 60)
+      (2L, "x", doc(10)), // cum-before 60 -> pack 1
+      (3L, "x", doc(1))   // cum-before 70 -> pack 2 (70/32 = 2)
+    ).toDF("id", "lang", "text")
+    val got = TextAnalysis.packBudgeted(docs, "id", "text", "lang", budget = 32L)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(0L -> (2L, 60L), 1L -> (1L, 10L), 2L -> (1L, 1L)))
+  }
+}
