@@ -781,6 +781,32 @@ object Queries {
           col("l_discount").cast("decimal(18,6)")).cast("decimal(18,6)"))
         .cast("double").as("revenue"))
 
+  /** Relational tier: TPC-H Q5 shape — the six-table join-reorder workout:
+    * two fact tables (orders ⨝ lineitem) against four dimension tables
+    * with the selective region filter arriving through the nation chain.
+    * Dimensions broadcast (region/nation/supplier are tiny); Catalyst
+    * orders the fact join; the revenue arithmetic keeps the exact-DECIMAL
+    * discipline shared with q3/q6. */
+  private def tpchQ5(spark: SparkSession, dir: String): DataFrame = {
+    val rev = (col("l_extendedprice").cast("decimal(18,6)") *
+      (lit(java.math.BigDecimal.ONE).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
+      .cast("decimal(18,6)")
+    tbl(spark, dir, "customer")
+      .join(tbl(spark, dir, "orders")
+          .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+            col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))),
+        col("c_custkey") === col("o_custkey"))
+      .join(tbl(spark, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(tbl(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(tbl(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(tbl(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(sum(rev).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
   /** Relational tier: ROLLUP grouping sets (free via Catalyst, §2.6). */
   private def rollupRevenue(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "orders")
@@ -1857,6 +1883,19 @@ object Queries {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)),
+    "tpch_q5" -> Q(tpchQ5, Some(
+      """SELECT n_name,
+        |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |                     (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+        |                AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
     "rollup_revenue" -> Q(rollupRevenue, Some(
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
