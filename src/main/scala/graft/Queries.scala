@@ -1232,6 +1232,29 @@ object Queries {
     Dedup.embeddingPairsBanded(tbl(spark, dir, "embeddings"), "vec_id", "embedding", 0.45,
       bucketsFrame = Some(docEmbeddingBands(spark, dir)))
 
+  /** Incremental embedding near-dup gate: first 90% of vec_ids = the
+    * INDEXED corpus (normalized rows + banded buckets, memoized), last 10%
+    * = the incoming batch — the embedding analog of dedup_incremental.
+    * Shares the banded funnel's oracle restricted to pairs whose greater
+    * id sits in the batch. */
+  private val embIndexCache = new Memo[Dedup.EmbeddingIndex](memoMax)(ix => {
+    unp(ix.rows); unp(ix.buckets)
+  })
+
+  private def dedupEmbeddingIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    val cut = math.ceil(0.9 * e.count()).toLong
+    val ix = embIndexCache.get(spark, dir) {
+      val built = Dedup.buildEmbeddingIndex(
+        e.where(col("vec_id") < cut), "vec_id", "embedding", threshold = 0.35)
+      val p = (df: DataFrame) =>
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      built.copy(rows = p(built.rows), buckets = p(built.buckets))
+    }
+    Dedup.embeddingPairsIncremental(ix, e.where(col("vec_id") >= cut),
+      "vec_id", "embedding")
+  }
+
   // ---------------------------------------------------------------------------
   // Multimodal plumbing (graft.multimodal) — stub codec, real dataflow
   // ---------------------------------------------------------------------------
@@ -1797,6 +1820,35 @@ object Queries {
            |        list_sum(list_transform(range(1, 65), i -> va.vn[i] * vb.vn[i])) AS cos
            |      FROM cand c JOIN v va ON va.id = c.a JOIN v vb ON vb.id = c.b)
            |SELECT a, b, round(cos, 4) AS cos FROM p WHERE cos >= 0.45
+           |ORDER BY cos DESC, a, b""".stripMargin)),
+    "dedup_embedding_incremental" -> Q(dedupEmbeddingIncremental, Some(
+      raw"""WITH v AS (SELECT vec_id AS id, list_transform(embedding::DOUBLE[],
+           |             x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS vn
+           |           FROM embeddings),
+           |hw AS (
+           |  SELECT b, k, i,
+           |         list_sum(list_transform(range(1, 9), j ->
+           |           (strpos('0123456789abcdef', substr(md5(b || '_' || k || '_' || i), j, 1)) - 1)
+           |             * pow(2.0, 4 * (8 - j)))) / 4294967296.0 - 0.5 AS w
+           |  FROM (SELECT unnest(range(0, 16)) AS b),
+           |       (SELECT unnest(range(0, 8)) AS k),
+           |       (SELECT unnest(range(0, 64)) AS i)),
+           |hp AS (SELECT b, k, list(w ORDER BY i) AS wv FROM hw GROUP BY b, k),
+           |bits AS (
+           |  SELECT v.id, hp.b AS band, hp.k,
+           |         CASE WHEN list_sum(list_transform(range(1, 65), i -> v.vn[i] * hp.wv[i])) > 0
+           |              THEN '1' ELSE '0' END AS bit
+           |  FROM v, hp),
+           |sigs AS (SELECT id, band, string_agg(bit, '' ORDER BY k) AS sig FROM bits GROUP BY 1, 2),
+           |ok AS (SELECT band, sig FROM sigs GROUP BY band, sig HAVING count(*) <= 10000),
+           |bk AS (SELECT s.id, s.band, s.sig FROM sigs s JOIN ok USING (band, sig)),
+           |cand AS (SELECT DISTINCT l.id AS a, r.id AS b
+           |         FROM bk l JOIN bk r ON l.band = r.band AND l.sig = r.sig AND l.id < r.id),
+           |p AS (SELECT c.a, c.b,
+           |        list_sum(list_transform(range(1, 65), i -> va.vn[i] * vb.vn[i])) AS cos
+           |      FROM cand c JOIN v va ON va.id = c.a JOIN v vb ON vb.id = c.b)
+           |SELECT a, b, round(cos, 4) AS cos FROM p WHERE cos >= 0.35
+           |  AND b >= (SELECT CAST(ceil(0.9 * count(*)) AS BIGINT) FROM embeddings)
            |ORDER BY cos DESC, a, b""".stripMargin)),
     "sessionize" -> Q(sessionize, Some(
       """WITH g AS (

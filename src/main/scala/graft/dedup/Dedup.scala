@@ -524,6 +524,61 @@ object Dedup {
     * Hyperplane components derive from md5(seed, band, bit, dim-index) so
     * an external SQL oracle can reproduce every bucket bit-for-bit.
     * Output: (a, b, cos). */
+  /** Corpus-side reusable state for INCREMENTAL embedding near-dup — the
+    * embedding analog of [[JaccardIndex]]: normalized vectors + the
+    * sign-projection buckets, computed once per corpus snapshot and probed
+    * by every incoming batch. */
+  final case class EmbeddingIndex(rows: DataFrame, buckets: DataFrame,
+                                  dim: Int, bands: Int, bitsPerBand: Int,
+                                  threshold: Double, maxBucket: Int)
+
+  def buildEmbeddingIndex(emb: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double, dim: Int = 64, bands: Int = 16,
+                          bitsPerBand: Int = 8, maxBucket: Int = 10000): EmbeddingIndex =
+    EmbeddingIndex(normalized(emb, idCol, vecCol),
+      embeddingBands(emb, idCol, vecCol, dim, bands, bitsPerBand),
+      dim, bands, bitsPerBand, threshold, maxBucket)
+
+  /** INCREMENTAL embedding near-dup: cosine pairs (a < b, cos ≥ threshold)
+    * involving at least one `incoming` doc — new-vs-corpus and new-vs-new,
+    * never corpus-vs-corpus (found when the corpus was indexed). The batch
+    * is banded with the SAME md5 hyperplanes and meets the corpus through
+    * the (band, sig) equi-join, so per-batch cost ∝ batch (+ its bucket
+    * collisions). The skew guard counts buckets over corpus ∪ batch —
+    * identical semantics to the full-corpus funnel's guard (and to the SQL
+    * oracle), not per-side counts that would diverge once a bucket's mass
+    * straddles the cut. Incoming ids must be disjoint from corpus ids. */
+  def embeddingPairsIncremental(index: EmbeddingIndex, incoming: DataFrame,
+                                idCol: String, vecCol: String): DataFrame = {
+    val rowsN = normalized(incoming, idCol, vecCol)
+    val bandsN = embeddingBands(incoming, idCol, vecCol,
+      index.dim, index.bands, index.bitsPerBand)
+    val hot = oversizedBuckets(index.buckets.unionByName(bandsN),
+      Seq("band", "sig"), index.maxBucket).select(col("band"), col("sig"))
+    val guardC = index.buckets.join(hot, Seq("band", "sig"), "left_anti")
+    val guardN = bandsN.join(hot, Seq("band", "sig"), "left_anti")
+    val newVsCorpus = guardN.as("l")
+      .join(guardC.as("r").hint("shuffle_hash"),
+        col("l.band") === col("r.band") && col("l.sig") === col("r.sig"))
+      .select(col("l.id").as("x"), col("r.id").as("y"))
+    val newVsNew = guardN.as("l")
+      .join(guardN.as("r").hint("shuffle_hash"),
+        col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("x"), col("r.id").as("y"))
+    val cand = newVsCorpus.unionByName(newVsNew)
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val all = index.rows.unionByName(rowsN)
+    val dot = VectorFunctions.dot(col("va"), col("vb"))
+    cand
+      .join(all.select(col("id").as("a"), col("vn").as("va")), Seq("a"))
+      .join(all.select(col("id").as("b"), col("vn").as("vb")), Seq("b"))
+      .where(dot >= index.threshold)
+      .select(col("a"), col("b"), round(dot, 4).as("cos"))
+      .orderBy(col("cos").desc, col("a").asc, col("b").asc)
+  }
+
   def embeddingPairsBanded(emb: DataFrame, idCol: String, vecCol: String,
                            threshold: Double, dim: Int = 64,
                            bands: Int = 16, bitsPerBand: Int = 8,

@@ -137,6 +137,29 @@ class DedupSpec extends AnyFunSuite {
     got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-9, s"$k") }
   }
 
+  test("embeddingPairsIncremental: batch-vs-corpus and batch-vs-batch only, never corpus pairs") {
+    val rnd = new scala.util.Random(31)
+    def v(): Seq[Float] = Seq.fill(64)(rnd.nextFloat() - 0.5f)
+    def jitter(x: Seq[Float]): Seq[Float] = x.map(f => f + (rnd.nextFloat() - 0.5f) * 0.01f)
+    val a = v(); val b = v()
+    // corpus: ids 0..19 with an INTERNAL near-dup pair (2, 3); batch:
+    // ids 100..104 with one near-dup of corpus doc 5 and one internal pair
+    val corpusRows = (0L until 20L).map(i => i -> v()).toMap ++
+      Map(2L -> a, 3L -> jitter(a), 5L -> b)
+    val batchRows = Map(100L -> jitter(b), 101L -> v(), 102L -> v(),
+      103L -> v(), 104L -> jitter(jitter(b)))
+    val corpus = corpusRows.toSeq.toDF("id", "v")
+    val batch = batchRows.toSeq.toDF("id", "v")
+    val ix = Dedup.buildEmbeddingIndex(corpus, "id", "v", threshold = 0.9)
+    val got = Dedup.embeddingPairsIncremental(ix, batch, "id", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((5L, 100L)), s"batch-vs-corpus pair missing from $got")
+    assert(got.contains((100L, 104L)), s"batch-vs-batch pair missing from $got")
+    assert(!got.contains((2L, 3L)), "corpus-vs-corpus pair must NOT be re-reported")
+    // every reported pair touches the batch
+    assert(got.forall { case (_, hi) => hi >= 100L })
+  }
+
   test("embeddingPairsBanded recovers planted near-dups at high threshold") {
     val rnd = new scala.util.Random(11)
     def v(): Seq[Float] = Seq.fill(64)(rnd.nextFloat() - 0.5f)
