@@ -23,6 +23,44 @@ class VectorExprPropertySpec extends AnyFunSuite {
     b <- Gen.listOfN(n, finiteFloat)
   } yield (a, b)
 
+  test("WordShingles == tokenize-then-slide reference over arbitrary text (incl. unicode ws)") {
+    import spark.implicits._
+    // characters chosen to stress the tokenizer contract: ASCII words,
+    // whitespace runs (\t, \n, \r, form feed, vertical tab — all in Java
+    // regex \s), unicode letters, and NBSP (\u00A0 — NOT \s, must stay
+    // inside a token on both paths)
+    val ch: Gen[Char] = Gen.frequency(
+      6 -> Gen.alphaNumChar, 3 -> Gen.oneOf(' ', '\t', '\n', '\r', '\f', '\u000B'),
+      1 -> Gen.oneOf('é', 'ß', '中', '\u00A0', '-', '.'))
+    val txt: Gen[String] = Gen.chooseNum(0, 80).flatMap(n => Gen.stringOfN(n, ch))
+    val texts = Gen.listOfN(150, txt).sample.get
+    // two INDEPENDENT implementations: the plain-Scala sliding-window
+    // reference and the original Spark HOF chain (split → filter →
+    // transform(sequence) → array_distinct) the fused expression replaced
+    def reference(s: String, n: Int): Seq[String] =
+      s.split("\\s+").filter(_.nonEmpty).sliding(n).filter(_.length == n)
+        .map(_.mkString(" ")).toSeq.distinct
+    for (n <- Seq(1, 2, 3)) {
+      val t = graft.text.BM25.tokenize(col("text"))
+      val hof = when(size(t) >= n,
+        array_distinct(graft.dedup.Dedup.ngrams(t, n)))
+        .otherwise(array().cast("array<string>"))
+      val got = texts.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "text")
+        .select(col("id"),
+          graft.expr.TextExpr.wordShingles(col("text"), n).as("g"),
+          hof.as("h"))
+        .collect().map(r => r.getLong(0) -> (r.getSeq[String](1), r.getSeq[String](2))).toMap
+      texts.zipWithIndex.foreach { case (s, i) =>
+        val (fused, viaHof) = got(i.toLong)
+        val want = reference(s, n)
+        val hex = s.map(c => f"\\u${c.toInt}%04x").mkString
+        assert(fused == want, s"fused vs scala: n=$n text=$hex")
+        assert(viaHof == want, s"hof vs scala: n=$n text=$hex")
+      }
+    }
+  }
+
   test("codegen == HOF for squaredL2/dot/cosine over arbitrary vectors") {
     import spark.implicits._
     val pairs = Gen.listOfN(120, vecPair).sample.get
