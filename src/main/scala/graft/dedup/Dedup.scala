@@ -551,8 +551,13 @@ object Dedup {
   def embeddingPairsIncremental(index: EmbeddingIndex, incoming: DataFrame,
                                 idCol: String, vecCol: String): DataFrame = {
     val rowsN = normalized(incoming, idCol, vecCol)
+    // the batch band frame feeds FOUR subtrees (guard sizing, the corpus
+    // join, both sides of the new-vs-new self-join); left lazy each re-runs
+    // the 128-dot signature projection. Batch-bounded (one narrow row per
+    // doc × band) ⇒ eager local checkpoint, same discipline as the
+    // incremental Jaccard batch prefixes.
     val bandsN = embeddingBands(incoming, idCol, vecCol,
-      index.dim, index.bands, index.bitsPerBand)
+      index.dim, index.bands, index.bitsPerBand).localCheckpoint(true)
     val hot = oversizedBuckets(index.buckets.unionByName(bandsN),
       Seq("band", "sig"), index.maxBucket).select(col("band"), col("sig"))
     val guardC = index.buckets.join(hot, Seq("band", "sig"), "left_anti")

@@ -234,10 +234,11 @@ object StreamingGates {
   def ingestCollectionMultiBatch(spark: SparkSession, dir: String,
                                  dim: Int = 64): graft.VectorDatabase = {
     val tmp = Files.createTempDirectory("graft_stream_ingest_mb")
+    val joined = Tables.documents(spark, dir)
+      .join(Tables.embeddings(spark, dir), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("text"), col("embedding"))
+      .persist() // scanned four times below: count + three range writes
     try {
-      val joined = Tables.documents(spark, dir)
-        .join(Tables.embeddings(spark, dir), col("doc_id") === col("vec_id"))
-        .select(col("doc_id"), col("text"), col("embedding"))
       val n = joined.count()
       val cuts = Seq(0L, n / 3, 2 * n / 3, n + 1)
       val inDir = java.nio.file.Paths.get(s"$tmp/in")
@@ -274,6 +275,9 @@ object StreamingGates {
       } finally q.stop()
       require(db.count == n, s"ingested ${db.count} of $n rows")
       db
-    } finally rmrf(tmp)
+    } finally {
+      joined.unpersist(blocking = false)
+      rmrf(tmp)
+    }
   }
 }
