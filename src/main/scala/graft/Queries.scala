@@ -94,9 +94,18 @@ object Queries {
        |FROM embeddings e, q $where
        |ORDER BY score DESC, id LIMIT $k""".stripMargin
 
-  /** Shared BM25 CTE block (rank_bm25-compatible; SURVEY §2.3-K1, §2.4-I1). */
-  private def bm25Ctes(query: String): String =
-    s"""d AS (SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+  /** Shared BM25 CTE block (rank_bm25-compatible; SURVEY §2.3-K1, §2.4-I1).
+    * `joinedCorpus = true` scopes the corpus to documents that HAVE an
+    * embedding — the domain a facade collection actually ingests
+    * (docs ⋈ embeddings). The two domains coincide at sf ≤ 0.01 but NOT at
+    * sf0.1 (5 000 docs vs 2 000 embeddings), so facade-backed oracles must
+    * rank over the ingested corpus or their idf/avgdl silently drift at
+    * scale (r5 sf0.1 cross-check finding). */
+  private def bm25Ctes(query: String, joinedCorpus: Boolean = false): String = {
+    val corpus =
+      if (joinedCorpus) "(SELECT * FROM documents WHERE doc_id IN (SELECT vec_id FROM embeddings))"
+      else "documents"
+    s"""d AS (SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS toks FROM $corpus),
        |dl AS (SELECT id, len(toks)::DOUBLE AS dl FROM d),
        |corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
        |tf AS (SELECT id, unnest(toks) AS term FROM d),
@@ -115,6 +124,7 @@ object Queries {
        |tscore AS (
        |  SELECT dl.id, coalesce(contrib.score, 0.0) AS score
        |  FROM dl LEFT JOIN contrib USING (id))""".stripMargin
+  }
 
   val bm25Query = "spark fast query join table"
 
@@ -471,7 +481,9 @@ object Queries {
   private def eventsWindow(spark: SparkSession, dir: String): DataFrame =
     eventsTbl(spark, dir)
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), r4(avg(col("value"))).as("avg_value"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,6)")) / count(lit(1)), 4)
+          .cast("double").as("avg_value"))
       .orderBy(col("hour").asc, col("event_type").asc)
 
   /** Schemaless-metadata (JSON) extraction over `events.props`. */
@@ -575,7 +587,7 @@ object Queries {
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("__sid"))
       .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"),
-        r4(sum(col("value"))).as("total_value"))
+        r4(sum(col("value").cast("decimal(18,6)")).cast("double")).as("total_value"))
       .select(col("user_id"), col("session_start"), col("n_events"), col("total_value"))
       .orderBy(col("user_id"), col("session_start"))
   }
@@ -763,8 +775,10 @@ object Queries {
       .rangeBetween(-3600L * 1000000L, Window.currentRow)
     eventsTbl(spark, dir)
       .withColumn("__us", unix_micros(col("ts")))
-      .withColumn("roll_avg", avg(col("value")).over(w))
-      .select(col("event_id"), col("user_id"), r4(col("roll_avg")).as("roll_avg"))
+      .withColumn("roll_avg",
+        round(sum(col("value").cast("decimal(18,6)")).over(w) /
+          count(lit(1)).over(w), 4).cast("double"))
+      .select(col("event_id"), col("user_id"), col("roll_avg"))
       .orderBy(col("event_id"))
   }
 
@@ -1480,7 +1494,7 @@ object Queries {
          |ORDER BY score DESC, id LIMIT 10""".stripMargin)),
     "text_bm25_batch" -> Q(textBm25Batch, Some(bm25BatchSql(bm25BatchQueries, 5))),
     "facade_query_text" -> Q(facadeQueryText, Some(
-      s"""WITH ${bm25Ctes(bm25Query)}
+      s"""WITH ${bm25Ctes(bm25Query, joinedCorpus = true)}
          |SELECT id, round(score, 4) AS score FROM tscore
          |ORDER BY score DESC, id LIMIT 10""".stripMargin)),
     "meta_filter" -> Q(metaFilter, Some(
@@ -1491,13 +1505,17 @@ object Queries {
       "SELECT doc_id AS id, text, lang, source FROM documents WHERE doc_id = 123")),
     "collection_count" -> Q(collectionCount, Some("SELECT count(*) AS n FROM documents")),
     "hybrid_search" -> Q(hybrid, Some(
+      // the operator ranks over the tscore ⋈ vscore INNER-join domain (the
+      // ids holding both text and vector), so both max-normalizers must be
+      // computed over that join — at sf0.1 documents ⊋ embeddings and a
+      // full-tscore max would normalize by a score outside the domain
       s"""WITH ${bm25Ctes(bm25Query)},
          |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
          |vscore AS (
          |  SELECT e.vec_id AS id, 1.0/(1.0 + sqrt($sqDistSql)) AS vs
          |  FROM embeddings e, q),
-         |tmax AS (SELECT max(score) AS tm FROM tscore),
-         |vmax AS (SELECT max(vs) AS vm FROM vscore),
+         |tmax AS (SELECT max(score) AS tm FROM tscore JOIN vscore USING (id)),
+         |vmax AS (SELECT max(vs) AS vm FROM vscore JOIN tscore USING (id)),
          |fused AS (
          |  SELECT tscore.id,
          |         0.5 * (CASE WHEN vm > 0 THEN vs / vm ELSE vs END)
@@ -1506,7 +1524,7 @@ object Queries {
          |SELECT id, round(raw, 4) AS score FROM fused WHERE raw > 0
          |ORDER BY score DESC, id LIMIT 10""".stripMargin)),
     "hybrid_probe" -> Q(hybridProbe, Some(
-      s"""WITH ${bm25Ctes(bm25Query)},
+      s"""WITH ${bm25Ctes(bm25Query, joinedCorpus = true)},
          |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
          |vsq AS (SELECT e.vec_id AS id, 1.0/(1.0 + $sqDistSql) AS s FROM embeddings e, q),
          |ranked AS (SELECT id, s, row_number() OVER (ORDER BY s DESC, id) AS rn FROM vsq),
@@ -1563,7 +1581,7 @@ object Queries {
         |       md5(substr(hx, CAST(frame_idx*512 + 1 AS INT), 512)) AS frame_fp
         |FROM f WHERE frame_idx % 2 = 0 ORDER BY id, frame_idx""".stripMargin)),
     "events_window" -> Q(eventsWindow, Some(
-      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6))) / count(*) AS DECIMAL(28,8)), 4) AS DOUBLE) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     "events_json" -> Q(eventsJson, Some(
       """SELECT event_type, count(*) AS n, round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
@@ -1862,16 +1880,16 @@ object Queries {
         |                          ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM g)
         |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
-        |       round(sum(value), 4) AS total_value
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
     // streaming twins: the REAL incremental executors, pinned to the same
     // oracles as their batch counterparts (events_window / sessionize /
     // the flat-scan KNN) — see graft.streaming.StreamingGates
     "streaming_window" -> Q(streamingWindow, Some(
-      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6))) / count(*) AS DECIMAL(28,8)), 4) AS DOUBLE) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     "streaming_sink_window" -> Q(streamingSinkWindow, Some(
-      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6))) / count(*) AS DECIMAL(28,8)), 4) AS DOUBLE) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     "streaming_sessionize" -> Q(streamingSessionize, Some(
       """WITH g AS (
@@ -1885,7 +1903,7 @@ object Queries {
         |                          ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM g)
         |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
-        |       round(sum(value), 4) AS total_value
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
     "streaming_ingest_knn" -> Q(streamingIngestKnn, Some(knnSql(7, 10))),
     "streaming_ingest_multibatch" -> Q(streamingIngestMultibatch, Some(knnSql(37, 10))),
@@ -1903,8 +1921,11 @@ object Queries {
     "incremental_add_knn" -> Q(incrementalAddKnn, Some(knnSql(13, 10))),
     "ann_ivf_lazy" -> Q(annIvfLazy, Some(knnSql(29, 10))),
     "meta_variant" -> Q(metaVariant, Some(
+      // the collection under test ingests docs ⋈ embeddings, so the oracle
+      // ranks over the same domain (diverges from plain documents at sf0.1)
       """SELECT doc_id AS id FROM documents
         |WHERE lang = 'en' AND source = 'src3'
+        |  AND doc_id IN (SELECT vec_id FROM embeddings)
         |ORDER BY id LIMIT 50""".stripMargin)),
     "range_clicks" -> Q(rangeClicks, Some(
       """WITH p AS (SELECT user_id, ts AS pts, event_id AS purchase_id
@@ -1926,9 +1947,12 @@ object Queries {
         |ORDER BY purchase_id""".stripMargin)),
     "rolling_avg" -> Q(rollingAvg, Some(
       """SELECT event_id, user_id,
-        |       round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
-        |         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4) AS roll_avg
-        |FROM events ORDER BY event_id""".stripMargin)),
+        |       CAST(round(CAST((sum(CAST(value AS DECIMAL(18,6))) OVER w)
+        |             / (count(*) OVER w) AS DECIMAL(28,8)), 4) AS DOUBLE) AS roll_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)),
     "tpch_q6" -> Q(tpchQ6, Some(
       """SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6)) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM lineitem
