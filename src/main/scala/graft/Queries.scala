@@ -765,6 +765,37 @@ object Queries {
       .select(col("id"), r4(col("score")).as("score"))
       .orderBy(col("score").desc, col("id").asc)
 
+  /** S3+S4 for the LSH index type, oracle-gated — completes the save/load
+    * matrix (flat: save_load_knn; ivf eager+lazy: incremental_add_knn /
+    * ann_ivf_lazy; ivfpq is ADC-approximate by construction, differential
+    * spec only). efSearch = 6400 ⇒ multiprobe radius 128, beyond the
+    * provable-superset bound (maxNorm + qNorm)/bucketLength ≈ 37 for this
+    * corpus, so the loaded facade probe is exact-recoverable and shares
+    * the exact-KNN oracle. */
+  private val lshDbCache =
+    new Memo[(VectorDatabase, java.nio.file.Path)](memoMax)({ case (db, p) =>
+      db.close(); graft.streaming.StreamingGates.rmrf(p)
+    })
+
+  private def lshLoadedDb(spark: SparkSession, dir: String): VectorDatabase =
+    lshDbCache.get(spark, dir) {
+      val e = tbl(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          col("vec_id").cast("string").as("doc"))
+      val db = VectorDatabase.create(spark, 64, "lsh", efSearch = 6400)
+      db.addBulk(e, "doc", "embedding", None, "vec_id")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lshsave")
+      db.save(tmp.toString)
+      db.close()
+      (VectorDatabase.load(spark, tmp.toString), tmp)
+    }._1
+
+  private def saveLoadLshKnn(spark: SparkSession, dir: String): DataFrame =
+    lshLoadedDb(spark, dir)
+      .queryVector(qvec(spark, dir, 33).map(_.toFloat), topK = 10)
+      .select(col("id"), r4(col("score")).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+
   /** Windowed analytics with a RANGE frame: per-user rolling 1-hour mean
     * over event time — the time-decayed feature shape (rolling rates,
     * moving averages) every behavioral pipeline computes. One shuffle on
@@ -1920,6 +1951,7 @@ object Queries {
     "save_load_knn" -> Q(saveLoadKnn, Some(knnSql(7, 10))),
     "incremental_add_knn" -> Q(incrementalAddKnn, Some(knnSql(13, 10))),
     "ann_ivf_lazy" -> Q(annIvfLazy, Some(knnSql(29, 10))),
+    "save_load_lsh_knn" -> Q(saveLoadLshKnn, Some(knnSql(33, 10))),
     "meta_variant" -> Q(metaVariant, Some(
       // the collection under test ingests docs ⋈ embeddings, so the oracle
       // ranks over the same domain (diverges from plain documents at sf0.1)
