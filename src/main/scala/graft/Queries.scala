@@ -642,6 +642,14 @@ object Queries {
       .orderBy(col("score").desc, col("id").asc)
   }
 
+  /** Streaming fingerprint dedup through flatMapGroupsWithState — the
+    * custom-state executor's oracle row (min doc_id per normalized-text
+    * fingerprint; winner is a pure function of the data, so the SQL twin
+    * pins it row-for-row). */
+  private def streamingFingerprintDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingGates.fingerprintDedup(spark, dir)
+      .orderBy(col("fp"))
+
   /** Streaming stream-stream interval join, aggregated batch-side to the
     * range_clicks result shape — the raw matched pairs come out of the
     * symmetric-hash streaming join executor. */
@@ -1938,6 +1946,10 @@ object Queries {
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
     "streaming_ingest_knn" -> Q(streamingIngestKnn, Some(knnSql(7, 10))),
     "streaming_ingest_multibatch" -> Q(streamingIngestMultibatch, Some(knnSql(37, 10))),
+    "streaming_fp_dedup" -> Q(streamingFingerprintDedup, Some(
+      raw"""SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+           |       min(doc_id) AS kept_id
+           |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin)),
     "streaming_range_join" -> Q(streamingRangeJoin, Some(
       """WITH p AS (SELECT user_id, ts AS pts, event_id AS purchase_id
         |           FROM events WHERE event_type = 'purchase'),

@@ -164,4 +164,29 @@ object EventStream {
           }
       }
   }
+
+  /** Deterministic streaming dedup: keep the MINIMUM event_id per key.
+    * [[firstPerKey]] keeps the first row SEEN — honest arrival semantics,
+    * but the winner depends on partition iteration order, so it can only
+    * be spec-pinned set-wise. This variant's winner is a pure function of
+    * the DATA (the min id), which is what lets a SQL oracle pin the
+    * custom-state executor row-for-row: per batch, a group emits its new
+    * min iff it improves on the state (Update-mode retraction-free
+    * refinement; a downstream batch min per key collapses multi-batch
+    * emissions). Same O(1)-per-key state as firstPerKey. */
+  def minPerKey(events: Dataset[Keyed]): Dataset[Keyed] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[Long, Keyed](OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[Keyed], state: GroupState[Long]) =>
+          var best = if (state.exists) state.get else Long.MaxValue
+          var improved = false
+          rows.foreach { r =>
+            if (r.event_id < best) { best = r.event_id; improved = true }
+          }
+          if (improved) { state.update(best); Iterator.single(Keyed(key, best)) }
+          else Iterator.empty
+      }
+  }
 }

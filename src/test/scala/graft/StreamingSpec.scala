@@ -224,6 +224,33 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("minPerKey refines the winner across batches; batch-side min collapses emissions") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EventStream.Keyed]
+    val q = EventStream.minPerKey(input.toDS()).writeStream
+      .outputMode("update").format("memory").queryName("minkey_test").start()
+    try {
+      input.addData(
+        EventStream.Keyed("kA", 7L), EventStream.Keyed("kA", 3L),
+        EventStream.Keyed("kB", 9L))
+      q.processAllAvailable()
+      input.addData(
+        EventStream.Keyed("kA", 5L), // worse than state 3 → no emission
+        EventStream.Keyed("kB", 2L)) // better than state 9 → refines
+      q.processAllAvailable()
+      val emissions = spark.table("minkey_test").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      // kA emitted once (3), kB twice (9 then 2) — the documented
+      // Update-mode refinement the gate collapses with min()
+      assert(emissions.sorted.toSeq == Seq(("kA", 3L), ("kB", 2L), ("kB", 9L)))
+      val collapsed = spark.table("minkey_test")
+        .groupBy($"key").agg(org.apache.spark.sql.functions.min($"event_id"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(collapsed == Map("kA" -> 3L, "kB" -> 2L))
+    } finally q.stop()
+  }
+
   test("firstPerKey with ttl expires idle state; key re-emits after expiry") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
