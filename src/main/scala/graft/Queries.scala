@@ -476,6 +476,16 @@ object Queries {
       .orderBy(col("qid").asc, col("score").desc, col("id").asc)
   }
 
+  /** k-NN graph: every embedding's top-3 neighbors over the whole corpus
+    * in one plan (exact-recoverable: nprobe = nlist). */
+  private def knnGraphQ(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ivfIndex(spark, dir)
+    idx.knnGraph(tbl(spark, dir, "embeddings"), "vec_id", "embedding",
+        k = 3, nprobe = idx.nlist)
+      .select(col("qid"), col("id"), r4(col("score")).as("score"))
+      .orderBy(col("qid").asc, col("score").desc, col("id").asc)
+  }
+
   /** Streaming-shaped tumbling-window aggregate over `events` (batch
     * equivalent of the Structured Streaming job in graft.streaming). */
   private def eventsWindow(spark: SparkSession, dir: String): DataFrame =
@@ -1519,6 +1529,17 @@ object Queries {
     "knn_batch_topk" -> Q(knnBatchTopk, Some(knnBatchSql)),
     "knn_batch_ivf" -> Q(knnBatchIvf, Some(knnBatchSqlFor("4, 5, 6"))),
     "knn_batch_lsh" -> Q(knnBatchLsh, Some(knnBatchSqlFor("7, 8, 9"))),
+    "knn_graph" -> Q(knnGraphQ, Some(
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |scored AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS id,
+        |         1.0/(1.0 + list_sum(list_transform(range(1, 65),
+        |           i -> (a.emb[i] - b.emb[i]) * (a.emb[i] - b.emb[i])))) AS s
+        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id)
+        |SELECT qid, id, round(s, 4) AS score FROM (
+        |  SELECT qid, id, s, row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 3 ORDER BY qid, score DESC, id""".stripMargin)),
     "knn_postfilter" -> Q(knnPostFilter, Some(
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
          |top AS (

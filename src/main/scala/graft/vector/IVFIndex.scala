@@ -107,6 +107,26 @@ final class IVFIndex(val centroids: Array[(Int, Array[Double])],
       .orderBy(col("qid").asc, col("score").desc, col("id").asc)
   }
 
+  /** k-NN GRAPH over an embedding frame: every vector's k nearest OTHER
+    * vectors — the all-corpus bulk-ANN composition that diversity
+    * sampling, graph-based clustering and hubness analysis start from.
+    * ONE [[searchBatch]] with the corpus itself as the query side (the
+    * shuffle arm — a corpus-sized "batch" must not broadcast), k+1 to
+    * absorb the guaranteed self-hit, then a bounded re-cut after dropping
+    * self (exact: the true top-k-excluding-self is always contained in
+    * the top-(k+1)-including-self). Exact at nprobe = nlist; approximate
+    * below, like every probe. Output: (qid, id, score) × k per qid. */
+  def knnGraph(emb: DataFrame, idCol: String, vecCol: String,
+               k: Int, nprobe: Int,
+               metric: ExactKNN.Metric = ExactKNN.L2Sq): DataFrame = {
+    val res = searchBatch(
+      emb.select(col(idCol).as("qid"), col(vecCol).as("qv")),
+      "qid", "qv", k + 1, nprobe, metric, broadcastQueries = false)
+    graft.plans.TopK.perKey(res.where(col("qid") =!= col("id")),
+        Seq("qid"), Seq("score" -> true, "id" -> false), k)
+      .orderBy(col("qid").asc, col("score").desc, col("id").asc)
+  }
+
   /** Exact top-k over the `nprobe` nearest clusters only. Same output
     * contract as [[ExactKNN.topK]]: (id, score), score = 1/(1+d²).
     * `restrict` (an (id, …) frame) pre-filters the probed candidates via a

@@ -58,6 +58,22 @@ class IVFSpec extends AnyFunSuite {
     }
   }
 
+  test("knnGraph: full probe equals brute force per node; never contains self") {
+    import org.apache.spark.sql.functions.col
+    val g = index.knnGraph(emb, "vec_id", "embedding", k = 3, nprobe = index.nlist)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(g.forall { case (q, n) => q != n }, "graph contains a self-edge")
+    val byQ = g.groupBy(_._1)
+    assert(byQ.values.forall(_.length == 3))
+    // spot-check three nodes against the exact scan (self excluded)
+    for (qid <- Seq(0L, 41L, 137L)) {
+      val want = ExactKNN.topK(emb.where(col("vec_id") =!= qid),
+          "vec_id", "embedding", queryVec(qid), 3)
+        .collect().map(_.getLong(0)).toSeq
+      assert(byQ(qid).map(_._2).toSeq == want, s"node $qid")
+    }
+  }
+
   test("recall@10 >= 0.6 with nprobe=4 of 16, averaged over 10 queries") {
     val recalls = (0L until 10L).map { qid =>
       val q = queryVec(qid * 7)
