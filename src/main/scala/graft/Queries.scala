@@ -476,12 +476,14 @@ object Queries {
       .orderBy(col("qid").asc, col("score").desc, col("id").asc)
   }
 
-  /** k-NN graph: every embedding's top-3 neighbors over the whole corpus
-    * in one plan (exact-recoverable: nprobe = nlist). */
+  /** k-NN graph: top-3 neighbors over the WHOLE corpus for the first 500
+    * nodes (exact-recoverable: nprobe = nlist; the node filter bounds the
+    * inherently |nodes| × corpus exact cost at bench scale — the full
+    * graph is the same plan with the filter dropped). */
   private def knnGraphQ(spark: SparkSession, dir: String): DataFrame = {
     val idx = ivfIndex(spark, dir)
     idx.knnGraph(tbl(spark, dir, "embeddings"), "vec_id", "embedding",
-        k = 3, nprobe = idx.nlist)
+        k = 3, nprobe = idx.nlist, nodesFilter = Some(col("vec_id") < 500))
       .select(col("qid"), col("id"), r4(col("score")).as("score"))
       .orderBy(col("qid").asc, col("score").desc, col("id").asc)
   }
@@ -1535,7 +1537,8 @@ object Queries {
         |  SELECT a.vec_id AS qid, b.vec_id AS id,
         |         1.0/(1.0 + list_sum(list_transform(range(1, 65),
         |           i -> (a.emb[i] - b.emb[i]) * (a.emb[i] - b.emb[i])))) AS s
-        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id)
+        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 500)
         |SELECT qid, id, round(s, 4) AS score FROM (
         |  SELECT qid, id, s, row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS rn
         |  FROM scored)

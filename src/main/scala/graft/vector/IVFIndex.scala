@@ -115,12 +115,18 @@ final class IVFIndex(val centroids: Array[(Int, Array[Double])],
     * absorb the guaranteed self-hit, then a bounded re-cut after dropping
     * self (exact: the true top-k-excluding-self is always contained in
     * the top-(k+1)-including-self). Exact at nprobe = nlist; approximate
-    * below, like every probe. Output: (qid, id, score) × k per qid. */
+    * below, like every probe. `nodesFilter` restricts which vectors get
+    * edges (neighbors still come from the WHOLE index) — the incremental
+    * shape (extend the graph for a new node batch), and the cost dial:
+    * the exact full graph is inherently |nodes| × corpus work.
+    * Output: (qid, id, score) × k per qid. */
   def knnGraph(emb: DataFrame, idCol: String, vecCol: String,
                k: Int, nprobe: Int,
-               metric: ExactKNN.Metric = ExactKNN.L2Sq): DataFrame = {
+               metric: ExactKNN.Metric = ExactKNN.L2Sq,
+               nodesFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val src = nodesFilter.map(emb.where).getOrElse(emb)
     val res = searchBatch(
-      emb.select(col(idCol).as("qid"), col(vecCol).as("qv")),
+      src.select(col(idCol).as("qid"), col(vecCol).as("qv")),
       "qid", "qv", k + 1, nprobe, metric, broadcastQueries = false)
     graft.plans.TopK.perKey(res.where(col("qid") =!= col("id")),
         Seq("qid"), Seq("score" -> true, "id" -> false), k)
