@@ -1,6 +1,7 @@
 package graft
 
 import graft.dedup.Dedup
+import graft.expr.ExactSum
 import graft.functions.VectorFunctions._
 import graft.text.{BM25, TextAnalysis}
 import graft.vector.{ExactKNN, IVFIndex, LSHIndex, PQIndex}
@@ -494,7 +495,7 @@ object Queries {
     eventsTbl(spark, dir)
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("value").cast("decimal(18,6)")) / count(lit(1)), 4)
+        round(ExactSum.centsSum(col("value")) / count(lit(1)), 4)
           .cast("double").as("avg_value"))
       .orderBy(col("hour").asc, col("event_type").asc)
 
@@ -513,8 +514,8 @@ object Queries {
       .where(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double").as("sum_base_price"),
+        ExactSum.centsSum(col("l_quantity")).cast("double").as("sum_qty"),
+        ExactSum.centsSum(col("l_extendedprice")).cast("double").as("sum_base_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)
 
@@ -527,13 +528,11 @@ object Queries {
     val c = tbl(spark, dir, "customer").where(col("c_mktsegment") === "BUILDING")
     val o = tbl(spark, dir, "orders").where(col("o_orderdate") < lit(cutoff))
     val l = tbl(spark, dir, "lineitem").where(col("l_shipdate") > lit(cutoff))
-    val rev = (col("l_extendedprice").cast("decimal(18,6)") *
-      (lit(java.math.BigDecimal.ONE).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
-      .cast("decimal(18,6)")
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(sum(rev).cast("double").as("revenue"))
+      .agg(ExactSum.revenueSum(col("l_extendedprice"), col("l_discount"))
+        .cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(10)
       .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
@@ -545,7 +544,7 @@ object Queries {
     val c = tbl(spark, dir, "customer")
     o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))
-      .agg(sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("revenue"))
+      .agg(ExactSum.centsSum(col("o_totalprice")).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey").asc)
       .limit(10)
   }
@@ -599,7 +598,7 @@ object Queries {
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("__sid"))
       .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"),
-        r4(sum(col("value").cast("decimal(18,6)")).cast("double")).as("total_value"))
+        r4(ExactSum.centsSum(col("value")).cast("double")).as("total_value"))
       .select(col("user_id"), col("session_start"), col("n_events"), col("total_value"))
       .orderBy(col("user_id"), col("session_start"))
   }
@@ -827,7 +826,7 @@ object Queries {
     eventsTbl(spark, dir)
       .withColumn("__us", unix_micros(col("ts")))
       .withColumn("roll_avg",
-        round(sum(col("value").cast("decimal(18,6)")).over(w) /
+        round(ExactSum.centsToDec(sum(ExactSum.cents(col("value"))).over(w)) /
           count(lit(1)).over(w), 4).cast("double"))
       .select(col("event_id"), col("user_id"), col("roll_avg"))
       .orderBy(col("event_id"))
@@ -842,8 +841,7 @@ object Queries {
         col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
         col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
         col("l_quantity") < 24)
-      .agg(sum((col("l_extendedprice").cast("decimal(18,6)") *
-          col("l_discount").cast("decimal(18,6)")).cast("decimal(18,6)"))
+      .agg(ExactSum.productSum(col("l_extendedprice"), col("l_discount"))
         .cast("double").as("revenue"))
 
   /** Relational tier: TPC-H Q5 shape — the six-table join-reorder workout:
@@ -853,9 +851,6 @@ object Queries {
     * orders the fact join; the revenue arithmetic keeps the exact-DECIMAL
     * discipline shared with q3/q6. */
   private def tpchQ5(spark: SparkSession, dir: String): DataFrame = {
-    val rev = (col("l_extendedprice").cast("decimal(18,6)") *
-      (lit(java.math.BigDecimal.ONE).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
-      .cast("decimal(18,6)")
     tbl(spark, dir, "customer")
       .join(tbl(spark, dir, "orders")
           .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
@@ -868,7 +863,8 @@ object Queries {
       .join(broadcast(tbl(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .where(col("r_name") === "ASIA")
       .groupBy(col("n_name"))
-      .agg(sum(rev).cast("double").as("revenue"))
+      .agg(ExactSum.revenueSum(col("l_extendedprice"), col("l_discount"))
+        .cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name").asc)
   }
 
@@ -877,7 +873,7 @@ object Queries {
     tbl(spark, dir, "orders")
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
-        sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("revenue"))
+        ExactSum.centsSum(col("o_totalprice")).cast("double").as("revenue"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
   /** Relational tier: CUBE grouping sets (all four rollup combinations —
@@ -886,7 +882,7 @@ object Queries {
     tbl(spark, dir, "orders")
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
-        sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("revenue"))
+        ExactSum.centsSum(col("o_totalprice")).cast("double").as("revenue"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
   /** Relational tier: set operations (INTERSECT / EXCEPT / UNION ALL). */
@@ -1057,7 +1053,7 @@ object Queries {
     tbl(spark, dir, "orders")
       .groupBy(col("o_orderpriority"))
       .pivot("o_orderstatus", Seq("F", "O", "P"))
-      .agg(sum(col("o_totalprice").cast("decimal(18,6)")).cast("double"))
+      .agg(ExactSum.centsSum(col("o_totalprice")).cast("double"))
       .orderBy(col("o_orderpriority"))
 
   /** The SQL surface (graft.expr.GraftFunctions): the same flat KNN scan

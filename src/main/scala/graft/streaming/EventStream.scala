@@ -37,11 +37,12 @@ object EventStream {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
-      // decimal-exact mean: the 2-dp values sum exactly in DECIMAL, so the
-      // result is independent of partial-aggregation merge order (a plain
-      // double avg flips the 4th decimal at sf0.1 vs the oracle)
+      // exact mean, merge-order independent (a plain double avg flips the
+      // 4th decimal at sf0.1 vs the oracle): the 2-dp values sum exactly as
+      // LONG cents — graft.expr.ExactSum — which also keeps the streaming
+      // state-store agg buffer a single long, not a decimal struct
       .agg(count(lit(1)).as("n"),
-        round(sum(col("value").cast("decimal(18,6)")) / count(lit(1)), 4)
+        round(graft.expr.ExactSum.centsSum(col("value")) / count(lit(1)), 4)
           .cast("double").as("avg_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("n"), col("avg_value"))
 
@@ -80,7 +81,7 @@ object EventStream {
       .withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
       .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+        graft.expr.ExactSum.centsSum(col("value")).cast("double").as("total_value"))
       .select(col("user_id"), col("session_start"), col("n_events"), col("total_value"))
 
   /** Start the sessionization into a named in-memory sink. Append mode:
