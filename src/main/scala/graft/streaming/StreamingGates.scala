@@ -53,10 +53,23 @@ object StreamingGates {
     * the old mutate-and-restore on the shared session leaked the gate's
     * partition count to any query planned concurrently during the window.
     * Memory-sink tables are session-scoped, so gates READ their sink
-    * through the same forked session `f` receives. */
+    * through the same forked session `f` receives.
+    *
+    * ONE forked session per (parent, n), memoized (r5 VERDICT #1a): every
+    * gate uses the same partition count, so sharing the fork keeps the
+    * isolation property while letting its analyzer/optimizer state warm
+    * across the bench's three runs instead of re-planning cold per call. */
+  private val streamSessions =
+    scala.collection.mutable.HashMap.empty[(SparkSession, Int), SparkSession]
+
   private def withStreamSession[T](spark: SparkSession, n: Int)(f: SparkSession => T): T = {
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", n.toString)
+    val ss = streamSessions.synchronized {
+      streamSessions.getOrElseUpdate((spark, n), {
+        val fork = spark.newSession()
+        fork.conf.set("spark.sql.shuffle.partitions", n.toString)
+        fork
+      })
+    }
     f(ss)
   }
 
@@ -66,24 +79,65 @@ object StreamingGates {
     * (session, dir): it is bench harness plumbing, not the machinery under
     * test, and re-writing 100 k events before every gate run dominated the
     * steady-state cost of every streaming gate. Bounded: one temp dir per
-    * sf dir touched (≤ a few per process), deleted on JVM exit. Sentinel
-    * files appended by Append-mode gates accumulate in the shared dir
-    * across runs — every gate filters sentinel rows from its RESULT, and a
-    * pre-existing sentinel only advances the watermark earlier, which the
-    * drain-then-flush protocol already tolerates. */
-  private val streamInputs =
-    scala.collection.mutable.HashMap.empty[(SparkSession, String), String]
+    * sf dir touched (≤ a few per process), deleted on JVM exit.
+    *
+    * The clean data dir is IMMUTABLE (r5 VERDICT #1a — sentinels used to
+    * accumulate in it across bench runs, growing every later run's input):
+    * the end-of-stream sentinel row is written ONCE here, to a side
+    * directory, and Append-mode gates hard-link data + sentinel into a
+    * fresh per-run dir — the per-run input path costs a mkdir and a few
+    * links, zero Spark jobs. */
+  private final case class EventsInput(dataDir: Path, sentinelFile: Path)
 
-  private def withStreamableEvents[T](spark: SparkSession, dir: String)(f: String => T): T = {
-    val in = streamInputs.synchronized {
+  private val streamInputs =
+    scala.collection.mutable.HashMap.empty[(SparkSession, String), EventsInput]
+
+  private def firstParquet(dir: Path): Path = {
+    val ls = Files.list(dir)
+    val found =
+      try ls.filter(p => p.toString.endsWith(".parquet")).findFirst()
+      finally ls.close()
+    require(found.isPresent, s"no parquet part under $dir")
+    found.get
+  }
+
+  private def eventsInput(spark: SparkSession, dir: String): EventsInput =
+    streamInputs.synchronized {
       streamInputs.getOrElseUpdate((spark, dir), {
         val tmp = Files.createTempDirectory("graft_stream_gate")
         Runtime.getRuntime.addShutdownHook(new Thread(() => rmrf(tmp)))
         Tables.events(spark, dir).coalesce(4).write.mode("overwrite").parquet(s"$tmp/in")
-        s"$tmp/in"
+        writeSentinel(spark, dir, s"$tmp/sentinel")
+        EventsInput(Path.of(s"$tmp/in"), firstParquet(Path.of(s"$tmp/sentinel")))
       })
     }
-    f(in)
+
+  /** Fresh per-run input dir: hard links to the clean data files (same
+    * tmpfs, zero copy). The caller links the sentinel in after the first
+    * drain and deletes the dir when the run's result is materialized. */
+  private def linkedRunDir(input: EventsInput): Path = {
+    val run = Files.createTempDirectory("graft_stream_run")
+    val ls = Files.list(input.dataDir)
+    try ls.filter(p => p.toString.endsWith(".parquet"))
+      .forEach(p => Files.createLink(run.resolve(p.getFileName.toString), p))
+    finally ls.close()
+    run
+  }
+
+  private def withStreamableEvents[T](spark: SparkSession, dir: String)(f: String => T): T =
+    f(eventsInput(spark, dir).dataDir.toString)
+
+  /** Append-mode run protocol: drain the linked data files, link the
+    * pre-written sentinel in (the file source admits it as a new file),
+    * drain again so the advanced watermark flushes every real
+    * window/session, then clean up the run dir. */
+  private def withSentinelRun[T](spark: SparkSession, dir: String)(
+      f: (String, () => Unit) => T): T = {
+    val input = eventsInput(spark, dir)
+    val run = linkedRunDir(input)
+    try f(run.toString,
+      () => Files.createLink(run.resolve("zz_sentinel.parquet"), input.sentinelFile))
+    finally rmrf(run)
   }
 
   /** Streaming twin of the `events_window` gate: tumbling-window stateful
@@ -98,9 +152,14 @@ object StreamingGates {
         val q = EventStream.windowedStats(EventStream.fromDirectory(ss, in))
           .writeStream.outputMode("complete").format("memory").queryName(name).start()
         try q.processAllAvailable() finally q.stop()
-        // the shared input dir may carry sentinel files from Append-mode
-        // gates' earlier runs — never part of a gate result
-        ss.table(name).where(col("event_type") =!= "sentinel")
+        // defensive: the clean data dir never carries sentinel rows (they
+        // live in per-run linked dirs), but a sentinel is never a result.
+        // Dataset analysis resolves the memory sink eagerly, so the temp
+        // view can be dropped here — the shared forked session must not
+        // accumulate sink tables across bench runs (r5 VERDICT #8).
+        val out = ss.table(name).where(col("event_type") =!= "sentinel")
+        ss.catalog.dropTempView(name)
+        out
       }
     }
 
@@ -110,17 +169,22 @@ object StreamingGates {
     * result) is appended after the first drain to flush every real
     * session: the standard end-of-stream flush for finite input. */
   def sessionized(spark: SparkSession, dir: String): DataFrame =
-    withStreamableEvents(spark, dir) { in =>
+    withSentinelRun(spark, dir) { (in, flush) =>
       val name = s"gate_sess_${seq.incrementAndGet()}"
       withStreamSession(spark, 8) { ss =>
         val q = EventStream.sessionized(EventStream.fromDirectory(ss, in))
           .writeStream.outputMode("append").format("memory").queryName(name).start()
         try {
           q.processAllAvailable()
-          appendSentinel(spark, dir, in)
+          flush()
           q.processAllAvailable()
         } finally q.stop()
-        ss.table(name).where(col("user_id") =!= -1L)
+        // memory-sink rows are materialized in the sink, so the linked run
+        // dir can be deleted as soon as this returns; the view is dropped
+        // (analysis already resolved the sink into the returned frame)
+        val out = ss.table(name).where(col("user_id") =!= -1L)
+        ss.catalog.dropTempView(name)
+        out
       }
     }
 
@@ -129,7 +193,7 @@ object StreamingGates {
     * the watermark past every real window/session so Append emits them.
     * Derived from the SOURCE schema so an events-schema change fails as a
     * clear mismatch here, not a file-source error downstream. */
-  private[graft] def appendSentinel(spark: SparkSession, dir: String, in: String): Unit = {
+  private def sentinelRow(spark: SparkSession, dir: String): DataFrame = {
     val src = Tables.events(spark, dir)
     val maxTs = src.agg(max(col("ts"))).head().getTimestamp(0)
     val far = new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000)
@@ -144,8 +208,17 @@ object StreamingGates {
     require(sentinel.schema.map(f => (f.name, f.dataType)) ==
               src.schema.map(f => (f.name, f.dataType)),
       s"sentinel row drifted from the events schema: ${sentinel.schema} vs ${src.schema}")
-    sentinel.coalesce(1).write.mode("append").parquet(in)
+    sentinel
   }
+
+  private def writeSentinel(spark: SparkSession, dir: String, out: String): Unit =
+    sentinelRow(spark, dir).coalesce(1).write.mode("overwrite").parquet(out)
+
+  /** Spec hook (StreamingSpec's differential runs own their input dirs):
+    * append the sentinel to a caller-owned streaming input. The GATES never
+    * append — they hard-link the pre-written sentinel into per-run dirs. */
+  private[graft] def appendSentinel(spark: SparkSession, dir: String, in: String): Unit =
+    sentinelRow(spark, dir).coalesce(1).write.mode("append").parquet(in)
 
   /** Durable-sink twin of the `events_window` gate: the SAME windowed
     * aggregation written through the exactly-once parquet FILE sink
@@ -154,7 +227,7 @@ object StreamingGates {
     * tail. The files are read back and materialized (bounded: the gate's
     * result set), then the sink dir is deleted. */
   def windowedToParquet(spark: SparkSession, dir: String): DataFrame =
-    withStreamableEvents(spark, dir) { in =>
+    withSentinelRun(spark, dir) { (in, flush) =>
       val tmp = Files.createTempDirectory("graft_sink_gate")
       try {
         val q = withStreamSession(spark, 8) { ss =>
@@ -163,7 +236,7 @@ object StreamingGates {
         }
         try {
           q.processAllAvailable()
-          appendSentinel(spark, dir, in)
+          flush()
           q.processAllAvailable()
         } finally q.stop()
         val sunk = spark.read.parquet(s"$tmp/out")
@@ -192,7 +265,9 @@ object StreamingGates {
           .select(col("purchase_id"), col("click_value"))
           .writeStream.outputMode("append").format("memory").queryName(name).start()
         try q.processAllAvailable() finally q.stop()
-        ss.table(name)
+        val out = ss.table(name)
+        ss.catalog.dropTempView(name)
+        out
       }
     }
 
@@ -230,28 +305,39 @@ object StreamingGates {
     * of its whitespace-normalized text (the exact-dedup fingerprint), and
     * keeps the min doc_id per fingerprint; a batch-side min collapses
     * multi-batch Update-mode refinements. Output: (fp, kept_id). */
+  /** Docs input for the fp-dedup gate, memoized per (session, dir) like
+    * the events rewrite — the gate runs three times per bench and the
+    * input is immutable (no sentinel: Update mode needs no flush). */
+  private val docsInputs =
+    scala.collection.mutable.HashMap.empty[(SparkSession, String), String]
+
   def fingerprintDedup(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_stream_fpdedup")
-    try {
-      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-      docs.coalesce(4).write.mode("overwrite").parquet(s"$tmp/in")
-      val name = s"gate_fpdedup_${seq.incrementAndGet()}"
-      withStreamSession(spark, 8) { ss =>
-        import ss.implicits._
-        val stream = ss.readStream.schema(docs.schema).parquet(s"$tmp/in")
-          .select(
-            md5(graft.text.TextAnalysis.normalized(col("text"))).as("key"),
-            col("doc_id").as("event_id"))
-          .as[EventStream.Keyed]
-        val q = EventStream.minPerKey(stream)
-          .writeStream.outputMode("update").format("memory").queryName(name).start()
-        try q.processAllAvailable() finally q.stop()
-        val sunk = ss.table(name)
-          .groupBy(col("key").as("fp")).agg(min(col("event_id")).as("kept_id"))
-        val rows = java.util.Arrays.asList(sunk.collect(): _*)
-        spark.createDataFrame(rows, sunk.schema)
-      }
-    } finally rmrf(tmp)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val in = docsInputs.synchronized {
+      docsInputs.getOrElseUpdate((spark, dir), {
+        val tmp = Files.createTempDirectory("graft_stream_fpdedup")
+        Runtime.getRuntime.addShutdownHook(new Thread(() => rmrf(tmp)))
+        docs.coalesce(4).write.mode("overwrite").parquet(s"$tmp/in")
+        s"$tmp/in"
+      })
+    }
+    val name = s"gate_fpdedup_${seq.incrementAndGet()}"
+    withStreamSession(spark, 8) { ss =>
+      import ss.implicits._
+      val stream = ss.readStream.schema(docs.schema).parquet(in)
+        .select(
+          md5(graft.text.TextAnalysis.normalized(col("text"))).as("key"),
+          col("doc_id").as("event_id"))
+        .as[EventStream.Keyed]
+      val q = EventStream.minPerKey(stream)
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      val sunk = ss.table(name)
+        .groupBy(col("key").as("fp")).agg(min(col("event_id")).as("kept_id"))
+      val rows = java.util.Arrays.asList(sunk.collect(): _*)
+      ss.catalog.dropTempView(name)
+      spark.createDataFrame(rows, sunk.schema)
+    }
   }
 
   /** Multi-batch streaming ingest (r4 VERDICT #8): the collection arrives
