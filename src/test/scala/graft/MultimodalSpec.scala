@@ -68,6 +68,57 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rs(2L).resized_fp == bs)
   }
 
+  test("PPM golden fixture: hand-written P6 bytes decode to the exact pixels") {
+    import graft.multimodal.Codecs
+    val pixels = Array[Byte](0x00, 0x7f, -1, 0x10, 0x20, 0x30)
+    val golden = "P6\n2 1\n255\n".getBytes("US-ASCII") ++ pixels
+    val img = Codecs.decodePpm(golden).get
+    assert(img.width == 2 && img.height == 1)
+    assert(img.pixels.sameElements(pixels))
+    // the gate-side encoder reproduces the hand-written bytes exactly —
+    // an encoder/decoder bug pair cannot cancel against this fixture
+    assert(Codecs.encodePpm(pixels, 2, 1).sameElements(golden))
+    // comments and flexible whitespace in the header
+    val commented = "P6 # a comment\n2\t1 # another\n255\n".getBytes("US-ASCII") ++ pixels
+    val img2 = Codecs.decodePpm(commented).get
+    assert(img2.width == 2 && img2.height == 1 && img2.pixels.sameElements(pixels))
+    // strictness: truncated payload, wrong magic, 16-bit maxval all reject
+    assert(Codecs.decodePpm(golden.dropRight(1)).isEmpty)
+    assert(Codecs.decodePpm("P5\n2 1\n255\n".getBytes("US-ASCII") ++ pixels).isEmpty)
+    assert(Codecs.decodePpm(("P6\n1 1\n65535\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](6)(1))).isEmpty)
+  }
+
+  test("WAV golden fixture: hand-written RIFF/PCM bytes decode to the exact samples") {
+    import graft.multimodal.Codecs
+    val pcm = Array[Byte](0x01, 0x02, 0x03, 0x04) // 2 mono 16-bit frames
+    val golden: Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++ Array[Byte](0x28, 0, 0, 0) ++ // 36 + 4
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ Array[Byte](0x10, 0, 0, 0) ++ // 16
+      Array[Byte](0x01, 0) ++ Array[Byte](0x01, 0) ++               // PCM, mono
+      Array[Byte](0x40, 0x1f, 0, 0) ++                              // 8000 Hz
+      Array[Byte](-0x80, 0x3e, 0, 0) ++                             // 16000 B/s
+      Array[Byte](0x02, 0) ++ Array[Byte](0x10, 0) ++               // align, 16-bit
+      "data".getBytes("US-ASCII") ++ Array[Byte](0x04, 0, 0, 0) ++ pcm
+    val au = Codecs.decodeWav(golden).get
+    assert(au.channels == 1 && au.sampleRate == 8000 && au.bitsPerSample == 16)
+    assert(au.pcm.sameElements(pcm))
+    assert(Codecs.encodeWav(pcm, 1, 8000, 16).sameElements(golden))
+    // an unknown chunk between fmt and data is skipped by declared size
+    val withJunk = golden.take(36) ++
+      "junk".getBytes("US-ASCII") ++ Array[Byte](0x02, 0, 0, 0) ++ Array[Byte](9, 9) ++
+      golden.drop(36)
+    assert(Codecs.decodeWav(withJunk).get.pcm.sameElements(pcm))
+    // strictness: non-PCM format code and ragged data chunk reject
+    val nonPcm = golden.clone(); nonPcm(20) = 0x03
+    assert(Codecs.decodeWav(nonPcm).isEmpty)
+    val ragged = golden.clone(); ragged(40) = 0x03 // 3 bytes ≠ whole frames
+    assert(Codecs.decodeWav(ragged.dropRight(1)).isEmpty)
+    // sample-level operators run over the DECODED payload
+    assert(Codecs.decodedPayload(golden).sameElements(pcm))
+  }
+
   test("binary-safe variants: full 0x00-0xFF payload through packBinary, hex-canonical fp") {
     import spark.implicits._
     def md5s(s: String): String = java.security.MessageDigest.getInstance("MD5")
