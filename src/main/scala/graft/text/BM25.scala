@@ -42,8 +42,66 @@ object BM25 {
     *                 still be rankable, BM25Okapi.get_scores is dense)
     */
   final class Index(val postings: DataFrame, val docFreq: DataFrame,
-                    val docIds: DataFrame, val n: Long, val avgdl: Double,
-                    val avgIdf: Double, val params: Params) {
+                    val docIds: DataFrame, val n: Long, val totalDl: Long,
+                    val avgIdf: Double, val params: Params,
+                    private val retained: Seq[DataFrame] = Nil) {
+
+    /** Derived identically on the build and append paths: dl is an integer
+      * token count, so the LONG total is exact and avgdl = totalDl/n is
+      * bit-stable across any append sequence reaching the same corpus. */
+    val avgdl: Double = if (n == 0) 0.0 else totalDl.toDouble / n
+
+    /** Releases every frame this index's append CHAIN persisted — an
+      * appended index owns its parent's frames (the parent is dropped on
+      * append; its postings remain part of the child's lineage), so
+      * disposing the newest index releases the whole chain. */
+    def dispose(): Unit = retained.foreach(_.unpersist(blocking = false))
+
+    /** Incremental statistics maintenance (r5 VERDICT #6): extend the
+      * index by `batch` with NO re-scan of the indexed corpus — the last
+      * full-corpus pass on the ingest path. The reference rebuilds from
+      * scratch per add (`_build_bm25_index`, local_db.py:73–75); the
+      * mergeable decomposition is: batch postings/doc-lengths are computed
+      * from the batch alone (cost ∝ |batch|), the per-term df DELTA merges
+      * into the vocabulary frame (one vocabulary-sized shuffle — term
+      * space, never document space), and the corpus scalars recompute
+      * exactly: n and totalDl add, avgIdf re-averages over the MERGED
+      * vocabulary (one vocabulary-sized aggregate; it is a global mean of
+      * per-term idfs, which an append genuinely shifts for every term).
+      * BM25IncrementalSpec pins value equality with the full rebuild; the
+      * text_bm25_incremental gate shares the full-rebuild oracle.
+      * At 100 TB: postings/docIds unions are append-only file writes on a
+      * term-bucketed table; only the df merge and avgIdf aggregate run,
+      * both vocabulary-sized. */
+    def append(batch: DataFrame, idCol: String, textCol: String): Index = {
+      val toks = batch.select(col(idCol).as("id"), tokenize(col(textCol)).as("toks"))
+      val bPostings = toks
+        .select(col("id"), size(col("toks")).cast("double").as("dl"),
+          explode(col("toks")).as("term"))
+        .groupBy(col("id"), col("term"))
+        .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val bDocIds = toks.select(col("id"), size(col("toks")).cast("double").as("dl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val (nB, dlB) = bDocIds.agg(count(lit(1)), sum(col("dl")).cast("long"))
+        .head() match {
+          case r => (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+        }
+      val mergedDf = docFreq
+        .unionByName(bPostings.groupBy(col("term"))
+          .agg(count(lit(1)).cast("double").as("df")))
+        .groupBy(col("term")).agg(sum(col("df")).as("df"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val n2 = n + nB
+      val avgIdf2 =
+        if (n2 == 0) 0.0
+        else mergedDf
+          .agg(avg(log((lit(n2.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))))
+          .head() match { case r => if (r.isNullAt(0)) 0.0 else r.getDouble(0) }
+      new Index(postings.unionByName(bPostings), mergedDf,
+        docIds.unionByName(bDocIds), n2, totalDl + dlB, avgIdf2, params,
+        Seq(bPostings, bDocIds, mergedDf) ++ retained)
+    }
 
     /** idf with the rank_bm25 epsilon floor, computed on the driver from the
       * per-term df — query terms are few, so this is O(|query|). */
@@ -194,16 +252,19 @@ object BM25 {
     // costs no shuffle, unlike re-deriving doc ids from the postings agg
     val docIds = toks.select(col("id"), size(col("toks")).cast("double").as("dl"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val Array(n, avgdl) = docIds.agg(count(lit(1)).cast("double"), avg(col("dl")))
-      .head() match { case r => Array(r.getDouble(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1)) }
+    val (n, totalDl) = docIds.agg(count(lit(1)), sum(col("dl")).cast("long"))
+      .head() match {
+        case r => (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
     // rank_bm25's epsilon floor references the average RAW idf over the whole
     // vocabulary (negatives included) — one aggregate over the df frame.
     val avgIdf =
       if (n == 0) 0.0
       else docFreq
-        .agg(avg(log((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))))
+        .agg(avg(log((lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))))
         .head() match { case r => if (r.isNullAt(0)) 0.0 else r.getDouble(0) }
-    new Index(postings, docFreq, docIds, n.toLong, avgdl, avgIdf, params)
+    new Index(postings, docFreq, docIds, n, totalDl, avgIdf, params,
+      Seq(postings, docFreq, docIds))
   }
 
   /** Convenience: build + score in one call over a (id, text) document table. */
