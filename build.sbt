@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g, not 8g (r5 VERDICT #1b/#8): one local[32] JVM serves driver +
+  // 32 executor threads + every memoized index/collection frame across
+  // 90 bench gates; at 8g the shuffle-heavy gates paid storage eviction
+  // and GC churn mid-suite (dedup_minhash 6.7 s in-suite vs 1.3 s
+  // isolated). The host has 128 GiB; 16g leaves room for the oracle.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -74,6 +74,27 @@ class IVFSpec extends AnyFunSuite {
     }
   }
 
+  test("knnGraph narrow probe: candidates stay Σ probed-cluster mass, no cartesian (r5 VERDICT #5)") {
+    import org.apache.spark.sql.functions.col
+    val nodes = Some(col("vec_id") < 40)
+    val g = index.knnGraph(emb, "vec_id", "embedding", k = 3, nprobe = 2,
+      nodesFilter = nodes)
+    // plan pin: the corpus-sized sides meet on a cluster EQUI-join — a
+    // cartesian here would be the nodes × corpus blowup
+    assert(!g.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    // result pin: every edge's neighbor lies in its node's probed clusters,
+    // so the re-ranked volume is the probed-cluster mass, not the corpus
+    val got = g.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = index.assignments
+      .select(col("id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for ((qid, rows) <- got.groupBy(_._1)) {
+      val probed = index.probeOrder(queryVec(qid)).take(2).toSet
+      assert(rows.forall { case (_, id) => probed.contains(clusters(id)) },
+        s"node $qid has a neighbor outside its probed clusters")
+    }
+  }
+
   test("recall@10 >= 0.6 with nprobe=4 of 16, averaged over 10 queries") {
     val recalls = (0L until 10L).map { qid =>
       val q = queryVec(qid * 7)
