@@ -422,6 +422,31 @@ object Queries {
       LSHIndex.build(tbl(spark, dir, "embeddings"), "vec_id", "embedding",
         numHashTables = 4, bucketLength = 0.25))
 
+  /** Memoized navigable-graph index per (session, dir) — the REAL
+    * graph-traversal analog of the reference's hnsw (round 6; SURVEY §8):
+    * exact k-NN edges + the deterministic skip-ring. */
+  private val graphCache = new Memo[graft.vector.GraphIndex](memoMax)(_.dispose())
+
+  private def graphIndex(spark: SparkSession, dir: String): graft.vector.GraphIndex =
+    graphCache.get(spark, dir)(
+      graft.vector.GraphIndex.build(tbl(spark, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, nlist = 16))
+
+  /** ANN through REAL graph traversal in its exact-recoverable
+    * configuration: unbounded beam over the connected (skip-ring) graph
+    * visits every node, so iterative frontier expansion delivers the
+    * exact batch answer and shares the exact batch oracle — the graph
+    * analog of nprobe = nlist / superset radius. Tuned-beam recall is
+    * pinned in GraphIndexSpec. */
+  private def annGraph(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    val queries = e.where(col("vec_id").isin(13L, 14L, 15L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    graphIndex(spark, dir).searchBatch(queries, "qid", "qv", k = 5, ef = 0)
+      .select(col("qid"), col("id"), r4(col("score")).as("score"))
+      .orderBy(col("qid").asc, col("score").desc, col("id").asc)
+  }
+
   /** K5 via random-projection LSH in its exact-recoverable configuration:
     * the multiprobe radius is widened to the provable candidate-superset
     * bound (see LSHIndex), so bucket hashing + candidate filter + exact
@@ -1650,6 +1675,7 @@ object Queries {
     "knn_batch_topk" -> Q(knnBatchTopk, Some(knnBatchSql)),
     "knn_batch_ivf" -> Q(knnBatchIvf, Some(knnBatchSqlFor("4, 5, 6"))),
     "knn_batch_lsh" -> Q(knnBatchLsh, Some(knnBatchSqlFor("7, 8, 9"))),
+    "ann_graph" -> Q(annGraph, Some(knnBatchSqlFor("13, 14, 15"))),
     "knn_graph" -> Q(knnGraphQ, Some(knnGraphSql)),
     "knn_graph_lsh" -> Q(knnGraphLshQ, Some(knnGraphSql)),
     "knn_postfilter" -> Q(knnPostFilter, Some(

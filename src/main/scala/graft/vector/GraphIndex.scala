@@ -1,0 +1,167 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** A REAL navigable-graph ANN index — the graph-traversal analog of the
+  * reference's hnsw (local_db.py:41–46) that rounds 1–5 substituted with
+  * IVF/LSH probes. Small-world graph search (Malkov & Yashunin's NSW
+  * lineage, TPAMI 2020): greedy best-first expansion of a candidate beam
+  * over a neighborhood graph. Spark-first decomposition:
+  *
+  *  - BUILD is the bulk k-NN graph this engine already computes as ONE
+  *    distributed plan ([[IVFIndex.knnGraph]] — shuffle arm, bounded
+  *    heaps), symmetrized, UNIONED with a deterministic skip-ring: nodes
+  *    ranked by id, edges rank → rank ± 2^j for every j. The skip-ring is
+  *    the flattened analog of HNSW's layer hierarchy — it guarantees the
+  *    graph is CONNECTED with O(log N) diameter regardless of how the
+  *    k-NN edges cluster, which is what makes an exact-recoverable
+  *    configuration possible at all (an hnswlib graph guarantees neither).
+  *  - SEARCH is an iterative frontier expansion, each hop ONE join:
+  *    frontier ⋈ edges → unseen neighbors → score against the query →
+  *    bounded per-query beam ([[graft.plans.TopK.perKey]]) → next
+  *    frontier = the beam's newly-admitted nodes. All queries in a batch
+  *    advance together through the same hop joins — N queries cost the
+  *    same number of Spark jobs as one.
+  *  - `ef = 0` (unbounded beam) + hops ≥ diameter visits every node of
+  *    the connected graph: the search IS the exact scan, delivered
+  *    through graph traversal — the oracle-gated configuration (`ann_graph`
+  *    gate shares the exact batch-KNN oracle), like IVF's nprobe = nlist
+  *    and LSH's superset radius. Tuned (ef, hops) is the production
+  *    path; recall is spec-pinned in GraphIndexSpec.
+  *
+  * At 100 TB: `edges` is a narrow 2-LONG-column table bucketed by `src`
+  * (the frontier join is then co-located); each hop shuffles only
+  * |Q| × beam rows; hop count is the O(log N) skip-ring bound, not
+  * corpus size. Degree is bounded by 2k + 2⌈log₂N⌉, so the frontier
+  * join's fan-out is a constant factor of the beam.
+  */
+final class GraphIndex(val edges: DataFrame, val vectors: DataFrame,
+                       val entryId: Long, val n: Long,
+                       private val retained: Seq[DataFrame]) {
+
+  def dispose(): Unit = retained.foreach(_.unpersist(blocking = false))
+
+  /** Batch graph search. `ef = 0` means an unbounded beam (exact over the
+    * connected graph when `maxHops` ≥ diameter — the skip-ring bounds it
+    * by 2⌈log₂N⌉ + 2, the default). Output contract matches
+    * [[ExactKNN.topKBatch]]: (qid, id, score), score desc, id-asc ties.
+    * The bounded result (k × |Q| rows) is materialized before the
+    * iteration caches release; a corpus-scale batch at 100 TB would write
+    * the final TopK frame out instead of collecting. */
+  def searchBatch(queries: DataFrame, qidCol: String, qvecCol: String,
+                  k: Int, ef: Int = 64, maxHops: Int = -1,
+                  metric: ExactKNN.Metric = ExactKNN.L2Sq): DataFrame = {
+    val spark = queries.sparkSession
+    val hops =
+      if (maxHops > 0) maxHops
+      else 2 * (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))) + 2
+    val beam = if (ef <= 0) Int.MaxValue else math.max(ef, k)
+    val q = queries.select(col(qidCol).as("qid"),
+      col(qvecCol).cast("array<double>").as("__qv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    q.count()
+    def scored(ids: DataFrame): DataFrame = ids
+      .join(vectors, Seq("id"))
+      .join(q, Seq("qid"))
+      .select(col("qid"), col("id"),
+        metric.score(metric.dist(col("vector"), col("__qv"))).as("score"))
+    // hop 0: every query starts at the shared entry node. Each hop's pool
+    // and frontier are EAGER localCheckpoints: an iterative frame's
+    // logical plan otherwise nests exponentially (pool appears in both
+    // the beam cut and the frontier anti-join) and the plan tree alone
+    // OOMs after a few hops — checkpointing truncates lineage to the
+    // materialized partitions, the standard Spark iterative-algorithm
+    // discipline (GraphFrames/Pregel do the same).
+    var pool = scored(q.select(col("qid"), lit(entryId).as("id")))
+      .localCheckpoint(true)
+    var frontier = pool.select(col("qid"), col("id"))
+    var hop = 0
+    var done = false
+    while (hop < hops && !done) {
+      // one join per hop: frontier fan-out minus already-pooled nodes
+      val expand = frontier.join(edges, frontier("id") === edges("src"))
+        .select(col("qid"), col("dst").as("id")).distinct()
+        .join(pool.select(col("qid"), col("id")), Seq("qid", "id"), "left_anti")
+      val fresh = scored(expand)
+      val next =
+        if (beam == Int.MaxValue) pool.unionByName(fresh)
+        else graft.plans.TopK.perKey(pool.unionByName(fresh), Seq("qid"),
+          Seq("score" -> true, "id" -> false), beam)
+      val nextP = next.localCheckpoint(true)
+      // next frontier: nodes in the new beam that were not pooled before —
+      // greedy expansion exactly along admitted candidates
+      frontier = nextP.select(col("qid"), col("id"))
+        .join(pool.select(col("qid"), col("id")), Seq("qid", "id"), "left_anti")
+        .localCheckpoint(true)
+      val moved = frontier.count()
+      pool = nextP
+      done = moved == 0
+      hop += 1
+    }
+    val out = graft.plans.TopK.perKey(pool, Seq("qid"),
+        Seq("score" -> true, "id" -> false), k)
+      .orderBy(col("qid").asc, col("score").desc, col("id").asc)
+    // bounded: k rows per query — materialized so the checkpointed
+    // iteration partitions can lapse with this call frame
+    val rows = java.util.Arrays.asList(out.collect(): _*)
+    q.unpersist(blocking = false)
+    spark.createDataFrame(rows, out.schema)
+  }
+
+  /** Single-query convenience over [[searchBatch]] — same output contract
+    * as [[ExactKNN.topK]]: (id, score). */
+  def search(query: Array[Double], k: Int, ef: Int = 64,
+             maxHops: Int = -1): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val q = Seq((0L, query.toSeq)).toDF("qid", "qv")
+    searchBatch(q, "qid", "qv", k, ef, maxHops)
+      .select(col("id"), col("score"))
+  }
+}
+
+object GraphIndex {
+
+  /** Distributed build: bulk exact-or-probed k-NN graph + symmetrization
+    * + the deterministic skip-ring. `graphNprobe` tunes the build-time
+    * k-NN accuracy (= nlist ⇒ exact edges, the default here for bounded
+    * corpora; ≪ nlist is the 100 TB build, recall measured in SCALE.md —
+    * approximate EDGES only reduce recall, never correctness of the
+    * exact-recoverable search, whose completeness rides the skip-ring). */
+  def build(data: DataFrame, idCol: String, vecCol: String,
+            k: Int = 8, nlist: Int = 16, graphNprobe: Int = -1): GraphIndex = {
+    val vectors = data.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<float>").as("vector"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = vectors.count()
+    val ivf = IVFIndex.build(vectors, "id", "vector", nlist)
+    val nprobe = if (graphNprobe > 0) graphNprobe else ivf.nlist
+    val knn = ivf.knnGraph(vectors, "id", "vector", k, nprobe)
+      .select(col("qid").as("src"), col("id").as("dst"))
+    // rank nodes by id; skip edges rank ↔ rank + 2^j for all j < log2(n).
+    // The unpartitioned row_number is a build-time global sort of (id)
+    // pairs only — at 100 TB replace with the two-pass per-partition
+    // offset rank (zipWithIndex's scheme); ranks need not be stable
+    // across builds, only dense within one.
+    val ranked = vectors.select(col("id"),
+      (row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("id"))) - 1)
+        .as("rank"))
+    val maxJ = 63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+    val skips = (0L to maxJ).map { j =>
+      val r2 = ranked.select(col("id").as("dst"), col("rank").as("rank2"))
+      ranked.join(r2, col("rank2") === col("rank") + (1L << j))
+        .select(col("id").as("src"), col("dst"))
+    }.reduceOption(_ unionByName _)
+    val fwd = skips.map(knn.unionByName).getOrElse(knn) // n = 1 ⇒ no ring
+    val edges = fwd
+      .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    ivf.dispose()
+    val entry = vectors.agg(min(col("id"))).head().getLong(0)
+    new GraphIndex(edges, vectors, entry, n, Seq(vectors, edges))
+  }
+}
