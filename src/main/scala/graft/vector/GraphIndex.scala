@@ -61,7 +61,7 @@ final class GraphIndex(val edges: DataFrame, val vectors: DataFrame,
     val q = queries.select(col(qidCol).as("qid"),
       col(qvecCol).cast("array<double>").as("__qv"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    q.count()
+    val nQueries = q.count()
     def scored(ids: DataFrame): DataFrame = ids
       .join(vectors, Seq("id"))
       .join(q, Seq("qid"))
@@ -80,24 +80,34 @@ final class GraphIndex(val edges: DataFrame, val vectors: DataFrame,
     var hop = 0
     var done = false
     while (hop < hops && !done) {
-      // one join per hop: frontier fan-out minus already-pooled nodes
+      // one join per hop: frontier fan-out minus already-pooled nodes;
+      // checkpointed once and reused for both the scoring and (in the
+      // unbounded arm) the next frontier
       val expand = frontier.join(edges, frontier("id") === edges("src"))
         .select(col("qid"), col("dst").as("id")).distinct()
         .join(pool.select(col("qid"), col("id")), Seq("qid", "id"), "left_anti")
+        .localCheckpoint(true)
       val fresh = scored(expand)
       val next =
         if (beam == Int.MaxValue) pool.unionByName(fresh)
         else graft.plans.TopK.perKey(pool.unionByName(fresh), Seq("qid"),
           Seq("score" -> true, "id" -> false), beam)
       val nextP = next.localCheckpoint(true)
-      // next frontier: nodes in the new beam that were not pooled before —
-      // greedy expansion exactly along admitted candidates
-      frontier = nextP.select(col("qid"), col("id"))
-        .join(pool.select(col("qid"), col("id")), Seq("qid", "id"), "left_anti")
-        .localCheckpoint(true)
+      // next frontier: nodes newly admitted to the beam — with an
+      // unbounded beam that is exactly the expand set (everything fresh
+      // is admitted), so the anti-join below only runs in the tuned arm
+      frontier =
+        if (beam == Int.MaxValue) expand
+        else nextP.select(col("qid"), col("id"))
+          .join(pool.select(col("qid"), col("id")), Seq("qid", "id"), "left_anti")
+          .localCheckpoint(true)
       val moved = frontier.count()
       pool = nextP
-      done = moved == 0
+      // converged when nothing new was admitted; the unbounded arm can
+      // also stop as soon as every query's pool holds the whole corpus
+      // (saves the final empty-frontier discovery hop)
+      done = moved == 0 ||
+        (beam == Int.MaxValue && pool.count() == n * nQueries)
       hop += 1
     }
     val out = graft.plans.TopK.perKey(pool, Seq("qid"),
