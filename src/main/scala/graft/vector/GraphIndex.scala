@@ -130,9 +130,83 @@ final class GraphIndex(val edges: DataFrame, val vectors: DataFrame,
     searchBatch(q, "qid", "qv", k, ef, maxHops)
       .select(col("id"), col("score"))
   }
+
+  /** Incremental maintenance (≙ hnsw `add_items`, local_db.py:78–80):
+    * each new node gets (a) k-NN edges found by a tuned BEAM SEARCH
+    * through the EXISTING graph — the same insert-time trick hnsw itself
+    * uses, one batched traversal for the whole batch — and (b) skip-ring
+    * edges at the union's ranks, restricted to edges incident to the
+    * batch. Connectivity is preserved (every new node ring-links into
+    * the connected graph), so the exact-recoverable unbounded-beam
+    * configuration survives appends — spec-pinned by exact equality with
+    * the flat scan over the union. Cost: one tuned batch traversal
+    * (∝ |batch| × beam) plus an id-only rank window over the union;
+    * never a distance rescan of the indexed corpus. Intra-batch k-NN
+    * edges are NOT added (hnsw's sequential insert would see earlier
+    * batch items); recall for batch-internal neighbors rides the ring +
+    * old-graph paths, measured like every tuned configuration. */
+  def append(batch: DataFrame, idCol: String, vecCol: String,
+             k: Int = 8, ef: Int = 64): GraphIndex = {
+    val bVecs = batch.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<float>").as("vector"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nB = bVecs.count()
+    if (nB == 0) return this
+    val knnNew = searchBatch(
+        bVecs.select(col("id").as("qid"), col("vector").as("qv")),
+        "qid", "qv", k, ef)
+      .where(col("qid") =!= col("id")) // an id collision must not self-loop
+      .select(col("qid").as("src"), col("id").as("dst"))
+    val allVecs = vectors.unionByName(bVecs)
+    val ranked = allVecs.select(col("id"),
+      (row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("id"))) - 1)
+        .as("rank"))
+    val n2 = n + nB
+    val maxJ = 63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n2 - 1))
+    val newIds = bVecs.select(col("id"))
+    val ringNew = (0L to maxJ).map { j =>
+      val r2 = ranked.select(col("id").as("dst"), col("rank").as("rank2"))
+      ranked.join(r2, col("rank2") === col("rank") + (1L << j))
+        .select(col("id").as("src"), col("dst"))
+    }.reduce(_ unionByName _)
+      // only edges incident to the batch: the old ring stays as built
+      .join(newIds.select(col("id")),
+        col("src") === col("id") || col("dst") === col("id"), "left_semi")
+    val fwd = knnNew.unionByName(ringNew).distinct()
+    val newEdges = fwd
+      .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    newEdges.count()
+    new GraphIndex(edges.unionByName(newEdges),
+      vectors.unionByName(bVecs), math.min(entryId,
+        bVecs.agg(min(col("id"))).head().getLong(0)), n2,
+      Seq(bVecs, newEdges) ++ retained)
+  }
 }
 
 object GraphIndex {
+
+  // ---- persistence (S3/S4 for the graph artifact, matching the other
+  // index families: parquet frames + a tiny params frame) ----
+
+  def save(index: GraphIndex, path: String): Unit = {
+    val spark = index.vectors.sparkSession
+    import spark.implicits._
+    index.edges.write.mode("overwrite").parquet(s"$path/edges")
+    index.vectors.write.mode("overwrite").parquet(s"$path/vectors")
+    Seq((index.entryId, index.n)).toDF("entryId", "n")
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): GraphIndex = {
+    val p = spark.read.parquet(s"$path/params").head()
+    val vectors = spark.read.parquet(s"$path/vectors")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = spark.read.parquet(s"$path/edges")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    new GraphIndex(edges, vectors, p.getLong(0), p.getLong(1), Seq(vectors, edges))
+  }
 
   /** Distributed build: bulk exact-or-probed k-NN graph + symmetrization
     * + the deterministic skip-ring. `graphNprobe` tunes the build-time

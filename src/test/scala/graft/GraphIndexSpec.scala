@@ -63,6 +63,38 @@ class GraphIndexSpec extends AnyFunSuite {
     assert(mean >= 0.6, s"mean graph recall@10 = $mean (per-query: $recalls)")
   }
 
+  test("save/load roundtrip preserves the graph and its exact search") {
+    val path = java.nio.file.Files.createTempDirectory("graftgraph").toString
+    GraphIndex.save(index, path)
+    val loaded = GraphIndex.load(spark, path)
+    assert(loaded.n == index.n && loaded.entryId == index.entryId)
+    assert(loaded.edges.count() == index.edges.count())
+    val q = queryVec(42)
+    val a = index.search(q, 10, ef = 0).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val b = loaded.search(q, 10, ef = 0).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.sameElements(b))
+    loaded.dispose()
+  }
+
+  test("append preserves connectivity: exact search over the union equals the flat scan") {
+    val cut = 400L
+    val base = GraphIndex.build(emb.where(col("vec_id") < cut),
+      "vec_id", "embedding", k = 8)
+    val appended = base.append(emb.where(col("vec_id") >= cut), "vec_id", "embedding")
+    assert(appended.n == emb.count())
+    val queries = emb.where(col("vec_id").isin(3L, 450L)) // one old, one appended
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = ExactKNN.topKBatch(emb, "vec_id", "embedding", queries, "qid", "qv", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val viaGraph = appended.searchBatch(queries, "qid", "qv", k = 5, ef = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaGraph == exact)
+    // every appended node is wired into the graph (ring + knn edges)
+    val srcs = appended.edges.select(col("src")).distinct().count()
+    assert(srcs == appended.n)
+    appended.dispose()
+  }
+
   test("beam search visits a bounded fraction at tuned ef (not a rebadged scan)") {
     // with ef = 16 and 3 hops the pool can hold at most
     // ef + hops * ef * maxDegree scored rows — structurally bounded; pin
