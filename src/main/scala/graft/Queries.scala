@@ -429,8 +429,12 @@ object Queries {
 
   private def graphIndex(spark: SparkSession, dir: String): graft.vector.GraphIndex =
     graphCache.get(spark, dir)(
+      // graphNprobe 4/16: APPROXIMATE edges — the 100 TB build path. The
+      // gate's unbounded-beam search stays provably exact regardless
+      // (completeness rides the skip-ring connectivity, not edge
+      // quality), so this only cheapens the build, never the answer.
       graft.vector.GraphIndex.build(tbl(spark, dir, "embeddings"), "vec_id", "embedding",
-        k = 8, nlist = 16))
+        k = 8, nlist = 16, graphNprobe = 4))
 
   /** ANN through REAL graph traversal in its exact-recoverable
     * configuration: unbounded beam over the connected (skip-ring) graph
