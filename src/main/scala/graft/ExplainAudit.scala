@@ -7,7 +7,8 @@ object ExplainAudit {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq
-      else Seq("knn_l2", "meta_filter", "point_lookup", "tpch_q1", "text_bm25")
+      else Seq("knn_l2", "meta_filter", "point_lookup", "tpch_q1", "text_bm25",
+        "knn_graph_lsh", "ann_graph", "text_bm25_incremental")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
