@@ -451,6 +451,31 @@ object Queries {
       .orderBy(col("qid").asc, col("score").desc, col("id").asc)
   }
 
+  /** Memoized 'graph'-typed facade collection (docs ⋈ embeddings) at the
+    * exact escape hatch: efSearch ≥ corpus ⇒ the traversal beam is
+    * unbounded and the graph answer IS the exact answer. */
+  private val graphDbCache = new Memo[VectorDatabase](memoMax)(_.close())
+
+  private def graphDb(spark: SparkSession, dir: String): VectorDatabase =
+    graphDbCache.get(spark, dir) {
+      val db = VectorDatabase.create(spark, 64, "graph", efSearch = Int.MaxValue)
+      db.addBulk(
+        tbl(spark, dir, "documents").join(tbl(spark, dir, "embeddings"),
+          col("doc_id") === col("vec_id")),
+        "text", "embedding", None, "doc_id")
+      db
+    }
+
+  /** The reference API end to end over the REAL graph index (round 6):
+    * `queryVector` through the 'graph' facade type — create → addBulk →
+    * lazy graph build → iterative traversal — sharing the exact-KNN
+    * oracle via the escape hatch. Tuned-beam facade behavior is pinned in
+    * GraphFacadeSpec. */
+  private def facadeGraphKnn(spark: SparkSession, dir: String): DataFrame =
+    graphDb(spark, dir).queryVector(qvec(spark, dir, 51).map(_.toFloat), topK = 10)
+      .select(col("id"), r4(col("score")).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+
   /** K5 via random-projection LSH in its exact-recoverable configuration:
     * the multiprobe radius is widened to the provable candidate-superset
     * bound (see LSHIndex), so bucket hashing + candidate filter + exact
@@ -1680,6 +1705,7 @@ object Queries {
     "knn_batch_ivf" -> Q(knnBatchIvf, Some(knnBatchSqlFor("4, 5, 6"))),
     "knn_batch_lsh" -> Q(knnBatchLsh, Some(knnBatchSqlFor("7, 8, 9"))),
     "ann_graph" -> Q(annGraph, Some(knnBatchSqlFor("13, 14, 15"))),
+    "facade_graph_knn" -> Q(facadeGraphKnn, Some(knnSql(51, 10))),
     "knn_graph" -> Q(knnGraphQ, Some(knnGraphSql)),
     "knn_graph_lsh" -> Q(knnGraphLshQ, Some(knnGraphSql)),
     "knn_postfilter" -> Q(knnPostFilter, Some(

@@ -66,6 +66,7 @@ class VectorDatabase private (
   private var ivfVar: Option[IVFIndex] = None
   private var pqVar: Option[PQIndex] = None
   private var lshVar: Option[LSHIndex] = None
+  private var graphVar: Option[graft.vector.GraphIndex] = None
   private var hybridCache: Option[DataFrame] = None
 
   private def bm25: BM25.Index = bm25Var.getOrElse {
@@ -118,6 +119,17 @@ class VectorDatabase private (
     lshVar = Some(b); b
   }
 
+  /** The REAL navigable-graph index for the opt-in 'graph' type (round 6):
+    * `M` maps to the per-node k-NN edge count (its exact hnsw meaning —
+    * links per node), `efSearch` to the traversal beam; efSearch ≥ corpus
+    * is the exact escape hatch (unbounded beam over the connected graph
+    * IS the exact scan). */
+  private def graphIdx: graft.vector.GraphIndex = graphVar.getOrElse {
+    val b = graft.vector.GraphIndex.build(df, "id", "vector",
+      k = math.max(1, manifestVar.m), nlist = manifestVar.ivfClusters)
+    graphVar = Some(b); b
+  }
+
   private def invalidate(): Unit = {
     bm25Var.foreach(_.dispose())
     bm25Var = None
@@ -127,6 +139,8 @@ class VectorDatabase private (
     pqVar = None
     lshVar.foreach(_.dispose())
     lshVar = None
+    graphVar.foreach(_.dispose())
+    graphVar = None
     hybridCache.foreach(_.unpersist())
     hybridCache = None
   }
@@ -149,6 +163,8 @@ class VectorDatabase private (
     ivfVar = ivfVar.map(_.appendAssign(batch, "id", "vector"))
     pqVar = pqVar.map(_.append(batch, "id", "vector"))
     lshVar = lshVar.map(_.append(batch, "id", "vector"))
+    graphVar = graphVar.map(_.append(batch, "id", "vector",
+      k = math.max(1, manifestVar.m)))
     hybridCache.foreach(_.unpersist())
     hybridCache = None
   }
@@ -158,6 +174,7 @@ class VectorDatabase private (
   private[graft] def ivfIfBuilt: Option[IVFIndex] = ivfVar
   private[graft] def pqIfBuilt: Option[PQIndex] = pqVar
   private[graft] def lshIfBuilt: Option[LSHIndex] = lshVar
+  private[graft] def graphIfBuilt: Option[graft.vector.GraphIndex] = graphVar
 
   // ---------------------------------------------------------------------
   // S2 add — batch insert with dense-id append (ldb:56–113)
@@ -403,6 +420,15 @@ class VectorDatabase private (
         lshIdx.search(q, k,
           probeRadius = math.max(0, manifestVar.efSearch / 50) + (widen / 4),
           restrict = restrict)
+      case "graph" =>
+        // ef_search → traversal beam, its native hnsw meaning; ≥ corpus
+        // size ⇒ unbounded (exact); a filter widens the beam like every
+        // filtered probe (restrict applies before the final cut — see
+        // GraphIndex.searchBatch's filtered-ANN contract)
+        val ef =
+          if (manifestVar.efSearch >= nRows) 0
+          else widen * math.max(k, manifestVar.efSearch)
+        graphIdx.search(q, k, ef = ef, restrict = restrict)
       case _ => // flat
         ExactKNN.topK(pre.map(df.where).getOrElse(df), "id", "vector", q, k)
     }
@@ -490,6 +516,8 @@ class VectorDatabase private (
     if (nRows > 0) manifestVar.effectiveType match {
       case "lsh" =>
         LSHIndex.save(lshIdx, s"$path/index/lsh")
+      case "graph" =>
+        graft.vector.GraphIndex.save(graphIdx, s"$path/index/graph")
       case "ivf" | "ivfpq" =>
         val i = ivf // building may degrade effectiveType; re-check below
         if (manifestVar.effectiveType != "flat") {
@@ -537,7 +565,13 @@ object VectorDatabase {
     *  - `efConstruction` → full-corpus Lloyd refinement passes
     *    ([[refineItersFor]]): build-time quantizer quality.
     *  - `m` → LSH numHashTables: build-time recall-vs-memory.
-    *  - `ivfClusters`, `pqCodeSize` are native (ldb:27–28). */
+    *  - `ivfClusters`, `pqCodeSize` are native (ldb:27–28).
+    *
+    * `indexType = "graph"` (round 6, beyond the reference's type list)
+    * selects the REAL navigable-graph index ([[graft.vector.GraphIndex]]):
+    * `m` → per-node k-NN edge count (its native hnsw meaning) and
+    * `efSearch` → traversal beam width, with efSearch ≥ corpus size as
+    * the exact escape hatch (unbounded beam over the connected graph). */
   def create(spark: SparkSession, dim: Int, indexType: String = "hnsw",
              efConstruction: Int = 200, m: Int = 16, ivfClusters: Int = 100,
              pqCodeSize: Int = 16, efSearch: Int = 50): VectorDatabase = {
@@ -593,6 +627,11 @@ object VectorDatabase {
       if (!artifactExists(spark, s"$path/index/lsh/hashed"))
         throw new IllegalStateException(s"LSH artifacts missing under $path/index/lsh")
       db.lshVar = Some(LSHIndex.load(spark, s"$path/index/lsh"))
+    }
+    if (man.effectiveType == "graph" && n > 0) {
+      if (!artifactExists(spark, s"$path/index/graph/edges"))
+        throw new IllegalStateException(s"graph artifacts missing under $path/index/graph")
+      db.graphVar = Some(graft.vector.GraphIndex.load(spark, s"$path/index/graph"))
     }
     db
   }

@@ -42,9 +42,13 @@ final case class Manifest(
 
 object Manifest {
   /** The reference's three types (local_db.py:53–54) plus 'lsh' — the second
-    * documented HNSW capability substitute (SURVEY §2.3-K5), selectable and
-    * persistable through the same facade API (r2 VERDICT next-round #4). */
-  val knownTypes: Set[String] = Set("hnsw", "flat", "ivfpq", "lsh")
+    * documented HNSW capability substitute (SURVEY §2.3-K5) — plus 'graph'
+    * (round 6): the REAL navigable-graph index
+    * ([[graft.vector.GraphIndex]]), selectable and persistable through the
+    * same facade API. 'hnsw' keeps its IVF-probe mapping for now; 'graph'
+    * is the opt-in true-graph path (round-7 candidate to become hnsw's
+    * default). */
+  val knownTypes: Set[String] = Set("hnsw", "flat", "ivfpq", "lsh", "graph")
 
   /** Physical strategy per requested type: exact scan for 'flat'; true
     * IVF-probe + PQ/ADC compression for 'ivfpq' (the reference's
@@ -57,6 +61,7 @@ object Manifest {
     case "flat" => "flat"
     case "ivfpq" => "ivfpq"
     case "lsh" => "lsh"
+    case "graph" => "graph"
     case _ => "ivf"
   }
 

@@ -50,9 +50,16 @@ final class GraphIndex(val edges: DataFrame, val vectors: DataFrame,
     * The bounded result (k × |Q| rows) is materialized before the
     * iteration caches release; a corpus-scale batch at 100 TB would write
     * the final TopK frame out instead of collecting. */
+  /** `restrict` (an (id, …) frame) implements the standard filtered-ANN
+    * semantics for graph search: the TRAVERSAL runs unrestricted (routing
+    * may pass through excluded nodes — cutting them out of the graph
+    * would disconnect it), and the filter semi-joins the candidate pool
+    * before the final top-k cut. Exact under the unbounded beam; under a
+    * tuned beam the caller widens ef like any filtered probe. */
   def searchBatch(queries: DataFrame, qidCol: String, qvecCol: String,
                   k: Int, ef: Int = 64, maxHops: Int = -1,
-                  metric: ExactKNN.Metric = ExactKNN.L2Sq): DataFrame = {
+                  metric: ExactKNN.Metric = ExactKNN.L2Sq,
+                  restrict: Option[DataFrame] = None): DataFrame = {
     val spark = queries.sparkSession
     val hops =
       if (maxHops > 0) maxHops
@@ -110,7 +117,10 @@ final class GraphIndex(val edges: DataFrame, val vectors: DataFrame,
         (beam == Int.MaxValue && pool.count() == n * nQueries)
       hop += 1
     }
-    val out = graft.plans.TopK.perKey(pool, Seq("qid"),
+    val eligible = restrict
+      .map(r => pool.join(r.select(col("id")), Seq("id"), "left_semi"))
+      .getOrElse(pool)
+    val out = graft.plans.TopK.perKey(eligible, Seq("qid"),
         Seq("score" -> true, "id" -> false), k)
       .orderBy(col("qid").asc, col("score").desc, col("id").asc)
     // bounded: k rows per query — materialized so the checkpointed
@@ -123,11 +133,12 @@ final class GraphIndex(val edges: DataFrame, val vectors: DataFrame,
   /** Single-query convenience over [[searchBatch]] — same output contract
     * as [[ExactKNN.topK]]: (id, score). */
   def search(query: Array[Double], k: Int, ef: Int = 64,
-             maxHops: Int = -1): DataFrame = {
+             maxHops: Int = -1,
+             restrict: Option[DataFrame] = None): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val q = Seq((0L, query.toSeq)).toDF("qid", "qv")
-    searchBatch(q, "qid", "qv", k, ef, maxHops)
+    searchBatch(q, "qid", "qv", k, ef, maxHops, restrict = restrict)
       .select(col("id"), col("score"))
   }
 
