@@ -81,41 +81,64 @@ final class GraphIndex(val edges: DataFrame, val vectors: DataFrame,
     // OOMs after a few hops — checkpointing truncates lineage to the
     // materialized partitions, the standard Spark iterative-algorithm
     // discipline (GraphFrames/Pregel do the same).
-    var pool = scored(q.select(col("qid"), lit(entryId).as("id")))
-      .localCheckpoint(true)
-    var frontier = pool.select(col("qid"), col("id"))
-    var hop = 0
-    var done = false
-    while (hop < hops && !done) {
-      // one join per hop: frontier fan-out minus already-pooled nodes;
-      // checkpointed once and reused for both the scoring and (in the
-      // unbounded arm) the next frontier
-      val expand = frontier.join(edges, frontier("id") === edges("src"))
-        .select(col("qid"), col("dst").as("id")).distinct()
-        .join(pool.select(col("qid"), col("id")), Seq("qid", "id"), "left_anti")
-        .localCheckpoint(true)
-      val fresh = scored(expand)
-      val next =
-        if (beam == Int.MaxValue) pool.unionByName(fresh)
-        else graft.plans.TopK.perKey(pool.unionByName(fresh), Seq("qid"),
-          Seq("score" -> true, "id" -> false), beam)
-      val nextP = next.localCheckpoint(true)
-      // next frontier: nodes newly admitted to the beam — with an
-      // unbounded beam that is exactly the expand set (everything fresh
-      // is admitted), so the anti-join below only runs in the tuned arm
-      frontier =
-        if (beam == Int.MaxValue) expand
-        else nextP.select(col("qid"), col("id"))
-          .join(pool.select(col("qid"), col("id")), Seq("qid", "id"), "left_anti")
+    var pool: DataFrame = null
+    if (beam == Int.MaxValue) {
+      // Unbounded (exact) arm: no beam cut ⇒ per-hop SCORES are never
+      // consulted, so the traversal tracks (qid, id) visited sets only
+      // and scores ONCE at the end — each hop is one edges join + one
+      // anti-join over two LONG columns, no vector payload in flight.
+      // visited = a lazy union of per-hop CHECKPOINTED segments: the
+      // union's plan is a flat list of materialized leaves (linear in
+      // hop count, never nested), so it needs no checkpoint of its own
+      var segments = List(q.select(col("qid"), lit(entryId).as("id"))
+        .localCheckpoint(true))
+      def visited: DataFrame = segments.reduce(_ unionByName _)
+      var frontier = segments.head
+      var visitedCount = nQueries
+      var hop = 0
+      var done = false
+      while (hop < hops && !done) {
+        val expand = frontier.join(edges, frontier("id") === edges("src"))
+          .select(col("qid"), col("dst").as("id")).distinct()
+          .join(visited, Seq("qid", "id"), "left_anti")
           .localCheckpoint(true)
-      val moved = frontier.count()
-      pool = nextP
-      // converged when nothing new was admitted; the unbounded arm can
-      // also stop as soon as every query's pool holds the whole corpus
-      // (saves the final empty-frontier discovery hop)
-      done = moved == 0 ||
-        (beam == Int.MaxValue && pool.count() == n * nQueries)
-      hop += 1
+        val moved = expand.count()
+        if (moved > 0) segments ::= expand
+        visitedCount += moved
+        frontier = expand
+        // converged when the frontier died; or early-exit as soon as
+        // every query has covered the whole corpus (skip-ring
+        // connectivity guarantees this within the diameter bound)
+        done = moved == 0 || visitedCount == n * nQueries
+        hop += 1
+      }
+      pool = scored(visited).localCheckpoint(true)
+    } else {
+      pool = scored(q.select(col("qid"), lit(entryId).as("id")))
+        .localCheckpoint(true)
+      var frontier = pool.select(col("qid"), col("id"))
+      var hop = 0
+      var done = false
+      while (hop < hops && !done) {
+        // one join per hop: frontier fan-out minus already-pooled nodes.
+        // Only nextP is checkpointed: expand and frontier reference
+        // nothing but checkpointed frames, so per-hop plan depth stays
+        // constant without materializing them
+        val expand = frontier.join(edges, frontier("id") === edges("src"))
+          .select(col("qid"), col("dst").as("id")).distinct()
+          .join(pool.select(col("qid"), col("id")), Seq("qid", "id"), "left_anti")
+        val fresh = scored(expand)
+        val nextP = graft.plans.TopK.perKey(pool.unionByName(fresh),
+          Seq("qid"), Seq("score" -> true, "id" -> false), beam)
+          .localCheckpoint(true)
+        // next frontier: nodes newly admitted to the beam
+        frontier = nextP.select(col("qid"), col("id"))
+          .join(pool.select(col("qid"), col("id")), Seq("qid", "id"), "left_anti")
+        val moved = frontier.count()
+        pool = nextP
+        done = moved == 0
+        hop += 1
+      }
     }
     val eligible = restrict
       .map(r => pool.join(r.select(col("id")), Seq("id"), "left_semi"))
