@@ -75,6 +75,26 @@ class GraphFacadeSpec extends AnyFunSuite {
     }
   }
 
+  test("tuned beam (efSearch < corpus): honest scores, deterministic recall floor") {
+    val g = build("graph", efSearch = 16); val f = build("flat")
+    try {
+      val q = corpus(60)(7)._2
+      val a = g.queryVector(q, topK = 5).collect().map(r => (r.getLong(0), r.getDouble(1)))
+      // the whole flat ranking: every tuned hit must carry its TRUE score
+      val full = f.queryVector(q, topK = 60).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(a.length == 5)
+      assert(a.map(_._2).sameElements(a.map(_._2).sorted(Ordering[Double].reverse)))
+      a.foreach { case (id, s) => assert(full(id) == s, s"id $id scored $s != flat ${full(id)}") }
+      // deterministic traversal (fixed entry, graph, beam) ⇒ a fixed
+      // recall; floor it rather than pin exact ids so graph-build
+      // refinements don't churn the spec
+      val exact = f.queryVector(q, topK = 5).collect().map(_.getLong(0)).toSet
+      val recall = a.map(_._1).count(exact) / 5.0
+      assert(recall >= 0.6, s"recall@5 $recall below floor")
+    } finally { g.close(); f.close() }
+  }
+
   test("add() after first query maintains the graph incrementally (no rebuild)") {
     val db = build("graph", n = 40)
     try {
