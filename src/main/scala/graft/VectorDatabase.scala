@@ -123,10 +123,19 @@ class VectorDatabase private (
     * `M` maps to the per-node k-NN edge count (its exact hnsw meaning —
     * links per node), `efSearch` to the traversal beam; efSearch ≥ corpus
     * is the exact escape hatch (unbounded beam over the connected graph
-    * IS the exact scan). */
+    * IS the exact scan). `efConstruction` maps to build-time edge
+    * accuracy — the IVF probe fraction of the k-NN-graph build,
+    * `graphNprobe = ceil(efConstruction/200 × nlist)` — so the reference
+    * default (200) builds EXACT edges and lower values buy a cheaper
+    * approximate-edge build (hnsw's own ef_construction trade-off).
+    * Search exactness under the unbounded beam rides the skip-ring's
+    * connectivity, never edge accuracy (spec-pinned). */
   private def graphIdx: graft.vector.GraphIndex = graphVar.getOrElse {
+    val nlist = manifestVar.ivfClusters
     val b = graft.vector.GraphIndex.build(df, "id", "vector",
-      k = math.max(1, manifestVar.m), nlist = manifestVar.ivfClusters)
+      k = math.max(1, manifestVar.m), nlist = nlist,
+      graphNprobe = math.max(1, math.min(nlist,
+        math.ceil(manifestVar.efConstruction / 200.0 * nlist).toInt)))
     graphVar = Some(b); b
   }
 

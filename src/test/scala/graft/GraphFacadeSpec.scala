@@ -95,6 +95,22 @@ class GraphFacadeSpec extends AnyFunSuite {
     } finally { g.close(); f.close() }
   }
 
+  test("low efConstruction (approximate edges) cannot break the exact escape hatch") {
+    // efConstruction -> build-time edge accuracy (graphNprobe); search
+    // exactness under the unbounded beam rides the skip-ring, not edges
+    val g = VectorDatabase.create(spark, 64, "graph",
+      efConstruction = 25, efSearch = 100000)
+    val rows = corpus(60)
+    g.add(rows.map(_._1).toSeq, rows.map(_._2).toSeq)
+    val f = build("flat")
+    try {
+      val q = corpus(60)(19)._2
+      val a = g.queryVector(q, topK = 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val b = f.queryVector(q, topK = 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(a.sameElements(b))
+    } finally { g.close(); f.close() }
+  }
+
   test("add() after first query maintains the graph incrementally (no rebuild)") {
     val db = build("graph", n = 40)
     try {
