@@ -903,6 +903,35 @@ object Queries {
       .select(col("id"), r4(col("score")).as("score"))
       .orderBy(col("score").desc, col("id").asc)
 
+  /** S3+S4 for the 'graph' index type — the navigable graph's edges/
+    * vectors/params artifacts round-trip through save → load and the
+    * LOADED traversal answers the exact-KNN oracle at the unbounded-beam
+    * escape hatch (efSearch ≥ corpus), completing the persistence matrix:
+    * flat / ivf eager+lazy / lsh / graph all oracle-gated off disk. */
+  private val graphSaveDbCache =
+    new Memo[(VectorDatabase, java.nio.file.Path)](memoMax)({ case (db, p) =>
+      db.close(); graft.streaming.StreamingGates.rmrf(p)
+    })
+
+  private def graphLoadedDb(spark: SparkSession, dir: String): VectorDatabase =
+    graphSaveDbCache.get(spark, dir) {
+      val e = tbl(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          col("vec_id").cast("string").as("doc"))
+      val db = VectorDatabase.create(spark, 64, "graph", efSearch = Int.MaxValue)
+      db.addBulk(e, "doc", "embedding", None, "vec_id")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_graphsave")
+      db.save(tmp.toString)
+      db.close()
+      (VectorDatabase.load(spark, tmp.toString), tmp)
+    }._1
+
+  private def saveLoadGraphKnn(spark: SparkSession, dir: String): DataFrame =
+    graphLoadedDb(spark, dir)
+      .queryVector(qvec(spark, dir, 61).map(_.toFloat), topK = 10)
+      .select(col("id"), r4(col("score")).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+
   /** Windowed analytics with a RANGE frame: per-user rolling 1-hour mean
     * over event time — the time-decayed feature shape (rolling rates,
     * moving averages) every behavioral pipeline computes. One shuffle on
@@ -2199,6 +2228,7 @@ object Queries {
     "incremental_add_knn" -> Q(incrementalAddKnn, Some(knnSql(13, 10))),
     "ann_ivf_lazy" -> Q(annIvfLazy, Some(knnSql(29, 10))),
     "save_load_lsh_knn" -> Q(saveLoadLshKnn, Some(knnSql(33, 10))),
+    "save_load_graph_knn" -> Q(saveLoadGraphKnn, Some(knnSql(61, 10))),
     "meta_variant" -> Q(metaVariant, Some(
       // the collection under test ingests docs ⋈ embeddings, so the oracle
       // ranks over the same domain (diverges from plain documents at sf0.1)
