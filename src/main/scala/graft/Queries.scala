@@ -476,6 +476,22 @@ object Queries {
       .select(col("id"), r4(col("score")).as("score"))
       .orderBy(col("score").desc, col("id").asc)
 
+  /** F5 through the REAL graph index: the traversal routes UNRESTRICTED
+    * (cutting filtered nodes out of the graph would disconnect it —
+    * [[graft.vector.GraphIndex.searchBatch]]'s filtered-ANN contract, the
+    * same stance hnswlib takes with its allow-list filters), and the
+    * pre-filter semi-joins the candidate pool before the final top-k cut.
+    * Unbounded beam (efSearch ≥ corpus) ⇒ the filtered answer is exact and
+    * shares the filtered exact-KNN oracle; tuned-beam filtered recall is
+    * the usual widened-probe story (searchTopK widens ef 4× under a
+    * filter). */
+  private def knnPrefilterGraph(spark: SparkSession, dir: String): DataFrame =
+    graphDb(spark, dir)
+      .queryVector(qvec(spark, dir, 17).map(_.toFloat), topK = 5,
+        preFilter = Some(col("id") % 2 === 0))
+      .select(col("id"), r4(col("score")).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+
   /** K5 via random-projection LSH in its exact-recoverable configuration:
     * the multiprobe radius is widened to the provable candidate-superset
     * bound (see LSHIndex), so bucket hashing + candidate filter + exact
@@ -727,6 +743,25 @@ object Queries {
       .orderBy(col("score").desc, col("id").asc)
   }
 
+  /** Streaming ingest → the REAL graph index: the same foreachBatch drain,
+    * but the collection is 'graph'-typed — the navigable graph builds
+    * lazily over the whole streamed corpus at first query (a batch landing
+    * AFTER a build adopts through [[graft.vector.GraphIndex.append]] — the
+    * adoptBatch arm `incremental_add_graph_knn` pins off-stream).
+    * efSearch ≥ corpus ⇒ unbounded beam ⇒ shares the exact-KNN oracle;
+    * completes the streaming × index-family matrix (flat:
+    * streaming_ingest_knn / _multibatch; graph: this gate). */
+  private val streamGraphDbCache = new Memo[VectorDatabase](memoMax)(_.close())
+
+  private def streamingIngestGraphKnn(spark: SparkSession, dir: String): DataFrame = {
+    val db = streamGraphDbCache.get(spark, dir)(
+      graft.streaming.StreamingGates.ingestCollection(spark, dir,
+        indexType = "graph", efSearch = Int.MaxValue))
+    db.queryVector(qvec(spark, dir, 43).map(_.toFloat), topK = 10)
+      .select(col("id"), r4(col("score")).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+  }
+
   /** Multi-batch streaming ingest (r4 VERDICT #8): the same exact-KNN
     * answer, but the collection was ingested across ≥ 3 REAL paced
     * micro-batches (`maxFilesPerTrigger = 1`) — dense-id continuation
@@ -929,6 +964,47 @@ object Queries {
   private def saveLoadGraphKnn(spark: SparkSession, dir: String): DataFrame =
     graphLoadedDb(spark, dir)
       .queryVector(qvec(spark, dir, 61).map(_.toFloat), topK = 10)
+      .select(col("id"), r4(col("score")).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+
+  /** S2+K4 incremental maintenance for the graph type — the graph analog
+    * of `incremental_add_knn`: build the navigable graph over the first
+    * 90% of the embeddings (save forces the build), LOAD it (edges +
+    * vectors come off disk), `addBulk` the last 10% — the loaded graph
+    * adopts the batch through [[graft.vector.GraphIndex.append]]
+    * (tuned-beam k-NN edges into the existing graph + merged-rank
+    * skip-ring edges incident to the batch; the base graph is untouched,
+    * cost ∝ batch) — then answer the full-corpus exact-KNN oracle through
+    * the unbounded beam: appends preserve skip-ring connectivity, so the
+    * exact escape hatch survives incremental maintenance. Completes the
+    * incremental matrix (ivf: incremental_add_knn; jaccard:
+    * dedup_incremental; embedding: dedup_embedding_incremental; bm25:
+    * text_bm25_incremental). */
+  private val graphIncDbCache =
+    new Memo[(VectorDatabase, java.nio.file.Path)](memoMax)({ case (db, p) =>
+      db.close(); graft.streaming.StreamingGates.rmrf(p)
+    })
+
+  private def graphIncDb(spark: SparkSession, dir: String): VectorDatabase =
+    graphIncDbCache.get(spark, dir) {
+      val e = tbl(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          col("vec_id").cast("string").as("doc"))
+      val n = e.count()
+      val cut = n - math.max(1L, n / 10) // the last 10% arrives as the append batch
+      val db = VectorDatabase.create(spark, 64, "graph", efSearch = Int.MaxValue)
+      db.addBulk(e.where(col("vec_id") < cut), "doc", "embedding", None, "vec_id")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_graphinc")
+      db.save(tmp.toString) // forces the graph build over the base corpus
+      db.close()
+      val loaded = VectorDatabase.load(spark, tmp.toString)
+      loaded.addBulk(e.where(col("vec_id") >= cut), "doc", "embedding", None, "vec_id")
+      (loaded, tmp)
+    }._1
+
+  private def incrementalAddGraphKnn(spark: SparkSession, dir: String): DataFrame =
+    graphIncDb(spark, dir)
+      .queryVector(qvec(spark, dir, 67).map(_.toFloat), topK = 10)
       .select(col("id"), r4(col("score")).as("score"))
       .orderBy(col("score").desc, col("id").asc)
 
@@ -1735,6 +1811,8 @@ object Queries {
     "knn_batch_lsh" -> Q(knnBatchLsh, Some(knnBatchSqlFor("7, 8, 9"))),
     "ann_graph" -> Q(annGraph, Some(knnBatchSqlFor("13, 14, 15"))),
     "facade_graph_knn" -> Q(facadeGraphKnn, Some(knnSql(51, 10))),
+    "knn_prefilter_graph" -> Q(knnPrefilterGraph,
+      Some(knnSql(17, 5, "WHERE e.vec_id % 2 = 0"))),
     "knn_graph" -> Q(knnGraphQ, Some(knnGraphSql)),
     "knn_graph_lsh" -> Q(knnGraphLshQ, Some(knnGraphSql)),
     "knn_postfilter" -> Q(knnPostFilter, Some(
@@ -2209,6 +2287,7 @@ object Queries {
         |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
     "streaming_ingest_knn" -> Q(streamingIngestKnn, Some(knnSql(7, 10))),
+    "streaming_ingest_graph" -> Q(streamingIngestGraphKnn, Some(knnSql(43, 10))),
     "streaming_ingest_multibatch" -> Q(streamingIngestMultibatch, Some(knnSql(37, 10))),
     "streaming_fp_dedup" -> Q(streamingFingerprintDedup, Some(
       raw"""SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
@@ -2229,6 +2308,7 @@ object Queries {
     "ann_ivf_lazy" -> Q(annIvfLazy, Some(knnSql(29, 10))),
     "save_load_lsh_knn" -> Q(saveLoadLshKnn, Some(knnSql(33, 10))),
     "save_load_graph_knn" -> Q(saveLoadGraphKnn, Some(knnSql(61, 10))),
+    "incremental_add_graph_knn" -> Q(incrementalAddGraphKnn, Some(knnSql(67, 10))),
     "meta_variant" -> Q(metaVariant, Some(
       // the collection under test ingests docs ⋈ embeddings, so the oracle
       // ranks over the same domain (diverges from plain documents at sf0.1)

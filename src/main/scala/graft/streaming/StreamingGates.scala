@@ -279,14 +279,16 @@ object StreamingGates {
     * drain = one micro-batch, so dense ids are the global `doc_id` sort
     * (deterministic); MULTI-batch dense-id continuation is pinned in
     * StreamingSpec, where batch order is controlled. */
-  def ingestCollection(spark: SparkSession, dir: String, dim: Int = 64): graft.VectorDatabase = {
+  def ingestCollection(spark: SparkSession, dir: String, dim: Int = 64,
+                       indexType: String = "flat",
+                       efSearch: Int = 50): graft.VectorDatabase = {
     val tmp = Files.createTempDirectory("graft_stream_ingest")
     try {
       val joined = Tables.documents(spark, dir)
         .join(Tables.embeddings(spark, dir), col("doc_id") === col("vec_id"))
         .select(col("doc_id"), col("text"), col("embedding"))
       joined.coalesce(4).write.mode("overwrite").parquet(s"$tmp/in")
-      val db = graft.VectorDatabase.create(spark, dim, "flat")
+      val db = graft.VectorDatabase.create(spark, dim, indexType, efSearch = efSearch)
       val q = withStreamSession(spark, 8) { ss =>
         val stream = ss.readStream.schema(joined.schema).parquet(s"$tmp/in")
         EventStream.ingestInto(db, stream, "text", "embedding", None, "doc_id",
