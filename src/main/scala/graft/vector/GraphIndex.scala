@@ -174,8 +174,9 @@ final class GraphIndex(val edges: DataFrame, val vectors: DataFrame,
     * the connected graph), so the exact-recoverable unbounded-beam
     * configuration survives appends — spec-pinned by exact equality with
     * the flat scan over the union. Cost: one tuned batch traversal
-    * (∝ |batch| × beam) plus an id-only rank window over the union;
-    * never a distance rescan of the indexed corpus. Intra-batch k-NN
+    * (∝ |batch| × beam) plus a distributed id-only re-rank of the union
+    * ([[GraphIndex.rankById]] — range-partitioned, no single-partition
+    * stage); never a distance rescan of the indexed corpus. Intra-batch k-NN
     * edges are NOT added (hnsw's sequential insert would see earlier
     * batch items); recall for batch-internal neighbors rides the ring +
     * old-graph paths, measured like every tuned configuration. */
@@ -192,9 +193,7 @@ final class GraphIndex(val edges: DataFrame, val vectors: DataFrame,
       .where(col("qid") =!= col("id")) // an id collision must not self-loop
       .select(col("qid").as("src"), col("id").as("dst"))
     val allVecs = vectors.unionByName(bVecs)
-    val ranked = allVecs.select(col("id"),
-      (row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("id"))) - 1)
-        .as("rank"))
+    val ranked = GraphIndex.rankById(allVecs)
     val n2 = n + nB
     val maxJ = 63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n2 - 1))
     val newIds = bVecs.select(col("id"))
@@ -248,6 +247,22 @@ object GraphIndex {
     * corpora; ≪ nlist is the 100 TB build, recall measured in SCALE.md —
     * approximate EDGES only reduce recall, never correctness of the
     * exact-recoverable search, whose completeness rides the skip-ring). */
+  /** Dense 0-based rank of every node in ascending-id order — the
+    * skip-ring's coordinate system. Distributed: a RANGE-partitioned sort
+    * (ascending ranges land in ascending partition indices) followed by
+    * zipWithIndex's two-pass per-partition offset scheme — one tiny job
+    * counts partition sizes, the second adds each partition's prefix
+    * offset locally. No single-partition window anywhere, so the rank is
+    * as scalable as any global sort; ranks need not be stable across
+    * builds, only dense within one. */
+  private def rankById(vectors: DataFrame): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    vectors.select(col("id")).orderBy(col("id"))
+      .as[Long].rdd.zipWithIndex()
+      .toDF("id", "rank")
+  }
+
   def build(data: DataFrame, idCol: String, vecCol: String,
             k: Int = 8, nlist: Int = 16, graphNprobe: Int = -1): GraphIndex = {
     val vectors = data.select(col(idCol).cast("long").as("id"),
@@ -258,14 +273,7 @@ object GraphIndex {
     val nprobe = if (graphNprobe > 0) graphNprobe else ivf.nlist
     val knn = ivf.knnGraph(vectors, "id", "vector", k, nprobe)
       .select(col("qid").as("src"), col("id").as("dst"))
-    // rank nodes by id; skip edges rank ↔ rank + 2^j for all j < log2(n).
-    // The unpartitioned row_number is a build-time global sort of (id)
-    // pairs only — at 100 TB replace with the two-pass per-partition
-    // offset rank (zipWithIndex's scheme); ranks need not be stable
-    // across builds, only dense within one.
-    val ranked = vectors.select(col("id"),
-      (row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("id"))) - 1)
-        .as("rank"))
+    val ranked = rankById(vectors)
     val maxJ = 63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
     val skips = (0L to maxJ).map { j =>
       val r2 = ranked.select(col("id").as("dst"), col("rank").as("rank2"))
