@@ -3,6 +3,7 @@ package graft.sources
 import graft.VectorDatabase
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Dataset access for the driver-generated tables and user collections —
   * the engine's source tier. Centralizes the one genuinely tricky read
@@ -13,16 +14,34 @@ object Tables {
   def parquet(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * the Spark reader rejects; read nanos as LONG and rebuild a (micro)
-    * timestamp. `div` (integral division) is load-bearing: `/` would
-    * promote the ~1.7e18 nanos LONG to DOUBLE, whose 2^53 mantissa rounds
-    * ±128 ns and shifts some timestamps by a microsecond. Nanosecond
-    * sub-precision is zero in the generator, so this is lossless. */
+  /** The events table's `ts` column has shipped under two physical parquet
+    * schemas, so this reader dispatches on the ACTUAL post-read dtype
+    * rather than hard-coding either (a 100 TB lake never has one schema):
+    *
+    *  - TIMESTAMP(NANOS): Spark's reader rejects nanos outright, so the
+    *    `nanosAsLong` legacy flag surfaces it as a nanos LONG and we
+    *    rebuild a micro timestamp. `div` (integral division) is
+    *    load-bearing — `/` would promote the ~1.7e18 nanos LONG to DOUBLE,
+    *    whose 2^53 mantissa rounds ±128 ns and shifts some timestamps by a
+    *    microsecond. Sub-micro precision is zero in the generator.
+    *  - TIMESTAMP(MICROS/MILLIS, isAdjustedToUTC=false): surfaces as
+    *    TIMESTAMP_NTZ; downstream windows/watermarks expect the session-tz
+    *    TimestampType, so cast (identity on the stored micros under the
+    *    UTC session tz all entry points pin).
+    *  - already TimestampType (isAdjustedToUTC=true): pass through.
+    *
+    * The flag is harmless on non-NANOS files — it only changes how a
+    * TIMESTAMP(NANOS) physical column is surfaced. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    parquet(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = parquet(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType    => raw
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported physical type $other (expected nanos-as-LONG, TIMESTAMP, or TIMESTAMP_NTZ)")
+    }
   }
 
   def documents(spark: SparkSession, dir: String): DataFrame =
