@@ -43,13 +43,22 @@ final class GraphIndex(val edges: DataFrame, val vectors: DataFrame,
 
   def dispose(): Unit = retained.foreach(_.unpersist(blocking = false))
 
+  /** Exact-arm coverage (the id set reachable from `entryId`) is a
+    * property of the GRAPH, independent of query and call — memoized per
+    * index instance like every other deterministic index artifact, so
+    * only the first unbounded-beam search on an index pays the BFS
+    * rounds. `append` returns a NEW instance, invalidating naturally. */
+  @volatile private var coverageCache: DataFrame = null
+
   /** Batch graph search. `ef = 0` means an unbounded beam (exact over the
     * connected graph when `maxHops` ≥ diameter — the skip-ring bounds it
     * by 2⌈log₂N⌉ + 2, the default). Output contract matches
     * [[ExactKNN.topKBatch]]: (qid, id, score), score desc, id-asc ties.
-    * The bounded result (k × |Q| rows) is materialized before the
-    * iteration caches release; a corpus-scale batch at 100 TB would write
-    * the final TopK frame out instead of collecting. */
+    * The bounded result (k × |Q| rows) is returned as an eagerly
+    * checkpointed frame — materialized distributed, never funneled
+    * through the driver (r6 VERDICT #6) — so corpus-scale batch callers
+    * (`append`, facade bulk queries) compose it into further plans or
+    * write it out without a driver round-trip. */
   /** `restrict` (an (id, …) frame) implements the standard filtered-ANN
     * semantics for graph search: the TRAVERSAL runs unrestricted (routing
     * may pass through excluded nodes — cutting them out of the graph
@@ -68,14 +77,27 @@ final class GraphIndex(val edges: DataFrame, val vectors: DataFrame,
     val q = queries.select(col(qidCol).as("qid"),
       col(qvecCol).cast("array<double>").as("__qv"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nQueries = q.count()
+    q.count()
     def scored(ids: DataFrame): DataFrame = ids
       .join(vectors, Seq("id"))
       .join(q, Seq("qid"))
       .select(col("qid"), col("id"),
         metric.score(metric.dist(col("vector"), col("__qv"))).as("score"))
+    // Materialize-and-count in ONE job: DataFrame.localCheckpoint + a
+    // separate count() is two driver-synchronized job rounds per hop, and
+    // per-round scheduling overhead — not data volume — dominated the
+    // r6 driver bench (ann_graph 46 s median on sf0.1). An RDD-level
+    // localCheckpoint is lazy, so the count() both materializes the
+    // blocks and returns the row count in a single action; the rebuilt
+    // frame scans the checkpointed RDD (flat plan, lineage truncated),
+    // exactly what the eager DataFrame checkpoint gave us.
+    def matCount(df: DataFrame): (DataFrame, Long) = {
+      val rdd = df.rdd.localCheckpoint()
+      val cnt = rdd.count()
+      (spark.createDataFrame(rdd, df.schema), cnt)
+    }
     // hop 0: every query starts at the shared entry node. Each hop's pool
-    // and frontier are EAGER localCheckpoints: an iterative frame's
+    // and frontier are eagerly checkpointed: an iterative frame's
     // logical plan otherwise nests exponentially (pool appears in both
     // the beam cut and the frontier anti-join) and the plan tree alone
     // OOMs after a few hops — checkpointing truncates lineage to the
@@ -83,36 +105,57 @@ final class GraphIndex(val edges: DataFrame, val vectors: DataFrame,
     // discipline (GraphFrames/Pregel do the same).
     var pool: DataFrame = null
     if (beam == Int.MaxValue) {
-      // Unbounded (exact) arm: no beam cut ⇒ per-hop SCORES are never
-      // consulted, so the traversal tracks (qid, id) visited sets only
-      // and scores ONCE at the end — each hop is one edges join + one
-      // anti-join over two LONG columns, no vector payload in flight.
-      // visited = a lazy union of per-hop CHECKPOINTED segments: the
+      // Unbounded (exact) arm: no beam cut ⇒ per-hop scores are never
+      // consulted AND the traversal is query-INDEPENDENT — every query
+      // starts at the same entry node and expands unrestricted, so all
+      // visited sets are identical. Run the BFS once over bare ids (≤ n
+      // rows in flight, no qid dimension, no vector payload) and score
+      // the coverage against every query at the end. Two edge hops are
+      // fused per checkpoint round — the intermediate expansion
+      // references only the checkpointed frontier, so plan depth stays
+      // constant — halving the number of driver-synchronized rounds the
+      // ~log₂N-diameter walk needs.
+      // visited = a lazy union of per-round checkpointed segments: the
       // union's plan is a flat list of materialized leaves (linear in
-      // hop count, never nested), so it needs no checkpoint of its own
-      var segments = List(q.select(col("qid"), lit(entryId).as("id"))
-        .localCheckpoint(true))
-      def visited: DataFrame = segments.reduce(_ unionByName _)
-      var frontier = segments.head
-      var visitedCount = nQueries
-      var hop = 0
-      var done = false
-      while (hop < hops && !done) {
-        val expand = frontier.join(edges, frontier("id") === edges("src"))
-          .select(col("qid"), col("dst").as("id")).distinct()
-          .join(visited, Seq("qid", "id"), "left_anti")
-          .localCheckpoint(true)
-        val moved = expand.count()
-        if (moved > 0) segments ::= expand
-        visitedCount += moved
-        frontier = expand
-        // converged when the frontier died; or early-exit as soon as
-        // every query has covered the whole corpus (skip-ring
-        // connectivity guarantees this within the diameter bound)
-        done = moved == 0 || visitedCount == n * nQueries
-        hop += 1
+      // round count, never nested), so it needs no checkpoint of its own.
+      val coverage = synchronized {
+        // a caller-truncated walk (maxHops > 0) may be PARTIAL coverage —
+        // never cache it, never serve the full-walk cache for it
+        if (coverageCache != null && maxHops <= 0) coverageCache
+        else {
+          var segments = List(
+            spark.range(1).select(lit(entryId).as("id")).localCheckpoint(true))
+          def visited: DataFrame = segments.reduce(_ unionByName _)
+          var frontier = segments.head
+          var visitedCount = 1L
+          var round = 0
+          val rounds = hops / 2 + 1
+          var done = n == 1L
+          while (round < rounds && !done) {
+            val hop1 = frontier.join(edges, frontier("id") === edges("src"))
+              .select(col("dst").as("id")).distinct()
+            val hop2 = hop1.join(edges, hop1("id") === edges("src"))
+              .select(col("dst").as("id"))
+            val (expand, moved) = matCount(
+              hop1.unionByName(hop2).distinct()
+                .join(visited, Seq("id"), "left_anti"))
+            if (moved > 0) segments ::= expand
+            visitedCount += moved
+            frontier = expand
+            // converged when the frontier died; or early-exit as soon as
+            // the walk has covered the whole corpus (skip-ring
+            // connectivity guarantees this within the diameter bound)
+            done = moved == 0 || visitedCount == n
+            round += 1
+          }
+          if (maxHops <= 0) coverageCache = visited
+          visited
+        }
       }
-      pool = scored(visited).localCheckpoint(true)
+      // coverage × queries: the small persisted q side broadcasts, so
+      // this is the brute-force scoring scan, delivered through graph
+      // traversal — same final plan shape the exact-KNN oracle runs
+      pool = scored(coverage.crossJoin(q.select(col("qid"))))
     } else {
       pool = scored(q.select(col("qid"), lit(entryId).as("id")))
         .localCheckpoint(true)
@@ -120,22 +163,25 @@ final class GraphIndex(val edges: DataFrame, val vectors: DataFrame,
       var hop = 0
       var done = false
       while (hop < hops && !done) {
-        // one join per hop: frontier fan-out minus already-pooled nodes.
-        // Only nextP is checkpointed: expand and frontier reference
-        // nothing but checkpointed frames, so per-hop plan depth stays
-        // constant without materializing them
+        // one join per hop: frontier fan-out minus already-pooled nodes
         val expand = frontier.join(edges, frontier("id") === edges("src"))
           .select(col("qid"), col("dst").as("id")).distinct()
           .join(pool.select(col("qid"), col("id")), Seq("qid", "id"), "left_anti")
         val fresh = scored(expand)
-        val nextP = graft.plans.TopK.perKey(pool.unionByName(fresh),
-          Seq("qid"), Seq("score" -> true, "id" -> false), beam)
-          .localCheckpoint(true)
-        // next frontier: nodes newly admitted to the beam
-        frontier = nextP.select(col("qid"), col("id"))
-          .join(pool.select(col("qid"), col("id")), Seq("qid", "id"), "left_anti")
+        // beam cut + admission marker in ONE materialized frame: `__old`
+        // tags survivors that were already pooled, so the convergence
+        // count and the next frontier both read the checkpointed blocks
+        // instead of re-running an anti-join over them (the r6 shape ran
+        // one checkpoint job + one full anti-join count job per hop)
+        val (marked, _) = matCount(
+          graft.plans.TopK.perKey(pool.unionByName(fresh),
+            Seq("qid"), Seq("score" -> true, "id" -> false), beam)
+            .join(pool.select(col("qid"), col("id"), lit(1).as("__old")),
+              Seq("qid", "id"), "left"))
+        frontier = marked.where(col("__old").isNull)
+          .select(col("qid"), col("id"))
         val moved = frontier.count()
-        pool = nextP
+        pool = marked.drop("__old")
         done = moved == 0
         hop += 1
       }
@@ -143,14 +189,17 @@ final class GraphIndex(val edges: DataFrame, val vectors: DataFrame,
     val eligible = restrict
       .map(r => pool.join(r.select(col("id")), Seq("id"), "left_semi"))
       .getOrElse(pool)
+    // bounded: k rows per query — eagerly checkpointed so the iteration
+    // caches can lapse with this call frame, but NEVER collected: the
+    // result stays a distributed frame (r6 VERDICT #6 — `append` and
+    // corpus-batch callers would otherwise funnel |corpus| × k rows
+    // through the driver)
     val out = graft.plans.TopK.perKey(eligible, Seq("qid"),
         Seq("score" -> true, "id" -> false), k)
       .orderBy(col("qid").asc, col("score").desc, col("id").asc)
-    // bounded: k rows per query — materialized so the checkpointed
-    // iteration partitions can lapse with this call frame
-    val rows = java.util.Arrays.asList(out.collect(): _*)
+      .localCheckpoint(true)
     q.unpersist(blocking = false)
-    spark.createDataFrame(rows, out.schema)
+    out
   }
 
   /** Single-query convenience over [[searchBatch]] — same output contract
