@@ -869,7 +869,9 @@ object Queries {
       val n = e.count()
       val cut = n - math.max(1L, n / 10) // the last 10% arrives as the append batch
       val nlist = 16
-      val db = VectorDatabase.create(spark, 64, "hnsw",
+      // explicit 'ivf' (round 7: 'hnsw' now maps to the real graph index;
+      // this gate pins the IVF substitute's appendAssign path by name)
+      val db = VectorDatabase.create(spark, 64, "ivf",
         ivfClusters = nlist, efSearch = 10 * nlist)
       db.addBulk(e.where(col("vec_id") < cut), "doc", "embedding", None, "vec_id")
       val tmp = java.nio.file.Files.createTempDirectory("graft_incadd")

@@ -41,28 +41,30 @@ final case class Manifest(
 }
 
 object Manifest {
-  /** The reference's three types (local_db.py:53–54) plus 'lsh' — the second
-    * documented HNSW capability substitute (SURVEY §2.3-K5) — plus 'graph'
-    * (round 6): the REAL navigable-graph index
-    * ([[graft.vector.GraphIndex]]), selectable and persistable through the
-    * same facade API. 'hnsw' keeps its IVF-probe mapping for now; 'graph'
-    * is the opt-in true-graph path (round-7 candidate to become hnsw's
-    * default). */
-  val knownTypes: Set[String] = Set("hnsw", "flat", "ivfpq", "lsh", "graph")
+  /** The reference's three types (local_db.py:53–54) plus 'lsh' and 'ivf'
+    * — the two documented HNSW capability substitutes (SURVEY §2.3-K5),
+    * individually selectable — plus 'graph': the REAL navigable-graph
+    * index ([[graft.vector.GraphIndex]]). Round 7 flips 'hnsw' to the
+    * graph (the reference's hnsw IS a navigable-graph index, ldb:41–46,
+    * and the measured curves decide it: at the reference default
+    * ef_search the IVF probe reaches recall 0.28–0.38 on the SCALE.md
+    * corpus while the graph beam reaches 0.96+ touching fewer
+    * candidates). 'ivf' keeps the probe substitute reachable by name. */
+  val knownTypes: Set[String] = Set("hnsw", "flat", "ivfpq", "lsh", "graph", "ivf")
 
   /** Physical strategy per requested type: exact scan for 'flat'; true
     * IVF-probe + PQ/ADC compression for 'ivfpq' (the reference's
     * faiss.IndexIVFPQ, local_db.py:50–52, searches via compressed codes —
     * so do we); bucketed random-projection LSH for 'lsh'; the plain IVF
-    * probe path for 'hnsw' ('hnsw' has no data-parallel analog — SURVEY
-    * §7.3 — so its tunable-recall contract is served by IVF with ef_search
-    * mapped to nprobe). */
+    * probe for 'ivf' (ef_search → nprobe); the navigable-graph index for
+    * 'hnsw' and 'graph' — hnsw's native meaning, with ef_search as the
+    * traversal beam. */
   def effectiveFor(indexType: String): String = indexType match {
     case "flat" => "flat"
     case "ivfpq" => "ivfpq"
     case "lsh" => "lsh"
-    case "graph" => "graph"
-    case _ => "ivf"
+    case "ivf" => "ivf"
+    case _ => "graph" // 'hnsw' and 'graph'
   }
 
   private val Field = """"(\w+)"\s*:\s*("?)([^",}]*)\2""".r

@@ -31,7 +31,7 @@ class IncrementalAddSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
 
   test("ivf: add() keeps the trained centroids (no Lloyd), adopts the batch, answers exactly") {
-    val db = mkDb("hnsw", 60)
+    val db = mkDb("ivf", 60)
     db.queryVector(vec(), topK = 3).collect() // force the lazy IVF build
     val before = db.ivfIfBuilt.get
     val centroidsBefore = before.centroids
@@ -52,7 +52,7 @@ class IncrementalAddSpec extends AnyFunSuite {
   }
 
   test("ivf: appended rows land in their nearest existing cluster") {
-    val db = mkDb("hnsw", 60)
+    val db = mkDb("ivf", 60)
     db.queryVector(vec(), topK = 1).collect()
     val idx0 = db.ivfIfBuilt.get
     db.add(Seq("a"), Seq(vec()), None)
@@ -68,7 +68,7 @@ class IncrementalAddSpec extends AnyFunSuite {
   }
 
   test("dense ids continue across save → load → add; loaded ivf adopts the batch") {
-    val db = mkDb("hnsw", 60)
+    val db = mkDb("ivf", 60)
     val tmp = java.nio.file.Files.createTempDirectory("graft_incadd_spec")
     try {
       db.save(tmp.toString) // forces the build; persists centroids + assignments
@@ -92,7 +92,7 @@ class IncrementalAddSpec extends AnyFunSuite {
   }
 
   test("lazy-loaded ivf: facade probe prunes partitions; add() appends without rebuild") {
-    val db = mkDb("hnsw", 60)
+    val db = mkDb("ivf", 60)
     val tmp = java.nio.file.Files.createTempDirectory("graft_incadd_lazy")
     try {
       db.save(tmp.toString)

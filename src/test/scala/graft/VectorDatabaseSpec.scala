@@ -40,6 +40,50 @@ class VectorDatabaseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](VectorDatabase.create(spark, dim, "bogus"))
   }
 
+  test("hnsw default maps to the real graph index (round 7 flip; ldb:21 default)") {
+    val db = freshDb("hnsw")
+    assert(db.manifest.effectiveType == "graph")
+    assert(db.toString.contains("index_type=graph"))
+    // default ef_search (50) ≥ this corpus ⇒ unbounded beam ⇒ results
+    // must equal the flat scan bit for bit — the same exact-recoverable
+    // discipline every index family pins
+    val flat = freshDb("flat")
+    val a = db.queryVector(vecs(2), 3).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val b = flat.queryVector(vecs(2), 3).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.sameElements(b))
+  }
+
+  test("setEf mutates the live recall knob (≙ hnswlib set_ef, ldb:259–262)") {
+    val db = VectorDatabase.create(spark, dim, "ivf", ivfClusters = 4, efSearch = 10)
+    val many = Seq.fill(40)(vec())
+    db.add(many.indices.map(i => s"doc $i"), many, None)
+    assert(db.manifest.efSearch == 10) // nprobe 1: approximate
+    db.setEf(40) // nprobe 4 = nlist: exact-recoverable from here on
+    assert(db.manifest.efSearch == 40)
+    val flat = VectorDatabase.create(spark, dim, "flat")
+    flat.add(many.indices.map(i => s"doc $i"), many, None)
+    val a = db.queryVector(many(9), 5).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val b = flat.queryVector(many(9), 5).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.sameElements(b))
+    // the mutated knob persists through save like any manifest field
+    val path = java.nio.file.Files.createTempDirectory("graftsetef").toString
+    db.save(path)
+    assert(VectorDatabase.load(spark, path).manifest.efSearch == 40)
+  }
+
+  test("explicit ivf type keeps the probe substitute reachable (round 7)") {
+    val db = VectorDatabase.create(spark, dim, "ivf", ivfClusters = 2, efSearch = 20)
+    val many = Seq.fill(20)(vec())
+    db.add(many.indices.map(i => s"doc $i"), many, None)
+    assert(db.manifest.effectiveType == "ivf")
+    // efSearch 20 → nprobe 2 = nlist ⇒ exact-recoverable
+    val flat = VectorDatabase.create(spark, dim, "flat")
+    flat.add(many.indices.map(i => s"doc $i"), many, None)
+    val a = db.queryVector(many(7), 5).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val b = flat.queryVector(many(7), 5).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.sameElements(b))
+  }
+
   for (it <- indexTypes) {
     test(s"[$it] add assigns dense ids; len; repr (test:222–230)") {
       val db = freshDb(it)
@@ -241,7 +285,7 @@ class VectorDatabaseSpec extends AnyFunSuite {
   }
 
   test("lazy-index load: probes prune parquet partitions, results equal the eager load") {
-    val db = VectorDatabase.create(spark, dim, "hnsw", ivfClusters = 4, efSearch = 20)
+    val db = VectorDatabase.create(spark, dim, "ivf", ivfClusters = 4, efSearch = 20)
     val many = Seq.fill(40)(vec())
     db.add(many.indices.map(i => s"doc $i"), many, None)
     val path = java.nio.file.Files.createTempDirectory("graftivflazy").toString
@@ -369,7 +413,7 @@ class VectorDatabaseSpec extends AnyFunSuite {
   test("filtered queryVector on an ivf collection equals the exact filtered scan when all clusters probe (r2 VERDICT #6)") {
     // efSearch 40 → nprobe 4 = nlist: the filtered probe covers every
     // cluster, so pushdown-into-probe must reproduce the flat filtered scan
-    val db = VectorDatabase.create(spark, dim, "hnsw", ivfClusters = 4, efSearch = 40)
+    val db = VectorDatabase.create(spark, dim, "ivf", ivfClusters = 4, efSearch = 40)
     val many = Seq.fill(60)(vec())
     val ms = many.indices.map(i =>
       Map[String, Any]("priority" -> (if (i % 2 == 0) "high" else "low")))
@@ -387,7 +431,7 @@ class VectorDatabaseSpec extends AnyFunSuite {
   }
 
   test("filtered ivf probe still prunes clusters (plan pin, r2 VERDICT #6)") {
-    val db = VectorDatabase.create(spark, dim, "hnsw", ivfClusters = 4, efSearch = 10)
+    val db = VectorDatabase.create(spark, dim, "ivf", ivfClusters = 4, efSearch = 10)
     val many = Seq.fill(60)(vec())
     val ms = many.indices.map(i =>
       Map[String, Any]("priority" -> (if (i % 2 == 0) "high" else "low")))
@@ -407,7 +451,7 @@ class VectorDatabaseSpec extends AnyFunSuite {
     // (4 = nlist) covers every cluster, so the filtered ivf result must
     // equal the exact filtered scan even though the unfiltered probe of the
     // same collection reads a single cluster.
-    val db = VectorDatabase.create(spark, dim, "hnsw", ivfClusters = 4, efSearch = 10)
+    val db = VectorDatabase.create(spark, dim, "ivf", ivfClusters = 4, efSearch = 10)
     val many = Seq.fill(60)(vec())
     val ms = many.indices.map(i =>
       Map[String, Any]("priority" -> (if (i % 2 == 0) "high" else "low")))
