@@ -236,21 +236,22 @@ final class GraphIndex(val edges: DataFrame, val vectors: DataFrame,
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nB = bVecs.count()
     if (nB == 0) return this
+    // edge-finding is an APPROXIMATE search by design (hnsw's own insert
+    // runs a bounded-ef traversal); cap the hop budget well under the
+    // full diameter bound — the beam stabilizes long before it, and the
+    // appended index's search EXACTNESS rides the ring, not edge quality
+    // (spec-pinned), so fewer driver-synchronized hop rounds cost recall
+    // nothing that the tuned-recall contract doesn't already price in
     val knnNew = searchBatch(
         bVecs.select(col("id").as("qid"), col("vector").as("qv")),
-        "qid", "qv", k, ef)
+        "qid", "qv", k, ef, maxHops = 8)
       .where(col("qid") =!= col("id")) // an id collision must not self-loop
       .select(col("qid").as("src"), col("id").as("dst"))
     val allVecs = vectors.unionByName(bVecs)
     val ranked = GraphIndex.rankById(allVecs)
     val n2 = n + nB
-    val maxJ = 63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n2 - 1))
     val newIds = bVecs.select(col("id"))
-    val ringNew = (0L to maxJ).map { j =>
-      val r2 = ranked.select(col("id").as("dst"), col("rank").as("rank2"))
-      ranked.join(r2, col("rank2") === col("rank") + (1L << j))
-        .select(col("id").as("src"), col("dst"))
-    }.reduce(_ unionByName _)
+    val ringNew = GraphIndex.skipRing(ranked, n2).get // nB ≥ 1 ⇒ n2 ≥ 2
       // only edges incident to the batch: the old ring stays as built
       .join(newIds.select(col("id")),
         col("src") === col("id") || col("dst") === col("id"), "left_semi")
@@ -312,6 +313,22 @@ object GraphIndex {
       .toDF("id", "rank")
   }
 
+  /** The rank → rank + 2^j forward skip edges (j = 0..⌈log₂(n−1)⌉) as ONE
+    * shuffle join: each node explodes its ⌈log₂N⌉ target ranks, then a
+    * single equi-join on rank resolves targets to ids. The r6 shape ran
+    * one join PER j level (11 shuffles at sf0.1) — the fused form is a
+    * ~log N-fold fan-out of a LONG pair frame into one exchange, the
+    * difference between 11 stages and 2 at any scale. None when n = 1. */
+  private def skipRing(ranked: DataFrame, n: Long): Option[DataFrame] = {
+    if (n <= 1) return None
+    val maxJ = 63 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    val targets = ranked.select(col("id").as("src"),
+      explode(array((0L to maxJ).map(j => col("rank") + lit(1L << j)): _*)).as("rank2"))
+    Some(targets.join(
+        ranked.select(col("id").as("dst"), col("rank").as("rank2")), Seq("rank2"))
+      .select(col("src"), col("dst")))
+  }
+
   def build(data: DataFrame, idCol: String, vecCol: String,
             k: Int = 8, nlist: Int = 16, graphNprobe: Int = -1): GraphIndex = {
     val vectors = data.select(col(idCol).cast("long").as("id"),
@@ -323,12 +340,7 @@ object GraphIndex {
     val knn = ivf.knnGraph(vectors, "id", "vector", k, nprobe)
       .select(col("qid").as("src"), col("id").as("dst"))
     val ranked = rankById(vectors)
-    val maxJ = 63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
-    val skips = (0L to maxJ).map { j =>
-      val r2 = ranked.select(col("id").as("dst"), col("rank").as("rank2"))
-      ranked.join(r2, col("rank2") === col("rank") + (1L << j))
-        .select(col("id").as("src"), col("dst"))
-    }.reduceOption(_ unionByName _)
+    val skips = skipRing(ranked, n)
     val fwd = skips.map(knn.unionByName).getOrElse(knn) // n = 1 ⇒ no ring
     val edges = fwd
       .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
