@@ -44,6 +44,18 @@ class GraphIndexSpec extends AnyFunSuite {
     assert(viaGraph == exact)
   }
 
+  test("searchBatch returns a checkpointed distributed frame — no driver collect (r6 VERDICT #6)") {
+    val queries = emb.where(col("vec_id").isin(3L, 21L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val r = index.searchBatch(queries, "qid", "qv", k = 3, ef = 16, maxHops = 4)
+    // an eager localCheckpoint leaves a LogicalRDD leaf: the bounded
+    // result lives in executor blocks, composable into further plans,
+    // and a second action re-reads blocks instead of re-traversing
+    assert(r.queryExecution.logical.toString.contains("LogicalRDD"),
+      s"expected a checkpointed leaf, got:\n${r.queryExecution.logical}")
+    assert(r.count() == r.count())
+  }
+
   test("single-query search finds the query's own vector first") {
     val r = index.search(queryVec(42), k = 5, ef = 0).collect()
     assert(r.head.getLong(0) == 42L)
