@@ -82,7 +82,9 @@ object GraphRecallCurve {
     // recall@k vs ef at fixed hop budget — the production knob of the
     // real graph index; ef=0 (unbounded) is the exact arm gated by
     // ann_graph, pinned here as the curve's ceiling.
+    val tB = System.nanoTime()
     val gi = graft.vector.GraphIndex.build(cached, "vec_id", "embedding", k = 8)
+    println(f"[graph] graphindex build (${factor}x): ${(System.nanoTime() - tB) / 1e9}%6.2f s")
     val qdf = cached.where(col("vec_id") < nNodes)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val exactTop = exact // the nprobe = nlist graph over the same nodes
