@@ -59,11 +59,15 @@ object Bench {
       R(name, timed.map(_._1),
         timed.zipWithIndex.collect { case ((_, Some(e)), i) => s"run ${i + 1}: $e" })
     }
+    // failed runs serialize as null, never a -1.0 magic value (r6 ADVICE:
+    // a naive consumer summing/diffing per-query values would silently
+    // absorb the sentinel); the errors/failed fields carry the cause
+    def num(d: Double): String = if (d < 0) "null" else d.toString
     def obj(f: R => String): String =
       results.map(r => s""""${r.name}":${f(r)}""").mkString("{", ",", "}")
-    val qs = obj(_.best.toString)
-    val cold = obj(_.cold.toString)
-    val med = obj(_.median.toString)
+    val qs = obj(r => num(r.best))
+    val cold = obj(r => num(r.cold))
+    val med = obj(r => num(r.median))
     val anomalies = results.filter(_.suspect.nonEmpty)
       .map(r => s""""${r.name}":[${r.suspect.mkString(",")}]""").mkString("{", ",", "}")
     val errs = results.collect { case r if r.errs.nonEmpty =>
