@@ -1140,6 +1140,29 @@ object Queries {
   private def fingerprintQ(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(docsTbl(spark, dir), "doc_id", "text").orderBy(col("id"))
 
+  /** Memoized persisted winnowing-fingerprint frame (id, fp) — one
+    * explode + per-doc window pass, shared by the per-doc summary gate
+    * and the containment pair gate. */
+  private val winnowCache = new Memo[DataFrame](memoMax, "winnowCache")(unp)
+
+  private def winnowFrame(spark: SparkSession, dir: String): DataFrame =
+    winnowCache.get(spark, dir)(
+      eager(TextAnalysis.winnow(docsTbl(spark, dir), "doc_id", "text")))
+
+  /** Per-doc winnowing summary: selected-fingerprint count + the minimum
+    * selected value (pins selection, not just cardinality). */
+  private def winnowFp(spark: SparkSession, dir: String): DataFrame =
+    winnowFrame(spark, dir).groupBy(col("id"))
+      .agg(count(lit(1)).as("n_fp"), min(col("fp")).as("min_fp"))
+      .orderBy(col("id"))
+
+  /** Containment / partial-overlap pairs (MOSS winnowing): ≥ 5 shared
+    * selected fingerprints, boilerplate fingerprints (df > 20) dropped
+    * before the pair join. */
+  private def containmentQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.containmentPairs(winnowFrame(spark, dir))
+      .orderBy(col("shared").desc, col("a").asc, col("b").asc)
+
   // ---------------------------------------------------------------------------
   // Dedup suite (graft.dedup.Dedup)
   // ---------------------------------------------------------------------------
@@ -1685,6 +1708,26 @@ object Queries {
       |  FROM scored)
       |WHERE rn <= 3 ORDER BY qid, score DESC, id""".stripMargin
 
+  /** Shared DuckDB CTE chain for the winnowing gates: normalized text →
+    * char-8-gram md5 hashes → min per 16-gram window → distinct selected
+    * fingerprints per doc (`fps(id, fp)`). Mirrors TextAnalysis.winnow
+    * (k = 8, w = 16) term for term; docs shorter than k + w − 1 = 23
+    * normalized chars yield no complete window on either side. */
+  private val winnowCtes =
+    raw"""n AS (SELECT doc_id AS id,
+         |  lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt FROM documents),
+         |g AS (
+         |  SELECT id, unnest(range(1, length(nt) - 6)) AS i, nt,
+         |         length(nt) - 7 AS ngrams
+         |  FROM n WHERE length(nt) >= 23),
+         |h AS (SELECT id, i, md5(substr(nt, i::INT, 8)) AS h, ngrams FROM g),
+         |f AS (
+         |  SELECT id, i, ngrams,
+         |         min(h) OVER (PARTITION BY id ORDER BY i
+         |                      ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+         |  FROM h),
+         |fps AS (SELECT DISTINCT id, fp FROM f WHERE i <= ngrams - 15)""".stripMargin
+
   /** Shared DuckDB CTE: tokenized documents. */
   private val toksCte =
     raw"t AS (SELECT doc_id AS id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)"
@@ -2063,6 +2106,18 @@ object Queries {
            |  lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt FROM documents)
            |SELECT id, md5(nt) AS fp, md5(substr(nt, 1, 128)) AS fp_prefix
            |FROM n ORDER BY id""".stripMargin)),
+    "winnow_fp" -> Q(winnowFp, Some(
+      raw"""WITH $winnowCtes
+           |SELECT id, count(*) AS n_fp, min(fp) AS min_fp
+           |FROM fps GROUP BY id ORDER BY id""".stripMargin)),
+    "containment" -> Q(containmentQ, Some(
+      raw"""WITH $winnowCtes,
+           |keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 20),
+           |pr AS (SELECT fps.id, fps.fp FROM fps JOIN keep USING (fp))
+           |SELECT l.id AS a, r.id AS b, count(*) AS shared
+           |FROM pr l JOIN pr r ON l.fp = r.fp AND l.id < r.id
+           |GROUP BY 1, 2 HAVING count(*) >= 5
+           |ORDER BY shared DESC, a, b""".stripMargin)),
     "dedup_clusters" -> Q(dedupClusters, Some(
       raw"""WITH RECURSIVE $shinglesCte,
            |$ccOracleCtes

@@ -168,4 +168,57 @@ object TextAnalysis {
       md5(norm).as("fp"),
       md5(substring(norm, 1, prefixLen)).as("fp_prefix"))
   }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    * the MOSS local-fingerprinting algorithm): md5 char-k-gram hashes over
+    * the [[normalized]] text, minimum hash per sliding window of `w`
+    * consecutive grams, DISTINCT selected values per doc. Guarantee: any
+    * shared substring of ≥ k + w − 1 chars between two docs yields ≥ 1
+    * SHARED fingerprint, while selection keeps only ~2/(w+1) of grams —
+    * the scalable containment / partial-overlap primitive that whole-doc
+    * hashing ([[fingerprint]]) and whole-doc set similarity (the Jaccard
+    * funnel) both miss (quoted chunks, boilerplate reuse, doc-inside-doc).
+    * Docs shorter than k + w − 1 have no complete window and yield none.
+    * One scan → explode → one per-doc window shuffle; no UDF. Output:
+    * (id, fp), distinct. */
+  def winnow(docs: DataFrame, idCol: String, textCol: String,
+             k: Int = 8, w: Int = 16): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("id"),
+        normalized(col(textCol)).as("__nt"))
+      .where(length(col("__nt")) >= k + w - 1)
+    val grams = base
+      .select(col("id"), (length(col("__nt")) - (k - 1)).as("__ngrams"),
+        explode(sequence(lit(1), length(col("__nt")) - (k - 1))).as("i"),
+        col("__nt"))
+      .select(col("id"), col("__ngrams"), col("i"),
+        md5(expr(s"substring(__nt, i, $k)")).as("h"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("i"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    grams.select(col("id"), col("i"), col("__ngrams"),
+        min(col("h")).over(win).as("fp"))
+      .where(col("i") <= col("__ngrams") - (w - 1))
+      .select(col("id"), col("fp")).distinct()
+  }
+
+  /** Containment / partial-overlap pairs over [[winnow]] fingerprints:
+    * doc pairs sharing ≥ `minShared` selected fingerprints. Boilerplate
+    * guard: a fingerprint appearing in more than `dfCap` docs is dropped
+    * BEFORE the pair join — at corpus scale one ubiquitous boilerplate
+    * chunk would otherwise generate df² candidate pairs; dropping it
+    * loses only matches that ≥ dfCap other docs share too (the standard
+    * winnowing-index discipline, same shape as the minhash bucket
+    * guard). Pair volume is bounded by Σ_fp min(df, dfCap)², never
+    * |docs|². Output: (a, b, shared) with a < b. */
+  def containmentPairs(fps: DataFrame, minShared: Int = 5,
+                       dfCap: Int = 20): DataFrame = {
+    val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= dfCap).select(col("fp"))
+    val pr = fps.join(keep.hint("shuffle_hash"), Seq("fp"), "left_semi")
+    pr.as("l").join(pr.as("r"),
+        col("l.fp") === col("r.fp") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("a"), col("r.id").as("b"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
 }

@@ -41,4 +41,43 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
     assert(got == Map(0L -> (2L, 60L), 1L -> (1L, 10L), 2L -> (1L, 1L)))
   }
+
+  test("winnow: a shared >= k+w-1 char substring guarantees >= 1 shared fingerprint") {
+    val chunk = "quick brown foxes jump over seventeen lazy dogs" // 47 chars >= 23
+    val rnd = new scala.util.Random(11)
+    def filler(n: Int) = Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = Seq(
+      (0L, filler(100) + " " + chunk + " " + filler(80)),
+      (1L, filler(90) + " " + chunk + " " + filler(120)),
+      (2L, filler(200))
+    ).toDF("id", "text")
+    val fps = TextAnalysis.winnow(docs, "id", "text")
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    // the winnowing guarantee (Schleimer 2003): docs 0 and 1 share the chunk
+    assert(fps(0L).intersect(fps(1L)).nonEmpty)
+    // the random doc shares nothing with either (md5 8-gram collision ~ 0)
+    assert(fps(2L).intersect(fps(0L)).isEmpty && fps(2L).intersect(fps(1L)).isEmpty)
+    // density: selected fingerprints are a strict subset of the gram count
+    docs.collect().foreach { r =>
+      val n = r.getString(1).toLowerCase.replaceAll("\\s+", " ").trim.length - 7
+      assert(fps(r.getLong(0)).size < n)
+    }
+  }
+
+  test("containmentPairs: shared-count semantics and the boilerplate dfCap guard") {
+    val chunk = "quick brown foxes jump over seventeen lazy dogs again and again"
+    val rnd = new scala.util.Random(13)
+    def filler(n: Int) = Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = Seq(
+      (0L, filler(60) + " " + chunk),
+      (1L, chunk + " " + filler(70)),
+      (2L, filler(150))
+    ).toDF("id", "text")
+    val fps = TextAnalysis.winnow(docs, "id", "text")
+    val pairs = TextAnalysis.containmentPairs(fps, minShared = 1, dfCap = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L)))
+    // dfCap = 0 drops EVERY fingerprint -> the guard kills all pairs
+    assert(TextAnalysis.containmentPairs(fps, minShared = 1, dfCap = 0).isEmpty)
+  }
 }
