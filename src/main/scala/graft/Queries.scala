@@ -1163,6 +1163,23 @@ object Queries {
     TextAnalysis.containmentPairs(winnowFrame(spark, dir))
       .orderBy(col("shared").desc, col("a").asc, col("b").asc)
 
+  /** Incremental containment — the production shape (each arriving batch
+    * checked for partial overlap against the indexed corpus + itself,
+    * batch-vs-corpus and batch-vs-batch joins only, never
+    * corpus-vs-corpus), mirroring dedup_incremental's 90/10 cut. The
+    * corpus/batch fingerprint frames are id-slices of the memoized full
+    * winnowing frame — fingerprints are strictly per-doc, so the corpus
+    * slice IS the reusable corpus index. Equal by construction to the
+    * full pair set restricted to max-id-in-batch (batch ids sit above
+    * the cut), which is what the SQL oracle states. */
+  private def containmentIncrementalQ(spark: SparkSession, dir: String): DataFrame = {
+    val cut = incrementalCut(spark, dir)
+    val fps = winnowFrame(spark, dir)
+    TextAnalysis.containmentIncremental(
+        fps.where(col("id") < cut), fps.where(col("id") >= cut))
+      .orderBy(col("shared").desc, col("a").asc, col("b").asc)
+  }
+
   // ---------------------------------------------------------------------------
   // Dedup suite (graft.dedup.Dedup)
   // ---------------------------------------------------------------------------
@@ -2117,6 +2134,15 @@ object Queries {
            |SELECT l.id AS a, r.id AS b, count(*) AS shared
            |FROM pr l JOIN pr r ON l.fp = r.fp AND l.id < r.id
            |GROUP BY 1, 2 HAVING count(*) >= 5
+           |ORDER BY shared DESC, a, b""".stripMargin)),
+    "containment_incremental" -> Q(containmentIncrementalQ, Some(
+      raw"""WITH $winnowCtes,
+           |keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 20),
+           |pr AS (SELECT fps.id, fps.fp FROM fps JOIN keep USING (fp))
+           |SELECT l.id AS a, r.id AS b, count(*) AS shared
+           |FROM pr l JOIN pr r ON l.fp = r.fp AND l.id < r.id
+           |GROUP BY 1, 2 HAVING count(*) >= 5
+           |  AND r.id >= (SELECT CAST(ceil(0.9 * count(*)) AS BIGINT) FROM documents)
            |ORDER BY shared DESC, a, b""".stripMargin)),
     "dedup_clusters" -> Q(dedupClusters, Some(
       raw"""WITH RECURSIVE $shinglesCte,

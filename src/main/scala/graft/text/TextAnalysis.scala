@@ -221,4 +221,33 @@ object TextAnalysis {
       .agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
   }
+
+  /** INCREMENTAL containment: pairs involving at least one `batchFps` doc
+    * — batch-vs-corpus and batch-vs-batch, never corpus-vs-corpus (those
+    * were found when the corpus was indexed). The production per-batch
+    * query: both joins put the BATCH on the left, so per-batch cost is
+    * ∝ batch fingerprints × their collisions, not the corpus pair space.
+    * The df-cap guard is computed over corpus ∪ batch — the df a
+    * maintained fingerprint index would hold — which makes the result
+    * provably equal to [[containmentPairs]] over the union restricted to
+    * pairs whose max id is in the batch (ids disjoint, batch ids above
+    * corpus ids — the dense-rowid contract). Output: (a, b, shared),
+    * a < b. */
+  def containmentIncremental(corpusFps: DataFrame, batchFps: DataFrame,
+                             minShared: Int = 5, dfCap: Int = 20): DataFrame = {
+    val keep = corpusFps.unionByName(batchFps)
+      .groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= dfCap).select(col("fp"))
+    val bp = batchFps.join(keep.hint("shuffle_hash"), Seq("fp"), "left_semi")
+    val cp = corpusFps.join(keep.hint("shuffle_hash"), Seq("fp"), "left_semi")
+    val bvc = bp.as("l").join(cp.as("r"), col("l.fp") === col("r.fp"))
+      .select(least(col("l.id"), col("r.id")).as("a"),
+        greatest(col("l.id"), col("r.id")).as("b"))
+    val bvb = bp.as("l").join(bp.as("r"),
+        col("l.fp") === col("r.fp") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+    bvc.unionByName(bvb)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.text.TextAnalysis
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Contract pins for the sequence-packing operator (the text-analysis
@@ -79,5 +80,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L)))
     // dfCap = 0 drops EVERY fingerprint -> the guard kills all pairs
     assert(TextAnalysis.containmentPairs(fps, minShared = 1, dfCap = 0).isEmpty)
+  }
+
+  test("containmentIncremental == full pairs restricted to max-id-in-batch (differential)") {
+    val chunk = "quick brown foxes jump over seventeen lazy dogs again and again"
+    val rnd = new scala.util.Random(17)
+    def filler(n: Int) = Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    // ids 0..5 corpus, 6..9 batch; chunk shared across both sides
+    val docs = (0L to 9L).map { i =>
+      (i, if (i % 3 == 0) filler(50) + " " + chunk + " " + filler(40)
+          else filler(120))
+    }.toDF("id", "text")
+    val fps = TextAnalysis.winnow(docs, "id", "text")
+    val cut = 6L
+    val inc = TextAnalysis.containmentIncremental(
+        fps.where(col("id") < cut), fps.where(col("id") >= cut),
+        minShared = 1, dfCap = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = TextAnalysis.containmentPairs(fps, minShared = 1, dfCap = 20)
+      .where(col("b") >= cut)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc == full && inc.nonEmpty)
   }
 }
