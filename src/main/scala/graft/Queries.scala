@@ -1149,6 +1149,15 @@ object Queries {
     winnowCache.get(spark, dir)(
       eager(TextAnalysis.winnow(docsTbl(spark, dir), "doc_id", "text")))
 
+  /** Memoized df-cap-guarded fingerprint frame — the maintained
+    * containment index (the boilerplate guard is a corpus property; both
+    * containment gates run pure pair joins over it). */
+  private val winnowGuardedCache = new Memo[DataFrame](memoMax, "winnowGuardedCache")(unp)
+
+  private def winnowGuarded(spark: SparkSession, dir: String): DataFrame =
+    winnowGuardedCache.get(spark, dir)(
+      eager(TextAnalysis.guardFingerprints(winnowFrame(spark, dir), dfCap = 20)))
+
   /** Per-doc winnowing summary: selected-fingerprint count + the minimum
     * selected value (pins selection, not just cardinality). */
   private def winnowFp(spark: SparkSession, dir: String): DataFrame =
@@ -1160,7 +1169,7 @@ object Queries {
     * selected fingerprints, boilerplate fingerprints (df > 20) dropped
     * before the pair join. */
   private def containmentQ(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.containmentPairs(winnowFrame(spark, dir))
+    TextAnalysis.containmentPairs(winnowGuarded(spark, dir), dfCap = Int.MaxValue)
       .orderBy(col("shared").desc, col("a").asc, col("b").asc)
 
   /** Incremental containment — the production shape (each arriving batch
@@ -1174,9 +1183,10 @@ object Queries {
     * the cut), which is what the SQL oracle states. */
   private def containmentIncrementalQ(spark: SparkSession, dir: String): DataFrame = {
     val cut = incrementalCut(spark, dir)
-    val fps = winnowFrame(spark, dir)
+    val fps = winnowGuarded(spark, dir)
     TextAnalysis.containmentIncremental(
-        fps.where(col("id") < cut), fps.where(col("id") >= cut))
+        fps.where(col("id") < cut), fps.where(col("id") >= cut),
+        dfCap = Int.MaxValue)
       .orderBy(col("shared").desc, col("a").asc, col("b").asc)
   }
 

@@ -210,11 +210,20 @@ object TextAnalysis {
     * winnowing-index discipline, same shape as the minhash bucket
     * guard). Pair volume is bounded by Σ_fp min(df, dfCap)², never
     * |docs|². Output: (a, b, shared) with a < b. */
-  def containmentPairs(fps: DataFrame, minShared: Int = 5,
-                       dfCap: Int = 20): DataFrame = {
+  /** The df-cap boilerplate guard as a standalone step: drop fingerprints
+    * appearing in more than `dfCap` docs. A deployment memoizes ITS output
+    * as the maintained fingerprint index (the guard is a corpus property,
+    * not a query property) and runs the pair joins below with
+    * `dfCap = Int.MaxValue`. */
+  def guardFingerprints(fps: DataFrame, dfCap: Int = 20): DataFrame = {
     val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
       .where(col("__df") <= dfCap).select(col("fp"))
-    val pr = fps.join(keep.hint("shuffle_hash"), Seq("fp"), "left_semi")
+    fps.join(keep.hint("shuffle_hash"), Seq("fp"), "left_semi")
+  }
+
+  def containmentPairs(fps: DataFrame, minShared: Int = 5,
+                       dfCap: Int = 20): DataFrame = {
+    val pr = if (dfCap == Int.MaxValue) fps else guardFingerprints(fps, dfCap)
     pr.as("l").join(pr.as("r"),
         col("l.fp") === col("r.fp") && col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("a"), col("r.id").as("b"))
@@ -235,11 +244,15 @@ object TextAnalysis {
     * a < b. */
   def containmentIncremental(corpusFps: DataFrame, batchFps: DataFrame,
                              minShared: Int = 5, dfCap: Int = 20): DataFrame = {
-    val keep = corpusFps.unionByName(batchFps)
-      .groupBy(col("fp")).agg(count(lit(1)).as("__df"))
-      .where(col("__df") <= dfCap).select(col("fp"))
-    val bp = batchFps.join(keep.hint("shuffle_hash"), Seq("fp"), "left_semi")
-    val cp = corpusFps.join(keep.hint("shuffle_hash"), Seq("fp"), "left_semi")
+    val (bp, cp) =
+      if (dfCap == Int.MaxValue) (batchFps, corpusFps) // pre-guarded index
+      else {
+        val keep = corpusFps.unionByName(batchFps)
+          .groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+          .where(col("__df") <= dfCap).select(col("fp"))
+        (batchFps.join(keep.hint("shuffle_hash"), Seq("fp"), "left_semi"),
+          corpusFps.join(keep.hint("shuffle_hash"), Seq("fp"), "left_semi"))
+      }
     val bvc = bp.as("l").join(cp.as("r"), col("l.fp") === col("r.fp"))
       .select(least(col("l.id"), col("r.id")).as("a"),
         greatest(col("l.id"), col("r.id")).as("b"))
