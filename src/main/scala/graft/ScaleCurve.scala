@@ -28,7 +28,8 @@ object ScaleCurve {
     val factors = (if (args.length > 2) args(2) else "1,2,5,10")
       .split(",").map(_.trim.toInt).toSeq
     val names = Seq("dedup_exact", "dedup_jaccard", "dedup_minhash",
-      "dedup_simhash", "dedup_embedding", "dedup_embedding_banded")
+      "dedup_simhash", "dedup_embedding", "dedup_embedding_banded",
+      "winnow_fp", "containment", "containment_incremental")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
