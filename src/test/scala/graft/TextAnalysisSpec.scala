@@ -102,4 +102,18 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(inc == full && inc.nonEmpty)
   }
+
+  test("containment joins are equi-joins on fp — never a cartesian") {
+    val docs = Seq((0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "alpha beta gamma delta epsilon zeta eta iota")).toDF("id", "text")
+    val fps = TextAnalysis.winnow(docs, "id", "text")
+    for (plan <- Seq(
+        TextAnalysis.containmentPairs(fps, minShared = 1),
+        TextAnalysis.containmentIncremental(
+          fps.where(col("id") < 1), fps.where(col("id") >= 1), minShared = 1))) {
+      val p = plan.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"containment plan degenerated to a cross product:\n$p")
+    }
+  }
 }
