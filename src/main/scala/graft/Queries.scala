@@ -2409,6 +2409,20 @@ object Queries {
       raw"""SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
            |       min(doc_id) AS kept_id
            |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin)),
+    "streaming_containment" -> Q(
+      (s, d) => graft.streaming.StreamingGates.streamingContainment(s, d),
+      Some(raw"""WITH $winnowCtes,
+           |drop_ AS (
+           |  SELECT fp FROM fps
+           |  WHERE id < (SELECT CAST(ceil(0.9 * count(*)) AS BIGINT) FROM documents)
+           |  GROUP BY fp HAVING count(*) > 20),
+           |pr AS (SELECT id, fp FROM fps WHERE fp NOT IN (SELECT fp FROM drop_))
+           |SELECT l.id AS a, r.id AS b, count(*) AS shared
+           |FROM pr l JOIN pr r ON l.fp = r.fp AND l.id < r.id
+           |GROUP BY 1, 2
+           |HAVING count(*) >= 5
+           |  AND r.id >= (SELECT CAST(ceil(0.9 * count(*)) AS BIGINT) FROM documents)
+           |ORDER BY shared DESC, a, b""".stripMargin)),
     "streaming_range_join" -> Q(streamingRangeJoin, Some(
       """WITH p AS (SELECT user_id, ts AS pts, event_id AS purchase_id
         |           FROM events WHERE event_type = 'purchase'),

@@ -400,4 +400,80 @@ object StreamingGates {
       rmrf(tmp)
     }
   }
+
+  /** Streaming containment (round 7): each arriving micro-batch's
+    * winnowing fingerprints are containment-joined (foreachBatch) against
+    * a GROWING fingerprint index — seeded with the indexed corpus (first
+    * 90% of doc ids), extended with every drained batch's fingerprints —
+    * so batch-vs-corpus AND batch-vs-earlier-batch pairs each emerge
+    * exactly once, when their later doc arrives. The boilerplate guard is
+    * the FROZEN corpus df (a deployment refreshes the guard at index
+    * rebuilds, not per batch), which makes the accumulated result a pure
+    * function of the data — the SQL oracle states it directly, arrival
+    * pacing invisible. The last-10% docs arrive as three doc_id-range
+    * files paced one per trigger (≥ 3 real micro-batches, asserted).
+    * Emitted pair frames and the growing index are bounded eager
+    * checkpoints; at production scale both become parquet appends. */
+  def streamingContainment(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val n = docs.count()
+    val cut = math.ceil(0.9 * n).toLong
+    val tmp = Files.createTempDirectory("graft_stream_contain")
+    val batchDocs = docs.where(col("doc_id") >= cut).persist()
+    try {
+      val corpusFps = TextAnalysis.winnow(
+        docs.where(col("doc_id") < cut), "doc_id", "text").localCheckpoint(true)
+      val dropFps = corpusFps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+        .where(col("__df") > 20).select(col("fp")).localCheckpoint(true)
+      var index = corpusFps.join(dropFps, Seq("fp"), "left_anti").localCheckpoint(true)
+      val nB = n - cut
+      val cuts = Seq(cut, cut + nB / 3, cut + 2 * nB / 3, n + 1)
+      val inDir = java.nio.file.Paths.get(s"$tmp/in")
+      Files.createDirectories(inDir)
+      cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+        batchDocs.where(col("doc_id") >= lo && col("doc_id") < hi)
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/range$i")
+      }
+      var t = System.currentTimeMillis() - 60000
+      (0 until 3).foreach { i =>
+        val ls = Files.list(java.nio.file.Paths.get(s"$tmp/range$i"))
+        val found =
+          try ls.filter(p => p.toString.endsWith(".parquet")).findFirst()
+          finally ls.close()
+        require(found.isPresent, s"no parquet part under $tmp/range$i")
+        val dst = inDir.resolve(f"batch$i%02d.parquet")
+        Files.move(found.get, dst)
+        Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(t))
+        t += 10000
+      }
+      val sunk = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      val q = withStreamSession(spark, 8) { ss =>
+        ss.readStream.schema(batchDocs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+          .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+            val bFps = TextAnalysis.winnow(b, "doc_id", "text")
+              .join(dropFps, Seq("fp"), "left_anti").localCheckpoint(true)
+            sunk += TextAnalysis.containmentIncremental(index, bFps,
+              minShared = 5, dfCap = Int.MaxValue).localCheckpoint(true)
+            index = index.unionByName(bFps).localCheckpoint(true)
+            ()
+          }.start()
+      }
+      try {
+        q.processAllAvailable()
+        val batches = q.recentProgress.count(_.numInputRows > 0)
+        require(batches >= 3,
+          s"expected >= 3 paced micro-batches, saw $batches — the trigger pacing is broken")
+      } finally q.stop()
+      val all = sunk.reduce(_ unionByName _)
+        .orderBy(col("shared").desc, col("a").asc, col("b").asc)
+      // gate result: driver-sized (the same rows the driver writes out)
+      val rows = java.util.Arrays.asList(all.collect(): _*)
+      spark.createDataFrame(rows, all.schema)
+    } finally {
+      batchDocs.unpersist(blocking = false)
+      rmrf(tmp)
+    }
+  }
 }
