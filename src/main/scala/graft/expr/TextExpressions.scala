@@ -68,7 +68,115 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken, SIGMOD
+  * 2003) of ONE text span in ONE expression: md5 over every char-k-gram,
+  * minimum per sliding window of `w` grams, distinct selected values.
+  *
+  * Replaces the explode → md5 → `min over (partition by id rows between
+  * current and w-1 following)` → distinct chain (r8: measured 3.2 s WARM
+  * at sf0.1 for only 1.4M gram rows — the per-doc window shuffle and the
+  * pre-selection global distinct dominate). Here the gram hashes never
+  * become Catalyst rows at all: one JVM pass per span computes the grams
+  * (md5 kept as two longs; unsigned 128-bit big-endian order == hex-string
+  * lexicographic order, so the min is THE SAME fingerprint the SQL window
+  * picks), an O(n) monotonic-deque sliding minimum selects, and only the
+  * ~2/(w+1) distinct survivors are hex-rendered. The caller explodes the
+  * output — the shuffle-facing row count drops from every gram to every
+  * SELECTED fingerprint.
+  *
+  * Gram positions are CODE POINTS, matching both Spark's `substring` and
+  * the DuckDB oracle's; fingerprint VALUES are unchanged lowercase md5 hex,
+  * so the winnowing oracle CTE needs no edit.
+  *
+  * Semantics: null → null; fewer than k + w − 1 code points → empty array
+  * (no complete window), mirroring the old chain's length pre-filter.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1 && w >= 1, "gram width and window size must be >= 1")
+
+  override def prettyName: String = "winnow_fps"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING arg, got ${other.simpleString}")
+  }
+
+  private[this] val hexDigits = "0123456789abcdef".toCharArray
+
+  private def hex(hi: Long, lo: Long): String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) { out(i) = hexDigits(((hi >>> (60 - 4 * i)) & 0xF).toInt); i += 1 }
+    while (i < 32) { out(i) = hexDigits(((lo >>> (60 - 4 * (i - 16))) & 0xF).toInt); i += 1 }
+    new String(out)
+  }
+
+  // unsigned 128-bit big-endian compare == lexicographic order of the hex
+  private def less(aHi: Long, aLo: Long, bHi: Long, bLo: Long): Boolean = {
+    val c = java.lang.Long.compareUnsigned(aHi, bHi)
+    c < 0 || (c == 0 && java.lang.Long.compareUnsigned(aLo, bLo) < 0)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    // code-point start offsets; fast path when no surrogate pairs
+    val cps: Array[Int] =
+      if (s.codePointCount(0, s.length) == s.length) null
+      else {
+        val a = new Array[Int](s.codePointCount(0, s.length) + 1)
+        var ci = 0; var off = 0
+        while (off < s.length) { a(ci) = off; ci += 1; off = s.offsetByCodePoints(off, 1) }
+        a(ci) = s.length
+        a
+      }
+    val n = if (cps == null) s.length else cps.length - 1
+    val nGrams = n - k + 1
+    if (nGrams < w) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hi = new Array[Long](nGrams)
+    val lo = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      val from = if (cps == null) i else cps(i)
+      val until = if (cps == null) i + k else cps(i + k)
+      val d = md.digest(s.substring(from, until)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L; var l = 0L; var b = 0
+      while (b < 8) { h = (h << 8) | (d(b) & 0xFFL); l = (l << 8) | (d(b + 8) & 0xFFL); b += 1 }
+      hi(i) = h; lo(i) = l
+      i += 1
+    }
+    // monotonic-deque sliding minimum: O(nGrams) total comparisons
+    val seen = new java.util.LinkedHashSet[String]()
+    val dq = new Array[Int](nGrams)
+    var head = 0; var tail = 0 // dq[head, tail) ascending by value
+    var j = 0
+    while (j < nGrams) {
+      while (tail > head && !less(hi(dq(tail - 1)), lo(dq(tail - 1)), hi(j), lo(j))) tail -= 1
+      dq(tail) = j; tail += 1
+      if (dq(head) <= j - w) head += 1
+      if (j >= w - 1) { val m = dq(head); seen.add(hex(hi(m), lo(m))) }
+      j += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var z = 0
+    while (it.hasNext) { out(z) = UTF8String.fromString(it.next()); z += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpr {
   def wordShingles(text: Column, n: Int): Column =
     GraftColumnBridge.column(WordShingles(GraftColumnBridge.expression(text), n))
+
+  def winnowFps(text: Column, k: Int, w: Int): Column =
+    GraftColumnBridge.column(WinnowFingerprints(GraftColumnBridge.expression(text), k, w))
 }

@@ -418,16 +418,25 @@ object StreamingGates {
     * the paced input dir, the corpus fingerprint/guard frames and the seed
     * index — all immutable corpus artifacts (the bench runs the gate three
     * times; rebuilding them per run pressured the whole shared suite JVM).
-    * The STREAM itself (drain + per-batch joins + growing index) runs
-    * fresh every call — that is what the gate times. */
-  private val containInputs = scala.collection.mutable.HashMap
-    .empty[(SparkSession, String), (String, DataFrame, DataFrame)]
+    * Held in a capped [[Memo]] whose dispose unpersists the checkpointed
+    * frames and removes the temp dir (r7 ADVICE #2: the previous plain
+    * HashMap accumulated block storage and temp dirs across dirs,
+    * reclaimed only at JVM shutdown). The STREAM itself (drain + per-batch
+    * joins + growing index) runs fresh every call — that is what the gate
+    * times. */
+  private val containInputs =
+    new graft.Memo[(java.nio.file.Path, DataFrame, DataFrame)](
+        graft.Memo.defaultMax, "containInputs")({ case (tmp, drop, seed) =>
+      drop.unpersist(blocking = false)
+      seed.unpersist(blocking = false)
+      rmrf(tmp)
+    })
 
   def streamingContainment(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.TextAnalysis
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val (inPath, dropFps, seedIndex) = containInputs.synchronized {
-      containInputs.getOrElseUpdate((spark, dir), {
+    val (tmpRoot, dropFps, seedIndex) = containInputs.get(spark, dir) {
+      locally {
         val n = docs.count()
         val cut = math.ceil(0.9 * n).toLong
         val tmp = Files.createTempDirectory("graft_stream_contain")
@@ -437,6 +446,9 @@ object StreamingGates {
         val drop = corpusFps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
           .where(col("__df") > 20).select(col("fp")).localCheckpoint(true)
         val seed = corpusFps.join(drop, Seq("fp"), "left_anti").localCheckpoint(true)
+        // corpusFps was scaffolding for drop/seed — free its blocks now
+        // rather than holding a third checkpointed copy per (session, dir)
+        corpusFps.unpersist(blocking = false)
         val batchDocs = docs.where(col("doc_id") >= cut)
         val nB = n - cut
         val cuts = Seq(cut, cut + nB / 3, cut + 2 * nB / 3, n + 1)
@@ -458,9 +470,10 @@ object StreamingGates {
           Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(t))
           t += 10000
         }
-        (inDir.toString, drop, seed)
-      })
+        (tmp, drop, seed)
+      }
     }
+    val inPath = tmpRoot.resolve("in").toString
     locally {
       var index = seedIndex
       val batchSchema = docs.schema
@@ -480,8 +493,13 @@ object StreamingGates {
       try {
         q.processAllAvailable()
         val batches = q.recentProgress.count(_.numInputRows > 0)
-        require(batches >= 3,
-          s"expected >= 3 paced micro-batches, saw $batches — the trigger pacing is broken")
+        // a dir whose 10% batch region holds < 3 docs legitimately fills
+        // < 3 range files (r7 ADVICE #4) — require only what the corpus
+        // can carry, like the other paced gates scale their pacing check
+        val n = docs.count()
+        val want = math.min(3L, math.max(1L, n - math.ceil(0.9 * n).toLong))
+        require(batches >= want,
+          s"expected >= $want paced micro-batches, saw $batches — the trigger pacing is broken")
       } finally q.stop()
       val all = sunk.reduce(_ unionByName _)
         .orderBy(col("shared").desc, col("a").asc, col("b").asc)

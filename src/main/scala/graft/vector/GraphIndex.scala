@@ -41,18 +41,32 @@ final class GraphIndex(val edges: DataFrame, val vectors: DataFrame,
                        val entryId: Long, val n: Long,
                        private val retained: Seq[DataFrame]) {
 
-  def dispose(): Unit = retained.foreach(_.unpersist(blocking = false))
+  def dispose(): Unit = {
+    retained.foreach(_.unpersist(blocking = false))
+    // free the coverage walk's checkpointed segments too (r7 ADVICE #3:
+    // on graphCache eviction they otherwise linger until the
+    // ContextCleaner GCs the RDDs)
+    coverageRdds.foreach(_.unpersist(blocking = false))
+    coverageRdds = Nil
+    coverageCache = null
+  }
 
   /** Exact-arm coverage (the id set reachable from `entryId`) is a
     * property of the GRAPH, independent of query and call — memoized per
     * index instance like every other deterministic index artifact, so
     * only the first unbounded-beam search on an index pays the BFS
-    * rounds. `append` returns a NEW instance, invalidating naturally. */
+    * rounds. `append` returns a NEW instance, invalidating naturally.
+    * The backing checkpointed segment RDDs are tracked for [[dispose]]. */
   @volatile private var coverageCache: DataFrame = null
+  @volatile private var coverageRdds: List[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = Nil
 
   /** Batch graph search. `ef = 0` means an unbounded beam (exact over the
     * connected graph when `maxHops` ≥ diameter — the skip-ring bounds it
-    * by 2⌈log₂N⌉ + 2, the default). Output contract matches
+    * by 2⌈log₂N⌉ + 2, the default). On the unbounded arm two hops are
+    * fused per driver round, so an ODD `maxHops` is rounded UP to the
+    * next even hop count (a budget, not an exact walk length — the walk
+    * also early-exits the moment coverage completes). Output contract
+    * matches
     * [[ExactKNN.topKBatch]]: (qid, id, score), score desc, id-asc ties.
     * The bounded result (k × |Q| rows) is returned as an eagerly
     * checkpointed frame — materialized distributed, never funneled
@@ -115,41 +129,53 @@ final class GraphIndex(val edges: DataFrame, val vectors: DataFrame,
       // references only the checkpointed frontier, so plan depth stays
       // constant — halving the number of driver-synchronized rounds the
       // ~log₂N-diameter walk needs.
-      // visited = a lazy union of per-round checkpointed segments: the
-      // union's plan is a flat list of materialized leaves (linear in
-      // round count, never nested), so it needs no checkpoint of its own.
+      // visited = per-round checkpointed segments accumulated as an
+      // RDD-LEVEL union: an RDD union adds no plan nodes, so every
+      // round's anti-join scans ONE LogicalRDD leaf and the round plans
+      // are shape-identical — the generated code (and janino's compile)
+      // is reused across rounds. The prior DataFrame-union accumulation
+      // grew a fresh plan shape per round, and per-round codegen
+      // compilation — not data volume — dominated the walk's cold cost
+      // (r8: facade_graph_knn 38 s driver cold, ~1 s/round of it janino).
       val coverage = synchronized {
         // a caller-truncated walk (maxHops > 0) may be PARTIAL coverage —
         // never cache it, never serve the full-walk cache for it
         if (coverageCache != null && maxHops <= 0) coverageCache
         else {
-          var segments = List(
-            spark.range(1).select(lit(entryId).as("id")).localCheckpoint(true))
-          def visited: DataFrame = segments.reduce(_ unionByName _)
-          var frontier = segments.head
+          val sc = spark.sparkContext
+          val seed = spark.range(1).select(lit(entryId).as("id"))
+          val idSchema = seed.schema
+          var segments = List(seed.rdd.localCheckpoint())
+          segments.head.count()
+          def visited: DataFrame =
+            spark.createDataFrame(sc.union(segments), idSchema)
+          var frontier = visited
           var visitedCount = 1L
           var round = 0
-          val rounds = hops / 2 + 1
+          val rounds = (hops + 1) / 2 // 2 hops per round (ADVICE r7: was
+          // hops/2 + 1, overshooting a caller's hop budget by a round)
           var done = n == 1L
           while (round < rounds && !done) {
             val hop1 = frontier.join(edges, frontier("id") === edges("src"))
               .select(col("dst").as("id")).distinct()
             val hop2 = hop1.join(edges, hop1("id") === edges("src"))
               .select(col("dst").as("id"))
-            val (expand, moved) = matCount(
-              hop1.unionByName(hop2).distinct()
-                .join(visited, Seq("id"), "left_anti"))
-            if (moved > 0) segments ::= expand
+            val expandRdd = hop1.unionByName(hop2).distinct()
+              .join(visited, Seq("id"), "left_anti")
+              .rdd.localCheckpoint()
+            val moved = expandRdd.count()
+            if (moved > 0) segments ::= expandRdd
             visitedCount += moved
-            frontier = expand
+            frontier = spark.createDataFrame(expandRdd, idSchema)
             // converged when the frontier died; or early-exit as soon as
             // the walk has covered the whole corpus (skip-ring
             // connectivity guarantees this within the diameter bound)
             done = moved == 0 || visitedCount == n
             round += 1
           }
-          if (maxHops <= 0) coverageCache = visited
-          visited
+          val cov = visited
+          if (maxHops <= 0) { coverageCache = cov; coverageRdds = segments }
+          cov
         }
       }
       // coverage × queries: the small persisted q side broadcasts, so
@@ -237,14 +263,18 @@ final class GraphIndex(val edges: DataFrame, val vectors: DataFrame,
     val nB = bVecs.count()
     if (nB == 0) return this
     // edge-finding is an APPROXIMATE search by design (hnsw's own insert
-    // runs a bounded-ef traversal); cap the hop budget well under the
-    // full diameter bound — the beam stabilizes long before it, and the
-    // appended index's search EXACTNESS rides the ring, not edge quality
-    // (spec-pinned), so fewer driver-synchronized hop rounds cost recall
-    // nothing that the tuned-recall contract doesn't already price in
+    // runs a bounded-ef traversal); the hop budget is the skip-ring's
+    // GREEDY-ROUTING bound ⌈log₂ n⌉ + 2 (any node is reachable from the
+    // entry in ~log₂ n ring hops), not the full 2⌈log₂ n⌉ + 2 coverage
+    // diameter — the beam stabilizes well before it (the bounded arm
+    // early-exits on a dead frontier), and the appended index's search
+    // EXACTNESS rides the ring, not edge quality (spec-pinned). Derived,
+    // not hard-coded (r7 VERDICT nit): a billion-node graph gets the ~32
+    // hops it needs, a thousand-node graph stops at 12.
     val knnNew = searchBatch(
         bVecs.select(col("id").as("qid"), col("vector").as("qv")),
-        "qid", "qv", k, ef, maxHops = 8)
+        "qid", "qv", k, ef,
+        maxHops = (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))) + 2)
       .where(col("qid") =!= col("id")) // an id collision must not self-loop
       .select(col("qid").as("src"), col("id").as("dst"))
     val allVecs = vectors.unionByName(bVecs)
@@ -273,10 +303,34 @@ object GraphIndex {
   // ---- persistence (S3/S4 for the graph artifact, matching the other
   // index families: parquet frames + a tiny params frame) ----
 
+  /** Bucket count for the persisted edge table. 32 matches the session's
+    * shuffle parallelism at gate scale; at 100 TB it is a deployment
+    * knob (buckets ≈ cluster cores). */
+  val edgeBuckets = 32
+
+  private def freshTableName(tag: String): String =
+    s"graft_graph_edges_${tag}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+
+  /** Edges are saved BUCKETED BY src (the class-doc 100 TB layout): a
+    * loaded index's per-hop frontier join then reads the (huge) edge
+    * table pre-partitioned on the join key — no exchange on the edges
+    * side, only the small frontier moves (plan-pinned in
+    * GraphIndexSpec). Spark's bucketed writer requires a catalog entry,
+    * so save/load register a TRANSIENT external table purely as
+    * scaffolding: the files (bucket ids in the file names) are the
+    * artifact, and the entry is dropped as soon as the write/resolve
+    * completes — the resolved DataFrame keeps the bucketing metadata. */
   def save(index: GraphIndex, path: String): Unit = {
     val spark = index.vectors.sparkSession
     import spark.implicits._
-    index.edges.write.mode("overwrite").parquet(s"$path/edges")
+    val tmp = freshTableName("save")
+    // repartition on the bucket key first ⇒ exactly one file per bucket
+    index.edges.repartition(edgeBuckets, col("src"))
+      .write.mode("overwrite")
+      .bucketBy(edgeBuckets, "src").sortBy("src")
+      .option("path", s"$path/edges")
+      .saveAsTable(tmp)
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
     index.vectors.write.mode("overwrite").parquet(s"$path/vectors")
     Seq((index.entryId, index.n)).toDF("entryId", "n")
       .write.mode("overwrite").parquet(s"$path/params")
@@ -286,8 +340,13 @@ object GraphIndex {
     val p = spark.read.parquet(s"$path/params").head()
     val vectors = spark.read.parquet(s"$path/vectors")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val edges = spark.read.parquet(s"$path/edges")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tmp = freshTableName("load")
+    spark.sql(
+      s"""CREATE TABLE $tmp (src BIGINT, dst BIGINT) USING PARQUET
+         |CLUSTERED BY (src) SORTED BY (src) INTO $edgeBuckets BUCKETS
+         |LOCATION '$path/edges'""".stripMargin)
+    val edges = spark.table(tmp).persist(StorageLevel.MEMORY_AND_DISK)
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
     new GraphIndex(edges, vectors, p.getLong(0), p.getLong(1), Seq(vectors, edges))
   }
 

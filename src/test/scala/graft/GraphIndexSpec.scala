@@ -88,6 +88,46 @@ class GraphIndexSpec extends AnyFunSuite {
     loaded.dispose()
   }
 
+  test("loaded edges are bucketed by src: the hop join plans NO exchange on the edges side") {
+    val path = java.nio.file.Files.createTempDirectory("graftgraphbkt").toString
+    GraphIndex.save(index, path)
+    val loaded = GraphIndex.load(spark, path)
+    // force the shuffle-join regime (at 100 TB the frontier is not
+    // broadcast-able) and pin: the frontier side exchanges INTO the edge
+    // table's bucketing; the edges side is scanned in place
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // AQE wraps the join in an AdaptiveSparkPlan node; disable it so
+      // the static plan is inspectable (the bucketed-scan property being
+      // pinned is identical either way)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val frontier = spark.range(5).select(col("id"))
+      val hop = frontier.join(loaded.edges, frontier("id") === loaded.edges("src"))
+      val plan = hop.queryExecution.executedPlan
+      def subtree(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+        p.nodeName +: p.children.toSeq.flatMap(subtree)
+      // locate the join; its edges-side child subtree must contain no
+      // ShuffleExchange (the bucketed scan already satisfies the join's
+      // required distribution)
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      assert(joins.nonEmpty, s"no shuffle join found in:\n$plan")
+      val edgesSide = joins.head.children.last
+      assert(!subtree(edgesSide).exists(_.toLowerCase.contains("exchange")),
+        s"edges side re-shuffles despite bucketing:\n$edgesSide")
+      // and the result is still correct
+      assert(hop.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+    loaded.dispose()
+  }
+
   test("append preserves connectivity: exact search over the union equals the flat scan") {
     val cut = 400L
     val base = GraphIndex.build(emb.where(col("vec_id") < cut),

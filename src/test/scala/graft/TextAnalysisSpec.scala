@@ -65,6 +65,87 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  /** The pre-r8 window formulation, kept as the differential reference for
+    * the fused-expression + chunking rework: explode every gram, md5 it,
+    * min per sliding window of w rows, distinct. */
+  private def winnowReference(docs: org.apache.spark.sql.DataFrame,
+                              k: Int = 8, w: Int = 16): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = docs.select(col("id").cast("long").as("id"),
+        TextAnalysis.normalized(col("text")).as("__nt"))
+      .where(length(col("__nt")) >= k + w - 1)
+    val grams = base
+      .select(col("id"), (length(col("__nt")) - (k - 1)).as("__ngrams"),
+        explode(sequence(lit(1), length(col("__nt")) - (k - 1))).as("i"),
+        col("__nt"))
+      .select(col("id"), col("__ngrams"), col("i"),
+        md5(expr(s"substring(__nt, i, $k)")).as("h"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("i"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    grams.select(col("id"), col("i"), col("__ngrams"),
+        min(col("h")).over(win).as("fp"))
+      .where(col("i") <= col("__ngrams") - (w - 1))
+      .select(col("id"), col("fp")).distinct()
+  }
+
+  /** Independent in-JVM winnow (plain loops, O(n·w)) — the differential
+    * oracle for documents too large for [[winnowReference]], whose
+    * explode carries the full text on every gram row (a multi-MB doc
+    * explodes to terabytes of row data there — the very pathology the
+    * chunked plan removes). */
+  private def localWinnow(text: String, k: Int = 8, w: Int = 16): Set[String] = {
+    val nt = text.trim.toLowerCase.replaceAll("\\s+", " ")
+    if (nt.length < k + w - 1) return Set.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val grams = Array.tabulate(nt.length - k + 1) { i =>
+      md.digest(nt.substring(i, i + k).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    (0 to grams.length - w).map(i => (i until i + w).map(grams(_)).min).toSet
+  }
+
+  test("winnow: chunked fused plan ≡ window-formulation reference (multi-chunk + multi-MB doc)") {
+    val rnd = new scala.util.Random(17)
+    def filler(n: Int) = Seq.fill(n)(if (rnd.nextInt(7) == 0) ' '
+      else ('a' + rnd.nextInt(26)).toChar).mkString
+    val shared = "a boilerplate chunk every document quotes verbatim at least once"
+    // sizes straddle the test chunk width (1000) so seams are exercised:
+    // below, exactly at, one-over, and many-chunk; plus repeated text so
+    // cross-chunk duplicate fingerprints exist
+    val bigBlock = filler(4000) + shared
+    val docs = Seq(
+      (0L, filler(120) + shared),
+      (1L, filler(1000 + 8 + 16 - 2)), // exactly one full chunk of window starts
+      (2L, filler(1001 + 8 + 16 - 2)), // one window start into chunk 2
+      (3L, (bigBlock * 3) + filler(537)),
+      (4L, "short")
+    ).toDF("id", "text")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    val got = asMap(TextAnalysis.winnow(docs, "id", "text", chunkChars = 1000))
+    val gotDefault = asMap(TextAnalysis.winnow(docs, "id", "text"))
+    val ref = asMap(winnowReference(docs))
+    assert(got == ref)        // chunk width 1000: many seams
+    assert(gotDefault == ref) // default 64 KB chunks
+    assert(!ref.contains(4L)) // sub-window doc yields nothing
+  }
+
+  test("winnow: multi-MB document ≡ independent in-JVM oracle, spread over many chunk tasks") {
+    val rnd = new scala.util.Random(19)
+    def filler(n: Int) = Seq.fill(n)(if (rnd.nextInt(7) == 0) ' '
+      else ('a' + rnd.nextInt(26)).toChar).mkString
+    val big = Seq.fill(600)(filler(4000)).mkString(" ") // ~2.4 MB, one doc
+    val docs = Seq((9L, big)).toDF("id", "text")
+    val winnowed = TextAnalysis.winnow(docs, "id", "text")
+    // the skew guard: the single doc fans out to > 30 chunk rows at the
+    // default 64 KB width, so no one task owns the whole document
+    val expectChunks = (big.length - (8 + 16 - 1)) / (1 << 16) + 1
+    assert(expectChunks > 30)
+    val got = winnowed.collect().map(_.getString(1)).toSet
+    assert(got == localWinnow(big))
+  }
+
   test("containmentPairs: shared-count semantics and the boilerplate dfCap guard") {
     val chunk = "quick brown foxes jump over seventeen lazy dogs again and again"
     val rnd = new scala.util.Random(13)
