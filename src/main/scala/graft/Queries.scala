@@ -439,15 +439,16 @@ object Queries {
 
   private def graphDb(spark: SparkSession, dir: String): VectorDatabase =
     graphDbCache.get(spark, dir) {
-      // efConstruction 50 / m 8 / ivfClusters 16 ⇒ the SAME cheap
-      // approximate-edge build as the ann_graph gate index (k=8, nlist=16,
-      // graphNprobe=4). Edge quality never touches these gates' answers —
+      // efConstruction 25 / m 8 / ivfClusters 16 ⇒ a cheap
+      // approximate-edge build (k=8, nlist=16, graphNprobe=2, insert
+      // beam 25), one notch below the ann_graph gate index's nprobe=4.
+      // Edge quality never touches these gates' answers —
       // the unbounded beam (efSearch ≥ corpus) is exact over the skip-ring
       // regardless — so the reference-default exact-edge build (m=16,
       // nprobe=nlist=100) only taxed the bench cold run (r8 VERDICT #2:
       // facade_graph_knn 38 s driver cold).
       val db = VectorDatabase.create(spark, 64, "graph",
-        efConstruction = 50, m = 8, ivfClusters = 16, efSearch = Int.MaxValue)
+        efConstruction = 25, m = 8, ivfClusters = 16, efSearch = Int.MaxValue)
       db.addBulk(
         tbl(spark, dir, "documents").join(tbl(spark, dir, "embeddings"),
           col("doc_id") === col("vec_id")),
@@ -986,7 +987,7 @@ object Queries {
       // same cheap approximate-edge build as [[graphDb]] — append + query
       // exactness ride the skip-ring, not edge quality
       val db = VectorDatabase.create(spark, 64, "graph",
-        efConstruction = 50, m = 8, ivfClusters = 16, efSearch = Int.MaxValue)
+        efConstruction = 25, m = 8, ivfClusters = 16, efSearch = Int.MaxValue)
       db.addBulk(e.where(col("vec_id") < cut), "doc", "embedding", None, "vec_id")
       val tmp = java.nio.file.Files.createTempDirectory("graft_graphinc")
       // phase timing on stderr (same attribution discipline as [memo]):

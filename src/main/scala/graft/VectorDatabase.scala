@@ -176,8 +176,12 @@ class VectorDatabase private (
     ivfVar = ivfVar.map(_.appendAssign(batch, "id", "vector"))
     pqVar = pqVar.map(_.append(batch, "id", "vector"))
     lshVar = lshVar.map(_.append(batch, "id", "vector"))
+    // insert-time beam = efConstruction: hnsw's own meaning of
+    // ef_construction is the candidate-list width during insertion, so
+    // the append's edge-finding search honors it rather than a fixed 64
     graphVar = graphVar.map(_.append(batch, "id", "vector",
-      k = math.max(1, manifestVar.m)))
+      k = math.max(1, manifestVar.m),
+      ef = math.max(math.max(1, manifestVar.m) + 1, manifestVar.efConstruction)))
     hybridCache.foreach(_.unpersist())
     hybridCache = None
   }
