@@ -339,6 +339,38 @@ object Queries {
     ivfCache.get(spark, dir)(
       IVFIndex.build(tbl(spark, dir, "embeddings"), "vec_id", "embedding", nlist = 16))
 
+  private val sqCache = new Memo[graft.vector.SQIndex](memoMax, "sqCache")(_.dispose())
+
+  private def sqIndex(spark: SparkSession, dir: String): graft.vector.SQIndex =
+    sqCache.get(spark, dir)(
+      graft.vector.SQIndex.build(tbl(spark, dir, "embeddings"), "vec_id", "embedding"))
+
+  /** SQ8 scalar-quantized scan (FAISS IndexScalarQuantizer analog): exact
+    * top-k through interval-bound pruning over byte codes + float rerank of
+    * the provable superset — shares the exact KNN oracle BY PROOF, not by
+    * full coverage (contrast annIvf's nprobe = nlist). See
+    * [[graft.vector.SQIndex]] for the bound. */
+  private def annSq8(spark: SparkSession, dir: String): DataFrame =
+    sqIndex(spark, dir).search(qvec(spark, dir, 17), k = 10)
+
+  private val sqLoadedCache =
+    new Memo[(graft.vector.SQIndex, java.nio.file.Path)](memoMax, "sqLoadedCache")({
+      case (idx, p) => idx.dispose(); graft.streaming.StreamingGates.rmrf(p)
+    })
+
+  /** S3+S4 for the SQ8 index: build → save (codes + quantizer) → load →
+    * bound-pruned exact search. The loaded frame is lazily scanned, so the
+    * gate pins the deployment shape (quantize once, serve from parquet). */
+  private def sqLoaded(spark: SparkSession, dir: String): graft.vector.SQIndex =
+    sqLoadedCache.get(spark, dir) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sqsave")
+      sqIndex(spark, dir).save(tmp.toString)
+      (graft.vector.SQIndex.load(spark, tmp.toString), tmp)
+    }._1
+
+  private def saveLoadSq8Knn(spark: SparkSession, dir: String): DataFrame =
+    sqLoaded(spark, dir).search(qvec(spark, dir, 21), k = 10)
+
   /** K6 KNN through the IVF probe machinery in its exact-recoverable
     * configuration: `nprobe = nlist` scans every cluster, so the result is
     * bit-identical to the flat scan and the gate shares the exact KNN
@@ -1066,6 +1098,56 @@ object Queries {
       .orderBy(col("revenue").desc, col("n_name").asc)
   }
 
+  /** Relational tier: TPC-H Q4 shape — EXISTS decorrelated to a LEFT SEMI
+    * join, Catalyst's own rewrite target for correlated EXISTS. The probe
+    * side is pre-filtered and projected to the join key alone, so the semi
+    * join shuffles only distinct orderkeys and never multiplies rows —
+    * at 100 TB the semi side is a fraction of the lineitem fact and AQE
+    * can flip it to broadcast when the filter is selective. */
+  private def tpchQ4(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "orders")
+      .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-07-01 00:00:00")))
+      .join(tbl(spark, dir, "lineitem")
+          .where(col("l_returnflag") === "R").select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Relational tier: TPC-H Q13 shape — LEFT OUTER join with an ON-clause
+    * filter on the null-producing side (the filter must NOT drop customers
+    * with zero orders, so it belongs on the right input, not a WHERE), then
+    * a two-level aggregation: orders-per-customer, then the distribution of
+    * that count. Both aggregations shuffle on their own key; the second is
+    * tiny (distinct counts), so the plan is one fact-sized shuffle + noise. */
+  private def tpchQ13(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "customer").select(col("c_custkey"))
+      .join(tbl(spark, dir, "orders")
+          .where(col("o_orderstatus") =!= "F")
+          .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** Relational tier: LEFT ANTI join — the complement of tpch_q4's semi:
+    * customers with NO order in the window, profiled per market segment.
+    * Same scale shape as the semi (distinct-key probe side only). */
+  private def antiInactiveCustomers(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "customer")
+      .join(tbl(spark, dir, "orders")
+          .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+            col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_inactive"),
+        ExactSum.centsSum(col("c_acctbal")).cast("double").as("total_bal"))
+      .orderBy(col("c_mktsegment"))
+
   /** Relational tier: ROLLUP grouping sets (free via Catalyst, §2.6). */
   private def rollupRevenue(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "orders")
@@ -1120,6 +1202,47 @@ object Queries {
 
   private def tokenCount(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenCount(docsTbl(spark, dir), "doc_id", "text").orderBy(col("id"))
+
+  /** Unigram-LM document scoring (CCNet-style perplexity proxy, Wenzek
+    * 2020): build the corpus' own unigram LM, score every document by its
+    * mean token log-probability. The LM is vocab-sized (broadcast at any
+    * scale); the per-doc score is one shuffle on doc id. */
+  private def lmScoreQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lmScore(docsTbl(spark, dir), "doc_id", "text").orderBy(col("id"))
+
+  /** Composed training-data funnel: language gate ∧ quality gate ∧ length
+    * gate in ONE pass — the filters a pretraining corpus applies before
+    * dedup. Rides [[TextAnalysis.features]] (the single-projection fused
+    * extractor) so the whole funnel is one corpus scan, zero joins, zero
+    * shuffles before the final order. */
+  private def qualityFunnel(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.features(docsTbl(spark, dir), "doc_id", "text")
+      .where(col("pred_lang") === "en" && col("quality") >= 0.7 && col("n_tok") >= 20)
+      .select(col("id"), col("pred_lang"), col("quality"))
+      .orderBy(col("id"))
+
+  /** Privacy tier: salted-hash pseudonymization + k-anonymity suppression —
+    * the scrub a training pipeline applies to behavioral logs before
+    * export. user_id is replaced by a keyed SHA-256 (stable join key, no
+    * reversible id), and rows whose (event_type, day) cohort has fewer
+    * distinct users than 90% of the mean cohort size are suppressed (an
+    * adaptive k so the gate is meaningful at every sf). The cohort frame is
+    * group-count-sized — broadcast; the only fact-sized work is one
+    * hash projection. */
+  private def pseudonymizeQ(spark: SparkSession, dir: String): DataFrame = {
+    val e = eventsTbl(spark, dir)
+      .withColumn("dd", to_date(col("ts")))
+    val cohorts = e.groupBy(col("event_type"), col("dd"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val thr = cohorts.agg((avg(col("n_users")) * 0.9).as("thr"))
+    e.join(broadcast(cohorts.crossJoin(broadcast(thr)).where(col("n_users") >= col("thr"))
+        .select(col("event_type").as("ct"), col("dd").as("cd"))),
+        col("event_type") === col("ct") && col("dd") === col("cd"))
+      .select(col("event_id").as("id"),
+        sha2(concat(lit("graft:"), col("user_id").cast("string")), 256).as("uid_hash"),
+        col("event_type"))
+      .orderBy(col("id"))
+  }
 
   /** Sequence packing: documents → fixed-token-budget packs per language —
     * the corpus-to-training-shard assembly step (streaming-chunker
@@ -1868,6 +1991,8 @@ object Queries {
          |  ORDER BY 1.0/(1.0 + $sqDistSql) DESC, id LIMIT 20)
          |SELECT id, score FROM top WHERE label = 3 ORDER BY score DESC, id""".stripMargin)),
     "ann_ivf" -> Q(annIvf, Some(knnSql(13, 10))),
+    "ann_sq8" -> Q(annSq8, Some(knnSql(17, 10))),
+    "save_load_sq8_knn" -> Q(saveLoadSq8Knn, Some(knnSql(21, 10))),
     "ann_ivf_cosine" -> Q(annIvfCosine, Some(
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 42)
          |SELECT e.vec_id AS id,
@@ -2151,6 +2276,46 @@ object Queries {
            |  len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS subword_tokens,
            |  length(text)::BIGINT AS n_chars
            |FROM documents ORDER BY id""".stripMargin)),
+    "lm_score" -> Q(lmScoreQ, Some(
+      raw"""WITH $toksCte,
+           |tf AS (SELECT id, unnest(toks) AS term FROM t),
+           |freq AS (SELECT term, count(*)::DOUBLE AS c FROM tf GROUP BY 1),
+           |tot AS (SELECT sum(c) AS n FROM freq),
+           |s AS (SELECT tf.id, ln(freq.c / tot.n) AS lp FROM tf JOIN freq USING (term), tot)
+           |SELECT id, count(*)::BIGINT AS n_tok, round(avg(lp), 4) AS avg_logp,
+           |       round(-avg(lp)/ln(2), 4) AS bits_per_token
+           |FROM s GROUP BY id ORDER BY id""".stripMargin)),
+    "quality_funnel" -> Q(qualityFunnel, Some(
+      raw"""WITH $toksCte,
+           |c AS (SELECT id,
+           |  len(list_filter(toks, w -> w IN $enList)) AS en,
+           |  len(list_filter(toks, w -> w IN $deList)) AS de,
+           |  len(list_filter(toks, w -> w IN $frList)) AS fr,
+           |  len(toks)::DOUBLE AS n_tok,
+           |  length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE / len(toks) AS avg_wlen
+           |  FROM t),
+           |m AS (SELECT id,
+           |  CASE WHEN en >= greatest(de, fr) THEN 'en'
+           |       WHEN de >= fr THEN 'de' ELSE 'fr' END AS pred_lang,
+           |  n_tok,
+           |  floor((0.4 * least(1.0, n_tok / 50.0) + 0.3 * least(1.0, (en / n_tok) * 5.0)
+           |      + 0.3 * least(1.0, avg_wlen / 5.0)) * 10000.0 + 0.5) / 10000.0 AS quality
+           |  FROM c)
+           |SELECT id, pred_lang, quality FROM m
+           |WHERE pred_lang = 'en' AND quality >= 0.7 AND n_tok >= 20
+           |ORDER BY id""".stripMargin)),
+    "pseudonymize" -> Q(pseudonymizeQ, Some(
+      """WITH g AS (SELECT event_type, date_trunc('day', ts) AS dd,
+        |                  count(DISTINCT user_id) AS n_users
+        |           FROM events GROUP BY 1, 2),
+        |thr AS (SELECT 0.9 * avg(n_users) AS t FROM g),
+        |keep AS (SELECT event_type, dd FROM g, thr WHERE n_users >= t)
+        |SELECT e.event_id AS id,
+        |       sha256('graft:' || e.user_id::VARCHAR) AS uid_hash,
+        |       e.event_type
+        |FROM events e JOIN keep k
+        |  ON e.event_type = k.event_type AND date_trunc('day', e.ts) = k.dd
+        |ORDER BY id""".stripMargin)),
     "pack_sequences" -> Q(packSequences, Some(
       raw"""WITH t AS (
            |  SELECT lang, doc_id AS id,
@@ -2526,6 +2691,30 @@ object Queries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
+    "tpch_q4" -> Q(tpchQ4, Some(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+    "tpch_q13" -> Q(tpchQ13, Some(
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+    "anti_inactive_customers" -> Q(antiInactiveCustomers, Some(
+      """SELECT c_mktsegment, count(*) AS n_inactive,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
     "rollup_revenue" -> Q(rollupRevenue, Some(
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue

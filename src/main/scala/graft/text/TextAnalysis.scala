@@ -92,6 +92,31 @@ object TextAnalysis {
     * A stand-in for a real tokenizer's pre-tokenization regex. */
   val subwordPattern = "[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\\s]"
 
+  /** Unigram-LM document scoring — the perplexity-proxy quality signal of
+    * CCNet-style corpus filtering (Wenzek et al. 2020: docs are ranked by
+    * an LM's per-token surprisal; here the LM is the corpus' own unigram
+    * distribution, so the op is self-contained and oracle-checkable).
+    * avg_logp = mean ln p(token); bits_per_token = −avg_logp/ln 2.
+    *
+    * Scale shape: the LM is VOCAB-sized — `freq` aggregates the exploded
+    * token stream (map-side partial combine does most of the work since
+    * natural text follows Zipf), and the join back to the token stream is
+    * a broadcast at any corpus size because vocabularies grow
+    * sub-linearly. The only fact-sized shuffle is the per-doc mean.
+    * Output: (id, n_tok, avg_logp, bits_per_token). */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs.select(col(idCol).as("id"), explode(toks(col(textCol))).as("term"))
+    val freq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("c"))
+    val total = freq.agg(sum(col("c")).as("n"))
+    val lm = freq.crossJoin(broadcast(total))
+      .select(col("term"), log(col("c") / col("n")).as("lp"))
+    tf.join(broadcast(lm), "term")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tok"),
+        round(avg(col("lp")), 4).as("avg_logp"),
+        round(-avg(col("lp")) / math.log(2.0), 4).as("bits_per_token"))
+  }
+
   /** Token counting: whitespace tokens, subword-regex tokens, characters.
     * Output: (id, ws_tokens, subword_tokens, n_chars). */
   def tokenCount(docs: DataFrame, idCol: String, textCol: String): DataFrame =

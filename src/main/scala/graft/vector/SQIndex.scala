@@ -1,0 +1,156 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.functions.VectorFunctions
+
+/** SQ8 scalar-quantized scan index — the Spark-native realization of
+  * FAISS's `IndexScalarQuantizer(QT_8bit)`, the storage-compression rung
+  * the reference's degrade ladder (local_db.py:86–111) would reach between
+  * flat floats and PQ codes: every dimension is affinely mapped to one
+  * unsigned byte, so the scan reads 1/4 the bytes of a float32 corpus
+  * (1/8 of this repo's double-array test frames) while keeping per-
+  * dimension resolution PQ gives up.
+  *
+  * EXACTNESS: unlike PQ's ADC (approximate by construction), SQ8 admits a
+  * *provable* exact top-k via interval pruning. With per-dim step `s_i`
+  * and dequantized value `x̂_i = min_i + code_i·s_i`, the true coordinate
+  * lies in `x̂_i ± s_i/2`, so the true squared-L2 distance to a query q is
+  * bounded by
+  *   d̂ − B  ≤  d  ≤  d̂ + B + S,
+  *   B = Σ_i s_i·|x̂_i − q_i|,  S = Σ_i s_i²/4
+  * (expand (x̂_i+δ_i−q_i)² and bound |δ_i| ≤ s_i/2 termwise). The search
+  * takes T = the k-th smallest UPPER bound (one O(k) driver scalar, the
+  * same bounded-argument discipline as a query vector), keeps only rows
+  * with `d̂ − B ≤ T` — a provable superset of the true top-k — and reranks
+  * that sliver against the float vectors. Candidates shrink as quantization
+  * error → 0; the scan itself touches only code bytes.
+  *
+  * 100 TB shape: the quantizer is 2·dim doubles (driver/broadcast-sized,
+  * trained in one `agg` pass like FAISS trains SQ on a sample); the code
+  * scan is embarrassingly parallel with NO shuffle — both top-k reductions
+  * are bounded-heap `orderBy().limit(k)` (partial TakeOrdered per
+  * partition, k rows to the driver); the rerank reads full vectors for
+  * only the pruned candidate set (late materialization: at scale, codes
+  * and vectors are separate parquet column chunks of one table, so
+  * non-candidate float pages are never decoded).
+  */
+final class SQIndex(val data: DataFrame, // (id, vector, code) persisted
+                    val mins: Array[Double],
+                    val steps: Array[Double]) {
+
+  def dim: Int = mins.length
+
+  /** Σ s_i²/4 — the constant slack of the upper bound. */
+  private val slackS: Double = steps.map(s => s * s / 4.0).sum
+
+  private def minsLit: Column = VectorFunctions.vecLit(mins)
+  private def stepsLit: Column = VectorFunctions.vecLit(steps)
+
+  /** Dequantized approximation of the stored vector, from codes alone. */
+  private def deq(codeCol: Column): Column =
+    zip_with(codeCol, sequence(lit(0), lit(dim - 1)),
+      (c, i) => element_at(minsLit, i + lit(1)) + c * element_at(stepsLit, i + lit(1)))
+
+  /** Exact top-k by squared L2, scored `1/(1+d)` — bound-pruned SQ8 scan,
+    * then a float rerank of the provable superset.
+    *
+    * The kept set must cover not just the true top-k but every row that can
+    * TIE with the k-th row after the 4-dp score rounding the result
+    * contract applies (round is monotone, so a farther row can only tie,
+    * never win — but a tie + smaller id does win). A tying row r satisfies
+    * score_r ≥ score_k − 1e-4, which algebra turns into
+    * d_r ≤ T + x(1+T)/(1−x), x = 1e-4·(1+T); for x ≤ ½ (T ≤ 4999 — far
+    * beyond any 1/(1+d) workload worth ranking) that is ≤ T + 2e-4·(1+T)².
+    */
+  def search(q: Array[Double], k: Int): DataFrame = {
+    val qc = VectorFunctions.vecLit(q)
+    val xhat = deq(col("code"))
+    val scored = data.select(col("id"), col("vector"),
+        VectorFunctions.squaredL2(xhat, qc).as("dhat"),
+        VectorFunctions.dot(zip_with(xhat, qc, (x, qv) => abs(x - qv)), stepsLit).as("bb"))
+    // k-th smallest upper bound: bounded-heap reduction, one O(k) scalar.
+    val t0 = scored.select((col("dhat") + col("bb") + lit(slackS)).as("ub"))
+      .orderBy(col("ub").asc).limit(k)
+      .agg(max(col("ub"))).head().getDouble(0)
+    val t = t0 + 2e-4 * (1.0 + t0) * (1.0 + t0) // rounded-tie slack, see doc
+    scored.where(col("dhat") - col("bb") <= t)
+      .select(col("id"),
+        round(VectorFunctions.distToScore(VectorFunctions.squaredL2(col("vector"), qc)), 4).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Candidate count for a query — the pruning diagnostic (spec + SCALE). */
+  def candidateCount(q: Array[Double], k: Int): Long = {
+    val qc = VectorFunctions.vecLit(q)
+    val xhat = deq(col("code"))
+    val scored = data.select(
+        VectorFunctions.squaredL2(xhat, qc).as("dhat"),
+        VectorFunctions.dot(zip_with(xhat, qc, (x, qv) => abs(x - qv)), stepsLit).as("bb"))
+    val t0 = scored.select((col("dhat") + col("bb") + lit(slackS)).as("ub"))
+      .orderBy(col("ub").asc).limit(k)
+      .agg(max(col("ub"))).head().getDouble(0)
+    val t = t0 + 2e-4 * (1.0 + t0) * (1.0 + t0)
+    scored.where(col("dhat") - col("bb") <= t).count()
+  }
+
+  def dispose(): Unit = data.unpersist(blocking = false)
+
+  /** Persist: one parquet table (id, vector, code) — codes and floats as
+    * SIBLING COLUMN CHUNKS of the same rows, so a loaded search decodes
+    * float pages only for bound-surviving rows (late materialization) —
+    * plus the dim-sized quantizer as JSON. */
+  def save(dir: String): Unit = {
+    data.write.mode("overwrite").parquet(s"$dir/sq_data")
+    val j = s"""{"mins":[${mins.mkString(",")}],"steps":[${steps.mkString(",")}]}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/sq_quantizer.json"), j)
+  }
+}
+
+object SQIndex {
+
+  /** Load a saved index: the data frame is lazily scanned (a 100 TB corpus
+    * is NOT materialized at load — the same lazy-load discipline as the
+    * facade's `lazyLoad`), the quantizer is two dim-sized arrays. */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): SQIndex = {
+    val j = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/sq_quantizer.json"))
+    def arr(key: String): Array[Double] = {
+      val m = java.util.regex.Pattern.compile("\"" + key + "\":\\[([^\\]]*)\\]").matcher(j)
+      require(m.find(), s"quantizer missing $key in $dir")
+      m.group(1).split(",").map(_.trim.toDouble)
+    }
+    new SQIndex(spark.read.parquet(s"$dir/sq_data"), arr("mins"), arr("steps"))
+  }
+
+  /** Train the per-dimension affine quantizer (one distributed min/max agg
+    * — FAISS's `RangeStat_minmax`) and encode every vector to bytes in one
+    * projection. Zero-width dimensions get step 0 and code 0 (exactly
+    * representable), avoiding 0/0. */
+  def build(vectors: DataFrame, idCol: String, vecCol: String): SQIndex = {
+    val v = vectors.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vector"))
+    // Per-dim range via posexplode + groupBy(pos): partial min/max combine
+    // on the map side means the shuffle carries dim·partitions rows no
+    // matter the corpus size — and the plan is dim-generic (no dim-wide
+    // aggregate projection for janino to chew on).
+    val stats = v.select(posexplode(col("vector")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .orderBy(col("pos")).collect()
+    val dim = stats.length
+    val mins = stats.map(_.getDouble(1))
+    val maxs = stats.map(_.getDouble(2))
+    val steps = mins.zip(maxs).map { case (lo, hi) => (hi - lo) / 255.0 }
+    val minsL = VectorFunctions.vecLit(mins)
+    val stepsL = VectorFunctions.vecLit(steps)
+    val coded = v.select(col("id"), col("vector"),
+        zip_with(col("vector"), sequence(lit(0), lit(dim - 1)), (x, i) => {
+          val s = element_at(stepsL, i + lit(1))
+          when(s === 0.0, lit(0))
+            .otherwise(round((x - element_at(minsL, i + lit(1))) / s).cast("int"))
+        }).as("code"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    new SQIndex(coded, mins, steps)
+  }
+}

@@ -61,6 +61,46 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("tpch_q4/anti_inactive_customers: EXISTS/NOT EXISTS stay semi/anti joins — rows never multiplied") {
+    val p4 = plan("tpch_q4")
+    assert(p4.contains("LeftSemi"), p4)
+    assert(!p4.contains("CartesianProduct") && !p4.contains("BroadcastNestedLoopJoin"), p4)
+    val pa = plan("anti_inactive_customers")
+    assert(pa.contains("LeftAnti"), pa)
+    assert(!pa.contains("CartesianProduct") && !pa.contains("BroadcastNestedLoopJoin"), pa)
+  }
+
+  test("tpch_q13: outer join keeps zero-order customers; both aggregates hash-based") {
+    val p = plan("tpch_q13")
+    assert(p.contains("LeftOuter"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("pseudonymize: cohort suppression join broadcasts the group-sized side, hash scan stays fact-sized") {
+    val p = plan("pseudonymize")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("lm_score: the LM join is a broadcast (vocab-sized), never a shuffle of the token stream against itself") {
+    val p = plan("lm_score")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("quality_funnel: single-scan — no join anywhere in the funnel") {
+    val p = plan("quality_funnel")
+    assert(!p.contains("Join"), s"funnel must be one fused projection:\n$p")
+  }
+
+  test("ann_sq8: bound-pruned scan — filter precedes the rerank top-k, no global sort") {
+    val p = plan("ann_sq8")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("Filter"), p)
+    assert(!p.contains("SortExec"), p)
+  }
+
   test("tpch_q1: aggregate is hash-based with a partial (map-side) phase") {
     val p = plan("tpch_q1")
     assert(p.contains("HashAggregate"), p)

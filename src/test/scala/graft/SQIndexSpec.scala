@@ -1,0 +1,86 @@
+package graft
+
+import graft.vector.{ExactKNN, SQIndex}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQ8 scalar-quantized scan: the interval bound makes the pruned search
+  * provably EXACT (SQIndex doc), so unlike IVF/LSH recall pins, every test
+  * here asserts equality with the flat scan — plus the bound's validity and
+  * that the pruning actually prunes. */
+class SQIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet").cache()
+  private lazy val index = SQIndex.build(emb, "vec_id", "embedding")
+
+  private def queryVec(id: Long): Array[Double] =
+    emb.where(emb("vec_id") === id).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+
+  test("bound-pruned search equals the exact flat scan (ids AND 4-dp scores)") {
+    for (qid <- Seq(3L, 17L, 99L, 256L)) {
+      val q = queryVec(qid)
+      val exact = ExactKNN.topK(emb, "vec_id", "embedding", q, 10)
+        .select(col("id"), round(col("score"), 4).as("score"))
+        .orderBy(col("score").desc, col("id").asc)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val sq = index.search(q, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(sq == exact, s"qid=$qid")
+    }
+  }
+
+  test("interval bound is valid: true distance within [dhat-B, dhat+B+S] on every row") {
+    // Recompute the bound's pieces row-wise in the JVM from the codes the
+    // index stored — an independent oracle for the expression-side math.
+    val q = queryVec(42L)
+    val rows = index.data.select(col("id"), col("vector"), col("code")).collect()
+    val s = index.steps; val m = index.mins
+    val slack = s.map(x => x * x / 4.0).sum
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1).toArray
+      val c = r.getSeq[Int](2).toArray
+      val xhat = c.indices.map(i => m(i) + c(i) * s(i)).toArray
+      val d = v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+      val dhat = xhat.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+      val bb = xhat.zip(q).zipWithIndex.map { case ((a, b), i) => s(i) * math.abs(a - b) }.sum
+      assert(d >= dhat - bb - 1e-9 && d <= dhat + bb + slack + 1e-9, s"id=${r.getLong(0)}")
+    }
+  }
+
+  test("codes are bytes (0..255) and dequantization error is within step/2") {
+    val rows = index.data.select(col("vector"), col("code")).collect()
+    val s = index.steps; val m = index.mins
+    rows.foreach { r =>
+      val v = r.getSeq[Double](0).toArray
+      val c = r.getSeq[Int](1).toArray
+      c.indices.foreach { i =>
+        assert(c(i) >= 0 && c(i) <= 255)
+        val err = math.abs(m(i) + c(i) * s(i) - v(i))
+        assert(err <= s(i) / 2.0 + 1e-12, s"dim=$i err=$err step=${s(i)}")
+      }
+    }
+  }
+
+  test("save/load roundtrip: loaded index returns identical results, quantizer intact") {
+    val tmp = java.nio.file.Files.createTempDirectory("sqspec")
+    try {
+      index.save(tmp.toString)
+      val loaded = SQIndex.load(spark, tmp.toString)
+      assert(loaded.mins.sameElements(index.mins) && loaded.steps.sameElements(index.steps))
+      val q = queryVec(123L)
+      val a = index.search(q, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = loaded.search(q, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(a == b)
+    } finally graft.streaming.StreamingGates.rmrf(tmp)
+  }
+
+  test("the bound prunes: candidate set is a small fraction of the corpus") {
+    val n = emb.count()
+    val cand = index.candidateCount(queryVec(7L), k = 10)
+    assert(cand >= 10, "superset must cover k")
+    assert(cand < n / 2, s"pruning ineffective: $cand of $n")
+  }
+}

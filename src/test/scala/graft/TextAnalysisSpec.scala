@@ -13,6 +13,29 @@ class TextAnalysisSpec extends AnyFunSuite {
 
   private def doc(n: Int): String = Seq.fill(n)("tok").mkString(" ")
 
+  test("lmScore: per-doc mean unigram log-prob equals the in-JVM LM oracle") {
+    val corpus = Seq(
+      (1L, "a b a c"),
+      (2L, "a a a"),
+      (3L, "b c d d"))
+    val docs = corpus.toDF("doc_id", "text")
+    // independent oracle: the corpus-wide unigram distribution in plain Scala
+    val toks = corpus.flatMap(_._2.split("\\s+"))
+    val n = toks.size.toDouble
+    val p = toks.groupBy(identity).map { case (t, xs) => t -> xs.size / n }
+    val expect = corpus.map { case (id, text) =>
+      val ts = text.split("\\s+").toSeq
+      val avg = ts.map(t => math.log(p(t))).sum / ts.size
+      (id, ts.size.toLong,
+        BigDecimal(avg).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(-avg / math.log(2.0)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1)
+    val got = graft.text.TextAnalysis.lmScore(docs, "doc_id", "text")
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == expect)
+  }
+
   test("packBudgeted: chunker invariants — totals preserved, bounded overflow, dense packs") {
     val docs = Seq(
       (0L, "en", doc(10)), (1L, "en", doc(25)), (2L, "en", doc(5)),
