@@ -561,6 +561,19 @@ object Queries {
       .orderBy(col("qid").asc, col("score").desc, col("id").asc)
   }
 
+  /** Bulk exact KNN through the SQ8 bound-pruned batch plan: codes-only
+    * first pass → per-query thresholds via TopKPerKey → float rerank of
+    * survivors. Exact by the interval-bound proof ⇒ shares the exact batch
+    * oracle. */
+  private def knnBatchSq8(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    val queries = e.where(col("vec_id").isin(7L, 8L, 9L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    sqIndex(spark, dir).searchBatch(queries, "qid", "qv", k = 5)
+      .select(col("qid"), col("id"), r4(col("score")).as("score"))
+      .orderBy(col("qid").asc, col("score").desc, col("id").asc)
+  }
+
   /** BULK ANN through the IVF index as ONE distributed plan (no per-query
     * driver probe): centroid ranking via broadcast + bounded heap,
     * candidates through one cluster equi-join, exact re-rank per query.
@@ -2063,6 +2076,7 @@ object Queries {
     "knn_batch" -> Q(knnBatch, Some(knnBatchSql)),
     "knn_batch_topk" -> Q(knnBatchTopk, Some(knnBatchSql)),
     "knn_batch_ivf" -> Q(knnBatchIvf, Some(knnBatchSqlFor("4, 5, 6"))),
+    "knn_batch_sq8" -> Q(knnBatchSq8, Some(knnBatchSqlFor("7, 8, 9"))),
     "knn_batch_lsh" -> Q(knnBatchLsh, Some(knnBatchSqlFor("7, 8, 9"))),
     "ann_graph" -> Q(annGraph, Some(knnBatchSqlFor("13, 14, 15"))),
     "facade_graph_knn" -> Q(facadeGraphKnn, Some(knnSql(51, 10))),

@@ -82,6 +82,39 @@ final class SQIndex(val data: DataFrame, // (id, vector, code) persisted
       .limit(k)
   }
 
+  /** Batch exact top-k — ONE distributed plan for every query. Pass 1
+    * touches CODES only: dequantized bounds for all (query, row) pairs,
+    * then per-query k-th upper bound through the bounded-heap
+    * [[graft.plans.TopKPerKey]] operator (k·|Q|·partitions rows shuffle,
+    * nothing sorts globally). Pass 2 joins the |Q|-row threshold frame
+    * back (broadcast), keeps bound-surviving pairs, and reranks those on
+    * floats — at scale the float column is decoded only for survivors,
+    * which is the entire point of scanning codes first. Same tie slack
+    * and exactness argument as [[search]], per query. */
+  def searchBatch(queries: DataFrame, qidCol: String, qvCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(qidCol).as("qid"),
+      col(qvCol).cast("array<double>").as("__qv")))
+    val xhat = deq(col("code"))
+    val scored = data.crossJoin(q).select(col("qid"), col("id"), col("vector"), col("__qv"),
+      VectorFunctions.squaredL2(xhat, col("__qv")).as("dhat"),
+      VectorFunctions.dot(zip_with(xhat, col("__qv"), (x, qv) => abs(x - qv)), stepsLit).as("bb"))
+    val thr = graft.plans.TopK.perKey(
+        scored.select(col("qid"), col("id"),
+          (col("dhat") + col("bb") + lit(slackS)).as("ub")),
+        Seq("qid"), Seq("ub" -> false, "id" -> false), k)
+      .groupBy(col("qid")).agg(max(col("ub")).as("t0"))
+      .select(col("qid").as("__tq"),
+        (col("t0") + lit(2e-4) * (lit(1.0) + col("t0")) * (lit(1.0) + col("t0"))).as("__t"))
+    graft.plans.TopK.perKey(
+        scored.join(broadcast(thr), col("qid") === col("__tq"))
+          .where(col("dhat") - col("bb") <= col("__t"))
+          .select(col("qid"), col("id"),
+            round(VectorFunctions.distToScore(
+              VectorFunctions.squaredL2(col("vector"), col("__qv"))), 4).as("score")),
+        Seq("qid"), Seq("score" -> true, "id" -> false), k)
+      .orderBy(col("qid").asc, col("score").desc, col("id").asc)
+  }
+
   /** Candidate count for a query — the pruning diagnostic (spec + SCALE). */
   def candidateCount(q: Array[Double], k: Int): Long = {
     val qc = VectorFunctions.vecLit(q)

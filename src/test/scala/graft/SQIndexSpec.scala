@@ -64,6 +64,18 @@ class SQIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("searchBatch: bound-pruned batch equals the exact batch scan") {
+    val queries = emb.where(col("vec_id").isin(5L, 77L, 300L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = ExactKNN.topKBatch(emb, "vec_id", "embedding", queries, "qid", "qv", k = 5)
+      .select(col("qid"), col("id"), round(col("score"), 4).as("score"))
+      .orderBy(col("qid").asc, col("score").desc, col("id").asc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val sq = index.searchBatch(queries, "qid", "qv", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(sq == exact)
+  }
+
   test("save/load roundtrip: loaded index returns identical results, quantizer intact") {
     val tmp = java.nio.file.Files.createTempDirectory("sqspec")
     try {
