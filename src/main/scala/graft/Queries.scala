@@ -1161,6 +1161,40 @@ object Queries {
         ExactSum.centsSum(col("c_acctbal")).cast("double").as("total_bal"))
       .orderBy(col("c_mktsegment"))
 
+  /** Relational tier: TPC-H Q17 shape — correlated SCALAR subquery
+    * decorrelated to a grouped aggregate + equi-join (Catalyst's own
+    * rewrite target): the per-part 20%-of-average quantity threshold joins
+    * back to lineitem. The threshold frame is part-cardinality (dimension-
+    * sized ⇒ broadcastable); integral quantities make the double average
+    * exact, so the `<` predicate is engine-portable bit-for-bit. */
+  private def tpchQ17(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    val thr = li.groupBy(col("l_partkey").as("tp"))
+      .agg((avg(col("l_quantity")) * 0.2).as("thr"))
+    li.join(thr, col("l_partkey") === col("tp"))
+      .where(col("l_quantity") < col("thr"))
+      .agg((ExactSum.centsSum(col("l_extendedprice")).cast("double") / 7.0).as("avg_yearly"))
+  }
+
+  /** Relational tier: TPC-H Q18 shape — IN over an aggregated-HAVING
+    * subquery planned as a semi join against the grouped frame (large-
+    * order detection); the per-order re-aggregation after the semi join is
+    * fact-sized but key-local, and the top-100 is a bounded TakeOrdered,
+    * never a global sort. */
+  private def tpchQ18(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    val big = li.groupBy(col("l_orderkey").as("bk"))
+      .agg(sum(col("l_quantity")).as("tq"))
+      .where(col("tq") > 150).select(col("bk"))
+    tbl(spark, dir, "orders")
+      .join(big, col("o_orderkey") === col("bk"), "left_semi")
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_totalprice"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
   /** Relational tier: ROLLUP grouping sets (free via Catalyst, §2.6). */
   private def rollupRevenue(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "orders")
@@ -2705,6 +2739,18 @@ object Queries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
+    "tpch_q17" -> Q(tpchQ17, Some(
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)/7.0 AS avg_yearly
+        |FROM lineitem li
+        |WHERE l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = li.l_partkey)""".stripMargin)),
+    "tpch_q18" -> Q(tpchQ18, Some(
+      """SELECT o_orderkey, o_totalprice, sum(l_quantity) AS total_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY 1 HAVING sum(l_quantity) > 150)
+        |GROUP BY 1, 2
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
     "tpch_q4" -> Q(tpchQ4, Some(
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders

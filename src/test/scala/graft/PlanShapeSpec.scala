@@ -101,6 +101,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortExec"), p)
   }
 
+  test("tpch_q17: decorrelated scalar subquery — aggregate + equi-join, no NLJ re-scan per row") {
+    val p = plan("tpch_q17")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("tpch_q18: HAVING subquery is a semi join; top-100 is TakeOrdered, not a global sort") {
+    val p = plan("tpch_q18")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("tpch_q1: aggregate is hash-based with a partial (map-side) phase") {
     val p = plan("tpch_q1")
     assert(p.contains("HashAggregate"), p)
