@@ -2014,6 +2014,29 @@ object Queries {
   private val deList = TextAnalysis.stopwords("de").mkString("('", "','", "')")
   private val frList = TextAnalysis.stopwords("fr").mkString("('", "','", "')")
 
+  /** Funnel oracle (shared by the batch gate and its streaming twin — the
+    * funnel is a pure per-row function, so batch slicing cannot change the
+    * kept set). */
+  private lazy val qualityFunnelSql: String =
+    raw"""WITH $toksCte,
+         |c AS (SELECT id,
+         |  len(list_filter(toks, w -> w IN $enList)) AS en,
+         |  len(list_filter(toks, w -> w IN $deList)) AS de,
+         |  len(list_filter(toks, w -> w IN $frList)) AS fr,
+         |  len(toks)::DOUBLE AS n_tok,
+         |  length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE / len(toks) AS avg_wlen
+         |  FROM t),
+         |m AS (SELECT id,
+         |  CASE WHEN en >= greatest(de, fr) THEN 'en'
+         |       WHEN de >= fr THEN 'de' ELSE 'fr' END AS pred_lang,
+         |  n_tok,
+         |  floor((0.4 * least(1.0, n_tok / 50.0) + 0.3 * least(1.0, (en / n_tok) * 5.0)
+         |      + 0.3 * least(1.0, avg_wlen / 5.0)) * 10000.0 + 0.5) / 10000.0 AS quality
+         |  FROM c)
+         |SELECT id, pred_lang, quality FROM m
+         |WHERE pred_lang = 'en' AND quality >= 0.7 AND n_tok >= 20
+         |ORDER BY id""".stripMargin
+
   // ---------------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------------
@@ -2333,25 +2356,10 @@ object Queries {
            |SELECT id, count(*)::BIGINT AS n_tok, round(avg(lp), 4) AS avg_logp,
            |       round(-avg(lp)/ln(2), 4) AS bits_per_token
            |FROM s GROUP BY id ORDER BY id""".stripMargin)),
-    "quality_funnel" -> Q(qualityFunnel, Some(
-      raw"""WITH $toksCte,
-           |c AS (SELECT id,
-           |  len(list_filter(toks, w -> w IN $enList)) AS en,
-           |  len(list_filter(toks, w -> w IN $deList)) AS de,
-           |  len(list_filter(toks, w -> w IN $frList)) AS fr,
-           |  len(toks)::DOUBLE AS n_tok,
-           |  length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE / len(toks) AS avg_wlen
-           |  FROM t),
-           |m AS (SELECT id,
-           |  CASE WHEN en >= greatest(de, fr) THEN 'en'
-           |       WHEN de >= fr THEN 'de' ELSE 'fr' END AS pred_lang,
-           |  n_tok,
-           |  floor((0.4 * least(1.0, n_tok / 50.0) + 0.3 * least(1.0, (en / n_tok) * 5.0)
-           |      + 0.3 * least(1.0, avg_wlen / 5.0)) * 10000.0 + 0.5) / 10000.0 AS quality
-           |  FROM c)
-           |SELECT id, pred_lang, quality FROM m
-           |WHERE pred_lang = 'en' AND quality >= 0.7 AND n_tok >= 20
-           |ORDER BY id""".stripMargin)),
+    "quality_funnel" -> Q(qualityFunnel, Some(qualityFunnelSql)),
+    "streaming_quality_filter" -> Q(
+      (s, d) => graft.streaming.StreamingGates.qualityFilter(s, d).orderBy(col("id")),
+      Some(qualityFunnelSql)),
     "pseudonymize" -> Q(pseudonymizeQ, Some(
       """WITH g AS (SELECT event_type, date_trunc('day', ts) AS dd,
         |                  count(DISTINCT user_id) AS n_users

@@ -203,6 +203,22 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("qualityFilter: streamed funnel equals the batch funnel (multi-batch, stateless)") {
+    // gate dir: 4 input files with maxFilesPerTrigger=2 => >= 2 micro-batches;
+    // the kept set must equal the batch funnel regardless of slicing.
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamingGates.qualityFilter(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val batch = graft.text.TextAnalysis
+      .features(spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+      .where(org.apache.spark.sql.functions.col("pred_lang") === "en" &&
+        org.apache.spark.sql.functions.col("quality") >= 0.7 &&
+        org.apache.spark.sql.functions.col("n_tok") >= 20)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3))).sortBy(_._1).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("firstPerKey keeps only the first occurrence per key across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
