@@ -1195,6 +1195,41 @@ object Queries {
       .limit(100)
   }
 
+  /** Behavioral analytics: ordered conversion funnel (view → click →
+    * purchase by FIRST occurrence per user) — the sequence-matching shape
+    * product analytics runs constantly. Two aggregations on user_id (the
+    * second reuses the first's partitioning; both map-side combine), one
+    * final global count — no joins, no windows. */
+  private def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val firsts = eventsTbl(spark, dir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .groupBy(col("user_id"), col("event_type")).agg(min(col("ts")).as("t0"))
+    val p = firsts.groupBy(col("user_id")).agg(
+      max(when(col("event_type") === "view", col("t0"))).as("tv"),
+      max(when(col("event_type") === "click", col("t0"))).as("tc"),
+      max(when(col("event_type") === "purchase", col("t0"))).as("tp"))
+    p.agg(
+      count(when(col("tv").isNotNull, 1)).as("s1"),
+      count(when(col("tv").isNotNull && col("tc") > col("tv"), 1)).as("s2"),
+      count(when(col("tv").isNotNull && col("tc") > col("tv") && col("tp") > col("tc"), 1)).as("s3"))
+  }
+
+  /** Behavioral analytics: retention cohorts — users grouped by first-
+    * active day, activity counted per (cohort, day offset). The cohort
+    * frame is user-cardinality and shares the events' user_id hash
+    * partitioning, so the join back is exchange-reusable; the final
+    * distinct-count shuffles (cohort, offset) pairs only. */
+  private def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val e = eventsTbl(spark, dir).select(col("user_id"), to_date(col("ts")).as("d"))
+    val c = e.groupBy(col("user_id")).agg(min(col("d")).as("cohort"))
+    e.join(c, "user_id")
+      .groupBy(col("cohort"), datediff(col("d"), col("cohort")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+        col("day_offset"), col("active_users"))
+      .orderBy(col("cohort"), col("day_offset"))
+  }
+
   /** Relational tier: ROLLUP grouping sets (free via Catalyst, §2.6). */
   private def rollupRevenue(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "orders")
@@ -1264,7 +1299,7 @@ object Queries {
     * shuffles before the final order. */
   private def qualityFunnel(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.features(docsTbl(spark, dir), "doc_id", "text")
-      .where(col("pred_lang") === "en" && col("quality") >= 0.7 && col("n_tok") >= 20)
+      .where(TextAnalysis.funnelKeep)
       .select(col("id"), col("pred_lang"), col("quality"))
       .orderBy(col("id"))
 
@@ -2290,6 +2325,27 @@ object Queries {
     "events_window" -> Q(eventsWindow, Some(
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6))) / count(*) AS DECIMAL(28,8)), 4) AS DOUBLE) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    "events_funnel" -> Q(eventsFunnel, Some(
+      """WITH firsts AS (
+        |  SELECT user_id, event_type, min(ts) AS t0 FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase') GROUP BY 1, 2),
+        |p AS (SELECT user_id,
+        |  max(CASE WHEN event_type = 'view' THEN t0 END) AS tv,
+        |  max(CASE WHEN event_type = 'click' THEN t0 END) AS tc,
+        |  max(CASE WHEN event_type = 'purchase' THEN t0 END) AS tp
+        |  FROM firsts GROUP BY 1)
+        |SELECT count(CASE WHEN tv IS NOT NULL THEN 1 END) AS s1,
+        |       count(CASE WHEN tv IS NOT NULL AND tc > tv THEN 1 END) AS s2,
+        |       count(CASE WHEN tv IS NOT NULL AND tc > tv AND tp > tc THEN 1 END) AS s3
+        |FROM p""".stripMargin)),
+    "retention_cohorts" -> Q(retentionCohorts, Some(
+      """WITH e AS (SELECT user_id, date_trunc('day', ts)::DATE AS d FROM events),
+        |c AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY 1)
+        |SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort,
+        |       e.d - c.cohort AS day_offset,
+        |       count(DISTINCT e.user_id) AS active_users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     "events_json" -> Q(eventsJson, Some(
       """SELECT event_type, count(*) AS n, round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),

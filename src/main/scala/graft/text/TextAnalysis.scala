@@ -92,6 +92,14 @@ object TextAnalysis {
     * A stand-in for a real tokenizer's pre-tokenization regex. */
   val subwordPattern = "[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\\s]"
 
+  /** The composed pretraining-funnel predicate over a [[features]] frame —
+    * ONE definition shared by the batch gate, its streaming twin, and the
+    * equivalence spec (they are asserted interchangeable precisely because
+    * they apply the same pure per-row predicate; a threshold tweak that
+    * reached only one copy would silently break the shared-oracle claim). */
+  def funnelKeep: Column =
+    col("pred_lang") === "en" && col("quality") >= 0.7 && col("n_tok") >= 20
+
   /** Unigram-LM document scoring — the perplexity-proxy quality signal of
     * CCNet-style corpus filtering (Wenzek et al. 2020: docs are ranked by
     * an LM's per-token surprisal; here the LM is the corpus' own unigram

@@ -148,6 +148,12 @@ final class GraphIndex(val edges: DataFrame, val vectors: DataFrame,
           // round-trips to EVERY BFS round (measured ~half the walk's
           // wall time at gate scale). Restored before scoring — the
           // corpus-scale scoring join keeps its runtime re-plan.
+          // The toggle mutates SESSION-global conf, so the save/restore
+          // pair is guarded by a JVM-global lock: two indexes walking on
+          // one session interleaved could otherwise restore each other's
+          // midflight "false" and leave AQE off for the whole session
+          // (round-8 review finding).
+          GraphIndex.aqeLock.synchronized {
           val aqePrev = spark.conf.get("spark.sql.adaptive.enabled", "true")
           spark.conf.set("spark.sql.adaptive.enabled", "false")
           try {
@@ -186,6 +192,7 @@ final class GraphIndex(val edges: DataFrame, val vectors: DataFrame,
           if (maxHops <= 0) { coverageCache = cov; coverageRdds = segments }
           cov
           } finally spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
+          }
         }
       }
       // coverage × queries: the small persisted q side broadcasts, so
@@ -317,6 +324,10 @@ final class GraphIndex(val edges: DataFrame, val vectors: DataFrame,
 
 object GraphIndex {
 
+  /** Guards the coverage walk's session-global AQE save/restore — see the
+    * toggle site in `searchBatch`. */
+  private[vector] val aqeLock = new Object
+
   // ---- persistence (S3/S4 for the graph artifact, matching the other
   // index families: parquet frames + a tiny params frame) ----
 
@@ -362,8 +373,14 @@ object GraphIndex {
       s"""CREATE TABLE $tmp (src BIGINT, dst BIGINT) USING PARQUET
          |CLUSTERED BY (src) SORTED BY (src) INTO $edgeBuckets BUCKETS
          |LOCATION '$path/edges'""".stripMargin)
-    val edges = spark.table(tmp).persist(StorageLevel.MEMORY_AND_DISK)
+    // Resolve BEFORE dropping (Dataset creation runs the analyzer eagerly,
+    // baking the bucketed HadoopFsRelation into the plan), and persist
+    // AFTER: DropTableCommand uncaches any cached plan referencing the
+    // table, so a persist-then-drop order silently voids the cache and
+    // every hop join re-reads the edge parquet (round-8 review finding).
+    val edges = spark.table(tmp)
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    edges.persist(StorageLevel.MEMORY_AND_DISK)
     new GraphIndex(edges, vectors, p.getLong(0), p.getLong(1), Seq(vectors, edges))
   }
 

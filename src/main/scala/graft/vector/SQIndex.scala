@@ -64,18 +64,29 @@ final class SQIndex(val data: DataFrame, // (id, vector, code) persisted
     * d_r ≤ T + x(1+T)/(1−x), x = 1e-4·(1+T); for x ≤ ½ (T ≤ 4999 — far
     * beyond any 1/(1+d) workload worth ranking) that is ≤ T + 2e-4·(1+T)².
     */
-  def search(q: Array[Double], k: Int): DataFrame = {
+  /** Pass 1 shared by [[search]] and [[candidateCount]]: codes-only bound
+    * projection + the k-th-smallest-upper-bound threshold (one O(k) driver
+    * scalar) + the rounded-tie slack. Returns the bound-surviving rows —
+    * empty (never NPE) on an empty index. */
+  private def prunedCandidates(q: Array[Double], k: Int): DataFrame = {
     val qc = VectorFunctions.vecLit(q)
     val xhat = deq(col("code"))
     val scored = data.select(col("id"), col("vector"),
         VectorFunctions.squaredL2(xhat, qc).as("dhat"),
         VectorFunctions.dot(zip_with(xhat, qc, (x, qv) => abs(x - qv)), stepsLit).as("bb"))
     // k-th smallest upper bound: bounded-heap reduction, one O(k) scalar.
-    val t0 = scored.select((col("dhat") + col("bb") + lit(slackS)).as("ub"))
+    val t0row = scored.select((col("dhat") + col("bb") + lit(slackS)).as("ub"))
       .orderBy(col("ub").asc).limit(k)
-      .agg(max(col("ub"))).head().getDouble(0)
+      .agg(max(col("ub"))).head()
+    if (t0row.isNullAt(0)) return scored.limit(0) // empty index: max(ub) is NULL
+    val t0 = t0row.getDouble(0)
     val t = t0 + 2e-4 * (1.0 + t0) * (1.0 + t0) // rounded-tie slack, see doc
     scored.where(col("dhat") - col("bb") <= t)
+  }
+
+  def search(q: Array[Double], k: Int): DataFrame = {
+    val qc = VectorFunctions.vecLit(q)
+    prunedCandidates(q, k)
       .select(col("id"),
         round(VectorFunctions.distToScore(VectorFunctions.squaredL2(col("vector"), qc)), 4).as("score"))
       .orderBy(col("score").desc, col("id").asc)
@@ -115,19 +126,10 @@ final class SQIndex(val data: DataFrame, // (id, vector, code) persisted
       .orderBy(col("qid").asc, col("score").desc, col("id").asc)
   }
 
-  /** Candidate count for a query — the pruning diagnostic (spec + SCALE). */
-  def candidateCount(q: Array[Double], k: Int): Long = {
-    val qc = VectorFunctions.vecLit(q)
-    val xhat = deq(col("code"))
-    val scored = data.select(
-        VectorFunctions.squaredL2(xhat, qc).as("dhat"),
-        VectorFunctions.dot(zip_with(xhat, qc, (x, qv) => abs(x - qv)), stepsLit).as("bb"))
-    val t0 = scored.select((col("dhat") + col("bb") + lit(slackS)).as("ub"))
-      .orderBy(col("ub").asc).limit(k)
-      .agg(max(col("ub"))).head().getDouble(0)
-    val t = t0 + 2e-4 * (1.0 + t0) * (1.0 + t0)
-    scored.where(col("dhat") - col("bb") <= t).count()
-  }
+  /** Candidate count for a query — the pruning diagnostic (spec + SCALE),
+    * measuring exactly the set [[search]] reranks. */
+  def candidateCount(q: Array[Double], k: Int): Long =
+    prunedCandidates(q, k).count()
 
   def dispose(): Unit = data.unpersist(blocking = false)
 

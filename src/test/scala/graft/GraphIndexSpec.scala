@@ -81,6 +81,11 @@ class GraphIndexSpec extends AnyFunSuite {
     val loaded = GraphIndex.load(spark, path)
     assert(loaded.n == index.n && loaded.entryId == index.entryId)
     assert(loaded.edges.count() == index.edges.count())
+    // the loaded edge table must ACTUALLY be cached: dropping the
+    // transient catalog entry after persist used to uncache it silently
+    // (round-8 review), regressing every hop join to a parquet re-read
+    assert(loaded.edges.storageLevel.useMemory || loaded.edges.storageLevel.useDisk,
+      s"loaded edges not cached: ${loaded.edges.storageLevel}")
     val q = queryVec(42)
     val a = index.search(q, 10, ef = 0).collect().map(r => (r.getLong(0), r.getDouble(1)))
     val b = loaded.search(q, 10, ef = 0).collect().map(r => (r.getLong(0), r.getDouble(1)))

@@ -211,9 +211,7 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq
     val batch = graft.text.TextAnalysis
       .features(spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
-      .where(org.apache.spark.sql.functions.col("pred_lang") === "en" &&
-        org.apache.spark.sql.functions.col("quality") >= 0.7 &&
-        org.apache.spark.sql.functions.col("n_tok") >= 20)
+      .where(graft.text.TextAnalysis.funnelKeep)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3))).sortBy(_._1).toSeq
     assert(streamed == batch)
     assert(streamed.nonEmpty)
