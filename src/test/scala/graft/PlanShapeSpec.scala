@@ -113,6 +113,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("events_funnel: two aggregations, zero joins — the funnel never multiplies rows") {
+    val p = plan("events_funnel")
+    assert(!p.contains("Join"), s"funnel must be join-free:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("retention_cohorts: cohort join is an equi-join, never a cartesian") {
+    val p = plan("retention_cohorts")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("tpch_q1: aggregate is hash-based with a partial (map-side) phase") {
     val p = plan("tpch_q1")
     assert(p.contains("HashAggregate"), p)
