@@ -69,6 +69,9 @@ final class SQIndex(val data: DataFrame, // (id, vector, code) persisted
     * scalar) + the rounded-tie slack. Returns the bound-surviving rows —
     * empty (never NPE) on an empty index. */
   private def prunedCandidates(q: Array[Double], k: Int): DataFrame = {
+    if (dim == 0) // empty-corpus index: no quantizer — nothing can match
+      return data.select(col("id"), col("vector"),
+        lit(0.0).as("dhat"), lit(0.0).as("bb")).limit(0)
     val qc = VectorFunctions.vecLit(q)
     val xhat = deq(col("code"))
     val scored = data.select(col("id"), col("vector"),
@@ -84,6 +87,13 @@ final class SQIndex(val data: DataFrame, // (id, vector, code) persisted
     scored.where(col("dhat") - col("bb") <= t)
   }
 
+  /** NOTE on tie semantics: the result is ordered by the ROUNDED score
+    * then id — the contract the SQL oracle states (`round(...) AS score
+    * ORDER BY score DESC, id`). A flat `topK` that selects by UNROUNDED
+    * score agrees everywhere except exact 4-dp boundary ties, where the
+    * oracle (and this index) prefer the smaller id among rounded-equal
+    * rows; SQIndexSpec's property test pins this against a
+    * rounded-order reference. */
   def search(q: Array[Double], k: Int): DataFrame = {
     val qc = VectorFunctions.vecLit(q)
     prunedCandidates(q, k)

@@ -89,6 +89,55 @@ class SQIndexSpec extends AnyFunSuite {
     } finally graft.streaming.StreamingGates.rmrf(tmp)
   }
 
+  test("property: pruned search == flat scan over random corpora (dims, magnitudes, duplicates)") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    // magnitudes spanning 1e-3..1e3 plus exact duplicates (step-0 dims,
+    // tied distances) — the regimes where a quantization bound or the
+    // rounded-tie slack would first crack
+    val rnd = new scala.util.Random(0x5EED)
+    for (trial <- 1 to 4) {
+      val dim = Seq(3, 8, 16, 33)(trial - 1)
+      val n = 60 + trial * 40
+      val scale = Seq(1e-3, 1.0, 1e3, 50.0)(trial - 1)
+      val base = Array.fill(n)(Array.fill(dim)((rnd.nextDouble() * 2 - 1) * scale))
+      // inject duplicates and a constant dimension
+      base(1) = base(0).clone(); base(n - 1) = base(n / 2).clone()
+      base.foreach(v => v(dim - 1) = 7.5 * scale)
+      val df = base.zipWithIndex.toSeq.map { case (v, i) => (i.toLong, v.toSeq) }
+        .toDF("vec_id", "embedding")
+      val idx = SQIndex.build(df, "vec_id", "embedding")
+      try {
+        for (qi <- Seq(0, n / 3, n - 1)) {
+          val q = base(qi)
+          // reference with the ORACLE's tie semantics: order by ROUNDED
+          // score then id BEFORE the cut (tiny scales round many rows to
+          // score 1.0, where an unrounded-order top-k would legally pick
+          // a different tie-set than the SQL oracle — see SQIndex doc)
+          val exact = df.select(col("vec_id").as("id"),
+              round(graft.functions.VectorFunctions.distToScore(
+                graft.functions.VectorFunctions.squaredL2(
+                  col("embedding"), graft.functions.VectorFunctions.vecLit(q))), 4).as("score"))
+            .orderBy(col("score").desc, col("id").asc).limit(7)
+            .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          val sq = idx.search(q, 7)
+            .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          assert(sq == exact, s"trial=$trial dim=$dim scale=$scale qi=$qi")
+        }
+      } finally idx.dispose()
+    }
+  }
+
+  test("empty index: search and candidateCount return empty, never NPE") {
+    import spark.implicits._
+    val empty = SQIndex.build(
+      Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding"), "vec_id", "embedding")
+    try {
+      assert(empty.search(Array(1.0, 2.0), 5).collect().isEmpty)
+      assert(empty.candidateCount(Array(1.0, 2.0), 5) == 0L)
+    } finally empty.dispose()
+  }
+
   test("the bound prunes: candidate set is a small fraction of the corpus") {
     val n = emb.count()
     val cand = index.candidateCount(queryVec(7L), k = 10)
