@@ -239,6 +239,15 @@ object Queries {
   }
 
   /** F1 conjunctive exact-match metadata filter + F4 head-top_k. */
+  /** F3+F4 at the oracle level: NO conditions — the all-ids path cut to
+    * the reference's head-style top_k (first k by id, NOT a rank; the
+    * semantics ldb:296–303 pins), with the metadata projection. */
+  private def metaHead(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("doc_id").as("id"), col("lang"), col("source"))
+      .orderBy(col("id").asc)
+      .limit(25)
+
   private def metaFilter(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "documents")
       .where(col("lang") === "en" && col("source") === "src3")
@@ -370,6 +379,28 @@ object Queries {
 
   private def saveLoadSq8Knn(spark: SparkSession, dir: String): DataFrame =
     sqLoaded(spark, dir).search(qvec(spark, dir, 21), k = 10)
+
+  private val sqIvfCache = new Memo[graft.vector.SQIndex](memoMax, "sqIvfCache")(_.dispose())
+
+  /** FAISS IVF_SQ8 composition: the IVF coarse quantizer partition-prunes
+    * the scan (at rest: `partitionBy(cluster)` files, nprobe/nlist of the
+    * I/O), SQ8 codes cut the surviving bytes 4×, and the interval bound
+    * prunes the float rerank — the three pruning tiers a 100 TB ANN scan
+    * stacks. Exact-recoverable at nprobe = nlist (the cluster restriction
+    * covers every row, so the SQ8 proof gives GLOBAL exact top-k) ⇒
+    * shares the exact KNN oracle like ann_ivf; the partial-probe
+    * configuration is recall-pinned in SQIndexSpec. */
+  private def annIvfSq8(spark: SparkSession, dir: String): DataFrame = {
+    val ivf = ivfIndex(spark, dir)
+    val sq = sqIvfCache.get(spark, dir)(
+      graft.vector.SQIndex.build(ivf.assignments, "id", "vector", keep = Seq("cluster")))
+    val q = qvec(spark, dir, 37)
+    // driver-side centroid ranking, O(nlist) scalars — same discipline as
+    // IVFIndex.search (the coarse quantizer is driver-held, like FAISS)
+    val probe = ivf.centroids.sortBy { case (_, c) =>
+      c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum }.map(_._1)
+    sq.search(q, k = 10, restrict = Some(col("cluster").isin(probe: _*)))
+  }
 
   /** K6 KNN through the IVF probe machinery in its exact-recoverable
     * configuration: `nprobe = nlist` scans every cluster, so the result is
@@ -2097,6 +2128,7 @@ object Queries {
          |SELECT id, score FROM top WHERE label = 3 ORDER BY score DESC, id""".stripMargin)),
     "ann_ivf" -> Q(annIvf, Some(knnSql(13, 10))),
     "ann_sq8" -> Q(annSq8, Some(knnSql(17, 10))),
+    "ann_ivf_sq8" -> Q(annIvfSq8, Some(knnSql(37, 10))),
     "save_load_sq8_knn" -> Q(saveLoadSq8Knn, Some(knnSql(21, 10))),
     "ann_ivf_cosine" -> Q(annIvfCosine, Some(
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 42)
@@ -2197,6 +2229,8 @@ object Queries {
       s"""WITH ${bm25Ctes(bm25Query, joinedCorpus = true)}
          |SELECT id, round(score, 4) AS score FROM tscore
          |ORDER BY score DESC, id LIMIT 10""".stripMargin)),
+    "meta_head" -> Q(metaHead, Some(
+      "SELECT doc_id AS id, lang, source FROM documents ORDER BY id LIMIT 25")),
     "meta_filter" -> Q(metaFilter, Some(
       "SELECT doc_id AS id FROM documents WHERE lang = 'en' AND source = 'src3' ORDER BY id LIMIT 50")),
     "meta_range" -> Q(metaRange, Some(

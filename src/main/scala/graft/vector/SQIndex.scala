@@ -68,13 +68,20 @@ final class SQIndex(val data: DataFrame, // (id, vector, code) persisted
     * projection + the k-th-smallest-upper-bound threshold (one O(k) driver
     * scalar) + the rounded-tie slack. Returns the bound-surviving rows —
     * empty (never NPE) on an empty index. */
-  private def prunedCandidates(q: Array[Double], k: Int): DataFrame = {
+  private def prunedCandidates(q: Array[Double], k: Int,
+                               restrict: Option[Column] = None): DataFrame = {
     if (dim == 0) // empty-corpus index: no quantizer — nothing can match
       return data.select(col("id"), col("vector"),
         lit(0.0).as("dhat"), lit(0.0).as("bb")).limit(0)
     val qc = VectorFunctions.vecLit(q)
     val xhat = deq(col("code"))
-    val scored = data.select(col("id"), col("vector"),
+    // optional scan restriction FIRST (e.g. an IVF cluster probe — the
+    // FAISS IVF_SQ8 composition: partition-prune the I/O, then bound-prune
+    // the codes); the k-th-upper-bound threshold is computed over the
+    // restricted domain, so the proof gives exact top-k OF THAT DOMAIN
+    // (= global exact when the restriction covers every cluster).
+    val base = restrict.map(data.where).getOrElse(data)
+    val scored = base.select(col("id"), col("vector"),
         VectorFunctions.squaredL2(xhat, qc).as("dhat"),
         VectorFunctions.dot(zip_with(xhat, qc, (x, qv) => abs(x - qv)), stepsLit).as("bb"))
     // k-th smallest upper bound: bounded-heap reduction, one O(k) scalar.
@@ -94,9 +101,9 @@ final class SQIndex(val data: DataFrame, // (id, vector, code) persisted
     * oracle (and this index) prefer the smaller id among rounded-equal
     * rows; SQIndexSpec's property test pins this against a
     * rounded-order reference. */
-  def search(q: Array[Double], k: Int): DataFrame = {
+  def search(q: Array[Double], k: Int, restrict: Option[Column] = None): DataFrame = {
     val qc = VectorFunctions.vecLit(q)
-    prunedCandidates(q, k)
+    prunedCandidates(q, k, restrict)
       .select(col("id"),
         round(VectorFunctions.distToScore(VectorFunctions.squaredL2(col("vector"), qc)), 4).as("score"))
       .orderBy(col("score").desc, col("id").asc)
@@ -173,9 +180,10 @@ object SQIndex {
     * — FAISS's `RangeStat_minmax`) and encode every vector to bytes in one
     * projection. Zero-width dimensions get step 0 and code 0 (exactly
     * representable), avoiding 0/0. */
-  def build(vectors: DataFrame, idCol: String, vecCol: String): SQIndex = {
-    val v = vectors.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("vector"))
+  def build(vectors: DataFrame, idCol: String, vecCol: String,
+            keep: Seq[String] = Nil): SQIndex = {
+    val v = vectors.select(col(idCol).as("id") +:
+      col(vecCol).cast("array<double>").as("vector") +: keep.map(col): _*)
     // Per-dim range via posexplode + groupBy(pos): partial min/max combine
     // on the map side means the shuffle carries dim·partitions rows no
     // matter the corpus size — and the plan is dim-generic (no dim-wide
@@ -189,12 +197,12 @@ object SQIndex {
     val steps = mins.zip(maxs).map { case (lo, hi) => (hi - lo) / 255.0 }
     val minsL = VectorFunctions.vecLit(mins)
     val stepsL = VectorFunctions.vecLit(steps)
-    val coded = v.select(col("id"), col("vector"),
+    val coded = v.select(col("id") +: col("vector") +:
         zip_with(col("vector"), sequence(lit(0), lit(dim - 1)), (x, i) => {
           val s = element_at(stepsL, i + lit(1))
           when(s === 0.0, lit(0))
             .otherwise(round((x - element_at(minsL, i + lit(1))) / s).cast("int"))
-        }).as("code"))
+        }).as("code") +: keep.map(col): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
     new SQIndex(coded, mins, steps)
   }

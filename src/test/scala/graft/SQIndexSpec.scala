@@ -138,6 +138,30 @@ class SQIndexSpec extends AnyFunSuite {
     } finally empty.dispose()
   }
 
+  test("IVF composition: full probe exact; partial probe is a real restriction with recall >= 0.5") {
+    import graft.vector.IVFIndex
+    val ivf = IVFIndex.build(emb, "vec_id", "embedding", nlist = 8)
+    val sq = SQIndex.build(ivf.assignments, "id", "vector", keep = Seq("cluster"))
+    try {
+      val q = queryVec(42L)
+      val ranked = ivf.centroids.sortBy { case (_, c) =>
+        c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum }.map(_._1)
+      val exact = ExactKNN.topK(emb, "vec_id", "embedding", q, 10)
+        .collect().map(_.getLong(0)).toSet
+      // nprobe = nlist covers everything -> globally exact
+      val full = sq.search(q, 10, restrict = Some(col("cluster").isin(ranked: _*)))
+        .collect().map(_.getLong(0)).toSet
+      assert(full == exact)
+      // nprobe = 2: a genuine restriction (fewer candidates than the
+      // corpus), still decent recall on the nearest clusters
+      val probe2 = ranked.take(2)
+      val part = sq.search(q, 10, restrict = Some(col("cluster").isin(probe2: _*)))
+        .collect().map(_.getLong(0)).toSet
+      val recall = (part & exact).size / 10.0
+      assert(recall >= 0.5, s"recall=$recall")
+    } finally { sq.dispose(); ivf.dispose() }
+  }
+
   test("the bound prunes: candidate set is a small fraction of the corpus") {
     val n = emb.count()
     val cand = index.candidateCount(queryVec(7L), k = 10)
