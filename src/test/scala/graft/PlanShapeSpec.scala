@@ -94,6 +94,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"funnel must be one fused projection:\n$p")
   }
 
+  test("ann_ivf_sq8: cluster restriction + bound filter precede the rerank — no global sort, no join") {
+    val p = plan("ann_ivf_sq8")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("Filter"), p)
+    assert(!p.contains("SortExec") && !p.contains("Join"), p)
+  }
+
   test("ann_sq8: bound-pruned scan — filter precedes the rerank top-k, no global sort") {
     val p = plan("ann_sq8")
     assert(p.contains("TakeOrderedAndProject"), p)
