@@ -118,11 +118,24 @@ object TextAnalysis {
     val total = freq.agg(sum(col("c")).as("n"))
     val lm = freq.crossJoin(broadcast(total))
       .select(col("term"), log(col("c") / col("n")).as("lp"))
-    tf.join(broadcast(lm), "term")
+    // Determinism: a bare avg(lp) over the token stream sums doubles in
+    // partition-dependent order. Instead aggregate tf per (id, term) first
+    // (keeps the map-side combine; the shuffle shrinks to per-doc vocab),
+    // then fold tf·lp per doc in SORTED-value order — bit-stable across
+    // runs/partitionings. Cross-engine (vs DuckDB's avg) the residual is
+    // ulp-level ln()/reassociation noise ~1e-12 relative, absorbed by the
+    // 4-dp round with ~1e8× margin — exact decimal parity (the centsSum
+    // discipline) is unattainable for transcendental log-probs by nature.
+    val tfg = tf.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    tfg.join(broadcast(lm), "term")
+      .select(col("id"), col("tf"), (col("tf") * col("lp")).as("wlp"))
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_tok"),
-        round(avg(col("lp")), 4).as("avg_logp"),
-        round(-avg(col("lp")) / math.log(2.0), 4).as("bits_per_token"))
+      .agg(sum(col("tf")).as("n_tok"), sort_array(collect_list(col("wlp"))).as("ws"))
+      .select(col("id"), col("n_tok"),
+        (aggregate(col("ws"), lit(0.0), (a, x) => a + x) / col("n_tok")).as("m"))
+      .select(col("id"), col("n_tok"),
+        round(col("m"), 4).as("avg_logp"),
+        round(-col("m") / math.log(2.0), 4).as("bits_per_token"))
   }
 
   /** Token counting: whitespace tokens, subword-regex tokens, characters.

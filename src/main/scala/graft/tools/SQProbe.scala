@@ -22,19 +22,22 @@ object SQProbe {
     val idx = SQIndex.build(emb, "vec_id", "embedding")
     idx.data.count()
     println(f"[sqprobe] build: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
-    def qv(id: Long): Array[Double] =
+    def qv(id: Long): Option[Array[Double]] =
       emb.where(col("vec_id") === id).select("embedding")
-        .head().getSeq[Float](0).map(_.toDouble).toArray
-    for (qid <- Seq(3L, 17L, 99L, 256L, 441L)) {
-      val q = qv(qid)
-      val cand = idx.candidateCount(q, 10)
-      val t1 = System.nanoTime()
-      idx.search(q, 10).collect()
-      val sq = (System.nanoTime() - t1) / 1e9
-      val t2 = System.nanoTime()
-      ExactKNN.topK(emb, "vec_id", "embedding", q, 10).collect()
-      val flat = (System.nanoTime() - t2) / 1e9
-      println(f"[sqprobe] qid=$qid cand=$cand (${100.0 * cand / n}%.1f%%) sq=$sq%.2f s flat=$flat%.2f s")
+        .head(1).headOption.map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // tiny/custom dirs may not carry every diagnostic id — skip informatively
+    for (qid <- Seq(3L, 17L, 99L, 256L, 441L)) qv(qid) match {
+      case None =>
+        println(s"[sqprobe] qid=$qid absent from $sfDir — skipped")
+      case Some(q) =>
+        val cand = idx.candidateCount(q, 10)
+        val t1 = System.nanoTime()
+        idx.search(q, 10).collect()
+        val sq = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        ExactKNN.topK(emb, "vec_id", "embedding", q, 10).collect()
+        val flat = (System.nanoTime() - t2) / 1e9
+        println(f"[sqprobe] qid=$qid cand=$cand (${100.0 * cand / n}%.1f%%) sq=$sq%.2f s flat=$flat%.2f s")
     }
     spark.stop()
   }

@@ -133,13 +133,19 @@ final class SQIndex(val data: DataFrame, // (id, vector, code) persisted
       .groupBy(col("qid")).agg(max(col("ub")).as("t0"))
       .select(col("qid").as("__tq"),
         (col("t0") + lit(2e-4) * (lit(1.0) + col("t0")) * (lit(1.0) + col("t0"))).as("__t"))
+    // Rank the rerank pass by the UNROUNDED score (then round for output):
+    // the batch oracle's row_number orders by unrounded s DESC, id — as does
+    // ExactKNN.topKBatch — so on an exact 4-dp boundary tie at rank k the
+    // selected rows match. (The single-query `search` keeps rounded-order
+    // selection because its oracle `knnSql` orders by the rounded alias.)
     graft.plans.TopK.perKey(
         scored.join(broadcast(thr), col("qid") === col("__tq"))
           .where(col("dhat") - col("bb") <= col("__t"))
           .select(col("qid"), col("id"),
-            round(VectorFunctions.distToScore(
-              VectorFunctions.squaredL2(col("vector"), col("__qv"))), 4).as("score")),
+            VectorFunctions.distToScore(
+              VectorFunctions.squaredL2(col("vector"), col("__qv"))).as("score")),
         Seq("qid"), Seq("score" -> true, "id" -> false), k)
+      .select(col("qid"), col("id"), round(col("score"), 4).as("score"))
       .orderBy(col("qid").asc, col("score").desc, col("id").asc)
   }
 
