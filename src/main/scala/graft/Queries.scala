@@ -332,6 +332,87 @@ object Queries {
       .select(col("id"), r4(col("score")).as("score"))
       .orderBy(col("score").desc, col("id").asc)
 
+  /** BULK hybrid search (round 9): three (text, vector) queries fused in
+    * ONE distributed plan through the facade — the batch twin of
+    * hybrid_search/hybrid_probe (the last reference pipeline, ldb:323–401,
+    * without one). `hybrid_batch` forces the exact arm (threshold = ∞,
+    * true-L2 dense scoring so the oracle shape is sf-independent);
+    * `hybrid_batch_probe` forces the widened-probe + zero-scatter arm
+    * (threshold = 0, squared-L2 discipline, k = max(10·topK, 100) = 100). */
+  private val hybridBatchQs = Seq(
+    (7L, bm25Query),
+    (13L, "vector scan window group batch"),
+    (21L, "merge sort column filter stream"))
+
+  private def hybridBatchQueryFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    hybridBatchQs.toDF("qid", "qtext")
+      .join(tbl(spark, dir, "embeddings")
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")), Seq("qid"))
+  }
+
+  private def hybridBatchArm(exactThreshold: Long)(spark: SparkSession, dir: String): DataFrame =
+    vdb(spark, dir)
+      .hybridSearchBatch(hybridBatchQueryFrame(spark, dir), "qid", "qtext", "qv",
+        topK = 10, exactThreshold = exactThreshold)
+      .select(col("qid"), col("id"), r4(col("score")).as("score"))
+      .orderBy(col("qid").asc, col("score").desc, col("id").asc)
+
+  /** Shared oracle builder for the two batch-hybrid arms: the joined-corpus
+    * BM25 CTE chain once, per-query (qt/contrib/dense-tscore/vscore/maxes/
+    * fusion/top-10) blocks, UNION ALL, rounded in the outer select — the
+    * batch composition of the hybrid_search / hybrid_probe oracles. */
+  private def hybridBatchSql(exact: Boolean): String = {
+    val corpus = "(SELECT * FROM documents WHERE doc_id IN (SELECT vec_id FROM embeddings))"
+    val shared =
+      raw"""d AS (SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS toks FROM $corpus),
+           |dl AS (SELECT id, len(toks)::DOUBLE AS dl FROM d),
+           |corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+           |tf AS (SELECT id, unnest(toks) AS term FROM d),
+           |tfg AS (SELECT id, term, count(*)::DOUBLE AS tf FROM tf GROUP BY 1, 2),
+           |dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tfg GROUP BY 1),
+           |raw AS (SELECT term, ln((n - df + 0.5)/(df + 0.5)) AS raw_idf FROM dfreq, corpus),
+           |eps AS (SELECT avg(raw_idf) AS avg_idf FROM raw),
+           |idf AS (SELECT term, CASE WHEN raw_idf < 0 THEN 0.25 * avg_idf ELSE raw_idf END AS idf FROM raw, eps)""".stripMargin
+    val blocks = hybridBatchQs.map { case (qid, qtext) =>
+      val vscore =
+        if (exact)
+          s"""v$qid AS (SELECT e.vec_id AS id, 1.0/(1.0 + sqrt($sqDistSql)) AS vs
+             |          FROM embeddings e, q$qid q)""".stripMargin
+        else
+          s"""vsq$qid AS (SELECT e.vec_id AS id, 1.0/(1.0 + $sqDistSql) AS s
+             |            FROM embeddings e, q$qid q),
+             |rk$qid AS (SELECT id, s, row_number() OVER (ORDER BY s DESC, id) AS rn FROM vsq$qid),
+             |v$qid AS (SELECT id, CASE WHEN rn <= 100 THEN s ELSE 0.0 END AS vs FROM rk$qid)""".stripMargin
+      raw"""q$qid AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = $qid),
+           |qt$qid AS (SELECT term, count(*)::DOUBLE AS qtf
+           |           FROM (SELECT unnest(string_split_regex(trim('$qtext'), '\s+')) AS term) GROUP BY 1),
+           |c$qid AS (
+           |  SELECT tfg.id,
+           |         sum(qt.qtf * idf.idf * tfg.tf * (1.5 + 1.0) /
+           |             (tfg.tf + 1.5 * (1.0 - 0.75 + 0.75 * dl.dl / corpus.avgdl))) AS score
+           |  FROM tfg JOIN qt$qid qt USING (term) JOIN idf USING (term) JOIN dl USING (id), corpus
+           |  GROUP BY 1),
+           |t$qid AS (SELECT dl.id, coalesce(c.score, 0.0) AS score FROM dl LEFT JOIN c$qid c USING (id)),
+           |$vscore,
+           |tm$qid AS (SELECT max(t.score) AS tm FROM t$qid t JOIN v$qid USING (id)),
+           |vm$qid AS (SELECT max(vs) AS vm FROM v$qid JOIN t$qid USING (id)),
+           |f$qid AS (
+           |  SELECT t.id,
+           |         0.5 * (CASE WHEN vm > 0 THEN vs / vm ELSE vs END)
+           |       + 0.5 * (CASE WHEN tm > 0 THEN t.score / tm ELSE t.score END) AS raw
+           |  FROM t$qid t JOIN v$qid USING (id), tm$qid, vm$qid),
+           |top$qid AS (SELECT $qid::BIGINT AS qid, id, raw FROM f$qid
+           |            WHERE raw > 0 ORDER BY raw DESC, id LIMIT 10)""".stripMargin
+    }
+    val union = hybridBatchQs.map { case (qid, _) => s"SELECT * FROM top$qid" }
+      .mkString(" UNION ALL ")
+    s"""WITH $shared,
+       |${blocks.mkString(",\n")}
+       |SELECT qid, id, round(raw, 4) AS score FROM ($union)
+       |ORDER BY qid, score DESC, id""".stripMargin
+  }
+
   /** K1–K3 through the FACADE: `queryText` over the ingested collection —
     * create → addBulk → BM25 rebuild-on-demand → score, the reference's
     * `query_text` end to end (ldb:115–135), sharing text_bm25's oracle
@@ -2272,6 +2353,8 @@ object Queries {
          |  FROM tscore JOIN vscore USING (id), tmax, vmax),
          |top AS (SELECT id, raw FROM fused WHERE raw > 0 ORDER BY raw DESC, id LIMIT 10)
          |SELECT id, round(raw, 4) AS score FROM top ORDER BY score DESC, id""".stripMargin)),
+    "hybrid_batch" -> Q(hybridBatchArm(Long.MaxValue), Some(hybridBatchSql(exact = true))),
+    "hybrid_batch_probe" -> Q(hybridBatchArm(0L), Some(hybridBatchSql(exact = false))),
     "multimodal_features" -> Q(multimodalFeatures, Some(
       """SELECT doc_id AS id, octet_length(text::BLOB)::BIGINT AS n_bytes, md5(text) AS fp,
         |       (octet_length(text::BLOB) % 64 + 1)::INT AS width,

@@ -523,9 +523,113 @@ class VectorDatabase private (
     if (returnScores) r else r.select(col("id"))
   }
 
+  /** BULK hybrid search — N (qid, text, vector) queries through ONE
+    * distributed plan, the batch twin of [[hybridSearch]] (the last
+    * reference pipeline, ldb:323–401, without one). Per query the
+    * semantics are EXACTLY the single-query path's: dense BM25 text
+    * scores (ldb:130), dense vector scores (true-L2 brute force at
+    * N ≤ `exactThreshold`, widened-probe + zero-scatter above,
+    * ldb:359–374), per-query max-normalize (ldb:381–384), weighted
+    * fusion, zero-drop (ldb:399–401), top-k.
+    *
+    * Scale shape: the text side is the frames-path sparse BM25
+    * ([[BM25.Index.scoreBatchFrames]] — no query-proportional driver
+    * state); the vector side is produced dense corpus-side with the
+    * |Q|-row query frame BROADCAST, so the only fact-sized shuffle is
+    * the ONE (qid, id) score join that fuses them. The per-query maxes
+    * are a |Q|-row aggregate (map-side partial combine) broadcast back —
+    * the scalable analog of a per-query window, which would funnel each
+    * query's whole corpus through one partition. The final cut is the
+    * bounded-heap [[graft.plans.TopKPerKey]].
+    * Output: (qid, id, score), qid asc, score desc, id-asc ties. */
+  def hybridSearchBatch(queries: DataFrame, qidCol: String, textCol: String,
+                        vecCol: String, topK: Int = 5,
+                        vectorWeight: Double = 0.5,
+                        filter: Option[Column] = None,
+                        returnScores: Boolean = true,
+                        exactThreshold: Long = 1000L): DataFrame = {
+    if (nRows == 0) return emptyBatchResult // ldb:346–347, per query
+    val q = queries.select(col(qidCol).cast("long").as("qid"),
+      col(textCol).as("__qtext"), col(vecCol).cast("array<double>").as("__qv"))
+    val ts = bm25.scoreBatchFrames(q, "qid", "__qtext")
+      .withColumnRenamed("score", "ts")
+    val vs =
+      if (nRows <= exactThreshold)
+        // small-N exact arm: true-L2 scores for every (query, doc) pair —
+        // corpus scan × broadcast queries, no shuffle (ldb:375–378)
+        df.select(col("id"), col("vector"))
+          .crossJoin(broadcast(q.select(col("qid"), col("__qv"))))
+          .select(col("qid"), col("id"),
+            ExactKNN.L2.score(ExactKNN.L2.dist(col("vector"), col("__qv"))).as("vs"))
+      else {
+        // widened index probe + zero-scatter (ldb:361–374): squared-L2
+        // score discipline, k = max(10·topK, 100) per query
+        val widened = math.min(nRows, math.max(10L * topK, 100L)).toInt
+        val probed = searchTopKBatch(q.select(col("qid"), col("__qv")), widened)
+          .withColumnRenamed("score", "vs")
+        df.select(col("id"))
+          .crossJoin(broadcast(q.select(col("qid"))))
+          .join(probed, Seq("qid", "id"), "left")
+          .select(col("qid"), col("id"), coalesce(col("vs"), lit(0.0)).as("vs"))
+      }
+    // the ONE fact-sized score join: sparse text scores into dense vector
+    // pairs, misses restored to the dense contract's 0.0
+    hybridCache.foreach(_.unpersist(blocking = false))
+    val joined = vs.join(ts, Seq("qid", "id"), "left")
+      .select(col("qid"), col("id"),
+        coalesce(col("ts"), lit(0.0)).as("ts"), col("vs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    hybridCache = Some(joined) // released on the next hybrid call / add
+    val maxes = joined.groupBy(col("qid"))
+      .agg(max(col("ts")).as("__tm"), max(col("vs")).as("__vm"))
+    val fused = joined.join(broadcast(maxes), Seq("qid"))
+      .select(col("qid"), col("id"),
+        (lit(vectorWeight) *
+           when(col("__vm") > 0, col("vs") / col("__vm")).otherwise(col("vs")) +
+         lit(1.0 - vectorWeight) *
+           when(col("__tm") > 0, col("ts") / col("__tm")).otherwise(col("ts"))).as("score"))
+    val masked = filter match {
+      case Some(p) => fused.join(df.where(p).select(col("id")), Seq("id"), "left_semi")
+      case None => fused
+    }
+    val r = graft.plans.TopK.perKey(masked.where(col("score") > 0), // zero-drop
+        Seq("qid"), Seq("score" -> true, "id" -> false), topK)
+      .orderBy(col("qid").asc, col("score").desc, col("id").asc)
+    if (returnScores) r else r.select(col("qid"), col("id"))
+  }
+
+  /** Batch analog of [[searchTopK]]'s index dispatch (no filter arm —
+    * batch callers restrict on the fused frame). Same recall knobs per
+    * type as the single-query path. */
+  private def searchTopKBatch(q: DataFrame, k: Int): DataFrame =
+    manifestVar.effectiveType match {
+      case "ivf" =>
+        ivf.searchBatch(q, "qid", "__qv", k,
+          nprobe = math.max(1, manifestVar.efSearch / 10))
+      case "ivfpq" =>
+        val i = ivf // may degrade effectiveType → flat on tiny corpora
+        if (manifestVar.effectiveType == "flat")
+          ExactKNN.topKBatchHeap(df, "id", "vector", q, "qid", "__qv", k)
+        else pq.searchBatch(q, "qid", "__qv", k)
+      case "lsh" =>
+        lshIdx.searchBatch(q, "qid", "__qv", k,
+          probeRadius = math.max(0, manifestVar.efSearch / 50))
+      case "graph" =>
+        val ef = if (manifestVar.efSearch >= nRows) 0
+                 else math.max(k, manifestVar.efSearch)
+        graphIdx.searchBatch(q, "qid", "__qv", k, ef = ef)
+      case _ =>
+        ExactKNN.topKBatchHeap(df, "id", "vector", q, "qid", "__qv", k)
+    }
+
   private def emptyResult: DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
       StructType(Seq(StructField("id", LongType), StructField("score", DoubleType))))
+
+  private def emptyBatchResult: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("qid", LongType), StructField("id", LongType),
+        StructField("score", DoubleType))))
 
   // ---------------------------------------------------------------------
   // S3 save / S4 load (ldb:210–265)

@@ -206,7 +206,18 @@ object BM25 {
       * contract: sparse (qid, id, score), top-k per qid. BM25Spec pins
       * row-for-row equality with the Seq path. */
     def scoreBatchTopKFrames(queries: DataFrame, qidCol: String,
-                             textCol: String, k: Int): DataFrame = {
+                             textCol: String, k: Int): DataFrame =
+      graft.plans.TopK.perKey(scoreBatchFrames(queries, qidCol, textCol),
+        Seq("qid"), Seq(("score", true), ("id", false)), k)
+
+    /** The frames-path scoring WITHOUT the top-k cut: sparse (qid, id,
+      * score) over docs sharing ≥ 1 query term — the building block the
+      * batch hybrid fusion densifies (it left-joins these rows into its
+      * corpus-wide pair frame and coalesces the misses to the dense
+      * contract's 0.0, ldb:130). Same plan as [[scoreBatchTopKFrames]]
+      * minus the heap. */
+    def scoreBatchFrames(queries: DataFrame, qidCol: String,
+                         textCol: String): DataFrame = {
       if (n == 0)
         throw new IllegalStateException("No documents in the database")
       val qtf = queries.select(col(qidCol).cast("long").as("qid"),
@@ -221,14 +232,12 @@ object BM25 {
           (col("qtf") *
             when(raw < 0, lit(params.epsilon * avgIdf)).otherwise(raw)).as("w"))
       val (k1, b) = (params.k1, params.b)
-      val scored = postings
+      postings
         .join(weights, Seq("term"))
         .groupBy(col("qid"), col("id"))
         .agg(sum(col("w") * col("tf") * lit(k1 + 1.0) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
           .as("score"))
-      graft.plans.TopK.perKey(scored, Seq("qid"),
-        Seq(("score", true), ("id", false)), k)
     }
   }
 

@@ -251,6 +251,30 @@ class VectorDatabaseSpec extends AnyFunSuite {
     assert(scores.forall(_ > 0) && scores.sameElements(scores.sortBy(-_)))
   }
 
+  test("hybridSearchBatch ≡ per-query hybridSearch on both arms (round 9)") {
+    import spark.implicits._
+    val db = freshDb("flat")
+    val qs = Seq((0L, "vector databases", vecs(2).map(_.toDouble).toSeq),
+                 (1L, "python programming language", vecs(3).map(_.toDouble).toSeq),
+                 (2L, "quick brown fox", vecs(1).map(_.toDouble).toSeq))
+    val qdf = qs.toDF("qid", "qtext", "qv")
+    for (thr <- Seq(Long.MaxValue, 0L)) { // exact arm; widened-probe arm
+      val batch = db.hybridSearchBatch(qdf, "qid", "qtext", "qv", topK = 3,
+          exactThreshold = thr).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val single = qs.flatMap { case (qid, t, v) =>
+        db.hybridSearch(t, v.map(_.toFloat).toArray, topK = 3, exactThreshold = thr)
+          .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+      }
+      // bit-identical per query: same fusion algebra, same tie order
+      assert(batch.toSeq == single,
+        s"threshold=$thr: batch ${batch.toSeq} != per-query $single")
+    }
+    // empty-db short-circuit (ldb:346–347) holds for the batch twin
+    val empty = VectorDatabase.create(spark, dim, "flat")
+    assert(empty.hybridSearchBatch(qdf, "qid", "qtext", "qv").collect().isEmpty)
+  }
+
   test("save/load roundtrip: docs, metas, exact query equality for flat (test:127–162)") {
     val db = freshDb("flat")
     val path = java.nio.file.Files.createTempDirectory("graftdb").toString
