@@ -54,7 +54,13 @@ object Bench {
       val suspect: Seq[Double] =
         if (median <= 0) Nil else valid.filter(_ > 5 * median)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY (comma-separated gate names): builder-side
+    // iteration aid for attributing single gates; the driver never sets it.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val timed = (1 to 3).map(_ => time(fn))
       R(name, timed.map(_._1),
         timed.zipWithIndex.collect { case ((_, Some(e)), i) => s"run ${i + 1}: $e" })

@@ -74,6 +74,17 @@ object Queries {
   private val sqDistSql =
     "list_sum(list_transform(range(1, 65), i -> (e.embedding[i]::DOUBLE - q.qv[i]) * (e.embedding[i]::DOUBLE - q.qv[i])))"
 
+  /** Exact cosine top-k oracle — shared by the IVF (nprobe = nlist) and
+    * SQ8 (interval-bound proof) cosine arms. */
+  private def cosineKnnSql(vecId: Long, k: Int): String =
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = $vecId)
+       |SELECT e.vec_id AS id,
+       |       round(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * q.qv[i]))
+       |             / (sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+       |                * sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])))), 4) AS score
+       |FROM embeddings e, q
+       |ORDER BY score DESC, id LIMIT $k""".stripMargin
+
   private def knnSql(vecId: Long, k: Int, where: String = ""): String =
     s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = $vecId)
        |SELECT e.vec_id AS id,
@@ -442,6 +453,13 @@ object Queries {
     * [[graft.vector.SQIndex]] for the bound. */
   private def annSq8(spark: SparkSession, dir: String): DataFrame =
     sqIndex(spark, dir).search(qvec(spark, dir, 17), k = 10)
+
+  /** SQ8 under COSINE (r8 VERDICT #7): the dot-product interval bound
+    * |x̂·q − x·q| ≤ Σ sᵢ|qᵢ|/2 over codes + the stored exact row norm,
+    * reranked on floats — shares the exact cosine oracle BY PROOF, the
+    * metric transpose of ann_sq8's squared-L2 argument. */
+  private def annSq8Cosine(spark: SparkSession, dir: String): DataFrame =
+    sqIndex(spark, dir).searchCosine(qvec(spark, dir, 99), k = 10)
 
   private val sqLoadedCache =
     new Memo[(graft.vector.SQIndex, java.nio.file.Path)](memoMax, "sqLoadedCache")({
@@ -2211,14 +2229,8 @@ object Queries {
     "ann_sq8" -> Q(annSq8, Some(knnSql(17, 10))),
     "ann_ivf_sq8" -> Q(annIvfSq8, Some(knnSql(37, 10))),
     "save_load_sq8_knn" -> Q(saveLoadSq8Knn, Some(knnSql(21, 10))),
-    "ann_ivf_cosine" -> Q(annIvfCosine, Some(
-      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 42)
-         |SELECT e.vec_id AS id,
-         |       round(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * q.qv[i]))
-         |             / (sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
-         |                * sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])))), 4) AS score
-         |FROM embeddings e, q
-         |ORDER BY score DESC, id LIMIT 10""".stripMargin)),
+    "ann_ivf_cosine" -> Q(annIvfCosine, Some(cosineKnnSql(42, 10))),
+    "ann_sq8_cosine" -> Q(annSq8Cosine, Some(cosineKnnSql(99, 10))),
     "ann_pq" -> Q(annPq, Some(
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |a AS (SELECT vec_id AS aid, emb AS aemb FROM v WHERE vec_id < 16),

@@ -154,6 +154,58 @@ final class SQIndex(val data: DataFrame, // (id, vector, code) persisted
   def candidateCount(q: Array[Double], k: Int): Long =
     prunedCandidates(q, k).count()
 
+  /** Exact top-k by COSINE similarity — the dot/cosine interval bound the
+    * L2 arm's proof transposes to (r8 VERDICT #7): with |δ_i| ≤ s_i/2,
+    *   |x̂·q − x·q| ≤ Σ_i s_i·|q_i|/2 = B   (one DRIVER scalar per query),
+    * and with the row's exact float norm ‖x‖ stored at build time
+    * (`nrm`, one double — reading it does NOT decode the vector pages),
+    *   (x̂·q − B)/(‖x‖‖q‖) ≤ cos(x, q) ≤ (x̂·q + B)/(‖x‖‖q‖).
+    * Take T = the k-th LARGEST lower bound (bounded-heap, O(k) driver
+    * scalar); every true top-k row has cos ≥ T, so keeping upper bounds
+    * ≥ T − 2e-4 (the 4-dp rounded-tie slack — linear here, since the
+    * score IS the cosine) is a provable superset, reranked on floats.
+    * Same codes-only pass-1 / late-materialized pass-2 shape as
+    * [[search]]. Zero-norm rows (cosine undefined) drop out of both the
+    * threshold and the candidate set — NaN fails every comparison. */
+  def searchCosine(q: Array[Double], k: Int): DataFrame = {
+    val qnorm = math.sqrt(q.map(x => x * x).sum)
+    if (dim == 0 || qnorm == 0.0)
+      return data.select(col("id"), lit(0.0).as("score")).limit(0)
+    val qc = VectorFunctions.vecLit(q)
+    val bSlack = steps.zip(q).map { case (s, qi) => s * math.abs(qi) / 2.0 }.sum
+    val xhat = deq(col("code"))
+    val scored = data.select(col("id"), col("vector"),
+      (VectorFunctions.dot(xhat, qc) / (col("nrm") * lit(qnorm))).as("chat"),
+      (lit(bSlack) / (col("nrm") * lit(qnorm))).as("bb"))
+    val tRow = scored.select((col("chat") - col("bb")).as("lb"))
+      .orderBy(col("lb").desc).limit(k)
+      .agg(min(col("lb"))).head()
+    if (tRow.isNullAt(0))
+      return data.select(col("id"), lit(0.0).as("score")).limit(0)
+    val t = tRow.getDouble(0) - 2e-4
+    scored.where(col("chat") + col("bb") >= t)
+      .select(col("id"),
+        round(VectorFunctions.cosine(col("vector"), qc), 4).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Pruning diagnostic for the cosine arm (spec + SCALE). */
+  def candidateCountCosine(q: Array[Double], k: Int): Long = {
+    val qnorm = math.sqrt(q.map(x => x * x).sum)
+    if (dim == 0 || qnorm == 0.0) return 0L
+    val qc = VectorFunctions.vecLit(q)
+    val bSlack = steps.zip(q).map { case (s, qi) => s * math.abs(qi) / 2.0 }.sum
+    val xhat = deq(col("code"))
+    val scored = data.select(
+      (VectorFunctions.dot(xhat, qc) / (col("nrm") * lit(qnorm))).as("chat"),
+      (lit(bSlack) / (col("nrm") * lit(qnorm))).as("bb"))
+    val tRow = scored.select((col("chat") - col("bb")).as("lb"))
+      .orderBy(col("lb").desc).limit(k).agg(min(col("lb"))).head()
+    if (tRow.isNullAt(0)) return 0L
+    scored.where(col("chat") + col("bb") >= tRow.getDouble(0) - 2e-4).count()
+  }
+
   def dispose(): Unit = data.unpersist(blocking = false)
 
   /** Persist: one parquet table (id, vector, code) — codes and floats as
@@ -179,7 +231,14 @@ object SQIndex {
       require(m.find(), s"quantizer missing $key in $dir")
       m.group(1).split(",").map(_.trim.toDouble)
     }
-    new SQIndex(spark.read.parquet(s"$dir/sq_data"), arr("mins"), arr("steps"))
+    val df = spark.read.parquet(s"$dir/sq_data")
+    // artifacts saved before the cosine arm lack `nrm` — derive it in the
+    // scan projection (costs the float pages once; re-save to persist it)
+    val withNrm =
+      if (df.columns.contains("nrm")) df
+      else df.withColumn("nrm",
+        sqrt(VectorFunctions.dot(col("vector"), col("vector"))))
+    new SQIndex(withNrm, arr("mins"), arr("steps"))
   }
 
   /** Train the per-dimension affine quantizer (one distributed min/max agg
@@ -203,12 +262,16 @@ object SQIndex {
     val steps = mins.zip(maxs).map { case (lo, hi) => (hi - lo) / 255.0 }
     val minsL = VectorFunctions.vecLit(mins)
     val stepsL = VectorFunctions.vecLit(steps)
+    // `nrm` (exact float norm, one double per row) rides next to the codes
+    // so the cosine arm's bound scan never touches the vector pages
     val coded = v.select(col("id") +: col("vector") +:
         zip_with(col("vector"), sequence(lit(0), lit(dim - 1)), (x, i) => {
           val s = element_at(stepsL, i + lit(1))
           when(s === 0.0, lit(0))
             .otherwise(round((x - element_at(minsL, i + lit(1))) / s).cast("int"))
-        }).as("code") +: keep.map(col): _*)
+        }).as("code") +:
+        sqrt(VectorFunctions.dot(col("vector"), col("vector"))).as("nrm") +:
+        keep.map(col): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
     new SQIndex(coded, mins, steps)
   }

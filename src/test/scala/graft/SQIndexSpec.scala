@@ -64,6 +64,37 @@ class SQIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("cosine arm: bound-pruned searchCosine equals the exact cosine scan") {
+    for (qid <- Seq(3L, 42L, 99L)) {
+      val q = queryVec(qid)
+      val exact = ExactKNN.topK(emb, "vec_id", "embedding", q, 10, ExactKNN.Cosine)
+        .select(col("id"), round(col("score"), 4).as("score"))
+        .orderBy(col("score").desc, col("id").asc)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val sq = index.searchCosine(q, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(sq == exact, s"qid=$qid")
+    }
+  }
+
+  test("cosine dot bound is valid and the cosine pruning prunes") {
+    // |x̂·q − x·q| ≤ Σ s_i|q_i|/2 row-wise, recomputed in the JVM
+    val q = queryVec(42L)
+    val s = index.steps; val m = index.mins
+    val bSlack = s.zip(q).map { case (si, qi) => si * math.abs(qi) / 2.0 }.sum
+    index.data.select(col("vector"), col("code")).collect().foreach { r =>
+      val v = r.getSeq[Double](0).toArray
+      val c = r.getSeq[Int](1).toArray
+      val xhat = c.indices.map(i => m(i) + c(i) * s(i)).toArray
+      val dot = v.zip(q).map { case (a, b) => a * b }.sum
+      val dhat = xhat.zip(q).map { case (a, b) => a * b }.sum
+      assert(math.abs(dhat - dot) <= bSlack + 1e-9)
+    }
+    val cand = index.candidateCountCosine(q, 10)
+    val n = emb.count()
+    assert(cand >= 10 && cand < n, s"cosine candidates $cand of $n — no pruning")
+  }
+
   test("searchBatch: bound-pruned batch equals the exact batch scan") {
     val queries = emb.where(col("vec_id").isin(5L, 77L, 300L))
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
