@@ -2074,6 +2074,32 @@ object Queries {
       .toDF().orderBy(col("id"), col("frame_idx"))
   }
 
+  /** REAL JPEG payloads (r8 VERDICT #6): a complete baseline grayscale
+    * JPEG per doc — each 8×8 block the constant gray of one md5-chain
+    * payload byte, unit quant table, standard Huffman tables, real
+    * entropy coding — the DC-only construction [[graft.multimodal.Jpeg]]
+    * proves decodes back to the payload EXACTLY, so the full decoder
+    * (marker walk, Huffman, dequant, IDCT) is oracle-pinned end to end;
+    * general (nonzero-AC) decoding is golden-fixture-pinned in
+    * MultimodalSpec against hand-assembled bitstreams. */
+  private def jpegAssets(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val bwC = (lit(1) + col("doc_id") % 4).cast("int")
+    val bhC = (lit(1) + col("doc_id") % 3).cast("int")
+    val src = docsTbl(spark, dir).where(col("doc_id") < 50)
+      .select(col("doc_id"), bwC.as("bw"), bhC.as("bh"),
+        unhex(md5Chain("jpg", 1).substr(lit(1), (bwC * bhC * 2).cast("int"))).as("payload"))
+      .as[(Long, Int, Int, Array[Byte])]
+    src.mapPartitions(_.map { case (id, bw, bh, payload) =>
+      graft.multimodal.Multimodal.Asset(id, "image",
+        graft.multimodal.Jpeg.encodeJpegConstBlocks(payload, bw, bh), 0, 0)
+    })
+  }
+
+  private def multimodalJpegDecode(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.jpegFeatures(jpegAssets(spark, dir))
+      .toDF().orderBy(col("id"))
+
   /** Oracle for the batch-KNN formulations (window, TopKPerKey, bulk IVF). */
   private def knnBatchSqlFor(qids: String): String =
     s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
@@ -2451,6 +2477,20 @@ object Queries {
         |SELECT id, CAST(frame_idx AS INT) AS frame_idx,
         |       md5(substr(phx, CAST(frame_idx*512 + 1 AS INT), 512)) AS frame_fp
         |FROM f WHERE frame_idx % 2 = 0 ORDER BY id, frame_idx""".stripMargin)),
+    "multimodal_jpeg_decode" -> Q(multimodalJpegDecode, Some(
+      // every pixel of block (bx, by) is the payload byte at index
+      // by*bw + bx, so the full-buffer fingerprint expands per pixel q:
+      // block = (q // (w*8))*bw + (q % w) // 8, hex pair at block*2+1
+      """WITH p AS (
+        |  SELECT doc_id AS id, (1 + doc_id % 4) AS bw, (1 + doc_id % 3) AS bh,
+        |         md5(text || '_jpg_0') AS hx
+        |  FROM documents WHERE doc_id < 50),
+        |e AS (SELECT id, bw*8 AS w, bh*8 AS h, bw, hx FROM p)
+        |SELECT id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       CAST(w*h AS INT) AS n_pixels,
+        |       md5(array_to_string(list_transform(range(0, w*h),
+        |         q -> substr(hx, CAST(((q // (w*8)) * bw + (q % w) // 8) * 2 + 1 AS INT), 2)), '')) AS pixel_fp
+        |FROM e ORDER BY id""".stripMargin)),
     "events_window" -> Q(eventsWindow, Some(
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6))) / count(*) AS DECIMAL(28,8)), 4) AS DOUBLE) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),

@@ -159,10 +159,15 @@ object Codecs {
   /** Decode if the payload is a well-formed PPM/WAV; None otherwise (the
     * caller falls back to the raw payload — the stub path). Strictness
     * makes the dispatch deterministic for any fixed corpus. */
+  /** Grayscale pixels from the baseline JPEG decoder ([[Jpeg]]). */
+  final case class GrayImage(pixels: Array[Byte], width: Int, height: Int) extends Decoded
+
   def decode(bytes: Array[Byte]): Option[Decoded] =
     if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
     else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' &&
              bytes(2) == 'F' && bytes(3) == 'F') decodeWav(bytes)
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+      Jpeg.decodeJpeg(bytes).map(g => GrayImage(g.pixels, g.width, g.height))
     else None
 
   /** The payload a sample-level operator (resize, frame extraction) should
@@ -170,6 +175,7 @@ object Codecs {
     * bytes otherwise. */
   def decodedPayload(bytes: Array[Byte]): Array[Byte] = decode(bytes) match {
     case Some(Image(pixels, _, _)) => pixels
+    case Some(GrayImage(pixels, _, _)) => pixels
     case Some(Audio(pcm, _, _, _)) => pcm
     case None => bytes
   }

@@ -1,0 +1,410 @@
+package graft.multimodal
+
+/** Pure-JVM BASELINE-SEQUENTIAL JPEG codec (r8 VERDICT #6): moves the
+  * dominant real-corpus image format off the documented stub path without
+  * any codec library. Scope is the honest minimum that decodes a real
+  * baseline grayscale file: SOI/APP/COM/DQT/DHT/SOF0/SOS/EOI marker walk,
+  * canonical Huffman decode (DC categories + AC run/size with ZRL/EOB),
+  * 0xFF00 byte-unstuffing, zigzag + dequantization, double-precision
+  * 2-D IDCT with level shift and clamping. Restrictions (strict → None,
+  * never a misdecode): single component (grayscale), no progressive
+  * (SOF2), no arithmetic coding, no restart intervals, 8-bit precision.
+  *
+  * EXACTNESS SEAM (how a lossy codec gets an oracle): for an image whose
+  * 8×8 blocks are each CONSTANT gray v, the DCT is DC-only — F(0,0) =
+  * 8·(v−128), every AC exactly 0 — so with a unit quantization table the
+  * coefficient is an exact integer, the IDCT of a DC-only block is the
+  * exact constant F(0,0)/8, and decode(encode(bytes)) == bytes BIT-FOR-BIT.
+  * [[encodeJpegConstBlocks]] builds exactly these fixtures (one payload
+  * byte per block, standard Annex-K Huffman tables, real entropy coding
+  * with byte stuffing); the decoder is fully general over baseline
+  * grayscale streams and is additionally golden-fixture-pinned in
+  * MultimodalSpec against HAND-ASSEMBLED bitstreams (including nonzero-AC
+  * blocks checked against an independently-written reference IDCT), so an
+  * encoder/decoder bug pair cannot cancel.
+  *
+  * Reference anchor: the reference repo has no media tier (local_db.py is
+  * text+vector only) — this extends the beyond-reference training-data
+  * surface, same contract as [[Codecs.decodePpm]]/[[Codecs.decodeWav]].
+  */
+object Jpeg {
+
+  /** Grayscale decoded image: one byte per pixel, row-major. */
+  final case class Gray(pixels: Array[Byte], width: Int, height: Int)
+
+  // zigzag index -> natural (row*8+col) position, ITU T.81 figure A.6
+  val zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  // Annex K.3.1 / K.3.2: the standard luminance Huffman tables.
+  val stdDcBits: Array[Int] =
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  val stdDcVals: Array[Int] = (0 to 11).toArray
+  val stdAcBits: Array[Int] =
+    Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  val stdAcVals: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+    0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+    0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+    0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+    0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+    0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
+  /** Canonical Huffman: (code, length) per symbol, assigned in BITS order
+    * (T.81 Annex C) — shared by encoder (symbol → code) and DHT parsing
+    * (decode tree). */
+  private def canonicalCodes(bits: Array[Int], vals: Array[Int]): Array[(Int, Int, Int)] = {
+    // returns (symbol, code, length) triples
+    val out = new scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]
+    var code = 0
+    var k = 0
+    var len = 1
+    while (len <= 16) {
+      var i = 0
+      while (i < bits(len - 1)) {
+        out += ((vals(k), code, len))
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+      len += 1
+    }
+    out.toArray
+  }
+
+  // ------------------------------------------------------------- decoder
+
+  /** Huffman decode table: maps (length, code) → symbol via per-length
+    * ranges — O(1) per bit-length step, the classic mincode/maxcode walk. */
+  private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+    private val codes = canonicalCodes(bits, vals)
+    // per length 1..16: smallest code, largest code + 1, index of first val
+    private val minCode = new Array[Int](17)
+    private val maxCode = new Array[Int](17)
+    private val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      var len = 1
+      while (len <= 16) {
+        valPtr(len) = k
+        minCode(len) = code
+        code += bits(len - 1); k += bits(len - 1)
+        maxCode(len) = code // exclusive
+        code <<= 1
+        len += 1
+      }
+    }
+    def decode(br: BitReader): Int = {
+      var code = 0
+      var len = 0
+      while (len < 16) {
+        code = (code << 1) | br.bit()
+        len += 1
+        if (bits(len - 1) > 0 && code < maxCode(len))
+          return vals(valPtr(len) + (code - minCode(len)))
+      }
+      throw new IllegalArgumentException("invalid Huffman code")
+    }
+    def codeOf(sym: Int): (Int, Int) = codes.find(_._1 == sym)
+      .map(c => (c._2, c._3))
+      .getOrElse(throw new IllegalArgumentException(s"symbol $sym not in table"))
+  }
+
+  /** MSB-first bit reader over the entropy-coded segment with 0xFF00
+    * unstuffing; any other 0xFF-marker inside the scan is a hard stop. */
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var cur = 0
+    private var nbits = 0
+    def bit(): Int = {
+      if (nbits == 0) {
+        if (pos >= b.length) throw new IllegalArgumentException("EOF in scan")
+        var v = b(pos) & 0xff
+        pos += 1
+        if (v == 0xff) {
+          if (pos >= b.length) throw new IllegalArgumentException("EOF after FF")
+          val m = b(pos) & 0xff
+          if (m == 0x00) pos += 1 // stuffed byte
+          else throw new IllegalArgumentException(f"marker FF$m%02x inside scan")
+          v = 0xff
+        }
+        cur = v; nbits = 8
+      }
+      nbits -= 1
+      (cur >> nbits) & 1
+    }
+    /** `receive` + `extend` (T.81 F.2.2.1): read s magnitude bits, map to
+      * the signed value. */
+    def extend(s: Int): Int = {
+      if (s == 0) return 0
+      var v = 0
+      var i = 0
+      while (i < s) { v = (v << 1) | bit(); i += 1 }
+      if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+    }
+  }
+
+  private def be16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  /** Strict baseline grayscale decode; None on anything out of scope. */
+  def decodeJpeg(bytes: Array[Byte]): Option[Gray] = {
+    try decodeStrict(bytes)
+    catch { case _: Exception => None }
+  }
+
+  private def decodeStrict(b: Array[Byte]): Option[Gray] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var i = 2
+    val qt = new Array[Array[Int]](4) // up to 4 quant tables, natural order
+    val dcT = new Array[HuffTable](4)
+    val acT = new Array[HuffTable](4)
+    var width = 0; var height = 0
+    var dcId = 0; var acId = 0; var qId = 0
+    var sof = false
+    while (i + 4 <= b.length) {
+      if ((b(i) & 0xff) != 0xff) return None
+      val marker = b(i + 1) & 0xff
+      if (marker == 0xd9) return None // EOI before SOS
+      val len = be16(b, i + 2)
+      val body = i + 4
+      if (len < 2 || body + len - 2 > b.length) return None
+      marker match {
+        case 0xdb => // DQT: one or more 65/129-byte tables
+          var p = body
+          while (p < body + len - 2) {
+            val pq = (b(p) & 0xf0) >> 4
+            val tq = b(p) & 0x0f
+            if (pq != 0 || tq > 3) return None // 8-bit tables only
+            val t = new Array[Int](64)
+            var z = 0
+            while (z < 64) { t(zigzag(z)) = b(p + 1 + z) & 0xff; z += 1 }
+            qt(tq) = t
+            p += 65
+          }
+        case 0xc4 => // DHT: one or more tables
+          var p = body
+          while (p < body + len - 2) {
+            val tc = (b(p) & 0xf0) >> 4
+            val th = b(p) & 0x0f
+            if (tc > 1 || th > 3) return None
+            val bits = (0 until 16).map(j => b(p + 1 + j) & 0xff).toArray
+            val n = bits.sum
+            val vals = (0 until n).map(j => b(p + 17 + j) & 0xff).toArray
+            val t = new HuffTable(bits, vals)
+            if (tc == 0) dcT(th) = t else acT(th) = t
+            p += 17 + n
+          }
+        case 0xc0 => // SOF0 baseline
+          if ((b(body) & 0xff) != 8) return None // 8-bit precision only
+          height = be16(b, body + 1)
+          width = be16(b, body + 3)
+          val nf = b(body + 5) & 0xff
+          if (nf != 1) return None // grayscale scope
+          val hv = b(body + 7) & 0xff
+          if (hv != 0x11) return None // no subsampling (trivial for 1 comp)
+          qId = b(body + 8) & 0xff
+          sof = true
+        case m if m == 0xc1 || m == 0xc2 || m == 0xc3 ||
+                  (m >= 0xc5 && m <= 0xc7) || (m >= 0xc9 && m <= 0xcf) =>
+          return None // extended/progressive/arithmetic out of scope
+        case 0xdd => return None // restart intervals out of scope
+        case 0xda => // SOS: decode the scan
+          if (!sof || width <= 0 || height <= 0) return None
+          val ns = b(body) & 0xff
+          if (ns != 1) return None
+          dcId = (b(body + 2) & 0xf0) >> 4
+          acId = b(body + 2) & 0x0f
+          val dc = dcT(dcId); val ac = acT(acId); val q = qt(qId)
+          if (dc == null || ac == null || q == null) return None
+          val bw = (width + 7) / 8
+          val bh = (height + 7) / 8
+          val out = new Array[Byte](width * height)
+          val br = new BitReader(b, body + len - 2)
+          val coef = new Array[Int](64)
+          var pred = 0
+          var by = 0
+          while (by < bh) {
+            var bx = 0
+            while (bx < bw) {
+              java.util.Arrays.fill(coef, 0)
+              // DC
+              val s = dc.decode(br)
+              if (s > 15) throw new IllegalArgumentException("bad DC category")
+              pred += br.extend(s)
+              coef(0) = pred * q(0)
+              // AC
+              var z = 1
+              while (z < 64) {
+                val rs = ac.decode(br)
+                val r = (rs & 0xf0) >> 4
+                val sz = rs & 0x0f
+                if (sz == 0) {
+                  if (r == 15) z += 16 // ZRL
+                  else z = 64 // EOB
+                } else {
+                  z += r
+                  if (z > 63) throw new IllegalArgumentException("AC overrun")
+                  coef(zigzag(z)) = br.extend(sz) * q(zigzag(z))
+                  z += 1
+                }
+              }
+              idctBlock(coef, out, width, height, bx * 8, by * 8)
+              bx += 1
+            }
+            by += 1
+          }
+          return Some(Gray(out, width, height))
+        case m if (m >= 0xe0 && m <= 0xef) || m == 0xfe => () // APPn/COM: skip
+        case _ => return None
+      }
+      i = body + len - 2
+    }
+    None
+  }
+
+  /** Reference 2-D IDCT (T.81 A.3.3), double precision, with level shift
+    * and clamp; writes the block's intersection with the image. O(64·64)
+    * per block — correctness-first; at scale the separable/AAN form drops
+    * in behind the same contract. */
+  private def idctBlock(coef: Array[Int], out: Array[Byte],
+                        w: Int, h: Int, ox: Int, oy: Int): Unit = {
+    var y = 0
+    while (y < 8 && oy + y < h) {
+      var x = 0
+      while (x < 8 && ox + x < w) {
+        var sum = 0.0
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            val c = coef(v * 8 + u)
+            if (c != 0) {
+              val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+              val cv = if (v == 0) 1.0 / math.sqrt(2.0) else 1.0
+              sum += cu * cv * c *
+                math.cos((2 * x + 1) * u * math.Pi / 16.0) *
+                math.cos((2 * y + 1) * v * math.Pi / 16.0)
+            }
+            v += 1
+          }
+          u += 1
+        }
+        val p = math.round(sum / 4.0 + 128.0).toInt
+        out((oy + y) * w + (ox + x)) = math.max(0, math.min(255, p)).toByte
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  // ------------------------------------------------------------- encoder
+
+  private final class BitWriter {
+    private val buf = new scala.collection.mutable.ArrayBuffer[Byte]
+    private var cur = 0
+    private var nbits = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((code >> i) & 1)
+        nbits += 1
+        if (nbits == 8) {
+          buf += cur.toByte
+          if (cur == 0xff) buf += 0x00.toByte // byte stuffing
+          cur = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Array[Byte] = {
+      if (nbits > 0) { // pad with 1s (T.81 F.1.2.3)
+        cur = (cur << (8 - nbits)) | ((1 << (8 - nbits)) - 1)
+        buf += cur.toByte
+        if (cur == 0xff) buf += 0x00.toByte
+        cur = 0; nbits = 0
+      }
+      buf.toArray
+    }
+  }
+
+  private def category(v: Int): Int = {
+    var s = 0
+    var a = math.abs(v)
+    while (a != 0) { a >>= 1; s += 1 }
+    s
+  }
+
+  /** Gate/fixture encoder (the operators only DECODE): a complete baseline
+    * grayscale JPEG whose 8×8 blocks are each the constant gray given by
+    * one payload byte (row-major block order), unit quant table, standard
+    * Annex-K Huffman tables, REAL entropy coding (DC diff categories,
+    * EOB per block, byte stuffing) — the DC-only construction the class
+    * doc proves decodes back to the payload exactly. */
+  def encodeJpegConstBlocks(blockBytes: Array[Byte], blocksWide: Int,
+                            blocksHigh: Int): Array[Byte] = {
+    require(blocksWide > 0 && blocksHigh > 0 &&
+      blockBytes.length == blocksWide * blocksHigh,
+      s"${blockBytes.length} block bytes != $blocksWide x $blocksHigh")
+    val w = blocksWide * 8; val h = blocksHigh * 8
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    marker(0xe0); u16(16) // APP0 JFIF
+    out.write("JFIF".getBytes("US-ASCII")); u8(0)
+    u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
+    marker(0xdb); u16(67); u8(0x00) // DQT: table 0, unit steps
+    (0 until 64).foreach(_ => u8(1))
+    marker(0xc0); u16(11) // SOF0: 8-bit, 1 component, 1x1
+    u8(8); u16(h); u16(w); u8(1); u8(1); u8(0x11); u8(0)
+    def dht(tc: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length); u8((tc << 4) | 0)
+      bits.foreach(u8); vals.foreach(u8)
+    }
+    dht(0, stdDcBits, stdDcVals)
+    dht(1, stdAcBits, stdAcVals)
+    marker(0xda); u16(8) // SOS
+    u8(1); u8(1); u8(0x00); u8(0); u8(63); u8(0)
+    val dcCodes = canonicalCodes(stdDcBits, stdDcVals)
+      .map(c => c._1 -> (c._2, c._3)).toMap
+    val (eobCode, eobLen) = canonicalCodes(stdAcBits, stdAcVals)
+      .collectFirst { case (0x00, c, l) => (c, l) }.get
+    val bw = new BitWriter
+    var pred = 0
+    blockBytes.foreach { vb =>
+      val dc = 8 * ((vb & 0xff) - 128) // exact DC-only coefficient
+      val diff = dc - pred
+      pred = dc
+      val s = category(diff)
+      val (c, l) = dcCodes(s)
+      bw.put(c, l)
+      if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      bw.put(eobCode, eobLen) // all AC zero
+    }
+    out.write(bw.flush())
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+}

@@ -89,6 +89,86 @@ class MultimodalSpec extends AnyFunSuite {
       Array.fill[Byte](6)(1))).isEmpty)
   }
 
+  test("JPEG golden fixture: hand-assembled baseline bitstream decodes to the exact pixels") {
+    import graft.multimodal.Jpeg
+    // Hand-built headers: SOI, DQT (unit steps), SOF0 16x8 grayscale,
+    // std DC/AC DHTs, SOS — independent of the encoder's writer.
+    def headers(w: Int, h: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def u8(v: Int): Unit = out.write(v & 0xff)
+      def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+      u8(0xff); u8(0xd8)                       // SOI
+      u8(0xff); u8(0xdb); u16(67); u8(0x00)    // DQT table 0
+      (0 until 64).foreach(_ => u8(1))
+      u8(0xff); u8(0xc0); u16(11)              // SOF0
+      u8(8); u16(h); u16(w); u8(1); u8(1); u8(0x11); u8(0)
+      u8(0xff); u8(0xc4); u16(2 + 17 + Jpeg.stdDcVals.length); u8(0x00)
+      Jpeg.stdDcBits.foreach(u8(_)); Jpeg.stdDcVals.foreach(u8(_))
+      u8(0xff); u8(0xc4); u16(2 + 17 + Jpeg.stdAcVals.length); u8(0x10)
+      Jpeg.stdAcBits.foreach(u8(_)); Jpeg.stdAcVals.foreach(u8(_))
+      u8(0xff); u8(0xda); u16(8)               // SOS
+      u8(1); u8(1); u8(0x00); u8(0); u8(63); u8(0)
+      out.toByteArray
+    }
+    // Two DC-only blocks, v=130 then v=120. Hand-coded entropy bits:
+    //   DC1 diff = 8*(130-128) = 16  -> cat 5: code 110 + 10000; EOB 1010
+    //   DC2 diff = -64 - 16   = -80  -> cat 7: code 11110 + 0101111; EOB 1010
+    //   = 11010000 10101111 00101111 1010+1111(pad) = D0 AF 2F AF
+    val golden = headers(16, 8) ++
+      Array(0xd0, 0xaf, 0x2f, 0xaf, 0xff, 0xd9).map(_.toByte)
+    val img = Jpeg.decodeJpeg(golden).get
+    assert(img.width == 16 && img.height == 8)
+    (0 until 8).foreach { y =>
+      (0 until 16).foreach { x =>
+        val want = if (x < 8) 130 else 120
+        assert((img.pixels(y * 16 + x) & 0xff) == want, s"($x,$y)")
+      }
+    }
+    // the gate-side encoder reproduces the hand-assembled stream exactly —
+    // an encoder/decoder bug pair cannot cancel against this fixture
+    assert(Jpeg.encodeJpegConstBlocks(Array(130.toByte, 120.toByte), 2, 1)
+      .sameElements(
+        // encoder adds an APP0/JFIF segment after SOI; splice it in
+        golden.take(2) ++
+        Array(0xff, 0xe0, 0, 16).map(_.toByte) ++ "JFIF".getBytes("US-ASCII") ++
+        Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0) ++ golden.drop(2)))
+    // Nonzero-AC fixture: one block, DC cat 0 (code 00), then AC rs=0x02
+    // (code 01) value 3 (bits 11) at zigzag 1, EOB 1010:
+    //   00 01 11 1010 + pad 11 = 00011110 10111111 = 1E BF
+    val acGolden = headers(8, 8) ++ Array(0x1e, 0xbf, 0xff, 0xd9).map(_.toByte)
+    val acImg = Jpeg.decodeJpeg(acGolden).get
+    // independently-written reference IDCT: F(u=1,v=0) = 3, all else 0
+    (0 until 8).foreach { y =>
+      (0 until 8).foreach { x =>
+        val expect = math.round(
+          (1.0 / math.sqrt(2.0)) * 3.0 *
+            math.cos((2 * x + 1) * math.Pi / 16.0) / 4.0 + 128.0).toInt
+        assert((acImg.pixels(y * 8 + x) & 0xff) == expect, s"AC ($x,$y)")
+      }
+    }
+    // strictness: progressive SOF2, multi-component, truncated scan reject
+    val prog = golden.clone(); prog(headers(16, 8).indexOf(0xc0.toByte, 2)) = 0xc2.toByte
+    assert(Jpeg.decodeJpeg(prog).isEmpty)
+    assert(Jpeg.decodeJpeg(golden.dropRight(3)).isEmpty)
+  }
+
+  test("JPEG roundtrip: constant-block encode/decode is bit-exact for every byte value") {
+    import graft.multimodal.Jpeg
+    // all-corners payload: extremes and a mid-range walk, 4x3 blocks
+    val payload = Array(0, 255, 128, 1, 254, 127, 129, 42, 200, 13, 77, 250)
+      .map(_.toByte)
+    val enc = Jpeg.encodeJpegConstBlocks(payload, 4, 3)
+    val img = Jpeg.decodeJpeg(enc).get
+    assert(img.width == 32 && img.height == 24)
+    // every pixel of block (bx, by) equals payload(by*4 + bx)
+    (0 until 24).foreach { y =>
+      (0 until 32).foreach { x =>
+        val want = payload((y / 8) * 4 + x / 8) & 0xff
+        assert((img.pixels(y * 32 + x) & 0xff) == want, s"($x,$y)")
+      }
+    }
+  }
+
   test("WAV golden fixture: hand-written RIFF/PCM bytes decode to the exact samples") {
     import graft.multimodal.Codecs
     val pcm = Array[Byte](0x01, 0x02, 0x03, 0x04) // 2 mono 16-bit frames
