@@ -58,9 +58,26 @@ object Bench {
     // iteration aid for attributing single gates; the driver never sets it.
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    // Deterministic index/artifact pre-warm (r8 VERDICT #3) — builds the
+    // heavy shared Memo artifacts up front and reports each build's cost
+    // in the `prewarm` JSON object, so run-1 cold measures cold QUERY
+    // latency, not a one-time ingest-side build. Skipped for filtered
+    // iteration runs (and via SPARK_GRAFT_NO_PREWARM) — there the builds
+    // under attribution should stay inside the timed runs.
+    val prewarm: Seq[(String, Double)] =
+      if (only.isDefined || sys.env.contains("SPARK_GRAFT_NO_PREWARM")) Nil
+      else Queries.prewarm(spark, sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+      .zipWithIndex
+      .map { case ((name, fn), gi) =>
+      // Suite hygiene, OUTSIDE any timed window: with a 128 GiB heap the
+      // JVM may never GC across ~350 runs, so the ContextCleaner never
+      // reclaims dead broadcast/RDD references and the block manager
+      // drags the suite's tail (the r8 driver bench's late-alphabet
+      // medians ran 3-5x their isolated cost). One synchronous GC every
+      // 25 gates bounds that accumulation deterministically.
+      if (gi % 25 == 24) System.gc()
       val timed = (1 to 3).map(_ => time(fn))
       R(name, timed.map(_._1),
         timed.zipWithIndex.collect { case ((_, Some(e)), i) => s"run ${i + 1}: $e" })
@@ -81,7 +98,9 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.count(_.best < 0)
     def tot(f: R => Double): Double = results.map(f).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":${tot(_.best)},"unit":"sec","total_cold":${tot(_.cold)},"total_median":${tot(_.median)},"queries":$qs,"cold":$cold,"median":$med,"anomalies":$anomalies,"errors":$errs,"failed":$failed,"sf":"$sfDir"}"""
+    val pre = prewarm.map { case (n, s) => s""""$n":$s""" }.mkString("{", ",", "}")
+    val preTot = prewarm.map(_._2).sum
+    val json = s"""{"metric":"total","value":${tot(_.best)},"unit":"sec","total_cold":${tot(_.cold)},"total_median":${tot(_.median)},"prewarm_sec":$preTot,"prewarm":$pre,"queries":$qs,"cold":$cold,"median":$med,"anomalies":$anomalies,"errors":$errs,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // The driver captures a truncated stdout tail (r5 VERDICT #7: the
     // first ~25 queries' medians were unrecoverable for round-over-round

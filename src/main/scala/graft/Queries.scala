@@ -3032,6 +3032,40 @@ object Queries {
         |  FROM orders) WHERE rk = 1 ORDER BY o_custkey LIMIT 100""".stripMargin)),
   )
 
+  /** Deterministic pre-warm of the heavy shared Memo artifacts (r8 VERDICT
+    * #3): a deployment builds its indexes and shared corpus artifacts at
+    * ingest time and serves queries against them — the bench separates the
+    * two honestly by building every artifact whose quiet-host build
+    * exceeds ~3 s up front, IN THIS FIXED ORDER, and reporting each
+    * build's seconds in the bench JSON's `prewarm` object. Run-1 "cold"
+    * then measures cold QUERY cost instead of a one-time build the 3-run
+    * protocol could only mislabel as a >5x-median anomaly (r8 driver
+    * bench: ann_graph 11.6 s, incremental_add_graph_knn 14.6 s,
+    * dedup_clusters 13.3 s cold — all builds). Only Memo-backed artifacts
+    * appear here; on a warm memo each entry is a no-op HIT. */
+  def prewarm(spark: SparkSession, dir: String): Seq[(String, Double)] = {
+    def t(name: String)(f: => Any): (String, Double) = {
+      val t0 = System.nanoTime()
+      try f catch { case e: Throwable =>
+        System.err.println(s"[prewarm] $name failed: ${e.getMessage}")
+      }
+      (name, (System.nanoTime() - t0) / 1e9)
+    }
+    Seq(
+      t("clusters")(clustersFrame(spark, dir)),
+      t("containment")(containmentQ(spark, dir)),
+      t("dedup_incremental")(dedupIncremental(spark, dir)),
+      t("dedup_jaccard")(jaccardPairsFrame(spark, dir)),
+      t("dedup_minhash")(dedupMinhash(spark, dir)),
+      t("dedup_simhash")(dedupSimhash(spark, dir)),
+      t("graph_inc_db")(graphIncDb(spark, dir)),
+      t("graph_index")(graphIndex(spark, dir)),
+      t("graph_loaded_db")(graphLoadedDb(spark, dir)),
+      t("inc_add_db")(incAddDb(spark, dir)),
+      t("lazy_ivf_db")(lazyIvfDb(spark, dir)),
+      t("winnow_guarded")(winnowGuarded(spark, dir)))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map { case (n, q) => n -> q.fn }.toMap
 
