@@ -26,6 +26,49 @@ class GraphIndexSpec extends AnyFunSuite {
     assert(asym.count() == 0)
   }
 
+  test("maxHops is honored on the unbounded arm: a 4-hop node is invisible at budget 2 (r7 ADVICE)") {
+    import spark.implicits._
+    // A line corpus: k-NN edges connect adjacent ranks, the skip-ring adds
+    // rank ± 2^j — so rank 15 is EXACTLY 4 edge-hops from entry rank 0
+    // (15 = 8+4+2+1; no 3-hop combination of ±powers reaches it, and the
+    // k=4 nearest-neighbor edges only span ±2). The old rounds arithmetic
+    // (hops/2 + 1) walked 4 hops on a maxHops = 2 budget and WOULD find it.
+    val line = (0L until 16L).map(i => (i, Seq.fill(4)(i.toDouble)))
+      .toDF("id", "v")
+    val idx = GraphIndex.build(line, "id", "v", k = 4, nlist = 1)
+    val q = Seq((0L, Seq(15.0, 15.0, 15.0, 15.0))).toDF("qid", "qv")
+    def top(maxHops: Int): Long =
+      idx.searchBatch(q, "qid", "qv", k = 1, ef = 0, maxHops = maxHops)
+        .collect().head.getLong(1)
+    assert(top(4) == 15L, "4 hops must reach rank 15")
+    assert(top(2) != 15L, "a 2-hop budget must NOT reach the 4-hop node")
+    idx.dispose()
+  }
+
+  test("dispose frees the coverage walk's checkpointed segment blocks (r7 ADVICE)") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val pre = sc.getPersistentRDDs.size // snapshot BEFORE this index exists
+    val data = (0L until 64L).map(i => (i, Seq.fill(4)(math.sin(i.toDouble))))
+      .toDF("id", "v")
+    val idx = GraphIndex.build(data, "id", "v", k = 4, nlist = 2)
+    val q = Seq((0L, Seq(0.5, 0.5, 0.5, 0.5))).toDF("qid", "qv")
+    idx.searchBatch(q, "qid", "qv", k = 3, ef = 0).collect() // builds + caches coverage
+    assert(sc.getPersistentRDDs.size >= pre + 3,
+      "expected vectors + edges + coverage segments to be persisted")
+    idx.dispose()
+    // dispose must free vectors, edges AND every coverage segment; the one
+    // legitimate survivor of this test is the searchBatch result's own
+    // checkpoint. unpersist is async (blocking = false): poll briefly.
+    val deadline = System.nanoTime() + 10_000_000_000L
+    var after = sc.getPersistentRDDs.size
+    while (after > pre + 1 && System.nanoTime() < deadline) {
+      Thread.sleep(100); after = sc.getPersistentRDDs.size
+    }
+    assert(after <= pre + 1,
+      s"dispose left coverage segments persisted (pre=$pre, after=$after)")
+  }
+
   test("degree is bounded by 2k + 2 log2 n (the frontier fan-out bound)") {
     val n = emb.count()
     val bound = 2 * 8 + 2 * (64 - java.lang.Long.numberOfLeadingZeros(n - 1)) + 2

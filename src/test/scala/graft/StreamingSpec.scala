@@ -364,4 +364,27 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       assert(batch.nonEmpty)
     } finally q.stop()
   }
+
+  test("streamingContainment on a tiny dir (< 3 batch docs) returns the correct pairs (r7 ADVICE)") {
+    import spark.implicits._
+    // 15 docs -> cut = ceil(0.9 * 15) = 14 -> ONE batch doc (fewer than
+    // the 3 paced files the full-size gate asserts). Doc 14 is a verbatim
+    // copy of corpus doc 3; every other doc is disjoint noise — so the
+    // one correct containment pair is (3, 14), discovered by the single
+    // real micro-batch.
+    val shared = (0 until 160).map(i => s"tok${i}a").mkString(" ")
+    def noise(seed: Int) = (0 until 160).map(i => s"n${seed}x$i").mkString(" ")
+    val docs = (0L until 14L).map(i => (i, if (i == 3L) shared else noise(i.toInt))) :+
+      ((14L, shared))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tiny_contain")
+    tempDirs += tmp
+    docs.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = graft.streaming.StreamingGates.streamingContainment(spark, tmp.toString)
+      .collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("shared")))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((3L, 14L)),
+      s"expected exactly the (3, 14) copy pair, got ${pairs.toSeq}")
+    assert(pairs.head._3 >= 5, "a verbatim copy must share >= minShared fingerprints")
+  }
 }
