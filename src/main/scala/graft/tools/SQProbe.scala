@@ -22,9 +22,12 @@ object SQProbe {
     val idx = SQIndex.build(emb, "vec_id", "embedding")
     idx.data.count()
     println(f"[sqprobe] build: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+    // element-type-agnostic: the sf dirs store float32 embeddings, the
+    // ScaleCurve replica dirs store doubles
     def qv(id: Long): Option[Array[Double]] =
       emb.where(col("vec_id") === id).select("embedding")
-        .head(1).headOption.map(_.getSeq[Float](0).map(_.toDouble).toArray)
+        .head(1).headOption
+        .map(_.getSeq[Number](0).map(_.doubleValue).toArray)
     // tiny/custom dirs may not carry every diagnostic id — skip informatively
     for (qid <- Seq(3L, 17L, 99L, 256L, 441L)) qv(qid) match {
       case None =>
