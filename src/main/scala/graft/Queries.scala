@@ -1325,6 +1325,126 @@ object Queries {
       .limit(100)
   }
 
+  /** Relational tier: TPC-H Q14 shape — promotion revenue share: one
+    * month of the lineitem fact, parts broadcast, a CONDITIONAL exact
+    * sum (promo myriads vs total myriads, both LONG fast-path) and one
+    * final double division. At 100 TB: one fact scan with the month
+    * filter pushed to parquet, zero shuffles after the broadcast join
+    * (the aggregate is a two-scalar global agg). */
+  private def tpchQ14(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-09-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-10-01 00:00:00")))
+    li.join(broadcast(tbl(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .agg(
+        ExactSum.myriadsToDec(sum(when(col("p_type") === "PROMO",
+            ExactSum.revenueMyriads(col("l_extendedprice"), col("l_discount")))
+          .otherwise(lit(0L)))).cast("double").as("__promo"),
+        ExactSum.revenueSum(col("l_extendedprice"), col("l_discount"))
+          .cast("double").as("__total"))
+      .select(round(lit(100.0) * col("__promo") / col("__total"), 4).as("promo_revenue"))
+  }
+
+  /** Relational tier: TPC-H Q7 shape — volume shipping between two
+    * nations, BOTH directions of the (supplier-nation, customer-nation)
+    * pair in one plan: the two nation lookups join the same broadcast
+    * dimension under different aliases, the pair disjunction prunes
+    * before the aggregate, and the per-(pair, year) revenue is the exact
+    * LONG fast path. One fact-sized shuffle (the 3-key group). */
+  private def tpchQ7(spark: SparkSession, dir: String): DataFrame = {
+    val n = tbl(spark, dir, "nation")
+    val li = tbl(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+    li.join(tbl(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(tbl(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(tbl(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .join(broadcast(n.select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cnk"))
+      .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+             (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(ExactSum.revenueSum(col("l_extendedprice"), col("l_discount"))
+        .cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** Relational tier: TPC-H Q8 shape — national market share: ASIA-region
+    * ECONOMY-part order revenue per year, with the target nation's share
+    * as a conditional-sum ratio. The part filter broadcasts INTO the fact
+    * scan (the most selective dimension first), both nation roles are
+    * broadcast aliases, and the share division happens once per year row
+    * on exact decimal sums cast to double. */
+  private def tpchQ8(spark: SparkSession, dir: String): DataFrame = {
+    val n = tbl(spark, dir, "nation")
+    tbl(spark, dir, "lineitem")
+      .join(broadcast(tbl(spark, dir, "part").where(col("p_type") === "ECONOMY")),
+        col("l_partkey") === col("p_partkey"))
+      .join(tbl(spark, dir, "orders")
+          .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+            col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(tbl(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n.select(col("n_nationkey").as("cnk"), col("n_regionkey").as("crk"))),
+        col("c_nationkey") === col("cnk"))
+      .join(broadcast(tbl(spark, dir, "region").where(col("r_name") === "ASIA")),
+        col("crk") === col("r_regionkey"))
+      .join(broadcast(tbl(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        ExactSum.myriadsToDec(sum(when(col("supp_nation") === "NATION_5",
+            ExactSum.revenueMyriads(col("l_extendedprice"), col("l_discount")))
+          .otherwise(lit(0L)))).cast("double").as("__n5"),
+        ExactSum.revenueSum(col("l_extendedprice"), col("l_discount"))
+          .cast("double").as("__tot"))
+      .select(col("o_year"), round(col("__n5") / col("__tot"), 4).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Relational tier: TPC-H Q10 shape — returned-item top customers: one
+    * quarter of orders, the 'R' returnflag filter pushed to the lineitem
+    * scan, customer + nation broadcast, exact revenue per customer, and a
+    * bounded TakeOrdered top-20 (never a global sort). */
+  private def tpchQ10(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "lineitem").where(col("l_returnflag") === "R")
+      .join(tbl(spark, dir, "orders")
+          .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+            col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(tbl(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(tbl(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(ExactSum.revenueSum(col("l_extendedprice"), col("l_discount"))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        r4(col("c_acctbal")).as("c_acctbal"), col("n_name"))
+
+  /** Relational tier: TPC-H Q15 shape — top supplier(s) by a quarter's
+    * revenue: the per-supplier revenue "view" computed once, its max as a
+    * 1-row broadcast, and the equality join back on the EXACT decimal
+    * revenue (the LONG-cents sum makes cross-row equality well-defined —
+    * a double formulation could drop a tied supplier to summation order).
+    * Ties all surface, ordered by s_suppkey, exactly the spec's intent. */
+  private def tpchQ15(spark: SparkSession, dir: String): DataFrame = {
+    val rev = tbl(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+      .groupBy(col("l_suppkey"))
+      .agg(ExactSum.revenueSum(col("l_extendedprice"), col("l_discount")).as("__rev"))
+    val mx = rev.agg(max(col("__rev")).as("__mx"))
+    rev.join(broadcast(mx), col("__rev") === col("__mx"))
+      .join(broadcast(tbl(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("__rev").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** Behavioral analytics: ordered conversion funnel (view → click →
     * purchase by FIRST occurrence per user) — the sequence-matching shape
     * product analytics runs constantly. Two aggregations on user_id (the
@@ -2992,6 +3112,80 @@ object Queries {
         |  AND EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+    "tpch_q14" -> Q(tpchQ14, Some(
+      """SELECT round(100.00 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |              (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))
+        |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |  / CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |             (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |  AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin)),
+    "tpch_q7" -> Q(tpchQ7, Some(
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(date_part('year', l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |                     (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+        |                AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem, orders, customer, supplier, nation n1, nation n2
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey
+        |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR
+        |       (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+    "tpch_q8" -> Q(tpchQ8, Some(
+      """SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS o_year,
+        |       round(CAST(sum(CASE WHEN n2.n_name = 'NATION_5'
+        |           THEN CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |                     (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))
+        |           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |         / CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |                    (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |         AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    "tpch_q10" -> Q(tpchQ10, Some(
+      """SELECT c_custkey, c_name,
+        |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |                     (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+        |                AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |       round(c_acctbal, 4) AS c_acctbal, n_name
+        |FROM lineitem, orders, customer, nation
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+    "tpch_q15" -> Q(tpchQ15, Some(
+      """WITH revenue0 AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |                  (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+        |             AS DECIMAL(18,6))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue0)
+        |ORDER BY s_suppkey""".stripMargin)),
     "tpch_q13" -> Q(tpchQ13, Some(
       """SELECT c_count, count(*) AS custdist FROM (
         |  SELECT c_custkey, count(o_orderkey) AS c_count
