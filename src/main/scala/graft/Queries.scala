@@ -369,6 +369,20 @@ object Queries {
       .select(col("qid"), col("id"), r4(col("score")).as("score"))
       .orderBy(col("qid").asc, col("score").desc, col("id").asc)
 
+  /** The widened-probe batch-hybrid arm through the GRAPH-typed facade:
+    * `searchTopKBatch`'s graph dispatch (iterative frontier traversal,
+    * unbounded beam at efSearch ≥ corpus ⇒ the probe's top-100 is exact)
+    * feeding the same zero-scatter + fusion pipeline — so the gate shares
+    * hybrid_batch_probe's oracle VERBATIM while exercising a completely
+    * different physical probe. Collection domain is identical (docs ⋈
+    * embeddings through [[graphDb]]). */
+  private def hybridBatchGraph(spark: SparkSession, dir: String): DataFrame =
+    graphDb(spark, dir)
+      .hybridSearchBatch(hybridBatchQueryFrame(spark, dir), "qid", "qtext", "qv",
+        topK = 10, exactThreshold = 0L)
+      .select(col("qid"), col("id"), r4(col("score")).as("score"))
+      .orderBy(col("qid").asc, col("score").desc, col("id").asc)
+
   /** Shared oracle builder for the two batch-hybrid arms: the joined-corpus
     * BM25 CTE chain once, per-query (qt/contrib/dense-tscore/vscore/maxes/
     * fusion/top-10) blocks, UNION ALL, rounded in the outer select — the
@@ -460,6 +474,17 @@ object Queries {
     * metric transpose of ann_sq8's squared-L2 argument. */
   private def annSq8Cosine(spark: SparkSession, dir: String): DataFrame =
     sqIndex(spark, dir).searchCosine(qvec(spark, dir, 99), k = 10)
+
+  /** Batch form of the SQ8 cosine arm: per-query bound slack and query
+    * norm as EXPRESSIONS over the broadcast query frame, thresholds via
+    * TopKPerKey, float rerank of survivors only — the codes-then-floats
+    * two-pass shape under the cosine proof. */
+  private def knnBatchSq8Cosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    val queries = e.where(col("vec_id").isin(11L, 12L, 13L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    sqIndex(spark, dir).searchBatchCosine(queries, "qid", "qv", k = 5)
+  }
 
   private val sqLoadedCache =
     new Memo[(graft.vector.SQIndex, java.nio.file.Path)](memoMax, "sqLoadedCache")({
@@ -2220,6 +2245,22 @@ object Queries {
     graft.multimodal.Multimodal.jpegFeatures(jpegAssets(spark, dir))
       .toDF().orderBy(col("id"))
 
+  /** Batch exact-cosine oracle — the metric transpose of knnBatchSqlFor,
+    * shared by the quantized (SQ8 bound-pruned) batch cosine gate. */
+  private def knnBatchCosineSqlFor(qids: String, k: Int): String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+       |           FROM embeddings WHERE vec_id IN ($qids)),
+       |scored AS (
+       |  SELECT q.qid, e.vec_id AS id,
+       |         list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * q.qv[i]))
+       |         / (sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+       |            * sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])))) AS s
+       |  FROM embeddings e, q)
+       |SELECT qid, id, round(s, 4) AS score FROM (
+       |  SELECT qid, id, s, row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS rn
+       |  FROM scored)
+       |WHERE rn <= $k ORDER BY qid, score DESC, id""".stripMargin
+
   /** Oracle for the batch-KNN formulations (window, TopKPerKey, bulk IVF). */
   private def knnBatchSqlFor(qids: String): String =
     s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
@@ -2377,6 +2418,7 @@ object Queries {
     "save_load_sq8_knn" -> Q(saveLoadSq8Knn, Some(knnSql(21, 10))),
     "ann_ivf_cosine" -> Q(annIvfCosine, Some(cosineKnnSql(42, 10))),
     "ann_sq8_cosine" -> Q(annSq8Cosine, Some(cosineKnnSql(99, 10))),
+    "knn_batch_sq8_cosine" -> Q(knnBatchSq8Cosine, Some(knnBatchCosineSqlFor("11, 12, 13", 5))),
     "ann_pq" -> Q(annPq, Some(
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |a AS (SELECT vec_id AS aid, emb AS aemb FROM v WHERE vec_id < 16),
@@ -2513,6 +2555,7 @@ object Queries {
          |SELECT id, round(raw, 4) AS score FROM top ORDER BY score DESC, id""".stripMargin)),
     "hybrid_batch" -> Q(hybridBatchArm(Long.MaxValue), Some(hybridBatchSql(exact = true))),
     "hybrid_batch_probe" -> Q(hybridBatchArm(0L), Some(hybridBatchSql(exact = false))),
+    "hybrid_batch_graph" -> Q(hybridBatchGraph, Some(hybridBatchSql(exact = false))),
     "multimodal_features" -> Q(multimodalFeatures, Some(
       """SELECT doc_id AS id, octet_length(text::BLOB)::BIGINT AS n_bytes, md5(text) AS fp,
         |       (octet_length(text::BLOB) % 64 + 1)::INT AS width,

@@ -190,6 +190,40 @@ final class SQIndex(val data: DataFrame, // (id, vector, code) persisted
       .limit(k)
   }
 
+  /** Batch cosine exact top-k — ONE distributed plan, the metric
+    * transpose of [[searchBatch]]: pass 1 computes per-(query, row)
+    * cosine bounds from CODES + the stored row norm (per-query slack
+    * B_q = Σ sᵢ|qᵢ|/2 and query norm are expressions over the broadcast
+    * query frame, not driver scalars), per-query thresholds through the
+    * bounded-heap TopKPerKey (k-th LARGEST lower bound), pass 2 keeps
+    * bound-surviving pairs and reranks on floats. Ranked by UNROUNDED
+    * cosine then rounded for output — the batch tie discipline
+    * [[searchBatch]] follows. Zero-norm rows drop out via NaN. */
+  def searchBatchCosine(queries: DataFrame, qidCol: String, qvCol: String,
+                        k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(qidCol).as("qid"),
+      col(qvCol).cast("array<double>").as("__qv")))
+    val xhat = deq(col("code"))
+    val qnorm = sqrt(VectorFunctions.dot(col("__qv"), col("__qv")))
+    val bq = VectorFunctions.dot(transform(col("__qv"), v => abs(v)), stepsLit) / 2.0
+    val scored = data.crossJoin(q).select(col("qid"), col("id"), col("vector"), col("__qv"),
+      (VectorFunctions.dot(xhat, col("__qv")) / (col("nrm") * qnorm)).as("chat"),
+      (bq / (col("nrm") * qnorm)).as("bb"))
+    val thr = graft.plans.TopK.perKey(
+        scored.select(col("qid"), col("id"), (col("chat") - col("bb")).as("lb")),
+        Seq("qid"), Seq("lb" -> true, "id" -> false), k)
+      .groupBy(col("qid")).agg(min(col("lb")).as("t0"))
+      .select(col("qid").as("__tq"), (col("t0") - lit(2e-4)).as("__t"))
+    graft.plans.TopK.perKey(
+        scored.join(broadcast(thr), col("qid") === col("__tq"))
+          .where(col("chat") + col("bb") >= col("__t"))
+          .select(col("qid"), col("id"),
+            VectorFunctions.cosine(col("vector"), col("__qv")).as("score")),
+        Seq("qid"), Seq("score" -> true, "id" -> false), k)
+      .select(col("qid"), col("id"), round(col("score"), 4).as("score"))
+      .orderBy(col("qid").asc, col("score").desc, col("id").asc)
+  }
+
   /** Pruning diagnostic for the cosine arm (spec + SCALE). */
   def candidateCountCosine(q: Array[Double], k: Int): Long = {
     val qnorm = math.sqrt(q.map(x => x * x).sum)

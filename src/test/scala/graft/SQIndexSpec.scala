@@ -95,6 +95,19 @@ class SQIndexSpec extends AnyFunSuite {
     assert(cand >= 10 && cand < n, s"cosine candidates $cand of $n — no pruning")
   }
 
+  test("searchBatchCosine: bound-pruned batch equals the exact cosine batch scan") {
+    val queries = emb.where(col("vec_id").isin(11L, 42L, 99L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = ExactKNN.topKBatch(emb, "vec_id", "embedding", queries, "qid", "qv",
+        k = 5, ExactKNN.Cosine)
+      .select(col("qid"), col("id"), round(col("score"), 4).as("score"))
+      .orderBy(col("qid").asc, col("score").desc, col("id").asc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val sq = index.searchBatchCosine(queries, "qid", "qv", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(sq == exact)
+  }
+
   test("searchBatch: bound-pruned batch equals the exact batch scan") {
     val queries = emb.where(col("vec_id").isin(5L, 77L, 300L))
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
