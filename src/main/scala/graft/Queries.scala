@@ -369,6 +369,25 @@ object Queries {
       .select(col("qid"), col("id"), r4(col("score")).as("score"))
       .orderBy(col("qid").asc, col("score").desc, col("id").asc)
 
+  /** hybrid_probe's full SQL oracle — shared by every facade path that
+    * must reproduce the widened-probe fusion over the ingested collection
+    * (batch-ingested, stream-ingested). */
+  private lazy val hybridProbeSql: String =
+    s"""WITH ${bm25Ctes(bm25Query, joinedCorpus = true)},
+       |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+       |vsq AS (SELECT e.vec_id AS id, 1.0/(1.0 + $sqDistSql) AS s FROM embeddings e, q),
+       |ranked AS (SELECT id, s, row_number() OVER (ORDER BY s DESC, id) AS rn FROM vsq),
+       |vscore AS (SELECT id, CASE WHEN rn <= 100 THEN s ELSE 0.0 END AS vs FROM ranked),
+       |tmax AS (SELECT max(score) AS tm FROM tscore),
+       |vmax AS (SELECT max(vs) AS vm FROM vscore),
+       |fused AS (
+       |  SELECT tscore.id,
+       |         0.5 * (CASE WHEN vm > 0 THEN vs / vm ELSE vs END)
+       |       + 0.5 * (CASE WHEN tm > 0 THEN tscore.score / tm ELSE tscore.score END) AS raw
+       |  FROM tscore JOIN vscore USING (id), tmax, vmax),
+       |top AS (SELECT id, raw FROM fused WHERE raw > 0 ORDER BY raw DESC, id LIMIT 10)
+       |SELECT id, round(raw, 4) AS score FROM top ORDER BY score DESC, id""".stripMargin
+
   /** The widened-probe batch-hybrid arm through the GRAPH-typed facade:
     * `searchTopKBatch`'s graph dispatch (iterative frontier traversal,
     * unbounded beam at efSearch ≥ corpus ⇒ the probe's top-100 is exact)
@@ -962,6 +981,25 @@ object Queries {
     val db = streamMbDbCache.get(spark, dir)(
       graft.streaming.StreamingGates.ingestCollectionMultiBatch(spark, dir))
     db.queryVector(qvec(spark, dir, 37).map(_.toFloat), topK = 10)
+      .select(col("id"), r4(col("score")).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+  }
+
+  /** HYBRID search over a STREAM-INGESTED collection (round 9): the
+    * multi-batch-drained facade serves the full K8–K11 fusion pipeline —
+    * BM25 over the streamed corpus + widened vector probe + zero-scatter
+    * + max-normalize + weighted fusion — and the answer must equal the
+    * batch-ingested collection's bit for bit (same data ⇒ same corpus
+    * scalars, postings, and probe results), so the gate shares
+    * hybrid_probe's full SQL oracle verbatim. Pins that streaming ingest
+    * preserves EVERY query modality, not just the KNN scan the other
+    * streaming_ingest gates check. Forced probe arm (threshold 0) keeps
+    * the oracle shape sf-independent. */
+  private def streamingIngestHybrid(spark: SparkSession, dir: String): DataFrame = {
+    val db = streamMbDbCache.get(spark, dir)(
+      graft.streaming.StreamingGates.ingestCollectionMultiBatch(spark, dir))
+    db.hybridSearch(bm25Query, qvec(spark, dir, 7).map(_.toFloat),
+        topK = 10, exactThreshold = 0L)
       .select(col("id"), r4(col("score")).as("score"))
       .orderBy(col("score").desc, col("id").asc)
   }
@@ -2538,21 +2576,8 @@ object Queries {
          |  FROM tscore JOIN vscore USING (id), tmax, vmax)
          |SELECT id, round(raw, 4) AS score FROM fused WHERE raw > 0
          |ORDER BY score DESC, id LIMIT 10""".stripMargin)),
-    "hybrid_probe" -> Q(hybridProbe, Some(
-      s"""WITH ${bm25Ctes(bm25Query, joinedCorpus = true)},
-         |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
-         |vsq AS (SELECT e.vec_id AS id, 1.0/(1.0 + $sqDistSql) AS s FROM embeddings e, q),
-         |ranked AS (SELECT id, s, row_number() OVER (ORDER BY s DESC, id) AS rn FROM vsq),
-         |vscore AS (SELECT id, CASE WHEN rn <= 100 THEN s ELSE 0.0 END AS vs FROM ranked),
-         |tmax AS (SELECT max(score) AS tm FROM tscore),
-         |vmax AS (SELECT max(vs) AS vm FROM vscore),
-         |fused AS (
-         |  SELECT tscore.id,
-         |         0.5 * (CASE WHEN vm > 0 THEN vs / vm ELSE vs END)
-         |       + 0.5 * (CASE WHEN tm > 0 THEN tscore.score / tm ELSE tscore.score END) AS raw
-         |  FROM tscore JOIN vscore USING (id), tmax, vmax),
-         |top AS (SELECT id, raw FROM fused WHERE raw > 0 ORDER BY raw DESC, id LIMIT 10)
-         |SELECT id, round(raw, 4) AS score FROM top ORDER BY score DESC, id""".stripMargin)),
+    "hybrid_probe" -> Q(hybridProbe, Some(hybridProbeSql)),
+    "streaming_ingest_hybrid" -> Q(streamingIngestHybrid, Some(hybridProbeSql)),
     "hybrid_batch" -> Q(hybridBatchArm(Long.MaxValue), Some(hybridBatchSql(exact = true))),
     "hybrid_batch_probe" -> Q(hybridBatchArm(0L), Some(hybridBatchSql(exact = false))),
     "hybrid_batch_graph" -> Q(hybridBatchGraph, Some(hybridBatchSql(exact = false))),
