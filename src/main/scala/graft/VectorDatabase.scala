@@ -594,6 +594,9 @@ class VectorDatabase private (
     }
     val r = graft.plans.TopK.perKey(masked.where(col("score") > 0), // zero-drop
         Seq("qid"), Seq("score" -> true, "id" -> false), topK)
+      // explicit: the semi-join USING (id) on the filter arm moves the
+      // join key first; the contract is (qid, id, score) on both arms
+      .select(col("qid"), col("id"), col("score"))
       .orderBy(col("qid").asc, col("score").desc, col("id").asc)
     if (returnScores) r else r.select(col("qid"), col("id"))
   }

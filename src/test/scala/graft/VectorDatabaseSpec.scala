@@ -270,6 +270,16 @@ class VectorDatabaseSpec extends AnyFunSuite {
       assert(batch.toSeq == single,
         s"threshold=$thr: batch ${batch.toSeq} != per-query $single")
     }
+    // F7 filter arm: the semi-join mask composes identically per query
+    val mask = Some(db.metaValue("priority") === lit("\"high\""))
+    val fb = db.hybridSearchBatch(qdf, "qid", "qtext", "qv", topK = 3, filter = mask)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val fs = qs.flatMap { case (qid, t, v) =>
+      db.hybridSearch(t, v.map(_.toFloat).toArray, topK = 3, filter = mask)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }
+    assert(fb.toSeq == fs, s"filtered: batch ${fb.toSeq} != per-query $fs")
+    assert(fb.map(_._2).toSet.subsetOf(Set(0L, 2L))) // only high-priority docs
     // empty-db short-circuit (ldb:346–347) holds for the batch twin
     val empty = VectorDatabase.create(spark, dim, "flat")
     assert(empty.hybridSearchBatch(qdf, "qid", "qtext", "qv").collect().isEmpty)
