@@ -2283,6 +2283,36 @@ object Queries {
     graft.multimodal.Multimodal.jpegFeatures(jpegAssets(spark, dir))
       .toDF().orderBy(col("id"))
 
+  /** COLOR JPEG payloads: 3-component 4:4:4 baseline files, each block's
+    * constant (Y, Cb, Cr) from three md5-chain bytes — DC-only exactness
+    * per component makes the decoded YCbCr the payload bytes exactly, and
+    * the JFIF YCbCr→RGB conversion (floor(x+0.5), clamp 0..255 — both
+    * engines agree bit-for-bit on it, see [[graft.multimodal.Jpeg]]) is
+    * restated by the oracle per block. The fingerprint covers the FULL
+    * interleaved RGB buffer. */
+  private def jpegColorAssets(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val bwC = (lit(1) + col("doc_id") % 4).cast("int")
+    val bhC = (lit(1) + col("doc_id") % 3).cast("int")
+    val src = docsTbl(spark, dir).where(col("doc_id") < 50)
+      .select(col("doc_id"), bwC.as("bw"), bhC.as("bh"),
+        unhex(md5Chain("jpgc", 3).substr(lit(1), (bwC * bhC * 6).cast("int"))).as("payload"))
+      .as[(Long, Int, Int, Array[Byte])]
+    src.mapPartitions(_.map { case (id, bw, bh, payload) =>
+      val n = bw * bh
+      // payload layout: (y, cb, cr) triples per block, row-major blocks
+      val y = Array.tabulate(n)(b => payload(3 * b))
+      val cb = Array.tabulate(n)(b => payload(3 * b + 1))
+      val cr = Array.tabulate(n)(b => payload(3 * b + 2))
+      graft.multimodal.Multimodal.Asset(id, "image",
+        graft.multimodal.Jpeg.encodeJpegConstBlocksColor(y, cb, cr, bw, bh), 0, 0)
+    })
+  }
+
+  private def multimodalJpegColor(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.jpegRgbFeatures(jpegColorAssets(spark, dir))
+      .toDF().orderBy(col("id"))
+
   /** Batch exact-cosine oracle — the metric transpose of knnBatchSqlFor,
     * shared by the quantized (SQ8 bound-pruned) batch cosine gate. */
   private def knnBatchCosineSqlFor(qids: String, k: Int): String =
@@ -2679,6 +2709,33 @@ object Queries {
         |       md5(array_to_string(list_transform(range(0, w*h),
         |         q -> substr(hx, CAST(((q // (w*8)) * bw + (q % w) // 8) * 2 + 1 AS INT), 2)), '')) AS pixel_fp
         |FROM e ORDER BY id""".stripMargin)),
+    "multimodal_jpeg_color" -> Q(multimodalJpegColor, Some(
+      // per block b: (y, cb, cr) = payload bytes 3b..3b+2; RGB = JFIF
+      // conversion with floor(x+0.5) + clamp; every pixel of block
+      // (bx, by) carries that block's rgb hex triple
+      """WITH p AS (
+        |  SELECT doc_id AS id, (1 + doc_id % 4) AS bw, (1 + doc_id % 3) AS bh,
+        |         md5(text || '_jpgc_0') || md5(text || '_jpgc_1') || md5(text || '_jpgc_2') AS hx
+        |  FROM documents WHERE doc_id < 50),
+        |bl AS (
+        |  SELECT id, bw, bh, b,
+        |         ('0x' || substr(hx, CAST(b*6 + 1 AS INT), 2))::INT AS y,
+        |         ('0x' || substr(hx, CAST(b*6 + 3 AS INT), 2))::INT AS cb,
+        |         ('0x' || substr(hx, CAST(b*6 + 5 AS INT), 2))::INT AS cr
+        |  FROM (SELECT id, bw, bh, hx, unnest(range(0, bw*bh)) AS b FROM p)),
+        |rgbs AS (
+        |  SELECT id, bw, bh, b,
+        |         printf('%02x%02x%02x',
+        |           CAST(greatest(0, least(255, floor(y + 1.402*(cr - 128) + 0.5))) AS INT),
+        |           CAST(greatest(0, least(255, floor(y - 0.344136*(cb - 128) - 0.714136*(cr - 128) + 0.5))) AS INT),
+        |           CAST(greatest(0, least(255, floor(y + 1.772*(cb - 128) + 0.5))) AS INT)) AS rgbhex
+        |  FROM bl),
+        |agg AS (SELECT id, bw*8 AS w, bh*8 AS h, bw, list(rgbhex ORDER BY b) AS bls
+        |        FROM rgbs GROUP BY 1, 2, 3, 4)
+        |SELECT id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, 3 AS n_channels,
+        |       md5(array_to_string(list_transform(range(0, w*h),
+        |         q -> bls[CAST((q // (w*8)) * bw + (q % w) // 8 + 1 AS INT)]), '')) AS pixel_fp
+        |FROM agg ORDER BY id""".stripMargin)),
     "events_window" -> Q(eventsWindow, Some(
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6))) / count(*) AS DECIMAL(28,8)), 4) AS DOUBLE) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),

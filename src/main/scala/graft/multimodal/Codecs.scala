@@ -167,7 +167,8 @@ object Codecs {
     else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' &&
              bytes(2) == 'F' && bytes(3) == 'F') decodeWav(bytes)
     else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
-      Jpeg.decodeJpeg(bytes).map(g => GrayImage(g.pixels, g.width, g.height))
+      Jpeg.decodeJpeg(bytes).map(g => GrayImage(g.pixels, g.width, g.height): Decoded)
+        .orElse(Jpeg.decodeJpegRgb(bytes).map(r => Image(r.pixels, r.width, r.height)))
     else None
 
   /** The payload a sample-level operator (resize, frame extraction) should

@@ -167,20 +167,59 @@ object Jpeg {
   private def be16(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
 
-  /** Strict baseline grayscale decode; None on anything out of scope. */
+  /** Interleaved-RGB decoded image (3 bytes per pixel, row-major) from a
+    * 3-component 4:4:4 baseline stream, JFIF YCbCr→RGB converted. */
+  final case class Rgb(pixels: Array[Byte], width: Int, height: Int)
+
+  /** Strict baseline GRAYSCALE decode; None on anything out of scope
+    * (including color streams — use [[decodeJpegRgb]]). */
   def decodeJpeg(bytes: Array[Byte]): Option[Gray] = {
-    try decodeStrict(bytes)
-    catch { case _: Exception => None }
+    try decodeStrict(bytes) match {
+      case Some((planes, w, h)) if planes.length == 1 =>
+        val out = new Array[Byte](w * h)
+        var i = 0
+        while (i < out.length) { out(i) = planes(0)(i).toByte; i += 1 }
+        Some(Gray(out, w, h))
+      case _ => None
+    } catch { case _: Exception => None }
   }
 
-  private def decodeStrict(b: Array[Byte]): Option[Gray] = {
+  /** Strict baseline 3-component 4:4:4 COLOR decode: per-component
+    * Huffman/quant/DC-predictor state over interleaved MCUs, then the
+    * JFIF YCbCr→RGB conversion — floor(x + 0.5) rounding and 0..255
+    * clamping, the exact arithmetic the DuckDB oracle restates (floor is
+    * chosen over round() because the two engines' round() disagree on
+    * negative halves; floor(x+0.5) is identical semantics everywhere).
+    * None on grayscale streams — use [[decodeJpeg]]. */
+  def decodeJpegRgb(bytes: Array[Byte]): Option[Rgb] = {
+    try decodeStrict(bytes) match {
+      case Some((planes, w, h)) if planes.length == 3 =>
+        val out = new Array[Byte](3 * w * h)
+        def cl(v: Double): Byte =
+          math.max(0, math.min(255, math.floor(v + 0.5).toInt)).toByte
+        var i = 0
+        while (i < w * h) {
+          val y = planes(0)(i); val cb = planes(1)(i); val cr = planes(2)(i)
+          out(3 * i) = cl(y + 1.402 * (cr - 128))
+          out(3 * i + 1) = cl(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+          out(3 * i + 2) = cl(y + 1.772 * (cb - 128))
+          i += 1
+        }
+        Some(Rgb(out, w, h))
+      case _ => None
+    } catch { case _: Exception => None }
+  }
+
+  /** Shared scan decode → one 0..255 Int plane per component. */
+  private def decodeStrict(b: Array[Byte]): Option[(Array[Array[Int]], Int, Int)] = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
     var i = 2
     val qt = new Array[Array[Int]](4) // up to 4 quant tables, natural order
     val dcT = new Array[HuffTable](4)
     val acT = new Array[HuffTable](4)
     var width = 0; var height = 0
-    var dcId = 0; var acId = 0; var qId = 0
+    // SOF components in frame order: (component id, quant table id)
+    var comps: Array[(Int, Int)] = null
     var sof = false
     while (i + 4 <= b.length) {
       if ((b(i) & 0xff) != 0xff) return None
@@ -220,10 +259,14 @@ object Jpeg {
           height = be16(b, body + 1)
           width = be16(b, body + 3)
           val nf = b(body + 5) & 0xff
-          if (nf != 1) return None // grayscale scope
-          val hv = b(body + 7) & 0xff
-          if (hv != 0x11) return None // no subsampling (trivial for 1 comp)
-          qId = b(body + 8) & 0xff
+          if (nf != 1 && nf != 3) return None // grayscale or 4:4:4 color
+          comps = Array.tabulate(nf) { c =>
+            val cid = b(body + 6 + 3 * c) & 0xff
+            val hv = b(body + 7 + 3 * c) & 0xff
+            if (hv != 0x11) // 4:4:4 only — one block per component per MCU
+              throw new IllegalArgumentException("subsampled stream")
+            (cid, b(body + 8 + 3 * c) & 0xff)
+          }
           sof = true
         case m if m == 0xc1 || m == 0xc2 || m == 0xc3 ||
                   (m >= 0xc5 && m <= 0xc7) || (m >= 0xc9 && m <= 0xcf) =>
@@ -232,49 +275,60 @@ object Jpeg {
         case 0xda => // SOS: decode the scan
           if (!sof || width <= 0 || height <= 0) return None
           val ns = b(body) & 0xff
-          if (ns != 1) return None
-          dcId = (b(body + 2) & 0xf0) >> 4
-          acId = b(body + 2) & 0x0f
-          val dc = dcT(dcId); val ac = acT(acId); val q = qt(qId)
-          if (dc == null || ac == null || q == null) return None
+          if (ns != comps.length) return None // one interleaved scan only
+          // scan components in SOS order, resolved against the frame list
+          val order = Array.tabulate(ns) { c =>
+            val cid = b(body + 1 + 2 * c) & 0xff
+            val fi = comps.indexWhere(_._1 == cid)
+            if (fi < 0) throw new IllegalArgumentException("unknown component in SOS")
+            val tt = b(body + 2 + 2 * c) & 0xff
+            val dc = dcT((tt & 0xf0) >> 4); val ac = acT(tt & 0x0f)
+            val q = qt(comps(fi)._2)
+            if (dc == null || ac == null || q == null)
+              throw new IllegalArgumentException("missing table")
+            (fi, dc, ac, q)
+          }
           val bw = (width + 7) / 8
           val bh = (height + 7) / 8
-          val out = new Array[Byte](width * height)
+          val planes = Array.fill(comps.length)(new Array[Int](width * height))
           val br = new BitReader(b, body + len - 2)
           val coef = new Array[Int](64)
-          var pred = 0
+          val pred = new Array[Int](comps.length)
           var by = 0
           while (by < bh) {
             var bx = 0
             while (bx < bw) {
-              java.util.Arrays.fill(coef, 0)
-              // DC
-              val s = dc.decode(br)
-              if (s > 15) throw new IllegalArgumentException("bad DC category")
-              pred += br.extend(s)
-              coef(0) = pred * q(0)
-              // AC
-              var z = 1
-              while (z < 64) {
-                val rs = ac.decode(br)
-                val r = (rs & 0xf0) >> 4
-                val sz = rs & 0x0f
-                if (sz == 0) {
-                  if (r == 15) z += 16 // ZRL
-                  else z = 64 // EOB
-                } else {
-                  z += r
-                  if (z > 63) throw new IllegalArgumentException("AC overrun")
-                  coef(zigzag(z)) = br.extend(sz) * q(zigzag(z))
-                  z += 1
+              var c = 0
+              while (c < ns) { // one block per component per MCU at 4:4:4
+                val (fi, dc, ac, q) = order(c)
+                java.util.Arrays.fill(coef, 0)
+                val s = dc.decode(br)
+                if (s > 15) throw new IllegalArgumentException("bad DC category")
+                pred(fi) += br.extend(s)
+                coef(0) = pred(fi) * q(0)
+                var z = 1
+                while (z < 64) {
+                  val rs = ac.decode(br)
+                  val r = (rs & 0xf0) >> 4
+                  val sz = rs & 0x0f
+                  if (sz == 0) {
+                    if (r == 15) z += 16 // ZRL
+                    else z = 64 // EOB
+                  } else {
+                    z += r
+                    if (z > 63) throw new IllegalArgumentException("AC overrun")
+                    coef(zigzag(z)) = br.extend(sz) * q(zigzag(z))
+                    z += 1
+                  }
                 }
+                idctBlock(coef, planes(fi), width, height, bx * 8, by * 8)
+                c += 1
               }
-              idctBlock(coef, out, width, height, bx * 8, by * 8)
               bx += 1
             }
             by += 1
           }
-          return Some(Gray(out, width, height))
+          return Some((planes, width, height))
         case m if (m >= 0xe0 && m <= 0xef) || m == 0xfe => () // APPn/COM: skip
         case _ => return None
       }
@@ -287,7 +341,7 @@ object Jpeg {
     * and clamp; writes the block's intersection with the image. O(64·64)
     * per block — correctness-first; at scale the separable/AAN form drops
     * in behind the same contract. */
-  private def idctBlock(coef: Array[Int], out: Array[Byte],
+  private def idctBlock(coef: Array[Int], out: Array[Int],
                         w: Int, h: Int, ox: Int, oy: Int): Unit = {
     var y = 0
     while (y < 8 && oy + y < h) {
@@ -311,7 +365,7 @@ object Jpeg {
           u += 1
         }
         val p = math.round(sum / 4.0 + 128.0).toInt
-        out((oy + y) * w + (ox + x)) = math.max(0, math.min(255, p)).toByte
+        out((oy + y) * w + (ox + x)) = math.max(0, math.min(255, p))
         x += 1
       }
       y += 1
@@ -353,6 +407,70 @@ object Jpeg {
     var a = math.abs(v)
     while (a != 0) { a >>= 1; s += 1 }
     s
+  }
+
+  /** Color twin of [[encodeJpegConstBlocks]]: a complete baseline
+    * 3-component 4:4:4 JPEG whose 8×8 blocks carry constant (Y, Cb, Cr)
+    * given by three payload planes (row-major block order) — interleaved
+    * MCUs with per-component DC predictors, unit quant table and the
+    * standard Huffman tables for all components. DC-only exactness holds
+    * per component, so the decoded YCbCr values equal the payload bytes
+    * and the RGB output is the deterministic JFIF conversion of them. */
+  def encodeJpegConstBlocksColor(y: Array[Byte], cb: Array[Byte], cr: Array[Byte],
+                                 blocksWide: Int, blocksHigh: Int): Array[Byte] = {
+    val nB = blocksWide * blocksHigh
+    require(blocksWide > 0 && blocksHigh > 0 &&
+      y.length == nB && cb.length == nB && cr.length == nB,
+      s"plane sizes (${y.length}, ${cb.length}, ${cr.length}) != $blocksWide x $blocksHigh")
+    val w = blocksWide * 8; val h = blocksHigh * 8
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    marker(0xe0); u16(16) // APP0 JFIF
+    out.write("JFIF".getBytes("US-ASCII")); u8(0)
+    u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
+    marker(0xdb); u16(67); u8(0x00) // DQT: table 0, unit steps
+    (0 until 64).foreach(_ => u8(1))
+    marker(0xc0); u16(8 + 3 * 3) // SOF0: 8-bit, 3 components, all 1x1
+    u8(8); u16(h); u16(w); u8(3)
+    (1 to 3).foreach { cid => u8(cid); u8(0x11); u8(0) }
+    def dht(tc: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length); u8((tc << 4) | 0)
+      bits.foreach(u8); vals.foreach(u8)
+    }
+    dht(0, stdDcBits, stdDcVals)
+    dht(1, stdAcBits, stdAcVals)
+    marker(0xda); u16(6 + 2 * 3) // SOS: 3 components, DC/AC table 0 each
+    u8(3); (1 to 3).foreach { cid => u8(cid); u8(0x00) }
+    u8(0); u8(63); u8(0)
+    val dcCodes = canonicalCodes(stdDcBits, stdDcVals)
+      .map(c => c._1 -> (c._2, c._3)).toMap
+    val (eobCode, eobLen) = canonicalCodes(stdAcBits, stdAcVals)
+      .collectFirst { case (0x00, c, l) => (c, l) }.get
+    val bw = new BitWriter
+    val planes = Array(y, cb, cr)
+    val pred = new Array[Int](3)
+    var blk = 0
+    while (blk < nB) { // interleaved MCUs: Y, Cb, Cr per block position
+      var c = 0
+      while (c < 3) {
+        val dc = 8 * ((planes(c)(blk) & 0xff) - 128)
+        val diff = dc - pred(c)
+        pred(c) = dc
+        val s = category(diff)
+        val (code, l) = dcCodes(s)
+        bw.put(code, l)
+        if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+        bw.put(eobCode, eobLen)
+        c += 1
+      }
+      blk += 1
+    }
+    out.write(bw.flush())
+    marker(0xd9) // EOI
+    out.toByteArray
   }
 
   /** Gate/fixture encoder (the operators only DECODE): a complete baseline

@@ -169,6 +169,31 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("JPEG color roundtrip: 4:4:4 constant blocks decode to the exact JFIF RGB conversion") {
+    import graft.multimodal.Jpeg
+    val y = Array(0, 255, 128, 30, 200, 99).map(_.toByte)
+    val cb = Array(128, 0, 255, 77, 128, 10).map(_.toByte)
+    val cr = Array(128, 255, 0, 200, 128, 250).map(_.toByte)
+    val enc = Jpeg.encodeJpegConstBlocksColor(y, cb, cr, 3, 2)
+    val img = Jpeg.decodeJpegRgb(enc).get
+    assert(img.width == 24 && img.height == 16)
+    def cl(v: Double) = math.max(0, math.min(255, math.floor(v + 0.5).toInt))
+    for (py <- 0 until 16; px <- 0 until 24) {
+      val b = (py / 8) * 3 + px / 8
+      val (yy, cbb, crr) = (y(b) & 0xff, cb(b) & 0xff, cr(b) & 0xff)
+      val i = 3 * (py * 24 + px)
+      assert((img.pixels(i) & 0xff) == cl(yy + 1.402 * (crr - 128)), s"R($px,$py)")
+      assert((img.pixels(i + 1) & 0xff) ==
+        cl(yy - 0.344136 * (cbb - 128) - 0.714136 * (crr - 128)), s"G($px,$py)")
+      assert((img.pixels(i + 2) & 0xff) == cl(yy + 1.772 * (cbb - 128)), s"B($px,$py)")
+    }
+    // strict API split: the gray decoder refuses color streams and the
+    // color decoder refuses grayscale ones — no silent channel guessing
+    assert(Jpeg.decodeJpeg(enc).isEmpty)
+    assert(Jpeg.decodeJpegRgb(
+      Jpeg.encodeJpegConstBlocks(Array(10.toByte), 1, 1)).isEmpty)
+  }
+
   test("WAV golden fixture: hand-written RIFF/PCM bytes decode to the exact samples") {
     import graft.multimodal.Codecs
     val pcm = Array[Byte](0x01, 0x02, 0x03, 0x04) // 2 mono 16-bit frames
