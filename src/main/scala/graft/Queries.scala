@@ -2265,7 +2265,8 @@ object Queries {
     * (marker walk, Huffman, dequant, IDCT) is oracle-pinned end to end;
     * general (nonzero-AC) decoding is golden-fixture-pinned in
     * MultimodalSpec against hand-assembled bitstreams. */
-  private def jpegAssets(spark: SparkSession, dir: String) = {
+  private def jpegAssets(spark: SparkSession, dir: String,
+                         restartInterval: Int = 0) = {
     import spark.implicits._
     val bwC = (lit(1) + col("doc_id") % 4).cast("int")
     val bhC = (lit(1) + col("doc_id") % 3).cast("int")
@@ -2275,13 +2276,39 @@ object Queries {
       .as[(Long, Int, Int, Array[Byte])]
     src.mapPartitions(_.map { case (id, bw, bh, payload) =>
       graft.multimodal.Multimodal.Asset(id, "image",
-        graft.multimodal.Jpeg.encodeJpegConstBlocks(payload, bw, bh), 0, 0)
+        graft.multimodal.Jpeg.encodeJpegConstBlocks(payload, bw, bh, restartInterval),
+        0, 0)
     })
   }
 
   private def multimodalJpegDecode(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.Multimodal.jpegFeatures(jpegAssets(spark, dir))
       .toDF().orderBy(col("id"))
+
+  /** The SAME payloads encoded WITH restart intervals (DRI + RSTn every 2
+    * MCUs: byte-aligned segments, cycling markers, DC predictors reset) —
+    * decode output is identical by construction, so the gate shares
+    * multimodal_jpeg_decode's oracle verbatim while exercising the
+    * decoder's restart machinery end to end. */
+  private def multimodalJpegRestart(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.jpegFeatures(jpegAssets(spark, dir, restartInterval = 2))
+      .toDF().orderBy(col("id"))
+
+  /** Oracle shared by the plain and restart-interval JPEG gates: every
+    * pixel of block (bx, by) is the payload byte at index by·bw + bx, so
+    * the full-buffer fingerprint expands per pixel q:
+    * block = (q // (w·8))·bw + (q % w) // 8, hex pair at block·2 + 1. */
+  private val jpegDecodeSql: String =
+    """WITH p AS (
+      |  SELECT doc_id AS id, (1 + doc_id % 4) AS bw, (1 + doc_id % 3) AS bh,
+      |         md5(text || '_jpg_0') AS hx
+      |  FROM documents WHERE doc_id < 50),
+      |e AS (SELECT id, bw*8 AS w, bh*8 AS h, bw, hx FROM p)
+      |SELECT id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |       CAST(w*h AS INT) AS n_pixels,
+      |       md5(array_to_string(list_transform(range(0, w*h),
+      |         q -> substr(hx, CAST(((q // (w*8)) * bw + (q % w) // 8) * 2 + 1 AS INT), 2)), '')) AS pixel_fp
+      |FROM e ORDER BY id""".stripMargin
 
   /** COLOR JPEG payloads: 3-component 4:4:4 baseline files, each block's
     * constant (Y, Cb, Cr) from three md5-chain bytes — DC-only exactness
@@ -2695,20 +2722,8 @@ object Queries {
         |SELECT id, CAST(frame_idx AS INT) AS frame_idx,
         |       md5(substr(phx, CAST(frame_idx*512 + 1 AS INT), 512)) AS frame_fp
         |FROM f WHERE frame_idx % 2 = 0 ORDER BY id, frame_idx""".stripMargin)),
-    "multimodal_jpeg_decode" -> Q(multimodalJpegDecode, Some(
-      // every pixel of block (bx, by) is the payload byte at index
-      // by*bw + bx, so the full-buffer fingerprint expands per pixel q:
-      // block = (q // (w*8))*bw + (q % w) // 8, hex pair at block*2+1
-      """WITH p AS (
-        |  SELECT doc_id AS id, (1 + doc_id % 4) AS bw, (1 + doc_id % 3) AS bh,
-        |         md5(text || '_jpg_0') AS hx
-        |  FROM documents WHERE doc_id < 50),
-        |e AS (SELECT id, bw*8 AS w, bh*8 AS h, bw, hx FROM p)
-        |SELECT id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-        |       CAST(w*h AS INT) AS n_pixels,
-        |       md5(array_to_string(list_transform(range(0, w*h),
-        |         q -> substr(hx, CAST(((q // (w*8)) * bw + (q % w) // 8) * 2 + 1 AS INT), 2)), '')) AS pixel_fp
-        |FROM e ORDER BY id""".stripMargin)),
+    "multimodal_jpeg_decode" -> Q(multimodalJpegDecode, Some(jpegDecodeSql)),
+    "multimodal_jpeg_restart" -> Q(multimodalJpegRestart, Some(jpegDecodeSql)),
     "multimodal_jpeg_color" -> Q(multimodalJpegColor, Some(
       // per block b: (y, cb, cr) = payload bytes 3b..3b+2; RGB = JFIF
       // conversion with floor(x+0.5) + clamp; every pixel of block

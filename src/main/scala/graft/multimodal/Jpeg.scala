@@ -153,6 +153,19 @@ object Jpeg {
       nbits -= 1
       (cur >> nbits) & 1
     }
+    /** Consume an expected RSTn marker: drop the current byte's remaining
+      * padding bits (entropy segments are 1-padded to a byte boundary
+      * before a restart, T.81 F.1.2.3) and check FFD0+n. */
+    def restart(n: Int): Unit = {
+      nbits = 0 // byte-align
+      if (pos + 1 >= b.length)
+        throw new IllegalArgumentException("EOF at restart")
+      if ((b(pos) & 0xff) != 0xff || (b(pos + 1) & 0xff) != (0xd0 + n))
+        throw new IllegalArgumentException(
+          f"expected RST$n, found ${b(pos) & 0xff}%02x${b(pos + 1) & 0xff}%02x")
+      pos += 2
+    }
+
     /** `receive` + `extend` (T.81 F.2.2.1): read s magnitude bits, map to
       * the signed value. */
     def extend(s: Int): Int = {
@@ -221,6 +234,7 @@ object Jpeg {
     // SOF components in frame order: (component id, quant table id)
     var comps: Array[(Int, Int)] = null
     var sof = false
+    var restartInterval = 0
     while (i + 4 <= b.length) {
       if ((b(i) & 0xff) != 0xff) return None
       val marker = b(i + 1) & 0xff
@@ -271,7 +285,9 @@ object Jpeg {
         case m if m == 0xc1 || m == 0xc2 || m == 0xc3 ||
                   (m >= 0xc5 && m <= 0xc7) || (m >= 0xc9 && m <= 0xcf) =>
           return None // extended/progressive/arithmetic out of scope
-        case 0xdd => return None // restart intervals out of scope
+        case 0xdd => // DRI: restart every `ri` MCUs (0 disables)
+          if (len != 4) return None
+          restartInterval = be16(b, body)
         case 0xda => // SOS: decode the scan
           if (!sof || width <= 0 || height <= 0) return None
           val ns = b(body) & 0xff
@@ -294,10 +310,20 @@ object Jpeg {
           val br = new BitReader(b, body + len - 2)
           val coef = new Array[Int](64)
           val pred = new Array[Int](comps.length)
+          var mcusSinceRestart = 0
+          var rstN = 0
           var by = 0
           while (by < bh) {
             var bx = 0
             while (bx < bw) {
+              // RSTn every `restartInterval` MCUs: byte-align, consume the
+              // cycling marker, reset every component's DC predictor
+              if (restartInterval > 0 && mcusSinceRestart == restartInterval) {
+                br.restart(rstN)
+                rstN = (rstN + 1) % 8
+                java.util.Arrays.fill(pred, 0)
+                mcusSinceRestart = 0
+              }
               var c = 0
               while (c < ns) { // one block per component per MCU at 4:4:4
                 val (fi, dc, ac, q) = order(c)
@@ -324,6 +350,7 @@ object Jpeg {
                 idctBlock(coef, planes(fi), width, height, bx * 8, by * 8)
                 c += 1
               }
+              mcusSinceRestart += 1
               bx += 1
             }
             by += 1
@@ -399,6 +426,19 @@ object Jpeg {
         cur = 0; nbits = 0
       }
       buf.toArray
+    }
+    /** 1-pad to a byte boundary (STUFFED if the pad byte lands on 0xFF —
+      * it is still entropy data the reader loads before aligning), then
+      * the raw RSTn marker. */
+    def restartMarker(n: Int): Unit = {
+      if (nbits > 0) {
+        cur = (cur << (8 - nbits)) | ((1 << (8 - nbits)) - 1)
+        buf += cur.toByte
+        if (cur == 0xff) buf += 0x00.toByte
+        cur = 0; nbits = 0
+      }
+      buf += 0xff.toByte
+      buf += (0xd0 + n).toByte
     }
   }
 
@@ -480,10 +520,12 @@ object Jpeg {
     * EOB per block, byte stuffing) — the DC-only construction the class
     * doc proves decodes back to the payload exactly. */
   def encodeJpegConstBlocks(blockBytes: Array[Byte], blocksWide: Int,
-                            blocksHigh: Int): Array[Byte] = {
+                            blocksHigh: Int,
+                            restartInterval: Int = 0): Array[Byte] = {
     require(blocksWide > 0 && blocksHigh > 0 &&
       blockBytes.length == blocksWide * blocksHigh,
       s"${blockBytes.length} block bytes != $blocksWide x $blocksHigh")
+    require(restartInterval >= 0, "restart interval must be >= 0")
     val w = blocksWide * 8; val h = blocksHigh * 8
     val out = new java.io.ByteArrayOutputStream()
     def u8(v: Int): Unit = out.write(v & 0xff)
@@ -503,6 +545,9 @@ object Jpeg {
     }
     dht(0, stdDcBits, stdDcVals)
     dht(1, stdAcBits, stdAcVals)
+    if (restartInterval > 0) { // DRI: restart every N MCUs
+      marker(0xdd); u16(4); u16(restartInterval)
+    }
     marker(0xda); u16(8) // SOS
     u8(1); u8(1); u8(0x00); u8(0); u8(63); u8(0)
     val dcCodes = canonicalCodes(stdDcBits, stdDcVals)
@@ -511,7 +556,15 @@ object Jpeg {
       .collectFirst { case (0x00, c, l) => (c, l) }.get
     val bw = new BitWriter
     var pred = 0
+    var since = 0
+    var rstN = 0
     blockBytes.foreach { vb =>
+      if (restartInterval > 0 && since == restartInterval) {
+        bw.restartMarker(rstN) // byte-align + RSTn, DC predictor resets
+        rstN = (rstN + 1) % 8
+        pred = 0
+        since = 0
+      }
       val dc = 8 * ((vb & 0xff) - 128) // exact DC-only coefficient
       val diff = dc - pred
       pred = dc
@@ -520,6 +573,7 @@ object Jpeg {
       bw.put(c, l)
       if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
       bw.put(eobCode, eobLen) // all AC zero
+      since += 1
     }
     out.write(bw.flush())
     marker(0xd9) // EOI

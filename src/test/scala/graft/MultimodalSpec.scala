@@ -169,6 +169,31 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("JPEG restart intervals: DRI + cycling RSTn + predictor resets roundtrip bit-exact") {
+    import graft.multimodal.Jpeg
+    // 7 blocks, interval 2 -> RST0..RST2 after blocks 2/4/6, final segment
+    // of one block with NO trailing marker; values chosen so predictor
+    // resets change the DC diffs (a decoder that fails to reset mis-decodes
+    // every block after the first marker)
+    val payload = Array(200, 10, 250, 0, 128, 255, 77).map(_.toByte)
+    val enc = Jpeg.encodeJpegConstBlocks(payload, 7, 1, restartInterval = 2)
+    val plain = Jpeg.encodeJpegConstBlocks(payload, 7, 1)
+    assert(!enc.sameElements(plain), "restart stream must differ from the plain one")
+    val img = Jpeg.decodeJpeg(enc).get
+    assert(img.width == 56 && img.height == 8)
+    (0 until 8).foreach { y =>
+      (0 until 56).foreach { x =>
+        assert((img.pixels(y * 56 + x) & 0xff) == (payload(x / 8) & 0xff), s"($x,$y)")
+      }
+    }
+    // a wrong-sequence restart marker rejects (markers cycle RST0..RST7)
+    val broken = enc.clone()
+    val rst0 = broken.indexOfSlice(Seq(0xff.toByte, 0xd0.toByte))
+    assert(rst0 > 0)
+    broken(rst0 + 1) = 0xd5.toByte
+    assert(Jpeg.decodeJpeg(broken).isEmpty)
+  }
+
   test("JPEG color roundtrip: 4:4:4 constant blocks decode to the exact JFIF RGB conversion") {
     import graft.multimodal.Jpeg
     val y = Array(0, 255, 128, 30, 200, 99).map(_.toByte)
