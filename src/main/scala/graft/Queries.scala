@@ -638,6 +638,22 @@ object Queries {
       .orderBy(col("qid").asc, col("score").desc, col("id").asc)
   }
 
+  /** K5 metric dispatch for the GRAPH index: the unbounded-beam traversal
+    * under COSINE scoring — the walk is metric-independent (coverage is a
+    * graph property), only the final scoring scan changes, so the exact
+    * cosine oracle is shared by the same argument as ann_graph's. Pins
+    * that the traversal operator is metric-generic like the IVF probe
+    * (ann_ivf_cosine) and the SQ8 bound (ann_sq8_cosine). */
+  private def annGraphCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    val queries = e.where(col("vec_id").isin(11L, 12L, 13L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    graphIndex(spark, dir).searchBatch(queries, "qid", "qv", k = 5, ef = 0,
+        metric = ExactKNN.Cosine)
+      .select(col("qid"), col("id"), r4(col("score")).as("score"))
+      .orderBy(col("qid").asc, col("score").desc, col("id").asc)
+  }
+
   /** Memoized 'graph'-typed facade collection (docs ⋈ embeddings) at the
     * exact escape hatch: efSearch ≥ corpus ⇒ the traversal beam is
     * unbounded and the graph answer IS the exact answer. */
@@ -2514,6 +2530,7 @@ object Queries {
     "ann_ivf_cosine" -> Q(annIvfCosine, Some(cosineKnnSql(42, 10))),
     "ann_sq8_cosine" -> Q(annSq8Cosine, Some(cosineKnnSql(99, 10))),
     "knn_batch_sq8_cosine" -> Q(knnBatchSq8Cosine, Some(knnBatchCosineSqlFor("11, 12, 13", 5))),
+    "ann_graph_cosine" -> Q(annGraphCosine, Some(knnBatchCosineSqlFor("11, 12, 13", 5))),
     "ann_pq" -> Q(annPq, Some(
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |a AS (SELECT vec_id AS aid, emb AS aemb FROM v WHERE vec_id < 16),
