@@ -402,11 +402,31 @@ object Queries {
       .select(col("qid"), col("id"), r4(col("score")).as("score"))
       .orderBy(col("qid").asc, col("score").desc, col("id").asc)
 
+  /** PER-QUERY filter frame through the batch twin (r9 VERDICT #5): each
+    * query carries its OWN allow-list — (qid, id) pairs with
+    * id % 3 = qid % 3 (qids 7/13/21 ⇒ residues 1/1/0, so a
+    * union-of-allow-lists bug shows immediately) — semi-joined on BOTH
+    * keys before the zero-drop. The mask composes AFTER fusion
+    * (ldb:390–392's multiply), never re-normalizing; the oracle restates
+    * it as a per-query-CTE predicate in each top-k block. */
+  private def hybridBatchFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val db = vdb(spark, dir)
+    val qf = hybridBatchQueryFrame(spark, dir)
+    val restrict = db.queryMetadata() // F3: all collection ids, ascending
+      .crossJoin(broadcast(qf.select(col("qid"))))
+      .where(col("id") % 3 === col("qid") % 3)
+      .select(col("qid"), col("id"))
+    db.hybridSearchBatch(qf, "qid", "qtext", "qv", topK = 10,
+        exactThreshold = Long.MaxValue, restrict = Some(restrict))
+      .select(col("qid"), col("id"), r4(col("score")).as("score"))
+      .orderBy(col("qid").asc, col("score").desc, col("id").asc)
+  }
+
   /** Shared oracle builder for the two batch-hybrid arms: the joined-corpus
     * BM25 CTE chain once, per-query (qt/contrib/dense-tscore/vscore/maxes/
     * fusion/top-10) blocks, UNION ALL, rounded in the outer select — the
     * batch composition of the hybrid_search / hybrid_probe oracles. */
-  private def hybridBatchSql(exact: Boolean): String = {
+  private def hybridBatchSql(exact: Boolean, restricted: Boolean = false): String = {
     val corpus = "(SELECT * FROM documents WHERE doc_id IN (SELECT vec_id FROM embeddings))"
     val shared =
       raw"""d AS (SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS toks FROM $corpus),
@@ -447,7 +467,8 @@ object Queries {
            |       + 0.5 * (CASE WHEN tm > 0 THEN t.score / tm ELSE t.score END) AS raw
            |  FROM t$qid t JOIN v$qid USING (id), tm$qid, vm$qid),
            |top$qid AS (SELECT $qid::BIGINT AS qid, id, raw FROM f$qid
-           |            WHERE raw > 0 ORDER BY raw DESC, id LIMIT 10)""".stripMargin
+           |            WHERE raw > 0${if (restricted) s" AND id % 3 = ${qid % 3}" else ""}
+           |            ORDER BY raw DESC, id LIMIT 10)""".stripMargin
     }
     val union = hybridBatchQs.map { case (qid, _) => s"SELECT * FROM top$qid" }
       .mkString(" UNION ALL ")
@@ -2655,6 +2676,8 @@ object Queries {
     "hybrid_batch" -> Q(hybridBatchArm(Long.MaxValue), Some(hybridBatchSql(exact = true))),
     "hybrid_batch_probe" -> Q(hybridBatchArm(0L), Some(hybridBatchSql(exact = false))),
     "hybrid_batch_graph" -> Q(hybridBatchGraph, Some(hybridBatchSql(exact = false))),
+    "hybrid_batch_filtered" -> Q(hybridBatchFiltered,
+      Some(hybridBatchSql(exact = true, restricted = true))),
     "multimodal_features" -> Q(multimodalFeatures, Some(
       """SELECT doc_id AS id, octet_length(text::BLOB)::BIGINT AS n_bytes, md5(text) AS fp,
         |       (octet_length(text::BLOB) % 64 + 1)::INT AS width,

@@ -70,7 +70,9 @@ class VectorDatabase private (
   private var pqVar: Option[PQIndex] = None
   private var lshVar: Option[LSHIndex] = None
   private var graphVar: Option[graft.vector.GraphIndex] = None
-  private var hybridCache: Option[DataFrame] = None
+  // package-private so VectorDatabaseSpec can pin the probe arm's SPARSE
+  // scatter shape (row count ≪ N×|Q|, r9 VERDICT #1) — never mutated by tests
+  private[graft] var hybridCache: Option[DataFrame] = None
 
   private def bm25: BM25.Index = bm25Var.getOrElse {
     val b = BM25.build(df, "id", "doc"); bm25Var = Some(b); b
@@ -547,14 +549,16 @@ class VectorDatabase private (
                         vectorWeight: Double = 0.5,
                         filter: Option[Column] = None,
                         returnScores: Boolean = true,
-                        exactThreshold: Long = 1000L): DataFrame = {
+                        exactThreshold: Long = 1000L,
+                        restrict: Option[DataFrame] = None): DataFrame = {
     if (nRows == 0) return emptyBatchResult // ldb:346–347, per query
     val q = queries.select(col(qidCol).cast("long").as("qid"),
       col(textCol).as("__qtext"), col(vecCol).cast("array<double>").as("__qv"))
     val ts = bm25.scoreBatchFrames(q, "qid", "__qtext")
       .withColumnRenamed("score", "ts")
+    val exactArm = nRows <= exactThreshold
     val vs =
-      if (nRows <= exactThreshold)
+      if (exactArm)
         // small-N exact arm: true-L2 scores for every (query, doc) pair —
         // corpus scan × broadcast queries, no shuffle (ldb:375–378)
         df.select(col("id"), col("vector"))
@@ -562,23 +566,35 @@ class VectorDatabase private (
           .select(col("qid"), col("id"),
             ExactKNN.L2.score(ExactKNN.L2.dist(col("vector"), col("__qv"))).as("vs"))
       else {
-        // widened index probe + zero-scatter (ldb:361–374): squared-L2
-        // score discipline, k = max(10·topK, 100) per query
+        // widened index probe (ldb:361–374): squared-L2 score discipline,
+        // k = max(10·topK, 100) per query. The reference's dense
+        // zero-scatter (ldb:365–374) is NOT materialized: a (qid, id)
+        // pair absent from both the probe and the sparse BM25 frame has
+        // fused score 0 and always dies at the K10 zero-drop, and maxes
+        // over non-negative scores are unchanged by 0-fill — so the
+        // sparse full-outer join below is bit-identical at k·|Q| + text
+        // pairs instead of N×|Q| rows (r9 VERDICT #1: the dense scatter
+        // defeats the probe's purpose at scale).
         val widened = math.min(nRows, math.max(10L * topK, 100L)).toInt
-        val probed = searchTopKBatch(q.select(col("qid"), col("__qv")), widened)
+        searchTopKBatch(q.select(col("qid"), col("__qv")), widened)
           .withColumnRenamed("score", "vs")
-        df.select(col("id"))
-          .crossJoin(broadcast(q.select(col("qid"))))
-          .join(probed, Seq("qid", "id"), "left")
-          .select(col("qid"), col("id"), coalesce(col("vs"), lit(0.0)).as("vs"))
+          .select(col("qid"), col("id"), col("vs"))
       }
-    // the ONE fact-sized score join: sparse text scores into dense vector
-    // pairs, misses restored to the dense contract's 0.0
+    // the ONE fact-sized score join: exact arm = sparse text scores into
+    // dense vector pairs (left); probe arm = sparse ∪ sparse (full outer) —
+    // misses on either side restored to the dense contract's 0.0
     hybridCache.foreach(_.unpersist(blocking = false))
-    val joined = vs.join(ts, Seq("qid", "id"), "left")
-      .select(col("qid"), col("id"),
-        coalesce(col("ts"), lit(0.0)).as("ts"), col("vs"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val joined0 =
+      if (exactArm)
+        vs.join(ts, Seq("qid", "id"), "left")
+          .select(col("qid"), col("id"),
+            coalesce(col("ts"), lit(0.0)).as("ts"), col("vs"))
+      else
+        vs.join(ts, Seq("qid", "id"), "full_outer")
+          .select(col("qid"), col("id"),
+            coalesce(col("ts"), lit(0.0)).as("ts"),
+            coalesce(col("vs"), lit(0.0)).as("vs"))
+    val joined = joined0.persist(StorageLevel.MEMORY_AND_DISK)
     hybridCache = Some(joined) // released on the next hybrid call / add
     val maxes = joined.groupBy(col("qid"))
       .agg(max(col("ts")).as("__tm"), max(col("vs")).as("__vm"))
@@ -588,9 +604,20 @@ class VectorDatabase private (
            when(col("__vm") > 0, col("vs") / col("__vm")).otherwise(col("vs")) +
          lit(1.0 - vectorWeight) *
            when(col("__tm") > 0, col("ts") / col("__tm")).otherwise(col("ts"))).as("score"))
-    val masked = filter match {
+    val globalMasked = filter match {
       case Some(p) => fused.join(df.where(p).select(col("id")), Seq("id"), "left_semi")
       case None => fused
+    }
+    // per-query restrict frame (the batch analog of F7's per-call mask):
+    // first column = qid, second = id; semi-join on BOTH keys so each
+    // query carries its own allow-list. Applied before the zero-drop, like
+    // the reference's mask multiply (ldb:390–392) precedes the > 0 guard.
+    val masked = restrict match {
+      case Some(r0) =>
+        val pairs = r0.select(col(r0.columns(0)).cast("long").as("qid"),
+          col(r0.columns(1)).cast("long").as("id"))
+        globalMasked.join(pairs, Seq("qid", "id"), "left_semi")
+      case None => globalMasked
     }
     val r = graft.plans.TopK.perKey(masked.where(col("score") > 0), // zero-drop
         Seq("qid"), Seq("score" -> true, "id" -> false), topK)
@@ -613,7 +640,17 @@ class VectorDatabase private (
         val i = ivf // may degrade effectiveType → flat on tiny corpora
         if (manifestVar.effectiveType == "flat")
           ExactKNN.topKBatchHeap(df, "id", "vector", q, "qid", "__qv", k)
-        else pq.searchBatch(q, "qid", "__qv", k)
+        else {
+          // per-query IVF probe restriction mirroring the single-query
+          // path (r9 ADVICE #1): nprobe = max(1, ivfClusters/10) nearest
+          // centroids per query (ldb:52's rule on the CONFIGURED count),
+          // PQ ADC scored over those candidates only — batch ≡ single
+          // probe sets, pinned in VectorDatabaseSpec.
+          val cand = i.probedCandidates(q, "qid", "__qv",
+              IVFIndex.defaultNprobe(manifestVar.ivfClusters))
+            .select(col("qid"), col("id"))
+          pq.searchBatch(q, "qid", "__qv", k, among = Some(cand))
+        }
       case "lsh" =>
         lshIdx.searchBatch(q, "qid", "__qv", k,
           probeRadius = math.max(0, manifestVar.efSearch / 50))

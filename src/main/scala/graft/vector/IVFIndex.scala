@@ -86,6 +86,22 @@ final class IVFIndex(val centroids: Array[(Int, Array[Double])],
                   k: Int, nprobe: Int,
                   metric: ExactKNN.Metric = ExactKNN.L2Sq,
                   broadcastQueries: Boolean = true): DataFrame = {
+    val cand = probedCandidates(queries, qidCol, qvecCol, nprobe, broadcastQueries)
+    graft.plans.TopK.perKey(
+      cand.select(col("qid"), col("id"),
+        metric.score(metric.dist(col("vector"), col("__qv"))).as("score")),
+      Seq("qid"), Seq("score" -> true, "id" -> false), k)
+      .orderBy(col("qid").asc, col("score").desc, col("id").asc)
+  }
+
+  /** The probe-restricted candidate frame behind [[searchBatch]], exposed
+    * so OTHER per-row scorers (the PQ ADC batch, r9 ADVICE) can share the
+    * per-query IVF restriction: each query's `nprobe` nearest centroids
+    * via broadcast + bounded heaps, candidates through ONE equi-join
+    * against the cluster-partitioned assignment frame. Output keeps
+    * (qid, __qv, cluster) plus every assignment column (id, vector). */
+  def probedCandidates(queries: DataFrame, qidCol: String, qvecCol: String,
+                       nprobe: Int, broadcastQueries: Boolean = true): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val cents = centroids.toSeq.map { case (c, v) => (c, v.toSeq) }
@@ -99,12 +115,7 @@ final class IVFIndex(val centroids: Array[(Int, Array[Double])],
         Seq("__cd" -> false, "cluster" -> false), math.max(1, nprobe))
       .select(col("qid"), col("__qv"), col("cluster"))
     val probedSide = if (broadcastQueries) broadcast(probed) else probed
-    val cand = assignments.join(probedSide, Seq("cluster"))
-    graft.plans.TopK.perKey(
-      cand.select(col("qid"), col("id"),
-        metric.score(metric.dist(col("vector"), col("__qv"))).as("score")),
-      Seq("qid"), Seq("score" -> true, "id" -> false), k)
-      .orderBy(col("qid").asc, col("score").desc, col("id").asc)
+    assignments.join(probedSide, Seq("cluster"))
   }
 
   /** k-NN GRAPH over an embedding frame: every vector's k nearest OTHER

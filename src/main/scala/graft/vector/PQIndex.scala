@@ -71,9 +71,15 @@ final class PQIndex(val codes: DataFrame,
     * groupBy(qid, id) sum IS the asymmetric distance computation —
     * N × m × |Q| tiny rows, the standard relational ADC formulation.
     * Bounded per-query heaps cut to k. Output: (qid, id, score),
-    * score = 1/(1+dist), same contract as [[ExactKNN.topKBatch]]. */
+    * score = 1/(1+dist), same contract as [[ExactKNN.topKBatch]].
+    * `among` restricts scoring to a PER-QUERY candidate pair frame
+    * (first column qid, second id) — the batch analog of [[search]]'s
+    * id-set restriction, used by the facade's ivfpq batch path so the
+    * batch probe set matches the single-query IVF restriction
+    * (r9 ADVICE #1). The restriction applies BEFORE the ADC join: only
+    * candidate (qid, id) pairs reach the groupBy sum. */
   def searchBatch(queries: DataFrame, qidCol: String, qvecCol: String,
-                  k: Int): DataFrame = {
+                  k: Int, among: Option[DataFrame] = None): DataFrame = {
     val spark = codes.sparkSession
     import spark.implicits._
     val cb = codebooks.zipWithIndex.flatMap { case (book, s) =>
@@ -88,9 +94,19 @@ final class PQIndex(val codes: DataFrame,
           col("centroid")).as("d2"))
     val codesExp = codes.select(col("id"),
       (posexplode(col("codes"))).as(Seq("s", "code")))
-    val dist = codesExp.join(qd.hint("shuffle_hash"), Seq("s", "code"))
-      .groupBy(col("qid"), col("id"))
-      .agg(sum(col("d2")).as("dist"))
+    val dist = among match {
+      case Some(cand) =>
+        val pairs = cand.select(col(cand.columns(0)).cast("long").as("qid"),
+          col(cand.columns(1)).cast("long").as("id"))
+        codesExp.join(pairs.hint("shuffle_hash"), Seq("id"))
+          .join(qd.hint("shuffle_hash"), Seq("qid", "s", "code"))
+          .groupBy(col("qid"), col("id"))
+          .agg(sum(col("d2")).as("dist"))
+      case None =>
+        codesExp.join(qd.hint("shuffle_hash"), Seq("s", "code"))
+          .groupBy(col("qid"), col("id"))
+          .agg(sum(col("d2")).as("dist"))
+    }
     graft.plans.TopK.perKey(
       dist.select(col("qid"), col("id"), (lit(1.0) / (lit(1.0) + col("dist"))).as("score")),
       Seq("qid"), Seq("score" -> true, "id" -> false), k)

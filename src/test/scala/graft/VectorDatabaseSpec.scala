@@ -285,6 +285,94 @@ class VectorDatabaseSpec extends AnyFunSuite {
     assert(empty.hybridSearchBatch(qdf, "qid", "qtext", "qv").collect().isEmpty)
   }
 
+  test("batch probe arm: SPARSE zero-scatter, bit-identical to the dense formulation (r9 VERDICT #1)") {
+    import spark.implicits._
+    // corpus big enough that the widened probe (k = max(10·topK, 100) = 100)
+    // covers a strict subset, and query texts that hit a handful of docs so
+    // the sparse BM25 side is a strict subset too
+    val n = 300
+    val db = VectorDatabase.create(spark, dim, "flat")
+    val bigDocs = (0 until n).map(i =>
+      if (i % 37 == 0) s"needle common$i" else s"hay common$i")
+    val bigVecs = Seq.fill(n)(vec())
+    db.add(bigDocs, bigVecs, None)
+    val qs = Seq((0L, "needle", bigVecs(7).map(_.toDouble).toSeq),
+                 (1L, "common5 common17", bigVecs(123).map(_.toDouble).toSeq))
+    val qdf = qs.toDF("qid", "qtext", "qv")
+    val batch = db.hybridSearchBatch(qdf, "qid", "qtext", "qv", topK = 5,
+        exactThreshold = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // (2) the materialized scatter IS sparse: probed (≤100/query) ∪ text
+    // matches — never the corpus×batch fill (dense = 600 rows here).
+    // Inspected BEFORE the single-query calls below replace the cache with
+    // their (reference-faithful) dense N-row frames.
+    val cached = db.hybridCache.get.count()
+    assert(cached <= 250, s"scatter has $cached rows — dense would be ${n * qs.size}")
+    // (1) bit-identical to the DENSE formulation: the single-query path
+    // still materializes the reference's N-row zero-scatter (ldb:365–374)
+    val single = qs.flatMap { case (qid, t, v) =>
+      db.hybridSearch(t, v.map(_.toFloat).toArray, topK = 5, exactThreshold = 0L)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }
+    assert(batch.toSeq == single,
+      s"sparse batch ${batch.toSeq} != dense per-query $single")
+    // (3) plan shape: no corpus-side cartesian feeding the fusion — the
+    // probe arm's physical plan contains no CartesianProduct
+    val plan = db.hybridSearchBatch(qdf, "qid", "qtext", "qv", topK = 5,
+      exactThreshold = 0L).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"dense cross survived:\n$plan")
+  }
+
+  test("batch ivfpq arm probes the SAME per-query IVF candidate set as the single path (r9 ADVICE)") {
+    import spark.implicits._
+    val db = VectorDatabase.create(spark, dim, "ivfpq", ivfClusters = 4)
+    val many = Seq.fill(40)(vec())
+    db.add(many.indices.map(i => s"doc number $i"), many, None)
+    assert(db.manifest.effectiveType == "ivfpq")
+    val qs = Seq((0L, "doc number 3", many(3).map(_.toDouble).toSeq),
+                 (1L, "doc number 17", many(17).map(_.toDouble).toSeq))
+    val qdf = qs.toDF("qid", "qtext", "qv")
+    val batch = db.hybridSearchBatch(qdf, "qid", "qtext", "qv", topK = 4,
+        exactThreshold = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val single = qs.flatMap { case (qid, t, v) =>
+      db.hybridSearch(t, v.map(_.toFloat).toArray, topK = 4, exactThreshold = 0L)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }
+    // same probe restriction ⇒ same ids in the same order; scores agree to
+    // 1e-9 (the relational ADC sums subspace distances in partition order,
+    // the driver path in subspace order — ulp-level float reassociation)
+    assert(batch.map(t => (t._1, t._2)).toSeq == single.map(t => (t._1, t._2)),
+      s"ivfpq batch ids ${batch.toSeq} != per-query $single")
+    batch.map(_._3).zip(single.map(_._3)).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"score $a != $b")
+    }
+  }
+
+  test("hybridSearchBatch per-query restrict frame (r9 VERDICT #5)") {
+    import spark.implicits._
+    val db = freshDb("flat")
+    val qs = Seq((0L, "vector databases", vecs(2).map(_.toDouble).toSeq),
+                 (1L, "python programming language", vecs(3).map(_.toDouble).toSeq))
+    val qdf = qs.toDF("qid", "qtext", "qv")
+    // per-query allow-lists: query 0 may see docs {1, 2}; query 1 docs {0, 1}
+    val allow = Seq((0L, 1L), (0L, 2L), (1L, 0L), (1L, 1L)).toDF("qid", "id")
+    val r = db.hybridSearchBatch(qdf, "qid", "qtext", "qv", topK = 5,
+        restrict = Some(allow)).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    // every row honors ITS query's allow-list (not the union)
+    val allowed = Set((0L, 1L), (0L, 2L), (1L, 0L), (1L, 1L))
+    assert(r.nonEmpty && r.forall(x => allowed((x._1, x._2))), r.toSeq.toString)
+    // restricted scores equal the unrestricted run's for surviving pairs:
+    // the mask composes AFTER fusion (ldb:390–392's multiply), it never
+    // re-normalizes
+    val full = db.hybridSearchBatch(qdf, "qid", "qtext", "qv", topK = 5)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2))).toMap
+    r.foreach { case (qid, id, s) =>
+      assert(full.get((qid, id)).forall(_ == s), s"restricted score drifted for ($qid,$id)")
+    }
+  }
+
   test("save/load roundtrip: docs, metas, exact query equality for flat (test:127–162)") {
     val db = freshDb("flat")
     val path = java.nio.file.Files.createTempDirectory("graftdb").toString
