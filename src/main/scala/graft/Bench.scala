@@ -34,18 +34,35 @@ object Bench {
     //    237.9 s host stall for a 16 s query).
     // A failed run reports -1, never its wall-clock (r1 ADVICE: the old
     // catch swallowed the error and benched crashes as fast-and-green).
+    // In-window attribution (r9 VERDICT #2: end-of-run host snapshots
+    // cannot attribute a gap that accrues DURING the run — the r9 driver
+    // host measured FASTER on the end-of-run calibration loop yet 1.48×
+    // slower in totals). Each timed run also records the JVM's process-CPU
+    // delta, so a wall ≫ cpu gate is provably blocked on the host (waiting
+    // for cores), number-to-number, inside the timed window itself.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def procCpuNanos: Long = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
     def time(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Option[String]) = {
+        : (Double, Double, Option[String]) = {
+      val c0 = procCpuNanos
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); ((System.nanoTime() - t0) / 1e9, None) }
+      try {
+        fn(spark, sfDir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val cpu = if (c0 < 0) -1.0 else (procCpuNanos - c0) / 1e9
+        (wall, cpu, None)
+      }
       catch { case e: Throwable =>
-        (-1.0, Some(s"${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage)).take(120)}"))
+        (-1.0, -1.0, Some(s"${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage)).take(120)}"))
       }
     }
     // errs is per-run ("run N: msg") — a run-1-only failure (e.g. an index
     // build crash recovered by retry) must stay distinguishable from a flaky
     // later run, and tot(_.cold) dropping a query is visible as such.
-    final case class R(name: String, runs: Seq[Double], errs: Seq[String]) {
+    final case class R(name: String, runs: Seq[Double], cpus: Seq[Double], errs: Seq[String]) {
       val valid: Seq[Double] = runs.filter(_ >= 0)
       val best: Double = if (valid.isEmpty) -1.0 else valid.min
       val cold: Double = runs.head
@@ -53,6 +70,14 @@ object Bench {
         if (valid.isEmpty) -1.0 else valid.sorted.apply((valid.size - 1) / 2)
       val suspect: Seq[Double] =
         if (median <= 0) Nil else valid.filter(_ > 5 * median)
+      // process-CPU-seconds per wall-second across the valid runs: a gate
+      // whose committed ratio is R but whose driver-env ratio is ≪ R spent
+      // its extra wall WAITING, not computing — host pressure, not plan cost
+      val cpuRatio: Double = {
+        val pairs = runs.zip(cpus).filter { case (w, c) => w >= 0 && c >= 0 }
+        val w = pairs.map(_._1).sum
+        if (w <= 0) -1.0 else pairs.map(_._2).sum / w
+      }
     }
     // SPARK_GRAFT_BENCH_ONLY (comma-separated gate names): builder-side
     // iteration aid for attributing single gates; the driver never sets it.
@@ -64,6 +89,15 @@ object Bench {
     // latency, not a one-time ingest-side build. Skipped for filtered
     // iteration runs (and via SPARK_GRAFT_NO_PREWARM) — there the builds
     // under attribution should stay inside the timed runs.
+    def loadavg: Double =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
+    // r9 ADVICE: loadavg_start was promised but never sampled — take it
+    // BEFORE the prewarm/first gate; mid-run samples (one per gate, taken
+    // between gates, outside any timed window) make sustained pressure
+    // visible across the whole run, not just at the edges.
+    val loadavgStart = loadavg
+    val midSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
     val prewarm: Seq[(String, Double)] =
       if (only.isDefined || sys.env.contains("SPARK_GRAFT_NO_PREWARM")) Nil
       else Queries.prewarm(spark, sfDir)
@@ -78,9 +112,10 @@ object Bench {
       // medians ran 3-5x their isolated cost). One synchronous GC every
       // 25 gates bounds that accumulation deterministically.
       if (gi % 25 == 24) System.gc()
+      if (gi % 8 == 0) midSamples += loadavg
       val timed = (1 to 3).map(_ => time(fn))
-      R(name, timed.map(_._1),
-        timed.zipWithIndex.collect { case ((_, Some(e)), i) => s"run ${i + 1}: $e" })
+      R(name, timed.map(_._1), timed.map(_._2),
+        timed.zipWithIndex.collect { case ((_, _, Some(e)), i) => s"run ${i + 1}: $e" })
     }
     // failed runs serialize as null, never a -1.0 magic value (r6 ADVICE:
     // a naive consumer summing/diffing per-query values would silently
@@ -98,18 +133,21 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.count(_.best < 0)
     def tot(f: R => Double): Double = results.map(f).filter(_ >= 0).sum
+    // negative seconds mark a FAILED prewarm build (see Queries.prewarm) —
+    // serialized verbatim so the failure is visible, excluded from the total
     val pre = prewarm.map { case (n, s) => s""""$n":$s""" }.mkString("{", ",", "}")
-    val preTot = prewarm.map(_._2).sum
+    val preTot = prewarm.map(_._2).filter(_ >= 0).sum
+    // per-gate process-CPU/wall ratio over the valid timed runs (r9
+    // VERDICT #2): pressure measured INSIDE the timed windows. Committed
+    // ratio ≈ driver ratio but driver wall ≫ committed wall ⇒ the extra
+    // wall was spent waiting on the host, not executing the plan.
+    val cpuRatios = obj(r => num(r.cpuRatio))
     // Host-pressure instruments (r7/r8: committed quiet-host totals
     // under-predicted the driver run 1.4-1.5x with best ≈ median — i.e.
     // sustained external load, which neither side could PROVE). loadavg
-    // at both ends plus a fixed-work single-thread calibration loop make
-    // the environments comparable number-to-number: the same JSON from a
-    // quiet host and a loaded host now differ visibly in `host`, so a
-    // total-median gap is attributable to pressure rather than plans.
-    def loadavg: Double =
-      try java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-      catch { case _: Throwable => -1.0 }
+    // at start, every 8th gate, and the end, plus a fixed-work
+    // single-thread calibration loop, make the environments comparable
+    // number-to-number across the WHOLE run, not just at the edges.
     def calib(): Double = {
       val t0 = System.nanoTime()
       var acc = 0L; var i = 0L
@@ -117,8 +155,9 @@ object Bench {
       if (acc == 42L) System.err.println("") // defeat dead-code elimination
       (System.nanoTime() - t0) / 1e9
     }
-    val host = s"""{"loadavg_end":$loadavg,"calib_sec":${calib()},"cpus":${Runtime.getRuntime.availableProcessors}}"""
-    val json = s"""{"metric":"total","value":${tot(_.best)},"unit":"sec","total_cold":${tot(_.cold)},"total_median":${tot(_.median)},"prewarm_sec":$preTot,"prewarm":$pre,"host":$host,"queries":$qs,"cold":$cold,"median":$med,"anomalies":$anomalies,"errors":$errs,"failed":$failed,"sf":"$sfDir"}"""
+    val mid = midSamples.map(d => f"$d%.2f").mkString("[", ",", "]")
+    val host = s"""{"loadavg_start":$loadavgStart,"loadavg_mid":$mid,"loadavg_end":$loadavg,"calib_sec":${calib()},"cpus":${Runtime.getRuntime.availableProcessors}}"""
+    val json = s"""{"metric":"total","value":${tot(_.best)},"unit":"sec","total_cold":${tot(_.cold)},"total_median":${tot(_.median)},"prewarm_sec":$preTot,"prewarm":$pre,"host":$host,"queries":$qs,"cold":$cold,"median":$med,"cpu_ratio":$cpuRatios,"anomalies":$anomalies,"errors":$errs,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // The driver captures a truncated stdout tail (r5 VERDICT #7: the
     // first ~25 queries' medians were unrecoverable for round-over-round

@@ -3418,16 +3418,28 @@ object Queries {
     * dedup_clusters 13.3 s cold — all builds). Only Memo-backed artifacts
     * appear here; on a warm memo each entry is a no-op HIT. */
   def prewarm(spark: SparkSession, dir: String): Seq[(String, Double)] = {
+    // a FAILED build reports NEGATIVE seconds (r9 ADVICE: the old seq
+    // reported a failed no-op's elapsed time indistinguishably from a real
+    // build, silently pushing the cost back into run-1 cold while the JSON
+    // implied the artifact was prebuilt); Bench excludes negatives from
+    // prewarm_sec, so the marker survives into the JSON verbatim
     def t(name: String)(f: => Any): (String, Double) = {
       val t0 = System.nanoTime()
-      try f catch { case e: Throwable =>
-        System.err.println(s"[prewarm] $name failed: ${e.getMessage}")
-      }
-      (name, (System.nanoTime() - t0) / 1e9)
+      val ok =
+        try { f; true } catch { case e: Throwable =>
+          System.err.println(s"[prewarm] $name failed: ${e.getMessage}")
+          false
+        }
+      val el = (System.nanoTime() - t0) / 1e9
+      (name, if (ok) el else -el)
     }
     Seq(
       t("clusters")(clustersFrame(spark, dir)),
       t("containment")(containmentQ(spark, dir)),
+      // the streaming gate's seed fingerprint index (r9 VERDICT #4: the
+      // last driver cold anomaly ≥ 10 s was this build inside run 1)
+      t("containment_stream_seed")(
+        graft.streaming.StreamingGates.containSetup(spark, dir)),
       t("dedup_incremental")(dedupIncremental(spark, dir)),
       t("dedup_jaccard")(jaccardPairsFrame(spark, dir)),
       t("dedup_minhash")(dedupMinhash(spark, dir)),
