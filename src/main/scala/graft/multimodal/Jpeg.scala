@@ -244,8 +244,13 @@ object Jpeg {
       if (len < 2 || body + len - 2 > b.length) return None
       marker match {
         case 0xdb => // DQT: one or more 65/129-byte tables
+          val end = body + len - 2
           var p = body
-          while (p < body + len - 2) {
+          while (p < end) {
+            // a table crossing the declared segment end would read the NEXT
+            // segment's bytes as table data — a misdecode with "valid"
+            // garbage tables; strict → None (r9 ADVICE)
+            if (p + 65 > end) return None
             val pq = (b(p) & 0xf0) >> 4
             val tq = b(p) & 0x0f
             if (pq != 0 || tq > 3) return None // 8-bit tables only
@@ -255,19 +260,24 @@ object Jpeg {
             qt(tq) = t
             p += 65
           }
+          if (p != end) return None // len-2 not a multiple of 65
         case 0xc4 => // DHT: one or more tables
+          val end = body + len - 2
           var p = body
-          while (p < body + len - 2) {
+          while (p < end) {
+            if (p + 17 > end) return None // bits array overruns the segment
             val tc = (b(p) & 0xf0) >> 4
             val th = b(p) & 0x0f
             if (tc > 1 || th > 3) return None
             val bits = (0 until 16).map(j => b(p + 1 + j) & 0xff).toArray
             val n = bits.sum
+            if (p + 17 + n > end) return None // values overrun the segment
             val vals = (0 until n).map(j => b(p + 17 + j) & 0xff).toArray
             val t = new HuffTable(bits, vals)
             if (tc == 0) dcT(th) = t else acT(th) = t
             p += 17 + n
           }
+          if (p != end) return None // trailing bytes after the last table
         case 0xc0 => // SOF0 baseline
           if ((b(body) & 0xff) != 8) return None // 8-bit precision only
           height = be16(b, body + 1)
@@ -338,8 +348,11 @@ object Jpeg {
                   val r = (rs & 0xf0) >> 4
                   val sz = rs & 0x0f
                   if (sz == 0) {
-                    if (r == 15) z += 16 // ZRL
-                    else z = 64 // EOB
+                    if (r == 15) {
+                      z += 16 // ZRL: 16 zeros, must leave room for a
+                      // following symbol (a terminal zero run is EOB-coded)
+                      if (z > 63) throw new IllegalArgumentException("ZRL overrun")
+                    } else z = 64 // EOB
                   } else {
                     z += r
                     if (z > 63) throw new IllegalArgumentException("AC overrun")

@@ -152,6 +152,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Jpeg.decodeJpeg(golden.dropRight(3)).isEmpty)
   }
 
+  test("JPEG malformed DQT/DHT segments reject; well-formed extras decode (r9 ADVICE)") {
+    import graft.multimodal.Jpeg
+    val enc = Jpeg.encodeJpegConstBlocks(Array(130.toByte), 1, 1)
+    def seg(marker: Int, body: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte,
+        (((body.length + 2) >> 8) & 0xff).toByte,
+        ((body.length + 2) & 0xff).toByte) ++ body
+    // (a) DQT whose declared body is 66 bytes — NOT a multiple of 65; the
+    // outer length matches the actual bytes, so only the segment-internal
+    // consistency check can catch it (the old parser read one byte of the
+    // next segment as a second table header)
+    val badDqt = enc.take(2) ++
+      seg(0xdb, Array.fill[Byte](66)(1).updated(0, 0x01.toByte)) ++ enc.drop(2)
+    assert(Jpeg.decodeJpeg(badDqt).isEmpty)
+    // (b) DHT whose bits array claims 5 more values than the segment holds
+    // (outer length consistent with the actual byte count)
+    val dhtBody = Array(0x02.toByte) ++
+      Jpeg.stdDcBits.map(_.toByte) ++ Jpeg.stdDcVals.map(_.toByte)
+    dhtBody(1) = (dhtBody(1) + 5).toByte
+    val badDht = enc.take(2) ++ seg(0xc4, dhtBody) ++ enc.drop(2)
+    assert(Jpeg.decodeJpeg(badDht).isEmpty)
+    // control: WELL-FORMED extra tables in unused slots still decode — the
+    // rejections above are the consistency checks, not extra-segment allergy
+    val okDqt = enc.take(2) ++
+      seg(0xdb, Array.fill[Byte](65)(1).updated(0, 0x01.toByte)) ++ enc.drop(2)
+    val okImg = Jpeg.decodeJpeg(okDqt)
+    assert(okImg.isDefined && (okImg.get.pixels(0) & 0xff) == 130)
+  }
+
   test("JPEG roundtrip: constant-block encode/decode is bit-exact for every byte value") {
     import graft.multimodal.Jpeg
     // all-corners payload: extremes and a mid-range walk, 4x3 blocks
