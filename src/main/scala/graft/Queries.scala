@@ -2377,6 +2377,47 @@ object Queries {
     graft.multimodal.Multimodal.jpegRgbFeatures(jpegColorAssets(spark, dir))
       .toDF().orderBy(col("id"))
 
+  /** 4:2:0 SUBSAMPLED color assets (r9 VERDICT #3): per doc, mw×mh MCUs of
+    * 16×16 px — 6 payload bytes per MCU (four luma block values row-major
+    * within the MCU, then cb, cr). Constant blocks keep the lossy pipeline
+    * bit-exact per component (DC-only + unit quant), and constant chroma
+    * blocks make the replication upsample exact, so the oracle pins the
+    * FULL upsampled-and-converted RGB buffer in hex space — the color
+    * gate's discipline over a structurally different (subsampled) stream. */
+  private def jpeg420Assets(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val mwC = (lit(1) + col("doc_id") % 3).cast("int")
+    val mhC = (lit(1) + col("doc_id") % 2).cast("int")
+    val src = docsTbl(spark, dir).where(col("doc_id") < 50)
+      .select(col("doc_id"), mwC.as("mw"), mhC.as("mh"),
+        unhex(md5Chain("jp420", 3).substr(lit(1), (mwC * mhC * 12).cast("int"))).as("payload"))
+      .as[(Long, Int, Int, Array[Byte])]
+    src.mapPartitions(_.map { case (id, mw, mh, payload) =>
+      val nM = mw * mh
+      // per MCU m: bytes 6m..6m+3 = luma blocks (v0*2 + h0), 6m+4/5 = cb/cr
+      val y = new Array[Byte](4 * nM)
+      val cb = Array.tabulate(nM)(m => payload(6 * m + 4))
+      val cr = Array.tabulate(nM)(m => payload(6 * m + 5))
+      var m = 0
+      while (m < nM) {
+        val (my, mx) = (m / mw, m % mw)
+        var p = 0
+        while (p < 4) {
+          y((my * 2 + p / 2) * (mw * 2) + mx * 2 + p % 2) = payload(6 * m + p)
+          p += 1
+        }
+        m += 1
+      }
+      graft.multimodal.Multimodal.Asset(id, "image",
+        graft.multimodal.Jpeg.encodeJpegConstBlocks420(y, cb, cr, mw, mh,
+          restartInterval = if (id % 2 == 0) 2 else 0), 0, 0)
+    })
+  }
+
+  private def multimodalJpeg420(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.jpegRgbFeatures(jpeg420Assets(spark, dir))
+      .toDF().orderBy(col("id"))
+
   /** Batch exact-cosine oracle — the metric transpose of knnBatchSqlFor,
     * shared by the quantized (SQ8 bound-pruned) batch cosine gate. */
   private def knnBatchCosineSqlFor(qids: String, k: Int): String =
@@ -2790,6 +2831,41 @@ object Queries {
         |SELECT id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, 3 AS n_channels,
         |       md5(array_to_string(list_transform(range(0, w*h),
         |         q -> bls[CAST((q // (w*8)) * bw + (q % w) // 8 + 1 AS INT)]), '')) AS pixel_fp
+        |FROM agg ORDER BY id""".stripMargin)),
+    "multimodal_jpeg_420" -> Q(multimodalJpeg420, Some(
+      // 4:2:0: per MCU m (mw x mh grid of 16x16 px), payload bytes
+      // 6m..6m+3 = the four 8x8 luma blocks (row-major within the MCU),
+      // 6m+4/6m+5 = cb/cr for the whole MCU (replication-upsampled).
+      // Each luma block b of the (2mw x 2mh) grid resolves its (y, cb, cr)
+      // triple, then the pixel gather + JFIF conversion are verbatim the
+      // color gate's.
+      """WITH p AS (
+        |  SELECT doc_id AS id, (1 + doc_id % 3) AS mw, (1 + doc_id % 2) AS mh,
+        |         md5(text || '_jp420_0') || md5(text || '_jp420_1') || md5(text || '_jp420_2') AS hx
+        |  FROM documents WHERE doc_id < 50),
+        |bl AS (
+        |  SELECT id, mw, mh, hx, b,
+        |         ((b // (mw*2)) // 2) * mw + ((b % (mw*2)) // 2) AS m,
+        |         ((b // (mw*2)) % 2) * 2 + ((b % (mw*2)) % 2) AS ypos
+        |  FROM (SELECT id, mw, mh, hx, unnest(range(0, mw*mh*4)) AS b FROM p)),
+        |bv AS (
+        |  SELECT id, mw, mh, b,
+        |         ('0x' || substr(hx, CAST((m*6 + ypos)*2 + 1 AS INT), 2))::INT AS y,
+        |         ('0x' || substr(hx, CAST((m*6 + 4)*2 + 1 AS INT), 2))::INT AS cb,
+        |         ('0x' || substr(hx, CAST((m*6 + 5)*2 + 1 AS INT), 2))::INT AS cr
+        |  FROM bl),
+        |rgbs AS (
+        |  SELECT id, mw, mh, b,
+        |         printf('%02x%02x%02x',
+        |           CAST(greatest(0, least(255, floor(y + 1.402*(cr - 128) + 0.5))) AS INT),
+        |           CAST(greatest(0, least(255, floor(y - 0.344136*(cb - 128) - 0.714136*(cr - 128) + 0.5))) AS INT),
+        |           CAST(greatest(0, least(255, floor(y + 1.772*(cb - 128) + 0.5))) AS INT)) AS rgbhex
+        |  FROM bv),
+        |agg AS (SELECT id, mw*16 AS w, mh*16 AS h, mw*2 AS bwg, list(rgbhex ORDER BY b) AS bls
+        |        FROM rgbs GROUP BY 1, 2, 3, 4)
+        |SELECT id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, 3 AS n_channels,
+        |       md5(array_to_string(list_transform(range(0, w*h),
+        |         q -> bls[CAST((q // (w*8)) * bwg + (q % w) // 8 + 1 AS INT)]), '')) AS pixel_fp
         |FROM agg ORDER BY id""".stripMargin)),
     "events_window" -> Q(eventsWindow, Some(
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6))) / count(*) AS DECIMAL(28,8)), 4) AS DOUBLE) AS avg_value

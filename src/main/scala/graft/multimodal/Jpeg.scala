@@ -6,9 +6,13 @@ package graft.multimodal
   * baseline grayscale file: SOI/APP/COM/DQT/DHT/SOF0/SOS/EOI marker walk,
   * canonical Huffman decode (DC categories + AC run/size with ZRL/EOB),
   * 0xFF00 byte-unstuffing, zigzag + dequantization, double-precision
-  * 2-D IDCT with level shift and clamping. Restrictions (strict → None,
-  * never a misdecode): single component (grayscale), no progressive
-  * (SOF2), no arithmetic coding, no restart intervals, 8-bit precision.
+  * 2-D IDCT with level shift and clamping. Covers grayscale and
+  * 3-component color with per-component sampling factors 1–2 (4:4:4,
+  * 4:2:2 and the dominant real-corpus 4:2:0 — general interleaved MCU
+  * walk + replication chroma upsample, round 10) plus DRI/RSTn restart
+  * intervals. Restrictions (strict → None, never a misdecode): no
+  * progressive (SOF2), no arithmetic coding, sampling factors ≤ 2,
+  * 8-bit precision.
   *
   * EXACTNESS SEAM (how a lossy codec gets an oracle): for an image whose
   * 8×8 blocks are each CONSTANT gray v, the DCT is DC-only — F(0,0) =
@@ -197,8 +201,9 @@ object Jpeg {
     } catch { case _: Exception => None }
   }
 
-  /** Strict baseline 3-component 4:4:4 COLOR decode: per-component
-    * Huffman/quant/DC-predictor state over interleaved MCUs, then the
+  /** Strict baseline 3-component COLOR decode (4:4:4, 4:2:2, 4:2:0):
+    * per-component Huffman/quant/DC-predictor state over interleaved
+    * MCUs, replication chroma upsample to full resolution, then the
     * JFIF YCbCr→RGB conversion — floor(x + 0.5) rounding and 0..255
     * clamping, the exact arithmetic the DuckDB oracle restates (floor is
     * chosen over round() because the two engines' round() disagree on
@@ -231,8 +236,8 @@ object Jpeg {
     val dcT = new Array[HuffTable](4)
     val acT = new Array[HuffTable](4)
     var width = 0; var height = 0
-    // SOF components in frame order: (component id, quant table id)
-    var comps: Array[(Int, Int)] = null
+    // SOF components in frame order: (component id, h, v, quant table id)
+    var comps: Array[(Int, Int, Int, Int)] = null
     var sof = false
     var restartInterval = 0
     while (i + 4 <= b.length) {
@@ -283,14 +288,20 @@ object Jpeg {
           height = be16(b, body + 1)
           width = be16(b, body + 3)
           val nf = b(body + 5) & 0xff
-          if (nf != 1 && nf != 3) return None // grayscale or 4:4:4 color
+          if (nf != 1 && nf != 3) return None // grayscale or 3-component color
           comps = Array.tabulate(nf) { c =>
             val cid = b(body + 6 + 3 * c) & 0xff
             val hv = b(body + 7 + 3 * c) & 0xff
-            if (hv != 0x11) // 4:4:4 only — one block per component per MCU
-              throw new IllegalArgumentException("subsampled stream")
-            (cid, b(body + 8 + 3 * c) & 0xff)
+            val sh = (hv & 0xf0) >> 4; val sv = hv & 0x0f
+            // per-component sampling factors 1..2 cover 4:4:4, 4:2:2 and
+            // 4:2:0 (the dominant real-corpus variant, r9 VERDICT #3);
+            // factors of 3/4 stay strictly rejected
+            if (sh < 1 || sh > 2 || sv < 1 || sv > 2)
+              throw new IllegalArgumentException("unsupported sampling factor")
+            (cid, sh, sv, b(body + 8 + 3 * c) & 0xff)
           }
+          if (nf == 1 && (comps(0)._2 != 1 || comps(0)._3 != 1))
+            return None // single-component streams are 1x1 by construction
           sof = true
         case m if m == 0xc1 || m == 0xc2 || m == 0xc3 ||
                   (m >= 0xc5 && m <= 0xc7) || (m >= 0xc9 && m <= 0xcf) =>
@@ -309,23 +320,32 @@ object Jpeg {
             if (fi < 0) throw new IllegalArgumentException("unknown component in SOS")
             val tt = b(body + 2 + 2 * c) & 0xff
             val dc = dcT((tt & 0xf0) >> 4); val ac = acT(tt & 0x0f)
-            val q = qt(comps(fi)._2)
+            val q = qt(comps(fi)._4)
             if (dc == null || ac == null || q == null)
               throw new IllegalArgumentException("missing table")
             (fi, dc, ac, q)
           }
-          val bw = (width + 7) / 8
-          val bh = (height + 7) / 8
-          val planes = Array.fill(comps.length)(new Array[Int](width * height))
+          // general interleaved MCU walk (T.81 A.2.3): MCU = h×v blocks per
+          // component; per-component planes decode at their NATIVE sampled
+          // resolution, padded to whole MCU coverage, and are upsampled to
+          // full resolution afterwards
+          val hmax = comps.map(_._2).max
+          val vmax = comps.map(_._3).max
+          val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+          val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+          val compPW = comps.map(c => mcusX * c._2 * 8)
+          val compPH = comps.map(c => mcusY * c._3 * 8)
+          val padded = Array.tabulate(comps.length)(fi =>
+            new Array[Int](compPW(fi) * compPH(fi)))
           val br = new BitReader(b, body + len - 2)
           val coef = new Array[Int](64)
           val pred = new Array[Int](comps.length)
           var mcusSinceRestart = 0
           var rstN = 0
-          var by = 0
-          while (by < bh) {
-            var bx = 0
-            while (bx < bw) {
+          var my = 0
+          while (my < mcusY) {
+            var mx = 0
+            while (mx < mcusX) {
               // RSTn every `restartInterval` MCUs: byte-align, consume the
               // cycling marker, reset every component's DC predictor
               if (restartInterval > 0 && mcusSinceRestart == restartInterval) {
@@ -335,38 +355,72 @@ object Jpeg {
                 mcusSinceRestart = 0
               }
               var c = 0
-              while (c < ns) { // one block per component per MCU at 4:4:4
+              while (c < ns) { // h×v blocks per component per MCU
                 val (fi, dc, ac, q) = order(c)
-                java.util.Arrays.fill(coef, 0)
-                val s = dc.decode(br)
-                if (s > 15) throw new IllegalArgumentException("bad DC category")
-                pred(fi) += br.extend(s)
-                coef(0) = pred(fi) * q(0)
-                var z = 1
-                while (z < 64) {
-                  val rs = ac.decode(br)
-                  val r = (rs & 0xf0) >> 4
-                  val sz = rs & 0x0f
-                  if (sz == 0) {
-                    if (r == 15) {
-                      z += 16 // ZRL: 16 zeros, must leave room for a
-                      // following symbol (a terminal zero run is EOB-coded)
-                      if (z > 63) throw new IllegalArgumentException("ZRL overrun")
-                    } else z = 64 // EOB
-                  } else {
-                    z += r
-                    if (z > 63) throw new IllegalArgumentException("AC overrun")
-                    coef(zigzag(z)) = br.extend(sz) * q(zigzag(z))
-                    z += 1
+                val (sh, sv) = (comps(fi)._2, comps(fi)._3)
+                var v0 = 0
+                while (v0 < sv) {
+                  var h0 = 0
+                  while (h0 < sh) {
+                    java.util.Arrays.fill(coef, 0)
+                    val s = dc.decode(br)
+                    if (s > 15) throw new IllegalArgumentException("bad DC category")
+                    pred(fi) += br.extend(s)
+                    coef(0) = pred(fi) * q(0)
+                    var z = 1
+                    while (z < 64) {
+                      val rs = ac.decode(br)
+                      val r = (rs & 0xf0) >> 4
+                      val sz = rs & 0x0f
+                      if (sz == 0) {
+                        if (r == 15) {
+                          z += 16 // ZRL: 16 zeros, must leave room for a
+                          // following symbol (a terminal zero run is EOB-coded)
+                          if (z > 63) throw new IllegalArgumentException("ZRL overrun")
+                        } else z = 64 // EOB
+                      } else {
+                        z += r
+                        if (z > 63) throw new IllegalArgumentException("AC overrun")
+                        coef(zigzag(z)) = br.extend(sz) * q(zigzag(z))
+                        z += 1
+                      }
+                    }
+                    idctBlock(coef, padded(fi), compPW(fi), compPH(fi),
+                      (mx * sh + h0) * 8, (my * sv + v0) * 8)
+                    h0 += 1
                   }
+                  v0 += 1
                 }
-                idctBlock(coef, planes(fi), width, height, bx * 8, by * 8)
                 c += 1
               }
               mcusSinceRestart += 1
-              bx += 1
+              mx += 1
             }
-            by += 1
+            my += 1
+          }
+          // upsample each component to full resolution by sample
+          // replication (box filter): pixel (x, y) reads its covering
+          // chroma sample at (x·h/hmax, y·v/vmax). For h=v=hmax=vmax this
+          // is the identity gather, so 4:4:4/grayscale results are
+          // unchanged bit for bit.
+          val planes = Array.tabulate(comps.length) { fi =>
+            val (sh, sv) = (comps(fi)._2, comps(fi)._3)
+            if (sh == hmax && sv == vmax && compPW(fi) == width) padded(fi).take(width * height)
+            else {
+              val outP = new Array[Int](width * height)
+              var yy = 0
+              while (yy < height) {
+                val srcRow = (yy * sv / vmax) * compPW(fi)
+                val dstRow = yy * width
+                var xx = 0
+                while (xx < width) {
+                  outP(dstRow + xx) = padded(fi)(srcRow + xx * sh / hmax)
+                  xx += 1
+                }
+                yy += 1
+              }
+              outP
+            }
           }
           return Some((planes, width, height))
         case m if (m >= 0xe0 && m <= 0xef) || m == 0xfe => () // APPn/COM: skip
@@ -520,6 +574,101 @@ object Jpeg {
         c += 1
       }
       blk += 1
+    }
+    out.write(bw.flush())
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** 4:2:0 twin of [[encodeJpegConstBlocksColor]] (r9 VERDICT #3): a
+    * complete baseline color JPEG with Y sampled 2×2 and Cb/Cr 1×1 — the
+    * dominant real-corpus chroma layout. One MCU covers 16×16 pixels:
+    * FOUR constant luma blocks (row-major within the MCU) and ONE constant
+    * Cb + Cr block each. `y` is the full luma block grid, row-major,
+    * (2·mcusWide) × (2·mcusHigh); `cb`/`cr` are the MCU grid, row-major.
+    * DC-only exactness holds per coded block, and constant chroma blocks
+    * make the decoder's replication upsample exact too, so the decoded
+    * YCbCr values equal the payload bytes and the RGB output is the
+    * deterministic JFIF conversion — the same oracle seam as the 4:4:4
+    * color gate, over a structurally different (subsampled) stream.
+    * `restartInterval` counts MCUs, as in [[encodeJpegConstBlocks]]. */
+  def encodeJpegConstBlocks420(y: Array[Byte], cb: Array[Byte], cr: Array[Byte],
+                               mcusWide: Int, mcusHigh: Int,
+                               restartInterval: Int = 0): Array[Byte] = {
+    val nM = mcusWide * mcusHigh
+    require(mcusWide > 0 && mcusHigh > 0 &&
+      y.length == 4 * nM && cb.length == nM && cr.length == nM,
+      s"plane sizes (${y.length}, ${cb.length}, ${cr.length}) != 4/1/1 x $mcusWide x $mcusHigh MCUs")
+    require(restartInterval >= 0, "restart interval must be >= 0")
+    val w = mcusWide * 16; val h = mcusHigh * 16
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    marker(0xe0); u16(16) // APP0 JFIF
+    out.write("JFIF".getBytes("US-ASCII")); u8(0)
+    u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
+    marker(0xdb); u16(67); u8(0x00) // DQT: table 0, unit steps
+    (0 until 64).foreach(_ => u8(1))
+    marker(0xc0); u16(8 + 3 * 3) // SOF0: 8-bit, Y 2x2, Cb/Cr 1x1
+    u8(8); u16(h); u16(w); u8(3)
+    u8(1); u8(0x22); u8(0)
+    u8(2); u8(0x11); u8(0)
+    u8(3); u8(0x11); u8(0)
+    def dht(tc: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length); u8((tc << 4) | 0)
+      bits.foreach(u8); vals.foreach(u8)
+    }
+    dht(0, stdDcBits, stdDcVals)
+    dht(1, stdAcBits, stdAcVals)
+    if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
+    marker(0xda); u16(6 + 2 * 3) // SOS: 3 components, DC/AC table 0 each
+    u8(3); (1 to 3).foreach { cid => u8(cid); u8(0x00) }
+    u8(0); u8(63); u8(0)
+    val dcCodes = canonicalCodes(stdDcBits, stdDcVals)
+      .map(c => c._1 -> (c._2, c._3)).toMap
+    val (eobCode, eobLen) = canonicalCodes(stdAcBits, stdAcVals)
+      .collectFirst { case (0x00, c, l) => (c, l) }.get
+    val bw = new BitWriter
+    val pred = new Array[Int](3)
+    def block(comp: Int, vb: Byte): Unit = {
+      val dc = 8 * ((vb & 0xff) - 128)
+      val diff = dc - pred(comp)
+      pred(comp) = dc
+      val s = category(diff)
+      val (code, l) = dcCodes(s)
+      bw.put(code, l)
+      if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      bw.put(eobCode, eobLen)
+    }
+    var since = 0
+    var rstN = 0
+    var my = 0
+    while (my < mcusHigh) {
+      var mx = 0
+      while (mx < mcusWide) {
+        if (restartInterval > 0 && since == restartInterval) {
+          bw.restartMarker(rstN)
+          rstN = (rstN + 1) % 8
+          java.util.Arrays.fill(pred, 0)
+          since = 0
+        }
+        var v0 = 0
+        while (v0 < 2) { // four luma blocks, row-major within the MCU
+          var h0 = 0
+          while (h0 < 2) {
+            block(0, y((my * 2 + v0) * (mcusWide * 2) + mx * 2 + h0))
+            h0 += 1
+          }
+          v0 += 1
+        }
+        block(1, cb(my * mcusWide + mx))
+        block(2, cr(my * mcusWide + mx))
+        since += 1
+        mx += 1
+      }
+      my += 1
     }
     out.write(bw.flush())
     marker(0xd9) // EOI

@@ -223,16 +223,17 @@ object Multimodal {
   final case class JpegRgbFeatures(id: Long, width: Int, height: Int,
                                    n_channels: Int, pixel_fp: String)
 
-  /** REAL color JPEG decode: strict baseline 4:4:4 parse + JFIF YCbCr→RGB
-    * ([[Jpeg.decodeJpegRgb]]) — the fingerprint covers the FULL interleaved
-    * RGB buffer in hex space, so the oracle pins every converted channel
-    * value. Malformed/grayscale payloads fail loudly. */
+  /** REAL color JPEG decode: strict baseline parse (4:4:4, 4:2:2, 4:2:0)
+    * + JFIF YCbCr→RGB ([[Jpeg.decodeJpegRgb]]) — the fingerprint covers
+    * the FULL upsampled interleaved RGB buffer in hex space, so the
+    * oracle pins every converted channel value. Malformed/grayscale
+    * payloads fail loudly. */
   def jpegRgbFeatures(assets: Dataset[Asset]): Dataset[JpegRgbFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.map { a =>
       val img = Jpeg.decodeJpegRgb(a.bytes)
         .getOrElse(throw new IllegalArgumentException(
-          s"asset ${a.id}: not a baseline 4:4:4 color JPEG"))
+          s"asset ${a.id}: not a baseline color JPEG"))
       JpegRgbFeatures(a.id, img.width, img.height, 3,
         md5OfHex(img.pixels, 0, img.pixels.length))
     })

@@ -248,6 +248,43 @@ class MultimodalSpec extends AnyFunSuite {
       Jpeg.encodeJpegConstBlocks(Array(10.toByte), 1, 1)).isEmpty)
   }
 
+  test("JPEG 4:2:0 roundtrip: subsampled MCUs + replication upsample decode exactly (r9 VERDICT #3)") {
+    import graft.multimodal.Jpeg
+    // 3x2 MCUs (48x32 px): distinct per-luma-block AND per-chroma values so
+    // a block-order or upsample-siting bug shifts pixels visibly
+    val mcusW = 3; val mcusH = 2
+    val y = Array.tabulate(4 * mcusW * mcusH)(i => ((i * 37 + 11) % 256).toByte)
+    val cb = Array.tabulate(mcusW * mcusH)(i => ((i * 53 + 7) % 256).toByte)
+    val cr = Array.tabulate(mcusW * mcusH)(i => ((i * 71 + 140) % 256).toByte)
+    val enc = Jpeg.encodeJpegConstBlocks420(y, cb, cr, mcusW, mcusH)
+    val img = Jpeg.decodeJpegRgb(enc).get
+    assert(img.width == 48 && img.height == 32)
+    def cl(v: Double) = math.max(0, math.min(255, math.floor(v + 0.5).toInt))
+    for (py <- 0 until 32; px <- 0 until 48) {
+      val lumaBlock = (py / 8) * (mcusW * 2) + px / 8 // full luma block grid
+      val mcu = (py / 16) * mcusW + px / 16
+      val (yy, cbb, crr) = (y(lumaBlock) & 0xff, cb(mcu) & 0xff, cr(mcu) & 0xff)
+      val i = 3 * (py * 48 + px)
+      assert((img.pixels(i) & 0xff) == cl(yy + 1.402 * (crr - 128)), s"R($px,$py)")
+      assert((img.pixels(i + 1) & 0xff) ==
+        cl(yy - 0.344136 * (cbb - 128) - 0.714136 * (crr - 128)), s"G($px,$py)")
+      assert((img.pixels(i + 2) & 0xff) == cl(yy + 1.772 * (cbb - 128)), s"B($px,$py)")
+    }
+    // restart intervals compose with subsampling: same payloads, interval 2
+    // (RSTn after every 2nd 6-block MCU), identical decode
+    val encR = Jpeg.encodeJpegConstBlocks420(y, cb, cr, mcusW, mcusH, restartInterval = 2)
+    assert(!encR.sameElements(enc))
+    assert(Jpeg.decodeJpegRgb(encR).get.pixels.sameElements(img.pixels))
+    // gray decoder still refuses color; sampling factors > 2 stay rejected
+    assert(Jpeg.decodeJpeg(enc).isEmpty)
+    val bad = enc.clone()
+    val sof = bad.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
+    // FF C0 len2 prec h2 w2 nf | cid hv tq ... -> Y's h/v byte at +11
+    assert((bad(sof + 11) & 0xff) == 0x22)
+    bad(sof + 11) = 0x33.toByte
+    assert(Jpeg.decodeJpegRgb(bad).isEmpty)
+  }
+
   test("WAV golden fixture: hand-written RIFF/PCM bytes decode to the exact samples") {
     import graft.multimodal.Codecs
     val pcm = Array[Byte](0x01, 0x02, 0x03, 0x04) // 2 mono 16-bit frames
