@@ -621,6 +621,24 @@ object Queries {
       .select(col("id"), r4(col("score")).as("score"))
       .orderBy(col("score").desc, col("id").asc)
 
+  /** EXACT top-k THROUGH the compressed PQ index (r9 VERDICT #7): the ADC
+    * interval bound — per subspace, table entry ± quantization-cell radius
+    * brackets the true sub-distance — gives a provable candidate superset
+    * from a codes-only pass, float-reranked. Shares the exact KNN oracle
+    * BY PROOF for ANY codebook (the SQ8 discipline transposed to PQ);
+    * the radii table is codebook-sized, memoized per (session, dir). */
+  private val pqRadiiCache =
+    new Memo[Array[Array[Double]]](memoMax, "pqRadiiCache")(_ => ())
+
+  private def annPqExact(spark: SparkSession, dir: String): DataFrame = {
+    val idx = pqIndex(spark, dir)
+    val radii = pqRadiiCache.get(spark, dir)(
+      idx.cellRadii(tbl(spark, dir, "embeddings"), "vec_id", "embedding"))
+    idx.searchExact(qvec(spark, dir, 23), k = 10, radii,
+        tbl(spark, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy(col("score").desc, col("id").asc)
+  }
+
   /** Memoized LSH index per (session, dir). bucketLength 0.25 ≈ 2σ of a
     * unit vector's projection onto a random direction at dim 64. */
   private val lshCache = new Memo[LSHIndex](memoMax, "lshCache")(_.dispose())
@@ -2593,6 +2611,7 @@ object Queries {
     "ann_sq8_cosine" -> Q(annSq8Cosine, Some(cosineKnnSql(99, 10))),
     "knn_batch_sq8_cosine" -> Q(knnBatchSq8Cosine, Some(knnBatchCosineSqlFor("11, 12, 13", 5))),
     "ann_graph_cosine" -> Q(annGraphCosine, Some(knnBatchCosineSqlFor("11, 12, 13", 5))),
+    "ann_pq_exact" -> Q(annPqExact, Some(knnSql(23, 10))),
     "ann_pq" -> Q(annPq, Some(
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |a AS (SELECT vec_id AS aid, emb AS aemb FROM v WHERE vec_id < 16),

@@ -113,6 +113,111 @@ final class PQIndex(val codes: DataFrame,
       .orderBy(col("qid").asc, col("score").desc, col("id").asc)
   }
 
+  /** Per-(subspace, code) quantization-CELL RADIUS: max over assigned rows
+    * of ‖x_s − c_{s,code}‖, computed in ONE distributed pass (codes ⋈
+    * vectors, map-side-combined max) and collected as a codebook-sized
+    * driver table (m × |book| doubles — never corpus-sized). The bound
+    * input for [[searchExact]]; cells no row maps to keep radius 0. */
+  def cellRadii(vectors: DataFrame, idCol: String, vecCol: String): Array[Array[Double]] = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val base = vectors.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val (cb, sd, mm) = (codebooks, subDim, m) // task-closure locals, not `this`
+    val rows = codes
+      .select(col("id").cast("long"), col("codes").cast("array<int>").as("cs"))
+      .join(base, "id")
+      .as[(Long, Seq[Int], Seq[Double])]
+      .mapPartitions(_.flatMap { case (_, cs, v) =>
+        val arr = v.toArray
+        (0 until mm).iterator.map { s =>
+          val c = cb(s)(cs(s))
+          var d = 0.0; var i = 0
+          while (i < sd) { val x = arr(s * sd + i) - c(i); d += x * x; i += 1 }
+          (s, cs(s), math.sqrt(d))
+        }
+      }).toDF("s", "code", "r")
+      .groupBy(col("s"), col("code")).agg(max(col("r")).as("r"))
+      .collect()
+    val radii = Array.tabulate(mm)(s => new Array[Double](cb(s).length))
+    rows.foreach(r => radii(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    radii
+  }
+
+  /** EXACT top-k through the compressed index (r9 VERDICT #7): the ADC
+    * analog of [[SQIndex]]'s interval-bound rerank. Per subspace the
+    * triangle inequality brackets the true sub-distance with the ADC
+    * table entry ± the cell radius:
+    *   a_s − r_s ≤ ‖q_s − x_s‖ ≤ a_s + r_s,   a_s = ‖q_s − c_s(x)‖,
+    * so  dLo = Σ_s max(0, a_s − r_s)²  ≤  d  ≤  Σ_s (a_s + r_s)² = dHi.
+    * Pass 1 reads CODES only — the lo²/hi² addends ship as two m×256
+    * broadcast literal tables, so the scan stays `element_at` sums like
+    * [[search]]. T = the k-th smallest dHi (+ the SQIndex rounded-tie
+    * slack): every true top-k row has dLo ≤ d ≤ (k-th true d) ≤ T, so the
+    * dLo ≤ T survivors are a PROVABLE superset, reranked on floats via
+    * one semi-join against `vectors`. Exact for ANY codebook — codebook
+    * quality moves the candidate count, never the answer. Output contract
+    * = [[ExactKNN.topK]] with the oracle's rounded-order tie semantics
+    * (the discipline SQIndex.search documents). */
+  def searchExact(query: Array[Double], k: Int, radii: Array[Array[Double]],
+                  vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    import graft.functions.VectorFunctions
+    val tables = adcTables(query)
+    def boundTable(f: (Double, Double) => Double): Array[Array[Double]] =
+      Array.tabulate(m)(s => Array.tabulate(tables(s).length) { j =>
+        val b = f(math.sqrt(tables(s)(j)), radii(s)(j)); b * b
+      })
+    val lo = boundTable((a, r) => math.max(0.0, a - r))
+    val hi = boundTable((a, r) => a + r)
+    def tcol(t: Array[Array[Double]]): Column =
+      array(t.map(ts => array(ts.map(lit): _*)): _*)
+    def lookupSum(t: Column): Column = (0 until m).map(s =>
+      element_at(element_at(t, s + 1), element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    val bounds = codes.select(col("id"),
+      lookupSum(tcol(lo)).as("dlo"), lookupSum(tcol(hi)).as("dhi"))
+    // k-th smallest upper bound: bounded-heap reduction, one O(k) scalar
+    val t0row = bounds.select(col("dhi")).orderBy(col("dhi").asc).limit(k)
+      .agg(max(col("dhi"))).head()
+    val base = vectors.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vector"))
+    if (t0row.isNullAt(0)) // empty index
+      return base.select(col("id"), lit(0.0).as("score")).limit(0)
+    val t0 = t0row.getDouble(0)
+    val t = t0 + 2e-4 * (1.0 + t0) * (1.0 + t0) // rounded-tie slack (SQIndex doc)
+    val qc = VectorFunctions.vecLit(query)
+    base.join(bounds.where(col("dlo") <= t).select(col("id")), Seq("id"), "left_semi")
+      .select(col("id"),
+        round(VectorFunctions.distToScore(
+          VectorFunctions.squaredL2(col("vector"), qc)), 4).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Pass-1 survivor count for [[searchExact]]'s bound — the pruning
+    * diagnostic (spec + SCALE): how many rows the float rerank touches. */
+  def exactCandidateCount(query: Array[Double], k: Int,
+                          radii: Array[Array[Double]]): Long = {
+    val tables = adcTables(query)
+    def boundTable(f: (Double, Double) => Double): Array[Array[Double]] =
+      Array.tabulate(m)(s => Array.tabulate(tables(s).length) { j =>
+        val b = f(math.sqrt(tables(s)(j)), radii(s)(j)); b * b
+      })
+    def tcol(t: Array[Array[Double]]): Column =
+      array(t.map(ts => array(ts.map(lit): _*)): _*)
+    def lookupSum(t: Column): Column = (0 until m).map(s =>
+      element_at(element_at(t, s + 1), element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    val bounds = codes.select(col("id"),
+      lookupSum(tcol(boundTable((a, r) => math.max(0.0, a - r)))).as("dlo"),
+      lookupSum(tcol(boundTable((a, r) => a + r))).as("dhi"))
+    val t0row = bounds.select(col("dhi")).orderBy(col("dhi").asc).limit(k)
+      .agg(max(col("dhi"))).head()
+    if (t0row.isNullAt(0)) return 0L
+    val t0 = t0row.getDouble(0)
+    bounds.where(col("dlo") <= t0 + 2e-4 * (1.0 + t0) * (1.0 + t0)).count()
+  }
+
   /** Approximate top-k by ADC: Σ_s table_s[code_s]. Same output contract as
     * [[ExactKNN.topK]] (score = 1/(1+d²-approx), desc, id tiebreak).
     * `among` restricts scoring to a candidate id set (left-semi join) — the

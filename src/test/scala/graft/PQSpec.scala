@@ -43,6 +43,57 @@ class PQSpec extends AnyFunSuite {
     assert(r.head.getLong(0) == 42L)
   }
 
+  test("searchExact: interval-bound rerank equals the flat scan; bounds valid; pruning prunes (r9 VERDICT #7)") {
+    import org.apache.spark.sql.functions.{col, round}
+    val radii = pq.cellRadii(emb, "vec_id", "embedding")
+    // (1) bound VALIDITY, JVM-recomputed row-wise (the SQIndexSpec
+    // discipline): for every row, dLo <= true d <= dHi
+    val vecs = emb.select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val codesMap = pq.codes.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    val q = queryVec(23)
+    val tables = pq.adcTables(q)
+    val subDim = 64 / pq.m
+    codesMap.foreach { case (id, cs) =>
+      val x = vecs(id)
+      var d = 0.0; var lo = 0.0; var hi = 0.0
+      (0 until pq.m).foreach { s =>
+        var ds = 0.0
+        (0 until subDim).foreach { i =>
+          val t = x(s * subDim + i) - q(s * subDim + i); ds += t * t
+        }
+        d += ds
+        val a = math.sqrt(tables(s)(cs(s)))
+        val r = radii(s)(cs(s))
+        val l = math.max(0.0, a - r); lo += l * l
+        val h = a + r; hi += h * h
+      }
+      assert(lo <= d + 1e-9 && d <= hi + 1e-9,
+        s"id=$id bound violated: lo=$lo d=$d hi=$hi")
+    }
+    // (2) exactness: ids and 4-dp scores equal the flat scan, trained AND
+    // anchor codebooks (exact for ANY codebook — quality only moves the
+    // candidate count)
+    val anchorPq = PQIndex.buildFromAnchors(emb, "vec_id", "embedding",
+      dim = 64, m = 8, anchorFilter = col("vec_id") < 16)
+    val anchorRadii = anchorPq.cellRadii(emb, "vec_id", "embedding")
+    for ((idx, rad) <- Seq((pq, radii), (anchorPq, anchorRadii)); qid <- Seq(23L, 99L)) {
+      val qv = queryVec(qid)
+      val exact = ExactKNN.topK(emb, "vec_id", "embedding", qv, 10)
+        .select(col("id"), round(col("score"), 4).as("score"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val got = idx.searchExact(qv, 10, rad, emb, "vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.sameElements(exact), s"qid=$qid: $got != exact ${exact.toSeq}")
+    }
+    // (3) the bound actually prunes: the rerank touches < the corpus
+    val n = emb.count()
+    val cand = pq.exactCandidateCount(q, 10, radii)
+    assert(cand < n, s"pass-1 survivors $cand == corpus $n — no pruning")
+  }
+
   test("searchBatch: the distributed ADC join matches the per-query driver-table path") {
     import org.apache.spark.sql.functions.col
     val qids = Seq(5L, 42L, 99L)
