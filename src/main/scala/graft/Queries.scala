@@ -2265,6 +2265,34 @@ object Queries {
     graft.multimodal.Multimodal.ppmFeatures(ppmAssets(spark, dir))
       .toDF().orderBy(col("id"))
 
+  /** REAL PNG payloads (r9 VERDICT #8 stretch): a complete lossless
+    * container per doc — truecolor RGB for even ids, grayscale for odd —
+    * zlib-deflated through [[graft.multimodal.Png.encodePng]]. PNG is
+    * lossless, so decode recovers the payload bytes EXACTLY and the
+    * oracle pins dims, channel count and every decoded sample in hex
+    * space with no constant-block seam. The decoder is golden-fixture-
+    * pinned in MultimodalSpec (hand-filtered scanlines covering all five
+    * filter types), so encoder/decoder bugs cannot cancel. */
+  private def pngAssets(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val w = (lit(3) + col("doc_id") % 5).cast("int")
+    val h = (lit(2) + col("doc_id") % 3).cast("int")
+    val ch = when(col("doc_id") % 2 === 0, 3).otherwise(1).cast("int")
+    val src = docsTbl(spark, dir).where(col("doc_id") < 50)
+      .select(col("doc_id"), w.as("w"), h.as("h"), ch.as("ch"),
+        unhex(md5Chain("png8", 6).substr(lit(1), (w * h * ch * 2).cast("int")))
+          .as("payload"))
+      .as[(Long, Int, Int, Int, Array[Byte])]
+    src.mapPartitions(_.map { case (id, pw, ph, pch, payload) =>
+      graft.multimodal.Multimodal.Asset(id, "image",
+        graft.multimodal.Png.encodePng(payload, pw, ph, pch), 0, 0)
+    })
+  }
+
+  private def multimodalPngDecode(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.pngFeatures(pngAssets(spark, dir))
+      .toDF().orderBy(col("id"))
+
   /** The resize kernel over REALLY-DECODED pixels: the P6 header is
     * stripped by the parser, so the stride-gather runs over the raw RGB
     * payload — the oracle's hex arithmetic starts after the header by
@@ -2780,6 +2808,15 @@ object Queries {
         |SELECT id, CAST(frame_idx AS INT) AS frame_idx,
         |       md5(substr(hx, CAST(frame_idx*512 + 1 AS INT), 512)) AS frame_fp
         |FROM f WHERE frame_idx % 2 = 0 ORDER BY id, frame_idx""".stripMargin)),
+    "multimodal_png_decode" -> Q(multimodalPngDecode, Some(
+      """WITH p AS (
+        |  SELECT doc_id AS id, (3 + doc_id % 5)::INT AS width, (2 + doc_id % 3)::INT AS height,
+        |         (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END)::INT AS n_channels,
+        |         array_to_string(list_transform(range(0, 6), i -> md5(text || '_png8_' || i)), '') AS hx
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT id, width, height, n_channels,
+        |       md5(substr(hx, 1, width*height*n_channels*2)) AS pixel_fp
+        |FROM p ORDER BY id""".stripMargin)),
     "multimodal_ppm_decode" -> Q(multimodalPpmDecode, Some(
       """WITH p AS (
         |  SELECT doc_id AS id, (3 + doc_id % 5)::INT AS width, (2 + doc_id % 3)::INT AS height,

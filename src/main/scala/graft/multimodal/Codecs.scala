@@ -169,6 +169,10 @@ object Codecs {
     else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
       Jpeg.decodeJpeg(bytes).map(g => GrayImage(g.pixels, g.width, g.height): Decoded)
         .orElse(Jpeg.decodeJpegRgb(bytes).map(r => Image(r.pixels, r.width, r.height)))
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P')
+      Png.decodePng(bytes).map(i =>
+        if (i.channels == 1) GrayImage(i.pixels, i.width, i.height): Decoded
+        else Image(i.pixels, i.width, i.height))
     else None
 
   /** The payload a sample-level operator (resize, frame extraction) should

@@ -220,6 +220,25 @@ object Multimodal {
     })
   }
 
+  final case class PngFeatures(id: Long, width: Int, height: Int,
+                               n_channels: Int, pixel_fp: String)
+
+  /** REAL PNG decode ([[Png.decodePng]]): chunk walk, CRC validation,
+    * zlib inflate, scanline defilter — dims and channel count come from
+    * IHDR, the fingerprint covers every decoded sample in hex space.
+    * Lossless, so the oracle pins the payload bytes directly. Malformed
+    * or out-of-scope payloads fail loudly. */
+  def pngFeatures(assets: Dataset[Asset]): Dataset[PngFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      val img = Png.decodePng(a.bytes)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: not a supported PNG"))
+      PngFeatures(a.id, img.width, img.height, img.channels,
+        md5OfHex(img.pixels, 0, img.pixels.length))
+    })
+  }
+
   final case class JpegRgbFeatures(id: Long, width: Int, height: Int,
                                    n_channels: Int, pixel_fp: String)
 
