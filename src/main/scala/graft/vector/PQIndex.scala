@@ -46,7 +46,8 @@ final class PQIndex(val codes: DataFrame,
     val batchCodes = PQIndex.encodeFrame(base, codebooks, dim)
       .persist(StorageLevel.MEMORY_AND_DISK)
     new PQIndex(
-      codes.select(col("id").cast("long"), col("codes").cast("array<int>"))
+      codes.select(col("id").cast("long"), col("codes").cast("array<int>"),
+          col("err").cast("double"))
         .unionByName(batchCodes),
       codebooks, dim, retained :+ batchCodes)
   }
@@ -159,23 +160,39 @@ final class PQIndex(val codes: DataFrame,
     * quality moves the candidate count, never the answer. Output contract
     * = [[ExactKNN.topK]] with the oracle's rounded-order tie semantics
     * (the discipline SQIndex.search documents). */
-  def searchExact(query: Array[Double], k: Int, radii: Array[Array[Double]],
-                  vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    import graft.functions.VectorFunctions
+  /** Pass-1 bound frame for [[searchExact]]: per row, the INTERSECTION of
+    * two independently valid brackets of the true squared distance —
+    * (a) the per-subspace cell-radius bound (Σ max(0, a_s − r_s)² …
+    * Σ (a_s + r_s)²) and (b) the row-specific whole-vector bound
+    * ((√d̂ − err)₊² … (√d̂ + err)²), where d̂ = Σ a_s² is exactly
+    * ‖q − c(x)‖² and err = ‖x − c(x)‖ is the one stored double. (b) is
+    * usually far tighter (r_s is a cell MAX; err is the row's own error);
+    * the intersection of valid bounds is valid, so exactness needs no
+    * further argument. */
+  private def exactBounds(query: Array[Double],
+                          radii: Array[Array[Double]]): DataFrame = {
     val tables = adcTables(query)
     def boundTable(f: (Double, Double) => Double): Array[Array[Double]] =
       Array.tabulate(m)(s => Array.tabulate(tables(s).length) { j =>
         val b = f(math.sqrt(tables(s)(j)), radii(s)(j)); b * b
       })
-    val lo = boundTable((a, r) => math.max(0.0, a - r))
-    val hi = boundTable((a, r) => a + r)
     def tcol(t: Array[Array[Double]]): Column =
       array(t.map(ts => array(ts.map(lit): _*)): _*)
     def lookupSum(t: Column): Column = (0 until m).map(s =>
       element_at(element_at(t, s + 1), element_at(col("codes"), s + 1) + 1))
       .reduce(_ + _)
-    val bounds = codes.select(col("id"),
-      lookupSum(tcol(lo)).as("dlo"), lookupSum(tcol(hi)).as("dhi"))
+    val ad = sqrt(lookupSum(tcol(tables))) // √d̂ = ‖q − c(x)‖
+    codes.select(col("id"),
+      greatest(lookupSum(tcol(boundTable((a, r) => math.max(0.0, a - r)))),
+        pow(greatest(lit(0.0), ad - col("err")), lit(2.0))).as("dlo"),
+      least(lookupSum(tcol(boundTable((a, r) => a + r))),
+        pow(ad + col("err"), lit(2.0))).as("dhi"))
+  }
+
+  def searchExact(query: Array[Double], k: Int, radii: Array[Array[Double]],
+                  vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    import graft.functions.VectorFunctions
+    val bounds = exactBounds(query, radii)
     // k-th smallest upper bound: bounded-heap reduction, one O(k) scalar
     val t0row = bounds.select(col("dhi")).orderBy(col("dhi").asc).limit(k)
       .agg(max(col("dhi"))).head()
@@ -198,19 +215,7 @@ final class PQIndex(val codes: DataFrame,
     * diagnostic (spec + SCALE): how many rows the float rerank touches. */
   def exactCandidateCount(query: Array[Double], k: Int,
                           radii: Array[Array[Double]]): Long = {
-    val tables = adcTables(query)
-    def boundTable(f: (Double, Double) => Double): Array[Array[Double]] =
-      Array.tabulate(m)(s => Array.tabulate(tables(s).length) { j =>
-        val b = f(math.sqrt(tables(s)(j)), radii(s)(j)); b * b
-      })
-    def tcol(t: Array[Array[Double]]): Column =
-      array(t.map(ts => array(ts.map(lit): _*)): _*)
-    def lookupSum(t: Column): Column = (0 until m).map(s =>
-      element_at(element_at(t, s + 1), element_at(col("codes"), s + 1) + 1))
-      .reduce(_ + _)
-    val bounds = codes.select(col("id"),
-      lookupSum(tcol(boundTable((a, r) => math.max(0.0, a - r)))).as("dlo"),
-      lookupSum(tcol(boundTable((a, r) => a + r))).as("dhi"))
+    val bounds = exactBounds(query, radii)
     val t0row = bounds.select(col("dhi")).orderBy(col("dhi").asc).limit(k)
       .agg(max(col("dhi"))).head()
     if (t0row.isNullAt(0)) return 0L
@@ -301,7 +306,14 @@ object PQIndex {
     new PQIndex(codes, codebooks, dim, Seq(codes))
   }
 
-  /** The encode pass as a lazy frame — shared by build and [[PQIndex.append]]. */
+  /** The encode pass as a lazy frame — shared by build and [[PQIndex.append]].
+    * Besides the codes, each row stores its whole-vector quantization
+    * error `err` = ‖x − c(x)‖ (ONE double — free here: it is the root of
+    * the summed per-subspace best distances the assignment loop already
+    * computes). The ADC distance d̂ is EXACTLY ‖q − c(x)‖², so the
+    * triangle inequality gives the row-specific exact bound
+    * √d̂ − err ≤ ‖q − x‖ ≤ √d̂ + err that [[searchExact]] prunes with —
+    * strictly tighter per row than any cell-max radius table. */
   private[vector] def encodeFrame(base: DataFrame,
                                   codebooks: Array[Array[Array[Double]]],
                                   dim: Int): DataFrame = {
@@ -312,6 +324,7 @@ object PQIndex {
     val cb = codebooks // stable reference for the task closure
     base.as[(Long, Seq[Double])].mapPartitions(_.map { case (id, v) =>
       val arr = v.toArray
+      var e2 = 0.0
       val cs = Array.tabulate(m) { s =>
         val off = s * subDim
         var best = 0; var bestD = Double.MaxValue
@@ -322,10 +335,11 @@ object PQIndex {
           if (d < bestD) { bestD = d; best = c }
           c += 1
         }
+        e2 += bestD
         best
       }
-      (id, cs.toSeq)
-    }).toDF("id", "codes")
+      (id, cs.toSeq, math.sqrt(e2))
+    }).toDF("id", "codes", "err")
   }
 
   // ---- persistence (the reference persists its index binary,

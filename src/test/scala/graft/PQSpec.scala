@@ -59,19 +59,29 @@ class PQSpec extends AnyFunSuite {
     codesMap.foreach { case (id, cs) =>
       val x = vecs(id)
       var d = 0.0; var lo = 0.0; var hi = 0.0
+      var e2 = 0.0
       (0 until pq.m).foreach { s =>
-        var ds = 0.0
+        var ds = 0.0; var es = 0.0
+        val cen = pq.codebooks(s)(cs(s))
         (0 until subDim).foreach { i =>
           val t = x(s * subDim + i) - q(s * subDim + i); ds += t * t
+          val u = x(s * subDim + i) - cen(i); es += u * u
         }
-        d += ds
+        d += ds; e2 += es
         val a = math.sqrt(tables(s)(cs(s)))
         val r = radii(s)(cs(s))
         val l = math.max(0.0, a - r); lo += l * l
         val h = a + r; hi += h * h
       }
-      assert(lo <= d + 1e-9 && d <= hi + 1e-9,
-        s"id=$id bound violated: lo=$lo d=$d hi=$hi")
+      // the intersected bound searchExact actually uses: per-subspace
+      // cell-radius bracket ∩ row-specific whole-vector bracket
+      val e = math.sqrt(e2)
+      val adc = math.sqrt((0 until pq.m).map(s => tables(s)(cs(s))).sum)
+      val loR = math.pow(math.max(0.0, adc - e), 2)
+      val hiR = math.pow(adc + e, 2)
+      val loB = math.max(lo, loR); val hiB = math.min(hi, hiR)
+      assert(loB <= d + 1e-9 && d <= hiB + 1e-9,
+        s"id=$id bound violated: lo=$loB d=$d hi=$hiB (table $lo..$hi, row $loR..$hiR)")
     }
     // (2) exactness: ids and 4-dp scores equal the flat scan, trained AND
     // anchor codebooks (exact for ANY codebook — quality only moves the
