@@ -2377,6 +2377,29 @@ object Queries {
     graft.multimodal.Multimodal.jpegFeatures(jpegAssets(spark, dir, restartInterval = 2))
       .toDF().orderBy(col("id"))
 
+  /** The SAME payloads as PROGRESSIVE (SOF2) streams (r9 VERDICT #8): six
+    * successive scans — DC first at Al=4, four DC refinement scans
+    * carrying REAL payload bits, an AC band scan coded as EOB runs — with
+    * restart intervals on half the assets (markers cycle within every
+    * scan). Decode output equals the baseline encoding by construction,
+    * so the gate shares multimodal_jpeg_decode's oracle verbatim while
+    * exercising the whole multi-scan coefficient-accumulation path. */
+  private def multimodalJpegProgressive(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bwC = (lit(1) + col("doc_id") % 4).cast("int")
+    val bhC = (lit(1) + col("doc_id") % 3).cast("int")
+    val src = docsTbl(spark, dir).where(col("doc_id") < 50)
+      .select(col("doc_id"), bwC.as("bw"), bhC.as("bh"),
+        unhex(md5Chain("jpg", 1).substr(lit(1), (bwC * bhC * 2).cast("int"))).as("payload"))
+      .as[(Long, Int, Int, Array[Byte])]
+    graft.multimodal.Multimodal.jpegFeatures(
+      src.mapPartitions(_.map { case (id, bw, bh, payload) =>
+        graft.multimodal.Multimodal.Asset(id, "image",
+          graft.multimodal.Jpeg.encodeJpegProgressiveConstBlocks(payload, bw, bh,
+            restartInterval = if (id % 2 == 0) 3 else 0), 0, 0)
+      })).toDF().orderBy(col("id"))
+  }
+
   /** Oracle shared by the plain and restart-interval JPEG gates: every
     * pixel of block (bx, by) is the payload byte at index by·bw + bx, so
     * the full-buffer fingerprint expands per pixel q:
@@ -2861,6 +2884,7 @@ object Queries {
         |FROM f WHERE frame_idx % 2 = 0 ORDER BY id, frame_idx""".stripMargin)),
     "multimodal_jpeg_decode" -> Q(multimodalJpegDecode, Some(jpegDecodeSql)),
     "multimodal_jpeg_restart" -> Q(multimodalJpegRestart, Some(jpegDecodeSql)),
+    "multimodal_jpeg_progressive" -> Q(multimodalJpegProgressive, Some(jpegDecodeSql)),
     "multimodal_jpeg_color" -> Q(multimodalJpegColor, Some(
       // per block b: (y, cb, cr) = payload bytes 3b..3b+2; RGB = JFIF
       // conversion with floor(x+0.5) + clamp; every pixel of block

@@ -170,13 +170,19 @@ object Jpeg {
       pos += 2
     }
 
+    /** `receive` (T.81 F.2.2.4): read s raw bits MSB-first, unsigned. */
+    def receive(s: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < s) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+
     /** `receive` + `extend` (T.81 F.2.2.1): read s magnitude bits, map to
       * the signed value. */
     def extend(s: Int): Int = {
       if (s == 0) return 0
-      var v = 0
-      var i = 0
-      while (i < s) { v = (v << 1) | bit(); i += 1 }
+      val v = receive(s)
       if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
     }
   }
@@ -228,7 +234,11 @@ object Jpeg {
     } catch { case _: Exception => None }
   }
 
-  /** Shared scan decode → one 0..255 Int plane per component. */
+  /** Shared scan decode → one 0..255 Int plane per component. Sequential
+    * (SOF0) streams decode in their single SOS case and return there;
+    * PROGRESSIVE (SOF2) streams accumulate raw coefficients across
+    * multiple scans into per-component buffers and finalize (dequant +
+    * IDCT + upsample) at EOI — see [[progressiveScan]] below. */
   private def decodeStrict(b: Array[Byte]): Option[(Array[Array[Int]], Int, Int)] = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
     var i = 2
@@ -240,13 +250,254 @@ object Jpeg {
     var comps: Array[(Int, Int, Int, Int)] = null
     var sof = false
     var restartInterval = 0
-    while (i + 4 <= b.length) {
+    // progressive state: raw (not yet dequantized) coefficients per
+    // component, NATURAL order within each 64-coef block, blocks laid out
+    // on the MCU-padded grid (padBW × padBH blocks)
+    var progressive = false
+    var anyScan = false
+    var hmax = 0; var vmax = 0; var mcusX = 0; var mcusY = 0
+    var padBW: Array[Int] = null; var padBH: Array[Int] = null
+    var coefBufs: Array[Array[Int]] = null
+
+    def finalizeProgressive(): Option[(Array[Array[Int]], Int, Int)] = {
+      val compPW = Array.tabulate(comps.length)(fi => padBW(fi) * 8)
+      val padded = Array.tabulate(comps.length)(fi =>
+        new Array[Int](padBW(fi) * 8 * padBH(fi) * 8))
+      val coef = new Array[Int](64)
+      var fi = 0
+      while (fi < comps.length) {
+        val q = qt(comps(fi)._4)
+        if (q == null) return None
+        var by = 0
+        while (by < padBH(fi)) {
+          var bx = 0
+          while (bx < padBW(fi)) {
+            val base = (by * padBW(fi) + bx) * 64
+            var j = 0
+            while (j < 64) { coef(j) = coefBufs(fi)(base + j) * q(j); j += 1 }
+            idctBlock(coef, padded(fi), compPW(fi), padBH(fi) * 8, bx * 8, by * 8)
+            bx += 1
+          }
+          by += 1
+        }
+        fi += 1
+      }
+      Some((upsamplePlanes(comps, width, height, padded, compPW), width, height))
+    }
+
+    /** One progressive scan (T.81 G.2 / the jdphuff.c control flow): DC
+      * first (Huffman diffs of dc>>Al) or DC refinement (one raw bit per
+      * block), AC first (run/size with EOB-run codes) or AC refinement
+      * (±1<<Al insertions + correction bits for every nonzero-history
+      * coefficient, including inside EOB runs). DC scans may interleave
+      * all components (MCU walk); AC scans are single-component over the
+      * component's OWN block grid. Returns the byte offset of the next
+      * marker. */
+    def progressiveScan(body: Int, len: Int): Int = {
+      def inv(msg: String) = throw new IllegalArgumentException(msg)
+      val ns = b(body) & 0xff
+      if (ns < 1 || ns > comps.length) inv("bad scan component count")
+      val scanComps = Array.tabulate(ns) { c =>
+        val cid = b(body + 1 + 2 * c) & 0xff
+        val fi = comps.indexWhere(_._1 == cid)
+        if (fi < 0) inv("unknown component in SOS")
+        val tt = b(body + 2 + 2 * c) & 0xff
+        (fi, (tt & 0xf0) >> 4, tt & 0x0f)
+      }
+      val ss = b(body + 1 + 2 * ns) & 0xff
+      val se = b(body + 2 + 2 * ns) & 0xff
+      val ahal = b(body + 3 + 2 * ns) & 0xff
+      val ah = (ahal & 0xf0) >> 4; val al = ahal & 0x0f
+      if (al > 13 || ah > 13) inv("bad successive-approximation bits")
+      val br = new BitReader(b, body + len - 2)
+      val pred = new Array[Int](comps.length)
+      var eobrun = 0
+      var sinceRestart = 0
+      var rstN = 0
+      def maybeRestart(): Unit =
+        if (restartInterval > 0 && sinceRestart == restartInterval) {
+          br.restart(rstN)
+          rstN = (rstN + 1) % 8
+          java.util.Arrays.fill(pred, 0)
+          eobrun = 0
+          sinceRestart = 0
+        }
+      // a single-component scan is NON-interleaved: it walks the
+      // component's own ceil(compW/8) × ceil(compH/8) grid, NOT the
+      // MCU-padded grid (T.81 A.2.2); buffer rows still use the padded
+      // stride
+      def ownGrid(fi: Int): (Int, Int) = {
+        val (sh, sv) = (comps(fi)._2, comps(fi)._3)
+        val cw = (width * sh + hmax - 1) / hmax
+        val ch = (height * sv + vmax - 1) / vmax
+        (((cw + 7) / 8), ((ch + 7) / 8))
+      }
+      if (ss == 0) { // ---- DC scan
+        if (se != 0) inv("DC scan with Se != 0")
+        def dcBlock(fi: Int, dcTab: HuffTable, base: Int): Unit =
+          if (ah == 0) {
+            val s = dcTab.decode(br)
+            if (s > 15) inv("bad DC category")
+            pred(fi) += br.extend(s)
+            coefBufs(fi)(base) = pred(fi) << al
+          } else {
+            if (br.bit() != 0) coefBufs(fi)(base) |= (1 << al)
+          }
+        if (ns == 1) {
+          val (fi, dct, _) = scanComps(0)
+          val dcTab = dcT(dct)
+          if (ah == 0 && dcTab == null) inv("missing DC table")
+          val (bw, bh) = ownGrid(fi)
+          var by = 0
+          while (by < bh) {
+            var bx = 0
+            while (bx < bw) {
+              maybeRestart()
+              dcBlock(fi, dcTab, (by * padBW(fi) + bx) * 64)
+              sinceRestart += 1
+              bx += 1
+            }
+            by += 1
+          }
+        } else {
+          val tabs = scanComps.map { case (fi, dct, _) =>
+            val t = dcT(dct)
+            if (ah == 0 && t == null) inv("missing DC table")
+            (fi, t)
+          }
+          var my = 0
+          while (my < mcusY) {
+            var mx = 0
+            while (mx < mcusX) {
+              maybeRestart()
+              var c = 0
+              while (c < ns) {
+                val (fi, t) = tabs(c)
+                val (sh, sv) = (comps(fi)._2, comps(fi)._3)
+                var v0 = 0
+                while (v0 < sv) {
+                  var h0 = 0
+                  while (h0 < sh) {
+                    dcBlock(fi, t, ((my * sv + v0) * padBW(fi) + mx * sh + h0) * 64)
+                    h0 += 1
+                  }
+                  v0 += 1
+                }
+                c += 1
+              }
+              sinceRestart += 1
+              mx += 1
+            }
+            my += 1
+          }
+        }
+      } else { // ---- AC scan
+        if (ns != 1 || ss > se || se > 63) inv("bad AC band")
+        val (fi, _, act) = scanComps(0)
+        val acTab = acT(act)
+        if (acTab == null) inv("missing AC table")
+        val p1 = 1 << al; val m1 = -(1 << al)
+        val buf = coefBufs(fi)
+        def refine(idx: Int): Unit =
+          if (br.bit() != 0 && (buf(idx) & p1) == 0)
+            buf(idx) += (if (buf(idx) >= 0) p1 else m1)
+        def acFirstBlock(base: Int): Unit = {
+          if (eobrun > 0) { eobrun -= 1; return }
+          var k = ss
+          while (k <= se) {
+            val rs = acTab.decode(br)
+            val r = (rs & 0xf0) >> 4; val s = rs & 0x0f
+            if (s != 0) {
+              k += r
+              if (k > se) inv("AC overrun")
+              buf(base + zigzag(k)) = br.extend(s) << al
+              k += 1
+            } else if (r == 15) {
+              k += 16 // ZRL
+              if (k > se + 1) inv("ZRL overrun")
+            } else {
+              eobrun = (1 << r) - 1
+              if (r > 0) eobrun += br.receive(r)
+              k = se + 1
+            }
+          }
+        }
+        def acRefineBlock(base: Int): Unit = {
+          var k = ss
+          if (eobrun == 0) {
+            var done = false
+            while (k <= se && !done) {
+              val rs = acTab.decode(br)
+              var r = (rs & 0xf0) >> 4
+              val s = rs & 0x0f
+              var newVal = 0
+              if (s == 0) {
+                if (r != 15) { // EOBn: rest of this block joins the EOB run
+                  eobrun = 1 << r
+                  if (r > 0) eobrun += br.receive(r)
+                  done = true
+                }
+                // r == 15: ZRL — skip 16 zero-history slots below
+              } else {
+                if (s != 1) inv("refinement size != 1")
+                newVal = if (br.bit() != 0) p1 else m1
+              }
+              if (!done) {
+                var placed = false
+                while (k <= se && !placed) {
+                  val idx = base + zigzag(k)
+                  if (buf(idx) != 0) refine(idx)
+                  else if (r == 0) {
+                    if (newVal != 0) buf(idx) = newVal
+                    placed = true
+                  } else r -= 1
+                  k += 1
+                }
+                if (!placed && newVal != 0) inv("refinement coefficient did not fit")
+              }
+            }
+          }
+          if (eobrun > 0) { // EOB region: correction bits for nonzeros only
+            while (k <= se) {
+              val idx = base + zigzag(k)
+              if (buf(idx) != 0) refine(idx)
+              k += 1
+            }
+            eobrun -= 1
+          }
+        }
+        val (bw, bh) = ownGrid(fi)
+        var by = 0
+        while (by < bh) {
+          var bx = 0
+          while (bx < bw) {
+            maybeRestart()
+            val base = (by * padBW(fi) + bx) * 64
+            if (ah == 0) acFirstBlock(base) else acRefineBlock(base)
+            sinceRestart += 1
+            bx += 1
+          }
+          by += 1
+        }
+      }
+      // the next marker must start at the very next unread byte (pad bits
+      // of a partially-consumed byte are already behind br.pos)
+      val pos = br.pos
+      if (pos + 1 >= b.length || (b(pos) & 0xff) != 0xff ||
+          (b(pos + 1) & 0xff) == 0x00) inv("scan not followed by a marker")
+      pos
+    }
+
+    while (i + 2 <= b.length) {
       if ((b(i) & 0xff) != 0xff) return None
       val marker = b(i + 1) & 0xff
-      if (marker == 0xd9) return None // EOI before SOS
+      if (marker == 0xd9) // EOI: finalize a progressive stream, else invalid
+        return if (progressive && anyScan) finalizeProgressive() else None
+      if (i + 4 > b.length) return None
       val len = be16(b, i + 2)
       val body = i + 4
       if (len < 2 || body + len - 2 > b.length) return None
+      var iNext = body + len - 2
       marker match {
         case 0xdb => // DQT: one or more 65/129-byte tables
           val end = body + len - 2
@@ -283,8 +534,10 @@ object Jpeg {
             p += 17 + n
           }
           if (p != end) return None // trailing bytes after the last table
-        case 0xc0 => // SOF0 baseline
+        case m0 if m0 == 0xc0 || m0 == 0xc2 => // SOF0 baseline / SOF2 progressive
+          if (sof) return None // one frame header only
           if ((b(body) & 0xff) != 8) return None // 8-bit precision only
+          progressive = m0 == 0xc2
           height = be16(b, body + 1)
           width = be16(b, body + 3)
           val nf = b(body + 5) & 0xff
@@ -302,14 +555,28 @@ object Jpeg {
           }
           if (nf == 1 && (comps(0)._2 != 1 || comps(0)._3 != 1))
             return None // single-component streams are 1x1 by construction
+          if (width <= 0 || height <= 0) return None
+          hmax = comps.map(_._2).max
+          vmax = comps.map(_._3).max
+          mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+          mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+          padBW = comps.map(c => mcusX * c._2)
+          padBH = comps.map(c => mcusY * c._3)
+          if (progressive)
+            coefBufs = Array.tabulate(comps.length)(fi =>
+              new Array[Int](padBW(fi) * padBH(fi) * 64))
           sof = true
-        case m if m == 0xc1 || m == 0xc2 || m == 0xc3 ||
+        case m if m == 0xc1 || m == 0xc3 ||
                   (m >= 0xc5 && m <= 0xc7) || (m >= 0xc9 && m <= 0xcf) =>
-          return None // extended/progressive/arithmetic out of scope
+          return None // extended/lossless/arithmetic out of scope
         case 0xdd => // DRI: restart every `ri` MCUs (0 disables)
           if (len != 4) return None
           restartInterval = be16(b, body)
-        case 0xda => // SOS: decode the scan
+        case 0xda if progressive => // SOS: one of several progressive scans
+          if (!sof) return None
+          iNext = progressiveScan(body, len)
+          anyScan = true
+        case 0xda => // SOS: decode the (single) sequential scan
           if (!sof || width <= 0 || height <= 0) return None
           val ns = b(body) & 0xff
           if (ns != comps.length) return None // one interleaved scan only
@@ -398,37 +665,46 @@ object Jpeg {
             }
             my += 1
           }
-          // upsample each component to full resolution by sample
-          // replication (box filter): pixel (x, y) reads its covering
-          // chroma sample at (x·h/hmax, y·v/vmax). For h=v=hmax=vmax this
-          // is the identity gather, so 4:4:4/grayscale results are
-          // unchanged bit for bit.
-          val planes = Array.tabulate(comps.length) { fi =>
-            val (sh, sv) = (comps(fi)._2, comps(fi)._3)
-            if (sh == hmax && sv == vmax && compPW(fi) == width) padded(fi).take(width * height)
-            else {
-              val outP = new Array[Int](width * height)
-              var yy = 0
-              while (yy < height) {
-                val srcRow = (yy * sv / vmax) * compPW(fi)
-                val dstRow = yy * width
-                var xx = 0
-                while (xx < width) {
-                  outP(dstRow + xx) = padded(fi)(srcRow + xx * sh / hmax)
-                  xx += 1
-                }
-                yy += 1
-              }
-              outP
-            }
-          }
-          return Some((planes, width, height))
+          return Some((upsamplePlanes(comps, width, height, padded, compPW),
+            width, height))
         case m if (m >= 0xe0 && m <= 0xef) || m == 0xfe => () // APPn/COM: skip
         case _ => return None
       }
-      i = body + len - 2
+      i = iNext
     }
     None
+  }
+
+  /** Upsample each component to full resolution by sample replication
+    * (box filter): pixel (x, y) reads its covering chroma sample at
+    * (x·h/hmax, y·v/vmax). For h=v=hmax=vmax this is the identity
+    * gather, so 4:4:4/grayscale results are unchanged bit for bit.
+    * Shared by the sequential scan and the progressive finalize. */
+  private def upsamplePlanes(comps: Array[(Int, Int, Int, Int)],
+                             width: Int, height: Int,
+                             padded: Array[Array[Int]],
+                             compPW: Array[Int]): Array[Array[Int]] = {
+    val hmax = comps.map(_._2).max
+    val vmax = comps.map(_._3).max
+    Array.tabulate(comps.length) { fi =>
+      val (sh, sv) = (comps(fi)._2, comps(fi)._3)
+      if (sh == hmax && sv == vmax && compPW(fi) == width) padded(fi).take(width * height)
+      else {
+        val outP = new Array[Int](width * height)
+        var yy = 0
+        while (yy < height) {
+          val srcRow = (yy * sv / vmax) * compPW(fi)
+          val dstRow = yy * width
+          var xx = 0
+          while (xx < width) {
+            outP(dstRow + xx) = padded(fi)(srcRow + xx * sh / hmax)
+            xx += 1
+          }
+          yy += 1
+        }
+        outP
+      }
+    }
   }
 
   /** Reference 2-D IDCT (T.81 A.3.3), double precision, with level shift
@@ -671,6 +947,131 @@ object Jpeg {
       my += 1
     }
     out.write(bw.flush())
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Progressive-scan AC Huffman table (fixture-encoder side): the
+    * baseline Annex-K AC table carries no EOBn (n > 1) symbols —
+    * end-of-band RUN codes exist only in progressive streams (T.81
+    * G.1.2.2) — so the progressive fixtures declare this tiny canonical
+    * table instead: EOB1..EOB16384 (0x00, 0x10 … 0xE0), ZRL (0xF0) and
+    * the size-1 run/size symbols 0x01/0x11, all at code length 5. */
+  val progAcBits: Array[Int] =
+    Array(0, 0, 0, 0, 18, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  val progAcVals: Array[Int] = Array(
+    0x00, 0x10, 0x20, 0x30, 0x40, 0x50, 0x60, 0x70,
+    0x80, 0x90, 0xa0, 0xb0, 0xc0, 0xd0, 0xe0, 0xf0,
+    0x01, 0x11)
+
+  /** PROGRESSIVE (SOF2) twin of [[encodeJpegConstBlocks]] (r9 VERDICT #8):
+    * the same constant-block grayscale payload as SIX successive scans —
+    * a DC-first scan at Al=4 (Huffman diffs of dc >> 4), four DC
+    * refinement scans (one raw bit per block, Al 3→0), and an AC
+    * band-1..63 scan coded entirely as EOB runs (every AC is exactly 0
+    * for constant blocks). Because dc = 8·(v−128), bits 4..10 vary with
+    * the payload, so the refinement scans carry REAL bits — a decoder
+    * that drops or mis-ORs them mis-decodes by construction.
+    * Reconstruction is exact in two's complement:
+    * (dc >> 4) << 4 OR'd with bits 3..0 of dc == dc for every sign.
+    * `restartInterval` (in blocks, all scans) exercises per-scan RSTn
+    * cycling + EOB-run resets. Decodes bit-identically to the SEQUENTIAL
+    * encoding of the same payload — the gate shares the baseline oracle
+    * verbatim over a structurally different stream, like the restart
+    * gate. */
+  def encodeJpegProgressiveConstBlocks(blockBytes: Array[Byte],
+                                       blocksWide: Int, blocksHigh: Int,
+                                       restartInterval: Int = 0): Array[Byte] = {
+    require(blocksWide > 0 && blocksHigh > 0 &&
+      blockBytes.length == blocksWide * blocksHigh,
+      s"${blockBytes.length} block bytes != $blocksWide x $blocksHigh")
+    require(restartInterval >= 0, "restart interval must be >= 0")
+    val w = blocksWide * 8; val h = blocksHigh * 8
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    marker(0xe0); u16(16) // APP0 JFIF
+    out.write("JFIF".getBytes("US-ASCII")); u8(0)
+    u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
+    marker(0xdb); u16(67); u8(0x00) // DQT: table 0, unit steps
+    (0 until 64).foreach(_ => u8(1))
+    marker(0xc2); u16(11) // SOF2: 8-bit, 1 component, 1x1
+    u8(8); u16(h); u16(w); u8(1); u8(1); u8(0x11); u8(0)
+    def dht(tc: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length); u8((tc << 4) | 0)
+      bits.foreach(u8); vals.foreach(u8)
+    }
+    dht(0, stdDcBits, stdDcVals)
+    dht(1, progAcBits, progAcVals) // AC table 0 = the EOBn-capable table
+    if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
+    val dcCodes = canonicalCodes(stdDcBits, stdDcVals)
+      .map(c => c._1 -> (c._2, c._3)).toMap
+    val acCodes = canonicalCodes(progAcBits, progAcVals)
+      .map(c => c._1 -> (c._2, c._3)).toMap
+    val dcs = blockBytes.map(vb => 8 * ((vb & 0xff) - 128))
+    def sos(ss: Int, se: Int, ah: Int, al: Int)(write: BitWriter => Unit): Unit = {
+      marker(0xda); u16(8)
+      u8(1); u8(1); u8(0x00); u8(ss); u8(se); u8((ah << 4) | al)
+      val bw = new BitWriter
+      write(bw)
+      out.write(bw.flush())
+    }
+    // scan 1 — DC first at Al=4: Huffman-coded diffs of dc >> 4
+    sos(0, 0, 0, 4) { bw =>
+      var pred = 0; var since = 0; var rstN = 0
+      dcs.foreach { dc =>
+        if (restartInterval > 0 && since == restartInterval) {
+          bw.restartMarker(rstN); rstN = (rstN + 1) % 8; pred = 0; since = 0
+        }
+        val v = dc >> 4
+        val diff = v - pred; pred = v
+        val s = category(diff)
+        val (c, l) = dcCodes(s)
+        bw.put(c, l)
+        if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+        since += 1
+      }
+    }
+    // scans 2–5 — DC refinement, Al = 3, 2, 1, 0: one raw bit per block
+    (3 to 0 by -1).foreach { a =>
+      sos(0, 0, a + 1, a) { bw =>
+        var since = 0; var rstN = 0
+        dcs.foreach { dc =>
+          if (restartInterval > 0 && since == restartInterval) {
+            bw.restartMarker(rstN); rstN = (rstN + 1) % 8; since = 0
+          }
+          bw.put((dc >> a) & 1, 1)
+          since += 1
+        }
+      }
+    }
+    // scan 6 — AC band 1..63: all coefficients zero ⇒ pure EOB runs,
+    // one run per restart segment (EOB runs may not cross RSTn)
+    sos(1, 63, 0, 0) { bw =>
+      val total = dcs.length
+      var done = 0; var rstN = 0
+      while (done < total) {
+        val seg =
+          if (restartInterval > 0) math.min(restartInterval, total - done)
+          else total - done
+        var n = seg
+        while (n > 0) {
+          val run = math.min(n, 32767)
+          var r = 0
+          while ((1 << (r + 1)) <= run) r += 1 // floor(log2(run))
+          val (c, l) = acCodes(r << 4)
+          bw.put(c, l)
+          if (r > 0) bw.put(run - (1 << r), r)
+          n -= run
+        }
+        done += seg
+        if (restartInterval > 0 && done < total) {
+          bw.restartMarker(rstN); rstN = (rstN + 1) % 8
+        }
+      }
+    }
     marker(0xd9) // EOI
     out.toByteArray
   }
