@@ -1076,6 +1076,107 @@ object Jpeg {
     out.toByteArray
   }
 
+  /** PROGRESSIVE 4:2:0 COLOR fixture encoder: exercises the one geometry
+    * seam unique to subsampled progressive streams — the interleaved DC
+    * scan walks the MCU-PADDED grid (mcusX·2 × mcusY·2 luma blocks) while
+    * each non-interleaved AC scan walks the component's OWN grid
+    * (⌈w/8⌉ × ⌈h/8⌉), which for a width that is not a multiple of 16 is
+    * a strict subset. `width`/`height` are arbitrary; `y` is laid out on
+    * the luma own grid, `cb`/`cr` on the chroma own grid
+    * (⌈⌈w/2⌉/8⌉ × ⌈⌈h/2⌉/8⌉); DC values for padding blocks replicate the
+    * clamped edge payload (they decode but never reach the output).
+    * Three scans: interleaved DC (Al=0), then one AC EOB-run scan per
+    * component. DC-only constant blocks keep decode exact. */
+  def encodeJpegProgressive420(y: Array[Byte], cb: Array[Byte], cr: Array[Byte],
+                               width: Int, height: Int): Array[Byte] = {
+    val mcusX = (width + 15) / 16; val mcusY = (height + 15) / 16
+    val yBW = (width + 7) / 8; val yBH = (height + 7) / 8
+    val cW = (width + 1) / 2; val cH = (height + 1) / 2
+    val cBW = (cW + 7) / 8; val cBH = (cH + 7) / 8
+    require(width > 0 && height > 0 && y.length == yBW * yBH &&
+      cb.length == cBW * cBH && cr.length == cBW * cBH,
+      s"plane sizes (${y.length}, ${cb.length}, ${cr.length}) != own grids ($yBW x $yBH, $cBW x $cBH)")
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8)
+    marker(0xdb); u16(67); u8(0x00) // DQT: table 0, unit steps
+    (0 until 64).foreach(_ => u8(1))
+    marker(0xc2); u16(8 + 3 * 3) // SOF2: Y 2x2, Cb/Cr 1x1
+    u8(8); u16(height); u16(width); u8(3)
+    u8(1); u8(0x22); u8(0)
+    u8(2); u8(0x11); u8(0)
+    u8(3); u8(0x11); u8(0)
+    def dht(tc: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length); u8((tc << 4) | 0)
+      bits.foreach(u8); vals.foreach(u8)
+    }
+    dht(0, stdDcBits, stdDcVals)
+    dht(1, progAcBits, progAcVals)
+    val dcCodes = canonicalCodes(stdDcBits, stdDcVals)
+      .map(c => c._1 -> (c._2, c._3)).toMap
+    val acCodes = canonicalCodes(progAcBits, progAcVals)
+      .map(c => c._1 -> (c._2, c._3)).toMap
+    def dcOf(vb: Byte): Int = 8 * ((vb & 0xff) - 128)
+    // scan 1 — interleaved DC over the padded MCU grid
+    marker(0xda); u16(6 + 2 * 3)
+    u8(3); (1 to 3).foreach { cid => u8(cid); u8(0x00) }
+    u8(0); u8(0); u8(0x00) // Ss=0 Se=0 Ah=0 Al=0
+    locally {
+      val bw = new BitWriter
+      val pred = new Array[Int](3)
+      def put(comp: Int, dc: Int): Unit = {
+        val diff = dc - pred(comp); pred(comp) = dc
+        val s = category(diff)
+        val (c, l) = dcCodes(s)
+        bw.put(c, l)
+        if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      }
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          var v0 = 0
+          while (v0 < 2) {
+            var h0 = 0
+            while (h0 < 2) { // padding blocks replicate the clamped edge
+              val by = math.min(my * 2 + v0, yBH - 1)
+              val bx = math.min(mx * 2 + h0, yBW - 1)
+              put(0, dcOf(y(by * yBW + bx)))
+              h0 += 1
+            }
+            v0 += 1
+          }
+          put(1, dcOf(cb(math.min(my, cBH - 1) * cBW + math.min(mx, cBW - 1))))
+          put(2, dcOf(cr(math.min(my, cBH - 1) * cBW + math.min(mx, cBW - 1))))
+          mx += 1
+        }
+        my += 1
+      }
+      out.write(bw.flush())
+    }
+    // scans 2–4 — per-component AC band 1..63: EOB run over the OWN grid
+    (1 to 3).foreach { cid =>
+      marker(0xda); u16(8)
+      u8(1); u8(cid); u8(0x00); u8(1); u8(63); u8(0x00)
+      val bw = new BitWriter
+      var n = if (cid == 1) yBW * yBH else cBW * cBH
+      while (n > 0) {
+        val run = math.min(n, 32767)
+        var r = 0
+        while ((1 << (r + 1)) <= run) r += 1
+        val (c, l) = acCodes(r << 4)
+        bw.put(c, l)
+        if (r > 0) bw.put(run - (1 << r), r)
+        n -= run
+      }
+      out.write(bw.flush())
+    }
+    marker(0xd9)
+    out.toByteArray
+  }
+
   /** Gate/fixture encoder (the operators only DECODE): a complete baseline
     * grayscale JPEG whose 8×8 blocks are each the constant gray given by
     * one payload byte (row-major block order), unit quant table, standard

@@ -355,6 +355,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!img2.pixels.sameElements(img.pixels))
   }
 
+  test("JPEG progressive 4:2:0: own-grid AC scans vs MCU-padded DC grid decode exactly") {
+    import graft.multimodal.Jpeg
+    // 24x24: the luma own grid (3x3 blocks) is a STRICT subset of the
+    // padded MCU grid (4x4) — the AC scans must walk 9 blocks while the
+    // interleaved DC scan walks 16 (+ padding); a decoder that confuses
+    // the grids desynchronizes the scan and fails or shifts pixels
+    val y = Array.tabulate(9)(i => ((i * 29 + 40) % 256).toByte)     // 3x3
+    val cb = Array.tabulate(4)(i => ((i * 61 + 90) % 256).toByte)    // 2x2
+    val cr = Array.tabulate(4)(i => ((i * 97 + 150) % 256).toByte)   // 2x2
+    val enc = Jpeg.encodeJpegProgressive420(y, cb, cr, 24, 24)
+    val img = Jpeg.decodeJpegRgb(enc).get
+    assert(img.width == 24 && img.height == 24)
+    def cl(v: Double) = math.max(0, math.min(255, math.floor(v + 0.5).toInt))
+    for (py <- 0 until 24; px <- 0 until 24) {
+      val yy = y((py / 8) * 3 + px / 8) & 0xff
+      val m = (py / 16) * 2 + px / 16
+      val (cbb, crr) = (cb(m) & 0xff, cr(m) & 0xff)
+      val i = 3 * (py * 24 + px)
+      assert((img.pixels(i) & 0xff) == cl(yy + 1.402 * (crr - 128)), s"R($px,$py)")
+      assert((img.pixels(i + 1) & 0xff) ==
+        cl(yy - 0.344136 * (cbb - 128) - 0.714136 * (crr - 128)), s"G($px,$py)")
+      assert((img.pixels(i + 2) & 0xff) == cl(yy + 1.772 * (cbb - 128)), s"B($px,$py)")
+    }
+  }
+
   test("PNG golden fixtures: hand-FILTERED scanlines decode to hand-computed pixels (r9 VERDICT #8)") {
     import graft.multimodal.Png
     // chunk assembler with REAL CRCs, so targeted strictness mutations are
