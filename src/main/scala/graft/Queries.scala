@@ -2293,6 +2293,33 @@ object Queries {
     graft.multimodal.Multimodal.pngFeatures(pngAssets(spark, dir))
       .toDF().orderBy(col("id"))
 
+  /** REAL MP4 payloads (round 10): a minimal valid ISO BMFF file per doc —
+    * ftyp + moov (movie/track/media headers, uniform stsz, stco) + mdat
+    * carrying md5-chain sample bytes. The parser extracts every header
+    * field and the mdat payload; the oracle recomputes all of them from
+    * the same per-doc formulas and pins the payload in hex space. The
+    * codec bitstream inside the samples stays the documented stub. */
+  private def mp4Assets(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val n = (lit(2) + col("doc_id") % 5).cast("int")
+    val s = (lit(8) + col("doc_id") % 8).cast("int")
+    val src = docsTbl(spark, dir).where(col("doc_id") < 50)
+      .select(col("doc_id"), n.as("n"), s.as("s"),
+        unhex(md5Chain("mp4", 6).substr(lit(1), (n * s * 2).cast("int"))).as("payload"))
+      .as[(Long, Int, Int, Array[Byte])]
+    src.mapPartitions(_.map { case (id, ns, ss, payload) =>
+      graft.multimodal.Multimodal.Asset(id, "video",
+        graft.multimodal.Mp4.encodeMp4(
+          width = 16 * (1 + (id % 4)).toInt, height = 16 * (1 + (id % 3)).toInt,
+          timescale = 1000L, duration = 100L + id % 50,
+          nSamples = ns, sampleSize = ss, samples = payload), 0, 0)
+    })
+  }
+
+  private def multimodalMp4Parse(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.mp4Features(mp4Assets(spark, dir))
+      .toDF().orderBy(col("id"))
+
   /** The resize kernel over REALLY-DECODED pixels: the P6 header is
     * stripped by the parser, so the stride-gather runs over the raw RGB
     * payload — the oracle's hex arithmetic starts after the header by
@@ -2831,6 +2858,20 @@ object Queries {
         |SELECT id, CAST(frame_idx AS INT) AS frame_idx,
         |       md5(substr(hx, CAST(frame_idx*512 + 1 AS INT), 512)) AS frame_fp
         |FROM f WHERE frame_idx % 2 = 0 ORDER BY id, frame_idx""".stripMargin)),
+    "multimodal_mp4_parse" -> Q(multimodalMp4Parse, Some(
+      """WITH p AS (
+        |  SELECT doc_id AS id, 'isom' AS brand,
+        |         (16 * (1 + doc_id % 4))::INT AS width,
+        |         (16 * (1 + doc_id % 3))::INT AS height,
+        |         1000::BIGINT AS timescale, (100 + doc_id % 50)::BIGINT AS duration,
+        |         1::INT AS n_tracks,
+        |         (2 + doc_id % 5)::INT AS n_samples, (8 + doc_id % 8)::INT AS sample_size,
+        |         array_to_string(list_transform(range(0, 6), i -> md5(text || '_mp4_' || i)), '') AS hx
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT id, brand, width, height, timescale, duration, n_tracks,
+        |       n_samples, sample_size,
+        |       md5(substr(hx, 1, n_samples * sample_size * 2)) AS mdat_fp
+        |FROM p ORDER BY id""".stripMargin)),
     "multimodal_png_decode" -> Q(multimodalPngDecode, Some(
       """WITH p AS (
         |  SELECT doc_id AS id, (3 + doc_id % 5)::INT AS width, (2 + doc_id % 3)::INT AS height,

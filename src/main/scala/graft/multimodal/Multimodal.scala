@@ -220,6 +220,31 @@ object Multimodal {
     })
   }
 
+  final case class Mp4Features(id: Long, brand: String, width: Int, height: Int,
+                               timescale: Long, duration: Long, n_tracks: Int,
+                               n_samples: Int, sample_size: Int, mdat_fp: String)
+
+  /** REAL MP4/ISO-BMFF container parse ([[Mp4.parseMp4]]): box-tree walk,
+    * mvhd/tkhd/mdhd/hdlr headers, stsz/stco sample tables, mdat payload —
+    * dims from the 16.16 tkhd fields, the fingerprint over the raw mdat
+    * bytes in hex space. The codec bitstream INSIDE the samples stays the
+    * documented stub (like WAV: container real, DSP out of scope).
+    * `sample_size` reports the uniform stsz size (the gate's layout);
+    * malformed or out-of-scope payloads fail loudly. */
+  def mp4Features(assets: Dataset[Asset]): Dataset[Mp4Features] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      val m = Mp4.parseMp4(a.bytes)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: not a supported MP4"))
+      val t = m.tracks.head
+      Mp4Features(a.id, m.majorBrand, t.width, t.height, m.timescale, m.duration,
+        m.tracks.length, t.sampleSizes.length,
+        if (t.sampleSizes.isEmpty) 0 else t.sampleSizes.head,
+        md5OfHex(m.mdat, 0, m.mdat.length))
+    })
+  }
+
   final case class PngFeatures(id: Long, width: Int, height: Int,
                                n_channels: Int, pixel_fp: String)
 

@@ -448,6 +448,64 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Codecs.decodedPayload(Png.encodePng(all, 16, 16, 1)).sameElements(all))
   }
 
+  test("MP4/ISO-BMFF: box walk, headers, sample tables, mdat; strict structural rejections (round 10)") {
+    import graft.multimodal.Mp4
+    val samples = Array.tabulate(24)(i => ((i * 11 + 3) % 256).toByte)
+    val enc = Mp4.encodeMp4(width = 64, height = 48, timescale = 1000L,
+      duration = 123L, nSamples = 3, sampleSize = 8, samples = samples)
+    val m = Mp4.parseMp4(enc).get
+    assert(m.majorBrand == "isom" && m.timescale == 1000L && m.duration == 123L)
+    assert(m.tracks.length == 1)
+    val t = m.tracks.head
+    assert(t.kind == "vide" && t.width == 64 && t.height == 48)
+    assert(t.timescale == 1000L && t.duration == 123L)
+    assert(t.sampleSizes.toSeq == Seq(8, 8, 8))
+    assert(m.mdat.sameElements(samples))
+    // the stco chunk offset points exactly at the mdat payload
+    assert(t.firstChunkOffset == enc.length - samples.length)
+    // unknown boxes are skipped BY SIZE (the format's extension contract):
+    // a 'free' box between ftyp and moov changes nothing
+    val free = Array(0, 0, 0, 12).map(_.toByte) ++ "free".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 4)
+    val fl = Mp4ParseHelpers.be32(enc, 0).toInt // end of the ftyp box
+    val withFree = enc.take(fl) ++ free ++ enc.drop(fl)
+    // stco holds an ABSOLUTE file offset — shift it past the insertion
+    // (and pin that an unpatched one is REJECTED: the offset validation
+    // catches a desynced sample table instead of misreading mdat)
+    assert(Mp4.parseMp4(withFree).isEmpty)
+    val stcoW = withFree.indexOfSlice("stco".getBytes("US-ASCII"))
+    val oldOff = Mp4ParseHelpers.be32(withFree, stcoW + 12)
+    val patched = withFree.clone()
+    val no = oldOff + free.length
+    patched(stcoW + 12) = ((no >> 24) & 0xff).toByte
+    patched(stcoW + 13) = ((no >> 16) & 0xff).toByte
+    patched(stcoW + 14) = ((no >> 8) & 0xff).toByte
+    patched(stcoW + 15) = (no & 0xff).toByte
+    val m2 = Mp4.parseMp4(patched).get
+    assert(m2.mdat.sameElements(samples) && m2.tracks.head.width == 64)
+    // strictness: truncation, short box size, 64-bit largesize, stsz
+    // overcommitting the mdat, chunk offset outside the mdat, no moov
+    assert(Mp4.parseMp4(enc.dropRight(1)).isEmpty)
+    val shortBox = enc.clone(); shortBox(3) = 5 // ftyp size -> 5 (< 8)
+    assert(Mp4.parseMp4(shortBox).isEmpty)
+    val large = enc.clone(); large(0) = 0; large(1) = 0; large(2) = 0; large(3) = 1
+    assert(Mp4.parseMp4(large).isEmpty)
+    // patch stsz count up: total sample bytes > mdat length
+    val stsz = enc.indexOfSlice("stsz".getBytes("US-ASCII"))
+    assert(stsz > 0)
+    val over = enc.clone(); over(stsz + 4 + 8 + 3) = 9 // count 3 -> 9
+    assert(Mp4.parseMp4(over).isEmpty)
+    val stco = enc.indexOfSlice("stco".getBytes("US-ASCII"))
+    val badOff = enc.clone(); badOff(stco + 4 + 8 + 3) = 4 // offset -> 4 (pre-mdat)
+    assert(Mp4.parseMp4(badOff).isEmpty)
+    val noMoov = {
+      val moov = enc.indexOfSlice("moov".getBytes("US-ASCII")) - 4
+      val msz = Mp4ParseHelpers.be32(enc, moov).toInt
+      enc.take(moov) ++ enc.drop(moov + msz)
+    }
+    assert(Mp4.parseMp4(noMoov).isEmpty)
+  }
+
   test("WAV golden fixture: hand-written RIFF/PCM bytes decode to the exact samples") {
     import graft.multimodal.Codecs
     val pcm = Array[Byte](0x01, 0x02, 0x03, 0x04) // 2 mono 16-bit frames
@@ -499,4 +557,11 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fr(0).frame_fp == md5s(payload.take(256).map(b => f"$b%02x").mkString))
     assert(fr(1).frame_fp == md5s(payload.drop(256).map(b => f"$b%02x").mkString))
   }
+}
+
+/** Big-endian helper shared by the MP4 spec's byte surgery. */
+object Mp4ParseHelpers {
+  def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+    ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
 }
