@@ -2320,6 +2320,36 @@ object Queries {
     graft.multimodal.Multimodal.mp4Features(mp4Assets(spark, dir))
       .toDF().orderBy(col("id"))
 
+  /** REAL MP3 payloads (round 10): a CBR MPEG-1 Layer III stream per doc —
+    * bitrate 32/40/48 kbps (indices 1–3), samplerate 44100/48000/32000,
+    * 2–3 frames whose payloads (everything after each 4-byte header) come
+    * sequentially from the md5 chain; even ids carry a leading ID3v2 tag
+    * the parser must skip. The oracle recomputes the frame length from
+    * the public ISO 11172-3 tables (144·br/rate) and pins frame count,
+    * rates, integer duration and the concatenated-payload fingerprint. */
+  private def mp3Assets(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val src = docsTbl(spark, dir).where(col("doc_id") < 50)
+      .select(col("doc_id"), unhex(md5Chain("mp3", 40)).as("payload"))
+      .as[(Long, Array[Byte])]
+    src.mapPartitions(_.map { case (id, full) =>
+      val bIdx = (1 + id % 3).toInt          // 32, 40, 48 kbps
+      val rIdx = (id % 3).toInt              // 44100, 48000, 32000
+      val n = (2 + id % 2).toInt
+      val br = 32 + 8 * (id % 3).toInt
+      val rate = Array(44100, 48000, 32000)(rIdx)
+      val flen = 144 * br * 1000 / rate
+      graft.multimodal.Multimodal.Asset(id, "audio",
+        graft.multimodal.Mp3.encodeMp3(n, bIdx, rIdx,
+          java.util.Arrays.copyOf(full, n * (flen - 4)),
+          id3Bytes = if (id % 2 == 0) 16 else 0), 0, 0)
+    })
+  }
+
+  private def multimodalMp3Parse(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.mp3Features(mp3Assets(spark, dir))
+      .toDF().orderBy(col("id"))
+
   /** The resize kernel over REALLY-DECODED pixels: the P6 header is
     * stripped by the parser, so the stride-gather runs over the raw RGB
     * payload — the oracle's hex arithmetic starts after the header by
@@ -2858,6 +2888,19 @@ object Queries {
         |SELECT id, CAST(frame_idx AS INT) AS frame_idx,
         |       md5(substr(hx, CAST(frame_idx*512 + 1 AS INT), 512)) AS frame_fp
         |FROM f WHERE frame_idx % 2 = 0 ORDER BY id, frame_idx""".stripMargin)),
+    "multimodal_mp3_parse" -> Q(multimodalMp3Parse, Some(
+      """WITH p AS (
+        |  SELECT doc_id AS id,
+        |         (2 + doc_id % 2)::INT AS n_frames,
+        |         (32 + 8 * (doc_id % 3))::INT AS bitrate_kbps,
+        |         (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END)::INT AS sample_rate,
+        |         array_to_string(list_transform(range(0, 40), i -> md5(text || '_mp3_' || i)), '') AS hx
+        |  FROM documents WHERE doc_id < 50),
+        |f AS (SELECT *, (144 * bitrate_kbps * 1000) // sample_rate AS flen FROM p)
+        |SELECT id, n_frames, bitrate_kbps, sample_rate,
+        |       (n_frames * 1152 * 1000) // sample_rate AS duration_ms,
+        |       md5(substr(hx, 1, n_frames * (flen - 4) * 2)) AS payload_fp
+        |FROM f ORDER BY id""".stripMargin)),
     "multimodal_mp4_parse" -> Q(multimodalMp4Parse, Some(
       """WITH p AS (
         |  SELECT doc_id AS id, 'isom' AS brand,

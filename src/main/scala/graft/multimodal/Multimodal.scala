@@ -245,6 +245,27 @@ object Multimodal {
     })
   }
 
+  final case class Mp3Features(id: Long, n_frames: Int, bitrate_kbps: Int,
+                               sample_rate: Int, duration_ms: Long,
+                               payload_fp: String)
+
+  /** REAL MP3 frame parse ([[Mp3.parseMp3]]): ID3v2 skip, sync walk,
+    * header tables, duration math; the fingerprint covers the
+    * concatenated frame PAYLOADS (bytes after each 4-byte header) in hex
+    * space, so the oracle pins that the parser walks frame boundaries
+    * exactly. The Layer III DSP stays the documented stub. */
+  def mp3Features(assets: Dataset[Asset]): Dataset[Mp3Features] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      val s = Mp3.parseMp3(a.bytes)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: not a supported MP3"))
+      val all = s.framePayloads.flatten.toArray
+      Mp3Features(a.id, s.nFrames, s.bitrateKbps, s.sampleRate, s.durationMs,
+        md5OfHex(all, 0, all.length))
+    })
+  }
+
   final case class PngFeatures(id: Long, width: Int, height: Int,
                                n_channels: Int, pixel_fp: String)
 

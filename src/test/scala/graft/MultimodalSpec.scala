@@ -506,6 +506,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Mp4.parseMp4(noMoov).isEmpty)
   }
 
+  test("MP3 frame walk: ID3 skip, header tables, payload boundaries; strict rejections (round 10)") {
+    import graft.multimodal.Mp3
+    // 3 frames at 48 kbps / 32000 Hz: flen = 144*48000/32000 = 216
+    val flen = 216
+    val data = Array.tabulate(3 * (flen - 4))(i => ((i * 7 + 1) % 256).toByte)
+    val enc = Mp3.encodeMp3(3, bitrateIdx = 3, rateIdx = 2, data)
+    val s = Mp3.parseMp3(enc).get
+    assert(s.nFrames == 3 && s.bitrateKbps == 48 && s.sampleRate == 32000)
+    assert(s.durationMs == 3L * 1152 * 1000 / 32000) // 108 ms
+    assert(s.framePayloads.map(_.length).toSeq == Seq(212, 212, 212))
+    assert(s.framePayloads.flatten.sameElements(data))
+    // hand-checked header bytes: FF FB (sync + MPEG-1 Layer III, no CRC),
+    // then bitrateIdx 3 << 4 | rateIdx 2 << 2 = 0x38
+    assert((enc(0) & 0xff) == 0xff && (enc(1) & 0xff) == 0xfb && (enc(2) & 0xff) == 0x38)
+    // an ID3v2 tag (synchsafe size) is skipped; payloads identical
+    val withId3 = Mp3.parseMp3(Mp3.encodeMp3(3, 3, 2, data, id3Bytes = 200)).get
+    assert(withId3.framePayloads.flatten.sameElements(data))
+    // strictness: truncated final frame, broken sync, CRC-protected,
+    // reserved bitrate (15) / samplerate (3), MPEG-2 version, trailing byte
+    assert(Mp3.parseMp3(enc.dropRight(1)).isEmpty)
+    val badSync = enc.clone(); badSync(flen) = 0x00 // second frame's sync byte
+    assert(Mp3.parseMp3(badSync).isEmpty)
+    val crc = enc.clone(); crc(1) = 0xfa.toByte // protection bit 0 = CRC present
+    assert(Mp3.parseMp3(crc).isEmpty)
+    val badBr = enc.clone(); badBr(2) = 0xf8.toByte // bitrate index 15
+    assert(Mp3.parseMp3(badBr).isEmpty)
+    val badRate = enc.clone(); badRate(2) = 0x3c.toByte // samplerate index 3
+    assert(Mp3.parseMp3(badRate).isEmpty)
+    val mpeg2 = enc.clone(); mpeg2(1) = 0xf3.toByte // version bits 10
+    assert(Mp3.parseMp3(mpeg2).isEmpty)
+    assert(Mp3.parseMp3(enc ++ Array(0x00.toByte)).isEmpty)
+    // mixed samplerates across frames reject (duration ill-defined)
+    val f1 = Mp3.encodeMp3(1, 3, 2, data.take(212))
+    val f2 = Mp3.encodeMp3(1, 3, 1, Array.fill[Byte](144 * 48000 / 48000 - 4)(9))
+    assert(Mp3.parseMp3(f1 ++ f2).isEmpty)
+  }
+
   test("WAV golden fixture: hand-written RIFF/PCM bytes decode to the exact samples") {
     import graft.multimodal.Codecs
     val pcm = Array[Byte](0x01, 0x02, 0x03, 0x04) // 2 mono 16-bit frames
