@@ -556,6 +556,12 @@ object Jpeg {
           if (nf == 1 && (comps(0)._2 != 1 || comps(0)._3 != 1))
             return None // single-component streams are 1x1 by construction
           if (width <= 0 || height <= 0) return None
+          // allocation bound: per-component Int planes (and progressive
+          // coefficient buffers) scale with w·h — a crafted 65535×65535
+          // header would demand ~17 GB per plane before any entropy data
+          // is read. 2^26 pixels (64 Mpx, ~256 MB of plane per component)
+          // is far beyond any sane corpus image; strict → None above it.
+          if (width.toLong * height > (1L << 26)) return None
           hmax = comps.map(_._2).max
           vmax = comps.map(_._3).max
           mcusX = (width + 8 * hmax - 1) / (8 * hmax)

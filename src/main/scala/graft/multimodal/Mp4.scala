@@ -75,7 +75,11 @@ object Mp4 {
             if (be - bs < 12) return false
             val uniform = be32(bytes, bs + 4)
             val n = be32(bytes, bs + 8)
-            if (n < 0 || n > (be - bs)) return false // bound: entries fit
+            // allocation bound: uniform-size counts carry no entry table,
+            // so a crafted count could demand gigabytes — but n samples of
+            // ≥ 1 byte can never exceed the file itself
+            if (n < 0 || n > bytes.length) return false
+            if (uniform == 0 && n > (be - bs)) return false // entries must fit
             if (uniform != 0) sizes = Array.fill(n.toInt)(uniform.toInt)
             else {
               if (be - bs < 12 + 4 * n) return false

@@ -85,8 +85,14 @@ object Png {
     }
     if (p != bytes.length) return None // trailing bytes after IEND
     // zlib inflate of the concatenated IDAT stream; the output MUST be
-    // exactly height filtered scanlines of (1 + width·channels) bytes
+    // exactly height filtered scanlines of (1 + width·channels) bytes.
+    // ALLOCATION BOUND before trusting the header (a 16-byte file must
+    // not demand exabytes): DEFLATE expands at most 1032:1, so scanlines
+    // that could never come out of this IDAT reject up front.
     val stride = width * channels
+    val need = (1L + stride) * height
+    if (need > idat.size.toLong * 1032L + 256L || need > Int.MaxValue - 8)
+      return None
     val raw = new Array[Byte]((1 + stride) * height)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)

@@ -543,6 +543,63 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Mp3.parseMp3(f1 ++ f2).isEmpty)
   }
 
+  test("decoder fuzz + allocation bombs: mutations never escape the Option contract (round 10)") {
+    import graft.multimodal.{Jpeg, Png, Mp4, Mp3}
+    // crafted headers demanding huge allocations reject up front (a crawl
+    // pipeline meets these; an OOM would kill the executor, not a row)
+    val pngBomb = {
+      val ok = Png.encodePng(Array.fill[Byte](4)(1), 2, 2, 1)
+      // IHDR starts at 8 + 8; patch width/height to 2^30
+      val b = ok.clone()
+      b(16) = 0x40.toByte; b(17) = 0; b(18) = 0; b(19) = 0
+      b(20) = 0x40.toByte; b(21) = 0; b(22) = 0; b(23) = 0
+      b // CRC now wrong too, but the dimension bound must not even allocate
+    }
+    assert(Png.decodePng(pngBomb).isEmpty)
+    val jpgBomb = {
+      val ok = Jpeg.encodeJpegConstBlocks(Array(1.toByte), 1, 1)
+      val sof = ok.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
+      val b = ok.clone()
+      b(sof + 5) = 0xff.toByte; b(sof + 6) = 0xff.toByte // height 65535
+      b(sof + 7) = 0xff.toByte; b(sof + 8) = 0xff.toByte // width 65535
+      b
+    }
+    assert(Jpeg.decodeJpeg(jpgBomb).isEmpty)
+    val mp4Bomb = {
+      val ok = Mp4.encodeMp4(8, 8, 1000L, 1L, 1, 4, Array.fill[Byte](4)(1))
+      val stsz = ok.indexOfSlice("stsz".getBytes("US-ASCII"))
+      val b = ok.clone()
+      b(stsz + 4 + 8) = 0x7f.toByte // uniform sample count -> ~2^31
+      b(stsz + 4 + 9) = 0xff.toByte
+      b
+    }
+    assert(Mp4.parseMp4(mp4Bomb).isEmpty)
+    // seeded fuzz: byte flips, truncations, splices — decoders must
+    // return (Option) for every input, never throw or crash
+    val rnd = new scala.util.Random(20261408)
+    def fuzz(name: String, valid: Array[Byte], decode: Array[Byte] => Any): Unit =
+      (0 until 400).foreach { i =>
+        val b = valid.clone()
+        val mutated = rnd.nextInt(3) match {
+          case 0 => b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte; b
+          case 1 => b.take(rnd.nextInt(b.length))
+          case _ =>
+            val at = rnd.nextInt(b.length)
+            b.take(at) ++ Array.fill(rnd.nextInt(16) + 1)(rnd.nextInt(256).toByte) ++ b.drop(at)
+        }
+        try decode(mutated)
+        catch { case e: Throwable => fail(s"$name mutation $i escaped the contract: $e") }
+      }
+    val pay = Array.tabulate(12)(i => (i * 21 + 5).toByte)
+    fuzz("jpeg", Jpeg.encodeJpegConstBlocks(pay, 4, 3), Jpeg.decodeJpeg)
+    fuzz("jpeg-prog", Jpeg.encodeJpegProgressiveConstBlocks(pay, 4, 3), Jpeg.decodeJpeg)
+    fuzz("jpeg-rgb", Jpeg.encodeJpegConstBlocks420(
+      Array.fill[Byte](4)(9), Array(1.toByte), Array(2.toByte), 1, 1), Jpeg.decodeJpegRgb)
+    fuzz("png", Png.encodePng(pay ++ pay, 4, 6, 1), Png.decodePng)
+    fuzz("mp4", Mp4.encodeMp4(16, 16, 1000L, 5L, 3, 4, pay), Mp4.parseMp4)
+    fuzz("mp3", Mp3.encodeMp3(1, 3, 2, Array.fill[Byte](212)(7)), Mp3.parseMp3)
+  }
+
   test("WAV golden fixture: hand-written RIFF/PCM bytes decode to the exact samples") {
     import graft.multimodal.Codecs
     val pcm = Array[Byte](0x01, 0x02, 0x03, 0x04) // 2 mono 16-bit frames
