@@ -155,7 +155,10 @@ object Bench {
       if (acc == 42L) System.err.println("") // defeat dead-code elimination
       (System.nanoTime() - t0) / 1e9
     }
-    val mid = midSamples.map(d => f"$d%.2f").mkString("[", ",", "]")
+    // locale-independent: f"%.2f" renders a comma decimal under e.g. a
+    // German default locale, corrupting the JSON (round-10 review)
+    val mid = midSamples.map(d => (math.rint(d * 100) / 100).toString)
+      .mkString("[", ",", "]")
     val host = s"""{"loadavg_start":$loadavgStart,"loadavg_mid":$mid,"loadavg_end":$loadavg,"calib_sec":${calib()},"cpus":${Runtime.getRuntime.availableProcessors}}"""
     val json = s"""{"metric":"total","value":${tot(_.best)},"unit":"sec","total_cold":${tot(_.cold)},"total_median":${tot(_.median)},"prewarm_sec":$preTot,"prewarm":$pre,"host":$host,"queries":$qs,"cold":$cold,"median":$med,"cpu_ratio":$cpuRatios,"anomalies":$anomalies,"errors":$errs,"failed":$failed,"sf":"$sfDir"}"""
     println(json)

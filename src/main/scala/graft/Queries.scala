@@ -632,10 +632,12 @@ object Queries {
 
   private def annPqExact(spark: SparkSession, dir: String): DataFrame = {
     val idx = pqIndex(spark, dir)
+    // radii computed from THIS index's codes frame, which never appends
+    // (memoized per (session, dir)) — the staleness contract holds
     val radii = pqRadiiCache.get(spark, dir)(
       idx.cellRadii(tbl(spark, dir, "embeddings"), "vec_id", "embedding"))
-    idx.searchExact(qvec(spark, dir, 23), k = 10, radii,
-        tbl(spark, dir, "embeddings"), "vec_id", "embedding")
+    idx.searchExact(qvec(spark, dir, 23), k = 10,
+        tbl(spark, dir, "embeddings"), "vec_id", "embedding", radii = Some(radii))
       .orderBy(col("score").desc, col("id").asc)
   }
 

@@ -80,10 +80,20 @@ object Mp4 {
             // ≥ 1 byte can never exceed the file itself
             if (n < 0 || n > bytes.length) return false
             if (uniform == 0 && n > (be - bs)) return false // entries must fit
-            if (uniform != 0) sizes = Array.fill(n.toInt)(uniform.toInt)
-            else {
+            // sizes are unsigned 32-bit on disk; anything not fitting the
+            // FILE is structurally bogus — and a value ≥ 2^31 narrowed to
+            // Int would go negative and make the total-vs-mdat check pass
+            // vacuously (round-10 review)
+            if (uniform != 0) {
+              if (uniform > bytes.length) return false
+              sizes = Array.fill(n.toInt)(uniform.toInt)
+            } else {
               if (be - bs < 12 + 4 * n) return false
-              sizes = Array.tabulate(n.toInt)(j => be32(bytes, bs + 12 + 4 * j).toInt)
+              sizes = Array.tabulate(n.toInt) { j =>
+                val v = be32(bytes, bs + 12 + 4 * j)
+                if (v > bytes.length) return false
+                v.toInt
+              }
             }
             true
           case "stco" =>

@@ -88,11 +88,14 @@ object Png {
     // exactly height filtered scanlines of (1 + width·channels) bytes.
     // ALLOCATION BOUND before trusting the header (a 16-byte file must
     // not demand exabytes): DEFLATE expands at most 1032:1, so scanlines
-    // that could never come out of this IDAT reject up front.
-    val stride = width * channels
-    val need = (1L + stride) * height
+    // that could never come out of this IDAT reject up front. All size
+    // math in Long FIRST — width·channels at Int width 1431655766×3
+    // would wrap positive and sneak past the bound (round-10 review).
+    val strideL = width.toLong * channels
+    val need = (1L + strideL) * height
     if (need > idat.size.toLong * 1032L + 256L || need > Int.MaxValue - 8)
       return None
+    val stride = strideL.toInt
     val raw = new Array[Byte]((1 + stride) * height)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
@@ -100,7 +103,10 @@ object Png {
     try {
       while (off < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, off, raw.length - off)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // needsDictionary: zlib FDICT — forbidden in PNG (RFC 2083 §2.2)
+        // and inflate would otherwise return 0 forever without needing
+        // input: an infinite loop, not a None (round-10 review)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
         off += n
       }
       if (off != raw.length) return None

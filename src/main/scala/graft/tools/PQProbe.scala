@@ -33,9 +33,9 @@ object PQProbe {
       for (qid <- Seq(3L, 17L, 99L, 256L, 441L)) qv(qid) match {
         case None => println(s"[pqprobe] qid=$qid absent from $sfDir — skipped")
         case Some(q) =>
-          val cand = idx.exactCandidateCount(q, 10, radii)
+          val cand = idx.exactCandidateCount(q, 10, Some(radii))
           val t1 = System.nanoTime()
-          idx.searchExact(q, 10, radii, emb, "vec_id", "embedding").collect()
+          idx.searchExact(q, 10, emb, "vec_id", "embedding", Some(radii)).collect()
           val sec = (System.nanoTime() - t1) / 1e9
           println(f"[pqprobe] $name qid=$qid cand=$cand (${100.0 * cand / n}%.1f%%) exact=$sec%.2f s")
       }
@@ -61,7 +61,7 @@ object PQProbe {
       val radii = idx.cellRadii(emb2, "vec_id", "embedding")
       for (qid <- Seq(3L, 17L, 99L)) {
         val q = rows(qid.toInt)._2.toArray
-        val cand = idx.exactCandidateCount(q, 10, radii)
+        val cand = idx.exactCandidateCount(q, 10, Some(radii))
         println(f"[pqprobe] clustered(20,σ=0.05) qid=$qid cand=$cand (${100.0 * cand / n}%.1f%%)")
       }
       idx.dispose()

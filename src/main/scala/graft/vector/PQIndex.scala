@@ -93,18 +93,25 @@ final class PQIndex(val codes: DataFrame,
         graft.expr.VectorExpr.squaredL2(
           slice(col("__qv"), col("s") * subDim + 1, lit(subDim)),
           col("centroid")).as("d2"))
-    val codesExp = codes.select(col("id"),
-      (posexplode(col("codes"))).as(Seq("s", "code")))
     val dist = among match {
       case Some(cand) =>
         val pairs = cand.select(col(cand.columns(0)).cast("long").as("qid"),
           col(cand.columns(1)).cast("long").as("id"))
-        codesExp.join(pairs.hint("shuffle_hash"), Seq("id"))
+        // restrict BEFORE the explode: semi-join the un-exploded codes
+        // frame (one row per id) against the candidate ids, so the m-way
+        // fan-out and its shuffle touch only candidate rows — with a 10%
+        // probe the explode stage shrinks 10× (round-10 review)
+        val restricted = codes
+          .join(pairs.select(col("id")).distinct().hint("shuffle_hash"),
+            Seq("id"), "left_semi")
+          .select(col("id"), (posexplode(col("codes"))).as(Seq("s", "code")))
+        restricted.join(pairs.hint("shuffle_hash"), Seq("id"))
           .join(qd.hint("shuffle_hash"), Seq("qid", "s", "code"))
           .groupBy(col("qid"), col("id"))
           .agg(sum(col("d2")).as("dist"))
       case None =>
-        codesExp.join(qd.hint("shuffle_hash"), Seq("s", "code"))
+        codes.select(col("id"), (posexplode(col("codes"))).as(Seq("s", "code")))
+          .join(qd.hint("shuffle_hash"), Seq("s", "code"))
           .groupBy(col("qid"), col("id"))
           .agg(sum(col("d2")).as("dist"))
     }
@@ -117,8 +124,15 @@ final class PQIndex(val codes: DataFrame,
   /** Per-(subspace, code) quantization-CELL RADIUS: max over assigned rows
     * of ‖x_s − c_{s,code}‖, computed in ONE distributed pass (codes ⋈
     * vectors, map-side-combined max) and collected as a codebook-sized
-    * driver table (m × |book| doubles — never corpus-sized). The bound
-    * input for [[searchExact]]; cells no row maps to keep radius 0. */
+    * driver table (m × |book| doubles — never corpus-sized). Optional
+    * SHARPENER for [[searchExact]]; cells no row maps to keep radius 0.
+    * STALENESS CONTRACT (round-10 review): radii are valid only for the
+    * codes frame they were computed from — an [[append]] can place a new
+    * row farther from its centroid than the recorded cell max, and a
+    * stale radius would then WRONGLY prune it (the bound must over-,
+    * never under-estimate). After append, either recompute or pass
+    * radii = None: the per-row `err` bound alone is always valid
+    * (it travels with every encoded row, appends included). */
   def cellRadii(vectors: DataFrame, idCol: String, vecCol: String): Array[Array[Double]] = {
     val spark = codes.sparkSession
     import spark.implicits._
@@ -170,27 +184,32 @@ final class PQIndex(val codes: DataFrame,
     * the intersection of valid bounds is valid, so exactness needs no
     * further argument. */
   private def exactBounds(query: Array[Double],
-                          radii: Array[Array[Double]]): DataFrame = {
+                          radii: Option[Array[Array[Double]]]): DataFrame = {
     val tables = adcTables(query)
-    def boundTable(f: (Double, Double) => Double): Array[Array[Double]] =
-      Array.tabulate(m)(s => Array.tabulate(tables(s).length) { j =>
-        val b = f(math.sqrt(tables(s)(j)), radii(s)(j)); b * b
-      })
     def tcol(t: Array[Array[Double]]): Column =
       array(t.map(ts => array(ts.map(lit): _*)): _*)
     def lookupSum(t: Column): Column = (0 until m).map(s =>
       element_at(element_at(t, s + 1), element_at(col("codes"), s + 1) + 1))
       .reduce(_ + _)
     val ad = sqrt(lookupSum(tcol(tables))) // √d̂ = ‖q − c(x)‖
-    codes.select(col("id"),
-      greatest(lookupSum(tcol(boundTable((a, r) => math.max(0.0, a - r)))),
-        pow(greatest(lit(0.0), ad - col("err")), lit(2.0))).as("dlo"),
-      least(lookupSum(tcol(boundTable((a, r) => a + r))),
-        pow(ad + col("err"), lit(2.0))).as("dhi"))
+    val loRow = pow(greatest(lit(0.0), ad - col("err")), lit(2.0))
+    val hiRow = pow(ad + col("err"), lit(2.0))
+    val (lo, hi) = radii match {
+      case Some(rad) =>
+        def boundTable(f: (Double, Double) => Double): Array[Array[Double]] =
+          Array.tabulate(m)(s => Array.tabulate(tables(s).length) { j =>
+            val b = f(math.sqrt(tables(s)(j)), rad(s)(j)); b * b
+          })
+        (greatest(lookupSum(tcol(boundTable((a, r) => math.max(0.0, a - r)))), loRow),
+         least(lookupSum(tcol(boundTable((a, r) => a + r))), hiRow))
+      case None => (loRow, hiRow)
+    }
+    codes.select(col("id"), lo.as("dlo"), hi.as("dhi"))
   }
 
-  def searchExact(query: Array[Double], k: Int, radii: Array[Array[Double]],
-                  vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  def searchExact(query: Array[Double], k: Int,
+                  vectors: DataFrame, idCol: String, vecCol: String,
+                  radii: Option[Array[Array[Double]]] = None): DataFrame = {
     import graft.functions.VectorFunctions
     val bounds = exactBounds(query, radii)
     // k-th smallest upper bound: bounded-heap reduction, one O(k) scalar
@@ -214,7 +233,7 @@ final class PQIndex(val codes: DataFrame,
   /** Pass-1 survivor count for [[searchExact]]'s bound — the pruning
     * diagnostic (spec + SCALE): how many rows the float rerank touches. */
   def exactCandidateCount(query: Array[Double], k: Int,
-                          radii: Array[Array[Double]]): Long = {
+                          radii: Option[Array[Array[Double]]] = None): Long = {
     val bounds = exactBounds(query, radii)
     val t0row = bounds.select(col("dhi")).orderBy(col("dhi").asc).limit(k)
       .agg(max(col("dhi"))).head()
@@ -361,7 +380,15 @@ object PQIndex {
     val codebooks = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, cs) =>
       cs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
     }.toArray
-    val codes = spark.read.parquet(s"$path/codes").persist(StorageLevel.MEMORY_AND_DISK)
+    val raw = spark.read.parquet(s"$path/codes")
+    // codes persisted before the round-10 `err` column lack it; +∞ keeps
+    // every searchExact bound VALID (the row bracket degrades to vacuous
+    // and the cell-radius bracket carries the proof) instead of failing
+    // at first use with an unresolved column (round-10 review)
+    val compat =
+      if (raw.columns.contains("err")) raw
+      else raw.withColumn("err", lit(Double.PositiveInfinity))
+    val codes = compat.persist(StorageLevel.MEMORY_AND_DISK)
     new PQIndex(codes, codebooks, dim, Seq(codes))
   }
 }

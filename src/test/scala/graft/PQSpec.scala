@@ -94,14 +94,60 @@ class PQSpec extends AnyFunSuite {
       val exact = ExactKNN.topK(emb, "vec_id", "embedding", qv, 10)
         .select(col("id"), round(col("score"), 4).as("score"))
         .collect().map(r => (r.getLong(0), r.getDouble(1)))
-      val got = idx.searchExact(qv, 10, rad, emb, "vec_id", "embedding")
+      val got = idx.searchExact(qv, 10, emb, "vec_id", "embedding", Some(rad))
         .collect().map(r => (r.getLong(0), r.getDouble(1)))
       assert(got.sameElements(exact), s"qid=$qid: $got != exact ${exact.toSeq}")
     }
     // (3) the bound actually prunes: the rerank touches < the corpus
     val n = emb.count()
-    val cand = pq.exactCandidateCount(q, 10, radii)
+    val cand = pq.exactCandidateCount(q, 10, Some(radii))
     assert(cand < n, s"pass-1 survivors $cand == corpus $n — no pruning")
+  }
+
+  test("searchExact after append: the row-error bound (radii = None) stays exact (round-10 review)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // append vectors far from any trained centroid — exactly the rows a
+    // STALE cell-radius table could wrongly prune (its maxes predate them)
+    val far = (9000L until 9005L).map(i =>
+      i -> Seq.tabulate(64)(j => 10.0 + (i % 7) + j * 0.01))
+    val appended = pq.append(far.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val all = emb.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .unionByName(far.toDF("vec_id", "embedding"))
+    // query NEAR the appended cluster: its true top-k is dominated by the
+    // appended rows, so under-estimating their bounds would drop them
+    val q = Array.tabulate(64)(j => 10.0 + j * 0.01)
+    val exact = ExactKNN.topK(all, "vec_id", "embedding", q, 5)
+      .collect().map(_.getLong(0))
+    val got = appended.searchExact(q, 5, all, "vec_id", "embedding")
+      .collect().map(_.getLong(0))
+    assert(got.sameElements(exact), s"${got.toSeq} != ${exact.toSeq}")
+    assert(got.forall(_ >= 9000L)) // the appended rows ARE the answer
+    appended.dispose()
+  }
+
+  test("load of a pre-err codes frame degrades the row bound to vacuous, stays exact (round-10 review)") {
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files.createTempDirectory("graftpqold").toString
+    PQIndex.save(pq, path)
+    // simulate an old artifact: rewrite codes WITHOUT the err column
+    val stripped = spark.read.parquet(s"$path/codes").drop("err")
+    stripped.write.mode("overwrite").parquet(s"$path/codes2")
+    val fs = new java.io.File(s"$path/codes")
+    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles.foreach(rm); f.delete() }
+    rm(fs)
+    new java.io.File(s"$path/codes2").renameTo(fs)
+    val loaded = PQIndex.load(spark, path)
+    assert(!spark.read.parquet(s"$path/codes").columns.contains("err"))
+    val qv = queryVec(23)
+    val exact = ExactKNN.topK(emb, "vec_id", "embedding", qv, 5)
+      .collect().map(_.getLong(0))
+    // radii alone carry the proof; the +inf err bound must not break it
+    val rad = loaded.cellRadii(emb, "vec_id", "embedding")
+    val got = loaded.searchExact(qv, 5, emb, "vec_id", "embedding", Some(rad))
+      .collect().map(_.getLong(0))
+    assert(got.sameElements(exact))
   }
 
   test("searchBatch: the distributed ADC join matches the per-query driver-table path") {
