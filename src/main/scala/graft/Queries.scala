@@ -2427,6 +2427,30 @@ object Queries {
     graft.multimodal.Multimodal.jpegFeatures(jpegAssets(spark, dir))
       .toDF().orderBy(col("id"))
 
+  /** DECODE-ON-INGEST (round 10): the batch JPEG gate's exact pipeline —
+    * md5-chain payload → real entropy encode → full baseline decode →
+    * pixel fingerprint — run INSIDE a streaming query over the paced
+    * documents source. Stateless append mode (per-row pure function ⇒
+    * batch slicing cannot change the result set), so the gate shares
+    * multimodal_jpeg_decode's oracle verbatim: streaming ingest provably
+    * preserves the media tier, the way streaming_ingest_hybrid pins the
+    * vector/text tier. */
+  private def streamingMediaDecode(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingGates.streamDocsTransform(spark, dir) { sdf =>
+      import sdf.sparkSession.implicits._
+      val bwC = (lit(1) + col("doc_id") % 4).cast("int")
+      val bhC = (lit(1) + col("doc_id") % 3).cast("int")
+      val src = sdf.where(col("doc_id") < 50)
+        .select(col("doc_id"), bwC.as("bw"), bhC.as("bh"),
+          unhex(md5Chain("jpg", 1).substr(lit(1), (bwC * bhC * 2).cast("int"))).as("payload"))
+        .as[(Long, Int, Int, Array[Byte])]
+      graft.multimodal.Multimodal.jpegFeatures(
+        src.mapPartitions(_.map { case (id, bw, bh, payload) =>
+          graft.multimodal.Multimodal.Asset(id, "image",
+            graft.multimodal.Jpeg.encodeJpegConstBlocks(payload, bw, bh), 0, 0)
+        })).toDF()
+    }.orderBy(col("id"))
+
   /** The SAME payloads encoded WITH restart intervals (DRI + RSTn every 2
     * MCUs: byte-aligned segments, cycling markers, DC predictors reset) —
     * decode output is identical by construction, so the gate shares
@@ -2971,6 +2995,7 @@ object Queries {
     "multimodal_jpeg_decode" -> Q(multimodalJpegDecode, Some(jpegDecodeSql)),
     "multimodal_jpeg_restart" -> Q(multimodalJpegRestart, Some(jpegDecodeSql)),
     "multimodal_jpeg_progressive" -> Q(multimodalJpegProgressive, Some(jpegDecodeSql)),
+    "streaming_media_decode" -> Q(streamingMediaDecode, Some(jpegDecodeSql)),
     "multimodal_jpeg_color" -> Q(multimodalJpegColor, Some(
       // per block b: (y, cb, cr) = payload bytes 3b..3b+2; RGB = JFIF
       // conversion with floor(x+0.5) + clamp; every pixel of block

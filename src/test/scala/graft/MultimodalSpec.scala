@@ -355,6 +355,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!img2.pixels.sameElements(img.pixels))
   }
 
+  test("JPEG 4:2:2 golden fixture: hand-assembled subsampled MCU decodes to the exact pixels") {
+    import graft.multimodal.Jpeg
+    // 16x8, Y sampled 2x1 (one MCU: Y0, Y1, Cb, Cr) — hand-coded DC-only
+    // entropy: Y0=130 (dc 16, cat5: 110+10000), Y1=120 (diff -80, cat7:
+    // 11110+0101111), Cb=144 (dc 128, cat8: 111110+10000000), Cr=112
+    // (dc -128, cat8: 111110+01111111), EOB 1010 after each = 64 bits
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    u8(0xff); u8(0xd8)
+    u8(0xff); u8(0xdb); u16(67); u8(0x00)
+    (0 until 64).foreach(_ => u8(1))
+    u8(0xff); u8(0xc0); u16(8 + 9) // SOF0: Y 2x1, Cb/Cr 1x1
+    u8(8); u16(8); u16(16); u8(3)
+    u8(1); u8(0x21); u8(0)
+    u8(2); u8(0x11); u8(0)
+    u8(3); u8(0x11); u8(0)
+    u8(0xff); u8(0xc4); u16(2 + 17 + Jpeg.stdDcVals.length); u8(0x00)
+    Jpeg.stdDcBits.foreach(u8(_)); Jpeg.stdDcVals.foreach(u8(_))
+    u8(0xff); u8(0xc4); u16(2 + 17 + Jpeg.stdAcVals.length); u8(0x10)
+    Jpeg.stdAcBits.foreach(u8(_)); Jpeg.stdAcVals.foreach(u8(_))
+    u8(0xff); u8(0xda); u16(6 + 2 * 3)
+    u8(3); (1 to 3).foreach { cid => u8(cid); u8(0x00) }
+    u8(0); u8(63); u8(0)
+    Seq(0xd0, 0xaf, 0x2f, 0xaf, 0xa0, 0x2b, 0xe7, 0xfa).foreach(u8)
+    u8(0xff); u8(0xd9)
+    val img = Jpeg.decodeJpegRgb(out.toByteArray).get
+    assert(img.width == 16 && img.height == 8)
+    def cl(v: Double) = math.max(0, math.min(255, math.floor(v + 0.5).toInt))
+    for (py <- 0 until 8; px <- 0 until 16) {
+      val yy = if (px < 8) 130 else 120
+      val (cbb, crr) = (144, 112)
+      val i = 3 * (py * 16 + px)
+      assert((img.pixels(i) & 0xff) == cl(yy + 1.402 * (crr - 128)), s"R($px,$py)")
+      assert((img.pixels(i + 1) & 0xff) ==
+        cl(yy - 0.344136 * (cbb - 128) - 0.714136 * (crr - 128)), s"G($px,$py)")
+      assert((img.pixels(i + 2) & 0xff) == cl(yy + 1.772 * (cbb - 128)), s"B($px,$py)")
+    }
+  }
+
   test("JPEG progressive 4:2:0: own-grid AC scans vs MCU-padded DC grid decode exactly") {
     import graft.multimodal.Jpeg
     // 24x24: the luma own grid (3x3 blocks) is a STRICT subset of the
