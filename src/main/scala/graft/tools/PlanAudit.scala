@@ -1,0 +1,31 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan audit for SCALE.md (round 10): counts the join/exchange
+  * node kinds in the round's new plans, so "no corpus×batch cartesian"
+  * claims are measured from the executed plan, not asserted. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def audit(name: String): Unit = {
+      val plan = graft.Queries.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      def n(k: String): Int = k.r.findAllIn(plan).length
+      println(s"[planaudit] $name cartesian=${n("CartesianProduct")} " +
+        s"bnlj=${n("BroadcastNestedLoopJoin")} bhj=${n("BroadcastHashJoin")} " +
+        s"smj=${n("SortMergeJoin")} shj=${n("ShuffledHashJoin")} " +
+        s"exchange=${n("Exchange")} generate=${n("Generate")}")
+    }
+    Seq("hybrid_batch_probe", "hybrid_batch", "hybrid_batch_filtered",
+      "ann_pq_exact", "ann_pq_batch", "knn_batch_sq8").foreach(audit)
+    spark.stop()
+  }
+}
