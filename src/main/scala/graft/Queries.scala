@@ -630,6 +630,26 @@ object Queries {
   private val pqRadiiCache =
     new Memo[Array[Array[Double]]](memoMax, "pqRadiiCache")(_ => ())
 
+  /** RESIDUAL PQ (round 10): the construction faiss.IndexIVFPQ actually
+    * uses — vectors PQ-encoded as residuals against the IVF coarse
+    * quantizer (strictly less quantization error wherever the coarse
+    * quantizer captures structure; measured in ResidualPQSpec/SCALE.md).
+    * The gate runs the EXACT rung: the stored per-row reconstruction
+    * error brackets the true distance, so the result shares the exact-KNN
+    * oracle BY PROOF like ann_pq_exact/ann_sq8 — no new oracle SQL. */
+  private val residualPqCache =
+    new Memo[graft.vector.ResidualPQ](memoMax, "residualPqCache")(_.dispose())
+
+  private def residualPq(spark: SparkSession, dir: String): graft.vector.ResidualPQ =
+    residualPqCache.get(spark, dir)(
+      graft.vector.ResidualPQ.build(ivfIndex(spark, dir), dim = 64, m = 8))
+
+  private def annPqResidualExact(spark: SparkSession, dir: String): DataFrame =
+    residualPq(spark, dir)
+      .searchExact(qvec(spark, dir, 29), k = 10,
+        tbl(spark, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy(col("score").desc, col("id").asc)
+
   private def annPqExact(spark: SparkSession, dir: String): DataFrame = {
     val idx = pqIndex(spark, dir)
     // radii computed from THIS index's codes frame, which never appends
@@ -2746,6 +2766,7 @@ object Queries {
     "knn_batch_sq8_cosine" -> Q(knnBatchSq8Cosine, Some(knnBatchCosineSqlFor("11, 12, 13", 5))),
     "ann_graph_cosine" -> Q(annGraphCosine, Some(knnBatchCosineSqlFor("11, 12, 13", 5))),
     "ann_pq_exact" -> Q(annPqExact, Some(knnSql(23, 10))),
+    "ann_pq_residual_exact" -> Q(annPqResidualExact, Some(knnSql(29, 10))),
     "ann_pq" -> Q(annPq, Some(
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |a AS (SELECT vec_id AS aid, emb AS aemb FROM v WHERE vec_id < 16),

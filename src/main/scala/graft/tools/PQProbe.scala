@@ -64,6 +64,18 @@ object PQProbe {
         val cand = idx.exactCandidateCount(q, 10, Some(radii))
         println(f"[pqprobe] clustered(20,σ=0.05) qid=$qid cand=$cand (${100.0 * cand / n}%.1f%%)")
       }
+      // residual encoding vs raw PQ at the same byte cost (round 10)
+      val civf = graft.vector.IVFIndex.build(emb2, "vec_id", "embedding", nlist = 20)
+      val res = graft.vector.ResidualPQ.build(civf, dim = 64, m = 16)
+      val rawErr2 = idx.codes.agg(avg(pow(col("err"), lit(2.0)))).head().getDouble(0)
+      println(f"[pqprobe] clustered err2: raw=$rawErr2%.5f residual=${res.meanErr2}%.5f " +
+        f"(x${rawErr2 / res.meanErr2}%.1f smaller)")
+      for (qid <- Seq(3L, 17L, 99L)) {
+        val q = rows(qid.toInt)._2.toArray
+        val cand = res.exactCandidateCount(q, 10)
+        println(f"[pqprobe] clustered residual qid=$qid cand=$cand (${100.0 * cand / n}%.1f%%)")
+      }
+      res.dispose(); civf.dispose()
       idx.dispose()
     }
     spark.stop()

@@ -638,6 +638,9 @@ class MultimodalSpec extends AnyFunSuite {
     fuzz("png", Png.encodePng(pay ++ pay, 4, 6, 1), Png.decodePng)
     fuzz("mp4", Mp4.encodeMp4(16, 16, 1000L, 5L, 3, 4, pay), Mp4.parseMp4)
     fuzz("mp3", Mp3.encodeMp3(1, 3, 2, Array.fill[Byte](212)(7)), Mp3.parseMp3)
+    import graft.multimodal.Codecs
+    fuzz("ppm", Codecs.encodePpm(pay, 2, 2), Codecs.decodePpm)
+    fuzz("wav", Codecs.encodeWav(pay ++ pay, 2, 8000, 16), Codecs.decodeWav)
   }
 
   test("WAV golden fixture: hand-written RIFF/PCM bytes decode to the exact samples") {
