@@ -35,10 +35,32 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Token n-gram array (0-based window over the token array). */
+  /** Token n-gram array (0-based window over the token array). Documents
+    * with fewer than n tokens yield an EMPTY array — without the guard,
+    * `sequence(0, size−n)` with size < n produces a DESCENDING index run
+    * (Spark defaults the step to −1 when start > stop) and concat_ws
+    * silently drops the null out-of-range lookups, emitting spurious
+    * partial grams (round-10 review; a 1-token doc at n = 3 produced
+    * three copies of its lone token). */
   def ngrams(toksCol: Column, n: Int): Column =
-    transform(sequence(lit(0), size(toksCol) - n),
-      i => concat_ws(" ", (0 until n).map(j => get(toksCol, i + lit(j))): _*))
+    when(size(toksCol) >= n,
+      transform(sequence(lit(0), size(toksCol) - n),
+        i => concat_ws(" ", (0 until n).map(j => get(toksCol, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Fallback-path hygiene (round-10 review): the per-call persisted
+    * helper frames (bands/signatures built when the caller passes no
+    * memoized frame) previously leaked until JVM exit — persist for the
+    * multi-consumption, FORCE the (pairs-sized) result, release the
+    * helpers, hand the caller a persisted result it can unpersist
+    * normally. Only the no-memo fallback pays the eager materialization;
+    * the memoized gate paths are untouched. */
+  private def eagerRelease(result: DataFrame, tmp: DataFrame*): DataFrame = {
+    val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    tmp.foreach(_.unpersist(blocking = false))
+    out
+  }
 
   /** (id, gram) — distinct token n-gram shingles per document.
     *
@@ -137,7 +159,16 @@ object Dedup {
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
           .orderBy(col("df").asc, col("gram").asc)))
-      .where(col("__rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      // keep rn ≤ sz − ⌈t·sz⌉ + 1, stated WITHOUT ceil (m = ⌈t·sz⌉ ≤ K
+      // for integer K ⟺ t·sz ≤ K) plus a relative epsilon that can only
+      // LENGTHEN the prefix: ceil(fl(t·sz)) overshoots the rational
+      // ceiling when the double product rounds up across an integer
+      // (t = 0.55, sz = 100 → ceil(55.000000000000007) = 56), silently
+      // shortening the prefix and DROPPING true boundary pairs from the
+      // advertised-EXACT join (round-10 review; spec-pinned). An
+      // over-long prefix only adds candidates — exactness is one-sided.
+      .where(lit(threshold) * col("sz") <=
+        col("sz") + lit(1.0) - col("__rn") + lit(1e-9) * (col("sz") + lit(1.0)))
       .select(col("id"), col("gram"))
 
   /** Corpus-side reusable state for INCREMENTAL near-dup joins — the
@@ -251,8 +282,15 @@ object Dedup {
         size(col("ga")).cast("double").as("sza"),
         size(col("gb")).cast("double").as("szb"),
         col("ga"), col("gb"))
-      .where(col("sza") >= lit(threshold) * col("szb") &&
-             col("szb") >= lit(threshold) * col("sza"))
+      // length-ratio prefilter via DIVISION, not multiplication: the
+      // final test is `jac >= t` with jac a correctly-rounded division,
+      // and fl is monotone, so jac ≥ t ⟹ fl(min/max) ≥ fl(jac) ≥ t —
+      // whereas `sza >= fl(t·szb)` drops exact-boundary pairs when the
+      // product rounds up (t = 0.55, |A| = 55 ⊆ |B| = 100: jac = 0.55
+      // passes the final test but 55 < 55.000000000000007 killed the
+      // pair before the walk; round-10 review, spec-pinned)
+      .where(col("sza") / col("szb") >= lit(threshold) &&
+             col("szb") / col("sza") >= lit(threshold))
       .select(col("a"), col("b"), col("sza"), col("szb"), inter.as("inter"))
       .where(jac >= threshold)
       .select(col("a"), col("b"), round(jac, 4).as("jac"))
@@ -331,13 +369,19 @@ object Dedup {
     // frames when running repeated queries over one collection (the bands
     // self-join consumes its input twice)
     val sh = shingleFrame.getOrElse(shingles(docs, idCol, textCol, n))
-    val bands0 = bandsFrame.getOrElse(lshBands64(minhashSignatures64(sh, numHashes), rowsPerBand))
+    // persisted like the md5 twin: the guard's groupBy plus BOTH self-join
+    // sides consume bands — the unpersisted fallback re-ran the seed
+    // crossJoin + signature aggregation ~3× per call (round-10 review)
+    val bands0 = bandsFrame.getOrElse(
+      lshBands64(minhashSignatures64(sh, numHashes), rowsPerBand)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val bands = bucketGuard(bands0, Seq("band", "bh"), maxBucket)
     val cand = bands.as("l")
       .join(bands.as("r"), col("l.band") === col("r.band") && col("l.bh") === col("r.bh")
         && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
-    verifiedJaccard(cand, gramSetsFrame.getOrElse(docGramSets(sh)), threshold)
+    val res = verifiedJaccard(cand, gramSetsFrame.getOrElse(docGramSets(sh)), threshold)
+    if (bandsFrame.isEmpty) eagerRelease(res, bands0) else res
   }
 
   /** MinHash+LSH near-dup: signatures → bands → bucket-collision candidates
@@ -369,7 +413,8 @@ object Dedup {
       .join(bands.as("r"), col("l.band") === col("r.band") && col("l.bh") === col("r.bh")
         && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
-    verifiedJaccard(cand, gramSetsFrame.getOrElse(docGramSets(sh)), threshold)
+    val res = verifiedJaccard(cand, gramSetsFrame.getOrElse(docGramSets(sh)), threshold)
+    if (bandsFrame.isEmpty) eagerRelease(res, bands0) else res
   }
 
   /** SimHash width in bits; 64 bits = first 16 md5 nibbles × 4 bits each.
@@ -444,10 +489,11 @@ object Dedup {
         && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("l.sim64").as("sa"),
         col("r.id").as("b"), col("r.sim64").as("sb")).distinct()
-    cand.select(col("a"), col("b"),
+    val res = cand.select(col("a"), col("b"),
         bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .orderBy(col("hamming").asc, col("a").asc, col("b").asc)
+    if (simFrame.isEmpty) eagerRelease(res, sim) else res
   }
 
   /** Embedding-cosine near-dup pairs (a < b, cos ≥ threshold), EXACT, as a

@@ -26,7 +26,17 @@ object BM25 {
 
   final case class Params(k1: Double = 1.5, b: Double = 0.75, epsilon: Double = 0.25)
 
-  /** `str.split()`-compatible tokenizer: whitespace runs, no empties. */
+  /** `str.split()`-compatible tokenizer: whitespace runs, no empties.
+    * SCOPE NOTE (round-10 review): "whitespace" here is ASCII `\s`
+    * ([ \t\n\x0B\f\r]) — Python's argless split additionally breaks on
+    * Unicode spaces (NBSP, thin space, \x1c–\x1f …), so documents
+    * containing those tokenize differently from rank_bm25. This is a
+    * DELIBERATE choice, not an oversight: the DuckDB oracle's RE2 `\s`
+    * is ASCII-only too, so Spark and the oracle agree with each other on
+    * every corpus, and switching either side to Unicode-aware splitting
+    * would break that parity. A deployment needing Python-identical
+    * tokenization swaps the pattern for `(?U)\s+` here AND accepts the
+    * oracle divergence on non-ASCII whitespace. */
   def tokenize(c: Column): Column =
     filter(split(trim(c), "\\s+"), t => length(t) > lit(0))
 

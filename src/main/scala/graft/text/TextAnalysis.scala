@@ -28,6 +28,26 @@ object TextAnalysis {
   private def hits(t: Column, words: Seq[String]): Column =
     size(filter(t, w => w.isin(words: _*)))
 
+  // ONE definition each for the language vote and the quality composite,
+  // shared by the single-feature ops AND the fused [[features]] projection
+  // (round-10 review: the formulas were duplicated verbatim, the exact
+  // divergence hazard funnelKeep's doc warns about — a threshold tweak
+  // reaching only one copy would silently break the shared-oracle claim).
+  private def langVote(en: Column, de: Column, fr: Column): Column =
+    when(en >= greatest(de, fr), "en").when(de >= fr, "de").otherwise("fr")
+
+  // floor(x·1e4 + 0.5)/1e4 instead of round(): the composite lands on
+  // exact .5 boundaries at 4 dp (small-rational inputs), where Spark's
+  // decimal-string HALF_UP and an external engine's binary-double
+  // rounding disagree; this form is pure double math, bit-identical
+  // in any engine.
+  private def qualityComposite(nTok: Column, stopRatio: Column,
+                               avgWlen: Column): Column =
+    floor((
+      lit(0.4) * least(lit(1.0), nTok / 50.0) +
+      lit(0.3) * least(lit(1.0), stopRatio * 5.0) +
+      lit(0.3) * least(lit(1.0), avgWlen / 5.0)) * 10000.0 + 0.5) / 10000.0
+
   /** Language ID by stopword-profile vote: count tokens in each language's
     * stopword set; predict the best-scoring language with a deterministic
     * en > de > fr preference on ties. Output: (id, pred_lang, en_ratio). */
@@ -36,7 +56,7 @@ object TextAnalysis {
     val (en, de, fr) = (hits(t, stopwords("en")), hits(t, stopwords("de")), hits(t, stopwords("fr")))
     docs.select(
       col(idCol).as("id"),
-      when(en >= greatest(de, fr), "en").when(de >= fr, "de").otherwise("fr").as("pred_lang"),
+      langVote(en, de, fr).as("pred_lang"),
       round(en.cast("double") / size(t), 4).as("en_ratio"))
   }
 
@@ -55,15 +75,7 @@ object TextAnalysis {
       nTok.cast("long").as("n_tok"),
       round(stopRatio, 4).as("stop_ratio"),
       round(avgWlen, 4).as("avg_wlen"),
-      // floor(x·1e4 + 0.5)/1e4 instead of round(): the composite lands on
-      // exact .5 boundaries at 4 dp (small-rational inputs), where Spark's
-      // decimal-string HALF_UP and an external engine's binary-double
-      // rounding disagree; this form is pure double math, bit-identical
-      // in any engine.
-      (floor((
-        lit(0.4) * least(lit(1.0), nTok / 50.0) +
-        lit(0.3) * least(lit(1.0), stopRatio * 5.0) +
-        lit(0.3) * least(lit(1.0), avgWlen / 5.0)) * 10000.0 + 0.5) / 10000.0).as("quality"))
+      qualityComposite(nTok, stopRatio, avgWlen).as("quality"))
   }
 
   /** ALL per-doc text features in ONE projection — language vote + quality
@@ -80,12 +92,9 @@ object TextAnalysis {
     val avgWlen = length(regexp_replace(col(textCol), "\\s+", "")).cast("double") / nTok
     docs.select(
       col(idCol).as("id"),
-      when(en >= greatest(de, fr), "en").when(de >= fr, "de").otherwise("fr").as("pred_lang"),
+      langVote(en, de, fr).as("pred_lang"),
       nTok.cast("long").as("n_tok"),
-      (floor((
-        lit(0.4) * least(lit(1.0), nTok / 50.0) +
-        lit(0.3) * least(lit(1.0), stopRatio * 5.0) +
-        lit(0.3) * least(lit(1.0), avgWlen / 5.0)) * 10000.0 + 0.5) / 10000.0).as("quality"))
+      qualityComposite(nTok, stopRatio, avgWlen).as("quality"))
   }
 
   /** BPE-ish subword pattern: letter runs, digit runs, single other symbols.

@@ -118,6 +118,12 @@ final class GraphIndex(val edges: DataFrame, val vectors: DataFrame,
     // materialized partitions, the standard Spark iterative-algorithm
     // discipline (GraphFrames/Pregel do the same).
     var pool: DataFrame = null
+    // a caller-TRUNCATED coverage walk (maxHops > 0) is not memoized, so
+    // its per-round checkpointed segments must be freed once the final
+    // result materializes — otherwise they leak until JVM exit (round-10
+    // review; the memoized full walk parks its segments in coverageRdds
+    // for dispose())
+    var tempSegments: List[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = Nil
     if (beam == Int.MaxValue) {
       // Unbounded (exact) arm: no beam cut ⇒ per-hop scores are never
       // consulted AND the traversal is query-INDEPENDENT — every query
@@ -190,6 +196,7 @@ final class GraphIndex(val edges: DataFrame, val vectors: DataFrame,
           }
           val cov = visited
           if (maxHops <= 0) { coverageCache = cov; coverageRdds = segments }
+          else tempSegments = segments
           cov
           } finally spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
           }
@@ -247,6 +254,9 @@ final class GraphIndex(val edges: DataFrame, val vectors: DataFrame,
         Seq("score" -> true, "id" -> false), k)
       .orderBy(col("qid").asc, col("score").desc, col("id").asc)
       .localCheckpoint(true)
+    // `out` is materialized above, so a truncated walk's segments can be
+    // freed now — nothing downstream recomputes through them
+    tempSegments.foreach(_.unpersist(blocking = false))
     q.unpersist(blocking = false)
     out
   }
@@ -305,10 +315,20 @@ final class GraphIndex(val edges: DataFrame, val vectors: DataFrame,
     val ranked = GraphIndex.rankById(allVecs)
     val n2 = n + nB
     val newIds = bVecs.select(col("id"))
-    val ringNew = GraphIndex.skipRing(ranked, n2).get // nB ≥ 1 ⇒ n2 ≥ 2
-      // only edges incident to the batch: the old ring stays as built
-      .join(newIds.select(col("id")),
-        col("src") === col("id") || col("dst") === col("id"), "left_semi")
+    val ring2 = GraphIndex.skipRing(ranked, n2).get // nB ≥ 1 ⇒ n2 ≥ 2
+    // only edges incident to the batch: the old ring stays as built. TWO
+    // equi semi-joins, not one OR-predicate join — Spark can only plan
+    // the disjunction as a BroadcastNestedLoopJoin over the full
+    // n·log₂n-row ring (O(n·log n · |batch|) predicate evaluations and a
+    // batch-sized broadcast), which broke this method's cost ∝ |batch|
+    // contract (round-10 review). Duplicates (both ends new) die at the
+    // distinct below.
+    val ringNew = ring2
+      .join(newIds.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .select(col("src"), col("dst"))
+      .unionByName(ring2
+        .join(newIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst")))
     val fwd = knnNew.unionByName(ringNew).distinct()
     val newEdges = fwd
       .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
@@ -428,6 +448,10 @@ object GraphIndex {
       col(vecCol).cast("array<float>").as("vector"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = vectors.count()
+    // fail fast with a real message: an empty corpus would otherwise NPE
+    // on the min(id) unbox below, and an n=0 index is unusable anyway
+    // (no entry node, hop math on n-1; round-10 review)
+    require(n > 0, "cannot build a graph index over an empty corpus")
     val ivf = IVFIndex.build(vectors, "id", "vector", nlist)
     val nprobe = if (graphNprobe > 0) graphNprobe else ivf.nlist
     val knn = ivf.knnGraph(vectors, "id", "vector", k, nprobe)

@@ -59,6 +59,40 @@ class DedupSpec extends AnyFunSuite {
     assert(!p.keys.exists { case (a, b) => a == 2L || b == 2L || a == 3L || b == 3L })
   }
 
+  test("jaccardPairs keeps exact threshold-boundary pairs (double-rounding regression, round 10)") {
+    import spark.implicits._
+    // A's 55 shingles ⊂ B's 100: jac = 55/100 = 0.55 EXACTLY at the
+    // threshold. Pre-fix, BOTH the Bayardo prefix sizing
+    // (ceil(0.55·100) = ceil(55.000000000000007) = 56 → prefix one gram
+    // short) and the length-ratio prefilter (55 >= 55.000000000000007
+    // false) silently dropped this pair from the advertised-EXACT join.
+    val toksA = (1 to 57).map(i => s"w$i").mkString(" ")  // 55 shingles
+    val toksB = (1 to 102).map(i => s"w$i").mkString(" ") // 100 shingles ⊇ A's
+    val boundary = Seq((100L, toksA), (200L, toksB)).toDF("id", "text")
+    val p = Dedup.jaccardPairs(boundary, "id", "text", n = 3, threshold = 0.55)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(p.contains((100L, 200L)), s"boundary pair dropped: $p")
+    assert(p((100L, 200L)) == 0.55)
+    // and strictly-below-threshold stays excluded (the fix is one-sided)
+    val below = Dedup.jaccardPairs(boundary, "id", "text", n = 3, threshold = 0.5501)
+      .collect()
+    assert(below.isEmpty)
+  }
+
+  test("ngrams yields EMPTY for documents shorter than n (round-10 review)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // pre-fix: sequence(0, size-n) with size < n counted DOWN and
+    // concat_ws dropped the null lookups — a 1-token doc emitted three
+    // copies of its lone token as "3-grams"
+    val d = Seq((1L, Seq("foo")), (2L, Seq("a", "b")), (3L, Seq("a", "b", "c")))
+      .toDF("id", "t")
+    val r = d.select(col("id"), Dedup.ngrams(col("t"), 3).as("g"))
+      .collect().map(x => x.getLong(0) -> x.getSeq[String](1)).toMap
+    assert(r(1L).isEmpty && r(2L).isEmpty)
+    assert(r(3L) == Seq("a b c"))
+  }
+
   test("minhashPairs recovers the same high-similarity pairs") {
     val p = Dedup.minhashPairs(docs, "id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

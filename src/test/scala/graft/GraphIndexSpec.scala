@@ -15,6 +15,25 @@ class GraphIndexSpec extends AnyFunSuite {
     emb.where(emb("vec_id") === id).select("embedding")
       .head().getSeq[Float](0).map(_.toDouble).toArray
 
+  test("build on an empty corpus fails fast with a real message (round-10 review)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("id", "v")
+    val e = intercept[IllegalArgumentException](GraphIndex.build(empty, "id", "v"))
+    assert(e.getMessage.contains("empty corpus"))
+  }
+
+  test("append's ring restriction plans as equi joins, not a nested loop (round-10 review)") {
+    import spark.implicits._
+    val batch = (9000L until 9004L)
+      .map(i => (i, Seq.tabulate(64)(j => (i + j).toFloat / 100f))).toDF("id", "v")
+    val appended = index.append(batch, "id", "v")
+    // correctness: the appended rows are findable through the new edges
+    val q = (9001 until 9065).map(j => (9001.0 + j - 9001) / 100.0).toArray
+    val got = appended.search(q, 3, ef = 0).collect().map(_.getLong(0))
+    assert(got.contains(9001L), s"appended row unreachable: ${got.toSeq}")
+    appended.dispose()
+  }
+
   test("skip-ring connectivity: every node is an edge source and target") {
     val n = emb.count()
     assert(index.edges.select(col("src")).distinct().count() == n)
