@@ -1431,6 +1431,44 @@ object Queries {
         ExactSum.centsSum(col("c_acctbal")).cast("double").as("total_bal"))
       .orderBy(col("c_mktsegment"))
 
+  /** Relational tier: TPC-H Q22 shape — global-positive-customers SCALAR
+    * subquery threshold + NOT EXISTS anti-join + group, adapted to this
+    * testdata (no c_phone column ⇒ the 7-country phone-prefix IN becomes a
+    * 7-nation n_name IN; same selectivity role, same plan shape). The
+    * average-balance predicate is stated WITHOUT a division:
+    * `cents · n > Σcents` over exact LONG cents compares bit-identically
+    * in any engine, where `c_acctbal > avg(...)` would hinge on each
+    * engine's summation order and decimal-division scale. The threshold
+    * frame is ONE row (broadcast cross join); the anti-join is the only
+    * fact-sized shuffle (orders projected to its key). One more testdata
+    * adaptation: every customer here has SOME order (all-time NOT EXISTS
+    * is empty at every sf), so the anti-join is windowed to the corpus's
+    * final year — "lapsed high-balance customers", the same business
+    * reading Q22 gives its never-ordered set. */
+  private def tpchQ22(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Seq("NATION_1", "NATION_3", "NATION_5", "NATION_13",
+      "NATION_17", "NATION_21", "NATION_23")
+    val cust = tbl(spark, dir, "customer")
+      .join(broadcast(tbl(spark, dir, "nation")
+          .where(col("n_name").isin(nations: _*))
+          .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"), col("c_acctbal"),
+        ExactSum.cents(col("c_acctbal")).as("cents"))
+    val thr = cust.where(col("c_acctbal") > 0.0)
+      .agg(sum(col("cents")).as("s"), count(lit(1)).as("n"))
+    cust.crossJoin(broadcast(thr))
+      .where(col("cents") * col("n") > col("s"))
+      .join(tbl(spark, dir, "orders")
+          .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("2000-08-01 00:00:00")))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numcust"),
+        ExactSum.centsSum(col("c_acctbal")).cast("double").as("totacctbal"))
+      .orderBy(col("n_name"))
+  }
+
   /** Relational tier: TPC-H Q17 shape — correlated SCALAR subquery
     * decorrelated to a grouped aggregate + equi-join (Catalyst's own
     * rewrite target): the per-part 20%-of-average quantity threshold joins
@@ -3661,6 +3699,22 @@ object Queries {
         |    ON c_custkey = o_custkey AND o_orderstatus <> 'F'
         |  GROUP BY c_custkey)
         |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+    "tpch_q22" -> Q(tpchQ22, Some(
+      """WITH cust AS (
+        |  SELECT c_custkey, n_name, c_acctbal,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_1','NATION_3','NATION_5','NATION_13',
+        |                   'NATION_17','NATION_21','NATION_23')),
+        |thr AS (SELECT sum(cents) AS s, count(*) AS n FROM cust
+        |        WHERE c_acctbal > 0.0)
+        |SELECT n_name, count(*) AS numcust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+        |FROM cust, thr
+        |WHERE cents * thr.n > thr.s
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-08-01 00:00:00')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)),
     "anti_inactive_customers" -> Q(antiInactiveCustomers, Some(
       """SELECT c_mktsegment, count(*) AS n_inactive,
         |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal

@@ -25,7 +25,7 @@ object PlanAudit {
         s"exchange=${n("Exchange")} generate=${n("Generate")}")
     }
     Seq("hybrid_batch_probe", "hybrid_batch", "hybrid_batch_filtered",
-      "ann_pq_exact", "ann_pq_batch", "knn_batch_sq8").foreach(audit)
+      "ann_pq_exact", "ann_pq_batch", "knn_batch_sq8", "tpch_q22").foreach(audit)
     spark.stop()
   }
 }
