@@ -1870,6 +1870,35 @@ object Queries {
     graft.operators.Sampling.byHash(docsTbl(spark, dir).select(col("doc_id")), "doc_id", 0.1)
       .orderBy(col("doc_id"))
 
+  /** Training-mixture construction: per-source Bernoulli rates through the
+    * md5 draw (graft.operators.Sampling.weightedMix) — three upweighted
+    * sources, everything else at the conservative default; profiled per
+    * source so the gate pins both the rates and the membership. */
+  private def sampleWeightedMix(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.weightedMix(
+        docsTbl(spark, dir).select(col("doc_id"), col("source"), col("n_chars")),
+        "source", "doc_id",
+        Map("src1" -> 0.75, "src3" -> 0.5, "src7" -> 0.25), 0.1)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"))
+
+  /** Quality-budget curation cut: per source, take documents in
+    * (quality desc, id) order until 600 whitespace tokens are spent
+    * (graft.operators.Sampling.takeUntilBudget over the quality_score
+    * features). The emitted cum_tok is the exact integer running total —
+    * the strongest hash pin the window's engine-portability can get. */
+  private def tokenBudgetCap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsTbl(spark, dir)
+    val scored = graft.text.TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .select(col("id"), col("n_tok"), col("quality"))
+      .join(docs.select(col("doc_id").as("id"), col("source")), Seq("id"))
+    graft.operators.Sampling.takeUntilBudget(scored, "source",
+        Seq(col("quality").desc, col("id").asc), col("n_tok"), 600L, "cum_tok")
+      .select(col("id"), col("source"), col("n_tok"), col("quality"), col("cum_tok"))
+      .orderBy(col("source"), col("cum_tok"))
+  }
+
   /** Exact per-group value quantiles (linear interpolation — Spark
     * `percentile` ≙ DuckDB `quantile_cont`) over the events stream. */
   private def eventsQuantiles(spark: SparkSession, dir: String): DataFrame =
@@ -3326,6 +3355,39 @@ object Queries {
         |          * pow(2.0, 4 * (8 - j))))
         |      < 429496729
         |ORDER BY doc_id""".stripMargin)),
+    "sample_weighted_mix" -> Q(sampleWeightedMix, Some(
+      """WITH d AS (SELECT doc_id, source, n_chars,
+        |  list_sum(list_transform(range(1, 9), j ->
+        |    (strpos('0123456789abcdef',
+        |            substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1)
+        |      * pow(2.0, 4 * (8 - j)))) AS draw
+        |  FROM documents)
+        |SELECT source, count(*) AS n_kept,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM d
+        |WHERE draw < CASE source WHEN 'src1' THEN 3221225472
+        |                         WHEN 'src3' THEN 2147483648
+        |                         WHEN 'src7' THEN 1073741824
+        |                         ELSE 429496729 END
+        |GROUP BY source ORDER BY source""".stripMargin)),
+    "token_budget_cap" -> Q(tokenBudgetCap, Some(
+      raw"""WITH $toksCte,
+           |m AS (SELECT id,
+           |  len(toks)::DOUBLE AS n_tok,
+           |  len(list_filter(toks, w -> w IN $enList))::DOUBLE / len(toks) AS stop_ratio,
+           |  length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE / len(toks) AS avg_wlen
+           |  FROM t),
+           |s AS (SELECT m.id, d.source, m.n_tok::BIGINT AS n_tok,
+           |  floor((0.4 * least(1.0, m.n_tok / 50.0)
+           |       + 0.3 * least(1.0, stop_ratio * 5.0)
+           |       + 0.3 * least(1.0, avg_wlen / 5.0)) * 10000.0 + 0.5) / 10000.0 AS quality
+           |  FROM m JOIN documents d ON m.id = d.doc_id),
+           |c AS (SELECT id, source, n_tok, quality,
+           |  CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY quality DESC, id)
+           |       AS BIGINT) AS cum_tok
+           |  FROM s)
+           |SELECT id, source, n_tok, quality, cum_tok FROM c
+           |WHERE cum_tok <= 600 ORDER BY source, cum_tok""".stripMargin)),
     "events_quantiles" -> Q(eventsQuantiles, Some(
       """SELECT event_type, count(*) AS n,
         |       round(quantile_cont(value, 0.25), 4) AS q25,

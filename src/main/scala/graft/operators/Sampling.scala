@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.plans.TopK
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling operators for training-data pipelines.
@@ -35,8 +35,53 @@ object Sampling {
     * id. One codegen projection + filter, no shuffle, no RNG. */
   def byHash(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1, s"fraction $fraction outside [0, 1]")
-    val draw = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long")
-    df.where(draw < math.floor(fraction * 4294967296.0).toLong)
+    df.where(draw32(idCol) < math.floor(fraction * 4294967296.0).toLong)
+  }
+
+  /** The shared 32-bit md5 draw: first 8 hex chars of md5(id) as a LONG in
+    * [0, 2³²) — uniform, retry-stable, engine-portable. */
+  private def draw32(idCol: String): Column =
+    conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Training-mixture sampler: per-DOMAIN Bernoulli rates through the same
+    * md5 draw as [[byHash]] — the "source weighting" step that turns a raw
+    * corpus into a mixture (web 10%, curated source 75%, …). Domains
+    * absent from `weights` fall to `defaultWeight`, so an unexpected new
+    * domain at 100 TB degrades to a conservative rate instead of flooding
+    * the mix. The per-row threshold is one folded CASE over the domain
+    * column — a single codegen projection + filter, no shuffle, no RNG,
+    * and membership is a pure function of (id, domain weights), so shards
+    * resample identically under retries and incremental re-runs. */
+  def weightedMix(df: DataFrame, domainCol: String, idCol: String,
+                  weights: Map[String, Double], defaultWeight: Double): DataFrame = {
+    require((defaultWeight +: weights.values.toSeq).forall(w => w >= 0 && w <= 1),
+      s"weights outside [0, 1]: $weights default=$defaultWeight")
+    def thr(w: Double): Column = lit(math.floor(w * 4294967296.0).toLong)
+    val cut = weights.toSeq.sortBy(_._1).foldLeft(thr(defaultWeight)) {
+      case (acc, (d, w)) => when(col(domainCol) === d, thr(w)).otherwise(acc)
+    }
+    df.where(draw32(idCol) < cut)
+  }
+
+  /** Quality-budget curation cut: within each domain, take rows in the
+    * caller's preference order until a cumulative `costCol` budget is
+    * spent — "best documents per source until N tokens", the selection
+    * step between quality scoring and shard packing (the complement of
+    * [[graft.text.TextAnalysis.packBudgeted]], which splits an ALREADY
+    * chosen corpus into shards). One window over one hash exchange on
+    * `domainCol`; `order` must be a TOTAL order (tiebreak by id) so the
+    * default RANGE frame equals ROWS and the running total is engine-
+    * portable. At 100 TB the per-domain sort dominates; a skewed giant
+    * domain pre-splits by a hash salt with per-salt sub-budgets, the same
+    * discipline packBudgeted documents. Output: the kept input rows plus
+    * `cumName` (the running cost INCLUDING the row — a row whose cost
+    * overflows the budget is cut, never half-taken). */
+  def takeUntilBudget(df: DataFrame, domainCol: String, order: Seq[Column],
+                      costCol: Column, budget: Long,
+                      cumName: String = "cum_cost"): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol)).orderBy(order: _*)
+    df.withColumn(cumName, sum(costCol).over(w)).where(col(cumName) <= budget)
   }
 }

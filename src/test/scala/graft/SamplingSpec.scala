@@ -52,4 +52,42 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.byHash(df, "id", 0.0).count() == 0)
     assert(Sampling.byHash(df, "id", 1.0).count() == 300)
   }
+
+  test("weightedMix applies per-domain rates and the default elsewhere") {
+    // per-domain membership must equal byHash at that domain's rate —
+    // the draw is the same 32-bit function of id
+    val mix = Sampling.weightedMix(df, "stratum", "id",
+        Map("s0" -> 1.0, "s1" -> 0.1), 0.0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDomain = mix.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byDomain("s0") == (0L until 300L).filter(_ % 3 == 0).toSet) // rate 1.0
+    val h10 = Sampling.byHash(df.where($"stratum" === "s1"), "id", 0.1)
+      .collect().map(_.getLong(0)).toSet
+    assert(byDomain("s1") == h10)                 // named rate = byHash(0.1)
+    assert(!byDomain.contains("s2"))              // default 0.0 drops all
+    // rerun is bit-identical (pure function of id)
+    val again = Sampling.weightedMix(df, "stratum", "id",
+        Map("s0" -> 1.0, "s1" -> 0.1), 0.0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(again.sorted.sameElements(mix.sorted))
+    intercept[IllegalArgumentException](
+      Sampling.weightedMix(df, "stratum", "id", Map("s0" -> 1.5), 0.1))
+  }
+
+  test("takeUntilBudget keeps the best-first prefix within the budget per domain") {
+    // cost 10 each, preference = id asc → budget 35 keeps ids with
+    // cumulative 10,20,30 per domain and cuts the 4th (40 > 35)
+    val d = Seq((1L, "a", 10L), (2L, "a", 10L), (3L, "a", 10L), (4L, "a", 10L),
+                (5L, "b", 30L), (6L, "b", 10L))
+      .toDF("id", "dom", "cost")
+    val kept = Sampling.takeUntilBudget(d, "dom", Seq($"id".asc), $"cost", 35L, "cum")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(kept == Map(1L -> 10L, 2L -> 20L, 3L -> 30L, 5L -> 30L))
+    // a row whose cost overflows the budget is cut, never half-taken:
+    // domain b's second row (30 + 10 = 40) is gone even though 5 of its
+    // 10 units would "fit"
+    assert(!kept.contains(6L))
+    intercept[IllegalArgumentException](
+      Sampling.takeUntilBudget(d, "dom", Seq($"id".asc), $"cost", 0L))
+  }
 }
