@@ -31,6 +31,12 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * Output rows per key are the correct top-k set; global output order is
   * unspecified (compose with orderBy downstream, as any consumer of a
   * groupwise operator should).
+  *
+  * CONTRACT: `order` should be a TOTAL order (tiebreak by a unique column,
+  * as every caller here does — (score desc, id asc), (__h asc), …). Under
+  * a non-total order the kept SET at a tied k-boundary depends on
+  * partition iteration order — the same caveat as any bounded-heap top-k,
+  * stated so a future caller doesn't discover it as flakiness.
   */
 case class TopKPerKey(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
                       child: LogicalPlan) extends UnaryNode {
@@ -62,8 +68,18 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
       val heaps = scala.collection.mutable.HashMap
         .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
       rows.foreach { row =>
-        val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
-          scala.collection.mutable.PriorityQueue.empty[InternalRow])
+        // look up with the projection's REUSED buffer row (UnsafeRow
+        // equality is byte-wise, so a transient key probes fine) and copy
+        // the key only on first sight — the getOrElseUpdate(copy(), …)
+        // form allocated a key copy for EVERY input row (round-10 review)
+        val probe = keyProj(row)
+        val heap = heaps.get(probe) match {
+          case Some(h) => h
+          case None =>
+            val h = scala.collection.mutable.PriorityQueue.empty[InternalRow]
+            heaps.put(probe.copy(), h)
+            h
+        }
         if (heap.size < kLocal) heap.enqueue(row.copy())
         else if (base.compare(row, heap.head) < 0) {
           heap.dequeue(); heap.enqueue(row.copy())
