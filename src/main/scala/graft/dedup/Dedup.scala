@@ -152,10 +152,15 @@ object Dedup {
     * and the planner otherwise flip-flops between rogue broadcasts of
     * million-row sides (a driver OOM on a real cluster) and full sorts of
     * the shingle frame. */
+  /** `smallSides = true` is the incremental caller's shape: dfg/sizes are
+    * batch-bounded there, so broadcasting them keeps the whole prefix
+    * chain exchange-free on the join side (the full-corpus callers keep
+    * shuffle_hash — their frames are corpus-sized). */
   private[graft] def prefixSelect(sh: DataFrame, dfg: DataFrame, sizes: DataFrame,
-                           threshold: Double): DataFrame =
-    sh.join(dfg.hint("shuffle_hash"), Seq("gram"))
-      .join(sizes.hint("shuffle_hash"), Seq("id"))
+                           threshold: Double, smallSides: Boolean = false): DataFrame = {
+    val h = (df: DataFrame) => if (smallSides) broadcast(df) else df.hint("shuffle_hash")
+    sh.join(h(dfg), Seq("gram"))
+      .join(h(sizes), Seq("id"))
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
           .orderBy(col("df").asc, col("gram").asc)))
@@ -170,6 +175,7 @@ object Dedup {
       .where(lit(threshold) * col("sz") <=
         col("sz") + lit(1.0) - col("__rn") + lit(1e-9) * (col("sz") + lit(1.0)))
       .select(col("id"), col("gram"))
+  }
 
   /** Corpus-side reusable state for INCREMENTAL near-dup joins — the
     * frames a deployment computes once per corpus snapshot (and persists)
@@ -228,27 +234,41 @@ object Dedup {
     val shN = shingles(incoming, idCol, textCol, index.n)
     val gsN = docGramSetsDirect(incoming, idCol, textCol, index.n)
     val sizesN = gsN.select(col("id"), size(col("grams")).cast("double").as("sz"))
-    // adopt the corpus order: left join + df 0 for unseen grams
-    val dfN = shN.select(col("gram")).distinct()
-      .join(index.df.hint("shuffle_hash"), Seq("gram"), "left")
+    // JOIN DISCIPLINE (round-10 review): every join against a corpus-sized
+    // index frame BROADCASTS the batch-bounded side, so the corpus frames
+    // are only ever STREAMED in place — the earlier shuffle_hash hints
+    // re-shuffled the whole corpus df/prefix/gram-set frames per batch,
+    // which silently broke this method's per-batch-cost ∝ |batch| contract
+    // at scale (measured 12× on the durable gate, whose per-run work is
+    // exactly this query). Broadcast sizes are all ≤ a few rows per
+    // incoming doc (grams, prefixes, candidate pairs) — the same bound the
+    // localCheckpoint below already assumes.
+    // adopt the corpus order: df values for the batch's grams via an
+    // inner broadcast probe of the corpus frame (never shuffled), then a
+    // left join against the BATCH-sized hit set; unseen grams fill df 0
+    val batchGrams = shN.select(col("gram")).distinct()
+    val dfHits = index.df.join(broadcast(batchGrams), Seq("gram"))
+    val dfN = batchGrams.join(broadcast(dfHits), Seq("gram"), "left")
       .na.fill(0L, Seq("df"))
     // the batch prefix frame feeds THREE joins below (corpus side + both
     // sides of the new-vs-new self-join); left lazy, each scan re-runs the
     // whole shingle→df→window chain. It is batch-bounded (a few rows per
     // incoming doc), so an eager local checkpoint is safe and collapses
     // the three computations into one.
-    val prefN = prefixSelect(shN, dfN, sizesN, index.threshold).localCheckpoint(true)
-    val newVsCorpus = prefN.as("l")
-      .join(index.prefixes.as("r").hint("shuffle_hash"), col("l.gram") === col("r.gram"))
+    val prefN = prefixSelect(shN, dfN, sizesN, index.threshold, smallSides = true)
+      .localCheckpoint(true)
+    val newVsCorpus = index.prefixes.as("r")
+      .join(broadcast(prefN.as("l")), col("l.gram") === col("r.gram"))
       .select(col("l.id").as("x"), col("r.id").as("y"))
     val newVsNew = prefN.as("l")
-      .join(prefN.as("r").hint("shuffle_hash"),
+      .join(broadcast(prefN.as("r")),
         col("l.gram") === col("r.gram") && col("l.id") < col("r.id"))
       .select(col("l.id").as("x"), col("r.id").as("y"))
     val cand = newVsCorpus.unionByName(newVsNew)
       .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
       .where(col("a") =!= col("b")).distinct()
-    verifiedJaccard(cand, index.gramSets.unionByName(gsN), index.threshold)
+    verifiedJaccard(cand, index.gramSets.unionByName(gsN), index.threshold,
+      broadcastCand = true)
   }
 
   /** (id, grams): per-doc SORTED distinct-shingle array — one compact row
@@ -270,13 +290,20 @@ object Dedup {
     * low-entropy corpus yields 1.19 M candidates for 2 560 real pairs).
     * A length-ratio prefilter (jac ≥ t ⟹ t·max(|A|,|B|) ≤ min(|A|,|B|),
     * Bayardo WWW'07 §3.1) drops size-mismatched pairs before the walk. */
+  /** `broadcastCand = true` is the INCREMENTAL caller's shape: the pair
+    * frame is batch-bounded, so broadcasting it (and the first join's
+    * equally-bounded result) lets the corpus-sized gram-set frame stream
+    * in place with no exchange. The full-corpus callers keep the default —
+    * their candidate frames are corpus-scale and must shuffle. */
   private def verifiedJaccard(cand: DataFrame, gramSets: DataFrame,
-                              threshold: Double): DataFrame = {
+                              threshold: Double,
+                              broadcastCand: Boolean = false): DataFrame = {
     val inter = graft.expr.VectorExpr
       .sortedIntersectCount(col("ga"), col("gb")).cast("double")
     val jac = col("inter") / (col("sza") + col("szb") - col("inter"))
-    cand
-      .join(gramSets.select(col("id").as("a"), col("grams").as("ga")), Seq("a"))
+    val b = (df: DataFrame) => if (broadcastCand) broadcast(df) else df
+    b(b(cand)
+      .join(gramSets.select(col("id").as("a"), col("grams").as("ga")), Seq("a")))
       .join(gramSets.select(col("id").as("b"), col("grams").as("gb")), Seq("b"))
       .select(col("a"), col("b"),
         size(col("ga")).cast("double").as("sza"),

@@ -183,4 +183,27 @@ class PlanShapeSpec extends AnyFunSuite {
       l.contains("Scan parquet") && l.contains("documents")) == 1, p)
     assert(p.contains("LeftAnti"), p)
   }
+
+  test("dedup_incremental: every join against the corpus index broadcasts the batch side") {
+    // the per-batch-cost ∝ |batch| contract, executable: the corpus-sized
+    // df/prefix/gram-set frames must only ever STREAM through broadcast
+    // hash joins — a ShuffledHashJoin/SortMergeJoin here re-shuffles the
+    // whole corpus index per incoming batch (round-10 review)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val ix0 = graft.dedup.Dedup.buildJaccardIndex(
+      docs.where(org.apache.spark.sql.functions.col("doc_id") < 400),
+      "doc_id", "text", n = 3, threshold = 0.8)
+    // materialize the index the way a deployment does (persisted corpus
+    // snapshot) so the captured plan is the PER-BATCH work only — the
+    // one-time build's own shuffles otherwise appear inside it
+    val ix = ix0.copy(gramSets = ix0.gramSets.localCheckpoint(true),
+      df = ix0.df.localCheckpoint(true), prefixes = ix0.prefixes.localCheckpoint(true))
+    val p = graft.dedup.Dedup.jaccardPairsIncremental(
+        ix, docs.where(org.apache.spark.sql.functions.col("doc_id") >= 400),
+        "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus index shuffled by an incremental batch:\n$p")
+  }
 }
