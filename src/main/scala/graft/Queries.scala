@@ -2264,7 +2264,7 @@ object Queries {
     * Shares the banded funnel's oracle restricted to pairs whose greater
     * id sits in the batch. */
   private val embIndexCache = new Memo[Dedup.EmbeddingIndex](memoMax, "embIndexCache")(ix => {
-    unp(ix.rows); unp(ix.buckets)
+    unp(ix.rows); unp(ix.buckets); unp(ix.bucketCounts)
   })
 
   private def dedupEmbeddingIncremental(spark: SparkSession, dir: String): DataFrame = {
@@ -2275,7 +2275,8 @@ object Queries {
         e.where(col("vec_id") < cut), "vec_id", "embedding", threshold = 0.35)
       val p = (df: DataFrame) =>
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      built.copy(rows = p(built.rows), buckets = p(built.buckets))
+      built.copy(rows = p(built.rows), buckets = p(built.buckets),
+        bucketCounts = p(built.bucketCounts))
     }
     Dedup.embeddingPairsIncremental(ix, e.where(col("vec_id") >= cut),
       "vec_id", "embedding")

@@ -602,15 +602,21 @@ object Dedup {
     * sign-projection buckets, computed once per corpus snapshot and probed
     * by every incoming batch. */
   final case class EmbeddingIndex(rows: DataFrame, buckets: DataFrame,
+                                  bucketCounts: DataFrame,
                                   dim: Int, bands: Int, bitsPerBand: Int,
                                   threshold: Double, maxBucket: Int)
 
   def buildEmbeddingIndex(emb: DataFrame, idCol: String, vecCol: String,
                           threshold: Double, dim: Int = 64, bands: Int = 16,
-                          bitsPerBand: Int = 8, maxBucket: Int = 10000): EmbeddingIndex =
-    EmbeddingIndex(normalized(emb, idCol, vecCol),
-      embeddingBands(emb, idCol, vecCol, dim, bands, bitsPerBand),
+                          bitsPerBand: Int = 8, maxBucket: Int = 10000): EmbeddingIndex = {
+    val buckets = embeddingBands(emb, idCol, vecCol, dim, bands, bitsPerBand)
+    // per-(band, sig) corpus occupancy, computed ONCE per corpus snapshot —
+    // the incremental guard sums it with each batch's own counts instead of
+    // re-aggregating the corpus bucket frame per batch (round-10 review)
+    val counts = buckets.groupBy(col("band"), col("sig")).agg(count(lit(1)).as("n"))
+    EmbeddingIndex(normalized(emb, idCol, vecCol), buckets, counts,
       dim, bands, bitsPerBand, threshold, maxBucket)
+  }
 
   /** INCREMENTAL embedding near-dup: cosine pairs (a < b, cos ≥ threshold)
     * involving at least one `incoming` doc — new-vs-corpus and new-vs-new,
@@ -631,16 +637,33 @@ object Dedup {
     // incremental Jaccard batch prefixes.
     val bandsN = embeddingBands(incoming, idCol, vecCol,
       index.dim, index.bands, index.bitsPerBand).localCheckpoint(true)
-    val hot = oversizedBuckets(index.buckets.unionByName(bandsN),
-      Seq("band", "sig"), index.maxBucket).select(col("band"), col("sig"))
-    val guardC = index.buckets.join(hot, Seq("band", "sig"), "left_anti")
-    val guardN = bandsN.join(hot, Seq("band", "sig"), "left_anti")
-    val newVsCorpus = guardN.as("l")
-      .join(guardC.as("r").hint("shuffle_hash"),
+    // hot-bucket guard WITHOUT re-aggregating the corpus (round-10 review;
+    // the earlier oversizedBuckets(corpus ∪ batch) re-counted the whole
+    // corpus bucket frame per batch): total = precomputed corpus count +
+    // batch count. Bit-identical hot set — a bucket exceeds the cap on
+    // total occupancy iff it lands in hotN (touched by the batch, summed
+    // counts) or hotC (corpus-only excess, precomputed per snapshot);
+    // buckets in neither have total 0. Every join broadcasts a
+    // batch-bounded (or cap-exceeder-sized) side, so the corpus frames
+    // only ever stream in place — the incremental-Jaccard join discipline.
+    val cntN = bandsN.groupBy(col("band"), col("sig")).agg(count(lit(1)).as("nN"))
+    val hitsC = index.bucketCounts
+      .join(broadcast(cntN.select(col("band"), col("sig"))), Seq("band", "sig"))
+    val hotN = cntN.join(broadcast(hitsC), Seq("band", "sig"), "left")
+      .na.fill(0L, Seq("n"))
+      .where(col("n") + col("nN") > index.maxBucket)
+      .select(col("band"), col("sig"))
+    val hotC = index.bucketCounts.where(col("n") > index.maxBucket)
+      .select(col("band"), col("sig"))
+    val hotAll = hotN.unionByName(hotC).distinct()
+    val guardC = index.buckets.join(broadcast(hotAll), Seq("band", "sig"), "left_anti")
+    val guardN = bandsN.join(broadcast(hotN), Seq("band", "sig"), "left_anti")
+    val newVsCorpus = guardC.as("r")
+      .join(broadcast(guardN.as("l")),
         col("l.band") === col("r.band") && col("l.sig") === col("r.sig"))
       .select(col("l.id").as("x"), col("r.id").as("y"))
     val newVsNew = guardN.as("l")
-      .join(guardN.as("r").hint("shuffle_hash"),
+      .join(broadcast(guardN.as("r")),
         col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("x"), col("r.id").as("y"))
@@ -649,8 +672,8 @@ object Dedup {
       .where(col("a") =!= col("b")).distinct()
     val all = index.rows.unionByName(rowsN)
     val dot = VectorFunctions.dot(col("va"), col("vb"))
-    cand
-      .join(all.select(col("id").as("a"), col("vn").as("va")), Seq("a"))
+    broadcast(broadcast(cand)
+      .join(all.select(col("id").as("a"), col("vn").as("va")), Seq("a")))
       .join(all.select(col("id").as("b"), col("vn").as("vb")), Seq("b"))
       .where(dot >= index.threshold)
       .select(col("a"), col("b"), round(dot, 4).as("cos"))

@@ -319,16 +319,24 @@ object TextAnalysis {
     val (bp, cp) =
       if (dfCap == Int.MaxValue) (batchFps, corpusFps) // pre-guarded index
       else {
+        // the re-aggregating guard is the CONVENIENCE arm (tests, ad-hoc
+        // calls): it re-counts corpus ∪ batch per batch. Production
+        // callers pre-guard the corpus index once and pass Int.MaxValue —
+        // the arm whose per-batch cost is ∝ |batch|.
         val keep = corpusFps.unionByName(batchFps)
           .groupBy(col("fp")).agg(count(lit(1)).as("__df"))
           .where(col("__df") <= dfCap).select(col("fp"))
         (batchFps.join(keep.hint("shuffle_hash"), Seq("fp"), "left_semi"),
           corpusFps.join(keep.hint("shuffle_hash"), Seq("fp"), "left_semi"))
       }
-    val bvc = bp.as("l").join(cp.as("r"), col("l.fp") === col("r.fp"))
+    // batch side BROADCASTS so the corpus fingerprint frame only ever
+    // streams in place — a shuffle here re-exchanges the whole corpus
+    // index per incoming batch (round-10 review, the incremental-Jaccard
+    // join discipline)
+    val bvc = cp.as("r").join(broadcast(bp.as("l")), col("l.fp") === col("r.fp"))
       .select(least(col("l.id"), col("r.id")).as("a"),
         greatest(col("l.id"), col("r.id")).as("b"))
-    val bvb = bp.as("l").join(bp.as("r"),
+    val bvb = bp.as("l").join(broadcast(bp.as("r")),
         col("l.fp") === col("r.fp") && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"))
     bvc.unionByName(bvb)

@@ -206,4 +206,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"corpus index shuffled by an incremental batch:\n$p")
   }
+
+  test("dedup_embedding_incremental: every join against the corpus index broadcasts the batch side") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val ix0 = graft.dedup.Dedup.buildEmbeddingIndex(
+      emb.where(col("vec_id") < 400), "vec_id", "embedding", threshold = 0.35)
+    val ix = ix0.copy(rows = ix0.rows.localCheckpoint(true),
+      buckets = ix0.buckets.localCheckpoint(true),
+      bucketCounts = ix0.bucketCounts.localCheckpoint(true))
+    val p = graft.dedup.Dedup.embeddingPairsIncremental(
+        ix, emb.where(col("vec_id") >= 400), "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus index shuffled by an incremental batch:\n$p")
+  }
 }
