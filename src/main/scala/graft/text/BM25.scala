@@ -97,10 +97,25 @@ object BM25 {
         .head() match {
           case r => (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
         }
+      // df merge WITHOUT shuffling the vocabulary (round-10 review; the
+      // union + groupBy re-exchanged the whole vocabulary frame per
+      // append when only the BATCH's terms change): existing terms take
+      // the batch delta through a broadcast left join (vocabulary streams
+      // in place), batch-only terms arrive by anti-joining the delta
+      // against the batch∩vocabulary hit set — itself batch-bounded, so
+      // every join broadcasts a batch-sized side. Values are identical to
+      // the union+groupBy sum (df + delta for common terms, delta alone
+      // for new terms, df alone for untouched terms).
+      val delta = bPostings.groupBy(col("term"))
+        .agg(count(lit(1)).cast("double").as("__dfb"))
+      val hits = docFreq.select(col("term"))
+        .join(broadcast(delta.select(col("term"))), Seq("term"))
       val mergedDf = docFreq
-        .unionByName(bPostings.groupBy(col("term"))
-          .agg(count(lit(1)).cast("double").as("df")))
-        .groupBy(col("term")).agg(sum(col("df")).as("df"))
+        .join(broadcast(delta), Seq("term"), "left")
+        .na.fill(0.0, Seq("__dfb"))
+        .select(col("term"), (col("df") + col("__dfb")).as("df"))
+        .unionByName(delta.join(broadcast(hits), Seq("term"), "left_anti")
+          .select(col("term"), col("__dfb").as("df")))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val n2 = n + nB
       val avgIdf2 =
