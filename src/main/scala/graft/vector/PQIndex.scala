@@ -80,7 +80,8 @@ final class PQIndex(val codes: DataFrame,
     * (r9 ADVICE #1). The restriction applies BEFORE the ADC join: only
     * candidate (qid, id) pairs reach the groupBy sum. */
   def searchBatch(queries: DataFrame, qidCol: String, qvecCol: String,
-                  k: Int, among: Option[DataFrame] = None): DataFrame = {
+                  k: Int, among: Option[DataFrame] = None,
+                  broadcastQueries: Boolean = true): DataFrame = {
     val spark = codes.sparkSession
     import spark.implicits._
     val cb = codebooks.zipWithIndex.flatMap { case (book, s) =>
@@ -93,6 +94,14 @@ final class PQIndex(val codes: DataFrame,
         graft.expr.VectorExpr.squaredL2(
           slice(col("__qv"), col("s") * subDim + 1, lit(subDim)),
           col("centroid")).as("d2"))
+    // `broadcastQueries = true` (the bounded-batch default, matching
+    // IVFIndex/LSHIndex.searchBatch): the |Q| × m × 256 per-query table
+    // frame broadcasts, so the corpus-side codes explode STREAMS through
+    // the ADC join with no (s, code) exchange of N × m rows — round-10
+    // review; the one shuffle left is the map-side-combined
+    // groupBy(qid, id). `false` is the corpus-scale-batch arm.
+    val qdSide = (df: DataFrame) =>
+      if (broadcastQueries) broadcast(df) else df.hint("shuffle_hash")
     val dist = among match {
       case Some(cand) =>
         val pairs = cand.select(col(cand.columns(0)).cast("long").as("qid"),
@@ -106,12 +115,12 @@ final class PQIndex(val codes: DataFrame,
             Seq("id"), "left_semi")
           .select(col("id"), (posexplode(col("codes"))).as(Seq("s", "code")))
         restricted.join(pairs.hint("shuffle_hash"), Seq("id"))
-          .join(qd.hint("shuffle_hash"), Seq("qid", "s", "code"))
+          .join(qdSide(qd), Seq("qid", "s", "code"))
           .groupBy(col("qid"), col("id"))
           .agg(sum(col("d2")).as("dist"))
       case None =>
         codes.select(col("id"), (posexplode(col("codes"))).as(Seq("s", "code")))
-          .join(qd.hint("shuffle_hash"), Seq("s", "code"))
+          .join(qdSide(qd), Seq("s", "code"))
           .groupBy(col("qid"), col("id"))
           .agg(sum(col("d2")).as("dist"))
     }
