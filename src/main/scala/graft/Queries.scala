@@ -2410,6 +2410,15 @@ object Queries {
     graft.multimodal.Multimodal.mp4Features(mp4Assets(spark, dir))
       .toDF().orderBy(col("id"))
 
+  /** Container-driven frame sampling: every 2nd SAMPLE of each asset's
+    * video track, sliced at the offsets the parsed stsz/stco tables
+    * dictate — the oracle rebuilds each sample from the md5-chain hex at
+    * the same (uniform-size) positions, so the gate pins that the parser
+    * walks the REAL sample table, not a fixed stride. */
+  private def multimodalMp4Samples(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.mp4SampleFrames(mp4Assets(spark, dir), every = 2)
+      .toDF().orderBy(col("id"), col("sample_idx"))
+
   /** REAL MP3 payloads (round 10): a CBR MPEG-1 Layer III stream per doc —
     * bitrate 32/40/48 kbps (indices 1–3), samplerate 44100/48000/32000,
     * 2–3 frames whose payloads (everything after each 4-byte header) come
@@ -3030,6 +3039,17 @@ object Queries {
         |       n_samples, sample_size,
         |       md5(substr(hx, 1, n_samples * sample_size * 2)) AS mdat_fp
         |FROM p ORDER BY id""".stripMargin)),
+    "multimodal_mp4_samples" -> Q(multimodalMp4Samples, Some(
+      """WITH p AS (
+        |  SELECT doc_id AS id,
+        |         (2 + doc_id % 5)::INT AS n_samples, (8 + doc_id % 8)::INT AS s,
+        |         array_to_string(list_transform(range(0, 6), i -> md5(text || '_mp4_' || i)), '') AS hx
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT id, i::INT AS sample_idx, s AS sample_len,
+        |       md5(substr(hx, (i * s * 2 + 1)::INT, (s * 2)::INT)) AS sample_fp
+        |FROM p, unnest(range(0, n_samples)) AS t(i)
+        |WHERE i % 2 = 0
+        |ORDER BY id, sample_idx""".stripMargin)),
     "multimodal_png_decode" -> Q(multimodalPngDecode, Some(
       """WITH p AS (
         |  SELECT doc_id AS id, (3 + doc_id % 5)::INT AS width, (2 + doc_id % 3)::INT AS height,

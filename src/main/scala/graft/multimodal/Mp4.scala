@@ -31,9 +31,13 @@ object Mp4 {
                          sampleSizes: Array[Int], firstChunkOffset: Long)
 
   /** Parsed movie: ftyp major brand, mvhd timescale/duration, tracks in
-    * file order, and the raw mdat payload (the codec-stub seam). */
+    * file order, and the raw mdat payload (the codec-stub seam).
+    * `mdatFileOffset` is the FILE offset of the mdat payload start —
+    * `track.firstChunkOffset − mdatFileOffset` rebases the stco table
+    * into `mdat`, which is what per-sample extraction slices with. */
   final case class Movie(majorBrand: String, timescale: Long, duration: Long,
-                         tracks: Array[Track], mdat: Array[Byte])
+                         tracks: Array[Track], mdat: Array[Byte],
+                         mdatFileOffset: Long)
 
   private def be32(b: Array[Byte], off: Int): Long =
     ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
@@ -174,7 +178,7 @@ object Mp4 {
         return None // chunk offset must land inside the mdat payload
     }
     if (total > mdat.length) return None
-    Some(Movie(brand, mvTimescale, mvDuration, tracks.toArray, mdat))
+    Some(Movie(brand, mvTimescale, mvDuration, tracks.toArray, mdat, mdatOff))
   } catch { case _: Exception => None }
 
   /** Gate/fixture encoder (the operators only PARSE): a minimal valid

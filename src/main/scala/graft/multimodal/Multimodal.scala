@@ -245,6 +245,40 @@ object Multimodal {
     })
   }
 
+  final case class Mp4Sample(id: Long, sample_idx: Int, sample_len: Int,
+                             sample_fp: String)
+
+  /** REAL container-driven frame sampling: every `every`-th SAMPLE of the
+    * first track, sliced out of mdat at the offsets the PARSED stsz/stco
+    * tables dictate (`firstChunkOffset − mdatFileOffset` + running size
+    * sum) — the honest video analog of [[sampleFrames]], whose fixed
+    * 256-byte stride is the stub-codec convention. Per-asset flatMap, no
+    * shuffle of payload bytes; a sample table pointing outside mdat fails
+    * loudly (strict, like every decoder here). */
+  def mp4SampleFrames(assets: Dataset[Asset], every: Int): Dataset[Mp4Sample] = {
+    import assets.sparkSession.implicits._
+    require(every >= 1, "every must be >= 1")
+    assets.mapPartitions(_.flatMap { a =>
+      val m = Mp4.parseMp4(a.bytes)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: not a supported MP4"))
+      val t = m.tracks.head
+      var off = (t.firstChunkOffset - m.mdatFileOffset).toInt
+      val out = Iterator.range(0, t.sampleSizes.length).flatMap { i =>
+        val len = t.sampleSizes(i)
+        val start = off
+        off += len
+        if (start < 0 || start + len > m.mdat.length)
+          throw new IllegalArgumentException(
+            s"asset ${a.id}: sample $i overruns mdat")
+        if (i % every == 0)
+          Iterator.single(Mp4Sample(a.id, i, len, md5OfHex(m.mdat, start, len)))
+        else Iterator.empty
+      }
+      out.toArray.iterator // materialize per asset: `off` is loop state
+    })
+  }
+
   final case class Mp3Features(id: Long, n_frames: Int, bitrate_kbps: Int,
                                sample_rate: Int, duration_ms: Long,
                                payload_fp: String)

@@ -488,6 +488,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Codecs.decodedPayload(Png.encodePng(all, 16, 16, 1)).sameElements(all))
   }
 
+  test("mp4SampleFrames slices samples at the parsed stsz/stco offsets (round 10)") {
+    import spark.implicits._
+    import graft.multimodal.{Mp4, Multimodal}
+    val samples = Array.tabulate(24)(i => ((i * 7 + 1) % 256).toByte)
+    val enc = Mp4.encodeMp4(width = 32, height = 16, timescale = 1000L,
+      duration = 50L, nSamples = 3, sampleSize = 8, samples = samples)
+    val assets = Seq(Multimodal.Asset(7L, "video", enc, 0, 0)).toDS()
+    val got = Multimodal.mp4SampleFrames(assets, every = 2)
+      .collect().map(s => (s.sample_idx, s.sample_len, s.sample_fp)).toSeq.sortBy(_._1)
+    // every=2 over 3 samples keeps indices 0 and 2; fingerprints must
+    // equal md5 of the lowercase-hex rendering of the exact 8-byte slices
+    def hexMd5(b: Array[Byte]): String = {
+      val hx = b.map(x => f"$x%02x").mkString
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(hx.getBytes("US-ASCII")).map(x => f"$x%02x").mkString
+    }
+    assert(got == Seq(
+      (0, 8, hexMd5(samples.slice(0, 8))),
+      (2, 8, hexMd5(samples.slice(16, 24)))))
+    // a sample table overrunning mdat fails loudly, never a misread
+    val m = Mp4.parseMp4(enc).get
+    assert(m.mdatFileOffset == enc.length - samples.length)
+  }
+
   test("MP4/ISO-BMFF: box walk, headers, sample tables, mdat; strict structural rejections (round 10)") {
     import graft.multimodal.Mp4
     val samples = Array.tabulate(24)(i => ((i * 11 + 3) % 256).toByte)
