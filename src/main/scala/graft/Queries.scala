@@ -866,6 +866,54 @@ object Queries {
       .orderBy(col("qid").asc, col("score").desc, col("id").asc)
   }
 
+  /** Iterative graph analytics over the k-NN graph: 3 damped PageRank
+    * iterations (d = 0.85) on the CLOSED exact 3-NN digraph over
+    * vec_id < 500 (both endpoints restricted, so rank mass stays inside
+    * the subgraph; out-degree is exactly 3 for every node ⇒ no dangling
+    * mass). Each iteration is one broadcast join (rank is node-sized) +
+    * one grouped aggregate; the per-node in-contribution sum folds in
+    * SORTED-value order ON BOTH SIDES (Spark sort_array fold; oracle
+    * list_sum(list_sort(list(...)))) — unlike lm_score, where only the
+    * Spark side sorts and 4-dp absorbs cross-engine noise, here the rank
+    * VECTORS are bit-identical across engines at every iteration, so the
+    * floor-form round agrees by construction (a plain sum() oracle
+    * mismatched 2 of 500 rows at sf0.1 — 1-ulp noise crossing a 4-dp
+    * boundary after 3 iterations; the sorted fold killed it).
+    * At 100 TB: rank is one narrow row per node — the iteration is
+    * edges ⨝ broadcast-or-shuffle rank + a map-side-combined aggregate,
+    * the standard Pregel-free relational formulation. */
+  private def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings").where(col("vec_id") < 500)
+    val nodes = emb.select(col("vec_id").cast("long").as("v"))
+    val n = 500.0
+    val edges = graft.plans.TopK.perKey(
+        graft.vector.ExactKNN.topKBatchHeap(emb, "vec_id", "embedding",
+          emb.select(col("vec_id").as("qid"), col("embedding").as("qv")),
+          "qid", "qv", k = 4)
+          .where(col("qid") =!= col("id")),
+        Seq("qid"), Seq("score" -> true, "id" -> false), 3)
+      .select(col("qid").cast("long").as("src"), col("id").cast("long").as("dst"))
+      .localCheckpoint(true)
+    var rank = nodes.select(col("v"), lit(1.0 / n).as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = edges.join(broadcast(rank), col("src") === col("v"))
+        .select(col("dst"), (col("r") / lit(3.0)).as("c"))
+        .groupBy(col("dst"))
+        .agg(sort_array(collect_list(col("c"))).as("cs"))
+        .select(col("dst"),
+          aggregate(col("cs"), lit(0.0), (a, x) => a + x).as("s"))
+      rank = nodes.join(broadcast(contrib), col("v") === col("dst"), "left")
+        .select(col("v"),
+          (lit(0.15 / n) + lit(0.85) * coalesce(col("s"), lit(0.0))).as("r"))
+    }
+    // floor(x·1e4 + 0.5)/1e4 both sides (the composite-score discipline):
+    // with the sorted folds making the rank doubles bit-identical across
+    // engines, this rounding form agrees on every input by construction
+    rank.select(col("v").as("id"),
+        (floor(col("r") * n * 10000.0 + 0.5) / 10000.0).as("pr_n"))
+      .orderBy(col("id"))
+  }
+
   /** The same k-NN graph through the LSH SHUFFLE arm (r5 VERDICT #3): a
     * corpus-sized batch must never broadcast — both bucket joins shuffle
     * on their keys ([[graft.vector.LSHIndex.searchBatch]]
@@ -2914,6 +2962,33 @@ object Queries {
       Some(knnSql(17, 5, "WHERE e.vec_id % 2 = 0"))),
     "knn_graph" -> Q(knnGraphQ, Some(knnGraphSql)),
     "knn_graph_lsh" -> Q(knnGraphLshQ, Some(knnGraphSql)),
+    "graph_pagerank" -> Q(graphPagerank, Some(
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        |           WHERE vec_id < 500),
+        |scored AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS id,
+        |         1.0/(1.0 + list_sum(list_transform(range(1, 65),
+        |           i -> (a.emb[i] - b.emb[i]) * (a.emb[i] - b.emb[i])))) AS s
+        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+        |e AS (SELECT qid AS src, id AS dst FROM (
+        |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS rn
+        |  FROM scored) WHERE rn <= 3),
+        |nd AS (SELECT vec_id AS v FROM v),
+        |r0 AS (SELECT v, 1.0/500.0 AS r FROM nd),
+        |r1 AS (SELECT nd.v, 0.15/500.0 + 0.85*coalesce(c.s, 0.0) AS r FROM nd
+        |  LEFT JOIN (SELECT e.dst, list_sum(list_sort(list(r0.r/3.0))) AS s
+        |             FROM e JOIN r0 ON e.src = r0.v
+        |             GROUP BY e.dst) c ON nd.v = c.dst),
+        |r2 AS (SELECT nd.v, 0.15/500.0 + 0.85*coalesce(c.s, 0.0) AS r FROM nd
+        |  LEFT JOIN (SELECT e.dst, list_sum(list_sort(list(r1.r/3.0))) AS s
+        |             FROM e JOIN r1 ON e.src = r1.v
+        |             GROUP BY e.dst) c ON nd.v = c.dst),
+        |r3 AS (SELECT nd.v, 0.15/500.0 + 0.85*coalesce(c.s, 0.0) AS r FROM nd
+        |  LEFT JOIN (SELECT e.dst, list_sum(list_sort(list(r2.r/3.0))) AS s
+        |             FROM e JOIN r2 ON e.src = r2.v
+        |             GROUP BY e.dst) c ON nd.v = c.dst)
+        |SELECT v AS id, floor(r * 500.0 * 10000.0 + 0.5)/10000.0 AS pr_n
+        |FROM r3 ORDER BY id""".stripMargin)),
     "knn_postfilter" -> Q(knnPostFilter, Some(
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
          |top AS (
