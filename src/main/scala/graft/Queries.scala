@@ -2526,6 +2526,21 @@ object Queries {
     })
   }
 
+  /** Per-frame MP3 fingerprints over the same CBR assets as the parse
+    * gate — pins every frame boundary individually. */
+  private def multimodalMp3Frames(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.mp3FrameFingerprints(mp3Assets(spark, dir))
+      .toDF().orderBy(col("id"), col("frame_idx"))
+
+  /** Real PCM arithmetic: per-channel exact amplitude sums over the
+    * deinterleaved 16-bit LE samples of the wav_decode assets. */
+  private def multimodalWavChannels(spark: SparkSession, dir: String): DataFrame = {
+    val pcmLen = ((lit(30) + col("doc_id") % 7) * (lit(1) + col("doc_id") % 2) * 2).cast("int")
+    graft.multimodal.Multimodal.wavChannelStats(
+        wavAssets(spark, dir, "wav", 10, pcmLen))
+      .toDF().orderBy(col("id"), col("channel"))
+  }
+
   private def multimodalWavDecode(spark: SparkSession, dir: String): DataFrame = {
     // whole frames for ch ∈ {1,2}: n_samples × ch × 2 bytes
     val pcmLen = ((lit(30) + col("doc_id") % 7) * (lit(1) + col("doc_id") % 2) * 2).cast("int")
@@ -3100,6 +3115,41 @@ object Queries {
         |       (n_frames * 1152 * 1000) // sample_rate AS duration_ms,
         |       md5(substr(hx, 1, n_frames * (flen - 4) * 2)) AS payload_fp
         |FROM f ORDER BY id""".stripMargin)),
+    "multimodal_mp3_frames" -> Q(multimodalMp3Frames, Some(
+      """WITH p AS (
+        |  SELECT doc_id AS id,
+        |         (2 + doc_id % 2)::INT AS n_frames,
+        |         (32 + 8 * (doc_id % 3))::INT AS bitrate_kbps,
+        |         (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END)::INT AS sample_rate,
+        |         array_to_string(list_transform(range(0, 40), i -> md5(text || '_mp3_' || i)), '') AS hx
+        |  FROM documents WHERE doc_id < 50),
+        |f AS (SELECT *, ((144 * bitrate_kbps * 1000) // sample_rate - 4)::INT AS plen FROM p)
+        |SELECT id, i::INT AS frame_idx, plen AS frame_len,
+        |       md5(substr(hx, (i * plen * 2 + 1)::INT, (plen * 2)::INT)) AS frame_fp
+        |FROM f, unnest(range(0, n_frames)) AS t(i)
+        |ORDER BY id, frame_idx""".stripMargin)),
+    "multimodal_wav_channels" -> Q(multimodalWavChannels, Some(
+      """WITH p AS (
+        |  SELECT doc_id AS id, (1 + doc_id % 2)::INT AS channels,
+        |         (30 + doc_id % 7)::INT AS n_samples,
+        |         array_to_string(list_transform(range(0, 10), i -> md5(text || '_wav_' || i)), '') AS hx
+        |  FROM documents WHERE doc_id < 50),
+        |s AS (SELECT id, channels, n_samples, c.c::INT AS channel, j.j AS j,
+        |        ((j.j * channels + c.c) * 4 + 1)::INT AS pos, hx
+        |      FROM p, unnest(range(0, channels)) AS c(c),
+        |              unnest(range(0, n_samples)) AS j(j)),
+        |v AS (SELECT id, channel, n_samples,
+        |        (strpos('0123456789abcdef', substr(hx, pos + 2, 1)) - 1) * 4096
+        |      + (strpos('0123456789abcdef', substr(hx, pos + 3, 1)) - 1) * 256
+        |      + (strpos('0123456789abcdef', substr(hx, pos, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(hx, pos + 1, 1)) - 1) AS u
+        |      FROM s)
+        |SELECT id, channel, n_samples,
+        |       CAST(sum(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS BIGINT) AS sum_amp,
+        |       floor(sum(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END)::DOUBLE
+        |             / n_samples * 10000.0 + 0.5) / 10000.0 AS mean_amp
+        |FROM v GROUP BY id, channel, n_samples
+        |ORDER BY id, channel""".stripMargin)),
     "multimodal_mp4_parse" -> Q(multimodalMp4Parse, Some(
       """WITH p AS (
         |  SELECT doc_id AS id, 'isom' AS brand,

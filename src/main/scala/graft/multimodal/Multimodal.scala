@@ -300,6 +300,62 @@ object Multimodal {
     })
   }
 
+  final case class Mp3Frame(id: Long, frame_idx: Int, frame_len: Int,
+                            frame_fp: String)
+
+  /** Per-FRAME MP3 fingerprints: one row per parsed frame payload —
+    * unlike [[mp3Features]]'s concatenated fingerprint (which pins total
+    * content but not the boundaries), this pins every frame boundary the
+    * sync walk found individually. */
+  def mp3FrameFingerprints(assets: Dataset[Asset]): Dataset[Mp3Frame] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      val s = Mp3.parseMp3(a.bytes)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: not a supported MP3"))
+      s.framePayloads.iterator.zipWithIndex.map { case (p, i) =>
+        Mp3Frame(a.id, i, p.length, md5OfHex(p, 0, p.length))
+      }
+    })
+  }
+
+  final case class WavChannelStats(id: Long, channel: Int, n_samples: Int,
+                                   sum_amp: Long, mean_amp: Double)
+
+  /** REAL PCM math over the decoded samples: deinterleave the 16-bit
+    * little-endian signed stream per channel and aggregate exact integer
+    * amplitude sums — the first operator here that does arithmetic ON the
+    * decoded audio rather than fingerprinting its bytes. The mean uses
+    * the floor-form 4-dp round over an exact-integer/count division, so
+    * it is bit-portable to any engine. Only 16-bit PCM qualifies (strict
+    * reject otherwise — sample semantics differ per width). */
+  def wavChannelStats(assets: Dataset[Asset]): Dataset[WavChannelStats] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      val au = Codecs.decodeWav(a.bytes)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: not a valid PCM WAV"))
+      if (au.bitsPerSample != 16)
+        throw new IllegalArgumentException(
+          s"asset ${a.id}: channel stats need 16-bit PCM, got ${au.bitsPerSample}")
+      val ch = au.channels
+      val frames = au.pcm.length / (ch * 2)
+      Iterator.range(0, ch).map { c =>
+        var sum = 0L
+        var j = 0
+        while (j < frames) {
+          val off = (j * ch + c) * 2
+          sum += (((au.pcm(off + 1) << 8) | (au.pcm(off) & 0xff)).toShort).toLong
+          j += 1
+        }
+        val mean =
+          if (frames == 0) 0.0
+          else math.floor(sum.toDouble / frames * 10000.0 + 0.5) / 10000.0
+        WavChannelStats(a.id, c, frames, sum, mean)
+      }
+    })
+  }
+
   final case class PngFeatures(id: Long, width: Int, height: Int,
                                n_channels: Int, pixel_fp: String)
 

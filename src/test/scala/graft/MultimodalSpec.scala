@@ -488,6 +488,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Codecs.decodedPayload(Png.encodePng(all, 16, 16, 1)).sameElements(all))
   }
 
+  test("wavChannelStats deinterleaves 16-bit LE PCM with exact integer sums (round 10)") {
+    import spark.implicits._
+    import graft.multimodal.{Codecs, Multimodal}
+    // stereo, 2 frames: ch0 = [1000, -2000] (sum -1000), ch1 = [30000, -30000] (sum 0)
+    def le16(v: Int): Seq[Byte] = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val pcm = (le16(1000) ++ le16(30000) ++ le16(-2000) ++ le16(-30000)).toArray
+    val wav = Codecs.encodeWav(pcm, channels = 2, sampleRate = 8000, bitsPerSample = 16)
+    val assets = Seq(Multimodal.Asset(3L, "audio", wav, 0, 0)).toDS()
+    val got = Multimodal.wavChannelStats(assets)
+      .collect().map(s => (s.channel, s.n_samples, s.sum_amp, s.mean_amp)).toSeq.sortBy(_._1)
+    assert(got == Seq((0, 2, -1000L, -500.0), (1, 2, 0L, 0.0)))
+  }
+
+  test("mp3FrameFingerprints pins each parsed frame payload individually (round 10)") {
+    import spark.implicits._
+    import graft.multimodal.{Mp3, Multimodal}
+    // bitrate idx 1 (32 kbps), rate idx 2 (32000) -> flen 144, payload 140/frame
+    val payloads = Array.tabulate(280)(i => ((i * 13 + 5) % 256).toByte)
+    val enc = Mp3.encodeMp3(nFrames = 2, bitrateIdx = 1, rateIdx = 2, payloads)
+    val assets = Seq(Multimodal.Asset(9L, "audio", enc, 0, 0)).toDS()
+    def hexMd5(b: Array[Byte]): String = {
+      val hx = b.map(x => f"$x%02x").mkString
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(hx.getBytes("US-ASCII")).map(x => f"$x%02x").mkString
+    }
+    val got = Multimodal.mp3FrameFingerprints(assets)
+      .collect().map(s => (s.frame_idx, s.frame_len, s.frame_fp)).toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (0, 140, hexMd5(payloads.slice(0, 140))),
+      (1, 140, hexMd5(payloads.slice(140, 280)))))
+  }
+
   test("mp4SampleFrames slices samples at the parsed stsz/stco offsets (round 10)") {
     import spark.implicits._
     import graft.multimodal.{Mp4, Multimodal}
