@@ -2431,6 +2431,12 @@ object Queries {
     graft.multimodal.Multimodal.pngFeatures(pngAssets(spark, dir))
       .toDF().orderBy(col("id"))
 
+  /** Image analog of wav_channels: per-channel exact sums over the fully
+    * decoded (inflate + defilter) unsigned samples. */
+  private def multimodalPngStats(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.pngChannelStats(pngAssets(spark, dir))
+      .toDF().orderBy(col("id"), col("channel"))
+
   /** REAL MP4 payloads (round 10): a minimal valid ISO BMFF file per doc —
     * ftyp + moov (movie/track/media headers, uniform stsz, stco) + mdat
     * carrying md5-chain sample bytes. The parser extracts every header
@@ -3115,6 +3121,25 @@ object Queries {
         |       (n_frames * 1152 * 1000) // sample_rate AS duration_ms,
         |       md5(substr(hx, 1, n_frames * (flen - 4) * 2)) AS payload_fp
         |FROM f ORDER BY id""".stripMargin)),
+    "multimodal_png_stats" -> Q(multimodalPngStats, Some(
+      """WITH p AS (
+        |  SELECT doc_id AS id, (3 + doc_id % 5)::INT AS width, (2 + doc_id % 3)::INT AS height,
+        |         (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END)::INT AS ch,
+        |         array_to_string(list_transform(range(0, 6), i -> md5(text || '_png8_' || i)), '') AS hx
+        |  FROM documents WHERE doc_id < 50),
+        |s AS (SELECT id, ch, width * height AS n_px, c.c::INT AS channel, j.j AS j,
+        |        ((j.j * ch + c.c) * 2 + 1)::INT AS pos, hx
+        |      FROM p, unnest(range(0, ch)) AS c(c),
+        |              unnest(range(0, width * height)) AS j(j)),
+        |v AS (SELECT id, channel, n_px,
+        |        (strpos('0123456789abcdef', substr(hx, pos, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(hx, pos + 1, 1)) - 1) AS u
+        |      FROM s)
+        |SELECT id, channel, n_px::INT AS n_px,
+        |       CAST(sum(u) AS BIGINT) AS sum_val,
+        |       floor(sum(u)::DOUBLE / n_px * 10000.0 + 0.5) / 10000.0 AS mean_val
+        |FROM v GROUP BY id, channel, n_px
+        |ORDER BY id, channel""".stripMargin)),
     "multimodal_mp3_frames" -> Q(multimodalMp3Frames, Some(
       """WITH p AS (
         |  SELECT doc_id AS id,

@@ -375,6 +375,33 @@ object Multimodal {
     })
   }
 
+  final case class PngChannelStats(id: Long, channel: Int, n_px: Int,
+                                   sum_val: Long, mean_val: Double)
+
+  /** Arithmetic over DECODED image samples (the image analog of
+    * [[wavChannelStats]]): per-channel exact sums of the unsigned 8-bit
+    * samples after the full chunk-walk → inflate → defilter pipeline, plus
+    * the floor-form mean. Per-asset flatMap, output one narrow row per
+    * channel. */
+  def pngChannelStats(assets: Dataset[Asset]): Dataset[PngChannelStats] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      val img = Png.decodePng(a.bytes)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: not a supported PNG"))
+      val ch = img.channels
+      val n = img.pixels.length / ch
+      Iterator.range(0, ch).map { c =>
+        var sum = 0L
+        var j = 0
+        while (j < n) { sum += img.pixels(j * ch + c) & 0xff; j += 1 }
+        val mean =
+          if (n == 0) 0.0 else math.floor(sum.toDouble / n * 10000.0 + 0.5) / 10000.0
+        PngChannelStats(a.id, c, n, sum, mean)
+      }
+    })
+  }
+
   final case class JpegRgbFeatures(id: Long, width: Int, height: Int,
                                    n_channels: Int, pixel_fp: String)
 

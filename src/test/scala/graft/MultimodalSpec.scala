@@ -501,6 +501,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == Seq((0, 2, -1000L, -500.0), (1, 2, 0L, 0.0)))
   }
 
+  test("pngChannelStats sums the decoded unsigned samples per channel (round 10)") {
+    import spark.implicits._
+    import graft.multimodal.{Png, Multimodal}
+    // 2×1 RGB: pixels (10, 20, 30), (40, 50, 255) → ch sums 50, 70, 285
+    val samples = Array[Byte](10, 20, 30, 40, 50, 255.toByte)
+    val png = Png.encodePng(samples, 2, 1, 3)
+    val assets = Seq(Multimodal.Asset(4L, "image", png, 0, 0)).toDS()
+    val got = Multimodal.pngChannelStats(assets)
+      .collect().map(s => (s.channel, s.n_px, s.sum_val, s.mean_val)).toSeq.sortBy(_._1)
+    assert(got == Seq((0, 2, 50L, 25.0), (1, 2, 70L, 35.0), (2, 2, 285L, 142.5)))
+  }
+
   test("mp3FrameFingerprints pins each parsed frame payload individually (round 10)") {
     import spark.implicits._
     import graft.multimodal.{Mp3, Multimodal}
