@@ -1723,6 +1723,38 @@ object Queries {
         ExactSum.centsSum(col("o_totalprice")).cast("double").as("revenue"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
+  /** Relational tier: GROUPING SETS in its GENERAL form — the two
+    * single-dimension marginals plus the grand total, a set list neither
+    * ROLLUP nor CUBE can express (no (status, priority) pair row). Same
+    * Expand-operator execution, caller-chosen sets. */
+  private def groupingSetsRevenue(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty[Column]),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        ExactSum.centsSum(col("o_totalprice")).cast("double").as("revenue"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** Relational tier: NTILE — equi-depth bucketing by rank (the decile
+    * assignment step of a feature pipeline), distinct from row_number/
+    * rank (window_top_order) and RANGE frames (rolling_avg). Total order
+    * (revenue desc, custkey) makes the tile assignment deterministic;
+    * the per-tile rollup emits exact-decimal revenue bounds. */
+  private def ntileRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+    tbl(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(ExactSum.centsSum(col("o_totalprice")).as("revd"))
+      .select(col("c_custkey"), col("revd").cast("double").as("revenue"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_cust"),
+        min(col("revenue")).as("min_rev"), max(col("revenue")).as("max_rev"))
+      .orderBy(col("decile"))
+  }
+
   /** Relational tier: set operations (INTERSECT / EXCEPT / UNION ALL). */
   private def setOps(spark: SparkSession, dir: String): DataFrame = {
     val d = docsTbl(spark, dir)
@@ -3967,6 +3999,23 @@ object Queries {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+    "grouping_sets_revenue" -> Q(groupingSetsRevenue, Some(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+    "ntile_revenue" -> Q(ntileRevenue, Some(
+      """WITH c AS (
+        |  SELECT o_custkey AS c_custkey,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY o_custkey),
+        |t AS (SELECT c_custkey, revenue,
+        |        ntile(10) OVER (ORDER BY revenue DESC, c_custkey) AS decile
+        |      FROM c)
+        |SELECT decile, count(*) AS n_cust,
+        |       min(revenue) AS min_rev, max(revenue) AS max_rev
+        |FROM t GROUP BY decile ORDER BY decile""".stripMargin)),
     "set_ops" -> Q(setOps, Some(
       """WITH en AS (SELECT doc_id AS id FROM documents WHERE lang = 'en'),
         |     lng AS (SELECT doc_id AS id FROM documents WHERE n_chars >= 300)
