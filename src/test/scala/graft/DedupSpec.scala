@@ -79,6 +79,27 @@ class DedupSpec extends AnyFunSuite {
     assert(below.isEmpty)
   }
 
+  test("prefix bound property: exact set always kept, at most one epsilon-admitted extra (round 10)") {
+    // the ceil-free prefix predicate `t·sz ≤ sz + 1 − rn + 1e-9·(sz+1)`
+    // evaluated in pure doubles (the same IEEE ops codegen runs) must
+    // (a) keep every rn of the EXACT prefix rn ≤ sz − ⌈t·sz⌉ + 1 (the
+    // one-sided exactness claim) and (b) admit at most ONE extra rn (the
+    // epsilon can only lengthen the prefix, never unboundedly)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 2000) {
+      val sz = 1 + rnd.nextInt(2000)
+      val t = Seq(0.5, 0.55, 0.7, 0.8, 0.85, 0.9, rnd.nextDouble())(rnd.nextInt(7))
+      val exactBound = sz - BigDecimal(t).*(BigDecimal(sz))
+        .setScale(0, BigDecimal.RoundingMode.CEILING).toInt + 1
+      def keeps(rn: Int): Boolean =
+        t * sz <= sz + 1.0 - rn + 1e-9 * (sz + 1.0)
+      for (rn <- 1 to math.min(sz, exactBound))
+        assert(keeps(rn), s"exact prefix row dropped: t=$t sz=$sz rn=$rn")
+      for (rn <- (exactBound + 2) to math.min(sz, exactBound + 5))
+        assert(!keeps(rn), s"epsilon admitted >1 extra: t=$t sz=$sz rn=$rn")
+    }
+  }
+
   test("ngrams yields EMPTY for documents shorter than n (round-10 review)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -90,4 +90,26 @@ class SamplingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Sampling.takeUntilBudget(d, "dom", Seq($"id".asc), $"cost", 0L))
   }
+
+  test("takeUntilBudget matches a driver-side reference on random inputs") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 400L).map(i =>
+      (i, s"d${rnd.nextInt(5)}", (1 + rnd.nextInt(50)).toLong))
+    val d = rows.toDF("id", "dom", "cost")
+    val budget = 120L
+    val got = Sampling.takeUntilBudget(d, "dom", Seq($"id".asc), $"cost", budget, "cum")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    // reference: per domain in id order, running total INCLUDING the row
+    // must stay <= budget (cum is monotone, so everything after the first
+    // overflow is cut too — both sides agree by construction)
+    val want = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      var cum = 0L
+      rs.sortBy(_._1).flatMap { case (id, _, c) =>
+        cum += c
+        if (cum <= budget) Some(id -> cum) else None
+      }
+    }.toMap
+    assert(got == want,
+      s"diff: ${(got.toSet diff want.toSet).take(5)} / ${(want.toSet diff got.toSet).take(5)}")
+  }
 }
