@@ -1963,6 +1963,22 @@ object Queries {
       .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
       .orderBy(col("source"))
 
+  /** Streaming twin of sample_weighted_mix — the mixture sampler as
+    * FILTER-ON-INGEST: each arriving micro-batch passes the per-domain
+    * md5-draw cut (stateless append mode, no state store). Membership is
+    * a pure per-row function of (id, domain), so batch slicing cannot
+    * change the kept set — the gate aggregates the streamed survivors
+    * batch-side and shares the batch gate's oracle verbatim. */
+  private def streamingWeightedMix(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingGates.streamDocsTransform(spark, dir,
+        Seq("doc_id", "source", "n_chars")) { stream =>
+      graft.operators.Sampling.weightedMix(stream, "source", "doc_id",
+        Map("src1" -> 0.75, "src3" -> 0.5, "src7" -> 0.25), 0.1)
+    }
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"))
+
   /** Quality-budget curation cut: per source, take documents in
     * (quality desc, id) order until 600 whitespace tokens are spent
     * (graft.operators.Sampling.takeUntilBudget over the quality_score
@@ -3559,6 +3575,21 @@ object Queries {
         |      < 429496729
         |ORDER BY doc_id""".stripMargin)),
     "sample_weighted_mix" -> Q(sampleWeightedMix, Some(
+      """WITH d AS (SELECT doc_id, source, n_chars,
+        |  list_sum(list_transform(range(1, 9), j ->
+        |    (strpos('0123456789abcdef',
+        |            substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1)
+        |      * pow(2.0, 4 * (8 - j)))) AS draw
+        |  FROM documents)
+        |SELECT source, count(*) AS n_kept,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM d
+        |WHERE draw < CASE source WHEN 'src1' THEN 3221225472
+        |                         WHEN 'src3' THEN 2147483648
+        |                         WHEN 'src7' THEN 1073741824
+        |                         ELSE 429496729 END
+        |GROUP BY source ORDER BY source""".stripMargin)),
+    "streaming_weighted_mix" -> Q(streamingWeightedMix, Some(
       """WITH d AS (SELECT doc_id, source, n_chars,
         |  list_sum(list_transform(range(1, 9), j ->
         |    (strpos('0123456789abcdef',

@@ -307,31 +307,35 @@ object StreamingGates {
     * of its whitespace-normalized text (the exact-dedup fingerprint), and
     * keeps the min doc_id per fingerprint; a batch-side min collapses
     * multi-batch Update-mode refinements. Output: (fp, kept_id). */
-  /** Docs input SHARED by the fp-dedup and quality-filter gates, memoized
-    * per (session, dir) like the events rewrite — both gates stream the
-    * identical (doc_id, text) projection, the input is immutable, and the
-    * bench runs each gate three times; one 4-file copy serves both
+  /** Docs input SHARED by every documents-streaming gate, memoized per
+    * (session, dir) like the events rewrite — the input is immutable and
+    * the bench runs each gate three times; one 4-file copy serves all
     * (round-8 review: a second per-gate copy doubled the on-disk corpus
-    * per dir for no reason). repartition(4), not coalesce: a single-
-    * partition source must still yield 4 files so maxFilesPerTrigger
-    * produces real multi-batch runs. */
+    * per dir for no reason). The parquet ALWAYS carries the wide
+    * (doc_id, text, source, n_chars) projection; each gate declares its
+    * own (narrower) read schema and the file source prunes — so widening
+    * a later gate's needs never invalidates the shared files (round 10:
+    * the weighted-mix twin needs source/n_chars). repartition(4), not
+    * coalesce: a single-partition source must still yield 4 files so
+    * maxFilesPerTrigger produces real multi-batch runs. */
   private val docsInputs =
     scala.collection.mutable.HashMap.empty[(SparkSession, String), String]
 
-  private def docsInput(spark: SparkSession, dir: String,
-                        docs: DataFrame): String =
+  private def docsInput(spark: SparkSession, dir: String): String =
     docsInputs.synchronized {
       docsInputs.getOrElseUpdate((spark, dir), {
         val tmp = Files.createTempDirectory("graft_stream_docs")
         Runtime.getRuntime.addShutdownHook(new Thread(() => rmrf(tmp)))
-        docs.repartition(4).write.mode("overwrite").parquet(s"$tmp/in")
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+          .repartition(4).write.mode("overwrite").parquet(s"$tmp/in")
         s"$tmp/in"
       })
     }
 
   def fingerprintDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val in = docsInput(spark, dir, docs)
+    val in = docsInput(spark, dir)
     val name = s"gate_fpdedup_${seq.incrementAndGet()}"
     withStreamSession(spark, 8) { ss =>
       import ss.implicits._
@@ -361,7 +365,7 @@ object StreamingGates {
     * per-row function, so batch slicing cannot change the kept set. */
   def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val in = docsInput(spark, dir, docs)
+    val in = docsInput(spark, dir)
     val name = s"gate_qfilter_${seq.incrementAndGet()}"
     withStreamSession(spark, 8) { ss =>
       val stream = ss.readStream.schema(docs.schema)
@@ -386,10 +390,11 @@ object StreamingGates {
     * independent of history. `f` must be a pure per-row function so batch
     * slicing cannot change the result set (the same contract
     * [[qualityFilter]] documents). */
-  def streamDocsTransform(spark: SparkSession, dir: String)
+  def streamDocsTransform(spark: SparkSession, dir: String,
+                          cols: Seq[String] = Seq("doc_id", "text"))
                          (f: DataFrame => DataFrame): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val in = docsInput(spark, dir, docs)
+    val docs = Tables.documents(spark, dir).select(cols.map(col): _*)
+    val in = docsInput(spark, dir)
     val name = s"gate_transform_${seq.incrementAndGet()}"
     withStreamSession(spark, 8) { ss =>
       val stream = ss.readStream.schema(docs.schema)
