@@ -628,7 +628,7 @@ object Queries {
     * BY PROOF for ANY codebook (the SQ8 discipline transposed to PQ);
     * the radii table is codebook-sized, memoized per (session, dir). */
   private val pqRadiiCache =
-    new Memo[Array[Array[Double]]](memoMax, "pqRadiiCache")(_ => ())
+    new Memo[graft.vector.PQIndex.CellRadii](memoMax, "pqRadiiCache")(_ => ())
 
   /** RESIDUAL PQ (round 10): the construction faiss.IndexIVFPQ actually
     * uses — vectors PQ-encoded as residuals against the IVF coarse

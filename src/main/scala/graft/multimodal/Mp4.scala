@@ -176,6 +176,13 @@ object Mp4 {
     tracks.foreach { t =>
       if (t.firstChunkOffset < mdatOff || t.firstChunkOffset > mdatOff + mdat.length)
         return None // chunk offset must land inside the mdat payload
+      // per-track overrun: a track whose own contiguous sample run starting
+      // at its chunk offset would read past the mdat end is a desynced
+      // table — reject at parse time, not as a slice error downstream
+      // (round-10 ADVICE: the cross-track total alone let a single
+      // overrunning track through)
+      if (t.firstChunkOffset - mdatOff + t.sampleSizes.map(_.toLong).sum > mdat.length)
+        return None
     }
     if (total > mdat.length) return None
     Some(Movie(brand, mvTimescale, mvDuration, tracks.toArray, mdat, mdatOff))

@@ -75,13 +75,19 @@ object Sampling {
     * domain pre-splits by a hash salt with per-salt sub-budgets, the same
     * discipline packBudgeted documents. Output: the kept input rows plus
     * `cumName` (the running cost INCLUDING the row — a row whose cost
-    * overflows the budget is cut, never half-taken). */
+    * overflows the budget is cut, never half-taken). Costs must be
+    * NON-NEGATIVE: a negative cost makes the running sum non-monotone, so
+    * "cum ≤ budget" is no longer a prefix of the preference order
+    * (round-10 ADVICE) — enforced per row with a raise_error guard. */
   def takeUntilBudget(df: DataFrame, domainCol: String, order: Seq[Column],
                       costCol: Column, budget: Long,
                       cumName: String = "cum_cost"): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
+    val guarded = when(costCol >= 0, costCol).otherwise(raise_error(concat(
+      lit("takeUntilBudget: negative cost breaks the prefix contract: "),
+      costCol.cast("string"))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(domainCol)).orderBy(order: _*)
-    df.withColumn(cumName, sum(costCol).over(w)).where(col(cumName) <= budget)
+    df.withColumn(cumName, sum(guarded).over(w)).where(col(cumName) <= budget)
   }
 }

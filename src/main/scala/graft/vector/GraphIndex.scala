@@ -450,7 +450,10 @@ object GraphIndex {
     val n = vectors.count()
     // fail fast with a real message: an empty corpus would otherwise NPE
     // on the min(id) unbox below, and an n=0 index is unusable anyway
-    // (no entry node, hop math on n-1; round-10 review)
+    // (no entry node, hop math on n-1; round-10 review). Release the
+    // just-persisted empty frame before throwing — a failed build must
+    // not leak cached state until JVM exit (round-10 ADVICE).
+    if (n == 0) vectors.unpersist(blocking = false)
     require(n > 0, "cannot build a graph index over an empty corpus")
     val ivf = IVFIndex.build(vectors, "id", "vector", nlist)
     val nprobe = if (graphNprobe > 0) graphNprobe else ivf.nlist

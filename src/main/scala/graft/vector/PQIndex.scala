@@ -27,7 +27,10 @@ import org.apache.spark.storage.StorageLevel
 final class PQIndex(val codes: DataFrame,
                     val codebooks: Array[Array[Array[Double]]],
                     val dim: Int,
-                    private val retained: Seq[DataFrame] = Nil) {
+                    private val retained: Seq[DataFrame] = Nil,
+                    /** Bumped by every [[append]] — the staleness token
+                      * [[cellRadii]] stamps its result with. */
+                    val generation: Long = 0L) {
 
   val m: Int = codebooks.length
   private val subDim = dim / m
@@ -49,7 +52,7 @@ final class PQIndex(val codes: DataFrame,
       codes.select(col("id").cast("long"), col("codes").cast("array<int>"),
           col("err").cast("double"))
         .unionByName(batchCodes),
-      codebooks, dim, retained :+ batchCodes)
+      codebooks, dim, retained :+ batchCodes, generation + 1)
   }
 
   /** ADC distance tables for `query`: m × 256 squared sub-distances. */
@@ -139,10 +142,13 @@ final class PQIndex(val codes: DataFrame,
     * codes frame they were computed from — an [[append]] can place a new
     * row farther from its centroid than the recorded cell max, and a
     * stale radius would then WRONGLY prune it (the bound must over-,
-    * never under-estimate). After append, either recompute or pass
-    * radii = None: the per-row `err` bound alone is always valid
-    * (it travels with every encoded row, appends included). */
-  def cellRadii(vectors: DataFrame, idCol: String, vecCol: String): Array[Array[Double]] = {
+    * never under-estimate). ENFORCED (round-10 ADVICE): the result is
+    * stamped with this index's [[generation]], and [[searchExact]] /
+    * [[exactCandidateCount]] IGNORE radii whose generation differs from
+    * the index they run on, falling back to the always-valid per-row
+    * `err` bound — a caller cannot silently break exactness by reusing
+    * pre-append radii. */
+  def cellRadii(vectors: DataFrame, idCol: String, vecCol: String): PQIndex.CellRadii = {
     val spark = codes.sparkSession
     import spark.implicits._
     val base = vectors.select(col(idCol).cast("long").as("id"),
@@ -165,8 +171,13 @@ final class PQIndex(val codes: DataFrame,
       .collect()
     val radii = Array.tabulate(mm)(s => new Array[Double](cb(s).length))
     rows.foreach(r => radii(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-    radii
+    PQIndex.CellRadii(radii, generation)
   }
+
+  /** Stale-radii hatch: values are usable only when stamped with THIS
+    * index's generation; otherwise the err-only bound carries the proof. */
+  private def freshRadii(radii: Option[PQIndex.CellRadii]): Option[Array[Array[Double]]] =
+    radii.filter(_.generation == generation).map(_.values)
 
   /** EXACT top-k through the compressed index (r9 VERDICT #7): the ADC
     * analog of [[SQIndex]]'s interval-bound rerank. Per subspace the
@@ -218,9 +229,9 @@ final class PQIndex(val codes: DataFrame,
 
   def searchExact(query: Array[Double], k: Int,
                   vectors: DataFrame, idCol: String, vecCol: String,
-                  radii: Option[Array[Array[Double]]] = None): DataFrame = {
+                  radii: Option[PQIndex.CellRadii] = None): DataFrame = {
     import graft.functions.VectorFunctions
-    val bounds = exactBounds(query, radii)
+    val bounds = exactBounds(query, freshRadii(radii))
     // k-th smallest upper bound: bounded-heap reduction, one O(k) scalar
     val t0row = bounds.select(col("dhi")).orderBy(col("dhi").asc).limit(k)
       .agg(max(col("dhi"))).head()
@@ -242,8 +253,8 @@ final class PQIndex(val codes: DataFrame,
   /** Pass-1 survivor count for [[searchExact]]'s bound — the pruning
     * diagnostic (spec + SCALE): how many rows the float rerank touches. */
   def exactCandidateCount(query: Array[Double], k: Int,
-                          radii: Option[Array[Array[Double]]] = None): Long = {
-    val bounds = exactBounds(query, radii)
+                          radii: Option[PQIndex.CellRadii] = None): Long = {
+    val bounds = exactBounds(query, freshRadii(radii))
     val t0row = bounds.select(col("dhi")).orderBy(col("dhi").asc).limit(k)
       .agg(max(col("dhi"))).head()
     if (t0row.isNullAt(0)) return 0L
@@ -273,6 +284,12 @@ final class PQIndex(val codes: DataFrame,
 }
 
 object PQIndex {
+
+  /** [[PQIndex.cellRadii]] output: the per-(subspace, code) max radii plus
+    * the generation of the codes frame they were computed from — the
+    * staleness token that keeps a post-append reuse from wrongly pruning
+    * (round-10 ADVICE). */
+  final case class CellRadii(values: Array[Array[Double]], generation: Long)
 
   /** Train per-subspace codebooks on a bounded SAMPLE driver-side (what
     * FAISS does too — PQ training needs ~thousands of points, not the

@@ -606,6 +606,17 @@ class MultimodalSpec extends AnyFunSuite {
     val stco = enc.indexOfSlice("stco".getBytes("US-ASCII"))
     val badOff = enc.clone(); badOff(stco + 4 + 8 + 3) = 4 // offset -> 4 (pre-mdat)
     assert(Mp4.parseMp4(badOff).isEmpty)
+    // per-TRACK overrun (round-10 ADVICE): offset shifted +8 stays inside
+    // the mdat and the cross-track total still fits, but this track's own
+    // contiguous run (offset + 24 sample bytes) overruns the mdat end —
+    // must be a parse error, not a later slice exception
+    val midOff = enc.clone()
+    val shifted = Mp4ParseHelpers.be32(enc, stco + 12) + 8
+    midOff(stco + 12) = ((shifted >> 24) & 0xff).toByte
+    midOff(stco + 13) = ((shifted >> 16) & 0xff).toByte
+    midOff(stco + 14) = ((shifted >> 8) & 0xff).toByte
+    midOff(stco + 15) = (shifted & 0xff).toByte
+    assert(Mp4.parseMp4(midOff).isEmpty)
     val noMoov = {
       val moov = enc.indexOfSlice("moov".getBytes("US-ASCII")) - 4
       val msz = Mp4ParseHelpers.be32(enc, moov).toInt

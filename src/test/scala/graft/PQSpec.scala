@@ -69,7 +69,7 @@ class PQSpec extends AnyFunSuite {
         }
         d += ds; e2 += es
         val a = math.sqrt(tables(s)(cs(s)))
-        val r = radii(s)(cs(s))
+        val r = radii.values(s)(cs(s))
         val l = math.max(0.0, a - r); lo += l * l
         val h = a + r; hi += h * h
       }
@@ -124,6 +124,15 @@ class PQSpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     assert(got.sameElements(exact), s"${got.toSeq} != ${exact.toSeq}")
     assert(got.forall(_ >= 9000L)) // the appended rows ARE the answer
+    // STALE radii from the pre-append index must be IGNORED, not applied:
+    // their cell maxes predate the far rows, so honoring them would prune
+    // the true answers — the generation stamp guards this (round-10 ADVICE)
+    val stale = pq.cellRadii(emb, "vec_id", "embedding")
+    assert(stale.generation != appended.generation)
+    val gotStale = appended.searchExact(q, 5, all, "vec_id", "embedding", Some(stale))
+      .collect().map(_.getLong(0))
+    assert(gotStale.sameElements(exact),
+      s"stale radii were not ignored: ${gotStale.toSeq} != ${exact.toSeq}")
     appended.dispose()
   }
 

@@ -89,6 +89,14 @@ class SamplingSpec extends AnyFunSuite {
     assert(!kept.contains(6L))
     intercept[IllegalArgumentException](
       Sampling.takeUntilBudget(d, "dom", Seq($"id".asc), $"cost", 0L))
+    // a negative cost silently breaks the prefix contract (the running sum
+    // is no longer monotone) — the per-row guard must raise, not mis-keep
+    // (round-10 ADVICE)
+    val neg = Seq((1L, "a", 10L), (2L, "a", -5L)).toDF("id", "dom", "cost")
+    val e = intercept[Exception](
+      Sampling.takeUntilBudget(neg, "dom", Seq($"id".asc), $"cost", 35L).collect())
+    assert(e.getMessage != null && e.getMessage.contains("negative cost") ||
+      String.valueOf(e.getCause).contains("negative cost"))
   }
 
   test("takeUntilBudget matches a driver-side reference on random inputs") {
