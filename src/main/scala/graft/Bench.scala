@@ -45,24 +45,47 @@ object Bench {
       case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
       case _ => -1L
     }
+    // r10 VERDICT #1: GC attribution per timed run. The r10 driver burned
+    // ~450 CPU-s at cpu_ratio 24.6 on a 0.79 s-quiet gate — consistent
+    // with an in-JVM GC storm (GC threads count toward process CPU), but
+    // cpu_ratio alone cannot distinguish GC from plan work. These deltas
+    // can: collector time/count sampled inside each timed window.
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcSnapshot: (Long, Long) = {
+      var t = 0L; var c = 0L
+      val it = gcBeans.iterator()
+      while (it.hasNext) {
+        val b = it.next()
+        val bt = b.getCollectionTime; val bc = b.getCollectionCount
+        if (bt > 0) t += bt
+        if (bc > 0) c += bc
+      }
+      (t, c)
+    }
+    final case class Timed(wall: Double, cpu: Double, gcSec: Double,
+                           gcCount: Long, err: Option[String])
     def time(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Double, Option[String]) = {
+        : Timed = {
       val c0 = procCpuNanos
+      val (g0t, g0c) = gcSnapshot
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
         val wall = (System.nanoTime() - t0) / 1e9
         val cpu = if (c0 < 0) -1.0 else (procCpuNanos - c0) / 1e9
-        (wall, cpu, None)
+        val (g1t, g1c) = gcSnapshot
+        Timed(wall, cpu, (g1t - g0t) / 1e3, g1c - g0c, None)
       }
       catch { case e: Throwable =>
-        (-1.0, -1.0, Some(s"${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage)).take(120)}"))
+        Timed(-1.0, -1.0, -1.0, -1L,
+          Some(s"${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage)).take(120)}"))
       }
     }
     // errs is per-run ("run N: msg") — a run-1-only failure (e.g. an index
     // build crash recovered by retry) must stay distinguishable from a flaky
     // later run, and tot(_.cold) dropping a query is visible as such.
-    final case class R(name: String, runs: Seq[Double], cpus: Seq[Double], errs: Seq[String]) {
+    final case class R(name: String, runs: Seq[Double], cpus: Seq[Double],
+                       gcSecs: Seq[Double], gcCounts: Seq[Long], errs: Seq[String]) {
       val valid: Seq[Double] = runs.filter(_ >= 0)
       val best: Double = if (valid.isEmpty) -1.0 else valid.min
       val cold: Double = runs.head
@@ -114,8 +137,9 @@ object Bench {
       if (gi % 25 == 24) System.gc()
       if (gi % 8 == 0) midSamples += loadavg
       val timed = (1 to 3).map(_ => time(fn))
-      R(name, timed.map(_._1), timed.map(_._2),
-        timed.zipWithIndex.collect { case ((_, _, Some(e)), i) => s"run ${i + 1}: $e" })
+      R(name, timed.map(_.wall), timed.map(_.cpu),
+        timed.map(_.gcSec), timed.map(_.gcCount),
+        timed.zipWithIndex.collect { case (Timed(_, _, _, _, Some(e)), i) => s"run ${i + 1}: $e" })
     }
     // failed runs serialize as null, never a -1.0 magic value (r6 ADVICE:
     // a naive consumer summing/diffing per-query values would silently
@@ -142,6 +166,14 @@ object Bench {
     // ratio ≈ driver ratio but driver wall ≫ committed wall ⇒ the extra
     // wall was spent waiting on the host, not executing the plan.
     val cpuRatios = obj(r => num(r.cpuRatio))
+    // GC attribution (r10 VERDICT #1): per gate, an array of the THREE
+    // timed runs' in-window collector-seconds (aligned with cold = index 0)
+    // plus the total collection count — a wall spike whose run shows
+    // gc_sec ≈ the excess wall is a GC storm, number-to-number; one whose
+    // gc_sec stays flat is external. Failed runs serialize as null.
+    val gcSec = obj(r => r.gcSecs.map(num).mkString("[", ",", "]"))
+    val gcCount = obj(r =>
+      r.gcCounts.map(c => if (c < 0) "null" else c.toString).mkString("[", ",", "]"))
     // Host-pressure instruments (r7/r8: committed quiet-host totals
     // under-predicted the driver run 1.4-1.5x with best ≈ median — i.e.
     // sustained external load, which neither side could PROVE). loadavg
@@ -160,7 +192,7 @@ object Bench {
     val mid = midSamples.map(d => (math.rint(d * 100) / 100).toString)
       .mkString("[", ",", "]")
     val host = s"""{"loadavg_start":$loadavgStart,"loadavg_mid":$mid,"loadavg_end":$loadavg,"calib_sec":${calib()},"cpus":${Runtime.getRuntime.availableProcessors}}"""
-    val json = s"""{"metric":"total","value":${tot(_.best)},"unit":"sec","total_cold":${tot(_.cold)},"total_median":${tot(_.median)},"prewarm_sec":$preTot,"prewarm":$pre,"host":$host,"queries":$qs,"cold":$cold,"median":$med,"cpu_ratio":$cpuRatios,"anomalies":$anomalies,"errors":$errs,"failed":$failed,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${tot(_.best)},"unit":"sec","total_cold":${tot(_.cold)},"total_median":${tot(_.median)},"prewarm_sec":$preTot,"prewarm":$pre,"host":$host,"queries":$qs,"cold":$cold,"median":$med,"cpu_ratio":$cpuRatios,"gc_sec":$gcSec,"gc_count":$gcCount,"anomalies":$anomalies,"errors":$errs,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // The driver captures a truncated stdout tail (r5 VERDICT #7: the
     // first ~25 queries' medians were unrecoverable for round-over-round

@@ -173,9 +173,79 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Per-document n-gram repetition statistics in ONE expression —
+  * tokenize (the [[graft.text.BM25.tokenize]] contract: whitespace runs,
+  * no empties), slide the n-window, count gram occurrences in a local
+  * map, return (n_grams, n_distinct, max_c) as a struct.
+  *
+  * Replaces the `explode(ngrams) → groupBy(id, gram) → groupBy(id)`
+  * chain in [[graft.text.TextAnalysis.repetition]]: the explode
+  * materialized one Catalyst row PER GRAM (~doc-length rows per doc)
+  * through an exchange — the suite's most allocation-intensive plan and
+  * the recurring victim of driver-host GC storms (r8 + r10 bench
+  * anomalies: 450 CPU-seconds at cpu_ratio 24.6 on a 0.79 s-quiet gate).
+  * Here the grams never become rows at all: one JVM pass per document,
+  * no shuffle — the gram strings are short-lived young-gen garbage
+  * instead of exchange-buffered UnsafeRows.
+  *
+  * The ratio arithmetic (rounding included) deliberately STAYS in
+  * Catalyst columns so the gate's numeric contract with the DuckDB
+  * oracle is bit-for-bit the one verified since r5.
+  *
+  * Semantics: null text → null; fewer than n tokens → null (the caller
+  * filters, matching the old chain's `where(size(toks) >= n)`).
+  */
+case class RepetitionStats(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "gram width must be >= 1")
+
+  override def prettyName: String = "repetition_stats"
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("max_c", LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING arg, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString
+      .split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) return null
+    val counts = new java.util.HashMap[String, Int]()
+    var maxC = 0
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val c = counts.merge(sb.toString, 1, (a, b) => a + b)
+      if (c > maxC) maxC = c
+      i += 1
+    }
+    val total = (toks.length - n + 1).toLong
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total, counts.size.toLong, maxC.toLong))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpr {
   def wordShingles(text: Column, n: Int): Column =
     GraftColumnBridge.column(WordShingles(GraftColumnBridge.expression(text), n))
+
+  def repetitionStats(text: Column, n: Int): Column =
+    GraftColumnBridge.column(RepetitionStats(GraftColumnBridge.expression(text), n))
 
   def winnowFps(text: Column, k: Int, w: Int): Column =
     GraftColumnBridge.column(WinnowFingerprints(GraftColumnBridge.expression(text), k, w))

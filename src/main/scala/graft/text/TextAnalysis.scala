@@ -188,23 +188,23 @@ object TextAnalysis {
     * 2021 §A1.1): the fraction of duplicate token n-grams and the share
     * of the single most frequent n-gram. Machine-generated/boilerplate
     * text scores high on both; a training pipeline thresholds them next
-    * to [[qualityScore]]. One explode + one map-side-combined count per
-    * doc — no cross-doc shuffle beyond the (id, gram) aggregation.
+    * to [[qualityScore]]. ONE fused per-doc expression
+    * ([[graft.expr.RepetitionStats]]) — no explode, NO shuffle at all:
+    * the former `explode → groupBy(id, gram) → groupBy(id)` chain pushed
+    * one exchange-buffered row per gram, the suite's most GC-exposed
+    * plan (r8/r10 bench anomalies — 450 CPU-s storms on a sub-second
+    * gate). The ratio arithmetic stays in Catalyst columns so the
+    * oracle-verified rounding is unchanged.
     * Output: (id, n_grams, dup_gram_ratio, top_gram_ratio). */
   def repetition(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val t = toks(col(textCol))
-    graft.sources.Tables.fanOut(docs).where(size(t) >= n)
+    graft.sources.Tables.fanOut(docs)
       .select(col(idCol).as("id"),
-        explode(graft.dedup.Dedup.ngrams(t, n)).as("gram"))
-      .groupBy(col("id"), col("gram")).agg(count(lit(1)).as("c"))
-      .groupBy(col("id"))
-      .agg(sum(col("c")).as("n_grams"),
-        count(lit(1)).as("n_distinct"),
-        max(col("c")).as("max_c"))
-      .select(col("id"), col("n_grams"),
-        round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 4)
+        graft.expr.TextExpr.repetitionStats(col(textCol), n).as("s"))
+      .where(col("s").isNotNull)
+      .select(col("id"), col("s.n_grams").as("n_grams"),
+        round(lit(1.0) - col("s.n_distinct").cast("double") / col("s.n_grams"), 4)
           .as("dup_gram_ratio"),
-        round(col("max_c").cast("double") / col("n_grams"), 4).as("top_gram_ratio"))
+        round(col("s.max_c").cast("double") / col("s.n_grams"), 4).as("top_gram_ratio"))
   }
 
   /** Whitespace-collapsed, lowercased canonical form — the normalization

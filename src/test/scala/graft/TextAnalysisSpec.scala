@@ -207,6 +207,45 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(inc == full && inc.nonEmpty)
   }
 
+  test("repetition: fused expression ≡ the explode-chain reference formula") {
+    // hand cases: all-distinct grams, one dominating gram, sub-n doc (drop),
+    // null text (drop), repeated-whitespace tokenization
+    val rnd = new scala.util.Random(11)
+    val vocab = Array("a", "b", "c", "dd", "eee")
+    val randomDocs = (10L to 60L).map(id =>
+      (id, Seq.fill(3 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+    val docs = (Seq(
+      (0L, "w x y z"),                        // 2 distinct 3-grams, all c=1
+      (1L, "a a a a a a"),                    // one gram "a a a" with c=4
+      (2L, "one  two\tthree   one two three"),// whitespace runs collapse
+      (3L, "just two"),                       // < 3 tokens — dropped
+      (4L, null.asInstanceOf[String])         // null — dropped
+    ) ++ randomDocs).toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // reference: the pre-r11 chain's arithmetic in plain Scala
+    val expect = (Seq((0L, "w x y z"), (1L, "a a a a a a"),
+        (2L, "one  two\tthree   one two three")) ++ randomDocs).map { case (id, text) =>
+      val ts = text.trim.split("\\s+").filter(_.nonEmpty)
+      val grams = ts.sliding(3).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).view.mapValues(_.size).toMap
+      def r4(d: Double) = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      id -> ((grams.size.toLong,
+        r4(1.0 - counts.size.toDouble / grams.size),
+        r4(counts.values.max.toDouble / grams.size)))
+    }.toMap
+    assert(got == expect)
+    assert(!got.contains(3L) && !got.contains(4L))
+  }
+
+  test("repetition plans shuffle-free — no exchange, no explode rows") {
+    val docs = Seq((0L, "p q r s t")).toDF("doc_id", "text")
+    val p = TextAnalysis.repetition(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Generate"),
+      s"repetition regressed to the explode+shuffle chain:\n$p")
+  }
+
   test("containment joins are equi-joins on fp — never a cartesian") {
     val docs = Seq((0L, "alpha beta gamma delta epsilon zeta eta theta"),
       (1L, "alpha beta gamma delta epsilon zeta eta iota")).toDF("id", "text")
