@@ -650,6 +650,32 @@ object Queries {
         tbl(spark, dir, "embeddings"), "vec_id", "embedding")
       .orderBy(col("score").desc, col("id").asc)
 
+  private val residualPqLoadedCache =
+    new Memo[(graft.vector.ResidualPQ, java.nio.file.Path)](memoMax, "residualPqLoadedCache")({
+      case (idx, p) => idx.dispose(); graft.streaming.StreamingGates.rmrf(p)
+    })
+
+  /** S3+S4 for residual PQ (r10 VERDICT #2 — lifecycle parity with the
+    * other six index families): build → save (codes + codebooks + coarse
+    * centroids, three parquet frames) → load → bound-pruned exact search.
+    * Shares the exact-KNN oracle BY PROOF — the per-row err survives the
+    * parquet round-trip byte-exact, so the loaded index's bracket is the
+    * built one's. Append-through-the-trained-quantizer is pinned in
+    * ResidualPQSpec (codebook/centroid identity + exactness over the
+    * unioned corpus). */
+  private def residualPqLoaded(spark: SparkSession, dir: String): graft.vector.ResidualPQ =
+    residualPqLoadedCache.get(spark, dir) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_rpqsave")
+      graft.vector.ResidualPQ.save(residualPq(spark, dir), tmp.toString)
+      (graft.vector.ResidualPQ.load(spark, tmp.toString), tmp)
+    }._1
+
+  private def saveLoadPqResidual(spark: SparkSession, dir: String): DataFrame =
+    residualPqLoaded(spark, dir)
+      .searchExact(qvec(spark, dir, 53), k = 10,
+        tbl(spark, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy(col("score").desc, col("id").asc)
+
   private def annPqExact(spark: SparkSession, dir: String): DataFrame = {
     val idx = pqIndex(spark, dir)
     // radii computed from THIS index's codes frame, which never appends
@@ -2961,6 +2987,7 @@ object Queries {
     "ann_graph_cosine" -> Q(annGraphCosine, Some(knnBatchCosineSqlFor("11, 12, 13", 5))),
     "ann_pq_exact" -> Q(annPqExact, Some(knnSql(23, 10))),
     "ann_pq_residual_exact" -> Q(annPqResidualExact, Some(knnSql(29, 10))),
+    "save_load_pq_residual" -> Q(saveLoadPqResidual, Some(knnSql(53, 10))),
     "ann_pq" -> Q(annPq, Some(
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |a AS (SELECT vec_id AS aid, emb AS aemb FROM v WHERE vec_id < 16),

@@ -96,4 +96,69 @@ class ResidualPQSpec extends AnyFunSuite {
     assert(cand < 1000, s"no pruning on clustered data: $cand")
     res.dispose(); raw.dispose(); civf.dispose(); data.unpersist()
   }
+
+  test("append: trained quantizer + codebooks reused (object identity), exact over the union") {
+    val cut = 150L
+    val head = emb.where(col("vec_id") < cut)
+    val tail = emb.where(col("vec_id") >= cut)
+    val hivf = IVFIndex.build(head, "vec_id", "embedding", nlist = 8)
+    val built = ResidualPQ.build(hivf, dim = 64, m = 16)
+    val appended = built.append(tail, "vec_id", "embedding")
+    // r10 VERDICT #2: add() must ENCODE, never retrain — same objects
+    assert(appended.codebooks.eq(built.codebooks),
+      "append retrained the residual codebooks — incremental maintenance must reuse them")
+    assert(appended.centroids.eq(built.centroids),
+      "append replaced the coarse centroids — the trained quantizer must stay fixed")
+    assert(appended.codes.count() == emb.count())
+    // appended rows carry a valid row bound: exact over the UNIONED corpus
+    for (qid <- Seq(7L, 170L)) {
+      val q = queryVec(qid)
+      val exact = ExactKNN.topK(emb, "vec_id", "embedding", q, 10)
+        .select(col("id"), round(col("score"), 4).as("score"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val got = appended.searchExact(q, 10, emb, "vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.sameElements(exact), s"qid=$qid: ${got.toSeq} != ${exact.toSeq}")
+    }
+    // append assigns each batch row to its NEAREST trained centroid
+    val centers = built.centroids
+    val assigned = appended.codes.where(col("id") >= cut)
+      .select(col("id"), col("cluster")).collect()
+    val vecs = tail.select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assigned.take(50).foreach { r =>
+      val v = vecs(r.getLong(0))
+      val best = centers.minBy { case (_, cen) =>
+        var d = 0.0; var i = 0
+        while (i < 64) { val x = v(i) - cen(i); d += x * x; i += 1 }
+        d
+      }._1
+      assert(r.getInt(1) == best, s"id=${r.getLong(0)} not in nearest cluster")
+    }
+    appended.dispose(); hivf.dispose()
+  }
+
+  test("save -> load round-trips codes, codebooks and centroids; loaded search stays exact") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rpq_spec")
+    try {
+      ResidualPQ.save(rpq, tmp.toString)
+      val loaded = ResidualPQ.load(spark, tmp.toString)
+      assert(loaded.dim == rpq.dim && loaded.m == rpq.m)
+      assert(loaded.codebooks.length == rpq.codebooks.length &&
+        loaded.codebooks.zip(rpq.codebooks).forall { case (a, b) =>
+          a.length == b.length && a.zip(b).forall { case (x, y) => x.sameElements(y) } })
+      assert(loaded.centroids.map(_._1).sameElements(rpq.centroids.map(_._1)) &&
+        loaded.centroids.zip(rpq.centroids).forall { case ((_, a), (_, b)) => a.sameElements(b) })
+      assert(loaded.codes.count() == rpq.codes.count())
+      val q = queryVec(29L)
+      val exact = ExactKNN.topK(emb, "vec_id", "embedding", q, 10)
+        .select(col("id"), round(col("score"), 4).as("score"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val got = loaded.searchExact(q, 10, emb, "vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.sameElements(exact))
+      loaded.dispose()
+    } finally graft.streaming.StreamingGates.rmrf(tmp)
+  }
 }
