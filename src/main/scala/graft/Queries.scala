@@ -2511,6 +2511,36 @@ object Queries {
     graft.multimodal.Multimodal.pngChannelStats(pngAssets(spark, dir))
       .toDF().orderBy(col("id"), col("channel"))
 
+  /** END-TO-END multimodal pipeline (r10 VERDICT #4 — the media and
+    * vector tiers meeting in ONE flow): real PNG binaries → full decode
+    * (chunk walk, CRC, inflate, defilter) → fixed-dim feature vector
+    * (16-bin high-nibble histogram — constant dimension across image
+    * sizes/channel counts) → facade COLLECTION ingest (create → addBulk,
+    * dense rowids ≡ doc ids by ingest order) → exact KNN over the image
+    * features through the flat index. The oracle recomputes every
+    * histogram from the md5-chain hex (the high nibble IS a payload hex
+    * digit), then ranks by the engine's 1/(1+‖a−q‖²) score — so the gate
+    * pins decoder, featurizer, ingest AND search together; a bug in any
+    * tier breaks the hash. Query = image 0's own histogram. */
+  private val pngKnnDbCache = new Memo[VectorDatabase](memoMax, "pngKnnDbCache")(_.close())
+
+  private def pngKnnDb(spark: SparkSession, dir: String): VectorDatabase =
+    pngKnnDbCache.get(spark, dir) {
+      val feats = graft.multimodal.Multimodal.pngNibbleHistogram(pngAssets(spark, dir))
+        .toDF().select(col("id"), col("features"),
+          format_string("png_%d", col("id")).as("doc"))
+      graft.sources.CollectionLoader.load(spark, feats, 16, "doc", "features", "id")
+    }
+
+  private def multimodalKnn(spark: SparkSession, dir: String): DataFrame = {
+    val q = graft.multimodal.Multimodal.pngNibbleHistogram(pngAssets(spark, dir))
+      .toDF().where(col("id") === 0L)
+      .head().getSeq[Double](1).map(_.toFloat).toArray
+    pngKnnDb(spark, dir).queryVector(q, topK = 10)
+      .select(col("id"), r4(col("score")).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+  }
+
   /** REAL MP4 payloads (round 10): a minimal valid ISO BMFF file per doc —
     * ftyp + moov (movie/track/media headers, uniform stsz, stco) + mdat
     * carrying md5-chain sample bytes. The parser extracts every header
@@ -3196,6 +3226,24 @@ object Queries {
         |       (n_frames * 1152 * 1000) // sample_rate AS duration_ms,
         |       md5(substr(hx, 1, n_frames * (flen - 4) * 2)) AS payload_fp
         |FROM f ORDER BY id""".stripMargin)),
+    "multimodal_knn" -> Q(multimodalKnn, Some(
+      """WITH p AS (
+        |  SELECT doc_id AS id, (3 + doc_id % 5)::INT AS width, (2 + doc_id % 3)::INT AS height,
+        |         (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END)::INT AS ch,
+        |         array_to_string(list_transform(range(0, 6), i -> md5(text || '_png8_' || i)), '') AS hx
+        |  FROM documents WHERE doc_id < 50),
+        |s AS (SELECT id, (j.j * 2 + 1)::INT AS pos, hx
+        |      FROM p, unnest(range(0, width * height * ch)) AS j(j)),
+        |b AS (SELECT id, (strpos('0123456789abcdef', substr(hx, pos, 1)) - 1) AS bin FROM s),
+        |h AS (SELECT id, bin, count(*)::DOUBLE AS c FROM b GROUP BY id, bin),
+        |g AS (SELECT pr.id, pr.bin, coalesce(h.c, 0.0) AS c
+        |      FROM (SELECT p.id, r.r AS bin FROM p, unnest(range(0, 16)) AS r(r)) pr
+        |      LEFT JOIN h ON h.id = pr.id AND h.bin = pr.bin),
+        |q AS (SELECT bin, c AS qc FROM g WHERE id = 0),
+        |d AS (SELECT g.id, sum((g.c - q.qc) * (g.c - q.qc)) AS d2
+        |      FROM g JOIN q USING (bin) GROUP BY g.id)
+        |SELECT id, round(1.0/(1.0 + d2), 4) AS score
+        |FROM d ORDER BY score DESC, id LIMIT 10""".stripMargin)),
     "multimodal_png_stats" -> Q(multimodalPngStats, Some(
       """WITH p AS (
         |  SELECT doc_id AS id, (3 + doc_id % 5)::INT AS width, (2 + doc_id % 3)::INT AS height,

@@ -402,6 +402,30 @@ object Multimodal {
     })
   }
 
+  final case class PngHistogram(id: Long, features: Seq[Double])
+
+  /** Fixed-dimension image FEATURE VECTOR from a real decode (r10 VERDICT
+    * #4 — the seam where the media tier meets the vector tier): the 16-bin
+    * high-nibble histogram over ALL decoded samples (chunk walk → inflate
+    * → defilter first). Dimension is constant regardless of the image's
+    * size or channel count, so heterogeneous images ingest into one
+    * collection; bin = sample >> 4 keeps every count reproducible in hex
+    * space (the high nibble IS a hex digit of the payload), so a KNN over
+    * these vectors is DuckDB-oracle-checkable end to end. Per-row kernel,
+    * no shuffle — the embedding stage of a multimodal ingest pipeline. */
+  def pngNibbleHistogram(assets: Dataset[Asset]): Dataset[PngHistogram] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      val img = Png.decodePng(a.bytes)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: not a supported PNG"))
+      val h = new Array[Double](16)
+      var i = 0
+      while (i < img.pixels.length) { h((img.pixels(i) & 0xff) >>> 4) += 1.0; i += 1 }
+      PngHistogram(a.id, h.toSeq)
+    })
+  }
+
   final case class JpegRgbFeatures(id: Long, width: Int, height: Int,
                                    n_channels: Int, pixel_fp: String)
 

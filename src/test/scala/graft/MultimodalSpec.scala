@@ -513,6 +513,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == Seq((0, 2, 50L, 25.0), (1, 2, 70L, 35.0), (2, 2, 285L, 142.5)))
   }
 
+  test("pngNibbleHistogram: 16-bin high-nibble counts over the decoded samples (round 11)") {
+    import spark.implicits._
+    import graft.multimodal.{Png, Multimodal}
+    // samples 0x0a 0x14 0x1e 0x28 0xff 0xf0 → high nibbles 0,1,1,2,15,15
+    val samples = Array[Byte](0x0a, 0x14, 0x1e, 0x28, 0xff.toByte, 0xf0.toByte)
+    val png = Png.encodePng(samples, 2, 1, 3)
+    val assets = Seq(Multimodal.Asset(7L, "image", png, 0, 0)).toDS()
+    val got = Multimodal.pngNibbleHistogram(assets).collect()
+    assert(got.length == 1 && got(0).id == 7L)
+    val expect = Array.fill(16)(0.0)
+    expect(0) = 1; expect(1) = 2; expect(2) = 1; expect(15) = 2
+    assert(got(0).features == expect.toSeq)
+    // fixed dimension regardless of channel count: grayscale asset too
+    val grey = Seq(Multimodal.Asset(8L, "image",
+      Png.encodePng(Array[Byte](0x7f, 0x00), 2, 1, 1), 0, 0)).toDS()
+    val g = Multimodal.pngNibbleHistogram(grey).collect()(0)
+    assert(g.features.size == 16 && g.features(7) == 1.0 && g.features(0) == 1.0)
+  }
+
   test("mp3FrameFingerprints pins each parsed frame payload individually (round 10)") {
     import spark.implicits._
     import graft.multimodal.{Mp3, Multimodal}
