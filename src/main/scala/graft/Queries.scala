@@ -2113,6 +2113,18 @@ object Queries {
     graft.text.TextAnalysis.repetition(docsTbl(spark, dir), "doc_id", "text")
       .orderBy(col("id"))
 
+  /** Benchmark decontamination (round 11): docs < 100 stand in as the
+    * held-out evaluation set, the rest as the training corpus; n = 4
+    * plays the production n = 8–13 role against the synthetic tables'
+    * small vocabulary. Test grams broadcast; the corpus streams. */
+  private def decontaminateQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsTbl(spark, dir)
+    graft.text.TextAnalysis.decontaminate(
+        d.where(col("doc_id") >= 100), "doc_id", "text",
+        d.where(col("doc_id") < 100), "text", n = 4)
+      .orderBy(col("id"))
+  }
+
   /** Vocabulary heavy hitters: top-20 terms by document frequency — one
     * explode → map-side-combined count → TakeOrdered; the corpus-profiling
     * scan every tokenizer/vocab decision starts from. Exact at any scale:
@@ -3595,6 +3607,16 @@ object Queries {
            |LEFT JOIN cl ON d.doc_id = cl.id
            |WHERE cl.id IS NULL OR cl.cluster = d.doc_id
            |ORDER BY id""".stripMargin)),
+    "decontaminate" -> Q(decontaminateQ, Some(
+      raw"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+           |g AS (SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(t) - 3, 0)),
+           |      i -> array_to_string(t[i+1:i+4], ' '))) AS gs FROM toks),
+           |eg AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+           |test AS (SELECT DISTINCT gram FROM eg WHERE doc_id < 100)
+           |SELECT eg.doc_id AS id, count(*) AS n_hits
+           |FROM eg JOIN test USING (gram)
+           |WHERE eg.doc_id >= 100
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
     "repetition_score" -> Q(repetitionScore, Some(
       raw"""WITH $toksCte,
            |g AS (SELECT id, unnest(list_transform(range(0, len(toks)-2),

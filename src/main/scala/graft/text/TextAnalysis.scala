@@ -224,6 +224,36 @@ object TextAnalysis {
       md5(substring(norm, 1, prefixLen)).as("fp_prefix"))
   }
 
+  /** Benchmark DECONTAMINATION (round 11; the GPT-3 appendix-C /
+    * Pile-§6 discipline every public LLM training pipeline runs): flag
+    * training documents that share any distinct word n-gram with a
+    * held-out evaluation set, so benchmark text cannot leak into the
+    * training corpus. Output: (id, n_hits) — one row per CONTAMINATED
+    * training doc with its count of distinct overlapping grams; compose
+    * with an anti-join to drop, or threshold n_hits to tolerate
+    * incidental short collisions.
+    *
+    * 100 TB shape: the test side is benchmark-sized (≪ corpus), so its
+    * distinct gram set BROADCASTS; the corpus side is one fused-expression
+    * projection ([[graft.expr.WordShingles]] — grams never re-tokenize) +
+    * explode streaming through a broadcast hash semi-join, then ONE
+    * map-side-combined count per doc. The corpus is never shuffled by
+    * gram; the only exchange carries (id, count) partials. */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    testDocs: DataFrame, testTextCol: String,
+                    n: Int = 8): DataFrame = {
+    val testGrams = testDocs
+      .select(explode(graft.expr.TextExpr.wordShingles(col(testTextCol), n)).as("gram"))
+      .distinct()
+    graft.sources.Tables.fanOut(docs)
+      .select(col(idCol).as("id"),
+        explode(graft.expr.TextExpr.wordShingles(col(textCol), n)).as("gram"))
+      .join(broadcast(testGrams), Seq("gram"))
+      // WordShingles emits DISTINCT grams per doc, so count(*) counts
+      // distinct overlapping grams without a distinct aggregate
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
     * the MOSS local-fingerprinting algorithm): md5 char-k-gram hashes over
     * the [[normalized]] text, minimum hash per sliding window of `w`

@@ -246,6 +246,31 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"repetition regressed to the explode+shuffle chain:\n$p")
   }
 
+  test("decontaminate: distinct shared n-grams per training doc, clean docs absent") {
+    val corpus = Seq(
+      (10L, "a b c d x y z w"),       // shares "a b c d" once
+      (11L, "a b c d e f g h q"),     // shares "a b c d", "b c d e", ... (5 grams)
+      (12L, "p q r s t u v"),         // clean
+      (13L, "a b c d a b c d e")      // duplicated gram counts ONCE (distinct)
+    ).toDF("doc_id", "text")
+    val test = Seq((0L, "a b c d e f g h")).toDF("doc_id", "text")
+    val got = TextAnalysis.decontaminate(corpus, "doc_id", "text", test, "text", n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // test grams: {a b c d, b c d e, c d e f, d e f g, e f g h}
+    assert(got == Map(10L -> 1L, 11L -> 5L, 13L -> 2L))
+  }
+
+  test("decontaminate plans a broadcast join — the corpus is never shuffled by gram") {
+    val corpus = Seq((10L, "a b c d x")).toDF("doc_id", "text")
+    val test = Seq((0L, "a b c d")).toDF("doc_id", "text")
+    val p = TextAnalysis.decontaminate(corpus, "doc_id", "text", test, "text", n = 4)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"decontaminate's gram join must broadcast the test side:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus grams re-shuffled by the test join:\n$p")
+  }
+
   test("containment joins are equi-joins on fp — never a cartesian") {
     val docs = Seq((0L, "alpha beta gamma delta epsilon zeta eta theta"),
       (1L, "alpha beta gamma delta epsilon zeta eta iota")).toDF("id", "text")
