@@ -2005,6 +2005,22 @@ object Queries {
       .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
       .orderBy(col("source"))
 
+  /** Streaming twin of decontaminate — eval-set leakage filtering as
+    * FILTER-ON-INGEST: the benchmark gram set is collected once
+    * (benchmark-sized, the query-vector boundedness contract) and
+    * broadcast; each arriving micro-batch scores per ROW against it
+    * (stateless append mode — a document is wholly contained in its row,
+    * so batch slicing cannot change n_hits). Shares the batch gate's
+    * oracle verbatim. */
+  private def streamingDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val test = docsTbl(spark, dir).where(col("doc_id") < 100)
+    graft.streaming.StreamingGates.streamDocsTransform(spark, dir,
+        Seq("doc_id", "text", "source", "n_chars")) { stream =>
+      graft.text.TextAnalysis.decontaminateRows(
+        stream.where(col("doc_id") >= 100), "doc_id", "text", test, "text", n = 4)
+    }.orderBy(col("id"))
+  }
+
   /** Quality-budget curation cut: per source, take documents in
     * (quality desc, id) order until 600 whitespace tokens are spent
     * (graft.operators.Sampling.takeUntilBudget over the quality_score
@@ -3686,6 +3702,16 @@ object Queries {
         |                         WHEN 'src7' THEN 1073741824
         |                         ELSE 429496729 END
         |GROUP BY source ORDER BY source""".stripMargin)),
+    "streaming_decontaminate" -> Q(streamingDecontaminate, Some(
+      raw"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+           |g AS (SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(t) - 3, 0)),
+           |      i -> array_to_string(t[i+1:i+4], ' '))) AS gs FROM toks),
+           |eg AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+           |test AS (SELECT DISTINCT gram FROM eg WHERE doc_id < 100)
+           |SELECT eg.doc_id AS id, count(*) AS n_hits
+           |FROM eg JOIN test USING (gram)
+           |WHERE eg.doc_id >= 100
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
     "streaming_weighted_mix" -> Q(streamingWeightedMix, Some(
       """WITH d AS (SELECT doc_id, source, n_chars,
         |  list_sum(list_transform(range(1, 9), j ->

@@ -254,6 +254,56 @@ object TextAnalysis {
       .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
   }
 
+  /** The STREAMING-SAFE form of [[decontaminate]]: a pure per-row kernel
+    * against a driver-collected, Spark-broadcast test gram set — each
+    * document is wholly contained in its row, so n_hits is a per-row
+    * function and the op is STATELESS (filter-on-ingest; no explode, no
+    * aggregation, no state store). Value-identical to [[decontaminate]]
+    * restricted to n_hits > 0 rows — the batch arm keeps the relational
+    * join (Catalyst prunes/reorders it; the gram set never leaves the
+    * cluster), this arm is for Structured Streaming ingest and
+    * single-pass scoring. Collecting the TEST side is the documented
+    * contract: it is benchmark-sized (the same boundedness argument as
+    * query vectors), never the corpus. */
+  def decontaminateRows(docs: DataFrame, idCol: String, textCol: String,
+                        testDocs: DataFrame, testTextCol: String,
+                        n: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grams = new java.util.HashSet[String]()
+    testDocs.select(explode(graft.expr.TextExpr.wordShingles(col(testTextCol), n)).as("g"))
+      .distinct().collect().foreach(r => grams.add(r.getString(0)))
+    val bc = spark.sparkContext.broadcast(grams)
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val set = bc.value
+        it.flatMap { case (id, text) =>
+          val toks =
+            if (text == null) Array.empty[String]
+            else text.split("\\s+").filter(_.nonEmpty)
+          if (toks.length < n) None
+          else {
+            // distinct-hit count, WordShingles' first-occurrence contract
+            val hit = new java.util.HashSet[String]()
+            var i = 0
+            while (i <= toks.length - n) {
+              val sb = new java.lang.StringBuilder()
+              var j = 0
+              while (j < n) {
+                if (j > 0) sb.append(' ')
+                sb.append(toks(i + j)); j += 1
+              }
+              val g = sb.toString
+              if (set.contains(g)) hit.add(g)
+              i += 1
+            }
+            if (hit.isEmpty) None else Some((id, hit.size.toLong))
+          }
+        }
+      }.toDF("id", "n_hits")
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
     * the MOSS local-fingerprinting algorithm): md5 char-k-gram hashes over
     * the [[normalized]] text, minimum hash per sliding window of `w`

@@ -271,6 +271,19 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"corpus grams re-shuffled by the test join:\n$p")
   }
 
+  test("decontaminateRows (streaming kernel) == decontaminate (relational) on random docs") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("a", "b", "c", "d", "e", "f")
+    def txt() = Seq.fill(2 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val corpus = (100L to 160L).map(id => (id, txt())).toDF("doc_id", "text")
+    val test = (0L to 5L).map(id => (id, txt())).toDF("doc_id", "text")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val rel = m(TextAnalysis.decontaminate(corpus, "doc_id", "text", test, "text", n = 3))
+    val row = m(TextAnalysis.decontaminateRows(corpus, "doc_id", "text", test, "text", n = 3))
+    assert(rel == row && rel.nonEmpty)
+  }
+
   test("containment joins are equi-joins on fp — never a cartesian") {
     val docs = Seq((0L, "alpha beta gamma delta epsilon zeta eta theta"),
       (1L, "alpha beta gamma delta epsilon zeta eta iota")).toDF("id", "text")
