@@ -90,6 +90,35 @@ final class ResidualPQ(val codes: DataFrame, // (id, cluster, codes, err)
     rows.toDF("cluster", "s", "code", "d2")
   }
 
+  /** FAISS `IndexIVFPQ`'s actual QUERY path (round 11 — the approximate
+    * ADC rung beside [[searchExact]]'s exact one): the `nprobe` coarse
+    * cells nearest to q are selected driver-side (the centroid table is
+    * nlist × dim doubles — never corpus-sized), the codes frame prunes to
+    * those clusters (at rest this is partition pruning on a
+    * `partitionBy(cluster)` layout), and the broadcast per-cluster ADC
+    * frame join + ONE map-side-combined sum computes d̂ = ‖q − recon‖²
+    * over probed rows only. Approximate on two axes exactly like FAISS
+    * (quantized distances + probed subset); recall pinned in
+    * ResidualPQSpec, never fixed contents. Output contract =
+    * [[ExactKNN.topK]]: (id, score = 1/(1+d̂)), score desc, id asc. */
+  def search(query: Array[Double], k: Int, nprobe: Int = 4): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
+    val probed = centroids.sortBy { case (_, cen) =>
+      var d = 0.0; var i = 0
+      while (i < dim) { val x = query(i) - cen(i); d += x * x; i += 1 }
+      d
+    }.take(nprobe).map(_._1)
+    val qd = qdFrame(query).where(col("cluster").isin(probed.map(Int.box): _*))
+    codes.where(col("cluster").isin(probed.map(Int.box): _*))
+      .select(col("id"), col("cluster"), posexplode(col("codes")).as(Seq("s", "code")))
+      .join(broadcast(qd), Seq("cluster", "s", "code"))
+      .groupBy(col("id"))
+      .agg(sum(col("d2")).as("dist"))
+      .select(col("id"), (lit(1.0) / (lit(1.0) + col("dist"))).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** EXACT top-k through the residual codes: pass 1 joins the exploded
     * codes to the broadcast per-cluster ADC frame and brackets each row
     * with its stored err; T = k-th smallest upper bound (+ the rounded-tie

@@ -97,6 +97,30 @@ class ResidualPQSpec extends AnyFunSuite {
     res.dispose(); raw.dispose(); civf.dispose(); data.unpersist()
   }
 
+  test("search (coarse probe + residual ADC): recall >= 0.5 full-probe, probe-subset discipline") {
+    // full probe: approximate only through quantization — PQSpec's bound
+    val recalls = (0L until 10L).map { i =>
+      val q = queryVec(i * 11)
+      val exact = ExactKNN.topK(emb, "vec_id", "embedding", q, 10)
+        .collect().map(_.getLong(0)).toSet
+      val approx = rpq.search(q, 10, nprobe = 8).collect().map(_.getLong(0)).toSet
+      (exact intersect approx).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean residual-ADC recall@10 = $mean (per-query: $recalls)")
+    // partial probe returns only rows from the probed clusters, and the
+    // query's own vector still ranks first (self-distance = its own
+    // quantization error, minimal by construction)
+    val q = queryVec(42)
+    val got = rpq.search(q, 3, nprobe = 2).collect()
+    assert(got.head.getLong(0) == 42L, s"self not first: ${got.toSeq}")
+    val probedRows = rpq.search(q, 2000, nprobe = 2).collect().map(_.getLong(0)).toSet
+    val clusterOf = rpq.codes.select(col("id"), col("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probedClusters = probedRows.map(clusterOf)
+    assert(probedClusters.size <= 2, s"rows from ${probedClusters.size} clusters at nprobe=2")
+  }
+
   test("append: trained quantizer + codebooks reused (object identity), exact over the union") {
     val cut = 150L
     val head = emb.where(col("vec_id") < cut)
