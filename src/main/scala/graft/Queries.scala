@@ -45,6 +45,16 @@ object Queries {
 
   private def unp(df: DataFrame): Unit = df.unpersist(blocking = false)
 
+  /** Temp-dir build guard (round-11 review): a memo's dispose closure only
+    * runs for a COMPLETED build, so a save/load that throws mid-way would
+    * leak its temp directory (and half-written parquet) until reboot —
+    * the disk transpose of the GraphIndex unpersist-before-throw rule.
+    * Wrap the steps between createTempDirectory and the memo tuple. */
+  private def guardTmp[T](tmp: java.nio.file.Path)(f: => T): T =
+    try f catch { case e: Throwable =>
+      graft.streaming.StreamingGates.rmrf(tmp); throw e
+    }
+
   /** Memoized BM25 index per (session, documents dir) — the analog of the
     * reference holding `_bm25` on the instance (local_db.py:38): built once,
     * reused by every text/hybrid query against the same collection. */
@@ -537,8 +547,10 @@ object Queries {
   private def sqLoaded(spark: SparkSession, dir: String): graft.vector.SQIndex =
     sqLoadedCache.get(spark, dir) {
       val tmp = java.nio.file.Files.createTempDirectory("graft_sqsave")
-      sqIndex(spark, dir).save(tmp.toString)
-      (graft.vector.SQIndex.load(spark, tmp.toString), tmp)
+      guardTmp(tmp) {
+        sqIndex(spark, dir).save(tmp.toString)
+        (graft.vector.SQIndex.load(spark, tmp.toString), tmp)
+      }
     }._1
 
   private def saveLoadSq8Knn(spark: SparkSession, dir: String): DataFrame =
@@ -666,8 +678,10 @@ object Queries {
   private def residualPqLoaded(spark: SparkSession, dir: String): graft.vector.ResidualPQ =
     residualPqLoadedCache.get(spark, dir) {
       val tmp = java.nio.file.Files.createTempDirectory("graft_rpqsave")
-      graft.vector.ResidualPQ.save(residualPq(spark, dir), tmp.toString)
-      (graft.vector.ResidualPQ.load(spark, tmp.toString), tmp)
+      guardTmp(tmp) {
+        graft.vector.ResidualPQ.save(residualPq(spark, dir), tmp.toString)
+        (graft.vector.ResidualPQ.load(spark, tmp.toString), tmp)
+      }
     }._1
 
   private def saveLoadPqResidual(spark: SparkSession, dir: String): DataFrame =
@@ -1206,8 +1220,10 @@ object Queries {
   private def loadedDb(spark: SparkSession, dir: String): VectorDatabase =
     loadedDbCache.get(spark, dir) {
       val tmp = java.nio.file.Files.createTempDirectory("graft_saveload")
-      vdb(spark, dir).save(tmp.toString)
-      (VectorDatabase.load(spark, tmp.toString), tmp)
+      guardTmp(tmp) {
+        vdb(spark, dir).save(tmp.toString)
+        (VectorDatabase.load(spark, tmp.toString), tmp)
+      }
     }._1
 
   private def saveLoadKnn(spark: SparkSession, dir: String): DataFrame =
@@ -1247,11 +1263,13 @@ object Queries {
         ivfClusters = nlist, efSearch = 10 * nlist)
       db.addBulk(e.where(col("vec_id") < cut), "doc", "embedding", None, "vec_id")
       val tmp = java.nio.file.Files.createTempDirectory("graft_incadd")
-      db.save(tmp.toString) // forces the IVF build over the base corpus
-      db.close()
-      val loaded = VectorDatabase.load(spark, tmp.toString)
-      loaded.addBulk(e.where(col("vec_id") >= cut), "doc", "embedding", None, "vec_id")
-      (loaded, tmp)
+      guardTmp(tmp) {
+        db.save(tmp.toString) // forces the IVF build over the base corpus
+        db.close()
+        val loaded = VectorDatabase.load(spark, tmp.toString)
+        loaded.addBulk(e.where(col("vec_id") >= cut), "doc", "embedding", None, "vec_id")
+        (loaded, tmp)
+      }
     }._1
 
   private def incrementalAddKnn(spark: SparkSession, dir: String): DataFrame =
@@ -1278,8 +1296,10 @@ object Queries {
   private def lazyIvfDb(spark: SparkSession, dir: String): VectorDatabase =
     lazyDbCache.get(spark, dir) {
       val tmp = java.nio.file.Files.createTempDirectory("graft_lazyivf")
-      incAddDb(spark, dir).save(tmp.toString)
-      (VectorDatabase.load(spark, tmp.toString, lazyIndexes = true), tmp)
+      guardTmp(tmp) {
+        incAddDb(spark, dir).save(tmp.toString)
+        (VectorDatabase.load(spark, tmp.toString, lazyIndexes = true), tmp)
+      }
     }._1
 
   private def annIvfLazy(spark: SparkSession, dir: String): DataFrame =
@@ -1308,9 +1328,11 @@ object Queries {
       val db = VectorDatabase.create(spark, 64, "lsh", efSearch = 6400)
       db.addBulk(e, "doc", "embedding", None, "vec_id")
       val tmp = java.nio.file.Files.createTempDirectory("graft_lshsave")
-      db.save(tmp.toString)
-      db.close()
-      (VectorDatabase.load(spark, tmp.toString), tmp)
+      guardTmp(tmp) {
+        db.save(tmp.toString)
+        db.close()
+        (VectorDatabase.load(spark, tmp.toString), tmp)
+      }
     }._1
 
   private def saveLoadLshKnn(spark: SparkSession, dir: String): DataFrame =
@@ -1337,9 +1359,11 @@ object Queries {
       val db = VectorDatabase.create(spark, 64, "graph", efSearch = Int.MaxValue)
       db.addBulk(e, "doc", "embedding", None, "vec_id")
       val tmp = java.nio.file.Files.createTempDirectory("graft_graphsave")
-      db.save(tmp.toString)
-      db.close()
-      (VectorDatabase.load(spark, tmp.toString), tmp)
+      guardTmp(tmp) {
+        db.save(tmp.toString)
+        db.close()
+        (VectorDatabase.load(spark, tmp.toString), tmp)
+      }
     }._1
 
   private def saveLoadGraphKnn(spark: SparkSession, dir: String): DataFrame =
@@ -1388,12 +1412,14 @@ object Queries {
           f"[graphinc] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
         r
       }
-      phase("build+save")(db.save(tmp.toString)) // forces the graph build
-      db.close()
-      val loaded = phase("load")(VectorDatabase.load(spark, tmp.toString))
-      phase("append")(
-        loaded.addBulk(e.where(col("vec_id") >= cut), "doc", "embedding", None, "vec_id"))
-      (loaded, tmp)
+      guardTmp(tmp) {
+        phase("build+save")(db.save(tmp.toString)) // forces the graph build
+        db.close()
+        val loaded = phase("load")(VectorDatabase.load(spark, tmp.toString))
+        phase("append")(
+          loaded.addBulk(e.where(col("vec_id") >= cut), "doc", "embedding", None, "vec_id"))
+        (loaded, tmp)
+      }
     }._1
 
   private def incrementalAddGraphKnn(spark: SparkSession, dir: String): DataFrame =
@@ -2317,16 +2343,18 @@ object Queries {
       // shape is an index held open across batch queries, and the
       // per-run parquet re-scan was the durable gate's only delta over
       // the in-memory gate (r8 profile: 2.5 s/run vs 1.1).
-      val m = memoizedJaccardIndex(spark, dir)
-      Dedup.saveJaccardIndex(
-        m.copy(gramSets = m.gramSets.coalesce(4), df = m.df.coalesce(4),
-          prefixes = m.prefixes.coalesce(4)),
-        tmp.toString)
-      val loaded = Dedup.loadJaccardIndex(spark, tmp.toString)
-      val p = (df: DataFrame) =>
-        eager(df)
-      (loaded.copy(gramSets = p(loaded.gramSets), df = p(loaded.df),
-        prefixes = p(loaded.prefixes)), tmp)
+      guardTmp(tmp) {
+        val m = memoizedJaccardIndex(spark, dir)
+        Dedup.saveJaccardIndex(
+          m.copy(gramSets = m.gramSets.coalesce(4), df = m.df.coalesce(4),
+            prefixes = m.prefixes.coalesce(4)),
+          tmp.toString)
+        val loaded = Dedup.loadJaccardIndex(spark, tmp.toString)
+        val p = (df: DataFrame) =>
+          eager(df)
+        (loaded.copy(gramSets = p(loaded.gramSets), df = p(loaded.df),
+          prefixes = p(loaded.prefixes)), tmp)
+      }
     }._1
     Dedup.jaccardPairsIncremental(ix, docs.where(col("doc_id") >= cut), "doc_id", "text")
   }
@@ -2560,10 +2588,17 @@ object Queries {
       graft.sources.CollectionLoader.load(spark, feats, 16, "doc", "features", "id")
     }
 
+  /** The query histogram is memoized beside the collection (round-11
+    * review: recomputing it per call re-decoded all 50 PNGs just to read
+    * one 16-double vector — the gate should time KNN, not redundant
+    * decoding). */
+  private val pngKnnQueryCache = new Memo[Array[Float]](memoMax, "pngKnnQueryCache")(_ => ())
+
   private def multimodalKnn(spark: SparkSession, dir: String): DataFrame = {
-    val q = graft.multimodal.Multimodal.pngNibbleHistogram(pngAssets(spark, dir))
-      .toDF().where(col("id") === 0L)
-      .head().getSeq[Double](1).map(_.toFloat).toArray
+    val q = pngKnnQueryCache.get(spark, dir)(
+      graft.multimodal.Multimodal.pngNibbleHistogram(pngAssets(spark, dir))
+        .toDF().where(col("id") === 0L)
+        .head().getSeq[Double](1).map(_.toFloat).toArray)
     pngKnnDb(spark, dir).queryVector(q, topK = 10)
       .select(col("id"), r4(col("score")).as("score"))
       .orderBy(col("score").desc, col("id").asc)

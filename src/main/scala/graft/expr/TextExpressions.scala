@@ -9,6 +9,38 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** SINGLE SOURCE OF TRUTH for the word n-gram kernel (round-11 review:
+  * [[WordShingles]], [[RepetitionStats]] and the streaming decontamination
+  * kernel each carried their own copy of tokenize + n-window + space-join —
+  * three independently-maintained implementations whose value-equality the
+  * oracles depend on). Tokenization is the [[graft.text.BM25.tokenize]]
+  * contract: whitespace runs, no empties. */
+private[graft] object Grams {
+  def tokens(text: String): Array[String] =
+    text.split("\\s+").filter(_.nonEmpty)
+
+  /** Feeds every space-joined n-gram of `text` to `f` in order (duplicates
+    * included — the consumer picks its fold); returns false when the text
+    * has fewer than n tokens (no complete window). */
+  def foreach(text: String, n: Int)(f: String => Unit): Boolean = {
+    val toks = tokens(text)
+    if (toks.length < n) return false
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      f(sb.toString)
+      i += 1
+    }
+    true
+  }
+}
+
 /** Distinct word n-gram shingles of a text column in ONE expression —
   * tokenize (Python `str.split()` contract: whitespace runs, no empties),
   * slide the n-window, join with single spaces, first-occurrence dedup.
@@ -40,23 +72,10 @@ case class WordShingles(child: Expression, n: Int)
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString
-      .split("\\s+").filter(_.nonEmpty)
-    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     // LinkedHashSet preserves first-occurrence order == array_distinct's
     val seen = new java.util.LinkedHashSet[String]()
-    var i = 0
-    while (i <= toks.length - n) {
-      val sb = new java.lang.StringBuilder()
-      var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(toks(i + j))
-        j += 1
-      }
-      seen.add(sb.toString)
-      i += 1
-    }
+    if (!Grams.foreach(input.asInstanceOf[UTF8String].toString, n)(seen.add(_)))
+      return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
     var k = 0
@@ -213,25 +232,15 @@ case class RepetitionStats(child: Expression, n: Int)
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString
-      .split("\\s+").filter(_.nonEmpty)
-    if (toks.length < n) return null
     val counts = new java.util.HashMap[String, Int]()
     var maxC = 0
-    var i = 0
-    while (i <= toks.length - n) {
-      val sb = new java.lang.StringBuilder()
-      var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(toks(i + j))
-        j += 1
-      }
-      val c = counts.merge(sb.toString, 1, (a, b) => a + b)
+    var total = 0L
+    val ok = Grams.foreach(input.asInstanceOf[UTF8String].toString, n) { g =>
+      val c = counts.merge(g, 1, (a, b) => a + b)
       if (c > maxC) maxC = c
-      i += 1
+      total += 1
     }
-    val total = (toks.length - n + 1).toLong
+    if (!ok) return null
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](total, counts.size.toLong, maxC.toLong))
   }

@@ -83,9 +83,14 @@ object Sampling {
                       costCol: Column, budget: Long,
                       cumName: String = "cum_cost"): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
-    val guarded = when(costCol >= 0, costCol).otherwise(raise_error(concat(
-      lit("takeUntilBudget: negative cost breaks the prefix contract: "),
-      costCol.cast("string"))))
+    // NULL costs stay legal (sum() skips them — the row rides free, as
+    // before the guard); only a genuinely NEGATIVE cost aborts. Without
+    // the isNull arm, `when(cost >= 0)` is null → otherwise-branch →
+    // raise_error(NULL) on previously-working input (round-11 review).
+    val guarded = when(costCol.isNull || costCol >= 0, costCol)
+      .otherwise(raise_error(concat(
+        lit("takeUntilBudget: negative cost breaks the prefix contract: "),
+        costCol.cast("string"))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(domainCol)).orderBy(order: _*)
     df.withColumn(cumName, sum(guarded).over(w)).where(col(cumName) <= budget)

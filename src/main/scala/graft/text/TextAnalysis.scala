@@ -279,25 +279,13 @@ object TextAnalysis {
       .mapPartitions { it =>
         val set = bc.value
         it.flatMap { case (id, text) =>
-          val toks =
-            if (text == null) Array.empty[String]
-            else text.split("\\s+").filter(_.nonEmpty)
-          if (toks.length < n) None
+          if (text == null) None
           else {
-            // distinct-hit count, WordShingles' first-occurrence contract
+            // distinct-hit count; the gram kernel is graft.expr.Grams —
+            // the SAME code the batch arm's WordShingles expression runs,
+            // so the two arms cannot drift (round-11 review)
             val hit = new java.util.HashSet[String]()
-            var i = 0
-            while (i <= toks.length - n) {
-              val sb = new java.lang.StringBuilder()
-              var j = 0
-              while (j < n) {
-                if (j > 0) sb.append(' ')
-                sb.append(toks(i + j)); j += 1
-              }
-              val g = sb.toString
-              if (set.contains(g)) hit.add(g)
-              i += 1
-            }
+            graft.expr.Grams.foreach(text, n)(g => if (set.contains(g)) hit.add(g))
             if (hit.isEmpty) None else Some((id, hit.size.toLong))
           }
         }

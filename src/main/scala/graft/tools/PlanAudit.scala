@@ -24,8 +24,15 @@ object PlanAudit {
         s"smj=${n("SortMergeJoin")} shj=${n("ShuffledHashJoin")} " +
         s"exchange=${n("Exchange")} generate=${n("Generate")}")
     }
+    // round-10 set + the round-11 additions. Expectations: repetition_score
+    // Generate=0 with NO gram-sized exchange (the two remaining exchanges
+    // are the few-file source fan-out + the final orderBy — doc-count-sized
+    // narrow rows); decontaminate bhj-only vs the corpus (smj=shj=0);
+    // multimodal_knn all-zero (per-row kernels + TakeOrdered).
     Seq("hybrid_batch_probe", "hybrid_batch", "hybrid_batch_filtered",
-      "ann_pq_exact", "ann_pq_batch", "knn_batch_sq8", "tpch_q22").foreach(audit)
+      "ann_pq_exact", "ann_pq_batch", "knn_batch_sq8", "tpch_q22",
+      "repetition_score", "decontaminate", "multimodal_knn",
+      "save_load_pq_residual").foreach(audit)
     spark.stop()
   }
 }

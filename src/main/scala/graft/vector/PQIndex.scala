@@ -28,9 +28,15 @@ final class PQIndex(val codes: DataFrame,
                     val codebooks: Array[Array[Array[Double]]],
                     val dim: Int,
                     private val retained: Seq[DataFrame] = Nil,
-                    /** Bumped by every [[append]] — the staleness token
-                      * [[cellRadii]] stamps its result with. */
-                    val generation: Long = 0L) {
+                    /** UNIQUE nonce per codes frame (fresh at every
+                      * construction — build, append, load), the staleness
+                      * token [[cellRadii]] stamps its result with. A
+                      * counter would collide across diverged lineages
+                      * (two appends of the same parent both at gen 1) or
+                      * across load (always 0) — a nonce cannot: radii are
+                      * accepted only by the EXACT index instance whose
+                      * codes they were computed from (round-11 review). */
+                    val generation: Long = PQIndex.nextGeneration()) {
 
   val m: Int = codebooks.length
   private val subDim = dim / m
@@ -52,7 +58,7 @@ final class PQIndex(val codes: DataFrame,
       codes.select(col("id").cast("long"), col("codes").cast("array<int>"),
           col("err").cast("double"))
         .unionByName(batchCodes),
-      codebooks, dim, retained :+ batchCodes, generation + 1)
+      codebooks, dim, retained :+ batchCodes)
   }
 
   /** ADC distance tables for `query`: m × 256 squared sub-distances. */
@@ -285,10 +291,14 @@ final class PQIndex(val codes: DataFrame,
 
 object PQIndex {
 
+  private val genCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[vector] def nextGeneration(): Long = genCounter.incrementAndGet()
+
   /** [[PQIndex.cellRadii]] output: the per-(subspace, code) max radii plus
-    * the generation of the codes frame they were computed from — the
-    * staleness token that keeps a post-append reuse from wrongly pruning
-    * (round-10 ADVICE). */
+    * the generation NONCE of the codes frame they were computed from — the
+    * staleness token that keeps a post-append (or cross-instance) reuse
+    * from wrongly pruning (round-10 ADVICE; round-11 review hardened the
+    * counter into a nonce). */
   final case class CellRadii(values: Array[Array[Double]], generation: Long)
 
   /** Train per-subspace codebooks on a bounded SAMPLE driver-side (what

@@ -133,6 +133,16 @@ class PQSpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     assert(gotStale.sameElements(exact),
       s"stale radii were not ignored: ${gotStale.toSeq} != ${exact.toSeq}")
+    // the stamp is a NONCE, not a lineage counter (round-11 review): two
+    // sibling appends of the same parent must NOT share a generation — a
+    // counter gives both gen 1, letting sibling-A radii wrongly prune
+    // sibling-B rows; same for load (counter-era generation was always 0)
+    val sibling = pq.append(
+      Seq((9100L, Seq.tabulate(64)(_ * 0.5))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    assert(sibling.generation != appended.generation &&
+      sibling.generation != pq.generation)
+    sibling.dispose()
     appended.dispose()
   }
 
