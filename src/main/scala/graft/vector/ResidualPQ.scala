@@ -119,6 +119,61 @@ final class ResidualPQ(val codes: DataFrame, // (id, cluster, codes, err)
       .limit(k)
   }
 
+  /** BULK residual ADC: N queries against the compressed corpus as ONE
+    * distributed plan (round 11 — [[PQIndex.searchBatch]]'s residual
+    * analog, completing the family's batch matrix). Fully relational, no
+    * driver loop: per-query coarse probing is queries × the broadcast
+    * centroid table cut to `nprobe` by a bounded per-key heap; the
+    * per-(query, cluster) ADC tables are a FRAME — probed (qid, cluster)
+    * pairs × the broadcast (cluster, s, code, cen_s, book) grid, d̂
+    * partials as one codegen'd expression — and the codes explode streams
+    * through the broadcast table join into a map-side-combined
+    * groupBy(qid, id) sum. The probed restriction rides the equi-join
+    * keys: un-probed (qid, cluster) pairs simply have no table rows.
+    * Output contract = [[PQIndex.searchBatch]]: (qid, id, score),
+    * (score desc, id asc) per qid. */
+  def searchBatch(queries: DataFrame, qidCol: String, qvecCol: String,
+                  k: Int, nprobe: Int = 4,
+                  broadcastQueries: Boolean = true): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val q = queries.select(col(qidCol).as("qid"),
+      col(qvecCol).cast("array<double>").as("__qv"))
+    val cenDF = centroids.toSeq.map { case (c, cen) => (c, cen.toSeq) }
+      .toDF("cluster", "cen")
+    val probed = graft.plans.TopK.perKey(
+      q.crossJoin(broadcast(cenDF))
+        .select(col("qid"), col("cluster"),
+          graft.expr.VectorExpr.squaredL2(col("__qv"), col("cen")).as("cd2")),
+      Seq("qid"), Seq("cd2" -> false, "cluster" -> false), nprobe)
+      .select(col("qid"), col("cluster"))
+    val grid = (for {
+      (c, cen) <- centroids.toSeq
+      s <- 0 until m
+      (bk, j) <- codebooks(s).zipWithIndex
+    } yield (c, s, j, cen.slice(s * subDim, (s + 1) * subDim).toSeq, bk.toSeq))
+      .toDF("cluster", "s", "code", "cen_s", "bk")
+    val qd = q.join(probed, Seq("qid"))
+      .join(broadcast(grid), Seq("cluster"))
+      .select(col("qid"), col("cluster"), col("s"), col("code"),
+        graft.expr.VectorExpr.squaredL2(
+          zip_with(slice(col("__qv"), col("s") * subDim + 1, lit(subDim)),
+            col("cen_s"), (a, b) => a - b),
+          col("bk")).as("d2"))
+    val qdSide = (df: DataFrame) =>
+      if (broadcastQueries) broadcast(df) else df.hint("shuffle_hash")
+    val dist = codes
+      .select(col("id"), col("cluster"), posexplode(col("codes")).as(Seq("s", "code")))
+      .join(qdSide(qd), Seq("cluster", "s", "code"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("d2")).as("dist"))
+    graft.plans.TopK.perKey(
+      dist.select(col("qid"), col("id"),
+        (lit(1.0) / (lit(1.0) + col("dist"))).as("score")),
+      Seq("qid"), Seq("score" -> true, "id" -> false), k)
+      .orderBy(col("qid").asc, col("score").desc, col("id").asc)
+  }
+
   /** EXACT top-k through the residual codes: pass 1 joins the exploded
     * codes to the broadcast per-cluster ADC frame and brackets each row
     * with its stored err; T = k-th smallest upper bound (+ the rounded-tie

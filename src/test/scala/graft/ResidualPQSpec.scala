@@ -121,6 +121,30 @@ class ResidualPQSpec extends AnyFunSuite {
     assert(probedClusters.size <= 2, s"rows from ${probedClusters.size} clusters at nprobe=2")
   }
 
+  test("searchBatch == per-query search at the same nprobe; full-probe recall bound holds") {
+    import org.apache.spark.sql.functions.col
+    val qids = Seq(7L, 29L, 99L)
+    val queries = emb.where(col("vec_id").isin(qids.map(Long.box): _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    for (np <- Seq(2, 8)) {
+      val batch = rpq.searchBatch(queries, "qid", "qv", k = 5, nprobe = np)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.rint(r.getDouble(2) * 1e9))).toSeq
+      val single = qids.flatMap(qid =>
+        rpq.search(queryVec(qid), 5, nprobe = np).collect()
+          .map(r => (qid, r.getLong(0), math.rint(r.getDouble(1) * 1e9))))
+      assert(batch.sorted == single.sorted, s"nprobe=$np: batch != per-query")
+    }
+    val recalls = qids.map { qid =>
+      val exact = ExactKNN.topK(emb, "vec_id", "embedding", queryVec(qid), 5)
+        .collect().map(_.getLong(0)).toSet
+      val got = rpq.searchBatch(queries.where(col("qid") === qid), "qid", "qv",
+        k = 5, nprobe = 8).collect().map(_.getLong(1)).toSet
+      (exact intersect got).size / 5.0
+    }
+    assert(recalls.sum / recalls.size >= 0.5, s"batch recall too low: $recalls")
+  }
+
   test("append: trained quantizer + codebooks reused (object identity), exact over the union") {
     val cut = 150L
     val head = emb.where(col("vec_id") < cut)
