@@ -49,10 +49,17 @@ object Queries {
     * runs for a COMPLETED build, so a save/load that throws mid-way would
     * leak its temp directory (and half-written parquet) until reboot —
     * the disk transpose of the GraphIndex unpersist-before-throw rule.
-    * Wrap the steps between createTempDirectory and the memo tuple. */
-  private def guardTmp[T](tmp: java.nio.file.Path)(f: => T): T =
+    * Wrap the steps between createTempDirectory and the memo tuple.
+    * `cleanup` releases whatever in-memory resource the body had open
+    * (the cached-frames analog of the same leak); both cleanup and the
+    * rmrf are swallowed so they can never MASK the build failure (the
+    * Memo.dispose discipline). */
+  private def guardTmp[T](tmp: java.nio.file.Path,
+                          cleanup: () => Unit = () => ())(f: => T): T =
     try f catch { case e: Throwable =>
-      graft.streaming.StreamingGates.rmrf(tmp); throw e
+      try cleanup() catch { case _: Throwable => () }
+      try graft.streaming.StreamingGates.rmrf(tmp) catch { case _: Throwable => () }
+      throw e
     }
 
   /** Memoized BM25 index per (session, documents dir) — the analog of the
@@ -1263,10 +1270,14 @@ object Queries {
         ivfClusters = nlist, efSearch = 10 * nlist)
       db.addBulk(e.where(col("vec_id") < cut), "doc", "embedding", None, "vec_id")
       val tmp = java.nio.file.Files.createTempDirectory("graft_incadd")
-      guardTmp(tmp) {
+      // `open` tracks whichever instance currently holds cached frames so
+      // a failure at ANY step releases it (close() is idempotent-safe)
+      var open: VectorDatabase = db
+      guardTmp(tmp, () => open.close()) {
         db.save(tmp.toString) // forces the IVF build over the base corpus
         db.close()
         val loaded = VectorDatabase.load(spark, tmp.toString)
+        open = loaded
         loaded.addBulk(e.where(col("vec_id") >= cut), "doc", "embedding", None, "vec_id")
         (loaded, tmp)
       }
@@ -1328,7 +1339,7 @@ object Queries {
       val db = VectorDatabase.create(spark, 64, "lsh", efSearch = 6400)
       db.addBulk(e, "doc", "embedding", None, "vec_id")
       val tmp = java.nio.file.Files.createTempDirectory("graft_lshsave")
-      guardTmp(tmp) {
+      guardTmp(tmp, () => db.close()) {
         db.save(tmp.toString)
         db.close()
         (VectorDatabase.load(spark, tmp.toString), tmp)
@@ -1359,7 +1370,7 @@ object Queries {
       val db = VectorDatabase.create(spark, 64, "graph", efSearch = Int.MaxValue)
       db.addBulk(e, "doc", "embedding", None, "vec_id")
       val tmp = java.nio.file.Files.createTempDirectory("graft_graphsave")
-      guardTmp(tmp) {
+      guardTmp(tmp, () => db.close()) {
         db.save(tmp.toString)
         db.close()
         (VectorDatabase.load(spark, tmp.toString), tmp)
@@ -1412,10 +1423,12 @@ object Queries {
           f"[graphinc] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
         r
       }
-      guardTmp(tmp) {
+      var open: VectorDatabase = db
+      guardTmp(tmp, () => open.close()) {
         phase("build+save")(db.save(tmp.toString)) // forces the graph build
         db.close()
         val loaded = phase("load")(VectorDatabase.load(spark, tmp.toString))
+        open = loaded
         phase("append")(
           loaded.addBulk(e.where(col("vec_id") >= cut), "doc", "embedding", None, "vec_id"))
         (loaded, tmp)

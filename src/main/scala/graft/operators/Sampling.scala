@@ -83,14 +83,18 @@ object Sampling {
                       costCol: Column, budget: Long,
                       cumName: String = "cum_cost"): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
-    // NULL costs stay legal (sum() skips them — the row rides free, as
-    // before the guard); only a genuinely NEGATIVE cost aborts. Without
-    // the isNull arm, `when(cost >= 0)` is null → otherwise-branch →
-    // raise_error(NULL) on previously-working input (round-11 review).
-    val guarded = when(costCol.isNull || costCol >= 0, costCol)
-      .otherwise(raise_error(concat(
-        lit("takeUntilBudget: negative cost breaks the prefix contract: "),
-        costCol.cast("string"))))
+    // NULL costs stay legal and ride free AS COST 0 (round-11 review,
+    // twice): without the isNull arm `when(cost >= 0)` is null →
+    // raise_error(NULL); and without the coalesce a NULL-cost row at the
+    // HEAD of its partition made the whole running sum NULL and was
+    // silently dropped while the same row later in the order was kept —
+    // position-dependent semantics. Only a genuinely NEGATIVE cost aborts.
+    val guarded = coalesce(
+      when(costCol.isNull || costCol >= 0, costCol)
+        .otherwise(raise_error(concat(
+          lit("takeUntilBudget: negative cost breaks the prefix contract: "),
+          costCol.cast("string")))),
+      lit(0L))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(domainCol)).orderBy(order: _*)
     df.withColumn(cumName, sum(guarded).over(w)).where(col(cumName) <= budget)

@@ -40,9 +40,13 @@ object BM25 {
   def tokenize(c: Column): Column =
     filter(split(trim(c), "\\s+"), t => length(t) > lit(0))
 
-  /** Driver-side tokenizer for query strings — must agree with [[tokenize]]. */
+  /** Driver-side tokenizer for query strings — must agree with [[tokenize]].
+    * Delegates to the shared gram kernel's tokenizer so the contract has
+    * ONE JVM implementation (round-11 review: a second hand-rolled copy
+    * here could silently de-synchronize from the kernels the oracles
+    * compare against). */
   def tokenizeQuery(q: String): Array[String] =
-    q.trim.split("\\s+").filter(_.nonEmpty)
+    graft.expr.Grams.tokens(q)
 
   /** The materialized text index.
     *

@@ -131,14 +131,19 @@ final class ResidualPQ(val codes: DataFrame, // (id, cluster, codes, err)
     * groupBy(qid, id) sum. The probed restriction rides the equi-join
     * keys: un-probed (qid, cluster) pairs simply have no table rows.
     * Output contract = [[PQIndex.searchBatch]]: (qid, id, score),
-    * (score desc, id asc) per qid. */
+    * (score desc, id asc) per qid. Qids must identify ONE query each:
+    * duplicates are collapsed (first wins) — a repeated qid would
+    * otherwise double every d̂ partial through the table join
+    * (round-11 review). */
   def searchBatch(queries: DataFrame, qidCol: String, qvecCol: String,
                   k: Int, nprobe: Int = 4,
                   broadcastQueries: Boolean = true): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
     val spark = codes.sparkSession
     import spark.implicits._
     val q = queries.select(col(qidCol).as("qid"),
       col(qvecCol).cast("array<double>").as("__qv"))
+      .dropDuplicates("qid")
     val cenDF = centroids.toSeq.map { case (c, cen) => (c, cen.toSeq) }
       .toDF("cluster", "cen")
     val probed = graft.plans.TopK.perKey(
