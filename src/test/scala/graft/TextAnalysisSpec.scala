@@ -246,6 +246,28 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"repetition regressed to the explode+shuffle chain:\n$p")
   }
 
+  test("Grams.tokens == the Catalyst tokenize expression on adversarial whitespace") {
+    // the one-source-of-truth claim (round 11) holds only if the JVM
+    // kernel and the Column expression agree on every edge: leading /
+    // trailing runs, tabs, newlines, empty and all-whitespace strings
+    val rnd = new scala.util.Random(23)
+    val ws = Array(" ", "  ", "\t", "\n", " \t ")
+    val words = Array("a", "bb", "x1", "Ж", "c-d")
+    val cases = Seq("", " ", "\t\n", "a", " a ", "a  b", "\ta b\nc ") ++
+      (1 to 60).map { _ =>
+        val n = rnd.nextInt(8)
+        (0 until n).map(_ => ws(rnd.nextInt(ws.length)) + words(rnd.nextInt(words.length)))
+          .mkString + (if (rnd.nextBoolean()) ws(rnd.nextInt(ws.length)) else "")
+      }
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val sparkSide = df.select(col("id"), graft.text.BM25.tokenize(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    cases.zipWithIndex.foreach { case (t, i) =>
+      assert(graft.expr.Grams.tokens(t).toList == sparkSide(i.toLong),
+        s"case ${i}: ${t.map(_.toInt).mkString(",")}")
+    }
+  }
+
   test("decontaminate: distinct shared n-grams per training doc, clean docs absent") {
     val corpus = Seq(
       (10L, "a b c d x y z w"),       // shares "a b c d" once
