@@ -146,6 +146,34 @@ class PQSpec extends AnyFunSuite {
     appended.dispose()
   }
 
+  test("a loaded index ACCEPTS its own radii and still prunes (nonce positive case, round 11)") {
+    import org.apache.spark.sql.functions.col
+    // the nonce must reject foreign radii WITHOUT over-rejecting the
+    // legitimate use: radii computed on the loaded instance are fresh
+    // for that instance, sharpen its bound, and keep it exact
+    val path = java.nio.file.Files.createTempDirectory("graftpqnonce").toString
+    try {
+      PQIndex.save(pq, path)
+      val loaded = PQIndex.load(spark, path)
+      assert(loaded.generation != pq.generation) // distinct codes frames
+      val own = loaded.cellRadii(emb, "vec_id", "embedding")
+      val q = queryVec(23)
+      val withOwn = loaded.exactCandidateCount(q, 10, Some(own))
+      val errOnly = loaded.exactCandidateCount(q, 10, None)
+      val foreign = loaded.exactCandidateCount(q, 10,
+        Some(pq.cellRadii(emb, "vec_id", "embedding")))
+      assert(withOwn <= errOnly, s"own radii loosened the bound: $withOwn > $errOnly")
+      assert(foreign == errOnly, s"foreign radii were not ignored: $foreign != $errOnly")
+      val exact = ExactKNN.topK(emb, "vec_id", "embedding", q, 10)
+        .select(col("id"), org.apache.spark.sql.functions.round(col("score"), 4).as("score"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val got = loaded.searchExact(q, 10, emb, "vec_id", "embedding", Some(own))
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.sameElements(exact))
+      loaded.dispose()
+    } finally graft.streaming.StreamingGates.rmrf(java.nio.file.Path.of(path))
+  }
+
   test("load of a pre-err codes frame degrades the row bound to vacuous, stays exact (round-10 review)") {
     import org.apache.spark.sql.functions.col
     val path = java.nio.file.Files.createTempDirectory("graftpqold").toString
