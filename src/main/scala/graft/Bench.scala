@@ -115,11 +115,23 @@ object Bench {
     def loadavg: Double =
       try java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
       catch { case _: Throwable => -1.0 }
+    // Fixed-work single-thread calibration loop — the cross-environment
+    // comparator (see the host-pressure comment below). Defined here so it
+    // can run at BOTH edges: a contended core stretches it, so either
+    // edge's sample exceeding tolerance flags the run.
+    def calib(): Double = {
+      val t0 = System.nanoTime()
+      var acc = 0L; var i = 0L
+      while (i < 400000000L) { acc += i ^ (i << 7); i += 1 }
+      if (acc == 42L) System.err.println("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
     // r9 ADVICE: loadavg_start was promised but never sampled — take it
     // BEFORE the prewarm/first gate; mid-run samples (one per gate, taken
     // between gates, outside any timed window) make sustained pressure
     // visible across the whole run, not just at the edges.
     val loadavgStart = loadavg
+    val calibStart = calib()
     val midSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
     val prewarm: Seq[(String, Double)] =
       if (only.isDefined || sys.env.contains("SPARK_GRAFT_NO_PREWARM")) Nil
@@ -177,21 +189,31 @@ object Bench {
     // Host-pressure instruments (r7/r8: committed quiet-host totals
     // under-predicted the driver run 1.4-1.5x with best ≈ median — i.e.
     // sustained external load, which neither side could PROVE). loadavg
-    // at start, every 8th gate, and the end, plus a fixed-work
-    // single-thread calibration loop, make the environments comparable
-    // number-to-number across the WHOLE run, not just at the edges.
-    def calib(): Double = {
-      val t0 = System.nanoTime()
-      var acc = 0L; var i = 0L
-      while (i < 400000000L) { acc += i ^ (i << 7); i += 1 }
-      if (acc == 42L) System.err.println("") // defeat dead-code elimination
-      (System.nanoTime() - t0) / 1e9
-    }
+    // at start, every 8th gate, and the end, plus the fixed-work
+    // single-thread calibration loop at BOTH edges, make the environments
+    // comparable number-to-number across the WHOLE run, not just at the
+    // edges.
     // locale-independent: f"%.2f" renders a comma decimal under e.g. a
     // German default locale, corrupting the JSON (round-10 review)
     val mid = midSamples.map(d => (math.rint(d * 100) / 100).toString)
       .mkString("[", ",", "]")
-    val host = s"""{"loadavg_start":$loadavgStart,"loadavg_mid":$mid,"loadavg_end":$loadavg,"calib_sec":${calib()},"cpus":${Runtime.getRuntime.availableProcessors}}"""
+    val loadavgEnd = loadavg
+    val calibEnd = calib()
+    // Self-adjudicating `quiet` flag (r10 VERDICT #7 / r11 VERDICT #3):
+    // derived from the run's OWN samples so driver-vs-committed pairs read
+    // without a human eyeballing loadavg arrays. Rule: every loadavg
+    // sample ≤ cpus/4 (the bench's own local[32] work keeps loadavg ~4-7
+    // on this 32-cpu host class; a second tenant of comparable weight
+    // pushes ≥ 2×), AND both edge calibrations ≤ 0.6 s (~1.7× the ~0.35 s
+    // unloaded reference — a contended or down-clocked core stretches the
+    // fixed-work loop). Constants are host-class-calibrated, recorded
+    // beside the inputs so a reader can re-derive under different ones.
+    val nCpus = Runtime.getRuntime.availableProcessors
+    val loadSamples = (midSamples.toSeq :+ loadavgStart :+ loadavgEnd).filter(_ >= 0)
+    val quiet = loadSamples.nonEmpty &&
+      loadSamples.max <= nCpus / 4.0 &&
+      math.max(calibStart, calibEnd) <= 0.6
+    val host = s"""{"loadavg_start":$loadavgStart,"loadavg_mid":$mid,"loadavg_end":$loadavgEnd,"calib_sec_start":$calibStart,"calib_sec":$calibEnd,"cpus":$nCpus,"quiet":$quiet,"quiet_rule":"max(loadavg) <= cpus/4 && max(calib) <= 0.6s"}"""
     val json = s"""{"metric":"total","value":${tot(_.best)},"unit":"sec","total_cold":${tot(_.cold)},"total_median":${tot(_.median)},"prewarm_sec":$preTot,"prewarm":$pre,"host":$host,"queries":$qs,"cold":$cold,"median":$med,"cpu_ratio":$cpuRatios,"gc_sec":$gcSec,"gc_count":$gcCount,"anomalies":$anomalies,"errors":$errs,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // The driver captures a truncated stdout tail (r5 VERDICT #7: the

@@ -1319,10 +1319,73 @@ object Queries {
       .select(col("id"), r4(col("score")).as("score"))
       .orderBy(col("score").desc, col("id").asc)
 
+  /** Memoized `ivfpq`-typed facade through its FULL reference lifecycle
+    * (r11 VERDICT #1 — the residual quantizer faiss.IndexIVFPQ actually is,
+    * wired behind the type in round 12): create → addBulk the first 90% →
+    * save (forces the coarse-quantizer + residual-codebook builds; codes +
+    * codebooks + centroids persist as three parquet frames, the codes
+    * cluster-partitioned) → load → addBulk the last 10% (the LOADED
+    * quantizer encodes the batch — no retraining, ResidualPQSpec pins
+    * object identity). efSearch = 10 × nlist takes the exact escape hatch:
+    * the per-row stored reconstruction error err = ‖x − recon‖ brackets the
+    * true distance by the triangle inequality, so a codes-only bound pass +
+    * float rerank reproduces the flat scan — appended rows included, since
+    * err is row-exact regardless of quantizer fit. Every gate off this
+    * instance therefore shares the exact-KNN oracle; tuned-nprobe residual
+    * ADC recall is spec-pinned (ResidualPQSpec), not oracle-gated. */
+  private val ivfpqDbCache =
+    new Memo[(VectorDatabase, java.nio.file.Path)](memoMax, "ivfpqDbCache")({ case (db, p) =>
+      db.close(); graft.streaming.StreamingGates.rmrf(p)
+    })
+
+  private def ivfpqDb(spark: SparkSession, dir: String): VectorDatabase =
+    ivfpqDbCache.get(spark, dir) {
+      val e = tbl(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          col("vec_id").cast("string").as("doc"))
+      val n = e.count()
+      val cut = n - math.max(1L, n / 10) // the last 10% arrives post-load
+      val nlist = 16
+      val db = VectorDatabase.create(spark, 64, "ivfpq",
+        ivfClusters = nlist, efSearch = 10 * nlist)
+      db.addBulk(e.where(col("vec_id") < cut), "doc", "embedding", None, "vec_id")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq")
+      var open: VectorDatabase = db
+      guardTmp(tmp, () => open.close()) {
+        db.save(tmp.toString) // forces the IVF + residual-PQ builds
+        db.close()
+        val loaded = VectorDatabase.load(spark, tmp.toString)
+        open = loaded
+        loaded.addBulk(e.where(col("vec_id") >= cut), "doc", "embedding", None, "vec_id")
+        (loaded, tmp)
+      }
+    }._1
+
+  /** S1+S2+S3+S4+K6 through the residual path in one gate: the loaded,
+    * incrementally-appended ivfpq facade answers the full-corpus exact-KNN
+    * oracle via the exact escape hatch. */
+  private def facadeIvfpqKnn(spark: SparkSession, dir: String): DataFrame =
+    ivfpqDb(spark, dir)
+      .queryVector(qvec(spark, dir, 31).map(_.toFloat), topK = 10)
+      .select(col("id"), r4(col("score")).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+
+  /** F5 through the residual exact hatch: the preFilter narrows BOTH the
+    * codes-only bound pass and the rerank (a global threshold over
+    * unfiltered codes could sit below a restricted winner and wrongly
+    * prune it — ResidualPQ.searchExact's restrict contract), so the
+    * filtered answer shares the filtered exact-KNN oracle. */
+  private def knnPrefilterIvfpq(spark: SparkSession, dir: String): DataFrame =
+    ivfpqDb(spark, dir)
+      .queryVector(qvec(spark, dir, 47).map(_.toFloat), topK = 5,
+        preFilter = Some(col("id") % 2 === 0))
+      .select(col("id"), r4(col("score")).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+
   /** S3+S4 for the LSH index type, oracle-gated — completes the save/load
     * matrix (flat: save_load_knn; ivf eager+lazy: incremental_add_knn /
-    * ann_ivf_lazy; ivfpq is ADC-approximate by construction, differential
-    * spec only). efSearch = 6400 ⇒ multiprobe radius 128, beyond the
+    * ann_ivf_lazy; ivfpq: facade_ivfpq_knn's full lifecycle through the
+    * residual exact hatch). efSearch = 6400 ⇒ multiprobe radius 128, beyond the
     * provable-superset bound (maxNorm + qNorm)/bucketLength ≈ 37 for this
     * corpus, so the loaded facade probe is exact-recoverable and shares
     * the exact-KNN oracle. */
@@ -2608,6 +2671,10 @@ object Queries {
   private val pngKnnQueryCache = new Memo[Array[Float]](memoMax, "pngKnnQueryCache")(_ => ())
 
   private def multimodalKnn(spark: SparkSession, dir: String): DataFrame = {
+    // Double→Float is EXACT here because nibble-histogram features are
+    // small integer counts (< 2^24); a future featurizer emitting
+    // non-integer doubles would silently diverge from the double-precision
+    // DuckDB oracle at this cast (round-12 ADVICE)
     val q = pngKnnQueryCache.get(spark, dir)(
       graft.multimodal.Multimodal.pngNibbleHistogram(pngAssets(spark, dir))
         .toDF().where(col("id") === 0L)
@@ -3094,6 +3161,9 @@ object Queries {
     "ann_pq_exact" -> Q(annPqExact, Some(knnSql(23, 10))),
     "ann_pq_residual_exact" -> Q(annPqResidualExact, Some(knnSql(29, 10))),
     "save_load_pq_residual" -> Q(saveLoadPqResidual, Some(knnSql(53, 10))),
+    "facade_ivfpq_knn" -> Q(facadeIvfpqKnn, Some(knnSql(31, 10))),
+    "knn_prefilter_ivfpq" -> Q(knnPrefilterIvfpq,
+      Some(knnSql(47, 5, "WHERE e.vec_id % 2 = 0"))),
     "ann_pq" -> Q(annPq, Some(
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |a AS (SELECT vec_id AS aid, emb AS aemb FROM v WHERE vec_id < 16),
@@ -4274,6 +4344,9 @@ object Queries {
       t("graph_index")(graphIndex(spark, dir)),
       t("graph_loaded_db")(graphLoadedDb(spark, dir)),
       t("inc_add_db")(incAddDb(spark, dir)),
+      // the residual-PQ facade lifecycle (r12: IVF + residual builds,
+      // save, load, append — the most expensive new memo this round)
+      t("ivfpq_db")(ivfpqDb(spark, dir)),
       t("lazy_ivf_db")(lazyIvfDb(spark, dir)),
       t("winnow_guarded")(winnowGuarded(spark, dir)))
   }

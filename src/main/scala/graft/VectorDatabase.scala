@@ -2,7 +2,7 @@ package graft
 
 import graft.model.Manifest
 import graft.text.BM25
-import graft.vector.{ExactKNN, IVFIndex, LSHIndex, PQIndex}
+import graft.vector.{ExactKNN, IVFIndex, LSHIndex, PQIndex, ResidualPQ}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -23,9 +23,17 @@ import org.apache.spark.storage.StorageLevel
   *  - `queryMetadata` top_k is a head over ascending ids, not a rank (ldb:317)
   *  - empty-DB: queryVector/queryMetadata/hybridSearch → empty;
   *    queryText → IllegalStateException (ldb:127–128, 158–160, 300, 346)
-  *  - `ivfpq` searches via IVF probe + PQ asymmetric-distance over compressed
-  *    codes (≙ faiss.IndexIVFPQ, ldb:50–52), nprobe = max(1, clusters/10)
-  *    (ldb:52); `hnsw` is served by the REAL navigable-graph index
+  *  - `ivfpq` searches via IVF coarse probe + RESIDUAL-PQ asymmetric
+  *    distance over compressed codes — vectors encode as x − centroid(x),
+  *    the construction faiss.IndexIVFPQ actually uses (ldb:50–52; round 12
+  *    wired the already-built [[graft.vector.ResidualPQ]] behind the type),
+  *    nprobe = max(1, clusters/10) (ldb:52); raw PQ (FAISS IndexPQ — flat
+  *    ADC, no coarse quantizer) stays reachable as `pq`. At
+  *    efSearch ≥ 10 × ivfClusters the ivfpq arm takes the EXACT escape
+  *    hatch: the per-row stored reconstruction error brackets the true
+  *    distance (triangle inequality), so a codes-only bound pass + float
+  *    rerank reproduces the flat scan bit for bit; `hnsw` is served by
+  *    the REAL navigable-graph index
   *    (round-7 flip — ef_search is the traversal beam, its native hnsw
   *    meaning; the measured SCALE.md curves put the graph at recall 0.96+
   *    where the IVF probe substitute reached 0.28–0.38 at the reference
@@ -68,6 +76,7 @@ class VectorDatabase private (
   private var bm25Var: Option[BM25.Index] = None
   private var ivfVar: Option[IVFIndex] = None
   private var pqVar: Option[PQIndex] = None
+  private var rpqVar: Option[ResidualPQ] = None
   private var lshVar: Option[LSHIndex] = None
   private var graphVar: Option[graft.vector.GraphIndex] = None
   // package-private so VectorDatabaseSpec can pin the probe arm's SPARSE
@@ -106,6 +115,16 @@ class VectorDatabase private (
   private def pq: PQIndex = pqVar.getOrElse {
     val b = PQIndex.build(df, "id", "vector", dim, pqM)
     pqVar = Some(b); b
+  }
+
+  /** The residual product quantizer behind `ivfpq` (round 12 — what
+    * faiss.IndexIVFPQ means, ldb:50–52): PQ codebooks trained on
+    * x − centroid(x) residuals against the IVF coarse quantizer. Callers
+    * must trigger [[ivf]]'s tiny-corpus degrade check BEFORE dispatching
+    * here (the searchTopK/save arms do). */
+  private def rpq: ResidualPQ = rpqVar.getOrElse {
+    val b = ResidualPQ.build(ivf, dim, pqM)
+    rpqVar = Some(b); b
   }
 
   /** The second HNSW capability substitute (SURVEY §2.3-K5): bucketed
@@ -152,6 +171,8 @@ class VectorDatabase private (
     ivfVar = None
     pqVar.foreach(_.dispose())
     pqVar = None
+    rpqVar.foreach(_.dispose())
+    rpqVar = None
     lshVar.foreach(_.dispose())
     lshVar = None
     graphVar.foreach(_.dispose())
@@ -177,6 +198,10 @@ class VectorDatabase private (
     bm25Var = bm25Var.map(_.append(batch, "id", "doc"))
     ivfVar = ivfVar.map(_.appendAssign(batch, "id", "vector"))
     pqVar = pqVar.map(_.append(batch, "id", "vector"))
+    // residual append: nearest TRAINED centroid + existing codebooks; the
+    // per-row stored err keeps the exact-hatch bracket valid for appended
+    // rows regardless of quantizer fit (ResidualPQ.append's contract)
+    rpqVar = rpqVar.map(_.append(batch, "id", "vector"))
     lshVar = lshVar.map(_.append(batch, "id", "vector"))
     // insert-time beam = efConstruction: hnsw's own meaning of
     // ef_construction is the candidate-list width during insertion, so
@@ -192,6 +217,7 @@ class VectorDatabase private (
   // pins that add() does NOT retrain: same centroid/codebook/plane objects)
   private[graft] def ivfIfBuilt: Option[IVFIndex] = ivfVar
   private[graft] def pqIfBuilt: Option[PQIndex] = pqVar
+  private[graft] def rpqIfBuilt: Option[ResidualPQ] = rpqVar
   private[graft] def lshIfBuilt: Option[LSHIndex] = lshVar
   private[graft] def graphIfBuilt: Option[graft.vector.GraphIndex] = graphVar
 
@@ -425,21 +451,30 @@ class VectorDatabase private (
         ivf.search(q, k, nprobe = widen * math.max(1, manifestVar.efSearch / 10),
           restrict = restrict)
       case "ivfpq" =>
-        val i = ivf // may degrade effectiveType → flat on tiny corpora
+        // faiss.IndexIVFPQ fidelity (round 12): residual PQ — coarse probe
+        // + ADC over x−centroid codes. Building the coarse quantizer may
+        // degrade effectiveType → flat on tiny corpora, so trigger it
+        // before dispatching (a loaded collection already has rpqVar set
+        // and its manifest records any pre-save degrade — no build then).
+        if (rpqVar.isEmpty) { val _ = ivf }
         if (manifestVar.effectiveType == "flat")
           ExactKNN.topK(pre.map(df.where).getOrElse(df), "id", "vector", q, k)
-        else {
+        else if (manifestVar.efSearch >= 10 * manifestVar.ivfClusters)
+          // exact escape hatch THROUGH the codes: the stored per-row err
+          // brackets the true distance, so the bound-pruned float rerank
+          // is bit-identical to the flat scan (searchExactRaw's proof)
+          rpq.searchExactRaw(q, k, df, "id", "vector", restrict = restrict)
+        else
           // reference nprobe rule: max(1, ivf_clusters // 10) on the
           // CONFIGURED cluster count (ldb:52) — capped naturally by nlist
-          val probed = i.probeOrder(q)
-            .take(widen * IVFIndex.defaultNprobe(manifestVar.ivfClusters)).toSeq
-          val cand0 = i.assignments.where(col("cluster").isin(probed: _*))
-          val cand = restrict
-            .map(r => cand0.join(r, Seq("id"), "left_semi"))
-            .getOrElse(cand0)
-            .select(col("id"))
-          pq.search(q, k, among = Some(cand))
-        }
+          rpq.search(q, k,
+            nprobe = widen * IVFIndex.defaultNprobe(manifestVar.ivfClusters),
+            restrict = restrict)
+      case "pq" =>
+        // raw PQ (FAISS IndexPQ): flat ADC over the compressed codes — no
+        // coarse quantizer, the probe IS the full codes scan; a filter
+        // restricts the scored rows via semi-join
+        pq.search(q, k, among = restrict)
       case "lsh" =>
         // ef_search → multiprobe radius (50 ≙ the reference's default
         // ef_search ↔ radius 1; radius 0 is the pure bucket probe);
@@ -637,20 +672,23 @@ class VectorDatabase private (
         ivf.searchBatch(q, "qid", "__qv", k,
           nprobe = math.max(1, manifestVar.efSearch / 10))
       case "ivfpq" =>
-        val i = ivf // may degrade effectiveType → flat on tiny corpora
+        if (rpqVar.isEmpty) { val _ = ivf } // tiny-corpus degrade check
         if (manifestVar.effectiveType == "flat")
           ExactKNN.topKBatchHeap(df, "id", "vector", q, "qid", "__qv", k)
-        else {
-          // per-query IVF probe restriction mirroring the single-query
-          // path (r9 ADVICE #1): nprobe = max(1, ivfClusters/10) nearest
-          // centroids per query (ldb:52's rule on the CONFIGURED count),
-          // PQ ADC scored over those candidates only — batch ≡ single
-          // probe sets, pinned in VectorDatabaseSpec.
-          val cand = i.probedCandidates(q, "qid", "__qv",
-              IVFIndex.defaultNprobe(manifestVar.ivfClusters))
-            .select(col("qid"), col("id"))
-          pq.searchBatch(q, "qid", "__qv", k, among = Some(cand))
-        }
+        else if (manifestVar.efSearch >= 10 * manifestVar.ivfClusters)
+          // exact escape hatch, batch shape: the exact answer is the exact
+          // answer — the bounded-heap full scan reproduces the single-query
+          // hatch bit for bit (same squaredL2/distToScore expressions), so
+          // hybridSearchBatch ≡ per-query hybridSearch holds on ivfpq too
+          ExactKNN.topKBatchHeap(df, "id", "vector", q, "qid", "__qv", k)
+        else
+          // residual ADC, batch twin: per-query coarse probe at the
+          // reference nprobe rule (ldb:52) — batch ≡ single probe sets,
+          // pinned in VectorDatabaseSpec
+          rpq.searchBatch(q, "qid", "__qv", k,
+            nprobe = IVFIndex.defaultNprobe(manifestVar.ivfClusters))
+      case "pq" =>
+        pq.searchBatch(q, "qid", "__qv", k)
       case "lsh" =>
         lshIdx.searchBatch(q, "qid", "__qv", k,
           probeRadius = math.max(0, manifestVar.efSearch / 50))
@@ -687,7 +725,7 @@ class VectorDatabase private (
         LSHIndex.save(lshIdx, s"$path/index/lsh")
       case "graph" =>
         graft.vector.GraphIndex.save(graphIdx, s"$path/index/graph")
-      case "ivf" | "ivfpq" =>
+      case "ivf" =>
         val i = ivf // building may degrade effectiveType; re-check below
         if (manifestVar.effectiveType != "flat") {
           IVFIndex.centroidsToDf(spark, i).write.mode("overwrite")
@@ -695,9 +733,18 @@ class VectorDatabase private (
           i.assignments.write.mode("overwrite")
             .partitionBy("cluster") // probed-cluster partition pruning at scale
             .parquet(s"$path/index/assignments")
-          if (manifestVar.effectiveType == "ivfpq")
-            PQIndex.save(pq, s"$path/index/pq")
         }
+      case "ivfpq" =>
+        // residual PQ IS the ivfpq index (round 12): codes carry the coarse
+        // assignment per row and the save bundles the coarse centroids, so
+        // no separate assignments frame is persisted — the compressed codes
+        // are the corpus-sized artifact, written cluster-partitioned for
+        // probed-cluster pruning at rest
+        val _ = ivf // building may degrade effectiveType; re-check below
+        if (manifestVar.effectiveType != "flat")
+          ResidualPQ.save(rpq, s"$path/index/pq")
+      case "pq" =>
+        PQIndex.save(pq, s"$path/index/pq")
       case _ => () // flat: data + manifest only
     }
     manifestVar.save(path, spark.sparkContext.hadoopConfiguration)
@@ -744,6 +791,11 @@ object VectorDatabase {
     *    full-corpus Lloyd refinement passes ([[refineItersFor]]).
     *  - `"lsh"`: efSearch → multiprobe radius (efSearch/50); `m` →
     *    numHashTables (build-time recall-vs-memory).
+    *  - `"ivfpq"`: IVF coarse probe + RESIDUAL PQ ADC (faiss.IndexIVFPQ's
+    *    actual construction, round 12); efSearch ≥ 10 × ivfClusters takes
+    *    the exact escape hatch (bound-pruned float rerank ≡ flat scan).
+    *  - `"pq"`: raw product quantization (FAISS IndexPQ) — flat ADC over
+    *    the codes, no coarse quantizer.
     *  - `ivfClusters`, `pqCodeSize` are native (ldb:27–28). */
   def create(spark: SparkSession, dim: Int, indexType: String = "hnsw",
              efConstruction: Int = 200, m: Int = 16, ivfClusters: Int = 100,
@@ -779,7 +831,7 @@ object VectorDatabase {
     val data = spark.read.parquet(s"$path/data").persist(StorageLevel.MEMORY_AND_DISK)
     val n = data.count()
     val db = new VectorDatabase(spark, data, man, n)
-    if ((man.effectiveType == "ivf" || man.effectiveType == "ivfpq") && n > 0) {
+    if (man.effectiveType == "ivf" && n > 0) {
       if (!artifactExists(spark, s"$path/index/assignments"))
         throw new IllegalStateException(s"index artifacts missing under $path/index")
       if (lazyIndexes)
@@ -790,11 +842,21 @@ object VectorDatabase {
           .persist(StorageLevel.MEMORY_AND_DISK)
         db.ivfVar = Some(IVFIndex.fromFrames(cents, assigns, man.ivfClusters))
       }
-      if (man.effectiveType == "ivfpq") {
-        if (!artifactExists(spark, s"$path/index/pq/codes"))
-          throw new IllegalStateException(s"PQ artifacts missing under $path/index/pq")
-        db.pqVar = Some(PQIndex.load(spark, s"$path/index/pq"))
-      }
+    }
+    if (man.effectiveType == "ivfpq" && n > 0) {
+      if (!artifactExists(spark, s"$path/index/pq/codes"))
+        throw new IllegalStateException(s"PQ artifacts missing under $path/index/pq")
+      if (!artifactExists(spark, s"$path/index/pq/centroids"))
+        throw new IllegalStateException(
+          s"no coarse centroids under $path/index/pq — not a residual-PQ " +
+          "save (an ivfpq collection persisted before round 12 used the " +
+          "raw-PQ layout; re-save it, or load the data dir as 'flat')")
+      db.rpqVar = Some(ResidualPQ.load(spark, s"$path/index/pq"))
+    }
+    if (man.effectiveType == "pq" && n > 0) {
+      if (!artifactExists(spark, s"$path/index/pq/codes"))
+        throw new IllegalStateException(s"PQ artifacts missing under $path/index/pq")
+      db.pqVar = Some(PQIndex.load(spark, s"$path/index/pq"))
     }
     if (man.effectiveType == "lsh" && n > 0) {
       if (!artifactExists(spark, s"$path/index/lsh/hashed"))

@@ -49,19 +49,26 @@ object Manifest {
     * and the measured curves decide it: at the reference default
     * ef_search the IVF probe reaches recall 0.28–0.38 on the SCALE.md
     * corpus while the graph beam reaches 0.96+ touching fewer
-    * candidates). 'ivf' keeps the probe substitute reachable by name. */
-  val knownTypes: Set[String] = Set("hnsw", "flat", "ivfpq", "lsh", "graph", "ivf")
+    * candidates). 'ivf' keeps the probe substitute reachable by name;
+    * 'pq' (round 12) keeps RAW product quantization reachable (FAISS
+    * IndexPQ: flat ADC scan over codes, no coarse quantizer) now that
+    * 'ivfpq' routes the residual encoder IndexIVFPQ actually uses. */
+  val knownTypes: Set[String] =
+    Set("hnsw", "flat", "ivfpq", "lsh", "graph", "ivf", "pq")
 
-  /** Physical strategy per requested type: exact scan for 'flat'; true
-    * IVF-probe + PQ/ADC compression for 'ivfpq' (the reference's
-    * faiss.IndexIVFPQ, local_db.py:50–52, searches via compressed codes —
-    * so do we); bucketed random-projection LSH for 'lsh'; the plain IVF
-    * probe for 'ivf' (ef_search → nprobe); the navigable-graph index for
-    * 'hnsw' and 'graph' — hnsw's native meaning, with ef_search as the
-    * traversal beam. */
+  /** Physical strategy per requested type: exact scan for 'flat';
+    * IVF-probe + RESIDUAL PQ/ADC compression for 'ivfpq' (the reference's
+    * faiss.IndexIVFPQ, local_db.py:50–52, encodes x − centroid residuals
+    * and searches via compressed codes — so do we, round 12); raw PQ ADC
+    * over the whole codes frame for 'pq' (FAISS IndexPQ); bucketed
+    * random-projection LSH for 'lsh'; the plain IVF probe for 'ivf'
+    * (ef_search → nprobe); the navigable-graph index for 'hnsw' and
+    * 'graph' — hnsw's native meaning, with ef_search as the traversal
+    * beam. */
   def effectiveFor(indexType: String): String = indexType match {
     case "flat" => "flat"
     case "ivfpq" => "ivfpq"
+    case "pq" => "pq"
     case "lsh" => "lsh"
     case "ivf" => "ivf"
     case _ => "graph" // 'hnsw' and 'graph'

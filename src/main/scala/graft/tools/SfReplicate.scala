@@ -47,8 +47,13 @@ object SfReplicate {
       val tmp = s"$out/_tmp_$t"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
       val dir = new java.io.File(tmp)
-      val part = dir.listFiles().find(_.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no part file written for $t"))
+      // coalesce(1) guarantees one part file today; assert it so a future
+      // multi-part write fails loudly instead of silently dropping rows
+      // through an arbitrary `find` pick (round-12 ADVICE)
+      val parts = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      if (parts.length != 1)
+        sys.error(s"expected exactly one part file for $t, found ${parts.length}")
+      val part = parts.head
       val dest = new java.io.File(s"$out/$t.parquet")
       if (dest.exists) dest.delete()
       if (!part.renameTo(dest)) sys.error(s"rename failed for $t")

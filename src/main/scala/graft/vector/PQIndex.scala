@@ -412,6 +412,7 @@ object PQIndex {
 
   def load(spark: SparkSession, path: String): PQIndex = {
     val rows = spark.read.parquet(s"$path/codebooks").collect()
+    require(rows.nonEmpty, s"no PQ codebooks at $path/codebooks")
     val dim = rows.head.getInt(3)
     val codebooks = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, cs) =>
       cs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)

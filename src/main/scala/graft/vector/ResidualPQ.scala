@@ -101,7 +101,8 @@ final class ResidualPQ(val codes: DataFrame, // (id, cluster, codes, err)
     * (quantized distances + probed subset); recall pinned in
     * ResidualPQSpec, never fixed contents. Output contract =
     * [[ExactKNN.topK]]: (id, score = 1/(1+d̂)), score desc, id asc. */
-  def search(query: Array[Double], k: Int, nprobe: Int = 4): DataFrame = {
+  def search(query: Array[Double], k: Int, nprobe: Int = 4,
+             restrict: Option[DataFrame] = None): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
     val probed = centroids.sortBy { case (_, cen) =>
       var d = 0.0; var i = 0
@@ -109,7 +110,16 @@ final class ResidualPQ(val codes: DataFrame, // (id, cluster, codes, err)
       d
     }.take(nprobe).map(_._1)
     val qd = qdFrame(query).where(col("cluster").isin(probed.map(Int.box): _*))
-    codes.where(col("cluster").isin(probed.map(Int.box): _*))
+    // `restrict` (first column = id) thins the PROBED rows before the ADC
+    // join — the facade's filter-pushed-into-the-probe contract: cluster
+    // pruning first, then the allow-list semi-join, so a filtered query
+    // still reads nprobe/nlist of the codes
+    val pruned = codes.where(col("cluster").isin(probed.map(Int.box): _*))
+    val basis = restrict
+      .map(r => pruned.join(
+        r.select(col(r.columns(0)).cast("long").as("id")), Seq("id"), "left_semi"))
+      .getOrElse(pruned)
+    basis
       .select(col("id"), col("cluster"), posexplode(col("codes")).as(Seq("s", "code")))
       .join(broadcast(qd), Seq("cluster", "s", "code"))
       .groupBy(col("id"))
@@ -132,9 +142,12 @@ final class ResidualPQ(val codes: DataFrame, // (id, cluster, codes, err)
     * keys: un-probed (qid, cluster) pairs simply have no table rows.
     * Output contract = [[PQIndex.searchBatch]]: (qid, id, score),
     * (score desc, id asc) per qid. Qids must identify ONE query each:
-    * duplicates are collapsed (first wins) — a repeated qid would
-    * otherwise double every d̂ partial through the table join
-    * (round-11 review). */
+    * duplicates are collapsed to ONE ARBITRARY row (`dropDuplicates` in a
+    * distributed plan has no defined winner, so conflicting vectors under
+    * a repeated qid give a nondeterministic pick — round-12 ADVICE; pass
+    * unique qids for a deterministic answer). A repeated qid left
+    * uncollapsed would otherwise double every d̂ partial through the
+    * table join (round-11 review). */
   def searchBatch(queries: DataFrame, qidCol: String, qvecCol: String,
                   k: Int, nprobe: Int = 4,
                   broadcastQueries: Boolean = true): DataFrame = {
@@ -183,11 +196,36 @@ final class ResidualPQ(val codes: DataFrame, // (id, cluster, codes, err)
     * codes to the broadcast per-cluster ADC frame and brackets each row
     * with its stored err; T = k-th smallest upper bound (+ the rounded-tie
     * slack); survivors float-rerank via one semi-join. Output contract =
-    * [[ExactKNN.topK]] with the oracle's rounded-order tie semantics. */
+    * [[ExactKNN.topK]] with the oracle's rounded-order tie semantics.
+    * `restrict` (first column = id) narrows the search to an allow-list:
+    * both the bound pass and the rerank see only allowed rows, so T is the
+    * k-th smallest RESTRICTED upper bound — a global T over unfiltered
+    * codes could sit below a restricted winner and wrongly prune it. */
   def searchExact(query: Array[Double], k: Int,
-                  vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
+                  vectors: DataFrame, idCol: String, vecCol: String,
+                  restrict: Option[DataFrame] = None): DataFrame =
+    exactTopK(query, k, vectors, idCol, vecCol, restrict, rounded = true)
+
+  /** [[searchExact]] with RAW scores and the raw tie order — bit-identical
+    * to [[ExactKNN.topK]] over the same vectors (same squaredL2/distToScore
+    * expressions on the rerank). The facade's `ivfpq` exact escape hatch
+    * (round 12): T needs no rounding slack because every true top-k row
+    * has d ≤ (k-th smallest true d) ≤ (k-th smallest dhi) = T, so the
+    * dlo ≤ T survivors are a provable superset under the raw order too. */
+  def searchExactRaw(query: Array[Double], k: Int,
+                     vectors: DataFrame, idCol: String, vecCol: String,
+                     restrict: Option[DataFrame] = None): DataFrame =
+    exactTopK(query, k, vectors, idCol, vecCol, restrict, rounded = false)
+
+  private def exactTopK(query: Array[Double], k: Int,
+                        vectors: DataFrame, idCol: String, vecCol: String,
+                        restrict: Option[DataFrame], rounded: Boolean): DataFrame = {
     import graft.functions.VectorFunctions
-    val bounds = exactBounds(query)
+    val allow = restrict.map(r =>
+      r.select(col(r.columns(0)).cast("long").as("id")))
+    val bounds = allow
+      .map(a => exactBounds(query).join(a, Seq("id"), "left_semi"))
+      .getOrElse(exactBounds(query))
     val t0row = bounds.select(col("dhi")).orderBy(col("dhi").asc).limit(k)
       .agg(max(col("dhi"))).head()
     val base = vectors.select(col(idCol).cast("long").as("id"),
@@ -195,12 +233,13 @@ final class ResidualPQ(val codes: DataFrame, // (id, cluster, codes, err)
     if (t0row.isNullAt(0))
       return base.select(col("id"), lit(0.0).as("score")).limit(0)
     val t0 = t0row.getDouble(0)
-    val t = t0 + 2e-4 * (1.0 + t0) * (1.0 + t0)
+    val t = if (rounded) t0 + 2e-4 * (1.0 + t0) * (1.0 + t0) else t0
     val qc = VectorFunctions.vecLit(query)
+    val rawScore = VectorFunctions.distToScore(
+      VectorFunctions.squaredL2(col("vector"), qc))
     base.join(bounds.where(col("dlo") <= t).select(col("id")), Seq("id"), "left_semi")
       .select(col("id"),
-        round(VectorFunctions.distToScore(
-          VectorFunctions.squaredL2(col("vector"), qc)), 4).as("score"))
+        (if (rounded) round(rawScore, 4) else rawScore).as("score"))
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
   }
@@ -331,7 +370,11 @@ object ResidualPQ {
   def save(index: ResidualPQ, path: String): Unit = {
     val spark = index.codes.sparkSession
     import spark.implicits._
-    index.codes.write.mode("overwrite").parquet(s"$path/codes")
+    // cluster-partitioned at rest: a probe's `cluster IN (probed…)` becomes
+    // file-level partition pruning — only nprobe/nlist of the codes files
+    // open (the IVF assignments discipline, applied to the codes frame)
+    index.codes.write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$path/codes")
     index.codebooks.zipWithIndex.flatMap { case (book, s) =>
       book.zipWithIndex.map { case (c, j) => (s, j, c.toSeq, index.dim) }
     }.toSeq.toDF("subspace", "code", "centroid", "dim")
@@ -343,6 +386,9 @@ object ResidualPQ {
 
   def load(spark: org.apache.spark.sql.SparkSession, path: String): ResidualPQ = {
     val cbRows = spark.read.parquet(s"$path/codebooks").collect()
+    // fail fast with a diagnosable message instead of an opaque
+    // NoSuchElementException on `.head` (round-12 ADVICE)
+    require(cbRows.nonEmpty, s"no residual-PQ codebooks at $path/codebooks")
     val dim = cbRows.head.getInt(3)
     val codebooks = cbRows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, cs) =>
       cs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)

@@ -151,17 +151,36 @@ class IncrementalAddSpec extends AnyFunSuite {
     assert(VectorDatabase.refineItersFor(5000) == 3)
   }
 
-  test("ivfpq: add() keeps the codebooks, encodes only the batch") {
-    val db = mkDb("ivfpq", 60)
-    db.queryVector(vec(), topK = 3).collect() // force IVF + PQ builds
+  test("ivfpq: add() keeps the residual codebooks + coarse centroids, encodes only the batch") {
+    val db = mkDb("ivfpq", 60) // efSearch = 10·nlist ⇒ the exact hatch
+    db.queryVector(vec(), topK = 3).collect() // force IVF + residual-PQ builds
+    val booksBefore = db.rpqIfBuilt.get.codebooks
+    val coarseBefore = db.rpqIfBuilt.get.centroids
+    val batch = Seq.fill(8)(vec())
+    db.add(Seq.tabulate(8)(i => s"pq $i"), batch, None)
+    assert(db.rpqIfBuilt.get.codebooks eq booksBefore,
+      "add() retrained the residual codebooks — incremental maintenance must reuse them")
+    assert(db.rpqIfBuilt.get.centroids eq coarseBefore,
+      "add() replaced the coarse quantizer — the trained centroids must stay fixed")
+    assert(db.rpqIfBuilt.get.codes.count() == 68)
+    // the exact hatch stays exact over the union: appended rows carry a
+    // valid per-row err bound regardless of quantizer fit
+    val q = batch(3)
+    val got = db.queryVector(q, topK = 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == bruteForce(db, q, 5))
+    assert(got.head._1 == 63L, "the appended vector itself must rank first")
+  }
+
+  test("pq: add() keeps the raw codebooks, encodes only the batch") {
+    val db = mkDb("pq", 60)
+    db.queryVector(vec(), topK = 3).collect() // force the raw PQ build
     val booksBefore = db.pqIfBuilt.get.codebooks
-    val ivfBefore = db.ivfIfBuilt.get.centroids
     db.add(Seq.tabulate(8)(i => s"pq $i"), Seq.fill(8)(vec()), None)
     assert(db.pqIfBuilt.get.codebooks eq booksBefore,
       "add() retrained the PQ codebooks — incremental maintenance must reuse them")
-    assert(db.ivfIfBuilt.get.centroids eq ivfBefore)
     assert(db.pqIfBuilt.get.codes.count() == 68)
-    // the ADC probe runs over the updated codes and returns k rows
+    // the flat ADC scan runs over the updated codes and returns k rows
     val r = db.queryVector(vec(), topK = 5).collect()
     assert(r.length == 5)
   }

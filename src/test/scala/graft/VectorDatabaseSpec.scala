@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class VectorDatabaseSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private val indexTypes = Seq("hnsw", "flat", "ivfpq")
+  private val indexTypes = Seq("hnsw", "flat", "ivfpq", "pq")
   private val dim = 8
   private val rnd = new scala.util.Random(42)
   private def vec(): Array[Float] = Array.fill(dim)(rnd.nextFloat())
@@ -325,7 +325,10 @@ class VectorDatabaseSpec extends AnyFunSuite {
 
   test("batch ivfpq arm probes the SAME per-query IVF candidate set as the single path (r9 ADVICE)") {
     import spark.implicits._
-    val db = VectorDatabase.create(spark, dim, "ivfpq", ivfClusters = 4)
+    // efSearch 10 < 10 × ivfClusters keeps BOTH arms on the residual-ADC
+    // probe path (the exact escape hatch is pinned separately below)
+    val db = VectorDatabase.create(spark, dim, "ivfpq", ivfClusters = 4,
+      efSearch = 10)
     val many = Seq.fill(40)(vec())
     db.add(many.indices.map(i => s"doc number $i"), many, None)
     assert(db.manifest.effectiveType == "ivfpq")
@@ -386,24 +389,97 @@ class VectorDatabaseSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
-  test("ivf roundtrip persists index artifacts and answers queries") {
-    val db = VectorDatabase.create(spark, dim, "ivfpq", ivfClusters = 2)
+  test("ivfpq roundtrip persists residual artifacts and answers queries") {
+    // efSearch 10 < 10 × ivfClusters: exercise the residual-ADC probe
+    // (not the exact hatch) across the save/load boundary
+    val db = VectorDatabase.create(spark, dim, "ivfpq", ivfClusters = 2,
+      efSearch = 10)
     val many = Seq.fill(40)(vec())
     db.add(many.indices.map(i => s"doc $i"), many, None)
     val path = java.nio.file.Files.createTempDirectory("graftivf").toString
     db.save(path)
-    assert(new java.io.File(s"$path/index/assignments").exists())
-    // ivfpq persists the compressed codes + codebooks too (ldb:219–222)
+    // ivfpq persists the residual codes + codebooks + coarse centroids
+    // (ldb:219–222 persists the faiss.IndexIVFPQ binary; ours is three
+    // parquet frames — the codes carry the coarse assignment per row)
     assert(new java.io.File(s"$path/index/pq/codes").exists())
     assert(new java.io.File(s"$path/index/pq/codebooks").exists())
+    assert(new java.io.File(s"$path/index/pq/centroids").exists())
     val db2 = VectorDatabase.load(spark, path)
     assert(db2.manifest.effectiveType == "ivfpq")
     val r = db2.queryVector(many(7), 3).collect()
     assert(r.nonEmpty && r.head.getLong(0) == 7L)
-    // loaded ADC results match the pre-save index bit for bit
+    // loaded residual-ADC results match the pre-save index bit for bit
     val a = db.queryVector(many(11), 5).collect().map(x => (x.getLong(0), x.getDouble(1)))
     val b = db2.queryVector(many(11), 5).collect().map(x => (x.getLong(0), x.getDouble(1)))
     assert(a.sameElements(b))
+  }
+
+  test("ivfpq exact escape hatch (efSearch >= 10x clusters): bit-identical to the flat scan, single and batch") {
+    import spark.implicits._
+    // efSearch 40 = 10 × ivfClusters: the residual bound pass + float
+    // rerank must reproduce the exact scan — ids AND scores
+    val db = VectorDatabase.create(spark, dim, "ivfpq", ivfClusters = 4,
+      efSearch = 40)
+    val many = Seq.fill(50)(vec())
+    val ms = many.indices.map(i =>
+      Map[String, Any]("priority" -> (if (i % 2 == 0) "high" else "low")))
+    db.add(many.indices.map(i => s"doc $i"), many, Some(ms))
+    assert(db.manifest.effectiveType == "ivfpq")
+    val flat = VectorDatabase.create(spark, dim, "flat")
+    flat.add(many.indices.map(i => s"doc $i"), many, Some(ms))
+    val a = db.queryVector(many(7), 5).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val b = flat.queryVector(many(7), 5).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.sameElements(b), s"hatch ${a.toSeq} != flat ${b.toSeq}")
+    // filtered: the restrict narrows BOTH the bound pass and the rerank —
+    // a global threshold over unfiltered codes would wrongly prune
+    val pred = db.metaValue("priority") === lit("\"high\"")
+    val fa = db.queryVector(many(8), 5, preFilter = Some(pred))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val fb = flat.queryVector(many(8), 5, preFilter = Some(pred))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(fa.sameElements(fb), s"filtered hatch ${fa.toSeq} != flat ${fb.toSeq}")
+    assert(fa.map(_._1).forall(_ % 2 == 0))
+    // batch twin under the hatch: hybrid's probe arm ≡ per-query
+    val qs = Seq((0L, "doc 3", many(3).map(_.toDouble).toSeq),
+                 (1L, "doc 17", many(17).map(_.toDouble).toSeq))
+    val qdf = qs.toDF("qid", "qtext", "qv")
+    val batch = db.hybridSearchBatch(qdf, "qid", "qtext", "qv", topK = 4,
+        exactThreshold = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val single = qs.flatMap { case (qid, t, v) =>
+      db.hybridSearch(t, v.map(_.toFloat).toArray, topK = 4, exactThreshold = 0L)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }
+    assert(batch.toSeq == single, s"hatch batch ${batch.toSeq} != per-query $single")
+  }
+
+  test("pq facade (raw FAISS IndexPQ): ADC postconditions + save/load roundtrip") {
+    val db = VectorDatabase.create(spark, dim, "pq")
+    val many = Seq.fill(40)(vec())
+    db.add(many.indices.map(i => s"doc $i"), many, None)
+    assert(db.manifest.effectiveType == "pq")
+    assert(db.toString.contains("index_type=pq"))
+    val r = db.queryVector(many(7), 5).collect()
+    assert(r.length == 5)
+    val scores = r.map(_.getDouble(1))
+    assert(scores.forall(s => s > 0 && s <= 1) && scores.sameElements(scores.sortBy(-_)))
+    // self-query ranks itself first: its own code reconstructs nearest
+    assert(r.head.getLong(0) == 7L)
+    val path = java.nio.file.Files.createTempDirectory("graftpq").toString
+    db.save(path)
+    assert(new java.io.File(s"$path/index/pq/codes").exists())
+    assert(new java.io.File(s"$path/index/pq/codebooks").exists())
+    assert(!new java.io.File(s"$path/index/pq/centroids").exists(),
+      "raw PQ has no coarse quantizer — centroids must not be written")
+    val db2 = VectorDatabase.load(spark, path)
+    assert(db2.manifest.effectiveType == "pq")
+    val a = db.queryVector(many(11), 5).collect().map(x => (x.getLong(0), x.getDouble(1)))
+    val b = db2.queryVector(many(11), 5).collect().map(x => (x.getLong(0), x.getDouble(1)))
+    assert(a.sameElements(b))
+    // missing artifacts -> error, like every index family
+    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles.foreach(rm); f.delete() }
+    rm(new java.io.File(s"$path/index"))
+    intercept[IllegalStateException](VectorDatabase.load(spark, path))
   }
 
   test("lazy-index load: probes prune parquet partitions, results equal the eager load") {
