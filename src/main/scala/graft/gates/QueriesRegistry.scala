@@ -1,0 +1,1228 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.expr.ExactSum
+import graft.functions.VectorFunctions._
+import graft.text.{BM25, TextAnalysis}
+import graft.vector.{ExactKNN, IVFIndex, LSHIndex, PQIndex}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The gate registry: every operator name -> (Spark plan, DuckDB oracle SQL). Split from Queries.scala by tier in round 12 (r11 VERDICT #7) behind the same map - zero behavior change.
+  *
+  * One tier of [[Queries]] (split in round 12, r11 VERDICT #7 -
+  * maintainability only): members keep their original relative order and
+  * semantics, relaxed from `private` to `private[graft]` so the sibling
+  * tier traits and the assembling object see them. The self-type gives
+  * every tier access to the full mixed-in surface without a dependency
+  * graph between the files. */
+private[graft] trait QueriesRegistry { this: Queries.type =>
+
+  // ---------------------------------------------------------------------------
+  // Registry
+  // ---------------------------------------------------------------------------
+
+  val registry: Seq[(String, Q)] = Seq(
+    "knn_l2" -> Q(knnL2, Some(knnSql(7, 10))),
+    "knn_cosine" -> Q(knnCosine, Some(
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 42)
+         |SELECT e.vec_id AS id,
+         |       round(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * q.qv[i]))
+         |             / (sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+         |                * sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])))), 4) AS score
+         |FROM embeddings e, q
+         |ORDER BY score DESC, id LIMIT 10""".stripMargin)),
+    "knn_prefilter" -> Q(knnPreFilter, Some(knnSql(7, 5, "WHERE e.label = 3"))),
+    "knn_prefilter_faithful" -> Q(knnPreFilterFaithful, Some(
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+         |top AS (
+         |  SELECT e.vec_id AS id, e.label,
+         |         round(1.0/(1.0 + $sqDistSql), 4) AS score
+         |  FROM embeddings e, q
+         |  ORDER BY 1.0/(1.0 + $sqDistSql) DESC, id LIMIT 20)
+         |SELECT id, score FROM top WHERE label = 3 ORDER BY score DESC, id""".stripMargin)),
+    "ann_ivf" -> Q(annIvf, Some(knnSql(13, 10))),
+    "ann_sq8" -> Q(annSq8, Some(knnSql(17, 10))),
+    "ann_ivf_sq8" -> Q(annIvfSq8, Some(knnSql(37, 10))),
+    "save_load_sq8_knn" -> Q(saveLoadSq8Knn, Some(knnSql(21, 10))),
+    "ann_ivf_cosine" -> Q(annIvfCosine, Some(cosineKnnSql(42, 10))),
+    "ann_sq8_cosine" -> Q(annSq8Cosine, Some(cosineKnnSql(99, 10))),
+    "knn_batch_sq8_cosine" -> Q(knnBatchSq8Cosine, Some(knnBatchCosineSqlFor("11, 12, 13", 5))),
+    "ann_graph_cosine" -> Q(annGraphCosine, Some(knnBatchCosineSqlFor("11, 12, 13", 5))),
+    "ann_pq_exact" -> Q(annPqExact, Some(knnSql(23, 10))),
+    "ann_pq_residual_exact" -> Q(annPqResidualExact, Some(knnSql(29, 10))),
+    "save_load_pq_residual" -> Q(saveLoadPqResidual, Some(knnSql(53, 10))),
+    "facade_ivfpq_knn" -> Q(facadeIvfpqKnn, Some(knnSql(31, 10))),
+    "knn_prefilter_ivfpq" -> Q(knnPrefilterIvfpq,
+      Some(knnSql(47, 5, "WHERE e.vec_id % 2 = 0"))),
+    "ann_pq" -> Q(annPq, Some(
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |a AS (SELECT vec_id AS aid, emb AS aemb FROM v WHERE vec_id < 16),
+        |s AS (SELECT unnest(range(0, 8)) AS s),
+        |rd AS (
+        |  SELECT v.vec_id AS id, s.s, a.aid,
+        |         list_sum(list_transform(range(1, 9),
+        |           i -> (v.emb[s.s*8 + i] - a.aemb[s.s*8 + i]) * (v.emb[s.s*8 + i] - a.aemb[s.s*8 + i]))) AS d2
+        |  FROM v, s, a),
+        |codes AS (
+        |  SELECT id, s, aid AS code FROM (
+        |    SELECT id, s, aid, row_number() OVER (PARTITION BY id, s ORDER BY d2, aid) AS rn FROM rd)
+        |  WHERE rn = 1),
+        |q AS (SELECT emb AS qe FROM v WHERE vec_id = 7),
+        |qd AS (
+        |  SELECT s.s, a.aid,
+        |         list_sum(list_transform(range(1, 9),
+        |           i -> (q.qe[s.s*8 + i] - a.aemb[s.s*8 + i]) * (q.qe[s.s*8 + i] - a.aemb[s.s*8 + i]))) AS d2
+        |  FROM q, s, a),
+        |adc AS (
+        |  SELECT c.id, list_sum(list(qd.d2 ORDER BY c.s)) AS dist
+        |  FROM codes c JOIN qd ON qd.s = c.s AND qd.aid = c.code
+        |  GROUP BY c.id)
+        |SELECT id, round(1.0/(1.0 + dist), 4) AS score
+        |FROM adc ORDER BY score DESC, id LIMIT 10""".stripMargin)),
+    "ann_pq_batch" -> Q(annPqBatch, Some(
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |a AS (SELECT vec_id AS aid, emb AS aemb FROM v WHERE vec_id < 16),
+        |s AS (SELECT unnest(range(0, 8)) AS s),
+        |rd AS (
+        |  SELECT v.vec_id AS id, s.s, a.aid,
+        |         list_sum(list_transform(range(1, 9),
+        |           i -> (v.emb[s.s*8 + i] - a.aemb[s.s*8 + i]) * (v.emb[s.s*8 + i] - a.aemb[s.s*8 + i]))) AS d2
+        |  FROM v, s, a),
+        |codes AS (
+        |  SELECT id, s, aid AS code FROM (
+        |    SELECT id, s, aid, row_number() OVER (PARTITION BY id, s ORDER BY d2, aid) AS rn FROM rd)
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, emb AS qe FROM v WHERE vec_id IN (11, 12)),
+        |qd AS (
+        |  SELECT q.qid, s.s, a.aid,
+        |         list_sum(list_transform(range(1, 9),
+        |           i -> (q.qe[s.s*8 + i] - a.aemb[s.s*8 + i]) * (q.qe[s.s*8 + i] - a.aemb[s.s*8 + i]))) AS d2
+        |  FROM q, s, a),
+        |adc AS (
+        |  SELECT qd.qid, c.id, list_sum(list(qd.d2 ORDER BY c.s)) AS dist
+        |  FROM codes c JOIN qd ON qd.s = c.s AND qd.aid = c.code
+        |  GROUP BY qd.qid, c.id)
+        |SELECT qid, id, round(1.0/(1.0 + dist), 4) AS score FROM (
+        |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+        |  FROM adc)
+        |WHERE rn <= 5 ORDER BY qid, score DESC, id""".stripMargin)),
+    "ann_lsh" -> Q(annLsh, Some(knnSql(21, 10))),
+    "label_centroids" -> Q(labelCentroids, Some(
+      """WITH x AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS i,
+        |                  unnest(embedding::DOUBLE[]) AS v
+        |           FROM embeddings)
+        |SELECT label, i, round(avg(v), 4) + 0.0 AS avg_v
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    "knn_batch" -> Q(knnBatch, Some(knnBatchSql)),
+    "knn_batch_topk" -> Q(knnBatchTopk, Some(knnBatchSql)),
+    "knn_batch_ivf" -> Q(knnBatchIvf, Some(knnBatchSqlFor("4, 5, 6"))),
+    "knn_batch_sq8" -> Q(knnBatchSq8, Some(knnBatchSqlFor("7, 8, 9"))),
+    "knn_batch_lsh" -> Q(knnBatchLsh, Some(knnBatchSqlFor("7, 8, 9"))),
+    "ann_graph" -> Q(annGraph, Some(knnBatchSqlFor("13, 14, 15"))),
+    "facade_graph_knn" -> Q(facadeGraphKnn, Some(knnSql(51, 10))),
+    "knn_prefilter_graph" -> Q(knnPrefilterGraph,
+      Some(knnSql(17, 5, "WHERE e.vec_id % 2 = 0"))),
+    "knn_graph" -> Q(knnGraphQ, Some(knnGraphSql)),
+    "knn_graph_lsh" -> Q(knnGraphLshQ, Some(knnGraphSql)),
+    "graph_pagerank" -> Q(graphPagerank, Some(
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        |           WHERE vec_id < 500),
+        |scored AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS id,
+        |         1.0/(1.0 + list_sum(list_transform(range(1, 65),
+        |           i -> (a.emb[i] - b.emb[i]) * (a.emb[i] - b.emb[i])))) AS s
+        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+        |e AS (SELECT qid AS src, id AS dst FROM (
+        |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS rn
+        |  FROM scored) WHERE rn <= 3),
+        |nd AS (SELECT vec_id AS v FROM v),
+        |r0 AS (SELECT v, 1.0/500.0 AS r FROM nd),
+        |r1 AS (SELECT nd.v, 0.15/500.0 + 0.85*coalesce(c.s, 0.0) AS r FROM nd
+        |  LEFT JOIN (SELECT e.dst, list_sum(list_sort(list(r0.r/3.0))) AS s
+        |             FROM e JOIN r0 ON e.src = r0.v
+        |             GROUP BY e.dst) c ON nd.v = c.dst),
+        |r2 AS (SELECT nd.v, 0.15/500.0 + 0.85*coalesce(c.s, 0.0) AS r FROM nd
+        |  LEFT JOIN (SELECT e.dst, list_sum(list_sort(list(r1.r/3.0))) AS s
+        |             FROM e JOIN r1 ON e.src = r1.v
+        |             GROUP BY e.dst) c ON nd.v = c.dst),
+        |r3 AS (SELECT nd.v, 0.15/500.0 + 0.85*coalesce(c.s, 0.0) AS r FROM nd
+        |  LEFT JOIN (SELECT e.dst, list_sum(list_sort(list(r2.r/3.0))) AS s
+        |             FROM e JOIN r2 ON e.src = r2.v
+        |             GROUP BY e.dst) c ON nd.v = c.dst)
+        |SELECT v AS id, floor(r * 500.0 * 10000.0 + 0.5)/10000.0 AS pr_n
+        |FROM r3 ORDER BY id""".stripMargin)),
+    "knn_postfilter" -> Q(knnPostFilter, Some(
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+         |top AS (
+         |  SELECT e.vec_id AS id, e.label,
+         |         round(1.0/(1.0 + $sqDistSql), 4) AS score
+         |  FROM embeddings e, q
+         |  ORDER BY score DESC, id LIMIT 20)
+         |SELECT id, score FROM top WHERE label = 3 ORDER BY score DESC, id""".stripMargin)),
+    "text_bm25" -> Q(textBm25, Some(
+      s"""WITH ${bm25Ctes(bm25Query)}
+         |SELECT id, round(score, 4) AS score FROM tscore
+         |ORDER BY score DESC, id LIMIT 10""".stripMargin)),
+    "text_bm25_batch" -> Q(textBm25Batch, Some(bm25BatchSql(bm25BatchQueries, 5))),
+    "text_bm25_incremental" -> Q(textBm25Incremental, Some(
+      s"""WITH ${bm25Ctes(bm25Query)}
+         |SELECT id, round(score, 4) AS score FROM tscore
+         |ORDER BY score DESC, id LIMIT 10""".stripMargin)),
+    "facade_query_text" -> Q(facadeQueryText, Some(
+      s"""WITH ${bm25Ctes(bm25Query, joinedCorpus = true)}
+         |SELECT id, round(score, 4) AS score FROM tscore
+         |ORDER BY score DESC, id LIMIT 10""".stripMargin)),
+    "meta_head" -> Q(metaHead, Some(
+      "SELECT doc_id AS id, lang, source FROM documents ORDER BY id LIMIT 25")),
+    "meta_filter" -> Q(metaFilter, Some(
+      "SELECT doc_id AS id FROM documents WHERE lang = 'en' AND source = 'src3' ORDER BY id LIMIT 50")),
+    "meta_range" -> Q(metaRange, Some(
+      "SELECT doc_id AS id FROM documents WHERE n_chars >= 100 AND n_chars < 300 AND lang = 'fr' ORDER BY id")),
+    "point_lookup" -> Q(pointLookup, Some(
+      "SELECT doc_id AS id, text, lang, source FROM documents WHERE doc_id = 123")),
+    "collection_count" -> Q(collectionCount, Some("SELECT count(*) AS n FROM documents")),
+    "hybrid_search" -> Q(hybrid, Some(
+      // the operator ranks over the tscore ⋈ vscore INNER-join domain (the
+      // ids holding both text and vector), so both max-normalizers must be
+      // computed over that join — at sf0.1 documents ⊋ embeddings and a
+      // full-tscore max would normalize by a score outside the domain
+      s"""WITH ${bm25Ctes(bm25Query)},
+         |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+         |vscore AS (
+         |  SELECT e.vec_id AS id, 1.0/(1.0 + sqrt($sqDistSql)) AS vs
+         |  FROM embeddings e, q),
+         |tmax AS (SELECT max(score) AS tm FROM tscore JOIN vscore USING (id)),
+         |vmax AS (SELECT max(vs) AS vm FROM vscore JOIN tscore USING (id)),
+         |fused AS (
+         |  SELECT tscore.id,
+         |         0.5 * (CASE WHEN vm > 0 THEN vs / vm ELSE vs END)
+         |       + 0.5 * (CASE WHEN tm > 0 THEN tscore.score / tm ELSE tscore.score END) AS raw
+         |  FROM tscore JOIN vscore USING (id), tmax, vmax)
+         |SELECT id, round(raw, 4) AS score FROM fused WHERE raw > 0
+         |ORDER BY score DESC, id LIMIT 10""".stripMargin)),
+    "hybrid_probe" -> Q(hybridProbe, Some(hybridProbeSql)),
+    "streaming_ingest_hybrid" -> Q(streamingIngestHybrid, Some(hybridProbeSql)),
+    "hybrid_batch" -> Q(hybridBatchArm(Long.MaxValue), Some(hybridBatchSql(exact = true))),
+    "hybrid_batch_probe" -> Q(hybridBatchArm(0L), Some(hybridBatchSql(exact = false))),
+    "hybrid_batch_graph" -> Q(hybridBatchGraph, Some(hybridBatchSql(exact = false))),
+    "hybrid_batch_filtered" -> Q(hybridBatchFiltered,
+      Some(hybridBatchSql(exact = true, restricted = true))),
+    "multimodal_features" -> Q(multimodalFeatures, Some(
+      """SELECT doc_id AS id, octet_length(text::BLOB)::BIGINT AS n_bytes, md5(text) AS fp,
+        |       (octet_length(text::BLOB) % 64 + 1)::INT AS width,
+        |       (octet_length(text::BLOB) // 64 + 1)::INT AS height
+        |FROM documents ORDER BY id""".stripMargin)),
+    "multimodal_frames" -> Q(multimodalFrames, Some(
+      """SELECT id, frame_idx, md5(substr(text, frame_idx * 256 + 1, 256)) AS frame_fp
+        |FROM (SELECT doc_id AS id, text,
+        |        unnest(range(0, (octet_length(text::BLOB) + 255) // 256)) AS frame_idx
+        |      FROM documents WHERE doc_id < 50)
+        |WHERE frame_idx % 2 = 0 ORDER BY id, frame_idx""".stripMargin)),
+    "multimodal_resize" -> Q(multimodalResize, Some(
+      """WITH b AS (SELECT doc_id AS id, text, octet_length(text::BLOB) AS len FROM documents),
+        |kk AS (SELECT id, text, len, greatest(1, (len + 63) // 64) AS k FROM b),
+        |r AS (SELECT id, (len + k - 1) // k AS n,
+        |      array_to_string(list_transform(range(0, (len + k - 1) // k),
+        |        i -> substr(text, CAST(1 + i*k AS INT), 1)), '') AS s FROM kk)
+        |SELECT id, 8 AS out_w, 8 AS out_h, CAST(n AS INT) AS n_sampled, md5(s) AS resized_fp
+        |FROM r ORDER BY id""".stripMargin)),
+    "multimodal_binary_resize" -> Q(multimodalBinaryResize, Some(
+      """WITH p AS (
+        |  SELECT doc_id AS id,
+        |         array_to_string(list_transform(range(0, 40), i -> md5(text || '_' || i)), '') AS hx
+        |  FROM documents WHERE doc_id < 50),
+        |b AS (SELECT id, hx, length(hx) // 2 AS len FROM p),
+        |kk AS (SELECT id, hx, len, greatest(1, (len + 63) // 64) AS k FROM b),
+        |r AS (SELECT id, (len + k - 1) // k AS n,
+        |        array_to_string(list_transform(range(0, (len + k - 1) // k),
+        |          j -> substr(hx, CAST(j*k*2 + 1 AS INT), 2)), '') AS s
+        |      FROM kk)
+        |SELECT id, 8 AS out_w, 8 AS out_h, CAST(n AS INT) AS n_sampled, md5(s) AS resized_fp
+        |FROM r ORDER BY id""".stripMargin)),
+    "multimodal_binary_frames" -> Q(multimodalBinaryFrames, Some(
+      """WITH p AS (
+        |  SELECT doc_id AS id,
+        |         array_to_string(list_transform(range(0, 40), i -> md5(text || '_' || i)), '') AS hx
+        |  FROM documents WHERE doc_id < 50),
+        |b AS (SELECT id, hx, length(hx) // 2 AS len FROM p),
+        |f AS (SELECT id, hx, unnest(range(0, (len + 255) // 256)) AS frame_idx FROM b)
+        |SELECT id, CAST(frame_idx AS INT) AS frame_idx,
+        |       md5(substr(hx, CAST(frame_idx*512 + 1 AS INT), 512)) AS frame_fp
+        |FROM f WHERE frame_idx % 2 = 0 ORDER BY id, frame_idx""".stripMargin)),
+    "multimodal_mp3_parse" -> Q(multimodalMp3Parse, Some(
+      """WITH p AS (
+        |  SELECT doc_id AS id,
+        |         (2 + doc_id % 2)::INT AS n_frames,
+        |         (32 + 8 * (doc_id % 3))::INT AS bitrate_kbps,
+        |         (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END)::INT AS sample_rate,
+        |         array_to_string(list_transform(range(0, 40), i -> md5(text || '_mp3_' || i)), '') AS hx
+        |  FROM documents WHERE doc_id < 50),
+        |f AS (SELECT *, (144 * bitrate_kbps * 1000) // sample_rate AS flen FROM p)
+        |SELECT id, n_frames, bitrate_kbps, sample_rate,
+        |       (n_frames * 1152 * 1000) // sample_rate AS duration_ms,
+        |       md5(substr(hx, 1, n_frames * (flen - 4) * 2)) AS payload_fp
+        |FROM f ORDER BY id""".stripMargin)),
+    "multimodal_mp3_sideinfo" -> Q(multimodalMp3Sideinfo, Some(
+      // restates mp3SideinfoAssets' field formulas per (id, granule,
+      // channel): every side-info field + the scale-factor sum (granule 1
+      // honoring the scfsi share pattern), so the bit-exact parse of the
+      // hand-assembled frames is pinned end to end
+      """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 50),
+        |g AS (SELECT unnest(range(0, 2)) AS granule),
+        |c AS (SELECT unnest(range(0, 2)) AS channel)
+        |SELECT id, granule::INT AS granule, channel::INT AS channel,
+        |  0 AS main_data_begin,
+        |  id % 8 AS private_bits,
+        |  8*((id+channel)%2) + 4*((id+channel+1)%2) + 2*((id+channel+2)%2) + ((id+channel+3)%2) AS scfsi,
+        |  CASE WHEN granule = 0 THEN 42
+        |       ELSE 42 - 2*(6*((id+channel)%2) + 5*((id+channel+1)%2)
+        |                   + 5*((id+channel+2)%2) + 5*((id+channel+3)%2)) END AS part23_length,
+        |  (7*id + 13*granule + 3*channel) % 289 AS big_values,
+        |  (5*id + 17*granule + 29*channel) % 256 AS global_gain,
+        |  9 AS scalefac_compress,
+        |  0 AS block_type,
+        |  ((id+granule+channel)%32)*1024 + ((2*id+granule)%32)*32 + ((id+5*channel)%32) AS table_select,
+        |  id % 16 AS region0,
+        |  (id+granule) % 8 AS region1,
+        |  id % 2 AS preflag,
+        |  (id+granule) % 2 AS scalefac_scale,
+        |  (id+channel) % 2 AS count1table,
+        |  (CASE WHEN granule = 0 THEN list_sum(list_transform(range(0,21), b -> (id+b)%4))
+        |        ELSE list_sum(list_transform(range(0,21), b ->
+        |          CASE WHEN (id + channel + (CASE WHEN b<6 THEN 0 WHEN b<11 THEN 1 WHEN b<16 THEN 2 ELSE 3 END)) % 2 = 1
+        |               THEN (id+b)%4 ELSE (id+b+1)%4 END)) END)::BIGINT AS sf_sum,
+        |  21 AS sf_n
+        |FROM ids, g, c
+        |ORDER BY id, granule, channel""".stripMargin)),
+    "multimodal_knn" -> Q(multimodalKnn, Some(
+      """WITH p AS (
+        |  SELECT doc_id AS id, (3 + doc_id % 5)::INT AS width, (2 + doc_id % 3)::INT AS height,
+        |         (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END)::INT AS ch,
+        |         array_to_string(list_transform(range(0, 6), i -> md5(text || '_png8_' || i)), '') AS hx
+        |  FROM documents WHERE doc_id < 50),
+        |s AS (SELECT id, (j.j * 2 + 1)::INT AS pos, hx
+        |      FROM p, unnest(range(0, width * height * ch)) AS j(j)),
+        |b AS (SELECT id, (strpos('0123456789abcdef', substr(hx, pos, 1)) - 1) AS bin FROM s),
+        |h AS (SELECT id, bin, count(*)::DOUBLE AS c FROM b GROUP BY id, bin),
+        |g AS (SELECT pr.id, pr.bin, coalesce(h.c, 0.0) AS c
+        |      FROM (SELECT p.id, r.r AS bin FROM p, unnest(range(0, 16)) AS r(r)) pr
+        |      LEFT JOIN h ON h.id = pr.id AND h.bin = pr.bin),
+        |q AS (SELECT bin, c AS qc FROM g WHERE id = 0),
+        |d AS (SELECT g.id, sum((g.c - q.qc) * (g.c - q.qc)) AS d2
+        |      FROM g JOIN q USING (bin) GROUP BY g.id)
+        |SELECT id, round(1.0/(1.0 + d2), 4) AS score
+        |FROM d ORDER BY score DESC, id LIMIT 10""".stripMargin)),
+    "multimodal_png_stats" -> Q(multimodalPngStats, Some(
+      """WITH p AS (
+        |  SELECT doc_id AS id, (3 + doc_id % 5)::INT AS width, (2 + doc_id % 3)::INT AS height,
+        |         (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END)::INT AS ch,
+        |         array_to_string(list_transform(range(0, 6), i -> md5(text || '_png8_' || i)), '') AS hx
+        |  FROM documents WHERE doc_id < 50),
+        |s AS (SELECT id, ch, width * height AS n_px, c.c::INT AS channel, j.j AS j,
+        |        ((j.j * ch + c.c) * 2 + 1)::INT AS pos, hx
+        |      FROM p, unnest(range(0, ch)) AS c(c),
+        |              unnest(range(0, width * height)) AS j(j)),
+        |v AS (SELECT id, channel, n_px,
+        |        (strpos('0123456789abcdef', substr(hx, pos, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(hx, pos + 1, 1)) - 1) AS u
+        |      FROM s)
+        |SELECT id, channel, n_px::INT AS n_px,
+        |       CAST(sum(u) AS BIGINT) AS sum_val,
+        |       floor(sum(u)::DOUBLE / n_px * 10000.0 + 0.5) / 10000.0 AS mean_val
+        |FROM v GROUP BY id, channel, n_px
+        |ORDER BY id, channel""".stripMargin)),
+    "multimodal_mp3_frames" -> Q(multimodalMp3Frames, Some(
+      """WITH p AS (
+        |  SELECT doc_id AS id,
+        |         (2 + doc_id % 2)::INT AS n_frames,
+        |         (32 + 8 * (doc_id % 3))::INT AS bitrate_kbps,
+        |         (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END)::INT AS sample_rate,
+        |         array_to_string(list_transform(range(0, 40), i -> md5(text || '_mp3_' || i)), '') AS hx
+        |  FROM documents WHERE doc_id < 50),
+        |f AS (SELECT *, ((144 * bitrate_kbps * 1000) // sample_rate - 4)::INT AS plen FROM p)
+        |SELECT id, i::INT AS frame_idx, plen AS frame_len,
+        |       md5(substr(hx, (i * plen * 2 + 1)::INT, (plen * 2)::INT)) AS frame_fp
+        |FROM f, unnest(range(0, n_frames)) AS t(i)
+        |ORDER BY id, frame_idx""".stripMargin)),
+    "multimodal_wav_channels" -> Q(multimodalWavChannels, Some(
+      """WITH p AS (
+        |  SELECT doc_id AS id, (1 + doc_id % 2)::INT AS channels,
+        |         (30 + doc_id % 7)::INT AS n_samples,
+        |         array_to_string(list_transform(range(0, 10), i -> md5(text || '_wav_' || i)), '') AS hx
+        |  FROM documents WHERE doc_id < 50),
+        |s AS (SELECT id, channels, n_samples, c.c::INT AS channel, j.j AS j,
+        |        ((j.j * channels + c.c) * 4 + 1)::INT AS pos, hx
+        |      FROM p, unnest(range(0, channels)) AS c(c),
+        |              unnest(range(0, n_samples)) AS j(j)),
+        |v AS (SELECT id, channel, n_samples,
+        |        (strpos('0123456789abcdef', substr(hx, pos + 2, 1)) - 1) * 4096
+        |      + (strpos('0123456789abcdef', substr(hx, pos + 3, 1)) - 1) * 256
+        |      + (strpos('0123456789abcdef', substr(hx, pos, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(hx, pos + 1, 1)) - 1) AS u
+        |      FROM s)
+        |SELECT id, channel, n_samples,
+        |       CAST(sum(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS BIGINT) AS sum_amp,
+        |       floor(sum(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END)::DOUBLE
+        |             / n_samples * 10000.0 + 0.5) / 10000.0 AS mean_amp
+        |FROM v GROUP BY id, channel, n_samples
+        |ORDER BY id, channel""".stripMargin)),
+    "multimodal_mp4_parse" -> Q(multimodalMp4Parse, Some(
+      """WITH p AS (
+        |  SELECT doc_id AS id, 'isom' AS brand,
+        |         (16 * (1 + doc_id % 4))::INT AS width,
+        |         (16 * (1 + doc_id % 3))::INT AS height,
+        |         1000::BIGINT AS timescale, (100 + doc_id % 50)::BIGINT AS duration,
+        |         1::INT AS n_tracks,
+        |         (2 + doc_id % 5)::INT AS n_samples, (8 + doc_id % 8)::INT AS sample_size,
+        |         array_to_string(list_transform(range(0, 6), i -> md5(text || '_mp4_' || i)), '') AS hx
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT id, brand, width, height, timescale, duration, n_tracks,
+        |       n_samples, sample_size,
+        |       md5(substr(hx, 1, n_samples * sample_size * 2)) AS mdat_fp
+        |FROM p ORDER BY id""".stripMargin)),
+    "multimodal_mp4_samples" -> Q(multimodalMp4Samples, Some(
+      """WITH p AS (
+        |  SELECT doc_id AS id,
+        |         (2 + doc_id % 5)::INT AS n_samples, (8 + doc_id % 8)::INT AS s,
+        |         array_to_string(list_transform(range(0, 6), i -> md5(text || '_mp4_' || i)), '') AS hx
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT id, i::INT AS sample_idx, s AS sample_len,
+        |       md5(substr(hx, (i * s * 2 + 1)::INT, (s * 2)::INT)) AS sample_fp
+        |FROM p, unnest(range(0, n_samples)) AS t(i)
+        |WHERE i % 2 = 0
+        |ORDER BY id, sample_idx""".stripMargin)),
+    "multimodal_png_decode" -> Q(multimodalPngDecode, Some(
+      """WITH p AS (
+        |  SELECT doc_id AS id, (3 + doc_id % 5)::INT AS width, (2 + doc_id % 3)::INT AS height,
+        |         (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END)::INT AS n_channels,
+        |         array_to_string(list_transform(range(0, 6), i -> md5(text || '_png8_' || i)), '') AS hx
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT id, width, height, n_channels,
+        |       md5(substr(hx, 1, width*height*n_channels*2)) AS pixel_fp
+        |FROM p ORDER BY id""".stripMargin)),
+    "multimodal_ppm_decode" -> Q(multimodalPpmDecode, Some(
+      """WITH p AS (
+        |  SELECT doc_id AS id, (3 + doc_id % 5)::INT AS width, (2 + doc_id % 3)::INT AS height,
+        |         array_to_string(list_transform(range(0, 6), i -> md5(text || '_p6_' || i)), '') AS hx
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT id, width, height, (width*height*3)::INT AS n_pixels,
+        |       md5(substr(hx, 1, width*height*6)) AS pixel_fp
+        |FROM p ORDER BY id""".stripMargin)),
+    "multimodal_ppm_resize" -> Q(multimodalPpmResize, Some(
+      """WITH p AS (
+        |  SELECT doc_id AS id, (3 + doc_id % 5) AS w, (2 + doc_id % 3) AS h,
+        |         array_to_string(list_transform(range(0, 6), i -> md5(text || '_p6_' || i)), '') AS hx
+        |  FROM documents WHERE doc_id < 50),
+        |b AS (SELECT id, substr(hx, 1, CAST(w*h*6 AS INT)) AS phx, w*h*3 AS len FROM p),
+        |kk AS (SELECT id, phx, len, greatest(1, (len + 15) // 16) AS k FROM b),
+        |r AS (SELECT id, (len + k - 1) // k AS n,
+        |        array_to_string(list_transform(range(0, (len + k - 1) // k),
+        |          j -> substr(phx, CAST(j*k*2 + 1 AS INT), 2)), '') AS s
+        |      FROM kk)
+        |SELECT id, 4 AS out_w, 4 AS out_h, CAST(n AS INT) AS n_sampled, md5(s) AS resized_fp
+        |FROM r ORDER BY id""".stripMargin)),
+    "multimodal_wav_decode" -> Q(multimodalWavDecode, Some(
+      """WITH p AS (
+        |  SELECT doc_id AS id, (1 + doc_id % 2)::INT AS channels,
+        |         (8000 + (doc_id % 3) * 4000)::INT AS sample_rate,
+        |         (30 + doc_id % 7)::INT AS n_samples,
+        |         array_to_string(list_transform(range(0, 10), i -> md5(text || '_wav_' || i)), '') AS hx
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT id, channels, sample_rate, n_samples,
+        |       md5(substr(hx, 1, n_samples * channels * 4)) AS pcm_fp
+        |FROM p ORDER BY id""".stripMargin)),
+    "multimodal_wav_frames" -> Q(multimodalWavFrames, Some(
+      """WITH p AS (
+        |  SELECT doc_id AS id, (400 + (doc_id % 5) * 160) AS len,
+        |         array_to_string(list_transform(range(0, 65), i -> md5(text || '_wavf_' || i)), '') AS hx
+        |  FROM documents WHERE doc_id < 50),
+        |f AS (SELECT id, substr(hx, 1, CAST(len*2 AS INT)) AS phx,
+        |        unnest(range(0, (len + 255) // 256)) AS frame_idx
+        |      FROM p)
+        |SELECT id, CAST(frame_idx AS INT) AS frame_idx,
+        |       md5(substr(phx, CAST(frame_idx*512 + 1 AS INT), 512)) AS frame_fp
+        |FROM f WHERE frame_idx % 2 = 0 ORDER BY id, frame_idx""".stripMargin)),
+    "multimodal_jpeg_decode" -> Q(multimodalJpegDecode, Some(jpegDecodeSql)),
+    "multimodal_jpeg_restart" -> Q(multimodalJpegRestart, Some(jpegDecodeSql)),
+    "multimodal_jpeg_progressive" -> Q(multimodalJpegProgressive, Some(jpegDecodeSql)),
+    "streaming_media_decode" -> Q(streamingMediaDecode, Some(jpegDecodeSql)),
+    "multimodal_jpeg_color" -> Q(multimodalJpegColor, Some(
+      // per block b: (y, cb, cr) = payload bytes 3b..3b+2; RGB = JFIF
+      // conversion with floor(x+0.5) + clamp; every pixel of block
+      // (bx, by) carries that block's rgb hex triple
+      """WITH p AS (
+        |  SELECT doc_id AS id, (1 + doc_id % 4) AS bw, (1 + doc_id % 3) AS bh,
+        |         md5(text || '_jpgc_0') || md5(text || '_jpgc_1') || md5(text || '_jpgc_2') AS hx
+        |  FROM documents WHERE doc_id < 50),
+        |bl AS (
+        |  SELECT id, bw, bh, b,
+        |         ('0x' || substr(hx, CAST(b*6 + 1 AS INT), 2))::INT AS y,
+        |         ('0x' || substr(hx, CAST(b*6 + 3 AS INT), 2))::INT AS cb,
+        |         ('0x' || substr(hx, CAST(b*6 + 5 AS INT), 2))::INT AS cr
+        |  FROM (SELECT id, bw, bh, hx, unnest(range(0, bw*bh)) AS b FROM p)),
+        |rgbs AS (
+        |  SELECT id, bw, bh, b,
+        |         printf('%02x%02x%02x',
+        |           CAST(greatest(0, least(255, floor(y + 1.402*(cr - 128) + 0.5))) AS INT),
+        |           CAST(greatest(0, least(255, floor(y - 0.344136*(cb - 128) - 0.714136*(cr - 128) + 0.5))) AS INT),
+        |           CAST(greatest(0, least(255, floor(y + 1.772*(cb - 128) + 0.5))) AS INT)) AS rgbhex
+        |  FROM bl),
+        |agg AS (SELECT id, bw*8 AS w, bh*8 AS h, bw, list(rgbhex ORDER BY b) AS bls
+        |        FROM rgbs GROUP BY 1, 2, 3, 4)
+        |SELECT id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, 3 AS n_channels,
+        |       md5(array_to_string(list_transform(range(0, w*h),
+        |         q -> bls[CAST((q // (w*8)) * bw + (q % w) // 8 + 1 AS INT)]), '')) AS pixel_fp
+        |FROM agg ORDER BY id""".stripMargin)),
+    "multimodal_jpeg_420" -> Q(multimodalJpeg420, Some(
+      // 4:2:0: per MCU m (mw x mh grid of 16x16 px), payload bytes
+      // 6m..6m+3 = the four 8x8 luma blocks (row-major within the MCU),
+      // 6m+4/6m+5 = cb/cr for the whole MCU (replication-upsampled).
+      // Each luma block b of the (2mw x 2mh) grid resolves its (y, cb, cr)
+      // triple, then the pixel gather + JFIF conversion are verbatim the
+      // color gate's.
+      """WITH p AS (
+        |  SELECT doc_id AS id, (1 + doc_id % 3) AS mw, (1 + doc_id % 2) AS mh,
+        |         md5(text || '_jp420_0') || md5(text || '_jp420_1') || md5(text || '_jp420_2') AS hx
+        |  FROM documents WHERE doc_id < 50),
+        |bl AS (
+        |  SELECT id, mw, mh, hx, b,
+        |         ((b // (mw*2)) // 2) * mw + ((b % (mw*2)) // 2) AS m,
+        |         ((b // (mw*2)) % 2) * 2 + ((b % (mw*2)) % 2) AS ypos
+        |  FROM (SELECT id, mw, mh, hx, unnest(range(0, mw*mh*4)) AS b FROM p)),
+        |bv AS (
+        |  SELECT id, mw, mh, b,
+        |         ('0x' || substr(hx, CAST((m*6 + ypos)*2 + 1 AS INT), 2))::INT AS y,
+        |         ('0x' || substr(hx, CAST((m*6 + 4)*2 + 1 AS INT), 2))::INT AS cb,
+        |         ('0x' || substr(hx, CAST((m*6 + 5)*2 + 1 AS INT), 2))::INT AS cr
+        |  FROM bl),
+        |rgbs AS (
+        |  SELECT id, mw, mh, b,
+        |         printf('%02x%02x%02x',
+        |           CAST(greatest(0, least(255, floor(y + 1.402*(cr - 128) + 0.5))) AS INT),
+        |           CAST(greatest(0, least(255, floor(y - 0.344136*(cb - 128) - 0.714136*(cr - 128) + 0.5))) AS INT),
+        |           CAST(greatest(0, least(255, floor(y + 1.772*(cb - 128) + 0.5))) AS INT)) AS rgbhex
+        |  FROM bv),
+        |agg AS (SELECT id, mw*16 AS w, mh*16 AS h, mw*2 AS bwg, list(rgbhex ORDER BY b) AS bls
+        |        FROM rgbs GROUP BY 1, 2, 3, 4)
+        |SELECT id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, 3 AS n_channels,
+        |       md5(array_to_string(list_transform(range(0, w*h),
+        |         q -> bls[CAST((q // (w*8)) * bwg + (q % w) // 8 + 1 AS INT)]), '')) AS pixel_fp
+        |FROM agg ORDER BY id""".stripMargin)),
+    "events_window" -> Q(eventsWindow, Some(
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6))) / count(*) AS DECIMAL(28,8)), 4) AS DOUBLE) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    "events_funnel" -> Q(eventsFunnel, Some(
+      """WITH firsts AS (
+        |  SELECT user_id, event_type, min(ts) AS t0 FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase') GROUP BY 1, 2),
+        |p AS (SELECT user_id,
+        |  max(CASE WHEN event_type = 'view' THEN t0 END) AS tv,
+        |  max(CASE WHEN event_type = 'click' THEN t0 END) AS tc,
+        |  max(CASE WHEN event_type = 'purchase' THEN t0 END) AS tp
+        |  FROM firsts GROUP BY 1)
+        |SELECT count(CASE WHEN tv IS NOT NULL THEN 1 END) AS s1,
+        |       count(CASE WHEN tv IS NOT NULL AND tc > tv THEN 1 END) AS s2,
+        |       count(CASE WHEN tv IS NOT NULL AND tc > tv AND tp > tc THEN 1 END) AS s3
+        |FROM p""".stripMargin)),
+    "retention_cohorts" -> Q(retentionCohorts, Some(
+      """WITH e AS (SELECT user_id, date_trunc('day', ts)::DATE AS d FROM events),
+        |c AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY 1)
+        |SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort,
+        |       e.d - c.cohort AS day_offset,
+        |       count(DISTINCT e.user_id) AS active_users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    "events_json" -> Q(eventsJson, Some(
+      """SELECT event_type, count(*) AS n, round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+    "tpch_q1" -> Q(tpchQ1, Some(
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        |       count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    "tpch_q3" -> Q(tpchQ3, Some(
+      """SELECT l_orderkey,
+        |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |                     (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+        |                AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |       o_orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-15 00:00:00'
+        |  AND l_shipdate  > TIMESTAMP '1997-06-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+    "join_top_customers" -> Q(joinTopCustomers, Some(
+      """SELECT c_custkey, c_name, CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin)),
+    "lang_id" -> Q(langId, Some(
+      raw"""WITH $toksCte,
+           |c AS (SELECT id,
+           |  len(list_filter(toks, w -> w IN $enList)) AS en,
+           |  len(list_filter(toks, w -> w IN $deList)) AS de,
+           |  len(list_filter(toks, w -> w IN $frList)) AS fr,
+           |  len(toks) AS n FROM t)
+           |SELECT id,
+           |  CASE WHEN en >= greatest(de, fr) THEN 'en'
+           |       WHEN de >= fr THEN 'de' ELSE 'fr' END AS pred_lang,
+           |  round(en::DOUBLE / n, 4) AS en_ratio
+           |FROM c ORDER BY id""".stripMargin)),
+    "quality_score" -> Q(qualityScore, Some(
+      raw"""WITH $toksCte,
+           |m AS (SELECT id,
+           |  len(toks)::DOUBLE AS n_tok,
+           |  len(list_filter(toks, w -> w IN $enList))::DOUBLE / len(toks) AS stop_ratio,
+           |  length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE / len(toks) AS avg_wlen
+           |  FROM t)
+           |SELECT id, n_tok::BIGINT AS n_tok, round(stop_ratio, 4) AS stop_ratio,
+           |  round(avg_wlen, 4) AS avg_wlen,
+           |  floor((0.4 * least(1.0, n_tok / 50.0) + 0.3 * least(1.0, stop_ratio * 5.0)
+           |      + 0.3 * least(1.0, avg_wlen / 5.0)) * 10000.0 + 0.5) / 10000.0 AS quality
+           |FROM m ORDER BY id""".stripMargin)),
+    "token_count" -> Q(tokenCount, Some(
+      raw"""SELECT doc_id AS id,
+           |  len(string_split_regex(trim(text), '\s+'))::BIGINT AS ws_tokens,
+           |  len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS subword_tokens,
+           |  length(text)::BIGINT AS n_chars
+           |FROM documents ORDER BY id""".stripMargin)),
+    "lm_score" -> Q(lmScoreQ, Some(
+      raw"""WITH $toksCte,
+           |tf AS (SELECT id, unnest(toks) AS term FROM t),
+           |freq AS (SELECT term, count(*)::DOUBLE AS c FROM tf GROUP BY 1),
+           |tot AS (SELECT sum(c) AS n FROM freq),
+           |s AS (SELECT tf.id, ln(freq.c / tot.n) AS lp FROM tf JOIN freq USING (term), tot)
+           |SELECT id, count(*)::BIGINT AS n_tok, round(avg(lp), 4) AS avg_logp,
+           |       round(-avg(lp)/ln(2), 4) AS bits_per_token
+           |FROM s GROUP BY id ORDER BY id""".stripMargin)),
+    "quality_funnel" -> Q(qualityFunnel, Some(qualityFunnelSql)),
+    "streaming_quality_filter" -> Q(
+      (s, d) => graft.streaming.StreamingGates.qualityFilter(s, d).orderBy(col("id")),
+      Some(qualityFunnelSql)),
+    "pseudonymize" -> Q(pseudonymizeQ, Some(
+      """WITH g AS (SELECT event_type, date_trunc('day', ts) AS dd,
+        |                  count(DISTINCT user_id) AS n_users
+        |           FROM events GROUP BY 1, 2),
+        |thr AS (SELECT 0.9 * avg(n_users) AS t FROM g),
+        |keep AS (SELECT event_type, dd FROM g, thr WHERE n_users >= t)
+        |SELECT e.event_id AS id,
+        |       sha256('graft:' || e.user_id::VARCHAR) AS uid_hash,
+        |       e.event_type
+        |FROM events e JOIN keep k
+        |  ON e.event_type = k.event_type AND date_trunc('day', e.ts) = k.dd
+        |ORDER BY id""".stripMargin)),
+    "pack_sequences" -> Q(packSequences, Some(
+      raw"""WITH t AS (
+           |  SELECT lang, doc_id AS id,
+           |         len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tok
+           |  FROM documents),
+           |p AS (
+           |  SELECT lang, id, n_tok,
+           |         CAST(floor(coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS pack
+           |  FROM t)
+           |SELECT lang, pack, count(*) AS n_docs, sum(n_tok)::BIGINT AS total_tokens
+           |FROM p GROUP BY lang, pack ORDER BY lang, pack""".stripMargin)),
+    "fingerprint" -> Q(fingerprintQ, Some(
+      raw"""WITH n AS (SELECT doc_id AS id,
+           |  lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt FROM documents)
+           |SELECT id, md5(nt) AS fp, md5(substr(nt, 1, 128)) AS fp_prefix
+           |FROM n ORDER BY id""".stripMargin)),
+    "winnow_fp" -> Q(winnowFp, Some(
+      raw"""WITH $winnowCtes
+           |SELECT id, count(*) AS n_fp, min(fp) AS min_fp
+           |FROM fps GROUP BY id ORDER BY id""".stripMargin)),
+    "containment" -> Q(containmentQ, Some(
+      raw"""WITH $winnowCtes,
+           |keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 20),
+           |pr AS (SELECT fps.id, fps.fp FROM fps JOIN keep USING (fp))
+           |SELECT l.id AS a, r.id AS b, count(*) AS shared
+           |FROM pr l JOIN pr r ON l.fp = r.fp AND l.id < r.id
+           |GROUP BY 1, 2 HAVING count(*) >= 5
+           |ORDER BY shared DESC, a, b""".stripMargin)),
+    "containment_incremental" -> Q(containmentIncrementalQ, Some(
+      raw"""WITH $winnowCtes,
+           |keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 20),
+           |pr AS (SELECT fps.id, fps.fp FROM fps JOIN keep USING (fp))
+           |SELECT l.id AS a, r.id AS b, count(*) AS shared
+           |FROM pr l JOIN pr r ON l.fp = r.fp AND l.id < r.id
+           |GROUP BY 1, 2 HAVING count(*) >= 5
+           |  AND r.id >= (SELECT CAST(ceil(0.9 * count(*)) AS BIGINT) FROM documents)
+           |ORDER BY shared DESC, a, b""".stripMargin)),
+    "dedup_clusters" -> Q(dedupClusters, Some(
+      raw"""WITH RECURSIVE $shinglesCte,
+           |$ccOracleCtes
+           |SELECT id, cluster FROM cl ORDER BY id""".stripMargin)),
+    "dedup_keep" -> Q(dedupKeep, Some(
+      raw"""WITH RECURSIVE $shinglesCte,
+           |$ccOracleCtes
+           |SELECT d.doc_id AS id FROM documents d
+           |LEFT JOIN cl ON d.doc_id = cl.id
+           |WHERE cl.id IS NULL OR cl.cluster = d.doc_id
+           |ORDER BY id""".stripMargin)),
+    "decontaminate" -> Q(decontaminateQ, Some(
+      raw"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+           |g AS (SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(t) - 3, 0)),
+           |      i -> array_to_string(t[i+1:i+4], ' '))) AS gs FROM toks),
+           |eg AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+           |test AS (SELECT DISTINCT gram FROM eg WHERE doc_id < 100)
+           |SELECT eg.doc_id AS id, count(*) AS n_hits
+           |FROM eg JOIN test USING (gram)
+           |WHERE eg.doc_id >= 100
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    "repetition_score" -> Q(repetitionScore, Some(
+      raw"""WITH $toksCte,
+           |g AS (SELECT id, unnest(list_transform(range(0, len(toks)-2),
+           |        i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS gram
+           |      FROM t WHERE len(toks) >= 3),
+           |c AS (SELECT id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+           |a AS (SELECT id, CAST(sum(c) AS BIGINT) AS n_grams, count(*) AS n_distinct, max(c) AS max_c
+           |      FROM c GROUP BY 1)
+           |SELECT id, n_grams,
+           |       round(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 4) AS dup_gram_ratio,
+           |       round(CAST(max_c AS DOUBLE) / n_grams, 4) AS top_gram_ratio
+           |FROM a ORDER BY id""".stripMargin)),
+    "term_topk" -> Q(termTopk, Some(
+      raw"""WITH $toksCte,
+           |d AS (SELECT id, unnest(list_distinct(toks)) AS term FROM t)
+           |SELECT term, count(*) AS df FROM d GROUP BY 1
+           |ORDER BY df DESC, term LIMIT 20""".stripMargin)),
+    "training_export" -> Q(trainingExport, Some(
+      raw"""WITH RECURSIVE $shinglesCte,
+           |$ccOracleCtes,
+           |keep AS (SELECT d.doc_id AS id FROM documents d
+           |         LEFT JOIN cl ON d.doc_id = cl.id
+           |         WHERE cl.id IS NULL OR cl.cluster = d.doc_id),
+           |m AS (SELECT id,
+           |  len(toks)::DOUBLE AS n_tok,
+           |  len(list_filter(toks, w -> w IN $enList))::DOUBLE AS en,
+           |  len(list_filter(toks, w -> w IN $deList))::DOUBLE AS de,
+           |  len(list_filter(toks, w -> w IN $frList))::DOUBLE AS fr,
+           |  len(list_filter(toks, w -> w IN $enList))::DOUBLE / len(toks) AS stop_ratio,
+           |  length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE / len(toks) AS avg_wlen
+           |  FROM t),
+           |q AS (SELECT id, n_tok::BIGINT AS n_tok,
+           |  floor((0.4 * least(1.0, n_tok / 50.0) + 0.3 * least(1.0, stop_ratio * 5.0)
+           |      + 0.3 * least(1.0, avg_wlen / 5.0)) * 10000.0 + 0.5) / 10000.0 AS quality,
+           |  CASE WHEN en >= greatest(de, fr) THEN 'en'
+           |       WHEN de >= fr THEN 'de' ELSE 'fr' END AS pred_lang
+           |  FROM m)
+           |SELECT q.id, q.n_tok, q.quality FROM q JOIN keep ON q.id = keep.id
+           |WHERE q.pred_lang = 'en' AND q.quality >= 0.8 ORDER BY q.id""".stripMargin)),
+    "sample_stratified" -> Q(sampleStratified, Some(
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin)),
+    "sample_hash" -> Q(sampleHash, Some(
+      """SELECT doc_id FROM documents
+        |WHERE list_sum(list_transform(range(1, 9), j ->
+        |        (strpos('0123456789abcdef',
+        |                substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1)
+        |          * pow(2.0, 4 * (8 - j))))
+        |      < 429496729
+        |ORDER BY doc_id""".stripMargin)),
+    "sample_weighted_mix" -> Q(sampleWeightedMix, Some(
+      """WITH d AS (SELECT doc_id, source, n_chars,
+        |  list_sum(list_transform(range(1, 9), j ->
+        |    (strpos('0123456789abcdef',
+        |            substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1)
+        |      * pow(2.0, 4 * (8 - j)))) AS draw
+        |  FROM documents)
+        |SELECT source, count(*) AS n_kept,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM d
+        |WHERE draw < CASE source WHEN 'src1' THEN 3221225472
+        |                         WHEN 'src3' THEN 2147483648
+        |                         WHEN 'src7' THEN 1073741824
+        |                         ELSE 429496729 END
+        |GROUP BY source ORDER BY source""".stripMargin)),
+    "streaming_decontaminate" -> Q(streamingDecontaminate, Some(
+      raw"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+           |g AS (SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(t) - 3, 0)),
+           |      i -> array_to_string(t[i+1:i+4], ' '))) AS gs FROM toks),
+           |eg AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+           |test AS (SELECT DISTINCT gram FROM eg WHERE doc_id < 100)
+           |SELECT eg.doc_id AS id, count(*) AS n_hits
+           |FROM eg JOIN test USING (gram)
+           |WHERE eg.doc_id >= 100
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    "streaming_weighted_mix" -> Q(streamingWeightedMix, Some(
+      """WITH d AS (SELECT doc_id, source, n_chars,
+        |  list_sum(list_transform(range(1, 9), j ->
+        |    (strpos('0123456789abcdef',
+        |            substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1)
+        |      * pow(2.0, 4 * (8 - j)))) AS draw
+        |  FROM documents)
+        |SELECT source, count(*) AS n_kept,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM d
+        |WHERE draw < CASE source WHEN 'src1' THEN 3221225472
+        |                         WHEN 'src3' THEN 2147483648
+        |                         WHEN 'src7' THEN 1073741824
+        |                         ELSE 429496729 END
+        |GROUP BY source ORDER BY source""".stripMargin)),
+    "token_budget_cap" -> Q(tokenBudgetCap, Some(
+      raw"""WITH $toksCte,
+           |m AS (SELECT id,
+           |  len(toks)::DOUBLE AS n_tok,
+           |  len(list_filter(toks, w -> w IN $enList))::DOUBLE / len(toks) AS stop_ratio,
+           |  length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE / len(toks) AS avg_wlen
+           |  FROM t),
+           |s AS (SELECT m.id, d.source, m.n_tok::BIGINT AS n_tok,
+           |  floor((0.4 * least(1.0, m.n_tok / 50.0)
+           |       + 0.3 * least(1.0, stop_ratio * 5.0)
+           |       + 0.3 * least(1.0, avg_wlen / 5.0)) * 10000.0 + 0.5) / 10000.0 AS quality
+           |  FROM m JOIN documents d ON m.id = d.doc_id),
+           |c AS (SELECT id, source, n_tok, quality,
+           |  CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY quality DESC, id)
+           |       AS BIGINT) AS cum_tok
+           |  FROM s)
+           |SELECT id, source, n_tok, quality, cum_tok FROM c
+           |WHERE cum_tok <= 600 ORDER BY source, cum_tok""".stripMargin)),
+    "events_quantiles" -> Q(eventsQuantiles, Some(
+      """SELECT event_type, count(*) AS n,
+        |       round(quantile_cont(value, 0.25), 4) AS q25,
+        |       round(quantile_cont(value, 0.50), 4) AS q50,
+        |       round(quantile_cont(value, 0.90), 4) AS q90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    "approx_distinct_kmv" -> Q(approxDistinctKmv, Some(
+      """WITH h AS (SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+        |a AS (SELECT event_type, count(*) AS n_exact, list(h ORDER BY h)[64] AS hk
+        |      FROM h GROUP BY 1)
+        |SELECT event_type, n_exact,
+        |       round(CASE WHEN n_exact < 64 THEN CAST(n_exact AS DOUBLE)
+        |                  ELSE 63.0 / (CAST(CAST(concat('0x', substr(hk, 1, 13)) AS UBIGINT) AS DOUBLE) / 4503599627370496.0)
+        |             END, 4) AS est_kmv
+        |FROM a ORDER BY event_type""".stripMargin)),
+    "skew_distinct" -> Q(skewDistinct, Some(
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+    "pivot_revenue" -> Q(pivotRevenue, Some(
+      """SELECT o_orderpriority,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS F,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS O,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS P
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+    "sql_knn" -> Q(sqlKnn, Some(knnSql(7, 10))),
+    "dedup_exact" -> Q(dedupExact, Some(
+      raw"""WITH n AS (SELECT doc_id AS id,
+           |  md5(substr(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), 1, 128)) AS fp
+           |  FROM documents)
+           |SELECT fp, count(*)::BIGINT AS n, min(id) AS min_id, max(id) AS max_id
+           |FROM n GROUP BY fp HAVING count(*) > 1""".stripMargin)),
+    "dedup_jaccard" -> Q(dedupJaccard, Some(
+      raw"""WITH $shinglesCte,
+           |gsz AS (SELECT id, count(*)::DOUBLE AS sz FROM grams GROUP BY 1),
+           |inter AS (
+           |  SELECT l.id AS a, r.id AS b, count(*)::DOUBLE AS inter
+           |  FROM grams l JOIN grams r ON l.gram = r.gram AND l.id < r.id
+           |  GROUP BY 1, 2)
+           |SELECT a, b, round(inter / (sa.sz + sb.sz - inter), 4) AS jac
+           |FROM inter JOIN gsz sa ON inter.a = sa.id JOIN gsz sb ON inter.b = sb.id
+           |WHERE inter / (sa.sz + sb.sz - inter) >= 0.8
+           |ORDER BY jac DESC, a, b""".stripMargin)),
+    "dedup_incremental" -> Q(dedupIncremental, Some(dedupIncrementalSql)),
+    "dedup_incremental_durable" -> Q(dedupIncrementalDurable, Some(dedupIncrementalSql)),
+    "dedup_minhash" -> Q(dedupMinhash, Some(
+      raw"""WITH $shinglesCte,
+           |sig AS (
+           |  SELECT id, s.seed, min(md5(s.seed || '_' || gram)) AS mh
+           |  FROM grams, (SELECT unnest(range(0, 16)) AS seed) s GROUP BY 1, 2),
+           |bands AS (
+           |  SELECT id, seed // 4 AS band, md5(string_agg(mh, '|' ORDER BY seed)) AS bh
+           |  FROM sig GROUP BY 1, 2),
+           |cand AS (
+           |  SELECT DISTINCT l.id AS a, r.id AS b
+           |  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.id < r.id),
+           |gsz AS (SELECT id, count(*)::DOUBLE AS sz FROM grams GROUP BY 1),
+           |inter AS (
+           |  SELECT c.a, c.b, count(*)::DOUBLE AS inter
+           |  FROM cand c
+           |  JOIN grams ga ON ga.id = c.a
+           |  JOIN grams gb ON gb.id = c.b AND gb.gram = ga.gram
+           |  GROUP BY 1, 2)
+           |SELECT a, b, round(inter / (sa.sz + sb.sz - inter), 4) AS jac
+           |FROM inter JOIN gsz sa ON inter.a = sa.id JOIN gsz sb ON inter.b = sb.id
+           |WHERE inter / (sa.sz + sb.sz - inter) >= 0.8
+           |ORDER BY jac DESC, a, b""".stripMargin)),
+    "simhash" -> Q(simhashQ, Some(
+      raw"""WITH $simhashCtes
+           |SELECT id, sim FROM sh ORDER BY id""".stripMargin)),
+    "dedup_simhash" -> Q(dedupSimhash, Some(
+      raw"""WITH $simhashCtes,
+           |blocks AS (SELECT id, sim, b.blk, substr(sim, 1 + 16 * b.blk, 16) AS bs
+           |           FROM sh, (SELECT unnest(range(0, 4)) AS blk) b),
+           |cand AS (SELECT DISTINCT l.id AS a, l.sim AS sa, r.id AS b, r.sim AS sb
+           |         FROM blocks l JOIN blocks r ON l.blk = r.blk AND l.bs = r.bs AND l.id < r.id)
+           |SELECT a, b, hamming FROM (
+           |  SELECT a, b, list_sum(list_transform(range(1, 65),
+           |    i -> CASE WHEN substr(sa, i, 1) = substr(sb, i, 1) THEN 0 ELSE 1 END))::BIGINT AS hamming
+           |  FROM cand)
+           |WHERE hamming <= 3 ORDER BY hamming, a, b""".stripMargin)),
+    "dedup_embedding" -> Q(dedupEmbedding, Some(
+      raw"""WITH v AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+           |             x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS un
+           |           FROM embeddings),
+           |p AS (SELECT l.vec_id AS a, r.vec_id AS b,
+           |        list_sum(list_transform(range(1, 65), i -> l.un[i] * r.un[i])) AS cos
+           |      FROM v l JOIN v r ON l.vec_id < r.vec_id)
+           |SELECT a, b, round(cos, 4) AS cos FROM p WHERE cos >= 0.45
+           |ORDER BY cos DESC, a, b""".stripMargin)),
+    "dedup_embedding_banded" -> Q(dedupEmbeddingBanded, Some(
+      raw"""WITH v AS (SELECT vec_id AS id, list_transform(embedding::DOUBLE[],
+           |             x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS vn
+           |           FROM embeddings),
+           |hw AS (
+           |  SELECT b, k, i,
+           |         list_sum(list_transform(range(1, 9), j ->
+           |           (strpos('0123456789abcdef', substr(md5(b || '_' || k || '_' || i), j, 1)) - 1)
+           |             * pow(2.0, 4 * (8 - j)))) / 4294967296.0 - 0.5 AS w
+           |  FROM (SELECT unnest(range(0, 16)) AS b),
+           |       (SELECT unnest(range(0, 8)) AS k),
+           |       (SELECT unnest(range(0, 64)) AS i)),
+           |hp AS (SELECT b, k, list(w ORDER BY i) AS wv FROM hw GROUP BY b, k),
+           |bits AS (
+           |  SELECT v.id, hp.b AS band, hp.k,
+           |         CASE WHEN list_sum(list_transform(range(1, 65), i -> v.vn[i] * hp.wv[i])) > 0
+           |              THEN '1' ELSE '0' END AS bit
+           |  FROM v, hp),
+           |sigs AS (SELECT id, band, string_agg(bit, '' ORDER BY k) AS sig FROM bits GROUP BY 1, 2),
+           |ok AS (SELECT band, sig FROM sigs GROUP BY band, sig HAVING count(*) <= 10000),
+           |bk AS (SELECT s.id, s.band, s.sig FROM sigs s JOIN ok USING (band, sig)),
+           |cand AS (SELECT DISTINCT l.id AS a, r.id AS b
+           |         FROM bk l JOIN bk r ON l.band = r.band AND l.sig = r.sig AND l.id < r.id),
+           |p AS (SELECT c.a, c.b,
+           |        list_sum(list_transform(range(1, 65), i -> va.vn[i] * vb.vn[i])) AS cos
+           |      FROM cand c JOIN v va ON va.id = c.a JOIN v vb ON vb.id = c.b)
+           |SELECT a, b, round(cos, 4) AS cos FROM p WHERE cos >= 0.45
+           |ORDER BY cos DESC, a, b""".stripMargin)),
+    "dedup_embedding_incremental" -> Q(dedupEmbeddingIncremental, Some(
+      raw"""WITH v AS (SELECT vec_id AS id, list_transform(embedding::DOUBLE[],
+           |             x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS vn
+           |           FROM embeddings),
+           |hw AS (
+           |  SELECT b, k, i,
+           |         list_sum(list_transform(range(1, 9), j ->
+           |           (strpos('0123456789abcdef', substr(md5(b || '_' || k || '_' || i), j, 1)) - 1)
+           |             * pow(2.0, 4 * (8 - j)))) / 4294967296.0 - 0.5 AS w
+           |  FROM (SELECT unnest(range(0, 16)) AS b),
+           |       (SELECT unnest(range(0, 8)) AS k),
+           |       (SELECT unnest(range(0, 64)) AS i)),
+           |hp AS (SELECT b, k, list(w ORDER BY i) AS wv FROM hw GROUP BY b, k),
+           |bits AS (
+           |  SELECT v.id, hp.b AS band, hp.k,
+           |         CASE WHEN list_sum(list_transform(range(1, 65), i -> v.vn[i] * hp.wv[i])) > 0
+           |              THEN '1' ELSE '0' END AS bit
+           |  FROM v, hp),
+           |sigs AS (SELECT id, band, string_agg(bit, '' ORDER BY k) AS sig FROM bits GROUP BY 1, 2),
+           |ok AS (SELECT band, sig FROM sigs GROUP BY band, sig HAVING count(*) <= 10000),
+           |bk AS (SELECT s.id, s.band, s.sig FROM sigs s JOIN ok USING (band, sig)),
+           |cand AS (SELECT DISTINCT l.id AS a, r.id AS b
+           |         FROM bk l JOIN bk r ON l.band = r.band AND l.sig = r.sig AND l.id < r.id),
+           |p AS (SELECT c.a, c.b,
+           |        list_sum(list_transform(range(1, 65), i -> va.vn[i] * vb.vn[i])) AS cos
+           |      FROM cand c JOIN v va ON va.id = c.a JOIN v vb ON vb.id = c.b)
+           |SELECT a, b, round(cos, 4) AS cos FROM p WHERE cos >= 0.35
+           |  AND b >= (SELECT CAST(ceil(0.9 * count(*)) AS BIGINT) FROM embeddings)
+           |ORDER BY cos DESC, a, b""".stripMargin)),
+    "sessionize" -> Q(sessionize, Some(
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
+    // streaming twins: the REAL incremental executors, pinned to the same
+    // oracles as their batch counterparts (events_window / sessionize /
+    // the flat-scan KNN) — see graft.streaming.StreamingGates
+    "streaming_window" -> Q(streamingWindow, Some(
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6))) / count(*) AS DECIMAL(28,8)), 4) AS DOUBLE) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    "streaming_sink_window" -> Q(streamingSinkWindow, Some(
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6))) / count(*) AS DECIMAL(28,8)), 4) AS DOUBLE) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    "streaming_sessionize" -> Q(streamingSessionize, Some(
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
+    "streaming_ingest_knn" -> Q(streamingIngestKnn, Some(knnSql(7, 10))),
+    "streaming_ingest_graph" -> Q(streamingIngestGraphKnn, Some(knnSql(43, 10))),
+    "streaming_ingest_multibatch" -> Q(streamingIngestMultibatch, Some(knnSql(37, 10))),
+    "streaming_fp_dedup" -> Q(streamingFingerprintDedup, Some(
+      raw"""SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+           |       min(doc_id) AS kept_id
+           |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin)),
+    "streaming_containment" -> Q(
+      (s, d) => graft.streaming.StreamingGates.streamingContainment(s, d),
+      Some(raw"""WITH $winnowCtes,
+           |drop_ AS (
+           |  SELECT fp FROM fps
+           |  WHERE id < (SELECT CAST(ceil(0.9 * count(*)) AS BIGINT) FROM documents)
+           |  GROUP BY fp HAVING count(*) > 20),
+           |pr AS (SELECT id, fp FROM fps WHERE fp NOT IN (SELECT fp FROM drop_))
+           |SELECT l.id AS a, r.id AS b, count(*) AS shared
+           |FROM pr l JOIN pr r ON l.fp = r.fp AND l.id < r.id
+           |GROUP BY 1, 2
+           |HAVING count(*) >= 5
+           |  AND r.id >= (SELECT CAST(ceil(0.9 * count(*)) AS BIGINT) FROM documents)
+           |ORDER BY shared DESC, a, b""".stripMargin)),
+    "streaming_range_join" -> Q(streamingRangeJoin, Some(
+      """WITH p AS (SELECT user_id, ts AS pts, event_id AS purchase_id
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, ts AS cts, value AS click_value
+        |           FROM events WHERE event_type = 'click')
+        |SELECT p.purchase_id, count(*) AS n_clicks,
+        |       round(sum(c.click_value), 4) AS click_sum
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |   AND epoch_us(c.cts) BETWEEN epoch_us(p.pts) - 3600000000 AND epoch_us(p.pts)
+        |GROUP BY p.purchase_id ORDER BY p.purchase_id""".stripMargin)),
+    "save_load_knn" -> Q(saveLoadKnn, Some(knnSql(7, 10))),
+    "incremental_add_knn" -> Q(incrementalAddKnn, Some(knnSql(13, 10))),
+    "ann_ivf_lazy" -> Q(annIvfLazy, Some(knnSql(29, 10))),
+    "save_load_lsh_knn" -> Q(saveLoadLshKnn, Some(knnSql(33, 10))),
+    "save_load_graph_knn" -> Q(saveLoadGraphKnn, Some(knnSql(61, 10))),
+    "incremental_add_graph_knn" -> Q(incrementalAddGraphKnn, Some(knnSql(67, 10))),
+    "meta_variant" -> Q(metaVariant, Some(
+      // the collection under test ingests docs ⋈ embeddings, so the oracle
+      // ranks over the same domain (diverges from plain documents at sf0.1)
+      """SELECT doc_id AS id FROM documents
+        |WHERE lang = 'en' AND source = 'src3'
+        |  AND doc_id IN (SELECT vec_id FROM embeddings)
+        |ORDER BY id LIMIT 50""".stripMargin)),
+    "range_clicks" -> Q(rangeClicks, Some(
+      """WITH p AS (SELECT user_id, ts AS pts, event_id AS purchase_id
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, ts AS cts, value AS click_value
+        |           FROM events WHERE event_type = 'click')
+        |SELECT p.purchase_id, count(*) AS n_clicks,
+        |       round(sum(c.click_value), 4) AS click_sum
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |   AND epoch_us(c.cts) BETWEEN epoch_us(p.pts) - 3600000000 AND epoch_us(p.pts)
+        |GROUP BY p.purchase_id ORDER BY p.purchase_id""".stripMargin)),
+    "asof_clicks" -> Q(asofClicks, Some(
+      """WITH c AS (SELECT user_id, ts, event_id AS click_id, value AS click_value
+        |           FROM events WHERE event_type = 'click'),
+        |     p AS (SELECT user_id, ts, event_id AS purchase_id
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id, c.click_id, round(c.click_value, 4) AS click_value
+        |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin)),
+    "rolling_avg" -> Q(rollingAvg, Some(
+      """SELECT event_id, user_id,
+        |       CAST(round(CAST((sum(CAST(value AS DECIMAL(18,6))) OVER w)
+        |             / (count(*) OVER w) AS DECIMAL(28,8)), 4) AS DOUBLE) AS roll_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)),
+    "tpch_q6" -> Q(tpchQ6, Some(
+      """SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6)) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)),
+    "tpch_q5" -> Q(tpchQ5, Some(
+      """SELECT n_name,
+        |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |                     (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+        |                AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
+    "tpch_q17" -> Q(tpchQ17, Some(
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)/7.0 AS avg_yearly
+        |FROM lineitem li
+        |WHERE l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = li.l_partkey)""".stripMargin)),
+    "tpch_q18" -> Q(tpchQ18, Some(
+      """SELECT o_orderkey, o_totalprice, sum(l_quantity) AS total_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY 1 HAVING sum(l_quantity) > 150)
+        |GROUP BY 1, 2
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+    "tpch_q4" -> Q(tpchQ4, Some(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+    "tpch_q14" -> Q(tpchQ14, Some(
+      """SELECT round(100.00 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |              (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))
+        |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |  / CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |             (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |  AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin)),
+    "tpch_q7" -> Q(tpchQ7, Some(
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(date_part('year', l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |                     (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+        |                AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem, orders, customer, supplier, nation n1, nation n2
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey
+        |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR
+        |       (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+    "tpch_q8" -> Q(tpchQ8, Some(
+      """SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS o_year,
+        |       round(CAST(sum(CASE WHEN n2.n_name = 'NATION_5'
+        |           THEN CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |                     (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))
+        |           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |         / CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |                    (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |         AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    "tpch_q10" -> Q(tpchQ10, Some(
+      """SELECT c_custkey, c_name,
+        |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |                     (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+        |                AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |       round(c_acctbal, 4) AS c_acctbal, n_name
+        |FROM lineitem, orders, customer, nation
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+    "tpch_q15" -> Q(tpchQ15, Some(
+      """WITH revenue0 AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |                  (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+        |             AS DECIMAL(18,6))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue0)
+        |ORDER BY s_suppkey""".stripMargin)),
+    "tpch_q13" -> Q(tpchQ13, Some(
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+    "tpch_q22" -> Q(tpchQ22, Some(
+      """WITH cust AS (
+        |  SELECT c_custkey, n_name, c_acctbal,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_1','NATION_3','NATION_5','NATION_13',
+        |                   'NATION_17','NATION_21','NATION_23')),
+        |thr AS (SELECT sum(cents) AS s, count(*) AS n FROM cust
+        |        WHERE c_acctbal > 0.0)
+        |SELECT n_name, count(*) AS numcust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+        |FROM cust, thr
+        |WHERE cents * thr.n > thr.s
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-08-01 00:00:00')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+    "anti_inactive_customers" -> Q(antiInactiveCustomers, Some(
+      """SELECT c_mktsegment, count(*) AS n_inactive,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+    "rollup_revenue" -> Q(rollupRevenue, Some(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+    "cube_revenue" -> Q(cubeRevenue, Some(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+    "grouping_sets_revenue" -> Q(groupingSetsRevenue, Some(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+    "ntile_revenue" -> Q(ntileRevenue, Some(
+      """WITH c AS (
+        |  SELECT o_custkey AS c_custkey,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY o_custkey),
+        |t AS (SELECT c_custkey, revenue,
+        |        ntile(10) OVER (ORDER BY revenue DESC, c_custkey) AS decile
+        |      FROM c)
+        |SELECT decile, count(*) AS n_cust,
+        |       min(revenue) AS min_rev, max(revenue) AS max_rev
+        |FROM t GROUP BY decile ORDER BY decile""".stripMargin)),
+    "set_ops" -> Q(setOps, Some(
+      """WITH en AS (SELECT doc_id AS id FROM documents WHERE lang = 'en'),
+        |     lng AS (SELECT doc_id AS id FROM documents WHERE n_chars >= 300)
+        |SELECT 'both' AS tag, id FROM (SELECT id FROM en INTERSECT SELECT id FROM lng)
+        |UNION ALL
+        |SELECT 'en_only' AS tag, id FROM (SELECT id FROM en EXCEPT SELECT id FROM lng)
+        |ORDER BY tag, id""".stripMargin)),
+    "window_top_order" -> Q(windowTopOrder, Some(
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk = 1 ORDER BY o_custkey LIMIT 100""".stripMargin)),
+  )
+}

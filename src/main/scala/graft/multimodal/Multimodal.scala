@@ -319,6 +319,51 @@ object Multimodal {
     })
   }
 
+  final case class Mp3SideInfoRow(id: Long, granule: Int, channel: Int,
+                                  main_data_begin: Int, private_bits: Int,
+                                  scfsi: Int, part23_length: Int,
+                                  big_values: Int, global_gain: Int,
+                                  scalefac_compress: Int, block_type: Int,
+                                  table_select: Int, region0: Int, region1: Int,
+                                  preflag: Int, scalefac_scale: Int,
+                                  count1table: Int, sf_sum: Int, sf_n: Int)
+
+  /** Layer III SIDE-INFO + SCALE-FACTOR parse of each asset's FIRST frame
+    * (round 12, r11 VERDICT #4 — the pure-integer half before synthesis):
+    * one row per (granule, channel) with the §2.4.1.7 coding parameters,
+    * the channel's scfsi packed MSB-first into one int, table_select
+    * packed t0·1024 + t1·32 + t2 (t2 = 0 under window switching), and the
+    * scale-factor run's SUM + count from [[Mp3.parseScalefactors]] —
+    * granule-1 scfsi sharing included, so the sum pins the sharing logic,
+    * not just the bit reads. Requires self-contained frames
+    * (main_data_begin = 0); the bit reservoir stays with the DSP seam. */
+  def mp3SideInfo(assets: Dataset[Asset]): Dataset[Mp3SideInfoRow] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      val s = Mp3.parseMp3(a.bytes)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: not a supported MP3"))
+      val payload = s.framePayloads.head
+      val si = Mp3.parseSideInfo(payload, s.channels)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: unparseable Layer III side info"))
+      val sfs = Mp3.parseScalefactors(payload, s.channels)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: reservoir-dependent or overrun scale factors"))
+      for (g <- 0 until 2; ch <- 0 until s.channels) yield {
+        val gi = si.granules(g)(ch)
+        val ts = gi.tableSelect.padTo(3, 0)
+        Mp3SideInfoRow(a.id, g, ch, si.mainDataBegin, si.privateBits,
+          si.scfsi(ch).foldLeft(0)((acc, b) => acc * 2 + b),
+          gi.part23Length, gi.bigValues, gi.globalGain, gi.scalefacCompress,
+          if (gi.windowSwitching) gi.blockType else 0,
+          ts(0) * 1024 + ts(1) * 32 + ts(2), gi.region0Count, gi.region1Count,
+          gi.preflag, gi.scalefacScale, gi.count1TableSelect,
+          sfs(g)(ch).sum, sfs(g)(ch).length)
+      }
+    })
+  }
+
   final case class WavChannelStats(id: Long, channel: Int, n_samples: Int,
                                    sum_amp: Long, mean_amp: Double)
 

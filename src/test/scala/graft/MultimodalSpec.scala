@@ -792,6 +792,116 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fr(0).frame_fp == md5s(payload.take(256).map(b => f"$b%02x").mkString))
     assert(fr(1).frame_fp == md5s(payload.drop(256).map(b => f"$b%02x").mkString))
   }
+
+  // ---- Layer III side info + scale factors (round 12, r11 VERDICT #4) ----
+
+  /** In-TEST bit packer, independent of Mp3.encodeSideInfo — the golden
+    * fixture below is assembled with THIS, so an encoder/parser bug pair
+    * in Mp3.scala cannot cancel (the wav golden-fixture discipline). */
+  private def packBits(fields: Seq[(Int, Int)]): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var acc = 0; var n = 0
+    fields.foreach { case (v, w) =>
+      (w - 1 to 0 by -1).foreach { i =>
+        acc = (acc << 1) | ((v >> i) & 1); n += 1
+        if (n == 8) { out += acc.toByte; acc = 0; n = 0 }
+      }
+    }
+    if (n > 0) out += (acc << (8 - n)).toByte
+    out.toArray
+  }
+
+  test("parseSideInfo golden fixture: hand-packed MONO side info, every field (round 12)") {
+    import graft.multimodal.Mp3
+    // granule 0: long block; granule 1: short (window-switched) block
+    val bits = Seq(
+      (5, 9),            // main_data_begin
+      (2, 5),            // private_bits (mono)
+      (1, 1), (0, 1), (1, 1), (0, 1), // scfsi
+      // granule 0: p23=100 bv=33 gg=210 sfc=5 ws=0 ts=(1,2,3) r0=4 r1=5 pre=1 ss=0 c1=1
+      (100, 12), (33, 9), (210, 8), (5, 4), (0, 1),
+      (1, 5), (2, 5), (3, 5), (4, 4), (5, 3), (1, 1), (0, 1), (1, 1),
+      // granule 1: p23=60 bv=7 gg=9 sfc=15 ws=1 bt=2 mixed=0 ts=(30,31) sbg=(1,2,3) pre=0 ss=1 c1=0
+      (60, 12), (7, 9), (9, 8), (15, 4), (1, 1),
+      (2, 2), (0, 1), (30, 5), (31, 5), (1, 3), (2, 3), (3, 3), (0, 1), (1, 1), (0, 1))
+    val payload = packBits(bits) ++ Array.fill[Byte](20)(0)
+    val si = Mp3.parseSideInfo(payload, channels = 1).get
+    assert(si.mainDataBegin == 5 && si.privateBits == 2)
+    assert(si.scfsi == Seq(Seq(1, 0, 1, 0)))
+    val g0 = si.granules(0)(0)
+    assert(g0.part23Length == 100 && g0.bigValues == 33 && g0.globalGain == 210)
+    assert(g0.scalefacCompress == 5 && !g0.windowSwitching)
+    assert(g0.tableSelect == Seq(1, 2, 3) && g0.region0Count == 4 && g0.region1Count == 5)
+    assert(g0.preflag == 1 && g0.scalefacScale == 0 && g0.count1TableSelect == 1)
+    val g1 = si.granules(1)(0)
+    assert(g1.part23Length == 60 && g1.bigValues == 7 && g1.globalGain == 9)
+    assert(g1.scalefacCompress == 15 && g1.windowSwitching && g1.blockType == 2)
+    assert(!g1.mixedBlock && g1.tableSelect == Seq(30, 31) && g1.subblockGain == Seq(1, 2, 3))
+    assert(g1.region0Count == 8 && g1.region1Count == 36) // derived, not transmitted
+    assert(g1.preflag == 0 && g1.scalefacScale == 1 && g1.count1TableSelect == 0)
+    // strict rejects: short payload; forbidden block_type 0 under switching
+    assert(Mp3.parseSideInfo(payload.take(16), 1).isEmpty)
+    val forbidden = packBits(bits.updated(24, (0, 2))) ++ Array.fill[Byte](20)(0)
+    assert(Mp3.parseSideInfo(forbidden, 1).isEmpty)
+  }
+
+  test("parseScalefactors: long-block stereo with scfsi sharing; reservoir frames rejected (round 12)") {
+    import graft.multimodal.Mp3
+    // stereo, long blocks, sfc=9 (slen 2/2): ch0 shares groups 0 and 2 in
+    // granule 1, ch1 shares nothing
+    val scfsi = Seq(Seq(1, 0, 1, 0), Seq(0, 0, 0, 0))
+    def gi(p23: Int) = Mp3.GranuleInfo(p23, 17, 99, 9, windowSwitching = false,
+      blockType = 0, mixedBlock = false, tableSelect = Seq(4, 5, 6),
+      subblockGain = Nil, region0Count = 3, region1Count = 2,
+      preflag = 0, scalefacScale = 1, count1TableSelect = 0)
+    // granule-1 ch0 reads only groups 1 and 3 (5 + 5 factors x 2 bits)
+    val si = Mp3.SideInfo(0, 1, scfsi,
+      Seq(Seq(gi(42), gi(42)), Seq(gi(20), gi(42))))
+    val g0c0 = Array.tabulate(21)(b => b % 4)
+    val g0c1 = Array.tabulate(21)(b => (b + 1) % 4)
+    val g1c0 = Array.tabulate(10)(i => (3 - i % 4 + 4) % 4) // groups 1+3 fresh reads
+    val g1c1 = Array.tabulate(21)(b => (2 * b) % 4)
+    val payload = Mp3.encodeSideInfo(si, 2, Seq(Seq(g0c0, g0c1), Seq(g1c0, g1c1)))
+    val sfs = Mp3.parseScalefactors(payload, 2).get
+    assert(sfs(0)(0).sameElements(g0c0) && sfs(0)(1).sameElements(g0c1))
+    // granule-1 ch0 in band order: groups 0/2 copied from granule 0,
+    // groups 1/3 the fresh reads
+    val expectG1c0 = (0 until 6).map(g0c0) ++ g1c0.take(5) ++
+      (11 until 16).map(g0c0) ++ g1c0.drop(5)
+    assert(sfs(1)(0).toSeq == expectG1c0)
+    assert(sfs(1)(1).sameElements(g1c1))
+    // a reservoir-dependent frame (main_data_begin != 0) is a seam, not a parse
+    val res = Mp3.encodeSideInfo(si.copy(mainDataBegin = 7), 2,
+      Seq(Seq(g0c0, g0c1), Seq(g1c0, g1c1)))
+    assert(Mp3.parseScalefactors(res, 2).isEmpty)
+    assert(Mp3.parseSideInfo(res, 2).get.mainDataBegin == 7)
+  }
+
+  test("encodeSideInfo <-> parseSideInfo round-trip, stereo with short blocks (round 12)") {
+    import graft.multimodal.Mp3
+    val long = Mp3.GranuleInfo(90, 200, 128, 9, windowSwitching = false,
+      blockType = 0, mixedBlock = false, tableSelect = Seq(7, 8, 9),
+      subblockGain = Nil, region0Count = 6, region1Count = 4,
+      preflag = 1, scalefacScale = 0, count1TableSelect = 1)
+    // short block, sfc=9 (slen 2/2): 36 factors x 2 bits = 72 <= p23
+    val short = Mp3.GranuleInfo(80, 11, 64, 9, windowSwitching = true,
+      blockType = 2, mixedBlock = false, tableSelect = Seq(12, 13),
+      subblockGain = Seq(2, 4, 6), region0Count = 8, region1Count = 36,
+      preflag = 0, scalefacScale = 1, count1TableSelect = 0)
+    // scfsi sharing applies to LONG granule-1 runs only; use scfsi=0 rows
+    // to keep granule 1 fully fresh (short blocks never share)
+    val si = Mp3.SideInfo(0, 0, Seq(Seq(0, 0, 0, 0), Seq(0, 0, 0, 0)),
+      Seq(Seq(long, long.copy(globalGain = 90)), Seq(short, short.copy(bigValues = 13))))
+    val longSf = Array.tabulate(21)(b => (b * 3) % 4)
+    val shortSf = Array.tabulate(36)(i => (i + 2) % 4)
+    val payload = Mp3.encodeSideInfo(si, 2,
+      Seq(Seq(longSf, longSf.reverse), Seq(shortSf, shortSf.map(x => 3 - x))))
+    val got = Mp3.parseSideInfo(payload, 2).get
+    assert(got == si)
+    val sfs = Mp3.parseScalefactors(payload, 2).get
+    assert(sfs(0)(0).sameElements(longSf) && sfs(0)(1).sameElements(longSf.reverse))
+    assert(sfs(1)(0).sameElements(shortSf) && sfs(1)(1).sameElements(shortSf.map(x => 3 - x)))
+  }
 }
 
 /** Big-endian helper shared by the MP4 spec's byte surgery. */
