@@ -18,18 +18,25 @@ import org.apache.spark.sql.functions._
   *    cosines to ~0 — intra-copy near-dup structure replicates bit-exactly,
   *    cross-copy pairs stay out of the 0.45-threshold result set.
   *
-  * Args: [baseSfDir] [outRoot] [factors CSV]. Prints one JSON line per
-  * (factor, query) and a summary line. Dev harness (like Profile) — not
-  * part of the driver contract. */
+  * Args: [baseSfDir] [outRoot] [factors CSV] [names CSV]. Prints one JSON
+  * line per (factor, query) and a summary line. Dev harness (like
+  * Profile) — not part of the driver contract. The names arg (round 12,
+  * r11 VERDICT #5) points the same replication harness at any doc/
+  * embedding-shaped gate subset — e.g. the scale-shaped tier (graph/BM25
+  * builds, knn_graph, the dedup funnel) at factors 10,100 for the
+  * sf10-equivalent decade probe. */
 object ScaleCurve {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outRoot = if (args.length > 1) args(1) else "/tmp/graft_scale"
     val factors = (if (args.length > 2) args(2) else "1,2,5,10")
       .split(",").map(_.trim.toInt).toSeq
-    val names = Seq("dedup_exact", "dedup_jaccard", "dedup_minhash",
-      "dedup_simhash", "dedup_embedding", "dedup_embedding_banded",
-      "winnow_fp", "containment", "containment_incremental")
+    val names =
+      (if (args.length > 3)
+        args(3)
+      else "dedup_exact,dedup_jaccard,dedup_minhash,dedup_simhash," +
+        "dedup_embedding,dedup_embedding_banded,winnow_fp,containment," +
+        "containment_incremental").split(",").map(_.trim).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

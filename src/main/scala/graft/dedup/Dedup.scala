@@ -711,6 +711,57 @@ object Dedup {
       .orderBy(col("cos").desc, col("a").asc, col("b").asc)
   }
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540 —
+    * the cluster-scoped pruning a training pipeline runs between exact and
+    * fuzzy dedup): assign every embedding to its nearest centroid on the
+    * unit sphere, find cosine pairs ONLY within a cluster, and drop the
+    * larger id of each qualifying pair. The paper's k-means centroids are
+    * replaced by deterministic ANCHOR centroids (the normalized vectors of
+    * the `nAnchors` smallest ids) so an external SQL oracle can reproduce
+    * the assignment bit-for-bit — the clustering-quality tradeoff is the
+    * one [[graft.vector.PQIndex.buildFromAnchors]] documents; swap in
+    * k-means centroids (IVFIndex.build's) for production quality.
+    *
+    * Scale shape: centroids ride inside ONE codegen expression
+    * ([[graft.expr.VectorExpr.nearestCentroid]] — broadcast-sized constant,
+    * zero shuffle, zero per-row allocation); the pairwise stage shuffles
+    * once on the cluster key and is quadratic only WITHIN a cluster —
+    * Σ|c|² total work, the SemDeDup design point (scale `nAnchors` with the
+    * corpus so |c| stays bounded); clusters above `maxCluster` rows are
+    * excluded from pairing entirely (the banded funnel's occupancy-guard
+    * discipline, reproducible by an oracle HAVING clause).
+    *
+    * Output: one row per DROPPED id — (id, cluster, max_cos over its
+    * qualifying smaller-id partners), ordered by id. The kept set is the
+    * input's id set minus these rows. */
+  def semanticDrop(emb: DataFrame, idCol: String, vecCol: String,
+                   nAnchors: Int, threshold: Double,
+                   maxCluster: Int = 100000): DataFrame = {
+    val rows = normalized(emb, idCol, vecCol)
+    val anchorRows = rows.where(col("id") < nAnchors).orderBy(col("id"))
+      .collect() // ≤ nAnchors rows — driver-sized by construction
+    require(anchorRows.nonEmpty, s"no anchor rows with $idCol < $nAnchors")
+    val centroids = anchorRows.map(_.getSeq[Double](1).toArray)
+    val anchorIds = anchorRows.map(r => lit(r.getLong(0)))
+    val assigned = rows
+      .withColumn("ci", graft.expr.VectorExpr.nearestCentroid(col("vn"), centroids))
+      .withColumn("cluster", element_at(array(anchorIds: _*), col("ci") + 1))
+      .drop("ci")
+    // per-cluster occupancy guard: ≤ nAnchors rows — always broadcast
+    val okClusters = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      .where(col("n") <= maxCluster).select("cluster")
+    val ok = assigned.join(broadcast(okClusters), Seq("cluster"))
+    val dot = VectorFunctions.dot(col("va"), col("vb"))
+    ok.select(col("cluster"), col("id").as("ia"), col("vn").as("va"))
+      .join(ok.select(col("cluster"), col("id").as("ib"), col("vn").as("vb")), Seq("cluster"))
+      .where(col("ia") < col("ib"))
+      .where(dot >= threshold)
+      .groupBy(col("ib"), col("cluster"))
+      .agg(round(max(dot), 4).as("max_cos"))
+      .select(col("ib").as("id"), col("cluster"), col("max_cos"))
+      .orderBy(col("id"))
+  }
+
   /** Sign-random-projection banded buckets: (id, band, sig) — one narrow row
     * per doc × band, the reusable front half of [[embeddingPairsBanded]].
     * Hyperplane h(b,k)[i] = md5-derived uniform in (-0.5, 0.5): first 4

@@ -231,6 +231,12 @@ private[graft] trait QueriesDedup { this: Queries.type =>
   private[graft] def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingPairs(tbl(spark, dir, "embeddings"), "vec_id", "embedding", 0.45)
 
+  /** SemDeDup cluster-scoped pruning (round 12): 8 anchor centroids, drop
+    * the larger id of every within-cluster pair at cos ≥ 0.3. */
+  private[graft] def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDrop(tbl(spark, dir, "embeddings"), "vec_id", "embedding",
+      nAnchors = 8, threshold = 0.3)
+
   /** The 100 TB near-dup path: sign-random-projection banding → bucket
     * candidates → exact-cosine verification (sub-quadratic candidate
     * generation, vs [[dedupEmbedding]]'s exact-N² pair space). The md5-

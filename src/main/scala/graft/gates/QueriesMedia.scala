@@ -290,6 +290,83 @@ private[graft] trait QueriesMedia { this: Queries.type =>
     graft.multimodal.Multimodal.mp3SideInfo(mp3SideinfoAssets(spark, dir))
       .toDF().orderBy(col("id"), col("granule"), col("channel"))
 
+  /** REAL H.264 Annex-B payloads (round 12): SPS + PPS + 1–3 IDR slice
+    * NALs per doc, every SPS/PPS field a doc_id formula the oracle
+    * restates, bit-packed through [[graft.multimodal.H264.encodeSps]]
+    * (whose Exp-Golomb layout is independently golden-pinned in
+    * MultimodalSpec against an in-test packer, so an encoder/parser bug
+    * pair cannot cancel). Each slice RBSP is PREFIXED with the bytes
+    * 00 00 01 00 00 02 — the start-code-emulating pattern the encoder
+    * must escape and the parser must unescape, so the fingerprint pins
+    * the §7.4.1.1 round trip on every asset — and TERMINATED with 0x80
+    * (rbsp trailing bits; also keeps the trailing-zero strip out of the
+    * payload). Even ids use all-4-byte start codes, odd ids the mixed
+    * 4/3-byte convention. Slice-data entropy decode stays the seam. */
+  private[graft] def h264Assets(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val src = docsTbl(spark, dir).where(col("doc_id") < 50)
+      .select(col("doc_id"), unhex(md5Chain("h264", 6)).as("chain"))
+      .as[(Long, Array[Byte])]
+    src.mapPartitions(_.map { case (id, chain) =>
+      val profile = Array(66, 77, 100)((id % 3).toInt)
+      val level = Array(30, 31, 40, 41, 51)((id % 5).toInt)
+      val crop =
+        if (id % 2 == 0) Some((0, (id % 3).toInt, 0, ((id / 2) % 2).toInt))
+        else None
+      val sps = graft.multimodal.H264.encodeSps(
+        profile, level, spsId = 0,
+        log2MaxFrameNumMinus4 = (id % 8).toInt, poc = 2 * (id % 2).toInt,
+        maxRef = (id % 5).toInt, pwMbsMinus1 = (id % 8).toInt,
+        phMapMinus1 = (id % 6).toInt, frameMbsOnly = id % 4 != 3, crop = crop)
+      val pps = graft.multimodal.H264.encodePps(
+        ppsId = 0, spsId = 0, cabac = id % 2 == 1)
+      val nSlices = (1 + id % 3).toInt
+      val sLen = (8 + id % 5).toInt
+      val emul = Array[Byte](0, 0, 1, 0, 0, 2)
+      val slices = (0 until nSlices).map { s =>
+        val body = java.util.Arrays.copyOfRange(chain, s * sLen, (s + 1) * sLen)
+        (3, 5, emul ++ body :+ 0x80.toByte)
+      }
+      graft.multimodal.Multimodal.Asset(id, "video",
+        graft.multimodal.H264.annexB(
+          Seq((3, 7, sps), (3, 8, pps)) ++ slices,
+          fourByteAll = id % 2 == 0), 0, 0)
+    })
+  }
+
+  private[graft] def multimodalH264Sps(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.h264Features(h264Assets(spark, dir))
+      .toDF().withColumn("entropy_cabac", col("entropy_cabac").cast("int"))
+      .orderBy(col("id"))
+
+  /** REAL AAC ADTS payloads (round 12): 2–4 frames per doc, profile/rate/
+    * channel formulas the oracle restates, raw_data_block bytes from the
+    * md5 chain. Every 4th id carries the protection_absent = 0 layout
+    * (16-bit crc_check field between header and payload — skipped, not
+    * validated; see [[graft.multimodal.Aac]]), so the variable header
+    * length is pinned by the payload fingerprint. */
+  private[graft] def aacAssets(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val src = docsTbl(spark, dir).where(col("doc_id") < 50)
+      .select(col("doc_id"), unhex(md5Chain("aac", 6)).as("chain"))
+      .as[(Long, Array[Byte])]
+    src.mapPartitions(_.map { case (id, chain) =>
+      val n = (2 + id % 3).toInt
+      val pLen = (16 + id % 7).toInt
+      val frames = (0 until n).map { f =>
+        val body = java.util.Arrays.copyOfRange(chain, f * pLen, (f + 1) * pLen)
+        ((id % 2).toInt, (3 + id % 3).toInt, (1 + id % 2).toInt, body,
+          if (id % 4 == 0) Some(((id * 257) % 65536).toInt) else None)
+      }
+      graft.multimodal.Multimodal.Asset(id, "audio",
+        graft.multimodal.Aac.encode(frames), 0, 0)
+    })
+  }
+
+  private[graft] def multimodalAacAdts(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.aacFeatures(aacAssets(spark, dir))
+      .toDF().orderBy(col("id"))
+
   /** The resize kernel over REALLY-DECODED pixels: the P6 header is
     * stripped by the parser, so the stride-gather runs over the raw RGB
     * payload — the oracle's hex arithmetic starts after the header by

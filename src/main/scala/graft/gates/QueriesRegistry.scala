@@ -296,6 +296,57 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
         |  21 AS sf_n
         |FROM ids, g, c
         |ORDER BY id, granule, channel""".stripMargin)),
+    "multimodal_h264_sps" -> Q(multimodalH264Sps, Some(
+      // restates h264Assets' SPS/PPS field formulas + the §7.4.2.1.1
+      // width/height derivation, and pins the concatenated slice RBSPs
+      // (emulation-prevention prefix + chain bytes + 0x80 stop) in hex
+      // space — so start-code walk, EBSP→RBSP unescape and Exp-Golomb
+      // header decode are all oracle-checked
+      """WITH p AS (
+        |  SELECT doc_id AS id,
+        |         array_to_string(list_transform(range(0, 6), i -> md5(text || '_h264_' || i)), '') AS hx
+        |  FROM documents WHERE doc_id < 50),
+        |f AS (SELECT id, hx,
+        |        (1 + id % 3)::INT AS n_slices,
+        |        (8 + id % 5)::INT AS slen,
+        |        (1 + id % 8)::INT AS pw,
+        |        (1 + id % 6)::INT AS ph,
+        |        (CASE WHEN id % 4 <> 3 THEN 1 ELSE 2 END) AS fld,
+        |        (CASE WHEN id % 2 = 0 THEN id % 3 ELSE 0 END) AS cr,
+        |        (CASE WHEN id % 2 = 0 THEN (id // 2) % 2 ELSE 0 END) AS cb
+        |      FROM p)
+        |SELECT id,
+        |       (2 + n_slices)::INT AS n_nals,
+        |       n_slices,
+        |       (CASE id % 3 WHEN 0 THEN 66 WHEN 1 THEN 77 ELSE 100 END)::INT AS profile_idc,
+        |       (CASE id % 5 WHEN 0 THEN 30 WHEN 1 THEN 31 WHEN 2 THEN 40 WHEN 3 THEN 41 ELSE 51 END)::INT AS level_idc,
+        |       (pw * 16 - 2 * cr)::INT AS width,
+        |       (fld * ph * 16 - 2 * fld * cb)::INT AS height,
+        |       (4 + id % 8)::INT AS log2_max_frame_num,
+        |       (2 * (id % 2))::INT AS poc_type,
+        |       (id % 5)::INT AS max_ref_frames,
+        |       (id % 2)::INT AS entropy_cabac,
+        |       md5(array_to_string(list_transform(range(0, n_slices), s ->
+        |         '000001000002' || substr(hx, 1 + s * slen * 2, slen * 2) || '80'), '')) AS slice_fp
+        |FROM f ORDER BY id""".stripMargin)),
+    "multimodal_aac_adts" -> Q(multimodalAacAdts, Some(
+      // restates aacAssets' header formulas (profile/rate/channels/frame
+      // count), the 1024-samples-per-block duration and the concatenated
+      // raw_data_block fingerprint — the variable header length (CRC
+      // present every 4th id) is pinned because a misplaced payload start
+      // shifts the hex substring
+      """WITH p AS (
+        |  SELECT doc_id AS id,
+        |         array_to_string(list_transform(range(0, 6), i -> md5(text || '_aac_' || i)), '') AS hx
+        |  FROM documents WHERE doc_id < 50),
+        |f AS (SELECT id, hx, (2 + id % 3)::INT AS n_frames, (16 + id % 7)::INT AS plen,
+        |        (CASE id % 3 WHEN 0 THEN 48000 WHEN 1 THEN 44100 ELSE 32000 END)::INT AS rate
+        |      FROM p)
+        |SELECT id, n_frames, (id % 2)::INT AS profile, rate AS sample_rate,
+        |       (1 + id % 2)::INT AS channels,
+        |       (n_frames * 1024 * 1000) // rate AS duration_ms,
+        |       md5(substr(hx, 1, n_frames * plen * 2)) AS payload_fp
+        |FROM f ORDER BY id""".stripMargin)),
     "multimodal_knn" -> Q(multimodalKnn, Some(
       """WITH p AS (
         |  SELECT doc_id AS id, (3 + doc_id % 5)::INT AS width, (2 + doc_id % 3)::INT AS height,
@@ -876,6 +927,30 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
            |      FROM v l JOIN v r ON l.vec_id < r.vec_id)
            |SELECT a, b, round(cos, 4) AS cos FROM p WHERE cos >= 0.45
            |ORDER BY cos DESC, a, b""".stripMargin)),
+    "dedup_semantic" -> Q(dedupSemantic, Some(
+      // SemDeDup assignment restated exactly: argmin of squared-L2 to the
+      // 8 anchor rows over unit vectors (same per-dim (x-a)² left-to-right
+      // sum as the NearestCentroid kernel, ties to the lowest anchor id),
+      // then within-cluster cosine pairs, larger id dropped
+      raw"""WITH v AS (SELECT vec_id AS id, list_transform(embedding::DOUBLE[],
+           |             x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS vn
+           |           FROM embeddings),
+           |a AS (SELECT id AS aid, vn AS an FROM v WHERE id < 8),
+           |s AS (SELECT v.id, a.aid,
+           |        list_sum(list_transform(range(1, 65), i -> (v.vn[i] - a.an[i]) * (v.vn[i] - a.an[i]))) AS d2
+           |      FROM v, a),
+           |c AS (SELECT id, aid AS cluster FROM (
+           |        SELECT id, aid, row_number() OVER (PARTITION BY id ORDER BY d2 ASC, aid ASC) AS rn
+           |        FROM s) t WHERE rn = 1),
+           |ok AS (SELECT cluster FROM c GROUP BY cluster HAVING count(*) <= 100000),
+           |p AS (SELECT cb.id AS ib, ca.cluster,
+           |        list_sum(list_transform(range(1, 65), i -> va.vn[i] * vb.vn[i])) AS cos
+           |      FROM c ca JOIN c cb ON ca.cluster = cb.cluster AND ca.id < cb.id
+           |      JOIN ok ON ok.cluster = ca.cluster
+           |      JOIN v va ON va.id = ca.id JOIN v vb ON vb.id = cb.id)
+           |SELECT ib AS id, cluster, round(max(cos), 4) AS max_cos
+           |FROM p WHERE cos >= 0.3
+           |GROUP BY ib, cluster ORDER BY id""".stripMargin)),
     "dedup_embedding_banded" -> Q(dedupEmbeddingBanded, Some(
       raw"""WITH v AS (SELECT vec_id AS id, list_transform(embedding::DOUBLE[],
            |             x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS vn

@@ -490,6 +490,59 @@ object Multimodal {
     })
   }
 
+  final case class H264Features(id: Long, n_nals: Int, n_slices: Int,
+                                profile_idc: Int, level_idc: Int,
+                                width: Int, height: Int,
+                                log2_max_frame_num: Int, poc_type: Int,
+                                max_ref_frames: Int, entropy_cabac: Boolean,
+                                slice_fp: String)
+
+  /** REAL H.264 Annex-B parse ([[H264.parse]], round 12): start-code walk,
+    * emulation-prevention removal, Exp-Golomb SPS/PPS decode with the
+    * §7.4.2.1.1 crop-adjusted frame dimensions. The fingerprint covers the
+    * concatenated SLICE RBSPs (NAL types 1/5, headers excluded) in hex
+    * space — so the oracle pins both the NAL boundaries the scan found and
+    * the EBSP→RBSP unescape, while the slice-data entropy decode below
+    * stays the documented DSP seam. */
+  def h264Features(assets: Dataset[Asset]): Dataset[H264Features] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      val s = H264.parse(a.bytes)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: not a supported H.264 Annex-B stream"))
+      val sps = s.sps.getOrElse(throw new IllegalArgumentException(
+        s"asset ${a.id}: no parseable SPS"))
+      val slices = s.nals.filter(n => n.nalType == 1 || n.nalType == 5)
+      val all = slices.flatMap(_.rbsp).toArray
+      H264Features(a.id, s.nals.size, slices.size,
+        sps.profileIdc, sps.levelIdc, sps.width, sps.height,
+        sps.log2MaxFrameNum, sps.pocType, sps.maxNumRefFrames,
+        s.pps.exists(_.entropyCabac), md5OfHex(all, 0, all.length))
+    })
+  }
+
+  final case class AacFeatures(id: Long, n_frames: Int, profile: Int,
+                               sample_rate: Int, channels: Int,
+                               duration_ms: Long, payload_fp: String)
+
+  /** REAL AAC ADTS parse ([[Aac.parse]], round 12): syncword/frame-length
+    * chain walk, fixed-header decode, 1024-samples-per-block duration. The
+    * fingerprint covers the concatenated raw_data_block payloads (CRC
+    * words excluded where present), pinning frame boundaries and the
+    * variable header length; the spectral Huffman below is the seam. */
+  def aacFeatures(assets: Dataset[Asset]): Dataset[AacFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      val s = Aac.parse(a.bytes)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: not a supported ADTS stream"))
+      val h = s.frames.head
+      val all = s.frames.flatMap(_.payload).toArray
+      AacFeatures(a.id, s.frames.size, h.profile, s.sampleRate, h.channels,
+        s.durationMs, md5OfHex(all, 0, all.length))
+    })
+  }
+
   /** Ingest seam for REAL binary payloads: pack an (id, bytes BINARY) frame
     * into assets — the path a production pipeline takes after
     * `spark.read.format("binaryFile")` or a bytes column in parquet

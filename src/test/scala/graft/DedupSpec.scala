@@ -331,4 +331,47 @@ class DedupSpec extends AnyFunSuite {
       assert(a == b && a.nonEmpty)
     } finally graft.streaming.StreamingGates.rmrf(dir)
   }
+
+  // ---- SemDeDup cluster-scoped pruning (round 12) ----
+
+  test("semanticDrop: anchors cluster, within-cluster near-dups drop larger id, cross-cluster pairs ignored") {
+    // two obvious directions on the unit sphere + a third anchor between;
+    // ids 0..2 are the anchors themselves
+    def v(axis: Int, eps: Double = 0.0): Seq[Double] =
+      Seq.tabulate(4)(i => (if (i == axis) 1.0 else 0.0) + (if (i == 3) eps else 0.0))
+    val emb = Seq(
+      (0L, v(0)),            // anchor 0 → cluster 0
+      (1L, v(1)),            // anchor 1 → cluster 1
+      (2L, v(2)),            // anchor 2 → cluster 2
+      (3L, v(0, 0.05)),      // near anchor 0 → dropped (pairs with 0)
+      (4L, v(0, 0.10)),      // near anchor 0 → dropped (pairs with 0 AND 3)
+      (5L, v(1, 0.05)),      // near anchor 1 → dropped (pairs with 1)
+      (6L, Seq(0.7, 0.7, 0.0, 0.14)) // between 0 and 1 — assigned to ONE
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDrop(emb, "vec_id", "embedding",
+      nAnchors = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    val ids = out.map(_._1)
+    assert(ids == List(3L, 4L, 5L), s"dropped $out")
+    assert(out.forall { case (id, c, m) =>
+      m >= 0.9 && (if (id == 5L) c == 1L else c == 0L) })
+    // id 6 sits at cos ≈ 0.7 to anchors 0 and 1 — below threshold, kept;
+    // its distances to the two are an EXACT tie by symmetry, so the
+    // first-wins tie rule assigns it to anchor 0 deterministically
+    assert(!ids.contains(6L))
+    // keep set = input minus dropped
+    assert(emb.count() - out.size == 4)
+  }
+
+  test("semanticDrop: maxCluster guard excludes oversized clusters from pairing") {
+    val emb = (0L until 10L).map(i =>
+      (i, Seq.tabulate(4)(d => if (d == 0) 1.0 else 0.001 * i))).toDF("vec_id", "embedding")
+    // all 10 rows land in anchor-0's cluster; guard at 5 excludes it entirely
+    val guarded = Dedup.semanticDrop(emb, "vec_id", "embedding",
+      nAnchors = 1, threshold = 0.5, maxCluster = 5)
+    assert(guarded.count() == 0)
+    val unguarded = Dedup.semanticDrop(emb, "vec_id", "embedding",
+      nAnchors = 1, threshold = 0.5)
+    assert(unguarded.count() == 9) // everything but id 0 drops
+  }
 }

@@ -902,6 +902,128 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sfs(0)(0).sameElements(longSf) && sfs(0)(1).sameElements(longSf.reverse))
     assert(sfs(1)(0).sameElements(shortSf) && sfs(1)(1).sameElements(shortSf.map(x => 3 - x)))
   }
+
+  // ---- H.264 Annex-B / SPS / PPS (round 12) ----
+
+  /** In-test ue(v) field builder for [[packBits]] — independent of
+    * H264.encodeSps, so an encoder/parser Exp-Golomb bug pair in
+    * H264.scala cannot cancel in the golden fixture below. */
+  private def ue(v: Int): Seq[(Int, Int)] = {
+    val k = v + 1
+    val n = 32 - Integer.numberOfLeadingZeros(k)
+    if (n == 1) Seq((k, 1)) // v = 0 → single 1 bit
+    else Seq((0, n - 1), (k, n))
+  }
+
+  test("H264 golden SPS: hand-packed baseline bitstream, every field + crop math (round 12)") {
+    import graft.multimodal.H264
+    // profile 66, level 30, spsId 0, log2mfn-4 = 3, poc 0 (lsb-4 = 0),
+    // maxRef 2, pw-1 = 4, ph-1 = 2, frame_mbs_only, crop (0,1,0,1)
+    val bits: Seq[(Int, Int)] =
+      Seq((66, 8), (0, 8), (30, 8)) ++ ue(0) ++ ue(3) ++ ue(0) ++ ue(0) ++
+        ue(2) ++ Seq((0, 1)) ++ ue(4) ++ ue(2) ++ Seq((1, 1), (1, 1), (1, 1)) ++
+        ue(0) ++ ue(1) ++ ue(0) ++ ue(1) ++ Seq((0, 1), (1, 1)) // vui=0, stop bit
+    val sps = H264.parseSps(packBits(bits)).get
+    assert(sps.profileIdc == 66 && sps.levelIdc == 30 && sps.spsId == 0)
+    assert(sps.chromaFormatIdc == 1 && sps.bitDepthLuma == 8)
+    assert(sps.log2MaxFrameNum == 7 && sps.pocType == 0 && sps.maxNumRefFrames == 2)
+    assert(sps.picWidthInMbs == 5 && sps.picHeightInMapUnits == 3 && sps.frameMbsOnly)
+    assert((sps.cropLeft, sps.cropRight, sps.cropTop, sps.cropBottom) == (0, 1, 0, 1))
+    assert(sps.width == 5 * 16 - 2 && sps.height == 3 * 16 - 2) // 4:2:0 crop units
+    // the library encoder reproduces the hand-packed bytes exactly
+    assert(H264.encodeSps(66, 30, 0, 3, 0, 2, 4, 2, frameMbsOnly = true,
+      crop = Some((0, 1, 0, 1))).sameElements(packBits(bits)))
+  }
+
+  test("H264 high-profile SPS: chroma block read; scaling matrix strictly rejected") {
+    import graft.multimodal.H264
+    val rt = H264.parseSps(H264.encodeSps(100, 40, 0, 0, 2, 1, 7, 5,
+      frameMbsOnly = false, crop = None)).get
+    assert(rt.profileIdc == 100 && rt.chromaFormatIdc == 1 && rt.pocType == 2)
+    assert(!rt.frameMbsOnly && rt.height == 2 * 6 * 16 && rt.width == 8 * 16)
+    // seq_scaling_matrix_present = 1 → None (out of scope, never guessed):
+    // flip the flag bit. After the 24 header bits: spsId ue(0) = 1 bit,
+    // chroma ue(1) = 3 bits, two depth ue(0)s = 2 bits, bypass u(1) —
+    // the scaling flag is stream bit 31, the last bit of byte 3.
+    val bytes = H264.encodeSps(100, 40, 0, 0, 2, 1, 7, 5, false, None)
+    val flipped = bytes.clone()
+    flipped(3) = (flipped(3) ^ 0x01).toByte
+    assert(H264.parseSps(flipped).isEmpty)
+  }
+
+  test("H264 emulation prevention: escape/unescape golden cases + fuzz round trip") {
+    import graft.multimodal.H264
+    assert(H264.escape(Array[Byte](0, 0, 1)).sameElements(Array[Byte](0, 0, 3, 1)))
+    assert(H264.escape(Array[Byte](0, 0, 0)).sameElements(Array[Byte](0, 0, 3, 0)))
+    assert(H264.escape(Array[Byte](0, 0, 4)).sameElements(Array[Byte](0, 0, 4)))
+    assert(H264.unescape(Array[Byte](0, 0, 3, 1), 0, 4).sameElements(Array[Byte](0, 0, 1)))
+    // 0x03 NOT preceded by two zeros passes through
+    assert(H264.unescape(Array[Byte](0, 3, 1), 0, 3).sameElements(Array[Byte](0, 3, 1)))
+    val rnd = new scala.util.Random(7)
+    (0 until 300).foreach { _ =>
+      val raw = Array.fill(rnd.nextInt(64) + 1)((rnd.nextInt(5) - 2).toByte)
+      val esc = H264.escape(raw)
+      // no start-code emulation survives escaping: 00 00 00/01/02 are the
+      // forbidden EBSP patterns (00 00 03 is the escape itself, §7.4.1.1)
+      assert(!esc.sliding(3).exists(w =>
+        w.length == 3 && w(0) == 0 && w(1) == 0 && (w(2) & 0xFF) <= 2))
+      assert(H264.unescape(esc, 0, esc.length).sameElements(raw))
+    }
+  }
+
+  test("H264 Annex-B end to end: NAL walk, 4/3-byte start codes, slice RBSP recovery") {
+    import graft.multimodal.H264
+    val sps = H264.encodeSps(77, 31, 0, 1, 0, 3, 2, 1, frameMbsOnly = true, crop = None)
+    val pps = H264.encodePps(0, 0, cabac = true)
+    val slice = Array[Byte](0, 0, 1, 0, 0, 2, 42, 7, -1, 0x80.toByte)
+    for (four <- Seq(true, false)) {
+      val stream = H264.parse(H264.annexB(
+        Seq((3, 7, sps), (3, 8, pps), (3, 5, slice)), fourByteAll = four)).get
+      assert(stream.nals.map(_.nalType) == Seq(7, 8, 5))
+      assert(stream.sps.get.width == 3 * 16 && stream.sps.get.height == 2 * 16)
+      assert(stream.pps.get.entropyCabac && stream.pps.get.numSliceGroups == 1)
+      assert(stream.nals(2).rbsp.sameElements(slice)) // escape round-tripped
+    }
+    // strict rejects: no start code; forbidden_zero_bit set
+    assert(H264.parse(Array[Byte](1, 2, 3, 4)).isEmpty)
+    assert(H264.parse(Array[Byte](0, 0, 1, 0x87.toByte, 1)).isEmpty)
+  }
+
+  // ---- AAC ADTS (round 12) ----
+
+  test("AAC golden fixture: hand-computed 7-byte header bytes, fields + duration") {
+    import graft.multimodal.Aac
+    val payload = Array[Byte](1, 2, 3, 4)
+    // LC (1), rateIdx 4 = 44100, stereo, no CRC → frameLen 11:
+    // FF F1 | (01)(0100)(0)(0)=0x50 | (10)(00...)=0x80 | len bits
+    val golden = Array(0xFF, 0xF1, 0x50, 0x80, 0x01, 0x7F, 0xFC).map(_.toByte) ++ payload
+    assert(Aac.encodeFrame(1, 4, 2, payload).sameElements(golden))
+    val s = Aac.parse(golden).get
+    val f = s.frames.head
+    assert(f.profile == 1 && s.sampleRate == 44100 && f.channels == 2)
+    assert(f.frameLength == 11 && !f.crcPresent && f.nRawBlocks == 1)
+    assert(f.payload.sameElements(payload))
+    assert(s.durationMs == 1024L * 1000L / 44100L)
+  }
+
+  test("AAC frame walk: CRC-present layout, multi-frame chain, strict rejects") {
+    import graft.multimodal.Aac
+    val frames = Seq(
+      (0, 3, 1, Array[Byte](9, 8, 7), Some(0xBEEF)),      // CRC present: 9-byte header
+      (0, 3, 1, Array[Byte](6, 5), None),
+      (0, 3, 1, Array.fill[Byte](20)(3), None))
+    val bytes = Aac.encode(frames)
+    val s = Aac.parse(bytes).get
+    assert(s.frames.size == 3)
+    assert(s.frames(0).crcPresent && s.frames(0).payload.sameElements(Array[Byte](9, 8, 7)))
+    assert(!s.frames(1).crcPresent && s.frames(1).payload.sameElements(Array[Byte](6, 5)))
+    assert(s.sampleRate == 48000 && s.durationMs == 3 * 1024L * 1000L / 48000L)
+    // strict rejects: bad sync, truncated tail, reserved rate index
+    assert(Aac.parse(bytes.updated(0, 0xFE.toByte)).isEmpty)
+    assert(Aac.parse(bytes.dropRight(1)).isEmpty)
+    val badRate = Aac.encodeFrame(1, 12, 1, Array[Byte](1))
+    assert(Aac.parse(badRate.updated(2, (badRate(2) | (13 << 2)).toByte)).isEmpty)
+  }
 }
 
 /** Big-endian helper shared by the MP4 spec's byte surgery. */
