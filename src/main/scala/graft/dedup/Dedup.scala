@@ -680,6 +680,16 @@ object Dedup {
       .orderBy(col("cos").desc, col("a").asc, col("b").asc)
   }
 
+  /** SIZING RULE (measured, round 12 — see tools/BandedProbe + SCALE.md):
+    * `bitsPerBand` must grow with log2(corpus). Each band has 2^bits
+    * distinct signatures, so once n ≫ 2^bits the per-pair collision
+    * probability is a constant (~2^-bits for uncorrelated vectors) and
+    * candidate volume is QUADRATIC: n²/2 · bands/2^bits — 1.2 B candidate
+    * rows at n = 200 k with the 8-bit default, which exhausted a 64 GiB
+    * heap. The maxBucket occupancy guard cannot catch this (every bucket
+    * is individually small; the blow-up is bucket COUNT × within-bucket
+    * growth). Size bits ≈ log2(n · bands / C) for a candidate target C;
+    * the 8/16 defaults are the bench-scale (n ≤ 20 k) oracle contract. */
   def embeddingPairsBanded(emb: DataFrame, idCol: String, vecCol: String,
                            threshold: Double, dim: Int = 64,
                            bands: Int = 16, bitsPerBand: Int = 8,
