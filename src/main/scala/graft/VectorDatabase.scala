@@ -74,6 +74,19 @@ class VectorDatabase private (
   // ≙ hnsw add_items ldb:78–80, improving on the reference's per-add
   // BM25 rebuild ldb:73–75 at equal results) ----
   private var bm25Var: Option[BM25.Index] = None
+
+  /** Shredded-VARIANT metadata side frame (round 12, r11 VERDICT #8): a
+    * LAZY parquet read of `$path/meta_variant` set by [[VectorDatabase.load]]
+    * — (id, mv VARIANT), written at save with Spark 4.1's default variant
+    * shredding, so `queryMetadata` conditions on a loaded collection
+    * compile to SHREDDED-COLUMN scan filters (`PushVariantIntoScan`:
+    * PushedFilters EqualTo on the typed field + ReadSchema pruned to that
+    * field — plan-pinned in VariantMetadataSpec) instead of per-row JSON
+    * parsing over the cached corpus. Deliberately NOT persisted: the 100 TB
+    * metadata-filter path wants the parquet scan + pushdown, not a cache.
+    * Cleared on any append (the snapshot is save-time) — queryMetadata then
+    * falls back to the in-memory canonical-JSON path, same results. */
+  private var metaVarVar: Option[DataFrame] = None
   private var ivfVar: Option[IVFIndex] = None
   private var pqVar: Option[PQIndex] = None
   private var rpqVar: Option[ResidualPQ] = None
@@ -179,6 +192,7 @@ class VectorDatabase private (
     graphVar = None
     hybridCache.foreach(_.unpersist())
     hybridCache = None
+    metaVarVar = None
   }
 
   /** Incremental index maintenance on append (≙ the reference adding items
@@ -314,6 +328,7 @@ class VectorDatabase private (
     val old = df
     df = old.unionByName(frozen).persist(StorageLevel.MEMORY_AND_DISK)
     nRows += n
+    metaVarVar = None // save-time snapshot — stale the moment rows append
     appendsSinceCollapse += 1
     if (appendsSinceCollapse >= collapseEvery) {
       val collapsed =
@@ -384,16 +399,48 @@ class VectorDatabase private (
   // F1–F4 queryMetadata (ldb:276–321)
   // ---------------------------------------------------------------------
 
+  /** One condition over a VARIANT metadata column: a PUSHABLE typed
+    * extraction (`try_variant_get` at the value's native type — compiles
+    * to a shredded-column EqualTo the parquet scan evaluates; a failed
+    * cast nulls out, never throws) CONJOINED with the canonical-JSON
+    * residual that enforces the reference's TYPED equality exactly
+    * (the pushed arm alone would let "1250.75" match 1250.75 through
+    * numeric-string cast coercion — the residual rejects it; pinned in
+    * VariantMetadataSpec). */
+  private def variantCond(mv: Column, k: String, v: Any): Column = {
+    val canonical =
+      to_json(try_variant_get(mv, s"$$.$k", "variant")) === lit(renderJsonValue(v))
+    val pushed = v match {
+      case s: String  => try_variant_get(mv, s"$$.$k", "string") === lit(s)
+      case i: Int     => try_variant_get(mv, s"$$.$k", "bigint") === lit(i.toLong)
+      case l: Long    => try_variant_get(mv, s"$$.$k", "bigint") === lit(l)
+      case f: Float   => try_variant_get(mv, s"$$.$k", "double") === lit(f.toDouble)
+      case d: Double  => try_variant_get(mv, s"$$.$k", "double") === lit(d)
+      case b: Boolean => try_variant_get(mv, s"$$.$k", "boolean") === lit(b)
+      case _          => lit(true) // nested values: canonical-only
+    }
+    pushed && canonical
+  }
+
   /** Conjunctive typed exact-match over metadata; `topK` is a HEAD over
-    * ascending ids (F4), not a rank. */
+    * ascending ids (F4), not a rank. On a LOADED collection the condition
+    * path runs against the shredded-variant side frame ([[metaVarVar]]) —
+    * queryMetadata returns ids only, so the whole query is served by the
+    * pushed parquet scan without touching the cached corpus. */
   def queryMetadata(conditions: Map[String, Any] = Map.empty,
                     filter: Option[Column] = None,
                     topK: Int = 0): DataFrame = {
     val base =
-      if (conditions.nonEmpty)
-        df.where(conditions.map { case (k, v) =>
-          metaValue(k) === lit(renderJsonValue(v))
-        }.reduce(_ && _))
+      if (conditions.nonEmpty) metaVarVar match {
+        case Some(mvf) =>
+          mvf.where(conditions.map { case (k, v) =>
+            variantCond(col("mv"), k, v)
+          }.reduce(_ && _))
+        case None =>
+          df.where(conditions.map { case (k, v) =>
+            metaValue(k) === lit(renderJsonValue(v))
+          }.reduce(_ && _))
+      }
       else filter.map(df.where).getOrElse(df)
     val ids = base.select(col("id")).orderBy(col("id").asc)
     if (topK > 0) ids.limit(topK) else ids
@@ -720,6 +767,13 @@ class VectorDatabase private (
     * it records any degrade the builds performed. */
   def save(path: String): Unit = {
     df.write.mode("overwrite").parquet(s"$path/data")
+    // Shredded-VARIANT metadata projection (round 12): Spark 4.1 writes
+    // variant SHREDDED by default (per-key typed_value columns), so a
+    // reload answers queryMetadata conditions from pushed scan filters.
+    // The canonical `meta` string in data/ stays the byte-exact
+    // get_metadata surface; this side frame is a derived index over it.
+    df.select(col("id"), parse_json(col("meta")).as("mv"))
+      .write.mode("overwrite").parquet(s"$path/meta_variant")
     if (nRows > 0) manifestVar.effectiveType match {
       case "lsh" =>
         LSHIndex.save(lshIdx, s"$path/index/lsh")
@@ -831,6 +885,9 @@ object VectorDatabase {
     val data = spark.read.parquet(s"$path/data").persist(StorageLevel.MEMORY_AND_DISK)
     val n = data.count()
     val db = new VectorDatabase(spark, data, man, n)
+    // pre-round-12 saves have no side frame → canonical in-memory path
+    if (artifactExists(spark, s"$path/meta_variant"))
+      db.metaVarVar = Some(spark.read.parquet(s"$path/meta_variant"))
     if (man.effectiveType == "ivf" && n > 0) {
       if (!artifactExists(spark, s"$path/index/assignments"))
         throw new IllegalStateException(s"index artifacts missing under $path/index")
