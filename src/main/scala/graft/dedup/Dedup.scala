@@ -744,32 +744,101 @@ object Dedup {
     * Output: one row per DROPPED id — (id, cluster, max_cos over its
     * qualifying smaller-id partners), ordered by id. The kept set is the
     * input's id set minus these rows. */
-  def semanticDrop(emb: DataFrame, idCol: String, vecCol: String,
-                   nAnchors: Int, threshold: Double,
-                   maxCluster: Int = 100000): DataFrame = {
+  /** Anchor-centroid assignment shared by [[semanticDrop]] and
+    * [[buildSemanticIndex]]: (cluster, id, vn) rows + the frozen centroid
+    * arrays and their source ids. */
+  private def assignToAnchors(emb: DataFrame, idCol: String, vecCol: String,
+                              nAnchors: Int): (DataFrame, Array[Array[Double]], Array[Long]) = {
     val rows = normalized(emb, idCol, vecCol)
     val anchorRows = rows.where(col("id") < nAnchors).orderBy(col("id"))
       .collect() // ≤ nAnchors rows — driver-sized by construction
     require(anchorRows.nonEmpty, s"no anchor rows with $idCol < $nAnchors")
     val centroids = anchorRows.map(_.getSeq[Double](1).toArray)
-    val anchorIds = anchorRows.map(r => lit(r.getLong(0)))
-    val assigned = rows
+    val anchorIds = anchorRows.map(_.getLong(0))
+    (assignWith(rows, centroids, anchorIds), centroids, anchorIds)
+  }
+
+  private def assignWith(rows: DataFrame, centroids: Array[Array[Double]],
+                         anchorIds: Array[Long]): DataFrame =
+    rows
       .withColumn("ci", graft.expr.VectorExpr.nearestCentroid(col("vn"), centroids))
-      .withColumn("cluster", element_at(array(anchorIds: _*), col("ci") + 1))
+      .withColumn("cluster", element_at(array(anchorIds.map(lit(_)): _*), col("ci") + 1))
       .drop("ci")
+
+  /** (ib, cluster, max_cos) over a within-cluster pair frame — the shared
+    * tail of both semantic-drop arms. */
+  private def dropRows(pairs: DataFrame): DataFrame =
+    pairs
+      .groupBy(col("ib"), col("cluster"))
+      .agg(round(max(VectorFunctions.dot(col("va"), col("vb"))), 4).as("max_cos"))
+      .select(col("ib").as("id"), col("cluster"), col("max_cos"))
+      .orderBy(col("id"))
+
+  def semanticDrop(emb: DataFrame, idCol: String, vecCol: String,
+                   nAnchors: Int, threshold: Double,
+                   maxCluster: Int = 100000): DataFrame = {
+    val (assigned, _, _) = assignToAnchors(emb, idCol, vecCol, nAnchors)
     // per-cluster occupancy guard: ≤ nAnchors rows — always broadcast
     val okClusters = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
       .where(col("n") <= maxCluster).select("cluster")
     val ok = assigned.join(broadcast(okClusters), Seq("cluster"))
     val dot = VectorFunctions.dot(col("va"), col("vb"))
-    ok.select(col("cluster"), col("id").as("ia"), col("vn").as("va"))
-      .join(ok.select(col("cluster"), col("id").as("ib"), col("vn").as("vb")), Seq("cluster"))
+    dropRows(
+      ok.select(col("cluster"), col("id").as("ia"), col("vn").as("va"))
+        .join(ok.select(col("cluster"), col("id").as("ib"), col("vn").as("vb")), Seq("cluster"))
+        .where(col("ia") < col("ib"))
+        .where(dot >= threshold))
+  }
+
+  /** Corpus-side reusable state for INCREMENTAL semantic dedup — the
+    * SemDeDup analog of [[JaccardIndex]]/[[EmbeddingIndex]]: assigned
+    * corpus rows, per-cluster occupancy, and the FROZEN anchor centroids
+    * every future batch is assigned with (no retraining — the incremental
+    * contract of every index here). */
+  final case class SemanticIndex(rows: DataFrame, clusterCounts: DataFrame,
+                                 centroids: Array[Array[Double]],
+                                 anchorIds: Array[Long],
+                                 threshold: Double, maxCluster: Int)
+
+  def buildSemanticIndex(emb: DataFrame, idCol: String, vecCol: String,
+                         nAnchors: Int, threshold: Double,
+                         maxCluster: Int = 100000): SemanticIndex = {
+    val (assigned, centroids, anchorIds) = assignToAnchors(emb, idCol, vecCol, nAnchors)
+    val counts = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+    SemanticIndex(assigned, counts, centroids, anchorIds, threshold, maxCluster)
+  }
+
+  /** INCREMENTAL semantic dedup: dropped rows among `incoming` only — a
+    * batch doc drops when a SMALLER-id partner in its cluster clears the
+    * threshold, where partners span the indexed corpus and the batch
+    * itself (corpus docs are the kept set; with dense-id append every
+    * corpus id is smaller, so this is exactly [[semanticDrop]] over the
+    * union restricted to batch ids — spec-pinned). The batch is assigned
+    * with the index's FROZEN centroids (cost ∝ |batch|, zero corpus
+    * re-scan); the occupancy guard counts corpus ∪ batch, identical to
+    * the full funnel's rule. Incoming ids must be disjoint from corpus
+    * ids. */
+  def semanticDropIncremental(index: SemanticIndex, incoming: DataFrame,
+                              idCol: String, vecCol: String): DataFrame = {
+    val inc = assignWith(normalized(incoming, idCol, vecCol),
+      index.centroids, index.anchorIds)
+    val incCounts = inc.groupBy(col("cluster")).agg(count(lit(1)).as("bn"))
+    // ≤ nAnchors rows both sides — always broadcast
+    val okClusters = incCounts
+      .join(index.clusterCounts, Seq("cluster"), "left")
+      .where(coalesce(col("n"), lit(0L)) + col("bn") <= index.maxCluster)
+      .select("cluster")
+    val b = inc.join(broadcast(okClusters), Seq("cluster"))
+    val dot = VectorFunctions.dot(col("va"), col("vb"))
+    val right = b.select(col("cluster"), col("id").as("ib"), col("vn").as("vb"))
+    val vsCorpus = index.rows
+      .select(col("cluster"), col("id").as("ia"), col("vn").as("va"))
+      .join(right, Seq("cluster"))
+      .where(col("ia") < col("ib")) // dense-id append ⇒ always true; kept for safety
+    val vsBatch = b.select(col("cluster"), col("id").as("ia"), col("vn").as("va"))
+      .join(right, Seq("cluster"))
       .where(col("ia") < col("ib"))
-      .where(dot >= threshold)
-      .groupBy(col("ib"), col("cluster"))
-      .agg(round(max(dot), 4).as("max_cos"))
-      .select(col("ib").as("id"), col("cluster"), col("max_cos"))
-      .orderBy(col("id"))
+    dropRows(vsCorpus.unionByName(vsBatch).where(dot >= index.threshold))
   }
 
   /** Sign-random-projection banded buckets: (id, band, sig) — one narrow row

@@ -237,6 +237,30 @@ private[graft] trait QueriesDedup { this: Queries.type =>
     Dedup.semanticDrop(tbl(spark, dir, "embeddings"), "vec_id", "embedding",
       nAnchors = 8, threshold = 0.3)
 
+  /** INCREMENTAL SemDeDup: the last 10% of ids arrive as a batch against
+    * a SemanticIndex built on the first 90% — frozen anchors, batch-only
+    * assignment, corpus∪batch occupancy guard. Shares the batch oracle
+    * restricted to dropped ids in the batch (dense-id append makes the
+    * two drop rules coincide — spec-pinned). */
+  private[graft] val semIndexCache = new Memo[Dedup.SemanticIndex](memoMax, "semIndexCache")(ix => {
+    unp(ix.rows); unp(ix.clusterCounts)
+  })
+
+  private[graft] def dedupSemanticIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    val cut = math.ceil(0.9 * e.count()).toLong
+    val ix = semIndexCache.get(spark, dir) {
+      val built = Dedup.buildSemanticIndex(
+        e.where(col("vec_id") < cut), "vec_id", "embedding",
+        nAnchors = 8, threshold = 0.3)
+      val p = (df: DataFrame) =>
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      built.copy(rows = p(built.rows), clusterCounts = p(built.clusterCounts))
+    }
+    Dedup.semanticDropIncremental(ix, e.where(col("vec_id") >= cut),
+      "vec_id", "embedding")
+  }
+
   /** The 100 TB near-dup path: sign-random-projection banding → bucket
     * candidates → exact-cosine verification (sub-quadratic candidate
     * generation, vs [[dedupEmbedding]]'s exact-N² pair space). The md5-

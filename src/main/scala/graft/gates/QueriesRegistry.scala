@@ -951,6 +951,30 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
            |SELECT ib AS id, cluster, round(max(cos), 4) AS max_cos
            |FROM p WHERE cos >= 0.3
            |GROUP BY ib, cluster ORDER BY id""".stripMargin)),
+    "dedup_semantic_incremental" -> Q(dedupSemanticIncremental, Some(
+      // the batch-arm oracle: identical union-drop rule restricted to
+      // dropped ids in the last-10% batch (dense-id append makes the
+      // incremental "corpus always kept" rule coincide with drop-larger-id)
+      raw"""WITH v AS (SELECT vec_id AS id, list_transform(embedding::DOUBLE[],
+           |             x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS vn
+           |           FROM embeddings),
+           |a AS (SELECT id AS aid, vn AS an FROM v WHERE id < 8),
+           |s AS (SELECT v.id, a.aid,
+           |        list_sum(list_transform(range(1, 65), i -> (v.vn[i] - a.an[i]) * (v.vn[i] - a.an[i]))) AS d2
+           |      FROM v, a),
+           |c AS (SELECT id, aid AS cluster FROM (
+           |        SELECT id, aid, row_number() OVER (PARTITION BY id ORDER BY d2 ASC, aid ASC) AS rn
+           |        FROM s) t WHERE rn = 1),
+           |ok AS (SELECT cluster FROM c GROUP BY cluster HAVING count(*) <= 100000),
+           |p AS (SELECT cb.id AS ib, ca.cluster,
+           |        list_sum(list_transform(range(1, 65), i -> va.vn[i] * vb.vn[i])) AS cos
+           |      FROM c ca JOIN c cb ON ca.cluster = cb.cluster AND ca.id < cb.id
+           |      JOIN ok ON ok.cluster = ca.cluster
+           |      JOIN v va ON va.id = ca.id JOIN v vb ON vb.id = cb.id)
+           |SELECT ib AS id, cluster, round(max(cos), 4) AS max_cos
+           |FROM p WHERE cos >= 0.3
+           |  AND ib >= (SELECT CAST(ceil(0.9 * count(*)) AS BIGINT) FROM embeddings)
+           |GROUP BY ib, cluster ORDER BY id""".stripMargin)),
     "dedup_embedding_banded" -> Q(dedupEmbeddingBanded, Some(
       raw"""WITH v AS (SELECT vec_id AS id, list_transform(embedding::DOUBLE[],
            |             x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS vn

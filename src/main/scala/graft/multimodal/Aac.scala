@@ -55,6 +55,11 @@ object Aac {
       val channels = ((b(2) & 1) << 2) | ((b(3) >> 6) & 3)
       val frameLen = ((b(3) & 3) << 11) | (b(4) << 3) | ((b(5) >> 5) & 7)
       val nBlocks = (b(6) & 3) + 1
+      // CRC + multiple raw data blocks adds per-block position/CRC fields
+      // (§6.2 adts_error_check with number_of_raw_data_blocks > 0) — a
+      // layout this parser does not decode; reject rather than misparse
+      require(crcAbsent || nBlocks == 1,
+        "CRC-protected multi-block ADTS frames unsupported")
       val hdrLen = if (crcAbsent) 7 else 9
       require(frameLen >= hdrLen && i + frameLen <= bytes.length,
         s"frame_length $frameLen out of bounds")
@@ -62,7 +67,17 @@ object Aac {
         nBlocks, java.util.Arrays.copyOfRange(bytes, i + hdrLen, i + frameLen))
       i += frameLen
     }
-    if (frames.isEmpty) None else Some(AacStream(frames.toSeq))
+    if (frames.isEmpty) None
+    else {
+      // duration and channel reporting read the head frame — a stream
+      // whose rate/channel config varies mid-stream would be silently
+      // misreported, so reject it (CBR-config streams are the practical
+      // universe; same strictness as parseMp3's uniform-header walk)
+      require(frames.forall(f => f.rateIdx == frames.head.rateIdx
+        && f.channels == frames.head.channels),
+        "mixed rate/channel ADTS streams unsupported")
+      Some(AacStream(frames.toSeq))
+    }
   } catch { case _: Exception => None }
 
   /** Fixture encoder: one ADTS frame. `crc` is the raw 16-bit field value

@@ -66,7 +66,9 @@ object H264 {
       var zeros = 0
       while (u(1) == 0) {
         zeros += 1
-        require(zeros <= 31, "ue(v) exceeds 31 leading zeros")
+        // 30 keeps (1 << zeros) - 1 + info inside Int — larger codes are
+        // malformed for every SPS/PPS field and must fail, not wrap
+        require(zeros <= 30, "ue(v) exceeds 30 leading zeros")
       }
       (1 << zeros) - 1 + (if (zeros == 0) 0 else u(zeros))
     }

@@ -363,6 +363,28 @@ class DedupSpec extends AnyFunSuite {
     assert(emb.count() - out.size == 4)
   }
 
+  test("semanticDropIncremental == semanticDrop(union) restricted to batch ids (dense-id append)") {
+    val rnd = new scala.util.Random(3)
+    def jig(axis: Int): Seq[Double] =
+      Seq.tabulate(4)(i => (if (i == axis) 1.0 else 0.0) + rnd.nextDouble() * 0.15)
+    val all = (0L until 40L).map(i => (i, jig((i % 3).toInt))).toDF("vec_id", "embedding")
+    val corpus = all.where(col("vec_id") < 30L)
+    val batch = all.where(col("vec_id") >= 30L)
+    val ix = Dedup.buildSemanticIndex(corpus, "vec_id", "embedding",
+      nAnchors = 3, threshold = 0.95)
+    val inc = Dedup.semanticDropIncremental(ix, batch, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.semanticDrop(all, "vec_id", "embedding",
+        nAnchors = 3, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(_._1 >= 30L).toSet
+    assert(inc == full, s"incremental $inc != union-restricted $full")
+    assert(inc.nonEmpty, "degenerate fixture: no batch drops")
+    // frozen anchors: the index never re-collects from the union — a batch
+    // id below nAnchors must not become a centroid
+    assert(ix.anchorIds.toSeq == Seq(0L, 1L, 2L))
+  }
+
   test("semanticDrop: maxCluster guard excludes oversized clusters from pairing") {
     val emb = (0L until 10L).map(i =>
       (i, Seq.tabulate(4)(d => if (d == 0) 1.0 else 0.001 * i))).toDF("vec_id", "embedding")

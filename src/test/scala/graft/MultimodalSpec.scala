@@ -1023,6 +1023,14 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Aac.parse(bytes.dropRight(1)).isEmpty)
     val badRate = Aac.encodeFrame(1, 12, 1, Array[Byte](1))
     assert(Aac.parse(badRate.updated(2, (badRate(2) | (13 << 2)).toByte)).isEmpty)
+    // CRC + multi-block layout (undecoded §6.2 error-check fields) rejected:
+    // flip number_of_raw_data_blocks on a CRC-present frame
+    val crcFrame = Aac.encodeFrame(0, 3, 1, Array[Byte](9, 8, 7), crc = Some(0xBEEF))
+    assert(Aac.parse(crcFrame.updated(6, (crcFrame(6) | 1).toByte)).isEmpty)
+    // mixed rate/channel streams rejected (head-frame reporting would lie)
+    val mixed = Aac.encodeFrame(0, 3, 1, Array[Byte](1)) ++
+      Aac.encodeFrame(0, 4, 1, Array[Byte](2))
+    assert(Aac.parse(mixed).isEmpty)
   }
 }
 
