@@ -210,10 +210,19 @@ object Bench {
     // beside the inputs so a reader can re-derive under different ones.
     val nCpus = Runtime.getRuntime.availableProcessors
     val loadSamples = (midSamples.toSeq :+ loadavgStart :+ loadavgEnd).filter(_ >= 0)
+    // Round-12 refinement: a run this round inflated ~1.8x while loadavg
+    // and both absolute calibrations stayed inside tolerance — the tell
+    // was the EDGE CALIBRATIONS DISAGREEING (0.41 s at start vs 0.25 s at
+    // end: the host's per-core speed changed mid-run). Quiet now also
+    // requires the two edges to agree within 1.35x, so a drifting host
+    // flags itself even when each sample individually looks fine.
+    val calibRatio =
+      math.max(calibStart, calibEnd) / math.max(1e-9, math.min(calibStart, calibEnd))
     val quiet = loadSamples.nonEmpty &&
       loadSamples.max <= nCpus / 4.0 &&
-      math.max(calibStart, calibEnd) <= 0.6
-    val host = s"""{"loadavg_start":$loadavgStart,"loadavg_mid":$mid,"loadavg_end":$loadavgEnd,"calib_sec_start":$calibStart,"calib_sec":$calibEnd,"cpus":$nCpus,"quiet":$quiet,"quiet_rule":"max(loadavg) <= cpus/4 && max(calib) <= 0.6s"}"""
+      math.max(calibStart, calibEnd) <= 0.6 &&
+      calibRatio <= 1.35
+    val host = s"""{"loadavg_start":$loadavgStart,"loadavg_mid":$mid,"loadavg_end":$loadavgEnd,"calib_sec_start":$calibStart,"calib_sec":$calibEnd,"cpus":$nCpus,"quiet":$quiet,"quiet_rule":"max(loadavg) <= cpus/4 && max(calib) <= 0.6s && calib edges agree within 1.35x"}"""
     val json = s"""{"metric":"total","value":${tot(_.best)},"unit":"sec","total_cold":${tot(_.cold)},"total_median":${tot(_.median)},"prewarm_sec":$preTot,"prewarm":$pre,"host":$host,"queries":$qs,"cold":$cold,"median":$med,"cpu_ratio":$cpuRatios,"gc_sec":$gcSec,"gc_count":$gcCount,"anomalies":$anomalies,"errors":$errs,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // The driver captures a truncated stdout tail (r5 VERDICT #7: the
