@@ -831,12 +831,16 @@ object Dedup {
     val b = inc.join(broadcast(okClusters), Seq("cluster"))
     val dot = VectorFunctions.dot(col("va"), col("vb"))
     val right = b.select(col("cluster"), col("id").as("ib"), col("vn").as("vb"))
+    // the batch side BROADCASTS against the corpus (the per-batch-cost ∝
+    // |batch| contract every incremental op here holds, plan-pinned): the
+    // corpus rows stream through one broadcast hash join on the cluster
+    // key and are never re-shuffled per batch
     val vsCorpus = index.rows
       .select(col("cluster"), col("id").as("ia"), col("vn").as("va"))
-      .join(right, Seq("cluster"))
+      .join(broadcast(right), Seq("cluster"))
       .where(col("ia") < col("ib")) // dense-id append ⇒ always true; kept for safety
     val vsBatch = b.select(col("cluster"), col("id").as("ia"), col("vn").as("va"))
-      .join(right, Seq("cluster"))
+      .join(broadcast(right), Seq("cluster"))
       .where(col("ia") < col("ib"))
     dropRows(vsCorpus.unionByName(vsBatch).where(dot >= index.threshold))
   }

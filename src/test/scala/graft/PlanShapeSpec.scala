@@ -222,4 +222,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"corpus index shuffled by an incremental batch:\n$p")
   }
+
+  test("dedup_semantic_incremental: corpus rows stream through broadcast joins, never re-shuffled per batch") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val ix0 = graft.dedup.Dedup.buildSemanticIndex(
+      emb.where(col("vec_id") < 400), "vec_id", "embedding",
+      nAnchors = 8, threshold = 0.3)
+    val ix = ix0.copy(rows = ix0.rows.localCheckpoint(true),
+      clusterCounts = ix0.clusterCounts.localCheckpoint(true))
+    val p = graft.dedup.Dedup.semanticDropIncremental(
+        ix, emb.where(col("vec_id") >= 400), "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus assignment shuffled by an incremental batch:\n$p")
+  }
 }
