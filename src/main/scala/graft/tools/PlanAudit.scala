@@ -29,10 +29,19 @@ object PlanAudit {
     // are the few-file source fan-out + the final orderBy — doc-count-sized
     // narrow rows); decontaminate bhj-only vs the corpus (smj=shj=0);
     // multimodal_knn all-zero (per-row kernels + TakeOrdered).
+    // ... + the round-12 additions. Expectations: multimodal_h264_sps /
+    // multimodal_aac_adts all-zero joins (per-row parser kernels + one
+    // orderBy exchange); dedup_semantic one bhj (the broadcast occupancy
+    // guard) + the cluster-key pair shuffle, zero smj; the incremental arm
+    // bhj-only against the corpus (batch broadcasts, smj=shj=0);
+    // facade_ivfpq_knn zero joins (codes-only ADC scan + TakeOrdered).
     Seq("hybrid_batch_probe", "hybrid_batch", "hybrid_batch_filtered",
       "ann_pq_exact", "ann_pq_batch", "knn_batch_sq8", "tpch_q22",
       "repetition_score", "decontaminate", "multimodal_knn",
-      "save_load_pq_residual").foreach(audit)
+      "save_load_pq_residual",
+      "multimodal_h264_sps", "multimodal_aac_adts", "multimodal_mp3_sideinfo",
+      "dedup_semantic", "dedup_semantic_incremental",
+      "facade_ivfpq_knn", "knn_prefilter_ivfpq").foreach(audit)
     spark.stop()
   }
 }
