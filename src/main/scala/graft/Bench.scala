@@ -126,12 +126,35 @@ object Bench {
       if (acc == 42L) System.err.println("") // defeat dead-code elimination
       (System.nanoTime() - t0) / 1e9
     }
+    // r12 VERDICT #3: steady MEMORY-level co-tenancy is invisible to both
+    // loadavg and the register-resident loop above (measured, round-12
+    // six-run analysis: runs 4/6 inflated ~1.3x uniformly while every
+    // existing instrument read quiet). This pass is DRAM-bound — fixed
+    // work walking a 256 MiB buffer (>> any L3) at cache-line stride, 12
+    // passes = ~3 GiB of traffic — so its wall time is priced in memory
+    // bandwidth, the resource a steady co-tenant actually contends on.
+    // Unloaded reference on this host class ~0.35 s (constants recorded
+    // in quiet_rule beside the inputs; SCALE.md round 13).
+    val memBuf = new Array[Long](1 << 25) // 256 MiB of longs
+    def memCalib(): Double = {
+      val t0 = System.nanoTime()
+      var acc = 0L
+      var pass = 0
+      while (pass < 12) {
+        var i = 0
+        while (i < memBuf.length) { acc += memBuf(i); i += 8 } // 1 read / 64 B line
+        pass += 1
+      }
+      if (acc == 42L) System.err.println("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
     // r9 ADVICE: loadavg_start was promised but never sampled — take it
     // BEFORE the prewarm/first gate; mid-run samples (one per gate, taken
     // between gates, outside any timed window) make sustained pressure
     // visible across the whole run, not just at the edges.
     val loadavgStart = loadavg
     val calibStart = calib()
+    val memCalibStart = memCalib()
     val midSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
     val prewarm: Seq[(String, Double)] =
       if (only.isDefined || sys.env.contains("SPARK_GRAFT_NO_PREWARM")) Nil
@@ -199,6 +222,7 @@ object Bench {
       .mkString("[", ",", "]")
     val loadavgEnd = loadavg
     val calibEnd = calib()
+    val memCalibEnd = memCalib()
     // Self-adjudicating `quiet` flag (r10 VERDICT #7 / r11 VERDICT #3):
     // derived from the run's OWN samples so driver-vs-committed pairs read
     // without a human eyeballing loadavg arrays. Rule: every loadavg
@@ -218,11 +242,20 @@ object Bench {
     // flags itself even when each sample individually looks fine.
     val calibRatio =
       math.max(calibStart, calibEnd) / math.max(1e-9, math.min(calibStart, calibEnd))
+    // round-13 (r12 VERDICT #3): the memory-strided pass joins the rule —
+    // absolute ceiling ~2x the unloaded ~0.35 s reference, plus the same
+    // edge-agreement test the register loop carries, so BOTH a steady
+    // bandwidth co-tenant (uniform inflation, both edges high) and a
+    // mid-run arrival (edges disagree) flag the run.
+    val memRatio =
+      math.max(memCalibStart, memCalibEnd) / math.max(1e-9, math.min(memCalibStart, memCalibEnd))
     val quiet = loadSamples.nonEmpty &&
       loadSamples.max <= nCpus / 4.0 &&
       math.max(calibStart, calibEnd) <= 0.6 &&
-      calibRatio <= 1.35
-    val host = s"""{"loadavg_start":$loadavgStart,"loadavg_mid":$mid,"loadavg_end":$loadavgEnd,"calib_sec_start":$calibStart,"calib_sec":$calibEnd,"cpus":$nCpus,"quiet":$quiet,"quiet_rule":"max(loadavg) <= cpus/4 && max(calib) <= 0.6s && calib edges agree within 1.35x"}"""
+      calibRatio <= 1.35 &&
+      math.max(memCalibStart, memCalibEnd) <= 0.7 &&
+      memRatio <= 1.35
+    val host = s"""{"loadavg_start":$loadavgStart,"loadavg_mid":$mid,"loadavg_end":$loadavgEnd,"calib_sec_start":$calibStart,"calib_sec":$calibEnd,"memcalib_sec_start":$memCalibStart,"memcalib_sec":$memCalibEnd,"cpus":$nCpus,"quiet":$quiet,"quiet_rule":"max(loadavg) <= cpus/4 && max(calib) <= 0.6s && calib edges agree within 1.35x && max(memcalib) <= 0.7s && memcalib edges agree within 1.35x"}"""
     val json = s"""{"metric":"total","value":${tot(_.best)},"unit":"sec","total_cold":${tot(_.cold)},"total_median":${tot(_.median)},"prewarm_sec":$preTot,"prewarm":$pre,"host":$host,"queries":$qs,"cold":$cold,"median":$med,"cpu_ratio":$cpuRatios,"gc_sec":$gcSec,"gc_count":$gcCount,"anomalies":$anomalies,"errors":$errs,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // The driver captures a truncated stdout tail (r5 VERDICT #7: the

@@ -606,16 +606,35 @@ object Dedup {
                                   dim: Int, bands: Int, bitsPerBand: Int,
                                   threshold: Double, maxBucket: Int)
 
+  /** `bitsPerBand = 0` (default) auto-sizes from the corpus count — see
+    * [[autoBitsPerBand]]; the RESOLVED value is stored in the index so
+    * every incremental batch bands identically. */
   def buildEmbeddingIndex(emb: DataFrame, idCol: String, vecCol: String,
                           threshold: Double, dim: Int = 64, bands: Int = 16,
-                          bitsPerBand: Int = 8, maxBucket: Int = 10000): EmbeddingIndex = {
-    val buckets = embeddingBands(emb, idCol, vecCol, dim, bands, bitsPerBand)
+                          bitsPerBand: Int = 0, maxBucket: Int = 10000): EmbeddingIndex = {
+    val bits =
+      if (bitsPerBand > 0) bitsPerBand else autoBitsPerBand(emb.count(), bands)
+    val buckets = embeddingBands(emb, idCol, vecCol, dim, bands, bits)
     // per-(band, sig) corpus occupancy, computed ONCE per corpus snapshot —
     // the incremental guard sums it with each batch's own counts instead of
     // re-aggregating the corpus bucket frame per batch (round-10 review)
     val counts = buckets.groupBy(col("band"), col("sig")).agg(count(lit(1)).as("n"))
     EmbeddingIndex(normalized(emb, idCol, vecCol), buckets, counts,
-      dim, bands, bitsPerBand, threshold, maxBucket)
+      dim, bands, bits, threshold, maxBucket)
+  }
+
+  /** The banded-signature sizing rule as CODE: bits =
+    * ⌈log2(n · bands / candidateBudget)⌉, floored at 8 (the bench-scale
+    * oracle default) and capped at 28 (the signature stays a small int;
+    * map cost is bands·bits dots per row). With 2^bits ≈ n·bands/C the
+    * expected uncorrelated-candidate volume n²/2 · bands/2^bits ≈ n·C/2
+    * stays LINEAR in n — ~C/2 candidate pairs per row (default 32).
+    * Measured (tools/BandedProbe, SCALE.md rounds 12–13): 8 bits at
+    * n = 200 k ⇒ ~1.2 B candidates, 64 GiB heap exhausted; the auto
+    * answer (16 bits) completes the same corpus in ~52 s. */
+  def autoBitsPerBand(n: Long, bands: Int, candidateBudget: Long = 64L): Int = {
+    val target = math.max(1.0, n.toDouble * bands / candidateBudget)
+    math.min(28, math.max(8, math.ceil(math.log(target) / math.log(2.0)).toInt))
   }
 
   /** INCREMENTAL embedding near-dup: cosine pairs (a < b, cos ≥ threshold)
@@ -680,19 +699,24 @@ object Dedup {
       .orderBy(col("cos").desc, col("a").asc, col("b").asc)
   }
 
-  /** SIZING RULE (measured, round 12 — see tools/BandedProbe + SCALE.md):
-    * `bitsPerBand` must grow with log2(corpus). Each band has 2^bits
-    * distinct signatures, so once n ≫ 2^bits the per-pair collision
-    * probability is a constant (~2^-bits for uncorrelated vectors) and
-    * candidate volume is QUADRATIC: n²/2 · bands/2^bits — 1.2 B candidate
-    * rows at n = 200 k with the 8-bit default, which exhausted a 64 GiB
-    * heap. The maxBucket occupancy guard cannot catch this (every bucket
-    * is individually small; the blow-up is bucket COUNT × within-bucket
-    * growth). Size bits ≈ log2(n · bands / C) for a candidate target C;
-    * the 8/16 defaults are the bench-scale (n ≤ 20 k) oracle contract. */
+  /** SIZING RULE, now ENFORCED in code (round-12 VERDICT #1 — it lived
+    * only in scaladoc while the shipped 8-bit default OOM'd a 64 GiB heap
+    * at n = 200 k): `bitsPerBand` must grow with log2(corpus). Each band
+    * has 2^bits distinct signatures, so once n ≫ 2^bits the per-pair
+    * collision probability is a constant (~2^-bits for uncorrelated
+    * vectors) and candidate volume is QUADRATIC: n²/2 · bands/2^bits —
+    * 1.2 B candidate rows at n = 200 k under 8 bits. The maxBucket
+    * occupancy guard cannot catch this (every bucket is individually
+    * small; the blow-up is bucket COUNT × within-bucket growth).
+    *
+    * `bitsPerBand = 0` (the DEFAULT) auto-sizes via [[autoBitsPerBand]]
+    * from one count() of the corpus. Explicit values are honored verbatim
+    * — the driver gates pin 8 bits as part of their DuckDB-oracle
+    * contract at bench scale (n ≤ 20 k, occupancy ≤ 8), and probes
+    * deliberately measure mis-sized configs. */
   def embeddingPairsBanded(emb: DataFrame, idCol: String, vecCol: String,
                            threshold: Double, dim: Int = 64,
-                           bands: Int = 16, bitsPerBand: Int = 8,
+                           bands: Int = 16, bitsPerBand: Int = 0,
                            maxBucket: Int = 10000,
                            bucketsFrame: Option[DataFrame] = None): DataFrame = {
     val rows = normalized(emb, idCol, vecCol)
@@ -818,8 +842,21 @@ object Dedup {
     * re-scan); the occupancy guard counts corpus ∪ batch, identical to
     * the full funnel's rule. Incoming ids must be disjoint from corpus
     * ids. */
+  /** `broadcastMaxRows` guards the explicit batch-side broadcast below,
+    * which bypasses autoBroadcastJoinThreshold: a batch above the bound
+    * (~600 B/row at dim 64 ⇒ the default caps the broadcast near 300 MB)
+    * would build its full hash table on EVERY executor — the same
+    * blow-up the maxCluster occupancy guard exists for (round-12
+    * ADVICE). Oversized batches fall back to a shuffle-hash join on the
+    * cluster key: the corpus re-shuffles once for that batch — the
+    * honest cost of exceeding the batch-bounded contract, never an
+    * executor OOM. Costs one count() job over the incoming frame. */
   def semanticDropIncremental(index: SemanticIndex, incoming: DataFrame,
-                              idCol: String, vecCol: String): DataFrame = {
+                              idCol: String, vecCol: String,
+                              broadcastMaxRows: Long = 500000L): DataFrame = {
+    val small = incoming.count() <= broadcastMaxRows
+    val batchSide: DataFrame => DataFrame =
+      if (small) broadcast else (df => df.hint("shuffle_hash"))
     val inc = assignWith(normalized(incoming, idCol, vecCol),
       index.centroids, index.anchorIds)
     val incCounts = inc.groupBy(col("cluster")).agg(count(lit(1)).as("bn"))
@@ -834,13 +871,14 @@ object Dedup {
     // the batch side BROADCASTS against the corpus (the per-batch-cost ∝
     // |batch| contract every incremental op here holds, plan-pinned): the
     // corpus rows stream through one broadcast hash join on the cluster
-    // key and are never re-shuffled per batch
+    // key and are never re-shuffled per batch — unless the batch exceeds
+    // broadcastMaxRows, where batchSide degrades to shuffle_hash (above)
     val vsCorpus = index.rows
       .select(col("cluster"), col("id").as("ia"), col("vn").as("va"))
-      .join(broadcast(right), Seq("cluster"))
+      .join(batchSide(right), Seq("cluster"))
       .where(col("ia") < col("ib")) // dense-id append ⇒ always true; kept for safety
     val vsBatch = b.select(col("cluster"), col("id").as("ia"), col("vn").as("va"))
-      .join(broadcast(right), Seq("cluster"))
+      .join(batchSide(right), Seq("cluster"))
       .where(col("ia") < col("ib"))
     dropRows(vsCorpus.unionByName(vsBatch).where(dot >= index.threshold))
   }
@@ -850,9 +888,13 @@ object Dedup {
     * Hyperplane h(b,k)[i] = md5-derived uniform in (-0.5, 0.5): first 4
     * bytes of md5('b_k_i') as an unsigned int, scaled. Derived driver-side
     * (same md5 ⇒ bit-identical to a SQL oracle's) and shipped as literal
-    * arrays so each sign bit is ONE fused-codegen dot, not a 64-term tree. */
+    * arrays so each sign bit is ONE fused-codegen dot, not a 64-term tree.
+    * `bitsPerBand = 0` (default) auto-sizes via [[autoBitsPerBand]] —
+    * costs one count() job; pass an explicit value to skip it. */
   def embeddingBands(emb: DataFrame, idCol: String, vecCol: String,
-                     dim: Int = 64, bands: Int = 16, bitsPerBand: Int = 8): DataFrame = {
+                     dim: Int = 64, bands: Int = 16, bitsPerBand: Int = 0): DataFrame = {
+    val bits =
+      if (bitsPerBand > 0) bitsPerBand else autoBitsPerBand(emb.count(), bands)
     val rows = normalized(emb, idCol, vecCol)
     def hplane(b: Int, k: Int): Array[Double] = Array.tabulate(dim) { i =>
       val d = java.security.MessageDigest.getInstance("MD5")
@@ -861,13 +903,13 @@ object Dedup {
               ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
       u.toDouble / 4294967296.0 - 0.5
     }
-    val planes = Array.tabulate(bands * bitsPerBand)(idx =>
-      hplane(idx / bitsPerBand, idx % bitsPerBand))
+    val planes = Array.tabulate(bands * bits)(idx =>
+      hplane(idx / bits, idx % bits))
     // one fused codegen pass computes every band signature (SignBands holds
     // the plane matrix as a reference object); posexplode's position IS the
     // band index, so the frame matches the per-band struct-explode layout
     rows.select(col("id"),
-        posexplode(graft.expr.VectorExpr.signBands(col("vn"), planes, bitsPerBand)))
+        posexplode(graft.expr.VectorExpr.signBands(col("vn"), planes, bits)))
       .toDF("id", "band", "sig")
   }
 

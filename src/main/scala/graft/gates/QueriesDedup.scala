@@ -275,7 +275,12 @@ private[graft] trait QueriesDedup { this: Queries.type =>
 
   private[graft] def docEmbeddingBands(spark: SparkSession, dir: String): DataFrame =
     embBandsCache.get(spark, dir)(
-      eager(Dedup.embeddingBands(tbl(spark, dir, "embeddings"), "vec_id", "embedding")))
+      // bitsPerBand pinned EXPLICITLY to 8: the oracle SQL reproduces the
+      // 8-bit buckets bit-for-bit, so the gate must not ride the
+      // corpus-count auto-sizing (round-12 VERDICT #1 — production
+      // callers leave the default and get the sized value)
+      eager(Dedup.embeddingBands(tbl(spark, dir, "embeddings"), "vec_id", "embedding",
+        bitsPerBand = 8)))
 
   /** Memoized verified banded-embedding pair frame ([[jaccardPairsCache]]
     * contract): the bucket self-join + exact-cosine verification run once
@@ -285,7 +290,7 @@ private[graft] trait QueriesDedup { this: Queries.type =>
   private[graft] def dedupEmbeddingBanded(spark: SparkSession, dir: String): DataFrame =
     embBandedPairsCache.get(spark, dir)(
       eager(Dedup.embeddingPairsBanded(tbl(spark, dir, "embeddings"), "vec_id", "embedding", 0.45,
-        bucketsFrame = Some(docEmbeddingBands(spark, dir)))))
+        bitsPerBand = 8, bucketsFrame = Some(docEmbeddingBands(spark, dir)))))
 
   /** Incremental embedding near-dup gate: first 90% of vec_ids = the
     * INDEXED corpus (normalized rows + banded buckets, memoized), last 10%
@@ -301,7 +306,8 @@ private[graft] trait QueriesDedup { this: Queries.type =>
     val cut = math.ceil(0.9 * e.count()).toLong
     val ix = embIndexCache.get(spark, dir) {
       val built = Dedup.buildEmbeddingIndex(
-        e.where(col("vec_id") < cut), "vec_id", "embedding", threshold = 0.35)
+        e.where(col("vec_id") < cut), "vec_id", "embedding", threshold = 0.35,
+        bitsPerBand = 8) // oracle-pinned 8-bit config, like docEmbeddingBands
       val p = (df: DataFrame) =>
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       built.copy(rows = p(built.rows), buckets = p(built.buckets),

@@ -87,6 +87,12 @@ object Aac {
                   crc: Option[Int] = None): Array[Byte] = {
     require(profile >= 0 && profile < 4 && rateIdx < 13 && channels < 8)
     require(nRawBlocks >= 1 && nRawBlocks <= 4)
+    // parse() strictly rejects CRC-protected multi-block frames (the
+    // per-block adts_error_check layout is undecoded) — fail at
+    // fixture-build time instead of emitting bytes our own parser refuses
+    // (round-12 ADVICE)
+    require(crc.isEmpty || nRawBlocks == 1,
+      "CRC-protected multi-block ADTS frames unsupported by parse()")
     val hdrLen = if (crc.isDefined) 9 else 7
     val frameLen = hdrLen + payload.length
     require(frameLen < (1 << 13), "frame too long for 13-bit length")

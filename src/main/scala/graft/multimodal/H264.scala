@@ -92,7 +92,14 @@ object H264 {
     var zeros = 0
     while (i < until) {
       val v = b(i)
-      if (zeros >= 2 && v == 0x03 && i + 1 <= until) {
+      if (zeros >= 2 && v == 0x03) {
+        // §7.4.1.1 defines the escape only BEFORE a byte ≤ 0x03 — a 0x03
+        // followed by anything else (or ending the stream) is malformed
+        // EBSP; throw rather than mis-unescape, caught into None by
+        // parse() (round-12 ADVICE: the old `i + 1 <= until` guard was
+        // vacuously true and silently stripped invalid escapes)
+        require(i + 1 < until && (b(i + 1) & 0xFF) <= 0x03,
+          "malformed emulation prevention: 0x03 not followed by 00-03")
         // skip the escape byte; zero run restarts after it
         zeros = 0
       } else {
@@ -105,7 +112,11 @@ object H264 {
   }
 
   /** RBSP → EBSP (encoder side): insert 0x03 after any 00 00 followed by
-    * a byte ≤ 0x03 — including the pattern-breaking case at payload end. */
+    * a byte ≤ 0x03. Precondition (asserted by [[annexB]]): the payload's
+    * last byte is nonzero — true of every real RBSP, whose
+    * rbsp_trailing_bits stop bit (§7.4.2.10) lands in the final byte.
+    * Without it, [[parse]]'s trailing-zero strip would eat legitimate
+    * payload-final zeros on the round trip (round-12 ADVICE). */
   private[graft] def escape(b: Array[Byte]): Array[Byte] = {
     val out = new ArrayBuffer[Byte](b.length + 8)
     var zeros = 0
@@ -295,6 +306,11 @@ object H264 {
              fourByteAll: Boolean = false): Array[Byte] = {
     val out = new ArrayBuffer[Byte]()
     nals.zipWithIndex.foreach { case ((ref, typ, rbsp), i) =>
+      // rbsp_trailing_bits' stop bit makes every real RBSP end nonzero
+      // (§7.4.2.10); a zero-final payload would be corrupted by parse()'s
+      // trailing_zero_8bits strip, so fail at fixture-build time
+      require(rbsp.nonEmpty && rbsp.last != 0,
+        "RBSP must end with a nonzero byte (rbsp_trailing_bits stop bit)")
       if (i == 0 || fourByteAll) out += 0
       out += 0; out += 0; out += 1
       out += ((ref << 5) | typ).toByte

@@ -16,17 +16,20 @@ import org.apache.spark.sql.SparkSession
   *
   * The scale rule this probe measures: bitsPerBand must grow with
   * log2(n) — candidates halve per added bit, so bits ≈ log2(n·bands/C)
-  * holds candidates at a target C. The operator stays parameterized (the
-  * gate's fixed 8/16 knobs are part of its DuckDB-oracle contract at
-  * bench scales, where occupancy is ≤ 8); production callers size bits
-  * from corpus count.
+  * holds candidates at a target C. Since round 13 the rule is ENFORCED:
+  * [[Dedup.autoBitsPerBand]] sizes the default from a corpus count, and
+  * this probe's default args (bits = 0 = auto) exercise exactly that
+  * path — the ×100 kill-run now completes with defaults. Explicit bits
+  * (the gates' oracle-pinned 8, or a deliberate mis-size to re-measure
+  * the blow-up) are honored verbatim.
   *
-  * Args: [dir] [bitsPerBand] [bands] [threshold]. Prints candidate and
-  * result counts + wall seconds. Dev harness — not driver contract. */
+  * Args: [dir] [bitsPerBand (0 = auto)] [bands] [threshold]. Prints
+  * candidate and result counts + wall seconds. Dev harness — not driver
+  * contract. */
 object BandedProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_scale12/x100")
-    val bits = if (args.length > 1) args(1).toInt else 16
+    val bits = if (args.length > 1) args(1).toInt else 0
     val bands = if (args.length > 2) args(2).toInt else 16
     val threshold = if (args.length > 3) args(3).toDouble else 0.45
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -41,8 +44,10 @@ object BandedProbe {
       threshold, bands = bands, bitsPerBand = bits)
     val rows = pairs.count()
     val sec = (System.nanoTime() - t0) / 1e9
-    println(f"[banded] n=$n bits=$bits bands=$bands thr=$threshold " +
-      f"pairs=$rows wall=$sec%.1f s (expected occupancy ~ ${n / math.pow(2, bits)}%.1f/bucket)")
+    val effBits = if (bits > 0) bits else Dedup.autoBitsPerBand(n, bands)
+    println(f"[banded] n=$n bits=$effBits${if (bits == 0) " (auto)" else ""} " +
+      f"bands=$bands thr=$threshold pairs=$rows wall=$sec%.1f s " +
+      f"(expected occupancy ~ ${n / math.pow(2, effBits)}%.1f/bucket)")
     spark.stop()
   }
 }

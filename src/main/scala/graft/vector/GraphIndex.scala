@@ -404,12 +404,50 @@ object GraphIndex {
     new GraphIndex(edges, vectors, p.getLong(0), p.getLong(1), Seq(vectors, edges))
   }
 
+  /** SHARDED-BUILD sizing (round-13, r12 VERDICT #2): the exact k-NN-graph
+    * build is quadratic in corpus size (every node scores every other —
+    * measured ×10→×100 cold 19.0 s → 2 066.7 s at 200 k nodes), so corpora
+    * past [[exactBuildMax]] auto-route to a sharded construction, the I4
+    * degrade-ladder discipline applied to I2: shard = IVF cluster sized to
+    * ~[[shardTarget]] rows (nlist = n/shardTarget, sample-trained), and
+    * each node's k-NN edge candidates come from its [[shardedNprobe]]
+    * nearest shards — per-shard subgraphs with cross-shard neighbor
+    * exchange through second-nearest-cluster probing, the standard
+    * k-means-sharded k-NN-graph construction. Candidate volume becomes
+    * n × shardedNprobe × shardTarget — LINEAR in n at fixed shard size
+    * (measured in SCALE.md round 13). Search EXACTNESS is untouched:
+    * the unbounded beam's completeness rides the skip-ring, never edge
+    * quality (spec-pinned); tuned-beam recall over sharded edges is
+    * floor-pinned in StructuredRecallSpec. */
+  val exactBuildMax = 50000L
+  val shardTarget = 4096
+  val shardedNprobe = 2
+
+  /** The build's resolved (nlist, nprobe) — exposed so the routing rule is
+    * spec-pinnable without paying a build. Explicit caller values are
+    * honored verbatim; defaults (−1) auto-route on `n`. */
+  def buildPlan(n: Long, nlist: Int, graphNprobe: Int): (Int, Int) = {
+    val nl =
+      if (nlist > 0) nlist
+      else if (n > exactBuildMax)
+        math.max(16, math.min(1 << 16, (n / shardTarget).toInt))
+      else 16
+    val np =
+      if (graphNprobe > 0) graphNprobe
+      else if (n > exactBuildMax) shardedNprobe
+      else nl // exact edges: probe everything
+    (nl, np)
+  }
+
   /** Distributed build: bulk exact-or-probed k-NN graph + symmetrization
-    * + the deterministic skip-ring. `graphNprobe` tunes the build-time
-    * k-NN accuracy (= nlist ⇒ exact edges, the default here for bounded
-    * corpora; ≪ nlist is the 100 TB build, recall measured in SCALE.md —
-    * approximate EDGES only reduce recall, never correctness of the
-    * exact-recoverable search, whose completeness rides the skip-ring). */
+    * + the deterministic skip-ring. `nlist`/`graphNprobe` default to the
+    * [[buildPlan]] auto-routing: bounded corpora get exact edges
+    * (nprobe = nlist), corpora past [[exactBuildMax]] get the sharded
+    * linear-cost construction. Explicit values are honored verbatim
+    * (gates pin nlist = 16 exact as part of their oracle contract;
+    * approximate EDGES only reduce tuned recall, never correctness of
+    * the exact-recoverable search, whose completeness rides the
+    * skip-ring). */
   /** Dense 0-based rank of every node in ascending-id order — the
     * skip-ring's coordinate system. Distributed: a RANGE-partitioned sort
     * (ascending ranges land in ascending partition indices) followed by
@@ -443,7 +481,7 @@ object GraphIndex {
   }
 
   def build(data: DataFrame, idCol: String, vecCol: String,
-            k: Int = 8, nlist: Int = 16, graphNprobe: Int = -1): GraphIndex = {
+            k: Int = 8, nlist: Int = -1, graphNprobe: Int = -1): GraphIndex = {
     val vectors = data.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<float>").as("vector"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -455,9 +493,10 @@ object GraphIndex {
     // not leak cached state until JVM exit (round-10 ADVICE).
     if (n == 0) vectors.unpersist(blocking = false)
     require(n > 0, "cannot build a graph index over an empty corpus")
-    val ivf = IVFIndex.build(vectors, "id", "vector", nlist)
-    val nprobe = if (graphNprobe > 0) graphNprobe else ivf.nlist
-    val knn = ivf.knnGraph(vectors, "id", "vector", k, nprobe)
+    val (nl, nprobe) = buildPlan(n, nlist, graphNprobe)
+    val ivf = IVFIndex.build(vectors, "id", "vector", nl)
+    val knn = ivf.knnGraph(vectors, "id", "vector", k,
+      math.min(nprobe, ivf.nlist))
       .select(col("qid").as("src"), col("id").as("dst"))
     val ranked = rankById(vectors)
     val skips = skipRing(ranked, n)

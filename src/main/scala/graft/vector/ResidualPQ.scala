@@ -141,13 +141,14 @@ final class ResidualPQ(val codes: DataFrame, // (id, cluster, codes, err)
     * groupBy(qid, id) sum. The probed restriction rides the equi-join
     * keys: un-probed (qid, cluster) pairs simply have no table rows.
     * Output contract = [[PQIndex.searchBatch]]: (qid, id, score),
-    * (score desc, id asc) per qid. Qids must identify ONE query each:
-    * duplicates are collapsed to ONE ARBITRARY row (`dropDuplicates` in a
-    * distributed plan has no defined winner, so conflicting vectors under
-    * a repeated qid give a nondeterministic pick — round-12 ADVICE; pass
-    * unique qids for a deterministic answer). A repeated qid left
-    * uncollapsed would otherwise double every d̂ partial through the
-    * table join (round-11 review). */
+    * (score desc, id asc) per qid. Qids must identify ONE query each —
+    * a repeated qid would double every d̂ partial through the table join
+    * (round-11 review), and collapsing duplicates has no defined winner
+    * in a distributed plan (round-12 ADVICE: the old `dropDuplicates`
+    * was a nondeterministic pick). Uniqueness is ASSERTED inside the
+    * plan (a window count + assert_true filter predicate, so column
+    * pruning cannot elide it and no extra driver job runs): duplicate
+    * qids fail the query with a named error. */
   def searchBatch(queries: DataFrame, qidCol: String, qvecCol: String,
                   k: Int, nprobe: Int = 4,
                   broadcastQueries: Boolean = true): DataFrame = {
@@ -156,7 +157,12 @@ final class ResidualPQ(val codes: DataFrame, // (id, cluster, codes, err)
     import spark.implicits._
     val q = queries.select(col(qidCol).as("qid"),
       col(qvecCol).cast("array<double>").as("__qv"))
-      .dropDuplicates("qid")
+      .withColumn("__nq", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))))
+      .where(assert_true(col("__nq") === 1,
+        concat(lit("duplicate qid in ResidualPQ.searchBatch: "),
+          col("qid").cast("string"))).isNull)
+      .drop("__nq")
     val cenDF = centroids.toSeq.map { case (c, cen) => (c, cen.toSeq) }
       .toDF("cluster", "cen")
     val probed = graft.plans.TopK.perKey(

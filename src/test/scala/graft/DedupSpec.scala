@@ -385,6 +385,67 @@ class DedupSpec extends AnyFunSuite {
     assert(ix.anchorIds.toSeq == Seq(0L, 1L, 2L))
   }
 
+  test("autoBitsPerBand enforces the measured sizing rule (round-12 ×100 kill)") {
+    // bench scale sits at the 8-bit oracle floor
+    assert(Dedup.autoBitsPerBand(100L, 16) == 8)
+    assert(Dedup.autoBitsPerBand(1000L, 16) == 8)
+    // the ×100 kill-run size (n = 200 k) gets the measured fix: 16 bits
+    // (tools/BandedProbe: 8-bit ⇒ ~1.2 B candidates / heap death;
+    // 16-bit ⇒ 51.9 s on the same corpus)
+    assert(Dedup.autoBitsPerBand(200000L, 16) == 16)
+    // linear-candidate invariant across decades (below the 28-bit cap,
+    // which binds only past n ≈ 10⁹ at 16 bands): expected uncorrelated
+    // candidates n²/2 · bands/2^bits stay ≤ (candidateBudget/2)·n
+    for (n <- Seq(10000L, 1000000L, 100000000L, 1000000000L)) {
+      val bits = Dedup.autoBitsPerBand(n, 16)
+      val candPerRow = n.toDouble / 2 * 16 / math.pow(2, bits)
+      assert(candPerRow <= 32.0 + 1e-9, s"n=$n bits=$bits candPerRow=$candPerRow")
+    }
+    // capped: the signature string stays small-int-width
+    assert(Dedup.autoBitsPerBand(Long.MaxValue / 1024, 16) == 28)
+  }
+
+  test("banded DEFAULT (auto bits) == explicit 8-bit output at floor scale") {
+    // 42 vectors ⇒ autoBitsPerBand = 8 (the floor), so the default path is
+    // bit-identical to the gates' explicit-8 oracle configuration here —
+    // the auto rule changes nothing at bench scale, only above it
+    val rnd = new scala.util.Random(23)
+    def v(): Seq[Float] = Seq.fill(64)(rnd.nextFloat() - 0.5f)
+    val baseV = v()
+    val emb = ((0L until 40L).map(i => i -> v()) ++
+      Seq(100L -> baseV, 101L -> baseV.map(x => x + 0.003f))).toDF("id", "v")
+    def run(bits: Int): Set[(Long, Long, Double)] =
+      Dedup.embeddingPairsBanded(emb, "id", "v", threshold = 0.9, bitsPerBand = bits)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(Dedup.autoBitsPerBand(42L, 16) == 8)
+    val auto = Dedup.embeddingPairsBanded(emb, "id", "v", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(auto == run(8) && auto.nonEmpty)
+  }
+
+  test("semanticDropIncremental: oversized batch degrades to shuffle join with identical rows") {
+    val rnd = new scala.util.Random(17)
+    def jig(axis: Int): Seq[Double] =
+      Seq.tabulate(4)(i => (if (i == axis) 1.0 else 0.0) + rnd.nextDouble() * 0.15)
+    val all = (0L until 40L).map(i => (i, jig((i % 3).toInt))).toDF("vec_id", "embedding")
+    val corpus = all.where(col("vec_id") < 30L)
+    val batch = all.where(col("vec_id") >= 30L)
+    val ix = Dedup.buildSemanticIndex(corpus, "vec_id", "embedding",
+      nAnchors = 3, threshold = 0.95)
+    def rows(maxRows: Long): Set[(Long, Long, Double)] =
+      Dedup.semanticDropIncremental(ix, batch, "vec_id", "embedding",
+          broadcastMaxRows = maxRows)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaBroadcast = rows(Long.MaxValue)
+    val viaShuffle = rows(0L) // batch of 10 > 0 ⇒ forced onto the guard path
+    assert(viaBroadcast == viaShuffle && viaBroadcast.nonEmpty)
+    // the guard path really is join-shaped differently: no broadcast hint
+    val plan = Dedup.semanticDropIncremental(ix, batch, "vec_id", "embedding",
+      broadcastMaxRows = 0L).queryExecution.executedPlan.toString()
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected the oversized-batch fallback to shuffle-hash join:\n$plan")
+  }
+
   test("semanticDrop: maxCluster guard excludes oversized clusters from pairing") {
     val emb = (0L until 10L).map(i =>
       (i, Seq.tabulate(4)(d => if (d == 0) 1.0 else 0.001 * i))).toDF("vec_id", "embedding")

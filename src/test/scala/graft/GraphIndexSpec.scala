@@ -101,6 +101,49 @@ class GraphIndexSpec extends AnyFunSuite {
       s"dispose left coverage segments persisted (pre=$pre, after=$after)")
   }
 
+  test("buildPlan auto-routing: exact below the cap, sharded above (r12 VERDICT #2)") {
+    // bounded corpora: the historical exact default (nlist 16, probe all)
+    assert(GraphIndex.buildPlan(1000L, -1, -1) == ((16, 16)))
+    assert(GraphIndex.buildPlan(50000L, -1, -1) == ((16, 16))) // boundary stays exact
+    // the ×100 kill size routes to the sharded construction
+    assert(GraphIndex.buildPlan(200000L, -1, -1) == ((48, 2)))
+    // linear candidate volume at fixed shard size: nprobe × n/nlist stays
+    // ~shardTarget-bounded per node across decades — the quadratic exact
+    // build (n per node) is structurally unreachable by default past the cap
+    for (n <- Seq(100000L, 1000000L, 10000000L, 100000000L)) {
+      val (nl, np) = GraphIndex.buildPlan(n, -1, -1)
+      val candPerNode = np.toDouble * n / nl
+      assert(candPerNode <= 2.5 * GraphIndex.shardTarget,
+        s"n=$n nlist=$nl nprobe=$np candPerNode=$candPerNode")
+      assert(np < nl, s"sharded plan must not probe everything: n=$n")
+    }
+    // past the 2^16 shard cap (n ≳ 2.7e8, where a sample-trained coarse
+    // quantizer stops being meaningful anyway) shards grow with n again,
+    // but the scanned FRACTION keeps falling — never the quadratic cliff
+    val (nlB, npB) = GraphIndex.buildPlan(1000000000L, -1, -1)
+    assert(nlB == 65536 && npB == 2)
+    // explicit caller values are honored verbatim (gates pin 16/exact)
+    assert(GraphIndex.buildPlan(200000L, 16, 4) == ((16, 4)))
+    assert(GraphIndex.buildPlan(200000L, 16, -1) == ((16, 2)))
+  }
+
+  test("sharded-path build: unbounded beam stays EXACT over approximate edges") {
+    import spark.implicits._
+    // aggressively sharded edges (nlist 4, probe 1 — each node's k-NN
+    // candidates come from ONE shard of ~16 rows): the unbounded beam's
+    // completeness rides the skip-ring, so the search still equals the
+    // flat scan bit-for-bit — the invariant that makes sharded builds safe
+    val rnd = new scala.util.Random(5)
+    val data = (0L until 64L).map(i => (i, Seq.fill(8)(rnd.nextFloat()))).toDF("id", "v")
+    val idx = GraphIndex.build(data, "id", "v", k = 4, nlist = 4, graphNprobe = 1)
+    val q = Array.fill(8)(0.5)
+    val got = idx.search(q, 5, ef = 0).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val want = ExactKNN.topK(data, "id", "v", q, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == want.toSeq)
+    idx.dispose()
+  }
+
   test("degree is bounded by 2k + 2 log2 n (the frontier fan-out bound)") {
     val n = emb.count()
     val bound = 2 * 8 + 2 * (64 - java.lang.Long.numberOfLeadingZeros(n - 1)) + 2

@@ -145,6 +145,21 @@ class ResidualPQSpec extends AnyFunSuite {
     assert(recalls.sum / recalls.size >= 0.5, s"batch recall too low: $recalls")
   }
 
+  test("searchBatch: duplicate qids fail loudly instead of a nondeterministic pick") {
+    import org.apache.spark.sql.functions.col
+    // two DIFFERENT vectors under one qid — the round-12 dropDuplicates
+    // collapsed this to an arbitrary winner; the in-plan assert names it
+    val dup = emb.where(col("vec_id").isin(Seq(7L, 29L).map(Long.box): _*))
+      .select(org.apache.spark.sql.functions.lit(1L).as("qid"),
+        col("embedding").as("qv"))
+    val e = intercept[Exception](
+      rpq.searchBatch(dup, "qid", "qv", k = 3, nprobe = 2).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("duplicate qid")),
+      s"expected the named assert, got: ${msgs(e)}")
+  }
+
   test("append: trained quantizer + codebooks reused (object identity), exact over the union") {
     val cut = 150L
     val head = emb.where(col("vec_id") < cut)

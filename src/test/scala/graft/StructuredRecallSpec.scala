@@ -68,6 +68,24 @@ class StructuredRecallSpec extends AnyFunSuite {
     gi.dispose()
   }
 
+  test("graph tuned beam over SHARDED edges (nlist=20, buildNprobe=2): recall@10 >= 0.9") {
+    // the round-13 sharded construction: k-NN edge candidates restricted
+    // to each node's 2 nearest shards. On clustered geometry true
+    // neighbors live in the home shard, so tuned recall must hold the
+    // same floor as exact edges — this pins the sharded build's quality,
+    // not just its cost (r12 VERDICT #2 done-criterion)
+    val gi = GraphIndex.build(emb, "vec_id", "embedding", k = 8,
+      nlist = nClusters, graphNprobe = 2)
+    val recalls = qids.map { id =>
+      val q = qvec(id)
+      gi.search(q, 10, ef = 64).collect().map(_.getLong(0)).toSet
+        .intersect(exactTop(q, 10)).size / 10.0
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.9, s"sharded-edge graph recall@10 $recall at ef=64")
+    gi.dispose()
+  }
+
   test("residual ADC at nprobe=2/20: recall@10 >= 0.65 (quantized + probed, still >> scanned)") {
     // the ADC arm pays BOTH approximations (probed subset + quantized
     // ranking); measured 0.71 at ~10% scanned on this geometry — the pin
