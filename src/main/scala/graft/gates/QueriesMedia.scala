@@ -290,6 +290,71 @@ private[graft] trait QueriesMedia { this: Queries.type =>
     graft.multimodal.Multimodal.mp3SideInfo(mp3SideinfoAssets(spark, dir))
       .toDF().orderBy(col("id"), col("granule"), col("channel"))
 
+  /** Hand-assembled frames for the Layer III HUFFMAN gate (round 13,
+    * r12 VERDICT #5): every decoded spectral integer is a doc_id/sample
+    * formula the oracle restates in SQL. Stereo 128 kbps / 44.1 kHz,
+    * self-contained, long blocks, scfsi all 0 (granule-1 factors
+    * re-emitted — the SHARING path is the sideinfo gate's job). Regions:
+    * region0_count 3 / region1_count 7 ⇒ region0 = samples 0–15 coded
+    * with the id-4 fixture codebook, region1 the rest of big_values
+    * (≤ 50 < 74) with the id-14 ESCAPE codebook (|15|+linbits values);
+    * count1 alternates fixture-table-A / table-B (the complement-bit
+    * table) per (id+g+ch) parity — the VALUES are parity-independent,
+    * so the oracle needn't model the encoding, only the decode result.
+    * Spectral value formulas (i = sample index):
+    *   region0 (i < 16):      mag = (id+i) % 4
+    *   region1 (16 ≤ i < nBig): mag ∈ {0, 1, 1, 15+((id+i)%8)} by (id+i)%4
+    *   count1 (nBig ≤ i < nBig+nC1): mag = (id+i) % 2
+    *   sign: negative iff (id+i) % 5 < 2 (applied to nonzero mags)
+    * with nBig = 2·(20 + id%5) and nC1 = 4·(4 + id%3). */
+  private[graft] def mp3HuffmanAssets(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val src = docsTbl(spark, dir).where(col("doc_id") < 50)
+      .select(col("doc_id")).as[Long]
+    src.mapPartitions(_.map { id =>
+      val nBig = 2 * (20 + (id % 5)).toInt
+      val nC1 = 4 * (4 + (id % 3)).toInt
+      def value(i: Int): Int = {
+        val mag =
+          if (i < 16) ((id + i) % 4).toInt
+          else if (i < nBig) ((id + i) % 4).toInt match {
+            case 0 => 0
+            case 1 | 2 => 1
+            case _ => 15 + ((id + i) % 8).toInt
+          }
+          else ((id + i) % 2).toInt
+        if (mag != 0 && (id + i) % 5 < 2) -mag else mag
+      }
+      val is = Array.tabulate(nBig + nC1)(value)
+      def gi(g: Int, ch: Int) = graft.multimodal.Mp3.GranuleInfo(
+        part23Length = 0, // recomputed by encodeSpectra
+        bigValues = nBig / 2,
+        globalGain = ((5 * id + 17 * g + 29 * ch) % 256).toInt,
+        scalefacCompress = 9,
+        windowSwitching = false, blockType = 0, mixedBlock = false,
+        tableSelect = Seq(4, 14, 0), subblockGain = Nil,
+        region0Count = 3, region1Count = 7,
+        preflag = (id % 2).toInt, scalefacScale = ((id + g) % 2).toInt,
+        count1TableSelect = ((id + g + ch) % 2).toInt)
+      val si = graft.multimodal.Mp3.SideInfo(0, (id % 8).toInt,
+        Seq.fill(2)(Seq.fill(4)(0)),
+        Seq.tabulate(2)(g => Seq.tabulate(2)(ch => gi(g, ch))))
+      val sfs = Seq.fill(2)(Seq.fill(2)(
+        Array.tabulate(21)(b => ((id + b) % 4).toInt)))
+      val spectra = Seq.fill(2)(Seq.fill(2)(is))
+      val main = graft.multimodal.Mp3.encodeSpectra(si, 2, sfs, spectra)
+      val flen = 417
+      require(main.length <= flen - 4, s"fixture main data ${main.length} overruns frame")
+      graft.multimodal.Multimodal.Asset(id, "audio",
+        graft.multimodal.Mp3.encodeMp3(1, 9, 0,
+          java.util.Arrays.copyOf(main, flen - 4)), 0, 0)
+    })
+  }
+
+  private[graft] def multimodalMp3Huffman(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.mp3Spectra(mp3HuffmanAssets(spark, dir))
+      .toDF().orderBy(col("id"), col("granule"), col("channel"))
+
   /** REAL H.264 Annex-B payloads (round 12): SPS + PPS + 1–3 IDR slice
     * NALs per doc, every SPS/PPS field a doc_id formula the oracle
     * restates, bit-packed through [[graft.multimodal.H264.encodeSps]]

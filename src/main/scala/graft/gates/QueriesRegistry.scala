@@ -296,6 +296,40 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
         |  21 AS sf_n
         |FROM ids, g, c
         |ORDER BY id, granule, channel""".stripMargin)),
+    "multimodal_mp3_huffman" -> Q(multimodalMp3Huffman, Some(
+      // restates mp3HuffmanAssets' spectral-value formulas per (id,
+      // granule, channel): the decoded signed integers of both Huffman
+      // regions (fixture small + escape codebooks) and the count1 run,
+      // aggregated as counts, exact sums, and the position-weighted
+      // checksum Σ (i+1)·is(i) — so pair/quad decode, linbits escapes,
+      // sign bits AND sample placement are all oracle-checked. The
+      // values are (g, ch)-independent by construction; the four rows
+      // differ only in how they were ENCODED (count1 table A/B parity),
+      // which is exactly what the shared restatement pins.
+      """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 50),
+        |g AS (SELECT unnest(range(0, 2)) AS granule),
+        |c AS (SELECT unnest(range(0, 2)) AS channel),
+        |base AS (
+        |  SELECT id, granule::INT AS granule, channel::INT AS channel,
+        |         2*(20 + id%5) AS n_big, 4*(4 + id%3) AS n_c1
+        |  FROM ids, g, c),
+        |vals AS (
+        |  SELECT id, granule, channel, n_big, n_c1,
+        |    list_transform(range(0, n_big + n_c1), i ->
+        |      (CASE WHEN (id+i)%5 < 2 THEN -1 ELSE 1 END) *
+        |      (CASE WHEN i < 16 THEN (id+i)%4
+        |            WHEN i < n_big THEN
+        |              CASE (id+i)%4 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 1
+        |                   ELSE 15 + (id+i)%8 END
+        |            ELSE (id+i)%2 END)) AS v
+        |  FROM base)
+        |SELECT id, granule, channel,
+        |  n_big::INT AS n_big, n_c1::INT AS n_count1,
+        |  len(list_filter(v, x -> x <> 0))::INT AS n_nonzero,
+        |  list_sum(v)::BIGINT AS is_sum,
+        |  list_sum(list_transform(v, x -> abs(x)))::BIGINT AS is_abs_sum,
+        |  list_sum(list_transform(range(0, n_big + n_c1), i -> v[i+1] * (i+1)))::BIGINT AS pos_sum
+        |FROM vals ORDER BY id, granule, channel""".stripMargin)),
     "multimodal_h264_sps" -> Q(multimodalH264Sps, Some(
       // restates h264Assets' SPS/PPS field formulas + the §7.4.2.1.1
       // width/height derivation, and pins the concatenated slice RBSPs

@@ -292,6 +292,334 @@ object Mp3 {
     out.toByteArray
   }
 
+  // -------------------------------------------------------------------
+  // Layer III Huffman spectral decode + requantization (round 13,
+  // r12 VERDICT #5: the next pure-integer rung after side-info/scale-
+  // factors). ISO/IEC 11172-3 §2.4.2.7: after the scale factors, each
+  // granule×channel's remaining part2_3 bits are Huffman-coded spectral
+  // integers — big_values PAIRS over three region-partitioned code
+  // tables (with linbits escapes past |15| and a sign bit per nonzero),
+  // then count1 QUADRUPLES until the bit budget runs out, then zeros to
+  // sample 576. Requantization turns integers into spectral magnitudes:
+  // xr = sign·|is|^(4/3) · 2^((global_gain−210)/4)
+  //        · 2^(−mult·(scalefac + preflag·pretab)), mult = 0.5/1.0 by
+  // scalefac_scale (§2.4.3.4).
+  //
+  // CODEBOOK PROVENANCE — the never-guess discipline: Table B.7's 15
+  // distinct big-values codebooks and count1 table A are pure DATA
+  // (~1 600 codewords); in this zero-egress environment a from-memory
+  // transcription cannot be verified against the spec text, so those
+  // ids STRICT-REJECT unless the caller supplies the codebook, exactly
+  // like the seq_scaling_matrix SPS reject. What ships: table 0 (the
+  // all-zeros table — structural, no codewords), count1 table B (§B.7:
+  // the 4-bit code is the literal complement of (v,w,x,y) — structural),
+  // and FIXTURE codebooks mounted on ids 4 and 14, the two table ids
+  // ISO itself defines as "not used" — so no real stream's table id can
+  // collide with a fixture decode. The decode LOGIC (region partition,
+  // pair/quad walks, escapes, signs, 576-sample layout, requantization)
+  // is complete and golden-pinned with these codebooks.
+  // -------------------------------------------------------------------
+
+  /** A big-values pair codebook: `codes` maps '0'/'1' prefix-free code
+    * strings to (|x|, |y|); `linbits` extends value 15 by that many raw
+    * bits (0 = no escape). */
+  final case class HuffTable(linbits: Int, codes: Map[String, (Int, Int)]) {
+    require(codes.nonEmpty, "empty codebook")
+    // prefix-freedom: no code is a prefix of another
+    require(!codes.keys.exists(a => codes.keys.exists(b => b != a && b.startsWith(a))),
+      "codebook is not prefix-free")
+    private[multimodal] val maxLen = codes.keys.map(_.length).max
+    private[multimodal] val enc: Map[(Int, Int), String] =
+      codes.map(_.swap)
+    require(enc.size == codes.size, "duplicate (x, y) entries")
+  }
+
+  /** A count1 quadruple codebook: code strings → (v, w, x, y) ∈ {0,1}⁴. */
+  final case class Count1Table(codes: Map[String, (Int, Int, Int, Int)]) {
+    require(codes.nonEmpty)
+    require(!codes.keys.exists(a => codes.keys.exists(b => b != a && b.startsWith(a))),
+      "codebook is not prefix-free")
+    private[multimodal] val maxLen = codes.keys.map(_.length).max
+    private[multimodal] val enc: Map[(Int, Int, Int, Int), String] = codes.map(_.swap)
+  }
+
+  /** Fixture codebook on ISO-unused id 4: (x, y) ∈ 0..3, canonical —
+    * (0,0) = "0", the other 15 pairs enumerate as "1" + 4 index bits. */
+  val fixtureTableSmall: HuffTable = HuffTable(0,
+    (for { x <- 0 to 3; y <- 0 to 3 } yield {
+      val k = x * 4 + y
+      val code = if (k == 0) "0"
+        else "1" + Integer.toBinaryString(16 | (k - 1)).substring(1)
+      code -> ((x, y))
+    }).toMap)
+
+  /** Fixture ESCAPE codebook on ISO-unused id 14: (x, y) ∈ {0, 1, 15}²
+    * with linbits = 3 (decoded 15 extends to 15 + read(3) ≤ 22) — the
+    * escape path real tables 16–31 use, exercised without transcribing
+    * them. */
+  val fixtureTableEsc: HuffTable = HuffTable(3, Map(
+    "0" -> ((0, 0)), "10" -> ((0, 1)), "110" -> ((1, 0)), "1110" -> ((1, 1)),
+    "111100" -> ((0, 15)), "111101" -> ((15, 0)),
+    "111110" -> ((1, 15)), "1111110" -> ((15, 1)), "1111111" -> ((15, 15))))
+
+  /** Fixture count1 codebook (mounted when count1table_select = 0, where
+    * ISO's table A — transcription data — would sit): all-zeros = "0",
+    * the other 15 quads as "1" + the literal (v,w,x,y) bits. */
+  val fixtureCount1A: Count1Table = Count1Table(
+    (for { q <- 0 to 15 } yield {
+      val t = ((q >> 3) & 1, (q >> 2) & 1, (q >> 1) & 1, q & 1)
+      (if (q == 0) "0" else "1" + Integer.toBinaryString(16 | q).substring(1)) -> t
+    }).toMap)
+
+  /** The fixture codebook mount: ids 4 and 14 (ISO "not used"). */
+  val fixtureTables: Map[Int, HuffTable] =
+    Map(4 -> fixtureTableSmall, 14 -> fixtureTableEsc)
+
+  /** Long-block scalefactor-band sample boundaries per samplerate index
+    * (ISO 11172-3 Table B.8, transcribed — 22 bands, boundary 22 = 576).
+    * Used for the region0/region1 sample partition and the per-band
+    * requantization exponent. */
+  private[multimodal] val sfBandsLong: Array[Array[Int]] = Array(
+    Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110, 134,
+      162, 196, 238, 288, 342, 418, 576), // 44.1 kHz
+    Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88, 106, 128,
+      156, 190, 230, 276, 330, 384, 576), // 48 kHz
+    Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126, 156,
+      194, 240, 296, 364, 448, 576)) // 32 kHz
+
+  /** preflag's fixed per-band boost (§2.4.3.4 pretab). */
+  private[multimodal] val pretab: Array[Int] =
+    Array(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0)
+
+  /** One granule×channel's decoded spectrum: `is` = the 576 Huffman
+    * integers (signed), `nBig`/`nCount1` = samples decoded by each stage,
+    * `xr` = requantized magnitudes. */
+  final case class Spectrum(is: Array[Int], nBig: Int, nCount1: Int,
+                            xr: Array[Double])
+
+  /** Decode the Huffman spectral data of a SELF-CONTAINED frame
+    * (main_data_begin = 0) — scale factors are read first with the same
+    * §2.4.2.7 walk [[parseScalefactors]] pins, then the big-values pair
+    * regions and the count1 quadruple run, then requantization. Strict →
+    * None: reservoir frames, window switching (short-block reorder is
+    * the DSP seam), unknown table ids (see codebook provenance above),
+    * a pair/quad walk crossing part2_3_length, or count1 overrunning
+    * sample 576. Result: per granules(g)(ch). */
+  def decodeSpectra(payload: Array[Byte], channels: Int, rateIdx: Int,
+                    tables: Map[Int, HuffTable] = fixtureTables,
+                    count1A: Count1Table = fixtureCount1A): Option[Seq[Seq[Spectrum]]] = try {
+    val siOpt = parseSideInfo(payload, channels)
+    if (siOpt.isEmpty) return None
+    val si = siOpt.get
+    if (si.mainDataBegin != 0) return None // bit reservoir: the DSP seam
+    val bands = sfBandsLong(rateIdx)
+    val siBytes = if (channels == 1) 17 else 32
+    val r = new BitReader(java.util.Arrays.copyOfRange(payload, siBytes, payload.length))
+    val out = Array.fill(2)(new Array[Spectrum](channels))
+    val sfSave = Array.fill(2)(new Array[Array[Int]](channels))
+    for (g <- 0 until 2; ch <- 0 until channels) {
+      val gi = si.granules(g)(ch)
+      if (gi.windowSwitching) return None // short/mixed blocks: DSP seam
+      val (s1, s2) = slenTable(gi.scalefacCompress)
+      var read = 0
+      def take(n: Int): Int = { read += n; r.read(n) }
+      // long-block scale factors, scfsi sharing as in parseScalefactors
+      val sfs = new Array[Int](21)
+      val groups = Seq(0 until 6, 6 until 11, 11 until 16, 16 until 21)
+      for ((grp, gidx) <- groups.zipWithIndex; b <- grp) {
+        if (g == 1 && si.scfsi(ch)(gidx) == 1) sfs(b) = sfSave(0)(ch)(b)
+        else sfs(b) = take(if (b < 11) s1 else s2)
+      }
+      sfSave(g)(ch) = sfs
+      // ---- big_values pair regions ----
+      val is = new Array[Int](576)
+      val nBig = gi.bigValues * 2
+      if (nBig > 576) return None
+      // region sample boundaries from the scalefactor-band indices
+      // (§2.4.2.7: region0 spans region0_count+1 bands, region1 the next
+      // region1_count+1; both clamp to the band table)
+      val b0 = bands(math.min(gi.region0Count + 1, bands.length - 1))
+      val b1 = bands(math.min(gi.region0Count + 1 + gi.region1Count + 1,
+        bands.length - 1))
+      def decodePair(t: HuffTable): (Int, Int) = {
+        var code = ""
+        while (!t.codes.contains(code)) {
+          if (code.length >= t.maxLen) throw new IllegalArgumentException("bad code")
+          code += (if (take(1) == 1) "1" else "0")
+        }
+        t.codes(code)
+      }
+      def signed(mag: Int, linbits: Int): Int = {
+        val m = if (mag == 15 && linbits > 0) 15 + take(linbits) else mag
+        if (m == 0) 0 else if (take(1) == 1) -m else m
+      }
+      var sample = 0
+      while (sample < nBig) {
+        val region = if (sample < b0) 0 else if (sample < b1) 1 else 2
+        val tid = gi.tableSelect(region)
+        if (tid == 0) { is(sample) = 0; is(sample + 1) = 0 } // table 0: no bits
+        else {
+          val t = tables.getOrElse(tid, throw new IllegalArgumentException(
+            s"table $tid has no loaded codebook (ISO B.7 transcription pending)"))
+          val (x, y) = decodePair(t)
+          is(sample) = signed(x, t.linbits)
+          is(sample + 1) = signed(y, t.linbits)
+        }
+        sample += 2
+      }
+      // ---- count1 quadruples until the part2_3 budget is exhausted ----
+      var nC1 = 0
+      while (read < gi.part23Length && sample + 3 < 576) {
+        val (v, w, x, y) =
+          if (gi.count1TableSelect == 1) {
+            // table B: the 4-bit code is the complement of the values
+            val bits = take(4)
+            ((~bits >> 3) & 1, (~bits >> 2) & 1, (~bits >> 1) & 1, ~bits & 1)
+          } else {
+            var code = ""
+            while (!count1A.codes.contains(code)) {
+              if (code.length >= count1A.maxLen)
+                throw new IllegalArgumentException("bad count1 code")
+              code += (if (take(1) == 1) "1" else "0")
+            }
+            count1A.codes(code)
+          }
+        def sgn(m: Int): Int = if (m == 0) 0 else if (take(1) == 1) -m else m
+        is(sample) = sgn(v); is(sample + 1) = sgn(w)
+        is(sample + 2) = sgn(x); is(sample + 3) = sgn(y)
+        sample += 4; nC1 += 4
+      }
+      if (read != gi.part23Length) return None // a walk crossing the budget
+      // ---- requantization (§2.4.3.4, long blocks) ----
+      val mult = if (gi.scalefacScale == 0) 0.5 else 1.0
+      val xr = new Array[Double](576)
+      var band = 0
+      var i = 0
+      while (i < 576) {
+        while (band < 21 && i >= bands(band + 1)) band += 1
+        if (is(i) != 0) {
+          // band 21 (the last long band) transmits NO scale factor —
+          // implicitly 0 (§2.4.2.7 transmits 21 factors over 22 bands)
+          val sf = if (band >= 21) 0 else sfs(band)
+          val exp = 0.25 * (gi.globalGain - 210) -
+            mult * (sf + gi.preflag * pretab(band))
+          xr(i) = math.signum(is(i).toDouble) *
+            math.pow(math.abs(is(i)).toDouble, 4.0 / 3.0) * math.pow(2.0, exp)
+        }
+        i += 1
+      }
+      out(g)(ch) = Spectrum(is, nBig, nC1, xr)
+    }
+    Some(out.toSeq.map(_.toSeq))
+  } catch { case _: Exception => None }
+
+  /** Fixture encoder for [[decodeSpectra]]: assembles side info + scale
+    * factors + Huffman-coded spectra into one frame PAYLOAD, deriving
+    * each granule×channel's part2_3_length from the bits actually
+    * emitted (so the decoder's budget check pins the exact walk).
+    * `spectra(g)(ch)` holds the signed integers laid out exactly as the
+    * decoder reconstructs them: bigValues·2 pair samples then count1
+    * quads (length ≡ nBig + 4·nQuads); sign bits are emitted for every
+    * nonzero, linbits escapes for |v| ≥ 15 where the table carries them.
+    * The GranuleInfos' part23Length fields are ignored and recomputed. */
+  def encodeSpectra(si: SideInfo, channels: Int,
+                    scalefacs: Seq[Seq[Array[Int]]],
+                    spectra: Seq[Seq[Array[Int]]],
+                    tables: Map[Int, HuffTable] = fixtureTables,
+                    count1A: Count1Table = fixtureCount1A): Array[Byte] = {
+    val bandsAll = sfBandsLong(0) // fixture frames are 44.1 kHz
+    // per (g, ch): emit scalefac + spectral bits into a local buffer to
+    // measure part2_3_length, then rebuild the SideInfo and pack for real
+    val runs = for (g <- 0 until 2; ch <- 0 until channels) yield {
+      val gi = si.granules(g)(ch)
+      require(!gi.windowSwitching, "fixture encoder: long blocks only")
+      val (s1, s2) = slenTable(gi.scalefacCompress)
+      val bits = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      def w(v: Int, n: Int): Unit = { require(n == 0 || (v >= 0 && v < (1 << n))); if (n > 0) bits += ((v, n)) }
+      val groups = Seq(0 until 6, 6 until 11, 11 until 16, 16 until 21)
+      val it = scalefacs(g)(ch).iterator
+      for ((grp, gidx) <- groups.zipWithIndex; b <- grp)
+        if (!(g == 1 && si.scfsi(ch)(gidx) == 1)) w(it.next(), if (b < 11) s1 else s2)
+      require(!it.hasNext, "extra scale factors")
+      val is = spectra(g)(ch)
+      val nBig = gi.bigValues * 2
+      require(is.length >= nBig && (is.length - nBig) % 4 == 0,
+        s"spectra length ${is.length} != $nBig big + 4k count1 samples")
+      val b0 = bandsAll(math.min(gi.region0Count + 1, bandsAll.length - 1))
+      val b1 = bandsAll(math.min(gi.region0Count + 1 + gi.region1Count + 1,
+        bandsAll.length - 1))
+      def wCode(c: String): Unit = c.foreach(ch0 => w(if (ch0 == '1') 1 else 0, 1))
+      def wSigned(v: Int, t: HuffTable): Int = { // returns the |mag| written in the code
+        val a = math.abs(v)
+        val mag = if (t.linbits > 0 && a >= 15) {
+          require(a - 15 < (1 << t.linbits), s"|$v| exceeds linbits range")
+          15
+        } else { require(a <= 15, s"|$v| needs an escape table"); a }
+        mag
+      }
+      var sample = 0
+      while (sample < nBig) {
+        val region = if (sample < b0) 0 else if (sample < b1) 1 else 2
+        val tid = gi.tableSelect(region)
+        if (tid == 0) {
+          require(is(sample) == 0 && is(sample + 1) == 0, "table 0 region must be zero")
+        } else {
+          val t = tables(tid)
+          val mx = wSigned(is(sample), t); val my = wSigned(is(sample + 1), t)
+          wCode(t.enc((mx, my)))
+          for (v <- Seq(is(sample), is(sample + 1))) {
+            val a = math.abs(v)
+            if (t.linbits > 0 && a >= 15) w(a - 15, t.linbits)
+            if (a != 0) w(if (v < 0) 1 else 0, 1)
+          }
+        }
+        sample += 2
+      }
+      while (sample < is.length) {
+        val q = (math.abs(is(sample)), math.abs(is(sample + 1)),
+          math.abs(is(sample + 2)), math.abs(is(sample + 3)))
+        require(q._1 <= 1 && q._2 <= 1 && q._3 <= 1 && q._4 <= 1,
+          "count1 samples must be in {-1, 0, 1}")
+        if (gi.count1TableSelect == 1)
+          w(~(q._1 << 3 | q._2 << 2 | q._3 << 1 | q._4) & 0xF, 4)
+        else wCode(count1A.enc(q))
+        for (k <- 0 until 4; v = is(sample + k) if v != 0) w(if (v < 0) 1 else 0, 1)
+        sample += 4
+      }
+      ((g, ch), bits.toSeq)
+    }
+    val p23 = runs.map { case (k, bits) => k -> bits.map(_._2).sum }.toMap
+    val si2 = si.copy(granules = Seq.tabulate(2)(g => Seq.tabulate(channels)(ch =>
+      si.granules(g)(ch).copy(part23Length = p23((g, ch))))))
+    // pack: side info via the pinned encoder layout, then the runs in order
+    val bits = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    def w(v: Int, n: Int): Unit = bits += ((v, n))
+    w(si2.mainDataBegin, 9)
+    w(si2.privateBits, if (channels == 1) 5 else 3)
+    for (ch <- 0 until channels; b <- 0 until 4) w(si2.scfsi(ch)(b), 1)
+    for (g <- 0 until 2; ch <- 0 until channels) {
+      val gi = si2.granules(g)(ch)
+      w(gi.part23Length, 12); w(gi.bigValues, 9); w(gi.globalGain, 8)
+      w(gi.scalefacCompress, 4); w(0, 1)
+      gi.tableSelect.take(3).foreach(w(_, 5))
+      w(gi.region0Count, 4); w(gi.region1Count, 3)
+      w(gi.preflag, 1); w(gi.scalefacScale, 1); w(gi.count1TableSelect, 1)
+    }
+    runs.foreach { case (_, run) => run.foreach { case (v, n) => w(v, n) } }
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0; var nacc = 0
+    bits.foreach { case (v, n) =>
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1); nacc += 1
+        if (nacc == 8) { out.write(acc); acc = 0; nacc = 0 }
+        i -= 1
+      }
+    }
+    if (nacc > 0) out.write(acc << (8 - nacc))
+    out.toByteArray
+  }
+
   /** Gate/fixture encoder (the operators only PARSE): a CBR MPEG-1
     * Layer III stream — `nFrames` frames at the given bitrate/samplerate
     * indices, no padding, payload bytes (side-info + main data position)

@@ -364,6 +364,41 @@ object Multimodal {
     })
   }
 
+  final case class Mp3SpectraRow(id: Long, granule: Int, channel: Int,
+                                 n_big: Int, n_count1: Int, n_nonzero: Int,
+                                 is_sum: Long, is_abs_sum: Long, pos_sum: Long)
+
+  /** Layer III HUFFMAN SPECTRAL decode of each asset's first frame
+    * (round 13, r12 VERDICT #5 — the rung after side-info/scale-factors):
+    * one row per (granule, channel) aggregating the 576 decoded signed
+    * spectral integers — counts per decode stage, nonzero count, exact
+    * integer sum/abs-sum, and the position-weighted checksum
+    * Σ (i+1)·is(i), which pins every value AT its sample position (a
+    * transposition or region-boundary slip changes it even when the
+    * multiset of values survives). Requires self-contained long-block
+    * frames; codebooks per [[Mp3.decodeSpectra]]'s provenance contract. */
+  def mp3Spectra(assets: Dataset[Asset], rateIdx: Int = 0): Dataset[Mp3SpectraRow] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      val s = Mp3.parseMp3(a.bytes)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: not a supported MP3"))
+      val payload = s.framePayloads.head
+      val sp = Mp3.decodeSpectra(payload, s.channels, rateIdx)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: undecodable Layer III spectral data"))
+      for (g <- 0 until 2; ch <- 0 until s.channels) yield {
+        val x = sp(g)(ch)
+        Mp3SpectraRow(a.id, g, ch, x.nBig, x.nCount1,
+          x.is.count(_ != 0),
+          x.is.foldLeft(0L)(_ + _),
+          x.is.foldLeft(0L)((acc, v) => acc + math.abs(v)),
+          x.is.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+            acc + v.toLong * (i + 1) })
+      }
+    })
+  }
+
   final case class WavChannelStats(id: Long, channel: Int, n_samples: Int,
                                    sum_amp: Long, mean_amp: Double)
 

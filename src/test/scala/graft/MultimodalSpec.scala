@@ -969,6 +969,29 @@ class MultimodalSpec extends AnyFunSuite {
         w.length == 3 && w(0) == 0 && w(1) == 0 && (w(2) & 0xFF) <= 2))
       assert(H264.unescape(esc, 0, esc.length).sameElements(raw))
     }
+    // round-12 ADVICE: §7.4.1.1 defines the escape only before 00-03 —
+    // invalid EBSP must fail the parse, not silently mis-unescape
+    intercept[IllegalArgumentException](
+      H264.unescape(Array[Byte](0, 0, 3, 0xFF.toByte), 0, 4))
+    intercept[IllegalArgumentException]( // stream-final 0x03: no escaped byte
+      H264.unescape(Array[Byte](0, 0, 3), 0, 3))
+    // ...and through parse() the strictness lands as None, per contract
+    assert(H264.parse(Array[Byte](0, 0, 1, 9, 0, 0, 3, 0x55.toByte)).isEmpty)
+  }
+
+  test("H264 annexB rejects zero-final RBSP payloads (round-12 ADVICE)") {
+    import graft.multimodal.H264
+    // parse()'s trailing_zero_8bits strip would eat legitimate payload-final
+    // zeros; real RBSPs end nonzero (rbsp_trailing_bits stop bit), so the
+    // fixture assembler fails fast instead of corrupting the round trip
+    val e = intercept[IllegalArgumentException](
+      H264.annexB(Seq((3, 5, Array[Byte](42, 7, 0)))))
+    assert(e.getMessage.contains("nonzero"))
+    // ...and the encoder SPS/PPS always satisfy the contract (stop bit in
+    // the final byte), so normal fixture assembly is unaffected
+    val sps = H264.encodeSps(77, 31, 0, 1, 0, 3, 2, 1, frameMbsOnly = true, crop = None)
+    assert(sps.last != 0)
+    assert(H264.parse(H264.annexB(Seq((3, 7, sps)))).isDefined)
   }
 
   test("H264 Annex-B end to end: NAL walk, 4/3-byte start codes, slice RBSP recovery") {
@@ -987,6 +1010,98 @@ class MultimodalSpec extends AnyFunSuite {
     // strict rejects: no start code; forbidden_zero_bit set
     assert(H264.parse(Array[Byte](1, 2, 3, 4)).isEmpty)
     assert(H264.parse(Array[Byte](0, 0, 1, 0x87.toByte, 1)).isEmpty)
+  }
+
+  // ---- MP3 Layer III Huffman spectral decode (round 13) ----
+
+  test("MP3 Huffman: encode/decode round trip — regions, escapes, signs, count1 A and B") {
+    import graft.multimodal.Mp3
+    def gi(bigValues: Int, c1t: Int) = Mp3.GranuleInfo(0, bigValues, 100, 9,
+      windowSwitching = false, blockType = 0, mixedBlock = false,
+      Seq(4, 14, 0), Nil, region0Count = 3, region1Count = 7,
+      preflag = 0, scalefacScale = 0, count1TableSelect = c1t)
+    val nBig = 40
+    // region0 (samples 0-15): small-table mags 0-3; region1: the escape
+    // codebook's {0, 1, 15+linbits} domain; count1: {-1, 0, 1}
+    val is = Array.tabulate(nBig + 8) { i =>
+      val mag =
+        if (i < 16) i % 4
+        else if (i < nBig) (i % 4) match {
+          case 0 => 0; case 1 | 2 => 1; case _ => 15 + i % 8
+        }
+        else i % 2
+      if (mag != 0 && i % 3 == 0) -mag else mag
+    }
+    val sfs = Seq.fill(2)(Seq.fill(2)(Array.tabulate(21)(b => b % 4)))
+    val si = Mp3.SideInfo(0, 0, Seq.fill(2)(Seq.fill(4)(0)),
+      Seq.tabulate(2)(g => Seq.tabulate(2)(ch => gi(nBig / 2, (g + ch) % 2))))
+    val payload = Mp3.encodeSpectra(si, 2, sfs, Seq.fill(2)(Seq.fill(2)(is)))
+    val sp = Mp3.decodeSpectra(payload, 2, 0).get
+    for (g <- 0 until 2; ch <- 0 until 2) {
+      val x = sp(g)(ch)
+      assert(x.nBig == nBig && x.nCount1 == 8, s"($g,$ch): ${x.nBig}/${x.nCount1}")
+      assert(x.is.take(nBig + 8).sameElements(is), s"($g,$ch) spectra differ")
+      assert(x.is.drop(nBig + 8).forall(_ == 0))
+    }
+  }
+
+  test("MP3 Huffman requantization: power law, scalefac/preflag/pretab exponents") {
+    import graft.multimodal.Mp3
+    // two nonzero values in band 0 (samples 0-3 < bands(1) = 4):
+    // xr = sign·|is|^(4/3)·2^((gg-210)/4)·2^(-mult·sf(0)) with mult 0.5
+    val gi = Mp3.GranuleInfo(0, 1, 214, 9, windowSwitching = false,
+      blockType = 0, mixedBlock = false, Seq(4, 14, 0), Nil, 3, 7,
+      preflag = 0, scalefacScale = 0, count1TableSelect = 1)
+    val sfs = Seq.fill(2)(Seq.fill(1)(Array.tabulate(21)(b => if (b == 0) 2 else 0)))
+    val si = Mp3.SideInfo(0, 0, Seq.fill(1)(Seq.fill(4)(0)),
+      Seq.fill(2)(Seq.fill(1)(gi)))
+    val is = Array(3, -1)
+    val payload = Mp3.encodeSpectra(si, 1, sfs, Seq.fill(2)(Seq.fill(1)(is)))
+    val x = Mp3.decodeSpectra(payload, 1, 0).get.head.head
+    // exponent: (214-210)/4 = +1, minus 0.5·sf(0)=1 ⇒ net 0
+    assert(math.abs(x.xr(0) - math.pow(3.0, 4.0 / 3.0)) < 1e-12, s"xr0=${x.xr(0)}")
+    assert(math.abs(x.xr(1) + 1.0) < 1e-12, s"xr1=${x.xr(1)}")
+    assert(x.xr.drop(2).forall(_ == 0.0))
+    // preflag shifts bands 11+ only: with preflag=1 and sf=0 everywhere,
+    // a value in band 17 (sample 200 at 44.1 kHz: bands 196-237) scales
+    // by 2^(-0.5·pretab(17)) = 2^(-1.5) vs its preflag=0 twin
+    def one(pre: Int): Double = {
+      val n = 101 // bigValues pairs: samples 0..201
+      val gi2 = gi.copy(bigValues = n, preflag = pre,
+        tableSelect = Seq(4, 4, 4))
+      val si2 = Mp3.SideInfo(0, 0, Seq.fill(1)(Seq.fill(4)(0)),
+        Seq.fill(2)(Seq.fill(1)(gi2)))
+      val is2 = Array.tabulate(2 * n)(i => if (i == 200) 2 else 0)
+      val sf0 = Seq.fill(2)(Seq.fill(1)(Array.fill(21)(0)))
+      val p = Mp3.encodeSpectra(si2, 1, sf0, Seq.fill(2)(Seq.fill(1)(is2)))
+      Mp3.decodeSpectra(p, 1, 0).get.head.head.xr(200)
+    }
+    assert(math.abs(one(1) / one(0) - math.pow(2.0, -1.5)) < 1e-12)
+  }
+
+  test("MP3 Huffman strict rejects: unknown table id, reservoir, short blocks, budget cross") {
+    import graft.multimodal.Mp3
+    def gi(ts: Seq[Int], p23: Int, bv: Int = 1, ws: Boolean = false) =
+      Mp3.GranuleInfo(p23, bv, 100, 9, ws, if (ws) 2 else 0, mixedBlock = false,
+        if (ws) ts.take(2) else ts, if (ws) Seq(0, 0, 0) else Nil, 3, 7,
+        preflag = 0, scalefacScale = 0, count1TableSelect = 1)
+    def frame(g0: Mp3.GranuleInfo, mdb: Int = 0): Array[Byte] = {
+      val si = Mp3.SideInfo(mdb, 0, Seq.fill(1)(Seq.fill(4)(0)),
+        Seq.fill(2)(Seq.fill(1)(g0)))
+      val sfs = Seq.fill(2)(Seq.fill(1)(
+        Array.fill(if (g0.windowSwitching) 36 else 21)(0)))
+      Mp3.encodeSideInfo(si, 1, sfs)
+    }
+    // ISO table 16: a REAL id whose codebook is transcription-pending —
+    // strict-reject, never guess (the codebook-provenance contract)
+    assert(Mp3.decodeSpectra(frame(gi(Seq(16, 0, 0), p23 = 60)), 1, 0).isEmpty)
+    // bit-reservoir frames: the DSP seam
+    assert(Mp3.decodeSpectra(frame(gi(Seq(4, 0, 0), p23 = 60), mdb = 5), 1, 0).isEmpty)
+    // a count1 walk that cannot land exactly on part2_3_length
+    assert(Mp3.decodeSpectra(frame(gi(Seq(0, 0, 0), p23 = 43, bv = 0)), 1, 0).isEmpty)
+    // ...and the same shape with a landable budget decodes (42 sf bits +
+    // one table-B quad (4 bits) + its 4 sign bits = 50)
+    assert(Mp3.decodeSpectra(frame(gi(Seq(0, 0, 0), p23 = 50, bv = 0)), 1, 0).isDefined)
   }
 
   // ---- AAC ADTS (round 12) ----
@@ -1031,6 +1146,14 @@ class MultimodalSpec extends AnyFunSuite {
     val mixed = Aac.encodeFrame(0, 3, 1, Array[Byte](1)) ++
       Aac.encodeFrame(0, 4, 1, Array[Byte](2))
     assert(Aac.parse(mixed).isEmpty)
+    // round-12 ADVICE: the encoder must not ASSEMBLE a layout its own
+    // parser strictly rejects — CRC + multi-block fails at build time
+    val e = intercept[IllegalArgumentException](
+      Aac.encodeFrame(0, 3, 1, Array[Byte](1), nRawBlocks = 2, crc = Some(0xBEEF)))
+    assert(e.getMessage.contains("multi-block"))
+    // each arm alone stays encodable (and parseable)
+    assert(Aac.parse(Aac.encodeFrame(0, 3, 1, Array[Byte](1), nRawBlocks = 2)).isDefined)
+    assert(Aac.parse(Aac.encodeFrame(0, 3, 1, Array[Byte](1), crc = Some(1))).isDefined)
   }
 }
 
