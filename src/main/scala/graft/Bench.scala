@@ -242,20 +242,23 @@ object Bench {
     // flags itself even when each sample individually looks fine.
     val calibRatio =
       math.max(calibStart, calibEnd) / math.max(1e-9, math.min(calibStart, calibEnd))
-    // round-13 (r12 VERDICT #3): the memory-strided pass joins the rule —
-    // absolute ceiling ~2x the unloaded ~0.35 s reference, plus the same
-    // edge-agreement test the register loop carries, so BOTH a steady
-    // bandwidth co-tenant (uniform inflation, both edges high) and a
-    // mid-run arrival (edges disagree) flag the run.
+    // round-13 (r12 VERDICT #3): the memory-strided pass joins the rule.
+    // Ceiling calibrated by synthetic contention (SCALE.md round 13):
+    // unloaded fast-regime reference 0.33-0.34 s; six streaming-copy
+    // co-tenant processes inflated a real gate's median 1.32x — the
+    // r12-class event — while loadavg (4.6 <= 8) and the register loop
+    // (0.27 s) stayed blind, and memcalib read 0.42 s. Ceiling 0.42
+    // flags that event and the bimodal host's ~1.35x slow regime; the
+    // edge-agreement test catches mid-run arrivals.
     val memRatio =
       math.max(memCalibStart, memCalibEnd) / math.max(1e-9, math.min(memCalibStart, memCalibEnd))
     val quiet = loadSamples.nonEmpty &&
       loadSamples.max <= nCpus / 4.0 &&
       math.max(calibStart, calibEnd) <= 0.6 &&
       calibRatio <= 1.35 &&
-      math.max(memCalibStart, memCalibEnd) <= 0.7 &&
+      math.max(memCalibStart, memCalibEnd) <= 0.42 &&
       memRatio <= 1.35
-    val host = s"""{"loadavg_start":$loadavgStart,"loadavg_mid":$mid,"loadavg_end":$loadavgEnd,"calib_sec_start":$calibStart,"calib_sec":$calibEnd,"memcalib_sec_start":$memCalibStart,"memcalib_sec":$memCalibEnd,"cpus":$nCpus,"quiet":$quiet,"quiet_rule":"max(loadavg) <= cpus/4 && max(calib) <= 0.6s && calib edges agree within 1.35x && max(memcalib) <= 0.7s && memcalib edges agree within 1.35x"}"""
+    val host = s"""{"loadavg_start":$loadavgStart,"loadavg_mid":$mid,"loadavg_end":$loadavgEnd,"calib_sec_start":$calibStart,"calib_sec":$calibEnd,"memcalib_sec_start":$memCalibStart,"memcalib_sec":$memCalibEnd,"cpus":$nCpus,"quiet":$quiet,"quiet_rule":"max(loadavg) <= cpus/4 && max(calib) <= 0.6s && calib edges agree within 1.35x && max(memcalib) <= 0.42s && memcalib edges agree within 1.35x"}"""
     val json = s"""{"metric":"total","value":${tot(_.best)},"unit":"sec","total_cold":${tot(_.cold)},"total_median":${tot(_.median)},"prewarm_sec":$preTot,"prewarm":$pre,"host":$host,"queries":$qs,"cold":$cold,"median":$med,"cpu_ratio":$cpuRatios,"gc_sec":$gcSec,"gc_count":$gcCount,"anomalies":$anomalies,"errors":$errs,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // The driver captures a truncated stdout tail (r5 VERDICT #7: the
