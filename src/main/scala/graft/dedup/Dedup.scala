@@ -802,7 +802,15 @@ object Dedup {
                    nAnchors: Int, threshold: Double,
                    maxCluster: Int = 100000): DataFrame = {
     val (assigned, _, _) = assignToAnchors(emb, idCol, vecCol, nAnchors)
-    // per-cluster occupancy guard: ≤ nAnchors rows — always broadcast
+    semanticDropAssigned(assigned, threshold, maxCluster)
+  }
+
+  /** The full-corpus drop over an ALREADY-ASSIGNED (cluster, id, vn)
+    * frame — the shared back half of [[semanticDrop]] (anchor centroids)
+    * and [[semanticDropTrained]] (k-means centroids). */
+  private def semanticDropAssigned(assigned: DataFrame, threshold: Double,
+                                   maxCluster: Int): DataFrame = {
+    // per-cluster occupancy guard: ≤ nClusters rows — always broadcast
     val okClusters = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
       .where(col("n") <= maxCluster).select("cluster")
     val ok = assigned.join(broadcast(okClusters), Seq("cluster"))
@@ -813,6 +821,59 @@ object Dedup {
         .where(col("ia") < col("ib"))
         .where(dot >= threshold))
   }
+
+  /** SemDeDup with TRAINED centroids (round 13, r12 VERDICT #6) — the
+    * paper's actual clustering: k-means on the unit sphere (the IVF
+    * coarse quantizer's sample-trained Lloyd, run over NORMALIZED
+    * vectors so nearest-L2 matches the cosine geometry the pair stage
+    * scores in). The anchor arm stays the oracle-reproducible
+    * configuration (driver-side Lloyd from a seeded shuffle is not
+    * restatable in SQL); this arm is the production-quality one —
+    * measured against the anchor arm in SCALE.md round 13 (drop-set
+    * recall vs the cluster-free ideal on structured embeddings).
+    * Cluster labels are centroid INDICES (0..k−1). */
+  def buildSemanticIndexTrained(emb: DataFrame, idCol: String, vecCol: String,
+                                nClusters: Int, threshold: Double,
+                                maxCluster: Int = 100000, seed: Long = 42L,
+                                trainSample: Int = 50000,
+                                centroidsIn: Option[Array[Array[Double]]] = None): SemanticIndex = {
+    val rows = normalized(emb, idCol, vecCol)
+    val centroids = centroidsIn.getOrElse {
+      // deterministic pseudo-random sample, the IVFIndex.build discipline
+      // (a head limit would train on skewed leading rows)
+      val sample = rows.select(col("vn"), col("id"))
+        .orderBy(xxhash64(col("id"), lit(seed)))
+        .limit(trainSample)
+        .collect().map(_.getSeq[Double](0).toArray)
+      require(sample.nonEmpty, "cannot train semantic centroids on an empty corpus")
+      graft.vector.Lloyd.fit(sample,
+        math.max(1, math.min(nClusters, sample.length)), iters = 10,
+        new scala.util.Random(seed))
+    }
+    val labels = Array.tabulate(centroids.length)(_.toLong)
+    val assigned = assignWith(rows, centroids, labels)
+    val counts = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+    SemanticIndex(assigned, counts, centroids, labels, threshold, maxCluster)
+  }
+
+  /** Full-corpus semantic drop under trained centroids — same output
+    * contract as [[semanticDrop]] with `cluster` = centroid index.
+    * Incremental batches run through the ordinary
+    * [[semanticDropIncremental]] against the returned index's FROZEN
+    * trained centroids (spec-pinned). */
+  def semanticDropTrained(emb: DataFrame, idCol: String, vecCol: String,
+                          nClusters: Int, threshold: Double,
+                          maxCluster: Int = 100000, seed: Long = 42L): DataFrame =
+    semanticDropFromIndex(
+      buildSemanticIndexTrained(emb, idCol, vecCol, nClusters, threshold,
+        maxCluster, seed))
+
+  /** The drop set an index's OWN corpus implies — [[semanticDrop]]
+    * restated over a prebuilt [[SemanticIndex]] (either arm). */
+  def semanticDropFromIndex(index: SemanticIndex): DataFrame =
+    semanticDropAssigned(index.rows
+      .select(col("cluster"), col("id"), col("vn")),
+      index.threshold, index.maxCluster)
 
   /** Corpus-side reusable state for INCREMENTAL semantic dedup — the
     * SemDeDup analog of [[JaccardIndex]]/[[EmbeddingIndex]]: assigned

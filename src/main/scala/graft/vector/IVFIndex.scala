@@ -270,7 +270,7 @@ object IVFIndex {
 
 /** Shared driver-side Lloyd's k-means over a bounded sample (also used by
   * [[PQIndex]]): |sample| × k × dim × iters work, deterministic per seed. */
-private[vector] object Lloyd {
+private[graft] object Lloyd {
   def fit(points: Array[Array[Double]], k: Int, iters: Int,
           rnd: scala.util.Random): Array[Array[Double]] = {
     val d = points.head.length

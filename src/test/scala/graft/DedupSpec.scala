@@ -446,6 +446,55 @@ class DedupSpec extends AnyFunSuite {
       s"expected the oversized-batch fallback to shuffle-hash join:\n$plan")
   }
 
+  test("semanticDropTrained: k-means centroids separate the geometry; incremental parity holds") {
+    val rnd = new scala.util.Random(29)
+    // two tight direction bundles + per-bundle near-dups
+    def bundle(axis: Int): Seq[Double] =
+      Seq.tabulate(4)(i => (if (i == axis) 1.0 else 0.0) + rnd.nextDouble() * 0.05)
+    val all = (0L until 40L).map(i => (i, bundle((i % 2).toInt))).toDF("vec_id", "embedding")
+    val corpus = all.where(col("vec_id") < 30L)
+    val batch = all.where(col("vec_id") >= 30L)
+    val ix = Dedup.buildSemanticIndexTrained(corpus, "vec_id", "embedding",
+      nClusters = 2, threshold = 0.98)
+    // trained assignment is the true argmin-L2 over the learned centroids
+    // (JVM-recomputed per row)
+    val cents = ix.centroids
+    ix.rows.collect().foreach { r =>
+      val v = r.getSeq[Double](1).toArray
+      val want = cents.indices.minBy(c =>
+        cents(c).zip(v).map { case (a, b) => (a - b) * (a - b) }.sum)
+      assert(r.getLong(2) == want.toLong, s"row ${r.getLong(0)} mis-assigned")
+    }
+    // the two bundles land in different clusters (the geometry is separable)
+    val byCluster = ix.rows.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byCluster(0L) != byCluster(1L), "bundles not separated by trained centroids")
+    // incremental against the FROZEN trained centroids == full drop over
+    // the union restricted to batch ids (the anchor-arm parity, re-proved
+    // for this arm)
+    val inc = Dedup.semanticDropIncremental(ix, batch, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    val ixAll = Dedup.buildSemanticIndexTrained(all, "vec_id", "embedding",
+      nClusters = 2, threshold = 0.98, centroidsIn = Some(ix.centroids))
+    val full = Dedup.semanticDropFromIndex(ixAll)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+      .filter(_._1 >= 30L).toSet
+    assert(inc == full, s"trained incremental $inc != union-restricted $full")
+    assert(inc.nonEmpty, "degenerate fixture: no batch drops")
+  }
+
+  test("semanticDropFromIndex(buildSemanticIndex) == semanticDrop (anchor-arm refactor pin)") {
+    val rnd = new scala.util.Random(3)
+    def jig(axis: Int): Seq[Double] =
+      Seq.tabulate(4)(i => (if (i == axis) 1.0 else 0.0) + rnd.nextDouble() * 0.15)
+    val emb = (0L until 30L).map(i => (i, jig((i % 3).toInt))).toDF("vec_id", "embedding")
+    val direct = Dedup.semanticDrop(emb, "vec_id", "embedding", nAnchors = 3, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val viaIx = Dedup.semanticDropFromIndex(
+      Dedup.buildSemanticIndex(emb, "vec_id", "embedding", nAnchors = 3, threshold = 0.95))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(direct == viaIx && direct.nonEmpty)
+  }
+
   test("semanticDrop: maxCluster guard excludes oversized clusters from pairing") {
     val emb = (0L until 10L).map(i =>
       (i, Seq.tabulate(4)(d => if (d == 0) 1.0 else 0.001 * i))).toDF("vec_id", "embedding")
