@@ -924,9 +924,11 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
            |bands AS (
            |  SELECT id, seed // 4 AS band, md5(string_agg(mh, '|' ORDER BY seed)) AS bh
            |  FROM sig GROUP BY 1, 2),
+           |okb AS (SELECT band, bh FROM bands GROUP BY band, bh HAVING count(*) <= 2000),
            |cand AS (
            |  SELECT DISTINCT l.id AS a, r.id AS b
-           |  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.id < r.id),
+           |  FROM bands l JOIN okb ON okb.band = l.band AND okb.bh = l.bh
+           |  JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.id < r.id),
            |gsz AS (SELECT id, count(*)::DOUBLE AS sz FROM grams GROUP BY 1),
            |inter AS (
            |  SELECT c.a, c.b, count(*)::DOUBLE AS inter
@@ -942,11 +944,19 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
       raw"""WITH $simhashCtes
            |SELECT id, sim FROM sh ORDER BY id""".stripMargin)),
     "dedup_simhash" -> Q(dedupSimhash, Some(
+      // the maxBucket(2000) skew guard is part of the operator contract
+      // and must be RESTATED here — the independent sf1 sweep (round 13)
+      // found a 2230-member block bucket that the Spark side dropped and
+      // this oracle previously kept (229 phantom pairs); at sf0.01 no
+      // bucket ever reaches the cap, which is why the gap hid for 12
+      // rounds
       raw"""WITH $simhashCtes,
            |blocks AS (SELECT id, sim, b.blk, substr(sim, 1 + 16 * b.blk, 16) AS bs
            |           FROM sh, (SELECT unnest(range(0, 4)) AS blk) b),
+           |ok AS (SELECT blk, bs FROM blocks GROUP BY blk, bs HAVING count(*) <= 2000),
            |cand AS (SELECT DISTINCT l.id AS a, l.sim AS sa, r.id AS b, r.sim AS sb
-           |         FROM blocks l JOIN blocks r ON l.blk = r.blk AND l.bs = r.bs AND l.id < r.id)
+           |         FROM blocks l JOIN ok ON ok.blk = l.blk AND ok.bs = l.bs
+           |         JOIN blocks r ON l.blk = r.blk AND l.bs = r.bs AND l.id < r.id)
            |SELECT a, b, hamming FROM (
            |  SELECT a, b, list_sum(list_transform(range(1, 65),
            |    i -> CASE WHEN substr(sa, i, 1) = substr(sb, i, 1) THEN 0 ELSE 1 END))::BIGINT AS hamming
