@@ -41,7 +41,13 @@ object PlanAudit {
       "save_load_pq_residual",
       "multimodal_h264_sps", "multimodal_aac_adts", "multimodal_mp3_sideinfo",
       "dedup_semantic", "dedup_semantic_incremental",
-      "facade_ivfpq_knn", "knn_prefilter_ivfpq").foreach(audit)
+      "facade_ivfpq_knn", "knn_prefilter_ivfpq",
+      // round-13 additions. Expectations: multimodal_mp3_huffman all-zero
+      // joins (per-row decoder kernel + one orderBy exchange); knn_graph's
+      // chunked exact arm exactly ONE bnlj (the deliberate brute-force
+      // broadcast of the bounded query chunk — not a planner accident)
+      // with zero smj/shj and no corpus-sized exchange.
+      "multimodal_mp3_huffman", "knn_graph").foreach(audit)
     spark.stop()
   }
 }

@@ -1079,6 +1079,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(one(1) / one(0) - math.pow(2.0, -1.5)) < 1e-12)
   }
 
+  test("MP3 Huffman fuzz: byte mutations never escape the Option contract") {
+    import graft.multimodal.Mp3
+    val gi = Mp3.GranuleInfo(0, 10, 100, 9, windowSwitching = false,
+      blockType = 0, mixedBlock = false, Seq(4, 14, 0), Nil, 3, 7,
+      preflag = 0, scalefacScale = 0, count1TableSelect = 1)
+    val si = Mp3.SideInfo(0, 0, Seq.fill(2)(Seq.fill(4)(0)),
+      Seq.fill(2)(Seq.fill(2)(gi)))
+    val sfs = Seq.fill(2)(Seq.fill(2)(Array.fill(21)(1)))
+    val is = Array.tabulate(24)(i => if (i % 3 == 0) 1 else 0)
+    val base = Mp3.encodeSpectra(si, 2, sfs, Seq.fill(2)(Seq.fill(2)(is)))
+    assert(Mp3.decodeSpectra(base, 2, 0).isDefined)
+    val rnd = new scala.util.Random(19)
+    (0 until 400).foreach { i =>
+      val m = base.clone()
+      rnd.nextInt(3) match {
+        case 0 => m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        case 1 => m(rnd.nextInt(m.length)) = (m(rnd.nextInt(m.length)) ^ (1 << rnd.nextInt(8))).toByte
+        case _ => // truncation handled below
+      }
+      val bytes = if (rnd.nextBoolean()) m else m.take(rnd.nextInt(m.length + 1))
+      try {
+        val r = Mp3.decodeSpectra(bytes, 2, 0)
+        // defined results must still honor the layout contract
+        r.foreach(_.flatten.foreach(s => assert(s.is.length == 576)))
+      } catch { case e: Throwable => fail(s"mutation $i escaped the contract: $e") }
+    }
+  }
+
   test("MP3 Huffman strict rejects: unknown table id, reservoir, short blocks, budget cross") {
     import graft.multimodal.Mp3
     def gi(ts: Seq[Int], p23: Int, bv: Int = 1, ws: Boolean = false) =
