@@ -85,8 +85,10 @@ final class IVFIndex(val centroids: Array[(Int, Array[Double])],
   def searchBatch(queries: DataFrame, qidCol: String, qvecCol: String,
                   k: Int, nprobe: Int,
                   metric: ExactKNN.Metric = ExactKNN.L2Sq,
-                  broadcastQueries: Boolean = true): DataFrame = {
-    val cand = probedCandidates(queries, qidCol, qvecCol, nprobe, broadcastQueries)
+                  broadcastQueries: Boolean = true,
+                  saltBuckets: Int = 1): DataFrame = {
+    val cand = probedCandidates(queries, qidCol, qvecCol, nprobe,
+      broadcastQueries, saltBuckets)
     graft.plans.TopK.perKey(
       cand.select(col("qid"), col("id"),
         metric.score(metric.dist(col("vector"), col("__qv"))).as("score")),
@@ -100,8 +102,19 @@ final class IVFIndex(val centroids: Array[(Int, Array[Double])],
     * via broadcast + bounded heaps, candidates through ONE equi-join
     * against the cluster-partitioned assignment frame. Output keeps
     * (qid, __qv, cluster) plus every assignment column (id, vector). */
+  /** `saltBuckets > 1` splits every (cluster) join key into that many
+    * deterministic sub-keys (assignments salted by id hash, probe rows
+    * replicated across all salts — the same candidate set, partitioned):
+    * the SKEW dial for corpus-as-batch callers on clustered geometry,
+    * where one hot cell's |queries in cell| × |cell| pair block otherwise
+    * lands on ONE task (measured round 13: the auto-sharded 200 k graph
+    * build ran 7.6× slower on Zipf-clustered embeddings than on uniform
+    * ones, ~3 cores busy — the hottest cell's quadratic block was a
+    * single straggler). Cost: probe-side rows × saltBuckets. Results are
+    * bit-identical at any value. */
   def probedCandidates(queries: DataFrame, qidCol: String, qvecCol: String,
-                       nprobe: Int, broadcastQueries: Boolean = true): DataFrame = {
+                       nprobe: Int, broadcastQueries: Boolean = true,
+                       saltBuckets: Int = 1): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val cents = centroids.toSeq.map { case (c, v) => (c, v.toSeq) }
@@ -114,8 +127,17 @@ final class IVFIndex(val centroids: Array[(Int, Array[Double])],
     val probed = graft.plans.TopK.perKey(ranked, Seq("qid"),
         Seq("__cd" -> false, "cluster" -> false), math.max(1, nprobe))
       .select(col("qid"), col("__qv"), col("cluster"))
-    val probedSide = if (broadcastQueries) broadcast(probed) else probed
-    assignments.join(probedSide, Seq("cluster"))
+    if (saltBuckets <= 1) {
+      val probedSide = if (broadcastQueries) broadcast(probed) else probed
+      assignments.join(probedSide, Seq("cluster"))
+    } else {
+      val aSalted = assignments.withColumn("__salt",
+        pmod(xxhash64(col("id")), lit(saltBuckets)).cast("int"))
+      val pSalted = probed.withColumn("__salt",
+        explode(array((0 until saltBuckets).map(lit(_)): _*)))
+      val probedSide = if (broadcastQueries) broadcast(pSalted) else pSalted
+      aSalted.join(probedSide, Seq("cluster", "__salt")).drop("__salt")
+    }
   }
 
   /** k-NN GRAPH over an embedding frame: every vector's k nearest OTHER
@@ -138,9 +160,14 @@ final class IVFIndex(val centroids: Array[(Int, Array[Double])],
     val src = nodesFilter.map(emb.where).getOrElse(emb)
     if (nprobe >= nlist)
       return IVFIndex.knnGraphExact(emb, src, idCol, vecCol, k, metric)
+    // the corpus-as-batch probed arm salts the candidate join: every
+    // query in a hot cell meets that whole cell, so a clustered corpus
+    // concentrates |cell|² work on single tasks without it (see
+    // probedCandidates; measured round 13)
     val res = searchBatch(
       src.select(col(idCol).as("qid"), col(vecCol).as("qv")),
-      "qid", "qv", k + 1, nprobe, metric, broadcastQueries = false)
+      "qid", "qv", k + 1, nprobe, metric, broadcastQueries = false,
+      saltBuckets = 16)
     graft.plans.TopK.perKey(res.where(col("qid") =!= col("id")),
         Seq("qid"), Seq("score" -> true, "id" -> false), k)
       .orderBy(col("qid").asc, col("score").desc, col("id").asc)
