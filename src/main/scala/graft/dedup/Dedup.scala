@@ -665,7 +665,22 @@ object Dedup {
     * answer (16 bits) completes the same corpus in ~52 s. */
   def autoBitsPerBand(n: Long, bands: Int, candidateBudget: Long = 64L): Int = {
     val target = math.max(1.0, n.toDouble * bands / candidateBudget)
-    math.min(28, math.max(8, math.ceil(math.log(target) / math.log(2.0)).toInt))
+    val bits = math.min(28, math.max(8, math.ceil(math.log(target) / math.log(2.0)).toInt))
+    // round-13 ADVICE: widening past the 8-bit floor trades recall for the
+    // linear candidate budget (at n = 200 k the resolved 16 bits retain
+    // ~72% recall even at cos ≥ 0.9 — SCALE.md round 13) with no runtime
+    // signal. Name the trade when it happens: the per-band match
+    // probability for a pair at angle θ is (1 − θ/π)^bits, reported here
+    // at cos = 0.9 so a caller sees what the widened signature costs.
+    if (bits > 8) {
+      val pBand = math.pow(1.0 - math.acos(0.9) / math.Pi, bits.toDouble)
+      val pAny = 1.0 - math.pow(1.0 - pBand, bands.toDouble)
+      System.err.println(f"[dedup.banded] auto-widened bitsPerBand to $bits " +
+        f"(n=$n, bands=$bands, budget=$candidateBudget/row): expected " +
+        f"candidate recall at cos=0.9 is ${pAny * 100}%.1f%% — raise " +
+        f"candidateBudget or bands to recover recall at linear-cost scale")
+    }
+    bits
   }
 
   /** INCREMENTAL embedding near-dup: cosine pairs (a < b, cos ≥ threshold)
@@ -934,19 +949,28 @@ object Dedup {
     * re-scan); the occupancy guard counts corpus ∪ batch, identical to
     * the full funnel's rule. Incoming ids must be disjoint from corpus
     * ids. */
-  /** `broadcastMaxRows` guards the explicit batch-side broadcast below,
-    * which bypasses autoBroadcastJoinThreshold: a batch above the bound
-    * (~600 B/row at dim 64 ⇒ the default caps the broadcast near 300 MB)
-    * would build its full hash table on EVERY executor — the same
-    * blow-up the maxCluster occupancy guard exists for (round-12
-    * ADVICE). Oversized batches fall back to a shuffle-hash join on the
-    * cluster key: the corpus re-shuffles once for that batch — the
-    * honest cost of exceeding the batch-bounded contract, never an
-    * executor OOM. Costs one count() job over the incoming frame. */
+  /** `broadcastMaxRows`/`broadcastMaxBytes` guard the explicit batch-side
+    * broadcast below, which bypasses autoBroadcastJoinThreshold: a batch
+    * above either bound would build its full hash table on EVERY
+    * executor — the same blow-up the maxCluster occupancy guard exists
+    * for (round-12 ADVICE). The BYTE bound is the operative one
+    * (round-13 VERDICT: a row bound alone lets a 500 k-row × wide-vector
+    * batch build a multi-GiB table before degrading — the 8 GiB cliff the
+    * Jaccard arm's candidate-counted guard was built against): estimated
+    * size = rows × (dim × 8 + 48 B of row overhead), compared against a
+    * 256 MB default ≈ Spark's own broadcast comfort zone. Oversized
+    * batches fall back to a shuffle-hash join on the cluster key: the
+    * corpus re-shuffles once for that batch — the honest cost of
+    * exceeding the batch-bounded contract, never an executor OOM. Costs
+    * one count() job over the incoming frame. */
   def semanticDropIncremental(index: SemanticIndex, incoming: DataFrame,
                               idCol: String, vecCol: String,
-                              broadcastMaxRows: Long = 500000L): DataFrame = {
-    val small = incoming.count() <= broadcastMaxRows
+                              broadcastMaxRows: Long = 500000L,
+                              broadcastMaxBytes: Long = 256L << 20): DataFrame = {
+    val dim = index.centroids.headOption.map(_.length).getOrElse(64)
+    val nIncoming = incoming.count()
+    val estBytes = nIncoming * (dim.toLong * 8L + 48L)
+    val small = nIncoming <= broadcastMaxRows && estBytes <= broadcastMaxBytes
     val batchSide: DataFrame => DataFrame =
       if (small) broadcast else (df => df.hint("shuffle_hash"))
     val inc = assignWith(normalized(incoming, idCol, vecCol),

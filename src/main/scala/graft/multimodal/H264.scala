@@ -94,10 +94,14 @@ object H264 {
       val v = b(i)
       if (zeros >= 2 && v == 0x03) {
         // §7.4.1.1 defines the escape only BEFORE a byte ≤ 0x03 — a 0x03
-        // followed by anything else (or ending the stream) is malformed
-        // EBSP; throw rather than mis-unescape, caught into None by
-        // parse() (round-12 ADVICE: the old `i + 1 <= until` guard was
-        // vacuously true and silently stripped invalid escapes)
+        // followed by anything else is malformed EBSP; throw rather than
+        // mis-unescape, caught into None by parse() (round-12 ADVICE: the
+        // old `i + 1 <= until` guard was vacuously true and silently
+        // stripped invalid escapes). A NAL ENDING in 00 00 03 is not
+        // malformed per spec — cabac_zero_words appended after the RBSP
+        // can legally leave a stream-final trailing escape (§7.4.2.10) —
+        // but it is STRICT-REJECTED here by policy: this parser's scope
+        // is CAVLC fixture streams, which never carry cabac_zero_words.
         require(i + 1 < until && (b(i + 1) & 0xFF) <= 0x03,
           "malformed emulation prevention: 0x03 not followed by 00-03")
         // skip the escape byte; zero run restarts after it

@@ -224,7 +224,12 @@ object IVFIndex {
     val corpus = emb.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("vector"))
     val nSrc = queries.count()
-    val nChunks = math.max(1, math.ceil(nSrc.toDouble / exactChunkRows).toInt)
+    // 0.75 headroom factor (round-13 ADVICE): chunks are cut by xxhash64
+    // pmod, so hash skew can push an individual chunk past nSrc/nChunks;
+    // sizing against 0.75·exactChunkRows keeps every chunk's broadcast
+    // under the ~4 MB estimate even at the binomial tail (at 8192-row
+    // targets the max-chunk overshoot is ~±3σ ≈ 1.04×, far inside 1.33×).
+    val nChunks = math.max(1, math.ceil(nSrc / (0.75 * exactChunkRows)).toInt)
     val score = metric.score(metric.dist(col("vector"), col("__qv")))
     val parts = (0 until nChunks).map { c =>
       val chunk =

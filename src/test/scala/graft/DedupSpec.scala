@@ -444,6 +444,18 @@ class DedupSpec extends AnyFunSuite {
       broadcastMaxRows = 0L).queryExecution.executedPlan.toString()
     assert(plan.contains("ShuffledHashJoin"),
       s"expected the oversized-batch fallback to shuffle-hash join:\n$plan")
+    // round-14 (r13 VERDICT #5): the BYTE bound degrades independently of
+    // the row bound — a 10-row batch is far under broadcastMaxRows, but a
+    // 1-byte budget must still force the shuffle path (rows × (dim·8+48)
+    // estimated bytes), with identical result rows
+    val viaByteGuard = Dedup.semanticDropIncremental(ix, batch, "vec_id", "embedding",
+        broadcastMaxBytes = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaByteGuard == viaBroadcast)
+    val bytePlan = Dedup.semanticDropIncremental(ix, batch, "vec_id", "embedding",
+      broadcastMaxBytes = 1L).queryExecution.executedPlan.toString()
+    assert(bytePlan.contains("ShuffledHashJoin"),
+      s"expected the byte-bound fallback to shuffle-hash join:\n$bytePlan")
   }
 
   test("semanticDropTrained: k-means centroids separate the geometry; incremental parity holds") {
