@@ -1050,8 +1050,21 @@ object Dedup {
     * Convergence detection: the canonical (max, min)-oriented edge set is
     * fingerprinted per round (count + bit_xor of xxhash64) — order-free,
     * and equality of consecutive fingerprints stops the loop. */
+  /** `maxEdges` (round 14, r13 VERDICT #1 — the autoBitsPerBand
+    * discipline applied to CC input volume): > 0 fail-fasts when the
+    * canonical edge set exceeds the budget, with the named rule in the
+    * error. CC cannot DEGRADE like the candidate funnels — dropping
+    * edges silently changes cluster membership, the one thing this
+    * operator exists to get right — so the guard is fail-fast only.
+    * The loop itself is measured near-linear in edges (SCALE.md round
+    * 14: 1 M→32 M synthetic dense edges), so the budget exists to
+    * catch the PATHOLOGICAL upstream shape: a corpus of k identical
+    * docs reaching the exact-Jaccard funnel un-deduplicated emits a
+    * k²/2-edge clique per duplicate group — run [[exactGroups]] first,
+    * which collapses those cliques to stars, then raise the budget. */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 50,
-                          driverThreshold: Long = 100000L): DataFrame = {
+                          driverThreshold: Long = 100000L,
+                          maxEdges: Long = 0L): DataFrame = {
     // edges canonically oriented big → small (both star ops emit (v, m)
     // with v > m, so the orientation is stable round over round). Ids keep
     // their NATURAL type — least/greatest/min work on any orderable column
@@ -1078,7 +1091,17 @@ object Dedup {
         Some(Ordering.by((x: Any) => x.asInstanceOf[String]))
       case _ => None // exotic id types take the type-generic distributed path
     }
-    if (driverOrd.isDefined && driverThreshold > 0 && canon.count() <= driverThreshold)
+    // one count job serves both the edge budget and the driver dispatch
+    val nCanon =
+      if (maxEdges > 0 || (driverOrd.isDefined && driverThreshold > 0)) canon.count()
+      else -1L
+    if (maxEdges > 0)
+      require(nCanon <= maxEdges,
+        s"connectedComponents: $nCanon canonical edges exceed maxEdges = $maxEdges " +
+          "(rule: near-dup pair graphs are ~linear in corpus size once exact " +
+          "duplicates are collapsed — run exactGroups first so k-identical-doc " +
+          "cliques become stars, or raise the budget for a graph this dense)")
+    if (driverOrd.isDefined && driverThreshold > 0 && nCanon >= 0 && nCanon <= driverThreshold)
       return ccUnionFind(canon, pairs.schema.head.dataType, driverOrd.get)
 
     var edges = canon.localCheckpoint(true)

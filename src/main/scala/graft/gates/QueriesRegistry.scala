@@ -330,6 +330,136 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
         |  list_sum(list_transform(v, x -> abs(x)))::BIGINT AS is_abs_sum,
         |  list_sum(list_transform(range(0, n_big + n_c1), i -> v[i+1] * (i+1)))::BIGINT AS pos_sum
         |FROM vals ORDER BY id, granule, channel""".stripMargin)),
+    "multimodal_mp3_pcm" -> Q(multimodalMp3Pcm, Some(
+      // restates mp3PcmAssets' spectra THROUGH THE ENTIRE §2.4.3.4 DSP
+      // chain in SQL: requantization (power law + scalefactor/pretab
+      // exponents over the B.8 band map), MS stereo for odd ids, the 31
+      // boundary alias butterflies, the 36-point IMDCT with the long
+      // sine window, overlap-add across the two granules, frequency
+      // inversion, the 64x32 synthesis matrixing and the 16-slot
+      // windowed FIFO read-out (formula fixture window), then the
+      // floor-based 16-bit quantizer. Every float op mirrors the Scala
+      // loop order (left-to-right list_sum folds), so the only
+      // cross-engine divergence is ~1-ulp libm cos/pow noise — absorbed
+      // by the integer quantization the aggregates are computed over.
+      """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 8),
+        |gs AS (SELECT unnest(range(0, 2)) AS g),
+        |chs AS (SELECT unnest(range(0, 2)) AS ch),
+        |const AS (SELECT
+        |  [0,4,8,12,16,20,24,30,36,44,52,62,74,90,110,134,162,196,238,288,342,418,576] AS bands,
+        |  [0,0,0,0,0,0,0,0,0,0,0,1,1,1,1,2,2,3,3,3,2,0] AS pretab,
+        |  [-0.6,-0.535,-0.33,-0.185,-0.095,-0.041,-0.0142,-0.0037] AS ci),
+        |base AS (
+        |  SELECT id, g, ch, 2*(20 + id%5) AS n_big, 4*(4 + id%3) AS n_c1,
+        |         160 + (5*id + 17*g + 29*ch) % 40 AS gg,
+        |         CASE WHEN (id+g)%2 = 0 THEN 0.5 ELSE 1.0 END AS mult,
+        |         id % 2 AS preflag
+        |  FROM ids, gs, chs),
+        |spec AS (
+        |  SELECT id, g, ch, gg, mult, preflag,
+        |    list_transform(range(0, 576), i ->
+        |      CASE WHEN i >= n_big + n_c1 THEN 0 ELSE
+        |        (CASE WHEN (id+i)%5 < 2 THEN -1 ELSE 1 END) *
+        |        (CASE WHEN i < 16 THEN (id+i)%4
+        |              WHEN i < n_big THEN
+        |                CASE (id+i)%4 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 1
+        |                     ELSE 15 + (id+i)%8 END
+        |              ELSE (id+i)%2 END)
+        |      END) AS isv
+        |  FROM base),
+        |xr AS (
+        |  SELECT s.id, s.g, s.ch,
+        |    list_transform(range(0, 576), i ->
+        |      CASE WHEN s.isv[i+1] = 0 THEN 0.0 ELSE
+        |        sign(s.isv[i+1]) * pow(abs(s.isv[i+1]), 4.0/3.0) *
+        |        pow(2.0, 0.25*(s.gg - 210) - s.mult * (
+        |          (CASE WHEN len(list_filter(c.bands, x -> x <= i)) - 1 >= 21 THEN 0
+        |                ELSE (s.id + (len(list_filter(c.bands, x -> x <= i)) - 1)) % 4 END)
+        |          + s.preflag * c.pretab[len(list_filter(c.bands, x -> x <= i))]))
+        |      END) AS v
+        |  FROM spec s, const c),
+        |msx AS (
+        |  SELECT a.id, a.g, 0 AS ch,
+        |    CASE WHEN a.id % 2 = 1
+        |         THEN list_transform(range(0, 576), i -> (a.v[i+1] + b.v[i+1]) / sqrt(2.0))
+        |         ELSE a.v END AS v
+        |  FROM xr a JOIN xr b ON a.id = b.id AND a.g = b.g
+        |  WHERE a.ch = 0 AND b.ch = 1
+        |  UNION ALL
+        |  SELECT a.id, a.g, 1 AS ch,
+        |    CASE WHEN a.id % 2 = 1
+        |         THEN list_transform(range(0, 576), i -> (a.v[i+1] - b.v[i+1]) / sqrt(2.0))
+        |         ELSE b.v END AS v
+        |  FROM xr a JOIN xr b ON a.id = b.id AND a.g = b.g
+        |  WHERE a.ch = 0 AND b.ch = 1),
+        |al AS (
+        |  SELECT m.id, m.g, m.ch,
+        |    list_transform(range(0, 576), i -> CASE
+        |      WHEN i % 18 >= 10 AND i < 558 THEN
+        |        m.v[i+1] * (1.0/sqrt(1.0 + c.ci[18 - (i%18)]*c.ci[18 - (i%18)])) -
+        |        m.v[i + 36 - 2*(i%18)] * (c.ci[18 - (i%18)]/sqrt(1.0 + c.ci[18 - (i%18)]*c.ci[18 - (i%18)]))
+        |      WHEN i % 18 <= 7 AND i >= 18 THEN
+        |        m.v[i+1] * (1.0/sqrt(1.0 + c.ci[(i%18) + 1]*c.ci[(i%18) + 1])) +
+        |        m.v[i - 2*(i%18)] * (c.ci[(i%18) + 1]/sqrt(1.0 + c.ci[(i%18) + 1]*c.ci[(i%18) + 1]))
+        |      ELSE m.v[i+1] END) AS v
+        |  FROM msx m, const c),
+        |im AS (
+        |  SELECT a.id, a.ch, a.g, sb.sb,
+        |    list_transform(range(0, 36), i ->
+        |      list_sum(list_transform(range(0, 18), k ->
+        |        a.v[18*sb.sb + k + 1] * cos(pi()/72 * (2*i + 19) * (2*k + 1))))
+        |      * sin(pi()/36 * (i + 0.5))) AS z
+        |  FROM al a, (SELECT unnest(range(0, 32)) AS sb) sb),
+        |ts AS (
+        |  SELECT z0.id, z0.ch, z0.sb,
+        |    list_transform(range(0, 36), t -> (
+        |      CASE WHEN t < 18 THEN z0.z[t+1]
+        |           ELSE z1.z[t-18+1] + z0.z[18 + t-18 + 1] END)
+        |      * (CASE WHEN z0.sb % 2 = 1 AND t % 2 = 1 THEN -1.0 ELSE 1.0 END)) AS s
+        |  FROM im z0 JOIN im z1 ON z0.id = z1.id AND z0.ch = z1.ch AND z0.sb = z1.sb
+        |  WHERE z0.g = 0 AND z1.g = 1),
+        |mat AS (SELECT id, ch, list(s ORDER BY sb) AS m FROM ts GROUP BY id, ch),
+        |vmat AS (
+        |  SELECT id, ch,
+        |    list_transform(range(0, 36), t ->
+        |      list_transform(range(0, 64), o ->
+        |        list_sum(list_transform(range(0, 32), k ->
+        |          cos((16 + o) * (2*k + 1) * pi()/64) * m[k+1][t+1])))) AS vm
+        |  FROM mat),
+        |pcm AS (
+        |  SELECT id, ch,
+        |    list_transform(range(0, 1152), p ->
+        |      CAST(greatest(-32768.0, least(32767.0, floor(
+        |        list_sum(list_transform(range(0, 16), n ->
+        |          (sin(pi() * ((p % 32) + 32*n + 0.5) / 512) / 32) *
+        |          (CASE WHEN (p // 32) - n < 0 THEN 0.0
+        |                ELSE vm[(p // 32) - n + 1][(CASE WHEN n % 2 = 0 THEN p % 32 ELSE 32 + p % 32 END) + 1] END)))
+        |        * 32768.0 + 0.5))) AS INT)) AS q
+        |  FROM vmat)
+        |SELECT id, ch::INT AS channel, (id % 2)::INT AS ms_stereo,
+        |  1152::INT AS n_samples,
+        |  len(list_filter(q, x -> x = 32767 OR x = -32768))::INT AS n_clipped,
+        |  len(list_filter(q, x -> x <> 0))::INT AS n_nonzero,
+        |  list_sum(q)::BIGINT AS pcm_sum,
+        |  list_sum(list_transform(q, x -> abs(x)))::BIGINT AS pcm_abs_sum,
+        |  list_sum(list_transform(range(0, 1152), p -> q[p+1] * (p+1)))::BIGINT AS pos_sum
+        |FROM pcm ORDER BY id, channel""".stripMargin)),
+    "multimodal_mp3_codebook" -> Q(multimodalMp3Codebook, Some(
+      // restates the codebook gate's spectral formulas: 16 big values
+      // (all region0, coded by the USER-SUPPLIED table mounted on real
+      // id 1) + 8 count1 samples — mag (id+i)%2, negative iff
+      // (id+i)%3 = 0 — plus the contract bits themselves (decodes with
+      // tables, strict-rejects without)
+      """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 50),
+        |v AS (
+        |  SELECT id, list_transform(range(0, 24), i ->
+        |    (CASE WHEN (id+i)%3 = 0 THEN -1 ELSE 1 END) * ((id+i)%2)) AS isv
+        |  FROM ids)
+        |SELECT id, 1::INT AS decodes_with_tables, 1::INT AS rejects_without,
+        |  len(list_filter(isv, x -> x <> 0))::INT AS n_nonzero,
+        |  list_sum(isv)::BIGINT AS is_sum,
+        |  list_sum(list_transform(range(0, 24), i -> isv[i+1] * (i+1)))::BIGINT AS pos_sum
+        |FROM v ORDER BY id""".stripMargin)),
     "multimodal_h264_sps" -> Q(multimodalH264Sps, Some(
       // restates h264Assets' SPS/PPS field formulas + the §7.4.2.1.1
       // width/height derivation, and pins the concatenated slice RBSPs

@@ -22,10 +22,15 @@ object Mp3 {
     * 4-byte header (the Layer III side-info + main data — the codec-stub
     * seam); `durationMs` = frames · 1152 · 1000 / sampleRate (integer);
     * `channels` from the first frame's mode field (round 12 — mode 3 =
-    * single channel, everything else 2, §2.4.1.3). */
+    * single channel, everything else 2, §2.4.1.3). `mode`/`modeExt` are
+    * the first frame's raw 2-bit fields (round 14 — mode 1 = joint
+    * stereo, whose mode_extension bit 1 switches MS stereo on,
+    * §2.4.2.3); [[msStereo]] derives the §2.4.3.4.9.2 matrix switch. */
   final case class Mp3Stream(nFrames: Int, bitrateKbps: Int, sampleRate: Int,
                              durationMs: Long, framePayloads: Array[Array[Byte]],
-                             channels: Int)
+                             channels: Int, mode: Int = 0, modeExt: Int = 0) {
+    def msStereo: Boolean = mode == 1 && (modeExt & 2) != 0
+  }
 
   // MPEG-1 Layer III bitrate table (kbps), index 1..14 (T.81-style public
   // constants from ISO 11172-3 table B.2); 0 = free and 15 = bad: rejected
@@ -47,12 +52,18 @@ object Mp3 {
     var firstBitrate = -1
     var sampleRate = -1
     var channels = -1
+    var mode = 0
+    var modeExt = 0
     while (p < bytes.length) {
       if (p + 4 > bytes.length) return None
       val h0 = bytes(p) & 0xff; val h1 = bytes(p + 1) & 0xff
       val h2 = bytes(p + 2) & 0xff
       val h3 = bytes(p + 3) & 0xff
-      if (channels < 0) channels = if (((h3 & 0xc0) >> 6) == 3) 1 else 2
+      if (channels < 0) {
+        mode = (h3 & 0xc0) >> 6
+        modeExt = (h3 & 0x30) >> 4
+        channels = if (mode == 3) 1 else 2
+      }
       if (h0 != 0xff || (h1 & 0xe0) != 0xe0) return None // broken sync
       val version = (h1 & 0x18) >> 3
       val layer = (h1 & 0x06) >> 1
@@ -75,7 +86,7 @@ object Mp3 {
     if (payloads.isEmpty) return None
     Some(Mp3Stream(payloads.length, firstBitrate, sampleRate,
       payloads.length.toLong * 1152L * 1000L / sampleRate, payloads.toArray,
-      channels))
+      channels, mode, modeExt))
   } catch { case _: Exception => None }
 
   // -------------------------------------------------------------------
@@ -591,9 +602,16 @@ object Mp3 {
     val p23 = runs.map { case (k, bits) => k -> bits.map(_._2).sum }.toMap
     val si2 = si.copy(granules = Seq.tabulate(2)(g => Seq.tabulate(channels)(ch =>
       si.granules(g)(ch).copy(part23Length = p23((g, ch))))))
-    // pack: side info via the pinned encoder layout, then the runs in order
+    // pack: side info via the pinned encoder layout, then the runs in
+    // order. Range-checked like the run-stage writer (round-13 ADVICE:
+    // an unchecked pack would silently truncate a computed
+    // part2_3_length > 4095 or big_values > 511 into corrupt side info
+    // instead of failing fast).
     val bits = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-    def w(v: Int, n: Int): Unit = bits += ((v, n))
+    def w(v: Int, n: Int): Unit = {
+      require(v >= 0 && v < (1 << n), s"field value $v does not fit in $n bits")
+      bits += ((v, n))
+    }
     w(si2.mainDataBegin, 9)
     w(si2.privateBits, if (channels == 1) 5 else 3)
     for (ch <- 0 until channels; b <- 0 until 4) w(si2.scfsi(ch)(b), 1)
@@ -620,6 +638,299 @@ object Mp3 {
     out.toByteArray
   }
 
+  // -------------------------------------------------------------------
+  // Layer III DSP to PCM (round 14, r13 VERDICT #3): MS stereo, alias
+  // reduction, IMDCT + windowing + overlap-add, frequency inversion,
+  // and the polyphase synthesis filterbank — the full §2.4.3.4 chain
+  // after requantization, for SELF-CONTAINED long-block frames (the
+  // [[decodeSpectra]] scope). Every stage below is FORMULA math from
+  // the spec text: the IMDCT basis cos(π/72·(2i+19)(2k+1)), the long
+  // window sin(π/36·(i+½)), the synthesis matrix cos((16+o)(2k+1)π/64),
+  // the MS matrix (M±S)/√2, and the 8 alias-reduction ci constants
+  // (§2.4.3.4.10.1 — the same public-constant class as the bitrate
+  // table). The ONE transcription-data table in this chain is ISO
+  // Table B.3's 512 synthesis-window coefficients Di — like the B.7
+  // codebooks they cannot be verified in this zero-egress environment,
+  // so the decoder takes the window as an ARGUMENT: callers supply the
+  // ISO table they trust (see [[parseSynthWindowSpec]]); the default
+  // [[fixtureSynthWindow]] is a documented formula window that
+  // exercises the identical pipeline with pinned-exact output but does
+  // NOT alias-cancel like the ISO prototype (fixture audio, not ISO
+  // audio — the codebook-provenance discipline applied to a window).
+  // Decoder state (overlap-add tails, the V FIFO) is FRESH per frame:
+  // exact for the self-contained fixture frames the gates pin; a
+  // multi-frame stream decode would thread state across frames at the
+  // same seam main_data_begin already guards.
+  // -------------------------------------------------------------------
+
+  /** §2.4.3.4.10.1 alias-reduction coefficients ci (8 published
+    * constants); cs/ca derive by formula: csᵢ = 1/√(1+cᵢ²),
+    * caᵢ = cᵢ/√(1+cᵢ²). */
+  private[multimodal] val aliasCi: Array[Double] =
+    Array(-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142, -0.0037)
+  private[multimodal] val aliasCs: Array[Double] =
+    aliasCi.map(c => 1.0 / math.sqrt(1.0 + c * c))
+  private[multimodal] val aliasCa: Array[Double] =
+    aliasCi.map(c => c / math.sqrt(1.0 + c * c))
+
+  /** Alias-reduction butterflies on a requantized 576-sample spectrum
+    * (§2.4.3.4.10.1): at each of the 31 subband boundaries, 8
+    * butterflies mix the last 8 samples of the lower subband with the
+    * first 8 of the upper. Long blocks only (the [[decodePcm]] scope). */
+  private[graft] def aliasReduce(xr: Array[Double]): Array[Double] = {
+    val out = xr.clone()
+    var sb = 1
+    while (sb < 32) {
+      var j = 0
+      while (j < 8) {
+        val ai = 18 * sb - 1 - j
+        val bi = 18 * sb + j
+        val a = out(ai); val b = out(bi)
+        out(ai) = a * aliasCs(j) - b * aliasCa(j)
+        out(bi) = b * aliasCs(j) + a * aliasCa(j)
+        j += 1
+      }
+      sb += 1
+    }
+    out
+  }
+
+  /** 36-point IMDCT of one subband's 18 spectral lines, multiplied by
+    * the block_type-0 long window (§2.4.3.4.10.3):
+    * x(i) = Σₖ X(k)·cos(π/72·(2i+19)(2k+1)), w(i) = sin(π/36·(i+½)). */
+  private[graft] def imdct36(x: Array[Double], off: Int): Array[Double] = {
+    val out = new Array[Double](36)
+    var i = 0
+    while (i < 36) {
+      var s = 0.0
+      var k = 0
+      while (k < 18) {
+        s += x(off + k) * math.cos(math.Pi / 72.0 * (2 * i + 19) * (2 * k + 1))
+        k += 1
+      }
+      out(i) = s * math.sin(math.Pi / 36.0 * (i + 0.5))
+      i += 1
+    }
+    out
+  }
+
+  /** The formula FIXTURE synthesis window (see the DSP provenance note
+    * above): D(i) = sin(π(i+½)/512)/32 — smooth, positive, unit-order
+    * output scale. NOT ISO Table B.3; supply that via
+    * [[parseSynthWindowSpec]] for real-corpus decoding. */
+  val fixtureSynthWindow: Array[Double] =
+    Array.tabulate(512)(i => math.sin(math.Pi * (i + 0.5) / 512.0) / 32.0)
+
+  /** Polyphase synthesis filterbank (§2.4.3.4.10.4 structure): per time
+    * slot t, matrix the 32 subband samples into 64 V values
+    * (V(o) = Σₖ cos((16+o)(2k+1)π/64)·S(k)), push onto a 16-slot FIFO,
+    * window by D, and emit 32 PCM samples
+    * (pcm(j) = Σₙ D(j+32n)·V_{t−n}(j | 32+j by n parity)). The FIFO is
+    * zero-initialized (fresh frame state — see the seam note above).
+    * `bands(t)(k)` = time sample t of subband k; output length = 32·|t|. */
+  private[graft] def synthesize(bands: Array[Array[Double]],
+                                     window: Array[Double]): Array[Double] = {
+    require(window.length == 512, s"synthesis window has ${window.length} taps, need 512")
+    val nSlots = bands.length
+    val v = Array.ofDim[Double](nSlots, 64)
+    var t = 0
+    while (t < nSlots) {
+      var o = 0
+      while (o < 64) {
+        var s = 0.0
+        var k = 0
+        while (k < 32) {
+          s += math.cos((16 + o) * (2 * k + 1) * math.Pi / 64.0) * bands(t)(k)
+          k += 1
+        }
+        v(t)(o) = s
+        o += 1
+      }
+      t += 1
+    }
+    val pcm = new Array[Double](nSlots * 32)
+    t = 0
+    while (t < nSlots) {
+      var j = 0
+      while (j < 32) {
+        var s = 0.0
+        var n = 0
+        while (n < 16) {
+          val src = t - n
+          val vv = if (src < 0) 0.0
+            else v(src)(if (n % 2 == 0) j else 32 + j)
+          s += window(j + 32 * n) * vv
+          n += 1
+        }
+        pcm(t * 32 + j) = s
+        j += 1
+      }
+      t += 1
+    }
+    pcm
+  }
+
+  /** 16-bit quantization with saturation: ⌊x·32768 + ½⌋ clamped to
+    * [−32768, 32767] — floor-based so an external SQL oracle's
+    * floor(x*32768 + 0.5) reproduces it exactly (round-half-up on both
+    * engines; round() would differ on negative halves). */
+  def pcm16(x: Double): Int =
+    math.max(-32768, math.min(32767, math.floor(x * 32768.0 + 0.5).toInt))
+
+  /** Full Layer III decode of a SELF-CONTAINED long-block frame payload
+    * to PCM: [[decodeSpectra]] (Huffman + requantization), optional MS
+    * stereo (§2.4.3.4.9.2: L=(M+S)/√2, R=(M−S)/√2, applied to the
+    * requantized spectra), [[aliasReduce]], [[imdct36]] + overlap-add
+    * across the frame's two granules (fresh zero tail at granule 0 —
+    * the per-frame state seam), frequency inversion (odd subband × odd
+    * granule-local time sample), then [[synthesize]] over the frame's
+    * 36 time slots (granule 1's FIFO sees granule 0's V history).
+    * Returns one 1152-sample Array per channel; strict → None on
+    * everything [[decodeSpectra]] rejects, or msStereo on mono. */
+  def decodePcm(payload: Array[Byte], channels: Int, rateIdx: Int,
+                msStereo: Boolean = false,
+                tables: Map[Int, HuffTable] = fixtureTables,
+                count1A: Count1Table = fixtureCount1A,
+                synthWindow: Array[Double] = fixtureSynthWindow): Option[Seq[Array[Double]]] = try {
+    if (msStereo && channels != 2) return None
+    val specOpt = decodeSpectra(payload, channels, rateIdx, tables, count1A)
+    if (specOpt.isEmpty) return None
+    val spec = specOpt.get
+    val xr = Array.tabulate(2, channels)((g, ch) => spec(g)(ch).xr.clone())
+    if (msStereo) {
+      val s2 = math.sqrt(2.0)
+      for (g <- 0 until 2) {
+        var i = 0
+        while (i < 576) {
+          val m = xr(g)(0)(i); val s = xr(g)(1)(i)
+          xr(g)(0)(i) = (m + s) / s2
+          xr(g)(1)(i) = (m - s) / s2
+          i += 1
+        }
+      }
+    }
+    val out = (0 until channels).map { ch =>
+      // slots(t)(k): frame time slot t (granule·18 + granule-local j) of
+      // subband k, after overlap-add and frequency inversion
+      val slots = Array.ofDim[Double](36, 32)
+      val prev = Array.ofDim[Double](32, 18) // zero: fresh frame state
+      for (g <- 0 until 2) {
+        val a = aliasReduce(xr(g)(ch))
+        var sb = 0
+        while (sb < 32) {
+          val z = imdct36(a, sb * 18)
+          var j = 0
+          while (j < 18) {
+            var s = z(j) + prev(sb)(j)
+            if (sb % 2 == 1 && j % 2 == 1) s = -s
+            slots(g * 18 + j)(sb) = s
+            prev(sb)(j) = z(18 + j)
+            j += 1
+          }
+          sb += 1
+        }
+      }
+      synthesize(slots, synthWindow)
+    }
+    Some(out)
+  } catch { case _: Exception => None }
+
+  // -------------------------------------------------------------------
+  // Caller-supplied resource specs (round 14, r13 VERDICT #4): the
+  // never-guess discipline strict-rejects ISO B.7 codebook ids and the
+  // Table B.3 synthesis window because transcription data cannot be
+  // verified offline — but a USER who holds the spec text can. These
+  // parsers define the documented interchange format, so a real corpus
+  // decodes end-to-end the moment trusted tables are supplied:
+  //
+  //   # comment (anywhere; blank lines ignored)
+  //   table 16 linbits 1        — starts a big-values codebook section
+  //   110 0 0                   — one codeword: <bits> <|x|> <|y|>
+  //   count1                    — starts the count1 table-A section
+  //   0111 1 0 1 1              — one codeword: <bits> <v> <w> <x> <y>
+  //   window                    — starts the synthesis-window section
+  //   0.000000000 -0.000015259 …  — 512 whitespace-separated doubles
+  //
+  // Merge loaded tables over the fixtures at the call site
+  // (`fixtureTables ++ loaded`) — the loader never silently overrides.
+  // -------------------------------------------------------------------
+
+  /** Parse big-values codebook sections from the spec format above.
+    * Strict: unknown directives, magnitudes outside 0..15, linbits
+    * outside 0..13 (ISO's max), malformed codes, or a table failing
+    * [[HuffTable]]'s prefix-freedom/duplicate checks all throw. */
+  def parseHuffTablesSpec(text: String): Map[Int, HuffTable] = {
+    var cur: Option[(Int, Int)] = None // (id, linbits)
+    val acc = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.Map[String, (Int, Int)]]
+    val linbitsOf = scala.collection.mutable.Map.empty[Int, Int]
+    for (raw <- text.linesIterator) {
+      val line = raw.takeWhile(_ != '#').trim
+      if (line.nonEmpty) line.split("\\s+") match {
+        case Array("table", id, "linbits", lb) =>
+          val i = id.toInt; val l = lb.toInt
+          require(i >= 1 && i <= 31, s"codebook id $i out of range 1..31")
+          require(l >= 0 && l <= 13, s"linbits $l out of range 0..13")
+          cur = Some((i, l))
+          linbitsOf(i) = l
+          acc.getOrElseUpdate(i, scala.collection.mutable.Map.empty)
+        case Array(code, x, y) if cur.isDefined =>
+          require(code.forall(c => c == '0' || c == '1'), s"bad code '$code'")
+          val (xv, yv) = (x.toInt, y.toInt)
+          require(xv >= 0 && xv <= 15 && yv >= 0 && yv <= 15,
+            s"magnitudes ($xv, $yv) out of range 0..15")
+          acc(cur.get._1) += (code -> ((xv, yv)))
+        case Array("count1") | Array("window") =>
+          cur = None // those sections belong to the other parsers
+        case _ if cur.isEmpty => // inside a count1/window section: skip
+        case other => throw new IllegalArgumentException(
+          s"unparseable codebook line: '${other.mkString(" ")}'")
+      }
+    }
+    acc.map { case (id, codes) => id -> HuffTable(linbitsOf(id), codes.toMap) }.toMap
+  }
+
+  /** Parse the `count1` section (table A — ISO B.7's last page). */
+  def parseCount1Spec(text: String): Count1Table = {
+    var in = false
+    val codes = scala.collection.mutable.Map.empty[String, (Int, Int, Int, Int)]
+    for (raw <- text.linesIterator) {
+      val line = raw.takeWhile(_ != '#').trim
+      if (line.nonEmpty) line.split("\\s+") match {
+        case Array("count1") => in = true
+        case Array("table", _, "linbits", _) | Array("window") => in = false
+        case Array(code, v, w, x, y) if in =>
+          require(code.forall(c => c == '0' || c == '1'), s"bad code '$code'")
+          val q = (v.toInt, w.toInt, x.toInt, y.toInt)
+          require(Seq(q._1, q._2, q._3, q._4).forall(b => b == 0 || b == 1),
+            s"count1 values must be bits: $line")
+          codes += (code -> q)
+        case _ if !in => // other sections
+        case other => throw new IllegalArgumentException(
+          s"unparseable count1 line: '${other.mkString(" ")}'")
+      }
+    }
+    require(codes.nonEmpty, "no count1 section found")
+    Count1Table(codes.toMap)
+  }
+
+  /** Parse the `window` section: exactly 512 doubles (ISO Table B.3 as
+    * the caller transcribed it). */
+  def parseSynthWindowSpec(text: String): Array[Double] = {
+    var in = false
+    val vals = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (raw <- text.linesIterator) {
+      val line = raw.takeWhile(_ != '#').trim
+      if (line.nonEmpty) line.split("\\s+") match {
+        case Array("window") => in = true
+        case Array("table", _, "linbits", _) | Array("count1") => in = false
+        case toks if in => toks.foreach(t => vals += t.toDouble)
+        case _ => // other sections
+      }
+    }
+    require(vals.length == 512, s"synthesis window needs 512 taps, got ${vals.length}")
+    vals.toArray
+  }
+
   /** Gate/fixture encoder (the operators only PARSE): a CBR MPEG-1
     * Layer III stream — `nFrames` frames at the given bitrate/samplerate
     * indices, no padding, payload bytes (side-info + main data position)
@@ -627,9 +938,12 @@ object Mp3 {
     * of `id3Bytes` zero bytes (synchsafe-sized). `data` must hold exactly
     * nFrames · (frameLen − 4) bytes. */
   def encodeMp3(nFrames: Int, bitrateIdx: Int, rateIdx: Int,
-                data: Array[Byte], id3Bytes: Int = 0): Array[Byte] = {
+                data: Array[Byte], id3Bytes: Int = 0,
+                mode: Int = 0, modeExt: Int = 0): Array[Byte] = {
     require(bitrateIdx >= 1 && bitrateIdx <= 14 && rateIdx >= 0 && rateIdx <= 2,
       s"bad table indices ($bitrateIdx, $rateIdx)")
+    require(mode >= 0 && mode <= 2 && modeExt >= 0 && modeExt <= 3,
+      s"bad mode fields ($mode, $modeExt) — mono (mode 3) frames carry 17-byte side info, not encoded here")
     val flen = 144 * bitrates(bitrateIdx) * 1000 / rates(rateIdx)
     require(nFrames > 0 && data.length == nFrames * (flen - 4),
       s"${data.length} payload bytes != $nFrames x (${flen} - 4)")
@@ -647,7 +961,8 @@ object Mp3 {
       out.write(0xff)
       out.write(0xfb) // sync + MPEG-1 (11) + Layer III (01) + no CRC (1)
       out.write((bitrateIdx << 4) | (rateIdx << 2)) // no padding, not private
-      out.write(0x00) // stereo, no mode ext, no copyright/original/emphasis
+      // mode + mode_extension; no copyright/original/emphasis
+      out.write((mode << 6) | (modeExt << 4))
       out.write(data, f * (flen - 4), flen - 4)
       f += 1
     }

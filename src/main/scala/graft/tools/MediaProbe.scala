@@ -46,6 +46,36 @@ object MediaProbe {
     probe("mp4", i => Mp4.encodeMp4(16, 16, 1000L, 5L + (i % 10), 3, 8,
         Array.tabulate(24)(j => ((i + j) % 256).toByte)),
       Mp4.parseMp4(_))
+    // Caller-supplied-codebook DEMO (round 14, r13 VERDICT #4): frames
+    // whose region0 selects REAL ISO id 1 decode to PCM when a user
+    // codebook spec is loaded, and strict-reject without — the path a
+    // real-corpus deployment takes after pasting its trusted B.7/B.3
+    // transcriptions into the documented spec format.
+    locally {
+      val spec =
+        """table 1 linbits 0
+          |1 0 0
+          |01 1 0
+          |001 0 1
+          |000 1 1""".stripMargin
+      val user = Mp3.parseHuffTablesSpec(spec)
+      val merged = Mp3.fixtureTables ++ user
+      def frame(i: Long): Array[Byte] = {
+        def gi(g: Int, ch: Int) = Mp3.GranuleInfo(0, 8, 170, 9,
+          windowSwitching = false, blockType = 0, mixedBlock = false,
+          Seq(1, 14, 0), Nil, 3, 7, 0, 0, 1)
+        val si = Mp3.SideInfo(0, 0, Seq.fill(2)(Seq.fill(4)(0)),
+          Seq.tabulate(2)(g => Seq.tabulate(2)(ch => gi(g, ch))))
+        val is = Array.tabulate(16)(j => (((i + j) % 2) * (if ((i + j) % 3 == 0) -1 else 1)).toInt)
+        Mp3.encodeSpectra(si, 2, Seq.fill(2)(Seq.fill(2)(Array.fill(21)(0))),
+          Seq.fill(2)(Seq.fill(2)(is)), tables = merged)
+      }
+      val rejected = Mp3.decodePcm(frame(1L), 2, 0).isEmpty
+      probe("mp3-pcm-usercodebook", frame,
+        Mp3.decodePcm(_, 2, 0, tables = merged))
+      println(s"[mediaprobe] mp3 real-id strict-reject without user codebook: $rejected")
+      require(rejected, "real table ids must strict-reject without a supplied codebook")
+    }
     spark.stop()
   }
 }

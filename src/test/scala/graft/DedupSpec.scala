@@ -243,6 +243,23 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents: maxEdges budget fail-fasts with the named rule, off by default") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (1L, 2L)).toDF("a", "b")
+    // 3 CANONICAL edges (the duplicate collapses): budget 2 rejects, 3 passes
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs, maxEdges = 2L)
+    }
+    assert(e.getMessage.contains("maxEdges") && e.getMessage.contains("exactGroups"),
+      s"budget error must carry the named rule: ${e.getMessage}")
+    assert(Dedup.connectedComponents(pairs, maxEdges = 3L).count() == 5)
+    // ...and on the forced-Kiveris path too (the budget is count-based,
+    // independent of which CC arm runs)
+    assert(intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs, driverThreshold = 0L, maxEdges = 2L)
+    }.getMessage.contains("maxEdges"))
+    assert(Dedup.connectedComponents(pairs, maxEdges = 0L).count() == 5) // 0 = off
+  }
+
   test("connectedComponents converges on a long chain and a star in few rounds") {
     // a 64-node chain is the adversary for naive min-label propagation
     // (O(diameter) rounds); alternating stars must stay within O(log² n).

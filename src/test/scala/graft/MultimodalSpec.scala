@@ -1132,6 +1132,179 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Mp3.decodeSpectra(frame(gi(Seq(0, 0, 0), p23 = 50, bv = 0)), 1, 0).isDefined)
   }
 
+  // ---- MP3 Layer III DSP to PCM (round 14) ----
+
+  /** A stereo self-contained frame payload with the given per-channel
+    * spectra in subband-0..n positions (shared by the DSP tests). */
+  private def pcmFixture(isByCh: Seq[Array[Int]], gg: Int = 170): Array[Byte] = {
+    import graft.multimodal.Mp3
+    def gi(bv: Int) = Mp3.GranuleInfo(0, bv, gg, 9, windowSwitching = false,
+      blockType = 0, mixedBlock = false, Seq(4, 14, 0), Nil, 3, 7,
+      preflag = 0, scalefacScale = 0, count1TableSelect = 1)
+    val si = Mp3.SideInfo(0, 0, Seq.fill(2)(Seq.fill(4)(0)),
+      Seq.fill(2)(Seq.tabulate(2)(ch => gi(isByCh(ch).length / 2))))
+    val sfs = Seq.fill(2)(Seq.fill(2)(Array.fill(21)(0)))
+    Mp3.encodeSpectra(si, 2, sfs,
+      Seq.fill(2)(Seq.tabulate(2)(ch => isByCh(ch))))
+  }
+
+  test("MP3 PCM: shapes, zero spectrum, determinism, strict rejects") {
+    import graft.multimodal.Mp3
+    val is0 = Array(3, -2, 1, 0, 0, 2, -1, 3) // 4 big-values pairs, subband 0
+    val p = pcmFixture(Seq(is0, is0.map(-_)))
+    val pcm = Mp3.decodePcm(p, 2, 0).get
+    assert(pcm.length == 2 && pcm.forall(_.length == 1152))
+    assert(pcm.head.exists(_ != 0.0), "nonzero spectrum must synthesize nonzero PCM")
+    // deterministic: decode twice, bit-identical
+    val again = Mp3.decodePcm(p, 2, 0).get
+    assert(pcm.zip(again).forall { case (a, b) => a.sameElements(b) })
+    // zero spectrum -> exactly zero PCM end to end
+    val zero = Mp3.decodePcm(pcmFixture(Seq(Array.empty[Int], Array.empty[Int])), 2, 0).get
+    assert(zero.forall(_.forall(_ == 0.0)))
+    // msStereo on mono strict-rejects
+    assert(Mp3.decodePcm(p, 2, 0, msStereo = true).isDefined)
+    val mono = {
+      def gi = Mp3.GranuleInfo(0, 0, 170, 9, windowSwitching = false,
+        blockType = 0, mixedBlock = false, Seq(0, 0, 0), Nil, 3, 7, 0, 0, 1)
+      Mp3.encodeSpectra(Mp3.SideInfo(0, 0, Seq.fill(1)(Seq.fill(4)(0)),
+          Seq.fill(2)(Seq.fill(1)(gi))), 1,
+        Seq.fill(2)(Seq.fill(1)(Array.fill(21)(0))),
+        Seq.fill(2)(Seq.fill(1)(Array.empty[Int])))
+    }
+    assert(Mp3.decodePcm(mono, 1, 0).isDefined)
+    assert(Mp3.decodePcm(mono, 1, 0, msStereo = true).isEmpty)
+    // a bad synthesis window fails fast
+    intercept[IllegalArgumentException] {
+      graft.multimodal.Mp3.synthesize(Array.fill(1)(new Array[Double](32)),
+        new Array[Double](100))
+    }
+  }
+
+  test("MP3 MS stereo: identical channels cancel the side channel exactly") {
+    import graft.multimodal.Mp3
+    val is0 = Array(3, -2, 1, 0, 2, 2, -1, 3)
+    // M == S => L = sqrt(2)*M, R = 0 exactly ((m-s)/sqrt2 with m == s)
+    val p = pcmFixture(Seq(is0, is0))
+    val pcm = Mp3.decodePcm(p, 2, 0, msStereo = true).get
+    assert(pcm(1).forall(_ == 0.0), "R channel must cancel to exact zeros")
+    assert(pcm(0).exists(_ != 0.0))
+    // and the L channel is the plain decode scaled by exactly sqrt(2):
+    // (m+s)/sqrt2 = 2m/sqrt2; every later stage is linear in the spectrum
+    val plain = Mp3.decodePcm(p, 2, 0).get
+    val s2 = math.sqrt(2.0)
+    pcm(0).zip(plain(0)).foreach { case (l, m) =>
+      assert(math.abs(l - 2.0 * m / s2) <= 1e-12 * math.max(1.0, math.abs(l)))
+    }
+  }
+
+  test("MP3 alias reduction: butterflies preserve energy and touch only boundary bands") {
+    import graft.multimodal.Mp3
+    val rnd = new scala.util.Random(7)
+    val xr = Array.fill(576)(rnd.nextDouble() * 2 - 1)
+    val out = Mp3.aliasReduce(xr)
+    // each butterfly is a rotation (cs^2 + ca^2 = 1): total energy invariant
+    val e0 = xr.map(v => v * v).sum
+    val e1 = out.map(v => v * v).sum
+    assert(math.abs(e0 - e1) <= 1e-9 * e0)
+    // samples 8..9 of each subband (distance > 7 from both boundaries) pass through
+    for (sb <- 0 until 32; j <- 8 to 9) assert(out(18 * sb + j) == xr(18 * sb + j))
+    // a boundary sample really changed
+    assert(out(17) != xr(17))
+  }
+
+  test("MP3 synthesis FIFO: an impulse slot echoes through 16 slots at window positions") {
+    import graft.multimodal.Mp3
+    // one nonzero slot (t = 0, subband 0 = 1.0): V_0(o) = cos((16+o)pi/64)
+    // and pcm(t, j) = D(j + 32t) * V_0(j or 32+j by t parity) for t < 16
+    val bands = Array.fill(18)(new Array[Double](32))
+    bands(0)(0) = 1.0
+    val w = Mp3.fixtureSynthWindow
+    val pcm = Mp3.synthesize(bands, w)
+    def v0(o: Int): Double = math.cos((16 + o) * 1 * math.Pi / 64.0)
+    for (t <- 0 until 18; j <- 0 until 32) {
+      val expect =
+        if (t >= 16) 0.0
+        else w(j + 32 * t) * v0(if (t % 2 == 0) j else 32 + j)
+      assert(math.abs(pcm(t * 32 + j) - expect) <= 1e-15,
+        s"t=$t j=$j got ${pcm(t * 32 + j)} want $expect")
+    }
+  }
+
+  test("MP3 pcm16: floor-based half-up rounding with saturation") {
+    import graft.multimodal.Mp3
+    assert(Mp3.pcm16(0.0) == 0)
+    assert(Mp3.pcm16(1.0) == 32767) // 32768 clamps
+    assert(Mp3.pcm16(-1.0) == -32768)
+    assert(Mp3.pcm16(10.0) == 32767 && Mp3.pcm16(-10.0) == -32768)
+    assert(Mp3.pcm16(0.5 / 32768.0) == 1) // floor(0.5 + 0.5) = 1: half rounds up
+    assert(Mp3.pcm16(-0.5 / 32768.0) == 0) // floor(-0.5 + 0.5) = 0 (not away-from-zero)
+    assert(Mp3.pcm16(0.49999 / 32768.0) == 0)
+  }
+
+  test("MP3 PCM fuzz: byte mutations never escape the Option contract") {
+    import graft.multimodal.Mp3
+    val is0 = Array(3, -2, 1, 0, 0, 2, -1, 3)
+    val base = pcmFixture(Seq(is0, is0.map(v => -v)))
+    val rnd = new scala.util.Random(41)
+    var decoded = 0
+    for (_ <- 0 until 300) {
+      val m = base.clone()
+      val n = 1 + rnd.nextInt(3)
+      for (_ <- 0 until n)
+        m(rnd.nextInt(m.length)) = (rnd.nextInt(256) - 128).toByte
+      Mp3.decodePcm(m, 2, 0) match { // must not throw
+        case Some(pcm) =>
+          decoded += 1
+          assert(pcm.length == 2 && pcm.forall(_.length == 1152))
+          assert(pcm.forall(_.forall(v => !v.isNaN && !v.isInfinite)))
+        case None =>
+      }
+    }
+    assert(decoded > 0, "some mutations should still decode (e.g. main-data bit flips)")
+  }
+
+  test("MP3 caller-supplied codebooks: spec parses, real id decodes, absent id strict-rejects") {
+    import graft.multimodal.Mp3
+    // a canonical toy stand-in for ISO table 1 ((x, y) in 0..1, linbits 0):
+    // in a real deployment the user pastes the B.7 transcription they trust
+    val spec =
+      """# user-supplied codebook file
+        |table 1 linbits 0
+        |1 0 0
+        |01 1 0   # trailing comment
+        |001 0 1
+        |000 1 1
+        |count1
+        |0111 1 0 1 1
+        |window
+        |""".stripMargin + (0 until 512).map(i => (i % 3) * 0.25).mkString(" ")
+    val tables = Mp3.parseHuffTablesSpec(spec)
+    assert(tables.keySet == Set(1) && tables(1).codes.size == 4 && tables(1).linbits == 0)
+    val c1 = Mp3.parseCount1Spec(spec)
+    assert(c1.codes == Map("0111" -> ((1, 0, 1, 1))))
+    val win = Mp3.parseSynthWindowSpec(spec)
+    assert(win.length == 512 && win(1) == 0.25 && win(0) == 0.0)
+    // a frame whose region0 uses REAL id 1: decodes iff the codebook is supplied
+    def gi(bv: Int) = Mp3.GranuleInfo(0, bv, 170, 9, windowSwitching = false,
+      blockType = 0, mixedBlock = false, Seq(1, 14, 0), Nil, 3, 7, 0, 0, 1)
+    val si = Mp3.SideInfo(0, 0, Seq.fill(2)(Seq.fill(4)(0)),
+      Seq.fill(2)(Seq.fill(2)(gi(4))))
+    val is = Array(1, 0, 0, 1, -1, 1, 1, -1)
+    val merged = Mp3.fixtureTables ++ tables
+    val payload = Mp3.encodeSpectra(si, 2,
+      Seq.fill(2)(Seq.fill(2)(Array.fill(21)(0))),
+      Seq.fill(2)(Seq.fill(2)(is)), tables = merged)
+    assert(Mp3.decodeSpectra(payload, 2, 0).isEmpty, "id 1 without a codebook must reject")
+    val sp = Mp3.decodeSpectra(payload, 2, 0, tables = merged).get
+    assert(sp.head.head.is.take(8).sameElements(is))
+    assert(Mp3.decodePcm(payload, 2, 0, tables = merged, synthWindow = win).isDefined)
+    // malformed specs fail fast
+    intercept[IllegalArgumentException](Mp3.parseHuffTablesSpec("table 0 linbits 0\n1 0 0"))
+    intercept[IllegalArgumentException](Mp3.parseHuffTablesSpec("table 2 linbits 0\n1 0 99"))
+    intercept[IllegalArgumentException](Mp3.parseCount1Spec("count1\n01 2 0 0 0"))
+    intercept[IllegalArgumentException](Mp3.parseSynthWindowSpec("window\n1.0 2.0"))
+  }
+
   // ---- AAC ADTS (round 12) ----
 
   test("AAC golden fixture: hand-computed 7-byte header bytes, fields + duration") {
