@@ -110,11 +110,26 @@ object Dedup {
     * shingle (a hot boilerplate gram no longer fans out quadratically),
     * and exact verification of candidates preserves exactness.
     * Output: (a, b, jac). */
+  /** `candidateBudget` (round 14, measured): the full-corpus funnel had
+    * no candidate-volume guard — the r13 candidate-counted degradation
+    * was incremental-only — and on a corpus where every gram is common
+    * (independent sf5: 250 k docs, 31-word vocabulary, every 3-gram
+    * df ≈ n/31) the prefix self-join's output grows ~n², spilled > 50 GB
+    * of shuffle and died on disk. The guard prices the join BEFORE
+    * running it: candidates ≤ Σ_gram C(prefix_df, 2), one narrow
+    * aggregation over the prefix frame (linear). Above budget →
+    * fail-fast with the named rule (exactness cannot degrade silently);
+    * the scale path at that density is [[minhashPairs64]] /
+    * [[embeddingPairsBanded]], whose candidate volume is linear by
+    * construction. Default 200 M ≈ a few GB of candidate shuffle —
+    * single-host comfortable; raise proportionally on a real cluster.
+    * 0 disables. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.8,
                    shingleFrame: Option[DataFrame] = None,
                    gramSetsFrame: Option[DataFrame] = None,
-                   prefixFrame: Option[DataFrame] = None): DataFrame = {
+                   prefixFrame: Option[DataFrame] = None,
+                   candidateBudget: Long = 200000000L): DataFrame = {
     val sh = shingleFrame.getOrElse(shingles(docs, idCol, textCol, n))
     val gramSets = gramSetsFrame.getOrElse(docGramSets(sh))
     // The candidate generator self-joins the prefix frame, and Spark does
@@ -124,6 +139,24 @@ object Dedup {
     // biggest slice, r4 VERDICT #4). Callers re-running pair queries should
     // pass a persisted `prefixFrame` ([[corpusPrefixes]]).
     val prefixes = prefixFrame.getOrElse(corpusPrefixes(sh, gramSets, threshold))
+    if (candidateBudget > 0) {
+      // sum pdf·(pdf−1) — always even — and halve on the driver: Spark's
+      // `/` is fractional divide (a DOUBLE), which would round the exact
+      // long estimate
+      val est = (prefixes.groupBy(col("gram")).agg(count(lit(1)).as("pdf"))
+        .agg(sum(col("pdf") * (col("pdf") - 1)).as("est2"))
+        .head() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }) / 2
+      require(est <= candidateBudget,
+        s"jaccardPairs: estimated candidate volume $est exceeds candidateBudget = " +
+          s"$candidateBudget (rule: Sum_gram C(prefix_df, 2) prices the prefix " +
+          "self-join before it runs; a corpus this gram-dense makes the EXACT " +
+          "funnel inherently quadratic — use minhashPairs64 or " +
+          "embeddingPairsBanded, whose candidate volume is linear by " +
+          "construction, or raise the budget on a cluster sized for it)")
+    }
     // shuffle-hash, not broadcast: the prefix frame's size is invisible to
     // the parquet-derived estimate (it sits above an explode), and the
     // planner's rogue broadcast of a million-row side is a driver OOM on a

@@ -529,6 +529,52 @@ private[graft] trait QueriesMedia { this: Queries.type =>
       .toDF().withColumn("entropy_cabac", col("entropy_cabac").cast("int"))
       .orderBy(col("id"))
 
+  /** Complete Annex-B I_PCM pictures (round 14, r13 VERDICT #7): SPS
+    * (baseline 66, poc type 0/2 by id%3, 1–2 MBs wide × 1 high), the
+    * full-§7.3.2.2 PPS exercising init-QP / deblocking / redundant
+    * branches by id formulas, and ONE IDR slice whose macroblocks are
+    * I_PCM with raw samples from the md5 chain — every pixel byte and
+    * every header field a formula the oracle restates. */
+  private[graft] def h264IPcmAssets(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val src = docsTbl(spark, dir).where(col("doc_id") < 30)
+      .select(col("doc_id"), unhex(md5Chain("ipcm", 48)).as("chain"))
+      .as[(Long, Array[Byte])]
+    src.mapPartitions(_.map { case (id, chain) =>
+      val nMbs = 1 + (id % 2).toInt
+      val pocType = if (id % 3 == 0) 2 else 0
+      val spsB = graft.multimodal.H264.encodeSps(
+        66, 30, spsId = 0, log2MaxFrameNumMinus4 = 0, poc = pocType,
+        maxRef = 1, pwMbsMinus1 = nMbs - 1, phMapMinus1 = 0,
+        frameMbsOnly = true, crop = None)
+      val ppsB = graft.multimodal.H264.encodePps(
+        ppsId = 0, spsId = 0, cabac = false,
+        picInitQp = 24 + (id % 5).toInt,
+        deblockingPresent = id % 2 == 1,
+        redundantPresent = id % 4 == 0)
+      val sps = graft.multimodal.H264.parseSps(spsB).get
+      val pps = graft.multimodal.H264.parsePps(ppsB).get
+      val mbs = (0 until nMbs).map { m =>
+        def bytes(off: Int, n: Int): Array[Int] =
+          Array.tabulate(n)(j => chain(m * 384 + off + j) & 0xFF)
+        graft.multimodal.H264.IPcmMb(bytes(0, 256), bytes(256, 64), bytes(320, 64))
+      }
+      val slice = graft.multimodal.H264.encodeIPcmSlice(
+        sps, pps, nalRefIdc = 3, idr = true,
+        frameNum = (id % 16).toInt, idrPicId = (id % 5).toInt,
+        pocLsb = if (pocType == 0) (id % 16).toInt else 0,
+        sliceQpDelta = (id % 7).toInt - 3, mbs,
+        deblockIdc = (id % 3).toInt)
+      graft.multimodal.Multimodal.Asset(id, "video",
+        graft.multimodal.H264.annexB(
+          Seq((3, 7, spsB), (3, 8, ppsB), (3, 5, slice))), 0, 0)
+    })
+  }
+
+  private[graft] def multimodalH264IPcm(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.h264IPcm(h264IPcmAssets(spark, dir))
+      .toDF().orderBy(col("id"), col("mb"))
+
   /** REAL AAC ADTS payloads (round 12): 2–4 frames per doc, profile/rate/
     * channel formulas the oracle restates, raw_data_block bytes from the
     * md5 chain. Every 4th id carries the protection_absent = 0 layout

@@ -460,6 +460,33 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
         |  list_sum(isv)::BIGINT AS is_sum,
         |  list_sum(list_transform(range(0, 24), i -> isv[i+1] * (i+1)))::BIGINT AS pos_sum
         |FROM v ORDER BY id""".stripMargin)),
+    "multimodal_h264_ipcm" -> Q(multimodalH264IPcm, Some(
+      // restates h264IPcmAssets: every PIXEL byte is an md5-chain hex
+      // pair and every header field an id formula — so the Annex-B walk,
+      // SPS/PPS parse (incl. the round-14 §7.3.2.2 tail), the slice-
+      // header Exp-Golomb walk (poc/deblocking/redundant branches) and
+      // the I_PCM alignment + sample copy are all oracle-checked, with
+      // position-weighted checksums pinning sample PLACEMENT per plane
+      """WITH p AS (
+        |  SELECT doc_id AS id,
+        |         array_to_string(list_transform(range(0, 48), i -> md5(text || '_ipcm_' || i)), '') AS hx
+        |  FROM documents WHERE doc_id < 30),
+        |m AS (SELECT id, hx, unnest(range(0, 1 + id % 2)) AS mb FROM p),
+        |b AS (SELECT id, mb,
+        |        list_transform(range(0, 384), j ->
+        |          (strpos('0123456789abcdef', substr(hx, ((mb*384 + j)*2 + 1)::INT, 1)) - 1) * 16
+        |        + (strpos('0123456789abcdef', substr(hx, ((mb*384 + j)*2 + 2)::INT, 1)) - 1)) AS v
+        |      FROM m)
+        |SELECT id, mb::INT AS mb,
+        |  (id % 16)::INT AS frame_num,
+        |  (CASE WHEN id % 3 = 0 THEN 0 ELSE id % 16 END)::INT AS poc_lsb,
+        |  (21 + id % 5 + id % 7)::INT AS slice_qp,
+        |  list_sum(v[1:256])::BIGINT AS luma_sum,
+        |  list_sum(list_transform(range(0, 256), j -> v[j+1] * (j+1)))::BIGINT AS luma_pos_sum,
+        |  list_sum(v[257:320])::BIGINT AS cb_sum,
+        |  list_sum(v[321:384])::BIGINT AS cr_sum,
+        |  list_sum(list_transform(range(0, 128), j -> v[256 + j + 1] * (j+1)))::BIGINT AS chroma_pos_sum
+        |FROM b ORDER BY id, mb""".stripMargin)),
     "multimodal_h264_sps" -> Q(multimodalH264Sps, Some(
       // restates h264Assets' SPS/PPS field formulas + the §7.4.2.1.1
       // width/height derivation, and pins the concatenated slice RBSPs

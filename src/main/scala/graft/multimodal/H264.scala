@@ -26,7 +26,9 @@ object H264 {
   final case class NalUnit(nalRefIdc: Int, nalType: Int, rbsp: Array[Byte])
 
   /** Sequence parameter set — the fields the pipeline pins. Width/height
-    * are the DERIVED §7.4.2.1.1 values (crop applied), not raw mb counts. */
+    * are the DERIVED §7.4.2.1.1 values (crop applied), not raw mb counts.
+    * `log2MaxPocLsb` (round 14, retained for the slice-header walk) is 0
+    * unless pocType = 0. */
   final case class Sps(
       profileIdc: Int, levelIdc: Int, spsId: Int,
       chromaFormatIdc: Int, bitDepthLuma: Int,
@@ -34,12 +36,15 @@ object H264 {
       picWidthInMbs: Int, picHeightInMapUnits: Int,
       frameMbsOnly: Boolean,
       cropLeft: Int, cropRight: Int, cropTop: Int, cropBottom: Int,
-      width: Int, height: Int)
+      width: Int, height: Int, log2MaxPocLsb: Int = 0)
 
-  /** Picture parameter set — identification + entropy mode (the switch
-    * that decides which §9 decoder the seam would need). */
+  /** Picture parameter set — identification, entropy mode (the switch
+    * that decides which §9 decoder the seam would need), and (round 14)
+    * the §7.3.2.2 tail fields the slice-header walk branches on. */
   final case class Pps(ppsId: Int, spsId: Int, entropyCabac: Boolean,
-                       numSliceGroups: Int)
+                       numSliceGroups: Int, picInitQp: Int = 26,
+                       deblockingPresent: Boolean = false,
+                       redundantPresent: Boolean = false)
 
   final case class H264Stream(nals: Seq[NalUnit], sps: Option[Sps],
                               pps: Option[Pps])
@@ -78,6 +83,8 @@ object H264 {
       if (k % 2 == 1) (k + 1) / 2 else -(k / 2)
     }
     def bitsLeft: Int = bytes.length * 8 - bit
+    /** byte-aligned? (the I_PCM pcm_alignment / rbsp_trailing walks) */
+    def aligned: Boolean = (bit & 7) == 0
   }
 
   // ---------------------------------------------------------------------
@@ -187,7 +194,8 @@ object H264 {
     }
     val log2MaxFrameNum = 4 + r.ue()
     val poc = r.ue()
-    if (poc == 0) r.ue() // log2_max_pic_order_cnt_lsb_minus4
+    var log2MaxPocLsb = 0
+    if (poc == 0) log2MaxPocLsb = 4 + r.ue()
     else if (poc == 1) {
       r.flag() // delta_pic_order_always_zero_flag
       r.se(); r.se()
@@ -217,9 +225,14 @@ object H264 {
     Some(Sps(profile, level, spsId, chroma, bitDepthLuma,
       log2MaxFrameNum, poc, maxRef, pwMbs, phMap, fmo, cl, cr, ct, cb,
       width = pwMbs * 16 - unitX * (cl + cr),
-      height = heightMbs * 16 - unitY * (ct + cb)))
+      height = heightMbs * 16 - unitY * (ct + cb),
+      log2MaxPocLsb = log2MaxPocLsb))
   } catch { case _: Exception => None }
 
+  /** Round 14: reads through the §7.3.2.2 tail (num_ref_idx defaults,
+    * weighting, init QP/QS, chroma offset, the three flags) — the fields
+    * the slice-header walk branches on. Slice-group maps (numSliceGroups
+    * > 1) stay unread: [[parseIPcmSlice]] rejects them. */
   def parsePps(rbsp: Array[Byte]): Option[Pps] = try {
     val r = new BitReader(rbsp)
     val ppsId = r.ue()
@@ -227,8 +240,132 @@ object H264 {
     val cabac = r.flag()
     r.flag() // bottom_field_pic_order_in_frame_present_flag
     val groups = r.ue() + 1
-    Some(Pps(ppsId, spsId, cabac, groups))
+    if (groups == 1) {
+      r.ue(); r.ue() // num_ref_idx_l0/l1_default_active_minus1
+      r.flag() // weighted_pred_flag
+      r.u(2) // weighted_bipred_idc
+      val qp = 26 + r.se() // pic_init_qp_minus26
+      r.se() // pic_init_qs_minus26
+      r.se() // chroma_qp_index_offset
+      val dbf = r.flag() // deblocking_filter_control_present_flag
+      r.flag() // constrained_intra_pred_flag
+      val red = r.flag() // redundant_pic_cnt_present_flag
+      Some(Pps(ppsId, spsId, cabac, groups, qp, dbf, red))
+    } else
+      // slice-group maps sit between num_slice_groups and the tail; the
+      // tail fields are unreachable without walking them (out of scope)
+      Some(Pps(ppsId, spsId, cabac, groups))
   } catch { case _: Exception => None }
+
+  // ---------------------------------------------------------------------
+  // I_PCM slice decode (round 14, r13 VERDICT #7): the first rung of
+  // real PIXEL output. I_PCM macroblocks are raw samples after the
+  // slice header — exact by construction, no entropy decode — so the
+  // scope is the §7.3.3 slice-header Exp-Golomb walk plus the §7.3.5
+  // I_PCM branch (byte alignment + sample copy). Strict → None on
+  // everything outside it: non-I slices, CABAC (its slice data starts
+  // with cabac_alignment, a different §9 world), field coding, 4:2:2+
+  // chroma, slice groups, redundant slices, non-I_PCM macroblocks
+  // (mb_type ≠ 25 needs the residual decoder — the seam), multi-slice
+  // pictures (first_mb_in_slice ≠ 0), or a slice not covering the
+  // whole picture.
+  // ---------------------------------------------------------------------
+
+  /** One I_PCM macroblock: 256 luma + 2×64 chroma (4:2:0) raw samples
+    * as unsigned ints. */
+  final case class IPcmMb(luma: Array[Int], cb: Array[Int], cr: Array[Int])
+
+  /** Decoded single-slice I_PCM picture. `sliceQp` = 26 +
+    * pic_init_qp_minus26 + slice_qp_delta (§7.4.3 — carried for the
+    * header pin; PCM samples bypass quantization entirely). */
+  final case class IPcmSlice(sliceType: Int, ppsId: Int, frameNum: Int,
+                             idrPicId: Int, pocLsb: Int, sliceQp: Int,
+                             mbs: Seq[IPcmMb])
+
+  /** Parse a slice NAL's RBSP as a single-slice I_PCM picture under the
+    * given SPS/PPS. `nalType` 5 = IDR (idr_pic_id present), `nalRefIdc`
+    * ≠ 0 adds dec_ref_pic_marking (IDR's two flags only). */
+  def parseIPcmSlice(rbsp: Array[Byte], sps: Sps, pps: Pps,
+                     nalRefIdc: Int, nalType: Int): Option[IPcmSlice] = try {
+    if (nalType != 1 && nalType != 5) return None
+    if (sps.chromaFormatIdc != 1 || sps.bitDepthLuma != 8) return None // 4:2:0 8-bit scope
+    if (!sps.frameMbsOnly) return None // field coding: seam
+    if (pps.entropyCabac) return None // CABAC slice data: seam
+    if (pps.numSliceGroups != 1) return None
+    val r = new BitReader(rbsp)
+    if (r.ue() != 0) return None // first_mb_in_slice: single-slice scope
+    val sliceType = r.ue()
+    if (sliceType != 2 && sliceType != 7) return None // I slices only
+    val ppsId = r.ue()
+    if (ppsId != pps.ppsId) return None
+    val frameNum = r.u(sps.log2MaxFrameNum)
+    val idr = nalType == 5
+    val idrPicId = if (idr) r.ue() else 0
+    var pocLsb = 0
+    if (sps.pocType == 0) pocLsb = r.u(sps.log2MaxPocLsb)
+    else if (sps.pocType != 2) return None // poc type 1 deltas: out of scope
+    if (pps.redundantPresent && r.ue() != 0) return None // redundant slice
+    if (nalRefIdc != 0) {
+      if (idr) { r.flag(); r.flag() } // no_output_of_prior_pics, long_term_reference
+      else if (r.flag()) return None // adaptive_ref_pic_marking: seam
+    }
+    val sliceQp = pps.picInitQp + r.se()
+    if (pps.deblockingPresent) {
+      val idc = r.ue()
+      if (idc != 1) { r.se(); r.se() } // alpha/beta offsets
+    }
+    // slice_data: every macroblock must be I_PCM (mb_type 25 in I slices)
+    val picSizeMbs = sps.picWidthInMbs * sps.picHeightInMapUnits
+    val mbs = new scala.collection.mutable.ArrayBuffer[IPcmMb](picSizeMbs)
+    var mb = 0
+    while (mb < picSizeMbs) {
+      if (r.ue() != 25) return None // non-I_PCM macroblock: the entropy seam
+      while (!r.aligned) require(r.u(1) == 0, "pcm_alignment_zero_bit must be 0")
+      val luma = Array.fill(256)(r.u(8))
+      val cbS = Array.fill(64)(r.u(8))
+      val crS = Array.fill(64)(r.u(8))
+      mbs += IPcmMb(luma, cbS, crS)
+      mb += 1
+    }
+    // rbsp_trailing_bits: stop bit + alignment zeros, then nothing
+    require(r.u(1) == 1, "missing rbsp_stop_one_bit")
+    while (!r.aligned) require(r.u(1) == 0, "nonzero rbsp_alignment_zero_bit")
+    require(r.bitsLeft == 0, "trailing bytes after rbsp_trailing_bits")
+    Some(IPcmSlice(sliceType, ppsId, frameNum, idrPicId, pocLsb, sliceQp, mbs.toSeq))
+  } catch { case _: Exception => None }
+
+  /** Fixture encoder for [[parseIPcmSlice]]: slice header + I_PCM
+    * macroblocks, mirrored field for field (checked writers). */
+  def encodeIPcmSlice(sps: Sps, pps: Pps, nalRefIdc: Int, idr: Boolean,
+                      frameNum: Int, idrPicId: Int, pocLsb: Int,
+                      sliceQpDelta: Int, mbs: Seq[IPcmMb],
+                      deblockIdc: Int = 1): Array[Byte] = {
+    require(mbs.length == sps.picWidthInMbs * sps.picHeightInMapUnits,
+      "fixture slice must cover the whole picture")
+    val w = new BitWriter
+    w.ue(0) // first_mb_in_slice
+    w.ue(7) // slice_type: I (all slices of the picture are I)
+    w.ue(pps.ppsId)
+    w.u(frameNum, sps.log2MaxFrameNum)
+    if (idr) w.ue(idrPicId)
+    if (sps.pocType == 0) w.u(pocLsb, sps.log2MaxPocLsb)
+    if (pps.redundantPresent) w.ue(0)
+    if (nalRefIdc != 0 && idr) { w.flag(false); w.flag(false) }
+    require(nalRefIdc != 0 || !idr, "IDR NALs carry nal_ref_idc != 0")
+    w.se(sliceQpDelta)
+    if (pps.deblockingPresent) {
+      w.ue(deblockIdc)
+      if (deblockIdc != 1) { w.se(0); w.se(0) }
+    }
+    mbs.foreach { m =>
+      w.ue(25) // mb_type I_PCM
+      w.alignZero()
+      m.luma.foreach(v => w.u(v, 8))
+      m.cb.foreach(v => w.u(v, 8))
+      m.cr.foreach(v => w.u(v, 8))
+    }
+    w.stopAndPad()
+  }
 
   // ---------------------------------------------------------------------
   // Encoder (fixture assembly only)
@@ -247,6 +384,8 @@ object H264 {
       u(0, n - 1); u(k, n)
     }
     def se(v: Int): Unit = ue(if (v > 0) 2 * v - 1 else -2 * v)
+    /** pcm_alignment_zero_bits up to the next byte boundary. */
+    def alignZero(): Unit = while (bits.length % 8 != 0) bits += false
     /** rbsp_stop_one_bit + zero padding to a byte boundary (§7.3.2.11). */
     def stopAndPad(): Array[Byte] = {
       bits += true
@@ -293,12 +432,26 @@ object H264 {
     w.stopAndPad()
   }
 
-  def encodePps(ppsId: Int, spsId: Int, cabac: Boolean): Array[Byte] = {
+  /** Round 14: writes the complete §7.3.2.2 single-slice-group field
+    * list (the earlier truncated form stopped at num_slice_groups; the
+    * slice-header walk needs the tail flags). */
+  def encodePps(ppsId: Int, spsId: Int, cabac: Boolean,
+                picInitQp: Int = 26, deblockingPresent: Boolean = false,
+                redundantPresent: Boolean = false): Array[Byte] = {
     val w = new BitWriter
     w.ue(ppsId); w.ue(spsId)
     w.flag(cabac)
     w.flag(false) // bottom_field_pic_order_in_frame_present
     w.ue(0) // num_slice_groups_minus1
+    w.ue(0); w.ue(0) // num_ref_idx_l0/l1_default_active_minus1
+    w.flag(false) // weighted_pred_flag
+    w.u(0, 2) // weighted_bipred_idc
+    w.se(picInitQp - 26) // pic_init_qp_minus26
+    w.se(0) // pic_init_qs_minus26
+    w.se(0) // chroma_qp_index_offset
+    w.flag(deblockingPresent)
+    w.flag(false) // constrained_intra_pred_flag
+    w.flag(redundantPresent)
     w.stopAndPad()
   }
 

@@ -399,6 +399,48 @@ object Multimodal {
     })
   }
 
+  final case class H264IPcmRow(id: Long, mb: Int, frame_num: Int,
+                               poc_lsb: Int, slice_qp: Int,
+                               luma_sum: Long, luma_pos_sum: Long,
+                               cb_sum: Long, cr_sum: Long,
+                               chroma_pos_sum: Long)
+
+  /** H.264 I_PCM slice decode to PIXELS (round 14, r13 VERDICT #7): walk
+    * the Annex-B stream, parse SPS/PPS, then decode the first slice NAL
+    * as a single-slice I_PCM picture ([[H264.parseIPcmSlice]] — the
+    * §7.3.3 header walk + §7.3.5 raw-sample copy). One row per
+    * macroblock: header fields + exact sums and position-weighted
+    * checksums over the 256 luma and 2×64 chroma samples (chroma_pos_sum
+    * spans cb then cr at offsets 0–127, so a swapped plane changes it). */
+  def h264IPcm(assets: Dataset[Asset]): Dataset[H264IPcmRow] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      val s = H264.parse(a.bytes)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: not a supported H.264 stream"))
+      val sps = s.sps.getOrElse(throw new IllegalArgumentException(
+        s"asset ${a.id}: no SPS"))
+      val pps = s.pps.getOrElse(throw new IllegalArgumentException(
+        s"asset ${a.id}: no PPS"))
+      val sliceNal = s.nals.find(n => n.nalType == 1 || n.nalType == 5)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: no slice NAL"))
+      val sl = H264.parseIPcmSlice(sliceNal.rbsp, sps, pps,
+          sliceNal.nalRefIdc, sliceNal.nalType)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: not a single-slice I_PCM picture"))
+      sl.mbs.iterator.zipWithIndex.map { case (m, i) =>
+        def posSum(xs: Array[Int], off: Int): Long =
+          xs.zipWithIndex.foldLeft(0L) { case (acc, (v, j)) =>
+            acc + v.toLong * (off + j + 1) }
+        H264IPcmRow(a.id, i, sl.frameNum, sl.pocLsb, sl.sliceQp,
+          m.luma.foldLeft(0L)(_ + _), posSum(m.luma, 0),
+          m.cb.foldLeft(0L)(_ + _), m.cr.foldLeft(0L)(_ + _),
+          posSum(m.cb, 0) + posSum(m.cr, 64))
+      }
+    })
+  }
+
   final case class Mp3PcmRow(id: Long, channel: Int, ms_stereo: Int,
                              n_samples: Int, n_clipped: Int, n_nonzero: Int,
                              pcm_sum: Long, pcm_abs_sum: Long, pos_sum: Long)

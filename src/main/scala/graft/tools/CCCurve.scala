@@ -43,16 +43,48 @@ object CCCurve {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
-    // Stage 1: the verified near-dup pair frame (the gate's funnel),
-    // persisted so the CC timings below never re-run it.
-    val (pairs, tPairs) = timed {
-      val p = graft.dedup.Dedup.jaccardPairs(docs, "doc_id", "text",
-          n = 3, threshold = 0.8)
-        .select(col("a"), col("b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      p.count() // materialize inside the timed window
-      p
+    // Stage 0: the candidate-volume estimate the round-14 budget guard
+    // prices the prefix self-join with — reported so the curve shows the
+    // quadratic growth the guard exists for.
+    val sh = graft.dedup.Dedup.shingles(docs, "doc_id", "text", 3)
+    val gramSets = graft.dedup.Dedup.docGramSets(sh)
+    val prefixes = graft.dedup.Dedup.corpusPrefixes(sh, gramSets, 0.8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (estCand, tEst) = timed {
+      (prefixes.groupBy(col("gram")).agg(count(lit(1)).as("pdf"))
+        .agg(sum(col("pdf") * (col("pdf") - 1)).as("est2"))
+        .head() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }) / 2
     }
+
+    // Stage 1: the verified near-dup pair frame (the gate's funnel),
+    // persisted so the CC timings below never re-run it. Runs with the
+    // default candidateBudget — a corpus past the guard reports
+    // guarded: true with -1 stage times instead of spilling to death.
+    val (pairsOpt, tPairs) = timed {
+      try {
+        val p = graft.dedup.Dedup.jaccardPairs(docs, "doc_id", "text",
+            n = 3, threshold = 0.8,
+            shingleFrame = Some(sh), gramSetsFrame = Some(gramSets),
+            prefixFrame = Some(prefixes))
+          .select(col("a"), col("b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count() // materialize inside the timed window
+        Some(p)
+      } catch {
+        case e: IllegalArgumentException if e.getMessage.contains("candidateBudget") =>
+          None
+      }
+    }
+    if (pairsOpt.isEmpty) {
+      println(s"""{"docs":$nDocs,"est_candidates":$estCand,"est_sec":$tEst,""" +
+        s""""guarded":true,"dir":"$dir"}""")
+      spark.stop()
+      return
+    }
+    val pairs = pairsOpt.get
     val nEdges = pairs.count()
 
     // Stage 2: the gate's own CC path (size-adaptive dispatch).
@@ -65,7 +97,8 @@ object CCCurve {
     val tKiveris = if (!forceKiveris) -1.0 else
       timed(graft.dedup.Dedup.connectedComponents(pairs, driverThreshold = 0L).count())._2
 
-    println(s"""{"docs":$nDocs,"edges":$nEdges,"nodes":${ccAuto._1},""" +
+    println(s"""{"docs":$nDocs,"est_candidates":$estCand,"est_sec":$tEst,""" +
+      s""""guarded":false,"edges":$nEdges,"nodes":${ccAuto._1},""" +
       s""""clusters":${ccAuto._2},"pairs_sec":$tPairs,"cc_auto_sec":$tAuto,""" +
       s""""cc_kiveris_sec":$tKiveris,"dir":"$dir"}""")
     spark.stop()

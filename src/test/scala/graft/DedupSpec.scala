@@ -243,6 +243,28 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("jaccardPairs: candidateBudget prices the prefix join up front, fail-fast above") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox jumps over the lazy dog again"),
+      (3L, "a completely different sentence with other words entirely here"),
+      (4L, "the quick brown fox jumps over the lazy cat again")
+    ).toDF("doc_id", "text")
+    val default = Dedup.jaccardPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(default.contains((1L, 2L)))
+    // unguarded (0) is identical
+    assert(Dedup.jaccardPairs(docs, "doc_id", "text", candidateBudget = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == default)
+    // a 1-candidate budget rejects with the named rule before joining
+    val e = intercept[IllegalArgumentException] {
+      Dedup.jaccardPairs(docs, "doc_id", "text", candidateBudget = 1L)
+    }
+    assert(e.getMessage.contains("candidateBudget") &&
+      e.getMessage.contains("minhashPairs64"),
+      s"budget error must carry the named rule: ${e.getMessage}")
+  }
+
   test("connectedComponents: maxEdges budget fail-fasts with the named rule, off by default") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (1L, 2L)).toDF("a", "b")
     // 3 CANONICAL edges (the duplicate collapses): budget 2 rejects, 3 passes

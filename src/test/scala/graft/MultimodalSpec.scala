@@ -1132,6 +1132,91 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Mp3.decodeSpectra(frame(gi(Seq(0, 0, 0), p23 = 50, bv = 0)), 1, 0).isDefined)
   }
 
+  // ---- H.264 I_PCM slice decode (round 14) ----
+
+  test("H264 I_PCM: encode/decode round trip across poc/deblocking/redundant branches") {
+    import graft.multimodal.H264
+    val rnd = new scala.util.Random(13)
+    for (pocType <- Seq(0, 2); dbf <- Seq(false, true); red <- Seq(false, true)) {
+      val spsB = H264.encodeSps(66, 30, 0, log2MaxFrameNumMinus4 = 1,
+        poc = pocType, maxRef = 1, pwMbsMinus1 = 1, phMapMinus1 = 0,
+        frameMbsOnly = true, crop = None)
+      val ppsB = H264.encodePps(0, 0, cabac = false, picInitQp = 28,
+        deblockingPresent = dbf, redundantPresent = red)
+      val sps = H264.parseSps(spsB).get
+      val pps = H264.parsePps(ppsB).get
+      assert(pps.picInitQp == 28 && pps.deblockingPresent == dbf &&
+        pps.redundantPresent == red)
+      val mbs = Seq.fill(2)(H264.IPcmMb(
+        Array.fill(256)(rnd.nextInt(256)), Array.fill(64)(rnd.nextInt(256)),
+        Array.fill(64)(rnd.nextInt(256))))
+      val rbsp = H264.encodeIPcmSlice(sps, pps, nalRefIdc = 3, idr = true,
+        frameNum = 9, idrPicId = 4, pocLsb = if (pocType == 0) 7 else 0,
+        sliceQpDelta = -2, mbs, deblockIdc = 0)
+      val sl = H264.parseIPcmSlice(rbsp, sps, pps, 3, 5).get
+      assert(sl.frameNum == 9 && sl.idrPicId == 4 && sl.sliceQp == 26)
+      assert(sl.pocLsb == (if (pocType == 0) 7 else 0))
+      assert(sl.mbs.length == 2)
+      sl.mbs.zip(mbs).foreach { case (d, e) =>
+        assert(d.luma.sameElements(e.luma) && d.cb.sameElements(e.cb) &&
+          d.cr.sameElements(e.cr))
+      }
+      // the full Annex-B round trip through parse()'s escape/unescape
+      val stream = H264.parse(H264.annexB(
+        Seq((3, 7, spsB), (3, 8, ppsB), (3, 5, rbsp)))).get
+      val nal = stream.nals.find(_.nalType == 5).get
+      val sl2 = H264.parseIPcmSlice(nal.rbsp, stream.sps.get, stream.pps.get, 3, 5).get
+      assert(sl2.mbs.head.luma.sameElements(mbs.head.luma))
+    }
+  }
+
+  test("H264 I_PCM strict rejects: cabac, slice groups, field coding, pps mismatch, trailing bytes") {
+    import graft.multimodal.H264
+    val spsB = H264.encodeSps(66, 30, 0, 0, 0, 1, 0, 0, frameMbsOnly = true, crop = None)
+    val sps = H264.parseSps(spsB).get
+    val pps = H264.parsePps(H264.encodePps(0, 0, cabac = false)).get
+    val mb = Seq(H264.IPcmMb(Array.fill(256)(7), Array.fill(64)(1), Array.fill(64)(2)))
+    val rbsp = H264.encodeIPcmSlice(sps, pps, 3, idr = true, 0, 0, 0, 0, mb)
+    assert(H264.parseIPcmSlice(rbsp, sps, pps, 3, 5).isDefined)
+    // CABAC pps: the entropy seam
+    assert(H264.parseIPcmSlice(rbsp, sps, pps.copy(entropyCabac = true), 3, 5).isEmpty)
+    // slice groups / redundant-pps / field-coded sps / chroma != 4:2:0
+    assert(H264.parseIPcmSlice(rbsp, sps, pps.copy(numSliceGroups = 2), 3, 5).isEmpty)
+    assert(H264.parseIPcmSlice(rbsp, sps.copy(frameMbsOnly = false), pps, 3, 5).isEmpty)
+    assert(H264.parseIPcmSlice(rbsp, sps.copy(chromaFormatIdc = 2), pps, 3, 5).isEmpty)
+    // pps id mismatch
+    assert(H264.parseIPcmSlice(rbsp, sps, pps.copy(ppsId = 1), 3, 5).isEmpty)
+    // non-slice NAL types
+    assert(H264.parseIPcmSlice(rbsp, sps, pps, 3, 7).isEmpty)
+    // trailing garbage after rbsp_trailing_bits
+    assert(H264.parseIPcmSlice(rbsp :+ 0x55.toByte, sps, pps, 3, 5).isEmpty)
+    // a picture the slice does not cover (2-MB sps, 1-MB slice)
+    val sps2 = H264.parseSps(H264.encodeSps(66, 30, 0, 0, 0, 1, 1, 0,
+      frameMbsOnly = true, crop = None)).get
+    assert(H264.parseIPcmSlice(rbsp, sps2, pps, 3, 5).isEmpty)
+  }
+
+  test("H264 I_PCM fuzz: byte mutations never escape the Option contract") {
+    import graft.multimodal.H264
+    val sps = H264.parseSps(H264.encodeSps(66, 30, 0, 0, 0, 1, 0, 0,
+      frameMbsOnly = true, crop = None)).get
+    val pps = H264.parsePps(H264.encodePps(0, 0, cabac = false)).get
+    val rnd = new scala.util.Random(59)
+    val base = H264.encodeIPcmSlice(sps, pps, 3, idr = true, 3, 1, 5, 1,
+      Seq(H264.IPcmMb(Array.tabulate(256)(_ % 251), Array.fill(64)(9), Array.fill(64)(200))))
+    var decoded = 0
+    for (_ <- 0 until 300) {
+      val m = base.clone()
+      for (_ <- 0 to rnd.nextInt(3))
+        m(rnd.nextInt(m.length)) = (rnd.nextInt(256) - 128).toByte
+      H264.parseIPcmSlice(m, sps, pps, 3, 5) match { // must not throw
+        case Some(sl) => decoded += 1; assert(sl.mbs.head.luma.length == 256)
+        case None =>
+      }
+    }
+    assert(decoded > 0, "sample-region mutations should still decode")
+  }
+
   // ---- MP3 Layer III DSP to PCM (round 14) ----
 
   /** A stereo self-contained frame payload with the given per-channel
