@@ -947,6 +947,57 @@ object Dedup {
       buildSemanticIndexTrained(emb, idCol, vecCol, nClusters, threshold,
         maxCluster, seed))
 
+  /** Fixed-init, fixed-rounds Lloyd over a BOUNDED id-prefix sample — the
+    * SQL-RESTATABLE trained-centroid configuration (r13 VERDICT #9: the
+    * production arm trains from a seeded shuffle, which no external engine
+    * can replay; this arm pins the SAME k-means math on a deterministic
+    * trajectory so the trained drop gets a hash-matched oracle gate
+    * instead of spec-pinning only). Every step is exact IEEE arithmetic an
+    * external SQL engine reproduces bit-for-bit:
+    *   - init = the first `k` normalized rows in ascending id order;
+    *   - sample = all rows with id < `sampleMax` (bounded by contract —
+    *     the FAISS coarse-quantizer discipline IVFIndex.build follows);
+    *   - each round assigns the sample by left-to-right squared-L2 argmin
+    *     (ties to the lowest centroid index — the NearestCentroid kernel)
+    *     and recomputes means with sums accumulated in ASCENDING ID ORDER
+    *     (DuckDB: `list_sum(list(x ORDER BY id))`), one division per
+    *     coordinate; empty clusters keep their centers.
+    * Returns the k × dim centroids after `rounds` rounds; feed through
+    * [[buildSemanticIndexTrained]]`(centroidsIn = …)` for the drop. */
+  def trainedCentroidsRestatable(emb: DataFrame, idCol: String, vecCol: String,
+                                 k: Int, rounds: Int,
+                                 sampleMax: Long = 2048L): Array[Array[Double]] = {
+    val samp = normalized(emb, idCol, vecCol)
+      .where(col("id") < sampleMax).orderBy(col("id"))
+      .collect().map(r => r.getSeq[Double](1).toArray)
+    require(samp.length >= k,
+      s"restatable Lloyd needs at least k=$k rows with $idCol < $sampleMax, found ${samp.length}")
+    val dim = samp.head.length
+    var centroids = samp.take(k).map(_.clone())
+    for (_ <- 0 until rounds) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      samp.foreach { p => // ascending id order — the restatable sum order
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d2 = 0.0; var i = 0
+          while (i < dim) { val x = p(i) - centroids(c)(i); d2 += x * x; i += 1 }
+          if (d2 < bestD) { bestD = d2; best = c } // strict < : ties stay lowest
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0L) centroids(c)
+        else Array.tabulate(dim)(i => sums(c)(i) / counts(c))
+      }
+    }
+    centroids
+  }
+
   /** The drop set an index's OWN corpus implies — [[semanticDrop]]
     * restated over a prebuilt [[SemanticIndex]] (either arm). */
   def semanticDropFromIndex(index: SemanticIndex): DataFrame =

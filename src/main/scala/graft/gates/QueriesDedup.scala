@@ -237,6 +237,21 @@ private[graft] trait QueriesDedup { this: Queries.type =>
     Dedup.semanticDrop(tbl(spark, dir, "embeddings"), "vec_id", "embedding",
       nAnchors = 8, threshold = 0.3)
 
+  /** SemDeDup with TRAINED centroids, restatable configuration (r13
+    * VERDICT #9): 2 fixed-init Lloyd rounds over the id-prefix sample
+    * (init = first 8 normalized rows, sums in id order — every IEEE op
+    * replayed by the DuckDB oracle), then the standard within-cluster
+    * drop at cos ≥ 0.3. The production seeded-shuffle arm stays
+    * spec-pinned; this gate hash-matches the trained MATH end to end. */
+  private[graft] def dedupSemanticTrained(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    val cents = Dedup.trainedCentroidsRestatable(e, "vec_id", "embedding",
+      k = 8, rounds = 2)
+    Dedup.semanticDropFromIndex(
+      Dedup.buildSemanticIndexTrained(e, "vec_id", "embedding",
+        nClusters = 8, threshold = 0.3, centroidsIn = Some(cents)))
+  }
+
   /** INCREMENTAL SemDeDup: the last 10% of ids arrive as a batch against
     * a SemanticIndex built on the first 90% — frozen anchors, batch-only
     * assignment, corpus∪batch occupancy guard. Shares the batch oracle

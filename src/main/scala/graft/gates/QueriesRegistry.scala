@@ -1176,6 +1176,60 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
            |FROM p WHERE cos >= 0.3
            |  AND ib >= (SELECT CAST(ceil(0.9 * count(*)) AS BIGINT) FROM embeddings)
            |GROUP BY ib, cluster ORDER BY id""".stripMargin)),
+    "dedup_semantic_trained" -> Q(dedupSemanticTrained, Some(
+      // the trained arm's restatable Lloyd replayed exactly (r13 VERDICT
+      // #9): init = first 8 normalized rows by id, two rounds of
+      // (left-to-right argmin, means summed in id order via
+      // list_sum(list(x ORDER BY id)), empty cluster keeps its center),
+      // then the standard within-cluster drop — every double op identical
+      // to the Spark trajectory, so the gate hash-matches
+      raw"""WITH v AS (SELECT vec_id AS id, list_transform(embedding::DOUBLE[],
+           |             x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS vn
+           |           FROM embeddings),
+           |samp AS (SELECT id, vn FROM v WHERE id < 2048),
+           |c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, cv
+           |       FROM (SELECT id, vn AS cv FROM samp ORDER BY id LIMIT 8) t),
+           |s1 AS (SELECT samp.id, c0.cid,
+           |         list_sum(list_transform(range(1, 65), i -> (samp.vn[i] - c0.cv[i]) * (samp.vn[i] - c0.cv[i]))) AS d2
+           |       FROM samp, c0),
+           |a1 AS (SELECT id, cid FROM (
+           |         SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d2 ASC, cid ASC) AS rn
+           |         FROM s1) t WHERE rn = 1),
+           |m1 AS (SELECT a1.cid, d.i,
+           |         list_sum(list(samp.vn[d.i] ORDER BY samp.id)) / count(*) AS m
+           |       FROM a1 JOIN samp ON samp.id = a1.id, (SELECT unnest(range(1, 65)) AS i) d
+           |       GROUP BY a1.cid, d.i),
+           |m1v AS (SELECT cid, list(m ORDER BY i) AS cv FROM m1 GROUP BY cid),
+           |c1 AS (SELECT c0.cid, COALESCE(m1v.cv, c0.cv) AS cv
+           |       FROM c0 LEFT JOIN m1v ON m1v.cid = c0.cid),
+           |s2 AS (SELECT samp.id, c1.cid,
+           |         list_sum(list_transform(range(1, 65), i -> (samp.vn[i] - c1.cv[i]) * (samp.vn[i] - c1.cv[i]))) AS d2
+           |       FROM samp, c1),
+           |a2 AS (SELECT id, cid FROM (
+           |         SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d2 ASC, cid ASC) AS rn
+           |         FROM s2) t WHERE rn = 1),
+           |m2 AS (SELECT a2.cid, d.i,
+           |         list_sum(list(samp.vn[d.i] ORDER BY samp.id)) / count(*) AS m
+           |       FROM a2 JOIN samp ON samp.id = a2.id, (SELECT unnest(range(1, 65)) AS i) d
+           |       GROUP BY a2.cid, d.i),
+           |m2v AS (SELECT cid, list(m ORDER BY i) AS cv FROM m2 GROUP BY cid),
+           |c2 AS (SELECT c1.cid, COALESCE(m2v.cv, c1.cv) AS cv
+           |       FROM c1 LEFT JOIN m2v ON m2v.cid = c1.cid),
+           |s AS (SELECT v.id, c2.cid,
+           |        list_sum(list_transform(range(1, 65), i -> (v.vn[i] - c2.cv[i]) * (v.vn[i] - c2.cv[i]))) AS d2
+           |      FROM v, c2),
+           |c AS (SELECT id, cid AS cluster FROM (
+           |        SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d2 ASC, cid ASC) AS rn
+           |        FROM s) t WHERE rn = 1),
+           |ok AS (SELECT cluster FROM c GROUP BY cluster HAVING count(*) <= 100000),
+           |p AS (SELECT cb.id AS ib, ca.cluster,
+           |        list_sum(list_transform(range(1, 65), i -> va.vn[i] * vb.vn[i])) AS cos
+           |      FROM c ca JOIN c cb ON ca.cluster = cb.cluster AND ca.id < cb.id
+           |      JOIN ok ON ok.cluster = ca.cluster
+           |      JOIN v va ON va.id = ca.id JOIN v vb ON vb.id = cb.id)
+           |SELECT ib AS id, cluster, round(max(cos), 4) AS max_cos
+           |FROM p WHERE cos >= 0.3
+           |GROUP BY ib, cluster ORDER BY id""".stripMargin)),
     "dedup_embedding_banded" -> Q(dedupEmbeddingBanded, Some(
       raw"""WITH v AS (SELECT vec_id AS id, list_transform(embedding::DOUBLE[],
            |             x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS vn

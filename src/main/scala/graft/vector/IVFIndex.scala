@@ -56,6 +56,33 @@ final class IVFIndex(val centroids: Array[(Int, Array[Double])],
       nlist, retained :+ assigned)
   }
 
+  /** Skew-DERIVED salt for the corpus-as-batch probed join (r13 VERDICT
+    * #8 — the fixed `saltBuckets = 16` dial was tuned to one probe
+    * geometry and generalizes to neither a uniform corpus, where it pays
+    * 16× probe replication for nothing, nor a corpus MORE skewed than the
+    * probe). One ≤ nlist-row aggregation over the assignment frame
+    * (cached per index — "one count per build", the autoBitsPerBand
+    * discipline) estimates each cell's pair block as |c|² and picks the
+    * smallest salt that brings the hottest block under the balanced
+    * per-task share Σ|c|²/P: uniform histograms resolve to 1 (no
+    * replication paid), Zipf-clustered ones to the actual skew ratio,
+    * capped at the parallelism (finer splits than cores cannot help).
+    * Results are bit-identical at any value; this only repartitions. */
+  lazy val autoSaltBuckets: Int = {
+    val p = math.max(1,
+      assignments.sparkSession.sparkContext.defaultParallelism)
+    val counts = assignments.groupBy(col("cluster")).count()
+      .collect().map(_.getLong(1))
+    val s = IVFIndex.saltForHistogram(counts, p)
+    if (s > 1)
+      System.err.println(s"[ivf.salt] skew-derived saltBuckets=$s " +
+        s"(hottest cell ${if (counts.isEmpty) 0L else counts.max} of " +
+        s"${counts.sum} rows across ${counts.length} cells, parallelism $p): " +
+        "the probed candidate join splits the hot cell's pair block " +
+        s"across $s tasks at ${s}x probe-row replication")
+    s
+  }
+
   /** Rank centroids by squared L2 to the query, driver-side. */
   def probeOrder(query: Array[Double]): Array[Int] =
     centroids.sortBy { case (_, c) =>
@@ -81,7 +108,8 @@ final class IVFIndex(val centroids: Array[(Int, Array[Double])],
     * still touching only probed-cluster rows.
     * Output contract matches [[ExactKNN.topKBatch]]: (qid, id, score),
     * exact within the probed clusters; nprobe = nlist recovers the exact
-    * batch scan bit-for-bit. */
+    * batch scan bit-for-bit. `saltBuckets`: 1 = unsalted, 0 = derive from
+    * the assignment histogram ([[autoSaltBuckets]]), > 1 = explicit. */
   def searchBatch(queries: DataFrame, qidCol: String, qvecCol: String,
                   k: Int, nprobe: Int,
                   metric: ExactKNN.Metric = ExactKNN.L2Sq,
@@ -111,7 +139,9 @@ final class IVFIndex(val centroids: Array[(Int, Array[Double])],
     * build ran 7.6× slower on Zipf-clustered embeddings than on uniform
     * ones, ~3 cores busy — the hottest cell's quadratic block was a
     * single straggler). Cost: probe-side rows × saltBuckets. Results are
-    * bit-identical at any value. */
+    * bit-identical at any value. `saltBuckets = 0` resolves through
+    * [[autoSaltBuckets]] — derived from the assignment histogram instead
+    * of hand-tuned (r13 VERDICT #8). */
   def probedCandidates(queries: DataFrame, qidCol: String, qvecCol: String,
                        nprobe: Int, broadcastQueries: Boolean = true,
                        saltBuckets: Int = 1): DataFrame = {
@@ -127,14 +157,15 @@ final class IVFIndex(val centroids: Array[(Int, Array[Double])],
     val probed = graft.plans.TopK.perKey(ranked, Seq("qid"),
         Seq("__cd" -> false, "cluster" -> false), math.max(1, nprobe))
       .select(col("qid"), col("__qv"), col("cluster"))
-    if (saltBuckets <= 1) {
+    val salt = if (saltBuckets == 0) autoSaltBuckets else saltBuckets
+    if (salt <= 1) {
       val probedSide = if (broadcastQueries) broadcast(probed) else probed
       assignments.join(probedSide, Seq("cluster"))
     } else {
       val aSalted = assignments.withColumn("__salt",
-        pmod(xxhash64(col("id")), lit(saltBuckets)).cast("int"))
+        pmod(xxhash64(col("id")), lit(salt)).cast("int"))
       val pSalted = probed.withColumn("__salt",
-        explode(array((0 until saltBuckets).map(lit(_)): _*)))
+        explode(array((0 until salt).map(lit(_)): _*)))
       val probedSide = if (broadcastQueries) broadcast(pSalted) else pSalted
       aSalted.join(probedSide, Seq("cluster", "__salt")).drop("__salt")
     }
@@ -163,11 +194,13 @@ final class IVFIndex(val centroids: Array[(Int, Array[Double])],
     // the corpus-as-batch probed arm salts the candidate join: every
     // query in a hot cell meets that whole cell, so a clustered corpus
     // concentrates |cell|² work on single tasks without it (see
-    // probedCandidates; measured round 13)
+    // probedCandidates; measured round 13). saltBuckets = 0 derives the
+    // salt from this index's assignment histogram (r13 VERDICT #8) —
+    // uniform corpora pay no replication, skewed ones split the hot cell.
     val res = searchBatch(
       src.select(col(idCol).as("qid"), col(vecCol).as("qv")),
       "qid", "qv", k + 1, nprobe, metric, broadcastQueries = false,
-      saltBuckets = 16)
+      saltBuckets = 0)
     graft.plans.TopK.perKey(res.where(col("qid") =!= col("id")),
         Seq("qid"), Seq("score" -> true, "id" -> false), k)
       .orderBy(col("qid").asc, col("score").desc, col("id").asc)
@@ -242,6 +275,26 @@ object IVFIndex {
     }
     parts.reduce(_ unionAll _)
       .orderBy(col("qid").asc, col("score").desc, col("id").asc)
+  }
+
+  /** The skew-salt sizing rule as CODE (pure, spec-pinnable without a
+    * build): with per-cluster row counts `counts` and `parallelism`
+    * available task slots, the probed corpus-as-batch join puts ≈ |c|²
+    * candidate pairs of cell c onto ONE task (the join key is the
+    * cluster). Balanced share = Σ|c|²/P; the salt is the smallest split
+    * factor that brings the hottest cell's block under that share,
+    * `⌈max|c|² / (Σ|c|²/P)⌉`, in [1, P]. A uniform histogram with
+    * nlist ≥ P resolves to 1 (no probe replication paid); a cell holding
+    * half the corpus dominates Σ|c|² and resolves to ≈ P — every core
+    * shares the quadratic block. Finer than P cannot help, hence the
+    * cap. */
+  def saltForHistogram(counts: Array[Long], parallelism: Int): Int = {
+    if (counts.length <= 1) return 1
+    val sq = counts.map(c => c.toDouble * c.toDouble)
+    val share = sq.sum / math.max(1, parallelism)
+    if (share <= 0.0) 1
+    else math.min(math.max(1, parallelism),
+      math.max(1, math.ceil(sq.max / share).toInt))
   }
 
   /** Effective cluster count after the reference's tiny-dataset shrink

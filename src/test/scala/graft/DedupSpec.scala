@@ -533,6 +533,28 @@ class DedupSpec extends AnyFunSuite {
     assert(inc.nonEmpty, "degenerate fixture: no batch drops")
   }
 
+  test("trainedCentroidsRestatable: rounds=0 recovers the anchor centroids; deterministic; a round moves means (r13 VERDICT #9)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val c0 = Dedup.trainedCentroidsRestatable(emb, "vec_id", "embedding", k = 8, rounds = 0)
+    // rounds = 0 is exactly the first 8 normalized rows by id — the anchor
+    // arm's centroids; the drop through the trained plumbing must equal
+    // semanticDrop up to the label convention (index == id for ids 0..7)
+    val viaTrained = Dedup.semanticDropFromIndex(
+        Dedup.buildSemanticIndexTrained(emb, "vec_id", "embedding",
+          nClusters = 8, threshold = 0.3, centroidsIn = Some(c0)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    val viaAnchors = Dedup.semanticDrop(emb, "vec_id", "embedding",
+        nAnchors = 8, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(viaTrained == viaAnchors && viaTrained.nonEmpty)
+    // fixed trajectory: a second run is bit-identical
+    val c2a = Dedup.trainedCentroidsRestatable(emb, "vec_id", "embedding", k = 8, rounds = 2)
+    val c2b = Dedup.trainedCentroidsRestatable(emb, "vec_id", "embedding", k = 8, rounds = 2)
+    assert(c2a.zip(c2b).forall { case (x, y) => x.sameElements(y) })
+    // the rounds DO something: at least one coordinate moved off the init
+    assert(c2a.zip(c0).exists { case (x, y) => !x.sameElements(y) })
+  }
+
   test("semanticDropFromIndex(buildSemanticIndex) == semanticDrop (anchor-arm refactor pin)") {
     val rnd = new scala.util.Random(3)
     def jig(axis: Int): Seq[Double] =

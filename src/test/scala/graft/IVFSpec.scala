@@ -139,6 +139,39 @@ class IVFSpec extends AnyFunSuite {
     assert(scanned < emb.count())
   }
 
+  test("saltForHistogram: uniform resolves to 1, skewed to the skew ratio, capped at P (r13 VERDICT #8)") {
+    // uniform with nlist >= P: hottest block == balanced share -> no salt
+    assert(IVFIndex.saltForHistogram(Array.fill(64)(1000L), 32) == 1)
+    // degenerate histograms never salt
+    assert(IVFIndex.saltForHistogram(Array(5000L), 32) == 1)
+    assert(IVFIndex.saltForHistogram(Array.empty[Long], 32) == 1)
+    // one cell holding half the corpus dominates sum(|c|^2): ~P splits
+    val half = Array(50000L) ++ Array.fill(49)(1000L + 20L) // ~100k rows
+    val s = IVFIndex.saltForHistogram(half, 32)
+    assert(s >= 24 && s <= 32, s"expected near-cap salt, got $s")
+    // mild skew (hottest 4x the median of 64 cells over P=32) salts a little
+    val mild = Array(4000L) ++ Array.fill(63)(1000L)
+    val sm = IVFIndex.saltForHistogram(mild, 32)
+    assert(sm >= 2 && sm <= 8, s"expected small salt, got $sm")
+    // the cap: finer than parallelism never helps
+    assert(IVFIndex.saltForHistogram(Array(1000000L, 1L), 8) <= 8)
+  }
+
+  test("autoSaltBuckets: derived once per index; salted auto path bit-identical to unsalted") {
+    import org.apache.spark.sql.functions.col
+    val s = index.autoSaltBuckets
+    assert(s >= 1 && s <= spark.sparkContext.defaultParallelism)
+    val queries = emb.where(col("vec_id").isin(5L, 23L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val unsalted = index.searchBatch(queries, "qid", "qv", k = 7, nprobe = 4,
+        saltBuckets = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val auto = index.searchBatch(queries, "qid", "qv", k = 7, nprobe = 4,
+        saltBuckets = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(auto == unsalted)
+  }
+
   test("open(): lazy on-disk probe does file-level partition pruning, same results as in-memory") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_open")
     try {
