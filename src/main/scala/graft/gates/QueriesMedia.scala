@@ -412,6 +412,112 @@ private[graft] trait QueriesMedia { this: Queries.type =>
     })
   }
 
+  /** Hand-assembled ADTS/SCE frames for the AAC gates (round 14 — the
+    * rung past transport headers): every decoded value is a doc_id/
+    * sample formula the oracle restates in SQL. AAC-LC, mono, 44.1 kHz,
+    * ONLY_LONG sine windows, fixture uniform-32 band map, fixture
+    * codebook (reserved sect_cb 12) and fixture sf book:
+    *   max_sfb = 8 + id%4;   sect_cb(s) = 0 if (id+s)%3 = 0 else 12
+    *   global_gain = 96 + id%8
+    *   sf(s) = gg + (id + 3s)%9 − 4   (coded bands; DPCM ±4 of gg)
+    *   q(i)  = ±((id+i)%3), negative iff (id+i)%5 < 2, coded bands only
+    * so q, sf, the dequantized xr and the whole filterbank are
+    * closed-form per (id, i). */
+  private[graft] def aacSceAssets(spark: SparkSession, dir: String, nIds: Int) = {
+    import spark.implicits._
+    val src = docsTbl(spark, dir).where(col("doc_id") < nIds)
+      .select(col("doc_id")).as[Long]
+    src.mapPartitions(_.map { id =>
+      val maxSfb = (8 + id % 4).toInt
+      val gg = (96 + id % 8).toInt
+      val sectCb = Array.tabulate(maxSfb)(s => if ((id + s) % 3 == 0) 0 else 12)
+      val sf = Array.tabulate(maxSfb)(s =>
+        if (sectCb(s) == 0) 0 else gg + ((id + 3 * s) % 9).toInt - 4)
+      val quant = Array.tabulate(1024) { i =>
+        val s = i / 32
+        if (s >= maxSfb || sectCb(s) == 0) 0
+        else {
+          val mag = ((id + i) % 3).toInt
+          if (mag != 0 && (id + i) % 5 < 2) -mag else mag
+        }
+      }
+      val payload = graft.multimodal.Aac.encodeSce(gg, maxSfb, sectCb, sf, quant)
+      graft.multimodal.Multimodal.Asset(id, "audio",
+        graft.multimodal.Aac.encodeFrame(1, 4, 1, payload), 0, 0)
+    })
+  }
+
+  private[graft] def multimodalAacSpectra(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.aacSpectra(aacSceAssets(spark, dir, 50))
+      .toDF().orderBy(col("id"))
+
+  private[graft] def multimodalAacPcm(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.aacPcm(aacSceAssets(spark, dir, 8))
+      .toDF().orderBy(col("id"))
+
+  /** The AAC CALLER-SUPPLIED-CODEBOOK path end to end: frames coded
+    * entirely with REAL ISO book id 11 — escape sequences included, an
+    * id the provenance discipline strict-rejects out of the box —
+    * decode iff the user supplies the book through the documented
+    * [[graft.multimodal.Aac.parseAacBooksSpec]] format (the gate's spec
+    * text is a canonical toy stand-in with book 11's {0, 1, ESC}
+    * domain; a real deployment pastes the Table A.12 transcription it
+    * trusts). Each row pins BOTH halves: the decode with the book
+    * (integer checksums restated by the oracle, escape values 17..36
+    * exercised) and the strict reject without. */
+  private[graft] def multimodalAacCodebook(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = docsTbl(spark, dir).where(col("doc_id") < 50)
+      .select(col("doc_id")).as[Long]
+    val specText =
+      """# user-supplied 2-tuple escape codebook mounted on REAL id 11
+        |book 11 dim 2 signed 0 escape 1
+        |0 0 0
+        |100 0 1
+        |101 1 0
+        |110 1 1
+        |11100 0 16
+        |11101 16 0
+        |111100 1 16
+        |111101 16 1
+        |111110 16 16""".stripMargin
+    src.mapPartitions { it =>
+      val user = graft.multimodal.Aac.parseAacBooksSpec(specText)
+      val merged = graft.multimodal.Aac.fixtureBooks ++ user
+      it.map { id =>
+        val maxSfb = 4 // 4 coded bands x 32 samples, all on book 11
+        val sectCb = Array.fill(maxSfb)(11)
+        val sf = Array.fill(maxSfb)(100)
+        val quant = Array.tabulate(1024) { i =>
+          if (i >= 32 * maxSfb) 0
+          else {
+            val base = ((id + i) % 8).toInt
+            val mag =
+              if (base == 7) 17 + ((id + i) % 20).toInt // escape range
+              else if (base == 0 || base == 3) 0
+              else 1
+            if (mag != 0 && (id + i) % 5 < 2) -mag else mag
+          }
+        }
+        val payload = graft.multimodal.Aac.encodeSce(100, maxSfb, sectCb,
+          sf, quant, books = merged)
+        val adts = graft.multimodal.Aac.encodeFrame(1, 4, 1, payload)
+        val stream = graft.multimodal.Aac.parse(adts).get
+        val withBooks = graft.multimodal.Aac.decodeSpectra(
+          stream.frames.head.payload, books = merged)
+        val without = graft.multimodal.Aac.decodeSpectra(
+          stream.frames.head.payload) // fixture mount only: id 11 rejects
+        val ch = withBooks.get
+        (id, if (withBooks.isDefined) 1 else 0, if (without.isEmpty) 1 else 0,
+          ch.quant.count(_ != 0),
+          ch.quant.foldLeft(0L)(_ + _),
+          ch.quant.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+            acc + v.toLong * (i + 1) })
+      }
+    }.toDF("id", "with_books", "without_rejects", "n_nonzero", "sum_q", "wsum_q")
+      .orderBy(col("id"))
+  }
+
   private[graft] def multimodalMp3Pcm(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.Multimodal.mp3Pcm(mp3PcmAssets(spark, dir))
       .toDF().orderBy(col("id"), col("channel"))

@@ -538,6 +538,89 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
         |       (n_frames * 1024 * 1000) // rate AS duration_ms,
         |       md5(substr(hx, 1, n_frames * plen * 2)) AS payload_fp
         |FROM f ORDER BY id""".stripMargin)),
+    "multimodal_aac_spectra" -> Q(multimodalAacSpectra, Some(
+      // restates aacSceAssets' SCE decode end to end: the per-(id, i)
+      // quantized-integer formula over the coded uniform-32 bands, the
+      // DPCM scalefactor chain, and the §10.3 dequantization
+      // sign·|q|^(4/3)·2^(0.25·(sf−100)) — integer checksums exact, the
+      // two dequantized sums under the floor-form 4-dp round (both
+      // engines fold the 1024-entry list left-to-right; ~1-ulp libm pow
+      // noise sits 9 orders below the grid)
+      raw"""WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 50),
+           |par AS (SELECT id, 8 + id % 4 AS max_sfb, 96 + id % 8 AS gg FROM ids),
+           |qs AS (SELECT id, max_sfb, gg,
+           |  list_transform(range(0, 1024), i ->
+           |    CASE WHEN i >= 32 * max_sfb OR (id + i // 32) % 3 = 0 THEN 0 ELSE
+           |      (CASE WHEN (id + i) % 5 < 2 THEN -1 ELSE 1 END) * ((id + i) % 3)
+           |    END) AS q
+           |  FROM par),
+           |xrs AS (SELECT id, max_sfb, gg, q,
+           |  list_transform(range(0, 1024), i ->
+           |    CASE WHEN q[i+1] = 0 THEN 0.0 ELSE
+           |      sign(q[i+1]) * pow(abs(q[i+1]), 4.0/3.0) *
+           |      pow(2.0, 0.25*((gg + (id + 3*(i // 32)) % 9 - 4) - 100))
+           |    END) AS xr
+           |  FROM qs)
+           |SELECT id, gg AS global_gain, max_sfb,
+           |  CAST(list_sum(list_transform(range(0, max_sfb), s ->
+           |    CASE WHEN (id+s) % 3 = 0 THEN 0 ELSE 1 END)) AS BIGINT) AS n_coded_sfb,
+           |  CAST(list_sum(list_transform(range(0, max_sfb), s ->
+           |    CASE WHEN (id+s) % 3 = 0 THEN 0 ELSE gg + (id + 3*s) % 9 - 4 END)) AS BIGINT) AS sum_sf,
+           |  len(list_filter(q, x -> x != 0)) AS n_nonzero,
+           |  CAST(list_sum(q) AS BIGINT) AS sum_q,
+           |  CAST(list_sum(list_transform(range(1, 1025), i -> q[i] * i)) AS BIGINT) AS wsum_q,
+           |  floor(list_sum(xr) * 10000.0 + 0.5) / 10000.0 AS xr_sum,
+           |  floor(list_sum(list_transform(range(1, 1025), i -> xr[i] * i)) * 10000.0 + 0.5) / 10000.0 AS xr_wsum
+           |FROM xrs ORDER BY id""".stripMargin)),
+    "multimodal_aac_pcm" -> Q(multimodalAacPcm, Some(
+      // restates the ENTIRE AAC-LC DSP chain in SQL: dequantization, the
+      // 2048-point IMDCT over the nonzero lines (ascending-k struct list
+      // — the identical IEEE fold order the Scala kernel uses when it
+      // skips zeros), the sine window, and the floor-based 16-bit
+      // quantizer; all aggregates are over exact integers, so the ~1-ulp
+      // cos/pow noise is absorbed per sample
+      raw"""WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 8),
+           |par AS (SELECT id, 8 + id % 4 AS max_sfb, 96 + id % 8 AS gg FROM ids),
+           |co AS (SELECT p.id, d.i,
+           |         (CASE WHEN (p.id + d.i) % 5 < 2 THEN -1 ELSE 1 END) * ((p.id + d.i) % 3) AS q,
+           |         p.gg + (p.id + 3*(d.i // 32)) % 9 - 4 AS sf
+           |       FROM par p, (SELECT unnest(range(0, 1024)) AS i) d
+           |       WHERE d.i < 32 * p.max_sfb AND (p.id + d.i // 32) % 3 != 0),
+           |nz AS (SELECT id, list(struct_pack(k := i,
+           |           v := sign(q) * pow(abs(q), 4.0/3.0) * pow(2.0, 0.25*(sf - 100))) ORDER BY i) AS l
+           |       FROM co WHERE q != 0 GROUP BY id),
+           |pcm AS (SELECT z.id, d.pos,
+           |          greatest(-32768, least(32767, CAST(floor(
+           |            sin(pi()/2048.0 * (d.pos + 0.5)) *
+           |            (list_sum(list_transform(z.l, s ->
+           |               s.v * cos(pi()/1024.0 * (d.pos + 512.5) * (s.k + 0.5)))) / 1024.0)
+           |            * 32768.0 + 0.5) AS BIGINT))) AS p
+           |        FROM nz z, (SELECT unnest(range(0, 1024)) AS pos) d)
+           |SELECT id, count(*) AS n_samples,
+           |  CAST(sum(CASE WHEN p = 32767 OR p = -32768 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           |  CAST(sum(CASE WHEN p != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonzero,
+           |  CAST(sum(p) AS BIGINT) AS sum_pcm, CAST(sum(abs(p)) AS BIGINT) AS abs_pcm,
+           |  CAST(sum(p * (pos + 1)) AS BIGINT) AS wsum_pcm
+           |FROM pcm GROUP BY id ORDER BY id""".stripMargin)),
+    "multimodal_aac_codebook" -> Q(multimodalAacCodebook, Some(
+      // the caller-supplied-book contract: decode-with succeeds (integer
+      // checksums over the escape-bearing formula spectrum), strict
+      // reject without — both flags constant 1 by construction, the
+      // checksums pin the escape arithmetic (values 17..36 through the
+      // N-ones + 0 + (N+4)-bit sequences)
+      raw"""WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 50),
+           |qs AS (SELECT id, list_transform(range(0, 1024), i ->
+           |        CASE WHEN i >= 128 THEN 0 ELSE
+           |          (CASE WHEN (id+i) % 5 < 2 THEN -1 ELSE 1 END) *
+           |          (CASE WHEN (id+i) % 8 = 7 THEN 17 + (id+i) % 20
+           |                WHEN (id+i) % 8 = 0 OR (id+i) % 8 = 3 THEN 0
+           |                ELSE 1 END)
+           |        END) AS q FROM ids)
+           |SELECT id, 1 AS with_books, 1 AS without_rejects,
+           |  len(list_filter(q, x -> x != 0)) AS n_nonzero,
+           |  CAST(list_sum(q) AS BIGINT) AS sum_q,
+           |  CAST(list_sum(list_transform(range(1, 1025), i -> q[i] * i)) AS BIGINT) AS wsum_q
+           |FROM qs ORDER BY id""".stripMargin)),
     "multimodal_knn" -> Q(multimodalKnn, Some(
       """WITH p AS (
         |  SELECT doc_id AS id, (3 + doc_id % 5)::INT AS width, (2 + doc_id % 3)::INT AS height,

@@ -482,6 +482,80 @@ object Multimodal {
     })
   }
 
+  final case class AacSpectraRow(id: Long, global_gain: Int, max_sfb: Int,
+                                 n_coded_sfb: Int, sum_sf: Long,
+                                 n_nonzero: Int, sum_q: Long, wsum_q: Long,
+                                 xr_sum: Double, xr_wsum: Double)
+
+  /** AAC-LC SPECTRAL decode of each asset's first ADTS frame (round 14):
+    * one row per asset aggregating the SCE's 1024 decoded integers and
+    * their dequantized spectrum — coded-band count, scalefactor sum,
+    * exact integer sum and position-weighted checksum Σ (i+1)·q(i) (pins
+    * every value AT its sample position), plus the dequantized sums
+    * under the floor-form 4-dp round (bit-portable to a SQL oracle; the
+    * ~1-ulp libm pow noise is 9 orders below the grid). Codebooks /
+    * sf book / band map per [[Aac.decodeSpectra]]'s provenance
+    * contract. */
+  def aacSpectra(assets: Dataset[Asset],
+                 books: Map[Int, Aac.AacBook] = Aac.fixtureBooks,
+                 sfBook: Aac.SfBook = Aac.fixtureSfBook,
+                 bands: Array[Int] = Aac.fixtureBandsLong): Dataset[AacSpectraRow] = {
+    import assets.sparkSession.implicits._
+    def r4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    assets.mapPartitions(_.map { a =>
+      val s = Aac.parse(a.bytes)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: not a supported ADTS stream"))
+      val ch = Aac.decodeSpectra(s.frames.head.payload, books, sfBook, bands)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: undecodable AAC-LC raw_data_block"))
+      val codedSfb = (0 until ch.maxSfb).filter(ch.sectCb(_) != 0)
+      AacSpectraRow(a.id, ch.globalGain, ch.maxSfb,
+        codedSfb.size, codedSfb.map(ch.sf(_).toLong).sum,
+        ch.quant.count(_ != 0),
+        ch.quant.foldLeft(0L)(_ + _),
+        ch.quant.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+          acc + v.toLong * (i + 1) },
+        r4(ch.xr.sum),
+        r4(ch.xr.zipWithIndex.foldLeft(0.0) { case (acc, (v, i)) =>
+          acc + v * (i + 1) }))
+    })
+  }
+
+  final case class AacPcmRow(id: Long, n_samples: Int, n_clipped: Int,
+                             n_nonzero: Int, sum_pcm: Long, abs_pcm: Long,
+                             wsum_pcm: Long)
+
+  /** AAC-LC decode to PCM (round 14): [[Aac.decodePcm]]'s 1024 windowed
+    * IMDCT samples per asset, 16-bit-quantized by the shared floor-form
+    * [[Mp3.pcm16]], aggregated exactly like [[mp3Pcm]] — saturation
+    * count, nonzero count, exact integer sum/abs-sum and the
+    * position-weighted checksum. Integer quantization absorbs the
+    * cross-engine ~1-ulp cos noise, so a SQL oracle restates the whole
+    * dequant → IMDCT → window chain hash-exactly. */
+  def aacPcm(assets: Dataset[Asset],
+             books: Map[Int, Aac.AacBook] = Aac.fixtureBooks,
+             sfBook: Aac.SfBook = Aac.fixtureSfBook,
+             bands: Array[Int] = Aac.fixtureBandsLong): Dataset[AacPcmRow] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      val s = Aac.parse(a.bytes)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: not a supported ADTS stream"))
+      val pcm = Aac.decodePcm(s.frames.head.payload, books, sfBook, bands)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: undecodable AAC-LC frame"))
+      val q = pcm.map(Mp3.pcm16)
+      AacPcmRow(a.id, q.length,
+        q.count(v => v == 32767 || v == -32768),
+        q.count(_ != 0),
+        q.foldLeft(0L)(_ + _),
+        q.foldLeft(0L)((acc, v) => acc + math.abs(v)),
+        q.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+          acc + v.toLong * (i + 1) })
+    })
+  }
+
   final case class WavChannelStats(id: Long, channel: Int, n_samples: Int,
                                    sum_amp: Long, mean_amp: Double)
 

@@ -1441,6 +1441,132 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Aac.parse(Aac.encodeFrame(0, 3, 1, Array[Byte](1), nRawBlocks = 2)).isDefined)
     assert(Aac.parse(Aac.encodeFrame(0, 3, 1, Array[Byte](1), crc = Some(1))).isDefined)
   }
+
+  // ---- AAC-LC raw_data_block decode (round 14) ----
+
+  private def aacFixtureSce(seed: Long): (Array[Byte], Array[Int], Array[Int], Array[Int]) = {
+    import graft.multimodal.Aac
+    val maxSfb = (8 + seed % 4).toInt
+    val gg = (96 + seed % 8).toInt
+    val sectCb = Array.tabulate(maxSfb)(s => if ((seed + s) % 3 == 0) 0 else 12)
+    val sf = Array.tabulate(maxSfb)(s =>
+      if (sectCb(s) == 0) 0 else gg + ((seed + 3 * s) % 9).toInt - 4)
+    val quant = Array.tabulate(1024) { i =>
+      val s = i / 32
+      if (s >= maxSfb || sectCb(s) == 0) 0
+      else {
+        val mag = ((seed + i) % 3).toInt
+        if (mag != 0 && (seed + i) % 5 < 2) -mag else mag
+      }
+    }
+    (Aac.encodeSce(gg, maxSfb, sectCb, sf, quant), sectCb, sf, quant)
+  }
+
+  test("aac decodeSpectra: encode -> decode round-trips sections, DPCM scalefactors and every integer") {
+    import graft.multimodal.Aac
+    for (seed <- 0L to 7L) {
+      val (payload, sectCb, sf, quant) = aacFixtureSce(seed)
+      val ch = Aac.decodeSpectra(payload).get
+      assert(ch.globalGain == (96 + seed % 8).toInt && ch.maxSfb == sectCb.length)
+      assert(ch.sectCb.sameElements(sectCb), s"sections differ at seed $seed")
+      assert(ch.sf.sameElements(sf), s"scalefactors differ at seed $seed")
+      assert(ch.quant.sameElements(quant), s"spectrum differs at seed $seed")
+      // dequantization: per-band exponent, SF_OFFSET 100, 4/3 power law
+      val i = quant.indexWhere(_ != 0)
+      val s = i / 32
+      val want = math.signum(quant(i).toDouble) *
+        math.pow(math.abs(quant(i).toDouble), 4.0 / 3.0) *
+        math.pow(2.0, 0.25 * (sf(s) - 100))
+      assert(ch.xr(i) == want)
+    }
+  }
+
+  test("aac escape path: caller-supplied book 11 decodes 16..36 magnitudes; strict reject without") {
+    import graft.multimodal.Aac
+    val spec =
+      """book 11 dim 2 signed 0 escape 1
+        |0 0 0
+        |100 0 1
+        |101 1 0
+        |110 1 1
+        |11100 0 16
+        |11101 16 0
+        |111100 1 16
+        |111101 16 1
+        |111110 16 16""".stripMargin
+    val user = Aac.parseAacBooksSpec(spec)
+    assert(user(11).escape && user(11).dim == 2)
+    val merged = Aac.fixtureBooks ++ user
+    // every escape magnitude 16..36 round-trips (one per pair, partner 1)
+    val quant = Array.tabulate(1024)(i =>
+      if (i >= 64) 0
+      else if (i % 2 == 0) { val m = 16 + (i / 2) % 21; if (i % 4 == 0) -m else m }
+      else 1)
+    val payload = Aac.encodeSce(100, 2, Array(11, 11), Array(100, 100),
+      quant, books = merged)
+    val ch = Aac.decodeSpectra(payload, books = merged).get
+    assert(ch.quant.sameElements(quant))
+    // the provenance contract: id 11 strict-rejects on the fixture mount
+    assert(Aac.decodeSpectra(payload).isEmpty)
+  }
+
+  test("aac strict rejects: KBD shape, short windows, predictor/pulse bits, non-SCE lead, missing END") {
+    import graft.multimodal.Aac
+    val (payload, _, _, _) = aacFixtureSce(3L)
+    def flipBit(b: Array[Byte], bit: Int): Array[Byte] = {
+      val c = b.clone(); c(bit >> 3) = (c(bit >> 3) ^ (1 << (7 - (bit & 7)))).toByte; c
+    }
+    // bit layout: id_syn_ele(3) tag(4) gain(8) reserved(1) winseq(2) shape(1)...
+    assert(Aac.decodeSpectra(flipBit(payload, 0)).isEmpty,  "non-SCE lead accepted")
+    assert(Aac.decodeSpectra(flipBit(payload, 15)).isEmpty, "ics_reserved accepted")
+    assert(Aac.decodeSpectra(flipBit(payload, 16)).isEmpty, "short window accepted")
+    assert(Aac.decodeSpectra(flipBit(payload, 18)).isEmpty, "KBD shape accepted")
+    assert(Aac.decodeSpectra(flipBit(payload, 25)).isEmpty, "predictor bit accepted")
+    // truncation ahead of END: the walk must fail, not misparse
+    assert(Aac.decodeSpectra(payload.take(payload.length / 2)).isEmpty)
+  }
+
+  test("aac imdct2048: TDAC antisymmetry x(1023-n) = -x(n) and linearity") {
+    import graft.multimodal.Aac
+    val rnd = new scala.util.Random(7)
+    val xr = Array.fill(1024)(if (rnd.nextInt(4) == 0) rnd.nextGaussian() else 0.0)
+    for (n <- Seq(0, 13, 200, 511)) {
+      val a = Aac.imdct2048(xr, n)
+      val b = Aac.imdct2048(xr, 1023 - n)
+      assert(math.abs(a + b) < 1e-12, s"TDAC antisymmetry broken at n=$n: $a vs $b")
+    }
+    val xr2 = xr.map(_ * 2.0)
+    assert(math.abs(Aac.imdct2048(xr2, 77) - 2.0 * Aac.imdct2048(xr, 77)) < 1e-12)
+  }
+
+  test("aac decodePcm: deterministic, 1024 samples, mutation fuzz never crashes") {
+    import graft.multimodal.Aac
+    val (payload, _, _, _) = aacFixtureSce(5L)
+    val p1 = Aac.decodePcm(payload).get
+    val p2 = Aac.decodePcm(payload).get
+    assert(p1.length == 1024 && p1.sameElements(p2))
+    assert(p1.exists(_ != 0.0))
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 200) {
+      val c = payload.clone()
+      val bit = rnd.nextInt(c.length * 8)
+      c(bit >> 3) = (c(bit >> 3) ^ (1 << (7 - (bit & 7)))).toByte
+      Aac.decodePcm(c) // Option contract: None or a decode, never a throw
+    }
+  }
+
+  test("aac loaders: sfbook and bands specs round-trip; malformed specs throw") {
+    import graft.multimodal.Aac
+    val sfb = Aac.parseAacSfBookSpec("sfbook\n0 60\n10 59\n11 61")
+    assert(sfb.codes == Map("0" -> 60, "10" -> 59, "11" -> 61))
+    val bands = Aac.parseAacBandsSpec("# iso table\nbands 0 4 8 16 1024")
+    assert(bands.sameElements(Array(0, 4, 8, 16, 1024)))
+    intercept[IllegalArgumentException](Aac.parseAacBandsSpec("bands 4 8"))
+    intercept[IllegalArgumentException](
+      Aac.parseAacBooksSpec("book 12 dim 4 signed 0 escape 0\n0 0 0 0 0"))
+    intercept[IllegalArgumentException]( // not prefix-free
+      Aac.parseAacBooksSpec("book 5 dim 2 signed 1 escape 0\n0 0 0\n01 1 1"))
+  }
 }
 
 /** Big-endian helper shared by the MP4 spec's byte surgery. */
