@@ -76,6 +76,45 @@ object MediaProbe {
       println(s"[mediaprobe] mp3 real-id strict-reject without user codebook: $rejected")
       require(rejected, "real table ids must strict-reject without a supplied codebook")
     }
+    // AAC decode throughput + the same caller-supplied contract (round
+    // 14): fixture-book SCE frames decode to 1024 PCM samples; frames on
+    // REAL book id 11 (escapes included) decode only with the user spec.
+    locally {
+      def sce(i: Long, cb: Int, books: Map[Int, Aac.AacBook]): Array[Byte] = {
+        val maxSfb = 4
+        val quant = Array.tabulate(1024) { j =>
+          if (j >= 32 * maxSfb) 0
+          else if (cb == 12) (((i + j) % 3) * (if ((i + j) % 5 < 2) -1 else 1)).toInt
+          else { // book-11 domain incl. escapes
+            val base = ((i + j) % 8).toInt
+            val mag = if (base == 7) 17 + ((i + j) % 20).toInt
+              else if (base == 0 || base == 3) 0 else 1
+            if (mag != 0 && (i + j) % 5 < 2) -mag else mag
+          }
+        }
+        Aac.encodeSce(100, maxSfb, Array.fill(maxSfb)(cb),
+          Array.fill(maxSfb)(100), quant, books = books)
+      }
+      probe("aac-pcm", i => sce(i, 12, Aac.fixtureBooks),
+        Aac.decodePcm(_))
+      val spec =
+        """book 11 dim 2 signed 0 escape 1
+          |0 0 0
+          |100 0 1
+          |101 1 0
+          |110 1 1
+          |11100 0 16
+          |11101 16 0
+          |111100 1 16
+          |111101 16 1
+          |111110 16 16""".stripMargin
+      val merged = Aac.fixtureBooks ++ Aac.parseAacBooksSpec(spec)
+      val rejected = Aac.decodePcm(sce(1L, 11, merged)).isEmpty
+      probe("aac-pcm-userbook", i => sce(i, 11, merged),
+        Aac.decodePcm(_, books = merged))
+      println(s"[mediaprobe] aac real-id strict-reject without user book: $rejected")
+      require(rejected, "real book ids must strict-reject without a supplied book")
+    }
     spark.stop()
   }
 }
