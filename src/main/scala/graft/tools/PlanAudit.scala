@@ -47,7 +47,16 @@ object PlanAudit {
       // chunked exact arm exactly ONE bnlj (the deliberate brute-force
       // broadcast of the bounded query chunk — not a planner accident)
       // with zero smj/shj and no corpus-sized exchange.
-      "multimodal_mp3_huffman", "knn_graph").foreach(audit)
+      "multimodal_mp3_huffman", "knn_graph",
+      // round-14 additions. Expectations: the three AAC gates and the MP3
+      // pcm/codebook + H264 ipcm gates all-zero joins (per-row codec
+      // kernels + one orderBy exchange); dedup_semantic_trained the same
+      // 1-bhj + cluster-shuffle shape as dedup_semantic (the trained
+      // centroids are a driver-side array, invisible to the plan).
+      "multimodal_aac_spectra", "multimodal_aac_pcm",
+      "multimodal_aac_codebook", "multimodal_mp3_pcm",
+      "multimodal_mp3_codebook", "multimodal_h264_ipcm",
+      "dedup_semantic_trained").foreach(audit)
     spark.stop()
   }
 }
