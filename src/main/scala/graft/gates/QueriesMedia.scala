@@ -412,6 +412,71 @@ private[graft] trait QueriesMedia { this: Queries.type =>
     })
   }
 
+  /** BIT-RESERVOIR streams for the Layer III stream gate (round 14 —
+    * the main_data_begin seam): 3 frames per asset, each frame's
+    * spectral/scale-factor formulas the huffman gate's evaluated at
+    * k = id + 7·frame, packed by [[graft.multimodal.Mp3.encodeMp3Reservoir]]
+    * so frames 1–2's granule data lives in EARLIER frames' slot regions
+    * (main_data_begin > 0 — asserted at build time so the gate cannot
+    * silently degrade to self-contained frames). The oracle restates
+    * only decode RESULTS; the pointer/stuffing layout is the Spark
+    * side's to get right, and a misplaced start scrambles every
+    * checksum. */
+  private[graft] def mp3ReservoirAssets(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val src = docsTbl(spark, dir).where(col("doc_id") < 24)
+      .select(col("doc_id")).as[Long]
+    src.mapPartitions(_.map { id =>
+      def frameSpec(f: Int) = {
+        val k = id + 7 * f
+        val nBig = 2 * (20 + (k % 5)).toInt
+        val nC1 = 4 * (4 + (k % 3)).toInt
+        def value(i: Int): Int = {
+          val mag =
+            if (i < 16) ((k + i) % 4).toInt
+            else if (i < nBig) ((k + i) % 4).toInt match {
+              case 0 => 0
+              case 1 | 2 => 1
+              case _ => 15 + ((k + i) % 8).toInt
+            }
+            else ((k + i) % 2).toInt
+          if (mag != 0 && (k + i) % 5 < 2) -mag else mag
+        }
+        val is = Array.tabulate(nBig + nC1)(value)
+        def gi(g: Int, ch: Int) = graft.multimodal.Mp3.GranuleInfo(
+          part23Length = 0, bigValues = nBig / 2,
+          globalGain = ((5 * k + 17 * g + 29 * ch) % 256).toInt,
+          scalefacCompress = 9,
+          windowSwitching = false, blockType = 0, mixedBlock = false,
+          tableSelect = Seq(4, 14, 0), subblockGain = Nil,
+          region0Count = 3, region1Count = 7,
+          preflag = (k % 2).toInt, scalefacScale = ((k + g) % 2).toInt,
+          count1TableSelect = ((k + g) % 2).toInt)
+        val si = graft.multimodal.Mp3.SideInfo(0, (k % 8).toInt,
+          Seq.fill(2)(Seq.fill(4)(0)),
+          Seq.tabulate(2)(g => Seq.tabulate(2)(ch => gi(g, ch))))
+        val sfs: Seq[Seq[Array[Int]]] = Seq.fill(2)(Seq.fill(2)(
+          Array.tabulate(21)(b => ((k + b) % 4).toInt)))
+        val spectra: Seq[Seq[Array[Int]]] = Seq.fill(2)(Seq.fill(2)(is))
+        (si, sfs, spectra)
+      }
+      val bytes = graft.multimodal.Mp3.encodeMp3Reservoir(9, 0,
+        (0 until 3).map(frameSpec))
+      // the gate exists to exercise the reservoir: frames past the first
+      // MUST carry a backward pointer
+      val stream = graft.multimodal.Mp3.parseMp3(bytes).get
+      stream.framePayloads.drop(1).zipWithIndex.foreach { case (p, i) =>
+        val mdb = graft.multimodal.Mp3.parseSideInfo(p, 2).get.mainDataBegin
+        require(mdb > 0, s"fixture frame ${i + 1} has main_data_begin 0 — reservoir not exercised")
+      }
+      graft.multimodal.Multimodal.Asset(id, "audio", bytes, 0, 0)
+    })
+  }
+
+  private[graft] def multimodalMp3Reservoir(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.mp3SpectraStream(mp3ReservoirAssets(spark, dir))
+      .toDF().orderBy(col("id"), col("frame"), col("granule"), col("channel"))
+
   /** Hand-assembled ADTS/SCE frames for the AAC gates (round 14 — the
     * rung past transport headers): every decoded value is a doc_id/
     * sample formula the oracle restates in SQL. AAC-LC, mono, 44.1 kHz,

@@ -330,6 +330,41 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
         |  list_sum(list_transform(v, x -> abs(x)))::BIGINT AS is_abs_sum,
         |  list_sum(list_transform(range(0, n_big + n_c1), i -> v[i+1] * (i+1)))::BIGINT AS pos_sum
         |FROM vals ORDER BY id, granule, channel""".stripMargin)),
+    "multimodal_mp3_reservoir" -> Q(multimodalMp3Reservoir, Some(
+      // the huffman oracle's value formulas evaluated at k = id + 7·frame
+      // over a 3-frame RESERVOIR stream: every decoded integer of frames
+      // whose granule data lives in earlier frames' slot regions
+      // (main_data_begin > 0, asserted at fixture build) must land at
+      // the same checksums as a self-contained decode of the same values
+      // — the pointer walk is pinned because a misplaced start scrambles
+      // pos_sum
+      """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 24),
+        |f AS (SELECT unnest(range(0, 3)) AS frame),
+        |g AS (SELECT unnest(range(0, 2)) AS granule),
+        |c AS (SELECT unnest(range(0, 2)) AS channel),
+        |base AS (
+        |  SELECT id, frame::INT AS frame, granule::INT AS granule,
+        |         channel::INT AS channel, id + 7*frame AS k,
+        |         2*(20 + (id + 7*frame)%5) AS n_big,
+        |         4*(4 + (id + 7*frame)%3) AS n_c1
+        |  FROM ids, f, g, c),
+        |vals AS (
+        |  SELECT id, frame, granule, channel, n_big, n_c1,
+        |    list_transform(range(0, n_big + n_c1), i ->
+        |      (CASE WHEN (k+i)%5 < 2 THEN -1 ELSE 1 END) *
+        |      (CASE WHEN i < 16 THEN (k+i)%4
+        |            WHEN i < n_big THEN
+        |              CASE (k+i)%4 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 1
+        |                   ELSE 15 + (k+i)%8 END
+        |            ELSE (k+i)%2 END)) AS v
+        |  FROM base)
+        |SELECT id, frame, granule, channel,
+        |  n_big::INT AS n_big, n_c1::INT AS n_count1,
+        |  len(list_filter(v, x -> x <> 0))::INT AS n_nonzero,
+        |  list_sum(v)::BIGINT AS is_sum,
+        |  list_sum(list_transform(v, x -> abs(x)))::BIGINT AS is_abs_sum,
+        |  list_sum(list_transform(range(0, n_big + n_c1), i -> v[i+1] * (i+1)))::BIGINT AS pos_sum
+        |FROM vals ORDER BY id, frame, granule, channel""".stripMargin)),
     "multimodal_mp3_pcm" -> Q(multimodalMp3Pcm, Some(
       // restates mp3PcmAssets' spectra THROUGH THE ENTIRE §2.4.3.4 DSP
       // chain in SQL: requantization (power law + scalefactor/pretab

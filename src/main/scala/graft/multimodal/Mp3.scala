@@ -422,15 +422,29 @@ object Mp3 {
     val siOpt = parseSideInfo(payload, channels)
     if (siOpt.isEmpty) return None
     val si = siOpt.get
-    if (si.mainDataBegin != 0) return None // bit reservoir: the DSP seam
-    val bands = sfBandsLong(rateIdx)
+    if (si.mainDataBegin != 0) return None // use decodeSpectraStream
     val siBytes = if (channels == 1) 17 else 32
-    val r = new BitReader(java.util.Arrays.copyOfRange(payload, siBytes, payload.length))
+    Some(decodeGranules(
+      new BitReader(java.util.Arrays.copyOfRange(payload, siBytes, payload.length)),
+      si, channels, sfBandsLong(rateIdx), tables, count1A))
+  } catch { case _: Exception => None }
+
+  /** The shared §2.4.2.7 granule walk behind [[decodeSpectra]] (self-
+    * contained frames) and [[decodeSpectraStream]] (bit-reservoir
+    * streams): scale factors with scfsi sharing, big-values pair
+    * regions, count1 quadruples to the exact part2_3 landing,
+    * requantization. Throws on every strict seam (window switching,
+    * unknown codebooks, budget-crossing walks) — callers convert to
+    * None. */
+  private def decodeGranules(r: BitReader, si: SideInfo, channels: Int,
+                             bands: Array[Int],
+                             tables: Map[Int, HuffTable],
+                             count1A: Count1Table): Seq[Seq[Spectrum]] = {
     val out = Array.fill(2)(new Array[Spectrum](channels))
     val sfSave = Array.fill(2)(new Array[Array[Int]](channels))
     for (g <- 0 until 2; ch <- 0 until channels) {
       val gi = si.granules(g)(ch)
-      if (gi.windowSwitching) return None // short/mixed blocks: DSP seam
+      require(!gi.windowSwitching, "short/mixed blocks: DSP seam")
       val (s1, s2) = slenTable(gi.scalefacCompress)
       var read = 0
       def take(n: Int): Int = { read += n; r.read(n) }
@@ -445,7 +459,7 @@ object Mp3 {
       // ---- big_values pair regions ----
       val is = new Array[Int](576)
       val nBig = gi.bigValues * 2
-      if (nBig > 576) return None
+      require(nBig <= 576, "big_values overruns the granule")
       // region sample boundaries from the scalefactor-band indices
       // (§2.4.2.7: region0 spans region0_count+1 bands, region1 the next
       // region1_count+1; both clamp to the band table)
@@ -500,7 +514,7 @@ object Mp3 {
         is(sample + 2) = sgn(x); is(sample + 3) = sgn(y)
         sample += 4; nC1 += 4
       }
-      if (read != gi.part23Length) return None // a walk crossing the budget
+      require(read == gi.part23Length, "walk crossed the part2_3 budget")
       // ---- requantization (§2.4.3.4, long blocks) ----
       val mult = if (gi.scalefacScale == 0) 0.5 else 1.0
       val xr = new Array[Double](576)
@@ -521,7 +535,43 @@ object Mp3 {
       }
       out(g)(ch) = Spectrum(is, nBig, nC1, xr)
     }
-    Some(out.toSeq.map(_.toSeq))
+    out.toSeq.map(_.toSeq)
+  }
+
+  /** BIT-RESERVOIR stream decode (the main_data_begin ≠ 0 seam closed —
+    * most real encoders use the reservoir, so real corpora were stuck at
+    * the self-contained [[decodeSpectra]] until now). §2.4.2.3: the
+    * logical main-data stream is the concatenation of every frame's
+    * post-side-info slot bytes, and frame f's granule data begins
+    * main_data_begin BYTES before f's own slot region — the pointer only
+    * LOCATES data (stuffing between frames is legal), so each frame
+    * decodes from its own computed offset, no reader state threads.
+    * Strict → None: a pointer reaching before the stream start, or
+    * anything [[decodeSpectra]]'s walk rejects. Result: per
+    * frames(f)(g)(ch). */
+  def decodeSpectraStream(stream: Mp3Stream, rateIdx: Int,
+                          tables: Map[Int, HuffTable] = fixtureTables,
+                          count1A: Count1Table = fixtureCount1A): Option[Seq[Seq[Seq[Spectrum]]]] = try {
+    val channels = stream.channels
+    val siBytes = if (channels == 1) 17 else 32
+    val slots = stream.framePayloads.map(p =>
+      java.util.Arrays.copyOfRange(p, siBytes, p.length))
+    val buf = new Array[Byte](slots.map(_.length).sum)
+    var off = 0
+    val offsets = slots.map { s =>
+      System.arraycopy(s, 0, buf, off, s.length); off += s.length; off - s.length
+    }
+    val bands = sfBandsLong(rateIdx)
+    Some(stream.framePayloads.zipWithIndex.map { case (payload, f) =>
+      val si = parseSideInfo(payload, channels)
+        .getOrElse(throw new IllegalArgumentException(s"frame $f: bad side info"))
+      val start = offsets(f) - si.mainDataBegin
+      require(start >= 0,
+        s"frame $f: main_data_begin ${si.mainDataBegin} reaches before the stream")
+      decodeGranules(
+        new BitReader(java.util.Arrays.copyOfRange(buf, start, buf.length)),
+        si, channels, bands, tables, count1A)
+    })
   } catch { case _: Exception => None }
 
   /** Fixture encoder for [[decodeSpectra]]: assembles side info + scale
@@ -538,6 +588,19 @@ object Mp3 {
                     spectra: Seq[Seq[Array[Int]]],
                     tables: Map[Int, HuffTable] = fixtureTables,
                     count1A: Count1Table = fixtureCount1A): Array[Byte] = {
+    val (side, main) = encodeFrameParts(si, channels, scalefacs, spectra,
+      tables, count1A)
+    side ++ main
+  }
+
+  /** [[encodeSpectra]]'s two sections SEPARATELY — (side-info bytes,
+    * main-data bytes) — so the reservoir encoder can place a frame's
+    * main data in EARLIER frames' slot regions (§2.4.2.3). */
+  def encodeFrameParts(si: SideInfo, channels: Int,
+                       scalefacs: Seq[Seq[Array[Int]]],
+                       spectra: Seq[Seq[Array[Int]]],
+                       tables: Map[Int, HuffTable] = fixtureTables,
+                       count1A: Count1Table = fixtureCount1A): (Array[Byte], Array[Byte]) = {
     val bandsAll = sfBandsLong(0) // fixture frames are 44.1 kHz
     // per (g, ch): emit scalefac + spectral bits into a local buffer to
     // measure part2_3_length, then rebuild the SideInfo and pack for real
@@ -606,11 +669,27 @@ object Mp3 {
     // order. Range-checked like the run-stage writer (round-13 ADVICE:
     // an unchecked pack would silently truncate a computed
     // part2_3_length > 4095 or big_values > 511 into corrupt side info
-    // instead of failing fast).
-    val bits = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    // instead of failing fast). Side info is exactly 136/256 bits —
+    // byte-aligned by construction — so the two sections pack
+    // independently (the reservoir encoder needs them separable).
+    def pack(bits: Seq[(Int, Int)]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var acc = 0; var nacc = 0
+      bits.foreach { case (v, n) =>
+        var i = n - 1
+        while (i >= 0) {
+          acc = (acc << 1) | ((v >> i) & 1); nacc += 1
+          if (nacc == 8) { out.write(acc); acc = 0; nacc = 0 }
+          i -= 1
+        }
+      }
+      if (nacc > 0) out.write(acc << (8 - nacc))
+      out.toByteArray
+    }
+    val siBits = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     def w(v: Int, n: Int): Unit = {
       require(v >= 0 && v < (1 << n), s"field value $v does not fit in $n bits")
-      bits += ((v, n))
+      siBits += ((v, n))
     }
     w(si2.mainDataBegin, 9)
     w(si2.privateBits, if (channels == 1) 5 else 3)
@@ -623,19 +702,7 @@ object Mp3 {
       w(gi.region0Count, 4); w(gi.region1Count, 3)
       w(gi.preflag, 1); w(gi.scalefacScale, 1); w(gi.count1TableSelect, 1)
     }
-    runs.foreach { case (_, run) => run.foreach { case (v, n) => w(v, n) } }
-    val out = new java.io.ByteArrayOutputStream()
-    var acc = 0; var nacc = 0
-    bits.foreach { case (v, n) =>
-      var i = n - 1
-      while (i >= 0) {
-        acc = (acc << 1) | ((v >> i) & 1); nacc += 1
-        if (nacc == 8) { out.write(acc); acc = 0; nacc = 0 }
-        i -= 1
-      }
-    }
-    if (nacc > 0) out.write(acc << (8 - nacc))
-    out.toByteArray
+    (pack(siBits.toSeq), pack(runs.flatMap(_._2)))
   }
 
   // -------------------------------------------------------------------
@@ -835,6 +902,59 @@ object Mp3 {
     Some(out)
   } catch { case _: Exception => None }
 
+  /** STREAM decode to PCM with THREADED state (round 14 — the per-frame
+    * fresh-state seam closed alongside the reservoir): spectra via
+    * [[decodeSpectraStream]], then ONE DSP pass where the IMDCT
+    * overlap-add tail and the synthesis FIFO carry across every granule
+    * of every frame (zero only at STREAM start) — gapless, the real
+    * decoder contract. Output: 1152·nFrames samples per channel. */
+  def decodePcmStream(stream: Mp3Stream, rateIdx: Int,
+                      tables: Map[Int, HuffTable] = fixtureTables,
+                      count1A: Count1Table = fixtureCount1A,
+                      synthWindow: Array[Double] = fixtureSynthWindow): Option[Seq[Array[Double]]] = try {
+    val specOpt = decodeSpectraStream(stream, rateIdx, tables, count1A)
+    if (specOpt.isEmpty) return None
+    val spec = specOpt.get
+    val channels = stream.channels
+    if (stream.msStereo && channels != 2) return None
+    val nF = spec.length
+    val xr = Array.tabulate(nF, 2, channels)((f, g, ch) => spec(f)(g)(ch).xr.clone())
+    if (stream.msStereo) {
+      val s2 = math.sqrt(2.0)
+      for (f <- 0 until nF; g <- 0 until 2) {
+        var i = 0
+        while (i < 576) {
+          val m = xr(f)(g)(0)(i); val s = xr(f)(g)(1)(i)
+          xr(f)(g)(0)(i) = (m + s) / s2
+          xr(f)(g)(1)(i) = (m - s) / s2
+          i += 1
+        }
+      }
+    }
+    val out = (0 until channels).map { ch =>
+      val slots = Array.ofDim[Double](36 * nF, 32)
+      val prev = Array.ofDim[Double](32, 18) // zero at STREAM start only
+      for (f <- 0 until nF; g <- 0 until 2) {
+        val a = aliasReduce(xr(f)(g)(ch))
+        var sb = 0
+        while (sb < 32) {
+          val z = imdct36(a, sb * 18)
+          var j = 0
+          while (j < 18) {
+            var s = z(j) + prev(sb)(j)
+            if (sb % 2 == 1 && j % 2 == 1) s = -s
+            slots((f * 2 + g) * 18 + j)(sb) = s
+            prev(sb)(j) = z(18 + j)
+            j += 1
+          }
+          sb += 1
+        }
+      }
+      synthesize(slots, synthWindow)
+    }
+    Some(out)
+  } catch { case _: Exception => None }
+
   // -------------------------------------------------------------------
   // Caller-supplied resource specs (round 14, r13 VERDICT #4): the
   // never-guess discipline strict-rejects ISO B.7 codebook ids and the
@@ -965,6 +1085,56 @@ object Mp3 {
       out.write((mode << 6) | (modeExt << 4))
       out.write(data, f * (flen - 4), flen - 4)
       f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Fixture encoder for BIT-RESERVOIR streams ([[decodeSpectraStream]]'s
+    * counterpart): per-frame (SideInfo, scalefacs, spectra) packed with
+    * each frame's main data as EARLY as the 9-bit pointer allows — frame
+    * f's data starts at max(end of frame f−1's data, offsets(f) − 511) —
+    * the implied main_data_begin written into the side info and gaps
+    * zero-stuffed (spec-legal: the pointer LOCATES data, §2.4.2.3).
+    * The SideInfos' mainDataBegin fields are ignored and recomputed.
+    * Requires each frame's data to end inside its own slot region (a
+    * real encoder's rate-control invariant — data can never come from
+    * the future). */
+  def encodeMp3Reservoir(bitrateIdx: Int, rateIdx: Int,
+                         frames: Seq[(SideInfo, Seq[Seq[Array[Int]]], Seq[Seq[Array[Int]]])],
+                         tables: Map[Int, HuffTable] = fixtureTables,
+                         count1A: Count1Table = fixtureCount1A,
+                         mode: Int = 0, modeExt: Int = 0): Array[Byte] = {
+    require(bitrateIdx >= 1 && bitrateIdx <= 14 && rateIdx >= 0 && rateIdx <= 2,
+      s"bad table indices ($bitrateIdx, $rateIdx)")
+    require(mode >= 0 && mode <= 2, "stereo modes only (32-byte side info)")
+    val channels = 2
+    val flen = 144 * bitrates(bitrateIdx) * 1000 / rates(rateIdx)
+    val siBytes = 32
+    val slotLen = flen - 4 - siBytes
+    require(slotLen > 0, "frame too small for side info")
+    val n = frames.length
+    val slotBuf = new Array[Byte](n * slotLen)
+    var prevEnd = 0
+    val sides = frames.zipWithIndex.map { case ((si0, sfs, sp), f) =>
+      val frameOff = f * slotLen
+      val start = math.max(prevEnd, frameOff - 511)
+      val mdb = frameOff - start // ∈ [0, 511]: prevEnd ≤ frameOff by the
+                                 // own-region invariant below
+      val (side, main) = encodeFrameParts(si0.copy(mainDataBegin = mdb),
+        channels, sfs, sp, tables, count1A)
+      require(start + main.length <= frameOff + slotLen,
+        s"frame $f: ${main.length} main-data bytes overrun the slot region")
+      System.arraycopy(main, 0, slotBuf, start, main.length)
+      prevEnd = start + main.length
+      side
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    for (f <- 0 until n) {
+      out.write(0xff); out.write(0xfb)
+      out.write((bitrateIdx << 4) | (rateIdx << 2))
+      out.write((mode << 6) | (modeExt << 4))
+      out.write(sides(f))
+      out.write(slotBuf, f * slotLen, slotLen)
     }
     out.toByteArray
   }

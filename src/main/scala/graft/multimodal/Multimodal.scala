@@ -482,6 +482,39 @@ object Multimodal {
     })
   }
 
+  final case class Mp3StreamSpectraRow(id: Long, frame: Int, granule: Int,
+                                       channel: Int, n_big: Int, n_count1: Int,
+                                       n_nonzero: Int, is_sum: Long,
+                                       is_abs_sum: Long, pos_sum: Long)
+
+  /** BIT-RESERVOIR Layer III spectral decode (round 14 — the
+    * main_data_begin seam closed): every frame of every asset through
+    * [[Mp3.decodeSpectraStream]], one row per (frame, granule, channel)
+    * with the [[mp3Spectra]] aggregates. A frame whose granule data
+    * lives in EARLIER frames' slot regions decodes here exactly like a
+    * self-contained one — the pointer walk is pinned by the same
+    * position-weighted checksums. */
+  def mp3SpectraStream(assets: Dataset[Asset], rateIdx: Int = 0): Dataset[Mp3StreamSpectraRow] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      val s = Mp3.parseMp3(a.bytes)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: not a supported MP3"))
+      val sp = Mp3.decodeSpectraStream(s, rateIdx)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: undecodable reservoir stream"))
+      for (f <- sp.indices; g <- 0 until 2; ch <- 0 until s.channels) yield {
+        val x = sp(f)(g)(ch)
+        Mp3StreamSpectraRow(a.id, f, g, ch, x.nBig, x.nCount1,
+          x.is.count(_ != 0),
+          x.is.foldLeft(0L)(_ + _),
+          x.is.foldLeft(0L)((acc, v) => acc + math.abs(v)),
+          x.is.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+            acc + v.toLong * (i + 1) })
+      }
+    })
+  }
+
   final case class AacSpectraRow(id: Long, global_gain: Int, max_sfb: Int,
                                  n_coded_sfb: Int, sum_sf: Long,
                                  n_nonzero: Int, sum_q: Long, wsum_q: Long,

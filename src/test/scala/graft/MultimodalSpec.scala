@@ -1442,6 +1442,105 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Aac.parse(Aac.encodeFrame(0, 3, 1, Array[Byte](1), crc = Some(1))).isDefined)
   }
 
+  // ---- MP3 bit-reservoir stream decode (round 14) ----
+
+  private def mp3FrameSpec(k: Long): (graft.multimodal.Mp3.SideInfo, Seq[Seq[Array[Int]]], Seq[Seq[Array[Int]]]) = {
+    import graft.multimodal.Mp3
+    val nBig = 2 * (20 + (k % 5)).toInt
+    val nC1 = 4 * (4 + (k % 3)).toInt
+    def value(i: Int): Int = {
+      val mag =
+        if (i < 16) ((k + i) % 4).toInt
+        else if (i < nBig) ((k + i) % 4).toInt match {
+          case 0 => 0; case 1 | 2 => 1; case _ => 15 + ((k + i) % 8).toInt
+        }
+        else ((k + i) % 2).toInt
+      if (mag != 0 && (k + i) % 5 < 2) -mag else mag
+    }
+    val is = Array.tabulate(nBig + nC1)(value)
+    def gi(g: Int, ch: Int) = Mp3.GranuleInfo(0, nBig / 2,
+      ((5 * k + 17 * g + 29 * ch) % 256).toInt, 9,
+      windowSwitching = false, blockType = 0, mixedBlock = false,
+      Seq(4, 14, 0), Nil, 3, 7, (k % 2).toInt, ((k + g) % 2).toInt, ((k + g) % 2).toInt)
+    val si = Mp3.SideInfo(0, (k % 8).toInt, Seq.fill(2)(Seq.fill(4)(0)),
+      Seq.tabulate(2)(g => Seq.tabulate(2)(ch => gi(g, ch))))
+    (si, Seq.fill(2)(Seq.fill(2)(Array.tabulate(21)(b => ((k + b) % 4).toInt))),
+      Seq.fill(2)(Seq.fill(2)(is)))
+  }
+
+  test("mp3 reservoir: frames decode from earlier slots; integers round-trip; stream of one mdb=0 frame == decodeSpectra") {
+    import graft.multimodal.Mp3
+    val specs = (0 until 3).map(f => mp3FrameSpec(11L + 7 * f))
+    val bytes = Mp3.encodeMp3Reservoir(9, 0, specs)
+    val stream = Mp3.parseMp3(bytes).get
+    // the reservoir IS exercised: frames 1..2 point backward
+    val mdbs = stream.framePayloads.map(p => Mp3.parseSideInfo(p, 2).get.mainDataBegin)
+    assert(mdbs.head == 0 && mdbs.tail.forall(_ > 0), s"mdbs $mdbs")
+    val sp = Mp3.decodeSpectraStream(stream, 0).get
+    for (f <- 0 until 3; g <- 0 until 2; ch <- 0 until 2) {
+      val want = specs(f)._3(g)(ch)
+      assert(java.util.Arrays.equals(sp(f)(g)(ch).is.take(want.length), want),
+        s"frame $f g$g ch$ch integers differ")
+      assert(sp(f)(g)(ch).is.drop(want.length).forall(_ == 0))
+    }
+    // a 1-frame mdb=0 stream is exactly the self-contained decode
+    val one = Mp3.encodeMp3Reservoir(9, 0, specs.take(1))
+    val oneStream = Mp3.parseMp3(one).get
+    val viaStream = Mp3.decodeSpectraStream(oneStream, 0).get.head
+    val viaSelf = Mp3.decodeSpectra(oneStream.framePayloads.head, 2, 0).get
+    for (g <- 0 until 2; ch <- 0 until 2) {
+      assert(java.util.Arrays.equals(viaStream(g)(ch).is, viaSelf(g)(ch).is))
+      assert(viaStream(g)(ch).xr.sameElements(viaSelf(g)(ch).xr))
+    }
+  }
+
+  test("mp3 reservoir strict rejects: pointer before stream start; mutation fuzz never crashes") {
+    import graft.multimodal.Mp3
+    val (si, sfs, sp) = mp3FrameSpec(3L)
+    // a first frame claiming 5 bytes of history that does not exist
+    val payload = Mp3.encodeSpectra(si.copy(mainDataBegin = 5), 2, sfs, sp)
+    val bytes = Mp3.encodeMp3(1, 9, 0, java.util.Arrays.copyOf(payload, 413))
+    assert(Mp3.decodeSpectraStream(Mp3.parseMp3(bytes).get, 0).isEmpty)
+    val good = Mp3.encodeMp3Reservoir(9, 0, (0 until 3).map(f => mp3FrameSpec(4L + 7 * f)))
+    val rnd = new scala.util.Random(99)
+    for (_ <- 0 until 200) {
+      val c = good.clone()
+      val bit = rnd.nextInt(c.length * 8)
+      c(bit >> 3) = (c(bit >> 3) ^ (1 << (7 - (bit & 7)))).toByte
+      Mp3.parseMp3(c).foreach(s => Mp3.decodeSpectraStream(s, 0)) // Option contract
+    }
+  }
+
+  test("mp3 decodePcmStream: threaded state — an all-zero second frame still rings the first frame's tail") {
+    import graft.multimodal.Mp3
+    // PCM-scaled gain (the formula spec's 30..90 gains give xr ~ 2^-45)
+    val base = mp3FrameSpec(6L)
+    val loud = base.copy(_1 = base._1.copy(granules = base._1.granules.map(
+      _.map(_.copy(globalGain = 190)))))
+    // a genuinely-zero frame: zero spectra, zero scale factors
+    val zeroGi = Mp3.GranuleInfo(0, 0, 170, 9, windowSwitching = false,
+      blockType = 0, mixedBlock = false, Seq(0, 0, 0), Nil, 3, 7, 0, 0, 0)
+    val zeroSi = Mp3.SideInfo(0, 0, Seq.fill(2)(Seq.fill(4)(0)),
+      Seq.fill(2)(Seq.fill(2)(zeroGi)))
+    val zero = (zeroSi, Seq.fill(2)(Seq.fill(2)(Array.fill(21)(0))),
+      Seq.fill(2)(Seq.fill(2)(Array.empty[Int])))
+    val stream = Mp3.parseMp3(Mp3.encodeMp3Reservoir(9, 0, Seq(loud, zero))).get
+    val pcm = Mp3.decodePcmStream(stream, 0).get
+    assert(pcm.head.length == 2304) // 1152 x 2 frames, gapless
+    // fresh-state decode of the zero frame alone is EXACTLY silent...
+    val zeroAlone = Mp3.parseMp3(Mp3.encodeMp3Reservoir(9, 0, Seq(zero))).get
+    assert(Mp3.decodePcmStream(zeroAlone, 0).get.head.forall(_ == 0.0))
+    // ...but after the loud frame, the threaded overlap-add tail + FIFO
+    // history make the second frame's samples nonzero
+    assert(pcm.head.drop(1152).exists(v => math.abs(v) > 1e-9),
+      "second-frame samples are silent — state did not thread across frames")
+    // and a 1-frame stream decode equals the per-frame decodePcm bit-for-bit
+    val oneStream = Mp3.parseMp3(Mp3.encodeMp3Reservoir(9, 0, Seq(loud))).get
+    val a = Mp3.decodePcmStream(oneStream, 0).get
+    val b = Mp3.decodePcm(oneStream.framePayloads.head, 2, 0).get
+    assert(a.zip(b).forall { case (x, y) => x.sameElements(y) })
+  }
+
   // ---- AAC-LC raw_data_block decode (round 14) ----
 
   private def aacFixtureSce(seed: Long): (Array[Byte], Array[Int], Array[Int], Array[Int]) = {
