@@ -369,6 +369,34 @@ object Aac {
     }
   }
 
+  /** STREAM decode to PCM with THREADED overlap-add (the AAC analog of
+    * [[Mp3.decodePcmStream]]'s state seam closure): every ADTS frame's
+    * SCE through [[decodeSpectra]], then §14.3's long-window overlap —
+    * out_f(n) = w(n)·x_f(n) + w(n+1024)·x_{f−1}(n+1024), the previous
+    * frame's windowed second half carrying into the next frame (zero
+    * only at stream start). Gapless: 1024·nFrames samples. */
+  def decodePcmStream(stream: AacStream,
+                      books: Map[Int, AacBook] = fixtureBooks,
+                      sfBook: SfBook = fixtureSfBook,
+                      bands: Array[Int] = fixtureBandsLong): Option[Array[Double]] = try {
+    val out = new ArrayBuffer[Double](stream.frames.size * 1024)
+    var prev: Array[Double] = null // previous frame's full 2048-point IMDCT
+    stream.frames.foreach { fr =>
+      val ch = decodeSpectra(fr.payload, books, sfBook, bands)
+        .getOrElse(throw new IllegalArgumentException("undecodable frame"))
+      val x = Array.tabulate(2048)(n => imdct2048(ch.xr, n))
+      var n = 0
+      while (n < 1024) {
+        val tail = if (prev == null) 0.0
+          else sineWindow(n + 1024) * prev(n + 1024)
+        out += sineWindow(n) * x(n) + tail
+        n += 1
+      }
+      prev = x
+    }
+    Some(out.toArray)
+  } catch { case _: Exception => None }
+
   /** Fixture/gate encoder: one SCE raw_data_block from per-sfb codebook
     * ids, scalefactors and quantized integers — the exact bit layout
     * [[decodeSpectra]] walks, greedy run-length sections, DPCM

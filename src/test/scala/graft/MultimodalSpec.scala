@@ -1654,6 +1654,25 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("aac decodePcmStream: threaded overlap-add — one frame == decodePcm; a silent second frame rings the tail") {
+    import graft.multimodal.Aac
+    val (payload, _, _, _) = aacFixtureSce(2L)
+    val one = Aac.parse(Aac.encodeFrame(1, 4, 1, payload)).get
+    val viaStream = Aac.decodePcmStream(one).get
+    val viaFrame = Aac.decodePcm(payload).get
+    assert(viaStream.sameElements(viaFrame)) // zero history at stream start
+    // silent frame: max_sfb 0 (no sections, no spectra)
+    val silent = Aac.encodeSce(100, 0, Array.empty, Array.empty, new Array[Int](1024))
+    val two = Aac.parse(Aac.encodeFrame(1, 4, 1, payload) ++
+      Aac.encodeFrame(1, 4, 1, silent)).get
+    val pcm = Aac.decodePcmStream(two).get
+    assert(pcm.length == 2048)
+    assert(Aac.decodePcmStream(Aac.parse(Aac.encodeFrame(1, 4, 1, silent)).get)
+      .get.forall(_ == 0.0)) // fresh-state silent frame is exactly silent
+    assert(pcm.drop(1024).exists(v => math.abs(v) > 1e-9),
+      "second-frame samples are silent — overlap did not thread")
+  }
+
   test("aac loaders: sfbook and bands specs round-trip; malformed specs throw") {
     import graft.multimodal.Aac
     val sfb = Aac.parseAacSfBookSpec("sfbook\n0 60\n10 59\n11 61")
