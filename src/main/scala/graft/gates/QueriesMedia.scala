@@ -572,12 +572,17 @@ private[graft] trait QueriesMedia { this: Queries.type =>
           stream.frames.head.payload, books = merged)
         val without = graft.multimodal.Aac.decodeSpectra(
           stream.frames.head.payload) // fixture mount only: id 11 rejects
-        val ch = withBooks.get
+        // checksums via map/getOrElse, NOT .get (r14 review): a decode
+        // regression must surface as with_books=0 + zeroed checksums —
+        // an oracle VALUE mismatch — not an executor crash
+        val (nnz, sq, wq) = withBooks.map { ch =>
+          (ch.quant.count(_ != 0),
+            ch.quant.foldLeft(0L)(_ + _),
+            ch.quant.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+              acc + v.toLong * (i + 1) })
+        }.getOrElse((0, 0L, 0L))
         (id, if (withBooks.isDefined) 1 else 0, if (without.isEmpty) 1 else 0,
-          ch.quant.count(_ != 0),
-          ch.quant.foldLeft(0L)(_ + _),
-          ch.quant.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
-            acc + v.toLong * (i + 1) })
+          nnz, sq, wq)
       }
     }.toDF("id", "with_books", "without_rejects", "n_nonzero", "sum_q", "wsum_q")
       .orderBy(col("id"))
@@ -639,12 +644,17 @@ private[graft] trait QueriesMedia { this: Queries.type =>
           payload, stream.channels, 0, tables = merged)
         val without = graft.multimodal.Mp3.decodeSpectra(
           payload, stream.channels, 0) // fixture mount only: id 1 rejects
-        val x = withTables.get.head.head
+        // checksums via map/getOrElse, NOT .get (r14 review): a decode
+        // regression must surface as decodes_with_tables=0 + zeroed
+        // checksums — an oracle VALUE mismatch — not an executor crash
+        val (nnz, sq, pq) = withTables.map(_.head.head).map { x =>
+          (x.is.count(_ != 0),
+            x.is.foldLeft(0L)(_ + _),
+            x.is.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+              acc + v.toLong * (i + 1) })
+        }.getOrElse((0, 0L, 0L))
         (id, if (withTables.isDefined) 1 else 0, if (without.isEmpty) 1 else 0,
-          x.is.count(_ != 0),
-          x.is.foldLeft(0L)(_ + _),
-          x.is.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
-            acc + v.toLong * (i + 1) })
+          nnz, sq, pq)
       }
     }.toDF("id", "decodes_with_tables", "rejects_without", "n_nonzero",
         "is_sum", "pos_sum")

@@ -44,7 +44,8 @@ object H264 {
   final case class Pps(ppsId: Int, spsId: Int, entropyCabac: Boolean,
                        numSliceGroups: Int, picInitQp: Int = 26,
                        deblockingPresent: Boolean = false,
-                       redundantPresent: Boolean = false)
+                       redundantPresent: Boolean = false,
+                       bottomFieldPocPresent: Boolean = false)
 
   final case class H264Stream(nals: Seq[NalUnit], sps: Option[Sps],
                               pps: Option[Pps])
@@ -238,7 +239,11 @@ object H264 {
     val ppsId = r.ue()
     val spsId = r.ue()
     val cabac = r.flag()
-    r.flag() // bottom_field_pic_order_in_frame_present_flag
+    // retained (r14 review): when set, a frame-coded poc-type-0 slice
+    // header carries delta_pic_order_cnt_bottom right after
+    // pic_order_cnt_lsb (§7.3.3) — the slice walk must consume it or
+    // every later field reads bit-shifted
+    val bottomPoc = r.flag() // bottom_field_pic_order_in_frame_present_flag
     val groups = r.ue() + 1
     if (groups == 1) {
       r.ue(); r.ue() // num_ref_idx_l0/l1_default_active_minus1
@@ -250,7 +255,7 @@ object H264 {
       val dbf = r.flag() // deblocking_filter_control_present_flag
       r.flag() // constrained_intra_pred_flag
       val red = r.flag() // redundant_pic_cnt_present_flag
-      Some(Pps(ppsId, spsId, cabac, groups, qp, dbf, red))
+      Some(Pps(ppsId, spsId, cabac, groups, qp, dbf, red, bottomPoc))
     } else
       // slice-group maps sit between num_slice_groups and the tail; the
       // tail fields are unreachable without walking them (out of scope)
@@ -302,7 +307,13 @@ object H264 {
     val idr = nalType == 5
     val idrPicId = if (idr) r.ue() else 0
     var pocLsb = 0
-    if (sps.pocType == 0) pocLsb = r.u(sps.log2MaxPocLsb)
+    if (sps.pocType == 0) {
+      pocLsb = r.u(sps.log2MaxPocLsb)
+      // §7.3.3: frame-coded pictures (frameMbsOnly enforced above) carry
+      // delta_pic_order_cnt_bottom when the PPS flag is set — consume it
+      // or every later field reads bit-shifted (r14 review)
+      if (pps.bottomFieldPocPresent) r.se()
+    }
     else if (sps.pocType != 2) return None // poc type 1 deltas: out of scope
     if (pps.redundantPresent && r.ue() != 0) return None // redundant slice
     if (nalRefIdc != 0) {
@@ -348,7 +359,10 @@ object H264 {
     w.ue(pps.ppsId)
     w.u(frameNum, sps.log2MaxFrameNum)
     if (idr) w.ue(idrPicId)
-    if (sps.pocType == 0) w.u(pocLsb, sps.log2MaxPocLsb)
+    if (sps.pocType == 0) {
+      w.u(pocLsb, sps.log2MaxPocLsb)
+      if (pps.bottomFieldPocPresent) w.se(0) // delta_pic_order_cnt_bottom
+    }
     if (pps.redundantPresent) w.ue(0)
     if (nalRefIdc != 0 && idr) { w.flag(false); w.flag(false) }
     require(nalRefIdc != 0 || !idr, "IDR NALs carry nal_ref_idc != 0")
@@ -437,11 +451,12 @@ object H264 {
     * slice-header walk needs the tail flags). */
   def encodePps(ppsId: Int, spsId: Int, cabac: Boolean,
                 picInitQp: Int = 26, deblockingPresent: Boolean = false,
-                redundantPresent: Boolean = false): Array[Byte] = {
+                redundantPresent: Boolean = false,
+                bottomFieldPocPresent: Boolean = false): Array[Byte] = {
     val w = new BitWriter
     w.ue(ppsId); w.ue(spsId)
     w.flag(cabac)
-    w.flag(false) // bottom_field_pic_order_in_frame_present
+    w.flag(bottomFieldPocPresent)
     w.ue(0) // num_slice_groups_minus1
     w.ue(0); w.ue(0) // num_ref_idx_l0/l1_default_active_minus1
     w.flag(false) // weighted_pred_flag

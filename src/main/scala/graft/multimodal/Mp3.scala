@@ -63,7 +63,12 @@ object Mp3 {
         mode = (h3 & 0xc0) >> 6
         modeExt = (h3 & 0x30) >> 4
         channels = if (mode == 3) 1 else 2
-      }
+      } else if (((h3 & 0xc0) >> 6) != mode || ((h3 & 0x30) >> 4) != modeExt)
+        // real encoders may switch joint-stereo per frame; Mp3Stream
+        // carries ONE mode/modeExt, so a mixed stream would silently
+        // decode every frame through the first frame's matrix — reject,
+        // never misparse (round-14 review)
+        return None
       if (h0 != 0xff || (h1 & 0xe0) != 0xe0) return None // broken sync
       val version = (h1 & 0x18) >> 3
       val layer = (h1 & 0x06) >> 1
@@ -120,8 +125,8 @@ object Mp3 {
 
   /** MSB-first bit reader (the JPEG decoder's discipline, no marker
     * stuffing here). */
-  private final class BitReader(bytes: Array[Byte]) {
-    private var bit = 0
+  private final class BitReader(bytes: Array[Byte], startByte: Int = 0) {
+    private var bit = startByte * 8
     def read(n: Int): Int = {
       var v = 0; var i = 0
       while (i < n) {
@@ -568,8 +573,9 @@ object Mp3 {
       val start = offsets(f) - si.mainDataBegin
       require(start >= 0,
         s"frame $f: main_data_begin ${si.mainDataBegin} reaches before the stream")
-      decodeGranules(
-        new BitReader(java.util.Arrays.copyOfRange(buf, start, buf.length)),
+      // offset reader, no copy: a per-frame copyOfRange of the remaining
+      // stream would be O(frames × streamBytes) on real files (r14 review)
+      decodeGranules(new BitReader(buf, start),
         si, channels, bands, tables, count1A)
     })
   } catch { case _: Exception => None }
@@ -863,63 +869,20 @@ object Mp3 {
     val specOpt = decodeSpectra(payload, channels, rateIdx, tables, count1A)
     if (specOpt.isEmpty) return None
     val spec = specOpt.get
-    val xr = Array.tabulate(2, channels)((g, ch) => spec(g)(ch).xr.clone())
-    if (msStereo) {
-      val s2 = math.sqrt(2.0)
-      for (g <- 0 until 2) {
-        var i = 0
-        while (i < 576) {
-          val m = xr(g)(0)(i); val s = xr(g)(1)(i)
-          xr(g)(0)(i) = (m + s) / s2
-          xr(g)(1)(i) = (m - s) / s2
-          i += 1
-        }
-      }
-    }
-    val out = (0 until channels).map { ch =>
-      // slots(t)(k): frame time slot t (granule·18 + granule-local j) of
-      // subband k, after overlap-add and frequency inversion
-      val slots = Array.ofDim[Double](36, 32)
-      val prev = Array.ofDim[Double](32, 18) // zero: fresh frame state
-      for (g <- 0 until 2) {
-        val a = aliasReduce(xr(g)(ch))
-        var sb = 0
-        while (sb < 32) {
-          val z = imdct36(a, sb * 18)
-          var j = 0
-          while (j < 18) {
-            var s = z(j) + prev(sb)(j)
-            if (sb % 2 == 1 && j % 2 == 1) s = -s
-            slots(g * 18 + j)(sb) = s
-            prev(sb)(j) = z(18 + j)
-            j += 1
-          }
-          sb += 1
-        }
-      }
-      synthesize(slots, synthWindow)
-    }
-    Some(out)
+    val xr = Array.tabulate(1, 2, channels)((_, g, ch) => spec(g)(ch).xr.clone())
+    Some(synthesizeFrames(xr, channels, msStereo, synthWindow))
   } catch { case _: Exception => None }
 
-  /** STREAM decode to PCM with THREADED state (round 14 — the per-frame
-    * fresh-state seam closed alongside the reservoir): spectra via
-    * [[decodeSpectraStream]], then ONE DSP pass where the IMDCT
-    * overlap-add tail and the synthesis FIFO carry across every granule
-    * of every frame (zero only at STREAM start) — gapless, the real
-    * decoder contract. Output: 1152·nFrames samples per channel. */
-  def decodePcmStream(stream: Mp3Stream, rateIdx: Int,
-                      tables: Map[Int, HuffTable] = fixtureTables,
-                      count1A: Count1Table = fixtureCount1A,
-                      synthWindow: Array[Double] = fixtureSynthWindow): Option[Seq[Array[Double]]] = try {
-    val specOpt = decodeSpectraStream(stream, rateIdx, tables, count1A)
-    if (specOpt.isEmpty) return None
-    val spec = specOpt.get
-    val channels = stream.channels
-    if (stream.msStereo && channels != 2) return None
-    val nF = spec.length
-    val xr = Array.tabulate(nF, 2, channels)((f, g, ch) => spec(f)(g)(ch).xr.clone())
-    if (stream.msStereo) {
+  /** Shared DSP back half of [[decodePcm]] / [[decodePcmStream]]
+    * (one maintained copy — r14 review): MS matrix, alias reduction,
+    * IMDCT + overlap-add (the tail threads across every granule passed
+    * in, zero only at the start), frequency inversion, synthesis.
+    * `xr(f)(g)(ch)` is consumed (MS mutates in place). */
+  private def synthesizeFrames(xr: Array[Array[Array[Array[Double]]]],
+                               channels: Int, msStereo: Boolean,
+                               synthWindow: Array[Double]): Seq[Array[Double]] = {
+    val nF = xr.length
+    if (msStereo) {
       val s2 = math.sqrt(2.0)
       for (f <- 0 until nF; g <- 0 until 2) {
         var i = 0
@@ -931,9 +894,11 @@ object Mp3 {
         }
       }
     }
-    val out = (0 until channels).map { ch =>
+    (0 until channels).map { ch =>
+      // slots(t)(k): stream time slot t (frame·36 + granule·18 + local j)
+      // of subband k, after overlap-add and frequency inversion
       val slots = Array.ofDim[Double](36 * nF, 32)
-      val prev = Array.ofDim[Double](32, 18) // zero at STREAM start only
+      val prev = Array.ofDim[Double](32, 18) // zero at the start only
       for (f <- 0 until nF; g <- 0 until 2) {
         val a = aliasReduce(xr(f)(g)(ch))
         var sb = 0
@@ -952,7 +917,30 @@ object Mp3 {
       }
       synthesize(slots, synthWindow)
     }
-    Some(out)
+  }
+
+  /** STREAM decode to PCM with THREADED state (round 14 — the per-frame
+    * fresh-state seam closed alongside the reservoir): spectra via
+    * [[decodeSpectraStream]], then ONE DSP pass where the IMDCT
+    * overlap-add tail and the synthesis FIFO carry across every granule
+    * of every frame (zero only at STREAM start) — gapless, the real
+    * decoder contract. Output: 1152·nFrames samples per channel. */
+  def decodePcmStream(stream: Mp3Stream, rateIdx: Int,
+                      tables: Map[Int, HuffTable] = fixtureTables,
+                      count1A: Count1Table = fixtureCount1A,
+                      synthWindow: Array[Double] = fixtureSynthWindow): Option[Seq[Array[Double]]] = try {
+    // intensity stereo (§2.4.3.4.9.3, mode_extension bit 0) is
+    // unimplemented — reject rather than decode its bands as plain L/R
+    // (r14 review); parseMp3 already rejects mixed per-frame modes
+    if (stream.mode == 1 && (stream.modeExt & 1) != 0) return None
+    val specOpt = decodeSpectraStream(stream, rateIdx, tables, count1A)
+    if (specOpt.isEmpty) return None
+    val spec = specOpt.get
+    val channels = stream.channels
+    if (stream.msStereo && channels != 2) return None
+    val xr = Array.tabulate(spec.length, 2, channels)(
+      (f, g, ch) => spec(f)(g)(ch).xr.clone())
+    Some(synthesizeFrames(xr, channels, stream.msStereo, synthWindow))
   } catch { case _: Exception => None }
 
   // -------------------------------------------------------------------

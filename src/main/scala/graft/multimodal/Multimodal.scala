@@ -465,6 +465,9 @@ object Multimodal {
       val s = Mp3.parseMp3(a.bytes)
         .getOrElse(throw new IllegalArgumentException(
           s"asset ${a.id}: not a supported MP3"))
+      if (s.mode == 1 && (s.modeExt & 1) != 0)
+        throw new IllegalArgumentException(
+          s"asset ${a.id}: intensity stereo out of scope")
       val payload = s.framePayloads.head
       val pcm = Mp3.decodePcm(payload, s.channels, rateIdx, msStereo = s.msStereo)
         .getOrElse(throw new IllegalArgumentException(

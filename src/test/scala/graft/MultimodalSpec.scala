@@ -1170,6 +1170,43 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("H264 I_PCM: bottom_field_pic_order PPS flag round-trips and the slice walk consumes its delta (r14 review)") {
+    import graft.multimodal.H264
+    val spsB = H264.encodeSps(66, 30, 0, log2MaxFrameNumMinus4 = 1,
+      poc = 0, maxRef = 1, pwMbsMinus1 = 0, phMapMinus1 = 0,
+      frameMbsOnly = true, crop = None)
+    val sps = H264.parseSps(spsB).get
+    val pps = H264.parsePps(H264.encodePps(0, 0, cabac = false,
+      bottomFieldPocPresent = true)).get
+    assert(pps.bottomFieldPocPresent, "PPS flag not retained")
+    val mb = Seq(H264.IPcmMb(Array.fill(256)(9), Array.fill(64)(3), Array.fill(64)(5)))
+    // the encoder writes delta_pic_order_cnt_bottom when the flag is set,
+    // and the walk must consume it — every later field would read
+    // bit-shifted otherwise
+    val rbsp = H264.encodeIPcmSlice(sps, pps, 3, idr = true,
+      frameNum = 5, idrPicId = 2, pocLsb = 3, sliceQpDelta = 1, mb)
+    val sl = H264.parseIPcmSlice(rbsp, sps, pps, 3, 5).get
+    assert(sl.frameNum == 5 && sl.pocLsb == 3 && sl.sliceQp == 27)
+    assert(sl.mbs.head.luma.sameElements(mb.head.luma))
+  }
+
+  test("mp3 per-frame stereo-mode discipline: mixed modes reject; intensity streams refuse PCM decode (r14 review)") {
+    import graft.multimodal.Mp3
+    val (si, sfs, sp) = mp3FrameSpec(1L)
+    val payload = Mp3.encodeSpectra(si, 2, sfs, sp)
+    val frame = java.util.Arrays.copyOf(payload, 413)
+    // frame 1 plain stereo, frame 2 MS joint stereo: silently decoding
+    // both through frame 1's matrix would be a misparse — reject
+    val mixed = Mp3.encodeMp3(1, 9, 0, frame, mode = 0, modeExt = 0) ++
+      Mp3.encodeMp3(1, 9, 0, frame, mode = 1, modeExt = 2)
+    assert(Mp3.parseMp3(mixed).isEmpty, "mixed-mode stream accepted")
+    // intensity stereo (mode_extension bit 0) is unimplemented: spectra
+    // parse fine, PCM strict-rejects instead of decoding bands as L/R
+    val intens = Mp3.parseMp3(Mp3.encodeMp3(1, 9, 0, frame, mode = 1, modeExt = 1)).get
+    assert(Mp3.decodeSpectraStream(intens, 0).isDefined)
+    assert(Mp3.decodePcmStream(intens, 0).isEmpty, "intensity stereo decoded as plain L/R")
+  }
+
   test("H264 I_PCM strict rejects: cabac, slice groups, field coding, pps mismatch, trailing bytes") {
     import graft.multimodal.H264
     val spsB = H264.encodeSps(66, 30, 0, 0, 0, 1, 0, 0, frameMbsOnly = true, crop = None)
