@@ -124,12 +124,32 @@ object Dedup {
     * construction. Default 200 M ≈ a few GB of candidate shuffle —
     * single-host comfortable; raise proportionally on a real cluster.
     * 0 disables. */
+  /** NOTE on the locally-persisted prefix cache: when no `prefixFrame`
+    * is supplied and the budget guard runs, the internally built prefix
+    * frame is persisted and INTENTIONALLY left warm for the returned
+    * join (see the comment below). Callers that run many pair queries in
+    * one session should either pass a memoized `prefixFrame` (no local
+    * cache is created) or use [[jaccardPairsReleasable]] and call the
+    * release hook once the result is materialized (r14 ADVICE #1). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.8,
                    shingleFrame: Option[DataFrame] = None,
                    gramSetsFrame: Option[DataFrame] = None,
                    prefixFrame: Option[DataFrame] = None,
-                   candidateBudget: Long = 200000000L): DataFrame = {
+                   candidateBudget: Long = 200000000L): DataFrame =
+    jaccardPairsReleasable(docs, idCol, textCol, n, threshold, shingleFrame,
+      gramSetsFrame, prefixFrame, candidateBudget)._1
+
+  /** [[jaccardPairs]] with the locally-persisted prefix cache surfaced
+    * as a release hook: call `_2()` after materializing the returned
+    * frame to unpersist the internal prefix cache (a no-op when the
+    * caller supplied `prefixFrame` or the budget guard is off). */
+  def jaccardPairsReleasable(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.8,
+                   shingleFrame: Option[DataFrame] = None,
+                   gramSetsFrame: Option[DataFrame] = None,
+                   prefixFrame: Option[DataFrame] = None,
+                   candidateBudget: Long = 200000000L): (DataFrame, () => Unit) = {
     val sh = shingleFrame.getOrElse(shingles(docs, idCol, textCol, n))
     val gramSets = gramSetsFrame.getOrElse(docGramSets(sh))
     // The candidate generator self-joins the prefix frame, and Spark does
@@ -155,13 +175,20 @@ object Dedup {
     if (candidateBudget > 0) {
       // sum pdf·(pdf−1) — always even — and halve on the driver: Spark's
       // `/` is fractional divide (a DOUBLE), which would round the exact
-      // long estimate
-      val est = (prefixes.groupBy(col("gram")).agg(count(lit(1)).as("pdf"))
-        .agg(sum(col("pdf") * (col("pdf") - 1)).as("est2"))
-        .head() match {
-          case r if r.isNullAt(0) => 0L
-          case r => r.getLong(0)
-        }) / 2
+      // long estimate. Any failure in the estimate (budget breach OR a
+      // job error) releases the local cache before propagating — no
+      // leaked cache on ANY exception path (r14 ADVICE #1)
+      val est = try {
+        (prefixes.groupBy(col("gram")).agg(count(lit(1)).as("pdf"))
+          .agg(sum(col("pdf") * (col("pdf") - 1)).as("est2"))
+          .head() match {
+            case r if r.isNullAt(0) => 0L
+            case r => r.getLong(0)
+          }) / 2
+      } catch { case e: Throwable =>
+        if (localPrefix) prefixes.unpersist(blocking = false)
+        throw e
+      }
       if (est > candidateBudget && localPrefix)
         prefixes.unpersist(blocking = false) // no leaked cache on fail-fast
       require(est <= candidateBudget,
@@ -180,7 +207,10 @@ object Dedup {
       .join(prefixes.as("r").hint("shuffle_hash"),
         col("l.gram") === col("r.gram") && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
-    verifiedJaccard(cand, gramSets, threshold)
+    val release: () => Unit =
+      if (localPrefix) () => { prefixes.unpersist(blocking = false); () }
+      else () => ()
+    (verifiedJaccard(cand, gramSets, threshold), release)
   }
 
   /** The corpus prefix frame (rarest-first Bayardo prefixes) from the

@@ -323,6 +323,14 @@ object Aac {
       }
     }
     require(r.read(3) == 7, "expected END after the single SCE")
+    // only the byte-align padding is legitimate after END (§6.2's
+    // adts_raw_data_block_error_check aside, which this scope rejects at
+    // the transport layer): arbitrary trailing bytes would be silently
+    // accepted garbage — the H264 I_PCM trailing-byte discipline (r14
+    // ADVICE #4)
+    require(r.bitsLeft < 8, s"${r.bitsLeft} trailing bits after END")
+    while (r.bitsLeft > 0)
+      require(r.read(1) == 0, "nonzero byte-align padding after END")
     // dequantization (§10.3): per-band exponent, SF_OFFSET = 100
     val xr = new Array[Double](1024)
     for (s <- 0 until maxSfb if sectCb(s) != 0) {
@@ -510,9 +518,16 @@ object Aac {
 
   /** Parse spectral-codebook sections from the spec format above.
     * Strict: unknown directives, ids outside 1..11, bad dims/values, or
-    * a book failing [[AacBook]]'s checks all throw. */
+    * a book failing [[AacBook]]'s checks all throw. The parser tracks
+    * which SECTION it is inside: content lines are only skipped within
+    * an `sfbook` section (that parser's domain); a typo'd top-level
+    * directive (`bok 11 dim …`) throws instead of silently yielding a
+    * partial book map (r14 ADVICE #2). `bands` is a single-line
+    * directive — it does not open a section. */
   def parseAacBooksSpec(text: String): Map[Int, AacBook] = {
-    var cur: Option[Int] = None
+    // section state: None = top level, Some(Left(id)) = inside book id,
+    // Some(Right(())) = inside the sfbook section (content skipped)
+    var cur: Option[Either[Int, Unit]] = None
     val meta = scala.collection.mutable.Map.empty[Int, (Int, Boolean, Boolean)]
     val acc = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.Map[String, Seq[Int]]]
     for (raw <- text.linesIterator) {
@@ -521,17 +536,20 @@ object Aac {
         case Array("book", id, "dim", d, "signed", sg, "escape", esc) =>
           val i = id.toInt
           require(i >= 1 && i <= 11, s"spectral book id $i out of range 1..11")
-          cur = Some(i)
+          cur = Some(Left(i))
           meta(i) = (d.toInt, sg == "1", esc == "1")
           acc.getOrElseUpdate(i, scala.collection.mutable.Map.empty)
-        case Array("sfbook") | Array("bands", _*) => cur = None
-        case toks if cur.isDefined =>
-          val i = cur.get
+        case Array("sfbook") => cur = Some(Right(()))
+        case Array("bands", _*) => cur = None
+        case toks if cur.exists(_.isLeft) =>
+          val i = cur.get.swap.toOption.get
           require(toks.length == 1 + meta(i)._1,
             s"codeword line arity ${toks.length - 1} != dim ${meta(i)._1}")
           require(toks(0).forall(c => c == '0' || c == '1'), s"bad code '${toks(0)}'")
           acc(i) += (toks(0) -> toks.drop(1).toSeq.map(_.toInt))
-        case _ => // sfbook/bands section content: other parsers
+        case _ if cur.exists(_.isRight) => // sfbook content: parseAacSfBookSpec's
+        case other => throw new IllegalArgumentException(
+          s"unrecognized top-level directive: '${other.mkString(" ")}'")
       }
     }
     acc.map { case (id, codes) =>

@@ -137,6 +137,7 @@ object Mp3 {
       v
     }
     def bitsLeft: Int = bytes.length * 8 - bit
+    def bitPos: Int = bit
   }
 
   /** slen1/slen2 bit widths per scalefac_compress (ISO 11172-3 §2.4.2.7's
@@ -575,8 +576,17 @@ object Mp3 {
         s"frame $f: main_data_begin ${si.mainDataBegin} reaches before the stream")
       // offset reader, no copy: a per-frame copyOfRange of the remaining
       // stream would be O(frames × streamBytes) on real files (r14 review)
-      decodeGranules(new BitReader(buf, start),
-        si, channels, bands, tables, count1A)
+      val r = new BitReader(buf, start)
+      val spectra = decodeGranules(r, si, channels, bands, tables, count1A)
+      // frame f's granule walk must END inside frame f's own slot region
+      // (§2.4.2.3: main data can come from the PAST, never the future) —
+      // without this, a corrupt part2_3_length overruns into later
+      // frames' main data and decodes it as valid, a misparse under the
+      // reject-never-misparse discipline; encodeMp3Reservoir enforces
+      // the same invariant on the encode side (r14 ADVICE #3)
+      require(r.bitPos <= (offsets(f) + slots(f).length) * 8,
+        s"frame $f: granule data overruns its own slot region")
+      spectra
     })
   } catch { case _: Exception => None }
 

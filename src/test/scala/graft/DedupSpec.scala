@@ -265,6 +265,43 @@ class DedupSpec extends AnyFunSuite {
       s"budget error must carry the named rule: ${e.getMessage}")
   }
 
+  test("jaccardPairsReleasable: release hook frees the local prefix cache; fail-fast leaks nothing (r14 ADVICE)") {
+    def cached() = spark.sparkContext.getPersistentRDDs.size
+    def awaitCached(want: Int): Unit = {
+      val deadline = System.nanoTime() + 10000000000L // unpersist is async
+      while (cached() != want && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(cached() == want, s"persistent RDD count ${cached()} != $want")
+    }
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox jumps over the lazy dog again"),
+      (3L, "a completely different sentence with other words entirely here")
+    ).toDF("doc_id", "text")
+    val before = cached()
+    // budget-breach path: the estimate's local cache is released on throw
+    intercept[IllegalArgumentException] {
+      Dedup.jaccardPairsReleasable(docs, "doc_id", "text", candidateBudget = 1L)
+    }
+    awaitCached(before)
+    // success path: cache stays warm for the returned join, hook frees it
+    val (pairs, release) = Dedup.jaccardPairsReleasable(docs, "doc_id", "text")
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .contains((1L, 2L)))
+    assert(cached() == before + 1, "local prefix frame should be cached after the run")
+    release()
+    awaitCached(before)
+    release() // idempotent
+    // caller-supplied prefix frame: no local cache, hook is a no-op
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    val gs = Dedup.docGramSets(sh)
+    val pf = Dedup.corpusPrefixes(sh, gs, 0.8)
+    val (p2, rel2) = Dedup.jaccardPairsReleasable(docs, "doc_id", "text",
+      shingleFrame = Some(sh), gramSetsFrame = Some(gs), prefixFrame = Some(pf))
+    p2.collect()
+    assert(cached() == before, "supplied prefixFrame must not create a local cache")
+    rel2()
+  }
+
   test("connectedComponents: maxEdges budget fail-fasts with the named rule, off by default") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (1L, 2L)).toDF("a", "b")
     // 3 CANONICAL edges (the duplicate collapses): budget 2 rejects, 3 passes

@@ -1710,6 +1710,68 @@ class MultimodalSpec extends AnyFunSuite {
       "second-frame samples are silent — overlap did not thread")
   }
 
+  test("aac strict rejects trailing bytes after END; zero byte-align padding only (r14 ADVICE)") {
+    import graft.multimodal.Aac
+    val (payload, _, _, _) = aacFixtureSce(4L)
+    assert(Aac.decodeSpectra(payload).isDefined) // baseline: clean payload decodes
+    // a whole trailing byte after the aligned END is rejected (only the
+    // byte-align padding is legitimate there)
+    assert(Aac.decodeSpectra(payload :+ 0x00.toByte).isEmpty)
+    assert(Aac.decodeSpectra(payload :+ 0x5A.toByte).isEmpty)
+    // nonzero alignment padding is rejected: flip the payload's last bit
+    // iff END did not land byte-aligned (otherwise appending garbage covers it)
+    val c = payload.clone()
+    c(c.length - 1) = (c(c.length - 1) | 1).toByte
+    if (!java.util.Arrays.equals(c, payload))
+      assert(Aac.decodeSpectra(c).isEmpty, "nonzero align padding accepted")
+  }
+
+  test("aac parseAacBooksSpec: typo'd top-level directive throws; sfbook content still skipped (r14 ADVICE)") {
+    import graft.multimodal.Aac
+    // a typo'd directive must throw, not silently yield a partial map
+    intercept[IllegalArgumentException](
+      Aac.parseAacBooksSpec("bok 11 dim 2 signed 0 escape 1\n0 0 0"))
+    intercept[IllegalArgumentException](
+      Aac.parseAacBooksSpec("book 5 dim 2 signed 1 escape 0\n0 0 0\nbands-typo 0 4 8"))
+    // sfbook section content is still the other parser's domain: skipped
+    val m = Aac.parseAacBooksSpec(
+      "sfbook\n0 60\n10 59\nbook 5 dim 2 signed 1 escape 0\n0 0 0\n100 1 1\nbands 0 4 8")
+    assert(m.keySet == Set(5) && m(5).codes.size == 2)
+    // bands is a single-line directive: junk after it is top-level -> throw
+    intercept[IllegalArgumentException](
+      Aac.parseAacBooksSpec("bands 0 4 8\njunk line here"))
+  }
+
+  test("mp3 stream decode rejects a granule walk overrunning its own slot region (r14 ADVICE)") {
+    import graft.multimodal.Mp3
+    // 32 kbps frames: flen = 104, slot region = 68 bytes per frame. Frame
+    // 0 carries main data LONGER than its own region (spilling forward
+    // into frame 1's region — data from the FUTURE, which §2.4.2.3
+    // forbids); frame 1 is a zero-bit frame (sfc 0, big_values 0,
+    // part2_3 0) that decodes reading nothing, so pre-check the stream
+    // would have "decoded" cleanly — a misparse, not a crash.
+    val (si, sfs, sp) = mp3FrameSpec(6L)
+    val (side0, main0) = Mp3.encodeFrameParts(si.copy(mainDataBegin = 0), 2, sfs, sp)
+    assert(main0.length > 68 && main0.length <= 136,
+      s"fixture needs 68 < main (${main0.length}) <= 136 to spill exactly one frame")
+    val zeroGi = Mp3.GranuleInfo(0, 0, 0, 0, windowSwitching = false,
+      blockType = 0, mixedBlock = false, Seq(0, 0, 0), Nil, 0, 0, 0, 0, 0)
+    val si1 = Mp3.SideInfo(0, 0, Seq.fill(2)(Seq.fill(4)(0)),
+      Seq.fill(2)(Seq.fill(2)(zeroGi)))
+    val (side1, main1) = Mp3.encodeFrameParts(si1, 2,
+      Seq.fill(2)(Seq.fill(2)(Array.fill(21)(0))),
+      Seq.fill(2)(Seq.fill(2)(Array.empty[Int])))
+    assert(main1.isEmpty)
+    val slots = java.util.Arrays.copyOf(main0, 136)
+    val data = side0 ++ slots.slice(0, 68) ++ side1 ++ slots.slice(68, 136)
+    val stream = Mp3.parseMp3(Mp3.encodeMp3(2, 1, 0, data)).get
+    assert(Mp3.decodeSpectraStream(stream, 0).isEmpty,
+      "frame 0's walk past its own slot region must reject")
+    // control: the same frame at a bitrate whose region holds it decodes
+    val big = Mp3.encodeMp3(1, 9, 0, java.util.Arrays.copyOf(side0 ++ main0, 413))
+    assert(Mp3.decodeSpectraStream(Mp3.parseMp3(big).get, 0).isDefined)
+  }
+
   test("aac loaders: sfbook and bands specs round-trip; malformed specs throw") {
     import graft.multimodal.Aac
     val sfb = Aac.parseAacSfBookSpec("sfbook\n0 60\n10 59\n11 61")
