@@ -347,7 +347,10 @@ object Aac {
   } catch { case _: Exception => None }
 
   /** 2048-point IMDCT of a 1024-line spectrum (§14.3, N = 2048,
-    * n₀ = (N/2+1)/2): x(n) = (2/N)·Σₖ X(k)·cos(2π/N·(n+n₀)(k+½)). */
+    * n₀ = (N/2+1)/2): x(n) = (2/N)·Σₖ X(k)·cos(2π/N·(n+n₀)(k+½)).
+    * This is the DIRECT O(N²) sum — kept as the from-the-spec reference
+    * the unit suite compares [[Dsp.imdct2048Full]] against; the decode
+    * paths use the FFT factorization (round 15, r14 VERDICT #4). */
   private[graft] def imdct2048(x: Array[Double], n: Int): Double = {
     var s = 0.0
     var k = 0
@@ -373,7 +376,8 @@ object Aac {
                 sfBook: SfBook = fixtureSfBook,
                 bands: Array[Int] = fixtureBandsLong): Option[Array[Double]] = {
     decodeSpectra(payload, books, sfBook, bands).map { ch =>
-      Array.tabulate(1024)(n => sineWindow(n) * imdct2048(ch.xr, n))
+      val x = Dsp.imdct2048Full(ch.xr)
+      Array.tabulate(1024)(n => sineWindow(n) * x(n))
     }
   }
 
@@ -392,7 +396,7 @@ object Aac {
     stream.frames.foreach { fr =>
       val ch = decodeSpectra(fr.payload, books, sfBook, bands)
         .getOrElse(throw new IllegalArgumentException("undecodable frame"))
-      val x = Array.tabulate(2048)(n => imdct2048(ch.xr, n))
+      val x = Dsp.imdct2048Full(ch.xr)
       var n = 0
       while (n < 1024) {
         val tail = if (prev == null) 0.0

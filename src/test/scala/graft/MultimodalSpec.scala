@@ -1675,6 +1675,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(Aac.imdct2048(xr2, 77) - 2.0 * Aac.imdct2048(xr, 77)) < 1e-12)
   }
 
+  test("aac FFT-factored IMDCT == direct spec sum at <=1e-9 (sparse, dense, impulse, empty)") {
+    import graft.multimodal.{Aac, Dsp}
+    val rnd = new scala.util.Random(19)
+    val spectra = Seq(
+      Array.fill(1024)(if (rnd.nextInt(4) == 0) rnd.nextGaussian() * 100 else 0.0),
+      Array.fill(1024)(rnd.nextGaussian()),                 // dense
+      Array.tabulate(1024)(k => if (k == 0) 1.0 else 0.0),  // DC impulse
+      Array.tabulate(1024)(k => if (k == 1023) -3.5 else 0.0),
+      new Array[Double](1024))                              // silence
+    for (xr <- spectra) {
+      val fast = Dsp.imdct2048Full(xr)
+      assert(fast.length == 2048)
+      val scale = 1.0 + xr.map(math.abs).max
+      var worst = 0.0
+      for (n <- 0 until 2048) {
+        val d = math.abs(fast(n) - Aac.imdct2048(xr, n)) / scale
+        if (d > worst) worst = d
+      }
+      assert(worst <= 1e-9, s"FFT IMDCT diverges from the direct sum: $worst")
+    }
+  }
+
   test("aac decodePcm: deterministic, 1024 samples, mutation fuzz never crashes") {
     import graft.multimodal.Aac
     val (payload, _, _, _) = aacFixtureSce(5L)
