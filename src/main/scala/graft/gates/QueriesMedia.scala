@@ -512,6 +512,51 @@ private[graft] trait QueriesMedia { this: Queries.type =>
     })
   }
 
+  /** Hand-assembled stereo CPE frames (round 15, r14 VERDICT #1): two
+    * channel streams under common_window with the MS mask cycling
+    * id % 3 ∈ {off, per-band, all-bands}. Closed-form per (id, ch, i):
+    *   max_sfb = 6 + id%3;  gg(ch) = 96 + (id + 5·ch)%8
+    *   sectCb(ch)(s) = 0 if (id+s+ch)%3 = 0 else 12
+    *   sf(ch)(s) = gg(ch) + (id + 3s + 2·ch)%9 − 4   (coded bands)
+    *   q(ch)(i)  = ±((id+i+7·ch)%3), negative iff (id+i+ch)%5 < 2
+    *   ms_used(s) = (id+s)%2 = 0                     (mask 1 only)
+    * so the transmitted integers AND the post-MS dequantized spectra
+    * are closed-form for the oracle. */
+  private[graft] def aacCpeAssets(spark: SparkSession, dir: String, nIds: Int) = {
+    import spark.implicits._
+    val src = docsTbl(spark, dir).where(col("doc_id") < nIds)
+      .select(col("doc_id")).as[Long]
+    src.mapPartitions(_.map { id =>
+      val maxSfb = (6 + id % 3).toInt
+      val mask = (id % 3).toInt
+      val gg = Array.tabulate(2)(c => (96 + (id + 5 * c) % 8).toInt)
+      val sectCb = Array.tabulate(2, maxSfb)((c, s) =>
+        if ((id + s + c) % 3 == 0) 0 else 12)
+      val sf = Array.tabulate(2, maxSfb)((c, s) =>
+        if (sectCb(c)(s) == 0) 0 else gg(c) + ((id + 3 * s + 2 * c) % 9).toInt - 4)
+      val quant = Array.tabulate(2, 1024) { (c, i) =>
+        val s = i / 32
+        if (s >= maxSfb || sectCb(c)(s) == 0) 0
+        else {
+          val mag = ((id + i + 7 * c) % 3).toInt
+          if (mag != 0 && (id + i + c) % 5 < 2) -mag else mag
+        }
+      }
+      val msUsed = Array.tabulate(maxSfb)(s => (id + s) % 2 == 0)
+      val payload = graft.multimodal.Aac.encodeCpe(gg.toSeq,
+        Seq(maxSfb, maxSfb), sectCb.map(_.toArray).toSeq,
+        sf.map(_.toArray).toSeq, quant.map(_.toArray).toSeq,
+        commonWindow = true, msMaskPresent = mask,
+        msUsed = if (mask == 1) msUsed else Array.empty)
+      graft.multimodal.Multimodal.Asset(id, "audio",
+        graft.multimodal.Aac.encodeFrame(1, 4, 2, payload), 0, 0)
+    })
+  }
+
+  private[graft] def multimodalAacCpe(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.aacCpePcm(aacCpeAssets(spark, dir, 6))
+      .toDF().orderBy(col("id"), col("channel"))
+
   private[graft] def multimodalAacSpectra(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.Multimodal.aacSpectra(aacSceAssets(spark, dir, 50))
       .toDF().orderBy(col("id"))

@@ -140,9 +140,13 @@ object Aac {
   // are ARGUMENTS with documented formula fixtures for the same
   // reason. The decode LOGIC (element walk, sections, DPCM, tuple/sign/
   // escape walks, 1024-sample layout, dequantization, filterbank) is
-  // complete and golden-pinned with the fixtures; §8.3's CPE/LFE/DSE/
-  // PCE/FIL elements, short windows, KBD shape, pulse/TNS/PNS/intensity
-  // are the documented seam (strict reject, never a misparse).
+  // complete and golden-pinned with the fixtures. Round 15: CPE
+  // (stereo channel pairs with common_window and the §12.2 MS matrix)
+  // decodes through the same ICS walk — the element real corpora are
+  // overwhelmingly made of; §8.3's LFE/DSE/PCE/FIL elements, short
+  // windows (EIGHT_SHORT_SEQUENCE — see SURVEY §2.7's corpus-impact
+  // note), KBD shape, pulse/TNS/PNS/intensity are the documented seam
+  // (strict reject, never a misparse).
   // -------------------------------------------------------------------
 
   private final class BitReader(bytes: Array[Byte]) {
@@ -239,29 +243,30 @@ object Aac {
     throw new IllegalArgumentException(s"unmatched $what code '${sb.toString}'")
   }
 
-  /** Decode one SCE raw_data_block (the [[AdtsFrame.payload]] bytes) to
-    * quantized + dequantized spectra. Strict → None on every seam listed
-    * in the provenance note: non-SCE leading element, short/KBD windows,
-    * predictor/pulse/TNS/gain-control data, noise/intensity or unloaded
-    * codebooks, section overruns, scalefactors outside 0..255, a
-    * Huffman walk past the payload, or a missing END element. */
-  def decodeSpectra(payload: Array[Byte],
-                    books: Map[Int, AacBook] = fixtureBooks,
-                    sfBook: SfBook = fixtureSfBook,
-                    bands: Array[Int] = fixtureBandsLong): Option[AacChannel] = try {
+  private def checkBands(bands: Array[Int]): Unit =
     require(bands.length >= 2 && bands.head == 0 && bands.last <= 1024 &&
       bands.sliding(2).forall(w => w(0) < w(1)), "malformed band map")
-    val r = new BitReader(payload)
-    require(r.read(3) == 0, "leading element is not SCE") // §6.3 id_syn_ele
-    r.read(4) // element_instance_tag
-    val globalGain = r.read(8)
-    // ics_info (§8.3.2)
+
+  /** ics_info (§8.3.2) for the supported scope: long sine windows, no
+    * predictor. Returns max_sfb; throws on every seam. */
+  private def readIcsInfo(r: BitReader, bands: Array[Int]): Int = {
     require(r.read(1) == 0, "ics_reserved_bit set")
     require(r.read(2) == 0, "window_sequence: only ONLY_LONG_SEQUENCE in scope")
     require(r.read(1) == 0, "window_shape: KBD out of scope (sine only)")
     val maxSfb = r.read(6)
     require(maxSfb <= bands.length - 1, s"max_sfb $maxSfb exceeds band map")
     require(r.read(1) == 0, "predictor_data_present out of scope")
+    maxSfb
+  }
+
+  /** The body of one individual_channel_stream AFTER global_gain and
+    * ics_info: section data, DPCM scalefactors, the pulse/tns/gain
+    * zero-flags, the spectral tuple walk, dequantization — shared by
+    * the SCE and CPE walks (round 15: CPE). Throws on every strict
+    * seam; callers convert to None. */
+  private def readIcsBody(r: BitReader, globalGain: Int, maxSfb: Int,
+                          books: Map[Int, AacBook], sfBook: SfBook,
+                          bands: Array[Int]): AacChannel = {
     // section_data (§8.3.2: sect_bits = 5 for long windows, escape 31)
     val sectCb = new Array[Int](maxSfb)
     var k = 0
@@ -322,15 +327,6 @@ object Aac {
         i += book.dim
       }
     }
-    require(r.read(3) == 7, "expected END after the single SCE")
-    // only the byte-align padding is legitimate after END (§6.2's
-    // adts_raw_data_block_error_check aside, which this scope rejects at
-    // the transport layer): arbitrary trailing bytes would be silently
-    // accepted garbage — the H264 I_PCM trailing-byte discipline (r14
-    // ADVICE #4)
-    require(r.bitsLeft < 8, s"${r.bitsLeft} trailing bits after END")
-    while (r.bitsLeft > 0)
-      require(r.read(1) == 0, "nonzero byte-align padding after END")
     // dequantization (§10.3): per-band exponent, SF_OFFSET = 100
     val xr = new Array[Double](1024)
     for (s <- 0 until maxSfb if sectCb(s) != 0) {
@@ -343,7 +339,101 @@ object Aac {
         i += 1
       }
     }
-    Some(AacChannel(globalGain, maxSfb, sectCb, sf, quant, xr))
+    AacChannel(globalGain, maxSfb, sectCb, sf, quant, xr)
+  }
+
+  /** END element + byte-align strictness shared by the SCE/CPE walks:
+    * only zero byte-align padding is legitimate after END (§6.2's
+    * adts_raw_data_block_error_check aside, which this scope rejects at
+    * the transport layer) — arbitrary trailing bytes would be silently
+    * accepted garbage, the H264 I_PCM trailing-byte discipline (r14
+    * ADVICE #4). */
+  private def readEnd(r: BitReader, what: String): Unit = {
+    require(r.read(3) == 7, s"expected END after $what")
+    require(r.bitsLeft < 8, s"${r.bitsLeft} trailing bits after END")
+    while (r.bitsLeft > 0)
+      require(r.read(1) == 0, "nonzero byte-align padding after END")
+  }
+
+  /** Decode one SCE raw_data_block (the [[AdtsFrame.payload]] bytes) to
+    * quantized + dequantized spectra. Strict → None on every seam listed
+    * in the provenance note: non-SCE leading element, short/KBD windows,
+    * predictor/pulse/TNS/gain-control data, noise/intensity or unloaded
+    * codebooks, section overruns, scalefactors outside 0..255, a
+    * Huffman walk past the payload, or a missing END element. */
+  def decodeSpectra(payload: Array[Byte],
+                    books: Map[Int, AacBook] = fixtureBooks,
+                    sfBook: SfBook = fixtureSfBook,
+                    bands: Array[Int] = fixtureBandsLong): Option[AacChannel] = try {
+    checkBands(bands)
+    val r = new BitReader(payload)
+    require(r.read(3) == 0, "leading element is not SCE") // §6.3 id_syn_ele
+    r.read(4) // element_instance_tag
+    val globalGain = r.read(8)
+    val maxSfb = readIcsInfo(r, bands)
+    val ch = readIcsBody(r, globalGain, maxSfb, books, sfBook, bands)
+    readEnd(r, "the single SCE")
+    Some(ch)
+  } catch { case _: Exception => None }
+
+  /** One decoded CPE (stereo channel_pair_element, §6.3 / §8.3.2 —
+    * round 15, r14 VERDICT #1): the per-channel streams plus the
+    * common_window/MS-mask header and the POST-MS spectra `xrMs` the
+    * filterbank consumes (§12.2: for each ms_used band, l = m + s,
+    * r = m − s over the dequantized spectra — AAC's matrix is the plain
+    * sum/difference; the ½ lives on the encoder side). */
+  final case class AacCpePair(commonWindow: Boolean, msMaskPresent: Int,
+                              msUsed: Array[Boolean],
+                              left: AacChannel, right: AacChannel,
+                              xrMs: Array[Array[Double]])
+
+  /** Decode one CPE raw_data_block to two channels' spectra (with MS
+    * reconstruction applied). Scope: the SCE walk's long-sine-window
+    * discipline per channel; common_window 0 (independent ics_infos)
+    * and 1 (shared ics_info + ms_mask_present 0/1/2) both decode;
+    * ms_mask_present 3 is reserved → strict reject. Strict → None on
+    * everything [[decodeSpectra]] rejects per channel. */
+  def decodeCpe(payload: Array[Byte],
+                books: Map[Int, AacBook] = fixtureBooks,
+                sfBook: SfBook = fixtureSfBook,
+                bands: Array[Int] = fixtureBandsLong): Option[AacCpePair] = try {
+    checkBands(bands)
+    val r = new BitReader(payload)
+    require(r.read(3) == 1, "leading element is not CPE") // §6.3 id_syn_ele
+    r.read(4) // element_instance_tag
+    val commonWindow = r.read(1) == 1
+    var sharedMaxSfb = -1
+    var msMaskPresent = 0
+    var msUsed: Array[Boolean] = Array.empty
+    if (commonWindow) {
+      sharedMaxSfb = readIcsInfo(r, bands)
+      msMaskPresent = r.read(2)
+      require(msMaskPresent != 3, "ms_mask_present 3 is reserved")
+      // one window group under ONLY_LONG_SEQUENCE: max_sfb mask bits
+      msUsed =
+        if (msMaskPresent == 1) Array.fill(sharedMaxSfb)(r.read(1) == 1)
+        else Array.fill(sharedMaxSfb)(msMaskPresent == 2)
+    }
+    def channel(): AacChannel = {
+      val gg = r.read(8)
+      val maxSfb = if (commonWindow) sharedMaxSfb else readIcsInfo(r, bands)
+      readIcsBody(r, gg, maxSfb, books, sfBook, bands)
+    }
+    val left = channel()
+    val right = channel()
+    readEnd(r, "the CPE")
+    val xl = left.xr.clone()
+    val xr2 = right.xr.clone()
+    if (commonWindow) for (s <- 0 until sharedMaxSfb if msUsed(s)) {
+      var i = bands(s)
+      while (i < bands(s + 1)) {
+        val m = xl(i); val sd = xr2(i)
+        xl(i) = m + sd; xr2(i) = m - sd
+        i += 1
+      }
+    }
+    Some(AacCpePair(commonWindow, msMaskPresent, msUsed, left, right,
+      Array(xl, xr2)))
   } catch { case _: Exception => None }
 
   /** 2048-point IMDCT of a 1024-line spectrum (§14.3, N = 2048,
@@ -409,6 +499,50 @@ object Aac {
     Some(out.toArray)
   } catch { case _: Exception => None }
 
+  /** Stereo CPE decode to PCM (round 15): [[decodeCpe]]'s post-MS
+    * spectra per channel through the same IMDCT → sine window →
+    * fresh-state overlap as [[decodePcm]]. Returns 2 × 1024 samples. */
+  def decodeCpePcm(payload: Array[Byte],
+                   books: Map[Int, AacBook] = fixtureBooks,
+                   sfBook: SfBook = fixtureSfBook,
+                   bands: Array[Int] = fixtureBandsLong): Option[Seq[Array[Double]]] = {
+    decodeCpe(payload, books, sfBook, bands).map(_.xrMs.toSeq.map { xr =>
+      val x = Dsp.imdct2048Full(xr)
+      Array.tabulate(1024)(n => sineWindow(n) * x(n))
+    })
+  }
+
+  /** Stereo STREAM decode to PCM with per-channel threaded overlap-add
+    * (the CPE analog of [[decodePcmStream]]): every ADTS frame's CPE
+    * through [[decodeCpe]], each channel's windowed second half carrying
+    * into its next frame (zero only at stream start). Returns 2 arrays
+    * of 1024·nFrames samples. */
+  def decodeCpePcmStream(stream: AacStream,
+                         books: Map[Int, AacBook] = fixtureBooks,
+                         sfBook: SfBook = fixtureSfBook,
+                         bands: Array[Int] = fixtureBandsLong): Option[Seq[Array[Double]]] = try {
+    val out = Array.fill(2)(new ArrayBuffer[Double](stream.frames.size * 1024))
+    var prev: Array[Array[Double]] = null // per channel, full 2048-point IMDCT
+    stream.frames.foreach { fr =>
+      val pair = decodeCpe(fr.payload, books, sfBook, bands)
+        .getOrElse(throw new IllegalArgumentException("undecodable CPE frame"))
+      val xs = Array.tabulate(2)(c => Dsp.imdct2048Full(pair.xrMs(c)))
+      var c = 0
+      while (c < 2) {
+        var n = 0
+        while (n < 1024) {
+          val tail = if (prev == null) 0.0
+            else sineWindow(n + 1024) * prev(c)(n + 1024)
+          out(c) += sineWindow(n) * xs(c)(n) + tail
+          n += 1
+        }
+        c += 1
+      }
+      prev = xs
+    }
+    Some(out.toSeq.map(_.toArray))
+  } catch { case _: Exception => None }
+
   /** Fixture/gate encoder: one SCE raw_data_block from per-sfb codebook
     * ids, scalefactors and quantized integers — the exact bit layout
     * [[decodeSpectra]] walks, greedy run-length sections, DPCM
@@ -420,9 +554,6 @@ object Aac {
                 books: Map[Int, AacBook] = fixtureBooks,
                 sfBook: SfBook = fixtureSfBook,
                 bands: Array[Int] = fixtureBandsLong): Array[Byte] = {
-    require(sectCb.length == maxSfb && sf.length == maxSfb)
-    require(globalGain >= 0 && globalGain < 256 && maxSfb < 64 &&
-      maxSfb <= bands.length - 1)
     val bits = new ArrayBuffer[(Int, Int)] // (value, width) — checked below
     def w(v: Int, n: Int): Unit = {
       require(v >= 0 && v < (1 << n), s"field value $v does not fit in $n bits")
@@ -431,9 +562,77 @@ object Aac {
     w(0, 3) // SCE
     w(0, 4) // element_instance_tag
     w(globalGain, 8)
+    emitIcsInfo(w, maxSfb, bands)
+    emitIcsBody(w, globalGain, maxSfb, sectCb, sf, quant, books, sfBook, bands)
+    w(7, 3) // END
+    packBits(bits)
+  }
+
+  /** Fixture/gate encoder for a stereo CPE raw_data_block (round 15 —
+    * [[decodeCpe]]'s exact bit layout): channel-pair header with
+    * common_window and the §8.3.2 MS mask (`msMaskPresent` 0/1/2; 1
+    * requires a per-sfb `msUsed`), then both channels' streams, END,
+    * zero byte-align. Per-channel params are 2-element Seqs; under
+    * common_window the max_sfbs must agree. NOTE the encoder codes the
+    * TRANSMITTED (mid/side) spectra — the decoder's output is post-MS. */
+  def encodeCpe(globalGain: Seq[Int], maxSfb: Seq[Int],
+                sectCb: Seq[Array[Int]], sf: Seq[Array[Int]],
+                quant: Seq[Array[Int]],
+                commonWindow: Boolean = true, msMaskPresent: Int = 0,
+                msUsed: Array[Boolean] = Array.empty,
+                books: Map[Int, AacBook] = fixtureBooks,
+                sfBook: SfBook = fixtureSfBook,
+                bands: Array[Int] = fixtureBandsLong): Array[Byte] = {
+    require(globalGain.length == 2 && maxSfb.length == 2 &&
+      sectCb.length == 2 && sf.length == 2 && quant.length == 2,
+      "CPE takes exactly two channels")
+    require(!commonWindow || maxSfb(0) == maxSfb(1),
+      "common_window requires equal max_sfb")
+    require(msMaskPresent >= 0 && msMaskPresent <= 2, "ms_mask_present 3 is reserved")
+    require(commonWindow || msMaskPresent == 0,
+      "the MS mask exists only under common_window")
+    require(msMaskPresent != 1 || msUsed.length == maxSfb(0),
+      s"ms_used needs ${maxSfb(0)} per-sfb bits")
+    val bits = new ArrayBuffer[(Int, Int)]
+    def w(v: Int, n: Int): Unit = {
+      require(v >= 0 && v < (1 << n), s"field value $v does not fit in $n bits")
+      bits += ((v, n))
+    }
+    w(1, 3) // CPE
+    w(0, 4) // element_instance_tag
+    w(if (commonWindow) 1 else 0, 1)
+    if (commonWindow) {
+      emitIcsInfo(w, maxSfb(0), bands)
+      w(msMaskPresent, 2)
+      if (msMaskPresent == 1) msUsed.foreach(b => w(if (b) 1 else 0, 1))
+    }
+    for (c <- 0 until 2) {
+      w(globalGain(c), 8)
+      if (!commonWindow) emitIcsInfo(w, maxSfb(c), bands)
+      emitIcsBody(w, globalGain(c), maxSfb(c), sectCb(c), sf(c), quant(c),
+        books, sfBook, bands)
+    }
+    w(7, 3) // END
+    packBits(bits)
+  }
+
+  private def emitIcsInfo(w: (Int, Int) => Unit, maxSfb: Int,
+                          bands: Array[Int]): Unit = {
+    require(maxSfb >= 0 && maxSfb < 64 && maxSfb <= bands.length - 1)
     w(0, 1); w(0, 2); w(0, 1) // ics_reserved, ONLY_LONG, sine shape
     w(maxSfb, 6)
     w(0, 1) // predictor_data_present
+  }
+
+  /** Sections + scalefactors + zero pulse/tns/gain flags + spectra for
+    * one channel stream (the [[readIcsBody]] layout, shared by
+    * [[encodeSce]]/[[encodeCpe]]). */
+  private def emitIcsBody(w: (Int, Int) => Unit, globalGain: Int, maxSfb: Int,
+                          sectCb: Array[Int], sf: Array[Int], quant: Array[Int],
+                          books: Map[Int, AacBook], sfBook: SfBook,
+                          bands: Array[Int]): Unit = {
+    require(sectCb.length == maxSfb && sf.length == maxSfb)
+    require(globalGain >= 0 && globalGain < 256)
     // greedy sections
     var k = 0
     while (k < maxSfb) {
@@ -489,8 +688,10 @@ object Aac {
         i += book.dim
       }
     }
-    w(7, 3) // END
-    // pack MSB-first, zero-pad to a byte boundary
+  }
+
+  /** Pack MSB-first, zero-pad to a byte boundary. */
+  private def packBits(bits: ArrayBuffer[(Int, Int)]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     var acc = 0; var nacc = 0
     bits.foreach { case (v, n) =>

@@ -592,6 +592,52 @@ object Multimodal {
     })
   }
 
+  final case class AacCpeRow(id: Long, channel: Int, ms_mask: Int,
+                             n_nonzero_q: Int, sum_q: Long, wsum_q: Long,
+                             n_samples: Int, n_clipped: Int, n_nonzero: Int,
+                             sum_pcm: Long, abs_pcm: Long, wsum_pcm: Long)
+
+  /** STEREO AAC-LC decode to PCM (round 15, r14 VERDICT #1 — the
+    * element real corpora are made of): each asset's first ADTS frame
+    * through [[Aac.decodeCpe]] (channel-pair walk, common_window, the
+    * §12.2 MS matrix), then each channel's post-MS spectrum through the
+    * IMDCT → sine window → fresh-state overlap. One row per channel:
+    * the TRANSMITTED integers' checksums (pre-MS — pins the Huffman/
+    * DPCM layer per channel) plus the [[mp3Pcm]]-style aggregates over
+    * the 1024 16-bit samples (post-MS — pins the stereo matrix and the
+    * whole filterbank). */
+  def aacCpePcm(assets: Dataset[Asset],
+                books: Map[Int, Aac.AacBook] = Aac.fixtureBooks,
+                sfBook: Aac.SfBook = Aac.fixtureSfBook,
+                bands: Array[Int] = Aac.fixtureBandsLong): Dataset[AacCpeRow] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      val s = Aac.parse(a.bytes)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: not a supported ADTS stream"))
+      val pair = Aac.decodeCpe(s.frames.head.payload, books, sfBook, bands)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: undecodable AAC-LC CPE"))
+      Iterator.range(0, 2).map { c =>
+        val ch = if (c == 0) pair.left else pair.right
+        val x = Dsp.imdct2048Full(pair.xrMs(c))
+        val q = Array.tabulate(1024)(n => Mp3.pcm16(Aac.sineWindow(n) * x(n)))
+        AacCpeRow(a.id, c, pair.msMaskPresent,
+          ch.quant.count(_ != 0),
+          ch.quant.foldLeft(0L)(_ + _),
+          ch.quant.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+            acc + v.toLong * (i + 1) },
+          q.length,
+          q.count(v => v == 32767 || v == -32768),
+          q.count(_ != 0),
+          q.foldLeft(0L)(_ + _),
+          q.foldLeft(0L)((acc, v) => acc + math.abs(v)),
+          q.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+            acc + v.toLong * (i + 1) })
+      }
+    })
+  }
+
   final case class WavChannelStats(id: Long, channel: Int, n_samples: Int,
                                    sum_amp: Long, mean_amp: Double)
 

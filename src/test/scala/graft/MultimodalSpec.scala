@@ -1598,6 +1598,113 @@ class MultimodalSpec extends AnyFunSuite {
     (Aac.encodeSce(gg, maxSfb, sectCb, sf, quant), sectCb, sf, quant)
   }
 
+  /** Stereo CPE fixture: per-channel formula streams (sf/quant offset by
+    * channel), shared max_sfb, ms mask by seed parity when present. */
+  private def aacFixtureCpe(seed: Long, msMaskPresent: Int,
+                            commonWindow: Boolean = true):
+      (Array[Byte], Array[Array[Int]], Array[Array[Int]], Array[Array[Int]], Array[Boolean]) = {
+    import graft.multimodal.Aac
+    val maxSfb = (8 + seed % 4).toInt
+    val gg = Array.tabulate(2)(c => (96 + (seed + 5 * c) % 8).toInt)
+    val sectCb = Array.tabulate(2, maxSfb)((c, s) =>
+      if ((seed + s + c) % 3 == 0) 0 else 12)
+    val sf = Array.tabulate(2, maxSfb)((c, s) =>
+      if (sectCb(c)(s) == 0) 0 else gg(c) + ((seed + 3 * s + 2 * c) % 9).toInt - 4)
+    val quant = Array.tabulate(2, 1024) { (c, i) =>
+      val s = i / 32
+      if (s >= maxSfb || sectCb(c)(s) == 0) 0
+      else {
+        val mag = ((seed + i + 7 * c) % 3).toInt
+        if (mag != 0 && (seed + i + c) % 5 < 2) -mag else mag
+      }
+    }
+    val msUsed = Array.tabulate(maxSfb)(s => (seed + s) % 2 == 0)
+    val payload = Aac.encodeCpe(gg.toSeq, Seq(maxSfb, maxSfb),
+      sectCb.toSeq, sf.toSeq, quant.toSeq,
+      commonWindow = commonWindow, msMaskPresent = msMaskPresent,
+      msUsed = if (msMaskPresent == 1) msUsed else Array.empty)
+    (payload, sectCb.map(_.toArray), sf.map(_.toArray), quant.map(_.toArray), msUsed)
+  }
+
+  test("aac CPE: encode -> decode round-trips both channels; MS mask 0/1/2 reconstructs per band") {
+    import graft.multimodal.Aac
+    for (seed <- 0L to 5L; mask <- 0 to 2) {
+      val (payload, sectCb, sf, quant, msUsed) = aacFixtureCpe(seed, mask)
+      val p = Aac.decodeCpe(payload).getOrElse(fail(s"seed $seed mask $mask: no decode"))
+      assert(p.commonWindow && p.msMaskPresent == mask)
+      for (c <- 0 until 2) {
+        val ch = if (c == 0) p.left else p.right
+        assert(ch.sectCb.sameElements(sectCb(c)), s"sections ch$c seed $seed")
+        assert(ch.sf.sameElements(sf(c)), s"scalefactors ch$c seed $seed")
+        assert(ch.quant.sameElements(quant(c)), s"integers ch$c seed $seed")
+      }
+      // §12.2 per-band MS: l = m + s, r = m − s where the mask is on
+      val maxSfb = sectCb(0).length
+      for (s <- 0 until maxSfb; i <- s * 32 until (s + 1) * 32) {
+        val on = mask == 2 || (mask == 1 && msUsed(s))
+        val (wl, wr) =
+          if (on) (p.left.xr(i) + p.right.xr(i), p.left.xr(i) - p.right.xr(i))
+          else (p.left.xr(i), p.right.xr(i))
+        assert(p.xrMs(0)(i) == wl && p.xrMs(1)(i) == wr,
+          s"MS mismatch seed $seed mask $mask sfb $s i $i")
+      }
+    }
+  }
+
+  test("aac CPE: common_window = 0 carries two independent ics_infos, no MS") {
+    import graft.multimodal.Aac
+    val (payload, _, _, quant, _) = aacFixtureCpe(3L, 0, commonWindow = false)
+    val p = Aac.decodeCpe(payload).get
+    assert(!p.commonWindow && p.msMaskPresent == 0)
+    assert(p.left.quant.sameElements(quant(0)) && p.right.quant.sameElements(quant(1)))
+    assert(p.xrMs(0).sameElements(p.left.xr) && p.xrMs(1).sameElements(p.right.xr))
+  }
+
+  test("aac CPE strict rejects: element-id cross-talk, reserved ms_mask 3, trailing bytes, mutation fuzz") {
+    import graft.multimodal.Aac
+    val (cpe, _, _, _, _) = aacFixtureCpe(1L, 1)
+    val (sce, _, _, _) = aacFixtureSce(1L)
+    assert(Aac.decodeCpe(sce).isEmpty, "SCE payload accepted as CPE")
+    assert(Aac.decodeSpectra(cpe).isEmpty, "CPE payload accepted as SCE")
+    // ms_mask_present sits at bits 19..20 (id 3 + tag 4 + cw 1 + ics_info 11);
+    // setting bit 19 turns mask 01 into the reserved 11
+    val c = cpe.clone()
+    c(19 >> 3) = (c(19 >> 3) | (1 << (7 - (19 & 7)))).toByte
+    assert(Aac.decodeCpe(c).isEmpty, "reserved ms_mask_present 3 accepted")
+    assert(Aac.decodeCpe(cpe :+ 0x40.toByte).isEmpty, "trailing byte accepted")
+    val rnd = new scala.util.Random(23)
+    for (_ <- 0 until 200) {
+      val m = cpe.clone()
+      val bit = rnd.nextInt(m.length * 8)
+      m(bit >> 3) = (m(bit >> 3) ^ (1 << (7 - (bit & 7)))).toByte
+      Aac.decodeCpe(m) // Option contract: None or a decode, never a throw
+    }
+  }
+
+  test("aac CPE PCM: one frame == stream head; per-channel threaded overlap rings into a silent frame") {
+    import graft.multimodal.Aac
+    val (payload, _, _, _, _) = aacFixtureCpe(2L, 2)
+    val pcm = Aac.decodeCpePcm(payload).get
+    assert(pcm.length == 2 && pcm.forall(_.length == 1024))
+    assert(pcm(0).exists(_ != 0.0) && pcm(1).exists(_ != 0.0))
+    assert(!pcm(0).sameElements(pcm(1)), "stereo channels collapsed")
+    val one = Aac.parse(Aac.encodeFrame(1, 4, 2, payload)).get
+    val viaStream = Aac.decodeCpePcmStream(one).get
+    for (c <- 0 until 2) assert(viaStream(c).sameElements(pcm(c)))
+    // silent CPE second frame: both channels still ring the first's tail
+    val silent = Aac.encodeCpe(Seq(100, 100), Seq(0, 0),
+      Seq(Array.empty, Array.empty), Seq(Array.empty, Array.empty),
+      Seq(new Array[Int](1024), new Array[Int](1024)))
+    val two = Aac.parse(Aac.encodeFrame(1, 4, 2, payload) ++
+      Aac.encodeFrame(1, 4, 2, silent)).get
+    val out = Aac.decodeCpePcmStream(two).get
+    for (c <- 0 until 2) {
+      assert(out(c).length == 2048)
+      assert(out(c).drop(1024).exists(v => math.abs(v) > 1e-9),
+        s"channel $c tail is silent — overlap did not thread")
+    }
+  }
+
   test("aac decodeSpectra: encode -> decode round-trips sections, DPCM scalefactors and every integer") {
     import graft.multimodal.Aac
     for (seed <- 0L to 7L) {
