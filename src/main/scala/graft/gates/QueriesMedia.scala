@@ -412,6 +412,53 @@ private[graft] trait QueriesMedia { this: Queries.type =>
     })
   }
 
+  /** WINDOW-SWITCHED fixture frames (round 15, r14 VERDICT #2):
+    * granule 0 = block_type 1 (start window, long scalefactor layout),
+    * granule 1 = block_type 2 PURE SHORT (12 bands × 3 windows,
+    * subblock gains, §2.4.3.4.8 reorder, three 12-point IMDCTs per
+    * subband). Closed-form per (id, g, ch) with k = id + 11·g:
+    *   n_big = 2·(20 + k%5); count1 = 4·(4 + k%3)
+    *   is(i): |v| = (k+i)%4 below the FIXED region boundary 36, the
+    *          table-14 escape domain to n_big, (k+i)%2 in count1;
+    *          negative iff (k+i)%5 < 2
+    *   gg = 160 + (5id + 17g + 29ch)%40;  mult by (id+g)%2
+    *   long sf(b) = (id+b)%4;  short sf(b,w) = (id+b+w)%4
+    *   sbg(w) = (id+2w)%4;  preflag = id%2 on granule 0 only */
+  private[graft] def mp3ShortAssets(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val src = docsTbl(spark, dir).where(col("doc_id") < 6)
+      .select(col("doc_id")).as[Long]
+    src.mapPartitions(_.map { id =>
+      graft.multimodal.Multimodal.Asset(id, "audio",
+        Mp3WindowFixture.frame(id,
+          g0 = (1, false, id + 0), g1 = (2, false, id + 11)), 0, 0)
+    })
+  }
+
+  /** MIXED-BLOCK fixture frames (round 15): granule 0 = block_type 2
+    * MIXED (2 long subbands + short bands 3–11; alias butterflies at
+    * the single long boundary), granule 1 = block_type 3 (stop window).
+    * Same closed forms with k = id + 4 + 13·g; preflag = id%2 on the
+    * stop granule only (mixed long bands 0–7 all have pretab 0). */
+  private[graft] def mp3MixedAssets(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val src = docsTbl(spark, dir).where(col("doc_id") < 6)
+      .select(col("doc_id")).as[Long]
+    src.mapPartitions(_.map { id =>
+      graft.multimodal.Multimodal.Asset(id, "audio",
+        Mp3WindowFixture.frame(id,
+          g0 = (2, true, id + 4), g1 = (3, false, id + 17)), 0, 0)
+    })
+  }
+
+  private[graft] def multimodalMp3Short(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.mp3Pcm(mp3ShortAssets(spark, dir))
+      .toDF().orderBy(col("id"), col("channel"))
+
+  private[graft] def multimodalMp3Mixed(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.mp3Pcm(mp3MixedAssets(spark, dir))
+      .toDF().orderBy(col("id"), col("channel"))
+
   /** BIT-RESERVOIR streams for the Layer III stream gate (round 14 —
     * the main_data_begin seam): 3 frames per asset, each frame's
     * spectral/scale-factor formulas the huffman gate's evaluated at
@@ -1061,4 +1108,61 @@ private[graft] trait QueriesMedia { this: Queries.type =>
   private[graft] def multimodalJpeg420(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.Multimodal.jpegRgbFeatures(jpeg420Assets(spark, dir))
       .toDF().orderBy(col("id"))
+}
+
+/** Shared fixture builder for the two window-switched MP3 gates (round
+  * 15): a TOP-LEVEL object so the executor closure captures no trait
+  * state — one 417-byte 44.1 kHz stereo frame whose granules are
+  * (blockType, mixed, k). */
+private[graft] object Mp3WindowFixture extends Serializable {
+  def frame(id: Long, g0: (Int, Boolean, Long),
+            g1: (Int, Boolean, Long)): Array[Byte] = {
+    import graft.multimodal.Mp3
+    val specs = Array(g0, g1)
+    def value(k: Long, nBig: Int)(i: Int): Int = {
+      val mag =
+        if (i < 36) ((k + i) % 4).toInt
+        else if (i < nBig) ((k + i) % 4).toInt match {
+          case 0 => 0; case 1 | 2 => 1; case _ => 15 + ((k + i) % 8).toInt
+        }
+        else ((k + i) % 2).toInt
+      if (mag != 0 && (k + i) % 5 < 2) -mag else mag
+    }
+    def gi(g: Int, ch: Int) = {
+      val (bt, mixed, k) = specs(g)
+      val nBig = 2 * (20 + (k % 5)).toInt
+      Mp3.GranuleInfo(0, nBig / 2,
+        (160 + (5 * id + 17 * g + 29 * ch) % 40).toInt, 9,
+        windowSwitching = true, blockType = bt, mixedBlock = mixed,
+        Seq(4, 14),
+        if (bt == 2) Seq.tabulate(3)(w => ((id + 2 * w) % 4).toInt)
+        else Seq(0, 0, 0),
+        if (bt == 2 && !mixed) 8 else 7, 36,
+        preflag = if (bt == 2) 0 else (id % 2).toInt,
+        scalefacScale = ((id + g) % 2).toInt,
+        count1TableSelect = ((id + g + ch) % 2).toInt)
+    }
+    val si = Mp3.SideInfo(0, (id % 8).toInt, Seq.fill(2)(Seq.fill(4)(0)),
+      Seq.tabulate(2)(g => Seq.tabulate(2)(ch => gi(g, ch))))
+    def sfsFor(g: Int): Array[Int] = {
+      val (bt, mixed, _) = specs(g)
+      if (bt == 2 && !mixed)
+        Array.tabulate(36)(x => ((id + x / 3 + x % 3) % 4).toInt)
+      else if (bt == 2)
+        Array.tabulate(8)(b => ((id + b) % 4).toInt) ++
+          (for (b <- 3 until 12; w <- 0 until 3) yield ((id + b + w) % 4).toInt)
+      else Array.tabulate(21)(b => ((id + b) % 4).toInt)
+    }
+    val sfs: Seq[Seq[Array[Int]]] = Seq.tabulate(2)(g => Seq.fill(2)(sfsFor(g)))
+    val spectra: Seq[Seq[Array[Int]]] = Seq.tabulate(2)(g => Seq.fill(2) {
+      val k = specs(g)._3
+      val nBig = 2 * (20 + (k % 5)).toInt
+      val nC1 = 4 * (4 + (k % 3)).toInt
+      Array.tabulate(nBig + nC1)(value(k, nBig))
+    })
+    val main = Mp3.encodeSpectra(si, 2, sfs, spectra)
+    val flen = 417
+    require(main.length <= flen - 4, s"fixture main data ${main.length} overruns frame")
+    Mp3.encodeMp3(1, 9, 0, java.util.Arrays.copyOf(main, flen - 4))
+  }
 }

@@ -479,6 +479,279 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
         |  list_sum(list_transform(q, x -> abs(x)))::BIGINT AS pcm_abs_sum,
         |  list_sum(list_transform(range(0, 1152), p -> q[p+1] * (p+1)))::BIGINT AS pos_sum
         |FROM pcm ORDER BY id, channel""".stripMargin)),
+    "multimodal_mp3_short" -> Q(multimodalMp3Short, Some(
+      // restates mp3ShortAssets' WINDOW-SWITCHED chain in SQL (round
+      // 15, r14 VERDICT #2): granule 0 block_type 1 (start window, long
+      // requant incl. pretab, full alias reduction), granule 1 PURE
+      // SHORT (per-window subblock-gain requant, the §2.4.3.4.8
+      // t = 18·(j/6)+6w+(j%6) reorder, NO alias stage, three 12-point
+      // IMDCTs overlapped per subband), then the shared overlap-add /
+      // frequency-inversion / synthesis / floor-quantizer tail — every
+      // float op in the Scala loop order, integer aggregates absorbing
+      // the ~1-ulp libm noise exactly like multimodal_mp3_pcm
+      raw"""WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 6),
+           |gs AS (SELECT unnest(range(0, 2)) AS g),
+           |chs AS (SELECT unnest(range(0, 2)) AS ch),
+           |const AS (SELECT
+           |  [0,4,8,12,16,20,24,30,36,44,52,62,74,90,110,134,162,196,238,288,342,418,576] AS bands,
+           |  [0,4,8,12,16,22,30,40,52,66,84,106,136,192] AS bs,
+           |  [0,0,0,0,0,0,0,0,0,0,0,1,1,1,1,2,2,3,3,3,2,0] AS pretab,
+           |  [-0.6,-0.535,-0.33,-0.185,-0.095,-0.041,-0.0142,-0.0037] AS ci),
+           |base AS (
+           |  SELECT id, g, ch, id + 11*g AS k,
+           |         160 + (5*id + 17*g + 29*ch) % 40 AS gg,
+           |         CASE WHEN (id+g)%2 = 0 THEN 0.5 ELSE 1.0 END AS mult,
+           |         CASE WHEN g = 0 THEN id % 2 ELSE 0 END AS preflag
+           |  FROM ids, gs, chs),
+           |spec AS (
+           |  SELECT id, g, ch, gg, mult, preflag,
+           |    list_transform(range(0, 576), i ->
+           |      CASE WHEN i >= 2*(20 + k%5) + 4*(4 + k%3) THEN 0 ELSE
+           |        (CASE WHEN (k+i)%5 < 2 THEN -1 ELSE 1 END) *
+           |        (CASE WHEN i < 36 THEN (k+i)%4
+           |              WHEN i < 2*(20 + k%5) THEN
+           |                CASE (k+i)%4 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 1
+           |                     ELSE 15 + (k+i)%8 END
+           |              ELSE (k+i)%2 END)
+           |      END) AS isv
+           |  FROM base),
+           |smap AS (
+           |  SELECT m.t, m.j, m.w,
+           |         len(list_filter(c.bs, x -> x <= m.j)) - 1 AS s,
+           |         c.bs[len(list_filter(c.bs, x -> x <= m.j))] AS lo,
+           |         c.bs[len(list_filter(c.bs, x -> x <= m.j)) + 1]
+           |           - c.bs[len(list_filter(c.bs, x -> x <= m.j))] AS width
+           |  FROM (SELECT t, 6*(t//18) + (t%6) AS j, (t%18)//6 AS w
+           |        FROM (SELECT unnest(range(0, 576)) AS t)) m, const c),
+           |xrow AS (
+           |  SELECT sp.id, sp.g, sp.ch, m.t,
+           |    CASE WHEN sp.g = 0 THEN
+           |      CASE WHEN sp.isv[m.t+1] = 0 THEN 0.0 ELSE
+           |        sign(sp.isv[m.t+1]) * pow(abs(sp.isv[m.t+1]), 4.0/3.0) *
+           |        pow(2.0, 0.25*(sp.gg - 210) - sp.mult * (
+           |          (CASE WHEN len(list_filter(c.bands, x -> x <= m.t)) - 1 >= 21 THEN 0
+           |                ELSE (sp.id + (len(list_filter(c.bands, x -> x <= m.t)) - 1)) % 4 END)
+           |          + sp.preflag * c.pretab[len(list_filter(c.bands, x -> x <= m.t))]))
+           |      END
+           |    ELSE
+           |      CASE WHEN sp.isv[3*m.lo + m.w*m.width + (m.j - m.lo) + 1] = 0 THEN 0.0 ELSE
+           |        sign(sp.isv[3*m.lo + m.w*m.width + (m.j - m.lo) + 1]) *
+           |        pow(abs(sp.isv[3*m.lo + m.w*m.width + (m.j - m.lo) + 1]), 4.0/3.0) *
+           |        pow(2.0, 0.25*(sp.gg - 210 - 8*((sp.id + 2*m.w) % 4)) -
+           |          sp.mult * (CASE WHEN m.s >= 12 THEN 0 ELSE (sp.id + m.s + m.w) % 4 END))
+           |      END
+           |    END AS v
+           |  FROM spec sp, smap m, const c),
+           |xrl AS (SELECT id, g, ch, list(v ORDER BY t) AS v FROM xrow GROUP BY id, g, ch),
+           |al AS (
+           |  SELECT x.id, x.g, x.ch,
+           |    CASE WHEN x.g = 1 THEN x.v ELSE
+           |      list_transform(range(0, 576), i -> CASE
+           |        WHEN i % 18 >= 10 AND i < 558 THEN
+           |          x.v[i+1] * (1.0/sqrt(1.0 + c.ci[18 - (i%18)]*c.ci[18 - (i%18)])) -
+           |          x.v[i + 36 - 2*(i%18)] * (c.ci[18 - (i%18)]/sqrt(1.0 + c.ci[18 - (i%18)]*c.ci[18 - (i%18)]))
+           |        WHEN i % 18 <= 7 AND i >= 18 THEN
+           |          x.v[i+1] * (1.0/sqrt(1.0 + c.ci[(i%18) + 1]*c.ci[(i%18) + 1])) +
+           |          x.v[i - 2*(i%18)] * (c.ci[(i%18) + 1]/sqrt(1.0 + c.ci[(i%18) + 1]*c.ci[(i%18) + 1]))
+           |        ELSE x.v[i+1] END)
+           |    END AS v
+           |  FROM xrl x, const c),
+           |im AS (
+           |  SELECT a.id, a.ch, a.g, sb.sb,
+           |    CASE WHEN a.g = 0 THEN
+           |      list_transform(range(0, 36), i ->
+           |        list_sum(list_transform(range(0, 18), kk ->
+           |          a.v[18*sb.sb + kk + 1] * cos(pi()/72 * (2*i + 19) * (2*kk + 1))))
+           |        * (CASE WHEN i < 18 THEN sin(pi()/36 * (i + 0.5))
+           |                WHEN i < 24 THEN 1.0
+           |                WHEN i < 30 THEN sin(pi()/12 * (i - 18 + 0.5))
+           |                ELSE 0.0 END))
+           |    ELSE
+           |      list_transform(range(0, 36), i ->
+           |        list_sum(list_transform(range(0, 3), w ->
+           |          CASE WHEN i - 6 - 6*w >= 0 AND i - 6 - 6*w < 12 THEN
+           |            list_sum(list_transform(range(0, 6), kk ->
+           |              a.v[18*sb.sb + 6*w + kk + 1] * cos(pi()/24 * (2*(i - 6 - 6*w) + 7) * (2*kk + 1))))
+           |            * sin(pi()/12 * ((i - 6 - 6*w) + 0.5))
+           |          ELSE 0.0 END)))
+           |    END AS z
+           |  FROM al a, (SELECT unnest(range(0, 32)) AS sb) sb),
+           |ts AS (
+           |  SELECT z0.id, z0.ch, z0.sb,
+           |    list_transform(range(0, 36), t -> (
+           |      CASE WHEN t < 18 THEN z0.z[t+1]
+           |           ELSE z1.z[t-18+1] + z0.z[18 + t-18 + 1] END)
+           |      * (CASE WHEN z0.sb % 2 = 1 AND t % 2 = 1 THEN -1.0 ELSE 1.0 END)) AS s
+           |  FROM im z0 JOIN im z1 ON z0.id = z1.id AND z0.ch = z1.ch AND z0.sb = z1.sb
+           |  WHERE z0.g = 0 AND z1.g = 1),
+           |mat AS (SELECT id, ch, list(s ORDER BY sb) AS m FROM ts GROUP BY id, ch),
+           |vmat AS (
+           |  SELECT id, ch,
+           |    list_transform(range(0, 36), t ->
+           |      list_transform(range(0, 64), o ->
+           |        list_sum(list_transform(range(0, 32), kk ->
+           |          cos((16 + o) * (2*kk + 1) * pi()/64) * m[kk+1][t+1])))) AS vm
+           |  FROM mat),
+           |pcm AS (
+           |  SELECT id, ch,
+           |    list_transform(range(0, 1152), p ->
+           |      CAST(greatest(-32768.0, least(32767.0, floor(
+           |        list_sum(list_transform(range(0, 16), n ->
+           |          (sin(pi() * ((p % 32) + 32*n + 0.5) / 512) / 32) *
+           |          (CASE WHEN (p // 32) - n < 0 THEN 0.0
+           |                ELSE vm[(p // 32) - n + 1][(CASE WHEN n % 2 = 0 THEN p % 32 ELSE 32 + p % 32 END) + 1] END)))
+           |        * 32768.0 + 0.5))) AS INT)) AS q
+           |  FROM vmat)
+           |SELECT id, ch::INT AS channel, 0::INT AS ms_stereo,
+           |  1152::INT AS n_samples,
+           |  len(list_filter(q, x -> x = 32767 OR x = -32768))::INT AS n_clipped,
+           |  len(list_filter(q, x -> x <> 0))::INT AS n_nonzero,
+           |  list_sum(q)::BIGINT AS pcm_sum,
+           |  list_sum(list_transform(q, x -> abs(x)))::BIGINT AS pcm_abs_sum,
+           |  list_sum(list_transform(range(0, 1152), p -> q[p+1] * (p+1)))::BIGINT AS pos_sum
+           |FROM pcm ORDER BY id, channel""".stripMargin)),
+    "multimodal_mp3_mixed" -> Q(multimodalMp3Mixed, Some(
+      // restates mp3MixedAssets' chain: granule 0 block_type 2 MIXED —
+      // long requant in place below sample 36 (2 long subbands), the
+      // short reorder from band 3 above, alias butterflies at the ONE
+      // long boundary, type-0 long windows on subbands 0–1 + short
+      // 12-point IMDCTs above — granule 1 block_type 3 (stop window,
+      // long layout incl. pretab/preflag, full alias); shared tail
+      raw"""WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 6),
+           |gs AS (SELECT unnest(range(0, 2)) AS g),
+           |chs AS (SELECT unnest(range(0, 2)) AS ch),
+           |const AS (SELECT
+           |  [0,4,8,12,16,20,24,30,36,44,52,62,74,90,110,134,162,196,238,288,342,418,576] AS bands,
+           |  [0,4,8,12,16,22,30,40,52,66,84,106,136,192] AS bs,
+           |  [0,0,0,0,0,0,0,0,0,0,0,1,1,1,1,2,2,3,3,3,2,0] AS pretab,
+           |  [-0.6,-0.535,-0.33,-0.185,-0.095,-0.041,-0.0142,-0.0037] AS ci),
+           |base AS (
+           |  SELECT id, g, ch, id + 4 + 13*g AS k,
+           |         160 + (5*id + 17*g + 29*ch) % 40 AS gg,
+           |         CASE WHEN (id+g)%2 = 0 THEN 0.5 ELSE 1.0 END AS mult,
+           |         CASE WHEN g = 1 THEN id % 2 ELSE 0 END AS preflag
+           |  FROM ids, gs, chs),
+           |spec AS (
+           |  SELECT id, g, ch, gg, mult, preflag,
+           |    list_transform(range(0, 576), i ->
+           |      CASE WHEN i >= 2*(20 + k%5) + 4*(4 + k%3) THEN 0 ELSE
+           |        (CASE WHEN (k+i)%5 < 2 THEN -1 ELSE 1 END) *
+           |        (CASE WHEN i < 36 THEN (k+i)%4
+           |              WHEN i < 2*(20 + k%5) THEN
+           |                CASE (k+i)%4 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 1
+           |                     ELSE 15 + (k+i)%8 END
+           |              ELSE (k+i)%2 END)
+           |      END) AS isv
+           |  FROM base),
+           |smap AS (
+           |  SELECT m.t, m.j, m.w,
+           |         len(list_filter(c.bs, x -> x <= m.j)) - 1 AS s,
+           |         c.bs[len(list_filter(c.bs, x -> x <= m.j))] AS lo,
+           |         c.bs[len(list_filter(c.bs, x -> x <= m.j)) + 1]
+           |           - c.bs[len(list_filter(c.bs, x -> x <= m.j))] AS width
+           |  FROM (SELECT t, 6*(t//18) + (t%6) AS j, (t%18)//6 AS w
+           |        FROM (SELECT unnest(range(0, 576)) AS t)) m, const c),
+           |xrow AS (
+           |  SELECT sp.id, sp.g, sp.ch, m.t,
+           |    CASE WHEN sp.g = 1 OR m.t < 36 THEN
+           |      CASE WHEN sp.isv[m.t+1] = 0 THEN 0.0 ELSE
+           |        sign(sp.isv[m.t+1]) * pow(abs(sp.isv[m.t+1]), 4.0/3.0) *
+           |        pow(2.0, 0.25*(sp.gg - 210) - sp.mult * (
+           |          (CASE WHEN len(list_filter(c.bands, x -> x <= m.t)) - 1 >= 21 THEN 0
+           |                ELSE (sp.id + (len(list_filter(c.bands, x -> x <= m.t)) - 1)) % 4 END)
+           |          + sp.preflag * c.pretab[len(list_filter(c.bands, x -> x <= m.t))]))
+           |      END
+           |    ELSE
+           |      CASE WHEN sp.isv[3*m.lo + m.w*m.width + (m.j - m.lo) + 1] = 0 THEN 0.0 ELSE
+           |        sign(sp.isv[3*m.lo + m.w*m.width + (m.j - m.lo) + 1]) *
+           |        pow(abs(sp.isv[3*m.lo + m.w*m.width + (m.j - m.lo) + 1]), 4.0/3.0) *
+           |        pow(2.0, 0.25*(sp.gg - 210 - 8*((sp.id + 2*m.w) % 4)) -
+           |          sp.mult * (CASE WHEN m.s >= 12 THEN 0 ELSE (sp.id + m.s + m.w) % 4 END))
+           |      END
+           |    END AS v
+           |  FROM spec sp, smap m, const c),
+           |xrl AS (SELECT id, g, ch, list(v ORDER BY t) AS v FROM xrow GROUP BY id, g, ch),
+           |al AS (
+           |  SELECT x.id, x.g, x.ch,
+           |    CASE WHEN x.g = 0 THEN
+           |      list_transform(range(0, 576), i -> CASE
+           |        WHEN i % 18 >= 10 AND i < 18 THEN
+           |          x.v[i+1] * (1.0/sqrt(1.0 + c.ci[18 - (i%18)]*c.ci[18 - (i%18)])) -
+           |          x.v[i + 36 - 2*(i%18)] * (c.ci[18 - (i%18)]/sqrt(1.0 + c.ci[18 - (i%18)]*c.ci[18 - (i%18)]))
+           |        WHEN i % 18 <= 7 AND i >= 18 AND i < 36 THEN
+           |          x.v[i+1] * (1.0/sqrt(1.0 + c.ci[(i%18) + 1]*c.ci[(i%18) + 1])) +
+           |          x.v[i - 2*(i%18)] * (c.ci[(i%18) + 1]/sqrt(1.0 + c.ci[(i%18) + 1]*c.ci[(i%18) + 1]))
+           |        ELSE x.v[i+1] END)
+           |    ELSE
+           |      list_transform(range(0, 576), i -> CASE
+           |        WHEN i % 18 >= 10 AND i < 558 THEN
+           |          x.v[i+1] * (1.0/sqrt(1.0 + c.ci[18 - (i%18)]*c.ci[18 - (i%18)])) -
+           |          x.v[i + 36 - 2*(i%18)] * (c.ci[18 - (i%18)]/sqrt(1.0 + c.ci[18 - (i%18)]*c.ci[18 - (i%18)]))
+           |        WHEN i % 18 <= 7 AND i >= 18 THEN
+           |          x.v[i+1] * (1.0/sqrt(1.0 + c.ci[(i%18) + 1]*c.ci[(i%18) + 1])) +
+           |          x.v[i - 2*(i%18)] * (c.ci[(i%18) + 1]/sqrt(1.0 + c.ci[(i%18) + 1]*c.ci[(i%18) + 1]))
+           |        ELSE x.v[i+1] END)
+           |    END AS v
+           |  FROM xrl x, const c),
+           |im AS (
+           |  SELECT a.id, a.ch, a.g, sb.sb,
+           |    CASE WHEN a.g = 1 THEN
+           |      list_transform(range(0, 36), i ->
+           |        list_sum(list_transform(range(0, 18), kk ->
+           |          a.v[18*sb.sb + kk + 1] * cos(pi()/72 * (2*i + 19) * (2*kk + 1))))
+           |        * (CASE WHEN i < 6 THEN 0.0
+           |                WHEN i < 12 THEN sin(pi()/12 * (i - 6 + 0.5))
+           |                WHEN i < 18 THEN 1.0
+           |                ELSE sin(pi()/36 * (i + 0.5)) END))
+           |    WHEN sb.sb < 2 THEN
+           |      list_transform(range(0, 36), i ->
+           |        list_sum(list_transform(range(0, 18), kk ->
+           |          a.v[18*sb.sb + kk + 1] * cos(pi()/72 * (2*i + 19) * (2*kk + 1))))
+           |        * sin(pi()/36 * (i + 0.5)))
+           |    ELSE
+           |      list_transform(range(0, 36), i ->
+           |        list_sum(list_transform(range(0, 3), w ->
+           |          CASE WHEN i - 6 - 6*w >= 0 AND i - 6 - 6*w < 12 THEN
+           |            list_sum(list_transform(range(0, 6), kk ->
+           |              a.v[18*sb.sb + 6*w + kk + 1] * cos(pi()/24 * (2*(i - 6 - 6*w) + 7) * (2*kk + 1))))
+           |            * sin(pi()/12 * ((i - 6 - 6*w) + 0.5))
+           |          ELSE 0.0 END)))
+           |    END AS z
+           |  FROM al a, (SELECT unnest(range(0, 32)) AS sb) sb),
+           |ts AS (
+           |  SELECT z0.id, z0.ch, z0.sb,
+           |    list_transform(range(0, 36), t -> (
+           |      CASE WHEN t < 18 THEN z0.z[t+1]
+           |           ELSE z1.z[t-18+1] + z0.z[18 + t-18 + 1] END)
+           |      * (CASE WHEN z0.sb % 2 = 1 AND t % 2 = 1 THEN -1.0 ELSE 1.0 END)) AS s
+           |  FROM im z0 JOIN im z1 ON z0.id = z1.id AND z0.ch = z1.ch AND z0.sb = z1.sb
+           |  WHERE z0.g = 0 AND z1.g = 1),
+           |mat AS (SELECT id, ch, list(s ORDER BY sb) AS m FROM ts GROUP BY id, ch),
+           |vmat AS (
+           |  SELECT id, ch,
+           |    list_transform(range(0, 36), t ->
+           |      list_transform(range(0, 64), o ->
+           |        list_sum(list_transform(range(0, 32), kk ->
+           |          cos((16 + o) * (2*kk + 1) * pi()/64) * m[kk+1][t+1])))) AS vm
+           |  FROM mat),
+           |pcm AS (
+           |  SELECT id, ch,
+           |    list_transform(range(0, 1152), p ->
+           |      CAST(greatest(-32768.0, least(32767.0, floor(
+           |        list_sum(list_transform(range(0, 16), n ->
+           |          (sin(pi() * ((p % 32) + 32*n + 0.5) / 512) / 32) *
+           |          (CASE WHEN (p // 32) - n < 0 THEN 0.0
+           |                ELSE vm[(p // 32) - n + 1][(CASE WHEN n % 2 = 0 THEN p % 32 ELSE 32 + p % 32 END) + 1] END)))
+           |        * 32768.0 + 0.5))) AS INT)) AS q
+           |  FROM vmat)
+           |SELECT id, ch::INT AS channel, 0::INT AS ms_stereo,
+           |  1152::INT AS n_samples,
+           |  len(list_filter(q, x -> x = 32767 OR x = -32768))::INT AS n_clipped,
+           |  len(list_filter(q, x -> x <> 0))::INT AS n_nonzero,
+           |  list_sum(q)::BIGINT AS pcm_sum,
+           |  list_sum(list_transform(q, x -> abs(x)))::BIGINT AS pcm_abs_sum,
+           |  list_sum(list_transform(range(0, 1152), p -> q[p+1] * (p+1)))::BIGINT AS pos_sum
+           |FROM pcm ORDER BY id, channel""".stripMargin)),
     "multimodal_mp3_codebook" -> Q(multimodalMp3Codebook, Some(
       // restates the codebook gate's spectral formulas: 16 big values
       // (all region0, coded by the USER-SUPPLIED table mounted on real

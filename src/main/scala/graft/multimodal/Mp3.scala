@@ -404,24 +404,40 @@ object Mp3 {
     Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126, 156,
       194, 240, 296, 364, 448, 576)) // 32 kHz
 
+  /** Short-block scalefactor-band boundaries PER WINDOW per samplerate
+    * index (ISO 11172-3 Table B.8's short halves, transcribed like
+    * [[sfBandsLong]] — 13 bands, boundary 13 = 192; factors are
+    * transmitted for bands 0–11, band 12 is implicitly 0 like long
+    * band 21). Round 15 (r14 VERDICT #2): the short-block PCM path. */
+  private[multimodal] val sfBandsShort: Array[Array[Int]] = Array(
+    Array(0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192), // 44.1 kHz
+    Array(0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192), // 48 kHz
+    Array(0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192)) // 32 kHz
+
   /** preflag's fixed per-band boost (§2.4.3.4 pretab). */
   private[multimodal] val pretab: Array[Int] =
     Array(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0)
 
   /** One granule×channel's decoded spectrum: `is` = the 576 Huffman
-    * integers (signed), `nBig`/`nCount1` = samples decoded by each stage,
-    * `xr` = requantized magnitudes. */
+    * integers (signed, in TRANSMISSION order), `nBig`/`nCount1` =
+    * samples decoded by each stage, `xr` = requantized magnitudes in
+    * SUBBAND-LINE order (for long blocks transmission order IS subband
+    * order; short blocks are reordered from their (band, window, line)
+    * transmission layout — §2.4.3.4.8, round 15), `blockType`/`mixed` =
+    * the granule's window shape the filterbank consumes. */
   final case class Spectrum(is: Array[Int], nBig: Int, nCount1: Int,
-                            xr: Array[Double])
+                            xr: Array[Double], blockType: Int = 0,
+                            mixed: Boolean = false)
 
   /** Decode the Huffman spectral data of a SELF-CONTAINED frame
     * (main_data_begin = 0) — scale factors are read first with the same
     * §2.4.2.7 walk [[parseScalefactors]] pins, then the big-values pair
-    * regions and the count1 quadruple run, then requantization. Strict →
-    * None: reservoir frames, window switching (short-block reorder is
-    * the DSP seam), unknown table ids (see codebook provenance above),
-    * a pair/quad walk crossing part2_3_length, or count1 overrunning
-    * sample 576. Result: per granules(g)(ch). */
+    * regions and the count1 quadruple run, then requantization (all
+    * block types since round 15 — short granules requantize with their
+    * subblock gains and come back REORDERED to subband-line order).
+    * Strict → None: reservoir frames, unknown table ids (see codebook
+    * provenance above), a pair/quad walk crossing part2_3_length, or
+    * count1 overrunning sample 576. Result: per granules(g)(ch). */
   def decodeSpectra(payload: Array[Byte], channels: Int, rateIdx: Int,
                     tables: Map[Int, HuffTable] = fixtureTables,
                     count1A: Count1Table = fixtureCount1A): Option[Seq[Seq[Spectrum]]] = try {
@@ -432,46 +448,78 @@ object Mp3 {
     val siBytes = if (channels == 1) 17 else 32
     Some(decodeGranules(
       new BitReader(java.util.Arrays.copyOfRange(payload, siBytes, payload.length)),
-      si, channels, sfBandsLong(rateIdx), tables, count1A))
+      si, channels, sfBandsLong(rateIdx), sfBandsShort(rateIdx), tables, count1A))
   } catch { case _: Exception => None }
 
   /** The shared §2.4.2.7 granule walk behind [[decodeSpectra]] (self-
     * contained frames) and [[decodeSpectraStream]] (bit-reservoir
     * streams): scale factors with scfsi sharing, big-values pair
     * regions, count1 quadruples to the exact part2_3 landing,
-    * requantization. Throws on every strict seam (window switching,
-    * unknown codebooks, budget-crossing walks) — callers convert to
-    * None. */
+    * requantization (+ the §2.4.3.4.8 reorder for short blocks —
+    * round 15, r14 VERDICT #2: block_type 2 pure and mixed decode
+    * through the full walk; window-switched granules use the fixed
+    * region boundary at sample 36). Throws on every strict seam
+    * (unknown codebooks, budget-crossing walks, scfsi sharing into or
+    * out of a short granule) — callers convert to None. */
   private def decodeGranules(r: BitReader, si: SideInfo, channels: Int,
-                             bands: Array[Int],
+                             bands: Array[Int], bandsShort: Array[Int],
                              tables: Map[Int, HuffTable],
                              count1A: Count1Table): Seq[Seq[Spectrum]] = {
     val out = Array.fill(2)(new Array[Spectrum](channels))
     val sfSave = Array.fill(2)(new Array[Array[Int]](channels))
     for (g <- 0 until 2; ch <- 0 until channels) {
       val gi = si.granules(g)(ch)
-      require(!gi.windowSwitching, "short/mixed blocks: DSP seam")
+      val isShort = gi.windowSwitching && gi.blockType == 2
+      val isMixed = isShort && gi.mixedBlock
       val (s1, s2) = slenTable(gi.scalefacCompress)
       var read = 0
       def take(n: Int): Int = { read += n; r.read(n) }
-      // long-block scale factors, scfsi sharing as in parseScalefactors
-      val sfs = new Array[Int](21)
-      val groups = Seq(0 until 6, 6 until 11, 11 until 16, 16 until 21)
-      for ((grp, gidx) <- groups.zipWithIndex; b <- grp) {
-        if (g == 1 && si.scfsi(ch)(gidx) == 1) sfs(b) = sfSave(0)(ch)(b)
-        else sfs(b) = take(if (b < 11) s1 else s2)
+      // ---- scale factors (§2.4.2.7 layouts; scfsi only between two
+      // long-layout granules — sharing into or out of a short granule
+      // has no defined band mapping, reject rather than misparse) ----
+      var sfsLong: Array[Int] = null          // bands 0..20 (long layouts)
+      var sfsShort: Array[Array[Int]] = null  // (band 0..11)(window 0..2)
+      if (isShort) {
+        if (g == 1) require(si.scfsi(ch).forall(_ == 0),
+          "scfsi sharing into a short granule")
+        sfsShort = Array.ofDim[Int](12, 3)
+        if (isMixed) {
+          sfsLong = new Array[Int](21) // long bands 0..7 used
+          for (b <- 0 until 8) sfsLong(b) = take(s1)
+          for (b <- 3 until 12; w <- 0 until 3)
+            sfsShort(b)(w) = take(if (b < 6) s1 else s2)
+        } else {
+          for (b <- 0 until 12; w <- 0 until 3)
+            sfsShort(b)(w) = take(if (b < 6) s1 else s2)
+        }
+        sfSave(g)(ch) = null // a short granule cannot be shared from
+      } else {
+        val sfs = new Array[Int](21)
+        val groups = Seq(0 until 6, 6 until 11, 11 until 16, 16 until 21)
+        for ((grp, gidx) <- groups.zipWithIndex; b <- grp) {
+          if (g == 1 && si.scfsi(ch)(gidx) == 1) {
+            require(sfSave(0)(ch) != null, "scfsi sharing from a short granule")
+            sfs(b) = sfSave(0)(ch)(b)
+          } else sfs(b) = take(if (b < 11) s1 else s2)
+        }
+        sfSave(g)(ch) = sfs
+        sfsLong = sfs
       }
-      sfSave(g)(ch) = sfs
       // ---- big_values pair regions ----
       val is = new Array[Int](576)
       val nBig = gi.bigValues * 2
       require(nBig <= 576, "big_values overruns the granule")
-      // region sample boundaries from the scalefactor-band indices
-      // (§2.4.2.7: region0 spans region0_count+1 bands, region1 the next
-      // region1_count+1; both clamp to the band table)
-      val b0 = bands(math.min(gi.region0Count + 1, bands.length - 1))
-      val b1 = bands(math.min(gi.region0Count + 1 + gi.region1Count + 1,
-        bands.length - 1))
+      // region sample boundaries: under window switching the standard
+      // fixes region0 at sample 36 (8 long bands / 3×short band 3 — the
+      // same sample at every rate) and region1 spans the rest; otherwise
+      // from the transmitted counts over the long band table
+      val b0 =
+        if (gi.windowSwitching) 36
+        else bands(math.min(gi.region0Count + 1, bands.length - 1))
+      val b1 =
+        if (gi.windowSwitching) 576
+        else bands(math.min(gi.region0Count + 1 + gi.region1Count + 1,
+          bands.length - 1))
       def decodePair(t: HuffTable): (Int, Int) = {
         var code = ""
         while (!t.codes.contains(code)) {
@@ -521,17 +569,18 @@ object Mp3 {
         sample += 4; nC1 += 4
       }
       require(read == gi.part23Length, "walk crossed the part2_3 budget")
-      // ---- requantization (§2.4.3.4, long blocks) ----
+      // ---- requantization (§2.4.3.4) + short-block reorder ----
       val mult = if (gi.scalefacScale == 0) 0.5 else 1.0
       val xr = new Array[Double](576)
+      val longEnd = if (!isShort) 576 else if (isMixed) 36 else 0
       var band = 0
       var i = 0
-      while (i < 576) {
+      while (i < longEnd) {
         while (band < 21 && i >= bands(band + 1)) band += 1
         if (is(i) != 0) {
           // band 21 (the last long band) transmits NO scale factor —
           // implicitly 0 (§2.4.2.7 transmits 21 factors over 22 bands)
-          val sf = if (band >= 21) 0 else sfs(band)
+          val sf = if (band >= 21) 0 else sfsLong(band)
           val exp = 0.25 * (gi.globalGain - 210) -
             mult * (sf + gi.preflag * pretab(band))
           xr(i) = math.signum(is(i).toDouble) *
@@ -539,7 +588,39 @@ object Mp3 {
         }
         i += 1
       }
-      out(g)(ch) = Spectrum(is, nBig, nC1, xr)
+      if (isShort) {
+        // transmission order is (short band s, window w, line l) with
+        // index 3·bS(s) + w·width(s) + l; requantize with the per-window
+        // subblock gain (NO pretab — §2.4.3.4: preflag applies to long
+        // bands only) and reorder to subband-line order
+        // t = 18·(j/6) + 6·w + (j%6), j = bS(s) + l (§2.4.3.4.8)
+        var s = if (isMixed) 3 else 0
+        while (s < 13) {
+          val lo = bandsShort(s); val width = bandsShort(s + 1) - lo
+          var w = 0
+          while (w < 3) {
+            var l = 0
+            while (l < width) {
+              val src = 3 * lo + w * width + l
+              if (is(src) != 0) {
+                val sf = if (s >= 12) 0 else sfsShort(s)(w)
+                val exp = 0.25 * (gi.globalGain - 210 - 8 * gi.subblockGain(w)) -
+                  mult * sf
+                val j = lo + l
+                xr(18 * (j / 6) + 6 * w + (j % 6)) =
+                  math.signum(is(src).toDouble) *
+                    math.pow(math.abs(is(src)).toDouble, 4.0 / 3.0) *
+                    math.pow(2.0, exp)
+              }
+              l += 1
+            }
+            w += 1
+          }
+          s += 1
+        }
+      }
+      out(g)(ch) = Spectrum(is, nBig, nC1, xr,
+        if (gi.windowSwitching) gi.blockType else 0, isMixed)
     }
     out.toSeq.map(_.toSeq)
   }
@@ -568,6 +649,7 @@ object Mp3 {
       System.arraycopy(s, 0, buf, off, s.length); off += s.length; off - s.length
     }
     val bands = sfBandsLong(rateIdx)
+    val bandsS = sfBandsShort(rateIdx)
     Some(stream.framePayloads.zipWithIndex.map { case (payload, f) =>
       val si = parseSideInfo(payload, channels)
         .getOrElse(throw new IllegalArgumentException(s"frame $f: bad side info"))
@@ -577,7 +659,7 @@ object Mp3 {
       // offset reader, no copy: a per-frame copyOfRange of the remaining
       // stream would be O(frames × streamBytes) on real files (r14 review)
       val r = new BitReader(buf, start)
-      val spectra = decodeGranules(r, si, channels, bands, tables, count1A)
+      val spectra = decodeGranules(r, si, channels, bands, bandsS, tables, count1A)
       // frame f's granule walk must END inside frame f's own slot region
       // (§2.4.2.3: main data can come from the PAST, never the future) —
       // without this, a corrupt part2_3_length overruns into later
@@ -622,22 +704,34 @@ object Mp3 {
     // measure part2_3_length, then rebuild the SideInfo and pack for real
     val runs = for (g <- 0 until 2; ch <- 0 until channels) yield {
       val gi = si.granules(g)(ch)
-      require(!gi.windowSwitching, "fixture encoder: long blocks only")
       val (s1, s2) = slenTable(gi.scalefacCompress)
       val bits = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
       def w(v: Int, n: Int): Unit = { require(n == 0 || (v >= 0 && v < (1 << n))); if (n > 0) bits += ((v, n)) }
-      val groups = Seq(0 until 6, 6 until 11, 11 until 16, 16 until 21)
       val it = scalefacs(g)(ch).iterator
-      for ((grp, gidx) <- groups.zipWithIndex; b <- grp)
-        if (!(g == 1 && si.scfsi(ch)(gidx) == 1)) w(it.next(), if (b < 11) s1 else s2)
+      // scale-factor layouts per §2.4.2.7 (the parseScalefactors walk):
+      // pure short 12×3, mixed 8 long + bands 3..11 ×3, else long+scfsi
+      if (gi.windowSwitching && gi.blockType == 2 && !gi.mixedBlock)
+        for (b <- 0 until 12; _ <- 0 until 3) w(it.next(), if (b < 6) s1 else s2)
+      else if (gi.windowSwitching && gi.blockType == 2) {
+        for (_ <- 0 until 8) w(it.next(), s1)
+        for (b <- 3 until 12; _ <- 0 until 3) w(it.next(), if (b < 6) s1 else s2)
+      } else {
+        val groups = Seq(0 until 6, 6 until 11, 11 until 16, 16 until 21)
+        for ((grp, gidx) <- groups.zipWithIndex; b <- grp)
+          if (!(g == 1 && si.scfsi(ch)(gidx) == 1)) w(it.next(), if (b < 11) s1 else s2)
+      }
       require(!it.hasNext, "extra scale factors")
       val is = spectra(g)(ch)
       val nBig = gi.bigValues * 2
       require(is.length >= nBig && (is.length - nBig) % 4 == 0,
         s"spectra length ${is.length} != $nBig big + 4k count1 samples")
-      val b0 = bandsAll(math.min(gi.region0Count + 1, bandsAll.length - 1))
-      val b1 = bandsAll(math.min(gi.region0Count + 1 + gi.region1Count + 1,
-        bandsAll.length - 1))
+      // region boundaries: fixed at sample 36 under window switching
+      // (the decodeGranules rule), transmitted counts otherwise
+      val b0 = if (gi.windowSwitching) 36
+        else bandsAll(math.min(gi.region0Count + 1, bandsAll.length - 1))
+      val b1 = if (gi.windowSwitching) 576
+        else bandsAll(math.min(gi.region0Count + 1 + gi.region1Count + 1,
+          bandsAll.length - 1))
       def wCode(c: String): Unit = c.foreach(ch0 => w(if (ch0 == '1') 1 else 0, 1))
       def wSigned(v: Int, t: HuffTable): Int = { // returns the |mag| written in the code
         val a = math.abs(v)
@@ -713,9 +807,15 @@ object Mp3 {
     for (g <- 0 until 2; ch <- 0 until channels) {
       val gi = si2.granules(g)(ch)
       w(gi.part23Length, 12); w(gi.bigValues, 9); w(gi.globalGain, 8)
-      w(gi.scalefacCompress, 4); w(0, 1)
-      gi.tableSelect.take(3).foreach(w(_, 5))
-      w(gi.region0Count, 4); w(gi.region1Count, 3)
+      w(gi.scalefacCompress, 4); w(if (gi.windowSwitching) 1 else 0, 1)
+      if (gi.windowSwitching) {
+        w(gi.blockType, 2); w(if (gi.mixedBlock) 1 else 0, 1)
+        gi.tableSelect.take(2).foreach(w(_, 5))
+        gi.subblockGain.take(3).foreach(w(_, 3))
+      } else {
+        gi.tableSelect.take(3).foreach(w(_, 5))
+        w(gi.region0Count, 4); w(gi.region1Count, 3)
+      }
       w(gi.preflag, 1); w(gi.scalefacScale, 1); w(gi.count1TableSelect, 1)
     }
     (pack(siBits.toSeq), pack(runs.flatMap(_._2)))
@@ -757,13 +857,15 @@ object Mp3 {
     aliasCi.map(c => c / math.sqrt(1.0 + c * c))
 
   /** Alias-reduction butterflies on a requantized 576-sample spectrum
-    * (§2.4.3.4.10.1): at each of the 31 subband boundaries, 8
+    * (§2.4.3.4.10.1): at each subband boundary below `maxSb`, 8
     * butterflies mix the last 8 samples of the lower subband with the
-    * first 8 of the upper. Long blocks only (the [[decodePcm]] scope). */
-  private[graft] def aliasReduce(xr: Array[Double]): Array[Double] = {
+    * first 8 of the upper. Long blocks use all 31 boundaries; mixed
+    * blocks only the boundary between the two long subbands (maxSb =
+    * 2); pure short blocks skip the stage entirely (round 15). */
+  private[graft] def aliasReduce(xr: Array[Double], maxSb: Int = 32): Array[Double] = {
     val out = xr.clone()
     var sb = 1
-    while (sb < 32) {
+    while (sb < maxSb) {
       var j = 0
       while (j < 8) {
         val ai = 18 * sb - 1 - j
@@ -778,10 +880,29 @@ object Mp3 {
     out
   }
 
+  /** The §2.4.3.4.10.3 36-point windows by block_type: 0 = long sine,
+    * 1 = start (sine rise, flat 18–23, short fall 24–29, zero 30–35),
+    * 3 = stop (zero 0–5, short rise 6–11, flat 12–17, sine fall). */
+  private[graft] def longWindow(blockType: Int, i: Int): Double = blockType match {
+    case 0 => math.sin(math.Pi / 36.0 * (i + 0.5))
+    case 1 =>
+      if (i < 18) math.sin(math.Pi / 36.0 * (i + 0.5))
+      else if (i < 24) 1.0
+      else if (i < 30) math.sin(math.Pi / 12.0 * (i - 18 + 0.5))
+      else 0.0
+    case 3 =>
+      if (i < 6) 0.0
+      else if (i < 12) math.sin(math.Pi / 12.0 * (i - 6 + 0.5))
+      else if (i < 18) 1.0
+      else math.sin(math.Pi / 36.0 * (i + 0.5))
+    case bt => throw new IllegalArgumentException(s"no long window for block_type $bt")
+  }
+
   /** 36-point IMDCT of one subband's 18 spectral lines, multiplied by
-    * the block_type-0 long window (§2.4.3.4.10.3):
-    * x(i) = Σₖ X(k)·cos(π/72·(2i+19)(2k+1)), w(i) = sin(π/36·(i+½)). */
-  private[graft] def imdct36(x: Array[Double], off: Int): Array[Double] = {
+    * the block_type window (§2.4.3.4.10.3; types 0/1/3 — round 15):
+    * x(i) = Σₖ X(k)·cos(π/72·(2i+19)(2k+1)). */
+  private[graft] def imdct36(x: Array[Double], off: Int,
+                             blockType: Int = 0): Array[Double] = {
     val out = new Array[Double](36)
     var i = 0
     while (i < 36) {
@@ -791,8 +912,34 @@ object Mp3 {
         s += x(off + k) * math.cos(math.Pi / 72.0 * (2 * i + 19) * (2 * k + 1))
         k += 1
       }
-      out(i) = s * math.sin(math.Pi / 36.0 * (i + 0.5))
+      out(i) = s * longWindow(blockType, i)
       i += 1
+    }
+    out
+  }
+
+  /** Short-block filterbank for one subband (§2.4.3.4.10.2, block_type
+    * 2): three 12-point IMDCTs over the subband's 3 windows of 6 lines
+    * each (subband-line order after the reorder), short sine window
+    * sin(π/12·(i+½)), overlapped into the 36-sample output at
+    * out(6 + 6w + i) — zero leading/trailing 6 samples. */
+  private[graft] def imdct12x3(x: Array[Double], off: Int): Array[Double] = {
+    val out = new Array[Double](36)
+    var w = 0
+    while (w < 3) {
+      var i = 0
+      while (i < 12) {
+        var s = 0.0
+        var k = 0
+        while (k < 6) {
+          s += x(off + 6 * w + k) *
+            math.cos(math.Pi / 24.0 * (2 * i + 7) * (2 * k + 1))
+          k += 1
+        }
+        out(6 + 6 * w + i) += s * math.sin(math.Pi / 12.0 * (i + 0.5))
+        i += 1
+      }
+      w += 1
     }
     out
   }
@@ -880,21 +1027,31 @@ object Mp3 {
     if (specOpt.isEmpty) return None
     val spec = specOpt.get
     val xr = Array.tabulate(1, 2, channels)((_, g, ch) => spec(g)(ch).xr.clone())
-    Some(synthesizeFrames(xr, channels, msStereo, synthWindow))
+    val bt = Array.tabulate(1, 2, channels)(
+      (_, g, ch) => (spec(g)(ch).blockType, spec(g)(ch).mixed))
+    Some(synthesizeFrames(xr, bt, channels, msStereo, synthWindow))
   } catch { case _: Exception => None }
 
   /** Shared DSP back half of [[decodePcm]] / [[decodePcmStream]]
-    * (one maintained copy — r14 review): MS matrix, alias reduction,
-    * IMDCT + overlap-add (the tail threads across every granule passed
-    * in, zero only at the start), frequency inversion, synthesis.
-    * `xr(f)(g)(ch)` is consumed (MS mutates in place). */
+    * (one maintained copy — r14 review): MS matrix, alias reduction
+    * (31 boundaries long, 1 for mixed, none for pure short), per-block-
+    * type IMDCT ([[imdct36]] types 0/1/3, [[imdct12x3]] for short
+    * subbands) + overlap-add (the tail threads across every granule
+    * passed in, zero only at the start), frequency inversion, synthesis.
+    * `xr(f)(g)(ch)` is consumed (MS mutates in place); `bt(f)(g)(ch)` =
+    * (blockType, mixed). MS stereo over granules whose two channels
+    * have DIFFERENT window shapes has no defined band mapping → throws
+    * (callers convert to None). */
   private def synthesizeFrames(xr: Array[Array[Array[Array[Double]]]],
+                               bt: Array[Array[Array[(Int, Boolean)]]],
                                channels: Int, msStereo: Boolean,
                                synthWindow: Array[Double]): Seq[Array[Double]] = {
     val nF = xr.length
     if (msStereo) {
       val s2 = math.sqrt(2.0)
       for (f <- 0 until nF; g <- 0 until 2) {
+        require(bt(f)(g)(0) == bt(f)(g)(1),
+          "MS stereo across differing block types")
         var i = 0
         while (i < 576) {
           val m = xr(f)(g)(0)(i); val s = xr(f)(g)(1)(i)
@@ -910,10 +1067,18 @@ object Mp3 {
       val slots = Array.ofDim[Double](36 * nF, 32)
       val prev = Array.ofDim[Double](32, 18) // zero at the start only
       for (f <- 0 until nF; g <- 0 until 2) {
-        val a = aliasReduce(xr(f)(g)(ch))
+        val (btype, mixed) = bt(f)(g)(ch)
+        val a =
+          if (btype == 2 && !mixed) xr(f)(g)(ch) // no alias stage
+          else if (btype == 2) aliasReduce(xr(f)(g)(ch), maxSb = 2)
+          else aliasReduce(xr(f)(g)(ch))
         var sb = 0
         while (sb < 32) {
-          val z = imdct36(a, sb * 18)
+          // mixed blocks: the two lowest subbands stay long (type-0
+          // window); everything else short
+          val z =
+            if (btype == 2 && !(mixed && sb < 2)) imdct12x3(a, sb * 18)
+            else imdct36(a, sb * 18, if (btype == 2) 0 else btype)
           var j = 0
           while (j < 18) {
             var s = z(j) + prev(sb)(j)
@@ -950,7 +1115,9 @@ object Mp3 {
     if (stream.msStereo && channels != 2) return None
     val xr = Array.tabulate(spec.length, 2, channels)(
       (f, g, ch) => spec(f)(g)(ch).xr.clone())
-    Some(synthesizeFrames(xr, channels, stream.msStereo, synthWindow))
+    val bt = Array.tabulate(spec.length, 2, channels)(
+      (f, g, ch) => (spec(f)(g)(ch).blockType, spec(f)(g)(ch).mixed))
+    Some(synthesizeFrames(xr, bt, channels, stream.msStereo, synthWindow))
   } catch { case _: Exception => None }
 
   // -------------------------------------------------------------------

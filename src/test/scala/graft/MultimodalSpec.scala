@@ -1871,6 +1871,215 @@ class MultimodalSpec extends AnyFunSuite {
       Aac.parseAacBooksSpec("bands 0 4 8\njunk line here"))
   }
 
+  /** Window-switched fixture frame: granule 0 = block_type 1 (start,
+    * long layout), granule 1 = block_type 2 pure short — the gate
+    * fixture's shape (round 15). */
+  private def mp3ShortFrameSpec(id: Long) = {
+    import graft.multimodal.Mp3
+    // region0 is FIXED at sample 36 under window switching, so the
+    // escape-range values (table 14) start at i = 36, not 16
+    def value(k: Long, nBig: Int)(i: Int): Int = {
+      val mag =
+        if (i < 36) ((k + i) % 4).toInt
+        else if (i < nBig) ((k + i) % 4).toInt match {
+          case 0 => 0; case 1 | 2 => 1; case _ => 15 + ((k + i) % 8).toInt
+        }
+        else ((k + i) % 2).toInt
+      if (mag != 0 && (k + i) % 5 < 2) -mag else mag
+    }
+    def dims(k: Long) = (2 * (20 + (k % 5)).toInt, 4 * (4 + (k % 3)).toInt)
+    def gg(g: Int, ch: Int) = (160 + (5 * id + 17 * g + 29 * ch) % 40).toInt
+    def gi(g: Int, ch: Int) = {
+      val k = id + 11 * g
+      val (nBig, _) = dims(k)
+      if (g == 0) Mp3.GranuleInfo(0, nBig / 2, gg(g, ch), 9,
+        windowSwitching = true, blockType = 1, mixedBlock = false,
+        Seq(4, 14), Seq(0, 0, 0), 7, 36,
+        (id % 2).toInt, ((id + g) % 2).toInt, ((id + g + ch) % 2).toInt)
+      else Mp3.GranuleInfo(0, nBig / 2, gg(g, ch), 9,
+        windowSwitching = true, blockType = 2, mixedBlock = false,
+        Seq(4, 14), Seq.tabulate(3)(w => ((id + 2 * w) % 4).toInt), 8, 36,
+        0, ((id + g) % 2).toInt, ((id + g + ch) % 2).toInt)
+    }
+    val si = Mp3.SideInfo(0, (id % 8).toInt, Seq.fill(2)(Seq.fill(4)(0)),
+      Seq.tabulate(2)(g => Seq.tabulate(2)(ch => gi(g, ch))))
+    val sfs: Seq[Seq[Array[Int]]] = Seq.tabulate(2)(g => Seq.fill(2)(
+      if (g == 0) Array.tabulate(21)(b => ((id + b) % 4).toInt)
+      else Array.tabulate(36)(x => ((id + x / 3 + x % 3) % 4).toInt)))
+    val spectra: Seq[Seq[Array[Int]]] = Seq.tabulate(2)(g => Seq.fill(2) {
+      val k = id + 11 * g
+      val (nBig, nC1) = dims(k)
+      Array.tabulate(nBig + nC1)(value(k, nBig))
+    })
+    (si, sfs, spectra)
+  }
+
+  test("mp3 short blocks: integers round-trip, short granule requants+reorders, bt flags surface") {
+    import graft.multimodal.Mp3
+    for (id <- 0L to 4L) {
+      val (si, sfs, sp) = mp3ShortFrameSpec(id)
+      val payload = Mp3.encodeSpectra(si, 2, sfs, sp)
+      val frame = Mp3.encodeMp3(1, 9, 0, java.util.Arrays.copyOf(payload, 413))
+      val dec = Mp3.decodeSpectra(Mp3.parseMp3(frame).get.framePayloads.head, 2, 0).get
+      for (g <- 0 until 2; ch <- 0 until 2) {
+        val want = sp(g)(ch)
+        assert(java.util.Arrays.equals(dec(g)(ch).is.take(want.length), want),
+          s"id $id g$g ch$ch integers differ")
+        assert(dec(g)(ch).blockType == (if (g == 0) 1 else 2))
+        assert(!dec(g)(ch).mixed)
+      }
+      // short-granule reorder + requant: every transmitted sample lands at
+      // t = 18*(j/6) + 6w + (j%6) with the subblock-gain exponent
+      val bS = Array(0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192)
+      val gi1 = si.granules(1)(1)
+      val mult = if (gi1.scalefacScale == 0) 0.5 else 1.0
+      val x = dec(1)(1)
+      val want = new Array[Double](576)
+      for (s <- 0 until 13; w <- 0 until 3; l <- 0 until bS(s + 1) - bS(s)) {
+        val src = 3 * bS(s) + w * (bS(s + 1) - bS(s)) + l
+        val v = x.is(src)
+        if (v != 0) {
+          val sf = if (s >= 12) 0 else sfs(1)(1)(s * 3 + w)
+          val exp = 0.25 * (gi1.globalGain - 210 - 8 * gi1.subblockGain(w)) - mult * sf
+          val j = bS(s) + l
+          want(18 * (j / 6) + 6 * w + (j % 6)) =
+            math.signum(v.toDouble) * math.pow(math.abs(v).toDouble, 4.0 / 3.0) *
+              math.pow(2.0, exp)
+        }
+      }
+      assert(x.xr.sameElements(want), s"id $id short requant/reorder differs")
+    }
+  }
+
+  test("mp3 mixed blocks: long part requants in place with pretab, short part maps from band 3") {
+    import graft.multimodal.Mp3
+    val id = 3L
+    // granule 0 mixed (8 long + bands 3..11 x3), granule 1 = stop (bt3)
+    def gi(g: Int) =
+      if (g == 0) Mp3.GranuleInfo(0, 20, 180, 9, windowSwitching = true,
+        blockType = 2, mixedBlock = true, Seq(4, 14),
+        Seq.tabulate(3)(w => ((id + 2 * w) % 4).toInt), 7, 36, 1, 0, 1)
+      else Mp3.GranuleInfo(0, 20, 185, 9, windowSwitching = true,
+        blockType = 3, mixedBlock = false, Seq(4, 14), Seq(0, 0, 0),
+        7, 36, 1, 1, 1)
+    val si = Mp3.SideInfo(0, 0, Seq.fill(2)(Seq.fill(4)(0)),
+      Seq.tabulate(2)(g => Seq.fill(2)(gi(g))))
+    val sfs: Seq[Seq[Array[Int]]] = Seq.tabulate(2)(g => Seq.fill(2)(
+      if (g == 0) Array.tabulate(8)(b => ((id + b) % 4).toInt) ++
+        (for (b <- 3 until 12; w <- 0 until 3) yield ((id + b + w) % 4).toInt)
+      else Array.tabulate(21)(b => ((id + b) % 4).toInt)))
+    val is = Array.tabulate(56)(i => {
+      // region0 (< 36): table 4's 0..3 domain; region1 + count1: {0,1}
+      val m = if (i < 36) ((id + i) % 3).toInt else ((id + i) % 2).toInt
+      if (m != 0 && (id + i) % 5 < 2) -m else m })
+    val spectra: Seq[Seq[Array[Int]]] = Seq.fill(2)(Seq.fill(2)(is))
+    val payload = Mp3.encodeSpectra(si, 2, sfs, spectra)
+    val dec = Mp3.decodeSpectra(payload, 2, 0).get
+    val x = dec(0)(0)
+    assert(x.blockType == 2 && x.mixed)
+    assert(dec(1)(0).blockType == 3 && !dec(1)(0).mixed)
+    // long half: in place, pretab boost with preflag=1
+    val bands = Array(0, 4, 8, 12, 16, 20, 24, 30, 36)
+    val pretab = Array(0, 0, 0, 0, 0, 0, 0, 0)
+    for (i <- 0 until 36 if x.is(i) != 0) {
+      val b = bands.lastIndexWhere(_ <= i)
+      val exp = 0.25 * (180 - 210) - 0.5 * (sfs(0)(0)(b) + 1 * pretab(b))
+      val want = math.signum(x.is(i).toDouble) *
+        math.pow(math.abs(x.is(i)).toDouble, 4.0 / 3.0) * math.pow(2.0, exp)
+      assert(x.xr(i) == want, s"mixed long half differs at $i")
+    }
+    // short half: transmission index maps through (band, window, line)
+    val bS = Array(0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192)
+    for (src <- 36 until 56 if x.is(src) != 0) {
+      val s = bS.indices.dropRight(1).filter(b => 3 * bS(b) <= src).max
+      val width = bS(s + 1) - bS(s)
+      val off = src - 3 * bS(s)
+      val w = off / width; val l = off % width
+      val j = bS(s) + l
+      val t = 18 * (j / 6) + 6 * w + (j % 6)
+      val exp = 0.25 * (180 - 210 - 8 * ((id + 2 * w) % 4).toInt) -
+        0.5 * sfs(0)(0)(8 + (s - 3) * 3 + w)
+      val want = math.signum(x.is(src).toDouble) *
+        math.pow(math.abs(x.is(src)).toDouble, 4.0 / 3.0) * math.pow(2.0, exp)
+      assert(x.xr(t) == want, s"mixed short half differs at src $src -> t $t")
+    }
+  }
+
+  test("mp3 short/mixed PCM: deterministic 1152 samples per channel; stream decode threads state; fuzz") {
+    import graft.multimodal.Mp3
+    val (si, sfs, sp) = mp3ShortFrameSpec(2L)
+    val payload = Mp3.encodeSpectra(si, 2, sfs, sp)
+    val frame = Mp3.encodeMp3(1, 9, 0, java.util.Arrays.copyOf(payload, 413))
+    val stream = Mp3.parseMp3(frame).get
+    val pcm = Mp3.decodePcm(stream.framePayloads.head, 2, 0).get
+    assert(pcm.length == 2 && pcm.forall(_.length == 1152))
+    assert(pcm(0).exists(_ != 0.0))
+    val again = Mp3.decodePcm(stream.framePayloads.head, 2, 0).get
+    for (c <- 0 until 2) assert(pcm(c).sameElements(again(c)))
+    val viaStream = Mp3.decodePcmStream(stream, 0).get
+    for (c <- 0 until 2) assert(viaStream(c).sameElements(pcm(c)))
+    val rnd = new scala.util.Random(31)
+    for (_ <- 0 until 200) {
+      val c = frame.clone()
+      val bit = rnd.nextInt(c.length * 8)
+      c(bit >> 3) = (c(bit >> 3) ^ (1 << (7 - (bit & 7)))).toByte
+      Mp3.parseMp3(c).foreach { s =>
+        Mp3.decodePcm(s.framePayloads.head, 2, 0) // Option contract
+      }
+    }
+  }
+
+  test("mp3 short strictness: scfsi into a short granule rejects; MS across differing block types rejects") {
+    import graft.multimodal.Mp3
+    val (si, sfs, sp) = mp3ShortFrameSpec(1L)
+    val payload = Mp3.encodeSpectra(si, 2, sfs, sp)
+    // granule 1 is short -> no defined scfsi sharing: flip the first
+    // scfsi bit of ch 0 in the packed payload (bit 12 = mdb 9 + private 3)
+    val c = payload.clone()
+    c(12 >> 3) = (c(12 >> 3) | (1 << (7 - (12 & 7)))).toByte
+    assert(Mp3.decodeSpectra(c, 2, 0).isEmpty, "scfsi into short granule accepted")
+    // MS stereo with per-channel block types differing: granule 0 ch 1
+    // long vs ch 0 start-window
+    // region0Count 7 puts the region boundary at sample 36 like the
+    // window-switched fixture, so the same value formula stays codable
+    val giLong = Mp3.GranuleInfo(0, si.granules(0)(1).bigValues,
+      si.granules(0)(1).globalGain, 9, windowSwitching = false,
+      blockType = 0, mixedBlock = false, Seq(4, 14, 0), Nil, 7, 0,
+      0, si.granules(0)(1).scalefacScale, si.granules(0)(1).count1TableSelect)
+    val mixedSi = si.copy(granules = Seq(
+      Seq(si.granules(0)(0), giLong), si.granules(1)))
+    val mixedSfs = Seq(Seq(sfs(0)(0), Array.tabulate(21)(b => ((1L + b) % 4).toInt)),
+      sfs(1))
+    val p2 = Mp3.encodeSpectra(mixedSi, 2, mixedSfs, sp)
+    assert(Mp3.decodePcm(p2, 2, 0, msStereo = true).isEmpty,
+      "MS across differing block types accepted")
+    assert(Mp3.decodePcm(p2, 2, 0).isDefined, "non-MS decode should still work")
+  }
+
+  test("mp3 window formulas: start/stop windows match the spec piecewise; imdct12x3 zero/linearity") {
+    import graft.multimodal.Mp3
+    for (i <- 0 until 36) {
+      val w1 = Mp3.longWindow(1, i)
+      val w3 = Mp3.longWindow(3, i)
+      if (i < 18) assert(w1 == math.sin(math.Pi / 36 * (i + 0.5)))
+      else if (i < 24) assert(w1 == 1.0)
+      else if (i < 30) assert(w1 == math.sin(math.Pi / 12 * (i - 18 + 0.5)))
+      else assert(w1 == 0.0)
+      if (i < 6) assert(w3 == 0.0)
+      else if (i < 12) assert(w3 == math.sin(math.Pi / 12 * (i - 6 + 0.5)))
+      else if (i < 18) assert(w3 == 1.0)
+      else assert(w3 == math.sin(math.Pi / 36 * (i + 0.5)))
+    }
+    val zero = Mp3.imdct12x3(new Array[Double](576), 0)
+    assert(zero.forall(_ == 0.0))
+    val x = Array.tabulate(576)(i => if (i < 18) (i + 1).toDouble else 0.0)
+    val z1 = Mp3.imdct12x3(x, 0)
+    val z2 = Mp3.imdct12x3(x.map(_ * 2.0), 0)
+    assert((0 until 36).forall(i => math.abs(z2(i) - 2 * z1(i)) < 1e-12))
+    assert((0 until 6).forall(i => z1(i) == 0.0) &&
+      (30 until 36).forall(i => z1(i) == 0.0), "short composite edges must be zero")
+  }
+
   test("mp3 stream decode rejects a granule walk overrunning its own slot region (r14 ADVICE)") {
     import graft.multimodal.Mp3
     // 32 kbps frames: flen = 104, slot region = 68 bytes per frame. Frame
