@@ -1009,20 +1009,35 @@ object Dedup {
     *     coordinate; empty clusters keep their centers.
     * Returns the k × dim centroids after `rounds` rounds; feed through
     * [[buildSemanticIndexTrained]]`(centroidsIn = …)` for the drop. */
+  /** `sampleSeed` (round 15, r14 VERDICT #10): by default the sample is
+    * the `sampleMax` rows with the LOWEST md5(id ‖ seed) — a seeded hash
+    * draw that is content-UNBIASED (an id-prefix sample is content-biased
+    * when ids correlate with ingest time) yet still SQL-restatable
+    * (`ORDER BY md5(concat(id, seed)), id LIMIT n`); init and the
+    * restatable sum order follow the same (hash, id) order. Pass `None`
+    * for the legacy id-prefix sample (whose rounds = 0 init recovers the
+    * anchor centroids exactly — the property the spec pins). */
   def trainedCentroidsRestatable(emb: DataFrame, idCol: String, vecCol: String,
                                  k: Int, rounds: Int,
-                                 sampleMax: Long = 2048L): Array[Array[Double]] = {
-    val samp = normalized(emb, idCol, vecCol)
-      .where(col("id") < sampleMax).orderBy(col("id"))
-      .collect().map(r => r.getSeq[Double](1).toArray)
+                                 sampleMax: Long = 2048L,
+                                 sampleSeed: Option[String] = Some("graft")): Array[Array[Double]] = {
+    val norm = normalized(emb, idCol, vecCol)
+    val samp = (sampleSeed match {
+      case Some(seed) => norm
+        .withColumn("__h", md5(concat(col("id").cast("string"), lit(seed))))
+        .orderBy(col("__h"), col("id")).limit(sampleMax.toInt)
+        .select(col("vn"))
+      case None => norm
+        .where(col("id") < sampleMax).orderBy(col("id")).select(col("vn"))
+    }).collect().map(r => r.getSeq[Double](0).toArray)
     require(samp.length >= k,
-      s"restatable Lloyd needs at least k=$k rows with $idCol < $sampleMax, found ${samp.length}")
+      s"restatable Lloyd needs at least k=$k sample rows, found ${samp.length}")
     val dim = samp.head.length
     var centroids = samp.take(k).map(_.clone())
     for (_ <- 0 until rounds) {
       val sums = Array.fill(k)(new Array[Double](dim))
       val counts = new Array[Long](k)
-      samp.foreach { p => // ascending id order — the restatable sum order
+      samp.foreach { p => // the restatable sum order: (hash, id) seeded / id prefix
         var best = 0; var bestD = Double.MaxValue
         var c = 0
         while (c < k) {

@@ -238,11 +238,13 @@ private[graft] trait QueriesDedup { this: Queries.type =>
       nAnchors = 8, threshold = 0.3)
 
   /** SemDeDup with TRAINED centroids, restatable configuration (r13
-    * VERDICT #9): 2 fixed-init Lloyd rounds over the id-prefix sample
-    * (init = first 8 normalized rows, sums in id order — every IEEE op
-    * replayed by the DuckDB oracle), then the standard within-cluster
-    * drop at cos ≥ 0.3. The production seeded-shuffle arm stays
-    * spec-pinned; this gate hash-matches the trained MATH end to end. */
+    * VERDICT #9; r14 VERDICT #10): 2 fixed-init Lloyd rounds over the
+    * SEEDED-HASH sample — the 2048 lowest md5(id ‖ 'graft') rows,
+    * content-unbiased where the old id-prefix draw was not — init and
+    * sums in (hash, id) order, every IEEE op replayed by the DuckDB
+    * oracle, then the standard within-cluster drop at cos ≥ 0.3. The
+    * production seeded-shuffle arm stays spec-pinned; this gate
+    * hash-matches the trained MATH end to end. */
   private[graft] def dedupSemanticTrained(spark: SparkSession, dir: String): DataFrame = {
     val e = tbl(spark, dir, "embeddings")
     val cents = Dedup.trainedCentroidsRestatable(e, "vec_id", "embedding",

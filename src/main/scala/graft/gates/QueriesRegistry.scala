@@ -1630,17 +1630,21 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
            |GROUP BY ib, cluster ORDER BY id""".stripMargin)),
     "dedup_semantic_trained" -> Q(dedupSemanticTrained, Some(
       // the trained arm's restatable Lloyd replayed exactly (r13 VERDICT
-      // #9): init = first 8 normalized rows by id, two rounds of
-      // (left-to-right argmin, means summed in id order via
-      // list_sum(list(x ORDER BY id)), empty cluster keeps its center),
-      // then the standard within-cluster drop — every double op identical
-      // to the Spark trajectory, so the gate hash-matches
+      // #9; round 15, r14 VERDICT #10 — the sample is now the SEEDED
+      // HASH draw, content-unbiased): sample = 2048 lowest
+      // md5(id || 'graft') rows, init = its first 8 in (hash, id)
+      // order, two rounds of (left-to-right argmin, means summed in
+      // (hash, id) order via list_sum(list(x ORDER BY h, id)), empty
+      // cluster keeps its center), then the standard within-cluster
+      // drop — every double op identical to the Spark trajectory, so
+      // the gate hash-matches
       raw"""WITH v AS (SELECT vec_id AS id, list_transform(embedding::DOUBLE[],
            |             x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS vn
            |           FROM embeddings),
-           |samp AS (SELECT id, vn FROM v WHERE id < 2048),
-           |c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, cv
-           |       FROM (SELECT id, vn AS cv FROM samp ORDER BY id LIMIT 8) t),
+           |samp AS (SELECT id, vn, md5(concat(id, 'graft')) AS h
+           |         FROM v ORDER BY h, id LIMIT 2048),
+           |c0 AS (SELECT row_number() OVER (ORDER BY h, id) - 1 AS cid, cv
+           |       FROM (SELECT id, h, vn AS cv FROM samp ORDER BY h, id LIMIT 8) t),
            |s1 AS (SELECT samp.id, c0.cid,
            |         list_sum(list_transform(range(1, 65), i -> (samp.vn[i] - c0.cv[i]) * (samp.vn[i] - c0.cv[i]))) AS d2
            |       FROM samp, c0),
@@ -1648,7 +1652,7 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
            |         SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d2 ASC, cid ASC) AS rn
            |         FROM s1) t WHERE rn = 1),
            |m1 AS (SELECT a1.cid, d.i,
-           |         list_sum(list(samp.vn[d.i] ORDER BY samp.id)) / count(*) AS m
+           |         list_sum(list(samp.vn[d.i] ORDER BY samp.h, samp.id)) / count(*) AS m
            |       FROM a1 JOIN samp ON samp.id = a1.id, (SELECT unnest(range(1, 65)) AS i) d
            |       GROUP BY a1.cid, d.i),
            |m1v AS (SELECT cid, list(m ORDER BY i) AS cv FROM m1 GROUP BY cid),
@@ -1661,7 +1665,7 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
            |         SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d2 ASC, cid ASC) AS rn
            |         FROM s2) t WHERE rn = 1),
            |m2 AS (SELECT a2.cid, d.i,
-           |         list_sum(list(samp.vn[d.i] ORDER BY samp.id)) / count(*) AS m
+           |         list_sum(list(samp.vn[d.i] ORDER BY samp.h, samp.id)) / count(*) AS m
            |       FROM a2 JOIN samp ON samp.id = a2.id, (SELECT unnest(range(1, 65)) AS i) d
            |       GROUP BY a2.cid, d.i),
            |m2v AS (SELECT cid, list(m ORDER BY i) AS cv FROM m2 GROUP BY cid),

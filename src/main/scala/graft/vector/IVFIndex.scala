@@ -68,11 +68,17 @@ final class IVFIndex(val centroids: Array[(Int, Array[Double])],
     * replication paid), Zipf-clustered ones to the actual skew ratio,
     * capped at the parallelism (finer splits than cores cannot help).
     * Results are bit-identical at any value; this only repartitions. */
+  /** Per-cluster row counts of the assignment frame — ≤ nlist rows,
+    * computed once per index (shared by [[autoSaltBuckets]] and the
+    * batch-derived salt, round 15). */
+  lazy val clusterHistogram: Map[Int, Long] =
+    assignments.groupBy(col("cluster")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
   lazy val autoSaltBuckets: Int = {
     val p = math.max(1,
       assignments.sparkSession.sparkContext.defaultParallelism)
-    val counts = assignments.groupBy(col("cluster")).count()
-      .collect().map(_.getLong(1))
+    val counts = clusterHistogram.values.toArray
     val s = IVFIndex.saltForHistogram(counts, p)
     if (s > 1)
       System.err.println(s"[ivf.salt] skew-derived saltBuckets=$s " +
@@ -109,7 +115,9 @@ final class IVFIndex(val centroids: Array[(Int, Array[Double])],
     * Output contract matches [[ExactKNN.topKBatch]]: (qid, id, score),
     * exact within the probed clusters; nprobe = nlist recovers the exact
     * batch scan bit-for-bit. `saltBuckets`: 1 = unsalted, 0 = derive from
-    * the assignment histogram ([[autoSaltBuckets]]), > 1 = explicit. */
+    * the assignment histogram ([[autoSaltBuckets]] — corpus-as-batch
+    * skew), -1 = derive from the BATCH's probe-cluster histogram (the
+    * external-query-batch dial, round 15), > 1 = explicit. */
   def searchBatch(queries: DataFrame, qidCol: String, qvecCol: String,
                   k: Int, nprobe: Int,
                   metric: ExactKNN.Metric = ExactKNN.L2Sq,
@@ -154,10 +162,33 @@ final class IVFIndex(val centroids: Array[(Int, Array[Double])],
     val ranked = q.crossJoin(broadcast(cents))
       .select(col("qid"), col("__qv"), col("cluster"),
         graft.expr.VectorExpr.squaredL2(col("__qv"), col("centroid")).as("__cd"))
-    val probed = graft.plans.TopK.perKey(ranked, Seq("qid"),
+    val probed0 = graft.plans.TopK.perKey(ranked, Seq("qid"),
         Seq("__cd" -> false, "cluster" -> false), math.max(1, nprobe))
       .select(col("qid"), col("__qv"), col("cluster"))
-    val salt = if (saltBuckets == 0) autoSaltBuckets else saltBuckets
+    // saltBuckets = -1 (round 15, r14 VERDICT #6): derive the salt from
+    // the BATCH's probe-cluster histogram instead of the corpus's.
+    // autoSaltBuckets (0) models corpus-as-batch skew — each cell's pair
+    // block |c|² — which is blind to an EXTERNAL query batch whose skew
+    // differs from the corpus's: the true block is q_c × |c| (probe rows
+    // landing in cell c × cell size). One extra ≤ nlist-row count on the
+    // probed frame (persisted so the count and the join share the ranked
+    // topk work) prices it exactly; a batch that probes no hot cell pays
+    // zero replication even on a skewed corpus, and vice versa.
+    val (probed, salt) =
+      if (saltBuckets == -1) {
+        val p = probed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val qc = p.groupBy(col("cluster")).count()
+          .collect().map(r => (r.getInt(0), r.getLong(1)))
+        val par = math.max(1, spark.sparkContext.defaultParallelism)
+        val blocks = qc.map { case (c, q) => (q, clusterHistogram.getOrElse(c, 0L)) }
+        val s = IVFIndex.saltForBlocks(blocks, par)
+        if (s > 1)
+          System.err.println(s"[ivf.salt] batch-derived saltBuckets=$s " +
+            s"(hottest probed block ${if (blocks.isEmpty) 0L else
+              blocks.map(b => b._1 * b._2).max} pair candidates, " +
+            s"parallelism $par)")
+        (p: DataFrame, s)
+      } else (probed0, if (saltBuckets == 0) autoSaltBuckets else saltBuckets)
     if (salt <= 1) {
       val probedSide = if (broadcastQueries) broadcast(probed) else probed
       assignments.join(probedSide, Seq("cluster"))
@@ -295,6 +326,21 @@ object IVFIndex {
     if (share <= 0.0) 1
     else math.min(math.max(1, parallelism),
       math.max(1, math.ceil(sq.max / share).toInt))
+  }
+
+  /** The BATCH-aware sizing rule (round 15, r14 VERDICT #6): `blocks` =
+    * (probe rows landing in the cell, cell rows) per probed cluster —
+    * the candidate join puts q_c × |c| pairs of cell c on ONE task.
+    * Same smallest-split-under-the-balanced-share rule as
+    * [[saltForHistogram]] (which is the q_c = |c| corpus-as-batch
+    * special case), capped at the parallelism. */
+  def saltForBlocks(blocks: Array[(Long, Long)], parallelism: Int): Int = {
+    if (blocks.length <= 1) return 1
+    val work = blocks.map { case (q, c) => q.toDouble * c.toDouble }
+    val share = work.sum / math.max(1, parallelism)
+    if (share <= 0.0) 1
+    else math.min(math.max(1, parallelism),
+      math.max(1, math.ceil(work.max / share).toInt))
   }
 
   /** Effective cluster count after the reference's tiny-dataset shrink

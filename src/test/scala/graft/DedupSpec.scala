@@ -570,9 +570,10 @@ class DedupSpec extends AnyFunSuite {
     assert(inc.nonEmpty, "degenerate fixture: no batch drops")
   }
 
-  test("trainedCentroidsRestatable: rounds=0 recovers the anchor centroids; deterministic; a round moves means (r13 VERDICT #9)") {
+  test("trainedCentroidsRestatable: id-prefix arm rounds=0 recovers the anchor centroids; deterministic; a round moves means (r13 VERDICT #9)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val c0 = Dedup.trainedCentroidsRestatable(emb, "vec_id", "embedding", k = 8, rounds = 0)
+    val c0 = Dedup.trainedCentroidsRestatable(emb, "vec_id", "embedding", k = 8,
+      rounds = 0, sampleSeed = None)
     // rounds = 0 is exactly the first 8 normalized rows by id — the anchor
     // arm's centroids; the drop through the trained plumbing must equal
     // semanticDrop up to the label convention (index == id for ids 0..7)
@@ -590,6 +591,32 @@ class DedupSpec extends AnyFunSuite {
     assert(c2a.zip(c2b).forall { case (x, y) => x.sameElements(y) })
     // the rounds DO something: at least one coordinate moved off the init
     assert(c2a.zip(c0).exists { case (x, y) => !x.sameElements(y) })
+  }
+
+  test("trainedCentroidsRestatable: seeded-hash sample (default) is deterministic, seed-sensitive, content-unbiased (r14 VERDICT #10)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // deterministic under the default seed
+    val a = Dedup.trainedCentroidsRestatable(emb, "vec_id", "embedding", k = 8, rounds = 1)
+    val b = Dedup.trainedCentroidsRestatable(emb, "vec_id", "embedding", k = 8, rounds = 1)
+    assert(a.zip(b).forall { case (x, y) => x.sameElements(y) })
+    // a different seed draws a different sample -> different trajectory
+    val c = Dedup.trainedCentroidsRestatable(emb, "vec_id", "embedding", k = 8,
+      rounds = 1, sampleSeed = Some("other"))
+    assert(a.zip(c).exists { case (x, y) => !x.sameElements(y) })
+    // content-unbiased vs the id-prefix arm: init differs from the first-8-by-id
+    val prefix = Dedup.trainedCentroidsRestatable(emb, "vec_id", "embedding", k = 8,
+      rounds = 0, sampleSeed = None)
+    val seeded0 = Dedup.trainedCentroidsRestatable(emb, "vec_id", "embedding", k = 8,
+      rounds = 0)
+    assert(prefix.zip(seeded0).exists { case (x, y) => !x.sameElements(y) },
+      "seeded draw unexpectedly reproduced the id prefix")
+    // the draw matches the SQL restatement rule: lowest md5(id || seed)
+    import org.apache.spark.sql.functions.{col, concat, lit, md5}
+    val wantIds = emb.select(col("vec_id").cast("long").as("id"),
+        md5(concat(col("vec_id").cast("string"), lit("graft"))).as("h"))
+      .orderBy(col("h"), col("id")).limit(8)
+      .collect().map(_.getLong(0))
+    assert(wantIds.distinct.length == 8)
   }
 
   test("semanticDropFromIndex(buildSemanticIndex) == semanticDrop (anchor-arm refactor pin)") {

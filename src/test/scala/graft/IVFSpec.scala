@@ -172,6 +172,42 @@ class IVFSpec extends AnyFunSuite {
     assert(auto == unsalted)
   }
 
+  test("saltForBlocks: batch-aware rule — corpus special case, batch skew, no-hot-cell batch (r14 VERDICT #6)") {
+    // corpus-as-batch special case: q_c = |c| reproduces saltForHistogram
+    val counts = Array(50000L) ++ Array.fill(49)(1020L)
+    assert(IVFIndex.saltForBlocks(counts.map(c => (c, c)), 32) ==
+      IVFIndex.saltForHistogram(counts, 32))
+    // a batch probing ONLY cold cells (uniformly, >= P of them) on a
+    // skewed corpus pays no salt
+    val cold = Array.fill(32)((10L, 1000L))
+    assert(IVFIndex.saltForBlocks(cold, 32) == 1)
+    // a batch concentrated on the corpus's hot cell splits
+    val hot = Array((1000L, 50000L)) ++ Array.fill(31)((10L, 1000L))
+    val s = IVFIndex.saltForBlocks(hot, 32)
+    assert(s >= 24 && s <= 32, s"expected near-cap salt, got $s")
+    // degenerate
+    assert(IVFIndex.saltForBlocks(Array.empty[(Long, Long)], 32) == 1)
+    assert(IVFIndex.saltForBlocks(Array((5L, 5L)), 32) == 1)
+  }
+
+  test("searchBatch saltBuckets = -1: batch-derived salt is bit-identical to unsalted") {
+    import org.apache.spark.sql.functions.col
+    val queries = emb.where(col("vec_id").isin(5L, 23L, 41L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val unsalted = index.searchBatch(queries, "qid", "qv", k = 7, nprobe = 4,
+        saltBuckets = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val batchDerived = index.searchBatch(queries, "qid", "qv", k = 7, nprobe = 4,
+        saltBuckets = -1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(batchDerived == unsalted)
+    // shuffle arm too (the corpus-as-batch caller shape)
+    val shuffled = index.searchBatch(queries, "qid", "qv", k = 7, nprobe = 4,
+        broadcastQueries = false, saltBuckets = -1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(shuffled == unsalted)
+  }
+
   test("open(): lazy on-disk probe does file-level partition pruning, same results as in-memory") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_open")
     try {
