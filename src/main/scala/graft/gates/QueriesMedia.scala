@@ -604,6 +604,78 @@ private[graft] trait QueriesMedia { this: Queries.type =>
     graft.multimodal.Multimodal.aacCpePcm(aacCpeAssets(spark, dir, 6))
       .toDF().orderBy(col("id"), col("channel"))
 
+  /** Hand-assembled WINDOW-SWITCHED ADTS streams (round 15 — r14
+    * VERDICT's largest remaining codec gap): three SCE frames per id,
+    * LONG_START → EIGHT_SHORT → LONG_STOP, every value closed-form so
+    * the oracle restates the whole switched chain:
+    *  long frames f ∈ {0, 2}, off = f/2:
+    *   maxSfb = 6 + id%3;  gg = 96 + (id + 3·off)%8
+    *   sectCb(s) = 0 if (id+s+off)%3 = 0 else 12
+    *   sf(s) = gg + (id + 3s + off)%9 − 4   (coded bands)
+    *   q(i)  = ±((id+i+off)%3), negative iff (id+i+off)%5 < 2
+    *  short frame (frame 1):
+    *   groupLen by id%3: [8] / [1,2,5] / [2,2,2,2];  maxSfb = 4 + id%3
+    *   gg = 100 + id%6;  sectCb(g,s) = 0 if (id+g+s)%3 = 0 else 12
+    *   sf(g,s) = gg + (id + 3s + 2g)%9 − 4
+    *   q(i window-major) = ±((id+i)%3), negative iff (id+i)%5 < 2,
+    *   coded (group-of-window, sfb-of-bin) only. */
+  private[graft] def aacShortAssets(spark: SparkSession, dir: String, nIds: Int) = {
+    import spark.implicits._
+    val src = docsTbl(spark, dir).where(col("doc_id") < nIds)
+      .select(col("doc_id")).as[Long]
+    src.mapPartitions(_.map { id =>
+      def longFrame(seq: Int, off: Int): Array[Byte] = {
+        val maxSfb = (6 + id % 3).toInt
+        val gg = (96 + (id + 3 * off) % 8).toInt
+        val sectCb = Array.tabulate(maxSfb)(s => if ((id + s + off) % 3 == 0) 0 else 12)
+        val sf = Array.tabulate(maxSfb)(s =>
+          if (sectCb(s) == 0) 0 else gg + ((id + 3 * s + off) % 9).toInt - 4)
+        val quant = Array.tabulate(1024) { i =>
+          val s = i / 32
+          if (s >= maxSfb || sectCb(s) == 0) 0
+          else {
+            val mag = ((id + i + off) % 3).toInt
+            if (mag != 0 && (id + i + off) % 5 < 2) -mag else mag
+          }
+        }
+        graft.multimodal.Aac.encodeSceWin(
+          graft.multimodal.Aac.IcsInfo(seq, maxSfb, Array(1)), gg,
+          Array(sectCb), Array(sf), quant)
+      }
+      val groupLen = (id % 3).toInt match {
+        case 0 => Array(8)
+        case 1 => Array(1, 2, 5)
+        case _ => Array(2, 2, 2, 2)
+      }
+      val info = graft.multimodal.Aac.IcsInfo(2, (4 + id % 3).toInt, groupLen)
+      val gg1 = (100 + id % 6).toInt
+      val sectCb = Array.tabulate(info.numGroups, info.maxSfb)((g, s) =>
+        if ((id + g + s) % 3 == 0) 0 else 12)
+      val sf = Array.tabulate(info.numGroups, info.maxSfb)((g, s) =>
+        if (sectCb(g)(s) == 0) 0 else gg1 + ((id + 3 * s + 2 * g) % 9).toInt - 4)
+      val grpOfWin = groupLen.zipWithIndex.flatMap { case (l, g) => Seq.fill(l)(g) }
+      val quant = Array.tabulate(1024) { i =>
+        val s = (i % 128) / 8; val g = grpOfWin(i / 128)
+        if (s >= info.maxSfb || sectCb(g)(s) == 0) 0
+        else {
+          val mag = ((id + i) % 3).toInt
+          if (mag != 0 && (id + i) % 5 < 2) -mag else mag
+        }
+      }
+      val shortFrame = graft.multimodal.Aac.encodeSceWin(info, gg1,
+        sectCb.map(_.toArray), sf.map(_.toArray), quant)
+      val bytes =
+        graft.multimodal.Aac.encodeFrame(1, 4, 1, longFrame(1, 0)) ++
+        graft.multimodal.Aac.encodeFrame(1, 4, 1, shortFrame) ++
+        graft.multimodal.Aac.encodeFrame(1, 4, 1, longFrame(3, 1))
+      graft.multimodal.Multimodal.Asset(id, "audio", bytes, 0, 0)
+    })
+  }
+
+  private[graft] def multimodalAacShort(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.aacPcmStream(aacShortAssets(spark, dir, 5))
+      .toDF().orderBy(col("id"))
+
   private[graft] def multimodalAacSpectra(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.Multimodal.aacSpectra(aacSceAssets(spark, dir, 50))
       .toDF().orderBy(col("id"))

@@ -971,6 +971,88 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
            |FROM qagg q JOIN pagg a ON q.id = a.id AND q.ch = a.ch
            |JOIN par p2 ON p2.id = q.id
            |ORDER BY q.id, q.ch""".stripMargin)),
+    "multimodal_aac_short" -> Q(multimodalAacShort, Some(
+      // restates aacShortAssets' WINDOW-SWITCHED stream end to end
+      // (round 15 — the r14 VERDICT's largest remaining codec gap):
+      // per-frame dequantization (long layout for the START/STOP
+      // frames, grouped window-major for the EIGHT_SHORT frame), the
+      // 2048-point IMDCT under the LONG_START/LONG_STOP transition
+      // windows, eight 256-point IMDCTs short-sine-windowed and
+      // overlap-added at 448 + 128w, the cross-frame overlap-add
+      // out_f(n) = z_f(n) + z_{f−1}(n+1024), and the floor-form 16-bit
+      // quantizer — integer aggregates absorb the ~1-ulp libm noise
+      raw"""WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 5),
+           |par AS (SELECT id, 6 + id % 3 AS msl, 4 + id % 3 AS mss,
+           |               96 + id % 8 AS gg0, 96 + (id + 3) % 8 AS gg2,
+           |               100 + id % 6 AS gg1 FROM ids),
+           |lco AS (SELECT p.id, f.f, d.i,
+           |          (CASE WHEN (p.id + d.i + f.f) % 5 < 2 THEN -1 ELSE 1 END) * ((p.id + d.i + f.f) % 3) AS q,
+           |          (CASE WHEN f.f = 0 THEN p.gg0 ELSE p.gg2 END)
+           |            + (p.id + 3*(d.i // 32) + f.f) % 9 - 4 AS sf
+           |        FROM par p, (SELECT unnest([0, 1]) AS f) f,
+           |             (SELECT unnest(range(0, 1024)) AS i) d
+           |        WHERE d.i < 32 * p.msl AND (p.id + d.i // 32 + f.f) % 3 != 0),
+           |lnz AS (SELECT id, f, list(struct_pack(k := i,
+           |            v := sign(q) * pow(abs(q), 4.0/3.0) * pow(2.0, 0.25*(sf - 100))) ORDER BY i) AS l
+           |        FROM lco WHERE q != 0 GROUP BY id, f),
+           |lz AS (SELECT z.id, z.f, d.n,
+           |         (CASE WHEN z.f = 0 THEN
+           |            CASE WHEN d.n < 1024 THEN sin(pi()/2048*(d.n + 0.5))
+           |                 WHEN d.n < 1472 THEN 1.0
+           |                 WHEN d.n < 1600 THEN sin(pi()/256*(d.n - 1472 + 128 + 0.5))
+           |                 ELSE 0.0 END
+           |          ELSE
+           |            CASE WHEN d.n < 448 THEN 0.0
+           |                 WHEN d.n < 576 THEN sin(pi()/256*(d.n - 448 + 0.5))
+           |                 WHEN d.n < 1024 THEN 1.0
+           |                 ELSE sin(pi()/2048*(d.n + 0.5)) END
+           |          END)
+           |         * (list_sum(list_transform(z.l, s ->
+           |              s.v * cos(pi()/1024.0 * (d.n + 512.5) * (s.k + 0.5)))) / 1024.0) AS z
+           |       FROM lnz z, (SELECT unnest(range(0, 2048)) AS n) d),
+           |lz0 AS (SELECT id, list(z ORDER BY n) AS zl FROM lz WHERE f = 0 GROUP BY id),
+           |lz2 AS (SELECT id, list(z ORDER BY n) AS zl FROM lz WHERE f = 1 GROUP BY id),
+           |sgw AS (SELECT p.id, w.w,
+           |          CASE WHEN p.id % 3 = 0 THEN 0
+           |               WHEN p.id % 3 = 1 THEN (CASE WHEN w.w = 0 THEN 0 WHEN w.w <= 2 THEN 1 ELSE 2 END)
+           |               ELSE w.w // 2 END AS g
+           |        FROM par p, (SELECT unnest(range(0, 8)) AS w) w),
+           |sco AS (SELECT p.id, g.w, d.j,
+           |          (CASE WHEN (p.id + 128*g.w + d.j) % 5 < 2 THEN -1 ELSE 1 END) * ((p.id + 128*g.w + d.j) % 3) AS q,
+           |          p.gg1 + (p.id + 3*(d.j // 8) + 2*g.g) % 9 - 4 AS sf
+           |        FROM par p JOIN sgw g ON g.id = p.id,
+           |             (SELECT unnest(range(0, 128)) AS j) d
+           |        WHERE d.j // 8 < p.mss AND (p.id + g.g + d.j // 8) % 3 != 0),
+           |snz AS (SELECT id, w, list(struct_pack(k := j,
+           |            v := sign(q) * pow(abs(q), 4.0/3.0) * pow(2.0, 0.25*(sf - 100))) ORDER BY j) AS l
+           |        FROM sco WHERE q != 0 GROUP BY id, w),
+           |sz AS (SELECT z.id, 448 + 128*z.w + d.k AS n,
+           |         sin(pi()/256*(d.k + 0.5)) *
+           |         (list_sum(list_transform(z.l, s ->
+           |            s.v * cos(pi()/128.0 * (d.k + 64.5) * (s.k + 0.5)))) / 128.0) AS zz
+           |       FROM snz z, (SELECT unnest(range(0, 256)) AS k) d),
+           |sz1 AS (SELECT id, n, sum(zz) AS z FROM sz GROUP BY id, n),
+           |szl AS (SELECT i.id, list(COALESCE(s.z, 0.0) ORDER BY d.n) AS zl
+           |        FROM ids i CROSS JOIN (SELECT unnest(range(0, 2048)) AS n) d
+           |        LEFT JOIN sz1 s ON s.id = i.id AND s.n = d.n
+           |        GROUP BY i.id),
+           |pcm AS (SELECT a.id, d.p,
+           |          greatest(-32768, least(32767, CAST(floor((
+           |            CASE WHEN d.p < 1024 THEN a0.zl[d.p + 1]
+           |                 WHEN d.p < 2048 THEN s.zl[d.p - 1024 + 1] + a0.zl[d.p + 1]
+           |                 ELSE a2.zl[d.p - 2048 + 1] + s.zl[d.p - 1024 + 1] END
+           |            ) * 32768.0 + 0.5) AS BIGINT))) AS v
+           |        FROM ids a
+           |        JOIN lz0 a0 ON a0.id = a.id
+           |        JOIN lz2 a2 ON a2.id = a.id
+           |        JOIN szl s ON s.id = a.id,
+           |             (SELECT unnest(range(0, 3072)) AS p) d)
+           |SELECT id, 3::INT AS n_frames, count(*) AS n_samples,
+           |  CAST(sum(CASE WHEN v = 32767 OR v = -32768 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           |  CAST(sum(CASE WHEN v != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonzero,
+           |  CAST(sum(v) AS BIGINT) AS sum_pcm, CAST(sum(abs(v)) AS BIGINT) AS abs_pcm,
+           |  CAST(sum(v * (p + 1)) AS BIGINT) AS wsum_pcm
+           |FROM pcm GROUP BY id ORDER BY id""".stripMargin)),
     "multimodal_aac_codebook" -> Q(multimodalAacCodebook, Some(
       // the caller-supplied-book contract: decode-with succeeds (integer
       // checksums over the escape-bearing formula spectrum), strict

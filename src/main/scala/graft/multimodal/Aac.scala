@@ -224,6 +224,12 @@ object Aac {
     * corpora). */
   val fixtureBandsLong: Array[Int] = Array.tabulate(33)(_ * 32)
 
+  /** Fixture SHORT-window band map (round 15 — EIGHT_SHORT frames): 16
+    * uniform 8-sample scalefactor bands over each 128-line short
+    * spectrum (the per-rate Table 4.5.x short boundaries are
+    * transcription data; supply them via [[parseAacShortBandsSpec]]). */
+  val fixtureBandsShort: Array[Int] = Array.tabulate(17)(_ * 8)
+
   /** One decoded SCE channel: per-sfb codebook ids and scalefactors,
     * the 1024 quantized integers, and the dequantized spectrum. */
   final case class AacChannel(globalGain: Int, maxSfb: Int,
@@ -243,103 +249,205 @@ object Aac {
     throw new IllegalArgumentException(s"unmatched $what code '${sb.toString}'")
   }
 
-  private def checkBands(bands: Array[Int]): Unit =
-    require(bands.length >= 2 && bands.head == 0 && bands.last <= 1024 &&
+  private def checkBands(bands: Array[Int], limit: Int = 1024): Unit =
+    require(bands.length >= 2 && bands.head == 0 && bands.last <= limit &&
       bands.sliding(2).forall(w => w(0) < w(1)), "malformed band map")
 
-  /** ics_info (§8.3.2) for the supported scope: long sine windows, no
-    * predictor. Returns max_sfb; throws on every seam. */
-  private def readIcsInfo(r: BitReader, bands: Array[Int]): Int = {
-    require(r.read(1) == 0, "ics_reserved_bit set")
-    require(r.read(2) == 0, "window_sequence: only ONLY_LONG_SEQUENCE in scope")
-    require(r.read(1) == 0, "window_shape: KBD out of scope (sine only)")
-    val maxSfb = r.read(6)
-    require(maxSfb <= bands.length - 1, s"max_sfb $maxSfb exceeds band map")
-    require(r.read(1) == 0, "predictor_data_present out of scope")
-    maxSfb
+  /** §8.3.2 ics_info for the supported window scope (round 15 — all
+    * four window_sequences, sine shape): `groupLen` is the window-group
+    * partition decoded from scale_factor_grouping for EIGHT_SHORT
+    * frames (entries sum to 8); long sequences carry one group of one
+    * 1024-line window. */
+  final case class IcsInfo(windowSequence: Int, maxSfb: Int,
+                           groupLen: Array[Int]) {
+    def isShort: Boolean = windowSequence == 2
+    def numGroups: Int = groupLen.length
+    def numWindows: Int = groupLen.sum
+    /** Spectral lines per window: 128 short, 1024 long (§8.2). */
+    def linesPerWindow: Int = if (isShort) 128 else 1024
   }
 
-  /** The body of one individual_channel_stream AFTER global_gain and
-    * ics_info: section data, DPCM scalefactors, the pulse/tns/gain
-    * zero-flags, the spectral tuple walk, dequantization — shared by
-    * the SCE and CPE walks (round 15: CPE). Throws on every strict
-    * seam; callers convert to None. */
-  private def readIcsBody(r: BitReader, globalGain: Int, maxSfb: Int,
-                          books: Map[Int, AacBook], sfBook: SfBook,
-                          bands: Array[Int]): AacChannel = {
-    // section_data (§8.3.2: sect_bits = 5 for long windows, escape 31)
-    val sectCb = new Array[Int](maxSfb)
-    var k = 0
-    while (k < maxSfb) {
-      val cb = r.read(4)
-      require(cb == 0 || (cb >= 1 && cb <= 12),
-        s"sect_cb $cb (noise/intensity) out of scope")
-      var len = 0; var inc = r.read(5)
-      while (inc == 31) { len += 31; inc = r.read(5) }
-      len += inc
-      require(len >= 1 && k + len <= maxSfb, "section overruns max_sfb")
-      var j = k
-      while (j < k + len) { sectCb(j) = cb; j += 1 }
-      k += len
+  /** ics_info (§8.3.2) for the supported scope: sine windows, no
+    * predictor, all four window_sequences (round 15). EIGHT_SHORT
+    * frames read the 4-bit max_sfb + 7-bit scale_factor_grouping (bit
+    * w−1, MSB first, set → window w joins the previous group); long
+    * frames read the 6-bit max_sfb + predictor flag. Throws on every
+    * seam. */
+  private def readIcsInfoWin(r: BitReader, bands: Array[Int],
+                             shortBands: Array[Int]): IcsInfo = {
+    require(r.read(1) == 0, "ics_reserved_bit set")
+    val seq = r.read(2)
+    require(r.read(1) == 0, "window_shape: KBD out of scope (sine only)")
+    if (seq == 2) {
+      val maxSfb = r.read(4)
+      require(maxSfb <= shortBands.length - 1,
+        s"max_sfb $maxSfb exceeds short band map")
+      val grouping = r.read(7)
+      val gl = ArrayBuffer(1)
+      var w = 1
+      while (w < 8) {
+        if (((grouping >> (7 - w)) & 1) == 1) gl(gl.length - 1) += 1
+        else gl += 1
+        w += 1
+      }
+      IcsInfo(2, maxSfb, gl.toArray)
+    } else {
+      val maxSfb = r.read(6)
+      require(maxSfb <= bands.length - 1, s"max_sfb $maxSfb exceeds band map")
+      require(r.read(1) == 0, "predictor_data_present out of scope")
+      IcsInfo(seq, maxSfb, Array(1))
     }
-    // scale_factor_data (§8.3.2): DPCM from global_gain, offset 60
-    val sf = new Array[Int](maxSfb)
+  }
+
+  /** The long-only ics_info surface [[decodeSpectra]]/[[decodeCpe]]
+    * keep (their AacChannel layout is one 1024-line window): any
+    * window-switched sequence rejects here — the window-sequence-aware
+    * PCM paths go through [[decodeSceWin]]/[[decodeCpeWin]]. */
+  private def readIcsInfo(r: BitReader, bands: Array[Int]): Int = {
+    val info = readIcsInfoWin(r, bands, fixtureBandsShort)
+    require(info.windowSequence == 0,
+      "window_sequence: only ONLY_LONG_SEQUENCE on the AacChannel surface")
+    info.maxSfb
+  }
+
+  /** One decoded individual_channel_stream, window-sequence-aware
+    * (round 15): per-GROUP codebook ids and scalefactors; `quant`/`xr`
+    * hold the 1024 lines DEINTERLEAVED window-major — short frames put
+    * window w's 128 lines at [128w, 128(w+1)), long frames use the
+    * natural order. */
+  final case class AacIcs(info: IcsInfo, globalGain: Int,
+                          sectCb: Array[Array[Int]], sf: Array[Array[Int]],
+                          quant: Array[Int], xr: Array[Double])
+
+  /** The body of one individual_channel_stream AFTER global_gain and
+    * ics_info: section data (sect_bits 3 short / 5 long), the DPCM
+    * scalefactor chain threading ACROSS window groups, the pulse/tns/
+    * gain zero-flags, the spectral tuple walk (window-INTERLEAVED
+    * within each group's sfb per §9.3, deinterleaved here to
+    * window-major), dequantization with per-(group, sfb) gains — shared
+    * by the SCE and CPE walks. Throws on every strict seam; callers
+    * convert to None. */
+  private def readIcsBodyWin(r: BitReader, globalGain: Int, info: IcsInfo,
+                             books: Map[Int, AacBook], sfBook: SfBook,
+                             bands: Array[Int], shortBands: Array[Int]): AacIcs = {
+    val nb = if (info.isShort) shortBands else bands
+    val maxSfb = info.maxSfb
+    val sectBits = if (info.isShort) 3 else 5
+    val escVal = (1 << sectBits) - 1
+    val nGroups = info.numGroups
+    // section_data (§8.3.2), per window group
+    val sectCb = Array.ofDim[Int](nGroups, maxSfb)
+    for (g <- 0 until nGroups) {
+      var k = 0
+      while (k < maxSfb) {
+        val cb = r.read(4)
+        require(cb == 0 || (cb >= 1 && cb <= 12),
+          s"sect_cb $cb (noise/intensity) out of scope")
+        var len = 0; var inc = r.read(sectBits)
+        while (inc == escVal) { len += escVal; inc = r.read(sectBits) }
+        len += inc
+        require(len >= 1 && k + len <= maxSfb, "section overruns max_sfb")
+        var j = k
+        while (j < k + len) { sectCb(g)(j) = cb; j += 1 }
+        k += len
+      }
+    }
+    // scale_factor_data (§8.3.2): one DPCM chain from global_gain,
+    // offset 60, threading group-major across all coded (g, sfb)
+    val sf = Array.ofDim[Int](nGroups, maxSfb)
     var last = globalGain
-    for (s <- 0 until maxSfb if sectCb(s) != 0) {
+    for (g <- 0 until nGroups; s <- 0 until maxSfb if sectCb(g)(s) != 0) {
       val idx = readCode(r, sfBook.codes, sfBook.maxLen, "scalefactor")
       last = last + idx - 60
       require(last >= 0 && last <= 255, s"scalefactor $last out of 0..255")
-      sf(s) = last
+      sf(g)(s) = last
     }
     require(r.read(1) == 0, "pulse_data out of scope")
     require(r.read(1) == 0, "tns_data out of scope")
     require(r.read(1) == 0, "gain_control_data out of scope")
-    // spectral_data (§8.3.2/§9.3): tuple walk per coded sfb
+    // spectral_data (§8.3.2/§9.3): per group, per coded sfb, one tuple
+    // walk over width·groupLen coefficients (window-interleaved: window
+    // w's band occupies buf[w·width, (w+1)·width))
     val quant = new Array[Int](1024)
-    for (s <- 0 until maxSfb if sectCb(s) != 0) {
-      val book = books.getOrElse(sectCb(s), throw new IllegalArgumentException(
-        s"sect_cb ${sectCb(s)} has no loaded codebook (ISO Table A transcription pending)"))
-      val lo = bands(s); val hi = bands(s + 1)
-      require((hi - lo) % book.dim == 0,
-        s"swb width ${hi - lo} not a multiple of codebook dim ${book.dim}")
-      var i = lo
-      while (i < hi) {
-        val vals = readCode(r, book.codes, book.maxLen, "spectral")
-        if (book.signed) {
-          var j = 0
-          while (j < book.dim) { quant(i + j) = vals(j); j += 1 }
-        } else {
-          // sign bits for each nonzero magnitude, in tuple order (§9.3)
-          val signs = vals.map(v => if (v != 0 && r.read(1) == 1) -1 else 1)
-          // then escape sequences for each magnitude 16, in tuple order
-          var j = 0
-          while (j < book.dim) {
-            var mag = vals(j)
-            if (book.escape && mag == 16) {
-              var n = 0
-              while (r.read(1) == 1) { n += 1; require(n <= 8, "escape too long") }
-              mag = (1 << (n + 4)) | r.read(n + 4)
+    var winBase = 0
+    for (g <- 0 until nGroups) {
+      for (s <- 0 until maxSfb if sectCb(g)(s) != 0) {
+        val book = books.getOrElse(sectCb(g)(s), throw new IllegalArgumentException(
+          s"sect_cb ${sectCb(g)(s)} has no loaded codebook (ISO Table A transcription pending)"))
+        val lo = nb(s); val hi = nb(s + 1)
+        val width = hi - lo
+        val span = width * info.groupLen(g)
+        require(span % book.dim == 0,
+          s"group-sfb span $span not a multiple of codebook dim ${book.dim}")
+        val buf = new Array[Int](span)
+        var i = 0
+        while (i < span) {
+          val vals = readCode(r, book.codes, book.maxLen, "spectral")
+          if (book.signed) {
+            var j = 0
+            while (j < book.dim) { buf(i + j) = vals(j); j += 1 }
+          } else {
+            // sign bits for each nonzero magnitude, in tuple order (§9.3)
+            val signs = vals.map(v => if (v != 0 && r.read(1) == 1) -1 else 1)
+            // then escape sequences for each magnitude 16, in tuple order
+            var j = 0
+            while (j < book.dim) {
+              var mag = vals(j)
+              if (book.escape && mag == 16) {
+                var n = 0
+                while (r.read(1) == 1) { n += 1; require(n <= 8, "escape too long") }
+                mag = (1 << (n + 4)) | r.read(n + 4)
+              }
+              buf(i + j) = signs(j) * mag
+              j += 1
             }
-            quant(i + j) = signs(j) * mag
-            j += 1
           }
+          i += book.dim
         }
-        i += book.dim
+        // deinterleave to window-major lines
+        var w = 0
+        while (w < info.groupLen(g)) {
+          var b = 0
+          while (b < width) {
+            quant((winBase + w) * info.linesPerWindow + lo + b) = buf(w * width + b)
+            b += 1
+          }
+          w += 1
+        }
       }
+      winBase += info.groupLen(g)
     }
-    // dequantization (§10.3): per-band exponent, SF_OFFSET = 100
+    // dequantization (§10.3): per-(group, sfb) exponent, SF_OFFSET = 100
     val xr = new Array[Double](1024)
-    for (s <- 0 until maxSfb if sectCb(s) != 0) {
-      val gain = math.pow(2.0, 0.25 * (sf(s) - 100))
-      var i = bands(s)
-      while (i < bands(s + 1)) {
-        val q = quant(i)
-        if (q != 0)
-          xr(i) = math.signum(q.toDouble) * math.pow(math.abs(q.toDouble), 4.0 / 3.0) * gain
-        i += 1
+    winBase = 0
+    for (g <- 0 until nGroups) {
+      for (s <- 0 until maxSfb if sectCb(g)(s) != 0) {
+        val gain = math.pow(2.0, 0.25 * (sf(g)(s) - 100))
+        var w = 0
+        while (w < info.groupLen(g)) {
+          var i = (winBase + w) * info.linesPerWindow + nb(s)
+          val hi = (winBase + w) * info.linesPerWindow + nb(s + 1)
+          while (i < hi) {
+            val q = quant(i)
+            if (q != 0)
+              xr(i) = math.signum(q.toDouble) * math.pow(math.abs(q.toDouble), 4.0 / 3.0) * gain
+            i += 1
+          }
+          w += 1
+        }
       }
+      winBase += info.groupLen(g)
     }
-    AacChannel(globalGain, maxSfb, sectCb, sf, quant, xr)
+    AacIcs(info, globalGain, sectCb, sf, quant, xr)
+  }
+
+  /** The long-only body surface (one group, AacChannel layout). */
+  private def readIcsBody(r: BitReader, globalGain: Int, maxSfb: Int,
+                          books: Map[Int, AacBook], sfBook: SfBook,
+                          bands: Array[Int]): AacChannel = {
+    val ics = readIcsBodyWin(r, globalGain, IcsInfo(0, maxSfb, Array(1)),
+      books, sfBook, bands, fixtureBandsShort)
+    AacChannel(globalGain, maxSfb, ics.sectCb(0), ics.sf(0), ics.quant, ics.xr)
   }
 
   /** END element + byte-align strictness shared by the SCE/CPE walks:
@@ -376,6 +484,28 @@ object Aac {
     Some(ch)
   } catch { case _: Exception => None }
 
+  /** Window-sequence-aware SCE decode (round 15 — the surface the PCM
+    * paths use): all four window_sequences through the shared ICS body,
+    * EIGHT_SHORT frames returning their 8×128 lines window-major.
+    * Strict → None on everything [[decodeSpectra]] rejects EXCEPT the
+    * long-only window discipline. */
+  def decodeSceWin(payload: Array[Byte],
+                   books: Map[Int, AacBook] = fixtureBooks,
+                   sfBook: SfBook = fixtureSfBook,
+                   bands: Array[Int] = fixtureBandsLong,
+                   shortBands: Array[Int] = fixtureBandsShort): Option[AacIcs] = try {
+    checkBands(bands)
+    checkBands(shortBands, 128)
+    val r = new BitReader(payload)
+    require(r.read(3) == 0, "leading element is not SCE") // §6.3 id_syn_ele
+    r.read(4) // element_instance_tag
+    val globalGain = r.read(8)
+    val info = readIcsInfoWin(r, bands, shortBands)
+    val ics = readIcsBodyWin(r, globalGain, info, books, sfBook, bands, shortBands)
+    readEnd(r, "the single SCE")
+    Some(ics)
+  } catch { case _: Exception => None }
+
   /** One decoded CPE (stereo channel_pair_element, §6.3 / §8.3.2 —
     * round 15, r14 VERDICT #1): the per-channel streams plus the
     * common_window/MS-mask header and the POST-MS spectra `xrMs` the
@@ -387,54 +517,100 @@ object Aac {
                               left: AacChannel, right: AacChannel,
                               xrMs: Array[Array[Double]])
 
-  /** Decode one CPE raw_data_block to two channels' spectra (with MS
-    * reconstruction applied). Scope: the SCE walk's long-sine-window
-    * discipline per channel; common_window 0 (independent ics_infos)
-    * and 1 (shared ics_info + ms_mask_present 0/1/2) both decode;
-    * ms_mask_present 3 is reserved → strict reject. Strict → None on
-    * everything [[decodeSpectra]] rejects per channel. */
-  def decodeCpe(payload: Array[Byte],
-                books: Map[Int, AacBook] = fixtureBooks,
-                sfBook: SfBook = fixtureSfBook,
-                bands: Array[Int] = fixtureBandsLong): Option[AacCpePair] = try {
+  /** Window-sequence-aware CPE decode result (round 15): per-channel
+    * ICS (each with its own IcsInfo when common_window = 0), the MS
+    * mask per (window group × sfb), and the post-MS spectra in the
+    * window-major line layout [[AacIcs]] uses. */
+  final case class AacCpeIcs(commonWindow: Boolean, msMaskPresent: Int,
+                             msUsed: Array[Array[Boolean]],
+                             left: AacIcs, right: AacIcs,
+                             xrMs: Array[Array[Double]])
+
+  /** Window-sequence-aware CPE decode (round 15): all four
+    * window_sequences per channel; under common_window the shared
+    * ics_info (including the short-frame grouping) and the §8.3.2 MS
+    * mask read GROUP-major (for each window group, max_sfb bits when
+    * ms_mask_present = 1). §12.2 MS applies per (group, sfb) over every
+    * window in the group. ms_mask_present 3 is reserved → strict
+    * reject; strict → None on everything the ICS body rejects. */
+  def decodeCpeWin(payload: Array[Byte],
+                   books: Map[Int, AacBook] = fixtureBooks,
+                   sfBook: SfBook = fixtureSfBook,
+                   bands: Array[Int] = fixtureBandsLong,
+                   shortBands: Array[Int] = fixtureBandsShort): Option[AacCpeIcs] = try {
     checkBands(bands)
+    checkBands(shortBands, 128)
     val r = new BitReader(payload)
     require(r.read(3) == 1, "leading element is not CPE") // §6.3 id_syn_ele
     r.read(4) // element_instance_tag
     val commonWindow = r.read(1) == 1
-    var sharedMaxSfb = -1
+    var sharedInfo: IcsInfo = null
     var msMaskPresent = 0
-    var msUsed: Array[Boolean] = Array.empty
+    var msUsed: Array[Array[Boolean]] = Array.empty
     if (commonWindow) {
-      sharedMaxSfb = readIcsInfo(r, bands)
+      sharedInfo = readIcsInfoWin(r, bands, shortBands)
       msMaskPresent = r.read(2)
       require(msMaskPresent != 3, "ms_mask_present 3 is reserved")
-      // one window group under ONLY_LONG_SEQUENCE: max_sfb mask bits
-      msUsed =
-        if (msMaskPresent == 1) Array.fill(sharedMaxSfb)(r.read(1) == 1)
-        else Array.fill(sharedMaxSfb)(msMaskPresent == 2)
+      // group-major mask bits (§8.3.2): num_window_groups × max_sfb
+      msUsed = Array.tabulate(sharedInfo.numGroups, sharedInfo.maxSfb)((_, _) =>
+        if (msMaskPresent == 1) r.read(1) == 1 else msMaskPresent == 2)
     }
-    def channel(): AacChannel = {
+    def channel(): AacIcs = {
       val gg = r.read(8)
-      val maxSfb = if (commonWindow) sharedMaxSfb else readIcsInfo(r, bands)
-      readIcsBody(r, gg, maxSfb, books, sfBook, bands)
+      val info = if (commonWindow) sharedInfo else readIcsInfoWin(r, bands, shortBands)
+      readIcsBodyWin(r, gg, info, books, sfBook, bands, shortBands)
     }
     val left = channel()
     val right = channel()
     readEnd(r, "the CPE")
     val xl = left.xr.clone()
     val xr2 = right.xr.clone()
-    if (commonWindow) for (s <- 0 until sharedMaxSfb if msUsed(s)) {
-      var i = bands(s)
-      while (i < bands(s + 1)) {
-        val m = xl(i); val sd = xr2(i)
-        xl(i) = m + sd; xr2(i) = m - sd
-        i += 1
+    if (commonWindow) {
+      val nb = if (sharedInfo.isShort) shortBands else bands
+      var winBase = 0
+      for (g <- 0 until sharedInfo.numGroups) {
+        for (s <- 0 until sharedInfo.maxSfb if msUsed(g)(s)) {
+          var w = 0
+          while (w < sharedInfo.groupLen(g)) {
+            var i = (winBase + w) * sharedInfo.linesPerWindow + nb(s)
+            val hi = (winBase + w) * sharedInfo.linesPerWindow + nb(s + 1)
+            while (i < hi) {
+              val m = xl(i); val sd = xr2(i)
+              xl(i) = m + sd; xr2(i) = m - sd
+              i += 1
+            }
+            w += 1
+          }
+        }
+        winBase += sharedInfo.groupLen(g)
       }
     }
-    Some(AacCpePair(commonWindow, msMaskPresent, msUsed, left, right,
+    Some(AacCpeIcs(commonWindow, msMaskPresent, msUsed, left, right,
       Array(xl, xr2)))
   } catch { case _: Exception => None }
+
+  /** Decode one CPE raw_data_block to two channels' spectra (with MS
+    * reconstruction applied). Scope: the SCE walk's long-sine-window
+    * discipline per channel (window-switched CPEs go through
+    * [[decodeCpeWin]]); common_window 0 (independent ics_infos)
+    * and 1 (shared ics_info + ms_mask_present 0/1/2) both decode;
+    * ms_mask_present 3 is reserved → strict reject. Strict → None on
+    * everything [[decodeSpectra]] rejects per channel. */
+  def decodeCpe(payload: Array[Byte],
+                books: Map[Int, AacBook] = fixtureBooks,
+                sfBook: SfBook = fixtureSfBook,
+                bands: Array[Int] = fixtureBandsLong): Option[AacCpePair] = {
+    decodeCpeWin(payload, books, sfBook, bands).flatMap { p =>
+      if (p.left.info.windowSequence != 0 || p.right.info.windowSequence != 0) None
+      else Some(AacCpePair(p.commonWindow, p.msMaskPresent,
+        if (p.commonWindow) p.msUsed(0) else Array.empty,
+        AacChannel(p.left.globalGain, p.left.info.maxSfb, p.left.sectCb(0),
+          p.left.sf(0), p.left.quant, p.left.xr),
+        AacChannel(p.right.globalGain, p.right.info.maxSfb, p.right.sectCb(0),
+          p.right.sf(0), p.right.quant, p.right.xr),
+        p.xrMs))
+    }
+  }
 
   /** 2048-point IMDCT of a 1024-line spectrum (§14.3, N = 2048,
     * n₀ = (N/2+1)/2): x(n) = (2/N)·Σₖ X(k)·cos(2π/N·(n+n₀)(k+½)).
@@ -456,89 +632,169 @@ object Aac {
   private[graft] def sineWindow(n: Int): Double =
     math.sin(math.Pi / 2048.0 * (n + 0.5))
 
+  /** §14.3.3 SHORT sine window, N = 256: w(n) = sin(π/256·(n+½)). */
+  private[graft] def sineWindowShort(n: Int): Double =
+    math.sin(math.Pi / 256.0 * (n + 0.5))
+
+  /** 256-point IMDCT of one 128-line short-window spectrum (§14.3 with
+    * N = 256, n₀ = (N/2+1)/2 = 64.5) — the DIRECT O(N²) reference the
+    * unit suite compares [[Dsp.imdct256Full]] against. */
+  private[graft] def imdct256(x: Array[Double], n: Int): Double = {
+    var s = 0.0
+    var k = 0
+    while (k < 128) {
+      if (x(k) != 0.0)
+        s += x(k) * math.cos(math.Pi / 128.0 * (n + 64.5) * (k + 0.5))
+      k += 1
+    }
+    s / 128.0 // 2/N
+  }
+
+  /** The §14.3 WINDOWED 2048-sample time frame z_f for one decoded ICS —
+    * the overlap-add-ready form: out(n) = z_f(n) + z_{f−1}(n + 1024).
+    * Sine shape throughout (KBD strict-rejects upstream):
+    *  - ONLY_LONG (0): w·IMDCT₂₀₄₈ over all 2048 samples;
+    *  - LONG_START (1): long rise [0,1024), flat 1 [1024,1472), the
+    *    short window's falling half [1472,1600), zero [1600,2048);
+    *  - EIGHT_SHORT (2): eight 256-point IMDCTs, each short-sine
+    *    windowed, overlap-added at offsets 448 + 128w;
+    *  - LONG_STOP (3): zero [0,448), short rising half [448,576),
+    *    flat 1 [576,1024), long fall [1024,2048). */
+  private[graft] def windowedFrame(info: IcsInfo, xr: Array[Double]): Array[Double] =
+    info.windowSequence match {
+      case 0 =>
+        val x = Dsp.imdct2048Full(xr)
+        Array.tabulate(2048)(n => sineWindow(n) * x(n))
+      case 1 =>
+        val x = Dsp.imdct2048Full(xr)
+        Array.tabulate(2048) { n =>
+          val w =
+            if (n < 1024) sineWindow(n)
+            else if (n < 1472) 1.0
+            else if (n < 1600) sineWindowShort(n - 1472 + 128)
+            else 0.0
+          w * x(n)
+        }
+      case 3 =>
+        val x = Dsp.imdct2048Full(xr)
+        Array.tabulate(2048) { n =>
+          val w =
+            if (n < 448) 0.0
+            else if (n < 576) sineWindowShort(n - 448)
+            else if (n < 1024) 1.0
+            else sineWindow(n)
+          w * x(n)
+        }
+      case 2 =>
+        val z = new Array[Double](2048)
+        var w = 0
+        while (w < 8) {
+          val xs = java.util.Arrays.copyOfRange(xr, w * 128, (w + 1) * 128)
+          val y = Dsp.imdct256Full(xs)
+          var k = 0
+          while (k < 256) {
+            z(448 + 128 * w + k) += sineWindowShort(k) * y(k)
+            k += 1
+          }
+          w += 1
+        }
+        z
+      case other =>
+        throw new IllegalArgumentException(s"window_sequence $other")
+    }
+
   /** Full AAC-LC decode of one SCE raw_data_block to 1024 PCM samples:
-    * [[decodeSpectra]] → IMDCT → sine window → overlap-add with FRESH
-    * zero history (the per-frame state seam [[Mp3.decodePcm]] documents
-    * — exact for self-contained fixture frames; a stream decode threads
-    * the previous frame's second half here). Output n = w(n)·x(n). */
+    * [[decodeSceWin]] → window-sequence-aware filterbank
+    * ([[windowedFrame]]) → overlap-add with FRESH zero history (the
+    * per-frame state seam [[Mp3.decodePcm]] documents — exact for
+    * self-contained fixture frames; a stream decode threads the
+    * previous frame's windowed second half here). */
   def decodePcm(payload: Array[Byte],
                 books: Map[Int, AacBook] = fixtureBooks,
                 sfBook: SfBook = fixtureSfBook,
-                bands: Array[Int] = fixtureBandsLong): Option[Array[Double]] = {
-    decodeSpectra(payload, books, sfBook, bands).map { ch =>
-      val x = Dsp.imdct2048Full(ch.xr)
-      Array.tabulate(1024)(n => sineWindow(n) * x(n))
+                bands: Array[Int] = fixtureBandsLong,
+                shortBands: Array[Int] = fixtureBandsShort): Option[Array[Double]] = {
+    decodeSceWin(payload, books, sfBook, bands, shortBands).map { ics =>
+      val z = windowedFrame(ics.info, ics.xr)
+      java.util.Arrays.copyOfRange(z, 0, 1024)
     }
   }
 
   /** STREAM decode to PCM with THREADED overlap-add (the AAC analog of
     * [[Mp3.decodePcmStream]]'s state seam closure): every ADTS frame's
-    * SCE through [[decodeSpectra]], then §14.3's long-window overlap —
-    * out_f(n) = w(n)·x_f(n) + w(n+1024)·x_{f−1}(n+1024), the previous
+    * SCE through [[decodeSceWin]] and the window-sequence-aware
+    * filterbank — out_f(n) = z_f(n) + z_{f−1}(n + 1024), the previous
     * frame's windowed second half carrying into the next frame (zero
-    * only at stream start). Gapless: 1024·nFrames samples. */
+    * only at stream start). Window-SWITCHED streams (LONG_START →
+    * EIGHT_SHORT → LONG_STOP) reconstruct through the same seam: the
+    * transition windows' flat/zero regions are exactly what makes the
+    * short frame's 448-sample lead-in overlap-correct (round 15). */
   def decodePcmStream(stream: AacStream,
                       books: Map[Int, AacBook] = fixtureBooks,
                       sfBook: SfBook = fixtureSfBook,
-                      bands: Array[Int] = fixtureBandsLong): Option[Array[Double]] = try {
+                      bands: Array[Int] = fixtureBandsLong,
+                      shortBands: Array[Int] = fixtureBandsShort): Option[Array[Double]] = try {
     val out = new ArrayBuffer[Double](stream.frames.size * 1024)
-    var prev: Array[Double] = null // previous frame's full 2048-point IMDCT
+    var prev: Array[Double] = null // previous frame's windowed 2048 samples
     stream.frames.foreach { fr =>
-      val ch = decodeSpectra(fr.payload, books, sfBook, bands)
+      val ics = decodeSceWin(fr.payload, books, sfBook, bands, shortBands)
         .getOrElse(throw new IllegalArgumentException("undecodable frame"))
-      val x = Dsp.imdct2048Full(ch.xr)
+      val z = windowedFrame(ics.info, ics.xr)
       var n = 0
       while (n < 1024) {
-        val tail = if (prev == null) 0.0
-          else sineWindow(n + 1024) * prev(n + 1024)
-        out += sineWindow(n) * x(n) + tail
+        val tail = if (prev == null) 0.0 else prev(n + 1024)
+        out += z(n) + tail
         n += 1
       }
-      prev = x
+      prev = z
     }
     Some(out.toArray)
   } catch { case _: Exception => None }
 
-  /** Stereo CPE decode to PCM (round 15): [[decodeCpe]]'s post-MS
-    * spectra per channel through the same IMDCT → sine window →
+  /** Stereo CPE decode to PCM (round 15): [[decodeCpeWin]]'s post-MS
+    * spectra per channel through the window-sequence-aware filterbank →
     * fresh-state overlap as [[decodePcm]]. Returns 2 × 1024 samples. */
   def decodeCpePcm(payload: Array[Byte],
                    books: Map[Int, AacBook] = fixtureBooks,
                    sfBook: SfBook = fixtureSfBook,
-                   bands: Array[Int] = fixtureBandsLong): Option[Seq[Array[Double]]] = {
-    decodeCpe(payload, books, sfBook, bands).map(_.xrMs.toSeq.map { xr =>
-      val x = Dsp.imdct2048Full(xr)
-      Array.tabulate(1024)(n => sineWindow(n) * x(n))
-    })
+                   bands: Array[Int] = fixtureBandsLong,
+                   shortBands: Array[Int] = fixtureBandsShort): Option[Seq[Array[Double]]] = {
+    decodeCpeWin(payload, books, sfBook, bands, shortBands).map { p =>
+      Seq(p.left.info, p.right.info).zipWithIndex.map { case (info, c) =>
+        val z = windowedFrame(info, p.xrMs(c))
+        java.util.Arrays.copyOfRange(z, 0, 1024)
+      }
+    }
   }
 
   /** Stereo STREAM decode to PCM with per-channel threaded overlap-add
     * (the CPE analog of [[decodePcmStream]]): every ADTS frame's CPE
-    * through [[decodeCpe]], each channel's windowed second half carrying
-    * into its next frame (zero only at stream start). Returns 2 arrays
-    * of 1024·nFrames samples. */
+    * through [[decodeCpeWin]], each channel's windowed second half
+    * carrying into its next frame (zero only at stream start) — window
+    * switching included. Returns 2 arrays of 1024·nFrames samples. */
   def decodeCpePcmStream(stream: AacStream,
                          books: Map[Int, AacBook] = fixtureBooks,
                          sfBook: SfBook = fixtureSfBook,
-                         bands: Array[Int] = fixtureBandsLong): Option[Seq[Array[Double]]] = try {
+                         bands: Array[Int] = fixtureBandsLong,
+                         shortBands: Array[Int] = fixtureBandsShort): Option[Seq[Array[Double]]] = try {
     val out = Array.fill(2)(new ArrayBuffer[Double](stream.frames.size * 1024))
-    var prev: Array[Array[Double]] = null // per channel, full 2048-point IMDCT
+    var prev: Array[Array[Double]] = null // per channel, windowed 2048 samples
     stream.frames.foreach { fr =>
-      val pair = decodeCpe(fr.payload, books, sfBook, bands)
+      val pair = decodeCpeWin(fr.payload, books, sfBook, bands, shortBands)
         .getOrElse(throw new IllegalArgumentException("undecodable CPE frame"))
-      val xs = Array.tabulate(2)(c => Dsp.imdct2048Full(pair.xrMs(c)))
+      val infos = Array(pair.left.info, pair.right.info)
+      val zs = Array.tabulate(2)(c => windowedFrame(infos(c), pair.xrMs(c)))
       var c = 0
       while (c < 2) {
         var n = 0
         while (n < 1024) {
-          val tail = if (prev == null) 0.0
-            else sineWindow(n + 1024) * prev(c)(n + 1024)
-          out(c) += sineWindow(n) * xs(c)(n) + tail
+          val tail = if (prev == null) 0.0 else prev(c)(n + 1024)
+          out(c) += zs(c)(n) + tail
           n += 1
         }
         c += 1
       }
-      prev = xs
+      prev = zs
     }
     Some(out.toSeq.map(_.toArray))
   } catch { case _: Exception => None }
@@ -553,7 +809,22 @@ object Aac {
                 sf: Array[Int], quant: Array[Int],
                 books: Map[Int, AacBook] = fixtureBooks,
                 sfBook: SfBook = fixtureSfBook,
-                bands: Array[Int] = fixtureBandsLong): Array[Byte] = {
+                bands: Array[Int] = fixtureBandsLong): Array[Byte] =
+    encodeSceWin(IcsInfo(0, maxSfb, Array(1)), globalGain,
+      Array(sectCb), Array(sf), quant, books, sfBook, bands)
+
+  /** Window-sequence-aware fixture encoder (round 15): one SCE
+    * raw_data_block for any of the four window_sequences — per-GROUP
+    * codebook ids / scalefactors, `quant` in the DEINTERLEAVED
+    * window-major layout [[decodeSceWin]] returns (the emitter
+    * re-interleaves each group-sfb block per §9.3). */
+  def encodeSceWin(info: IcsInfo, globalGain: Int,
+                   sectCb: Array[Array[Int]], sf: Array[Array[Int]],
+                   quant: Array[Int],
+                   books: Map[Int, AacBook] = fixtureBooks,
+                   sfBook: SfBook = fixtureSfBook,
+                   bands: Array[Int] = fixtureBandsLong,
+                   shortBands: Array[Int] = fixtureBandsShort): Array[Byte] = {
     val bits = new ArrayBuffer[(Int, Int)] // (value, width) — checked below
     def w(v: Int, n: Int): Unit = {
       require(v >= 0 && v < (1 << n), s"field value $v does not fit in $n bits")
@@ -562,8 +833,9 @@ object Aac {
     w(0, 3) // SCE
     w(0, 4) // element_instance_tag
     w(globalGain, 8)
-    emitIcsInfo(w, maxSfb, bands)
-    emitIcsBody(w, globalGain, maxSfb, sectCb, sf, quant, books, sfBook, bands)
+    emitIcsInfoWin(w, info, bands, shortBands)
+    emitIcsBodyWin(w, globalGain, info, sectCb, sf, quant, books, sfBook,
+      bands, shortBands)
     w(7, 3) // END
     packBits(bits)
   }
@@ -609,84 +881,181 @@ object Aac {
     for (c <- 0 until 2) {
       w(globalGain(c), 8)
       if (!commonWindow) emitIcsInfo(w, maxSfb(c), bands)
-      emitIcsBody(w, globalGain(c), maxSfb(c), sectCb(c), sf(c), quant(c),
-        books, sfBook, bands)
+      emitIcsBodyWin(w, globalGain(c), IcsInfo(0, maxSfb(c), Array(1)),
+        Array(sectCb(c)), Array(sf(c)), quant(c), books, sfBook, bands,
+        fixtureBandsShort)
+    }
+    w(7, 3) // END
+    packBits(bits)
+  }
+
+  /** Window-sequence-aware fixture encoder for a CPE raw_data_block
+    * (round 15): per-channel [[IcsInfo]]s (equal under common_window),
+    * per-GROUP codebook ids / scalefactors, window-major `quant`, and
+    * the GROUP-major MS mask (`msUsed(g)(s)` when msMaskPresent = 1).
+    * The encoder codes the TRANSMITTED (mid/side) spectra. */
+  def encodeCpeWin(infos: Seq[IcsInfo], globalGain: Seq[Int],
+                   sectCb: Seq[Array[Array[Int]]], sf: Seq[Array[Array[Int]]],
+                   quant: Seq[Array[Int]],
+                   commonWindow: Boolean = true, msMaskPresent: Int = 0,
+                   msUsed: Array[Array[Boolean]] = Array.empty,
+                   books: Map[Int, AacBook] = fixtureBooks,
+                   sfBook: SfBook = fixtureSfBook,
+                   bands: Array[Int] = fixtureBandsLong,
+                   shortBands: Array[Int] = fixtureBandsShort): Array[Byte] = {
+    require(infos.length == 2 && globalGain.length == 2 &&
+      sectCb.length == 2 && sf.length == 2 && quant.length == 2,
+      "CPE takes exactly two channels")
+    require(!commonWindow || (infos(0).windowSequence == infos(1).windowSequence &&
+      infos(0).maxSfb == infos(1).maxSfb &&
+      infos(0).groupLen.sameElements(infos(1).groupLen)),
+      "common_window requires equal ics_infos")
+    require(msMaskPresent >= 0 && msMaskPresent <= 2, "ms_mask_present 3 is reserved")
+    require(commonWindow || msMaskPresent == 0,
+      "the MS mask exists only under common_window")
+    require(msMaskPresent != 1 || (msUsed.length == infos(0).numGroups &&
+      msUsed.forall(_.length == infos(0).maxSfb)),
+      s"ms_used needs ${infos(0).numGroups}×${infos(0).maxSfb} group-major bits")
+    val bits = new ArrayBuffer[(Int, Int)]
+    def w(v: Int, n: Int): Unit = {
+      require(v >= 0 && v < (1 << n), s"field value $v does not fit in $n bits")
+      bits += ((v, n))
+    }
+    w(1, 3) // CPE
+    w(0, 4) // element_instance_tag
+    w(if (commonWindow) 1 else 0, 1)
+    if (commonWindow) {
+      emitIcsInfoWin(w, infos(0), bands, shortBands)
+      w(msMaskPresent, 2)
+      if (msMaskPresent == 1)
+        for (g <- msUsed; b <- g) w(if (b) 1 else 0, 1)
+    }
+    for (c <- 0 until 2) {
+      w(globalGain(c), 8)
+      if (!commonWindow) emitIcsInfoWin(w, infos(c), bands, shortBands)
+      emitIcsBodyWin(w, globalGain(c), infos(c), sectCb(c), sf(c), quant(c),
+        books, sfBook, bands, shortBands)
     }
     w(7, 3) // END
     packBits(bits)
   }
 
   private def emitIcsInfo(w: (Int, Int) => Unit, maxSfb: Int,
-                          bands: Array[Int]): Unit = {
-    require(maxSfb >= 0 && maxSfb < 64 && maxSfb <= bands.length - 1)
-    w(0, 1); w(0, 2); w(0, 1) // ics_reserved, ONLY_LONG, sine shape
-    w(maxSfb, 6)
-    w(0, 1) // predictor_data_present
+                          bands: Array[Int]): Unit =
+    emitIcsInfoWin(w, IcsInfo(0, maxSfb, Array(1)), bands, fixtureBandsShort)
+
+  private def emitIcsInfoWin(w: (Int, Int) => Unit, info: IcsInfo,
+                             bands: Array[Int], shortBands: Array[Int]): Unit = {
+    w(0, 1) // ics_reserved
+    w(info.windowSequence, 2)
+    w(0, 1) // sine shape
+    if (info.isShort) {
+      require(info.maxSfb >= 0 && info.maxSfb < 16 &&
+        info.maxSfb <= shortBands.length - 1)
+      require(info.numWindows == 8, "EIGHT_SHORT groups must cover 8 windows")
+      w(info.maxSfb, 4)
+      // scale_factor_grouping: bit w−1 (MSB first) set → window w joins
+      // the previous group
+      var grouping = 0
+      var win = 0
+      for (g <- 0 until info.numGroups; k <- 0 until info.groupLen(g)) {
+        if (win >= 1 && k > 0) grouping |= 1 << (7 - win)
+        win += 1
+      }
+      w(grouping, 7)
+    } else {
+      require(info.groupLen.sameElements(Array(1)),
+        "long sequences carry one group of one window")
+      require(info.maxSfb >= 0 && info.maxSfb < 64 &&
+        info.maxSfb <= bands.length - 1)
+      w(info.maxSfb, 6)
+      w(0, 1) // predictor_data_present
+    }
   }
 
   /** Sections + scalefactors + zero pulse/tns/gain flags + spectra for
-    * one channel stream (the [[readIcsBody]] layout, shared by
-    * [[encodeSce]]/[[encodeCpe]]). */
-  private def emitIcsBody(w: (Int, Int) => Unit, globalGain: Int, maxSfb: Int,
-                          sectCb: Array[Int], sf: Array[Int], quant: Array[Int],
-                          books: Map[Int, AacBook], sfBook: SfBook,
-                          bands: Array[Int]): Unit = {
-    require(sectCb.length == maxSfb && sf.length == maxSfb)
+    * one channel stream (the [[readIcsBodyWin]] layout, shared by
+    * [[encodeSce]]/[[encodeCpe]] and their Win variants). `quant` is
+    * window-major; each group-sfb block re-interleaves per §9.3. */
+  private def emitIcsBodyWin(w: (Int, Int) => Unit, globalGain: Int,
+                             info: IcsInfo, sectCb: Array[Array[Int]],
+                             sf: Array[Array[Int]], quant: Array[Int],
+                             books: Map[Int, AacBook], sfBook: SfBook,
+                             bands: Array[Int], shortBands: Array[Int]): Unit = {
+    val nb = if (info.isShort) shortBands else bands
+    val maxSfb = info.maxSfb
+    val sectBits = if (info.isShort) 3 else 5
+    val escVal = (1 << sectBits) - 1
+    require(sectCb.length == info.numGroups && sf.length == info.numGroups)
+    require(sectCb.forall(_.length == maxSfb) && sf.forall(_.length == maxSfb))
     require(globalGain >= 0 && globalGain < 256)
-    // greedy sections
-    var k = 0
-    while (k < maxSfb) {
-      val cb = sectCb(k)
-      var len = 1
-      while (k + len < maxSfb && sectCb(k + len) == cb) len += 1
-      w(cb, 4)
-      var rem = len
-      while (rem >= 31) { w(31, 5); rem -= 31 }
-      w(rem, 5)
-      k += len
+    // greedy sections, per group
+    for (g <- 0 until info.numGroups) {
+      var k = 0
+      while (k < maxSfb) {
+        val cb = sectCb(g)(k)
+        var len = 1
+        while (k + len < maxSfb && sectCb(g)(k + len) == cb) len += 1
+        w(cb, 4)
+        var rem = len
+        while (rem >= escVal) { w(escVal, sectBits); rem -= escVal }
+        w(rem, sectBits)
+        k += len
+      }
     }
-    // scalefactors
+    // scalefactors: one DPCM chain across groups
     var last = globalGain
-    for (s <- 0 until maxSfb if sectCb(s) != 0) {
-      val idx = sf(s) - last + 60
+    for (g <- 0 until info.numGroups; s <- 0 until maxSfb if sectCb(g)(s) != 0) {
+      val idx = sf(g)(s) - last + 60
       val code = sfBook.enc.getOrElse(idx, throw new IllegalArgumentException(
         s"dpcm index $idx not codable by the sf book"))
       code.foreach(c => w(if (c == '1') 1 else 0, 1))
-      last = sf(s)
+      last = sf(g)(s)
     }
     w(0, 1); w(0, 1); w(0, 1) // pulse / tns / gain_control
-    // spectra
-    for (s <- 0 until maxSfb if sectCb(s) != 0) {
-      val book = books(sectCb(s))
-      var i = bands(s)
-      while (i < bands(s + 1)) {
-        val tuple = (0 until book.dim).map(j => quant(i + j))
-        if (book.signed) {
-          val code = book.enc.getOrElse(tuple, throw new IllegalArgumentException(
-            s"tuple $tuple not codable by book ${sectCb(s)}"))
-          code.foreach(c => w(if (c == '1') 1 else 0, 1))
-        } else {
-          val mags = tuple.map(v =>
-            if (book.escape && v.abs >= 16) 16 else v.abs)
-          val code = book.enc.getOrElse(mags, throw new IllegalArgumentException(
-            s"magnitudes $mags not codable by book ${sectCb(s)}"))
-          code.foreach(c => w(if (c == '1') 1 else 0, 1))
-          tuple.foreach(v => if (v != 0) w(if (v < 0) 1 else 0, 1))
-          tuple.foreach { v =>
-            if (book.escape && v.abs >= 16) {
-              val mag = v.abs
-              var n = 0
-              while (mag >= (1 << (n + 5))) n += 1
-              require(n <= 8, s"escape magnitude $mag too large")
-              var t = 0
-              while (t < n) { w(1, 1); t += 1 }
-              w(0, 1)
-              w(mag - (1 << (n + 4)), n + 4)
+    // spectra: per group-sfb block, window-interleaved tuple stream
+    var winBase = 0
+    for (g <- 0 until info.numGroups) {
+      for (s <- 0 until maxSfb if sectCb(g)(s) != 0) {
+        val book = books(sectCb(g)(s))
+        val lo = nb(s); val width = nb(s + 1) - lo
+        val span = width * info.groupLen(g)
+        require(span % book.dim == 0,
+          s"group-sfb span $span not a multiple of codebook dim ${book.dim}")
+        val buf = new Array[Int](span)
+        for (wi <- 0 until info.groupLen(g); b <- 0 until width)
+          buf(wi * width + b) = quant((winBase + wi) * info.linesPerWindow + lo + b)
+        var i = 0
+        while (i < span) {
+          val tuple = (0 until book.dim).map(j => buf(i + j))
+          if (book.signed) {
+            val code = book.enc.getOrElse(tuple, throw new IllegalArgumentException(
+              s"tuple $tuple not codable by book ${sectCb(g)(s)}"))
+            code.foreach(c => w(if (c == '1') 1 else 0, 1))
+          } else {
+            val mags = tuple.map(v =>
+              if (book.escape && v.abs >= 16) 16 else v.abs)
+            val code = book.enc.getOrElse(mags, throw new IllegalArgumentException(
+              s"magnitudes $mags not codable by book ${sectCb(g)(s)}"))
+            code.foreach(c => w(if (c == '1') 1 else 0, 1))
+            tuple.foreach(v => if (v != 0) w(if (v < 0) 1 else 0, 1))
+            tuple.foreach { v =>
+              if (book.escape && v.abs >= 16) {
+                val mag = v.abs
+                var n = 0
+                while (mag >= (1 << (n + 5))) n += 1
+                require(n <= 8, s"escape magnitude $mag too large")
+                var t = 0
+                while (t < n) { w(1, 1); t += 1 }
+                w(0, 1)
+                w(mag - (1 << (n + 4)), n + 4)
+              }
             }
           }
+          i += book.dim
         }
-        i += book.dim
       }
+      winBase += info.groupLen(g)
     }
   }
 
@@ -716,6 +1085,7 @@ object Aac {
   //   sfbook                            — starts the scalefactor book
   //   0111 59                           — one codeword: <bits> <index>
   //   bands 0 4 8 …                     — the long-window swb boundaries
+  //   shortbands 0 4 8 …                — the SHORT-window swb boundaries
   //
   // Merge loaded books over the fixtures at the call site
   // (`fixtureBooks ++ loaded`) — the loader never silently overrides.
@@ -746,6 +1116,7 @@ object Aac {
           acc.getOrElseUpdate(i, scala.collection.mutable.Map.empty)
         case Array("sfbook") => cur = Some(Right(()))
         case Array("bands", _*) => cur = None
+        case Array("shortbands", _*) => cur = None
         case toks if cur.exists(_.isLeft) =>
           val i = cur.get.swap.toOption.get
           require(toks.length == 1 + meta(i)._1,
@@ -772,7 +1143,8 @@ object Aac {
       val line = raw.takeWhile(_ != '#').trim
       if (line.nonEmpty) line.split("\\s+") match {
         case Array("sfbook") => in = true
-        case toks if toks(0) == "book" || toks(0) == "bands" => in = false
+        case toks if toks(0) == "book" || toks(0) == "bands" ||
+          toks(0) == "shortbands" => in = false
         case Array(code, idx) if in =>
           require(code.forall(c => c == '0' || c == '1'), s"bad code '$code'")
           codes += (code -> idx.toInt)
@@ -798,5 +1170,20 @@ object Aac {
       }
     }
     throw new IllegalArgumentException("no bands directive found")
+  }
+
+  /** Parse a `shortbands` directive (round 15 — Table 4.5.x SHORT-window
+    * boundaries, ≤128, as the caller transcribed them). */
+  def parseAacShortBandsSpec(text: String): Array[Int] = {
+    for (raw <- text.linesIterator) {
+      val line = raw.takeWhile(_ != '#').trim
+      if (line.startsWith("shortbands")) {
+        val vals = line.split("\\s+").drop(1).map(_.toInt)
+        require(vals.length >= 2 && vals.head == 0 && vals.last <= 128 &&
+          vals.sliding(2).forall(w => w(0) < w(1)), "malformed short band map")
+        return vals
+      }
+    }
+    throw new IllegalArgumentException("no shortbands directive found")
   }
 }

@@ -638,6 +638,44 @@ object Multimodal {
     })
   }
 
+  final case class AacStreamPcmRow(id: Long, n_frames: Int, n_samples: Int,
+                                   n_clipped: Int, n_nonzero: Int,
+                                   sum_pcm: Long, abs_pcm: Long,
+                                   wsum_pcm: Long)
+
+  /** WINDOW-SWITCHED AAC-LC stream decode to PCM (round 15 — the rung
+    * that makes real-corpus AAC decodable: one EIGHT_SHORT frame
+    * anywhere used to refuse the whole stream): the full ADTS walk
+    * through [[Aac.decodePcmStream]]'s window-sequence-aware filterbank
+    * (LONG_START's flat+short-fall right half, the 8 × 256-point short
+    * transforms at 448 + 128w, LONG_STOP's zero+short-rise lead) with
+    * threaded overlap-add, then the shared floor-form [[Mp3.pcm16]]
+    * quantizer and [[aacPcm]]'s exact-integer aggregates over ALL
+    * 1024·nFrames samples. */
+  def aacPcmStream(assets: Dataset[Asset],
+                   books: Map[Int, Aac.AacBook] = Aac.fixtureBooks,
+                   sfBook: Aac.SfBook = Aac.fixtureSfBook,
+                   bands: Array[Int] = Aac.fixtureBandsLong,
+                   shortBands: Array[Int] = Aac.fixtureBandsShort): Dataset[AacStreamPcmRow] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      val s = Aac.parse(a.bytes)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: not a supported ADTS stream"))
+      val pcm = Aac.decodePcmStream(s, books, sfBook, bands, shortBands)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: undecodable AAC-LC stream"))
+      val q = pcm.map(Mp3.pcm16)
+      AacStreamPcmRow(a.id, s.frames.size, q.length,
+        q.count(v => v == 32767 || v == -32768),
+        q.count(_ != 0),
+        q.foldLeft(0L)(_ + _),
+        q.foldLeft(0L)((acc, v) => acc + math.abs(v)),
+        q.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+          acc + v.toLong * (i + 1) })
+    })
+  }
+
   final case class WavChannelStats(id: Long, channel: Int, n_samples: Int,
                                    sum_amp: Long, mean_amp: Double)
 

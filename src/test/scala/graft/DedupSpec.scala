@@ -266,39 +266,50 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("jaccardPairsReleasable: release hook frees the local prefix cache; fail-fast leaks nothing (r14 ADVICE)") {
-    def cached() = spark.sparkContext.getPersistentRDDs.size
-    def awaitCached(want: Int): Unit = {
+    // Track the SPECIFIC persisted-RDD ids each call adds, never the
+    // global count: the shared session's ContextCleaner unpersists
+    // unreferenced RDDs from earlier suites asynchronously, so count
+    // equality is a race (observed flaking 283 != 284 in a full run).
+    def ids(): Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    def awaitGone(mine: Set[Int]): Unit = {
       val deadline = System.nanoTime() + 10000000000L // unpersist is async
-      while (cached() != want && System.nanoTime() < deadline) Thread.sleep(50)
-      assert(cached() == want, s"persistent RDD count ${cached()} != $want")
+      while ((ids() & mine).nonEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert((ids() & mine).isEmpty,
+        s"persistent RDDs ${ids() & mine} still cached after release")
     }
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again"),
       (2L, "the quick brown fox jumps over the lazy dog again"),
       (3L, "a completely different sentence with other words entirely here")
     ).toDF("doc_id", "text")
-    val before = cached()
     // budget-breach path: the estimate's local cache is released on throw
+    val preBreach = ids()
     intercept[IllegalArgumentException] {
       Dedup.jaccardPairsReleasable(docs, "doc_id", "text", candidateBudget = 1L)
     }
-    awaitCached(before)
+    awaitGone(ids() -- preBreach)
     // success path: cache stays warm for the returned join, hook frees it
+    val preRun = ids()
     val (pairs, release) = Dedup.jaccardPairsReleasable(docs, "doc_id", "text")
     assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       .contains((1L, 2L)))
-    assert(cached() == before + 1, "local prefix frame should be cached after the run")
+    val mine = ids() -- preRun
+    assert(mine.size == 1,
+      s"local prefix frame should add exactly one cached RDD, got $mine")
     release()
-    awaitCached(before)
+    awaitGone(mine)
     release() // idempotent
     // caller-supplied prefix frame: no local cache, hook is a no-op
     val sh = Dedup.shingles(docs, "doc_id", "text", 3)
     val gs = Dedup.docGramSets(sh)
     val pf = Dedup.corpusPrefixes(sh, gs, 0.8)
+    val preSupplied = ids()
     val (p2, rel2) = Dedup.jaccardPairsReleasable(docs, "doc_id", "text",
       shingleFrame = Some(sh), gramSetsFrame = Some(gs), prefixFrame = Some(pf))
     p2.collect()
-    assert(cached() == before, "supplied prefixFrame must not create a local cache")
+    assert((ids() -- preSupplied).isEmpty,
+      "supplied prefixFrame must not create a local cache")
     rel2()
   }
 

@@ -1871,6 +1871,223 @@ class MultimodalSpec extends AnyFunSuite {
       Aac.parseAacBooksSpec("bands 0 4 8\njunk line here"))
   }
 
+  // ---- AAC EIGHT_SHORT / window switching (round 15) ----
+
+  test("aac imdct256Full matches the direct §14.3 sum at 1e-9") {
+    import graft.multimodal.{Aac, Dsp}
+    val rnd = new scala.util.Random(61)
+    val xr = Array.fill(128)(rnd.nextDouble() * 2 - 1)
+    val fast = Dsp.imdct256Full(xr)
+    val scale = xr.map(math.abs).max
+    for (n <- 0 until 256)
+      assert(math.abs(fast(n) - Aac.imdct256(xr, n)) / scale < 1e-9, s"n=$n")
+  }
+
+  /** EIGHT_SHORT SCE fixture: grouping + per-group formula streams,
+    * quant window-major (the decodeSceWin layout). */
+  private def aacFixtureShortSce(seed: Long, groupLen: Array[Int]) = {
+    import graft.multimodal.Aac
+    require(groupLen.sum == 8)
+    val info = Aac.IcsInfo(2, (6 + seed % 4).toInt, groupLen)
+    val gg = (96 + seed % 8).toInt
+    val sectCb = Array.tabulate(info.numGroups, info.maxSfb)((g, s) =>
+      if ((seed + g + s) % 3 == 0) 0 else 12)
+    val sf = Array.tabulate(info.numGroups, info.maxSfb)((g, s) =>
+      if (sectCb(g)(s) == 0) 0 else gg + ((seed + 3 * s + 2 * g) % 9).toInt - 4)
+    // window-major: window w's 128 lines at [128w, 128(w+1))
+    val grpOfWin = groupLen.zipWithIndex.flatMap { case (l, g) => Seq.fill(l)(g) }
+    val quant = Array.tabulate(1024) { i =>
+      val w = i / 128; val bin = i % 128; val s = bin / 8; val g = grpOfWin(w)
+      if (s >= info.maxSfb || sectCb(g)(s) == 0) 0
+      else {
+        val mag = ((seed + i) % 3).toInt
+        if (mag != 0 && (seed + i) % 5 < 2) -mag else mag
+      }
+    }
+    (Aac.encodeSceWin(info, gg, sectCb.map(_.toArray), sf.map(_.toArray), quant),
+      info, gg, sectCb, sf, quant)
+  }
+
+  test("aac EIGHT_SHORT: encode -> decode round-trips grouping, per-group sections/scalefactors, window-major deinterleave") {
+    import graft.multimodal.Aac
+    for ((gl, seed) <- Seq(Array(8), Array(1, 2, 5), Array(2, 2, 2, 2),
+        Array(1, 1, 1, 1, 1, 1, 1, 1)).zipWithIndex) {
+      val (payload, info, gg, sectCb, sf, quant) =
+        aacFixtureShortSce(seed.toLong, gl)
+      val ics = Aac.decodeSceWin(payload).getOrElse(fail(s"groups ${gl.mkString(",")}: no decode"))
+      assert(ics.info.windowSequence == 2 && ics.info.maxSfb == info.maxSfb)
+      assert(ics.info.groupLen.sameElements(gl), s"grouping ${ics.info.groupLen.mkString(",")}")
+      assert(ics.globalGain == gg)
+      for (g <- 0 until info.numGroups) {
+        assert(ics.sectCb(g).sameElements(sectCb(g)), s"sections g$g")
+        assert(ics.sf(g).sameElements(sf(g)), s"scalefactors g$g")
+      }
+      assert(ics.quant.sameElements(quant), "window-major integers")
+      // dequantization uses the (group, sfb) gain of the OWNING window
+      val grpOfWin = gl.zipWithIndex.flatMap { case (l, g) => Seq.fill(l)(g) }
+      for (i <- 0 until 1024 if quant(i) != 0) {
+        val g = grpOfWin(i / 128); val s = (i % 128) / 8
+        val want = math.signum(quant(i).toDouble) *
+          math.pow(math.abs(quant(i).toDouble), 4.0 / 3.0) *
+          math.pow(2.0, 0.25 * (sf(g)(s) - 100))
+        assert(ics.xr(i) == want, s"xr($i)")
+      }
+      // the long-only AacChannel surface keeps rejecting this frame
+      assert(Aac.decodeSpectra(payload).isEmpty, "short frame on the long surface")
+    }
+  }
+
+  test("aac window transitions: windowedFrame + overlap-add is perfect-reconstruction across LONG/START/SHORT/STOP (TDAC)") {
+    import graft.multimodal.Aac
+    // analysis windows re-derived from the spec formulas, independent of
+    // the decoder's synthesis tables
+    def wLong(n: Int) = math.sin(math.Pi / 2048.0 * (n + 0.5))
+    def wShort(n: Int) = math.sin(math.Pi / 256.0 * (n + 0.5))
+    def wSeq(seq: Int, n: Int): Double = seq match {
+      case 0 => wLong(n)
+      case 1 => if (n < 1024) wLong(n) else if (n < 1472) 1.0
+        else if (n < 1600) wShort(n - 1472 + 128) else 0.0
+      case 3 => if (n < 448) 0.0 else if (n < 576) wShort(n - 448)
+        else if (n < 1024) 1.0 else wLong(n)
+    }
+    val seqs = Array(0, 1, 2, 3, 0)
+    val rnd = new scala.util.Random(67)
+    val x = Array.fill(1024 * (seqs.length + 1))(rnd.nextDouble() * 2 - 1)
+    // forward MDCT per frame (frame f covers x[1024f, 1024f + 2048))
+    val zs = seqs.zipWithIndex.map { case (seq, f) =>
+      // §13: the analysis MDCT is X(k) = 2·Σ z(n)·cos(...) — the factor
+      // 2 pairs with the synthesis (2/N) for unit round-trip gain
+      val xr = new Array[Double](1024)
+      if (seq == 2) {
+        for (w <- 0 until 8; k <- 0 until 128)
+          xr(w * 128 + k) = 2.0 * (0 until 256).map { n =>
+            x(1024 * f + 448 + 128 * w + n) * wShort(n) *
+              math.cos(math.Pi / 128.0 * (n + 64.5) * (k + 0.5))
+          }.sum
+      } else {
+        for (k <- 0 until 1024)
+          xr(k) = 2.0 * (0 until 2048).map { n =>
+            x(1024 * f + n) * wSeq(seq, n) *
+              math.cos(math.Pi / 1024.0 * (n + 512.5) * (k + 0.5))
+          }.sum
+      }
+      Aac.windowedFrame(Aac.IcsInfo(seq, 0, if (seq == 2) Array(8) else Array(1)), xr)
+    }
+    // interior frames reconstruct the original signal exactly (TDAC):
+    // out_f(n) = z_f(n) + z_{f−1}(n + 1024) == x(1024f + n)
+    for (f <- 1 until seqs.length; n <- 0 until 1024) {
+      val got = zs(f)(n) + zs(f - 1)(n + 1024)
+      assert(math.abs(got - x(1024 * f + n)) < 1e-9,
+        s"frame $f (${seqs(f - 1)}->${seqs(f)}) sample $n: $got vs ${x(1024 * f + n)}")
+    }
+  }
+
+  test("aac window-switched STREAM: START -> EIGHT_SHORT -> STOP decodes gaplessly; short z has the 448-sample zero lead") {
+    import graft.multimodal.Aac
+    val (shortPayload, _, _, _, _, _) = aacFixtureShortSce(3L, Array(1, 2, 5))
+    // a lone short frame: decodePcm's first 448 samples sit before the
+    // first short window -> exactly zero
+    val head = Aac.decodePcm(shortPayload).get
+    assert(head.length == 1024 && head.take(448).forall(_ == 0.0))
+    assert(head.drop(448).exists(_ != 0.0))
+    // START/STOP frames reuse the long fixture's spectra under the
+    // switched ics_info (same 1024-line layout)
+    val (maxSfb, gg) = (9, 99)
+    val sectCb = Array.tabulate(maxSfb)(s => if (s % 3 == 0) 0 else 12)
+    val sf = Array.tabulate(maxSfb)(s => if (sectCb(s) == 0) 0 else gg + (s % 9) - 4)
+    val quant = Array.tabulate(1024) { i =>
+      val s = i / 32
+      if (s >= maxSfb || sectCb(s) == 0) 0
+      else { val mag = (i % 3); if (mag != 0 && i % 5 < 2) -mag else mag }
+    }
+    def longFrame(seq: Int) = Aac.encodeSceWin(
+      Aac.IcsInfo(seq, maxSfb, Array(1)), gg, Array(sectCb), Array(sf), quant)
+    val stream = Aac.parse(
+      Aac.encodeFrame(1, 4, 1, longFrame(1)) ++
+      Aac.encodeFrame(1, 4, 1, shortPayload) ++
+      Aac.encodeFrame(1, 4, 1, longFrame(3))).get
+    val pcm = Aac.decodePcmStream(stream).get
+    assert(pcm.length == 3072)
+    // frame 1's output must carry BOTH the short frame's head and the
+    // START frame's flat-region tail; restate the composition directly
+    val zStart = Aac.windowedFrame(Aac.IcsInfo(1, maxSfb, Array(1)),
+      Aac.decodeSceWin(longFrame(1)).get.xr)
+    val zShort = Aac.windowedFrame(Aac.IcsInfo(2, 0, Array(1, 2, 5)),
+      Aac.decodeSceWin(shortPayload).get.xr)
+    for (n <- 0 until 1024)
+      assert(pcm(1024 + n) == zShort(n) + zStart(n + 1024), s"overlap sample $n")
+    // START's zero region beyond 1600 means the short frame's lead-in
+    // 576..1023 of the NEXT frame... and the tail into STOP still rings
+    assert(pcm.drop(2048).exists(_ != 0.0), "STOP frame silent — tail lost")
+  }
+
+  test("aac CPE EIGHT_SHORT: common_window shares grouping; group-major MS mask reconstructs per (group, sfb)") {
+    import graft.multimodal.Aac
+    val gl = Array(3, 1, 4)
+    val info = Aac.IcsInfo(2, 8, gl)
+    val gg = Seq(100, 103)
+    val sectCb = Seq.tabulate(2)(c => Array.tabulate(info.numGroups, info.maxSfb)(
+      (g, s) => if ((c + g + s) % 3 == 0) 0 else 12).map(_.toArray))
+    val sf = Seq.tabulate(2)(c => Array.tabulate(info.numGroups, info.maxSfb)(
+      (g, s) => if (sectCb(c)(g)(s) == 0) 0 else gg(c) + ((3 * s + 2 * g + c) % 9) - 4)
+      .map(_.toArray))
+    val grpOfWin = gl.zipWithIndex.flatMap { case (l, g) => Seq.fill(l)(g) }
+    val quant = Seq.tabulate(2)(c => Array.tabulate(1024) { i =>
+      val w = i / 128; val s = (i % 128) / 8; val g = grpOfWin(w)
+      if (s >= info.maxSfb || sectCb(c)(g)(s) == 0) 0
+      else { val mag = ((i + 7 * c) % 3); if (mag != 0 && (i + c) % 5 < 2) -mag else mag }
+    })
+    val msUsed = Array.tabulate(info.numGroups, info.maxSfb)((g, s) => (g + s) % 2 == 0)
+    val payload = Aac.encodeCpeWin(Seq(info, info), gg, sectCb, sf, quant,
+      commonWindow = true, msMaskPresent = 1, msUsed = msUsed.map(_.toArray))
+    val p = Aac.decodeCpeWin(payload).getOrElse(fail("no decode"))
+    assert(p.commonWindow && p.msMaskPresent == 1)
+    assert(p.left.info.groupLen.sameElements(gl) && p.right.info.groupLen.sameElements(gl))
+    for (c <- 0 until 2) {
+      val ch = if (c == 0) p.left else p.right
+      assert(ch.quant.sameElements(quant(c)), s"integers ch$c")
+    }
+    for (g <- 0 until info.numGroups; s <- 0 until info.maxSfb)
+      assert(p.msUsed(g)(s) == msUsed(g)(s), s"mask g$g s$s")
+    // §12.2 over window groups: every line of every window in group g
+    for (i <- 0 until 1024) {
+      val g = grpOfWin(i / 128); val s = (i % 128) / 8
+      val on = s < info.maxSfb && msUsed(g)(s)
+      val (wl, wr) =
+        if (on) (p.left.xr(i) + p.right.xr(i), p.left.xr(i) - p.right.xr(i))
+        else (p.left.xr(i), p.right.xr(i))
+      assert(p.xrMs(0)(i) == wl && p.xrMs(1)(i) == wr, s"MS line $i")
+    }
+    // stereo short PCM decodes through the window-aware filterbank
+    val pcm = Aac.decodeCpePcm(payload).get
+    assert(pcm.forall(ch => ch.length == 1024 && ch.take(448).forall(_ == 0.0)))
+    assert(pcm(0).exists(_ != 0.0) && !pcm(0).sameElements(pcm(1)))
+  }
+
+  test("aac EIGHT_SHORT strict rejects + mutation fuzz never throws") {
+    import graft.multimodal.Aac
+    val (payload, _, _, _, _, _) = aacFixtureShortSce(1L, Array(2, 6))
+    assert(Aac.decodeSceWin(payload).isDefined) // baseline
+    // truncation and trailing bytes reject
+    assert(Aac.decodeSceWin(payload.take(payload.length / 2)).isEmpty)
+    assert(Aac.decodeSceWin(payload :+ 0x3C.toByte).isEmpty)
+    // the encoder refuses grouping that does not cover 8 windows
+    intercept[IllegalArgumentException](Aac.encodeSceWin(
+      Aac.IcsInfo(2, 4, Array(2, 2)), 100,
+      Array.fill(2, 4)(0), Array.fill(2, 4)(0), new Array[Int](1024)))
+    // a short band map past 128 lines rejects
+    assert(Aac.decodeSceWin(payload,
+      shortBands = Array(0, 64, 192)).isEmpty)
+    val rnd = new scala.util.Random(29)
+    for (_ <- 0 until 300) {
+      val m = payload.clone()
+      val bit = rnd.nextInt(m.length * 8)
+      m(bit >> 3) = (m(bit >> 3) ^ (1 << (7 - (bit & 7)))).toByte
+      Aac.decodeSceWin(m) // Option contract: None or a decode, never a throw
+      Aac.decodePcm(m)
+    }
+  }
+
   /** Window-switched fixture frame: granule 0 = block_type 1 (start,
     * long layout), granule 1 = block_type 2 pure short — the gate
     * fixture's shape (round 15). */
