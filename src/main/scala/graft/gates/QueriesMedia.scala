@@ -920,6 +920,58 @@ private[graft] trait QueriesMedia { this: Queries.type =>
     graft.multimodal.Multimodal.h264IPcm(h264IPcmAssets(spark, dir))
       .toDF().orderBy(col("id"), col("mb"))
 
+  /** Hand-assembled CAVLC Intra_16x16 pictures (round 15, r14 VERDICT
+    * #7): 2×2 macroblocks per id covering ALL FOUR §8.3.3 prediction
+    * modes in a dependency chain the oracle restates stage by stage —
+    * mb0 DC (no neighbors), mb1 Horizontal (left = mb0), mb2 Vertical
+    * (top = mb0), mb3 Plane (left/top/top-left decoded). Closed-form:
+    *   qp = 20 + (5·id)%12   (slice_qp_delta from pic_init_qp 26)
+    *   dcScan(m)(k) = ((id+m+k)%5)−2 if (id+m+k)%4 = 0 else 0
+    *   acScan(m)(blk)(p) = ((id+blk·(p+1)+m)%5)−2
+    *                        if (id+m+blk+p)%6 = 0 else 0   (CBP luma 15)
+    * coded with [[graft.multimodal.H264Cavlc.fixtureTables]] (the
+    * canonical stand-in — table provenance per the CavlcTables note). */
+  private[graft] def h264I16Assets(spark: SparkSession, dir: String, nIds: Int) = {
+    import spark.implicits._
+    val src = docsTbl(spark, dir).where(col("doc_id") < nIds)
+      .select(col("doc_id")).as[Long]
+    src.mapPartitions(_.map { id =>
+      val spsB = graft.multimodal.H264.encodeSps(
+        66, 30, spsId = 0, log2MaxFrameNumMinus4 = 0, poc = 0,
+        maxRef = 1, pwMbsMinus1 = 1, phMapMinus1 = 1,
+        frameMbsOnly = true, crop = None)
+      val ppsB = graft.multimodal.H264.encodePps(
+        ppsId = 0, spsId = 0, cabac = false, picInitQp = 26)
+      val sps = graft.multimodal.H264.parseSps(spsB).get
+      val pps = graft.multimodal.H264.parsePps(ppsB).get
+      val qp = (20 + (5 * id) % 12).toInt
+      val modes = Seq(2, 1, 0, 3)
+      val mbs = (0 until 4).map { m =>
+        graft.multimodal.H264Cavlc.I16MbSpec(modes(m), 0, 0,
+          Array.tabulate(16)(k =>
+            if ((id + m + k) % 4 == 0) ((id + m + k) % 5).toInt - 2 else 0),
+          Array.tabulate(16, 15)((blk, p) =>
+            if ((id + m + blk + p) % 6 == 0)
+              ((id + blk * (p + 1) + m) % 5).toInt - 2
+            else 0).map(_.toArray),
+          forceCbpLuma = Some(15))
+      }
+      val slice = graft.multimodal.H264Cavlc.encodeI16x16Slice(
+        sps, pps, nalRefIdc = 3, idr = true,
+        frameNum = (id % 16).toInt, idrPicId = (id % 5).toInt,
+        pocLsb = (id % 16).toInt, sliceQpDelta = qp - 26, mbs,
+        tables = graft.multimodal.H264Cavlc.fixtureTables)
+      graft.multimodal.Multimodal.Asset(id, "video",
+        graft.multimodal.H264.annexB(
+          Seq((3, 7, spsB), (3, 8, ppsB), (3, 5, slice))), 0, 0)
+    })
+  }
+
+  private[graft] def multimodalH264I16x16(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.h264I16Luma(h264I16Assets(spark, dir, 4),
+      graft.multimodal.H264Cavlc.fixtureTables)
+      .toDF().orderBy(col("id"), col("mb"))
+
   /** REAL AAC ADTS payloads (round 12): 2–4 frames per doc, profile/rate/
     * channel formulas the oracle restates, raw_data_block bytes from the
     * md5 chain. Every 4th id carries the protection_absent = 0 layout

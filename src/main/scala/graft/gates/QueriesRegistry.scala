@@ -795,6 +795,131 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
         |  list_sum(v[321:384])::BIGINT AS cr_sum,
         |  list_sum(list_transform(range(0, 128), j -> v[256 + j + 1] * (j+1)))::BIGINT AS chroma_pos_sum
         |FROM b ORDER BY id, mb""".stripMargin)),
+    "multimodal_h264_i16x16" -> Q(multimodalH264I16x16, Some(
+      // restates h264I16Assets' CAVLC Intra_16x16 decode end to end
+      // (round 15, r14 VERDICT #7): the formula levels through inverse
+      // zig-zag, the DC Hadamard (as the exact ±1 tensor sum), §8.5.10
+      // DC scaling with its rounding branch, §8.5.12 AC scaling, the
+      // 4x4 inverse core transform's two butterfly stages (arithmetic
+      // >>1 as floor(x/2)), then the STAGED prediction chain — mb0 DC
+      // 128, mb1 Horizontal off mb0's right column, mb2 Vertical off
+      // mb0's bottom row, mb3 Plane off mb1/mb2 borders — with the
+      // 0..255 clip at each reconstruction. All integers: hash-exact.
+      raw"""WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 4),
+           |par AS (SELECT id, 20 + (5 * id) % 12 AS qp FROM ids),
+           |cst AS (SELECT
+           |  [0,1,4,8,5,2,3,6,9,12,13,10,7,11,14,15] AS zz,
+           |  [[10,16,13],[11,18,14],[13,20,16],[14,23,18],[16,25,20],[18,29,23]] AS v),
+           |mbs AS (SELECT unnest(range(0, 4)) AS mb),
+           |dcr AS (SELECT p.id, m.mb, p.qp,
+           |    list_transform(range(0, 16), r ->
+           |      CASE WHEN (p.id + m.mb + (list_position(c.zz, r) - 1)) % 4 = 0
+           |           THEN ((p.id + m.mb + (list_position(c.zz, r) - 1)) % 5) - 2
+           |           ELSE 0 END) AS d
+           |  FROM par p, mbs m, cst c),
+           |had AS (SELECT id, mb, qp,
+           |    list_transform(range(0, 16), i ->
+           |      list_sum(list_transform(range(0, 16), ab ->
+           |        (CASE WHEN (((i//4)%2)*((ab//4)%2) + ((i//4)//2)*((ab//4)//2)) % 2 = 0
+           |              THEN 1 ELSE -1 END) *
+           |        (CASE WHEN (((i%4)%2)*((ab%4)%2) + ((i%4)//2)*((ab%4)//2)) % 2 = 0
+           |              THEN 1 ELSE -1 END) * d[ab + 1]))) AS f
+           |  FROM dcr),
+           |dcv AS (SELECT h.id, h.mb, h.qp,
+           |    list_transform(h.f, f ->
+           |      CAST(floor((f * 16 * c.v[h.qp % 6 + 1][1] + pow(2, 5 - h.qp // 6))
+           |        / pow(2, 6 - h.qp // 6)) AS BIGINT)) AS dc
+           |  FROM had h, cst c),
+           |blks AS (SELECT unnest(range(0, 16)) AS blk),
+           |dq AS (SELECT d.id, d.mb, d.qp, b.blk,
+           |    list_transform(range(0, 16), ri -> CASE WHEN ri = 0 THEN
+           |        d.dc[4 * (2*((b.blk//4)//2) + (b.blk%4)//2)
+           |             + 2*((b.blk//4)%2) + (b.blk%4)%2 + 1]
+           |      ELSE
+           |        (CASE WHEN (d.id + d.mb + b.blk + (list_position(c.zz, ri) - 2)) % 6 = 0
+           |              THEN ((d.id + b.blk * (list_position(c.zz, ri) - 1) + d.mb) % 5) - 2
+           |              ELSE 0 END)
+           |        * c.v[d.qp % 6 + 1]
+           |             [CASE WHEN (ri//4) % 2 = 0 AND (ri%4) % 2 = 0 THEN 1
+           |                   WHEN (ri//4) % 2 = 1 AND (ri%4) % 2 = 1 THEN 2
+           |                   ELSE 3 END]
+           |        * CAST(pow(2, d.qp // 6) AS BIGINT)
+           |      END) AS d
+           |  FROM dcv d, blks b, cst c),
+           |it1 AS (SELECT id, mb, blk,
+           |    list_transform(range(0, 16), i -> CASE i % 4
+           |      WHEN 0 THEN (d[4*(i//4)+1] + d[4*(i//4)+3])
+           |                + (d[4*(i//4)+2] + CAST(floor(d[4*(i//4)+4] / 2.0) AS BIGINT))
+           |      WHEN 1 THEN (d[4*(i//4)+1] - d[4*(i//4)+3])
+           |                + (CAST(floor(d[4*(i//4)+2] / 2.0) AS BIGINT) - d[4*(i//4)+4])
+           |      WHEN 2 THEN (d[4*(i//4)+1] - d[4*(i//4)+3])
+           |                - (CAST(floor(d[4*(i//4)+2] / 2.0) AS BIGINT) - d[4*(i//4)+4])
+           |      ELSE (d[4*(i//4)+1] + d[4*(i//4)+3])
+           |                - (d[4*(i//4)+2] + CAST(floor(d[4*(i//4)+4] / 2.0) AS BIGINT))
+           |      END) AS h
+           |  FROM dq),
+           |res4 AS (SELECT id, mb, blk,
+           |    list_transform(range(0, 16), i ->
+           |      CAST(floor(((CASE i // 4
+           |        WHEN 0 THEN (h[i%4+1] + h[i%4+9])
+           |                  + (h[i%4+5] + CAST(floor(h[i%4+13] / 2.0) AS BIGINT))
+           |        WHEN 1 THEN (h[i%4+1] - h[i%4+9])
+           |                  + (CAST(floor(h[i%4+5] / 2.0) AS BIGINT) - h[i%4+13])
+           |        WHEN 2 THEN (h[i%4+1] - h[i%4+9])
+           |                  - (CAST(floor(h[i%4+5] / 2.0) AS BIGINT) - h[i%4+13])
+           |        ELSE (h[i%4+1] + h[i%4+9])
+           |                  - (h[i%4+5] + CAST(floor(h[i%4+13] / 2.0) AS BIGINT))
+           |        END) + 32) / 64.0) AS BIGINT)) AS r
+           |  FROM it1),
+           |resm AS (SELECT id, mb, list(r ORDER BY blk) AS rl FROM res4 GROUP BY id, mb),
+           |r16 AS (SELECT id, mb,
+           |    list_transform(range(0, 256), i ->
+           |      rl[4 * (2*(((i//16)//4)//2) + ((i%16)//4)//2)
+           |         + 2*(((i//16)//4)%2) + ((i%16)//4)%2 + 1]
+           |        [4 * ((i//16) % 4) + (i%16) % 4 + 1]) AS r
+           |  FROM resm),
+           |rec0 AS (SELECT id, list_transform(range(0, 256), i ->
+           |    greatest(0, least(255, 128 + r[i+1]))) AS p FROM r16 WHERE mb = 0),
+           |rec1 AS (SELECT a.id, list_transform(range(0, 256), i ->
+           |    greatest(0, least(255, b.p[(i//16)*16 + 16] + a.r[i+1]))) AS p
+           |  FROM r16 a JOIN rec0 b ON a.id = b.id WHERE a.mb = 1),
+           |rec2 AS (SELECT a.id, list_transform(range(0, 256), i ->
+           |    greatest(0, least(255, b.p[241 + i%16] + a.r[i+1]))) AS p
+           |  FROM r16 a JOIN rec0 b ON a.id = b.id WHERE a.mb = 2),
+           |pl AS (SELECT r1.id,
+           |    -- k = 7 reaches x/y = -1: the TOP-LEFT corner pixel, which
+           |    -- lives in mb0 (rec0's bottom-right), not in mb1/mb2
+           |    list_sum(list_transform(range(0, 8), k ->
+           |      (k+1) * (r1.p[249 + k] -
+           |        CASE WHEN k = 7 THEN r0.p[256] ELSE r1.p[247 - k] END))) AS hsum,
+           |    list_sum(list_transform(range(0, 8), k ->
+           |      (k+1) * (r2.p[(8+k)*16 + 16] -
+           |        CASE WHEN k = 7 THEN r0.p[256] ELSE r2.p[(6-k)*16 + 16] END))) AS vsum,
+           |    16 * (r2.p[256] + r1.p[256]) AS pa
+           |  FROM rec1 r1 JOIN rec2 r2 ON r1.id = r2.id
+           |  JOIN rec0 r0 ON r0.id = r1.id),
+           |rec3 AS (SELECT a.id, list_transform(range(0, 256), i ->
+           |    greatest(0, least(255,
+           |      greatest(0, least(255, CAST(floor((pl.pa
+           |        + CAST(floor((5 * pl.hsum + 32) / 64.0) AS BIGINT) * (i%16 - 7)
+           |        + CAST(floor((5 * pl.vsum + 32) / 64.0) AS BIGINT) * (i//16 - 7)
+           |        + 16) / 32.0) AS BIGINT)))
+           |      + a.r[i+1]))) AS p
+           |  FROM r16 a JOIN pl ON a.id = pl.id WHERE a.mb = 3),
+           |recs AS (
+           |  SELECT id, 0 AS mb, p FROM rec0 UNION ALL
+           |  SELECT id, 1, p FROM rec1 UNION ALL
+           |  SELECT id, 2, p FROM rec2 UNION ALL
+           |  SELECT id, 3, p FROM rec3)
+           |SELECT r.id, r.mb::INT AS mb,
+           |  ([2,1,0,3][r.mb + 1])::INT AS pred_mode, p2.qp::INT AS qp,
+           |  list_sum(r.p)::BIGINT AS sum_luma,
+           |  CAST(list_sum(list_transform(range(0, 256), i -> r.p[i+1] *
+           |    ((16*(r.mb//2) + i//16) * 32 + 16*(r.mb%2) + i%16 + 1))) AS BIGINT) AS wsum_luma,
+           |  list_aggregate(r.p, 'min')::INT AS min_luma,
+           |  list_aggregate(r.p, 'max')::INT AS max_luma
+           |FROM recs r JOIN par p2 ON p2.id = r.id
+           |ORDER BY r.id, r.mb""".stripMargin)),
     "multimodal_h264_sps" -> Q(multimodalH264Sps, Some(
       // restates h264Assets' SPS/PPS field formulas + the §7.4.2.1.1
       // width/height derivation, and pins the concatenated slice RBSPs

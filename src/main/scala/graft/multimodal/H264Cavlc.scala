@@ -1,0 +1,831 @@
+package graft.multimodal
+
+import scala.collection.mutable.ArrayBuffer
+
+/** H.264 CAVLC slice-data decode for Intra_16x16 LUMA (round 15, r14
+  * VERDICT #7 — the first honest rung past I_PCM toward real pixels):
+  * §9.2 residual_block_cavlc (coeff_token, trailing-one signs, the
+  * adaptive level prefix/suffix walk, total_zeros, run_before), the §9.2.1
+  * nC neighbor context over the per-4x4 TotalCoeff grid, §8.5.6 zig-zag,
+  * the §8.5.10 DC Hadamard + §8.5.12 scaling and 4x4 inverse core
+  * transform, and the four §8.3.3 Intra_16x16 prediction modes
+  * (V/H/DC/Plane) over already-reconstructed neighbor pixels.
+  *
+  * TABLE PROVENANCE — the Mp3/Aac never-guess discipline: the CAVLC VLC
+  * tables (Tables 9-5 coeff_token, 9-7/9-8 total_zeros, 9-10 run_before —
+  * several hundred codewords) are transcription data that cannot be
+  * verified in this zero-egress environment, so [[parseI16x16Slice]]
+  * takes its [[CavlcTables]] as a REQUIRED argument with no default.
+  * [[fixtureTables]] is a canonical formula-generated stand-in (same
+  * symbol alphabets, NOT the ISO codes) for fixtures, tests and gates —
+  * pointing it at a real encoder's stream would not decode (and must not
+  * be tried: unlike the MP3/AAC books there is no in-band id to mount a
+  * fixture on, so table provenance is entirely the caller's contract; a
+  * real deployment pastes the Table 9-x transcription it trusts through
+  * [[parseCavlcSpec]]). Everything OUTSIDE the VLC tables — the level
+  * code arithmetic, run/zeros reconstruction, nC rule, scan, transforms,
+  * prediction — is formula math from the spec and is implemented fully.
+  *
+  * The small §8.5.9 normAdjust4x4 matrix (18 integers; the LevelScale
+  * with flat weightScale 16) is shipped inline like MP3's pretab/ci
+  * constants — small enough to verify by inspection, unlike the VLC
+  * tables.
+  *
+  * SCOPE (strict-reject, never misparse): CAVLC I slices whose every
+  * macroblock is Intra_16x16 with coded_block_pattern CHROMA = 0 — the
+  * luma plane decodes to pixels; chroma residual/prediction stays a
+  * named seam (mb_types 0 I_NxN and 25 I_PCM, P/B slices, CABAC, chroma
+  * CBP 1/2 all reject). Reference analog: the opaque-binary multimodal
+  * columns (SURVEY §2.7); the encoder half exists for fixture assembly
+  * only, mirroring Jpeg/Mp3/Aac/H264.
+  */
+object H264Cavlc {
+
+  // -------------------------------------------------------------------
+  // CAVLC code tables (caller-supplied; fixture stand-ins below)
+  // -------------------------------------------------------------------
+
+  private def checkPrefixFree[T](codes: Map[String, T], what: String): Unit = {
+    require(codes.nonEmpty, s"$what: empty table")
+    require(codes.keys.forall(c => c.nonEmpty && c.forall(b => b == '0' || b == '1')),
+      s"$what: bad codeword")
+    require(!codes.keys.exists(a => codes.keys.exists(b => b != a && b.startsWith(a))),
+      s"$what is not prefix-free")
+  }
+
+  /** The CAVLC VLC tables §9.2 reads:
+    *  - `coeffToken(cls)`: cls 0 (0 ≤ nC < 2), 1 (2 ≤ nC < 4),
+    *    2 (4 ≤ nC < 8), 3 (nC ≥ 8), 4 (nC = −1, 4:2:0 chroma DC) →
+    *    code → (TotalCoeff, TrailingOnes);
+    *  - `totalZeros(tc)`: tc 1..15 (4x4 blocks) → code → total_zeros;
+    *  - `totalZerosChromaDc(tc)`: tc 1..3 → code → total_zeros (≤ 4−tc);
+    *  - `runBefore(zl)`: zl 1..7, where 7 covers zerosLeft > 6 →
+    *    code → run_before. */
+  final case class CavlcTables(
+      coeffToken: Map[Int, Map[String, (Int, Int)]],
+      totalZeros: Map[Int, Map[String, Int]],
+      totalZerosChromaDc: Map[Int, Map[String, Int]],
+      runBefore: Map[Int, Map[String, Int]]) {
+    require(Set(0, 1, 2, 3, 4).subsetOf(coeffToken.keySet),
+      "coeff_token needs nC classes 0..3 and 4 (chroma DC)")
+    require((1 to 15).forall(totalZeros.contains), "total_zeros needs tc 1..15")
+    require((1 to 3).forall(totalZerosChromaDc.contains),
+      "chroma-DC total_zeros needs tc 1..3")
+    require((1 to 7).forall(runBefore.contains), "run_before needs zl 1..7")
+    coeffToken.foreach { case (k, m) =>
+      checkPrefixFree(m, s"coeff_token[$k]")
+      require(m.values.forall { case (tc, t1) =>
+        tc >= 0 && tc <= 16 && t1 >= 0 && t1 <= math.min(3, tc) },
+        s"coeff_token[$k]: symbol out of range")
+    }
+    totalZeros.foreach { case (tc, m) =>
+      checkPrefixFree(m, s"total_zeros[$tc]")
+      require(m.values.forall(z => z >= 0 && z <= 16 - tc),
+        s"total_zeros[$tc]: value out of 0..${16 - tc}")
+    }
+    totalZerosChromaDc.foreach { case (tc, m) =>
+      checkPrefixFree(m, s"tz_chroma[$tc]")
+      require(m.values.forall(z => z >= 0 && z <= 4 - tc),
+        s"tz_chroma[$tc]: value out of 0..${4 - tc}")
+    }
+    runBefore.foreach { case (zl, m) =>
+      checkPrefixFree(m, s"run_before[$zl]")
+      require(m.values.forall(r => r >= 0 && r <= (if (zl < 7) zl else 14)),
+        s"run_before[$zl]: run out of range")
+    }
+    private[multimodal] val ctMaxLen = coeffToken.map { case (k, m) => k -> m.keys.map(_.length).max }
+    private[multimodal] val tzMaxLen = totalZeros.map { case (k, m) => k -> m.keys.map(_.length).max }
+    private[multimodal] val tzcMaxLen = totalZerosChromaDc.map { case (k, m) => k -> m.keys.map(_.length).max }
+    private[multimodal] val rbMaxLen = runBefore.map { case (k, m) => k -> m.keys.map(_.length).max }
+    private[multimodal] val ctEnc: Map[Int, Map[(Int, Int), String]] =
+      coeffToken.map { case (k, m) => k -> m.map(_.swap) }
+    private[multimodal] val tzEnc: Map[Int, Map[Int, String]] =
+      totalZeros.map { case (k, m) => k -> m.map(_.swap) }
+    private[multimodal] val tzcEnc: Map[Int, Map[Int, String]] =
+      totalZerosChromaDc.map { case (k, m) => k -> m.map(_.swap) }
+    private[multimodal] val rbEnc: Map[Int, Map[Int, String]] =
+      runBefore.map { case (k, m) => k -> m.map(_.swap) }
+    require(ctEnc.forall { case (k, m) => m.size == coeffToken(k).size },
+      "duplicate coeff_token symbols")
+    require(tzEnc.forall { case (k, m) => m.size == totalZeros(k).size },
+      "duplicate total_zeros symbols")
+    require(rbEnc.forall { case (k, m) => m.size == runBefore(k).size },
+      "duplicate run_before symbols")
+  }
+
+  /** Canonical fixture code for symbol index k of an alphabet: "0" for
+    * k = 0, else "1" + 7 index bits — prefix-free by construction, same
+    * shape as [[Aac.fixtureSpectralBook]]. */
+  private def fixtureCode(k: Int): String =
+    if (k == 0) "0" else "1" + Integer.toBinaryString(128 | (k - 1)).substring(1)
+
+  /** Formula-generated stand-in tables (NOT the ISO codes): every class
+    * enumerates its full symbol alphabet with canonical codes, so any
+    * legal (TotalCoeff, TrailingOnes, total_zeros, run_before) stream is
+    * codable. */
+  val fixtureTables: CavlcTables = {
+    val ctSyms = for (tc <- 0 to 16; t1 <- 0 to math.min(3, tc)) yield (tc, t1)
+    val ct = ctSyms.zipWithIndex.map { case (s, k) => fixtureCode(k) -> s }.toMap
+    val ctChroma = ctSyms.filter(_._1 <= 4).zipWithIndex
+      .map { case (s, k) => fixtureCode(k) -> s }.toMap
+    CavlcTables(
+      coeffToken = Map(0 -> ct, 1 -> ct, 2 -> ct, 3 -> ct, 4 -> ctChroma),
+      totalZeros = (1 to 15).map(tc =>
+        tc -> (0 to 16 - tc).map(z => fixtureCode(z) -> z).toMap).toMap,
+      totalZerosChromaDc = (1 to 3).map(tc =>
+        tc -> (0 to 4 - tc).map(z => fixtureCode(z) -> z).toMap).toMap,
+      runBefore = (1 to 7).map(zl =>
+        zl -> (0 to (if (zl < 7) zl else 14)).map(r => fixtureCode(r) -> r).toMap).toMap)
+  }
+
+  /** Caller-supplied table spec (the Aac.parseAacBooksSpec discipline):
+    *
+    *   # comment (anywhere; blank lines ignored)
+    *   coefftoken 0            — starts a coeff_token section; class
+    *                             0..3 = the nC bands, 4 = chroma DC
+    *   0001 3 2                — one codeword: <bits> <TotalCoeff> <T1s>
+    *   totalzeros 4            — total_zeros section, tc 1..15
+    *   011 5                   — one codeword: <bits> <total_zeros>
+    *   tzchroma 2              — chroma-DC total_zeros, tc 1..3
+    *   runbefore 3             — run_before, zerosLeft class 1..7
+    *
+    * Strict: a typo'd top-level directive throws (never a silent
+    * partial table); the assembled tables must pass every
+    * [[CavlcTables]] check. Sections may be partial — merge over
+    * [[fixtureTables]] is the caller's choice, but mixing fixture and
+    * transcription codes in one class is rejected at require time only
+    * if inconsistent, so a real deployment should supply ALL sections. */
+  def parseCavlcSpec(text: String): CavlcTables = {
+    // section: (kind, key) — kind 0 coefftoken, 1 totalzeros, 2 tzchroma, 3 runbefore
+    var cur: Option[(Int, Int)] = None
+    val ct = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.Map[String, (Int, Int)]]
+    val tz = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.Map[String, Int]]
+    val tzc = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.Map[String, Int]]
+    val rb = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.Map[String, Int]]
+    def bits(s: String): String = {
+      require(s.forall(c => c == '0' || c == '1'), s"bad code '$s'")
+      s
+    }
+    for (raw <- text.linesIterator) {
+      val line = raw.takeWhile(_ != '#').trim
+      if (line.nonEmpty) line.split("\\s+") match {
+        case Array("coefftoken", k) =>
+          val i = k.toInt; require(i >= 0 && i <= 4, s"coeff_token class $i")
+          cur = Some((0, i)); ct.getOrElseUpdate(i, scala.collection.mutable.Map.empty)
+        case Array("totalzeros", k) =>
+          val i = k.toInt; require(i >= 1 && i <= 15, s"total_zeros tc $i")
+          cur = Some((1, i)); tz.getOrElseUpdate(i, scala.collection.mutable.Map.empty)
+        case Array("tzchroma", k) =>
+          val i = k.toInt; require(i >= 1 && i <= 3, s"tz_chroma tc $i")
+          cur = Some((2, i)); tzc.getOrElseUpdate(i, scala.collection.mutable.Map.empty)
+        case Array("runbefore", k) =>
+          val i = k.toInt; require(i >= 1 && i <= 7, s"run_before zl $i")
+          cur = Some((3, i)); rb.getOrElseUpdate(i, scala.collection.mutable.Map.empty)
+        case Array(code, tc, t1) if cur.exists(_._1 == 0) =>
+          ct(cur.get._2) += (bits(code) -> (tc.toInt, t1.toInt))
+        case Array(code, v) if cur.exists(c => c._1 >= 1) =>
+          cur.get._1 match {
+            case 1 => tz(cur.get._2) += (bits(code) -> v.toInt)
+            case 2 => tzc(cur.get._2) += (bits(code) -> v.toInt)
+            case _ => rb(cur.get._2) += (bits(code) -> v.toInt)
+          }
+        case other => throw new IllegalArgumentException(
+          s"unrecognized CAVLC spec line: '${other.mkString(" ")}'")
+      }
+    }
+    // merge over the fixtures so partial transcriptions still type-check;
+    // supplied sections REPLACE the fixture section wholesale
+    CavlcTables(
+      fixtureTables.coeffToken ++ ct.map { case (k, m) => k -> m.toMap },
+      fixtureTables.totalZeros ++ tz.map { case (k, m) => k -> m.toMap },
+      fixtureTables.totalZerosChromaDc ++ tzc.map { case (k, m) => k -> m.toMap },
+      fixtureTables.runBefore ++ rb.map { case (k, m) => k -> m.toMap })
+  }
+
+  // -------------------------------------------------------------------
+  // Shared small tables (formula / inline constants)
+  // -------------------------------------------------------------------
+
+  /** §8.5.6 zig-zag: scan position → raster index in the 4x4 block. */
+  private[graft] val zigZag4x4: Array[Int] =
+    Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+
+  /** §8.5.9 normAdjust4x4(m, idx): idx 0 = both coords even, 1 = both
+    * odd, 2 = mixed. (The LevelScale4x4 with flat weightScale = 16,
+    * divided by 16.) 18 integers, shipped inline like MP3's pretab. */
+  private[graft] val normAdjust4x4: Array[Array[Int]] = Array(
+    Array(10, 16, 13), Array(11, 18, 14), Array(13, 20, 16),
+    Array(14, 23, 18), Array(16, 25, 20), Array(18, 29, 23))
+
+  @inline private def vClass(i: Int, j: Int): Int =
+    if (i % 2 == 0 && j % 2 == 0) 0 else if (i % 2 == 1 && j % 2 == 1) 1 else 2
+
+  // -------------------------------------------------------------------
+  // §9.2 residual_block_cavlc
+  // -------------------------------------------------------------------
+
+  private[graft] final class BitReader(bytes: Array[Byte]) {
+    private var bit = 0
+    def u(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) {
+        val b = bit + i
+        v = (v << 1) | ((bytes(b >> 3) >> (7 - (b & 7))) & 1)
+        i += 1
+      }
+      bit += n
+      v
+    }
+    def ue(): Int = {
+      var zeros = 0
+      while (u(1) == 0) { zeros += 1; require(zeros <= 30, "ue(v) too long") }
+      (1 << zeros) - 1 + (if (zeros == 0) 0 else u(zeros))
+    }
+    def se(): Int = {
+      val k = ue()
+      if (k % 2 == 1) (k + 1) / 2 else -(k / 2)
+    }
+    def bitsLeft: Int = bytes.length * 8 - bit
+    def aligned: Boolean = (bit & 7) == 0
+  }
+
+  private def readVlc[T](r: BitReader, codes: Map[String, T], maxLen: Int,
+                         what: String): T = {
+    val sb = new StringBuilder
+    while (sb.length <= maxLen) {
+      sb.append(if (r.u(1) == 1) '1' else '0')
+      codes.get(sb.toString) match {
+        case Some(v) => return v
+        case None =>
+      }
+    }
+    throw new IllegalArgumentException(s"unmatched $what code '${sb.toString}'")
+  }
+
+  private def ctClass(nC: Int): Int =
+    if (nC == -1) 4
+    else if (nC < 2) 0
+    else if (nC < 4) 1
+    else if (nC < 8) 2
+    else 3
+
+  /** One §9.2 residual block: returns (levels in coefficient-array
+    * order, i.e. index = scan position 0..maxCoeffs−1, TotalCoeff).
+    * `nC` per §9.2.1 (−1 = chroma DC). Throws on malformed input. */
+  private[graft] def residualBlock(r: BitReader, nC: Int, maxCoeffs: Int,
+                                        tables: CavlcTables): (Array[Int], Int) = {
+    val cls = ctClass(nC)
+    val (totalCoeff, trailingOnes) =
+      readVlc(r, tables.coeffToken(cls), tables.ctMaxLen(cls), "coeff_token")
+    require(totalCoeff <= maxCoeffs, s"TotalCoeff $totalCoeff > $maxCoeffs")
+    val out = new Array[Int](maxCoeffs)
+    if (totalCoeff == 0) return (out, 0)
+    // levels, highest frequency first (§9.2.2): t1 signs then the
+    // adaptive prefix/suffix walk
+    val level = new Array[Int](totalCoeff)
+    var i = 0
+    while (i < trailingOnes) {
+      level(i) = if (r.u(1) == 1) -1 else 1
+      i += 1
+    }
+    var suffixLength = if (totalCoeff > 10 && trailingOnes < 3) 1 else 0
+    while (i < totalCoeff) {
+      var prefix = 0
+      while (r.u(1) == 0) { prefix += 1; require(prefix <= 32, "level_prefix too long") }
+      val suffixSize =
+        if (prefix == 14 && suffixLength == 0) 4
+        else if (prefix >= 15) prefix - 3
+        else suffixLength
+      var levelCode = math.min(15, prefix) << suffixLength
+      if (suffixSize > 0) levelCode += r.u(suffixSize)
+      if (prefix >= 15 && suffixLength == 0) levelCode += 15
+      if (prefix >= 16) levelCode += (1 << (prefix - 3)) - 4096
+      if (i == trailingOnes && trailingOnes < 3) levelCode += 2
+      level(i) = if (levelCode % 2 == 0) (levelCode + 2) >> 1
+                 else (-levelCode - 1) >> 1
+      if (suffixLength == 0) suffixLength = 1
+      if (math.abs(level(i)) > (3 << (suffixLength - 1)) && suffixLength < 6)
+        suffixLength += 1
+      i += 1
+    }
+    // total_zeros
+    var zerosLeft =
+      if (totalCoeff < maxCoeffs) {
+        if (nC == -1)
+          readVlc(r, tables.totalZerosChromaDc(totalCoeff),
+            tables.tzcMaxLen(totalCoeff), "tz_chroma")
+        else
+          readVlc(r, tables.totalZeros(totalCoeff),
+            tables.tzMaxLen(totalCoeff), "total_zeros")
+      } else 0
+    require(zerosLeft <= maxCoeffs - totalCoeff, "total_zeros overruns block")
+    // run_before walk, then place levels (§9.2.3)
+    var coeffNum = zerosLeft + totalCoeff - 1
+    i = 0
+    while (i < totalCoeff) {
+      val run =
+        if (i == totalCoeff - 1) zerosLeft // last (lowest-freq) level takes the rest
+        else if (zerosLeft > 0)
+          readVlc(r, tables.runBefore(math.min(zerosLeft, 7)),
+            tables.rbMaxLen(math.min(zerosLeft, 7)), "run_before")
+        else 0
+      require(run <= zerosLeft, "run_before overruns zerosLeft")
+      out(coeffNum) = level(i)
+      zerosLeft -= run
+      coeffNum -= run + 1
+      i += 1
+    }
+    (out, totalCoeff)
+  }
+
+  // -------------------------------------------------------------------
+  // Transforms + scaling (§8.5)
+  // -------------------------------------------------------------------
+
+  /** §8.5.10 inverse Hadamard on the 16 Intra16x16 luma DC coefficients
+    * (4x4 raster array in, f array out — exact integers, no rounding). */
+  private[graft] def inverseHadamard4x4(c: Array[Int]): Array[Int] = {
+    val t = new Array[Int](16)
+    var j = 0
+    while (j < 4) { // rows
+      val a = c(4 * j); val b = c(4 * j + 1); val d = c(4 * j + 2); val e = c(4 * j + 3)
+      t(4 * j) = a + b + d + e
+      t(4 * j + 1) = a - b + d - e
+      t(4 * j + 2) = a + b - d - e
+      t(4 * j + 3) = a - b - d + e
+      j += 1
+    }
+    val f = new Array[Int](16)
+    var i = 0
+    while (i < 4) { // columns
+      val a = t(i); val b = t(4 + i); val d = t(8 + i); val e = t(12 + i)
+      f(i) = a + b + d + e
+      f(4 + i) = a - b + d - e
+      f(8 + i) = a + b - d - e
+      f(12 + i) = a - b - d + e
+      i += 1
+    }
+    f
+  }
+
+  /** §8.5.10 DC scaling after the Hadamard: flat weightScale 16, so
+    * LevelScale(qP%6, 0, 0) = 16·normAdjust(qP%6, 0). */
+  private[graft] def scaleLumaDc(f: Int, qp: Int): Int = {
+    val ls = 16 * normAdjust4x4(qp % 6)(0)
+    if (qp >= 36) (f * ls) << (qp / 6 - 6)
+    else (f * ls + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+  }
+
+  /** §8.5.12.1 AC scaling (flat lists): d = c · normAdjust(qP%6, class)
+    * · 2^(qP/6) — exact-equivalent to the spec's two branches when the
+    * weightScale is flat 16 (the added rounding term never carries). */
+  @inline private[graft] def scaleAc(c: Int, qp: Int, i: Int, j: Int): Int =
+    (c * normAdjust4x4(qp % 6)(vClass(i, j))) << (qp / 6)
+
+  /** §8.5.12.2 inverse 4x4 core transform: 16 scaled coefficients
+    * (raster) → 16 residual samples, final (x + 32) >> 6. */
+  private[graft] def inverseTransform4x4(d: Array[Int]): Array[Int] = {
+    val h = new Array[Int](16)
+    var j = 0
+    while (j < 4) { // horizontal (rows)
+      val d0 = d(4 * j); val d1 = d(4 * j + 1); val d2 = d(4 * j + 2); val d3 = d(4 * j + 3)
+      val e0 = d0 + d2; val e1 = d0 - d2
+      val e2 = (d1 >> 1) - d3; val e3 = d1 + (d3 >> 1)
+      h(4 * j) = e0 + e3; h(4 * j + 1) = e1 + e2
+      h(4 * j + 2) = e1 - e2; h(4 * j + 3) = e0 - e3
+      j += 1
+    }
+    val out = new Array[Int](16)
+    var i = 0
+    while (i < 4) { // vertical (columns)
+      val d0 = h(i); val d1 = h(4 + i); val d2 = h(8 + i); val d3 = h(12 + i)
+      val e0 = d0 + d2; val e1 = d0 - d2
+      val e2 = (d1 >> 1) - d3; val e3 = d1 + (d3 >> 1)
+      out(i) = (e0 + e3 + 32) >> 6
+      out(4 + i) = (e1 + e2 + 32) >> 6
+      out(8 + i) = (e1 - e2 + 32) >> 6
+      out(12 + i) = (e0 - e3 + 32) >> 6
+      i += 1
+    }
+    out
+  }
+
+  // -------------------------------------------------------------------
+  // Intra_16x16 prediction (§8.3.3)
+  // -------------------------------------------------------------------
+
+  @inline private def clip255(v: Int): Int = math.max(0, math.min(255, v))
+
+  /** One MB's 16x16 luma prediction from the reconstructed `plane`
+    * (width `w` pixels). Availability follows the raster decode order:
+    * left iff mbx > 0, top iff mby > 0. Throws if `mode` needs an
+    * unavailable neighbor (a conforming stream never codes that). */
+  private[graft] def predictIntra16x16(mode: Int, plane: Array[Int], w: Int,
+                                       mbx: Int, mby: Int): Array[Int] = {
+    val x0 = 16 * mbx; val y0 = 16 * mby
+    val hasLeft = mbx > 0
+    val hasTop = mby > 0
+    @inline def top(x: Int): Int = plane((y0 - 1) * w + x0 + x)
+    @inline def left(y: Int): Int = plane((y0 + y) * w + x0 - 1)
+    val out = new Array[Int](256)
+    mode match {
+      case 0 => // Vertical
+        require(hasTop, "Intra_16x16_Vertical needs the top neighbor")
+        var y = 0
+        while (y < 16) { var x = 0; while (x < 16) { out(16 * y + x) = top(x); x += 1 }; y += 1 }
+      case 1 => // Horizontal
+        require(hasLeft, "Intra_16x16_Horizontal needs the left neighbor")
+        var y = 0
+        while (y < 16) { val v = left(y); var x = 0; while (x < 16) { out(16 * y + x) = v; x += 1 }; y += 1 }
+      case 2 => // DC
+        val dc =
+          if (hasLeft && hasTop)
+            ((0 until 16).map(top).sum + (0 until 16).map(left).sum + 16) >> 5
+          else if (hasLeft) ((0 until 16).map(left).sum + 8) >> 4
+          else if (hasTop) ((0 until 16).map(top).sum + 8) >> 4
+          else 128
+        java.util.Arrays.fill(out, dc)
+      case 3 => // Plane
+        require(hasLeft && hasTop, "Intra_16x16_Plane needs left and top")
+        @inline def p(x: Int, y: Int): Int = // §8.3.3.4's p[x, y] border
+          if (y == -1) plane((y0 - 1) * w + x0 + x)
+          else plane((y0 + y) * w + x0 - 1)
+        var hsum = 0; var vsum = 0
+        var k = 0
+        while (k < 8) {
+          hsum += (k + 1) * (p(8 + k, -1) - p(6 - k, -1))
+          vsum += (k + 1) * (p(-1, 8 + k) - p(-1, 6 - k))
+          k += 1
+        }
+        val a = 16 * (p(-1, 15) + p(15, -1))
+        val b = (5 * hsum + 32) >> 6
+        val c = (5 * vsum + 32) >> 6
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            out(16 * y + x) = clip255((a + b * (x - 7) + c * (y - 7) + 16) >> 5)
+            x += 1
+          }
+          y += 1
+        }
+      case other =>
+        throw new IllegalArgumentException(s"Intra16x16PredMode $other")
+    }
+    out
+  }
+
+  // -------------------------------------------------------------------
+  // Slice decode
+  // -------------------------------------------------------------------
+
+  /** One decoded Intra_16x16 macroblock's metadata. */
+  final case class I16Mb(predMode: Int, cbpChroma: Int, cbpLuma: Int,
+                         chromaPredMode: Int, qp: Int)
+
+  /** Decoded single-slice all-Intra_16x16 picture: the LUMA plane
+    * (width·height, row-major, 0..255) plus per-MB metadata. Chroma is
+    * the documented seam (cbp chroma 0 enforced; the chroma pred mode
+    * is parsed and pinned but no chroma samples are output). */
+  final case class I16Picture(sliceType: Int, ppsId: Int, frameNum: Int,
+                              idrPicId: Int, pocLsb: Int, sliceQp: Int,
+                              widthMbs: Int, heightMbs: Int,
+                              mbs: Seq[I16Mb], luma: Array[Int])
+
+  /** §6.4.3 luma4x4BlkIdx → (bx4, by4) inside the MB. */
+  @inline private def blkX(idx: Int): Int = 2 * ((idx / 4) % 2) + (idx % 4) % 2
+  @inline private def blkY(idx: Int): Int = 2 * ((idx / 4) / 2) + (idx % 4) / 2
+
+  /** Parse a slice NAL's RBSP as a single-slice all-Intra_16x16 CAVLC
+    * picture under the given SPS/PPS and CALLER-SUPPLIED [[CavlcTables]].
+    * Strict → None on: CABAC, non-I slices, multi-slice-group, chroma
+    * formats ≠ 4:2:0/8-bit, field coding, any mb_type other than
+    * Intra_16x16 (1..24), chroma CBP ≠ 0, prediction modes whose
+    * neighbors are unavailable, malformed VLC walks, or trailing bits. */
+  def parseI16x16Slice(rbsp: Array[Byte], sps: H264.Sps, pps: H264.Pps,
+                       nalRefIdc: Int, nalType: Int,
+                       tables: CavlcTables): Option[I16Picture] = try {
+    if (nalType != 1 && nalType != 5) return None
+    if (sps.chromaFormatIdc != 1 || sps.bitDepthLuma != 8) return None
+    if (!sps.frameMbsOnly) return None
+    if (pps.entropyCabac) return None
+    if (pps.numSliceGroups != 1) return None
+    val r = new BitReader(rbsp)
+    if (r.ue() != 0) return None // first_mb_in_slice: single-slice scope
+    val sliceType = r.ue()
+    if (sliceType != 2 && sliceType != 7) return None // I slices only
+    val ppsId = r.ue()
+    if (ppsId != pps.ppsId) return None
+    val frameNum = r.u(sps.log2MaxFrameNum)
+    val idr = nalType == 5
+    val idrPicId = if (idr) r.ue() else 0
+    var pocLsb = 0
+    if (sps.pocType == 0) {
+      pocLsb = r.u(sps.log2MaxPocLsb)
+      if (pps.bottomFieldPocPresent) r.se()
+    }
+    else if (sps.pocType != 2) return None
+    if (pps.redundantPresent && r.ue() != 0) return None
+    if (nalRefIdc != 0) {
+      if (idr) { r.u(1); r.u(1) }
+      else if (r.u(1) == 1) return None
+    }
+    val sliceQp = pps.picInitQp + r.se()
+    require(sliceQp >= 0 && sliceQp <= 51, s"slice QP $sliceQp out of 0..51")
+    if (pps.deblockingPresent) {
+      val idc = r.ue()
+      if (idc != 1) { r.se(); r.se() }
+    }
+    // slice_data: raster MB walk, all Intra_16x16
+    val wMbs = sps.picWidthInMbs; val hMbs = sps.picHeightInMapUnits
+    val w = 16 * wMbs; val h = 16 * hMbs
+    val luma = new Array[Int](w * h)
+    // per-4x4 TotalCoeff grid for the §9.2.1 nC context
+    val nz = Array.fill(4 * hMbs, 4 * wMbs)(0)
+    def nCOf(gx: Int, gy: Int): Int = {
+      val a = if (gx > 0) Some(nz(gy)(gx - 1)) else None
+      val b = if (gy > 0) Some(nz(gy - 1)(gx)) else None
+      (a, b) match {
+        case (Some(na), Some(nb)) => (na + nb + 1) >> 1
+        case (Some(na), None) => na
+        case (None, Some(nb)) => nb
+        case (None, None) => 0
+      }
+    }
+    val mbs = new ArrayBuffer[I16Mb](wMbs * hMbs)
+    var prevQp = sliceQp
+    var mb = 0
+    while (mb < wMbs * hMbs) {
+      val mbx = mb % wMbs; val mby = mb / wMbs
+      val mbType = r.ue()
+      require(mbType >= 1 && mbType <= 24,
+        s"mb_type $mbType: only Intra_16x16 in scope") // 0 = I_NxN, 25 = I_PCM
+      val predMode = (mbType - 1) % 4
+      val cbpChroma = ((mbType - 1) / 4) % 3
+      val cbpLuma = if (mbType - 1 >= 12) 15 else 0
+      require(cbpChroma == 0, "chroma residual (CBP chroma != 0) out of scope")
+      val chromaPredMode = r.ue()
+      require(chromaPredMode <= 3, s"intra_chroma_pred_mode $chromaPredMode")
+      val qpDelta = r.se()
+      require(qpDelta >= -26 && qpDelta <= 25, s"mb_qp_delta $qpDelta")
+      val qp = (prevQp + qpDelta + 52) % 52
+      prevQp = qp
+      // Intra16x16DCLevel: nC from luma4x4BlkIdx 0's neighbors
+      val (dcScan, _) = residualBlock(r, nCOf(4 * mbx, 4 * mby), 16, tables)
+      // AC blocks (15 coeffs each) when CBP luma = 15
+      val acScan = Array.ofDim[Int](16, 15)
+      var blk = 0
+      while (blk < 16) {
+        val gx = 4 * mbx + blkX(blk); val gy = 4 * mby + blkY(blk)
+        if (cbpLuma == 15) {
+          val (lv, tc) = residualBlock(r, nCOf(gx, gy), 15, tables)
+          acScan(blk) = lv
+          nz(gy)(gx) = tc
+        } else nz(gy)(gx) = 0
+        blk += 1
+      }
+      // DC: zig-zag → 4x4 raster → inverse Hadamard → scale
+      val dcRaster = new Array[Int](16)
+      var k = 0
+      while (k < 16) { dcRaster(zigZag4x4(k)) = dcScan(k); k += 1 }
+      val f = inverseHadamard4x4(dcRaster)
+      val dc = f.map(scaleLumaDc(_, qp))
+      // prediction, then per-4x4 residual + reconstruction
+      val pred = predictIntra16x16(predMode, luma, w, mbx, mby)
+      blk = 0
+      while (blk < 16) {
+        val bx = blkX(blk); val by = blkY(blk)
+        val d = new Array[Int](16)
+        // raster index of this 4x4 inside the DC grid is (by, bx)
+        d(0) = dc(4 * by + bx)
+        var p = 1
+        while (p < 16) {
+          val ri = zigZag4x4(p)
+          val c = acScan(blk)(p - 1)
+          if (c != 0) d(ri) = scaleAc(c, qp, ri / 4, ri % 4)
+          p += 1
+        }
+        val res = inverseTransform4x4(d)
+        var yy = 0
+        while (yy < 4) {
+          var xx = 0
+          while (xx < 4) {
+            val px = 16 * mbx + 4 * bx + xx
+            val py = 16 * mby + 4 * by + yy
+            luma(py * w + px) = clip255(pred(16 * (4 * by + yy) + 4 * bx + xx) + res(4 * yy + xx))
+            xx += 1
+          }
+          yy += 1
+        }
+        blk += 1
+      }
+      mbs += I16Mb(predMode, cbpChroma, cbpLuma, chromaPredMode, qp)
+      mb += 1
+    }
+    require(r.u(1) == 1, "missing rbsp_stop_one_bit")
+    while (!r.aligned) require(r.u(1) == 0, "nonzero rbsp_alignment_zero_bit")
+    require(r.bitsLeft == 0, "trailing bytes after rbsp_trailing_bits")
+    Some(I16Picture(sliceType, ppsId, frameNum, idrPicId, pocLsb, sliceQp,
+      wMbs, hMbs, mbs.toSeq, luma))
+  } catch { case _: Exception => None }
+
+  // -------------------------------------------------------------------
+  // Fixture encoder
+  // -------------------------------------------------------------------
+
+  private[graft] final class BitWriter {
+    private val bits = ArrayBuffer.empty[Boolean]
+    def u(v: Int, n: Int): Unit = {
+      require(v >= 0 && v < (1 << n), s"field value $v does not fit in $n bits")
+      var i = n - 1
+      while (i >= 0) { bits += ((v >> i) & 1) == 1; i -= 1 }
+    }
+    def ue(v: Int): Unit = {
+      require(v >= 0)
+      val zeros = 32 - Integer.numberOfLeadingZeros(v + 1) - 1
+      var i = 0
+      while (i < zeros) { bits += false; i += 1 }
+      bits += true
+      if (zeros > 0) u(v + 1 - (1 << zeros), zeros)
+    }
+    def se(v: Int): Unit = ue(if (v > 0) 2 * v - 1 else -2 * v)
+    def code(s: String): Unit = s.foreach(c => bits += (c == '1'))
+    def stopAndPad(): Array[Byte] = {
+      bits += true // rbsp_stop_one_bit
+      while (bits.length % 8 != 0) bits += false
+      val out = new Array[Byte](bits.length / 8)
+      var i = 0
+      while (i < bits.length) {
+        if (bits(i)) out(i / 8) = (out(i / 8) | (1 << (7 - (i % 8)))).toByte
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Emit one §9.2 residual block from its coefficient array (scan
+    * order, length = maxCoeffs) — the exact walk [[residualBlock]]
+    * reads. Levels must respect CAVLC's structural limits (≤ 3 trailing
+    * ±1s counted greedily; the adaptive suffix walk codes any Int that
+    * fits prefix 15's 12-bit escape at the current suffix length). */
+  private[graft] def emitResidualBlock(w: BitWriter, coeffs: Array[Int],
+                                            nC: Int, tables: CavlcTables): Int = {
+    val maxCoeffs = coeffs.length
+    val nzIdx = coeffs.zipWithIndex.filter(_._1 != 0).map(_._2)
+    val totalCoeff = nzIdx.length
+    // trailing ones: consecutive ±1s at the HIGH-frequency end, max 3
+    var trailingOnes = 0
+    while (trailingOnes < math.min(3, totalCoeff) &&
+      math.abs(coeffs(nzIdx(totalCoeff - 1 - trailingOnes))) == 1) trailingOnes += 1
+    val cls = ctClass(nC)
+    val ct = tables.ctEnc(cls).getOrElse((totalCoeff, trailingOnes),
+      throw new IllegalArgumentException(
+        s"coeff_token ($totalCoeff, $trailingOnes) not codable in class $cls"))
+    w.code(ct)
+    if (totalCoeff == 0) return 0
+    // levels, highest frequency first
+    var i = 0
+    while (i < trailingOnes) {
+      w.u(if (coeffs(nzIdx(totalCoeff - 1 - i)) < 0) 1 else 0, 1)
+      i += 1
+    }
+    var suffixLength = if (totalCoeff > 10 && trailingOnes < 3) 1 else 0
+    while (i < totalCoeff) {
+      val level = coeffs(nzIdx(totalCoeff - 1 - i))
+      var levelCode = if (level > 0) 2 * level - 2 else -2 * level - 1
+      if (i == trailingOnes && trailingOnes < 3) {
+        require(math.abs(level) >= 2, "level after <3 trailing ones must be |x| >= 2")
+        levelCode -= 2
+      }
+      if (suffixLength == 0) {
+        if (levelCode < 14) { var p = 0; while (p < levelCode) { w.u(0, 1); p += 1 }; w.u(1, 1) }
+        else if (levelCode < 30) {
+          var p = 0; while (p < 14) { w.u(0, 1); p += 1 }; w.u(1, 1)
+          w.u(levelCode - 14, 4)
+        } else {
+          // decode adds min(15, prefix) AND the prefix-15/suffixLength-0
+          // +15, so the 12-bit suffix carries levelCode − 30
+          require(levelCode - 30 < 4096, s"level $level beyond the 12-bit escape")
+          var p = 0; while (p < 15) { w.u(0, 1); p += 1 }; w.u(1, 1)
+          w.u(levelCode - 30, 12)
+        }
+      } else {
+        if ((levelCode >> suffixLength) < 15) {
+          val prefix = levelCode >> suffixLength
+          var p = 0; while (p < prefix) { w.u(0, 1); p += 1 }; w.u(1, 1)
+          w.u(levelCode & ((1 << suffixLength) - 1), suffixLength)
+        } else {
+          require(levelCode - (15 << suffixLength) < 4096,
+            s"level $level beyond the 12-bit escape")
+          var p = 0; while (p < 15) { w.u(0, 1); p += 1 }; w.u(1, 1)
+          w.u(levelCode - (15 << suffixLength), 12)
+        }
+      }
+      if (suffixLength == 0) suffixLength = 1
+      if (math.abs(level) > (3 << (suffixLength - 1)) && suffixLength < 6)
+        suffixLength += 1
+      i += 1
+    }
+    // total_zeros
+    val totalZeros = nzIdx(totalCoeff - 1) + 1 - totalCoeff
+    if (totalCoeff < maxCoeffs) {
+      val enc = if (nC == -1) tables.tzcEnc(totalCoeff) else tables.tzEnc(totalCoeff)
+      w.code(enc.getOrElse(totalZeros, throw new IllegalArgumentException(
+        s"total_zeros $totalZeros not codable at tc $totalCoeff")))
+    } else require(totalZeros == 0)
+    // run_before, highest frequency first
+    var zerosLeft = totalZeros
+    i = totalCoeff - 1
+    var prev = nzIdx(totalCoeff - 1)
+    var k = totalCoeff - 1
+    while (k > 0) {
+      val cur = nzIdx(k - 1)
+      val run = prev - cur - 1
+      val zl = math.min(zerosLeft, 7)
+      if (zerosLeft > 0)
+        w.code(tables.rbEnc(zl).getOrElse(run, throw new IllegalArgumentException(
+          s"run_before $run not codable at zerosLeft $zerosLeft")))
+      else require(run == 0)
+      zerosLeft -= run
+      prev = cur
+      k -= 1
+    }
+    totalCoeff
+  }
+
+  /** One macroblock's fixture inputs: prediction mode, qp delta, the 16
+    * DC levels and 16×15 AC levels in ZIG-ZAG SCAN order (the layout
+    * [[parseI16x16Slice]] decodes to before dequant). cbpLuma is
+    * derived: 15 if any AC level is nonzero else caller's choice via
+    * `forceCbpLuma`. */
+  final case class I16MbSpec(predMode: Int, chromaPredMode: Int, qpDelta: Int,
+                             dcScan: Array[Int], acScan: Array[Array[Int]],
+                             forceCbpLuma: Option[Int] = None)
+
+  /** Fixture encoder for [[parseI16x16Slice]]: slice header + all-
+    * Intra_16x16 CAVLC slice data, mirrored field for field. */
+  def encodeI16x16Slice(sps: H264.Sps, pps: H264.Pps, nalRefIdc: Int,
+                        idr: Boolean, frameNum: Int, idrPicId: Int,
+                        pocLsb: Int, sliceQpDelta: Int,
+                        mbs: Seq[I16MbSpec], tables: CavlcTables,
+                        deblockIdc: Int = 1): Array[Byte] = {
+    require(mbs.length == sps.picWidthInMbs * sps.picHeightInMapUnits,
+      "fixture slice must cover the whole picture")
+    val w = new BitWriter
+    w.ue(0) // first_mb_in_slice
+    w.ue(7) // slice_type: I (all slices of the picture are I)
+    w.ue(pps.ppsId)
+    w.u(frameNum, sps.log2MaxFrameNum)
+    if (idr) w.ue(idrPicId)
+    if (sps.pocType == 0) {
+      w.u(pocLsb, sps.log2MaxPocLsb)
+      if (pps.bottomFieldPocPresent) w.se(0)
+    }
+    if (pps.redundantPresent) w.ue(0)
+    if (nalRefIdc != 0) {
+      require(idr, "non-IDR reference fixture slices unsupported")
+      w.u(0, 1); w.u(0, 1)
+    }
+    w.se(sliceQpDelta)
+    if (pps.deblockingPresent) {
+      w.ue(deblockIdc)
+      if (deblockIdc != 1) { w.se(0); w.se(0) }
+    }
+    val wMbs = sps.picWidthInMbs; val hMbs = sps.picHeightInMapUnits
+    val nz = Array.fill(4 * hMbs, 4 * wMbs)(0)
+    def nCOf(gx: Int, gy: Int): Int = {
+      val a = if (gx > 0) Some(nz(gy)(gx - 1)) else None
+      val b = if (gy > 0) Some(nz(gy - 1)(gx)) else None
+      (a, b) match {
+        case (Some(na), Some(nb)) => (na + nb + 1) >> 1
+        case (Some(na), None) => na
+        case (None, Some(nb)) => nb
+        case (None, None) => 0
+      }
+    }
+    mbs.zipWithIndex.foreach { case (m, idx) =>
+      val mbx = idx % wMbs; val mby = idx / wMbs
+      require(m.dcScan.length == 16 && m.acScan.length == 16 &&
+        m.acScan.forall(_.length == 15), "scan array shapes")
+      val cbpLuma = m.forceCbpLuma.getOrElse(
+        if (m.acScan.exists(_.exists(_ != 0))) 15 else 0)
+      require(cbpLuma == 0 || cbpLuma == 15, "Intra_16x16 luma CBP is 0 or 15")
+      require(cbpLuma == 15 || m.acScan.forall(_.forall(_ == 0)),
+        "nonzero AC levels need CBP luma 15")
+      val mbType = 1 + m.predMode + 12 * (cbpLuma / 15) // cbp chroma 0
+      w.ue(mbType)
+      w.ue(m.chromaPredMode)
+      w.se(m.qpDelta)
+      emitResidualBlock(w, m.dcScan, nCOf(4 * mbx, 4 * mby), tables)
+      var blk = 0
+      while (blk < 16) {
+        val gx = 4 * mbx + blkX(blk); val gy = 4 * mby + blkY(blk)
+        if (cbpLuma == 15)
+          nz(gy)(gx) = emitResidualBlock(w, m.acScan(blk), nCOf(gx, gy), tables)
+        else nz(gy)(gx) = 0
+        blk += 1
+      }
+    }
+    w.stopAndPad()
+  }
+}
