@@ -676,6 +676,49 @@ private[graft] trait QueriesMedia { this: Queries.type =>
     graft.multimodal.Multimodal.aacPcmStream(aacShortAssets(spark, dir, 5))
       .toDF().orderBy(col("id"))
 
+  /** KBD-shaped ADTS streams (late round 15 — the window SHAPE gap):
+    * three ONLY_LONG SCE frames per id with shapes [id%2, KBD, sine],
+    * so the stream crosses a shape switch in both directions and the
+    * §14.3.3 previous-shape rule governs every overlap. Closed-form
+    * per (id, f): maxSfb = 6 + (id+f)%3, gg = 96 + (id+2f)%8,
+    * sectCb(s) = 0 iff (id+f+s)%3 = 0 else 12,
+    * sf(s) = gg + (id+3s+f)%9 − 4, q(i) = ±((id+i+f)%3) (negative iff
+    * (id+i+f)%5 < 2) over the coded uniform-32 bands. */
+  private[graft] def aacKbdAssets(spark: SparkSession, dir: String, nIds: Int) = {
+    import spark.implicits._
+    val src = docsTbl(spark, dir).where(col("doc_id") < nIds)
+      .select(col("doc_id")).as[Long]
+    src.mapPartitions(_.map { id =>
+      def frame(f: Int, shape: Int): Array[Byte] = {
+        val maxSfb = (6 + (id + f) % 3).toInt
+        val gg = (96 + (id + 2 * f) % 8).toInt
+        val sectCb = Array.tabulate(maxSfb)(s => if ((id + f + s) % 3 == 0) 0 else 12)
+        val sf = Array.tabulate(maxSfb)(s =>
+          if (sectCb(s) == 0) 0 else gg + ((id + 3 * s + f) % 9).toInt - 4)
+        val quant = Array.tabulate(1024) { i =>
+          val s = i / 32
+          if (s >= maxSfb || sectCb(s) == 0) 0
+          else {
+            val mag = ((id + i + f) % 3).toInt
+            if (mag != 0 && (id + i + f) % 5 < 2) -mag else mag
+          }
+        }
+        graft.multimodal.Aac.encodeSceWin(
+          graft.multimodal.Aac.IcsInfo(0, maxSfb, Array(1), shape), gg,
+          Array(sectCb), Array(sf), quant)
+      }
+      val shapes = Seq((id % 2).toInt, 1, 0)
+      val bytes = (0 until 3).map(f =>
+        graft.multimodal.Aac.encodeFrame(1, 4, 1, frame(f, shapes(f))))
+        .reduce(_ ++ _)
+      graft.multimodal.Multimodal.Asset(id, "audio", bytes, 0, 0)
+    })
+  }
+
+  private[graft] def multimodalAacKbd(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.aacPcmStream(aacKbdAssets(spark, dir, 5))
+      .toDF().orderBy(col("id"))
+
   private[graft] def multimodalAacSpectra(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.Multimodal.aacSpectra(aacSceAssets(spark, dir, 50))
       .toDF().orderBy(col("id"))
@@ -754,6 +797,58 @@ private[graft] trait QueriesMedia { this: Queries.type =>
 
   private[graft] def multimodalMp3Pcm(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.Multimodal.mp3Pcm(mp3PcmAssets(spark, dir))
+      .toDF().orderBy(col("id"), col("channel"))
+
+  /** Joint-stereo INTENSITY fixtures (round 15 — §2.7(a) closed): one
+    * self-contained frame per id, mode 1 with mode_extension 1 (IS
+    * only, even ids) or 3 (MS+IS, odd ids). Closed-form per (id, g, ch):
+    *   left n_big = 48 samples, right n_big = 16 → the right channel's
+    *   zero part starts at 16 = band boundary 4, so bands 4..21 are the
+    *   intensity region;
+    *   gg = 160 + (5id + 17g + 29ch)%40;  scalefacScale = (id+g)%2
+    *   is(i) = ±((id+i+ch)%3), negative iff (id+i+ch)%5 < 2
+    *   left sf(b) = (id + 2b + g)%4
+    *   right sf(b) = (id + b + g)%4 below band 4;
+    *                 IS POSITION (id + b + g)%8 from band 4 (7 = off,
+    *                 6 = all-left, else the tan(·π/12) split; band 21
+    *                 reuses band 20's position). */
+  private[graft] def mp3IntensityAssets(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val src = docsTbl(spark, dir).where(col("doc_id") < 8)
+      .select(col("doc_id")).as[Long]
+    src.mapPartitions(_.map { id =>
+      def value(ch: Int)(i: Int): Int = {
+        val mag = ((id + i + ch) % 3).toInt
+        if (mag != 0 && (id + i + ch) % 5 < 2) -mag else mag
+      }
+      def gi(g: Int, ch: Int) = graft.multimodal.Mp3.GranuleInfo(
+        part23Length = 0, // recomputed by the emitter
+        bigValues = if (ch == 0) 24 else 8,
+        globalGain = (160 + (5 * id + 17 * g + 29 * ch) % 40).toInt,
+        scalefacCompress = 13, // slen (3,3): positions 0..7 transmit
+        windowSwitching = false, blockType = 0, mixedBlock = false,
+        tableSelect = Seq(4, 4, 0), subblockGain = Nil,
+        region0Count = 3, region1Count = 7,
+        preflag = 0, scalefacScale = ((id + g) % 2).toInt,
+        count1TableSelect = 1)
+      val si = graft.multimodal.Mp3.SideInfo(0, 0,
+        Seq.fill(2)(Seq.fill(4)(0)),
+        Seq.tabulate(2)(g => Seq.tabulate(2)(ch => gi(g, ch))))
+      val sfs = Seq.tabulate(2)(g => Seq(
+        Array.tabulate(21)(b => ((id + 2 * b + g) % 4).toInt),
+        Array.tabulate(21)(b =>
+          if (b < 4) ((id + b + g) % 4).toInt
+          else ((id + b + g) % 8).toInt)))
+      val spectra = Seq.fill(2)(Seq(
+        Array.tabulate(48)(value(0)), Array.tabulate(16)(value(1))))
+      graft.multimodal.Multimodal.Asset(id, "audio",
+        graft.multimodal.Mp3.encodeMp3Reservoir(9, 0, Seq((si, sfs, spectra)),
+          mode = 1, modeExt = 1 + 2 * (id % 2).toInt), 0, 0)
+    })
+  }
+
+  private[graft] def multimodalMp3Intensity(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.mp3Pcm(mp3IntensityAssets(spark, dir))
       .toDF().orderBy(col("id"), col("channel"))
 
   /** The CALLER-SUPPLIED-CODEBOOK path end to end (round 14, r13

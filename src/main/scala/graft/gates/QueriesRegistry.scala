@@ -479,6 +479,127 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
         |  list_sum(list_transform(q, x -> abs(x)))::BIGINT AS pcm_abs_sum,
         |  list_sum(list_transform(range(0, 1152), p -> q[p+1] * (p+1)))::BIGINT AS pos_sum
         |FROM pcm ORDER BY id, channel""".stripMargin)),
+    "multimodal_mp3_intensity" -> Q(multimodalMp3Intensity, Some(
+      // restates mp3IntensityAssets' JOINT-STEREO chain (round 15 —
+      // §2.7(a) closed): per-channel requantization, then the
+      // §2.4.3.4.9.3 stereo stage — the right channel's zero part
+      // starts at sample 16 (= band 4), the raw right scalefactor is
+      // the intensity position in bands 4..21 (band 21 reuses 20's):
+      // 7 = off (MS applies there for odd ids), 6 = all-left,
+      // else L' = L·t/(1+t), R' = L/(1+t) with t = tan(pos·π/12) —
+      // followed by the full alias/IMDCT/overlap/synthesis tail and
+      // the floor-form quantizer; integer aggregates absorb the
+      // ~1-ulp tan/cos/pow noise like every PCM gate
+      """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 8),
+        |gs AS (SELECT unnest(range(0, 2)) AS g),
+        |chs AS (SELECT unnest(range(0, 2)) AS ch),
+        |const AS (SELECT
+        |  [0,4,8,12,16,20,24,30,36,44,52,62,74,90,110,134,162,196,238,288,342,418,576] AS bands,
+        |  [-0.6,-0.535,-0.33,-0.185,-0.095,-0.041,-0.0142,-0.0037] AS ci),
+        |base AS (
+        |  SELECT id, g, ch, CASE WHEN ch = 0 THEN 48 ELSE 16 END AS n_big,
+        |         160 + (5*id + 17*g + 29*ch) % 40 AS gg,
+        |         CASE WHEN (id+g)%2 = 0 THEN 0.5 ELSE 1.0 END AS mult
+        |  FROM ids, gs, chs),
+        |spec AS (
+        |  SELECT id, g, ch, gg, mult,
+        |    list_transform(range(0, 576), i ->
+        |      CASE WHEN i >= n_big THEN 0 ELSE
+        |        (CASE WHEN (id+i+ch)%5 < 2 THEN -1 ELSE 1 END) * ((id+i+ch)%3)
+        |      END) AS isv
+        |  FROM base),
+        |xr AS (
+        |  SELECT s.id, s.g, s.ch,
+        |    list_transform(range(0, 576), i ->
+        |      CASE WHEN s.isv[i+1] = 0 THEN 0.0 ELSE
+        |        sign(s.isv[i+1]) * pow(abs(s.isv[i+1]), 4.0/3.0) *
+        |        pow(2.0, 0.25*(s.gg - 210) - s.mult * (
+        |          CASE WHEN s.ch = 0
+        |               THEN (s.id + 2*(len(list_filter(c.bands, x -> x <= i)) - 1) + s.g) % 4
+        |               ELSE (s.id + (len(list_filter(c.bands, x -> x <= i)) - 1) + s.g) % 4 END))
+        |      END) AS v
+        |  FROM spec s, const c),
+        |posl AS (
+        |  SELECT i.id, g.g,
+        |    list_transform(range(0, 576), k ->
+        |      CASE WHEN k < 16 THEN -1 ELSE
+        |        CAST((i.id + least(len(list_filter(c.bands, x -> x <= k)) - 1, 20) + g.g) % 8 AS INT)
+        |      END) AS p
+        |  FROM ids i, gs g, const c),
+        |ims AS (
+        |  SELECT a.id, a.g, 0 AS ch,
+        |    list_transform(range(0, 576), i -> CASE
+        |      WHEN pl.p[i+1] = -1 OR pl.p[i+1] = 7 THEN
+        |        CASE WHEN a.id % 2 = 1 THEN (a.v[i+1] + b.v[i+1]) / sqrt(2.0) ELSE a.v[i+1] END
+        |      WHEN pl.p[i+1] = 6 THEN a.v[i+1]
+        |      ELSE a.v[i+1] * (tan(pl.p[i+1] * pi() / 12.0) / (1.0 + tan(pl.p[i+1] * pi() / 12.0)))
+        |      END) AS v
+        |  FROM xr a JOIN xr b ON a.id = b.id AND a.g = b.g
+        |  JOIN posl pl ON pl.id = a.id AND pl.g = a.g
+        |  WHERE a.ch = 0 AND b.ch = 1
+        |  UNION ALL
+        |  SELECT a.id, a.g, 1 AS ch,
+        |    list_transform(range(0, 576), i -> CASE
+        |      WHEN pl.p[i+1] = -1 OR pl.p[i+1] = 7 THEN
+        |        CASE WHEN a.id % 2 = 1 THEN (a.v[i+1] - b.v[i+1]) / sqrt(2.0) ELSE b.v[i+1] END
+        |      WHEN pl.p[i+1] = 6 THEN 0.0
+        |      ELSE a.v[i+1] * (1.0 / (1.0 + tan(pl.p[i+1] * pi() / 12.0)))
+        |      END) AS v
+        |  FROM xr a JOIN xr b ON a.id = b.id AND a.g = b.g
+        |  JOIN posl pl ON pl.id = a.id AND pl.g = a.g
+        |  WHERE a.ch = 0 AND b.ch = 1),
+        |al AS (
+        |  SELECT m.id, m.g, m.ch,
+        |    list_transform(range(0, 576), i -> CASE
+        |      WHEN i % 18 >= 10 AND i < 558 THEN
+        |        m.v[i+1] * (1.0/sqrt(1.0 + c.ci[18 - (i%18)]*c.ci[18 - (i%18)])) -
+        |        m.v[i + 36 - 2*(i%18)] * (c.ci[18 - (i%18)]/sqrt(1.0 + c.ci[18 - (i%18)]*c.ci[18 - (i%18)]))
+        |      WHEN i % 18 <= 7 AND i >= 18 THEN
+        |        m.v[i+1] * (1.0/sqrt(1.0 + c.ci[(i%18) + 1]*c.ci[(i%18) + 1])) +
+        |        m.v[i - 2*(i%18)] * (c.ci[(i%18) + 1]/sqrt(1.0 + c.ci[(i%18) + 1]*c.ci[(i%18) + 1]))
+        |      ELSE m.v[i+1] END) AS v
+        |  FROM ims m, const c),
+        |im AS (
+        |  SELECT a.id, a.ch, a.g, sb.sb,
+        |    list_transform(range(0, 36), i ->
+        |      list_sum(list_transform(range(0, 18), k ->
+        |        a.v[18*sb.sb + k + 1] * cos(pi()/72 * (2*i + 19) * (2*k + 1))))
+        |      * sin(pi()/36 * (i + 0.5))) AS z
+        |  FROM al a, (SELECT unnest(range(0, 32)) AS sb) sb),
+        |ts AS (
+        |  SELECT z0.id, z0.ch, z0.sb,
+        |    list_transform(range(0, 36), t -> (
+        |      CASE WHEN t < 18 THEN z0.z[t+1]
+        |           ELSE z1.z[t-18+1] + z0.z[18 + t-18 + 1] END)
+        |      * (CASE WHEN z0.sb % 2 = 1 AND t % 2 = 1 THEN -1.0 ELSE 1.0 END)) AS s
+        |  FROM im z0 JOIN im z1 ON z0.id = z1.id AND z0.ch = z1.ch AND z0.sb = z1.sb
+        |  WHERE z0.g = 0 AND z1.g = 1),
+        |mat AS (SELECT id, ch, list(s ORDER BY sb) AS m FROM ts GROUP BY id, ch),
+        |vmat AS (
+        |  SELECT id, ch,
+        |    list_transform(range(0, 36), t ->
+        |      list_transform(range(0, 64), o ->
+        |        list_sum(list_transform(range(0, 32), k ->
+        |          cos((16 + o) * (2*k + 1) * pi()/64) * m[k+1][t+1])))) AS vm
+        |  FROM mat),
+        |pcm AS (
+        |  SELECT id, ch,
+        |    list_transform(range(0, 1152), p ->
+        |      CAST(greatest(-32768.0, least(32767.0, floor(
+        |        list_sum(list_transform(range(0, 16), n ->
+        |          (sin(pi() * ((p % 32) + 32*n + 0.5) / 512) / 32) *
+        |          (CASE WHEN (p // 32) - n < 0 THEN 0.0
+        |                ELSE vm[(p // 32) - n + 1][(CASE WHEN n % 2 = 0 THEN p % 32 ELSE 32 + p % 32 END) + 1] END)))
+        |        * 32768.0 + 0.5))) AS INT)) AS q
+        |  FROM vmat)
+        |SELECT id, ch::INT AS channel, (id % 2)::INT AS ms_stereo,
+        |  1152::INT AS n_samples,
+        |  len(list_filter(q, x -> x = 32767 OR x = -32768))::INT AS n_clipped,
+        |  len(list_filter(q, x -> x <> 0))::INT AS n_nonzero,
+        |  list_sum(q)::BIGINT AS pcm_sum,
+        |  list_sum(list_transform(q, x -> abs(x)))::BIGINT AS pcm_abs_sum,
+        |  list_sum(list_transform(range(0, 1152), p -> q[p+1] * (p+1)))::BIGINT AS pos_sum
+        |FROM pcm ORDER BY id, channel""".stripMargin)),
     "multimodal_mp3_short" -> Q(multimodalMp3Short, Some(
       // restates mp3ShortAssets' WINDOW-SWITCHED chain in SQL (round
       // 15, r14 VERDICT #2): granule 0 block_type 1 (start window, long
@@ -1172,6 +1293,66 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
            |        JOIN lz2 a2 ON a2.id = a.id
            |        JOIN szl s ON s.id = a.id,
            |             (SELECT unnest(range(0, 3072)) AS p) d)
+           |SELECT id, 3::INT AS n_frames, count(*) AS n_samples,
+           |  CAST(sum(CASE WHEN v = 32767 OR v = -32768 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           |  CAST(sum(CASE WHEN v != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonzero,
+           |  CAST(sum(v) AS BIGINT) AS sum_pcm, CAST(sum(abs(v)) AS BIGINT) AS abs_pcm,
+           |  CAST(sum(v * (p + 1)) AS BIGINT) AS wsum_pcm
+           |FROM pcm GROUP BY id ORDER BY id""".stripMargin)),
+    "multimodal_aac_kbd" -> Q(multimodalAacKbd, Some(
+      // restates aacKbdAssets' SHAPE-SWITCHED stream end to end (late
+      // round 15): the KBD window derived IN SQL from the Bessel-I0
+      // series (term_k = exp(2k·ln(x/2) − 2·lgamma(k+1)), cumulative
+      // kernel sums, the Princen-Bradley sqrt), the §14.3.3
+      // previous-shape rule on every rising half, the IMDCT over the
+      // nonzero struct list, cross-frame overlap-add, and the
+      // floor-form 16-bit quantizer — the ~1e-14 series-vs-iterative
+      // Bessel noise sits 9+ orders below the integer grid
+      raw"""WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 5),
+           |kern AS (SELECT list_transform(range(0, 1025), j ->
+           |    CASE WHEN j = 0 OR j = 1024 THEN 1.0 ELSE
+           |      list_sum(list_transform(range(0, 50), k ->
+           |        CASE WHEN k = 0 THEN 1.0 ELSE
+           |          exp(2*k*ln(pi()*2.0*sqrt(1.0 - (2.0*j/1024.0 - 1.0)*(2.0*j/1024.0 - 1.0)))
+           |              - 2*lgamma(k + 1.0)) END))
+           |    END) AS kv),
+           |kbd AS (SELECT list_transform(range(0, 1024), n ->
+           |    sqrt(list_sum(k.kv[1:(n + 1)]) / list_sum(k.kv))) AS w FROM kern k),
+           |fs AS (SELECT unnest(range(0, 3)) AS f),
+           |par AS (SELECT id, f, 6 + (id + f) % 3 AS ms, 96 + (id + 2*f) % 8 AS gg,
+           |        CASE WHEN f = 0 THEN id % 2 WHEN f = 1 THEN 1 ELSE 0 END AS sh,
+           |        CASE WHEN f = 0 THEN 0 WHEN f = 1 THEN id % 2 ELSE 1 END AS psh
+           |  FROM ids, fs),
+           |co AS (SELECT p.id, p.f, d.i,
+           |        (CASE WHEN (p.id + d.i + p.f) % 5 < 2 THEN -1 ELSE 1 END) * ((p.id + d.i + p.f) % 3) AS q,
+           |        p.gg + (p.id + 3*(d.i // 32) + p.f) % 9 - 4 AS sf
+           |      FROM par p, (SELECT unnest(range(0, 1024)) AS i) d
+           |      WHERE d.i < 32 * p.ms AND (p.id + d.i // 32 + p.f) % 3 != 0),
+           |nz AS (SELECT id, f, list(struct_pack(k := i,
+           |          v := sign(q) * pow(abs(q), 4.0/3.0) * pow(2.0, 0.25*(sf - 100))) ORDER BY i) AS l
+           |      FROM co WHERE q != 0 GROUP BY id, f),
+           |lz AS (SELECT z.id, z.f, d.n,
+           |        (CASE WHEN d.n < 1024 THEN
+           |           CASE WHEN p.psh = 0 THEN sin(pi()/2048*(d.n + 0.5)) ELSE b.w[d.n + 1] END
+           |         ELSE
+           |           CASE WHEN p.sh = 0 THEN sin(pi()/2048*(d.n + 0.5)) ELSE b.w[2047 - d.n + 1] END
+           |         END)
+           |        * (list_sum(list_transform(z.l, s ->
+           |             s.v * cos(pi()/1024.0 * (d.n + 512.5) * (s.k + 0.5)))) / 1024.0) AS z
+           |      FROM nz z JOIN par p ON p.id = z.id AND p.f = z.f,
+           |           kbd b, (SELECT unnest(range(0, 2048)) AS n) d),
+           |zl AS (SELECT id, f, list(z ORDER BY n) AS zl FROM lz GROUP BY id, f),
+           |zz AS (SELECT a.id, a.zl AS z0, b.zl AS z1, c.zl AS z2
+           |       FROM zl a JOIN zl b ON b.id = a.id AND b.f = 1
+           |       JOIN zl c ON c.id = a.id AND c.f = 2
+           |       WHERE a.f = 0),
+           |pcm AS (SELECT id, d.p,
+           |          greatest(-32768, least(32767, CAST(floor((
+           |            CASE WHEN d.p < 1024 THEN z0[d.p + 1]
+           |                 WHEN d.p < 2048 THEN z1[d.p - 1024 + 1] + z0[d.p + 1]
+           |                 ELSE z2[d.p - 2048 + 1] + z1[d.p - 1024 + 1] END
+           |            ) * 32768.0 + 0.5) AS BIGINT))) AS v
+           |        FROM zz, (SELECT unnest(range(0, 3072)) AS p) d)
            |SELECT id, 3::INT AS n_frames, count(*) AS n_samples,
            |  CAST(sum(CASE WHEN v = 32767 OR v = -32768 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
            |  CAST(sum(CASE WHEN v != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonzero,

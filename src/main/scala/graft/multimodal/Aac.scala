@@ -254,12 +254,16 @@ object Aac {
       bands.sliding(2).forall(w => w(0) < w(1)), "malformed band map")
 
   /** §8.3.2 ics_info for the supported window scope (round 15 — all
-    * four window_sequences, sine shape): `groupLen` is the window-group
-    * partition decoded from scale_factor_grouping for EIGHT_SHORT
-    * frames (entries sum to 8); long sequences carry one group of one
-    * 1024-line window. */
+    * four window_sequences, sine AND KBD shapes): `groupLen` is the
+    * window-group partition decoded from scale_factor_grouping for
+    * EIGHT_SHORT frames (entries sum to 8); long sequences carry one
+    * group of one 1024-line window. `windowShape` (late round 15): 0 =
+    * sine, 1 = Kaiser-Bessel derived — and per §14.3.3 a frame's LEFT
+    * window half uses the PREVIOUS frame's shape, so the filterbank
+    * takes the threaded prevShape alongside. */
   final case class IcsInfo(windowSequence: Int, maxSfb: Int,
-                           groupLen: Array[Int]) {
+                           groupLen: Array[Int], windowShape: Int = 0) {
+    require(windowShape == 0 || windowShape == 1, s"window_shape $windowShape")
     def isShort: Boolean = windowSequence == 2
     def numGroups: Int = groupLen.length
     def numWindows: Int = groupLen.sum
@@ -267,7 +271,7 @@ object Aac {
     def linesPerWindow: Int = if (isShort) 128 else 1024
   }
 
-  /** ics_info (§8.3.2) for the supported scope: sine windows, no
+  /** ics_info (§8.3.2) for the supported scope: sine/KBD windows, no
     * predictor, all four window_sequences (round 15). EIGHT_SHORT
     * frames read the 4-bit max_sfb + 7-bit scale_factor_grouping (bit
     * w−1, MSB first, set → window w joins the previous group); long
@@ -277,7 +281,7 @@ object Aac {
                              shortBands: Array[Int]): IcsInfo = {
     require(r.read(1) == 0, "ics_reserved_bit set")
     val seq = r.read(2)
-    require(r.read(1) == 0, "window_shape: KBD out of scope (sine only)")
+    val shape = r.read(1)
     if (seq == 2) {
       val maxSfb = r.read(4)
       require(maxSfb <= shortBands.length - 1,
@@ -290,23 +294,26 @@ object Aac {
         else gl += 1
         w += 1
       }
-      IcsInfo(2, maxSfb, gl.toArray)
+      IcsInfo(2, maxSfb, gl.toArray, shape)
     } else {
       val maxSfb = r.read(6)
       require(maxSfb <= bands.length - 1, s"max_sfb $maxSfb exceeds band map")
       require(r.read(1) == 0, "predictor_data_present out of scope")
-      IcsInfo(seq, maxSfb, Array(1))
+      IcsInfo(seq, maxSfb, Array(1), shape)
     }
   }
 
   /** The long-only ics_info surface [[decodeSpectra]]/[[decodeCpe]]
-    * keep (their AacChannel layout is one 1024-line window): any
-    * window-switched sequence rejects here — the window-sequence-aware
-    * PCM paths go through [[decodeSceWin]]/[[decodeCpeWin]]. */
+    * keep (their AacChannel layout is one 1024-line window, sine
+    * shape): any window-switched sequence or KBD shape rejects here —
+    * the window-aware PCM paths go through
+    * [[decodeSceWin]]/[[decodeCpeWin]]. */
   private def readIcsInfo(r: BitReader, bands: Array[Int]): Int = {
     val info = readIcsInfoWin(r, bands, fixtureBandsShort)
     require(info.windowSequence == 0,
       "window_sequence: only ONLY_LONG_SEQUENCE on the AacChannel surface")
+    require(info.windowShape == 0,
+      "window_shape: sine only on the AacChannel surface")
     info.maxSfb
   }
 
@@ -650,28 +657,54 @@ object Aac {
     s / 128.0 // 2/N
   }
 
+  /** Long-window RISING half value at n ∈ [0, 1024) for a shape. */
+  @inline private def winLongRise(shape: Int, n: Int): Double =
+    if (shape == 0) sineWindow(n) else Dsp.kbdLong(n)
+
+  /** Long-window FALLING half value at n ∈ [1024, 2048) for a shape
+    * (the sine path keeps the direct expression — bit-identical to the
+    * pre-KBD code; KBD mirrors its rising half). */
+  @inline private def winLongFall(shape: Int, n: Int): Double =
+    if (shape == 0) sineWindow(n) else Dsp.kbdLong(2047 - n)
+
+  /** Short-window rising half at k ∈ [0, 128). */
+  @inline private def winShortRise(shape: Int, k: Int): Double =
+    if (shape == 0) sineWindowShort(k) else Dsp.kbdShort(k)
+
+  /** Short-window falling half at k ∈ [128, 256). */
+  @inline private def winShortFall(shape: Int, k: Int): Double =
+    if (shape == 0) sineWindowShort(k) else Dsp.kbdShort(255 - k)
+
   /** The §14.3 WINDOWED 2048-sample time frame z_f for one decoded ICS —
     * the overlap-add-ready form: out(n) = z_f(n) + z_{f−1}(n + 1024).
-    * Sine shape throughout (KBD strict-rejects upstream):
-    *  - ONLY_LONG (0): w·IMDCT₂₀₄₈ over all 2048 samples;
-    *  - LONG_START (1): long rise [0,1024), flat 1 [1024,1472), the
-    *    short window's falling half [1472,1600), zero [1600,2048);
-    *  - EIGHT_SHORT (2): eight 256-point IMDCTs, each short-sine
-    *    windowed, overlap-added at offsets 448 + 128w;
-    *  - LONG_STOP (3): zero [0,448), short rising half [448,576),
-    *    flat 1 [576,1024), long fall [1024,2048). */
-  private[graft] def windowedFrame(info: IcsInfo, xr: Array[Double]): Array[Double] =
+    * Shape-aware (late round 15): every RISING half (the part that
+    * overlaps the previous frame) uses `prevShape` — §14.3.3's
+    * previous-block window_shape rule, which is exactly what keeps the
+    * overlap Princen-Bradley-exact across a shape switch — and every
+    * falling half uses the frame's own shape:
+    *  - ONLY_LONG (0): rise [0,1024) prevShape, fall [1024,2048) own;
+    *  - LONG_START (1): long rise (prevShape), flat 1 [1024,1472), the
+    *    short window's falling half [1472,1600) (own), zero [1600,2048);
+    *  - EIGHT_SHORT (2): eight 256-point IMDCTs at offsets 448 + 128w,
+    *    window 0's rising half prevShape, everything else own;
+    *  - LONG_STOP (3): zero [0,448), short rising half [448,576)
+    *    (prevShape), flat 1 [576,1024), long fall (own). */
+  private[graft] def windowedFrame(info: IcsInfo, xr: Array[Double],
+                                   prevShape: Int = 0): Array[Double] =
     info.windowSequence match {
       case 0 =>
         val x = Dsp.imdct2048Full(xr)
-        Array.tabulate(2048)(n => sineWindow(n) * x(n))
+        Array.tabulate(2048) { n =>
+          (if (n < 1024) winLongRise(prevShape, n)
+           else winLongFall(info.windowShape, n)) * x(n)
+        }
       case 1 =>
         val x = Dsp.imdct2048Full(xr)
         Array.tabulate(2048) { n =>
           val w =
-            if (n < 1024) sineWindow(n)
+            if (n < 1024) winLongRise(prevShape, n)
             else if (n < 1472) 1.0
-            else if (n < 1600) sineWindowShort(n - 1472 + 128)
+            else if (n < 1600) winShortFall(info.windowShape, n - 1472 + 128)
             else 0.0
           w * x(n)
         }
@@ -680,9 +713,9 @@ object Aac {
         Array.tabulate(2048) { n =>
           val w =
             if (n < 448) 0.0
-            else if (n < 576) sineWindowShort(n - 448)
+            else if (n < 576) winShortRise(prevShape, n - 448)
             else if (n < 1024) 1.0
-            else sineWindow(n)
+            else winLongFall(info.windowShape, n)
           w * x(n)
         }
       case 2 =>
@@ -693,7 +726,10 @@ object Aac {
           val y = Dsp.imdct256Full(xs)
           var k = 0
           while (k < 256) {
-            z(448 + 128 * w + k) += sineWindowShort(k) * y(k)
+            val wv =
+              if (k < 128) winShortRise(if (w == 0) prevShape else info.windowShape, k)
+              else winShortFall(info.windowShape, k)
+            z(448 + 128 * w + k) += wv * y(k)
             k += 1
           }
           w += 1
@@ -736,10 +772,12 @@ object Aac {
                       shortBands: Array[Int] = fixtureBandsShort): Option[Array[Double]] = try {
     val out = new ArrayBuffer[Double](stream.frames.size * 1024)
     var prev: Array[Double] = null // previous frame's windowed 2048 samples
+    var prevShape = 0 // §14.3.3: stream start behaves as after a sine frame
     stream.frames.foreach { fr =>
       val ics = decodeSceWin(fr.payload, books, sfBook, bands, shortBands)
         .getOrElse(throw new IllegalArgumentException("undecodable frame"))
-      val z = windowedFrame(ics.info, ics.xr)
+      val z = windowedFrame(ics.info, ics.xr, prevShape)
+      prevShape = ics.info.windowShape
       var n = 0
       while (n < 1024) {
         val tail = if (prev == null) 0.0 else prev(n + 1024)
@@ -779,11 +817,16 @@ object Aac {
                          shortBands: Array[Int] = fixtureBandsShort): Option[Seq[Array[Double]]] = try {
     val out = Array.fill(2)(new ArrayBuffer[Double](stream.frames.size * 1024))
     var prev: Array[Array[Double]] = null // per channel, windowed 2048 samples
+    val prevShape = Array(0, 0) // §14.3.3 stream-start rule, per channel
     stream.frames.foreach { fr =>
       val pair = decodeCpeWin(fr.payload, books, sfBook, bands, shortBands)
         .getOrElse(throw new IllegalArgumentException("undecodable CPE frame"))
       val infos = Array(pair.left.info, pair.right.info)
-      val zs = Array.tabulate(2)(c => windowedFrame(infos(c), pair.xrMs(c)))
+      val zs = Array.tabulate(2) { c =>
+        val z = windowedFrame(infos(c), pair.xrMs(c), prevShape(c))
+        prevShape(c) = infos(c).windowShape
+        z
+      }
       var c = 0
       while (c < 2) {
         var n = 0
@@ -948,7 +991,7 @@ object Aac {
                              bands: Array[Int], shortBands: Array[Int]): Unit = {
     w(0, 1) // ics_reserved
     w(info.windowSequence, 2)
-    w(0, 1) // sine shape
+    w(info.windowShape, 1)
     if (info.isShort) {
       require(info.maxSfb >= 0 && info.maxSfb < 16 &&
         info.maxSfb <= shortBands.length - 1)

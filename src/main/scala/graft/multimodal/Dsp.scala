@@ -125,4 +125,50 @@ private[graft] object Dsp {
     * the EIGHT_SHORT_SEQUENCE short-window transform, §14.2/§14.3 with
     * N = 256, n₀ = 64.5) — numerically ≡ `Aac.imdct256(x, n)`. */
   def imdct256Full(x: Array[Double]): Array[Double] = k256.imdctFull(x)
+
+  /** Modified Bessel function I₀ (first kind, order 0) by its power
+    * series Σₖ ((x/2)ᵏ/k!)² — converges fast for the KBD arguments
+    * (|x| ≤ πα ≈ 19); terminated when a term falls below 1e-17 of the
+    * running sum. FORMULA math, not transcription. */
+  private[graft] def besselI0(x: Double): Double = {
+    var sum = 1.0
+    var term = 1.0
+    var k = 1
+    while (term > sum * 1e-17 && k < 200) {
+      val t = x / (2.0 * k)
+      term *= t * t
+      sum += term
+      k += 1
+    }
+    sum
+  }
+
+  /** §14.3.3 Kaiser-Bessel-derived window, LEFT (rising) half: N/2
+    * values for transform size N with kernel parameter α (4 for
+    * N = 2048, 6 for N = 256 per the spec):
+    *   W'(j) = I₀(πα·√(1 − (2j/(N/2) − 1)²)) / I₀(πα), j = 0..N/2
+    *   w(n)  = √( Σ_{j≤n} W'(j) / Σ_{j≤N/2} W'(j) ),   n = 0..N/2−1
+    * The falling half is the mirror w(N−1−n). Derived entirely from
+    * the closed-form kernel — no table transcription involved. */
+  private def kbdHalf(n2: Int, alpha: Double): Array[Double] = {
+    val kernel = Array.tabulate(n2 + 1) { j =>
+      val t = 2.0 * j / n2 - 1.0
+      besselI0(math.Pi * alpha * math.sqrt(math.max(0.0, 1.0 - t * t)))
+    }
+    val total = kernel.sum
+    val out = new Array[Double](n2)
+    var acc = 0.0
+    var n = 0
+    while (n < n2) {
+      acc += kernel(n)
+      out(n) = math.sqrt(acc / total)
+      n += 1
+    }
+    out
+  }
+
+  /** KBD left halves, built once: 1024 values (N = 2048, α = 4) and
+    * 128 values (N = 256, α = 6). */
+  private[graft] val kbdLong: Array[Double] = kbdHalf(1024, 4.0)
+  private[graft] val kbdShort: Array[Double] = kbdHalf(128, 6.0)
 }

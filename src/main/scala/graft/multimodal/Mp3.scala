@@ -424,10 +424,14 @@ object Mp3 {
     * SUBBAND-LINE order (for long blocks transmission order IS subband
     * order; short blocks are reordered from their (band, window, line)
     * transmission layout — §2.4.3.4.8, round 15), `blockType`/`mixed` =
-    * the granule's window shape the filterbank consumes. */
+    * the granule's window shape the filterbank consumes, `sf` = the RAW
+    * transmitted long-layout scalefactors (21 entries; empty for short
+    * granules) — §2.4.3.4.9.3 reuses the right channel's values as
+    * intensity positions (round 15). */
   final case class Spectrum(is: Array[Int], nBig: Int, nCount1: Int,
                             xr: Array[Double], blockType: Int = 0,
-                            mixed: Boolean = false)
+                            mixed: Boolean = false,
+                            sf: Array[Int] = Array.empty)
 
   /** Decode the Huffman spectral data of a SELF-CONTAINED frame
     * (main_data_begin = 0) — scale factors are read first with the same
@@ -620,7 +624,8 @@ object Mp3 {
         }
       }
       out(g)(ch) = Spectrum(is, nBig, nC1, xr,
-        if (gi.windowSwitching) gi.blockType else 0, isMixed)
+        if (gi.windowSwitching) gi.blockType else 0, isMixed,
+        if (isShort) Array.empty else sfsLong)
     }
     out.toSeq.map(_.toSeq)
   }
@@ -1021,15 +1026,25 @@ object Mp3 {
                 msStereo: Boolean = false,
                 tables: Map[Int, HuffTable] = fixtureTables,
                 count1A: Count1Table = fixtureCount1A,
-                synthWindow: Array[Double] = fixtureSynthWindow): Option[Seq[Array[Double]]] = try {
-    if (msStereo && channels != 2) return None
+                synthWindow: Array[Double] = fixtureSynthWindow,
+                intensityStereo: Boolean = false): Option[Seq[Array[Double]]] = try {
+    if ((msStereo || intensityStereo) && channels != 2) return None
     val specOpt = decodeSpectra(payload, channels, rateIdx, tables, count1A)
     if (specOpt.isEmpty) return None
     val spec = specOpt.get
+    val isInfo =
+      if (!intensityStereo) null
+      else Array.tabulate(1, 2) { (_, g) =>
+        val r = spec(g)(1)
+        require(spec(g)(0).blockType != 2 && r.blockType != 2 &&
+          r.sf.nonEmpty, "intensity stereo with short windows out of scope")
+        (r.nBig + r.nCount1, r.sf)
+      }
     val xr = Array.tabulate(1, 2, channels)((_, g, ch) => spec(g)(ch).xr.clone())
     val bt = Array.tabulate(1, 2, channels)(
       (_, g, ch) => (spec(g)(ch).blockType, spec(g)(ch).mixed))
-    Some(synthesizeFrames(xr, bt, channels, msStereo, synthWindow))
+    Some(synthesizeFrames(xr, bt, channels, msStereo, synthWindow,
+      isInfo, sfBandsLong(rateIdx)))
   } catch { case _: Exception => None }
 
   /** Shared DSP back half of [[decodePcm]] / [[decodePcmStream]]
@@ -1045,18 +1060,54 @@ object Mp3 {
   private def synthesizeFrames(xr: Array[Array[Array[Array[Double]]]],
                                bt: Array[Array[Array[(Int, Boolean)]]],
                                channels: Int, msStereo: Boolean,
-                               synthWindow: Array[Double]): Seq[Array[Double]] = {
+                               synthWindow: Array[Double],
+                               isInfo: Array[Array[(Int, Array[Int])]] = null,
+                               bands: Array[Int] = null): Seq[Array[Double]] = {
     val nF = xr.length
-    if (msStereo) {
+    if (msStereo || isInfo != null) {
       val s2 = math.sqrt(2.0)
       for (f <- 0 until nF; g <- 0 until 2) {
         require(bt(f)(g)(0) == bt(f)(g)(1),
           "MS stereo across differing block types")
+        // §2.4.3.4.9.3 INTENSITY region (round 15): the long scalefactor
+        // bands lying wholly inside the right channel's zero part —
+        // first band boundary at or above rzeroStart. Inside it, the
+        // right channel's raw scalefactor is the intensity position:
+        //   is_pos = 7 → intensity off for the band (MS applies if on);
+        //   is_pos = 6 → tan(π/2): all energy left (L = L, R = 0);
+        //   else ratio = tan(is_pos·π/12), L' = L·ratio/(1+ratio),
+        //        R' = L/(1+ratio).
+        // Band 21 transmits no scalefactor — it reuses band 20's
+        // position (the §2.4.2.7 21-factors-over-22-bands layout).
+        val (isBound, sfR) =
+          if (isInfo == null) (Int.MaxValue, null: Array[Int])
+          else {
+            val (rzero, sfr) = isInfo(f)(g)
+            var b = 0
+            while (b < 22 && bands(b) < rzero) b += 1
+            (if (b >= 22) Int.MaxValue else bands(b), sfr)
+          }
+        var band = 0
         var i = 0
         while (i < 576) {
-          val m = xr(f)(g)(0)(i); val s = xr(f)(g)(1)(i)
-          xr(f)(g)(0)(i) = (m + s) / s2
-          xr(f)(g)(1)(i) = (m - s) / s2
+          if (sfR != null) while (band < 21 && i >= bands(band + 1)) band += 1
+          val isPos =
+            if (sfR == null || i < isBound) 7 // outside: normal/MS path
+            else if (band >= 21) sfR(20)
+            else sfR(band)
+          if (isPos != 7) {
+            val l = xr(f)(g)(0)(i)
+            if (isPos == 6) xr(f)(g)(1)(i) = 0.0
+            else {
+              val ratio = math.tan(isPos * math.Pi / 12.0)
+              xr(f)(g)(0)(i) = l * (ratio / (1.0 + ratio))
+              xr(f)(g)(1)(i) = l * (1.0 / (1.0 + ratio))
+            }
+          } else if (msStereo) {
+            val m = xr(f)(g)(0)(i); val s = xr(f)(g)(1)(i)
+            xr(f)(g)(0)(i) = (m + s) / s2
+            xr(f)(g)(1)(i) = (m - s) / s2
+          }
           i += 1
         }
       }
@@ -1104,20 +1155,32 @@ object Mp3 {
                       tables: Map[Int, HuffTable] = fixtureTables,
                       count1A: Count1Table = fixtureCount1A,
                       synthWindow: Array[Double] = fixtureSynthWindow): Option[Seq[Array[Double]]] = try {
-    // intensity stereo (§2.4.3.4.9.3, mode_extension bit 0) is
-    // unimplemented — reject rather than decode its bands as plain L/R
-    // (r14 review); parseMp3 already rejects mixed per-frame modes
-    if (stream.mode == 1 && (stream.modeExt & 1) != 0) return None
     val specOpt = decodeSpectraStream(stream, rateIdx, tables, count1A)
     if (specOpt.isEmpty) return None
     val spec = specOpt.get
     val channels = stream.channels
     if (stream.msStereo && channels != 2) return None
+    // intensity stereo (§2.4.3.4.9.3, mode_extension bit 0 — round 15):
+    // the right channel's zero-part bands reconstruct from the left via
+    // the tan(is_pos·π/12) split; LONG windows only (short/mixed
+    // intensity has a per-window band mapping out of scope — strict
+    // reject, never a misparse)
+    val isOn = stream.mode == 1 && (stream.modeExt & 1) != 0
+    if (isOn && channels != 2) return None
+    val isInfo =
+      if (!isOn) null
+      else Array.tabulate(spec.length, 2) { (f, g) =>
+        val r = spec(f)(g)(1)
+        require(spec(f)(g)(0).blockType != 2 && r.blockType != 2 &&
+          r.sf.nonEmpty, "intensity stereo with short windows out of scope")
+        (r.nBig + r.nCount1, r.sf)
+      }
     val xr = Array.tabulate(spec.length, 2, channels)(
       (f, g, ch) => spec(f)(g)(ch).xr.clone())
     val bt = Array.tabulate(spec.length, 2, channels)(
       (f, g, ch) => (spec(f)(g)(ch).blockType, spec(f)(g)(ch).mixed))
-    Some(synthesizeFrames(xr, bt, channels, stream.msStereo, synthWindow))
+    Some(synthesizeFrames(xr, bt, channels, stream.msStereo, synthWindow,
+      isInfo, sfBandsLong(rateIdx)))
   } catch { case _: Exception => None }
 
   // -------------------------------------------------------------------

@@ -520,11 +520,13 @@ object Multimodal {
       val s = Mp3.parseMp3(a.bytes)
         .getOrElse(throw new IllegalArgumentException(
           s"asset ${a.id}: not a supported MP3"))
-      if (s.mode == 1 && (s.modeExt & 1) != 0)
-        throw new IllegalArgumentException(
-          s"asset ${a.id}: intensity stereo out of scope")
       val payload = s.framePayloads.head
-      val pcm = Mp3.decodePcm(payload, s.channels, rateIdx, msStereo = s.msStereo)
+      // stereo modes come from the parsed header: MS via mode_ext bit 1,
+      // INTENSITY via bit 0 (round 15 — long-window intensity decodes;
+      // short-window intensity strict-rejects inside decodePcm)
+      val pcm = Mp3.decodePcm(payload, s.channels, rateIdx,
+          msStereo = s.msStereo,
+          intensityStereo = s.mode == 1 && (s.modeExt & 1) != 0)
         .getOrElse(throw new IllegalArgumentException(
           s"asset ${a.id}: undecodable Layer III frame"))
       pcm.zipWithIndex.map { case (xs, ch) =>

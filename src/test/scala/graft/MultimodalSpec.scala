@@ -1200,11 +1200,94 @@ class MultimodalSpec extends AnyFunSuite {
     val mixed = Mp3.encodeMp3(1, 9, 0, frame, mode = 0, modeExt = 0) ++
       Mp3.encodeMp3(1, 9, 0, frame, mode = 1, modeExt = 2)
     assert(Mp3.parseMp3(mixed).isEmpty, "mixed-mode stream accepted")
-    // intensity stereo (mode_extension bit 0) is unimplemented: spectra
-    // parse fine, PCM strict-rejects instead of decoding bands as L/R
+    // intensity stereo (mode_extension bit 0) DECODES for long windows
+    // since round 15; the strict reject moved to the short-window case
+    // (per-window intensity band mapping out of scope)
     val intens = Mp3.parseMp3(Mp3.encodeMp3(1, 9, 0, frame, mode = 1, modeExt = 1)).get
     assert(Mp3.decodeSpectraStream(intens, 0).isDefined)
-    assert(Mp3.decodePcmStream(intens, 0).isEmpty, "intensity stereo decoded as plain L/R")
+    assert(Mp3.decodePcmStream(intens, 0).isDefined,
+      "long-window intensity stereo must decode (round 15)")
+    val shortSpec = mp3ShortFrameSpec(2L)
+    val shortIntens = Mp3.parseMp3(Mp3.encodeMp3Reservoir(9, 0,
+      Seq(shortSpec), mode = 1, modeExt = 1)).get
+    assert(Mp3.decodeSpectraStream(shortIntens, 0).isDefined)
+    assert(Mp3.decodePcmStream(shortIntens, 0).isEmpty,
+      "short-window intensity stereo decoded")
+  }
+
+  test("mp3 intensity stereo: tan(is_pos·π/12) split — 6 all-left, 0 all-right, 3 even, 7 off; partial zero-part bound (round 15)") {
+    import graft.multimodal.Mp3
+    // stereo self-contained frame: per-channel spectra + right-channel
+    // scalefactors (= intensity positions in the zero-part bands);
+    // scalefac_compress 13 -> slen (3,3), so positions 0..7 transmit
+    def fixture(left: Array[Int], right: Array[Int],
+                rightSf: Array[Int]): Array[Byte] = {
+      def gi(bv: Int) = Mp3.GranuleInfo(0, bv, 170, 13,
+        windowSwitching = false, blockType = 0, mixedBlock = false,
+        Seq(4, 4, 0), Nil, 3, 7, preflag = 0, scalefacScale = 0,
+        count1TableSelect = 1)
+      val si = Mp3.SideInfo(0, 0, Seq.fill(2)(Seq.fill(4)(0)),
+        Seq.fill(2)(Seq(gi(left.length / 2), gi(right.length / 2))))
+      val sfs = Seq.fill(2)(Seq(Array.fill(21)(0), rightSf.clone()))
+      Mp3.encodeSpectra(si, 2, sfs, Seq.fill(2)(Seq(left, right)))
+    }
+    val left = Array(3, -2, 1, 0, 2, -3, 1, 2, -1, 3, 0, 1, 2, -2, 3, -1)
+    val emptyR = Array.empty[Int]
+    // right all-zero -> bound = sample 0: the whole spectrum is intensity
+    val plain = Mp3.decodePcm(fixture(left, emptyR, Array.fill(21)(6)), 2, 0).get
+    val pos6 = Mp3.decodePcm(fixture(left, emptyR, Array.fill(21)(6)), 2, 0,
+      intensityStereo = true).get
+    assert(pos6(0).sameElements(plain(0)), "is_pos 6 must leave L exact")
+    assert(pos6(1).forall(_ == 0.0), "is_pos 6 must zero R")
+    val pos0 = Mp3.decodePcm(fixture(left, emptyR, Array.fill(21)(0)), 2, 0,
+      intensityStereo = true).get
+    assert(pos0(0).forall(_ == 0.0), "is_pos 0 must zero L")
+    assert((0 until 1152).forall(i => pos0(1)(i) == plain(0)(i)),
+      "is_pos 0 must route L's signal to R exactly")
+    val pos7 = Mp3.decodePcm(fixture(left, emptyR, Array.fill(21)(7)), 2, 0,
+      intensityStereo = true).get
+    assert(pos7(0).sameElements(plain(0)) && pos7(1).forall(_ == 0.0),
+      "is_pos 7 disables intensity for the band")
+    val pos3 = Mp3.decodePcm(fixture(left, emptyR, Array.fill(21)(3)), 2, 0,
+      intensityStereo = true).get
+    val r = math.tan(3 * math.Pi / 12.0)
+    val kl = r / (1.0 + r)
+    val scale = plain(0).map(math.abs).max
+    for (i <- 0 until 1152) {
+      assert(math.abs(pos3(0)(i) - kl * plain(0)(i)) / scale < 1e-9, s"L $i")
+      assert(math.abs(pos3(1)(i) - (1.0 - kl) * plain(0)(i)) / scale < 2e-9, s"R $i")
+    }
+    // PARTIAL zero-part: right nonzero in samples 0..15 -> the intensity
+    // region starts at the first band boundary >= 16 (band 4). is_pos 0
+    // moves L's region content to R; below the bound both stay put —
+    // restate by spectral surgery and compare EXACTLY
+    val leftWide = left ++ Array(1, -1, 2, 0, 3, -2, 0, 1, 2, -3, 1, -1, 0, 2, -1, 3)
+    val rightLow = Array(2, -1, 0, 3, 1, -2, 2, 0, -3, 1, 2, -1, 0, 2, 1, -2)
+    val mixed = Mp3.decodePcm(fixture(leftWide, rightLow, Array.fill(21)(0)),
+      2, 0, intensityStereo = true).get
+    val surgery = Mp3.decodePcm(fixture(leftWide.take(16),
+      rightLow ++ leftWide.drop(16), Array.fill(21)(0)), 2, 0).get
+    assert((0 until 1152).forall(i => mixed(0)(i) == surgery(0)(i)), "L below bound")
+    assert((0 until 1152).forall(i => mixed(1)(i) == surgery(1)(i)), "R spliced region")
+    // MS + IS combined (mode_ext 3): all-7 positions reduce to plain MS
+    val payload = fixture(leftWide, rightLow,
+      Array.tabulate(21)(b => if (b < 4) 0 else 7))
+    val msIs = Mp3.decodePcm(payload, 2, 0, msStereo = true,
+      intensityStereo = true).get
+    val msOnly = Mp3.decodePcm(payload, 2, 0, msStereo = true).get
+    assert(msIs(0).sameElements(msOnly(0)) && msIs(1).sameElements(msOnly(1)))
+    // mono + intensity strict-rejects
+    assert(Mp3.decodePcm(fixture(left, emptyR, Array.fill(21)(6)), 2, 0,
+      intensityStereo = true).isDefined)
+    // stream twin: a 2-frame intensity stream decodes; frame 0 == decodePcm
+    val payload2 = fixture(left, emptyR, Array.fill(21)(3))
+    val flen = 144 * 128000 / 44100
+    val framed = java.util.Arrays.copyOf(payload2, flen - 4)
+    val stream = Mp3.parseMp3(Mp3.encodeMp3(2, 9, 0, framed ++ framed,
+      mode = 1, modeExt = 1)).get
+    val spcm = Mp3.decodePcmStream(stream, 0).get
+    for (c <- 0 until 2; i <- 0 until 1152)
+      assert(spcm(c)(i) == pos3(c)(i), s"stream head ch$c sample $i")
   }
 
   test("H264 I_PCM strict rejects: cabac, slice groups, field coding, pps mismatch, trailing bytes") {
@@ -2062,6 +2145,114 @@ class MultimodalSpec extends AnyFunSuite {
     val pcm = Aac.decodeCpePcm(payload).get
     assert(pcm.forall(ch => ch.length == 1024 && ch.take(448).forall(_ == 0.0)))
     assert(pcm(0).exists(_ != 0.0) && !pcm(0).sameElements(pcm(1)))
+  }
+
+  test("aac KBD windows: Princen-Bradley identity, monotone rise, Bessel sanity (round 15)") {
+    import graft.multimodal.Dsp
+    // I0 sanity against the series' well-known values
+    assert(math.abs(Dsp.besselI0(0.0) - 1.0) < 1e-15)
+    assert(math.abs(Dsp.besselI0(1.0) - 1.2660658777520084) < 1e-12)
+    // the KBD construction makes w(n)^2 + w(half-1-n)^2 = 1 EXACTLY —
+    // the Princen-Bradley condition the overlap-add needs
+    for ((half, w) <- Seq((1024, Dsp.kbdLong), (128, Dsp.kbdShort))) {
+      assert(w.length == half)
+      for (n <- 0 until half) {
+        val s = w(n) * w(n) + w(half - 1 - n) * w(half - 1 - n)
+        assert(math.abs(s - 1.0) < 1e-12, s"PB at $n/$half: $s")
+      }
+      for (n <- 1 until half) assert(w(n) > w(n - 1), s"not monotone at $n")
+      assert(w(half - 1) <= 1.0 && w(0) > 0.0)
+    }
+  }
+
+  test("aac KBD: mixed-shape window switching is perfect-reconstruction; shape round-trips; stream threads prevShape") {
+    import graft.multimodal.{Aac, Dsp}
+    def wLong(sh: Int, n: Int) = // analysis twin of the decoder's halves
+      if (n < 1024) { if (sh == 0) math.sin(math.Pi / 2048.0 * (n + 0.5)) else Dsp.kbdLong(n) }
+      else { if (sh == 0) math.sin(math.Pi / 2048.0 * (n + 0.5)) else Dsp.kbdLong(2047 - n) }
+    def wShortR(sh: Int, k: Int) =
+      if (sh == 0) math.sin(math.Pi / 256.0 * (k + 0.5)) else Dsp.kbdShort(k)
+    def wShortF(sh: Int, k: Int) =
+      if (sh == 0) math.sin(math.Pi / 256.0 * (k + 0.5)) else Dsp.kbdShort(255 - k)
+    // frame plan: (sequence, shape); prevShape threads left halves
+    val plan = Array((0, 1), (1, 1), (2, 0), (3, 1), (0, 0))
+    val rnd = new scala.util.Random(71)
+    val x = Array.fill(1024 * (plan.length + 1))(rnd.nextDouble() * 2 - 1)
+    var prevShape = 0
+    val zs = plan.zipWithIndex.map { case ((seq, shape), f) =>
+      def wAt(n: Int): Double = seq match {
+        case 0 => if (n < 1024) wLong(prevShape, n) else wLong(shape, n)
+        case 1 => if (n < 1024) wLong(prevShape, n) else if (n < 1472) 1.0
+          else if (n < 1600) wShortF(shape, n - 1472 + 128) else 0.0
+        case 3 => if (n < 448) 0.0 else if (n < 576) wShortR(prevShape, n - 448)
+          else if (n < 1024) 1.0 else wLong(shape, n)
+      }
+      val xr = new Array[Double](1024)
+      if (seq == 2) {
+        for (w <- 0 until 8; k <- 0 until 128)
+          xr(w * 128 + k) = 2.0 * (0 until 256).map { n =>
+            val wv = if (n < 128) wShortR(if (w == 0) prevShape else shape, n)
+                     else wShortF(shape, n)
+            x(1024 * f + 448 + 128 * w + n) * wv *
+              math.cos(math.Pi / 128.0 * (n + 64.5) * (k + 0.5))
+          }.sum
+      } else {
+        for (k <- 0 until 1024)
+          xr(k) = 2.0 * (0 until 2048).map { n =>
+            x(1024 * f + n) * wAt(n) *
+              math.cos(math.Pi / 1024.0 * (n + 512.5) * (k + 0.5))
+          }.sum
+      }
+      val z = Aac.windowedFrame(
+        Aac.IcsInfo(seq, 0, if (seq == 2) Array(8) else Array(1), shape),
+        xr, prevShape)
+      prevShape = shape
+      z
+    }
+    for (f <- 1 until plan.length; n <- 0 until 1024) {
+      val got = zs(f)(n) + zs(f - 1)(n + 1024)
+      assert(math.abs(got - x(1024 * f + n)) < 1e-9,
+        s"frame $f (${plan(f - 1)}->${plan(f)}) sample $n")
+    }
+    // bitstream round-trip of the shape bit, long and short
+    val (payload, info, gg, sectCb, sf, quant) = aacFixtureShortSce(2L, Array(4, 4))
+    val kbdShort = Aac.encodeSceWin(info.copy(windowShape = 1), gg,
+      sectCb.map(_.toArray), sf.map(_.toArray), quant)
+    val ics = Aac.decodeSceWin(kbdShort).getOrElse(fail("KBD short frame refused"))
+    assert(ics.info.windowShape == 1 && ics.info.isShort)
+    assert(ics.quant.sameElements(quant))
+    // the long-only AacChannel surface still rejects KBD
+    val (sinePayload, _, _, _) = aacFixtureSce(2L)
+    assert(Aac.decodeSpectra(sinePayload).isDefined)
+    val kbdLong = {
+      val maxSfb = (8 + 2L % 4).toInt; val g2 = (96 + 2L % 8).toInt
+      val sc = Array.tabulate(maxSfb)(s => if ((2L + s) % 3 == 0) 0 else 12)
+      val sfl = Array.tabulate(maxSfb)(s =>
+        if (sc(s) == 0) 0 else g2 + ((2L + 3 * s) % 9).toInt - 4)
+      val q = Array.tabulate(1024) { i =>
+        val s = i / 32
+        if (s >= maxSfb || sc(s) == 0) 0
+        else { val m = ((2L + i) % 3).toInt; if (m != 0 && (2L + i) % 5 < 2) -m else m }
+      }
+      Aac.encodeSceWin(Aac.IcsInfo(0, maxSfb, Array(1), 1), g2,
+        Array(sc), Array(sfl), q)
+    }
+    assert(Aac.decodeSpectra(kbdLong).isEmpty, "KBD accepted on the sine-only surface")
+    assert(Aac.decodeSceWin(kbdLong).isDefined)
+    // stream: a KBD frame's tail rings into the NEXT frame's rise with
+    // the correct (previous) shape — decodePcmStream == manual overlap
+    val stream = Aac.parse(
+      Aac.encodeFrame(1, 4, 1, kbdLong) ++
+      Aac.encodeFrame(1, 4, 1, sinePayload)).get
+    val pcm = Aac.decodePcmStream(stream).get
+    val z0 = Aac.windowedFrame(Aac.decodeSceWin(kbdLong).get.info,
+      Aac.decodeSceWin(kbdLong).get.xr, prevShape = 0)
+    val i1 = Aac.decodeSceWin(sinePayload).get
+    val z1 = Aac.windowedFrame(i1.info, i1.xr, prevShape = 1) // prev was KBD
+    for (n <- 0 until 1024) {
+      assert(pcm(n) == z0(n), s"head $n")
+      assert(pcm(1024 + n) == z1(n) + z0(n + 1024), s"overlap $n")
+    }
   }
 
   test("aac EIGHT_SHORT strict rejects + mutation fuzz never throws") {

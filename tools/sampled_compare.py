@@ -40,26 +40,32 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-# Per-pair value SQL, transcribed from the shared oracle CTEs
-# (QueriesOracles.scala shinglesCte / simhashCtes) restricted to one
-# pair's two documents. {A}/{B} are substituted doc ids.
+# Set-wise per-pair value SQL, transcribed from the shared oracle CTEs
+# (QueriesOracles.scala shinglesCte / simhashCtes) restricted to the
+# sampled pairs' documents. Reads the temp table `pr(a, b)` — ONE query
+# per gate (a per-pair loop re-scans the corpus parquet per row).
 PAIR_JACCARD_SQL = r"""
-WITH t AS (SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS toks
-           FROM documents WHERE doc_id IN ({A}, {B})),
+WITH pids AS (SELECT a AS id FROM pr UNION SELECT b FROM pr),
+t AS (SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents WHERE doc_id IN (SELECT id FROM pids)),
 grams AS (
   SELECT id, unnest(list_distinct(list_transform(range(0, len(toks)-2),
            i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS gram
   FROM t WHERE len(toks) >= 3),
 gsz AS (SELECT id, count(*)::DOUBLE AS sz FROM grams GROUP BY 1),
-inter AS (SELECT count(*)::DOUBLE AS i
-          FROM grams l JOIN grams r ON l.gram = r.gram AND l.id < r.id)
-SELECT round(inter.i / (sa.sz + sb.sz - inter.i), 4) AS jac
-FROM inter, gsz sa, gsz sb WHERE sa.id = {A} AND sb.id = {B}
+inter AS (SELECT pr.a, pr.b, count(*)::DOUBLE AS i
+          FROM pr JOIN grams ga ON ga.id = pr.a
+                  JOIN grams gb ON gb.id = pr.b AND gb.gram = ga.gram
+          GROUP BY 1, 2)
+SELECT inter.a, inter.b,
+       round(inter.i / (sa.sz + sb.sz - inter.i), 4) AS v
+FROM inter JOIN gsz sa ON sa.id = inter.a JOIN gsz sb ON sb.id = inter.b
 """
 
 PAIR_HAMMING_SQL = r"""
-WITH t AS (SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS toks
-           FROM documents WHERE doc_id IN ({A}, {B})),
+WITH pids AS (SELECT a AS id FROM pr UNION SELECT b FROM pr),
+t AS (SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents WHERE doc_id IN (SELECT id FROM pids)),
 tf AS (SELECT id, term, count(*)::DOUBLE AS tf
        FROM (SELECT id, unnest(toks) AS term FROM t) GROUP BY 1, 2),
 bits AS (
@@ -70,9 +76,9 @@ bits AS (
   FROM tf, (SELECT unnest(range(1, 65)) AS pos) p GROUP BY 1, 2),
 sh AS (SELECT id, string_agg(CASE WHEN w > 0 THEN '1' ELSE '0' END, '' ORDER BY pos) AS sim
        FROM bits GROUP BY id)
-SELECT list_sum(list_transform(range(1, 65),
-    i -> CASE WHEN substr(a.sim, i, 1) = substr(b.sim, i, 1) THEN 0 ELSE 1 END))::BIGINT AS hamming
-FROM sh a, sh b WHERE a.id = {A} AND b.id = {B}
+SELECT pr.a, pr.b, list_sum(list_transform(range(1, 65),
+    i -> CASE WHEN substr(sa.sim, i, 1) = substr(sb.sim, i, 1) THEN 0 ELSE 1 END))::BIGINT AS v
+FROM pr JOIN sh sa ON sa.id = pr.a JOIN sh sb ON sb.id = pr.b
 """
 
 
@@ -139,33 +145,41 @@ def main():
                 print("spark:\n", s[diff].head(5).to_string())
                 fail += 1; continue
             ok += 1
-            print(f"OK {name} [docs {frac_hex}/16] ({len(o)} sampled rows hash-match)")
+            print(f"OK {name} [docs {frac_hex}/16] ({len(o)} sampled rows hash-match)", flush=True)
         elif mode in ("pair_jaccard", "pair_hamming"):
+            import hashlib
             pairs = sdf.copy()
-            pairs["_h"] = [duckdb.sql(
-                f"SELECT md5('{int(a)}_{int(b)}')").fetchone()[0]
-                for a, b in zip(pairs["a"], pairs["b"])]
+            pairs["_h"] = [hashlib.md5(f"{int(a)}_{int(b)}".encode()).hexdigest()
+                           for a, b in zip(pairs["a"], pairs["b"])]
             pairs = pairs.sort_values("_h").head(cap)
+            con.sql("CREATE TEMP TABLE pr (a BIGINT, b BIGINT)")
+            con.executemany("INSERT INTO pr VALUES (?, ?)",
+                            [(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])])
             tmpl = PAIR_JACCARD_SQL if mode == "pair_jaccard" else PAIR_HAMMING_SQL
+            got = con.sql(tmpl).df().set_index(["a", "b"])["v"]
             bad = 0
             for _, row in pairs.iterrows():
                 a, b = int(row["a"]), int(row["b"])
-                got = con.sql(tmpl.format(A=a, B=b)).fetchone()[0]
+                if (a, b) not in got.index:
+                    print(f"PAIR MISSING {name} ({a},{b}) in oracle recompute")
+                    bad += 1; continue
+                g = got.loc[(a, b)]
                 if mode == "pair_jaccard":
                     want = float(row["jac"])
-                    if abs(float(got) - want) > 1e-9 or float(got) < 0.8:
-                        print(f"PAIR MISMATCH {name} ({a},{b}): spark jac={want} oracle={got}")
+                    if abs(float(g) - want) > 1e-9 or float(g) < 0.8:
+                        print(f"PAIR MISMATCH {name} ({a},{b}): spark jac={want} oracle={g}")
                         bad += 1
                 else:
                     want = int(row["hamming"])
-                    if int(got) != want or int(got) > 3:
-                        print(f"PAIR MISMATCH {name} ({a},{b}): spark hamming={want} oracle={got}")
+                    if int(g) != want or int(g) > 3:
+                        print(f"PAIR MISMATCH {name} ({a},{b}): spark hamming={want} oracle={g}")
                         bad += 1
             if bad:
                 fail += 1
             else:
                 ok += 1
-                print(f"OK {name} [{mode}] ({len(pairs)}/{len(sdf)} pairs value-checked)")
+                print(f"OK {name} [{mode}] ({len(pairs)}/{len(sdf)} pairs value-checked)",
+                      flush=True)
         else:
             print(f"UNKNOWN MODE {mode} for {name}"); fail += 1
         con.close()
