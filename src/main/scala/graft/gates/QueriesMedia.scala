@@ -719,6 +719,88 @@ private[graft] trait QueriesMedia { this: Queries.type =>
     graft.multimodal.Multimodal.aacPcmStream(aacKbdAssets(spark, dir, 5))
       .toDF().orderBy(col("id"))
 
+  /** TNS-bearing SCE frames (late round 15 — the last "common in real
+    * streams" AAC tool): the aacSceAssets spectral formulas with one
+    * ORDER-1 TNS filter over SWBs 4..8 (length 28 from the 32-band
+    * fixture map top, clipped by maxSfb 8 → samples 128..256), so the
+    * decoder's AR recursion has the closed form the oracle restates:
+    * y(n) = Σₖ (−a₁)ᵏ·x(n∓k). Per id: coef_res = id%2,
+    * coef_compress = 0, direction = id%2 (downward for odd ids), raw
+    * coefficient c = ((3·id + 1) % 7) − 3 (negatives exercise the sign
+    * extension and the iqfac_m branch),
+    * a₁ = sin(c / (c ≥ 0 ? iqfac : iqfac_m)). */
+  private[graft] def aacTnsAssets(spark: SparkSession, dir: String, nIds: Int) = {
+    import spark.implicits._
+    val src = docsTbl(spark, dir).where(col("doc_id") < nIds)
+      .select(col("doc_id")).as[Long]
+    src.mapPartitions(_.map { id =>
+      val maxSfb = 8
+      val gg = (96 + id % 8).toInt
+      val sectCb = Array.tabulate(maxSfb)(s => if ((id + s) % 3 == 0) 0 else 12)
+      val sf = Array.tabulate(maxSfb)(s =>
+        if (sectCb(s) == 0) 0 else gg + ((id + 3 * s) % 9).toInt - 4)
+      val quant = Array.tabulate(1024) { i =>
+        val s = i / 32
+        if (s >= maxSfb || sectCb(s) == 0) 0
+        else {
+          val mag = ((id + i) % 3).toInt
+          if (mag != 0 && (id + i) % 5 < 2) -mag else mag
+        }
+      }
+      val c = ((3 * id + 1) % 7).toInt - 3
+      val tns = graft.multimodal.Aac.TnsSpec((id % 2).toInt, Seq(Seq(
+        graft.multimodal.Aac.TnsSpecFilter(28, 1, downward = id % 2 == 1,
+          coefCompress = 0, coefs = Seq(c)))))
+      val payload = graft.multimodal.Aac.encodeSceWin(
+        graft.multimodal.Aac.IcsInfo(0, maxSfb, Array(1)), gg,
+        Array(sectCb), Array(sf), quant, tns = Some(tns))
+      graft.multimodal.Multimodal.Asset(id, "audio",
+        graft.multimodal.Aac.encodeFrame(1, 4, 1, payload), 0, 0)
+    })
+  }
+
+  private[graft] def multimodalAacTns(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.aacPcm(aacTnsAssets(spark, dir, 6))
+      .toDF().orderBy(col("id"))
+
+  /** pulse_data-bearing SCE frames (late round 15): the aacSceAssets
+    * shape with ALL bands coded and 1..4 pulses in the coded region —
+    * n = 1 + id%4, start SWB 2 + id%3, offset_j = 1 + (id + 2j)%5
+    * (≥ 1, so positions never collide), amp_j = 1 + (id + j)%15. The
+    * pulses land on the QUANTIZED integers (sign-preserving add), so
+    * [[graft.multimodal.Multimodal.aacSpectra]]'s integer checksums
+    * pin them directly. */
+  private[graft] def aacPulseAssets(spark: SparkSession, dir: String, nIds: Int) = {
+    import spark.implicits._
+    val src = docsTbl(spark, dir).where(col("doc_id") < nIds)
+      .select(col("doc_id")).as[Long]
+    src.mapPartitions(_.map { id =>
+      val maxSfb = 8
+      val gg = (96 + id % 8).toInt
+      val sectCb = Array.fill(maxSfb)(12)
+      val sf = Array.tabulate(maxSfb)(s => gg + ((id + 3 * s) % 9).toInt - 4)
+      val quant = Array.tabulate(1024) { i =>
+        if (i >= 32 * maxSfb) 0
+        else {
+          val mag = ((id + i) % 3).toInt
+          if (mag != 0 && (id + i) % 5 < 2) -mag else mag
+        }
+      }
+      val n = 1 + (id % 4).toInt
+      val pulse = graft.multimodal.Aac.PulseSpec((2 + id % 3).toInt,
+        Seq.tabulate(n)(j => (1 + ((id + 2 * j) % 5).toInt, 1 + ((id + j) % 15).toInt)))
+      val payload = graft.multimodal.Aac.encodeSceWin(
+        graft.multimodal.Aac.IcsInfo(0, maxSfb, Array(1)), gg,
+        Array(sectCb), Array(sf), quant, pulse = Some(pulse))
+      graft.multimodal.Multimodal.Asset(id, "audio",
+        graft.multimodal.Aac.encodeFrame(1, 4, 1, payload), 0, 0)
+    })
+  }
+
+  private[graft] def multimodalAacPulse(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.aacSpectra(aacPulseAssets(spark, dir, 50))
+      .toDF().orderBy(col("id"))
+
   private[graft] def multimodalAacSpectra(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.Multimodal.aacSpectra(aacSceAssets(spark, dir, 50))
       .toDF().orderBy(col("id"))

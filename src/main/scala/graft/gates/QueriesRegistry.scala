@@ -1299,6 +1299,104 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
            |  CAST(sum(v) AS BIGINT) AS sum_pcm, CAST(sum(abs(v)) AS BIGINT) AS abs_pcm,
            |  CAST(sum(v * (p + 1)) AS BIGINT) AS wsum_pcm
            |FROM pcm GROUP BY id ORDER BY id""".stripMargin)),
+    "multimodal_aac_pulse" -> Q(multimodalAacPulse, Some(
+      // restates aacPulseAssets' pulse_data end to end (late round 15):
+      // the base quantized formula, the accumulated pulse positions
+      // (start SWB + running offsets), the §9.3 sign-preserving adds,
+      // and the dequantization over the pulsed integers — integer
+      // checksums exact, the two dequantized sums under the floor-form
+      // 4-dp round (left-to-right list folds on both engines)
+      raw"""WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 50),
+           |par AS (SELECT id, 96 + id % 8 AS gg, 32 * (2 + id % 3) AS start,
+           |               1 + id % 4 AS n FROM ids),
+           |pul AS (SELECT p.id,
+           |          p.start + (j.j + 1) + CAST(list_sum(list_transform(range(0, j.j + 1),
+           |            m -> (p.id + 2*m) % 5)) AS BIGINT) AS pos,
+           |          1 + (p.id + j.j) % 15 AS amp
+           |        FROM par p, (SELECT unnest(range(0, 4)) AS j) j
+           |        WHERE j.j < p.n),
+           |co AS (SELECT p.id, d.i,
+           |         CASE WHEN d.i >= 256 THEN 0 ELSE
+           |           (CASE WHEN (p.id + d.i) % 5 < 2 THEN -1 ELSE 1 END) * ((p.id + d.i) % 3)
+           |         END AS q
+           |       FROM par p, (SELECT unnest(range(0, 1024)) AS i) d),
+           |cop AS (SELECT co.id, co.i,
+           |          CASE WHEN pl.amp IS NULL THEN co.q
+           |               WHEN co.q < 0 THEN co.q - pl.amp
+           |               ELSE co.q + pl.amp END AS q
+           |        FROM co LEFT JOIN pul pl ON pl.id = co.id AND pl.pos = co.i),
+           |qs AS (SELECT id, list(q ORDER BY i) AS q FROM cop GROUP BY id),
+           |xrs AS (SELECT s.id, s.q, p.gg,
+           |  list_transform(range(0, 1024), i ->
+           |    CASE WHEN s.q[i+1] = 0 THEN 0.0 ELSE
+           |      sign(s.q[i+1]) * pow(abs(s.q[i+1]), 4.0/3.0) *
+           |      pow(2.0, 0.25*((p.gg + (p.id + 3*(i // 32)) % 9 - 4) - 100))
+           |    END) AS xr
+           |  FROM qs s JOIN par p ON p.id = s.id)
+           |SELECT id, gg AS global_gain, 8::INT AS max_sfb,
+           |  8 AS n_coded_sfb,
+           |  CAST(list_sum(list_transform(range(0, 8), s ->
+           |    gg + (id + 3*s) % 9 - 4)) AS BIGINT) AS sum_sf,
+           |  len(list_filter(q, x -> x != 0)) AS n_nonzero,
+           |  CAST(list_sum(q) AS BIGINT) AS sum_q,
+           |  CAST(list_sum(list_transform(range(1, 1025), i -> q[i] * i)) AS BIGINT) AS wsum_q,
+           |  floor(list_sum(xr) * 10000.0 + 0.5) / 10000.0 AS xr_sum,
+           |  floor(list_sum(list_transform(range(1, 1025), i -> xr[i] * i)) * 10000.0 + 0.5) / 10000.0 AS xr_wsum
+           |FROM xrs ORDER BY id""".stripMargin)),
+    "multimodal_aac_tns" -> Q(multimodalAacTns, Some(
+      // restates aacTnsAssets' TNS decode end to end (late round 15):
+      // dequantization, the §14.6.2 coefficient chain (sign extension,
+      // the ± iqfac split, order-1 LPC a₁ = sin(c/iqfac±)), the
+      // ALL-POLE filter over samples 128..256 in its CLOSED form
+      // y(n) = Σₖ (−a₁)ᵏ·x(n∓k) (order 1 makes the AR recursion a
+      // geometric sum — the recursion-vs-sum float divergence sits 8+
+      // orders below the 16-bit grid), then IMDCT → sine window →
+      // floor-form quantizer with the aac_pcm integer aggregates
+      raw"""WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 6),
+           |par AS (SELECT id, 8 AS max_sfb, 96 + id % 8 AS gg,
+           |               (3 * id + 1) % 7 - 3 AS c, id % 2 AS res,
+           |               id % 2 = 1 AS down FROM ids),
+           |co AS (SELECT p.id, d.i,
+           |         CASE WHEN d.i >= 32 * p.max_sfb OR (p.id + d.i // 32) % 3 = 0 THEN 0 ELSE
+           |           (CASE WHEN (p.id + d.i) % 5 < 2 THEN -1 ELSE 1 END) * ((p.id + d.i) % 3) END AS q,
+           |         p.gg + (p.id + 3*(d.i // 32)) % 9 - 4 AS sf
+           |       FROM par p, (SELECT unnest(range(0, 1024)) AS i) d),
+           |xrl AS (SELECT id, list(CASE WHEN q = 0 THEN 0.0 ELSE
+           |            sign(q) * pow(abs(q), 4.0/3.0) * pow(2.0, 0.25*(sf - 100)) END
+           |          ORDER BY i) AS x
+           |        FROM co GROUP BY id),
+           |lpc AS (SELECT p.id, p.down,
+           |          sin(p.c / (CASE WHEN p.c >= 0
+           |            THEN (pow(2, p.res + 2) - 0.5) / (pi() / 2.0)
+           |            ELSE (pow(2, p.res + 2) + 0.5) / (pi() / 2.0) END)) AS a1
+           |        FROM par p),
+           |tn AS (SELECT x.id,
+           |         list_transform(range(0, 1024), n ->
+           |           CASE WHEN n < 128 OR n >= 256 THEN x.x[n + 1]
+           |                WHEN NOT l.down THEN
+           |                  list_sum(list_transform(range(0, n - 128 + 1), k ->
+           |                    pow(-l.a1, k) * x.x[n - k + 1]))
+           |                ELSE
+           |                  list_sum(list_transform(range(0, 256 - n), k ->
+           |                    pow(-l.a1, k) * x.x[n + k + 1]))
+           |           END) AS x
+           |       FROM xrl x JOIN lpc l ON l.id = x.id),
+           |nz AS (SELECT t.id, list(struct_pack(k := d.i, v := t.x[d.i + 1]) ORDER BY d.i) AS l
+           |       FROM tn t, (SELECT unnest(range(0, 1024)) AS i) d
+           |       WHERE t.x[d.i + 1] != 0 GROUP BY t.id),
+           |pcm AS (SELECT z.id, d.pos,
+           |          greatest(-32768, least(32767, CAST(floor(
+           |            sin(pi()/2048.0 * (d.pos + 0.5)) *
+           |            (list_sum(list_transform(z.l, s ->
+           |               s.v * cos(pi()/1024.0 * (d.pos + 512.5) * (s.k + 0.5)))) / 1024.0)
+           |            * 32768.0 + 0.5) AS BIGINT))) AS p
+           |        FROM nz z, (SELECT unnest(range(0, 1024)) AS pos) d)
+           |SELECT id, count(*) AS n_samples,
+           |  CAST(sum(CASE WHEN p = 32767 OR p = -32768 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           |  CAST(sum(CASE WHEN p != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonzero,
+           |  CAST(sum(p) AS BIGINT) AS sum_pcm, CAST(sum(abs(p)) AS BIGINT) AS abs_pcm,
+           |  CAST(sum(p * (pos + 1)) AS BIGINT) AS wsum_pcm
+           |FROM pcm GROUP BY id ORDER BY id""".stripMargin)),
     "multimodal_aac_kbd" -> Q(multimodalAacKbd, Some(
       // restates aacKbdAssets' SHAPE-SWITCHED stream end to end (late
       // round 15): the KBD window derived IN SQL from the Bessel-I0

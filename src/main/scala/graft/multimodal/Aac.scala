@@ -317,14 +317,142 @@ object Aac {
     info.maxSfb
   }
 
+  /** One TNS filter (§14.6, late round 15): the SWB range counted DOWN
+    * from the map top (`bottomSwb ≤ swb < topSwb`), the filter order,
+    * the direction bit (true = downward, §14.6's start-at-the-top
+    * walk), and the RESOLVED LPC coefficients a(1..order) (§14.6.2's
+    * sign-extend → sin inverse-quant → reflection recursion, done at
+    * parse time — formula math). */
+  final case class TnsFilter(bottomSwb: Int, topSwb: Int, order: Int,
+                             downward: Boolean, lpc: Array[Double])
+
   /** One decoded individual_channel_stream, window-sequence-aware
     * (round 15): per-GROUP codebook ids and scalefactors; `quant`/`xr`
     * hold the 1024 lines DEINTERLEAVED window-major — short frames put
     * window w's 128 lines at [128w, 128(w+1)), long frames use the
-    * natural order. */
+    * natural order. `tns` (late round 15): per-WINDOW filter lists —
+    * note `xr` here is PRE-TNS; the decode surfaces apply
+    * [[applyTns]] after the stereo tools per the §4.6 decoder order. */
   final case class AacIcs(info: IcsInfo, globalGain: Int,
                           sectCb: Array[Array[Int]], sf: Array[Array[Int]],
-                          quant: Array[Int], xr: Array[Double])
+                          quant: Array[Int], xr: Array[Double],
+                          tns: Array[Array[TnsFilter]] = Array.empty) {
+    def hasTns: Boolean = tns.exists(_.nonEmpty)
+  }
+
+  /** §14.6 tns_data: per-window filter headers + coefficients, with the
+    * §14.6.2 coefficient resolution (sign-extend the
+    * (coef_res + 3 − coef_compress)-bit fields, sin inverse-quant with
+    * the ± iqfac split, reflection→LPC recursion) resolved here. LC
+    * order caps (12 long / 7 short) strict-reject above. */
+  private def readTnsData(r: BitReader, info: IcsInfo): Array[Array[TnsFilter]] = {
+    val short = info.isShort
+    val maxOrder = if (short) 7 else 12
+    Array.tabulate(info.numWindows) { _ =>
+      val nFilt = r.read(if (short) 1 else 2)
+      if (nFilt == 0) Array.empty[TnsFilter]
+      else {
+        val coefRes = r.read(1)
+        val filters = ArrayBuffer.empty[TnsFilter]
+        var f = 0
+        while (f < nFilt) {
+          val length = r.read(if (short) 4 else 6)
+          val order = r.read(if (short) 3 else 5)
+          require(order <= maxOrder, s"TNS order $order exceeds the LC cap $maxOrder")
+          var downward = false
+          var lpc = Array.empty[Double]
+          if (order > 0) {
+            downward = r.read(1) == 1
+            val coefCompress = r.read(1)
+            val bits = coefRes + 3 - coefCompress
+            require(bits >= 2, "TNS coefficient width underflow")
+            val coefResBits = coefRes + 3
+            val iqfac = ((1 << (coefResBits - 1)) - 0.5) / (math.Pi / 2.0)
+            val iqfacM = ((1 << (coefResBits - 1)) + 0.5) / (math.Pi / 2.0)
+            val tmp2 = Array.tabulate(order) { _ =>
+              val raw = r.read(bits)
+              val signed = // sign-extend the bits-wide field
+                if ((raw & (1 << (bits - 1))) != 0) raw - (1 << bits) else raw
+              math.sin(signed / (if (signed >= 0) iqfac else iqfacM))
+            }
+            // §14.6.2 reflection → LPC
+            val a = new Array[Double](order + 1)
+            a(0) = 1.0
+            val b = new Array[Double](order + 1)
+            var m = 1
+            while (m <= order) {
+              var i = 1
+              while (i < m) { b(i) = a(i) + tmp2(m - 1) * a(m - i); i += 1 }
+              i = 1
+              while (i < m) { a(i) = b(i); i += 1 }
+              a(m) = tmp2(m - 1)
+              m += 1
+            }
+            lpc = a
+          }
+          // bottomSwb carries the raw LENGTH; applyTns resolves the SWB
+          // range by walking down from the band map's top (the map is
+          // caller scope, not parse scope)
+          filters += TnsFilter(length, -1, order, downward, lpc)
+          f += 1
+        }
+        filters.toArray
+      }
+    }
+  }
+
+  /** Apply the decoded TNS filters to the (post-stereo) spectra —
+    * §14.6's all-pole walk: filter ranges count SWBs DOWN from the band
+    * map's top (each filter's stored `bottomSwb` field carries its raw
+    * LENGTH; the chain top starts at the map's SWB count), clipped to
+    * min(maxSfb, tnsMaxBands); the AR recursion runs along the window's
+    * lines in the transmitted direction, each output consuming up to
+    * `order` PREVIOUS OUTPUTS: y(n) = x(n) − Σⱼ a(j)·y(n − j·inc). */
+  private[graft] def applyTns(xr: Array[Double], info: IcsInfo,
+                              tns: Array[Array[TnsFilter]],
+                              bands: Array[Int], shortBands: Array[Int],
+                              tnsMaxBands: Int): Unit = {
+    if (tns.isEmpty) return
+    val nb = if (info.isShort) shortBands else bands
+    val numSwb = nb.length - 1
+    val limit = math.min(math.min(info.maxSfb, tnsMaxBands), numSwb)
+    var w = 0
+    while (w < info.numWindows) {
+      var top = numSwb
+      val filters = tns(w)
+      var f = 0
+      while (f < filters.length) {
+        val flt = filters(f)
+        val bottom = math.max(top - flt.bottomSwb, 0) // bottomSwb carries length
+        if (flt.order > 0) {
+          val start = nb(math.min(bottom, limit))
+          val end = nb(math.min(top, limit))
+          val size = end - start
+          if (size > 0) {
+            val base = w * info.linesPerWindow
+            val (pos0, inc) =
+              if (flt.downward) (base + end - 1, -1) else (base + start, 1)
+            var i = 0
+            var pos = pos0
+            while (i < size) {
+              var acc = xr(pos)
+              var j = 1
+              while (j <= flt.order && j <= i) {
+                acc -= flt.lpc(j) * xr(pos - j * inc)
+                j += 1
+              }
+              xr(pos) = acc
+              i += 1
+              pos += inc
+            }
+          }
+        }
+        top = bottom
+        f += 1
+      }
+      w += 1
+    }
+  }
 
   /** The body of one individual_channel_stream AFTER global_gain and
     * ics_info: section data (sect_bits 3 short / 5 long), the DPCM
@@ -369,8 +497,25 @@ object Aac {
       require(last >= 0 && last <= 255, s"scalefactor $last out of 0..255")
       sf(g)(s) = last
     }
-    require(r.read(1) == 0, "pulse_data out of scope")
-    require(r.read(1) == 0, "tns_data out of scope")
+    // pulse_data (§8.3.2/§9.3, late round 15): up to 4 additive pulses
+    // on the QUANTIZED values — spec-barred from EIGHT_SHORT frames
+    // (strict reject); applied after the spectral walk below
+    var pulses: Array[(Int, Int)] = Array.empty // (flat position, amplitude)
+    if (r.read(1) == 1) {
+      require(!info.isShort, "pulse_data in an EIGHT_SHORT frame")
+      val nPulse = r.read(2) + 1
+      val startSfb = r.read(6)
+      require(startSfb < nb.length - 1, s"pulse_start_sfb $startSfb off the band map")
+      var k = nb(startSfb)
+      pulses = Array.fill(nPulse) {
+        k += r.read(5)
+        require(k < 1024, "pulse position past the spectrum")
+        (k, r.read(4))
+      }
+    }
+    val tns = // §14.6 tns_data (late round 15)
+      if (r.read(1) == 1) readTnsData(r, info)
+      else Array.empty[Array[TnsFilter]]
     require(r.read(1) == 0, "gain_control_data out of scope")
     // spectral_data (§8.3.2/§9.3): per group, per coded sfb, one tuple
     // walk over width·groupLen coefficients (window-interleaved: window
@@ -424,6 +569,11 @@ object Aac {
       }
       winBase += info.groupLen(g)
     }
+    // §9.3 pulse application: |x(k)| grows by amp on nonzero values,
+    // zero values take +amp (the spec's sign-preserving add)
+    pulses.foreach { case (k, amp) =>
+      if (quant(k) < 0) quant(k) -= amp else quant(k) += amp
+    }
     // dequantization (§10.3): per-(group, sfb) exponent, SF_OFFSET = 100
     val xr = new Array[Double](1024)
     winBase = 0
@@ -445,7 +595,7 @@ object Aac {
       }
       winBase += info.groupLen(g)
     }
-    AacIcs(info, globalGain, sectCb, sf, quant, xr)
+    AacIcs(info, globalGain, sectCb, sf, quant, xr, tns)
   }
 
   /** The long-only body surface (one group, AacChannel layout). */
@@ -454,6 +604,7 @@ object Aac {
                           bands: Array[Int]): AacChannel = {
     val ics = readIcsBodyWin(r, globalGain, IcsInfo(0, maxSfb, Array(1)),
       books, sfBook, bands, fixtureBandsShort)
+    require(!ics.hasTns, "TNS on the AacChannel surface (use decodeSceWin)")
     AacChannel(globalGain, maxSfb, ics.sectCb(0), ics.sf(0), ics.quant, ics.xr)
   }
 
@@ -500,7 +651,8 @@ object Aac {
                    books: Map[Int, AacBook] = fixtureBooks,
                    sfBook: SfBook = fixtureSfBook,
                    bands: Array[Int] = fixtureBandsLong,
-                   shortBands: Array[Int] = fixtureBandsShort): Option[AacIcs] = try {
+                   shortBands: Array[Int] = fixtureBandsShort,
+                   tnsMaxBands: Int = Int.MaxValue): Option[AacIcs] = try {
     checkBands(bands)
     checkBands(shortBands, 128)
     val r = new BitReader(payload)
@@ -510,6 +662,8 @@ object Aac {
     val info = readIcsInfoWin(r, bands, shortBands)
     val ics = readIcsBodyWin(r, globalGain, info, books, sfBook, bands, shortBands)
     readEnd(r, "the single SCE")
+    // §4.6 decoder order: TNS after the (absent) stereo tools
+    applyTns(ics.xr, info, ics.tns, bands, shortBands, tnsMaxBands)
     Some(ics)
   } catch { case _: Exception => None }
 
@@ -544,7 +698,8 @@ object Aac {
                    books: Map[Int, AacBook] = fixtureBooks,
                    sfBook: SfBook = fixtureSfBook,
                    bands: Array[Int] = fixtureBandsLong,
-                   shortBands: Array[Int] = fixtureBandsShort): Option[AacCpeIcs] = try {
+                   shortBands: Array[Int] = fixtureBandsShort,
+                   tnsMaxBands: Int = Int.MaxValue): Option[AacCpeIcs] = try {
     checkBands(bands)
     checkBands(shortBands, 128)
     val r = new BitReader(payload)
@@ -592,6 +747,9 @@ object Aac {
         winBase += sharedInfo.groupLen(g)
       }
     }
+    // §4.6 decoder order: TNS per channel AFTER the MS matrix
+    applyTns(xl, left.info, left.tns, bands, shortBands, tnsMaxBands)
+    applyTns(xr2, right.info, right.tns, bands, shortBands, tnsMaxBands)
     Some(AacCpeIcs(commonWindow, msMaskPresent, msUsed, left, right,
       Array(xl, xr2)))
   } catch { case _: Exception => None }
@@ -842,6 +1000,17 @@ object Aac {
     Some(out.toSeq.map(_.toArray))
   } catch { case _: Exception => None }
 
+  /** Fixture TNS spec (encoder side): `coefs` are the RAW SIGNED
+    * coefficient values in the (coefRes + 3 − coefCompress)-bit signed
+    * domain; `windows` must match the frame's window count. */
+  final case class TnsSpecFilter(length: Int, order: Int, downward: Boolean,
+                                 coefCompress: Int, coefs: Seq[Int])
+  final case class TnsSpec(coefRes: Int, windows: Seq[Seq[TnsSpecFilter]])
+
+  /** Fixture pulse spec (encoder side): start SWB + (offset, amplitude)
+    * pairs — §8.3.2 pulse_data's exact fields. */
+  final case class PulseSpec(startSfb: Int, pulses: Seq[(Int, Int)])
+
   /** Fixture/gate encoder: one SCE raw_data_block from per-sfb codebook
     * ids, scalefactors and quantized integers — the exact bit layout
     * [[decodeSpectra]] walks, greedy run-length sections, DPCM
@@ -867,7 +1036,9 @@ object Aac {
                    books: Map[Int, AacBook] = fixtureBooks,
                    sfBook: SfBook = fixtureSfBook,
                    bands: Array[Int] = fixtureBandsLong,
-                   shortBands: Array[Int] = fixtureBandsShort): Array[Byte] = {
+                   shortBands: Array[Int] = fixtureBandsShort,
+                   tns: Option[TnsSpec] = None,
+                   pulse: Option[PulseSpec] = None): Array[Byte] = {
     val bits = new ArrayBuffer[(Int, Int)] // (value, width) — checked below
     def w(v: Int, n: Int): Unit = {
       require(v >= 0 && v < (1 << n), s"field value $v does not fit in $n bits")
@@ -878,7 +1049,7 @@ object Aac {
     w(globalGain, 8)
     emitIcsInfoWin(w, info, bands, shortBands)
     emitIcsBodyWin(w, globalGain, info, sectCb, sf, quant, books, sfBook,
-      bands, shortBands)
+      bands, shortBands, tns, pulse)
     w(7, 3) // END
     packBits(bits)
   }
@@ -945,7 +1116,8 @@ object Aac {
                    books: Map[Int, AacBook] = fixtureBooks,
                    sfBook: SfBook = fixtureSfBook,
                    bands: Array[Int] = fixtureBandsLong,
-                   shortBands: Array[Int] = fixtureBandsShort): Array[Byte] = {
+                   shortBands: Array[Int] = fixtureBandsShort,
+                   tns: Seq[Option[TnsSpec]] = Seq(None, None)): Array[Byte] = {
     require(infos.length == 2 && globalGain.length == 2 &&
       sectCb.length == 2 && sf.length == 2 && quant.length == 2,
       "CPE takes exactly two channels")
@@ -977,7 +1149,7 @@ object Aac {
       w(globalGain(c), 8)
       if (!commonWindow) emitIcsInfoWin(w, infos(c), bands, shortBands)
       emitIcsBodyWin(w, globalGain(c), infos(c), sectCb(c), sf(c), quant(c),
-        books, sfBook, bands, shortBands)
+        books, sfBook, bands, shortBands, tns(c))
     }
     w(7, 3) // END
     packBits(bits)
@@ -1024,7 +1196,9 @@ object Aac {
                              info: IcsInfo, sectCb: Array[Array[Int]],
                              sf: Array[Array[Int]], quant: Array[Int],
                              books: Map[Int, AacBook], sfBook: SfBook,
-                             bands: Array[Int], shortBands: Array[Int]): Unit = {
+                             bands: Array[Int], shortBands: Array[Int],
+                             tns: Option[TnsSpec] = None,
+                             pulse: Option[PulseSpec] = None): Unit = {
     val nb = if (info.isShort) shortBands else bands
     val maxSfb = info.maxSfb
     val sectBits = if (info.isShort) 3 else 5
@@ -1055,7 +1229,46 @@ object Aac {
       code.foreach(c => w(if (c == '1') 1 else 0, 1))
       last = sf(g)(s)
     }
-    w(0, 1); w(0, 1); w(0, 1) // pulse / tns / gain_control
+    pulse match { // pulse_data_present + §8.3.2 pulse_data
+      case None => w(0, 1)
+      case Some(ps) =>
+        require(!info.isShort, "pulse_data is barred from EIGHT_SHORT frames")
+        require(ps.pulses.nonEmpty && ps.pulses.length <= 4, "1..4 pulses")
+        w(1, 1)
+        w(ps.pulses.length - 1, 2)
+        w(ps.startSfb, 6)
+        ps.pulses.foreach { case (off, amp) => w(off, 5); w(amp, 4) }
+    }
+    tns match { // tns_data_present + §14.6 tns_data
+      case None => w(0, 1)
+      case Some(sp) =>
+        w(1, 1)
+        require(sp.windows.length == info.numWindows,
+          s"TNS spec covers ${sp.windows.length} of ${info.numWindows} windows")
+        require(sp.coefRes == 0 || sp.coefRes == 1)
+        for (wf <- sp.windows) {
+          w(wf.size, if (info.isShort) 1 else 2) // n_filt
+          if (wf.nonEmpty) {
+            w(sp.coefRes, 1)
+            for (f <- wf) {
+              w(f.length, if (info.isShort) 4 else 6)
+              w(f.order, if (info.isShort) 3 else 5)
+              if (f.order > 0) {
+                w(if (f.downward) 1 else 0, 1)
+                w(f.coefCompress, 1)
+                val bits2 = sp.coefRes + 3 - f.coefCompress
+                require(f.coefs.length == f.order, "coef count != order")
+                f.coefs.foreach { c =>
+                  require(c >= -(1 << (bits2 - 1)) && c < (1 << (bits2 - 1)),
+                    s"TNS coef $c outside the $bits2-bit signed domain")
+                  w(c & ((1 << bits2) - 1), bits2)
+                }
+              }
+            }
+          }
+        }
+    }
+    w(0, 1) // gain_control_data_present
     // spectra: per group-sfb block, window-interleaved tuple stream
     var winBase = 0
     for (g <- 0 until info.numGroups) {

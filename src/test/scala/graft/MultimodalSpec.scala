@@ -2255,6 +2255,204 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("aac TNS: sign extension + sin inverse-quant + LPC recursion; the AR filter inverts its FIR exactly (round 15)") {
+    import graft.multimodal.Aac
+    // long SCE, 8 coded bands, one TNS filter over the top 28 SWBs ->
+    // clipped to bands 4..8 (samples 128..256) by maxSfb
+    val maxSfb = 8; val gg = 100
+    val sectCb = Array.fill(maxSfb)(12)
+    val sf = Array.fill(maxSfb)(gg)
+    val quant = Array.tabulate(1024) { i =>
+      if (i >= 32 * maxSfb) 0
+      else { val m = (i % 3); if (m != 0 && i % 5 < 2) -m else m }
+    }
+    def frame(tns: Option[Aac.TnsSpec]) = Aac.encodeSceWin(
+      Aac.IcsInfo(0, maxSfb, Array(1)), gg, Array(sectCb), Array(sf), quant,
+      tns = tns)
+    val pre = Aac.decodeSceWin(frame(None)).get.xr
+    for ((coefs, res, compress, down) <- Seq(
+        (Seq(1), 0, 0, false),           // order 1, positive
+        (Seq(-1), 0, 0, true),           // order 1, negative (sign extend), downward
+        (Seq(3, -4, 2), 1, 0, false),    // order 3, 4-bit coefs
+        (Seq(1, -2), 0, 1, true))) {     // compress drops a bit (2-bit domain)
+      val spec = Aac.TnsSpec(res, Seq(Seq(
+        Aac.TnsSpecFilter(28, coefs.length, down, compress, coefs))))
+      val ics = Aac.decodeSceWin(frame(Some(spec))).get
+      assert(ics.hasTns && ics.tns(0).length == 1)
+      val f = ics.tns(0).head
+      assert(f.order == coefs.length && f.downward == down)
+      // resolved LPC a(1..order): re-derive independently
+      val bits = res + 3 - compress
+      val iq = ((1 << (res + 3 - 1)) - 0.5) / (math.Pi / 2.0)
+      val iqm = ((1 << (res + 3 - 1)) + 0.5) / (math.Pi / 2.0)
+      val t = coefs.map(c => math.sin(c / (if (c >= 0) iq else iqm))).toArray
+      val a = Array.fill(coefs.length + 1)(0.0); a(0) = 1.0
+      for (m <- 1 to coefs.length) {
+        val b = a.clone()
+        for (i <- 1 until m) b(i) = a(i) + t(m - 1) * a(m - i)
+        for (i <- 1 until m) a(i) = b(i)
+        a(m) = t(m - 1)
+      }
+      for (j <- 1 to coefs.length)
+        assert(ics.tns(0).head.lpc(j) == a(j), s"lpc($j) for $coefs")
+      assert(coefs.forall(c => c >= -(1 << (bits - 1)) && c < (1 << (bits - 1))))
+      // the decoder's all-pole output y must invert back to the pre-TNS
+      // spectrum through the FIR x(n) = y(n) + sum a(j) y(n - j*inc)
+      val y = ics.xr
+      val (start, end) = (128, 256)
+      val (p0, inc) = if (down) (end - 1, -1) else (start, 1)
+      for (i <- 0 until end - start) {
+        val pos = p0 + i * inc
+        var rec = y(pos)
+        for (j <- 1 to coefs.length if j <= i) rec += a(j) * y(pos - j * inc)
+        assert(math.abs(rec - pre(pos)) < 1e-12, s"FIR inverse at $pos for $coefs")
+      }
+      // outside the filter region the spectrum is untouched
+      for (i <- 0 until 128) assert(y(i) == pre(i), s"below region $i")
+    }
+    // two filters chain downward from the map top: SWB ranges abut
+    val two = Aac.TnsSpec(0, Seq(Seq(
+      Aac.TnsSpecFilter(26, 1, false, 0, Seq(2)),   // swb 6..32 -> clipped 6..8
+      Aac.TnsSpecFilter(2, 1, false, 0, Seq(-2))))) // swb 4..6
+    val ics2 = Aac.decodeSceWin(frame(Some(two))).get
+    assert(ics2.tns(0).length == 2)
+    // band 4..6 (samples 128..192) filtered by the SECOND filter
+    assert((128 until 192).exists(i => ics2.xr(i) != pre(i)))
+    // LC order cap: 13 on a long window strict-rejects
+    val big = Aac.TnsSpec(0, Seq(Seq(
+      Aac.TnsSpecFilter(28, 13, false, 0, Seq.fill(13)(1)))))
+    assert(Aac.decodeSceWin(frame(Some(big))).isEmpty,
+      "order 13 accepted past the LC cap")
+  }
+
+  test("aac TNS: order cap, AacChannel surface rejects, tnsMaxBands clips, short windows per-window filters, CPE after MS") {
+    import graft.multimodal.Aac
+    val maxSfb = 8; val gg = 100
+    val sectCb = Array.fill(maxSfb)(12)
+    val sf = Array.fill(maxSfb)(gg)
+    val quant = Array.tabulate(1024) { i =>
+      if (i >= 32 * maxSfb) 0
+      else { val m = (i % 3); if (m != 0 && i % 5 < 2) -m else m }
+    }
+    // order 13 long: parses as bits fine but the decoder's LC cap refuses
+    val bits13 = {
+      val w = new StringBuilder // hand-pack via the encoder with order 12 then bump? simpler: decode path
+      Aac.encodeSceWin(Aac.IcsInfo(0, maxSfb, Array(1)), gg, Array(sectCb),
+        Array(sf), quant, tns = Some(Aac.TnsSpec(0, Seq(Seq(
+          Aac.TnsSpecFilter(28, 12, false, 0, Seq.fill(12)(1)))))))
+    }
+    assert(Aac.decodeSceWin(bits13).isDefined) // order 12 decodes
+    // the AacChannel (decodeSpectra) surface rejects TNS frames
+    assert(Aac.decodeSpectra(bits13).isEmpty, "TNS accepted on the plain surface")
+    // tnsMaxBands clips the region: limit 4 -> start == end, spectrum untouched
+    val one = Aac.encodeSceWin(Aac.IcsInfo(0, maxSfb, Array(1)), gg,
+      Array(sectCb), Array(sf), quant,
+      tns = Some(Aac.TnsSpec(0, Seq(Seq(Aac.TnsSpecFilter(28, 1, false, 0, Seq(3)))))))
+    val pre = Aac.decodeSceWin(Aac.encodeSceWin(Aac.IcsInfo(0, maxSfb, Array(1)),
+      gg, Array(sectCb), Array(sf), quant)).get.xr
+    val clipped = Aac.decodeSceWin(one, tnsMaxBands = 4).get
+    assert(clipped.xr.sameElements(pre), "tnsMaxBands = 4 must clip the filter away")
+    assert(!Aac.decodeSceWin(one).get.xr.sameElements(pre), "unclipped filter must act")
+    // short windows: filters are PER WINDOW; filter only window 2
+    val gl = Array(8)
+    val infoS = Aac.IcsInfo(2, 8, gl)
+    val sectS = Array.fill(1, 8)(12)
+    val sfS = Array.fill(1, 8)(gg)
+    val quantS = Array.tabulate(1024) { i =>
+      if ((i % 128) / 8 >= 8) 0
+      else { val m = (i % 3); if (m != 0 && i % 5 < 2) -m else m }
+    }
+    val tnsS = Aac.TnsSpec(0, Seq.tabulate(8)(w =>
+      if (w == 2) Seq(Aac.TnsSpecFilter(12, 1, false, 0, Seq(2))) else Seq.empty))
+    val shortFrame = Aac.encodeSceWin(infoS, gg, sectS.map(_.toArray),
+      sfS.map(_.toArray), quantS, tns = Some(tnsS))
+    val preS = Aac.decodeSceWin(Aac.encodeSceWin(infoS, gg, sectS.map(_.toArray),
+      sfS.map(_.toArray), quantS)).get.xr
+    val icsS = Aac.decodeSceWin(shortFrame).get
+    assert(icsS.tns.length == 8 && icsS.tns(2).length == 1)
+    // windows != 2 untouched; window 2's filtered range (swb 4..8 of its
+    // 128 lines under the 16-band fixture map clipped to maxSfb 8) differs
+    for (w <- 0 until 8 if w != 2; k <- 0 until 128)
+      assert(icsS.xr(w * 128 + k) == preS(w * 128 + k), s"window $w line $k")
+    assert((0 until 128).exists(k => icsS.xr(2 * 128 + k) != preS(2 * 128 + k)))
+    // CPE: TNS applies AFTER the MS matrix — left-only filter over
+    // all-MS spectra: xl == AR(MS-left), xr == MS-right untouched
+    val gg2 = Seq(100, 102)
+    val sectC = Seq.fill(2)(Array(Array.fill(maxSfb)(12)))
+    val sfC = Seq(Array(Array.fill(maxSfb)(100)), Array(Array.fill(maxSfb)(102)))
+    val quantC = Seq.tabulate(2)(c => Array.tabulate(1024) { i =>
+      if (i >= 32 * maxSfb) 0
+      else { val m = ((i + c) % 3); if (m != 0 && (i + c) % 5 < 2) -m else m }
+    })
+    val info0 = Aac.IcsInfo(0, maxSfb, Array(1))
+    val cpePlain = Aac.encodeCpeWin(Seq(info0, info0), gg2,
+      sectC, sfC, quantC, msMaskPresent = 2)
+    val cpeTns = Aac.encodeCpeWin(Seq(info0, info0), gg2,
+      sectC, sfC, quantC, msMaskPresent = 2,
+      tns = Seq(Some(Aac.TnsSpec(0, Seq(Seq(
+        Aac.TnsSpecFilter(28, 1, false, 0, Seq(2)))))), None))
+    val plainP = Aac.decodeCpeWin(cpePlain).get
+    val tnsP = Aac.decodeCpeWin(cpeTns).get
+    assert(tnsP.xrMs(1).sameElements(plainP.xrMs(1)), "right channel touched")
+    // left: manual AR over the POST-MS plain left
+    val a1 = tnsP.left.tns(0).head.lpc(1)
+    val manual = plainP.xrMs(0).clone()
+    for (i <- 0 until 128) {
+      var acc = manual(128 + i)
+      if (i >= 1) acc -= a1 * manual(128 + i - 1)
+      manual(128 + i) = acc
+    }
+    assert(tnsP.xrMs(0).sameElements(manual), "TNS-after-MS order broken")
+  }
+
+  test("aac pulse_data: sign-preserving adds at accumulated positions; barred from short frames (round 15)") {
+    import graft.multimodal.Aac
+    val maxSfb = 8; val gg = 100
+    val sectCb = Array.fill(maxSfb)(12)
+    val sf = Array.fill(maxSfb)(gg)
+    val quant = Array.tabulate(1024) { i =>
+      if (i >= 32 * maxSfb) 0
+      else { val m = (i % 3); if (m != 0 && i % 5 < 2) -m else m }
+    }
+    // pulses at band 2 + offsets 3, 2, 4 (accumulating), amps 5, 9, 15
+    val ps = Aac.PulseSpec(2, Seq((3, 5), (2, 9), (4, 15)))
+    val payload = Aac.encodeSceWin(Aac.IcsInfo(0, maxSfb, Array(1)), gg,
+      Array(sectCb), Array(sf), quant, pulse = Some(ps))
+    val ics = Aac.decodeSceWin(payload).get
+    val want = quant.clone()
+    var k = 64 // bands(2)
+    for ((off, amp) <- ps.pulses) {
+      k += off
+      if (want(k) < 0) want(k) -= amp else want(k) += amp
+    }
+    assert(ics.quant.sameElements(want), "pulse adds mismatch")
+    // the dequantized spectrum reflects the pulsed integers
+    val k0 = 64 + 3
+    val g0 = math.pow(2.0, 0.25 * (gg - 100))
+    val expect = math.signum(want(k0).toDouble) *
+      math.pow(math.abs(want(k0).toDouble), 4.0 / 3.0) * g0
+    assert(ics.xr(k0) == expect)
+    // AacChannel surface also carries pulses (they are spectral decode,
+    // not a separate tool)
+    assert(Aac.decodeSpectra(payload).get.quant.sameElements(want))
+    // short frames bar pulse_data — the encoder refuses to build one,
+    // and a decoder seeing one must reject (craft by flipping the
+    // sequence bits is covered by fuzz; pin the encoder guard here)
+    intercept[IllegalArgumentException](Aac.encodeSceWin(
+      Aac.IcsInfo(2, 4, Array(8)), gg, Array(Array.fill(4)(0)),
+      Array(Array.fill(4)(0)), new Array[Int](1024), pulse = Some(ps)))
+    // a pulse position past the spectrum rejects
+    val far = Aac.PulseSpec(7, Seq((31, 1), (31, 1), (31, 1), (31, 1)))
+    val bad = Aac.encodeSceWin(Aac.IcsInfo(0, maxSfb, Array(1)), gg,
+      Array(sectCb), Array(sf), quant, pulse = Some(far))
+    // 7*32=224 + 124 = 348 < 1024: fine; use the top band instead
+    assert(Aac.decodeSceWin(bad).isDefined)
+    val far2 = Aac.PulseSpec(31, Seq((31, 1), (31, 1), (31, 1), (31, 1)))
+    val bad2 = Aac.encodeSceWin(Aac.IcsInfo(0, maxSfb, Array(1)), gg,
+      Array(sectCb), Array(sf), quant, pulse = Some(far2))
+    assert(Aac.decodeSceWin(bad2).isEmpty, "pulse past 1024 accepted")
+  }
+
   test("aac EIGHT_SHORT strict rejects + mutation fuzz never throws") {
     import graft.multimodal.Aac
     val (payload, _, _, _, _, _) = aacFixtureShortSce(1L, Array(2, 6))
