@@ -1149,6 +1149,59 @@ private[graft] trait QueriesMedia { this: Queries.type =>
       graft.multimodal.H264Cavlc.fixtureTables)
       .toDF().orderBy(col("id"), col("mb"))
 
+  /** CHROMA-bearing Intra_16x16 pictures (late round 15): 2×2 MBs, all
+    * four §8.3.4 chroma prediction modes in the dependency chain (mb0
+    * DC, mb1 H, mb2 V, mb3 Plane), CBP chroma forced 2 with formula DC
+    * and AC levels, chroma_qp_index_offset = 2 in the PPS, and
+    * qp = 22 + 3·id so id 3 crosses into the §8.5.8 QPC mapping table:
+    *   chromaDc(c)(k)  = ((id+m+c+k)%5)−2   iff (id+m+c+k)%3 = 0
+    *   chromaAc(c)(blk)(p) = ((id+blk·(p+1)+c+m)%5)−2
+    *                          iff (id+m+c+blk+p)%6 = 0
+    * Luma residuals are all-zero (the luma plane is pinned by
+    * multimodal_h264_i16x16) — chroma prediction is luma-independent. */
+  private[graft] def h264ChromaAssets(spark: SparkSession, dir: String, nIds: Int) = {
+    import spark.implicits._
+    val src = docsTbl(spark, dir).where(col("doc_id") < nIds)
+      .select(col("doc_id")).as[Long]
+    src.mapPartitions(_.map { id =>
+      val spsB = graft.multimodal.H264.encodeSps(
+        66, 30, spsId = 0, log2MaxFrameNumMinus4 = 0, poc = 0,
+        maxRef = 1, pwMbsMinus1 = 1, phMapMinus1 = 1,
+        frameMbsOnly = true, crop = None)
+      val ppsB = graft.multimodal.H264.encodePps(
+        ppsId = 0, spsId = 0, cabac = false, picInitQp = 26,
+        chromaQpOffset = 2)
+      val sps = graft.multimodal.H264.parseSps(spsB).get
+      val pps = graft.multimodal.H264.parsePps(ppsB).get
+      val qp = (22 + 3 * id).toInt
+      val lumaModes = Seq(2, 1, 0, 3)
+      val mbs = (0 until 4).map { m =>
+        graft.multimodal.H264Cavlc.I16MbSpec(lumaModes(m), m, 0,
+          new Array[Int](16), Array.fill(16)(new Array[Int](15)),
+          chromaDc = Array.tabulate(2, 4)((c, k) =>
+            if ((id + m + c + k) % 3 == 0) ((id + m + c + k) % 5).toInt - 2 else 0),
+          chromaAc = Array.tabulate(2, 4, 15)((c, blk, p) =>
+            if ((id + m + c + blk + p) % 6 == 0)
+              ((id + blk * (p + 1) + c + m) % 5).toInt - 2
+            else 0).map(_.map(_.toArray)).map(_.toArray),
+          forceCbpChroma = Some(2))
+      }
+      val slice = graft.multimodal.H264Cavlc.encodeI16x16Slice(
+        sps, pps, nalRefIdc = 3, idr = true,
+        frameNum = (id % 16).toInt, idrPicId = (id % 5).toInt,
+        pocLsb = (id % 16).toInt, sliceQpDelta = qp - 26, mbs,
+        tables = graft.multimodal.H264Cavlc.fixtureTables)
+      graft.multimodal.Multimodal.Asset(id, "video",
+        graft.multimodal.H264.annexB(
+          Seq((3, 7, spsB), (3, 8, ppsB), (3, 5, slice))), 0, 0)
+    })
+  }
+
+  private[graft] def multimodalH264I16Chroma(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.h264I16Chroma(h264ChromaAssets(spark, dir, 4),
+      graft.multimodal.H264Cavlc.fixtureTables)
+      .toDF().orderBy(col("id"), col("mb"))
+
   /** REAL AAC ADTS payloads (round 12): 2–4 frames per doc, profile/rate/
     * channel formulas the oracle restates, raw_data_block bytes from the
     * md5 chain. Every 4th id carries the protection_absent = 0 layout

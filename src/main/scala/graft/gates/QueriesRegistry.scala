@@ -1041,6 +1041,125 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
            |  list_aggregate(r.p, 'max')::INT AS max_luma
            |FROM recs r JOIN par p2 ON p2.id = r.id
            |ORDER BY r.id, r.mb""".stripMargin)),
+    "multimodal_h264_i16_chroma" -> Q(multimodalH264I16Chroma, Some(
+      // restates h264ChromaAssets' CHROMA decode end to end (late round
+      // 15): the §8.5.8 QPC mapping (incl. the table region), the 2x2
+      // DC Hadamard with its ((f·16·v0) << qpc/6) >> 5 scaling (floor
+      // division — arithmetic shift on negatives), AC dequant + the 4x4
+      // inverse core transform, and the STAGED §8.3.4 prediction chain
+      // (mb0 DC-no-neighbors 128, mb1 Horizontal, mb2 Vertical, mb3
+      // Plane incl. the top-left corner) per component. All integers.
+      raw"""WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 4),
+           |par AS (SELECT id, CASE WHEN 22 + 3*id + 2 < 30 THEN 22 + 3*id + 2
+           |          ELSE ([29,30,31,32,32,33,34,34,35,35,36,36,37,37,37,38,38,38,39,39,39,39])[22 + 3*id + 2 - 30 + 1]
+           |          END AS qpc FROM ids),
+           |cst AS (SELECT
+           |  [0,1,4,8,5,2,3,6,9,12,13,10,7,11,14,15] AS zz,
+           |  [[10,16,13],[11,18,14],[13,20,16],[14,23,18],[16,25,20],[18,29,23]] AS v),
+           |mbs AS (SELECT unnest(range(0, 4)) AS mb),
+           |cms AS (SELECT unnest(range(0, 2)) AS c),
+           |blks AS (SELECT unnest(range(0, 4)) AS blk),
+           |dcr AS (SELECT p.id, m.mb, c.c, p.qpc,
+           |    list_transform(range(0, 4), k ->
+           |      CASE WHEN (p.id + m.mb + c.c + k) % 3 = 0
+           |           THEN ((p.id + m.mb + c.c + k) % 5) - 2 ELSE 0 END) AS d
+           |  FROM par p, mbs m, cms c),
+           |dcv AS (SELECT h.id, h.mb, h.c, h.qpc,
+           |    list_transform(
+           |      [h.d[1]+h.d[2]+h.d[3]+h.d[4], h.d[1]-h.d[2]+h.d[3]-h.d[4],
+           |       h.d[1]+h.d[2]-h.d[3]-h.d[4], h.d[1]-h.d[2]-h.d[3]+h.d[4]],
+           |      f -> CAST(floor((f * 16 * cs.v[h.qpc % 6 + 1][1]
+           |             * pow(2, h.qpc // 6)) / 32.0) AS BIGINT)) AS dc
+           |  FROM dcr h, cst cs),
+           |dq AS (SELECT d.id, d.mb, d.c, b.blk,
+           |    list_transform(range(0, 16), ri -> CASE WHEN ri = 0 THEN d.dc[b.blk + 1]
+           |      ELSE
+           |        (CASE WHEN (d.id + d.mb + d.c + b.blk + (list_position(cs.zz, ri) - 2)) % 6 = 0
+           |              THEN ((d.id + b.blk * (list_position(cs.zz, ri) - 1) + d.c + d.mb) % 5) - 2
+           |              ELSE 0 END)
+           |        * cs.v[d.qpc % 6 + 1]
+           |             [CASE WHEN (ri//4) % 2 = 0 AND (ri%4) % 2 = 0 THEN 1
+           |                   WHEN (ri//4) % 2 = 1 AND (ri%4) % 2 = 1 THEN 2
+           |                   ELSE 3 END]
+           |        * CAST(pow(2, d.qpc // 6) AS BIGINT)
+           |      END) AS d
+           |  FROM dcv d, blks b, cst cs),
+           |it1 AS (SELECT id, mb, c, blk,
+           |    list_transform(range(0, 16), i -> CASE i % 4
+           |      WHEN 0 THEN (d[4*(i//4)+1] + d[4*(i//4)+3])
+           |                + (d[4*(i//4)+2] + CAST(floor(d[4*(i//4)+4] / 2.0) AS BIGINT))
+           |      WHEN 1 THEN (d[4*(i//4)+1] - d[4*(i//4)+3])
+           |                + (CAST(floor(d[4*(i//4)+2] / 2.0) AS BIGINT) - d[4*(i//4)+4])
+           |      WHEN 2 THEN (d[4*(i//4)+1] - d[4*(i//4)+3])
+           |                - (CAST(floor(d[4*(i//4)+2] / 2.0) AS BIGINT) - d[4*(i//4)+4])
+           |      ELSE (d[4*(i//4)+1] + d[4*(i//4)+3])
+           |                - (d[4*(i//4)+2] + CAST(floor(d[4*(i//4)+4] / 2.0) AS BIGINT))
+           |      END) AS h
+           |  FROM dq),
+           |res4 AS (SELECT id, mb, c, blk,
+           |    list_transform(range(0, 16), i ->
+           |      CAST(floor(((CASE i // 4
+           |        WHEN 0 THEN (h[i%4+1] + h[i%4+9])
+           |                  + (h[i%4+5] + CAST(floor(h[i%4+13] / 2.0) AS BIGINT))
+           |        WHEN 1 THEN (h[i%4+1] - h[i%4+9])
+           |                  + (CAST(floor(h[i%4+5] / 2.0) AS BIGINT) - h[i%4+13])
+           |        WHEN 2 THEN (h[i%4+1] - h[i%4+9])
+           |                  - (CAST(floor(h[i%4+5] / 2.0) AS BIGINT) - h[i%4+13])
+           |        ELSE (h[i%4+1] + h[i%4+9])
+           |                  - (h[i%4+5] + CAST(floor(h[i%4+13] / 2.0) AS BIGINT))
+           |        END) + 32) / 64.0) AS BIGINT)) AS r
+           |  FROM it1),
+           |resm AS (SELECT id, mb, c, list(r ORDER BY blk) AS rl
+           |         FROM res4 GROUP BY id, mb, c),
+           |r8 AS (SELECT id, mb, c,
+           |    list_transform(range(0, 64), i ->
+           |      rl[((i//8)//4)*2 + ((i%8)//4) + 1][4*((i//8)%4) + (i%8)%4 + 1]) AS r
+           |  FROM resm),
+           |rec0 AS (SELECT id, c, list_transform(range(0, 64), i ->
+           |    greatest(0, least(255, 128 + r[i+1]))) AS p FROM r8 WHERE mb = 0),
+           |rec1 AS (SELECT a.id, a.c, list_transform(range(0, 64), i ->
+           |    greatest(0, least(255, b.p[(i//8)*8 + 8] + a.r[i+1]))) AS p
+           |  FROM r8 a JOIN rec0 b ON a.id = b.id AND a.c = b.c WHERE a.mb = 1),
+           |rec2 AS (SELECT a.id, a.c, list_transform(range(0, 64), i ->
+           |    greatest(0, least(255, b.p[57 + i%8] + a.r[i+1]))) AS p
+           |  FROM r8 a JOIN rec0 b ON a.id = b.id AND a.c = b.c WHERE a.mb = 2),
+           |pl AS (SELECT r1.id, r1.c,
+           |    list_sum(list_transform(range(0, 4), k ->
+           |      (k+1) * (r1.p[61 + k] -
+           |        CASE WHEN k = 3 THEN r0.p[64] ELSE r1.p[59 - k] END))) AS hsum,
+           |    list_sum(list_transform(range(0, 4), k ->
+           |      (k+1) * (r2.p[(4+k)*8 + 8] -
+           |        CASE WHEN k = 3 THEN r0.p[64] ELSE r2.p[(2-k)*8 + 8] END))) AS vsum,
+           |    16 * (r2.p[64] + r1.p[64]) AS pa
+           |  FROM rec1 r1 JOIN rec2 r2 ON r1.id = r2.id AND r1.c = r2.c
+           |  JOIN rec0 r0 ON r0.id = r1.id AND r0.c = r1.c),
+           |rec3 AS (SELECT a.id, a.c, list_transform(range(0, 64), i ->
+           |    greatest(0, least(255,
+           |      greatest(0, least(255, CAST(floor((pl.pa
+           |        + CAST(floor((17 * pl.hsum + 16) / 32.0) AS BIGINT) * (i%8 - 3)
+           |        + CAST(floor((17 * pl.vsum + 16) / 32.0) AS BIGINT) * (i//8 - 3)
+           |        + 16) / 32.0) AS BIGINT)))
+           |      + a.r[i+1]))) AS p
+           |  FROM r8 a JOIN pl ON a.id = pl.id AND a.c = pl.c WHERE a.mb = 3),
+           |recs AS (
+           |  SELECT id, 0 AS mb, c, p FROM rec0 UNION ALL
+           |  SELECT id, 1, c, p FROM rec1 UNION ALL
+           |  SELECT id, 2, c, p FROM rec2 UNION ALL
+           |  SELECT id, 3, c, p FROM rec3),
+           |agg AS (SELECT r.id, r.mb, r.c,
+           |    CAST(list_sum(r.p) AS BIGINT) AS s,
+           |    CAST(list_sum(list_transform(range(0, 64), i -> r.p[i+1] *
+           |      ((8*(r.mb//2) + i//8) * 16 + 8*(r.mb%2) + i%8 + 1))) AS BIGINT) AS ws,
+           |    list_aggregate(r.p, 'min') AS mn, list_aggregate(r.p, 'max') AS mx
+           |  FROM recs r)
+           |SELECT b.id, b.mb::INT AS mb, b.mb::INT AS chroma_pred_mode,
+           |  2::INT AS cbp_chroma, p2.qpc::INT AS qpc,
+           |  b.s AS sum_cb, b.ws AS wsum_cb, r.s AS sum_cr, r.ws AS wsum_cr,
+           |  least(b.mn, r.mn)::INT AS min_c, greatest(b.mx, r.mx)::INT AS max_c
+           |FROM agg b JOIN agg r ON r.id = b.id AND r.mb = b.mb AND r.c = 1
+           |JOIN par p2 ON p2.id = b.id
+           |WHERE b.c = 0
+           |ORDER BY b.id, b.mb""".stripMargin)),
     "multimodal_h264_sps" -> Q(multimodalH264Sps, Some(
       // restates h264Assets' SPS/PPS field formulas + the §7.4.2.1.1
       // width/height derivation, and pins the concatenated slice RBSPs

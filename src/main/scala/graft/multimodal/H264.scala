@@ -45,7 +45,8 @@ object H264 {
                        numSliceGroups: Int, picInitQp: Int = 26,
                        deblockingPresent: Boolean = false,
                        redundantPresent: Boolean = false,
-                       bottomFieldPocPresent: Boolean = false)
+                       bottomFieldPocPresent: Boolean = false,
+                       chromaQpOffset: Int = 0)
 
   final case class H264Stream(nals: Seq[NalUnit], sps: Option[Sps],
                               pps: Option[Pps])
@@ -251,11 +252,13 @@ object H264 {
       r.u(2) // weighted_bipred_idc
       val qp = 26 + r.se() // pic_init_qp_minus26
       r.se() // pic_init_qs_minus26
-      r.se() // chroma_qp_index_offset
+      val cqo = r.se() // chroma_qp_index_offset (late round 15: the
+      // chroma-residual QP mapping consumes it)
+      require(cqo >= -12 && cqo <= 12, s"chroma_qp_index_offset $cqo")
       val dbf = r.flag() // deblocking_filter_control_present_flag
       r.flag() // constrained_intra_pred_flag
       val red = r.flag() // redundant_pic_cnt_present_flag
-      Some(Pps(ppsId, spsId, cabac, groups, qp, dbf, red, bottomPoc))
+      Some(Pps(ppsId, spsId, cabac, groups, qp, dbf, red, bottomPoc, cqo))
     } else
       // slice-group maps sit between num_slice_groups and the tail; the
       // tail fields are unreachable without walking them (out of scope)
@@ -452,7 +455,8 @@ object H264 {
   def encodePps(ppsId: Int, spsId: Int, cabac: Boolean,
                 picInitQp: Int = 26, deblockingPresent: Boolean = false,
                 redundantPresent: Boolean = false,
-                bottomFieldPocPresent: Boolean = false): Array[Byte] = {
+                bottomFieldPocPresent: Boolean = false,
+                chromaQpOffset: Int = 0): Array[Byte] = {
     val w = new BitWriter
     w.ue(ppsId); w.ue(spsId)
     w.flag(cabac)
@@ -463,7 +467,7 @@ object H264 {
     w.u(0, 2) // weighted_bipred_idc
     w.se(picInitQp - 26) // pic_init_qp_minus26
     w.se(0) // pic_init_qs_minus26
-    w.se(0) // chroma_qp_index_offset
+    w.se(chromaQpOffset) // chroma_qp_index_offset
     w.flag(deblockingPresent)
     w.flag(false) // constrained_intra_pred_flag
     w.flag(redundantPresent)

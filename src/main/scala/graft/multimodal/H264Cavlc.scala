@@ -410,11 +410,104 @@ object H264Cavlc {
     out
   }
 
+  /** §8.5.8's chroma QP mapping for qPI ≥ 30 (22 small integers,
+    * shipped inline like [[normAdjust4x4]]); below 30, QPC = qPI. */
+  private[graft] val chromaQpTable: Array[Int] = Array(
+    29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36,
+    36, 37, 37, 37, 38, 38, 38, 39, 39, 39, 39)
+
+  private[graft] def chromaQp(qpY: Int, offset: Int): Int = {
+    val qPI = math.max(0, math.min(51, qpY + offset))
+    if (qPI < 30) qPI else chromaQpTable(qPI - 30)
+  }
+
+  /** §8.5.11 chroma DC: 2x2 Hadamard (raster c00 c01 c10 c11) then
+    * flat-list scaling d = ((f · 16·normAdjust(qPC%6, 0)) << (qPC/6))
+    * >> 5 — exact integers. */
+  private[graft] def chromaDcTransform(c: Array[Int], qpc: Int): Array[Int] = {
+    val f = Array(
+      c(0) + c(1) + c(2) + c(3),
+      c(0) - c(1) + c(2) - c(3),
+      c(0) + c(1) - c(2) - c(3),
+      c(0) - c(1) - c(2) + c(3))
+    val ls = 16 * normAdjust4x4(qpc % 6)(0)
+    f.map(v => ((v * ls) << (qpc / 6)) >> 5)
+  }
+
   // -------------------------------------------------------------------
   // Intra_16x16 prediction (§8.3.3)
   // -------------------------------------------------------------------
 
   @inline private def clip255(v: Int): Int = math.max(0, math.min(255, v))
+
+  /** §8.3.4 intra chroma prediction for one 8x8 component plane
+    * (mode 0 DC — per-4x4-block neighbor rules — 1 Horizontal,
+    * 2 Vertical, 3 Plane). `plane` is the component's reconstructed
+    * w/2-wide plane; availability follows raster decode order. */
+  private[graft] def predictChroma8x8(mode: Int, plane: Array[Int], w: Int,
+                                      mbx: Int, mby: Int): Array[Int] = {
+    val x0 = 8 * mbx; val y0 = 8 * mby
+    val hasLeft = mbx > 0
+    val hasTop = mby > 0
+    @inline def top(x: Int): Int = plane((y0 - 1) * w + x0 + x)
+    @inline def left(y: Int): Int = plane((y0 + y) * w + x0 - 1)
+    val out = new Array[Int](64)
+    mode match {
+      case 0 => // DC, per 4x4 sub-block (§8.3.4.1)
+        for (by <- 0 until 2; bx <- 0 until 2) {
+          val ts = if (hasTop) (4 * bx until 4 * bx + 4).map(top).sum else 0
+          val ls = if (hasLeft) (4 * by until 4 * by + 4).map(left).sum else 0
+          val dc = (bx, by) match {
+            case (0, 0) =>
+              if (hasLeft && hasTop) (ts + ls + 4) >> 3
+              else if (hasLeft) (ls + 2) >> 2
+              else if (hasTop) (ts + 2) >> 2
+              else 128
+            case (1, 0) =>
+              if (hasTop) (ts + 2) >> 2
+              else if (hasLeft) (ls + 2) >> 2
+              else 128
+            case (0, 1) =>
+              if (hasLeft) (ls + 2) >> 2
+              else if (hasTop) (ts + 2) >> 2
+              else 128
+            case _ =>
+              if (hasLeft && hasTop) (ts + ls + 4) >> 3
+              else if (hasLeft) (ls + 2) >> 2
+              else if (hasTop) (ts + 2) >> 2
+              else 128
+          }
+          for (y <- 4 * by until 4 * by + 4; x <- 4 * bx until 4 * bx + 4)
+            out(8 * y + x) = dc
+        }
+      case 1 => // Horizontal
+        require(hasLeft, "chroma Horizontal needs the left neighbor")
+        for (y <- 0 until 8) { val v = left(y); for (x <- 0 until 8) out(8 * y + x) = v }
+      case 2 => // Vertical
+        require(hasTop, "chroma Vertical needs the top neighbor")
+        for (y <- 0 until 8; x <- 0 until 8) out(8 * y + x) = top(x)
+      case 3 => // Plane
+        require(hasLeft && hasTop, "chroma Plane needs left and top")
+        @inline def p(x: Int, y: Int): Int =
+          if (y == -1) plane((y0 - 1) * w + x0 + x)
+          else plane((y0 + y) * w + x0 - 1)
+        var hsum = 0; var vsum = 0
+        var k = 0
+        while (k < 4) {
+          hsum += (k + 1) * (p(4 + k, -1) - (if (k == 3) p(-1, -1) else p(2 - k, -1)))
+          vsum += (k + 1) * (p(-1, 4 + k) - (if (k == 3) p(-1, -1) else p(-1, 2 - k)))
+          k += 1
+        }
+        val a = 16 * (p(-1, 7) + p(7, -1))
+        val b = (17 * hsum + 16) >> 5
+        val c = (17 * vsum + 16) >> 5
+        for (y <- 0 until 8; x <- 0 until 8)
+          out(8 * y + x) = clip255((a + b * (x - 3) + c * (y - 3) + 16) >> 5)
+      case other =>
+        throw new IllegalArgumentException(s"intra_chroma_pred_mode $other")
+    }
+    out
+  }
 
   /** One MB's 16x16 luma prediction from the reconstructed `plane`
     * (width `w` pixels). Availability follows the raster decode order:
@@ -484,13 +577,16 @@ object H264Cavlc {
                          chromaPredMode: Int, qp: Int)
 
   /** Decoded single-slice all-Intra_16x16 picture: the LUMA plane
-    * (width·height, row-major, 0..255) plus per-MB metadata. Chroma is
-    * the documented seam (cbp chroma 0 enforced; the chroma pred mode
-    * is parsed and pinned but no chroma samples are output). */
+    * (width·height, row-major, 0..255) and — late round 15 — the two
+    * CHROMA planes (width/2 · height/2 each, 4:2:0): §8.3.4 intra
+    * chroma prediction + the §8.5.11 chroma DC/AC residual path for
+    * coded_block_pattern chroma 0/1/2. */
   final case class I16Picture(sliceType: Int, ppsId: Int, frameNum: Int,
                               idrPicId: Int, pocLsb: Int, sliceQp: Int,
                               widthMbs: Int, heightMbs: Int,
-                              mbs: Seq[I16Mb], luma: Array[Int])
+                              mbs: Seq[I16Mb], luma: Array[Int],
+                              cb: Array[Int] = Array.empty,
+                              cr: Array[Int] = Array.empty)
 
   /** §6.4.3 luma4x4BlkIdx → (bx4, by4) inside the MB. */
   @inline private def blkX(idx: Int): Int = 2 * ((idx / 4) % 2) + (idx % 4) % 2
@@ -540,11 +636,26 @@ object H264Cavlc {
     val wMbs = sps.picWidthInMbs; val hMbs = sps.picHeightInMapUnits
     val w = 16 * wMbs; val h = 16 * hMbs
     val luma = new Array[Int](w * h)
+    val wc = 8 * wMbs
+    val cb = new Array[Int](wc * 8 * hMbs)
+    val cr = new Array[Int](wc * 8 * hMbs)
     // per-4x4 TotalCoeff grid for the §9.2.1 nC context
     val nz = Array.fill(4 * hMbs, 4 * wMbs)(0)
     def nCOf(gx: Int, gy: Int): Int = {
       val a = if (gx > 0) Some(nz(gy)(gx - 1)) else None
       val b = if (gy > 0) Some(nz(gy - 1)(gx)) else None
+      (a, b) match {
+        case (Some(na), Some(nb)) => (na + nb + 1) >> 1
+        case (Some(na), None) => na
+        case (None, Some(nb)) => nb
+        case (None, None) => 0
+      }
+    }
+    // per-component chroma 4x4 TotalCoeff grids (2×2 blocks per MB)
+    val nzC = Array.fill(2, 2 * hMbs, 2 * wMbs)(0)
+    def nCOfC(comp: Int, gx: Int, gy: Int): Int = {
+      val a = if (gx > 0) Some(nzC(comp)(gy)(gx - 1)) else None
+      val b = if (gy > 0) Some(nzC(comp)(gy - 1)(gx)) else None
       (a, b) match {
         case (Some(na), Some(nb)) => (na + nb + 1) >> 1
         case (Some(na), None) => na
@@ -563,7 +674,6 @@ object H264Cavlc {
       val predMode = (mbType - 1) % 4
       val cbpChroma = ((mbType - 1) / 4) % 3
       val cbpLuma = if (mbType - 1 >= 12) 15 else 0
-      require(cbpChroma == 0, "chroma residual (CBP chroma != 0) out of scope")
       val chromaPredMode = r.ue()
       require(chromaPredMode <= 3, s"intra_chroma_pred_mode $chromaPredMode")
       val qpDelta = r.se()
@@ -583,6 +693,31 @@ object H264Cavlc {
           nz(gy)(gx) = tc
         } else nz(gy)(gx) = 0
         blk += 1
+      }
+      // chroma residual (§7.3.5.3 order: Cb DC, Cr DC, Cb AC×4, Cr AC×4)
+      val chDcScan = Array.ofDim[Int](2, 4)
+      val chAcScan = Array.ofDim[Int](2, 4, 15)
+      if (cbpChroma >= 1) {
+        var comp = 0
+        while (comp < 2) {
+          val (dcl, _) = residualBlock(r, -1, 4, tables) // 4:2:0 chroma DC
+          chDcScan(comp) = dcl
+          comp += 1
+        }
+      }
+      var comp = 0
+      while (comp < 2) {
+        var cblk = 0
+        while (cblk < 4) {
+          val gx = 2 * mbx + cblk % 2; val gy = 2 * mby + cblk / 2
+          if (cbpChroma == 2) {
+            val (lv, tc) = residualBlock(r, nCOfC(comp, gx, gy), 15, tables)
+            chAcScan(comp)(cblk) = lv
+            nzC(comp)(gy)(gx) = tc
+          } else nzC(comp)(gy)(gx) = 0
+          cblk += 1
+        }
+        comp += 1
       }
       // DC: zig-zag → 4x4 raster → inverse Hadamard → scale
       val dcRaster = new Array[Int](16)
@@ -619,6 +754,45 @@ object H264Cavlc {
         }
         blk += 1
       }
+      // chroma reconstruction (late round 15): per component, §8.3.4
+      // prediction + the DC-Hadamard/AC residual under the mapped QPC
+      val qpc = chromaQp(qp, pps.chromaQpOffset)
+      comp = 0
+      while (comp < 2) {
+        val plane = if (comp == 0) cb else cr
+        val pred = predictChroma8x8(chromaPredMode, plane, wc, mbx, mby)
+        val dcC =
+          if (cbpChroma >= 1) chromaDcTransform(chDcScan(comp), qpc)
+          else new Array[Int](4)
+        var cblk = 0
+        while (cblk < 4) {
+          val bx = cblk % 2; val by = cblk / 2
+          val d = new Array[Int](16)
+          d(0) = dcC(cblk) // 2x2 DC raster matches the cblk raster
+          var p = 1
+          while (p < 16) {
+            val ri = zigZag4x4(p)
+            val c = chAcScan(comp)(cblk)(p - 1)
+            if (c != 0) d(ri) = scaleAc(c, qpc, ri / 4, ri % 4)
+            p += 1
+          }
+          val res = inverseTransform4x4(d)
+          var yy = 0
+          while (yy < 4) {
+            var xx = 0
+            while (xx < 4) {
+              val px = 8 * mbx + 4 * bx + xx
+              val py = 8 * mby + 4 * by + yy
+              plane(py * wc + px) =
+                clip255(pred(8 * (4 * by + yy) + 4 * bx + xx) + res(4 * yy + xx))
+              xx += 1
+            }
+            yy += 1
+          }
+          cblk += 1
+        }
+        comp += 1
+      }
       mbs += I16Mb(predMode, cbpChroma, cbpLuma, chromaPredMode, qp)
       mb += 1
     }
@@ -626,7 +800,7 @@ object H264Cavlc {
     while (!r.aligned) require(r.u(1) == 0, "nonzero rbsp_alignment_zero_bit")
     require(r.bitsLeft == 0, "trailing bytes after rbsp_trailing_bits")
     Some(I16Picture(sliceType, ppsId, frameNum, idrPicId, pocLsb, sliceQp,
-      wMbs, hMbs, mbs.toSeq, luma))
+      wMbs, hMbs, mbs.toSeq, luma, cb, cr))
   } catch { case _: Exception => None }
 
   // -------------------------------------------------------------------
@@ -757,10 +931,16 @@ object H264Cavlc {
     * DC levels and 16×15 AC levels in ZIG-ZAG SCAN order (the layout
     * [[parseI16x16Slice]] decodes to before dequant). cbpLuma is
     * derived: 15 if any AC level is nonzero else caller's choice via
-    * `forceCbpLuma`. */
+    * `forceCbpLuma`. Chroma (late round 15): `chromaDc` is 2×4 raster
+    * 2x2 DC levels, `chromaAc` 2×4×15 scan levels; CBP chroma derives
+    * (2 if any AC, else 1 if any DC, else 0) with `forceCbpChroma`
+    * overriding upward. */
   final case class I16MbSpec(predMode: Int, chromaPredMode: Int, qpDelta: Int,
                              dcScan: Array[Int], acScan: Array[Array[Int]],
-                             forceCbpLuma: Option[Int] = None)
+                             forceCbpLuma: Option[Int] = None,
+                             chromaDc: Array[Array[Int]] = Array.empty,
+                             chromaAc: Array[Array[Array[Int]]] = Array.empty,
+                             forceCbpChroma: Option[Int] = None)
 
   /** Fixture encoder for [[parseI16x16Slice]]: slice header + all-
     * Intra_16x16 CAVLC slice data, mirrored field for field. */
@@ -803,6 +983,17 @@ object H264Cavlc {
         case (None, None) => 0
       }
     }
+    val nzC = Array.fill(2, 2 * hMbs, 2 * wMbs)(0)
+    def nCOfC(comp: Int, gx: Int, gy: Int): Int = {
+      val a = if (gx > 0) Some(nzC(comp)(gy)(gx - 1)) else None
+      val b = if (gy > 0) Some(nzC(comp)(gy - 1)(gx)) else None
+      (a, b) match {
+        case (Some(na), Some(nb)) => (na + nb + 1) >> 1
+        case (Some(na), None) => na
+        case (None, Some(nb)) => nb
+        case (None, None) => 0
+      }
+    }
     mbs.zipWithIndex.foreach { case (m, idx) =>
       val mbx = idx % wMbs; val mby = idx / wMbs
       require(m.dcScan.length == 16 && m.acScan.length == 16 &&
@@ -812,7 +1003,23 @@ object H264Cavlc {
       require(cbpLuma == 0 || cbpLuma == 15, "Intra_16x16 luma CBP is 0 or 15")
       require(cbpLuma == 15 || m.acScan.forall(_.forall(_ == 0)),
         "nonzero AC levels need CBP luma 15")
-      val mbType = 1 + m.predMode + 12 * (cbpLuma / 15) // cbp chroma 0
+      val chDc = if (m.chromaDc.isEmpty) Array.fill(2)(new Array[Int](4))
+                 else m.chromaDc
+      val chAc = if (m.chromaAc.isEmpty) Array.fill(2, 4)(new Array[Int](15))
+                 else m.chromaAc
+      require(chDc.length == 2 && chDc.forall(_.length == 4) &&
+        chAc.length == 2 && chAc.forall(a => a.length == 4 && a.forall(_.length == 15)),
+        "chroma scan array shapes")
+      val cbpChroma = m.forceCbpChroma.getOrElse(
+        if (chAc.exists(_.exists(_.exists(_ != 0)))) 2
+        else if (chDc.exists(_.exists(_ != 0))) 1
+        else 0)
+      require(cbpChroma >= 0 && cbpChroma <= 2)
+      require(cbpChroma == 2 || chAc.forall(_.forall(_.forall(_ == 0))),
+        "nonzero chroma AC needs CBP chroma 2")
+      require(cbpChroma >= 1 || chDc.forall(_.forall(_ == 0)),
+        "nonzero chroma DC needs CBP chroma >= 1")
+      val mbType = 1 + m.predMode + 4 * cbpChroma + 12 * (cbpLuma / 15)
       w.ue(mbType)
       w.ue(m.chromaPredMode)
       w.se(m.qpDelta)
@@ -824,6 +1031,16 @@ object H264Cavlc {
           nz(gy)(gx) = emitResidualBlock(w, m.acScan(blk), nCOf(gx, gy), tables)
         else nz(gy)(gx) = 0
         blk += 1
+      }
+      if (cbpChroma >= 1)
+        for (comp <- 0 until 2)
+          emitResidualBlock(w, chDc(comp), -1, tables)
+      for (comp <- 0 until 2; cblk <- 0 until 4) {
+        val gx = 2 * mbx + cblk % 2; val gy = 2 * mby + cblk / 2
+        if (cbpChroma == 2)
+          nzC(comp)(gy)(gx) =
+            emitResidualBlock(w, chAc(comp)(cblk), nCOfC(comp, gx, gy), tables)
+        else nzC(comp)(gy)(gx) = 0
       }
     }
     w.stopAndPad()

@@ -496,6 +496,59 @@ object Multimodal {
     })
   }
 
+  final case class H264ChromaRow(id: Long, mb: Int, chroma_pred_mode: Int,
+                                 cbp_chroma: Int, qpc: Int,
+                                 sum_cb: Long, wsum_cb: Long,
+                                 sum_cr: Long, wsum_cr: Long,
+                                 min_c: Int, max_c: Int)
+
+  /** H.264 Intra_16x16 CHROMA decode to pixels (late round 15): the
+    * §8.3.4 intra chroma prediction (DC's per-4x4 neighbor rules, H, V,
+    * Plane) + the §8.5.11 chroma residual path (2x2 DC Hadamard with
+    * the mapped QPC, AC dequant, inverse core transform) on top of
+    * [[h264I16Luma]]'s slice walk. One row per macroblock with exact
+    * integer sums and GLOBAL-position-weighted checksums per
+    * component. */
+  def h264I16Chroma(assets: Dataset[Asset],
+                    tables: H264Cavlc.CavlcTables): Dataset[H264ChromaRow] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      val s = H264.parse(a.bytes)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: not a supported H.264 stream"))
+      val sps = s.sps.get; val pps = s.pps.get
+      val sliceNal = s.nals.find(n => n.nalType == 1 || n.nalType == 5).get
+      val pic = H264Cavlc.parseI16x16Slice(sliceNal.rbsp, sps, pps,
+          sliceNal.nalRefIdc, sliceNal.nalType, tables)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: not a single-slice Intra_16x16 CAVLC picture"))
+      val wc = 8 * pic.widthMbs
+      pic.mbs.iterator.zipWithIndex.map { case (m, i) =>
+        val mbx = i % pic.widthMbs; val mby = i / pic.widthMbs
+        var sCb = 0L; var wCb = 0L; var sCr = 0L; var wCr = 0L
+        var mn = 255; var mx = 0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val px = 8 * mbx + x; val py = 8 * mby + y
+            val idx = py * wc + px
+            val vb = pic.cb(idx); val vr = pic.cr(idx)
+            sCb += vb; wCb += vb.toLong * (idx + 1)
+            sCr += vr; wCr += vr.toLong * (idx + 1)
+            mn = math.min(mn, math.min(vb, vr))
+            mx = math.max(mx, math.max(vb, vr))
+            x += 1
+          }
+          y += 1
+        }
+        H264ChromaRow(a.id, i, m.chromaPredMode, m.cbpChroma,
+          H264Cavlc.chromaQp(m.qp, pps.chromaQpOffset),
+          sCb, wCb, sCr, wCr, mn, mx)
+      }
+    })
+  }
+
   final case class Mp3PcmRow(id: Long, channel: Int, ms_stereo: Int,
                              n_samples: Int, n_clipped: Int, n_nonzero: Int,
                              pcm_sum: Long, pcm_abs_sum: Long, pos_sum: Long)

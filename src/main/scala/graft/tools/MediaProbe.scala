@@ -115,6 +115,50 @@ object MediaProbe {
       println(s"[mediaprobe] aac real-id strict-reject without user book: $rejected")
       require(rejected, "real book ids must strict-reject without a supplied book")
     }
+    // Round-15 codec paths: short windows, KBD shape, TNS, and the
+    // H.264 CAVLC Intra_16x16 picture (full YCbCr)
+    locally {
+      def shortSce(i: Long, shape: Int, tns: Option[Aac.TnsSpec]): Array[Byte] = {
+        val info = Aac.IcsInfo(2, 8, Array(2, 2, 2, 2), shape)
+        val quant = Array.tabulate(1024) { j =>
+          if ((j % 128) / 8 >= 8) 0
+          else (((i + j) % 3) * (if ((i + j) % 5 < 2) -1 else 1)).toInt
+        }
+        Aac.encodeSceWin(info, 100, Array.fill(4, 8)(12), Array.fill(4, 8)(100),
+          quant, tns = tns)
+      }
+      probe("aac-short", i => shortSce(i, 0, None), Aac.decodePcm(_))
+      probe("aac-short-kbd", i => shortSce(i, 1, None), Aac.decodePcm(_))
+      probe("aac-tns", i => shortSce(i, 0, Some(Aac.TnsSpec(0,
+        Seq.fill(8)(Seq(Aac.TnsSpecFilter(12, 2, false, 0, Seq(2, -1))))))),
+        Aac.decodePcm(_))
+    }
+    locally {
+      val spsB = H264.encodeSps(66, 30, 0, 0, 0, 1, 1, 1,
+        frameMbsOnly = true, crop = None)
+      val ppsB = H264.encodePps(0, 0, cabac = false, picInitQp = 26)
+      val sps = H264.parseSps(spsB).get
+      val pps = H264.parsePps(ppsB).get
+      val t = H264Cavlc.fixtureTables
+      def pic(i: Long): Array[Byte] = {
+        val mbs = (0 until 4).map { m =>
+          H264Cavlc.I16MbSpec(Seq(2, 1, 0, 3)(m), m, 0,
+            Array.tabulate(16)(k => if ((i + m + k) % 4 == 0) (((i + m + k) % 5) - 2).toInt else 0),
+            Array.tabulate(16, 15)((blk, p) =>
+              if ((i + m + blk + p) % 6 == 0) (((i + blk * (p + 1) + m) % 5) - 2).toInt else 0)
+              .map(_.toArray),
+            forceCbpLuma = Some(15),
+            chromaDc = Array.tabulate(2, 4)((c, k) =>
+              if ((i + m + c + k) % 3 == 0) (((i + m + c + k) % 5) - 2).toInt else 0),
+            chromaAc = Array.fill(2, 4)(new Array[Int](15)),
+            forceCbpChroma = Some(1))
+        }
+        H264Cavlc.encodeI16x16Slice(sps, pps, 3, idr = true,
+          (i % 16).toInt, (i % 5).toInt, (i % 16).toInt, 0, mbs, t)
+      }
+      probe("h264-i16-ycbcr", pic,
+        b => H264Cavlc.parseI16x16Slice(b, sps, pps, 3, 5, t))
+    }
     spark.stop()
   }
 }

@@ -56,7 +56,17 @@ object PlanAudit {
       "multimodal_aac_spectra", "multimodal_aac_pcm",
       "multimodal_aac_codebook", "multimodal_mp3_pcm",
       "multimodal_mp3_codebook", "multimodal_h264_ipcm",
-      "dedup_semantic_trained").foreach(audit)
+      "dedup_semantic_trained",
+      // round-15 additions. Expectations: every new codec gate all-zero
+      // joins (per-row kernels + one orderBy exchange) — the window-
+      // switched/KBD/TNS/pulse AAC chains, the MP3 short/mixed/intensity
+      // chains, and the H264 CAVLC luma/chroma pictures all decode
+      // inside mapPartitions.
+      "multimodal_aac_short", "multimodal_aac_cpe", "multimodal_aac_kbd",
+      "multimodal_aac_tns", "multimodal_aac_pulse",
+      "multimodal_mp3_short", "multimodal_mp3_mixed",
+      "multimodal_mp3_intensity", "multimodal_mp3_reservoir",
+      "multimodal_h264_i16x16", "multimodal_h264_i16_chroma").foreach(audit)
     spark.stop()
   }
 }

@@ -2901,6 +2901,105 @@ class MultimodalSpec extends AnyFunSuite {
         forceCbpLuma = Some(0))), t))
   }
 
+  test("h264 chroma: QP mapping, 2x2 Hadamard DC scaling, flat-128 and DC-impulse known answers (round 15)") {
+    import graft.multimodal.{H264, H264Cavlc}
+    // QP mapping: identity below 30, table above, clamped input
+    assert(H264Cavlc.chromaQp(24, 0) == 24)
+    assert(H264Cavlc.chromaQp(29, 0) == 29)
+    assert(H264Cavlc.chromaQp(30, 0) == 29)
+    assert(H264Cavlc.chromaQp(51, 0) == 39)
+    assert(H264Cavlc.chromaQp(40, 6) == H264Cavlc.chromaQp(46, 0))
+    assert(H264Cavlc.chromaQp(0, -12) == 0)
+    // 2x2 DC: impulse at c00, qp 24 -> Hadamard all-1 -> ((160)<<4)>>5 = 80
+    assert(H264Cavlc.chromaDcTransform(Array(1, 0, 0, 0), 24).forall(_ == 80))
+    // chroma_qp_index_offset round-trips through the PPS
+    val pps3 = H264.parsePps(H264.encodePps(0, 0, cabac = false,
+      chromaQpOffset = 3)).get
+    assert(pps3.chromaQpOffset == 3)
+    val (sps, pps) = i16SpsPps(1, 1, qp = 24)
+    val t = H264Cavlc.fixtureTables
+    def mb(dc0: Int, cbDc: Array[Int]) = H264Cavlc.I16MbSpec(2, 0, 0,
+      Array.tabulate(16)(k => if (k == 0) dc0 else 0),
+      Array.fill(16)(new Array[Int](15)),
+      chromaDc = Array(cbDc, new Array[Int](4)),
+      chromaAc = Array.fill(2, 4)(new Array[Int](15)))
+    // all-zero: luma 128, chroma DC-pred 128 on both planes
+    val flat = H264Cavlc.encodeI16x16Slice(sps, pps, 3, idr = true, 0, 0, 0, 0,
+      Seq(mb(0, new Array[Int](4))), t)
+    val p = H264Cavlc.parseI16x16Slice(flat, sps, pps, 3, 5, t).get
+    assert(p.luma.forall(_ == 128) && p.cb.forall(_ == 128) && p.cr.forall(_ == 128))
+    assert(p.cb.length == 64 && p.cr.length == 64)
+    assert(p.mbs.head.cbpChroma == 0)
+    // Cb DC impulse: residual +1 across the Cb plane only
+    val lifted = H264Cavlc.encodeI16x16Slice(sps, pps, 3, idr = true, 0, 0, 0, 0,
+      Seq(mb(0, Array(1, 0, 0, 0))), t)
+    val q = H264Cavlc.parseI16x16Slice(lifted, sps, pps, 3, 5, t).get
+    assert(q.mbs.head.cbpChroma == 1)
+    assert(q.cb.forall(_ == 129), "Cb impulse decode is not 129")
+    assert(q.cr.forall(_ == 128), "Cr plane touched")
+    assert(q.luma.forall(_ == 128))
+  }
+
+  test("h264 chroma: prediction modes DC/H/V/Plane propagate across MBs; AC residual + per-component nC round-trips") {
+    import graft.multimodal.H264Cavlc
+    val (sps, pps) = i16SpsPps(2, 2, qp = 28)
+    val t = H264Cavlc.fixtureTables
+    def mbSpec(seed: Int, pred: Int, cpm: Int) = H264Cavlc.I16MbSpec(pred, cpm, 0,
+      Array.tabulate(16)(k => if ((seed + k) % 4 == 0) ((seed + k) % 5) - 2 else 0),
+      Array.fill(16)(new Array[Int](15)),
+      chromaDc = Array.tabulate(2, 4)((c, k) =>
+        if ((seed + c + k) % 3 == 0) ((seed + c + k) % 5) - 2 else 0),
+      chromaAc = Array.tabulate(2, 4, 15)((c, blk, pos) =>
+        if ((seed + c + blk + pos) % 7 == 0) ((seed + blk * pos + c) % 5) - 2 else 0)
+        .map(_.map(_.toArray)).map(_.toArray),
+      forceCbpChroma = Some(2))
+    // chroma pred modes: mb0 DC (no neighbors), mb1 H (left), mb2 V (top),
+    // mb3 Plane (all three)
+    val mbs = Seq(mbSpec(1, 2, 0), mbSpec(2, 1, 1), mbSpec(3, 0, 2), mbSpec(4, 3, 3))
+    val rbsp = H264Cavlc.encodeI16x16Slice(sps, pps, 3, idr = true, 0, 0, 0, 0, mbs, t)
+    val p1 = H264Cavlc.parseI16x16Slice(rbsp, sps, pps, 3, 5, t).get
+    val p2 = H264Cavlc.parseI16x16Slice(rbsp, sps, pps, 3, 5, t).get
+    assert(p1.cb.sameElements(p2.cb) && p1.cr.sameElements(p2.cr))
+    assert(p1.mbs.map(_.chromaPredMode) == Seq(0, 1, 2, 3))
+    assert(p1.mbs.forall(_.cbpChroma == 2))
+    assert(p1.cb.length == 256 && p1.cb.forall(v => v >= 0 && v <= 255))
+    assert(p1.cb.distinct.length > 4 && p1.cr.distinct.length > 4,
+      "chroma reconstruction suspiciously flat")
+    assert(!p1.cb.sameElements(p1.cr), "components collapsed")
+    // mutation fuzz through the chroma path never throws
+    val rnd = new scala.util.Random(83)
+    for (_ <- 0 until 200) {
+      val m = rbsp.clone()
+      val bit = rnd.nextInt(m.length * 8)
+      m(bit >> 3) = (m(bit >> 3) ^ (1 << (7 - (bit & 7)))).toByte
+      H264Cavlc.parseI16x16Slice(m, sps, pps, 3, 5, t)
+    }
+    // predictChroma8x8 unit vectors on a known plane
+    val w = 16
+    val plane = Array.tabulate(w * w)(i => (5 * (i % w) + 3 * (i / w) + 20) % 256)
+    val hP = H264Cavlc.predictChroma8x8(1, plane, w, 1, 1)
+    for (x <- 0 until 8; y <- 0 until 8)
+      assert(hP(8 * y + x) == plane((8 + y) * w + 7), s"H ($x,$y)")
+    val vP = H264Cavlc.predictChroma8x8(2, plane, w, 1, 1)
+    for (x <- 0 until 8; y <- 0 until 8)
+      assert(vP(8 * y + x) == plane(7 * w + 8 + x), s"V ($x,$y)")
+    // DC per 4x4 sub-block: corner block (1,0) uses the TOP sum only
+    val dcP = H264Cavlc.predictChroma8x8(0, plane, w, 1, 1)
+    val wantTR = ((12 until 16).map(x => plane(7 * w + x)).sum + 2) >> 2
+    for (x <- 4 until 8; y <- 0 until 4)
+      assert(dcP(8 * y + x) == wantTR, s"DC TR ($x,$y)")
+    // Plane on an exact ramp reproduces the ramp (within clip+rounding)
+    val ramp = Array.tabulate(w * w)(i => 40 + 2 * (i % w) + 5 * (i / w))
+    val plP = H264Cavlc.predictChroma8x8(3, ramp, w, 1, 1)
+    for (x <- 0 until 8; y <- 0 until 8)
+      assert(math.abs(plP(8 * y + x) - (40 + 2 * (8 + x) + 5 * (8 + y))) <= 1,
+        s"Plane ($x,$y): ${plP(8 * y + x)}")
+    // modes needing absent neighbors throw
+    intercept[IllegalArgumentException](H264Cavlc.predictChroma8x8(1, plane, w, 0, 1))
+    intercept[IllegalArgumentException](H264Cavlc.predictChroma8x8(2, plane, w, 1, 0))
+    intercept[IllegalArgumentException](H264Cavlc.predictChroma8x8(3, plane, w, 0, 0))
+  }
+
   test("h264 parseCavlcSpec: sections load and replace fixture classes; typo'd directives throw") {
     import graft.multimodal.H264Cavlc
     val spec =
