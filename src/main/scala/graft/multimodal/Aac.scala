@@ -902,13 +902,18 @@ object Aac {
     * ([[windowedFrame]]) → overlap-add with FRESH zero history (the
     * per-frame state seam [[Mp3.decodePcm]] documents — exact for
     * self-contained fixture frames; a stream decode threads the
-    * previous frame's windowed second half here). */
+    * previous frame's windowed second half here). NOTE the fresh-state
+    * seam includes the WINDOW SHAPE: the left half windows with the
+    * spec's stream-start sine default, so a KBD frame sliced out of
+    * mid-stream decodes its left half differently here than in
+    * [[decodePcmStream]] — the stream surface is authoritative. */
   def decodePcm(payload: Array[Byte],
                 books: Map[Int, AacBook] = fixtureBooks,
                 sfBook: SfBook = fixtureSfBook,
                 bands: Array[Int] = fixtureBandsLong,
-                shortBands: Array[Int] = fixtureBandsShort): Option[Array[Double]] = {
-    decodeSceWin(payload, books, sfBook, bands, shortBands).map { ics =>
+                shortBands: Array[Int] = fixtureBandsShort,
+                tnsMaxBands: Int = Int.MaxValue): Option[Array[Double]] = {
+    decodeSceWin(payload, books, sfBook, bands, shortBands, tnsMaxBands).map { ics =>
       val z = windowedFrame(ics.info, ics.xr)
       java.util.Arrays.copyOfRange(z, 0, 1024)
     }
@@ -927,12 +932,14 @@ object Aac {
                       books: Map[Int, AacBook] = fixtureBooks,
                       sfBook: SfBook = fixtureSfBook,
                       bands: Array[Int] = fixtureBandsLong,
-                      shortBands: Array[Int] = fixtureBandsShort): Option[Array[Double]] = try {
+                      shortBands: Array[Int] = fixtureBandsShort,
+                      tnsMaxBands: Int = Int.MaxValue): Option[Array[Double]] = try {
     val out = new ArrayBuffer[Double](stream.frames.size * 1024)
     var prev: Array[Double] = null // previous frame's windowed 2048 samples
     var prevShape = 0 // §14.3.3: stream start behaves as after a sine frame
     stream.frames.foreach { fr =>
-      val ics = decodeSceWin(fr.payload, books, sfBook, bands, shortBands)
+      val ics = decodeSceWin(fr.payload, books, sfBook, bands, shortBands,
+          tnsMaxBands)
         .getOrElse(throw new IllegalArgumentException("undecodable frame"))
       val z = windowedFrame(ics.info, ics.xr, prevShape)
       prevShape = ics.info.windowShape
@@ -954,8 +961,9 @@ object Aac {
                    books: Map[Int, AacBook] = fixtureBooks,
                    sfBook: SfBook = fixtureSfBook,
                    bands: Array[Int] = fixtureBandsLong,
-                   shortBands: Array[Int] = fixtureBandsShort): Option[Seq[Array[Double]]] = {
-    decodeCpeWin(payload, books, sfBook, bands, shortBands).map { p =>
+                   shortBands: Array[Int] = fixtureBandsShort,
+                   tnsMaxBands: Int = Int.MaxValue): Option[Seq[Array[Double]]] = {
+    decodeCpeWin(payload, books, sfBook, bands, shortBands, tnsMaxBands).map { p =>
       Seq(p.left.info, p.right.info).zipWithIndex.map { case (info, c) =>
         val z = windowedFrame(info, p.xrMs(c))
         java.util.Arrays.copyOfRange(z, 0, 1024)
@@ -972,12 +980,14 @@ object Aac {
                          books: Map[Int, AacBook] = fixtureBooks,
                          sfBook: SfBook = fixtureSfBook,
                          bands: Array[Int] = fixtureBandsLong,
-                         shortBands: Array[Int] = fixtureBandsShort): Option[Seq[Array[Double]]] = try {
+                         shortBands: Array[Int] = fixtureBandsShort,
+                         tnsMaxBands: Int = Int.MaxValue): Option[Seq[Array[Double]]] = try {
     val out = Array.fill(2)(new ArrayBuffer[Double](stream.frames.size * 1024))
     var prev: Array[Array[Double]] = null // per channel, windowed 2048 samples
     val prevShape = Array(0, 0) // §14.3.3 stream-start rule, per channel
     stream.frames.foreach { fr =>
-      val pair = decodeCpeWin(fr.payload, books, sfBook, bands, shortBands)
+      val pair = decodeCpeWin(fr.payload, books, sfBook, bands, shortBands,
+          tnsMaxBands)
         .getOrElse(throw new IllegalArgumentException("undecodable CPE frame"))
       val infos = Array(pair.left.info, pair.right.info)
       val zs = Array.tabulate(2) { c =>

@@ -135,6 +135,10 @@ def main():
             if list(o.columns) != list(s.columns):
                 print(f"SCHEMA MISMATCH {name}: oracle={list(o.columns)} spark={list(s.columns)}")
                 fail += 1; continue
+            if len(o) == 0:
+                print(f"EMPTY SAMPLE {name}: 0 oracle rows at frac {frac_hex}/16 "
+                      "— raise the fraction (a vacuous pass is not a check)")
+                fail += 1; continue
             if len(o) != len(s):
                 print(f"ROWCOUNT MISMATCH {name}: oracle={len(o)} spark={len(s)} "
                       f"(sampled {len(ids)} docs)"); fail += 1; continue
