@@ -933,6 +933,60 @@ private[graft] trait QueriesMedia { this: Queries.type =>
     graft.multimodal.Multimodal.mp3Pcm(mp3IntensityAssets(spark, dir))
       .toDF().orderBy(col("id"), col("channel"))
 
+  /** SHORT-window intensity fixtures (late round 15 — the decided
+    * band-granular zero-part rule): both granules pure short for both
+    * channels, mode 1 with mode_extension 1 (even ids) / 3 (odd).
+    * Closed-form per (id, g, ch):
+    *   left n = 48 transmission samples, right n = 12 → the region is
+    *   every short band s with 3·bS(s) ≥ 12, i.e. s ≥ 1;
+    *   gg = 160 + (5id+17g+29ch)%40;  scalefacScale = (id+g)%2;
+    *   subblockGain(w) = (id + 2w + g + ch)%4
+    *   is(i) = ±((id+i+ch+7g)%3), negative iff (id+i+ch+g)%5 < 2
+    *   left short sf all 0; right sf(b)(w) = (id+b+w+g)%4 for b = 0
+    *   (requant of its coded band), INTENSITY POSITION
+    *   (id+b+w+g)%8 for b ≥ 1 (band 12 reuses band 11's). */
+  private[graft] def mp3IntensityShortAssets(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val src = docsTbl(spark, dir).where(col("doc_id") < 6)
+      .select(col("doc_id")).as[Long]
+    src.mapPartitions(_.map { id =>
+      def value(g: Int, ch: Int)(i: Int): Int = {
+        val mag = ((id + i + ch + 7 * g) % 3).toInt
+        if (mag != 0 && (id + i + ch + g) % 5 < 2) -mag else mag
+      }
+      def gi(g: Int, ch: Int) = graft.multimodal.Mp3.GranuleInfo(
+        part23Length = 0,
+        bigValues = if (ch == 0) 24 else 6,
+        globalGain = (160 + (5 * id + 17 * g + 29 * ch) % 40).toInt,
+        scalefacCompress = 13,
+        windowSwitching = true, blockType = 2, mixedBlock = false,
+        tableSelect = Seq(4, 4), // short: regions 0/1 only
+        subblockGain = Seq.tabulate(3)(w => ((id + 2 * w + g + ch) % 4).toInt),
+        region0Count = 7, region1Count = 36,
+        preflag = 0, scalefacScale = ((id + g) % 2).toInt,
+        count1TableSelect = 1)
+      val si = graft.multimodal.Mp3.SideInfo(0, 0,
+        Seq.fill(2)(Seq.fill(4)(0)),
+        Seq.tabulate(2)(g => Seq.tabulate(2)(ch => gi(g, ch))))
+      val sfs = Seq.tabulate(2)(g => Seq(
+        new Array[Int](36),
+        Array.tabulate(36) { k =>
+          val b = k / 3; val w = k % 3
+          if (b == 0) ((id + b + w + g) % 4).toInt
+          else ((id + b + w + g) % 8).toInt
+        }))
+      val spectra = Seq.tabulate(2)(g => Seq(
+        Array.tabulate(48)(value(g, 0)), Array.tabulate(12)(value(g, 1))))
+      graft.multimodal.Multimodal.Asset(id, "audio",
+        graft.multimodal.Mp3.encodeMp3Reservoir(9, 0, Seq((si, sfs, spectra)),
+          mode = 1, modeExt = 1 + 2 * (id % 2).toInt), 0, 0)
+    })
+  }
+
+  private[graft] def multimodalMp3IntensityShort(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.mp3Pcm(mp3IntensityShortAssets(spark, dir))
+      .toDF().orderBy(col("id"), col("channel"))
+
   /** The CALLER-SUPPLIED-CODEBOOK path end to end (round 14, r13
     * VERDICT #4): frames whose region0 selects REAL ISO table id 1 —
     * an id the provenance discipline strict-rejects out of the box —

@@ -600,6 +600,127 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
         |  list_sum(list_transform(q, x -> abs(x)))::BIGINT AS pcm_abs_sum,
         |  list_sum(list_transform(range(0, 1152), p -> q[p+1] * (p+1)))::BIGINT AS pos_sum
         |FROM pcm ORDER BY id, channel""".stripMargin)),
+    "multimodal_mp3_intensity_short" -> Q(multimodalMp3IntensityShort, Some(
+      // restates mp3IntensityShortAssets' chain (late round 15 — the
+      // DECIDED band-granular short-intensity rule): per-window
+      // subblock-gain requant through the §2.4.3.4.8 reorder, the
+      // intensity region = short bands with 3·bS(s) ≥ 12 (the right
+      // channel's zero part), per-(band, window) positions with band
+      // 12 reusing 11's, MS elsewhere for odd ids, then the pure-short
+      // DSP tail (NO alias stage, three 12-point IMDCTs per subband,
+      // overlap/inversion/synthesis) and the floor-form quantizer
+      raw"""WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 6),
+           |gs AS (SELECT unnest(range(0, 2)) AS g),
+           |chs AS (SELECT unnest(range(0, 2)) AS ch),
+           |const AS (SELECT
+           |  [0,4,8,12,16,22,30,40,52,66,84,106,136,192] AS bs),
+           |base AS (
+           |  SELECT id, g, ch, CASE WHEN ch = 0 THEN 48 ELSE 12 END AS n,
+           |         160 + (5*id + 17*g + 29*ch) % 40 AS gg,
+           |         CASE WHEN (id+g)%2 = 0 THEN 0.5 ELSE 1.0 END AS mult
+           |  FROM ids, gs, chs),
+           |spec AS (
+           |  SELECT id, g, ch, gg, mult,
+           |    list_transform(range(0, 576), i ->
+           |      CASE WHEN i >= n THEN 0 ELSE
+           |        (CASE WHEN (id+i+ch+g)%5 < 2 THEN -1 ELSE 1 END) * ((id+i+ch+7*g)%3)
+           |      END) AS isv
+           |  FROM base),
+           |smap AS (
+           |  SELECT m.t, m.j, m.w,
+           |         len(list_filter(c.bs, x -> x <= m.j)) - 1 AS s,
+           |         c.bs[len(list_filter(c.bs, x -> x <= m.j))] AS lo,
+           |         c.bs[len(list_filter(c.bs, x -> x <= m.j)) + 1]
+           |           - c.bs[len(list_filter(c.bs, x -> x <= m.j))] AS width
+           |  FROM (SELECT t, 6*(t//18) + (t%6) AS j, (t%18)//6 AS w
+           |        FROM (SELECT unnest(range(0, 576)) AS t)) m, const c),
+           |xrow AS (
+           |  SELECT sp.id, sp.g, sp.ch, m.t,
+           |    CASE WHEN sp.isv[3*m.lo + m.w*m.width + (m.j - m.lo) + 1] = 0 THEN 0.0 ELSE
+           |      sign(sp.isv[3*m.lo + m.w*m.width + (m.j - m.lo) + 1]) *
+           |      pow(abs(sp.isv[3*m.lo + m.w*m.width + (m.j - m.lo) + 1]), 4.0/3.0) *
+           |      pow(2.0, 0.25*(sp.gg - 210 - 8*((sp.id + 2*m.w + sp.g + sp.ch) % 4)) -
+           |        sp.mult * (CASE WHEN sp.ch = 1 AND m.s = 0
+           |                        THEN (sp.id + m.s + m.w + sp.g) % 4 ELSE 0 END))
+           |    END AS v
+           |  FROM spec sp, smap m),
+           |xrl AS (SELECT id, g, ch, list(v ORDER BY t) AS v FROM xrow GROUP BY id, g, ch),
+           |ims AS (
+           |  SELECT a.id, a.g, 0 AS ch,
+           |    list_transform(range(0, 576), t -> CASE
+           |      WHEN NOT (3 * c.bs[len(list_filter(c.bs, x -> x <= 6*(t//18) + (t%6)))] >= 12)
+           |        OR (a.id + least(len(list_filter(c.bs, x -> x <= 6*(t//18) + (t%6))) - 1, 11)
+           |            + (t%18)//6 + a.g) % 8 = 7
+           |      THEN CASE WHEN a.id % 2 = 1 THEN (a.v[t+1] + b.v[t+1]) / sqrt(2.0) ELSE a.v[t+1] END
+           |      WHEN (a.id + least(len(list_filter(c.bs, x -> x <= 6*(t//18) + (t%6))) - 1, 11)
+           |            + (t%18)//6 + a.g) % 8 = 6
+           |      THEN a.v[t+1]
+           |      ELSE a.v[t+1] * (tan(((a.id + least(len(list_filter(c.bs, x -> x <= 6*(t//18) + (t%6))) - 1, 11)
+           |                             + (t%18)//6 + a.g) % 8) * pi() / 12.0)
+           |                       / (1.0 + tan(((a.id + least(len(list_filter(c.bs, x -> x <= 6*(t//18) + (t%6))) - 1, 11)
+           |                             + (t%18)//6 + a.g) % 8) * pi() / 12.0)))
+           |      END) AS v
+           |  FROM xrl a JOIN xrl b ON a.id = b.id AND a.g = b.g, const c
+           |  WHERE a.ch = 0 AND b.ch = 1
+           |  UNION ALL
+           |  SELECT a.id, a.g, 1 AS ch,
+           |    list_transform(range(0, 576), t -> CASE
+           |      WHEN NOT (3 * c.bs[len(list_filter(c.bs, x -> x <= 6*(t//18) + (t%6)))] >= 12)
+           |        OR (a.id + least(len(list_filter(c.bs, x -> x <= 6*(t//18) + (t%6))) - 1, 11)
+           |            + (t%18)//6 + a.g) % 8 = 7
+           |      THEN CASE WHEN a.id % 2 = 1 THEN (a.v[t+1] - b.v[t+1]) / sqrt(2.0) ELSE b.v[t+1] END
+           |      WHEN (a.id + least(len(list_filter(c.bs, x -> x <= 6*(t//18) + (t%6))) - 1, 11)
+           |            + (t%18)//6 + a.g) % 8 = 6
+           |      THEN 0.0
+           |      ELSE a.v[t+1] * (1.0 / (1.0 + tan(((a.id + least(len(list_filter(c.bs, x -> x <= 6*(t//18) + (t%6))) - 1, 11)
+           |                             + (t%18)//6 + a.g) % 8) * pi() / 12.0)))
+           |      END) AS v
+           |  FROM xrl a JOIN xrl b ON a.id = b.id AND a.g = b.g, const c
+           |  WHERE a.ch = 0 AND b.ch = 1),
+           |im AS (
+           |  SELECT a.id, a.ch, a.g, sb.sb,
+           |    list_transform(range(0, 36), i ->
+           |      list_sum(list_transform(range(0, 3), w ->
+           |        CASE WHEN i - 6 - 6*w >= 0 AND i - 6 - 6*w < 12 THEN
+           |          list_sum(list_transform(range(0, 6), kk ->
+           |            a.v[18*sb.sb + 6*w + kk + 1] * cos(pi()/24 * (2*(i - 6 - 6*w) + 7) * (2*kk + 1))))
+           |          * sin(pi()/12 * ((i - 6 - 6*w) + 0.5))
+           |        ELSE 0.0 END))) AS z
+           |  FROM ims a, (SELECT unnest(range(0, 32)) AS sb) sb),
+           |ts AS (
+           |  SELECT z0.id, z0.ch, z0.sb,
+           |    list_transform(range(0, 36), t -> (
+           |      CASE WHEN t < 18 THEN z0.z[t+1]
+           |           ELSE z1.z[t-18+1] + z0.z[18 + t-18 + 1] END)
+           |      * (CASE WHEN z0.sb % 2 = 1 AND t % 2 = 1 THEN -1.0 ELSE 1.0 END)) AS s
+           |  FROM im z0 JOIN im z1 ON z0.id = z1.id AND z0.ch = z1.ch AND z0.sb = z1.sb
+           |  WHERE z0.g = 0 AND z1.g = 1),
+           |mat AS (SELECT id, ch, list(s ORDER BY sb) AS m FROM ts GROUP BY id, ch),
+           |vmat AS (
+           |  SELECT id, ch,
+           |    list_transform(range(0, 36), t ->
+           |      list_transform(range(0, 64), o ->
+           |        list_sum(list_transform(range(0, 32), k ->
+           |          cos((16 + o) * (2*k + 1) * pi()/64) * m[k+1][t+1])))) AS vm
+           |  FROM mat),
+           |pcm AS (
+           |  SELECT id, ch,
+           |    list_transform(range(0, 1152), p ->
+           |      CAST(greatest(-32768.0, least(32767.0, floor(
+           |        list_sum(list_transform(range(0, 16), n ->
+           |          (sin(pi() * ((p % 32) + 32*n + 0.5) / 512) / 32) *
+           |          (CASE WHEN (p // 32) - n < 0 THEN 0.0
+           |                ELSE vm[(p // 32) - n + 1][(CASE WHEN n % 2 = 0 THEN p % 32 ELSE 32 + p % 32 END) + 1] END)))
+           |        * 32768.0 + 0.5))) AS INT)) AS q
+           |  FROM vmat)
+           |SELECT id, ch::INT AS channel, (id % 2)::INT AS ms_stereo,
+           |  1152::INT AS n_samples,
+           |  len(list_filter(q, x -> x = 32767 OR x = -32768))::INT AS n_clipped,
+           |  len(list_filter(q, x -> x <> 0))::INT AS n_nonzero,
+           |  list_sum(q)::BIGINT AS pcm_sum,
+           |  list_sum(list_transform(q, x -> abs(x)))::BIGINT AS pcm_abs_sum,
+           |  list_sum(list_transform(range(0, 1152), p -> q[p+1] * (p+1)))::BIGINT AS pos_sum
+           |FROM pcm ORDER BY id, channel""".stripMargin)),
     "multimodal_mp3_short" -> Q(multimodalMp3Short, Some(
       // restates mp3ShortAssets' WINDOW-SWITCHED chain in SQL (round
       // 15, r14 VERDICT #2): granule 0 block_type 1 (start window, long

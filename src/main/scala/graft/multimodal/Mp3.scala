@@ -425,9 +425,10 @@ object Mp3 {
     * order; short blocks are reordered from their (band, window, line)
     * transmission layout — §2.4.3.4.8, round 15), `blockType`/`mixed` =
     * the granule's window shape the filterbank consumes, `sf` = the RAW
-    * transmitted long-layout scalefactors (21 entries; empty for short
-    * granules) — §2.4.3.4.9.3 reuses the right channel's values as
-    * intensity positions (round 15). */
+    * transmitted scalefactors — 21 long entries, or for short granules
+    * the 12×3 short factors flattened band-major (index 3·band +
+    * window) — §2.4.3.4.9.3 reuses the right channel's values as
+    * intensity positions (round 15; short windows late round 15). */
   final case class Spectrum(is: Array[Int], nBig: Int, nCount1: Int,
                             xr: Array[Double], blockType: Int = 0,
                             mixed: Boolean = false,
@@ -625,7 +626,8 @@ object Mp3 {
       }
       out(g)(ch) = Spectrum(is, nBig, nC1, xr,
         if (gi.windowSwitching) gi.blockType else 0, isMixed,
-        if (isShort) Array.empty else sfsLong)
+        if (isShort) Array.tabulate(36)(k => sfsShort(k / 3)(k % 3))
+        else sfsLong)
     }
     out.toSeq.map(_.toSeq)
   }
@@ -1036,15 +1038,16 @@ object Mp3 {
       if (!intensityStereo) null
       else Array.tabulate(1, 2) { (_, g) =>
         val r = spec(g)(1)
-        require(spec(g)(0).blockType != 2 && r.blockType != 2 &&
-          r.sf.nonEmpty, "intensity stereo with short windows out of scope")
+        require(!r.mixed && !spec(g)(0).mixed,
+          "intensity stereo with mixed blocks out of scope")
+        require(r.sf.nonEmpty, "intensity stereo without scalefactors")
         (r.nBig + r.nCount1, r.sf)
       }
     val xr = Array.tabulate(1, 2, channels)((_, g, ch) => spec(g)(ch).xr.clone())
     val bt = Array.tabulate(1, 2, channels)(
       (_, g, ch) => (spec(g)(ch).blockType, spec(g)(ch).mixed))
     Some(synthesizeFrames(xr, bt, channels, msStereo, synthWindow,
-      isInfo, sfBandsLong(rateIdx)))
+      isInfo, sfBandsLong(rateIdx), sfBandsShort(rateIdx)))
   } catch { case _: Exception => None }
 
   /** Shared DSP back half of [[decodePcm]] / [[decodePcmStream]]
@@ -1062,7 +1065,8 @@ object Mp3 {
                                channels: Int, msStereo: Boolean,
                                synthWindow: Array[Double],
                                isInfo: Array[Array[(Int, Array[Int])]] = null,
-                               bands: Array[Int] = null): Seq[Array[Double]] = {
+                               bands: Array[Int] = null,
+                               bandsShort: Array[Int] = null): Seq[Array[Double]] = {
     val nF = xr.length
     if (msStereo || isInfo != null) {
       val s2 = math.sqrt(2.0)
@@ -1079,36 +1083,73 @@ object Mp3 {
         //        R' = L/(1+ratio).
         // Band 21 transmits no scalefactor — it reuses band 20's
         // position (the §2.4.2.7 21-factors-over-22-bands layout).
-        val (isBound, sfR) =
-          if (isInfo == null) (Int.MaxValue, null: Array[Int])
-          else {
-            val (rzero, sfr) = isInfo(f)(g)
-            var b = 0
-            while (b < 22 && bands(b) < rzero) b += 1
-            (if (b >= 22) Int.MaxValue else bands(b), sfr)
-          }
-        var band = 0
-        var i = 0
-        while (i < 576) {
-          if (sfR != null) while (band < 21 && i >= bands(band + 1)) band += 1
-          val isPos =
-            if (sfR == null || i < isBound) 7 // outside: normal/MS path
-            else if (band >= 21) sfR(20)
-            else sfR(band)
+        @inline def intensityAt(t: Int, isPos: Int): Unit = {
           if (isPos != 7) {
-            val l = xr(f)(g)(0)(i)
-            if (isPos == 6) xr(f)(g)(1)(i) = 0.0
+            val l = xr(f)(g)(0)(t)
+            if (isPos == 6) xr(f)(g)(1)(t) = 0.0
             else {
               val ratio = math.tan(isPos * math.Pi / 12.0)
-              xr(f)(g)(0)(i) = l * (ratio / (1.0 + ratio))
-              xr(f)(g)(1)(i) = l * (1.0 / (1.0 + ratio))
+              xr(f)(g)(0)(t) = l * (ratio / (1.0 + ratio))
+              xr(f)(g)(1)(t) = l * (1.0 / (1.0 + ratio))
             }
           } else if (msStereo) {
-            val m = xr(f)(g)(0)(i); val s = xr(f)(g)(1)(i)
-            xr(f)(g)(0)(i) = (m + s) / s2
-            xr(f)(g)(1)(i) = (m - s) / s2
+            val m = xr(f)(g)(0)(t); val s = xr(f)(g)(1)(t)
+            xr(f)(g)(0)(t) = (m + s) / s2
+            xr(f)(g)(1)(t) = (m - s) / s2
           }
-          i += 1
+        }
+        val shortIs = isInfo != null && bt(f)(g)(0)._1 == 2
+        if (shortIs) {
+          // SHORT-window intensity (late round 15) — the DECIDED rule
+          // (see the §2.4.3.4.9.3 scaladoc note): intensity bands are
+          // the short sfbs whose ENTIRE transmission block (all 3
+          // windows) lies in the right channel's zero part —
+          // 3·bS(s) ≥ rzeroStart; a band straddling the boundary stays
+          // on the normal/MS path. Positions come from the right
+          // channel's per-(band, window) short scalefactors; band 12
+          // (untransmitted) reuses band 11's position per window.
+          val (rzero, sfR) = isInfo(f)(g)
+          var sBand = 0
+          while (sBand < 13) {
+            val inRegion = 3 * bandsShort(sBand) >= rzero
+            val lo = bandsShort(sBand)
+            val width = bandsShort(sBand + 1) - lo
+            var w2 = 0
+            while (w2 < 3) {
+              val isPos =
+                if (!inRegion) 7
+                else if (sBand >= 12) sfR(3 * 11 + w2)
+                else sfR(3 * sBand + w2)
+              var l = 0
+              while (l < width) {
+                val j = lo + l
+                intensityAt(18 * (j / 6) + 6 * w2 + (j % 6), isPos)
+                l += 1
+              }
+              w2 += 1
+            }
+            sBand += 1
+          }
+        } else {
+          val (isBound, sfR) =
+            if (isInfo == null) (Int.MaxValue, null: Array[Int])
+            else {
+              val (rzero, sfr) = isInfo(f)(g)
+              var b = 0
+              while (b < 22 && bands(b) < rzero) b += 1
+              (if (b >= 22) Int.MaxValue else bands(b), sfr)
+            }
+          var band = 0
+          var i = 0
+          while (i < 576) {
+            if (sfR != null) while (band < 21 && i >= bands(band + 1)) band += 1
+            val isPos =
+              if (sfR == null || i < isBound) 7 // outside: normal/MS path
+              else if (band >= 21) sfR(20)
+              else sfR(band)
+            intensityAt(i, isPos)
+            i += 1
+          }
         }
       }
     }
@@ -1171,8 +1212,9 @@ object Mp3 {
       if (!isOn) null
       else Array.tabulate(spec.length, 2) { (f, g) =>
         val r = spec(f)(g)(1)
-        require(spec(f)(g)(0).blockType != 2 && r.blockType != 2 &&
-          r.sf.nonEmpty, "intensity stereo with short windows out of scope")
+        require(!r.mixed && !spec(f)(g)(0).mixed,
+          "intensity stereo with mixed blocks out of scope")
+        require(r.sf.nonEmpty, "intensity stereo without scalefactors")
         (r.nBig + r.nCount1, r.sf)
       }
     val xr = Array.tabulate(spec.length, 2, channels)(
@@ -1180,7 +1222,7 @@ object Mp3 {
     val bt = Array.tabulate(spec.length, 2, channels)(
       (f, g, ch) => (spec(f)(g)(ch).blockType, spec(f)(g)(ch).mixed))
     Some(synthesizeFrames(xr, bt, channels, stream.msStereo, synthWindow,
-      isInfo, sfBandsLong(rateIdx)))
+      isInfo, sfBandsLong(rateIdx), sfBandsShort(rateIdx)))
   } catch { case _: Exception => None }
 
   // -------------------------------------------------------------------

@@ -1200,9 +1200,9 @@ class MultimodalSpec extends AnyFunSuite {
     val mixed = Mp3.encodeMp3(1, 9, 0, frame, mode = 0, modeExt = 0) ++
       Mp3.encodeMp3(1, 9, 0, frame, mode = 1, modeExt = 2)
     assert(Mp3.parseMp3(mixed).isEmpty, "mixed-mode stream accepted")
-    // intensity stereo (mode_extension bit 0) DECODES for long windows
-    // since round 15; the strict reject moved to the short-window case
-    // (per-window intensity band mapping out of scope)
+    // intensity stereo (mode_extension bit 0) DECODES for long AND
+    // pure-short windows since round 15; the strict reject moved to
+    // the MIXED-block case (the long+short band seam)
     val intens = Mp3.parseMp3(Mp3.encodeMp3(1, 9, 0, frame, mode = 1, modeExt = 1)).get
     assert(Mp3.decodeSpectraStream(intens, 0).isDefined)
     assert(Mp3.decodePcmStream(intens, 0).isDefined,
@@ -1211,8 +1211,102 @@ class MultimodalSpec extends AnyFunSuite {
     val shortIntens = Mp3.parseMp3(Mp3.encodeMp3Reservoir(9, 0,
       Seq(shortSpec), mode = 1, modeExt = 1)).get
     assert(Mp3.decodeSpectraStream(shortIntens, 0).isDefined)
-    assert(Mp3.decodePcmStream(shortIntens, 0).isEmpty,
-      "short-window intensity stereo decoded")
+    assert(Mp3.decodePcmStream(shortIntens, 0).isDefined,
+      "pure-short intensity stereo must decode (late round 15)")
+    // MIXED blocks under intensity strict-reject (the band seam)
+    def giMixed(g: Int) =
+      if (g == 0) Mp3.GranuleInfo(0, 8, 180, 13, windowSwitching = true,
+        blockType = 2, mixedBlock = true, Seq(4, 4), Seq(0, 0, 0), 7, 36, 0, 0, 1)
+      else Mp3.GranuleInfo(0, 8, 180, 13, windowSwitching = false,
+        blockType = 0, mixedBlock = false, Seq(4, 4, 0), Nil, 3, 7, 0, 0, 1)
+    val siM = Mp3.SideInfo(0, 0, Seq.fill(2)(Seq.fill(4)(0)),
+      Seq.tabulate(2)(g => Seq.fill(2)(giMixed(g))))
+    val sfsM: Seq[Seq[Array[Int]]] = Seq.tabulate(2)(g => Seq.fill(2)(
+      if (g == 0) new Array[Int](8 + 27) else new Array[Int](21)))
+    val isM = Array.tabulate(16)(i => ((i % 2) * (if (i % 3 == 0) -1 else 1)))
+    val mixedIntens = Mp3.parseMp3(Mp3.encodeMp3Reservoir(9, 0,
+      Seq((siM, sfsM, Seq.fill(2)(Seq.fill(2)(isM)))), mode = 1, modeExt = 1)).get
+    assert(Mp3.decodeSpectraStream(mixedIntens, 0).isDefined)
+    assert(Mp3.decodePcmStream(mixedIntens, 0).isEmpty,
+      "mixed-block intensity stereo decoded")
+  }
+
+  test("mp3 SHORT-window intensity stereo: band-granular zero-part rule, per-(band, window) positions (late round 15)") {
+    import graft.multimodal.Mp3
+    // pure-short stereo frame: per-channel spectra + right short
+    // scalefactors (intensity positions); scalefac_compress 13 -> (3,3)
+    def fixture(leftN: Int, rightN: Int, rightSf: Array[Int]): Array[Byte] = {
+      require(rightSf.length == 36)
+      def gi(bv: Int) = Mp3.GranuleInfo(0, bv, 170, 13,
+        windowSwitching = true, blockType = 2, mixedBlock = false,
+        Seq(4, 4), Seq(0, 0, 0), 7, 36, 0, 0, 1)
+      val si = Mp3.SideInfo(0, 0, Seq.fill(2)(Seq.fill(4)(0)),
+        Seq.fill(2)(Seq(gi(leftN / 2), gi(rightN / 2))))
+      // encodeSpectra takes short sfs in (band, window) iteration order
+      val sfs: Seq[Seq[Array[Int]]] = Seq.fill(2)(Seq(
+        new Array[Int](36), rightSf.clone()))
+      def vals(n: Int, off: Int) = Array.tabulate(n) { i =>
+        val m = ((i + off) % 3); if (m != 0 && (i + off) % 5 < 2) -m else m
+      }
+      Mp3.encodeSpectra(si, 2, sfs, Seq.fill(2)(Seq(vals(leftN, 0), vals(rightN, 1))))
+    }
+    // right all-zero: the whole short spectrum is the intensity region
+    val sfAll = (pos: Int) => Array.fill(36)(pos)
+    val plain = Mp3.decodePcm(fixture(48, 0, sfAll(6)), 2, 0).get
+    val pos6 = Mp3.decodePcm(fixture(48, 0, sfAll(6)), 2, 0, intensityStereo = true).get
+    assert(pos6(0).sameElements(plain(0)) && pos6(1).forall(_ == 0.0),
+      "short is_pos 6 must leave L exact and zero R")
+    val pos0 = Mp3.decodePcm(fixture(48, 0, sfAll(0)), 2, 0, intensityStereo = true).get
+    assert(pos0(0).forall(_ == 0.0), "short is_pos 0 must zero L")
+    assert((0 until 1152).forall(i => pos0(1)(i) == plain(0)(i)),
+      "short is_pos 0 must route L to R exactly")
+    val pos7 = Mp3.decodePcm(fixture(48, 0, sfAll(7)), 2, 0, intensityStereo = true).get
+    assert(pos7(0).sameElements(plain(0)) && pos7(1).forall(_ == 0.0))
+    // shared surgery fixture: both channels sf 0 (positions AND
+    // requant exponents agree, so content moves between channels
+    // bit-exactly)
+    def vals(n: Int, off: Int) = Array.tabulate(n) { i =>
+      val m = ((i + off) % 3); if (m != 0 && (i + off) % 5 < 2) -m else m
+    }
+    def fixtureFull(l: Array[Int], r2: Array[Int]): Array[Byte] = {
+      def gi(bv: Int) = Mp3.GranuleInfo(0, bv, 170, 13,
+        windowSwitching = true, blockType = 2, mixedBlock = false,
+        Seq(4, 4), Seq(0, 0, 0), 7, 36, 0, 0, 1)
+      val si = Mp3.SideInfo(0, 0, Seq.fill(2)(Seq.fill(4)(0)),
+        Seq.fill(2)(Seq(gi(l.length / 2), gi(r2.length / 2))))
+      val sfs: Seq[Seq[Array[Int]]] = Seq.fill(2)(Seq(
+        new Array[Int](36), new Array[Int](36)))
+      Mp3.encodeSpectra(si, 2, sfs, Seq.fill(2)(Seq(l, r2)))
+    }
+    // PER-WINDOW positions: window 1 of every band is_pos 6 (stay
+    // left), windows 0/2 is_pos 0 (route right) — restate by spectral
+    // surgery in TRANSMISSION order
+    val sfPerWin = Array.tabulate(36)(k => if (k % 3 == 1) 6 else 0)
+    val mixed = Mp3.decodePcm(fixture(48, 0, sfPerWin), 2, 0,
+      intensityStereo = true).get
+    val leftIs = vals(48, 0)
+    val bS = Array(0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192)
+    def winOf(src: Int): Int = { // transmission index -> window
+      val s = bS.indices.dropRight(1).filter(b => 3 * bS(b) <= src).max
+      (src - 3 * bS(s)) / (bS(s + 1) - bS(s))
+    }
+    val leftOnly = leftIs.zipWithIndex.map { case (v, i) => if (winOf(i) == 1) v else 0 }
+    val rightOnly = leftIs.zipWithIndex.map { case (v, i) => if (winOf(i) != 1) v else 0 }
+    val surgery = Mp3.decodePcm(fixtureFull(leftOnly, rightOnly), 2, 0).get
+    assert((0 until 1152).forall(i => mixed(0)(i) == surgery(0)(i)), "L per-window")
+    assert((0 until 1152).forall(i => mixed(1)(i) == surgery(1)(i)), "R per-window")
+    // PARTIAL zero part: right nonzero in its first 12 transmission
+    // samples (band 0 complete: 3·bS(1) = 12) -> bands >= 1 are the
+    // region; band 0 stays untouched on both sides. is_pos 0 there:
+    // L loses the region, R gains it — restate by surgery.
+    val rightLow = vals(12, 1)
+    val partialIs = Mp3.decodePcm(fixtureFull(leftIs, rightLow), 2, 0,
+      intensityStereo = true).get
+    val leftLow12 = leftIs.zipWithIndex.map { case (v, i) => if (i < 12) v else 0 }
+    val rightSurg = rightLow ++ leftIs.drop(12)
+    val expect = Mp3.decodePcm(fixtureFull(leftLow12, rightSurg), 2, 0).get
+    assert((0 until 1152).forall(i => partialIs(0)(i) == expect(0)(i)), "L partial bound")
+    assert((0 until 1152).forall(i => partialIs(1)(i) == expect(1)(i)), "R partial bound")
   }
 
   test("mp3 intensity stereo: tan(is_pos·π/12) split — 6 all-left, 0 all-right, 3 even, 7 off; partial zero-part bound (round 15)") {
