@@ -21,6 +21,11 @@ object MediaProbe {
               decode: Array[Byte] => Option[Any]): Unit = {
       val assets = spark.range(n).map(i => mk(i)).cache()
       assets.count() // materialize the encode outside the timed window
+      // discarded warm-up pass over a slice (round-15 ADVICE): the first
+      // probe of a kernel family otherwise pays its JIT compilation
+      // inside the timed window, skewing cross-kernel ratios
+      assets.limit(math.min(n, 2000)).map(b => if (decode(b).isDefined) 1L else 0L)
+        .reduce(_ + _)
       val t0 = System.nanoTime()
       val ok = assets.map(b => if (decode(b).isDefined) 1L else 0L)
         .reduce(_ + _)
