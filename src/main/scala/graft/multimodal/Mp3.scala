@@ -1101,8 +1101,11 @@ object Mp3 {
         val shortIs = isInfo != null && bt(f)(g)(0)._1 == 2
         if (shortIs) {
           // SHORT-window intensity (late round 15) — the DECIDED rule
-          // (see the §2.4.3.4.9.3 scaladoc note): intensity bands are
-          // the short sfbs whose ENTIRE transmission block (all 3
+          // (the §2.4.3.4.9.3 text is ambiguous for short blocks and
+          // real decoders differ; this reading is pinned by fixtures
+          // and gates but NOT yet validated against a reference
+          // decoder's output — see ADVICE round 15): intensity bands
+          // are the short sfbs whose ENTIRE transmission block (all 3
           // windows) lies in the right channel's zero part —
           // 3·bS(s) ≥ rzeroStart; a band straddling the boundary stays
           // on the normal/MS path. Positions come from the right
