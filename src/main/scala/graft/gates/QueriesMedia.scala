@@ -987,6 +987,80 @@ private[graft] trait QueriesMedia { this: Queries.type =>
     graft.multimodal.Multimodal.mp3Pcm(mp3IntensityShortAssets(spark, dir))
       .toDF().orderBy(col("id"), col("channel"))
 
+  /** MIXED-block intensity fixtures (round 16 — the long+short band
+    * seam, the last §2.7(a) refusal closed): both granules mixed for
+    * both channels, mode 1 with mode_extension 1 (even ids) / 3 (odd).
+    * Closed-form per (id, g, ch):
+    *   left n = 48 transmission samples (the full 36-sample long part +
+    *   short band 3); right n = 18 for EVEN ids (the zero part starts
+    *   INSIDE the long region: intensity = long bands 5..7, samples
+    *   20..36, via the first-boundary-≥-18 rule, plus every short
+    *   band) and 42 for ODD ids (long part fully coded: no long
+    *   intensity; short bands with 3·bS(s) ≥ 42, i.e. s ≥ 4 — band 3
+    *   straddles and stays on the normal/MS path);
+    *   gg = 160 + (5id+17g+29ch)%40;  scalefacScale = (id+g)%2;
+    *   subblockGain(w) = (id + 2w + g + ch)%4 (short part only);
+    *   is(i) = ±((id+i+ch+7g)%3), negative iff (id+i+ch+g)%5 < 2;
+    *   left long sf(b) = (id+2b+g)%4, left short sf(b,w) = (id+b+2w+g)%4;
+    *   right long sf(b) = (id+b+g)%8 where intensity (even ids, b ≥ 5)
+    *   else %4; right short sf(b,w) = (id+b+w+g)%8 where intensity
+    *   (even ids, or odd ids with b ≥ 4) else %4; band 12 reuses 11's
+    *   positions per window. */
+  private[graft] def mp3IntensityMixedAssets(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val src = docsTbl(spark, dir).where(col("doc_id") < 6)
+      .select(col("doc_id")).as[Long]
+    src.mapPartitions(_.map { id =>
+      def value(g: Int, ch: Int)(i: Int): Int = {
+        val mag = ((id + i + ch + 7 * g) % 3).toInt
+        if (mag != 0 && (id + i + ch + g) % 5 < 2) -mag else mag
+      }
+      def gi(g: Int, ch: Int) = graft.multimodal.Mp3.GranuleInfo(
+        part23Length = 0,
+        bigValues = if (ch == 0) 24 else if (id % 2 == 0) 9 else 21,
+        globalGain = (160 + (5 * id + 17 * g + 29 * ch) % 40).toInt,
+        scalefacCompress = 13,
+        windowSwitching = true, blockType = 2, mixedBlock = true,
+        tableSelect = Seq(4, 4),
+        subblockGain = Seq.tabulate(3)(w => ((id + 2 * w + g + ch) % 4).toInt),
+        region0Count = 7, region1Count = 36,
+        preflag = 0, scalefacScale = ((id + g) % 2).toInt,
+        count1TableSelect = 1)
+      val si = graft.multimodal.Mp3.SideInfo(0, 0,
+        Seq.fill(2)(Seq.fill(4)(0)),
+        Seq.tabulate(2)(g => Seq.tabulate(2)(ch => gi(g, ch))))
+      // emitter order for mixed: 8 long entries then bands 3..11 × 3
+      val sfs = Seq.tabulate(2)(g => Seq(
+        Array.tabulate(35) { k =>
+          if (k < 8) ((id + 2 * k + g) % 4).toInt
+          else {
+            val b = 3 + (k - 8) / 3; val w = (k - 8) % 3
+            ((id + b + 2 * w + g) % 4).toInt
+          }
+        },
+        Array.tabulate(35) { k =>
+          if (k < 8) {
+            if (id % 2 == 0 && k >= 5) ((id + k + g) % 8).toInt
+            else ((id + k + g) % 4).toInt
+          } else {
+            val b = 3 + (k - 8) / 3; val w = (k - 8) % 3
+            if (id % 2 == 0 || b >= 4) ((id + b + w + g) % 8).toInt
+            else ((id + b + w + g) % 4).toInt
+          }
+        }))
+      val spectra = Seq.tabulate(2)(g => Seq(
+        Array.tabulate(48)(value(g, 0)),
+        Array.tabulate(if (id % 2 == 0) 18 else 42)(value(g, 1))))
+      graft.multimodal.Multimodal.Asset(id, "audio",
+        graft.multimodal.Mp3.encodeMp3Reservoir(9, 0, Seq((si, sfs, spectra)),
+          mode = 1, modeExt = 1 + 2 * (id % 2).toInt), 0, 0)
+    })
+  }
+
+  private[graft] def multimodalMp3IntensityMixed(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.mp3Pcm(mp3IntensityMixedAssets(spark, dir))
+      .toDF().orderBy(col("id"), col("channel"))
+
   /** The CALLER-SUPPLIED-CODEBOOK path end to end (round 14, r13
     * VERDICT #4): frames whose region0 selects REAL ISO table id 1 —
     * an id the provenance discipline strict-rejects out of the box —

@@ -721,6 +721,169 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
            |  list_sum(list_transform(q, x -> abs(x)))::BIGINT AS pcm_abs_sum,
            |  list_sum(list_transform(range(0, 1152), p -> q[p+1] * (p+1)))::BIGINT AS pos_sum
            |FROM pcm ORDER BY id, channel""".stripMargin)),
+    "multimodal_mp3_intensity_mixed" -> Q(multimodalMp3IntensityMixed, Some(
+      // restates mp3IntensityMixedAssets' chain (round 16 — the
+      // long+short band SEAM, the last §2.7(a) refusal): mixed requant
+      // (long in place below sample 36, the §2.4.3.4.8 short reorder
+      // with subblock gains above), then the seam rule — even ids'
+      // zero part starts at sample 18 so long bands 5..7 (from the
+      // first-boundary-≥-rzero rule) plus EVERY short band are
+      // intensity; odd ids' zero part starts at 42 so no long band
+      // and short bands s ≥ 4 only (band 3 straddles → normal/MS) —
+      // per-(band, window) positions, band 12 reusing 11's, MS on odd
+      // ids where is_pos = 7 or outside the region; then the mixed DSP
+      // tail (ONE alias boundary, type-0 long windows on subbands 0–1,
+      // short 12-point IMDCTs above, overlap/inversion/synthesis) and
+      // the floor-form quantizer — integer aggregates absorbing libm ulp
+      raw"""WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 6),
+           |gs AS (SELECT unnest(range(0, 2)) AS g),
+           |chs AS (SELECT unnest(range(0, 2)) AS ch),
+           |const AS (SELECT
+           |  [0,4,8,12,16,20,24,30,36,44,52,62,74,90,110,134,162,196,238,288,342,418,576] AS bands,
+           |  [0,4,8,12,16,22,30,40,52,66,84,106,136,192] AS bs,
+           |  [-0.6,-0.535,-0.33,-0.185,-0.095,-0.041,-0.0142,-0.0037] AS ci),
+           |base AS (
+           |  SELECT id, g, ch,
+           |         CASE WHEN ch = 0 THEN 48 WHEN id % 2 = 0 THEN 18 ELSE 42 END AS n,
+           |         160 + (5*id + 17*g + 29*ch) % 40 AS gg,
+           |         CASE WHEN (id+g)%2 = 0 THEN 0.5 ELSE 1.0 END AS mult
+           |  FROM ids, gs, chs),
+           |spec AS (
+           |  SELECT id, g, ch, gg, mult,
+           |    list_transform(range(0, 576), i ->
+           |      CASE WHEN i >= n THEN 0 ELSE
+           |        (CASE WHEN (id+i+ch+g)%5 < 2 THEN -1 ELSE 1 END) * ((id+i+ch+7*g)%3)
+           |      END) AS isv
+           |  FROM base),
+           |smap AS (
+           |  SELECT m.t, m.j, m.w,
+           |         least(len(list_filter(c.bs, x -> x <= m.j)) - 1, 12) AS s,
+           |         c.bs[len(list_filter(c.bs, x -> x <= m.j))] AS lo,
+           |         c.bs[len(list_filter(c.bs, x -> x <= m.j)) + 1]
+           |           - c.bs[len(list_filter(c.bs, x -> x <= m.j))] AS width,
+           |         least(len(list_filter(c.bands, x -> x <= m.t)) - 1, 7) AS lb
+           |  FROM (SELECT t, 6*(t//18) + (t%6) AS j, (t%18)//6 AS w
+           |        FROM (SELECT unnest(range(0, 576)) AS t)) m, const c),
+           |xrow AS (
+           |  SELECT sp.id, sp.g, sp.ch, m.t,
+           |    CASE WHEN m.t < 36 THEN
+           |      CASE WHEN sp.isv[m.t+1] = 0 THEN 0.0 ELSE
+           |        sign(sp.isv[m.t+1]) * pow(abs(sp.isv[m.t+1]), 4.0/3.0) *
+           |        pow(2.0, 0.25*(sp.gg - 210) - sp.mult * (
+           |          CASE WHEN sp.ch = 0 THEN (sp.id + 2*m.lb + sp.g) % 4
+           |               WHEN sp.id % 2 = 0 AND m.lb >= 5 THEN (sp.id + m.lb + sp.g) % 8
+           |               ELSE (sp.id + m.lb + sp.g) % 4 END))
+           |      END
+           |    ELSE
+           |      CASE WHEN sp.isv[3*m.lo + m.w*m.width + (m.j - m.lo) + 1] = 0 THEN 0.0 ELSE
+           |        sign(sp.isv[3*m.lo + m.w*m.width + (m.j - m.lo) + 1]) *
+           |        pow(abs(sp.isv[3*m.lo + m.w*m.width + (m.j - m.lo) + 1]), 4.0/3.0) *
+           |        pow(2.0, 0.25*(sp.gg - 210 - 8*((sp.id + 2*m.w + sp.g + sp.ch) % 4)) -
+           |          sp.mult * (CASE WHEN m.s >= 12 THEN 0
+           |                          WHEN sp.ch = 0 THEN (sp.id + m.s + 2*m.w + sp.g) % 4
+           |                          WHEN sp.id % 2 = 0 OR m.s >= 4 THEN (sp.id + m.s + m.w + sp.g) % 8
+           |                          ELSE (sp.id + m.s + m.w + sp.g) % 4 END))
+           |      END
+           |    END AS v
+           |  FROM spec sp, smap m),
+           |xrl AS (SELECT id, g, ch, list(v ORDER BY t) AS v FROM xrow GROUP BY id, g, ch),
+           |tl AS (SELECT list(lb ORDER BY t) AS lbl, list(least(s, 11) ORDER BY t) AS sbl,
+           |              list(w ORDER BY t) AS wl,
+           |              list(CASE WHEN 3 * bs[s + 1] >= 42 THEN 1 ELSE 0 END ORDER BY t) AS dpl
+           |       FROM smap, const),
+           |posr AS (
+           |  SELECT i.id, g.g,
+           |    list_transform(range(0, 576), tt -> CASE WHEN tt < 36
+           |        THEN (i.id + t.lbl[tt+1] + g.g) % 8
+           |        ELSE (i.id + t.sbl[tt+1] + t.wl[tt+1] + g.g) % 8 END) AS pos,
+           |    list_transform(range(0, 576), tt -> CASE WHEN tt < 36
+           |        THEN CASE WHEN i.id % 2 = 0 AND tt >= 20 THEN 1 ELSE 0 END
+           |        ELSE CASE WHEN i.id % 2 = 0 OR t.dpl[tt+1] = 1 THEN 1 ELSE 0 END END) AS inr
+           |  FROM ids i, gs g, tl t),
+           |ims AS (
+           |  SELECT a.id, a.g, 0 AS ch,
+           |    list_transform(range(0, 576), tt -> CASE
+           |      WHEN p.inr[tt+1] = 0 OR p.pos[tt+1] = 7
+           |        THEN CASE WHEN a.id % 2 = 1 THEN (a.v[tt+1] + b.v[tt+1]) / sqrt(2.0) ELSE a.v[tt+1] END
+           |      WHEN p.pos[tt+1] = 6 THEN a.v[tt+1]
+           |      ELSE a.v[tt+1] * (tan(p.pos[tt+1] * pi() / 12.0) / (1.0 + tan(p.pos[tt+1] * pi() / 12.0)))
+           |      END) AS v
+           |  FROM xrl a JOIN xrl b ON a.id = b.id AND a.g = b.g
+           |  JOIN posr p ON p.id = a.id AND p.g = a.g
+           |  WHERE a.ch = 0 AND b.ch = 1
+           |  UNION ALL
+           |  SELECT a.id, a.g, 1 AS ch,
+           |    list_transform(range(0, 576), tt -> CASE
+           |      WHEN p.inr[tt+1] = 0 OR p.pos[tt+1] = 7
+           |        THEN CASE WHEN a.id % 2 = 1 THEN (a.v[tt+1] - b.v[tt+1]) / sqrt(2.0) ELSE b.v[tt+1] END
+           |      WHEN p.pos[tt+1] = 6 THEN 0.0
+           |      ELSE a.v[tt+1] * (1.0 / (1.0 + tan(p.pos[tt+1] * pi() / 12.0)))
+           |      END) AS v
+           |  FROM xrl a JOIN xrl b ON a.id = b.id AND a.g = b.g
+           |  JOIN posr p ON p.id = a.id AND p.g = a.g
+           |  WHERE a.ch = 0 AND b.ch = 1),
+           |al AS (
+           |  SELECT x.id, x.g, x.ch,
+           |    list_transform(range(0, 576), i -> CASE
+           |      WHEN i % 18 >= 10 AND i < 18 THEN
+           |        x.v[i+1] * (1.0/sqrt(1.0 + c.ci[18 - (i%18)]*c.ci[18 - (i%18)])) -
+           |        x.v[i + 36 - 2*(i%18)] * (c.ci[18 - (i%18)]/sqrt(1.0 + c.ci[18 - (i%18)]*c.ci[18 - (i%18)]))
+           |      WHEN i % 18 <= 7 AND i >= 18 AND i < 36 THEN
+           |        x.v[i+1] * (1.0/sqrt(1.0 + c.ci[(i%18) + 1]*c.ci[(i%18) + 1])) +
+           |        x.v[i - 2*(i%18)] * (c.ci[(i%18) + 1]/sqrt(1.0 + c.ci[(i%18) + 1]*c.ci[(i%18) + 1]))
+           |      ELSE x.v[i+1] END) AS v
+           |  FROM ims x, const c),
+           |im AS (
+           |  SELECT a.id, a.ch, a.g, sb.sb,
+           |    CASE WHEN sb.sb < 2 THEN
+           |      list_transform(range(0, 36), i ->
+           |        list_sum(list_transform(range(0, 18), kk ->
+           |          a.v[18*sb.sb + kk + 1] * cos(pi()/72 * (2*i + 19) * (2*kk + 1))))
+           |        * sin(pi()/36 * (i + 0.5)))
+           |    ELSE
+           |      list_transform(range(0, 36), i ->
+           |        list_sum(list_transform(range(0, 3), w ->
+           |          CASE WHEN i - 6 - 6*w >= 0 AND i - 6 - 6*w < 12 THEN
+           |            list_sum(list_transform(range(0, 6), kk ->
+           |              a.v[18*sb.sb + 6*w + kk + 1] * cos(pi()/24 * (2*(i - 6 - 6*w) + 7) * (2*kk + 1))))
+           |            * sin(pi()/12 * ((i - 6 - 6*w) + 0.5))
+           |          ELSE 0.0 END)))
+           |    END AS z
+           |  FROM al a, (SELECT unnest(range(0, 32)) AS sb) sb),
+           |ts AS (
+           |  SELECT z0.id, z0.ch, z0.sb,
+           |    list_transform(range(0, 36), t -> (
+           |      CASE WHEN t < 18 THEN z0.z[t+1]
+           |           ELSE z1.z[t-18+1] + z0.z[18 + t-18 + 1] END)
+           |      * (CASE WHEN z0.sb % 2 = 1 AND t % 2 = 1 THEN -1.0 ELSE 1.0 END)) AS s
+           |  FROM im z0 JOIN im z1 ON z0.id = z1.id AND z0.ch = z1.ch AND z0.sb = z1.sb
+           |  WHERE z0.g = 0 AND z1.g = 1),
+           |mat AS (SELECT id, ch, list(s ORDER BY sb) AS m FROM ts GROUP BY id, ch),
+           |vmat AS (
+           |  SELECT id, ch,
+           |    list_transform(range(0, 36), t ->
+           |      list_transform(range(0, 64), o ->
+           |        list_sum(list_transform(range(0, 32), kk ->
+           |          cos((16 + o) * (2*kk + 1) * pi()/64) * m[kk+1][t+1])))) AS vm
+           |  FROM mat),
+           |pcm AS (
+           |  SELECT id, ch,
+           |    list_transform(range(0, 1152), p ->
+           |      CAST(greatest(-32768.0, least(32767.0, floor(
+           |        list_sum(list_transform(range(0, 16), n ->
+           |          (sin(pi() * ((p % 32) + 32*n + 0.5) / 512) / 32) *
+           |          (CASE WHEN (p // 32) - n < 0 THEN 0.0
+           |                ELSE vm[(p // 32) - n + 1][(CASE WHEN n % 2 = 0 THEN p % 32 ELSE 32 + p % 32 END) + 1] END)))
+           |        * 32768.0 + 0.5))) AS INT)) AS q
+           |  FROM vmat)
+           |SELECT id, ch::INT AS channel, (id % 2)::INT AS ms_stereo,
+           |  1152::INT AS n_samples,
+           |  len(list_filter(q, x -> x = 32767 OR x = -32768))::INT AS n_clipped,
+           |  len(list_filter(q, x -> x <> 0))::INT AS n_nonzero,
+           |  list_sum(q)::BIGINT AS pcm_sum,
+           |  list_sum(list_transform(q, x -> abs(x)))::BIGINT AS pcm_abs_sum,
+           |  list_sum(list_transform(range(0, 1152), p -> q[p+1] * (p+1)))::BIGINT AS pos_sum
+           |FROM pcm ORDER BY id, channel""".stripMargin)),
     "multimodal_mp3_short" -> Q(multimodalMp3Short, Some(
       // restates mp3ShortAssets' WINDOW-SWITCHED chain in SQL (round
       // 15, r14 VERDICT #2): granule 0 block_type 1 (start window, long
@@ -1542,7 +1705,8 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
     "multimodal_aac_pulse" -> Q(multimodalAacPulse, Some(
       // restates aacPulseAssets' pulse_data end to end (late round 15):
       // the base quantized formula, the accumulated pulse positions
-      // (start SWB + running offsets), the §9.3 sign-preserving adds,
+      // (start SWB + running offsets), the §9.3 sign-preserving adds
+      // (zero values take MINUS amp — the faad2/ffmpeg rule, r16),
       // and the dequantization over the pulsed integers — integer
       // checksums exact, the two dequantized sums under the floor-form
       // 4-dp round (left-to-right list folds on both engines)
@@ -1562,8 +1726,8 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
            |       FROM par p, (SELECT unnest(range(0, 1024)) AS i) d),
            |cop AS (SELECT co.id, co.i,
            |          CASE WHEN pl.amp IS NULL THEN co.q
-           |               WHEN co.q < 0 THEN co.q - pl.amp
-           |               ELSE co.q + pl.amp END AS q
+           |               WHEN co.q > 0 THEN co.q + pl.amp
+           |               ELSE co.q - pl.amp END AS q
            |        FROM co LEFT JOIN pul pl ON pl.id = co.id AND pl.pos = co.i),
            |qs AS (SELECT id, list(q ORDER BY i) AS q FROM cop GROUP BY id),
            |xrs AS (SELECT s.id, s.q, p.gg,

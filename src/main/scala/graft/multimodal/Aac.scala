@@ -569,10 +569,25 @@ object Aac {
       }
       winBase += info.groupLen(g)
     }
-    // §9.3 pulse application: |x(k)| grows by amp on nonzero values,
-    // zero values take +amp (the spec's sign-preserving add)
+    // §9.3 pulse application: |x(k)| grows by amp on nonzero values; a
+    // ZERO value takes -amp — the 14496-3 pulse decode as implemented
+    // by faad2/ffmpeg is `if (x_quant[k] > 0) += amp else -= amp`
+    // (round 16, closing the r15 ADVICE medium: the prior +amp-on-zero
+    // rule was self-pinned by its own oracle, invisible to gates). A
+    // pulse whose position falls in an UNCODED (sect_cb 0) band — or
+    // past max_sfb's extent — strict-rejects: dequantization iterates
+    // coded bands only, so the pulsed integer would silently vanish
+    // from xr (real decoders disagree on this seam: faad2 dequantizes
+    // it at sf 0, ffmpeg drops it — reject-never-misparse).
     pulses.foreach { case (k, amp) =>
-      if (quant(k) < 0) quant(k) -= amp else quant(k) += amp
+      val s = {
+        var b = 0
+        while (b < maxSfb && nb(b + 1) <= k) b += 1
+        b
+      }
+      require(s < maxSfb && sectCb(0)(s) != 0,
+        s"pulse position $k falls in an uncoded band (sect_cb 0 or past max_sfb)")
+      if (quant(k) > 0) quant(k) += amp else quant(k) -= amp
     }
     // dequantization (§10.3): per-(group, sfb) exponent, SF_OFFSET = 100
     val xr = new Array[Double](1024)
@@ -759,14 +774,20 @@ object Aac {
     * discipline per channel (window-switched CPEs go through
     * [[decodeCpeWin]]); common_window 0 (independent ics_infos)
     * and 1 (shared ics_info + ms_mask_present 0/1/2) both decode;
-    * ms_mask_present 3 is reserved → strict reject. Strict → None on
-    * everything [[decodeSpectra]] rejects per channel. */
+    * ms_mask_present 3 is reserved → strict reject. TNS-bearing frames
+    * also strict-reject HERE (round 16, closing the r15 self-filed
+    * asymmetry): this surface's per-channel `xr` is PRE-TNS while
+    * `xrMs` would be post-TNS, and the SCE twin [[decodeSpectra]]
+    * already rejects TNS — TNS consumers use [[decodeCpeWin]], whose
+    * AacIcs carries the coherent post-MS-post-TNS pair. Strict → None
+    * on everything [[decodeSpectra]] rejects per channel. */
   def decodeCpe(payload: Array[Byte],
                 books: Map[Int, AacBook] = fixtureBooks,
                 sfBook: SfBook = fixtureSfBook,
                 bands: Array[Int] = fixtureBandsLong): Option[AacCpePair] = {
     decodeCpeWin(payload, books, sfBook, bands).flatMap { p =>
       if (p.left.info.windowSequence != 0 || p.right.info.windowSequence != 0) None
+      else if (p.left.hasTns || p.right.hasTns) None
       else Some(AacCpePair(p.commonWindow, p.msMaskPresent,
         if (p.commonWindow) p.msUsed(0) else Array.empty,
         AacChannel(p.left.globalGain, p.left.info.maxSfb, p.left.sectCb(0),

@@ -32,10 +32,12 @@ import scala.collection.mutable.ArrayBuffer
   * tables.
   *
   * SCOPE (strict-reject, never misparse): CAVLC I slices whose every
-  * macroblock is Intra_16x16 with coded_block_pattern CHROMA = 0 — the
-  * luma plane decodes to pixels; chroma residual/prediction stays a
-  * named seam (mb_types 0 I_NxN and 25 I_PCM, P/B slices, CABAC, chroma
-  * CBP 1/2 all reject). Reference analog: the opaque-binary multimodal
+  * macroblock is Intra_16x16 (coded_block_pattern chroma 0/1/2 all
+  * decode — the full YCbCr picture reconstructs: luma DC/AC, chroma DC
+  * Hadamard + AC, all four luma and four chroma prediction modes).
+  * Named seams that still reject: mb_type 0 I_NxN (Intra_4x4) and 25
+  * I_PCM inside this parser (I_PCM has its own parser in [[H264]]),
+  * P/B slices, CABAC. Reference analog: the opaque-binary multimodal
   * columns (SURVEY §2.7); the encoder half exists for fixture assembly
   * only, mirroring Jpeg/Mp3/Aac/H264.
   */
@@ -596,8 +598,9 @@ object H264Cavlc {
     * picture under the given SPS/PPS and CALLER-SUPPLIED [[CavlcTables]].
     * Strict → None on: CABAC, non-I slices, multi-slice-group, chroma
     * formats ≠ 4:2:0/8-bit, field coding, any mb_type other than
-    * Intra_16x16 (1..24), chroma CBP ≠ 0, prediction modes whose
-    * neighbors are unavailable, malformed VLC walks, or trailing bits. */
+    * Intra_16x16 (1..24) — chroma CBP 0/1/2 all decode to pixels —
+    * prediction modes whose neighbors are unavailable, malformed VLC
+    * walks, or trailing bits. */
   def parseI16x16Slice(rbsp: Array[Byte], sps: H264.Sps, pps: H264.Pps,
                        nalRefIdc: Int, nalType: Int,
                        tables: CavlcTables): Option[I16Picture] = try {

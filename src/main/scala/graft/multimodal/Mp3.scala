@@ -425,10 +425,13 @@ object Mp3 {
     * order; short blocks are reordered from their (band, window, line)
     * transmission layout — §2.4.3.4.8, round 15), `blockType`/`mixed` =
     * the granule's window shape the filterbank consumes, `sf` = the RAW
-    * transmitted scalefactors — 21 long entries, or for short granules
-    * the 12×3 short factors flattened band-major (index 3·band +
-    * window) — §2.4.3.4.9.3 reuses the right channel's values as
-    * intensity positions (round 15; short windows late round 15). */
+    * transmitted scalefactors — 21 long entries; for pure-short
+    * granules the 12×3 short factors flattened band-major (index
+    * 3·band + window); for MIXED granules 8 long entries followed by
+    * the 36 flattened short (index 8 + 3·band + window; bands 0..2
+    * untransmitted, zero) — §2.4.3.4.9.3 reuses the right channel's
+    * values as intensity positions (round 15; short late round 15;
+    * mixed round 16). */
   final case class Spectrum(is: Array[Int], nBig: Int, nCount1: Int,
                             xr: Array[Double], blockType: Int = 0,
                             mixed: Boolean = false,
@@ -626,7 +629,10 @@ object Mp3 {
       }
       out(g)(ch) = Spectrum(is, nBig, nC1, xr,
         if (gi.windowSwitching) gi.blockType else 0, isMixed,
-        if (isShort) Array.tabulate(36)(k => sfsShort(k / 3)(k % 3))
+        if (isMixed) // 8 long entries then the 36 flattened short (r16)
+          Array.tabulate(8)(sfsLong) ++
+            Array.tabulate(36)(k => sfsShort(k / 3)(k % 3))
+        else if (isShort) Array.tabulate(36)(k => sfsShort(k / 3)(k % 3))
         else sfsLong)
     }
     out.toSeq.map(_.toSeq)
@@ -1038,8 +1044,6 @@ object Mp3 {
       if (!intensityStereo) null
       else Array.tabulate(1, 2) { (_, g) =>
         val r = spec(g)(1)
-        require(!r.mixed && !spec(g)(0).mixed,
-          "intensity stereo with mixed blocks out of scope")
         require(r.sf.nonEmpty, "intensity stereo without scalefactors")
         (r.nBig + r.nCount1, r.sf)
       }
@@ -1098,7 +1102,9 @@ object Mp3 {
             xr(f)(g)(1)(t) = (m - s) / s2
           }
         }
-        val shortIs = isInfo != null && bt(f)(g)(0)._1 == 2
+        val (btype0, mixed0) = bt(f)(g)(0)
+        val shortIs = isInfo != null && btype0 == 2 && !mixed0
+        val mixedIs = isInfo != null && btype0 == 2 && mixed0
         if (shortIs) {
           // SHORT-window intensity (late round 15) — the DECIDED rule
           // (the §2.4.3.4.9.3 text is ambiguous for short blocks and
@@ -1123,6 +1129,54 @@ object Mp3 {
                 if (!inRegion) 7
                 else if (sBand >= 12) sfR(3 * 11 + w2)
                 else sfR(3 * sBand + w2)
+              var l = 0
+              while (l < width) {
+                val j = lo + l
+                intensityAt(18 * (j / 6) + 6 * w2 + (j % 6), isPos)
+                l += 1
+              }
+              w2 += 1
+            }
+            sBand += 1
+          }
+        } else if (mixedIs) {
+          // MIXED-block intensity (round 16 — the long+short band seam,
+          // closing the last §2.7(a) refusal): the long region (samples
+          // 0..36, bands 0..7) follows the LONG rule — intensity from
+          // the first long-band boundary at or above rzeroStart; the
+          // short region (bands 3..12) follows the decided
+          // band-granular short rule — a band is intensity iff its
+          // whole 3-window transmission block lies in the zero part,
+          // 3·bS(s) ≥ rzeroStart. For mixed blocks the transmission
+          // index of short band s IS 3·bS(s) (the long part spans
+          // exactly 36 = 3·bS(3) samples), so the two rules meet at
+          // the seam with no special case — the same zero-part logic,
+          // each sub-layout under its own band table. Positions: long
+          // sf(b); short sf(8 + 3·band + w) per (band, window), band
+          // 12 reusing 11's (the Spectrum.sf mixed layout). Shares the
+          // short rule's validation caveat (see ADVICE round 15).
+          val (rzero, sfR) = isInfo(f)(g)
+          var b = 0
+          while (b < 8 && bands(b) < rzero) b += 1
+          val isBound = if (b >= 8) Int.MaxValue else bands(b)
+          var band = 0
+          var i = 0
+          while (i < 36) {
+            while (band < 7 && i >= bands(band + 1)) band += 1
+            intensityAt(i, if (i < isBound) 7 else sfR(band))
+            i += 1
+          }
+          var sBand = 3
+          while (sBand < 13) {
+            val inRegion = 3 * bandsShort(sBand) >= rzero
+            val lo = bandsShort(sBand)
+            val width = bandsShort(sBand + 1) - lo
+            var w2 = 0
+            while (w2 < 3) {
+              val isPos =
+                if (!inRegion) 7
+                else if (sBand >= 12) sfR(8 + 3 * 11 + w2)
+                else sfR(8 + 3 * sBand + w2)
               var l = 0
               while (l < width) {
                 val j = lo + l
@@ -1206,17 +1260,16 @@ object Mp3 {
     if (stream.msStereo && channels != 2) return None
     // intensity stereo (§2.4.3.4.9.3, mode_extension bit 0 — round 15):
     // the right channel's zero-part bands reconstruct from the left via
-    // the tan(is_pos·π/12) split; LONG windows only (short/mixed
-    // intensity has a per-window band mapping out of scope — strict
-    // reject, never a misparse)
+    // the tan(is_pos·π/12) split; long, pure-short (late round 15),
+    // AND mixed blocks (round 16) all decode — the short/mixed band
+    // rules are the decided zero-part readings documented at the
+    // synthesizeFrames stage
     val isOn = stream.mode == 1 && (stream.modeExt & 1) != 0
     if (isOn && channels != 2) return None
     val isInfo =
       if (!isOn) null
       else Array.tabulate(spec.length, 2) { (f, g) =>
         val r = spec(f)(g)(1)
-        require(!r.mixed && !spec(f)(g)(0).mixed,
-          "intensity stereo with mixed blocks out of scope")
         require(r.sf.nonEmpty, "intensity stereo without scalefactors")
         (r.nBig + r.nCount1, r.sf)
       }

@@ -575,8 +575,8 @@ object Multimodal {
           s"asset ${a.id}: not a supported MP3"))
       val payload = s.framePayloads.head
       // stereo modes come from the parsed header: MS via mode_ext bit 1,
-      // INTENSITY via bit 0 (round 15 — long-window intensity decodes;
-      // short-window intensity strict-rejects inside decodePcm)
+      // INTENSITY via bit 0 (round 15/16 — long, pure-short, AND mixed
+      // block intensity all decode inside decodePcm)
       val pcm = Mp3.decodePcm(payload, s.channels, rateIdx,
           msStereo = s.msStereo,
           intensityStereo = s.mode == 1 && (s.modeExt & 1) != 0)

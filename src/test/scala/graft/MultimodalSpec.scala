@@ -1200,9 +1200,9 @@ class MultimodalSpec extends AnyFunSuite {
     val mixed = Mp3.encodeMp3(1, 9, 0, frame, mode = 0, modeExt = 0) ++
       Mp3.encodeMp3(1, 9, 0, frame, mode = 1, modeExt = 2)
     assert(Mp3.parseMp3(mixed).isEmpty, "mixed-mode stream accepted")
-    // intensity stereo (mode_extension bit 0) DECODES for long AND
-    // pure-short windows since round 15; the strict reject moved to
-    // the MIXED-block case (the long+short band seam)
+    // intensity stereo (mode_extension bit 0) DECODES for long,
+    // pure-short (round 15) AND mixed windows (round 16 — the
+    // long+short band seam closed; §2.7(a) has no refusals left)
     val intens = Mp3.parseMp3(Mp3.encodeMp3(1, 9, 0, frame, mode = 1, modeExt = 1)).get
     assert(Mp3.decodeSpectraStream(intens, 0).isDefined)
     assert(Mp3.decodePcmStream(intens, 0).isDefined,
@@ -1213,7 +1213,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Mp3.decodeSpectraStream(shortIntens, 0).isDefined)
     assert(Mp3.decodePcmStream(shortIntens, 0).isDefined,
       "pure-short intensity stereo must decode (late round 15)")
-    // MIXED blocks under intensity strict-reject (the band seam)
+    // MIXED blocks under intensity decode too (round 16)
     def giMixed(g: Int) =
       if (g == 0) Mp3.GranuleInfo(0, 8, 180, 13, windowSwitching = true,
         blockType = 2, mixedBlock = true, Seq(4, 4), Seq(0, 0, 0), 7, 36, 0, 0, 1)
@@ -1227,8 +1227,82 @@ class MultimodalSpec extends AnyFunSuite {
     val mixedIntens = Mp3.parseMp3(Mp3.encodeMp3Reservoir(9, 0,
       Seq((siM, sfsM, Seq.fill(2)(Seq.fill(2)(isM)))), mode = 1, modeExt = 1)).get
     assert(Mp3.decodeSpectraStream(mixedIntens, 0).isDefined)
-    assert(Mp3.decodePcmStream(mixedIntens, 0).isEmpty,
-      "mixed-block intensity stereo decoded")
+    assert(Mp3.decodePcmStream(mixedIntens, 0).isDefined,
+      "mixed-block intensity stereo must decode (round 16)")
+  }
+
+  test("mp3 MIXED-block intensity stereo: the long+short seam rule by spectral surgery (round 16)") {
+    import graft.multimodal.Mp3
+    // both granules mixed for both channels, same gg + all-zero requant
+    // scalefactors/subblock gains, so routing a sample between channels
+    // is BIT-EXACT (the surgery discipline of the short/long tests).
+    // Emitter sf order for mixed: 8 long then bands 3..11 × 3 windows.
+    def gi(bv: Int) = Mp3.GranuleInfo(0, bv, 170, 13,
+      windowSwitching = true, blockType = 2, mixedBlock = true,
+      Seq(4, 4), Seq(0, 0, 0), 7, 36, 0, 0, 1)
+    def fixture(l: Array[Int], r2: Array[Int], rightSf: Array[Int]): Array[Byte] = {
+      require(rightSf.length == 35)
+      val si = Mp3.SideInfo(0, 0, Seq.fill(2)(Seq.fill(4)(0)),
+        Seq.fill(2)(Seq(gi(l.length / 2), gi(r2.length / 2))))
+      val sfs: Seq[Seq[Array[Int]]] = Seq.fill(2)(Seq(
+        new Array[Int](35), rightSf.clone()))
+      Mp3.encodeSpectra(si, 2, sfs, Seq.fill(2)(Seq(l, r2)))
+    }
+    def vals(n: Int, off: Int) = Array.tabulate(n) { i =>
+      val m = ((i + off) % 3); if (m != 0 && (i + off) % 5 < 2) -m else m
+    }
+    // left: 48 transmission samples = the full 36-sample long part +
+    // short band 3 (windows 0..2, 4 lines each)
+    val left = vals(48, 0)
+    val sfAll = (pos: Int) => Array.fill(35)(pos)
+    // right all-zero -> rzero = 0: every long band AND every short band
+    // is the intensity region (the seam rules agree at zero)
+    val plain = Mp3.decodePcm(fixture(left, Array.emptyIntArray, sfAll(6)), 2, 0).get
+    val pos6 = Mp3.decodePcm(fixture(left, Array.emptyIntArray, sfAll(6)), 2, 0,
+      intensityStereo = true).get
+    assert(pos6(0).sameElements(plain(0)) && pos6(1).forall(_ == 0.0),
+      "mixed is_pos 6 must leave L exact and zero R")
+    val pos0 = Mp3.decodePcm(fixture(left, Array.emptyIntArray, sfAll(0)), 2, 0,
+      intensityStereo = true).get
+    assert(pos0(0).forall(_ == 0.0), "mixed is_pos 0 must zero L")
+    assert((0 until 1152).forall(i => pos0(1)(i) == plain(0)(i)),
+      "mixed is_pos 0 must route L to R exactly")
+    val pos7 = Mp3.decodePcm(fixture(left, Array.emptyIntArray, sfAll(7)), 2, 0,
+      intensityStereo = true).get
+    assert(pos7(0).sameElements(plain(0)) && pos7(1).forall(_ == 0.0))
+    // THE SEAM: right coded 18 samples into the long part -> rzero = 18;
+    // long intensity starts at the first boundary >= 18 (bands(5) = 20,
+    // so bands 5..7: samples 20..36), samples 18..20 of band 4 straddle
+    // and stay put on BOTH sides; every short band is in the region
+    // (3·bS(3) = 36 >= 18). is_pos 0 everywhere: L loses the region,
+    // R gains it — restate by surgery in transmission order.
+    val right18 = vals(18, 1)
+    val seam = Mp3.decodePcm(fixture(left, right18, sfAll(0)), 2, 0,
+      intensityStereo = true).get
+    val leftSurg = left.zipWithIndex.map { case (v, i) => if (i < 20) v else 0 }
+    val rightSurg = right18 ++ Array(0, 0) ++ left.drop(20)
+    val expect = Mp3.decodePcm(fixture(leftSurg, rightSurg, sfAll(0)), 2, 0).get
+    assert((0 until 1152).forall(i => seam(0)(i) == expect(0)(i)), "L seam")
+    assert((0 until 1152).forall(i => seam(1)(i) == expect(1)(i)), "R seam")
+    // PER-WINDOW short positions with the long part held left: long
+    // positions all 6; short window 1 stays left (6), windows 0/2
+    // route right (0) — band 3's 12 transmitted lines split by window
+    val sfWin = Array.tabulate(35)(k =>
+      if (k < 8) 6 else if ((k - 8) % 3 == 1) 6 else 0)
+    val perWin = Mp3.decodePcm(fixture(left, Array.emptyIntArray, sfWin), 2, 0,
+      intensityStereo = true).get
+    def winOf(src: Int): Int = { // short transmission index -> window
+      val bS = Array(0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192)
+      val s = bS.indices.dropRight(1).filter(b => 3 * bS(b) <= src).max
+      (src - 3 * bS(s)) / (bS(s + 1) - bS(s))
+    }
+    val leftWin = left.zipWithIndex.map { case (v, i) =>
+      if (i < 36 || winOf(i) == 1) v else 0 }
+    val rightWin = left.zipWithIndex.map { case (v, i) =>
+      if (i >= 36 && winOf(i) != 1) v else 0 }
+    val expWin = Mp3.decodePcm(fixture(leftWin, rightWin, sfAll(0)), 2, 0).get
+    assert((0 until 1152).forall(i => perWin(0)(i) == expWin(0)(i)), "L per-window")
+    assert((0 until 1152).forall(i => perWin(1)(i) == expWin(1)(i)), "R per-window")
   }
 
   test("mp3 SHORT-window intensity stereo: band-granular zero-part rule, per-(band, window) positions (late round 15)") {
@@ -2497,6 +2571,12 @@ class MultimodalSpec extends AnyFunSuite {
       manual(128 + i) = acc
     }
     assert(tnsP.xrMs(0).sameElements(manual), "TNS-after-MS order broken")
+    // the long-only decodeCpe surface rejects TNS frames, mirroring the
+    // SCE twin decodeSpectra (round 16 — closes the r15 asymmetry: its
+    // per-channel xr is pre-TNS, so accepting would hand out a mixed
+    // pre/post-TNS pair); TNS consumers use decodeCpeWin above
+    assert(Aac.decodeCpe(cpePlain).isDefined, "plain CPE regressed")
+    assert(Aac.decodeCpe(cpeTns).isEmpty, "decodeCpe accepted a TNS frame")
   }
 
   test("aac pulse_data: sign-preserving adds at accumulated positions; barred from short frames (round 15)") {
@@ -2517,8 +2597,12 @@ class MultimodalSpec extends AnyFunSuite {
     var k = 64 // bands(2)
     for ((off, amp) <- ps.pulses) {
       k += off
-      if (want(k) < 0) want(k) -= amp else want(k) += amp
+      // the 14496-3 rule (faad2/ffmpeg): zero values take -amp
+      if (want(k) > 0) want(k) += amp else want(k) -= amp
     }
+    // position 69 (offset chain 64+3+2) holds quant 0 — pin the
+    // zero-takes-MINUS-amp branch explicitly (r15 ADVICE medium)
+    assert(quant(69) == 0 && want(69) == -9, "zero-value pulse branch not exercised")
     assert(ics.quant.sameElements(want), "pulse adds mismatch")
     // the dequantized spectrum reflects the pulsed integers
     val k0 = 64 + 3
@@ -2535,16 +2619,27 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Aac.encodeSceWin(
       Aac.IcsInfo(2, 4, Array(8)), gg, Array(Array.fill(4)(0)),
       Array(Array.fill(4)(0)), new Array[Int](1024), pulse = Some(ps)))
-    // a pulse position past the spectrum rejects
+    // a pulse position past max_sfb's extent lands in an UNCODED band —
+    // dequant would silently drop it from xr, so the decoder rejects
+    // (round 16: real decoders disagree here, faad2 dequantizes at sf 0
+    // while ffmpeg drops the pulse — reject-never-misparse)
     val far = Aac.PulseSpec(7, Seq((31, 1), (31, 1), (31, 1), (31, 1)))
     val bad = Aac.encodeSceWin(Aac.IcsInfo(0, maxSfb, Array(1)), gg,
       Array(sectCb), Array(sf), quant, pulse = Some(far))
-    // 7*32=224 + 124 = 348 < 1024: fine; use the top band instead
-    assert(Aac.decodeSceWin(bad).isDefined)
+    // 224 + 31 = 255 is still band 7, but 255+31 = 286 >= bands(8) = 256
+    assert(Aac.decodeSceWin(bad).isEmpty, "pulse in an uncoded band accepted")
     val far2 = Aac.PulseSpec(31, Seq((31, 1), (31, 1), (31, 1), (31, 1)))
     val bad2 = Aac.encodeSceWin(Aac.IcsInfo(0, maxSfb, Array(1)), gg,
       Array(sectCb), Array(sf), quant, pulse = Some(far2))
     assert(Aac.decodeSceWin(bad2).isEmpty, "pulse past 1024 accepted")
+    // a pulse inside max_sfb but on a sect_cb 0 (ZERO_HCB) band rejects:
+    // code bands 0..6, leave band 7 uncoded, pulse into band 7
+    val holey = sectCb.clone(); holey(7) = 0
+    val qz = quant.clone(); java.util.Arrays.fill(qz, 224, 256, 0)
+    val inHole = Aac.PulseSpec(7, Seq((0, 3)))
+    val bad3 = Aac.encodeSceWin(Aac.IcsInfo(0, maxSfb, Array(1)), gg,
+      Array(holey), Array(sf), qz, pulse = Some(inHole))
+    assert(Aac.decodeSceWin(bad3).isEmpty, "pulse in a ZERO_HCB band accepted")
   }
 
   test("aac EIGHT_SHORT strict rejects + mutation fuzz never throws") {
