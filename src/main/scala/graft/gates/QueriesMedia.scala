@@ -1277,6 +1277,72 @@ private[graft] trait QueriesMedia { this: Queries.type =>
       graft.multimodal.H264Cavlc.fixtureTables)
       .toDF().orderBy(col("id"), col("mb"))
 
+  /** MIXED Intra_4x4 / Intra_16x16 pictures (round 16 — the I_NxN
+    * rung): 2×2 MBs per id — mb0 an Intra_16x16 DC macroblock with
+    * ZERO residual (flat 128; the I16 residual math is pinned by
+    * `multimodal_h264_i16x16`), mbs 1..3 Intra_4x4 with
+    * availability-legal closed-form modes that cycle ALL NINE
+    * §8.3.1.2 modes, per-MB qp deltas through the conditional
+    * mb_qp_delta rule, and formula residual levels on every 8x8
+    * (CBP luma 15). Closed-form per (id, m, blk, p):
+    *   slice qp = 20 + (5·id)%12;  qpDelta(m) = ((id+m)%5)−2
+    *   mode(m=1, by=0 blocks) = [1,2,8][(id+blk)%3]     (no top row)
+    *   mode(m=2, bx=0 blocks) = [0,2,3,7][(id+blk)%4]   (no left col)
+    *   mode(m=2, else)        = (id+1+blk)%9
+    *   mode(m∈{1,3}, else)    = (id+blk)%9
+    *   lumaScan(m)(blk)(p) = ((id + m·(p+2) + blk)%5)−2
+    *                          if (id+m+blk+p)%7 = 0 else 0
+    * coded with the canonical fixture tables (provenance per the
+    * CavlcTables note). */
+  private[graft] def h264I4x4Assets(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val src = docsTbl(spark, dir).where(col("doc_id") < 4)
+      .select(col("doc_id")).as[Long]
+    src.mapPartitions(_.map { id =>
+      val spsB = graft.multimodal.H264.encodeSps(
+        66, 30, spsId = 0, log2MaxFrameNumMinus4 = 0, poc = 0,
+        maxRef = 1, pwMbsMinus1 = 1, phMapMinus1 = 1,
+        frameMbsOnly = true, crop = None)
+      val ppsB = graft.multimodal.H264.encodePps(
+        ppsId = 0, spsId = 0, cabac = false, picInitQp = 26)
+      val sps = graft.multimodal.H264.parseSps(spsB).get
+      val pps = graft.multimodal.H264.parsePps(ppsB).get
+      val qp = (20 + (5 * id) % 12).toInt
+      def mode(m: Int, blk: Int): Int = {
+        val bx = 2 * ((blk / 4) % 2) + blk % 4 % 2
+        val by = 2 * ((blk / 4) / 2) + (blk % 4) / 2
+        if (m == 1 && by == 0) Seq(1, 2, 8)(((id + blk) % 3).toInt)
+        else if (m == 2 && bx == 0) Seq(0, 2, 3, 7)(((id + blk) % 4).toInt)
+        else if (m == 2) ((id + 1 + blk) % 9).toInt
+        else ((id + blk) % 9).toInt
+      }
+      val mb0 = graft.multimodal.H264Cavlc.I16MbSpec(2, 0, 0,
+        new Array[Int](16), Array.fill(16)(new Array[Int](15)))
+      val i4 = (1 to 3).map { m =>
+        graft.multimodal.H264Cavlc.I4x4MbSpec(
+          Array.tabulate(16)(mode(m, _)), 0, ((id + m) % 5).toInt - 2,
+          Array.tabulate(16, 16)((blk, p) =>
+            if ((id + m + blk + p) % 7 == 0)
+              ((id + m * (p + 2) + blk) % 5).toInt - 2
+            else 0).map(_.toArray),
+          forceCbpLuma = Some(15))
+      }
+      val slice = graft.multimodal.H264Cavlc.encodeI16x16Slice(
+        sps, pps, nalRefIdc = 3, idr = true,
+        frameNum = (id % 16).toInt, idrPicId = (id % 5).toInt,
+        pocLsb = (id % 16).toInt, sliceQpDelta = qp - 26, mb0 +: i4,
+        tables = graft.multimodal.H264Cavlc.fixtureTables)
+      graft.multimodal.Multimodal.Asset(id, "video",
+        graft.multimodal.H264.annexB(
+          Seq((3, 7, spsB), (3, 8, ppsB), (3, 5, slice))), 0, 0)
+    })
+  }
+
+  private[graft] def multimodalH264I4x4(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.h264I4x4Luma(h264I4x4Assets(spark, dir),
+      graft.multimodal.H264Cavlc.fixtureTables)
+      .toDF().orderBy(col("id"), col("mb"))
+
   /** CHROMA-bearing Intra_16x16 pictures (late round 15): 2×2 MBs, all
     * four §8.3.4 chroma prediction modes in the dependency chain (mb0
     * DC, mb1 H, mb2 V, mb3 Plane), CBP chroma forced 2 with formula DC

@@ -31,15 +31,17 @@ import scala.collection.mutable.ArrayBuffer
   * constants — small enough to verify by inspection, unlike the VLC
   * tables.
   *
-  * SCOPE (strict-reject, never misparse): CAVLC I slices whose every
-  * macroblock is Intra_16x16 (coded_block_pattern chroma 0/1/2 all
-  * decode — the full YCbCr picture reconstructs: luma DC/AC, chroma DC
-  * Hadamard + AC, all four luma and four chroma prediction modes).
-  * Named seams that still reject: mb_type 0 I_NxN (Intra_4x4) and 25
-  * I_PCM inside this parser (I_PCM has its own parser in [[H264]]),
-  * P/B slices, CABAC. Reference analog: the opaque-binary multimodal
-  * columns (SURVEY §2.7); the encoder half exists for fixture assembly
-  * only, mirroring Jpeg/Mp3/Aac/H264.
+  * SCOPE (strict-reject, never misparse): CAVLC I slices mixing
+  * Intra_16x16 and — round 16 — Intra_4x4 macroblocks (all nine
+  * §8.3.1.2 prediction modes, prev_intra4x4_pred_mode signalling, the
+  * Table 9-4 me(v) CBP, per-4x4 reconstruction order with in-MB
+  * neighbor availability); coded_block_pattern chroma 0/1/2 all decode
+  * — the full YCbCr picture reconstructs. Named seams that still
+  * reject: mb_type 25 I_PCM inside this parser (I_PCM has its own
+  * parser in [[H264]]), Intra_8x8 (transform_8x8 PPS out of the parsed
+  * profile), P/B slices, CABAC. Reference analog: the opaque-binary
+  * multimodal columns (SURVEY §2.7); the encoder half exists for
+  * fixture assembly only, mirroring Jpeg/Mp3/Aac/H264.
   */
 object H264Cavlc {
 
@@ -412,6 +414,22 @@ object H264Cavlc {
     out
   }
 
+  /** Table 9-4's me(v) mapping for Intra_4x4 coded_block_pattern
+    * (ChromaArrayType 1): codeNum → cbp. 48 small integers, shipped
+    * inline like [[normAdjust4x4]]/[[chromaQpTable]] — a mapping
+    * permutation verifiable by inspection against the spec table, not
+    * a VLC codebook (round 16, the I_NxN rung). */
+  private[graft] val golombToIntra4x4Cbp: Array[Int] = Array(
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41)
+
+  private[graft] val intra4x4CbpToGolomb: Array[Int] = {
+    val inv = new Array[Int](48)
+    golombToIntra4x4Cbp.zipWithIndex.foreach { case (cbp, code) => inv(cbp) = code }
+    inv
+  }
+
   /** §8.5.8's chroma QP mapping for qPI ≥ 30 (22 small integers,
     * shipped inline like [[normAdjust4x4]]); below 30, QPC = qPI. */
   private[graft] val chromaQpTable: Array[Int] = Array(
@@ -570,13 +588,120 @@ object H264Cavlc {
     out
   }
 
+  /** §8.3.1.2 Intra_4x4 prediction, all nine modes (round 16 — the
+    * I_NxN rung that real baseline I-frames mix with I_16x16): one 4x4
+    * block at GLOBAL 4x4-grid coords (gx, gy) over the reconstructed
+    * luma plane. Availability flags follow the decoding order (the
+    * caller's done-grid): modes requiring an unavailable neighbor throw
+    * (a conforming stream never codes them); the top-right samples
+    * p[4..7, −1] substitute p[3, −1] when the top-right block is
+    * undecoded/outside and the top row is available (§8.3.1.2's
+    * substitution rule). Returns 16 samples, 4x4 raster. */
+  private[graft] def predictIntra4x4(mode: Int, plane: Array[Int], w: Int,
+                                     gx: Int, gy: Int, hasLeft: Boolean,
+                                     hasTop: Boolean, hasCorner: Boolean,
+                                     hasTopRight: Boolean): Array[Int] = {
+    val x0 = 4 * gx; val y0 = 4 * gy
+    // p(x, -1) for x in -1..7 and p(-1, y) for y in 0..3 (§8.3.1.2)
+    @inline def pT(x: Int): Int =
+      if (x <= 3 || hasTopRight) plane((y0 - 1) * w + x0 + x)
+      else plane((y0 - 1) * w + x0 + 3) // substitution: p[3, -1]
+    @inline def pL(y: Int): Int = plane((y0 + y) * w + x0 - 1)
+    @inline def pC: Int = plane((y0 - 1) * w + x0 - 1) // p[-1, -1]
+    val out = new Array[Int](16)
+    @inline def set(x: Int, y: Int, v: Int): Unit = out(4 * y + x) = v
+    mode match {
+      case 0 => // Vertical
+        require(hasTop, "Intra_4x4_Vertical needs the top row")
+        for (y <- 0 until 4; x <- 0 until 4) set(x, y, pT(x))
+      case 1 => // Horizontal
+        require(hasLeft, "Intra_4x4_Horizontal needs the left column")
+        for (y <- 0 until 4; x <- 0 until 4) set(x, y, pL(y))
+      case 2 => // DC with the §8.3.1.2.3 fallbacks
+        val dc =
+          if (hasLeft && hasTop)
+            ((0 until 4).map(pT).sum + (0 until 4).map(pL).sum + 4) >> 3
+          else if (hasLeft) ((0 until 4).map(pL).sum + 2) >> 2
+          else if (hasTop) ((0 until 4).map(pT).sum + 2) >> 2
+          else 128
+        java.util.Arrays.fill(out, dc)
+      case 3 => // Diagonal_Down_Left
+        require(hasTop, "Intra_4x4_Diagonal_Down_Left needs the top row")
+        for (y <- 0 until 4; x <- 0 until 4)
+          set(x, y,
+            if (x == 3 && y == 3) (pT(6) + 3 * pT(7) + 2) >> 2
+            else (pT(x + y) + 2 * pT(x + y + 1) + pT(x + y + 2) + 2) >> 2)
+      case 4 => // Diagonal_Down_Right
+        require(hasLeft && hasTop && hasCorner,
+          "Intra_4x4_Diagonal_Down_Right needs left, top and corner")
+        for (y <- 0 until 4; x <- 0 until 4)
+          set(x, y,
+            if (x > y) (pT(x - y - 2) + 2 * pT(x - y - 1) + pT(x - y) + 2) >> 2
+            else if (x < y) (pL(y - x - 2) + 2 * pL(y - x - 1) + pL(y - x) + 2) >> 2
+            else (pT(0) + 2 * pC + pL(0) + 2) >> 2)
+      case 5 => // Vertical_Right
+        require(hasLeft && hasTop && hasCorner,
+          "Intra_4x4_Vertical_Right needs left, top and corner")
+        for (y <- 0 until 4; x <- 0 until 4) {
+          val zVR = 2 * x - y
+          @inline def t(i: Int): Int = if (i == -1) pC else pT(i)
+          set(x, y,
+            if (zVR >= 0 && zVR % 2 == 0)
+              (t(x - (y >> 1) - 1) + t(x - (y >> 1)) + 1) >> 1
+            else if (zVR >= 1) // odd
+              (t(x - (y >> 1) - 2) + 2 * t(x - (y >> 1) - 1) + t(x - (y >> 1)) + 2) >> 2
+            else if (zVR == -1) (pL(0) + 2 * pC + pT(0) + 2) >> 2
+            else (pL(y - 1) + 2 * pL(y - 2) + pL(y - 3) + 2) >> 2) // zVR -2/-3
+        }
+      case 6 => // Horizontal_Down
+        require(hasLeft && hasTop && hasCorner,
+          "Intra_4x4_Horizontal_Down needs left, top and corner")
+        for (y <- 0 until 4; x <- 0 until 4) {
+          val zHD = 2 * y - x
+          @inline def l(i: Int): Int = if (i == -1) pC else pL(i)
+          set(x, y,
+            if (zHD >= 0 && zHD % 2 == 0)
+              (l(y - (x >> 1) - 1) + l(y - (x >> 1)) + 1) >> 1
+            else if (zHD >= 1) // odd
+              (l(y - (x >> 1) - 2) + 2 * l(y - (x >> 1) - 1) + l(y - (x >> 1)) + 2) >> 2
+            else if (zHD == -1) (pL(0) + 2 * pC + pT(0) + 2) >> 2
+            else (pT(x - 1) + 2 * pT(x - 2) + pT(x - 3) + 2) >> 2) // zHD -2/-3
+        }
+      case 7 => // Vertical_Left
+        require(hasTop, "Intra_4x4_Vertical_Left needs the top row")
+        for (y <- 0 until 4; x <- 0 until 4)
+          set(x, y,
+            if (y % 2 == 0) (pT(x + (y >> 1)) + pT(x + (y >> 1) + 1) + 1) >> 1
+            else (pT(x + (y >> 1)) + 2 * pT(x + (y >> 1) + 1) + pT(x + (y >> 1) + 2) + 2) >> 2)
+      case 8 => // Horizontal_Up
+        require(hasLeft, "Intra_4x4_Horizontal_Up needs the left column")
+        for (y <- 0 until 4; x <- 0 until 4) {
+          val zHU = x + 2 * y
+          set(x, y,
+            if (zHU > 5) pL(3)
+            else if (zHU == 5) (pL(2) + 3 * pL(3) + 2) >> 2
+            else if (zHU % 2 == 0) (pL(y + (x >> 1)) + pL(y + (x >> 1) + 1) + 1) >> 1
+            else (pL(y + (x >> 1)) + 2 * pL(y + (x >> 1) + 1) + pL(y + (x >> 1) + 2) + 2) >> 2)
+        }
+      case other =>
+        throw new IllegalArgumentException(s"Intra4x4PredMode $other")
+    }
+    out
+  }
+
   // -------------------------------------------------------------------
   // Slice decode
   // -------------------------------------------------------------------
 
-  /** One decoded Intra_16x16 macroblock's metadata. */
+  /** One decoded intra macroblock's metadata. For Intra_16x16 MBs
+    * `predMode` is the §8.3.3 mode and `modes4x4` is empty; for
+    * Intra_4x4 MBs (round 16) `predMode` = −1 and `modes4x4` holds the
+    * sixteen §8.3.1.2 modes in luma4x4BlkIdx order. */
   final case class I16Mb(predMode: Int, cbpChroma: Int, cbpLuma: Int,
-                         chromaPredMode: Int, qp: Int)
+                         chromaPredMode: Int, qp: Int,
+                         modes4x4: Array[Int] = Array.empty) {
+    def isI4x4: Boolean = modes4x4.nonEmpty
+  }
 
   /** Decoded single-slice all-Intra_16x16 picture: the LUMA plane
     * (width·height, row-major, 0..255) and — late round 15 — the two
@@ -594,13 +719,18 @@ object H264Cavlc {
   @inline private def blkX(idx: Int): Int = 2 * ((idx / 4) % 2) + (idx % 4) % 2
   @inline private def blkY(idx: Int): Int = 2 * ((idx / 4) / 2) + (idx % 4) / 2
 
-  /** Parse a slice NAL's RBSP as a single-slice all-Intra_16x16 CAVLC
-    * picture under the given SPS/PPS and CALLER-SUPPLIED [[CavlcTables]].
-    * Strict → None on: CABAC, non-I slices, multi-slice-group, chroma
-    * formats ≠ 4:2:0/8-bit, field coding, any mb_type other than
-    * Intra_16x16 (1..24) — chroma CBP 0/1/2 all decode to pixels —
-    * prediction modes whose neighbors are unavailable, malformed VLC
-    * walks, or trailing bits. */
+  /** Parse a slice NAL's RBSP as a single-slice all-INTRA CAVLC picture
+    * under the given SPS/PPS and CALLER-SUPPLIED [[CavlcTables]]:
+    * macroblocks may mix Intra_16x16 (mb_type 1..24) and — round 16 —
+    * Intra_4x4 (mb_type 0: per-block §8.3.1.1 mode signalling, Table
+    * 9-4 me(v) CBP, conditional mb_qp_delta, 16-coefficient residual
+    * blocks, and the nine §8.3.1.2 prediction modes over the
+    * decode-order availability grid, reconstructing block by block in
+    * blkIdx order). Strict → None on: CABAC, non-I slices,
+    * multi-slice-group, chroma formats ≠ 4:2:0/8-bit, field coding,
+    * mb_type 25 (I_PCM — its own parser in [[H264]]), prediction modes
+    * whose neighbors are unavailable, malformed VLC walks, or trailing
+    * bits. */
   def parseI16x16Slice(rbsp: Array[Byte], sps: H264.Sps, pps: H264.Pps,
                        nalRefIdc: Int, nalType: Int,
                        tables: CavlcTables): Option[I16Picture] = try {
@@ -666,14 +796,182 @@ object H264Cavlc {
         case (None, None) => 0
       }
     }
+    // round 16 (I_NxN): per-4x4 grids threading across macroblocks —
+    // `done` marks reconstructed luma 4x4s (the §8.3.1.2 availability
+    // predicate under single-slice raster + blkIdx decode order) and
+    // `modeGrid` holds each I4x4 block's prediction mode (−1 = not an
+    // Intra_4x4 block, which §8.3.1.1 infers as DC for the predictor)
+    val done = Array.fill(4 * hMbs, 4 * wMbs)(false)
+    val modeGrid = Array.fill(4 * hMbs, 4 * wMbs)(-1)
     val mbs = new ArrayBuffer[I16Mb](wMbs * hMbs)
     var prevQp = sliceQp
     var mb = 0
     while (mb < wMbs * hMbs) {
       val mbx = mb % wMbs; val mby = mb / wMbs
+      // shared chroma halves (§7.3.5.3 parse order and the §8.3.4 +
+      // §8.5.11 reconstruction) — identical for I16 and I4x4 MBs
+      def parseChroma(cbpChroma: Int): (Array[Array[Int]], Array[Array[Array[Int]]]) = {
+        val chDcScan = Array.ofDim[Int](2, 4)
+        val chAcScan = Array.ofDim[Int](2, 4, 15)
+        if (cbpChroma >= 1) {
+          var comp = 0
+          while (comp < 2) {
+            val (dcl, _) = residualBlock(r, -1, 4, tables) // 4:2:0 chroma DC
+            chDcScan(comp) = dcl
+            comp += 1
+          }
+        }
+        var comp = 0
+        while (comp < 2) {
+          var cblk = 0
+          while (cblk < 4) {
+            val gx = 2 * mbx + cblk % 2; val gy = 2 * mby + cblk / 2
+            if (cbpChroma == 2) {
+              val (lv, tc) = residualBlock(r, nCOfC(comp, gx, gy), 15, tables)
+              chAcScan(comp)(cblk) = lv
+              nzC(comp)(gy)(gx) = tc
+            } else nzC(comp)(gy)(gx) = 0
+            cblk += 1
+          }
+          comp += 1
+        }
+        (chDcScan, chAcScan)
+      }
+      def reconChroma(cbpChroma: Int, chromaPredMode: Int, qp: Int,
+                      chDcScan: Array[Array[Int]],
+                      chAcScan: Array[Array[Array[Int]]]): Unit = {
+        val qpc = chromaQp(qp, pps.chromaQpOffset)
+        var comp = 0
+        while (comp < 2) {
+          val plane = if (comp == 0) cb else cr
+          val pred = predictChroma8x8(chromaPredMode, plane, wc, mbx, mby)
+          val dcC =
+            if (cbpChroma >= 1) chromaDcTransform(chDcScan(comp), qpc)
+            else new Array[Int](4)
+          var cblk = 0
+          while (cblk < 4) {
+            val bx = cblk % 2; val by = cblk / 2
+            val d = new Array[Int](16)
+            d(0) = dcC(cblk) // 2x2 DC raster matches the cblk raster
+            var p = 1
+            while (p < 16) {
+              val ri = zigZag4x4(p)
+              val c = chAcScan(comp)(cblk)(p - 1)
+              if (c != 0) d(ri) = scaleAc(c, qpc, ri / 4, ri % 4)
+              p += 1
+            }
+            val res = inverseTransform4x4(d)
+            var yy = 0
+            while (yy < 4) {
+              var xx = 0
+              while (xx < 4) {
+                val px = 8 * mbx + 4 * bx + xx
+                val py = 8 * mby + 4 * by + yy
+                plane(py * wc + px) =
+                  clip255(pred(8 * (4 * by + yy) + 4 * bx + xx) + res(4 * yy + xx))
+                xx += 1
+              }
+              yy += 1
+            }
+            cblk += 1
+          }
+          comp += 1
+        }
+      }
       val mbType = r.ue()
+      if (mbType == 0) {
+        // ---- I_NxN = Intra_4x4 (round 16; no transform_size_8x8 —
+        // the PPS walk in scope has no transform_8x8_mode_flag) ----
+        // mb_pred(): sixteen §8.3.1.1 mode signals in blkIdx order;
+        // the predictor is min(modeA, modeB) with unavailable or
+        // non-I4x4 neighbors inferred as 2 (DC)
+        val modes = new Array[Int](16)
+        var blk = 0
+        while (blk < 16) {
+          val gx = 4 * mbx + blkX(blk); val gy = 4 * mby + blkY(blk)
+          val a = if (gx == 0 || modeGrid(gy)(gx - 1) < 0) 2 else modeGrid(gy)(gx - 1)
+          val b = if (gy == 0 || modeGrid(gy - 1)(gx) < 0) 2 else modeGrid(gy - 1)(gx)
+          val predicted = math.min(a, b)
+          val mode =
+            if (r.u(1) == 1) predicted // prev_intra4x4_pred_mode_flag
+            else {
+              val rem = r.u(3)
+              if (rem < predicted) rem else rem + 1
+            }
+          modes(blk) = mode
+          modeGrid(gy)(gx) = mode
+          blk += 1
+        }
+        val chromaPredMode = r.ue()
+        require(chromaPredMode <= 3, s"intra_chroma_pred_mode $chromaPredMode")
+        // coded_block_pattern via me(v) + Table 9-4's intra mapping
+        val cbpCode = r.ue()
+        require(cbpCode < 48, s"coded_block_pattern codeNum $cbpCode")
+        val cbp = golombToIntra4x4Cbp(cbpCode)
+        val cbpLuma = cbp & 15
+        val cbpChroma = cbp >> 4
+        // mb_qp_delta only when any residual is coded (§7.3.5)
+        val qp =
+          if (cbp != 0) {
+            val qpDelta = r.se()
+            require(qpDelta >= -26 && qpDelta <= 25, s"mb_qp_delta $qpDelta")
+            (prevQp + qpDelta + 52) % 52
+          } else prevQp
+        prevQp = qp
+        // luma residual: 16-coefficient blocks (the 4x4's own DC is
+        // scan position 0 — no separate DC transform), gated per-8x8
+        // by the CBP luma bits
+        val lumaScan = Array.ofDim[Int](16, 16)
+        blk = 0
+        while (blk < 16) {
+          val gx = 4 * mbx + blkX(blk); val gy = 4 * mby + blkY(blk)
+          if ((cbpLuma >> (blk / 4) & 1) != 0) {
+            val (lv, tc) = residualBlock(r, nCOf(gx, gy), 16, tables)
+            lumaScan(blk) = lv
+            nz(gy)(gx) = tc
+          } else nz(gy)(gx) = 0
+          blk += 1
+        }
+        val (chDcScan, chAcScan) = parseChroma(cbpChroma)
+        // reconstruction in blkIdx order: each block predicts from the
+        // done-grid availability (neighbors may be inside this MB)
+        blk = 0
+        while (blk < 16) {
+          val bx = blkX(blk); val by = blkY(blk)
+          val gx = 4 * mbx + bx; val gy = 4 * mby + by
+          val hasLeft = gx > 0 && done(gy)(gx - 1)
+          val hasTop = gy > 0 && done(gy - 1)(gx)
+          val hasCorner = gx > 0 && gy > 0 && done(gy - 1)(gx - 1)
+          val hasTR = gy > 0 && gx + 1 < 4 * wMbs && done(gy - 1)(gx + 1)
+          val pred = predictIntra4x4(modes(blk), luma, w, gx, gy,
+            hasLeft, hasTop, hasCorner, hasTR)
+          val d = new Array[Int](16)
+          var p = 0
+          while (p < 16) {
+            val ri = zigZag4x4(p)
+            val c = lumaScan(blk)(p)
+            if (c != 0) d(ri) = scaleAc(c, qp, ri / 4, ri % 4)
+            p += 1
+          }
+          val res = inverseTransform4x4(d)
+          var yy = 0
+          while (yy < 4) {
+            var xx = 0
+            while (xx < 4) {
+              val px = 4 * gx + xx; val py = 4 * gy + yy
+              luma(py * w + px) = clip255(pred(4 * yy + xx) + res(4 * yy + xx))
+              xx += 1
+            }
+            yy += 1
+          }
+          done(gy)(gx) = true
+          blk += 1
+        }
+        reconChroma(cbpChroma, chromaPredMode, qp, chDcScan, chAcScan)
+        mbs += I16Mb(-1, cbpChroma, cbpLuma, chromaPredMode, qp, modes)
+      } else {
       require(mbType >= 1 && mbType <= 24,
-        s"mb_type $mbType: only Intra_16x16 in scope") // 0 = I_NxN, 25 = I_PCM
+        s"mb_type $mbType: only I_NxN/Intra_16x16 in scope") // 25 = I_PCM
       val predMode = (mbType - 1) % 4
       val cbpChroma = ((mbType - 1) / 4) % 3
       val cbpLuma = if (mbType - 1 >= 12) 15 else 0
@@ -697,31 +995,7 @@ object H264Cavlc {
         } else nz(gy)(gx) = 0
         blk += 1
       }
-      // chroma residual (§7.3.5.3 order: Cb DC, Cr DC, Cb AC×4, Cr AC×4)
-      val chDcScan = Array.ofDim[Int](2, 4)
-      val chAcScan = Array.ofDim[Int](2, 4, 15)
-      if (cbpChroma >= 1) {
-        var comp = 0
-        while (comp < 2) {
-          val (dcl, _) = residualBlock(r, -1, 4, tables) // 4:2:0 chroma DC
-          chDcScan(comp) = dcl
-          comp += 1
-        }
-      }
-      var comp = 0
-      while (comp < 2) {
-        var cblk = 0
-        while (cblk < 4) {
-          val gx = 2 * mbx + cblk % 2; val gy = 2 * mby + cblk / 2
-          if (cbpChroma == 2) {
-            val (lv, tc) = residualBlock(r, nCOfC(comp, gx, gy), 15, tables)
-            chAcScan(comp)(cblk) = lv
-            nzC(comp)(gy)(gx) = tc
-          } else nzC(comp)(gy)(gx) = 0
-          cblk += 1
-        }
-        comp += 1
-      }
+      val (chDcScan, chAcScan) = parseChroma(cbpChroma)
       // DC: zig-zag → 4x4 raster → inverse Hadamard → scale
       val dcRaster = new Array[Int](16)
       var k = 0
@@ -755,48 +1029,12 @@ object H264Cavlc {
           }
           yy += 1
         }
+        done(4 * mby + by)(4 * mbx + bx) = true
         blk += 1
       }
-      // chroma reconstruction (late round 15): per component, §8.3.4
-      // prediction + the DC-Hadamard/AC residual under the mapped QPC
-      val qpc = chromaQp(qp, pps.chromaQpOffset)
-      comp = 0
-      while (comp < 2) {
-        val plane = if (comp == 0) cb else cr
-        val pred = predictChroma8x8(chromaPredMode, plane, wc, mbx, mby)
-        val dcC =
-          if (cbpChroma >= 1) chromaDcTransform(chDcScan(comp), qpc)
-          else new Array[Int](4)
-        var cblk = 0
-        while (cblk < 4) {
-          val bx = cblk % 2; val by = cblk / 2
-          val d = new Array[Int](16)
-          d(0) = dcC(cblk) // 2x2 DC raster matches the cblk raster
-          var p = 1
-          while (p < 16) {
-            val ri = zigZag4x4(p)
-            val c = chAcScan(comp)(cblk)(p - 1)
-            if (c != 0) d(ri) = scaleAc(c, qpc, ri / 4, ri % 4)
-            p += 1
-          }
-          val res = inverseTransform4x4(d)
-          var yy = 0
-          while (yy < 4) {
-            var xx = 0
-            while (xx < 4) {
-              val px = 8 * mbx + 4 * bx + xx
-              val py = 8 * mby + 4 * by + yy
-              plane(py * wc + px) =
-                clip255(pred(8 * (4 * by + yy) + 4 * bx + xx) + res(4 * yy + xx))
-              xx += 1
-            }
-            yy += 1
-          }
-          cblk += 1
-        }
-        comp += 1
-      }
+      reconChroma(cbpChroma, chromaPredMode, qp, chDcScan, chAcScan)
       mbs += I16Mb(predMode, cbpChroma, cbpLuma, chromaPredMode, qp)
+      }
       mb += 1
     }
     require(r.u(1) == 1, "missing rbsp_stop_one_bit")
@@ -930,27 +1168,44 @@ object H264Cavlc {
     totalCoeff
   }
 
-  /** One macroblock's fixture inputs: prediction mode, qp delta, the 16
-    * DC levels and 16×15 AC levels in ZIG-ZAG SCAN order (the layout
-    * [[parseI16x16Slice]] decodes to before dequant). cbpLuma is
-    * derived: 15 if any AC level is nonzero else caller's choice via
-    * `forceCbpLuma`. Chroma (late round 15): `chromaDc` is 2×4 raster
-    * 2x2 DC levels, `chromaAc` 2×4×15 scan levels; CBP chroma derives
-    * (2 if any AC, else 1 if any DC, else 0) with `forceCbpChroma`
-    * overriding upward. */
+  /** One intra macroblock's fixture inputs (sealed: I16 or I4x4). */
+  sealed trait IMbSpec
+
+  /** One Intra_16x16 macroblock's fixture inputs: prediction mode, qp
+    * delta, the 16 DC levels and 16×15 AC levels in ZIG-ZAG SCAN order
+    * (the layout [[parseI16x16Slice]] decodes to before dequant).
+    * cbpLuma is derived: 15 if any AC level is nonzero else caller's
+    * choice via `forceCbpLuma`. Chroma (late round 15): `chromaDc` is
+    * 2×4 raster 2x2 DC levels, `chromaAc` 2×4×15 scan levels; CBP
+    * chroma derives (2 if any AC, else 1 if any DC, else 0) with
+    * `forceCbpChroma` overriding upward. */
   final case class I16MbSpec(predMode: Int, chromaPredMode: Int, qpDelta: Int,
                              dcScan: Array[Int], acScan: Array[Array[Int]],
                              forceCbpLuma: Option[Int] = None,
                              chromaDc: Array[Array[Int]] = Array.empty,
                              chromaAc: Array[Array[Array[Int]]] = Array.empty,
-                             forceCbpChroma: Option[Int] = None)
+                             forceCbpChroma: Option[Int] = None) extends IMbSpec
+
+  /** One Intra_4x4 macroblock's fixture inputs (round 16): the sixteen
+    * §8.3.1.2 modes in blkIdx order, and 16×16 ZIG-ZAG SCAN levels
+    * (each block's own DC at scan position 0). CBP luma derives per
+    * 8x8 (bit set iff any of its four blocks has a nonzero level);
+    * `forceCbpLuma` may set EXTRA bits (coded-but-all-zero 8x8s).
+    * mb_qp_delta is only emitted when the derived CBP is nonzero, so
+    * `qpDelta` must be 0 for an all-zero-CBP spec. */
+  final case class I4x4MbSpec(modes: Array[Int], chromaPredMode: Int, qpDelta: Int,
+                              lumaScan: Array[Array[Int]],
+                              forceCbpLuma: Option[Int] = None,
+                              chromaDc: Array[Array[Int]] = Array.empty,
+                              chromaAc: Array[Array[Array[Int]]] = Array.empty,
+                              forceCbpChroma: Option[Int] = None) extends IMbSpec
 
   /** Fixture encoder for [[parseI16x16Slice]]: slice header + all-
     * Intra_16x16 CAVLC slice data, mirrored field for field. */
   def encodeI16x16Slice(sps: H264.Sps, pps: H264.Pps, nalRefIdc: Int,
                         idr: Boolean, frameNum: Int, idrPicId: Int,
                         pocLsb: Int, sliceQpDelta: Int,
-                        mbs: Seq[I16MbSpec], tables: CavlcTables,
+                        mbs: Seq[IMbSpec], tables: CavlcTables,
                         deblockIdc: Int = 1): Array[Byte] = {
     require(mbs.length == sps.picWidthInMbs * sps.picHeightInMapUnits,
       "fixture slice must cover the whole picture")
@@ -997,23 +1252,16 @@ object H264Cavlc {
         case (None, None) => 0
       }
     }
-    mbs.zipWithIndex.foreach { case (m, idx) =>
-      val mbx = idx % wMbs; val mby = idx / wMbs
-      require(m.dcScan.length == 16 && m.acScan.length == 16 &&
-        m.acScan.forall(_.length == 15), "scan array shapes")
-      val cbpLuma = m.forceCbpLuma.getOrElse(
-        if (m.acScan.exists(_.exists(_ != 0))) 15 else 0)
-      require(cbpLuma == 0 || cbpLuma == 15, "Intra_16x16 luma CBP is 0 or 15")
-      require(cbpLuma == 15 || m.acScan.forall(_.forall(_ == 0)),
-        "nonzero AC levels need CBP luma 15")
-      val chDc = if (m.chromaDc.isEmpty) Array.fill(2)(new Array[Int](4))
-                 else m.chromaDc
-      val chAc = if (m.chromaAc.isEmpty) Array.fill(2, 4)(new Array[Int](15))
-                 else m.chromaAc
+    val modeGrid = Array.fill(4 * hMbs, 4 * wMbs)(-1)
+    def chromaCbpOf(chromaDc: Array[Array[Int]],
+                    chromaAc: Array[Array[Array[Int]]],
+                    force: Option[Int]): (Int, Array[Array[Int]], Array[Array[Array[Int]]]) = {
+      val chDc = if (chromaDc.isEmpty) Array.fill(2)(new Array[Int](4)) else chromaDc
+      val chAc = if (chromaAc.isEmpty) Array.fill(2, 4)(new Array[Int](15)) else chromaAc
       require(chDc.length == 2 && chDc.forall(_.length == 4) &&
         chAc.length == 2 && chAc.forall(a => a.length == 4 && a.forall(_.length == 15)),
         "chroma scan array shapes")
-      val cbpChroma = m.forceCbpChroma.getOrElse(
+      val cbpChroma = force.getOrElse(
         if (chAc.exists(_.exists(_.exists(_ != 0)))) 2
         else if (chDc.exists(_.exists(_ != 0))) 1
         else 0)
@@ -1022,19 +1270,10 @@ object H264Cavlc {
         "nonzero chroma AC needs CBP chroma 2")
       require(cbpChroma >= 1 || chDc.forall(_.forall(_ == 0)),
         "nonzero chroma DC needs CBP chroma >= 1")
-      val mbType = 1 + m.predMode + 4 * cbpChroma + 12 * (cbpLuma / 15)
-      w.ue(mbType)
-      w.ue(m.chromaPredMode)
-      w.se(m.qpDelta)
-      emitResidualBlock(w, m.dcScan, nCOf(4 * mbx, 4 * mby), tables)
-      var blk = 0
-      while (blk < 16) {
-        val gx = 4 * mbx + blkX(blk); val gy = 4 * mby + blkY(blk)
-        if (cbpLuma == 15)
-          nz(gy)(gx) = emitResidualBlock(w, m.acScan(blk), nCOf(gx, gy), tables)
-        else nz(gy)(gx) = 0
-        blk += 1
-      }
+      (cbpChroma, chDc, chAc)
+    }
+    def emitChroma(mbx: Int, mby: Int, cbpChroma: Int,
+                   chDc: Array[Array[Int]], chAc: Array[Array[Array[Int]]]): Unit = {
       if (cbpChroma >= 1)
         for (comp <- 0 until 2)
           emitResidualBlock(w, chDc(comp), -1, tables)
@@ -1045,6 +1284,79 @@ object H264Cavlc {
             emitResidualBlock(w, chAc(comp)(cblk), nCOfC(comp, gx, gy), tables)
         else nzC(comp)(gy)(gx) = 0
       }
+    }
+    mbs.zipWithIndex.foreach {
+      case (m: I16MbSpec, idx) =>
+        val mbx = idx % wMbs; val mby = idx / wMbs
+        require(m.dcScan.length == 16 && m.acScan.length == 16 &&
+          m.acScan.forall(_.length == 15), "scan array shapes")
+        val cbpLuma = m.forceCbpLuma.getOrElse(
+          if (m.acScan.exists(_.exists(_ != 0))) 15 else 0)
+        require(cbpLuma == 0 || cbpLuma == 15, "Intra_16x16 luma CBP is 0 or 15")
+        require(cbpLuma == 15 || m.acScan.forall(_.forall(_ == 0)),
+          "nonzero AC levels need CBP luma 15")
+        val (cbpChroma, chDc, chAc) =
+          chromaCbpOf(m.chromaDc, m.chromaAc, m.forceCbpChroma)
+        val mbType = 1 + m.predMode + 4 * cbpChroma + 12 * (cbpLuma / 15)
+        w.ue(mbType)
+        w.ue(m.chromaPredMode)
+        w.se(m.qpDelta)
+        emitResidualBlock(w, m.dcScan, nCOf(4 * mbx, 4 * mby), tables)
+        var blk = 0
+        while (blk < 16) {
+          val gx = 4 * mbx + blkX(blk); val gy = 4 * mby + blkY(blk)
+          if (cbpLuma == 15)
+            nz(gy)(gx) = emitResidualBlock(w, m.acScan(blk), nCOf(gx, gy), tables)
+          else nz(gy)(gx) = 0
+          blk += 1
+        }
+        emitChroma(mbx, mby, cbpChroma, chDc, chAc)
+      case (m: I4x4MbSpec, idx) =>
+        // Intra_4x4 (round 16): mb_type 0, per-block mode signalling
+        // against the same §8.3.1.1 predictor the decoder derives
+        val mbx = idx % wMbs; val mby = idx / wMbs
+        require(m.modes.length == 16 && m.modes.forall(md => md >= 0 && md <= 8),
+          "sixteen Intra_4x4 modes in 0..8")
+        require(m.lumaScan.length == 16 && m.lumaScan.forall(_.length == 16),
+          "luma scan array shapes")
+        val derived = (0 until 4).map(b8 =>
+          if ((4 * b8 until 4 * b8 + 4).exists(b => m.lumaScan(b).exists(_ != 0))) 1 << b8
+          else 0).sum
+        val cbpLuma = m.forceCbpLuma.getOrElse(derived)
+        require((cbpLuma & derived) == derived && cbpLuma < 16,
+          "forceCbpLuma must cover every nonzero 8x8")
+        val (cbpChroma, chDc, chAc) =
+          chromaCbpOf(m.chromaDc, m.chromaAc, m.forceCbpChroma)
+        val cbp = cbpLuma | (cbpChroma << 4)
+        w.ue(0) // mb_type I_NxN
+        var blk = 0
+        while (blk < 16) {
+          val gx = 4 * mbx + blkX(blk); val gy = 4 * mby + blkY(blk)
+          val a = if (gx == 0 || modeGrid(gy)(gx - 1) < 0) 2 else modeGrid(gy)(gx - 1)
+          val b = if (gy == 0 || modeGrid(gy - 1)(gx) < 0) 2 else modeGrid(gy - 1)(gx)
+          val predicted = math.min(a, b)
+          val mode = m.modes(blk)
+          if (mode == predicted) w.u(1, 1)
+          else {
+            w.u(0, 1)
+            w.u(if (mode > predicted) mode - 1 else mode, 3)
+          }
+          modeGrid(gy)(gx) = mode
+          blk += 1
+        }
+        w.ue(m.chromaPredMode)
+        w.ue(intra4x4CbpToGolomb(cbp))
+        if (cbp != 0) w.se(m.qpDelta)
+        else require(m.qpDelta == 0, "mb_qp_delta needs a nonzero CBP")
+        blk = 0
+        while (blk < 16) {
+          val gx = 4 * mbx + blkX(blk); val gy = 4 * mby + blkY(blk)
+          if ((cbpLuma >> (blk / 4) & 1) != 0)
+            nz(gy)(gx) = emitResidualBlock(w, m.lumaScan(blk), nCOf(gx, gy), tables)
+          else nz(gy)(gx) = 0
+          blk += 1
+        }
+        emitChroma(mbx, mby, cbpChroma, chDc, chAc)
     }
     w.stopAndPad()
   }

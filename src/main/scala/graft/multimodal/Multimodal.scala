@@ -496,6 +496,60 @@ object Multimodal {
     })
   }
 
+  final case class H264I4x4Row(id: Long, mb: Int, is_i4x4: Int, mode_sum: Long,
+                               cbp_luma: Int, qp: Int, sum_luma: Long,
+                               wsum_luma: Long, min_luma: Int, max_luma: Int)
+
+  /** H.264 CAVLC intra decode over pictures MIXING Intra_4x4 and
+    * Intra_16x16 macroblocks (round 16 — the I_NxN rung): the
+    * [[H264Cavlc.parseI16x16Slice]] walk now covers mb_type 0, so each
+    * row also pins the MB kind, the Σ(blk+1)·mode checksum of the
+    * sixteen §8.3.1.2 modes (position-weighted: a mode transposition
+    * changes it), and the per-8x8 CBP luma. Luma aggregates as in
+    * [[h264I16Luma]]. */
+  def h264I4x4Luma(assets: Dataset[Asset],
+                   tables: H264Cavlc.CavlcTables): Dataset[H264I4x4Row] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      val s = H264.parse(a.bytes)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: not a supported H.264 stream"))
+      val sps = s.sps.get; val pps = s.pps.get
+      val sliceNal = s.nals.find(n => n.nalType == 1 || n.nalType == 5).get
+      val pic = H264Cavlc.parseI16x16Slice(sliceNal.rbsp, sps, pps,
+          sliceNal.nalRefIdc, sliceNal.nalType, tables)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: not a single-slice intra CAVLC picture"))
+      val w = 16 * pic.widthMbs
+      pic.mbs.iterator.zipWithIndex.map { case (m, i) =>
+        val mbx = i % pic.widthMbs; val mby = i / pic.widthMbs
+        var sum = 0L; var wsum = 0L
+        var mn = 255; var mx = 0
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            val px = 16 * mbx + x; val py = 16 * mby + y
+            val v = pic.luma(py * w + px)
+            sum += v
+            wsum += v.toLong * (py * w + px + 1)
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            x += 1
+          }
+          y += 1
+        }
+        val modeSum =
+          if (m.isI4x4)
+            m.modes4x4.zipWithIndex.foldLeft(0L) { case (acc, (md, b)) =>
+              acc + md.toLong * (b + 1) }
+          else m.predMode.toLong
+        H264I4x4Row(a.id, i, if (m.isI4x4) 1 else 0, modeSum,
+          m.cbpLuma, m.qp, sum, wsum, mn, mx)
+      }
+    })
+  }
+
   final case class H264ChromaRow(id: Long, mb: Int, chroma_pred_mode: Int,
                                  cbp_chroma: Int, qpc: Int,
                                  sum_cb: Long, wsum_cb: Long,

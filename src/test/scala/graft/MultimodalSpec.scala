@@ -3056,7 +3056,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(viaStream.luma.sameElements(p1.luma))
   }
 
-  test("h264 i16x16 strict rejects: I_NxN / I_PCM / chroma-CBP mb_types, CABAC, trailing bytes, mutation fuzz") {
+  test("h264 i16x16 strict rejects: I_PCM mb_type, CABAC, trailing bytes, mutation fuzz") {
     import graft.multimodal.{H264, H264Cavlc}
     val (sps, pps) = i16SpsPps(1, 1)
     val t = H264Cavlc.fixtureTables
@@ -3069,12 +3069,9 @@ class MultimodalSpec extends AnyFunSuite {
     assert(H264Cavlc.parseI16x16Slice(ok, sps, cabacPps, 3, 5, t).isEmpty)
     // trailing byte after rbsp_trailing_bits rejects
     assert(H264Cavlc.parseI16x16Slice(ok :+ 0x55.toByte, sps, pps, 3, 5, t).isEmpty)
-    // chroma CBP != 0 (mb_type 5) and I_NxN (0) and I_PCM (25) reject:
-    // craft via a hand bit-writer — reuse the encoder then flip mb_type
-    // by re-emitting the header with a different type is intrusive, so
-    // assert through the public contract: a stream whose first ue after
-    // the header is 0/5/25 must return None. Mutation fuzz covers the
-    // rest of the space.
+    // I_PCM (mb_type 25) still rejects inside THIS parser (it has its
+    // own parser in H264); I_NxN (0) decodes since round 16. Mutation
+    // fuzz covers the malformed space.
     val rnd = new scala.util.Random(41)
     for (_ <- 0 until 300) {
       val m = ok.clone()
@@ -3088,6 +3085,190 @@ class MultimodalSpec extends AnyFunSuite {
       Seq(H264Cavlc.I16MbSpec(2, 0, 0, new Array[Int](16),
         Array.fill(16)(Array.tabulate(15)(i => if (i == 0) 1 else 0)),
         forceCbpLuma = Some(0))), t))
+  }
+
+  test("h264 intra4x4 prediction: all nine modes against an independent spec restatement (round 16)") {
+    import graft.multimodal.H264Cavlc
+    val rnd = new scala.util.Random(163)
+    val w = 32
+    // second transcription of the §8.3.1.2 formulas with an explicit
+    // p(x, y) border accessor — offsets/taps typed independently
+    def ref(plane: Array[Int], mode: Int, gx: Int, gy: Int,
+            htr: Boolean): Array[Int] = {
+      def p(x: Int, y: Int): Int =
+        if (y == -1) {
+          val xx = if (x >= 4 && !htr) 3 else x
+          plane((4 * gy - 1) * w + 4 * gx + xx)
+        } else plane((4 * gy + y) * w + 4 * gx - 1)
+      val o = new Array[Int](16)
+      for (y <- 0 until 4; x <- 0 until 4) o(4 * y + x) = mode match {
+        case 0 => p(x, -1)
+        case 1 => p(-1, y)
+        case 2 => ((0 to 3).map(p(_, -1)).sum + (0 to 3).map(p(-1, _)).sum + 4) >> 3
+        case 3 =>
+          if (x == 3 && y == 3) (p(6, -1) + 3 * p(7, -1) + 2) >> 2
+          else (p(x + y, -1) + 2 * p(x + y + 1, -1) + p(x + y + 2, -1) + 2) >> 2
+        case 4 =>
+          if (x > y) (p(x - y - 2, -1) + 2 * p(x - y - 1, -1) + p(x - y, -1) + 2) >> 2
+          else if (x < y) (p(-1, y - x - 2) + 2 * p(-1, y - x - 1) + p(-1, y - x) + 2) >> 2
+          else (p(0, -1) + 2 * p(-1, -1) + p(-1, 0) + 2) >> 2
+        case 5 => 2 * x - y match {
+          case z if z >= 0 && z % 2 == 0 =>
+            (p(x - (y >> 1) - 1, -1) + p(x - (y >> 1), -1) + 1) >> 1
+          case z if z >= 1 =>
+            (p(x - (y >> 1) - 2, -1) + 2 * p(x - (y >> 1) - 1, -1) + p(x - (y >> 1), -1) + 2) >> 2
+          case -1 => (p(-1, 0) + 2 * p(-1, -1) + p(0, -1) + 2) >> 2
+          case _ => (p(-1, y - 1) + 2 * p(-1, y - 2) + p(-1, y - 3) + 2) >> 2
+        }
+        case 6 => 2 * y - x match {
+          case z if z >= 0 && z % 2 == 0 =>
+            (p(-1, y - (x >> 1) - 1) + p(-1, y - (x >> 1)) + 1) >> 1
+          case z if z >= 1 =>
+            (p(-1, y - (x >> 1) - 2) + 2 * p(-1, y - (x >> 1) - 1) + p(-1, y - (x >> 1)) + 2) >> 2
+          case -1 => (p(-1, 0) + 2 * p(-1, -1) + p(0, -1) + 2) >> 2
+          case _ => (p(x - 1, -1) + 2 * p(x - 2, -1) + p(x - 3, -1) + 2) >> 2
+        }
+        case 7 =>
+          if (y % 2 == 0) (p(x + (y >> 1), -1) + p(x + (y >> 1) + 1, -1) + 1) >> 1
+          else (p(x + (y >> 1), -1) + 2 * p(x + (y >> 1) + 1, -1) + p(x + (y >> 1) + 2, -1) + 2) >> 2
+        case 8 => x + 2 * y match {
+          case z if z > 5 => p(-1, 3)
+          case 5 => (p(-1, 2) + 3 * p(-1, 3) + 2) >> 2
+          case z if z % 2 == 0 => (p(-1, y + (x >> 1)) + p(-1, y + (x >> 1) + 1) + 1) >> 1
+          case _ =>
+            (p(-1, y + (x >> 1)) + 2 * p(-1, y + (x >> 1) + 1) + p(-1, y + (x >> 1) + 2) + 2) >> 2
+        }
+      }
+      o
+    }
+    for (_ <- 0 until 30) {
+      val plane = Array.tabulate(w * w)(_ => rnd.nextInt(256))
+      val gx = 1 + rnd.nextInt(6); val gy = 1 + rnd.nextInt(6)
+      for (mode <- 0 to 8; htr <- Seq(true, false)) {
+        val got = H264Cavlc.predictIntra4x4(mode, plane, w, gx, gy,
+          hasLeft = true, hasTop = true, hasCorner = true, hasTopRight = htr)
+        val want = ref(plane, mode, gx, gy, htr)
+        assert(got.sameElements(want), s"mode $mode htr $htr at ($gx,$gy)")
+      }
+    }
+    // DC fallbacks: left-only, top-only, isolated
+    val plane = Array.tabulate(w * w)(_ => rnd.nextInt(256))
+    val dcL = H264Cavlc.predictIntra4x4(2, plane, w, 2, 2,
+      hasLeft = true, hasTop = false, hasCorner = false, hasTopRight = false)
+    assert(dcL.forall(_ == ((0 to 3).map(y => plane((8 + y) * w + 7)).sum + 2) >> 2))
+    val dcT = H264Cavlc.predictIntra4x4(2, plane, w, 2, 2,
+      hasLeft = false, hasTop = true, hasCorner = false, hasTopRight = false)
+    assert(dcT.forall(_ == ((0 to 3).map(x => plane(7 * w + 8 + x)).sum + 2) >> 2))
+    val dc0 = H264Cavlc.predictIntra4x4(2, plane, w, 2, 2,
+      hasLeft = false, hasTop = false, hasCorner = false, hasTopRight = false)
+    assert(dc0.forall(_ == 128))
+    // modes needing absent neighbors throw
+    intercept[IllegalArgumentException](H264Cavlc.predictIntra4x4(0, plane, w,
+      2, 2, hasLeft = true, hasTop = false, hasCorner = false, hasTopRight = false))
+    intercept[IllegalArgumentException](H264Cavlc.predictIntra4x4(4, plane, w,
+      2, 2, hasLeft = true, hasTop = true, hasCorner = false, hasTopRight = false))
+    intercept[IllegalArgumentException](H264Cavlc.predictIntra4x4(8, plane, w,
+      2, 2, hasLeft = false, hasTop = true, hasCorner = false, hasTopRight = false))
+  }
+
+  test("h264 i4x4 slice: flat-128 known answer, single DC impulse cascades to flat 131 via in-MB DC chains (round 16)") {
+    import graft.multimodal.H264Cavlc
+    val (sps, pps) = i16SpsPps(2, 2, qp = 24)
+    val t = H264Cavlc.fixtureTables
+    def mb(scan0: Int) = H264Cavlc.I4x4MbSpec(Array.fill(16)(2), 0, 0,
+      Array.tabulate(16, 16)((blk, p) =>
+        if (blk == 0 && p == 0) scan0 else 0).map(_.toArray),
+      forceCbpLuma = Some(15))
+    val flat = H264Cavlc.encodeI16x16Slice(sps, pps, 3, idr = true, 0, 0, 0, 0,
+      Seq(mb(0), mb(0), mb(0), mb(0)), t)
+    val p = H264Cavlc.parseI16x16Slice(flat, sps, pps, 3, 5, t).get
+    assert(p.mbs.forall(m => m.isI4x4 && m.predMode == -1 && m.cbpLuma == 15))
+    assert(p.mbs.forall(_.modes4x4.forall(_ == 2)))
+    assert(p.luma.forall(_ == 128), "flat i4x4 decode is not 128")
+    // one DC level in MB0 blk0 at qp 24: scaleAc(1,24,0,0) = 160,
+    // IT -> (160+32)>>6 = +3 on all 16 samples -> blk0 = 131; every
+    // later block DC-predicts off reconstructed neighbors, so the
+    // whole picture cascades to 131
+    val lifted = H264Cavlc.encodeI16x16Slice(sps, pps, 3, idr = true, 0, 0, 0, 0,
+      Seq(mb(1), mb(0), mb(0), mb(0)), t)
+    val q = H264Cavlc.parseI16x16Slice(lifted, sps, pps, 3, 5, t).get
+    assert(q.luma.forall(_ == 131), "i4x4 DC impulse cascade is not 131")
+  }
+
+  test("h264 i4x4 slice: mode signalling roundtrip, me(v) CBP, conditional qp delta, I16 mixing, mutation fuzz (round 16)") {
+    import graft.multimodal.H264Cavlc
+    val (sps, pps) = i16SpsPps(2, 2, qp = 28)
+    val t = H264Cavlc.fixtureTables
+    val rnd = new scala.util.Random(77)
+    // availability-legal mode choice per global block position
+    def legalMode(gx: Int, gy: Int, pick: Int): Int = {
+      val s = if (gx == 0 && gy == 0) Seq(2)
+        else if (gy == 0) Seq(1, 2, 8)
+        else if (gx == 0) Seq(0, 2, 3, 7)
+        else 0 to 8
+      s(pick % s.length)
+    }
+    def i4mb(mbx: Int, mby: Int, seed: Int, qpd: Int) = H264Cavlc.I4x4MbSpec(
+      Array.tabulate(16) { blk =>
+        val bx = 2 * ((blk / 4) % 2) + blk % 4 % 2
+        val by = 2 * ((blk / 4) / 2) + (blk % 4) / 2
+        legalMode(4 * mbx + bx, 4 * mby + by, seed + blk)
+      }, 0, qpd,
+      Array.tabulate(16, 16)((blk, p) =>
+        if ((seed + blk + p) % 6 == 0) ((seed + blk * (p + 1)) % 5) - 2 else 0)
+        .map(_.toArray),
+      forceCbpLuma = Some(15))
+    def i16mb(seed: Int, pred: Int, qpd: Int) = H264Cavlc.I16MbSpec(pred, 0, qpd,
+      Array.tabulate(16)(k => if ((seed + k) % 4 == 0) ((seed + k) % 5) - 2 else 0),
+      Array.tabulate(16)(blk => Array.tabulate(15)(pos =>
+        if ((seed + blk + pos) % 7 == 0) ((seed + blk * pos) % 5) - 2 else 0)))
+    // MIXED picture: I4x4, I16, I16, I4x4 — modeGrid -1 inference at
+    // the I16/I4x4 seams, qp chaining across both kinds
+    val mbs = Seq(i4mb(0, 0, 3, -2), i16mb(5, 1, 3), i16mb(7, 0, 0), i4mb(1, 1, 11, 1))
+    val rbsp = H264Cavlc.encodeI16x16Slice(sps, pps, 3, idr = true, 1, 2, 3, 0, mbs, t)
+    val p1 = H264Cavlc.parseI16x16Slice(rbsp, sps, pps, 3, 5, t).get
+    val p2 = H264Cavlc.parseI16x16Slice(rbsp, sps, pps, 3, 5, t).get
+    assert(p1.luma.sameElements(p2.luma))
+    assert(p1.mbs.map(_.isI4x4) == Seq(true, false, false, true))
+    assert(p1.mbs(0).modes4x4.sameElements(mbs(0).asInstanceOf[H264Cavlc.I4x4MbSpec].modes))
+    assert(p1.mbs(3).modes4x4.sameElements(mbs(3).asInstanceOf[H264Cavlc.I4x4MbSpec].modes))
+    assert(p1.mbs.map(_.qp) == Seq(26, 29, 29, 30)) // chained deltas
+    assert(p1.luma.forall(v => v >= 0 && v <= 255))
+    assert(p1.luma.distinct.length > 4, "reconstruction suspiciously flat")
+    // CBP-zero MB carries NO qp delta field: an all-zero I4x4 spec with
+    // qpDelta != 0 is a fixture-build error
+    intercept[IllegalArgumentException](H264Cavlc.encodeI16x16Slice(
+      sps, pps, 3, idr = true, 0, 0, 0, 0,
+      Seq(i4mb(0, 0, 3, 0).copy(lumaScan = Array.fill(16)(new Array[Int](16)),
+          forceCbpLuma = None, qpDelta = 2),
+        i16mb(1, 1, 0), i16mb(2, 0, 0), i4mb(1, 1, 4, 0)), t))
+    // and a CBP-zero MB decodes with the previous qp (no delta read)
+    val zeroCbp = H264Cavlc.encodeI16x16Slice(sps, pps, 3, idr = true, 0, 0, 0, -3,
+      Seq(i4mb(0, 0, 3, 0).copy(lumaScan = Array.fill(16)(new Array[Int](16)),
+          forceCbpLuma = None),
+        i16mb(1, 1, 2), i16mb(2, 0, 0), i4mb(1, 1, 4, 0)), t)
+    val pz = H264Cavlc.parseI16x16Slice(zeroCbp, sps, pps, 3, 5, t).get
+    assert(pz.mbs(0).cbpLuma == 0 && pz.mbs(0).qp == 25) // slice qp 25, no delta
+    assert(pz.mbs(1).qp == 27)
+    // forceCbpLuma exercising PARTIAL luma CBP: only 8x8 #2 coded
+    val partial = H264Cavlc.I4x4MbSpec(Array.fill(16)(2), 0, 1,
+      Array.tabulate(16, 16)((blk, p) =>
+        if (blk / 4 == 2 && (blk + p) % 5 == 0) 1 - (p % 3) else 0).map(_.toArray))
+    val pr = H264Cavlc.encodeI16x16Slice(sps, pps, 3, idr = true, 0, 0, 0, 0,
+      Seq(partial, i16mb(1, 1, 0), i16mb(2, 0, 0), i4mb(1, 1, 4, 0)), t)
+    val pp = H264Cavlc.parseI16x16Slice(pr, sps, pps, 3, 5, t).get
+    assert(pp.mbs(0).cbpLuma == 4, "derived per-8x8 CBP")
+    // mutation fuzz: never throws
+    for (_ <- 0 until 300) {
+      val m = rbsp.clone()
+      val bit = rnd.nextInt(m.length * 8)
+      m(bit >> 3) = (m(bit >> 3) ^ (1 << (7 - (bit & 7)))).toByte
+      H264Cavlc.parseI16x16Slice(m, sps, pps, 3, 5, t)
+    }
+    // Table 9-4 is a permutation of 0..47 and the inverse roundtrips
+    assert(H264Cavlc.golombToIntra4x4Cbp.sorted.sameElements(0 until 48))
+    assert((0 until 48).forall(c =>
+      H264Cavlc.golombToIntra4x4Cbp(H264Cavlc.intra4x4CbpToGolomb(c)) == c))
   }
 
   test("h264 chroma: QP mapping, 2x2 Hadamard DC scaling, flat-128 and DC-impulse known answers (round 15)") {
