@@ -1343,6 +1343,98 @@ private[graft] trait QueriesMedia { this: Queries.type =>
       graft.multimodal.H264Cavlc.fixtureTables)
       .toDF().orderBy(col("id"), col("mb"))
 
+  /** CABAC arithmetic-CORE gate (round 16, r15 VERDICT #2's
+    * "stage-by-stage" pin): a deterministic schedule of DecodeDecision
+    * (two contexts, 40/41) and DecodeBypass steps over md5-chain
+    * bytes, dumping (bin, codIRange, codIOffset) after EVERY step.
+    * The DuckDB oracle re-implements §9.3.3.2 — context init from the
+    * fixture (m, n) formula at the per-id qp, the integer rangeTabLps
+    * formula, LPS/MPS paths with the state transitions, the
+    * shift-counted renormalization, and bypass — over the same
+    * recomputed bytes, to integer hash equality per step. */
+  private[graft] def multimodalH264CabacCore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = docsTbl(spark, dir).where(col("doc_id") < 8)
+      .select(col("doc_id"), unhex(md5Chain("cabac", 8)).as("chain"))
+      .as[(Long, Array[Byte])]
+    src.mapPartitions(_.flatMap { case (id, chain) =>
+      val qp = (20 + (5 * id) % 32).toInt
+      // a fixed lead byte keeps the 9-bit init offset below 510 (the
+      // engine's structural require) for every md5 chain
+      val d = new graft.multimodal.H264Cabac.CabacDecoder(0x42.toByte +: chain, 0,
+        graft.multimodal.H264Cabac.fixtureTables, qp)
+      (0 until 48).map { k =>
+        val kind = if (k % 5 == 4) 1 else 0
+        val bin =
+          if (kind == 1) d.bypass()
+          else d.decision(if (k % 2 == 0) 40 else 41)
+        val (rng, off) = d.state
+        graft.multimodal.Multimodal.CabacCoreRow(id, k, kind, bin, rng, off)
+      }
+    }).toDF().orderBy(col("id"), col("step"))
+  }
+
+  /** CABAC-coded mixed I4x4/I16 pictures (round 16): the i4x4 gate's
+    * shape — mb0 a zero-residual I16 DC MB, mbs 1..3 Intra_4x4 cycling
+    * all nine §8.3.1.2 modes — re-coded through the §9.3 arithmetic
+    * engine with SHIFTED closed-form constants:
+    *   slice qp = 21 + (3·id)%10;  qpDelta(m) = ((id+2m)%5)−2
+    *   mode(m=1, by=0) = [1,2,8][(id+1+blk)%3]
+    *   mode(m=2, bx=0) = [0,2,3,7][(id+1+blk)%4]
+    *   mode(m=2, else) = (id+2+blk)%9;  mode(m∈{1,3}, else) = (id+1+blk)%9
+    *   lumaScan(m)(blk)(p) = ((id + m·(p+3) + blk)%5)−2
+    *                          if (id+m+blk+p)%6 = 0 else 0
+    * An engine desync corrupts every later bin, so the pixel-exact
+    * oracle pins the whole CABAC walk end to end. */
+  private[graft] def h264CabacAssets(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val src = docsTbl(spark, dir).where(col("doc_id") < 4)
+      .select(col("doc_id")).as[Long]
+    src.mapPartitions(_.map { id =>
+      val spsB = graft.multimodal.H264.encodeSps(
+        66, 30, spsId = 0, log2MaxFrameNumMinus4 = 0, poc = 0,
+        maxRef = 1, pwMbsMinus1 = 1, phMapMinus1 = 1,
+        frameMbsOnly = true, crop = None)
+      val ppsB = graft.multimodal.H264.encodePps(
+        ppsId = 0, spsId = 0, cabac = true, picInitQp = 26)
+      val sps = graft.multimodal.H264.parseSps(spsB).get
+      val pps = graft.multimodal.H264.parsePps(ppsB).get
+      val qp = (21 + (3 * id) % 10).toInt
+      def mode(m: Int, blk: Int): Int = {
+        val bx = 2 * ((blk / 4) % 2) + blk % 4 % 2
+        val by = 2 * ((blk / 4) / 2) + (blk % 4) / 2
+        if (m == 1 && by == 0) Seq(1, 2, 8)(((id + 1 + blk) % 3).toInt)
+        else if (m == 2 && bx == 0) Seq(0, 2, 3, 7)(((id + 1 + blk) % 4).toInt)
+        else if (m == 2) ((id + 2 + blk) % 9).toInt
+        else ((id + 1 + blk) % 9).toInt
+      }
+      val mb0 = graft.multimodal.H264Cavlc.I16MbSpec(2, 0, 0,
+        new Array[Int](16), Array.fill(16)(new Array[Int](15)))
+      val i4 = (1 to 3).map { m =>
+        graft.multimodal.H264Cavlc.I4x4MbSpec(
+          Array.tabulate(16)(mode(m, _)), 0, ((id + 2 * m) % 5).toInt - 2,
+          Array.tabulate(16, 16)((blk, p) =>
+            if ((id + m + blk + p) % 6 == 0)
+              ((id + m * (p + 3) + blk) % 5).toInt - 2
+            else 0).map(_.toArray),
+          forceCbpLuma = Some(15))
+      }
+      val slice = graft.multimodal.H264Cabac.encodeISlice(
+        sps, pps, nalRefIdc = 3, idr = true,
+        frameNum = (id % 16).toInt, idrPicId = (id % 5).toInt,
+        pocLsb = (id % 16).toInt, sliceQpDelta = qp - 26, mb0 +: i4,
+        tables = graft.multimodal.H264Cabac.fixtureTables)
+      graft.multimodal.Multimodal.Asset(id, "video",
+        graft.multimodal.H264.annexB(
+          Seq((3, 7, spsB), (3, 8, ppsB), (3, 5, slice))), 0, 0)
+    })
+  }
+
+  private[graft] def multimodalH264Cabac(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.h264CabacLuma(h264CabacAssets(spark, dir),
+      graft.multimodal.H264Cabac.fixtureTables)
+      .toDF().orderBy(col("id"), col("mb"))
+
   /** CHROMA-bearing Intra_16x16 pictures (late round 15): 2×2 MBs, all
     * four §8.3.4 chroma prediction modes in the dependency chain (mb0
     * DC, mb1 H, mb2 V, mb3 Plane), CBP chroma forced 2 with formula DC

@@ -1531,6 +1531,295 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
            |  min_luma::INT AS min_luma, max_luma::INT AS max_luma
            |FROM (SELECT * FROM mb0 UNION ALL SELECT * FROM i4rows)
            |ORDER BY id, mb""".stripMargin)),
+    "multimodal_h264_cabac_core" -> Q(multimodalH264CabacCore, Some(
+      // re-implements the §9.3.3.2 CABAC arithmetic decoding engine
+      // STAGE BY STAGE in SQL (round 16, r15 VERDICT #2): context init
+      // from the fixture (m, n) formula at the per-id qp, the integer
+      // rangeTabLps formula, the LPS/MPS decision paths with state
+      // transitions (flip-at-zero, unit MPS advance / two-step LPS
+      // retreat), the shift-counted renormalization reading md5-chain
+      // bits, and bypass — one recursive-CTE iteration per decoded bin,
+      // every (bin, codIRange, codIOffset) triple hash-pinned.
+      raw"""WITH RECURSIVE p AS (
+           |  SELECT doc_id AS id, 20 + (5 * doc_id) % 32 AS qp,
+           |    '42' || array_to_string(list_transform(range(0, 8), i ->
+           |      md5(text || '_cabac_' || i)), '') AS hx
+           |  FROM documents WHERE doc_id < 8),
+           |bits AS (
+           |  SELECT id, qp,
+           |    list_transform(range(0, 1032), j ->
+           |      ((strpos('0123456789abcdef', substr(hx, (j // 4 + 1)::INT, 1)) - 1)
+           |       // (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2) AS bl
+           |  FROM p),
+           |ini AS (
+           |  SELECT id, qp, bl,
+           |    -- ctx 40: m = 9, n = 50; ctx 41: m = 10, n = 57 (the
+           |    -- fixture formula m = c%21-10, n = 50 + 7c%28)
+           |    greatest(1, least(126, (9  * qp) // 16 + 50)) AS preA,
+           |    greatest(1, least(126, (10 * qp) // 16 + 57)) AS preB
+           |  FROM bits),
+           |walk AS (
+           |  SELECT id, bl, 0 AS k, 9 AS bp, 510 AS rng,
+           |    CAST(list_sum(list_transform(range(0, 9), t -> bl[t + 1] * (1 << (8 - t)))) AS INT) AS off,
+           |    CASE WHEN preA <= 63 THEN 63 - preA ELSE preA - 64 END AS sa,
+           |    CASE WHEN preA <= 63 THEN 0 ELSE 1 END AS ma,
+           |    CASE WHEN preB <= 63 THEN 63 - preB ELSE preB - 64 END AS sb,
+           |    CASE WHEN preB <= 63 THEN 0 ELSE 1 END AS mbv,
+           |    0 AS kind, 0 AS bin
+           |  FROM ini
+           |  UNION ALL
+           |  SELECT id, bl, k + 1,
+           |    CASE WHEN byp THEN bp + 1 ELSE bp + rn END,
+           |    CASE WHEN byp THEN rng ELSE r3 << rn END,
+           |    CASE WHEN byp THEN off2 - (CASE WHEN off2 >= rng THEN rng ELSE 0 END)
+           |         ELSE (offmid << rn) + COALESCE(CAST(list_sum(list_transform(range(0, rn),
+           |                t -> bl[bp + t + 1] * (1 << (rn - 1 - t)))) AS INT), 0) END,
+           |    CASE WHEN byp OR k % 2 = 1 THEN sa
+           |         WHEN lps THEN greatest(0, sa - 2) ELSE least(62, sa + 1) END,
+           |    CASE WHEN byp OR k % 2 = 1 THEN ma
+           |         WHEN lps AND sa = 0 THEN 1 - ma ELSE ma END,
+           |    CASE WHEN byp OR k % 2 = 0 THEN sb
+           |         WHEN lps THEN greatest(0, sb - 2) ELSE least(62, sb + 1) END,
+           |    CASE WHEN byp OR k % 2 = 0 THEN mbv
+           |         WHEN lps AND sb = 0 THEN 1 - mbv ELSE mbv END,
+           |    CASE WHEN byp THEN 1 ELSE 0 END,
+           |    CASE WHEN byp THEN (CASE WHEN off2 >= rng THEN 1 ELSE 0 END)
+           |         WHEN lps THEN 1 - mps ELSE mps END
+           |  FROM (
+           |    SELECT *,
+           |      CASE WHEN lps THEN rlps ELSE r2 END AS r3,
+           |      CASE WHEN lps THEN off - r2 ELSE off END AS offmid,
+           |      CASE WHEN (CASE WHEN lps THEN rlps ELSE r2 END) >= 256 THEN 0
+           |           WHEN (CASE WHEN lps THEN rlps ELSE r2 END) >= 128 THEN 1
+           |           WHEN (CASE WHEN lps THEN rlps ELSE r2 END) >= 64 THEN 2
+           |           WHEN (CASE WHEN lps THEN rlps ELSE r2 END) >= 32 THEN 3
+           |           WHEN (CASE WHEN lps THEN rlps ELSE r2 END) >= 16 THEN 4
+           |           WHEN (CASE WHEN lps THEN rlps ELSE r2 END) >= 8 THEN 5
+           |           WHEN (CASE WHEN lps THEN rlps ELSE r2 END) >= 4 THEN 6
+           |           ELSE 7 END AS rn
+           |    FROM (
+           |      SELECT *, (rng - rlps) AS r2, off >= (rng - rlps) AS lps,
+           |        (off << 1) + bl[bp + 1] AS off2
+           |      FROM (
+           |        SELECT *,
+           |          greatest(2, ((96 + 44 * ((rng // 64) % 4)) * 256) // (256 + 20 * s)) AS rlps
+           |        FROM (
+           |          SELECT id, bl, k, bp, rng, off, sa, ma, sb, mbv,
+           |            k % 5 = 4 AS byp,
+           |            CASE WHEN k % 2 = 0 THEN sa ELSE sb END AS s,
+           |            CASE WHEN k % 2 = 0 THEN ma ELSE mbv END AS mps
+           |          FROM walk WHERE k < 48
+           |        ) t1
+           |      ) t2
+           |    ) t3
+           |  ) t4)
+           |SELECT id, (k - 1)::INT AS step, kind::INT AS kind, bin::INT AS bin,
+           |  rng::INT AS range_after, off::INT AS offset_after
+           |FROM walk WHERE k >= 1 ORDER BY id, step""".stripMargin)),
+    "multimodal_h264_cabac" -> Q(multimodalH264Cabac, Some(
+      // restates h264CabacAssets' CABAC intra decode end to end (round
+      // 16): the same recursive-plane-walk restatement as the i4x4
+      // gate — mb0 a flat-128 zero-residual I16 DC MB, mbs 1..3 I4x4
+      // cycling all nine §8.3.1.2 modes — with the CABAC fixture's
+      // shifted constants. The SQL recomputes the DECODED result from
+      // the closed-form parameters (the house codec-oracle pattern);
+      // the arithmetic walk itself is pinned because any engine
+      // desync corrupts every later bin and thus the pixels, and the
+      // cabac_core gate restates the engine stage by stage.
+      raw"""WITH RECURSIVE ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 4),
+           |qps AS (SELECT id, 21 + (3*id) % 10 AS qp0,
+           |  21 + (3*id) % 10 + (id+2)%5 - 2 AS qp1,
+           |  21 + (3*id) % 10 + (id+2)%5 - 2 + (id+4)%5 - 2 AS qp2,
+           |  21 + (3*id) % 10 + (id+2)%5 - 2 + (id+4)%5 - 2 + (id+6)%5 - 2 AS qp3
+           | FROM ids),
+           |cst AS (SELECT
+           |  [0,1,4,8,5,2,3,6,9,12,13,10,7,11,14,15] AS zz,
+           |  [[10,16,13],[11,18,14],[13,20,16],[14,23,18],[16,25,20],[18,29,23]] AS v),
+           |geo AS (
+           |  SELECT i.id, k.k, 1 + k.k // 16 AS m, k.k % 16 AS blk,
+           |    2*((k.k % 16 // 4) % 2) + (k.k % 16 % 4) % 2 AS bx,
+           |    2*((k.k % 16 // 4) // 2) + (k.k % 16 % 4) // 2 AS by
+           |  FROM ids i, (SELECT unnest(range(0, 48)) AS k) k),
+           |geo2 AS (
+           |  SELECT id, k, m, blk, 4*(m % 2) + bx AS gx, 4*(m // 2) + by AS gy,
+           |    CASE WHEN m = 1 AND by = 0 THEN
+           |           (CASE (id + 1 + blk) % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 8 END)
+           |         WHEN m = 2 AND bx = 0 THEN
+           |           (CASE (id + 1 + blk) % 4 WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 3 ELSE 7 END)
+           |         WHEN m = 2 THEN (id + 2 + blk) % 9
+           |         ELSE (id + 1 + blk) % 9 END AS md
+           |  FROM geo),
+           |geoq AS (
+           |  SELECT g.*,
+           |    g.gy > 0 AND g.gx + 1 < 8 AND
+           |      (((g.gy-1) // 4)*2 + (g.gx+1) // 4)*16
+           |        + 4*(2*(((g.gy-1) % 4) // 2) + ((g.gx+1) % 4) // 2)
+           |        + 2*(((g.gy-1) % 4) % 2) + ((g.gx+1) % 4) % 2
+           |      < ((g.gy // 4)*2 + g.gx // 4)*16
+           |        + 4*(2*((g.gy % 4) // 2) + (g.gx % 4) // 2)
+           |        + 2*((g.gy % 4) % 2) + (g.gx % 4) % 2 AS htr,
+           |    CASE g.m WHEN 1 THEN q.qp1 WHEN 2 THEN q.qp2 ELSE q.qp3 END AS qp
+           |  FROM geo2 g JOIN qps q ON q.id = g.id),
+           |dq AS (SELECT g.id, g.k,
+           |    list_transform(range(0, 16), ri ->
+           |      (CASE WHEN (g.id + g.m + g.blk + (list_position(c.zz, ri) - 1)) % 6 = 0
+           |            THEN ((g.id + g.m * ((list_position(c.zz, ri) - 1) + 3) + g.blk) % 5) - 2
+           |            ELSE 0 END)
+           |      * c.v[g.qp % 6 + 1]
+           |           [CASE WHEN (ri//4) % 2 = 0 AND (ri%4) % 2 = 0 THEN 1
+           |                 WHEN (ri//4) % 2 = 1 AND (ri%4) % 2 = 1 THEN 2
+           |                 ELSE 3 END]
+           |      * CAST(pow(2, g.qp // 6) AS BIGINT)) AS d
+           |  FROM geoq g, cst c),
+           |it1 AS (SELECT id, k,
+           |    list_transform(range(0, 16), i -> CASE i % 4
+           |      WHEN 0 THEN (d[4*(i//4)+1] + d[4*(i//4)+3])
+           |                + (d[4*(i//4)+2] + CAST(floor(d[4*(i//4)+4] / 2.0) AS BIGINT))
+           |      WHEN 1 THEN (d[4*(i//4)+1] - d[4*(i//4)+3])
+           |                + (CAST(floor(d[4*(i//4)+2] / 2.0) AS BIGINT) - d[4*(i//4)+4])
+           |      WHEN 2 THEN (d[4*(i//4)+1] - d[4*(i//4)+3])
+           |                - (CAST(floor(d[4*(i//4)+2] / 2.0) AS BIGINT) - d[4*(i//4)+4])
+           |      ELSE (d[4*(i//4)+1] + d[4*(i//4)+3])
+           |                - (d[4*(i//4)+2] + CAST(floor(d[4*(i//4)+4] / 2.0) AS BIGINT))
+           |      END) AS h
+           |  FROM dq),
+           |res4 AS (SELECT id, k,
+           |    list_transform(range(0, 16), i ->
+           |      CAST(floor(((CASE i // 4
+           |        WHEN 0 THEN (h[i%4+1] + h[i%4+9])
+           |                  + (h[i%4+5] + CAST(floor(h[i%4+13] / 2.0) AS BIGINT))
+           |        WHEN 1 THEN (h[i%4+1] - h[i%4+9])
+           |                  + (CAST(floor(h[i%4+5] / 2.0) AS BIGINT) - h[i%4+13])
+           |        WHEN 2 THEN (h[i%4+1] - h[i%4+9])
+           |                  - (CAST(floor(h[i%4+5] / 2.0) AS BIGINT) - h[i%4+13])
+           |        ELSE (h[i%4+1] + h[i%4+9])
+           |                  - (h[i%4+5] + CAST(floor(h[i%4+13] / 2.0) AS BIGINT))
+           |        END) + 32) / 64.0) AS BIGINT)) AS r
+           |  FROM it1),
+           |walk AS (
+           |  SELECT id, 0 AS k, list_transform(range(0, 1024), i -> 128) AS p FROM ids
+           |  UNION ALL
+           |  SELECT s.id, s.k + 1,
+           |    list_transform(range(0, 1024), i ->
+           |      CASE WHEN (i % 32) // 4 = s.gx AND (i // 32) // 4 = s.gy THEN
+           |        greatest(0, least(255,
+           |          (CASE s.md
+           |            WHEN 0 THEN s.tp[(i%32)%4 + 2]
+           |            WHEN 1 THEN s.lp[(i//32)%4 + 2]
+           |            WHEN 2 THEN
+           |              CASE WHEN s.gx > 0 AND s.gy > 0 THEN
+           |                (s.tp[2]+s.tp[3]+s.tp[4]+s.tp[5]+s.lp[2]+s.lp[3]+s.lp[4]+s.lp[5]+4)//8
+           |              WHEN s.gx > 0 THEN (s.lp[2]+s.lp[3]+s.lp[4]+s.lp[5]+2)//4
+           |              WHEN s.gy > 0 THEN (s.tp[2]+s.tp[3]+s.tp[4]+s.tp[5]+2)//4
+           |              ELSE 128 END
+           |            WHEN 3 THEN
+           |              CASE WHEN (i%32)%4 = 3 AND (i//32)%4 = 3
+           |                THEN (s.tp[8] + 3*s.tp[9] + 2)//4
+           |                ELSE (s.tp[(i%32)%4 + (i//32)%4 + 2]
+           |                    + 2*s.tp[(i%32)%4 + (i//32)%4 + 3]
+           |                    + s.tp[(i%32)%4 + (i//32)%4 + 4] + 2)//4 END
+           |            WHEN 4 THEN
+           |              CASE WHEN (i%32)%4 > (i//32)%4 THEN
+           |                (s.tp[(i%32)%4 - (i//32)%4] + 2*s.tp[(i%32)%4 - (i//32)%4 + 1]
+           |                 + s.tp[(i%32)%4 - (i//32)%4 + 2] + 2)//4
+           |              WHEN (i%32)%4 < (i//32)%4 THEN
+           |                (s.lp[(i//32)%4 - (i%32)%4] + 2*s.lp[(i//32)%4 - (i%32)%4 + 1]
+           |                 + s.lp[(i//32)%4 - (i%32)%4 + 2] + 2)//4
+           |              ELSE (s.tp[2] + 2*s.tp[1] + s.lp[2] + 2)//4 END
+           |            WHEN 5 THEN
+           |              CASE WHEN 2*((i%32)%4) - (i//32)%4 >= 0
+           |                    AND (2*((i%32)%4) - (i//32)%4) % 2 = 0 THEN
+           |                (s.tp[(i%32)%4 - ((i//32)%4)//2 + 1]
+           |                 + s.tp[(i%32)%4 - ((i//32)%4)//2 + 2] + 1)//2
+           |              WHEN 2*((i%32)%4) - (i//32)%4 >= 1 THEN
+           |                (s.tp[(i%32)%4 - ((i//32)%4)//2]
+           |                 + 2*s.tp[(i%32)%4 - ((i//32)%4)//2 + 1]
+           |                 + s.tp[(i%32)%4 - ((i//32)%4)//2 + 2] + 2)//4
+           |              WHEN 2*((i%32)%4) - (i//32)%4 = -1 THEN
+           |                (s.lp[2] + 2*s.tp[1] + s.tp[2] + 2)//4
+           |              ELSE (s.lp[(i//32)%4 + 1] + 2*s.lp[(i//32)%4]
+           |                    + s.lp[(i//32)%4 - 1] + 2)//4 END
+           |            WHEN 6 THEN
+           |              CASE WHEN 2*((i//32)%4) - (i%32)%4 >= 0
+           |                    AND (2*((i//32)%4) - (i%32)%4) % 2 = 0 THEN
+           |                (s.lp[(i//32)%4 - ((i%32)%4)//2 + 1]
+           |                 + s.lp[(i//32)%4 - ((i%32)%4)//2 + 2] + 1)//2
+           |              WHEN 2*((i//32)%4) - (i%32)%4 >= 1 THEN
+           |                (s.lp[(i//32)%4 - ((i%32)%4)//2]
+           |                 + 2*s.lp[(i//32)%4 - ((i%32)%4)//2 + 1]
+           |                 + s.lp[(i//32)%4 - ((i%32)%4)//2 + 2] + 2)//4
+           |              WHEN 2*((i//32)%4) - (i%32)%4 = -1 THEN
+           |                (s.lp[2] + 2*s.tp[1] + s.tp[2] + 2)//4
+           |              ELSE (s.tp[(i%32)%4 + 1] + 2*s.tp[(i%32)%4]
+           |                    + s.tp[(i%32)%4 - 1] + 2)//4 END
+           |            WHEN 7 THEN
+           |              CASE WHEN ((i//32)%4) % 2 = 0 THEN
+           |                (s.tp[(i%32)%4 + ((i//32)%4)//2 + 2]
+           |                 + s.tp[(i%32)%4 + ((i//32)%4)//2 + 3] + 1)//2
+           |              ELSE (s.tp[(i%32)%4 + ((i//32)%4)//2 + 2]
+           |                 + 2*s.tp[(i%32)%4 + ((i//32)%4)//2 + 3]
+           |                 + s.tp[(i%32)%4 + ((i//32)%4)//2 + 4] + 2)//4 END
+           |            ELSE
+           |              CASE WHEN (i%32)%4 + 2*((i//32)%4) > 5 THEN s.lp[5]
+           |              WHEN (i%32)%4 + 2*((i//32)%4) = 5 THEN (s.lp[4] + 3*s.lp[5] + 2)//4
+           |              WHEN ((i%32)%4 + 2*((i//32)%4)) % 2 = 0 THEN
+           |                (s.lp[(i//32)%4 + ((i%32)%4)//2 + 2]
+           |                 + s.lp[(i//32)%4 + ((i%32)%4)//2 + 3] + 1)//2
+           |              ELSE (s.lp[(i//32)%4 + ((i%32)%4)//2 + 2]
+           |                 + 2*s.lp[(i//32)%4 + ((i%32)%4)//2 + 3]
+           |                 + s.lp[(i//32)%4 + ((i%32)%4)//2 + 4] + 2)//4 END
+           |          END) + s.r[4*((i//32)%4) + (i%32)%4 + 1]))
+           |      ELSE s.p[i+1] END)
+           |  FROM (
+           |    SELECT w.id, w.k, w.p, g.gx, g.gy, g.md, r.r,
+           |      list_transform(range(-1, 8), xx ->
+           |        CASE WHEN g.gy = 0 THEN 0
+           |             WHEN xx = -1 THEN
+           |               (CASE WHEN g.gx = 0 THEN 0
+           |                     ELSE w.p[(4*g.gy - 1)*32 + 4*g.gx] END)
+           |             WHEN xx > 3 AND NOT g.htr THEN w.p[(4*g.gy - 1)*32 + 4*g.gx + 4]
+           |             ELSE w.p[(4*g.gy - 1)*32 + 4*g.gx + xx + 1] END) AS tp,
+           |      list_transform(range(-1, 4), yy ->
+           |        CASE WHEN g.gx = 0 THEN 0
+           |             WHEN yy = -1 THEN
+           |               (CASE WHEN g.gy = 0 THEN 0
+           |                     ELSE w.p[(4*g.gy - 1)*32 + 4*g.gx] END)
+           |             ELSE w.p[(4*g.gy + yy)*32 + 4*g.gx] END) AS lp
+           |    FROM walk w
+           |    JOIN geoq g ON g.id = w.id AND g.k = w.k
+           |    JOIN res4 r ON r.id = w.id AND r.k = w.k
+           |    WHERE w.k < 48
+           |  ) s),
+           |fin AS (SELECT id, p FROM walk WHERE k = 48),
+           |msum AS (SELECT id, m, SUM((blk + 1) * md) AS mode_sum FROM geoq GROUP BY id, m),
+           |mbrows AS (
+           |  SELECT f.id, mm.m AS mb,
+           |    list_transform(range(0, 256), j ->
+           |      f.p[(16*(mm.m // 2) + j // 16) * 32 + 16*(mm.m % 2) + j % 16 + 1]) AS px
+           |  FROM fin f, (SELECT unnest(range(1, 4)) AS m) mm),
+           |i4rows AS (
+           |  SELECT r.id, r.mb, 1 AS is_i4x4, ms.mode_sum, 15 AS cbp_luma,
+           |    CASE r.mb WHEN 1 THEN q.qp1 WHEN 2 THEN q.qp2 ELSE q.qp3 END AS qp,
+           |    list_sum(r.px) AS sum_luma,
+           |    list_sum(list_transform(range(0, 256), j -> r.px[j+1] *
+           |      ((16*(r.mb // 2) + j // 16) * 32 + 16*(r.mb % 2) + j % 16 + 1))) AS wsum_luma,
+           |    list_aggregate(r.px, 'min') AS min_luma,
+           |    list_aggregate(r.px, 'max') AS max_luma
+           |  FROM mbrows r JOIN msum ms ON ms.id = r.id AND ms.m = r.mb
+           |  JOIN qps q ON q.id = r.id),
+           |mb0 AS (
+           |  SELECT id, 0 AS mb, 0 AS is_i4x4, 2 AS mode_sum, 0 AS cbp_luma,
+           |    qp0 AS qp, 128 * 256 AS sum_luma,
+           |    list_sum(list_transform(range(0, 256), j ->
+           |      128 * ((j // 16) * 32 + j % 16 + 1))) AS wsum_luma,
+           |    128 AS min_luma, 128 AS max_luma
+           |  FROM qps)
+           |SELECT id, mb::INT AS mb, is_i4x4::INT AS is_i4x4,
+           |  mode_sum::BIGINT AS mode_sum, cbp_luma::INT AS cbp_luma, qp::INT AS qp,
+           |  sum_luma::BIGINT AS sum_luma, wsum_luma::BIGINT AS wsum_luma,
+           |  min_luma::INT AS min_luma, max_luma::INT AS max_luma
+           |FROM (SELECT * FROM mb0 UNION ALL SELECT * FROM i4rows)
+           |ORDER BY id, mb""".stripMargin)),
     "multimodal_h264_i16_chroma" -> Q(multimodalH264I16Chroma, Some(
       // restates h264ChromaAssets' CHROMA decode end to end (late round
       // 15): the §8.5.8 QPC mapping (incl. the table region), the 2x2

@@ -1,0 +1,890 @@
+package graft.multimodal
+
+import scala.collection.mutable.ArrayBuffer
+
+/** H.264 CABAC I-slice decode (round 16, r15 VERDICT #2 — the entropy
+  * coder real-world streams actually use): the §9.3.3.2 arithmetic
+  * decoding engine (context variables, renormalization, bypass,
+  * terminate — all formula math), the §9.3.2 binarizations and
+  * §9.3.3.1 context-index assignment for the intra-slice syntax
+  * subset, and CABAC-coded macroblock_layer / residual_block_cabac
+  * walks feeding the SAME reconstruction backend as [[H264Cavlc]]
+  * (prediction, dequant, transforms — entropy-free §8.x code shared
+  * verbatim). Scope mirrors the CAVLC parser: single-slice all-intra
+  * pictures mixing Intra_4x4 and Intra_16x16, 4:2:0, 8-bit,
+  * frame-coded; I_PCM, inter (P/B), and interlace strict-reject.
+  *
+  * TABLE PROVENANCE — the CavlcTables discipline: the CABAC state
+  * machine's transcription data — Table 9-44 rangeTabLPS (64×4),
+  * Table 9-45 transIdxLPS/transIdxMPS, and the context-initialization
+  * (m, n) pairs (Tables 9-12..9-33) — cannot be verified in this
+  * zero-egress environment, so [[parseISlice]] takes its
+  * [[CabacTables]] as a REQUIRED argument with no default.
+  * [[fixtureTables]] is a formula-generated stand-in satisfying the
+  * engine's structural invariants; the fixture ENCODER uses the same
+  * tables, so emit→decode round-trips are exact, but pointing the
+  * fixtures at a real encoder's stream would not decode — a real
+  * deployment pastes the spec tables it trusts through
+  * [[parseCabacSpec]].
+  *
+  * The context-index STRUCTURE (which ctxIdx each bin reads: the
+  * Table 9-34 offsets shipped inline below, the §9.3.3.1.1.x neighbor
+  * increments, the §9.3.3.1.3 significance maps) is spec TEXT
+  * transcribed as code, like the CAVLC nC rule. It is pinned by
+  * self-consistent fixtures and by the CROSS-CODER test (the same
+  * macroblock specs coded with CAVLC and with CABAC must decode to
+  * identical pictures — MultimodalSpec), not validated against a real
+  * encoder's output (none exists in-sandbox — the caveat the MP3
+  * short-intensity rule carries, filed the same way).
+  */
+object H264Cabac {
+
+  // -------------------------------------------------------------------
+  // Tables (caller-supplied; formula fixture below)
+  // -------------------------------------------------------------------
+
+  /** The CABAC transcription tables:
+    *  - `rangeTabLps(pState)(qIdx)`: Table 9-44, 64×4, each in 2..240;
+    *  - `transIdxLps`/`transIdxMps`: Table 9-45, 64 entries in 0..63;
+    *  - `ctxInit(ctxIdx)`: the (m, n) pair for every context index the
+    *    intra subset reads (0..398; 276 is the stateless terminate). */
+  final case class CabacTables(rangeTabLps: Array[Array[Int]],
+                               transIdxLps: Array[Int],
+                               transIdxMps: Array[Int],
+                               ctxInit: Map[Int, (Int, Int)]) {
+    require(rangeTabLps.length == 64 &&
+      rangeTabLps.forall(r => r.length == 4 && r.forall(v => v >= 2 && v <= 240)),
+      "rangeTabLps must be 64x4 with entries in 2..240")
+    require(transIdxLps.length == 64 && transIdxLps.forall(v => v >= 0 && v <= 63),
+      "transIdxLps must be 64 entries in 0..63")
+    require(transIdxMps.length == 64 && transIdxMps.forall(v => v >= 0 && v <= 63),
+      "transIdxMps must be 64 entries in 0..63")
+    require(ctxInit.values.forall { case (m, n) =>
+      m >= -128 && m <= 127 && n >= -128 && n <= 127 },
+      "ctxInit (m, n) out of signed-byte range")
+  }
+
+  /** Formula-generated stand-in tables (NOT the ISO values): a
+    * harmonic LPS-range decay over pState scaled by qIdx (INTEGER
+    * arithmetic, so an external SQL oracle restates the table
+    * exactly), unit MPS advance / two-step LPS retreat, and (m, n)
+    * pairs spreading the initial states across contexts — the spec
+    * tables' structural shape, different numbers. */
+  val fixtureTables: CabacTables = {
+    val range = Array.tabulate(64, 4) { (s, q) =>
+      math.max(2, (96 + 44 * q) * 256 / (256 + 20 * s))
+    }
+    CabacTables(
+      rangeTabLps = range.map(_.toArray),
+      transIdxLps = Array.tabulate(64)(s => math.max(0, s - 2)),
+      transIdxMps = Array.tabulate(64)(s => math.min(62, s + 1)),
+      ctxInit = (0 to 398).map(c => c -> ((c % 21) - 10, 50 + (c * 7) % 28)).toMap)
+  }
+
+  /** Caller-supplied table spec (the Aac/Cavlc interchange discipline):
+    *
+    *   # comment (anywhere; blank lines ignored)
+    *   rangetab 12 128 101 87 74   — pState, then the 4 qIdx entries
+    *   translps 12 9               — pState, transIdxLPS
+    *   transmps 12 13              — pState, transIdxMPS
+    *   ctxinit 60 0 41             — ctxIdx, m, n
+    *
+    * Supplied rows REPLACE the fixture rows; a typo'd directive
+    * throws (never a silent partial table). */
+  def parseCabacSpec(text: String): CabacTables = {
+    val range = fixtureTables.rangeTabLps.map(_.clone())
+    val tLps = fixtureTables.transIdxLps.clone()
+    val tMps = fixtureTables.transIdxMps.clone()
+    val init = scala.collection.mutable.Map.empty[Int, (Int, Int)] ++= fixtureTables.ctxInit
+    for (raw <- text.linesIterator) {
+      val line = raw.takeWhile(_ != '#').trim
+      if (line.nonEmpty) line.split("\\s+") match {
+        case Array("rangetab", s, a, b, c, d) =>
+          range(s.toInt) = Array(a.toInt, b.toInt, c.toInt, d.toInt)
+        case Array("translps", s, v) => tLps(s.toInt) = v.toInt
+        case Array("transmps", s, v) => tMps(s.toInt) = v.toInt
+        case Array("ctxinit", c, m, n) => init(c.toInt) = (m.toInt, n.toInt)
+        case other => throw new IllegalArgumentException(
+          s"unrecognized CABAC spec line: '${other.mkString(" ")}'")
+      }
+    }
+    CabacTables(range, tLps, tMps, init.toMap)
+  }
+
+  // -------------------------------------------------------------------
+  // Context-index constants (Table 9-34 — small spec constants shipped
+  // inline like normAdjust; the context VALUES come from ctxInit)
+  // -------------------------------------------------------------------
+
+  private val CtxMbTypeI = 3     // mb_type (I slices): bin0 at +inc, tail bins +3..+5
+  private val CtxQpDelta = 60    // mb_qp_delta
+  private val CtxChromaMode = 64 // intra_chroma_pred_mode: bin0 +inc, tail +3
+  private val CtxPrevI4 = 68     // prev_intra4x4_pred_mode_flag
+  private val CtxRemI4 = 69      // rem_intra4x4_pred_mode (3 FL bins, LSB first)
+  private val CtxCbpLuma = 73    // coded_block_pattern luma bins
+  private val CtxCbpChroma = 77  // coded_block_pattern chroma bins (bin1 at +4)
+  private val CtxCbf = 85        // coded_block_flag base
+  private val CtxSig = 105       // significant_coeff_flag base (frame)
+  private val CtxLast = 166      // last_significant_coeff_flag base
+  private val CtxAbs = 227       // coeff_abs_level_minus1 base
+  /** Per-ctxBlockCat offsets (0 = I16 luma DC, 1 = I16 luma AC,
+    * 2 = luma 4x4, 3 = chroma DC, 4 = chroma AC). */
+  private val catCbf = Array(0, 4, 8, 12, 16)
+  private val catSigLast = Array(0, 15, 29, 44, 47)
+  private val catAbs = Array(0, 10, 20, 30, 39)
+
+  @inline private def initState(tables: CabacTables, sliceQp: Int,
+                                pState: Array[Int], valMps: Array[Boolean]): Unit = {
+    var c = 0
+    while (c <= 398) {
+      val (m, n) = tables.ctxInit.getOrElse(c, throw new IllegalArgumentException(
+        s"ctxInit missing context $c"))
+      val pre = math.max(1, math.min(126,
+        ((m * math.max(0, math.min(51, sliceQp))) >> 4) + n))
+      if (pre <= 63) { pState(c) = 63 - pre; valMps(c) = false }
+      else { pState(c) = pre - 64; valMps(c) = true }
+      c += 1
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // §9.3.3.2 arithmetic decoding engine
+  // -------------------------------------------------------------------
+
+  private[graft] final class CabacDecoder(bytes: Array[Byte], startBit: Int,
+                                               tables: CabacTables, sliceQp: Int) {
+    private var bit = startBit
+    private def readBit(): Int = {
+      require(bit < bytes.length * 8, "CABAC read past the RBSP")
+      val b = (bytes(bit >> 3) >> (7 - (bit & 7))) & 1
+      bit += 1
+      b
+    }
+    def bitsLeft: Int = bytes.length * 8 - bit
+    private val pState = new Array[Int](399)
+    private val valMps = new Array[Boolean](399)
+    initState(tables, sliceQp, pState, valMps)
+    private var codIRange = 510
+    private var codIOffset = {
+      var v = 0; var i = 0
+      while (i < 9) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    require(codIOffset < 510, "initial codIOffset out of range")
+
+    /** §9.3.3.2.1 DecodeDecision + renormalization. */
+    def decision(ctxIdx: Int): Int = {
+      val qIdx = (codIRange >> 6) & 3
+      val rLps = tables.rangeTabLps(pState(ctxIdx))(qIdx)
+      codIRange -= rLps
+      val bin =
+        if (codIOffset >= codIRange) {
+          val b = if (valMps(ctxIdx)) 0 else 1
+          codIOffset -= codIRange
+          codIRange = rLps
+          if (pState(ctxIdx) == 0) valMps(ctxIdx) = !valMps(ctxIdx)
+          pState(ctxIdx) = tables.transIdxLps(pState(ctxIdx))
+          b
+        } else {
+          val b = if (valMps(ctxIdx)) 1 else 0
+          pState(ctxIdx) = tables.transIdxMps(pState(ctxIdx))
+          b
+        }
+      while (codIRange < 256) {
+        codIRange <<= 1
+        codIOffset = (codIOffset << 1) | readBit()
+      }
+      bin
+    }
+
+    /** §9.3.3.2.3 DecodeBypass. */
+    def bypass(): Int = {
+      codIOffset = (codIOffset << 1) | readBit()
+      if (codIOffset >= codIRange) { codIOffset -= codIRange; 1 } else 0
+    }
+
+    /** §9.3.3.2.2.2 DecodeTerminate (the ctxIdx-276 bin, stateless). */
+    def terminate(): Int = {
+      codIRange -= 2
+      if (codIOffset >= codIRange) 1
+      else {
+        while (codIRange < 256) {
+          codIRange <<= 1
+          codIOffset = (codIOffset << 1) | readBit()
+        }
+        0
+      }
+    }
+    /** Engine snapshot (the cabac-core gate pins range/offset drift). */
+    def state: (Int, Int) = (codIRange, codIOffset)
+  }
+
+  // -------------------------------------------------------------------
+  // §9.3.4 arithmetic ENCODING engine (fixture side)
+  // -------------------------------------------------------------------
+
+  private[graft] final class CabacEncoder(tables: CabacTables, sliceQp: Int) {
+    private val pState = new Array[Int](399)
+    private val valMps = new Array[Boolean](399)
+    initState(tables, sliceQp, pState, valMps)
+    private var low = 0
+    private var range = 510
+    private var outstanding = 0
+    private var firstBit = true
+    private val bits = ArrayBuffer.empty[Boolean]
+    private def putBit(b: Int): Unit = {
+      // §9.3.4.4: the very first output bit is discarded — the decoder's
+      // 9-bit offset preload absorbs it
+      if (firstBit) firstBit = false else bits += (b == 1)
+      while (outstanding > 0) { bits += (b == 0); outstanding -= 1 }
+    }
+    private def renorm(): Unit = {
+      while (range < 256) {
+        if (low >= 512) { putBit(1); low -= 512 }
+        else if (low < 256) putBit(0)
+        else { outstanding += 1; low -= 256 }
+        range <<= 1
+        low <<= 1
+      }
+    }
+    def decision(ctxIdx: Int, bin: Int): Unit = {
+      val qIdx = (range >> 6) & 3
+      val rLps = tables.rangeTabLps(pState(ctxIdx))(qIdx)
+      range -= rLps
+      if ((bin == 1) != valMps(ctxIdx)) {
+        low += range
+        range = rLps
+        if (pState(ctxIdx) == 0) valMps(ctxIdx) = !valMps(ctxIdx)
+        pState(ctxIdx) = tables.transIdxLps(pState(ctxIdx))
+      } else pState(ctxIdx) = tables.transIdxMps(pState(ctxIdx))
+      renorm()
+    }
+    def bypass(bin: Int): Unit = {
+      low <<= 1
+      if (bin == 1) low += range
+      if (low >= 1024) { putBit(1); low -= 1024 }
+      else if (low < 512) putBit(0)
+      else { outstanding += 1; low -= 512 }
+    }
+    /** §9.3.4.5 + §9.3.4.6: terminate; on bin = 1 the flush emits the
+      * two live low bits with the rbsp_stop_one_bit folded in. */
+    def terminate(bin: Int): Unit = {
+      range -= 2
+      if (bin == 1) {
+        low += range
+        range = 2
+        renorm()
+        putBit((low >> 9) & 1)
+        bits += (((low >> 8) & 1) == 1)
+        bits += true // rbsp_stop_one_bit
+      } else renorm()
+    }
+    /** Final RBSP: the byte-aligned header bits then the arithmetic
+      * payload, zero-padded to a byte boundary. */
+    def assemble(headBits: Seq[Boolean]): Array[Byte] = {
+      require(headBits.length % 8 == 0, "header must be byte-aligned")
+      val all = headBits ++ bits
+      val out = new Array[Byte]((all.length + 7) / 8)
+      var i = 0
+      while (i < all.length) {
+        if (all(i)) out(i / 8) = (out(i / 8) | (1 << (7 - (i % 8)))).toByte
+        i += 1
+      }
+      out
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // Slice decode
+  // -------------------------------------------------------------------
+
+  /** Per-MB state the context models read from neighbors. */
+  private final case class MbCtx(isI4x4: Boolean, cbpLuma: Int, cbpChroma: Int,
+                                 chromaMode: Int, cbfLumaDc: Boolean,
+                                 cbfChromaDc: Array[Boolean])
+
+  /** Parse a slice NAL's RBSP as a single-slice all-intra CABAC
+    * picture (mb_types 0 I_NxN and 1..24 Intra_16x16) under the given
+    * SPS/PPS and CALLER-SUPPLIED [[CabacTables]]. Strict → None on:
+    * CAVLC PPS, non-I slices, multi-slice-group, chroma formats ≠
+    * 4:2:0/8-bit, field coding, I_PCM, malformed bin walks, an
+    * end_of_slice that fires early or late, or more than a byte of
+    * flush slack after the final terminate. */
+  def parseISlice(rbsp: Array[Byte], sps: H264.Sps, pps: H264.Pps,
+                  nalRefIdc: Int, nalType: Int,
+                  tables: CabacTables): Option[H264Cavlc.I16Picture] = try {
+    if (nalType != 1 && nalType != 5) return None
+    if (sps.chromaFormatIdc != 1 || sps.bitDepthLuma != 8) return None
+    if (!sps.frameMbsOnly) return None
+    if (!pps.entropyCabac) return None
+    if (pps.numSliceGroups != 1) return None
+    val r = new H264Cavlc.BitReader(rbsp)
+    if (r.ue() != 0) return None
+    val sliceType = r.ue()
+    if (sliceType != 2 && sliceType != 7) return None // I slices: no cabac_init_idc
+    val ppsId = r.ue()
+    if (ppsId != pps.ppsId) return None
+    val frameNum = r.u(sps.log2MaxFrameNum)
+    val idr = nalType == 5
+    val idrPicId = if (idr) r.ue() else 0
+    var pocLsb = 0
+    if (sps.pocType == 0) {
+      pocLsb = r.u(sps.log2MaxPocLsb)
+      if (pps.bottomFieldPocPresent) r.se()
+    }
+    else if (sps.pocType != 2) return None
+    if (pps.redundantPresent && r.ue() != 0) return None
+    if (nalRefIdc != 0) {
+      if (idr) { r.u(1); r.u(1) }
+      else if (r.u(1) == 1) return None
+    }
+    val sliceQp = pps.picInitQp + r.se()
+    require(sliceQp >= 0 && sliceQp <= 51, s"slice QP $sliceQp out of 0..51")
+    if (pps.deblockingPresent) {
+      val idc = r.ue()
+      if (idc != 1) { r.se(); r.se() }
+    }
+    while (!r.aligned) require(r.u(1) == 1, "cabac_alignment_one_bit is 0")
+    val c = new CabacDecoder(rbsp, rbsp.length * 8 - r.bitsLeft, tables, sliceQp)
+
+    val wMbs = sps.picWidthInMbs; val hMbs = sps.picHeightInMapUnits
+    val w = 16 * wMbs; val h = 16 * hMbs
+    val luma = new Array[Int](w * h)
+    val wc = 8 * wMbs
+    val cb = new Array[Int](wc * 8 * hMbs)
+    val cr = new Array[Int](wc * 8 * hMbs)
+    val done = Array.fill(4 * hMbs, 4 * wMbs)(false)
+    val modeGrid = Array.fill(4 * hMbs, 4 * wMbs)(-1)
+    // per-4x4 coded_block_flag grids (§9.3.3.1.1.9 neighbors)
+    val cbfL4 = Array.fill(4 * hMbs, 4 * wMbs)(false)
+    val cbfC4 = Array.fill(2, 2 * hMbs, 2 * wMbs)(false)
+    val mbCtx = new Array[MbCtx](wMbs * hMbs)
+    val mbs = new ArrayBuffer[H264Cavlc.I16Mb](wMbs * hMbs)
+    var prevQp = sliceQp
+    var prevQpDeltaNonZero = false
+    var mb = 0
+    var more = true
+    while (more) {
+      require(mb < wMbs * hMbs, "slice data past the last macroblock")
+      val mbx = mb % wMbs; val mby = mb / wMbs
+      val leftMb = if (mbx > 0) Some(mbCtx(mb - 1)) else None
+      val topMb = if (mby > 0) Some(mbCtx(mb - wMbs)) else None
+
+      // ---- mb_type (Table 9-36; §9.3.3.1.1.3 bin0 increment) ----
+      val incT = leftMb.count(!_.isI4x4) + topMb.count(!_.isI4x4)
+      val isI16 = c.decision(CtxMbTypeI + incT) == 1
+      var predMode = -1; var cbpLuma = 0; var cbpChroma = 0
+      var modes = Array.empty[Int]
+      if (isI16) {
+        require(c.terminate() == 0, "I_PCM out of scope") // the ctx-276 bin
+        cbpLuma = if (c.decision(CtxMbTypeI + 3) == 1) 15 else 0
+        if (c.decision(CtxMbTypeI + 4) == 1)
+          cbpChroma = if (c.decision(CtxMbTypeI + 4) == 1) 2 else 1
+        predMode = 2 * c.decision(CtxMbTypeI + 5) + c.decision(CtxMbTypeI + 5)
+      } else {
+        modes = new Array[Int](16)
+        var blk = 0
+        while (blk < 16) {
+          val gx = 4 * mbx + H264Cavlc.blkX(blk); val gy = 4 * mby + H264Cavlc.blkY(blk)
+          val a = if (gx == 0 || modeGrid(gy)(gx - 1) < 0) 2 else modeGrid(gy)(gx - 1)
+          val b = if (gy == 0 || modeGrid(gy - 1)(gx) < 0) 2 else modeGrid(gy - 1)(gx)
+          val predicted = math.min(a, b)
+          val mode =
+            if (c.decision(CtxPrevI4) == 1) predicted
+            else {
+              val rem = c.decision(CtxRemI4) | (c.decision(CtxRemI4) << 1) |
+                (c.decision(CtxRemI4) << 2)
+              if (rem < predicted) rem else rem + 1
+            }
+          modes(blk) = mode
+          modeGrid(gy)(gx) = mode
+          blk += 1
+        }
+      }
+      // ---- intra_chroma_pred_mode (TU cMax 3; §9.3.3.1.1.8) ----
+      val incC = leftMb.count(_.chromaMode != 0) + topMb.count(_.chromaMode != 0)
+      val chromaPredMode =
+        if (c.decision(CtxChromaMode + incC) == 0) 0
+        else if (c.decision(CtxChromaMode + 3) == 0) 1
+        else if (c.decision(CtxChromaMode + 3) == 0) 2
+        else 3
+      // ---- coded_block_pattern for I_NxN (§9.3.3.1.1.4) ----
+      if (!isI16) {
+        var b8 = 0
+        while (b8 < 4) {
+          val x8 = b8 % 2; val y8 = b8 / 2
+          val condA =
+            if (x8 == 1) 1 - (cbpLuma >> (y8 * 2) & 1)
+            else leftMb.map(m => 1 - (m.cbpLuma >> (y8 * 2 + 1) & 1)).getOrElse(0)
+          val condB =
+            if (y8 == 1) 1 - (cbpLuma >> x8 & 1)
+            else topMb.map(m => 1 - (m.cbpLuma >> (2 + x8) & 1)).getOrElse(0)
+          if (c.decision(CtxCbpLuma + condA + 2 * condB) == 1) cbpLuma |= 1 << b8
+          b8 += 1
+        }
+        val ca0 = leftMb.count(_.cbpChroma != 0) + 2 * topMb.count(_.cbpChroma != 0)
+        if (c.decision(CtxCbpChroma + ca0) == 1) {
+          val ca1 = leftMb.count(_.cbpChroma == 2) + 2 * topMb.count(_.cbpChroma == 2)
+          cbpChroma = if (c.decision(CtxCbpChroma + 4 + ca1) == 1) 2 else 1
+        }
+      }
+      // ---- mb_qp_delta (§9.3.3.1.1.5; unary of the se(v) mapping) ----
+      val qp =
+        if (isI16 || cbpLuma != 0 || cbpChroma != 0) {
+          var mapped = 0
+          if (c.decision(CtxQpDelta + (if (prevQpDeltaNonZero) 1 else 0)) == 1) {
+            mapped = 1
+            if (c.decision(CtxQpDelta + 2) == 1) {
+              mapped = 2
+              while (c.decision(CtxQpDelta + 3) == 1) {
+                mapped += 1
+                require(mapped <= 52, "mb_qp_delta unary too long")
+              }
+            }
+          }
+          val qpDelta = if (mapped % 2 == 1) (mapped + 1) / 2 else -(mapped / 2)
+          require(qpDelta >= -26 && qpDelta <= 25, s"mb_qp_delta $qpDelta")
+          prevQpDeltaNonZero = qpDelta != 0
+          (prevQp + qpDelta + 52) % 52
+        } else { prevQpDeltaNonZero = false; prevQp }
+      prevQp = qp
+
+      // ---- residual_block_cabac (§9.3.2.7); returns (levels, CBF) ----
+      def residual(cat: Int, maxCoeffs: Int, ctxIdx: Int): (Array[Int], Boolean) = {
+        val out = new Array[Int](maxCoeffs)
+        if (c.decision(ctxIdx) == 0) return (out, false)
+        val sig = new Array[Boolean](maxCoeffs)
+        var last = -1
+        var i = 0
+        while (i < maxCoeffs - 1 && last < 0) {
+          if (c.decision(CtxSig + catSigLast(cat) + i) == 1) {
+            sig(i) = true
+            if (c.decision(CtxLast + catSigLast(cat) + i) == 1) last = i
+          }
+          i += 1
+        }
+        if (last < 0) { sig(maxCoeffs - 1) = true; last = maxCoeffs - 1 }
+        var gt1 = 0; var eq1 = 0
+        var k = last
+        while (k >= 0) {
+          if (sig(k)) {
+            val inc0 = if (gt1 != 0) 0 else math.min(4, 1 + eq1)
+            var absM1 = 0
+            if (c.decision(CtxAbs + catAbs(cat) + inc0) == 1) {
+              absM1 = 1
+              val incN = 5 + math.min(4, gt1)
+              var cont = true
+              while (cont && absM1 < 14) {
+                if (c.decision(CtxAbs + catAbs(cat) + incN) == 1) absM1 += 1
+                else cont = false
+              }
+              if (cont) {
+                // UEG0 suffix (§9.3.2.3): bypass exp-golomb, k = 0
+                var kk = 0
+                while (c.bypass() == 1) {
+                  absM1 += 1 << kk
+                  kk += 1
+                  require(kk <= 30, "UEG0 escape too long")
+                }
+                while (kk > 0) { kk -= 1; absM1 += c.bypass() << kk }
+              }
+            }
+            if (absM1 == 0) eq1 += 1 else gt1 += 1
+            out(k) = if (c.bypass() == 1) -(absM1 + 1) else absM1 + 1
+          }
+          k -= 1
+        }
+        (out, true)
+      }
+
+      val i4Scan = Array.ofDim[Int](16, 16)
+      val dcScan = new Array[Int](16)
+      val acScan = Array.ofDim[Int](16, 15)
+      var cbfDc = false
+      if (isI16) {
+        // Intra16x16DCLevel (cat 0): neighbor CBFs are the adjacent
+        // MBs' luma DC flags — absent block (I4x4 neighbor) → 0,
+        // outside the picture → 1 (intra)
+        val condA = leftMb.map(m => if (m.cbfLumaDc) 1 else 0).getOrElse(1)
+        val condB = topMb.map(m => if (m.cbfLumaDc) 1 else 0).getOrElse(1)
+        val (dc, flag) = residual(0, 16, CtxCbf + catCbf(0) + condA + 2 * condB)
+        Array.copy(dc, 0, dcScan, 0, 16)
+        cbfDc = flag
+      }
+      var blk = 0
+      while (blk < 16) {
+        val gx = 4 * mbx + H264Cavlc.blkX(blk); val gy = 4 * mby + H264Cavlc.blkY(blk)
+        val coded = if (isI16) cbpLuma == 15 else (cbpLuma >> (blk / 4) & 1) != 0
+        if (coded) {
+          val condA = if (gx == 0) 1 else (if (cbfL4(gy)(gx - 1)) 1 else 0)
+          val condB = if (gy == 0) 1 else (if (cbfL4(gy - 1)(gx)) 1 else 0)
+          val cat = if (isI16) 1 else 2
+          val n = if (isI16) 15 else 16
+          val (lv, flag) = residual(cat, n, CtxCbf + catCbf(cat) + condA + 2 * condB)
+          if (isI16) acScan(blk) = lv else i4Scan(blk) = lv
+          cbfL4(gy)(gx) = flag
+        } else cbfL4(gy)(gx) = false
+        blk += 1
+      }
+      val chDcScan = Array.ofDim[Int](2, 4)
+      val chAcScan = Array.ofDim[Int](2, 4, 15)
+      val cbfCDc = Array(false, false)
+      if (cbpChroma >= 1) {
+        var comp = 0
+        while (comp < 2) {
+          val condA = leftMb.map(m => if (m.cbfChromaDc(comp)) 1 else 0).getOrElse(1)
+          val condB = topMb.map(m => if (m.cbfChromaDc(comp)) 1 else 0).getOrElse(1)
+          val (dc, flag) = residual(3, 4, CtxCbf + catCbf(3) + condA + 2 * condB)
+          chDcScan(comp) = dc
+          cbfCDc(comp) = flag
+          comp += 1
+        }
+      }
+      var comp = 0
+      while (comp < 2) {
+        var cblk = 0
+        while (cblk < 4) {
+          val gx = 2 * mbx + cblk % 2; val gy = 2 * mby + cblk / 2
+          if (cbpChroma == 2) {
+            val condA = if (gx == 0) 1 else (if (cbfC4(comp)(gy)(gx - 1)) 1 else 0)
+            val condB = if (gy == 0) 1 else (if (cbfC4(comp)(gy - 1)(gx)) 1 else 0)
+            val (lv, flag) = residual(4, 15, CtxCbf + catCbf(4) + condA + 2 * condB)
+            chAcScan(comp)(cblk) = lv
+            cbfC4(comp)(gy)(gx) = flag
+          } else cbfC4(comp)(gy)(gx) = false
+          cblk += 1
+        }
+        comp += 1
+      }
+
+      // ---- reconstruction through the SHARED entropy-free backend ----
+      if (isI16)
+        H264Cavlc.reconstructI16(luma, cb, cr, w, wc, mbx, mby, predMode,
+          chromaPredMode, qp, pps.chromaQpOffset, cbpChroma,
+          dcScan, acScan, chDcScan, chAcScan, done)
+      else
+        H264Cavlc.reconstructI4x4(luma, cb, cr, w, wc, wMbs, mbx, mby, modes,
+          chromaPredMode, qp, pps.chromaQpOffset, cbpChroma,
+          i4Scan, chDcScan, chAcScan, done)
+      mbCtx(mb) = MbCtx(!isI16, cbpLuma, cbpChroma, chromaPredMode, cbfDc, cbfCDc)
+      mbs += H264Cavlc.I16Mb(predMode, cbpChroma, cbpLuma, chromaPredMode, qp,
+        if (isI16) Array.empty else modes)
+      mb += 1
+      more = c.terminate() == 0
+    }
+    require(mb == wMbs * hMbs, "end_of_slice before the last macroblock")
+    // flush slack: the encoder's terminal flush emits exactly the bits
+    // the decoder's 9-bit preload never consumed, so at most the
+    // byte-alignment padding remains (measured in the roundtrip tests)
+    require(c.bitsLeft < 8, s"${c.bitsLeft} trailing bits after the CABAC flush")
+    Some(H264Cavlc.I16Picture(sliceType, ppsId, frameNum, idrPicId, pocLsb,
+      sliceQp, wMbs, hMbs, mbs.toSeq, luma, cb, cr))
+  } catch { case _: Exception => None }
+
+  // -------------------------------------------------------------------
+  // Fixture encoder
+  // -------------------------------------------------------------------
+
+  /** Fixture encoder for [[parseISlice]]: the same [[H264Cavlc.IMbSpec]]
+    * shapes the CAVLC encoder takes (the cross-coder pin), CABAC-coded
+    * bin for bin against the identical context schedule the parser
+    * reads. */
+  def encodeISlice(sps: H264.Sps, pps: H264.Pps, nalRefIdc: Int,
+                   idr: Boolean, frameNum: Int, idrPicId: Int,
+                   pocLsb: Int, sliceQpDelta: Int,
+                   mbs: Seq[H264Cavlc.IMbSpec], tables: CabacTables,
+                   deblockIdc: Int = 1): Array[Byte] = {
+    require(mbs.length == sps.picWidthInMbs * sps.picHeightInMapUnits,
+      "fixture slice must cover the whole picture")
+    require(pps.entropyCabac, "CABAC fixture needs a CABAC PPS")
+    val hw = new H264Cavlc.BitWriter
+    hw.ue(0) // first_mb_in_slice
+    hw.ue(7) // slice_type I
+    hw.ue(pps.ppsId)
+    hw.u(frameNum, sps.log2MaxFrameNum)
+    if (idr) hw.ue(idrPicId)
+    if (sps.pocType == 0) {
+      hw.u(pocLsb, sps.log2MaxPocLsb)
+      if (pps.bottomFieldPocPresent) hw.se(0)
+    }
+    if (pps.redundantPresent) hw.ue(0)
+    if (nalRefIdc != 0) {
+      require(idr, "non-IDR reference fixture slices unsupported")
+      hw.u(0, 1); hw.u(0, 1)
+    }
+    hw.se(sliceQpDelta)
+    if (pps.deblockingPresent) {
+      hw.ue(deblockIdc)
+      if (deblockIdc != 1) { hw.se(0); hw.se(0) }
+    }
+    while (hw.bitCount % 8 != 0) hw.u(1, 1) // cabac_alignment_one_bit
+    val sliceQp = pps.picInitQp + sliceQpDelta
+    val e = new CabacEncoder(tables, sliceQp)
+
+    val wMbs = sps.picWidthInMbs; val hMbs = sps.picHeightInMapUnits
+    val modeGrid = Array.fill(4 * hMbs, 4 * wMbs)(-1)
+    val cbfL4 = Array.fill(4 * hMbs, 4 * wMbs)(false)
+    val cbfC4 = Array.fill(2, 2 * hMbs, 2 * wMbs)(false)
+    val mbCtx = new Array[MbCtx](wMbs * hMbs)
+    var prevQpDeltaNonZero = false
+
+    def emitResidual(cat: Int, coeffs: Array[Int], ctxIdx: Int): Boolean = {
+      val cbf = coeffs.exists(_ != 0)
+      e.decision(ctxIdx, if (cbf) 1 else 0)
+      if (!cbf) return false
+      val maxCoeffs = coeffs.length
+      val last = coeffs.lastIndexWhere(_ != 0)
+      var i = 0
+      while (i < maxCoeffs - 1 && i <= last) {
+        val s = coeffs(i) != 0
+        e.decision(CtxSig + catSigLast(cat) + i, if (s) 1 else 0)
+        if (s) e.decision(CtxLast + catSigLast(cat) + i, if (i == last) 1 else 0)
+        i += 1
+      }
+      var gt1 = 0; var eq1 = 0
+      var k = last
+      while (k >= 0) {
+        val v = coeffs(k)
+        if (v != 0) {
+          val absM1 = math.abs(v) - 1
+          val inc0 = if (gt1 != 0) 0 else math.min(4, 1 + eq1)
+          e.decision(CtxAbs + catAbs(cat) + inc0, if (absM1 > 0) 1 else 0)
+          if (absM1 > 0) {
+            val incN = 5 + math.min(4, gt1)
+            val prefix = math.min(absM1, 14)
+            var j = 1
+            while (j < prefix) { e.decision(CtxAbs + catAbs(cat) + incN, 1); j += 1 }
+            if (prefix < 14) e.decision(CtxAbs + catAbs(cat) + incN, 0)
+            else {
+              // UEG0 suffix of absM1 - 14: t ones, a zero, t MSB-first bits
+              val s = absM1 - 14
+              var t = 0
+              while (s + 1 >= (1 << (t + 1))) t += 1
+              var b = s + 1 - (1 << t)
+              var j2 = 0
+              while (j2 < t) { e.bypass(1); j2 += 1 }
+              e.bypass(0)
+              var kk = t
+              while (kk > 0) { kk -= 1; e.bypass((b >> kk) & 1) }
+            }
+          }
+          if (absM1 == 0) eq1 += 1 else gt1 += 1
+          e.bypass(if (v < 0) 1 else 0)
+        }
+        k -= 1
+      }
+      true
+    }
+
+    mbs.zipWithIndex.foreach { case (spec, idx) =>
+      val mbx = idx % wMbs; val mby = idx / wMbs
+      val leftMb = if (mbx > 0) Some(mbCtx(idx - 1)) else None
+      val topMb = if (mby > 0) Some(mbCtx(idx - wMbs)) else None
+      val incT = leftMb.count(!_.isI4x4) + topMb.count(!_.isI4x4)
+      spec match {
+        case m: H264Cavlc.I16MbSpec =>
+          require(m.dcScan.length == 16 && m.acScan.length == 16 &&
+            m.acScan.forall(_.length == 15), "scan array shapes")
+          val cbpLuma = m.forceCbpLuma.getOrElse(
+            if (m.acScan.exists(_.exists(_ != 0))) 15 else 0)
+          require(cbpLuma == 0 || cbpLuma == 15, "Intra_16x16 luma CBP is 0 or 15")
+          require(cbpLuma == 15 || m.acScan.forall(_.forall(_ == 0)),
+            "nonzero AC levels need CBP luma 15")
+          val chDc = if (m.chromaDc.isEmpty) Array.fill(2)(new Array[Int](4))
+                     else m.chromaDc
+          val chAc = if (m.chromaAc.isEmpty) Array.fill(2, 4)(new Array[Int](15))
+                     else m.chromaAc
+          val cbpChroma = m.forceCbpChroma.getOrElse(
+            if (chAc.exists(_.exists(_.exists(_ != 0)))) 2
+            else if (chDc.exists(_.exists(_ != 0))) 1
+            else 0)
+          require(cbpChroma == 2 || chAc.forall(_.forall(_.forall(_ == 0))))
+          require(cbpChroma >= 1 || chDc.forall(_.forall(_ == 0)))
+          // mb_type bins
+          e.decision(CtxMbTypeI + incT, 1)
+          e.terminate(0) // not I_PCM
+          e.decision(CtxMbTypeI + 3, if (cbpLuma == 15) 1 else 0)
+          e.decision(CtxMbTypeI + 4, if (cbpChroma != 0) 1 else 0)
+          if (cbpChroma != 0) e.decision(CtxMbTypeI + 4, if (cbpChroma == 2) 1 else 0)
+          e.decision(CtxMbTypeI + 5, (m.predMode >> 1) & 1)
+          e.decision(CtxMbTypeI + 5, m.predMode & 1)
+          // chroma mode
+          emitChromaMode(e, m.chromaPredMode, leftMb, topMb)
+          // mb_qp_delta (always for I16)
+          emitQpDelta(e, m.qpDelta, prevQpDeltaNonZero)
+          prevQpDeltaNonZero = m.qpDelta != 0
+          // residuals
+          val condA = leftMb.map(x => if (x.cbfLumaDc) 1 else 0).getOrElse(1)
+          val condB = topMb.map(x => if (x.cbfLumaDc) 1 else 0).getOrElse(1)
+          val cbfDc = emitResidual(0, m.dcScan, CtxCbf + catCbf(0) + condA + 2 * condB)
+          var blk = 0
+          while (blk < 16) {
+            val gx = 4 * mbx + H264Cavlc.blkX(blk); val gy = 4 * mby + H264Cavlc.blkY(blk)
+            if (cbpLuma == 15) {
+              val cA = if (gx == 0) 1 else (if (cbfL4(gy)(gx - 1)) 1 else 0)
+              val cB = if (gy == 0) 1 else (if (cbfL4(gy - 1)(gx)) 1 else 0)
+              cbfL4(gy)(gx) = emitResidual(1, m.acScan(blk),
+                CtxCbf + catCbf(1) + cA + 2 * cB)
+            } else cbfL4(gy)(gx) = false
+            blk += 1
+          }
+          val cbfCDc = emitChroma(e, emitResidual, mbx, mby, cbpChroma, chDc, chAc,
+            leftMb, topMb, cbfC4)
+          mbCtx(idx) = MbCtx(isI4x4 = false, cbpLuma, cbpChroma,
+            m.chromaPredMode, cbfDc, cbfCDc)
+        case m: H264Cavlc.I4x4MbSpec =>
+          require(m.modes.length == 16 && m.modes.forall(md => md >= 0 && md <= 8))
+          require(m.lumaScan.length == 16 && m.lumaScan.forall(_.length == 16))
+          val derived = (0 until 4).map(b8 =>
+            if ((4 * b8 until 4 * b8 + 4).exists(b => m.lumaScan(b).exists(_ != 0))) 1 << b8
+            else 0).sum
+          val cbpLuma = m.forceCbpLuma.getOrElse(derived)
+          require((cbpLuma & derived) == derived && cbpLuma < 16,
+            "forceCbpLuma must cover every nonzero 8x8")
+          val chDc = if (m.chromaDc.isEmpty) Array.fill(2)(new Array[Int](4))
+                     else m.chromaDc
+          val chAc = if (m.chromaAc.isEmpty) Array.fill(2, 4)(new Array[Int](15))
+                     else m.chromaAc
+          val cbpChroma = m.forceCbpChroma.getOrElse(
+            if (chAc.exists(_.exists(_.exists(_ != 0)))) 2
+            else if (chDc.exists(_.exists(_ != 0))) 1
+            else 0)
+          require(cbpChroma == 2 || chAc.forall(_.forall(_.forall(_ == 0))))
+          require(cbpChroma >= 1 || chDc.forall(_.forall(_ == 0)))
+          e.decision(CtxMbTypeI + incT, 0) // I_NxN
+          var blk = 0
+          while (blk < 16) {
+            val gx = 4 * mbx + H264Cavlc.blkX(blk); val gy = 4 * mby + H264Cavlc.blkY(blk)
+            val a = if (gx == 0 || modeGrid(gy)(gx - 1) < 0) 2 else modeGrid(gy)(gx - 1)
+            val b = if (gy == 0 || modeGrid(gy - 1)(gx) < 0) 2 else modeGrid(gy - 1)(gx)
+            val predicted = math.min(a, b)
+            val mode = m.modes(blk)
+            if (mode == predicted) e.decision(CtxPrevI4, 1)
+            else {
+              e.decision(CtxPrevI4, 0)
+              val rem = if (mode > predicted) mode - 1 else mode
+              e.decision(CtxRemI4, rem & 1)
+              e.decision(CtxRemI4, (rem >> 1) & 1)
+              e.decision(CtxRemI4, (rem >> 2) & 1)
+            }
+            modeGrid(gy)(gx) = mode
+            blk += 1
+          }
+          emitChromaMode(e, m.chromaPredMode, leftMb, topMb)
+          var b8 = 0
+          var cbpSoFar = 0
+          while (b8 < 4) {
+            val x8 = b8 % 2; val y8 = b8 / 2
+            val condA =
+              if (x8 == 1) 1 - (cbpSoFar >> (y8 * 2) & 1)
+              else leftMb.map(x => 1 - (x.cbpLuma >> (y8 * 2 + 1) & 1)).getOrElse(0)
+            val condB =
+              if (y8 == 1) 1 - (cbpSoFar >> x8 & 1)
+              else topMb.map(x => 1 - (x.cbpLuma >> (2 + x8) & 1)).getOrElse(0)
+            val bit = (cbpLuma >> b8) & 1
+            e.decision(CtxCbpLuma + condA + 2 * condB, bit)
+            cbpSoFar |= bit << b8
+            b8 += 1
+          }
+          val ca0 = leftMb.count(_.cbpChroma != 0) + 2 * topMb.count(_.cbpChroma != 0)
+          e.decision(CtxCbpChroma + ca0, if (cbpChroma != 0) 1 else 0)
+          if (cbpChroma != 0) {
+            val ca1 = leftMb.count(_.cbpChroma == 2) + 2 * topMb.count(_.cbpChroma == 2)
+            e.decision(CtxCbpChroma + 4 + ca1, if (cbpChroma == 2) 1 else 0)
+          }
+          if (cbpLuma != 0 || cbpChroma != 0) {
+            emitQpDelta(e, m.qpDelta, prevQpDeltaNonZero)
+            prevQpDeltaNonZero = m.qpDelta != 0
+          } else {
+            require(m.qpDelta == 0, "mb_qp_delta needs a nonzero CBP")
+            prevQpDeltaNonZero = false
+          }
+          var blk2 = 0
+          while (blk2 < 16) {
+            val gx = 4 * mbx + H264Cavlc.blkX(blk2); val gy = 4 * mby + H264Cavlc.blkY(blk2)
+            if ((cbpLuma >> (blk2 / 4) & 1) != 0) {
+              val cA = if (gx == 0) 1 else (if (cbfL4(gy)(gx - 1)) 1 else 0)
+              val cB = if (gy == 0) 1 else (if (cbfL4(gy - 1)(gx)) 1 else 0)
+              cbfL4(gy)(gx) = emitResidual(2, m.lumaScan(blk2),
+                CtxCbf + catCbf(2) + cA + 2 * cB)
+            } else {
+              require(m.lumaScan(blk2).forall(_ == 0),
+                "nonzero levels in an uncoded 8x8")
+              cbfL4(gy)(gx) = false
+            }
+            blk2 += 1
+          }
+          val cbfCDc = emitChroma(e, emitResidual, mbx, mby, cbpChroma, chDc, chAc,
+            leftMb, topMb, cbfC4)
+          mbCtx(idx) = MbCtx(isI4x4 = true, cbpLuma, cbpChroma,
+            m.chromaPredMode, cbfLumaDc = false, cbfCDc)
+      }
+      e.terminate(if (idx == mbs.length - 1) 1 else 0)
+    }
+    e.assemble(hw.rawBits)
+  }
+
+  private def emitChromaMode(e: CabacEncoder, mode: Int,
+                             leftMb: Option[MbCtx], topMb: Option[MbCtx]): Unit = {
+    val incC = leftMb.count(_.chromaMode != 0) + topMb.count(_.chromaMode != 0)
+    if (mode == 0) e.decision(CtxChromaMode + incC, 0)
+    else {
+      e.decision(CtxChromaMode + incC, 1)
+      if (mode == 1) e.decision(CtxChromaMode + 3, 0)
+      else {
+        e.decision(CtxChromaMode + 3, 1)
+        e.decision(CtxChromaMode + 3, if (mode == 3) 1 else 0)
+      }
+    }
+  }
+
+  private def emitQpDelta(e: CabacEncoder, qpDelta: Int,
+                          prevNonZero: Boolean): Unit = {
+    require(qpDelta >= -26 && qpDelta <= 25, s"mb_qp_delta $qpDelta")
+    val mapped = if (qpDelta > 0) 2 * qpDelta - 1 else -2 * qpDelta
+    e.decision(CtxQpDelta + (if (prevNonZero) 1 else 0), if (mapped >= 1) 1 else 0)
+    if (mapped >= 1) {
+      e.decision(CtxQpDelta + 2, if (mapped >= 2) 1 else 0)
+      var j = 2
+      while (j < mapped) { e.decision(CtxQpDelta + 3, 1); j += 1 }
+      if (mapped >= 2) e.decision(CtxQpDelta + 3, 0)
+    }
+  }
+
+  /** Shared chroma residual emit (§7.3.5.3 order); returns the two
+    * chroma-DC CBFs for the MbCtx. */
+  private def emitChroma(e: CabacEncoder,
+                         emitResidual: (Int, Array[Int], Int) => Boolean,
+                         mbx: Int, mby: Int, cbpChroma: Int,
+                         chDc: Array[Array[Int]], chAc: Array[Array[Array[Int]]],
+                         leftMb: Option[MbCtx], topMb: Option[MbCtx],
+                         cbfC4: Array[Array[Array[Boolean]]]): Array[Boolean] = {
+    val cbfCDc = Array(false, false)
+    if (cbpChroma >= 1) {
+      var comp = 0
+      while (comp < 2) {
+        val condA = leftMb.map(x => if (x.cbfChromaDc(comp)) 1 else 0).getOrElse(1)
+        val condB = topMb.map(x => if (x.cbfChromaDc(comp)) 1 else 0).getOrElse(1)
+        cbfCDc(comp) = emitResidual(3, chDc(comp),
+          CtxCbf + catCbf(3) + condA + 2 * condB)
+        comp += 1
+      }
+    }
+    var comp = 0
+    while (comp < 2) {
+      var cblk = 0
+      while (cblk < 4) {
+        val gx = 2 * mbx + cblk % 2; val gy = 2 * mby + cblk / 2
+        if (cbpChroma == 2) {
+          val cA = if (gx == 0) 1 else (if (cbfC4(comp)(gy)(gx - 1)) 1 else 0)
+          val cB = if (gy == 0) 1 else (if (cbfC4(comp)(gy - 1)(gx)) 1 else 0)
+          cbfC4(comp)(gy)(gx) = emitResidual(4, chAc(comp)(cblk),
+            CtxCbf + catCbf(4) + cA + 2 * cB)
+        } else cbfC4(comp)(gy)(gx) = false
+        cblk += 1
+      }
+      comp += 1
+    }
+    cbfCDc
+  }
+}

@@ -716,8 +716,153 @@ object H264Cavlc {
                               cr: Array[Int] = Array.empty)
 
   /** §6.4.3 luma4x4BlkIdx → (bx4, by4) inside the MB. */
-  @inline private def blkX(idx: Int): Int = 2 * ((idx / 4) % 2) + (idx % 4) % 2
-  @inline private def blkY(idx: Int): Int = 2 * ((idx / 4) / 2) + (idx % 4) / 2
+  @inline private[multimodal] def blkX(idx: Int): Int = 2 * ((idx / 4) % 2) + (idx % 4) % 2
+  @inline private[multimodal] def blkY(idx: Int): Int = 2 * ((idx / 4) / 2) + (idx % 4) / 2
+
+  // -------------------------------------------------------------------
+  // Shared §8.x reconstruction (entropy-free — round 16: the CABAC
+  // parser feeds the same backend, so both entropy coders provably
+  // reconstruct through identical code)
+  // -------------------------------------------------------------------
+
+  /** Chroma half of one intra MB: §8.3.4 prediction + the §8.5.11
+    * DC-Hadamard/AC residual under the mapped QPC. */
+  private[multimodal] def reconstructChroma(cb: Array[Int], cr: Array[Int],
+      wc: Int, mbx: Int, mby: Int, cbpChroma: Int, chromaPredMode: Int,
+      qp: Int, chromaQpOffset: Int, chDcScan: Array[Array[Int]],
+      chAcScan: Array[Array[Array[Int]]]): Unit = {
+    val qpc = chromaQp(qp, chromaQpOffset)
+    var comp = 0
+    while (comp < 2) {
+      val plane = if (comp == 0) cb else cr
+      val pred = predictChroma8x8(chromaPredMode, plane, wc, mbx, mby)
+      val dcC =
+        if (cbpChroma >= 1) chromaDcTransform(chDcScan(comp), qpc)
+        else new Array[Int](4)
+      var cblk = 0
+      while (cblk < 4) {
+        val bx = cblk % 2; val by = cblk / 2
+        val d = new Array[Int](16)
+        d(0) = dcC(cblk) // 2x2 DC raster matches the cblk raster
+        var p = 1
+        while (p < 16) {
+          val ri = zigZag4x4(p)
+          val c = chAcScan(comp)(cblk)(p - 1)
+          if (c != 0) d(ri) = scaleAc(c, qpc, ri / 4, ri % 4)
+          p += 1
+        }
+        val res = inverseTransform4x4(d)
+        var yy = 0
+        while (yy < 4) {
+          var xx = 0
+          while (xx < 4) {
+            val px = 8 * mbx + 4 * bx + xx
+            val py = 8 * mby + 4 * by + yy
+            plane(py * wc + px) =
+              clip255(pred(8 * (4 * by + yy) + 4 * bx + xx) + res(4 * yy + xx))
+            xx += 1
+          }
+          yy += 1
+        }
+        cblk += 1
+      }
+      comp += 1
+    }
+  }
+
+  /** Full YCbCr reconstruction of one Intra_16x16 MB from its scan
+    * levels (DC Hadamard, AC scaling, inverse core transform, §8.3.3
+    * prediction); marks the MB's 4x4s in `done`. */
+  private[multimodal] def reconstructI16(luma: Array[Int], cb: Array[Int],
+      cr: Array[Int], w: Int, wc: Int, mbx: Int, mby: Int, predMode: Int,
+      chromaPredMode: Int, qp: Int, chromaQpOffset: Int, cbpChroma: Int,
+      dcScan: Array[Int], acScan: Array[Array[Int]],
+      chDcScan: Array[Array[Int]], chAcScan: Array[Array[Array[Int]]],
+      done: Array[Array[Boolean]]): Unit = {
+    // DC: zig-zag → 4x4 raster → inverse Hadamard → scale
+    val dcRaster = new Array[Int](16)
+    var k = 0
+    while (k < 16) { dcRaster(zigZag4x4(k)) = dcScan(k); k += 1 }
+    val f = inverseHadamard4x4(dcRaster)
+    val dc = f.map(scaleLumaDc(_, qp))
+    val pred = predictIntra16x16(predMode, luma, w, mbx, mby)
+    var blk = 0
+    while (blk < 16) {
+      val bx = blkX(blk); val by = blkY(blk)
+      val d = new Array[Int](16)
+      // raster index of this 4x4 inside the DC grid is (by, bx)
+      d(0) = dc(4 * by + bx)
+      var p = 1
+      while (p < 16) {
+        val ri = zigZag4x4(p)
+        val c = acScan(blk)(p - 1)
+        if (c != 0) d(ri) = scaleAc(c, qp, ri / 4, ri % 4)
+        p += 1
+      }
+      val res = inverseTransform4x4(d)
+      var yy = 0
+      while (yy < 4) {
+        var xx = 0
+        while (xx < 4) {
+          val px = 16 * mbx + 4 * bx + xx
+          val py = 16 * mby + 4 * by + yy
+          luma(py * w + px) = clip255(pred(16 * (4 * by + yy) + 4 * bx + xx) + res(4 * yy + xx))
+          xx += 1
+        }
+        yy += 1
+      }
+      done(4 * mby + by)(4 * mbx + bx) = true
+      blk += 1
+    }
+    reconstructChroma(cb, cr, wc, mbx, mby, cbpChroma, chromaPredMode, qp,
+      chromaQpOffset, chDcScan, chAcScan)
+  }
+
+  /** Full YCbCr reconstruction of one Intra_4x4 MB: per-block §8.3.1.2
+    * prediction over the decode-order `done` grid, 16-coefficient
+    * dequant (the 4x4's own DC at scan position 0), inverse core
+    * transform, blkIdx reconstruction order. */
+  private[multimodal] def reconstructI4x4(luma: Array[Int], cb: Array[Int],
+      cr: Array[Int], w: Int, wc: Int, wMbs: Int, mbx: Int, mby: Int,
+      modes: Array[Int], chromaPredMode: Int, qp: Int, chromaQpOffset: Int,
+      cbpChroma: Int, lumaScan: Array[Array[Int]],
+      chDcScan: Array[Array[Int]], chAcScan: Array[Array[Array[Int]]],
+      done: Array[Array[Boolean]]): Unit = {
+    var blk = 0
+    while (blk < 16) {
+      val bx = blkX(blk); val by = blkY(blk)
+      val gx = 4 * mbx + bx; val gy = 4 * mby + by
+      val hasLeft = gx > 0 && done(gy)(gx - 1)
+      val hasTop = gy > 0 && done(gy - 1)(gx)
+      val hasCorner = gx > 0 && gy > 0 && done(gy - 1)(gx - 1)
+      val hasTR = gy > 0 && gx + 1 < 4 * wMbs && done(gy - 1)(gx + 1)
+      val pred = predictIntra4x4(modes(blk), luma, w, gx, gy,
+        hasLeft, hasTop, hasCorner, hasTR)
+      val d = new Array[Int](16)
+      var p = 0
+      while (p < 16) {
+        val ri = zigZag4x4(p)
+        val c = lumaScan(blk)(p)
+        if (c != 0) d(ri) = scaleAc(c, qp, ri / 4, ri % 4)
+        p += 1
+      }
+      val res = inverseTransform4x4(d)
+      var yy = 0
+      while (yy < 4) {
+        var xx = 0
+        while (xx < 4) {
+          val px = 4 * gx + xx; val py = 4 * gy + yy
+          luma(py * w + px) = clip255(pred(4 * yy + xx) + res(4 * yy + xx))
+          xx += 1
+        }
+        yy += 1
+      }
+      done(gy)(gx) = true
+      blk += 1
+    }
+    reconstructChroma(cb, cr, wc, mbx, mby, cbpChroma, chromaPredMode, qp,
+      chromaQpOffset, chDcScan, chAcScan)
+  }
 
   /** Parse a slice NAL's RBSP as a single-slice all-INTRA CAVLC picture
     * under the given SPS/PPS and CALLER-SUPPLIED [[CavlcTables]]:
@@ -837,47 +982,6 @@ object H264Cavlc {
         }
         (chDcScan, chAcScan)
       }
-      def reconChroma(cbpChroma: Int, chromaPredMode: Int, qp: Int,
-                      chDcScan: Array[Array[Int]],
-                      chAcScan: Array[Array[Array[Int]]]): Unit = {
-        val qpc = chromaQp(qp, pps.chromaQpOffset)
-        var comp = 0
-        while (comp < 2) {
-          val plane = if (comp == 0) cb else cr
-          val pred = predictChroma8x8(chromaPredMode, plane, wc, mbx, mby)
-          val dcC =
-            if (cbpChroma >= 1) chromaDcTransform(chDcScan(comp), qpc)
-            else new Array[Int](4)
-          var cblk = 0
-          while (cblk < 4) {
-            val bx = cblk % 2; val by = cblk / 2
-            val d = new Array[Int](16)
-            d(0) = dcC(cblk) // 2x2 DC raster matches the cblk raster
-            var p = 1
-            while (p < 16) {
-              val ri = zigZag4x4(p)
-              val c = chAcScan(comp)(cblk)(p - 1)
-              if (c != 0) d(ri) = scaleAc(c, qpc, ri / 4, ri % 4)
-              p += 1
-            }
-            val res = inverseTransform4x4(d)
-            var yy = 0
-            while (yy < 4) {
-              var xx = 0
-              while (xx < 4) {
-                val px = 8 * mbx + 4 * bx + xx
-                val py = 8 * mby + 4 * by + yy
-                plane(py * wc + px) =
-                  clip255(pred(8 * (4 * by + yy) + 4 * bx + xx) + res(4 * yy + xx))
-                xx += 1
-              }
-              yy += 1
-            }
-            cblk += 1
-          }
-          comp += 1
-        }
-      }
       val mbType = r.ue()
       if (mbType == 0) {
         // ---- I_NxN = Intra_4x4 (round 16; no transform_size_8x8 —
@@ -933,41 +1037,9 @@ object H264Cavlc {
           blk += 1
         }
         val (chDcScan, chAcScan) = parseChroma(cbpChroma)
-        // reconstruction in blkIdx order: each block predicts from the
-        // done-grid availability (neighbors may be inside this MB)
-        blk = 0
-        while (blk < 16) {
-          val bx = blkX(blk); val by = blkY(blk)
-          val gx = 4 * mbx + bx; val gy = 4 * mby + by
-          val hasLeft = gx > 0 && done(gy)(gx - 1)
-          val hasTop = gy > 0 && done(gy - 1)(gx)
-          val hasCorner = gx > 0 && gy > 0 && done(gy - 1)(gx - 1)
-          val hasTR = gy > 0 && gx + 1 < 4 * wMbs && done(gy - 1)(gx + 1)
-          val pred = predictIntra4x4(modes(blk), luma, w, gx, gy,
-            hasLeft, hasTop, hasCorner, hasTR)
-          val d = new Array[Int](16)
-          var p = 0
-          while (p < 16) {
-            val ri = zigZag4x4(p)
-            val c = lumaScan(blk)(p)
-            if (c != 0) d(ri) = scaleAc(c, qp, ri / 4, ri % 4)
-            p += 1
-          }
-          val res = inverseTransform4x4(d)
-          var yy = 0
-          while (yy < 4) {
-            var xx = 0
-            while (xx < 4) {
-              val px = 4 * gx + xx; val py = 4 * gy + yy
-              luma(py * w + px) = clip255(pred(4 * yy + xx) + res(4 * yy + xx))
-              xx += 1
-            }
-            yy += 1
-          }
-          done(gy)(gx) = true
-          blk += 1
-        }
-        reconChroma(cbpChroma, chromaPredMode, qp, chDcScan, chAcScan)
+        reconstructI4x4(luma, cb, cr, w, wc, wMbs, mbx, mby, modes,
+          chromaPredMode, qp, pps.chromaQpOffset, cbpChroma,
+          lumaScan, chDcScan, chAcScan, done)
         mbs += I16Mb(-1, cbpChroma, cbpLuma, chromaPredMode, qp, modes)
       } else {
       require(mbType >= 1 && mbType <= 24,
@@ -996,43 +1068,9 @@ object H264Cavlc {
         blk += 1
       }
       val (chDcScan, chAcScan) = parseChroma(cbpChroma)
-      // DC: zig-zag → 4x4 raster → inverse Hadamard → scale
-      val dcRaster = new Array[Int](16)
-      var k = 0
-      while (k < 16) { dcRaster(zigZag4x4(k)) = dcScan(k); k += 1 }
-      val f = inverseHadamard4x4(dcRaster)
-      val dc = f.map(scaleLumaDc(_, qp))
-      // prediction, then per-4x4 residual + reconstruction
-      val pred = predictIntra16x16(predMode, luma, w, mbx, mby)
-      blk = 0
-      while (blk < 16) {
-        val bx = blkX(blk); val by = blkY(blk)
-        val d = new Array[Int](16)
-        // raster index of this 4x4 inside the DC grid is (by, bx)
-        d(0) = dc(4 * by + bx)
-        var p = 1
-        while (p < 16) {
-          val ri = zigZag4x4(p)
-          val c = acScan(blk)(p - 1)
-          if (c != 0) d(ri) = scaleAc(c, qp, ri / 4, ri % 4)
-          p += 1
-        }
-        val res = inverseTransform4x4(d)
-        var yy = 0
-        while (yy < 4) {
-          var xx = 0
-          while (xx < 4) {
-            val px = 16 * mbx + 4 * bx + xx
-            val py = 16 * mby + 4 * by + yy
-            luma(py * w + px) = clip255(pred(16 * (4 * by + yy) + 4 * bx + xx) + res(4 * yy + xx))
-            xx += 1
-          }
-          yy += 1
-        }
-        done(4 * mby + by)(4 * mbx + bx) = true
-        blk += 1
-      }
-      reconChroma(cbpChroma, chromaPredMode, qp, chDcScan, chAcScan)
+      reconstructI16(luma, cb, cr, w, wc, mbx, mby, predMode,
+        chromaPredMode, qp, pps.chromaQpOffset, cbpChroma,
+        dcScan, acScan, chDcScan, chAcScan, done)
       mbs += I16Mb(predMode, cbpChroma, cbpLuma, chromaPredMode, qp)
       }
       mb += 1
@@ -1065,6 +1103,10 @@ object H264Cavlc {
     }
     def se(v: Int): Unit = ue(if (v > 0) 2 * v - 1 else -2 * v)
     def code(s: String): Unit = s.foreach(c => bits += (c == '1'))
+    /** Raw bit snapshot + count (round 16 — the CABAC fixture encoder
+      * assembles its byte-aligned slice header from these). */
+    private[multimodal] def rawBits: Seq[Boolean] = bits.toSeq
+    private[multimodal] def bitCount: Int = bits.length
     def stopAndPad(): Array[Byte] = {
       bits += true // rbsp_stop_one_bit
       while (bits.length % 8 != 0) bits += false

@@ -550,6 +550,58 @@ object Multimodal {
     })
   }
 
+  /** H.264 CABAC intra decode to pixels (round 16, r15 VERDICT #2):
+    * the same per-MB rows as [[h264I4x4Luma]], but the slice NAL walks
+    * [[H264Cabac.parseISlice]] — the §9.3.3.2 arithmetic engine, the
+    * intra binarizations/context models, then the SHARED entropy-free
+    * reconstruction backend. Any engine desync corrupts every later
+    * bin, so the hash-exact oracle pins the whole arithmetic walk. */
+  def h264CabacLuma(assets: Dataset[Asset],
+                    tables: H264Cabac.CabacTables): Dataset[H264I4x4Row] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      val s = H264.parse(a.bytes)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: not a supported H.264 stream"))
+      val sps = s.sps.get; val pps = s.pps.get
+      val sliceNal = s.nals.find(n => n.nalType == 1 || n.nalType == 5).get
+      val pic = H264Cabac.parseISlice(sliceNal.rbsp, sps, pps,
+          sliceNal.nalRefIdc, sliceNal.nalType, tables)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: not a single-slice intra CABAC picture"))
+      val w = 16 * pic.widthMbs
+      pic.mbs.iterator.zipWithIndex.map { case (m, i) =>
+        val mbx = i % pic.widthMbs; val mby = i / pic.widthMbs
+        var sum = 0L; var wsum = 0L
+        var mn = 255; var mx = 0
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            val px = 16 * mbx + x; val py = 16 * mby + y
+            val v = pic.luma(py * w + px)
+            sum += v
+            wsum += v.toLong * (py * w + px + 1)
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            x += 1
+          }
+          y += 1
+        }
+        val modeSum =
+          if (m.isI4x4)
+            m.modes4x4.zipWithIndex.foldLeft(0L) { case (acc, (md, b)) =>
+              acc + md.toLong * (b + 1) }
+          else m.predMode.toLong
+        H264I4x4Row(a.id, i, if (m.isI4x4) 1 else 0, modeSum,
+          m.cbpLuma, m.qp, sum, wsum, mn, mx)
+      }
+    })
+  }
+
+  final case class CabacCoreRow(id: Long, step: Int, kind: Int, bin: Int,
+                                range_after: Int, offset_after: Int)
+
   final case class H264ChromaRow(id: Long, mb: Int, chroma_pred_mode: Int,
                                  cbp_chroma: Int, qpc: Int,
                                  sum_cb: Long, wsum_cb: Long,

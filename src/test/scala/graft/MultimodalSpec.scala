@@ -3271,6 +3271,147 @@ class MultimodalSpec extends AnyFunSuite {
       H264Cavlc.golombToIntra4x4Cbp(H264Cavlc.intra4x4CbpToGolomb(c)) == c))
   }
 
+  test("h264 cabac engine: decision/bypass/terminate encode->decode bin-for-bin roundtrip fuzz (round 16)") {
+    import graft.multimodal.H264Cabac
+    val t = H264Cabac.fixtureTables
+    val rnd = new scala.util.Random(211)
+    for (trial <- 0 until 40) {
+      val qp = rnd.nextInt(52)
+      val n = 50 + rnd.nextInt(400)
+      // a random schedule of (kind, ctx, bin): 0 decision, 1 bypass;
+      // terminate(0) sprinkled in, terminate(1) at the very end
+      val script = Seq.tabulate(n) { _ =>
+        val kind = rnd.nextInt(10)
+        if (kind < 6) (0, rnd.nextInt(399), rnd.nextInt(2))
+        else if (kind < 9) (1, 0, rnd.nextInt(2))
+        else (2, 0, 0)
+      }
+      val e = new H264Cabac.CabacEncoder(t, qp)
+      script.foreach {
+        case (0, ctx, b) => e.decision(if (ctx == 276) 275 else ctx, b)
+        case (1, _, b) => e.bypass(b)
+        case _ => e.terminate(0)
+      }
+      e.terminate(1)
+      val bytes = e.assemble(Seq.empty)
+      val d = new H264Cabac.CabacDecoder(bytes, 0, t, qp)
+      script.foreach {
+        case (0, ctx, b) =>
+          assert(d.decision(if (ctx == 276) 275 else ctx) == b, s"trial $trial decision")
+        case (1, _, b) => assert(d.bypass() == b, s"trial $trial bypass")
+        case _ => assert(d.terminate() == 0, s"trial $trial terminate(0)")
+      }
+      assert(d.terminate() == 1, s"trial $trial final terminate")
+      // the flush leaves less than a byte of slack — the parser's
+      // trailing-strictness bound
+      assert(d.bitsLeft < 8, s"trial $trial slack ${d.bitsLeft}")
+    }
+  }
+
+  test("h264 cabac slice: CROSS-CODER equality — the same MB specs through CAVLC and CABAC decode to identical pictures") {
+    import graft.multimodal.{H264, H264Cavlc, H264Cabac}
+    val (sps, _) = i16SpsPps(2, 2, qp = 28)
+    val ppsCabac = H264.parsePps(H264.encodePps(0, 0, cabac = true, picInitQp = 28)).get
+    val ppsCavlc = H264.parsePps(H264.encodePps(0, 0, cabac = false, picInitQp = 28)).get
+    def legalMode(gx: Int, gy: Int, pick: Int): Int = {
+      val s = if (gx == 0 && gy == 0) Seq(2)
+        else if (gy == 0) Seq(1, 2, 8)
+        else if (gx == 0) Seq(0, 2, 3, 7)
+        else 0 to 8
+      s(pick % s.length)
+    }
+    // chroma modes legal per MB position: mb0 DC only; mb1 (top row)
+    // DC/H; mb2 (left col) DC/V; mb3 anything
+    def chromaModeAt(mbx: Int, mby: Int, pick: Int): Int =
+      if (mbx == 0 && mby == 0) 0
+      else if (mby == 0) Seq(0, 1)(pick % 2)
+      else if (mbx == 0) Seq(0, 2)(pick % 2)
+      else pick % 4
+    def i4mb(mbx: Int, mby: Int, seed: Int, qpd: Int) = H264Cavlc.I4x4MbSpec(
+      Array.tabulate(16) { blk =>
+        val bx = 2 * ((blk / 4) % 2) + blk % 4 % 2
+        val by = 2 * ((blk / 4) / 2) + (blk % 4) / 2
+        legalMode(4 * mbx + bx, 4 * mby + by, seed + blk)
+      }, chromaModeAt(mbx, mby, seed), qpd,
+      Array.tabulate(16, 16)((blk, p) =>
+        if ((seed + blk + p) % 6 == 0) ((seed + blk * (p + 1)) % 5) - 2 else 0)
+        .map(_.toArray),
+      forceCbpLuma = Some(15),
+      chromaDc = Array.tabulate(2, 4)((c2, k) =>
+        if ((seed + c2 + k) % 3 == 0) ((seed + k) % 5) - 2 else 0).map(_.toArray),
+      chromaAc = Array.tabulate(2, 4, 15)((c2, b, p) =>
+        if ((seed + c2 + b + p) % 9 == 0) ((seed + b + p) % 5) - 2 else 0)
+        .map(_.map(_.toArray).toArray),
+      forceCbpChroma = Some(2))
+    def i16mb(seed: Int, pred: Int, qpd: Int, cmode: Int) = H264Cavlc.I16MbSpec(pred, cmode, qpd,
+      Array.tabulate(16)(k => if ((seed + k) % 4 == 0) ((seed + k) % 5) - 2 else 0),
+      Array.tabulate(16)(blk => Array.tabulate(15)(pos =>
+        if ((seed + blk + pos) % 7 == 0) ((seed + blk * pos) % 5) - 2 else 0)),
+      chromaDc = Array.tabulate(2, 4)((c2, k) =>
+        if ((seed + c2 + k) % 4 == 0) ((seed + k) % 3) - 1 else 0).map(_.toArray),
+      forceCbpChroma = Some(1))
+    for (seed <- 1 to 6) {
+      // mixed picture, varied qp deltas, chroma CBP 1 and 2 exercised
+      val mbs = Seq(i4mb(0, 0, seed, -2),
+        i16mb(seed + 4, 1, 3, chromaModeAt(1, 0, seed + 4)),
+        i16mb(seed + 6, 0, 0, chromaModeAt(0, 1, seed + 6)),
+        i4mb(1, 1, seed + 9, 1))
+      val cavlcRbsp = H264Cavlc.encodeI16x16Slice(sps, ppsCavlc, 3, idr = true,
+        1, 2, 3, 0, mbs, H264Cavlc.fixtureTables)
+      val cabacRbsp = H264Cabac.encodeISlice(sps, ppsCabac, 3, idr = true,
+        1, 2, 3, 0, mbs, H264Cabac.fixtureTables)
+      val a = H264Cavlc.parseI16x16Slice(cavlcRbsp, sps, ppsCavlc, 3, 5,
+        H264Cavlc.fixtureTables).getOrElse(fail(s"seed $seed: CAVLC decode"))
+      val b = H264Cabac.parseISlice(cabacRbsp, sps, ppsCabac, 3, 5,
+        H264Cabac.fixtureTables).getOrElse(fail(s"seed $seed: CABAC decode"))
+      assert(a.luma.sameElements(b.luma), s"seed $seed: luma differs")
+      assert(a.cb.sameElements(b.cb) && a.cr.sameElements(b.cr),
+        s"seed $seed: chroma differs")
+      assert(a.mbs.map(_.qp) == b.mbs.map(_.qp), s"seed $seed: qp chain")
+      assert(a.mbs.map(_.cbpLuma) == b.mbs.map(_.cbpLuma))
+      assert(a.mbs.map(_.cbpChroma) == b.mbs.map(_.cbpChroma))
+      assert((0 until 4).forall(i =>
+        a.mbs(i).modes4x4.sameElements(b.mbs(i).modes4x4)), s"seed $seed: modes")
+      assert(a.luma.distinct.length > 4, "reconstruction suspiciously flat")
+    }
+  }
+
+  test("h264 cabac slice: strict rejects and mutation fuzz (round 16)") {
+    import graft.multimodal.{H264, H264Cavlc, H264Cabac}
+    val (sps, _) = i16SpsPps(1, 1)
+    val ppsCabac = H264.parsePps(H264.encodePps(0, 0, cabac = true)).get
+    val ppsCavlc = H264.parsePps(H264.encodePps(0, 0, cabac = false)).get
+    val ok = H264Cabac.encodeISlice(sps, ppsCabac, 3, idr = true, 0, 0, 0, 0,
+      Seq(H264Cavlc.I16MbSpec(2, 0, 0, new Array[Int](16),
+        Array.fill(16)(new Array[Int](15)))), H264Cabac.fixtureTables)
+    val p = H264Cabac.parseISlice(ok, sps, ppsCabac, 3, 5, H264Cabac.fixtureTables)
+    assert(p.isDefined && p.get.luma.forall(_ == 128), "flat CABAC picture")
+    // a CAVLC PPS rejects before any bin is read
+    assert(H264Cabac.parseISlice(ok, sps, ppsCavlc, 3, 5,
+      H264Cabac.fixtureTables).isEmpty)
+    // trailing garbage bytes reject (flush slack is under a byte)
+    assert(H264Cabac.parseISlice(ok :+ 0x55.toByte, sps, ppsCabac, 3, 5,
+      H264Cabac.fixtureTables).isEmpty, "trailing byte accepted")
+    // the CAVLC parser refuses CABAC PPSes and vice versa
+    assert(H264Cavlc.parseI16x16Slice(ok, sps, ppsCabac, 3, 5,
+      H264Cavlc.fixtureTables).isEmpty)
+    // mutation fuzz: never throws, Option contract holds
+    val rnd = new scala.util.Random(97)
+    for (_ <- 0 until 300) {
+      val m = ok.clone()
+      val bit = rnd.nextInt(m.length * 8)
+      m(bit >> 3) = (m(bit >> 3) ^ (1 << (7 - (bit & 7)))).toByte
+      H264Cabac.parseISlice(m, sps, ppsCabac, 3, 5, H264Cabac.fixtureTables)
+    }
+    // parseCabacSpec: supplied rows replace fixture rows; typos throw
+    val spec = H264Cabac.parseCabacSpec(
+      "rangetab 0 100 120 140 160\ntranslps 5 1\ntransmps 5 9\nctxinit 60 3 70")
+    assert(spec.rangeTabLps(0).sameElements(Array(100, 120, 140, 160)))
+    assert(spec.transIdxLps(5) == 1 && spec.transIdxMps(5) == 9)
+    assert(spec.ctxInit(60) == ((3, 70)))
+    intercept[IllegalArgumentException](H264Cabac.parseCabacSpec("rangetabb 0 1 2 3 4"))
+  }
+
   test("h264 chroma: QP mapping, 2x2 Hadamard DC scaling, flat-128 and DC-impulse known answers (round 15)") {
     import graft.multimodal.{H264, H264Cavlc}
     // QP mapping: identity below 30, table above, clamped input
