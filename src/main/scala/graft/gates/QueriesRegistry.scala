@@ -121,6 +121,24 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
     "knn_batch_sq8" -> Q(knnBatchSq8, Some(knnBatchSqlFor("7, 8, 9"))),
     "knn_batch_lsh" -> Q(knnBatchLsh, Some(knnBatchSqlFor("7, 8, 9"))),
     "ann_graph" -> Q(annGraph, Some(knnBatchSqlFor("13, 14, 15"))),
+    "ann_graph_sampled" -> Q(annGraphSampled, Some(
+      // ann_graph's decade twin (round 16): the exact batch-KNN oracle
+      // over the SAME md5-selected four query ids the Spark side picks —
+      // sound at any corpus size, which is the point: at sf10-ind this
+      // SQL stays linear while the all-queries oracle was the bound
+      raw"""WITH sel AS (SELECT vec_id FROM embeddings
+           |             ORDER BY md5('agq_' || vec_id), vec_id LIMIT 4),
+           |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           |      FROM embeddings WHERE vec_id IN (SELECT vec_id FROM sel)),
+           |scored AS (
+           |  SELECT q.qid, e.vec_id AS id,
+           |         1.0/(1.0 + list_sum(list_transform(range(1, 65),
+           |           i -> (e.embedding[i]::DOUBLE - q.qv[i]) * (e.embedding[i]::DOUBLE - q.qv[i])))) AS s
+           |  FROM embeddings e, q)
+           |SELECT qid, id, round(s, 4) AS score FROM (
+           |  SELECT qid, id, s, row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS rn
+           |  FROM scored)
+           |WHERE rn <= 5 ORDER BY qid, score DESC, id""".stripMargin)),
     "facade_graph_knn" -> Q(facadeGraphKnn, Some(knnSql(51, 10))),
     "knn_prefilter_graph" -> Q(knnPrefilterGraph,
       Some(knnSql(17, 5, "WHERE e.vec_id % 2 = 0"))),

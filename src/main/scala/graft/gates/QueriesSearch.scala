@@ -584,6 +584,28 @@ private[graft] trait QueriesSearch { this: Queries.type =>
       .orderBy(col("qid").asc, col("score").desc, col("id").asc)
   }
 
+  /** ann_graph's DECADE-value-check twin (round 16, r15 VERDICT #5):
+    * the same unbounded-beam exactness config over FOUR md5-SELECTED
+    * query ids — `ORDER BY md5('agq_' || vec_id) LIMIT 4`, a selection
+    * both engines derive identically at ANY corpus size — so the gate
+    * runs in the driver suite at sf0.01 AND, pointed at an sf10-ind
+    * dir, turns the sweep's completion-only ann_graph pin into a
+    * sampled DuckDB hash-match (the full 3-query gate is exact too;
+    * what was intractable at the decade was hashing EVERY query's
+    * full-corpus oracle — four sampled queries keep the exact oracle
+    * linear). */
+  private[graft] def annGraphSampled(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    val qids = e.select(col("vec_id"))
+      .orderBy(md5(concat(lit("agq_"), col("vec_id").cast("string"))), col("vec_id"))
+      .limit(4)
+    val queries = e.join(broadcast(qids), "vec_id")
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    graphIndex(spark, dir).searchBatch(queries, "qid", "qv", k = 5, ef = 0)
+      .select(col("qid"), col("id"), r4(col("score")).as("score"))
+      .orderBy(col("qid").asc, col("score").desc, col("id").asc)
+  }
+
   /** K5 metric dispatch for the GRAPH index: the unbounded-beam traversal
     * under COSINE scoring — the walk is metric-independent (coverage is a
     * graph property), only the final scoring scan changes, so the exact

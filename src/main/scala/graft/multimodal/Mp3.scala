@@ -1035,7 +1035,8 @@ object Mp3 {
                 tables: Map[Int, HuffTable] = fixtureTables,
                 count1A: Count1Table = fixtureCount1A,
                 synthWindow: Array[Double] = fixtureSynthWindow,
-                intensityStereo: Boolean = false): Option[Seq[Array[Double]]] = try {
+                intensityStereo: Boolean = false,
+                shortIsPerWindow: Boolean = false): Option[Seq[Array[Double]]] = try {
     if ((msStereo || intensityStereo) && channels != 2) return None
     val specOpt = decodeSpectra(payload, channels, rateIdx, tables, count1A)
     if (specOpt.isEmpty) return None
@@ -1051,7 +1052,7 @@ object Mp3 {
     val bt = Array.tabulate(1, 2, channels)(
       (_, g, ch) => (spec(g)(ch).blockType, spec(g)(ch).mixed))
     Some(synthesizeFrames(xr, bt, channels, msStereo, synthWindow,
-      isInfo, sfBandsLong(rateIdx), sfBandsShort(rateIdx)))
+      isInfo, sfBandsLong(rateIdx), sfBandsShort(rateIdx), shortIsPerWindow))
   } catch { case _: Exception => None }
 
   /** Shared DSP back half of [[decodePcm]] / [[decodePcmStream]]
@@ -1070,7 +1071,8 @@ object Mp3 {
                                synthWindow: Array[Double],
                                isInfo: Array[Array[(Int, Array[Int])]] = null,
                                bands: Array[Int] = null,
-                               bandsShort: Array[Int] = null): Seq[Array[Double]] = {
+                               bandsShort: Array[Int] = null,
+                               shortIsPerWindow: Boolean = false): Seq[Array[Double]] = {
     val nF = xr.length
     if (msStereo || isInfo != null) {
       val s2 = math.sqrt(2.0)
@@ -1117,16 +1119,26 @@ object Mp3 {
           // on the normal/MS path. Positions come from the right
           // channel's per-(band, window) short scalefactors; band 12
           // (untransmitted) reuses band 11's position per window.
+          // `shortIsPerWindow` selects the ALTERNATIVE per-window
+          // reading (round 16, the validation-harness variant: window
+          // w of band s is intensity iff ITS OWN transmission block
+          // lies in the zero part, 3·bS(s) + w·width ≥ rzeroStart) —
+          // off by default; [[graft.tools.Mp3IntensityProbe]] decodes
+          // an external joint-stereo MP3 under both rules against a
+          // reference decoder's PCM to decide which one is real.
           val (rzero, sfR) = isInfo(f)(g)
           var sBand = 0
           while (sBand < 13) {
-            val inRegion = 3 * bandsShort(sBand) >= rzero
             val lo = bandsShort(sBand)
             val width = bandsShort(sBand + 1) - lo
+            val inRegion = 3 * lo >= rzero
             var w2 = 0
             while (w2 < 3) {
+              val winRegion =
+                if (shortIsPerWindow) 3 * lo + w2 * width >= rzero
+                else inRegion
               val isPos =
-                if (!inRegion) 7
+                if (!winRegion) 7
                 else if (sBand >= 12) sfR(3 * 11 + w2)
                 else sfR(3 * sBand + w2)
               var l = 0
@@ -1168,13 +1180,16 @@ object Mp3 {
           }
           var sBand = 3
           while (sBand < 13) {
-            val inRegion = 3 * bandsShort(sBand) >= rzero
             val lo = bandsShort(sBand)
             val width = bandsShort(sBand + 1) - lo
+            val inRegion = 3 * lo >= rzero
             var w2 = 0
             while (w2 < 3) {
+              val winRegion =
+                if (shortIsPerWindow) 3 * lo + w2 * width >= rzero
+                else inRegion
               val isPos =
-                if (!inRegion) 7
+                if (!winRegion) 7
                 else if (sBand >= 12) sfR(8 + 3 * 11 + w2)
                 else sfR(8 + 3 * sBand + w2)
               var l = 0
@@ -1252,7 +1267,8 @@ object Mp3 {
   def decodePcmStream(stream: Mp3Stream, rateIdx: Int,
                       tables: Map[Int, HuffTable] = fixtureTables,
                       count1A: Count1Table = fixtureCount1A,
-                      synthWindow: Array[Double] = fixtureSynthWindow): Option[Seq[Array[Double]]] = try {
+                      synthWindow: Array[Double] = fixtureSynthWindow,
+                      shortIsPerWindow: Boolean = false): Option[Seq[Array[Double]]] = try {
     val specOpt = decodeSpectraStream(stream, rateIdx, tables, count1A)
     if (specOpt.isEmpty) return None
     val spec = specOpt.get
@@ -1278,7 +1294,7 @@ object Mp3 {
     val bt = Array.tabulate(spec.length, 2, channels)(
       (f, g, ch) => (spec(f)(g)(ch).blockType, spec(f)(g)(ch).mixed))
     Some(synthesizeFrames(xr, bt, channels, stream.msStereo, synthWindow,
-      isInfo, sfBandsLong(rateIdx), sfBandsShort(rateIdx)))
+      isInfo, sfBandsLong(rateIdx), sfBandsShort(rateIdx), shortIsPerWindow))
   } catch { case _: Exception => None }
 
   // -------------------------------------------------------------------

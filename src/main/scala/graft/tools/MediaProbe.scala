@@ -18,20 +18,20 @@ object MediaProbe {
     import spark.implicits._
     import graft.multimodal._
     def probe(name: String, mk: Long => Array[Byte],
-              decode: Array[Byte] => Option[Any]): Unit = {
-      val assets = spark.range(n).map(i => mk(i)).cache()
+              decode: Array[Byte] => Option[Any], rows: Int = n): Unit = {
+      val assets = spark.range(rows).map(i => mk(i)).cache()
       assets.count() // materialize the encode outside the timed window
       // discarded warm-up pass over a slice (round-15 ADVICE): the first
       // probe of a kernel family otherwise pays its JIT compilation
       // inside the timed window, skewing cross-kernel ratios
-      assets.limit(math.min(n, 2000)).map(b => if (decode(b).isDefined) 1L else 0L)
+      assets.limit(math.min(rows, 2000)).map(b => if (decode(b).isDefined) 1L else 0L)
         .reduce(_ + _)
       val t0 = System.nanoTime()
       val ok = assets.map(b => if (decode(b).isDefined) 1L else 0L)
         .reduce(_ + _)
       val sec = (System.nanoTime() - t0) / 1e9
-      require(ok == n, s"$name: $ok / $n decoded")
-      println(f"[mediaprobe] $name n=$n wall=$sec%.2f s -> ${n / sec}%.0f rows/s (8 cores), ${n / sec / 8}%.0f rows/s/core")
+      require(ok == rows, s"$name: $ok / $rows decoded")
+      println(f"[mediaprobe] $name n=$rows wall=$sec%.2f s -> ${rows / sec}%.0f rows/s (8 cores), ${rows / sec / 8}%.0f rows/s/core")
       assets.unpersist()
     }
     // 32x24 px grayscale JPEG (12 blocks), 4x3-block progressive twin,
@@ -163,6 +163,71 @@ object MediaProbe {
       }
       probe("h264-i16-ycbcr", pic,
         b => H264Cavlc.parseI16x16Slice(b, sps, pps, 3, 5, t))
+    }
+    // QCIF-class pictures (round 16, r15 VERDICT #9): 11×9 MBs =
+    // 176×144 — the 2×2-MB fixtures above rate the KERNEL; these rate
+    // the macroblock walk at a real aspect ratio, for all three intra
+    // tiers (CAVLC I16, CAVLC mixed I4x4/I16, CABAC mixed). The
+    // per-picture pixel count is ~25× the 2×2 rows', so row counts
+    // scale down and the metric to compare is MBs/s, printed alongside.
+    locally {
+      val wMbs = 11; val hMbs = 9
+      val spsB = H264.encodeSps(66, 30, 0, 0, 0, 1, wMbs - 1, hMbs - 1,
+        frameMbsOnly = true, crop = None)
+      val sps = H264.parseSps(spsB).get
+      val ppsCavlc = H264.parsePps(H264.encodePps(0, 0, cabac = false, picInitQp = 26)).get
+      val ppsCabac = H264.parsePps(H264.encodePps(0, 0, cabac = true, picInitQp = 26)).get
+      val t = H264Cavlc.fixtureTables
+      def i16mb(i: Long, mbx: Int, mby: Int): H264Cavlc.I16MbSpec = {
+        val m = mby * wMbs + mbx
+        val pred =
+          if (mbx == 0 && mby == 0) 2
+          else if (mby == 0) Seq(1, 2)(((i + m) % 2).toInt)
+          else if (mbx == 0) Seq(0, 2)(((i + m) % 2).toInt)
+          else ((i + m) % 4).toInt
+        H264Cavlc.I16MbSpec(pred, 0, 0,
+          Array.tabulate(16)(k => if ((i + m + k) % 4 == 0) (((i + m + k) % 5) - 2).toInt else 0),
+          Array.tabulate(16, 15)((blk, p) =>
+            if ((i + m + blk + p) % 11 == 0) (((i + blk * (p + 1) + m) % 5) - 2).toInt else 0)
+            .map(_.toArray),
+          forceCbpLuma = Some(15))
+      }
+      def i4mb(i: Long, mbx: Int, mby: Int): H264Cavlc.I4x4MbSpec = {
+        val m = mby * wMbs + mbx
+        H264Cavlc.I4x4MbSpec(
+          Array.tabulate(16) { blk =>
+            val bx = 2 * ((blk / 4) % 2) + blk % 4 % 2
+            val by = 2 * ((blk / 4) / 2) + (blk % 4) / 2
+            val gx = 4 * mbx + bx; val gy = 4 * mby + by
+            val pick = ((i + m + blk) % 9).toInt
+            if (gx == 0 && gy == 0) 2
+            else if (gy == 0) Seq(1, 2, 8)(pick % 3)
+            else if (gx == 0) Seq(0, 2, 3, 7)(pick % 4)
+            else pick
+          }, 0, 0,
+          Array.tabulate(16, 16)((blk, p) =>
+            if ((i + m + blk + p) % 11 == 0) (((i + m * (p + 1) + blk) % 5) - 2).toInt else 0)
+            .map(_.toArray),
+          forceCbpLuma = Some(15))
+      }
+      def mixedMbs(i: Long): Seq[H264Cavlc.IMbSpec] =
+        (0 until wMbs * hMbs).map { m =>
+          val mbx = m % wMbs; val mby = m / wMbs
+          if ((mbx + mby + i) % 2 == 0) i4mb(i, mbx, mby) else i16mb(i, mbx, mby)
+        }
+      val rows = math.max(200, n / 25)
+      probe("h264-i16-qcif", i => H264Cavlc.encodeI16x16Slice(sps, ppsCavlc, 3,
+          idr = true, (i % 16).toInt, (i % 5).toInt, (i % 16).toInt, 0,
+          (0 until wMbs * hMbs).map(m => i16mb(i, m % wMbs, m / wMbs)), t),
+        b => H264Cavlc.parseI16x16Slice(b, sps, ppsCavlc, 3, 5, t), rows)
+      probe("h264-i4x4mix-qcif", i => H264Cavlc.encodeI16x16Slice(sps, ppsCavlc, 3,
+          idr = true, (i % 16).toInt, (i % 5).toInt, (i % 16).toInt, 0, mixedMbs(i), t),
+        b => H264Cavlc.parseI16x16Slice(b, sps, ppsCavlc, 3, 5, t), rows)
+      probe("h264-cabac-qcif", i => H264Cabac.encodeISlice(sps, ppsCabac, 3,
+          idr = true, (i % 16).toInt, (i % 5).toInt, (i % 16).toInt, 0, mixedMbs(i),
+          H264Cabac.fixtureTables),
+        b => H264Cabac.parseISlice(b, sps, ppsCabac, 3, 5, H264Cabac.fixtureTables), rows)
+      println(s"[mediaprobe] qcif rows carry ${wMbs * hMbs} MBs each: MBs/s = rows/s x ${wMbs * hMbs}")
     }
     spark.stop()
   }

@@ -1231,6 +1231,52 @@ class MultimodalSpec extends AnyFunSuite {
       "mixed-block intensity stereo must decode (round 16)")
   }
 
+  test("mp3 intensity validation probe: the per-window variant discriminates and the verdict picks the matching rule (round 16)") {
+    import graft.multimodal.Mp3
+    import graft.tools.Mp3IntensityProbe
+    // pure-short joint-stereo frame whose right channel extends 16
+    // transmission samples: band 1's 3-window block spans 12..24, so
+    // rule A (3·bS(1) = 12 < 16) keeps the whole band normal while
+    // rule B marks windows 1..2 (16 ≥ 16, 20 ≥ 16) intensity — a
+    // genuinely discriminating stream
+    def gi(bv: Int) = Mp3.GranuleInfo(0, bv, 170, 13,
+      windowSwitching = true, blockType = 2, mixedBlock = false,
+      Seq(4, 4), Seq(0, 0, 0), 7, 36, 0, 0, 1)
+    val si = Mp3.SideInfo(0, 0, Seq.fill(2)(Seq.fill(4)(0)),
+      Seq.fill(2)(Seq(gi(24), gi(8))))
+    def vals(n: Int, off: Int) = Array.tabulate(n) { i =>
+      val m = ((i + off) % 3); if (m != 0 && (i + off) % 5 < 2) -m else m
+    }
+    val sfs: Seq[Seq[Array[Int]]] = Seq.fill(2)(Seq(
+      new Array[Int](36), Array.fill(36)(0))) // positions all 0: route L→R
+    val payload = Mp3.encodeSpectra(si, 2, sfs, Seq.fill(2)(Seq(vals(48, 0), vals(16, 1))))
+    val stream = Mp3.parseMp3(Mp3.encodeMp3(1, 9, 0,
+      java.util.Arrays.copyOf(payload, 413), mode = 1, modeExt = 1)).get
+    val a = Mp3.decodePcmStream(stream, 0).get
+    val b = Mp3.decodePcmStream(stream, 0, shortIsPerWindow = true).get
+    assert(!(a(0).sameElements(b(0)) && a(1).sameElements(b(1))),
+      "the fixture does not discriminate the two rules")
+    def toRef(pcm: Seq[Array[Double]]): Array[Int] =
+      Array.tabulate(pcm.head.length * 2)(i => Mp3.pcm16(pcm(i % 2)(i / 2)))
+    // reference produced by rule A -> verdict names A; by B -> names B
+    val vsA = Mp3IntensityProbe.verdict(
+      Mp3IntensityProbe.compare("A", a, toRef(a)),
+      Mp3IntensityProbe.compare("B", b, toRef(a)))
+    assert(vsA.contains("variant A"), vsA)
+    val vsB = Mp3IntensityProbe.verdict(
+      Mp3IntensityProbe.compare("A", a, toRef(b)),
+      Mp3IntensityProbe.compare("B", b, toRef(b)))
+    assert(vsB.contains("variant B"), vsB)
+    // an all-long stream cannot discriminate -> INDISCRIMINATE
+    val same = Mp3IntensityProbe.verdict(
+      Mp3IntensityProbe.compare("A", a, toRef(a)),
+      Mp3IntensityProbe.compare("B", a, toRef(a)))
+    assert(same.contains("INDISCRIMINATE"), same)
+    // the committed rule is the DEFAULT everywhere (the flag is the
+    // probe's discriminator, not a behavior change)
+    assert(Mp3.decodePcmStream(stream, 0).get.head.sameElements(a.head))
+  }
+
   test("mp3 MIXED-block intensity stereo: the long+short seam rule by spectral surgery (round 16)") {
     import graft.multimodal.Mp3
     // both granules mixed for both channels, same gg + all-zero requant
