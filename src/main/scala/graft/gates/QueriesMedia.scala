@@ -1435,6 +1435,126 @@ private[graft] trait QueriesMedia { this: Queries.type =>
       graft.multimodal.H264Cabac.fixtureTables)
       .toDF().orderBy(col("id"), col("mb"))
 
+  /** H.264-IN-MP4 fixtures (round 16 — the container path a real video
+    * corpus takes): each asset is a complete ISO BMFF file whose video
+    * track carries an `avc1`/`avcC` sample description (out-of-band
+    * SPS/PPS, NAL length-prefix size 4 for even ids / 2 for odd) and
+    * TWO length-prefixed IDR samples in mdat, each a CAVLC intra
+    * picture with the i4x4 gate's shape seeded by eid = 2·id + sample:
+    *   slice qp = 20 + (5·eid)%12;  qpDelta(m) = ((eid+m)%5)−2
+    *   mode/residual formulas as in h264I4x4Assets with eid for id.
+    * NAL payloads are EBSP-escaped (the real emulation-prevention
+    * seam); the CABAC-in-MP4 twin is pinned by the container-parity
+    * unit test (the plumbing is entropy-agnostic). */
+  private[graft] def mp4H264Assets(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val src = docsTbl(spark, dir).where(col("doc_id") < 4)
+      .select(col("doc_id")).as[Long]
+    src.mapPartitions(_.map { id =>
+      val spsB = graft.multimodal.H264.encodeSps(
+        66, 30, spsId = 0, log2MaxFrameNumMinus4 = 0, poc = 0,
+        maxRef = 1, pwMbsMinus1 = 1, phMapMinus1 = 1,
+        frameMbsOnly = true, crop = None)
+      val ppsB = graft.multimodal.H264.encodePps(
+        ppsId = 0, spsId = 0, cabac = false, picInitQp = 26)
+      val sps = graft.multimodal.H264.parseSps(spsB).get
+      val pps = graft.multimodal.H264.parsePps(ppsB).get
+      val lengthSize = if (id % 2 == 0) 4 else 2
+      def slice(sm: Int): Array[Byte] = {
+        val eid = 2 * id + sm
+        val qp = (20 + (5 * eid) % 12).toInt
+        def mode(m: Int, blk: Int): Int = {
+          val bx = 2 * ((blk / 4) % 2) + blk % 4 % 2
+          val by = 2 * ((blk / 4) / 2) + (blk % 4) / 2
+          if (m == 1 && by == 0) Seq(1, 2, 8)(((eid + blk) % 3).toInt)
+          else if (m == 2 && bx == 0) Seq(0, 2, 3, 7)(((eid + blk) % 4).toInt)
+          else if (m == 2) ((eid + 1 + blk) % 9).toInt
+          else ((eid + blk) % 9).toInt
+        }
+        val mb0 = graft.multimodal.H264Cavlc.I16MbSpec(2, 0, 0,
+          new Array[Int](16), Array.fill(16)(new Array[Int](15)))
+        val i4 = (1 to 3).map { m =>
+          graft.multimodal.H264Cavlc.I4x4MbSpec(
+            Array.tabulate(16)(mode(m, _)), 0, ((eid + m) % 5).toInt - 2,
+            Array.tabulate(16, 16)((blk, p) =>
+              if ((eid + m + blk + p) % 7 == 0)
+                ((eid + m * (p + 2) + blk) % 5).toInt - 2
+              else 0).map(_.toArray),
+            forceCbpLuma = Some(15))
+        }
+        graft.multimodal.H264Cavlc.encodeI16x16Slice(
+          sps, pps, nalRefIdc = 3, idr = true,
+          frameNum = (eid % 16).toInt, idrPicId = (eid % 5).toInt,
+          pocLsb = (eid % 16).toInt, sliceQpDelta = qp - 26, mb0 +: i4,
+          tables = graft.multimodal.H264Cavlc.fixtureTables)
+      }
+      val avcc = graft.multimodal.H264Mp4.encodeAvcc(66, 30, lengthSize,
+        Seq(graft.multimodal.H264Mp4.nalUnit(3, 7, spsB)),
+        Seq(graft.multimodal.H264Mp4.nalUnit(3, 8, ppsB)))
+      val stsd = graft.multimodal.H264Mp4.encodeStsdAvc1(32, 32, avcc)
+      val samples = (0 until 2).map(sm => graft.multimodal.H264Mp4.sampleOf(
+        lengthSize, Seq(graft.multimodal.H264Mp4.nalUnit(3, 5, slice(sm)))))
+      val payload = samples.flatten.toArray
+      graft.multimodal.Multimodal.Asset(id, "video",
+        graft.multimodal.Mp4.encodeMp4(32, 32, 1000L, 2L, 2, 0, payload,
+          stsd = stsd, perSampleSizes = Some(samples.map(_.length).toArray)), 0, 0)
+    })
+  }
+
+  private[graft] def multimodalMp4H264(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.mp4H264Pixels(mp4H264Assets(spark, dir),
+      graft.multimodal.H264Cavlc.fixtureTables,
+      graft.multimodal.H264Cabac.fixtureTables)
+      .toDF().orderBy(col("id"), col("sample"), col("mb"))
+
+  /** AAC-IN-MP4 (M4A) fixtures (round 16 — the audio container twin):
+    * each asset is an ISO BMFF file whose sound track carries an
+    * `mp4a`/`esds` sample description (AudioSpecificConfig: LC,
+    * rate_idx = id%13, mono) and TWO raw_data_block samples — LONG
+    * SCE frames with closed-form spectra, so the PCM stream decode
+    * THREADS the overlap-add across the sample boundary (the seam the
+    * oracle restates):
+    *   gg(f) = 96 + (id + 5f)%8;  sf(f, s) = gg + (id + 3s + f)%9 − 4
+    *   quant(f, i) = ±((id+i+7f)%3), negative iff (id+i+f)%5 < 2,
+    *                 zero from sample 256 (maxSfb 8). */
+  private[graft] def mp4AacAssets(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val src = docsTbl(spark, dir).where(col("doc_id") < 6)
+      .select(col("doc_id")).as[Long]
+    src.mapPartitions(_.map { id =>
+      val maxSfb = 8
+      def payload(f: Int): Array[Byte] = {
+        val gg = (96 + (id + 5 * f) % 8).toInt
+        val sectCb = Array.fill(maxSfb)(12)
+        val sf = Array.tabulate(maxSfb)(s => (gg + (id + 3 * s + f) % 9).toInt - 4)
+        val quant = Array.tabulate(1024) { i =>
+          if (i >= 32 * maxSfb) 0
+          else {
+            val mag = ((id + i + 7 * f) % 3).toInt
+            if (mag != 0 && (id + i + f) % 5 < 2) -mag else mag
+          }
+        }
+        graft.multimodal.Aac.encodeSceWin(
+          graft.multimodal.Aac.IcsInfo(0, maxSfb, Array(1)), gg,
+          Array(sectCb), Array(sf), quant)
+      }
+      val samples = (0 until 2).map(payload)
+      val asc = graft.multimodal.AacMp4.encodeAsc((id % 13).toInt, 1)
+      val stsd = graft.multimodal.AacMp4.encodeStsdMp4a(1,
+        graft.multimodal.Aac.SampleRates((id % 13).toInt),
+        graft.multimodal.AacMp4.encodeEsds(asc))
+      graft.multimodal.Multimodal.Asset(id, "audio",
+        graft.multimodal.Mp4.encodeMp4(0, 0, 1000L, 2L, 2, 0,
+          samples.flatten.toArray, stsd = stsd,
+          perSampleSizes = Some(samples.map(_.length).toArray),
+          handler = "soun"), 0, 0)
+    })
+  }
+
+  private[graft] def multimodalMp4Aac(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.mp4AacPcm(mp4AacAssets(spark, dir))
+      .toDF().orderBy(col("id"), col("channel"))
+
   /** CHROMA-bearing Intra_16x16 pictures (late round 15): 2×2 MBs, all
     * four §8.3.4 chroma prediction modes in the dependency chain (mb0
     * DC, mb1 H, mb2 V, mb3 Plane), CBP chroma forced 2 with formula DC

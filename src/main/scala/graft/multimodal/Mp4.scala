@@ -25,10 +25,14 @@ object Mp4 {
   /** One parsed track: `kind` is the hdlr handler type ("vide"/"soun"/…),
     * `width`/`height` from tkhd 16.16 fixed point (0 for sound),
     * `timescale`/`duration` from mdhd, `sampleSizes` resolved from stsz
-    * (uniform size expanded), `firstChunkOffset` from stco. */
+    * (uniform size expanded), `firstChunkOffset` from stco, and —
+    * round 16, the codec-config seam — `stsd`: the raw payload bytes
+    * of the sample-description box (where avc1/avcC lives; empty when
+    * the file carries none), decoded by [[H264Mp4.parseAvcc]]. */
   final case class Track(kind: String, width: Int, height: Int,
                          timescale: Long, duration: Long,
-                         sampleSizes: Array[Int], firstChunkOffset: Long)
+                         sampleSizes: Array[Int], firstChunkOffset: Long,
+                         stsd: Array[Byte] = Array.empty)
 
   /** Parsed movie: ftyp major brand, mvhd timescale/duration, tracks in
     * file order, and the raw mdat payload (the codec-stub seam).
@@ -73,8 +77,12 @@ object Mp4 {
       var ts = -1L; var dur = -1L
       var sizes: Array[Int] = null
       var chunkOff = -1L
+      var stsdBytes: Array[Byte] = Array.empty
       def stbl(s: Int, e: Int): Boolean = children(s, e) { (t, bs, be) =>
         t match {
+          case "stsd" =>
+            stsdBytes = java.util.Arrays.copyOfRange(bytes, bs, be)
+            true
           case "stsz" =>
             if (be - bs < 12) return false
             val uniform = be32(bytes, bs + 4)
@@ -139,7 +147,7 @@ object Mp4 {
         }
       }
       if (!ok || kind == null || ts < 0 || sizes == null || chunkOff < 0) return false
-      tracks += Track(kind, w, h, ts, dur, sizes, chunkOff)
+      tracks += Track(kind, w, h, ts, dur, sizes, chunkOff, stsdBytes)
       true
     }
 
@@ -195,9 +203,21 @@ object Mp4 {
     * version 0, hand-sized. */
   def encodeMp4(width: Int, height: Int, timescale: Long, duration: Long,
                 nSamples: Int, sampleSize: Int,
-                samples: Array[Byte]): Array[Byte] = {
-    require(nSamples * sampleSize == samples.length,
-      s"$nSamples x $sampleSize != ${samples.length} payload bytes")
+                samples: Array[Byte],
+                stsd: Array[Byte] = Array.empty,
+                perSampleSizes: Option[Array[Int]] = None,
+                handler: String = "vide"): Array[Byte] = {
+    // round 16: `stsd` (raw payload, e.g. [[H264Mp4.encodeStsdAvc1]])
+    // is written verbatim when nonempty; `perSampleSizes` switches stsz
+    // to the per-sample entry table (variable-size NAL samples)
+    perSampleSizes match {
+      case Some(ps) =>
+        require(ps.length == nSamples && ps.map(_.toLong).sum == samples.length,
+          s"per-sample sizes must cover the ${samples.length} payload bytes")
+      case None =>
+        require(nSamples * sampleSize == samples.length,
+          s"$nSamples x $sampleSize != ${samples.length} payload bytes")
+    }
     val out = new java.io.ByteArrayOutputStream()
     def u32(v: Long): Unit = {
       out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
@@ -250,13 +270,22 @@ object Mp4 {
           }
           box("hdlr") {
             u32(0); u32(0)
-            ascii("vide")
+            ascii(handler)
             u32(0); u32(0); u32(0)
             out.write(0) // empty name, NUL
           }
           box("minf") {
             box("stbl") {
-              box("stsz") { u32(0); u32(sampleSize.toLong); u32(nSamples.toLong) }
+              if (stsd.nonEmpty) box("stsd") { out.write(stsd, 0, stsd.length) }
+              perSampleSizes match {
+                case Some(ps) =>
+                  box("stsz") {
+                    u32(0); u32(0); u32(nSamples.toLong)
+                    ps.foreach(s => u32(s.toLong))
+                  }
+                case None =>
+                  box("stsz") { u32(0); u32(sampleSize.toLong); u32(nSamples.toLong) }
+              }
               box("stco") { u32(0); u32(1); u32(0) } // offset patched below
             }
           }

@@ -602,6 +602,140 @@ object Multimodal {
   final case class CabacCoreRow(id: Long, step: Int, kind: Int, bin: Int,
                                 range_after: Int, offset_after: Int)
 
+  final case class Mp4H264Row(id: Long, sample: Int, mb: Int,
+                              entropy_cabac: Int, nal_len_size: Int,
+                              is_i4x4: Int, mode_sum: Long, qp: Int,
+                              sum_luma: Long, wsum_luma: Long,
+                              min_luma: Int, max_luma: Int)
+
+  /** MP4 → H.264 intra pictures end to end (round 16): the container
+    * path a real video corpus takes — [[Mp4.parseMp4]]'s box walk, the
+    * `avc1`/`avcC` sample description ([[H264Mp4.parseAvcc]]: profile,
+    * NAL length-prefix size, out-of-band SPS/PPS), per-sample
+    * length-prefixed NAL splitting, EBSP unescape, and the entropy
+    * dispatch to the CAVLC/CABAC slice decoders. One row per
+    * (sample, macroblock) with the [[h264I4x4Luma]] aggregates plus
+    * the container facts (entropy mode, length-prefix size). */
+  def mp4H264Pixels(assets: Dataset[Asset],
+                    cavlc: H264Cavlc.CavlcTables,
+                    cabac: H264Cabac.CabacTables): Dataset[Mp4H264Row] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      val movie = Mp4.parseMp4(a.bytes)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: not a supported MP4"))
+      val track = movie.tracks.find(_.kind == "vide")
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: no video track"))
+      val cfg = H264Mp4.parseAvcc(track.stsd)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: no decodable avcC sample description"))
+      val sps = H264.parseSps(H264Mp4.nalRbsp(cfg.sps.head))
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: undecodable avcC SPS"))
+      val pps = H264.parsePps(H264Mp4.nalRbsp(cfg.pps.head))
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: undecodable avcC PPS"))
+      val base = (track.firstChunkOffset - movie.mdatFileOffset).toInt
+      var off = base
+      track.sampleSizes.iterator.zipWithIndex.flatMap { case (sz, sIdx) =>
+        val sample = java.util.Arrays.copyOfRange(movie.mdat, off, off + sz)
+        off += sz
+        val pic = H264Mp4.decodeSamplePicture(sample, cfg, sps, pps, cavlc, cabac)
+          .getOrElse(throw new IllegalArgumentException(
+            s"asset ${a.id} sample $sIdx: undecodable intra picture"))
+        val w = 16 * pic.widthMbs
+        pic.mbs.iterator.zipWithIndex.map { case (m, i) =>
+          val mbx = i % pic.widthMbs; val mby = i / pic.widthMbs
+          var sum = 0L; var wsum = 0L
+          var mn = 255; var mx = 0
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 16) {
+              val px = 16 * mbx + x; val py = 16 * mby + y
+              val v = pic.luma(py * w + px)
+              sum += v
+              wsum += v.toLong * (py * w + px + 1)
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              x += 1
+            }
+            y += 1
+          }
+          val modeSum =
+            if (m.isI4x4)
+              m.modes4x4.zipWithIndex.foldLeft(0L) { case (acc, (md, b)) =>
+                acc + md.toLong * (b + 1) }
+            else m.predMode.toLong
+          Mp4H264Row(a.id, sIdx, i, if (pps.entropyCabac) 1 else 0,
+            cfg.nalLengthSize, if (m.isI4x4) 1 else 0, modeSum, m.qp,
+            sum, wsum, mn, mx)
+        }
+      }
+    })
+  }
+
+  final case class Mp4AacRow(id: Long, channel: Int, rate_idx: Int,
+                             channels: Int, n_frames: Int, n_samples: Int,
+                             n_clipped: Int, n_nonzero: Int, sum_pcm: Long,
+                             abs_pcm: Long, wsum_pcm: Long)
+
+  /** M4A (AAC-in-MP4) decode to PCM end to end (round 16, the audio
+    * twin of [[mp4H264Pixels]]): the box walk, the `mp4a`/`esds`
+    * sample description ([[AacMp4.parseEsds]]: AudioSpecificConfig →
+    * LC/rate/channels), per-sample raw_data_block extraction, then
+    * the THREADED stream decoders (mono SCE or stereo CPE) — MP4
+    * samples carry no ADTS headers, the config supplies those facts.
+    * One row per channel with the [[aacPcm]] aggregates plus the
+    * container facts. */
+  def mp4AacPcm(assets: Dataset[Asset],
+                books: Map[Int, Aac.AacBook] = Aac.fixtureBooks,
+                sfBook: Aac.SfBook = Aac.fixtureSfBook,
+                bands: Array[Int] = Aac.fixtureBandsLong,
+                shortBands: Array[Int] = Aac.fixtureBandsShort): Dataset[Mp4AacRow] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      val movie = Mp4.parseMp4(a.bytes)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: not a supported MP4"))
+      val track = movie.tracks.find(_.kind == "soun")
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: no audio track"))
+      val cfg = AacMp4.parseEsds(track.stsd)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: no decodable esds AudioSpecificConfig"))
+      val base = (track.firstChunkOffset - movie.mdatFileOffset).toInt
+      var off = base
+      val samples = track.sampleSizes.map { sz =>
+        val s = java.util.Arrays.copyOfRange(movie.mdat, off, off + sz)
+        off += sz
+        s
+      }.toSeq
+      val stream = AacMp4.toStream(samples, cfg)
+      val pcm: Seq[Array[Double]] =
+        if (cfg.channels == 1)
+          Seq(Aac.decodePcmStream(stream, books, sfBook, bands, shortBands)
+            .getOrElse(throw new IllegalArgumentException(
+              s"asset ${a.id}: undecodable mono AAC stream")))
+        else
+          Aac.decodeCpePcmStream(stream, books, sfBook, bands, shortBands)
+            .getOrElse(throw new IllegalArgumentException(
+              s"asset ${a.id}: undecodable stereo AAC stream"))
+      pcm.zipWithIndex.map { case (xs, ch) =>
+        val q = xs.map(Mp3.pcm16)
+        Mp4AacRow(a.id, ch, cfg.rateIdx, cfg.channels, samples.length,
+          q.length,
+          q.count(v => v == 32767 || v == -32768),
+          q.count(_ != 0),
+          q.foldLeft(0L)(_ + _),
+          q.foldLeft(0L)((acc, v) => acc + math.abs(v)),
+          q.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+            acc + v.toLong * (i + 1) })
+      }
+    })
+  }
+
   final case class H264ChromaRow(id: Long, mb: Int, chroma_pred_mode: Int,
                                  cbp_chroma: Int, qpc: Int,
                                  sum_cb: Long, wsum_cb: Long,

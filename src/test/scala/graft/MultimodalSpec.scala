@@ -3458,6 +3458,161 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](H264Cabac.parseCabacSpec("rangetabb 0 1 2 3 4"))
   }
 
+  test("h264-in-mp4: avcC roundtrip, length-prefix walk, container == Annex-B pixels for BOTH entropy coders (round 16)") {
+    import graft.multimodal.{H264, H264Cavlc, H264Cabac, H264Mp4, Mp4}
+    val (sps, _) = i16SpsPps(2, 2, qp = 28)
+    val spsB = H264.encodeSps(66, 30, 0, 0, 0, 1, 1, 1, frameMbsOnly = true, crop = None)
+    val ppsCavlcB = H264.encodePps(0, 0, cabac = false, picInitQp = 28)
+    val ppsCabacB = H264.encodePps(0, 0, cabac = true, picInitQp = 28)
+    val ppsCavlc = H264.parsePps(ppsCavlcB).get
+    val ppsCabac = H264.parsePps(ppsCabacB).get
+    def mb(seed: Int) = H264Cavlc.I16MbSpec(if (seed % 2 == 0) 2 else 2, 0, 0,
+      Array.tabulate(16)(k => if ((seed + k) % 4 == 0) ((seed + k) % 5) - 2 else 0),
+      Array.tabulate(16)(blk => Array.tabulate(15)(pos =>
+        if ((seed + blk + pos) % 7 == 0) ((seed + blk * pos) % 5) - 2 else 0)))
+    val mbs = Seq(mb(1), mb(2), mb(3), mb(4))
+    for ((cabacMode, lengthSize) <- Seq((false, 4), (true, 2), (true, 1))) {
+      val pps = if (cabacMode) ppsCabac else ppsCavlc
+      val ppsB = if (cabacMode) ppsCabacB else ppsCavlcB
+      val rbsp =
+        if (cabacMode) H264Cabac.encodeISlice(sps, pps, 3, idr = true, 0, 0, 0, 0,
+          mbs, H264Cabac.fixtureTables)
+        else H264Cavlc.encodeI16x16Slice(sps, pps, 3, idr = true, 0, 0, 0, 0,
+          mbs, H264Cavlc.fixtureTables)
+      // Annex-B reference decode
+      val direct =
+        if (cabacMode) H264Cabac.parseISlice(rbsp, sps, pps, 3, 5, H264Cabac.fixtureTables).get
+        else H264Cavlc.parseI16x16Slice(rbsp, sps, pps, 3, 5, H264Cavlc.fixtureTables).get
+      // container: avcC (out-of-band SPS/PPS) + one length-prefixed sample
+      val avcc = H264Mp4.encodeAvcc(66, 30, lengthSize,
+        Seq(H264Mp4.nalUnit(3, 7, spsB)), Seq(H264Mp4.nalUnit(3, 8, ppsB)))
+      val cfg = H264Mp4.parseAvcc(H264Mp4.encodeStsdAvc1(32, 32, avcc)).get
+      assert(cfg.nalLengthSize == lengthSize && cfg.profile == 66 && cfg.level == 30)
+      assert(H264.parseSps(H264Mp4.nalRbsp(cfg.sps.head)).contains(sps))
+      assert(H264.parsePps(H264Mp4.nalRbsp(cfg.pps.head)).contains(pps))
+      val sample = H264Mp4.sampleOf(lengthSize, Seq(H264Mp4.nalUnit(3, 5, rbsp)))
+      val viaMp4 = H264Mp4.decodeSamplePicture(sample, cfg, sps, pps,
+        H264Cavlc.fixtureTables, H264Cabac.fixtureTables).get
+      assert(viaMp4.luma.sameElements(direct.luma),
+        s"cabac=$cabacMode len=$lengthSize: container pixels differ")
+      assert(viaMp4.cb.sameElements(direct.cb) && viaMp4.cr.sameElements(direct.cr))
+      // splitSample handles multi-NAL samples and strict-rejects bad tiling
+      val two = H264Mp4.sampleOf(lengthSize,
+        Seq(H264Mp4.nalUnit(3, 7, spsB), H264Mp4.nalUnit(3, 5, rbsp)))
+      assert(H264Mp4.splitSample(two, lengthSize).get.length == 2)
+      assert(H264Mp4.splitSample(two.dropRight(1), lengthSize).isEmpty,
+        "truncated sample accepted")
+      assert(H264Mp4.splitSample(two :+ 0x01.toByte, lengthSize).isEmpty,
+        "overhanging sample accepted")
+    }
+    // avcC strict rejects: bad version, reserved length size, truncation
+    val goodAvcc = H264Mp4.encodeAvcc(66, 30, 4,
+      Seq(H264Mp4.nalUnit(3, 7, spsB)), Seq(H264Mp4.nalUnit(3, 8, ppsCavlcB)))
+    val stsd = H264Mp4.encodeStsdAvc1(32, 32, goodAvcc)
+    assert(H264Mp4.parseAvcc(stsd).isDefined)
+    val badVer = stsd.clone(); badVer(8 + 8 + 78 + 8) = 2 // configurationVersion
+    assert(H264Mp4.parseAvcc(badVer).isEmpty, "bad avcC version accepted")
+    assert(H264Mp4.parseAvcc(stsd.take(stsd.length - 3)).isEmpty,
+      "truncated stsd accepted")
+    // mutation fuzz over the full stsd: Option contract, never a throw
+    val rnd = new scala.util.Random(59)
+    for (_ <- 0 until 300) {
+      val m = stsd.clone()
+      val bit = rnd.nextInt(m.length * 8)
+      m(bit >> 3) = (m(bit >> 3) ^ (1 << (7 - (bit & 7)))).toByte
+      H264Mp4.parseAvcc(m)
+    }
+    // end to end through a real MP4 container (variable-size samples)
+    val rbsp1 = H264Cavlc.encodeI16x16Slice(sps, ppsCavlc, 3, idr = true, 0, 0, 0, 0,
+      mbs, H264Cavlc.fixtureTables)
+    val rbsp2 = H264Cavlc.encodeI16x16Slice(sps, ppsCavlc, 3, idr = true, 1, 1, 1, -2,
+      mbs.reverse, H264Cavlc.fixtureTables)
+    val s1 = H264Mp4.sampleOf(4, Seq(H264Mp4.nalUnit(3, 5, rbsp1)))
+    val s2 = H264Mp4.sampleOf(4, Seq(H264Mp4.nalUnit(3, 5, rbsp2)))
+    val mp4 = Mp4.encodeMp4(32, 32, 1000L, 2L, 2, 0, s1 ++ s2,
+      stsd = stsd, perSampleSizes = Some(Array(s1.length, s2.length)))
+    val movie = Mp4.parseMp4(mp4).get
+    val track = movie.tracks.find(_.kind == "vide").get
+    assert(track.sampleSizes.sameElements(Array(s1.length, s2.length)))
+    val cfg = H264Mp4.parseAvcc(track.stsd).get
+    val base = (track.firstChunkOffset - movie.mdatFileOffset).toInt
+    val sampleBytes1 = java.util.Arrays.copyOfRange(movie.mdat, base, base + s1.length)
+    val pic1 = H264Mp4.decodeSamplePicture(sampleBytes1, cfg, sps, ppsCavlc,
+      H264Cavlc.fixtureTables, H264Cabac.fixtureTables).get
+    val ref1 = H264Cavlc.parseI16x16Slice(rbsp1, sps, ppsCavlc, 3, 5,
+      H264Cavlc.fixtureTables).get
+    assert(pic1.luma.sameElements(ref1.luma), "MP4-extracted sample 0 differs")
+  }
+
+  test("aac-in-mp4: esds/AudioSpecificConfig roundtrip, raw_data_block samples decode threaded, stereo parity (round 16)") {
+    import graft.multimodal.{Aac, AacMp4, Mp4}
+    // ASC roundtrip through a full stsd for every in-scope rate/channels
+    for (rate <- 0 until 13; ch <- Seq(1, 2)) {
+      val stsd = AacMp4.encodeStsdMp4a(ch, Aac.SampleRates(rate),
+        AacMp4.encodeEsds(AacMp4.encodeAsc(rate, ch)))
+      assert(AacMp4.parseEsds(stsd).contains(AacMp4.AacConfig(2, rate, ch)),
+        s"rate $rate ch $ch")
+    }
+    // out-of-scope ASCs strict-reject: AOT != LC, 960-frame flag, ch 6
+    def asc(b0: Int, b1: Int) = AacMp4.encodeStsdMp4a(2, 44100,
+      AacMp4.encodeEsds(Array(b0.toByte, b1.toByte)))
+    assert(AacMp4.parseEsds(asc((5 << 3) | 0, 2 << 3)).isEmpty, "AOT 5 accepted")
+    assert(AacMp4.parseEsds(asc((2 << 3) | 0, (2 << 3) | 4)).isEmpty,
+      "960-frame flag accepted")
+    assert(AacMp4.parseEsds(asc((2 << 3) | 0, 6 << 3)).isEmpty, "6 channels accepted")
+    // mono container decode == direct ADTS-stream decode (the threaded
+    // overlap crosses the SAMPLE boundary identically)
+    def sce(f: Int): Array[Byte] = {
+      val quant = Array.tabulate(1024) { i =>
+        if (i >= 256) 0
+        else { val m = ((f + i) % 3); if (m != 0 && (f + i) % 5 < 2) -m else m }
+      }
+      Aac.encodeSceWin(Aac.IcsInfo(0, 8, Array(1)), 100,
+        Array(Array.fill(8)(12)), Array(Array.fill(8)(100)), quant)
+    }
+    val samples = (0 until 3).map(sce)
+    val cfg = AacMp4.AacConfig(2, 4, 1)
+    val viaMp4 = Aac.decodePcmStream(AacMp4.toStream(samples, cfg)).get
+    val adts = Aac.parse(samples.map(p => Aac.encodeFrame(1, 4, 1, p))
+      .reduce(_ ++ _)).get
+    val direct = Aac.decodePcmStream(adts).get
+    assert(viaMp4.sameElements(direct), "container stream PCM differs from ADTS")
+    // stereo: CPE samples through the container path
+    def cpe(f: Int): Array[Byte] = {
+      val quant = Seq.tabulate(2)(c => Array.tabulate(1024) { i =>
+        if (i >= 256) 0
+        else { val m = ((f + i + c) % 3); if (m != 0 && (f + i) % 5 < 2) -m else m }
+      })
+      Aac.encodeCpeWin(Seq.fill(2)(Aac.IcsInfo(0, 8, Array(1))), Seq(100, 102),
+        Seq.fill(2)(Array(Array.fill(8)(12))), Seq.fill(2)(Array(Array.fill(8)(100))),
+        quant, msMaskPresent = 2)
+    }
+    val st = (0 until 2).map(cpe)
+    val stereo = Aac.decodeCpePcmStream(
+      AacMp4.toStream(st, AacMp4.AacConfig(2, 4, 2))).get
+    val directSt = Aac.decodeCpePcmStream(
+      Aac.parse(st.map(p => Aac.encodeFrame(1, 4, 2, p)).reduce(_ ++ _)).get).get
+    assert(stereo(0).sameElements(directSt(0)) && stereo(1).sameElements(directSt(1)))
+    // full MP4 file end to end with per-sample sizes + soun handler
+    val stsd = AacMp4.encodeStsdMp4a(1, Aac.SampleRates(4),
+      AacMp4.encodeEsds(AacMp4.encodeAsc(4, 1)))
+    val mp4 = Mp4.encodeMp4(0, 0, 1000L, 3L, 3, 0, samples.flatten.toArray,
+      stsd = stsd, perSampleSizes = Some(samples.map(_.length).toArray),
+      handler = "soun")
+    val movie = Mp4.parseMp4(mp4).get
+    val track = movie.tracks.find(_.kind == "soun").get
+    assert(track.sampleSizes.toSeq == samples.map(_.length))
+    assert(AacMp4.parseEsds(track.stsd).contains(cfg))
+    // mutation fuzz on the stsd: Option contract holds
+    val rnd = new scala.util.Random(83)
+    for (_ <- 0 until 300) {
+      val m = track.stsd.clone()
+      val bit = rnd.nextInt(m.length * 8)
+      m(bit >> 3) = (m(bit >> 3) ^ (1 << (7 - (bit & 7)))).toByte
+      AacMp4.parseEsds(m)
+    }
+  }
+
   test("h264 chroma: QP mapping, 2x2 Hadamard DC scaling, flat-128 and DC-impulse known answers (round 15)") {
     import graft.multimodal.{H264, H264Cavlc}
     // QP mapping: identity below 30, table above, clamped input
