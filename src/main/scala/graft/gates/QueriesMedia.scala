@@ -604,6 +604,52 @@ private[graft] trait QueriesMedia { this: Queries.type =>
     graft.multimodal.Multimodal.aacCpePcm(aacCpeAssets(spark, dir, 6))
       .toDF().orderBy(col("id"), col("channel"))
 
+  /** INTENSITY-STEREO CPE fixtures (round 16 — §4.6.8.2, the last LC
+    * stereo tool): long common_window frames whose right channel codes
+    * bands below isStart = 4 + id%2 normally and the rest with the
+    * intensity codebooks. Closed-form per id:
+    *   gg = (96 + id%8, 96 + (id+5)%8);  ms_mask_present = 1,
+    *   ms_used(s) = (id+s)%2 = 0  (MS below isStart, phase flip above)
+    *   left q(i) = ±((id+i)%3) neg iff (id+i)%5 < 2, sf(s) = gg0 + (id+3s)%9 − 4
+    *   right coded q(i) = ±((id+i+7)%3) neg iff (id+i+1)%5 < 2,
+    *   sf(s) = gg1 + (id+3s+2)%9 − 4
+    *   IS bands: cb = 14 if (id+s)%3 = 0 else 15; position = (id+2s)%9 − 4. */
+  private[graft] def aacIsAssets(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val src = docsTbl(spark, dir).where(col("doc_id") < 6)
+      .select(col("doc_id")).as[Long]
+    src.mapPartitions(_.map { id =>
+      val maxSfb = 8
+      val isStart = (4 + id % 2).toInt
+      val gg = Array((96 + id % 8).toInt, (96 + (id + 5) % 8).toInt)
+      val sectCb = Array.tabulate(2, maxSfb)((c, s) =>
+        if (c == 1 && s >= isStart) { if ((id + s) % 3 == 0) 14 else 15 }
+        else 12)
+      val sf = Array.tabulate(2, maxSfb)((c, s) =>
+        if (c == 1 && s >= isStart) ((id + 2 * s) % 9).toInt - 4
+        else gg(c) + ((id + 3 * s + 2 * c) % 9).toInt - 4)
+      val quant = Array.tabulate(2, 1024) { (c, i) =>
+        val s = i / 32
+        if (s >= maxSfb || (c == 1 && s >= isStart)) 0
+        else {
+          val mag = ((id + i + 7 * c) % 3).toInt
+          if (mag != 0 && (id + i + c) % 5 < 2) -mag else mag
+        }
+      }
+      val msUsed = Array.tabulate(maxSfb)(s => (id + s) % 2 == 0)
+      val info = graft.multimodal.Aac.IcsInfo(0, maxSfb, Array(1))
+      val payload = graft.multimodal.Aac.encodeCpeWin(Seq(info, info), gg.toSeq,
+        sectCb.map(c => Array(c)).toSeq, sf.map(c => Array(c)).toSeq,
+        quant.map(_.toArray).toSeq, msMaskPresent = 1, msUsed = Array(msUsed))
+      graft.multimodal.Multimodal.Asset(id, "audio",
+        graft.multimodal.Aac.encodeFrame(1, 4, 2, payload), 0, 0)
+    })
+  }
+
+  private[graft] def multimodalAacIs(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.aacCpePcm(aacIsAssets(spark, dir))
+      .toDF().orderBy(col("id"), col("channel"))
+
   /** Hand-assembled WINDOW-SWITCHED ADTS streams (round 15 — r14
     * VERDICT's largest remaining codec gap): three SCE frames per id,
     * LONG_START → EIGHT_SHORT → LONG_STOP, every value closed-form so

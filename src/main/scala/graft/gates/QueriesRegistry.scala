@@ -2382,6 +2382,71 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
            |FROM qagg q JOIN pagg a ON q.id = a.id AND q.ch = a.ch
            |JOIN par p2 ON p2.id = q.id
            |ORDER BY q.id, q.ch""".stripMargin)),
+    "multimodal_aac_is" -> Q(multimodalAacIs, Some(
+      // restates aacIsAssets' INTENSITY decode end to end (round 16 —
+      // §4.6.8.2, the last LC stereo tool): the coded-band dequant on
+      // both channels, MS on the mask-selected bands BELOW isStart,
+      // and above it the intensity reconstruction r = l ·
+      // 0.5^(is_position/4) · phase with cb 14 negating and ms_used
+      // flipping; then the shared IMDCT/window/quantizer tail. The
+      // right channel's transmitted-integer checksums pin that IS
+      // bands carry NO spectral data.
+      raw"""WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 6),
+           |par AS (SELECT id, 4 + id % 2 AS iss,
+           |               96 + id % 8 AS gg0, 96 + (id + 5) % 8 AS gg1 FROM ids),
+           |co AS (SELECT p.id, p.iss, d.i, d.i // 32 AS s,
+           |         (CASE WHEN (p.id + d.i) % 5 < 2 THEN -1 ELSE 1 END) * ((p.id + d.i) % 3) AS lq,
+           |         CASE WHEN d.i // 32 >= p.iss THEN 0 ELSE
+           |           (CASE WHEN (p.id + d.i + 1) % 5 < 2 THEN -1 ELSE 1 END) * ((p.id + d.i + 7) % 3) END AS rq,
+           |         p.gg0 + (p.id + 3*(d.i // 32)) % 9 - 4 AS sf0,
+           |         p.gg1 + (p.id + 3*(d.i // 32) + 2) % 9 - 4 AS sf1,
+           |         (p.id + d.i // 32) % 2 = 0 AS mbit,
+           |         (p.id + 2*(d.i // 32)) % 9 - 4 AS pos,
+           |         (p.id + d.i // 32) % 3 != 0 AS cb15
+           |       FROM par p, (SELECT unnest(range(0, 256)) AS i) d),
+           |dq AS (SELECT id, iss, i, s, lq, rq, mbit, pos, cb15,
+           |         CASE WHEN lq = 0 THEN 0.0 ELSE
+           |           sign(lq) * pow(abs(lq), 4.0/3.0) * pow(2.0, 0.25*(sf0 - 100)) END AS lv,
+           |         CASE WHEN rq = 0 THEN 0.0 ELSE
+           |           sign(rq) * pow(abs(rq), 4.0/3.0) * pow(2.0, 0.25*(sf1 - 100)) END AS rv
+           |       FROM co),
+           |pc AS (SELECT d.id, c.ch, d.i,
+           |         CASE WHEN d.s >= d.iss THEN
+           |           CASE WHEN c.ch = 0 THEN d.lv
+           |                ELSE d.lv * pow(0.5, 0.25 * d.pos)
+           |                     * (CASE WHEN d.cb15 THEN 1.0 ELSE -1.0 END)
+           |                     * (CASE WHEN d.mbit THEN -1.0 ELSE 1.0 END) END
+           |         WHEN d.mbit THEN
+           |           (CASE WHEN c.ch = 0 THEN d.lv + d.rv ELSE d.lv - d.rv END)
+           |         ELSE (CASE WHEN c.ch = 0 THEN d.lv ELSE d.rv END) END AS v
+           |       FROM dq d, (SELECT unnest(range(0, 2)) AS ch) c),
+           |nz AS (SELECT id, ch, list(struct_pack(k := i, v := v) ORDER BY i) AS l
+           |       FROM pc WHERE v != 0 GROUP BY id, ch),
+           |pcm AS (SELECT z.id, z.ch, d.pos,
+           |          greatest(-32768, least(32767, CAST(floor(
+           |            sin(pi()/2048.0 * (d.pos + 0.5)) *
+           |            (list_sum(list_transform(z.l, s ->
+           |               s.v * cos(pi()/1024.0 * (d.pos + 512.5) * (s.k + 0.5)))) / 1024.0)
+           |            * 32768.0 + 0.5) AS BIGINT))) AS p
+           |        FROM nz z, (SELECT unnest(range(0, 1024)) AS pos) d),
+           |qagg AS (SELECT d.id, c.ch,
+           |           CAST(sum(CASE WHEN (CASE WHEN c.ch = 0 THEN d.lq ELSE d.rq END) != 0 THEN 1 ELSE 0 END) AS INT) AS n_nonzero_q,
+           |           CAST(sum(CASE WHEN c.ch = 0 THEN d.lq ELSE d.rq END) AS BIGINT) AS sum_q,
+           |           CAST(sum((CASE WHEN c.ch = 0 THEN d.lq ELSE d.rq END) * (d.i + 1)) AS BIGINT) AS wsum_q
+           |         FROM co d, (SELECT unnest(range(0, 2)) AS ch) c
+           |         GROUP BY d.id, c.ch),
+           |pagg AS (SELECT id, ch, count(*) AS n_samples,
+           |           CAST(sum(CASE WHEN p = 32767 OR p = -32768 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           |           CAST(sum(CASE WHEN p != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonzero,
+           |           CAST(sum(p) AS BIGINT) AS sum_pcm, CAST(sum(abs(p)) AS BIGINT) AS abs_pcm,
+           |           CAST(sum(p * (pos + 1)) AS BIGINT) AS wsum_pcm
+           |         FROM pcm GROUP BY id, ch)
+           |SELECT q.id, q.ch AS channel, 1 AS ms_mask,
+           |       q.n_nonzero_q, q.sum_q, q.wsum_q,
+           |       a.n_samples, a.n_clipped, a.n_nonzero,
+           |       a.sum_pcm, a.abs_pcm, a.wsum_pcm
+           |FROM qagg q JOIN pagg a ON q.id = a.id AND q.ch = a.ch
+           |ORDER BY q.id, q.ch""".stripMargin)),
     "multimodal_aac_short" -> Q(multimodalAacShort, Some(
       // restates aacShortAssets' WINDOW-SWITCHED stream end to end
       // (round 15 — the r14 VERDICT's largest remaining codec gap):

@@ -464,20 +464,23 @@ object Aac {
     * convert to None. */
   private def readIcsBodyWin(r: BitReader, globalGain: Int, info: IcsInfo,
                              books: Map[Int, AacBook], sfBook: SfBook,
-                             bands: Array[Int], shortBands: Array[Int]): AacIcs = {
+                             bands: Array[Int], shortBands: Array[Int],
+                             allowIntensity: Boolean = false): AacIcs = {
     val nb = if (info.isShort) shortBands else bands
     val maxSfb = info.maxSfb
     val sectBits = if (info.isShort) 3 else 5
     val escVal = (1 << sectBits) - 1
     val nGroups = info.numGroups
-    // section_data (§8.3.2), per window group
+    // section_data (§8.3.2), per window group; cb 14/15 (intensity —
+    // round 16) are legal only on a CPE's RIGHT channel
     val sectCb = Array.ofDim[Int](nGroups, maxSfb)
     for (g <- 0 until nGroups) {
       var k = 0
       while (k < maxSfb) {
         val cb = r.read(4)
-        require(cb == 0 || (cb >= 1 && cb <= 12),
-          s"sect_cb $cb (noise/intensity) out of scope")
+        require(cb == 0 || (cb >= 1 && cb <= 12) ||
+          (allowIntensity && (cb == 14 || cb == 15)),
+          s"sect_cb $cb (noise, or intensity outside a CPE right channel) out of scope")
         var len = 0; var inc = r.read(sectBits)
         while (inc == escVal) { len += escVal; inc = r.read(sectBits) }
         len += inc
@@ -487,15 +490,25 @@ object Aac {
         k += len
       }
     }
-    // scale_factor_data (§8.3.2): one DPCM chain from global_gain,
-    // offset 60, threading group-major across all coded (g, sfb)
+    // scale_factor_data (§8.3.2): TWO DPCM chains threading group-major
+    // — the scalefactor chain from global_gain (offset 60), and for
+    // intensity bands the §4.6.8.2 dpcm_is_position chain from 0 (same
+    // codebook, same offset; positions may be negative). Both values
+    // land in `sf(g)(s)` — the band's sect_cb says which one it is.
     val sf = Array.ofDim[Int](nGroups, maxSfb)
     var last = globalGain
+    var lastIs = 0
     for (g <- 0 until nGroups; s <- 0 until maxSfb if sectCb(g)(s) != 0) {
       val idx = readCode(r, sfBook.codes, sfBook.maxLen, "scalefactor")
-      last = last + idx - 60
-      require(last >= 0 && last <= 255, s"scalefactor $last out of 0..255")
-      sf(g)(s) = last
+      if (sectCb(g)(s) >= 14) {
+        lastIs = lastIs + idx - 60
+        require(lastIs >= -155 && lastIs <= 100, s"is_position $lastIs out of range")
+        sf(g)(s) = lastIs
+      } else {
+        last = last + idx - 60
+        require(last >= 0 && last <= 255, s"scalefactor $last out of 0..255")
+        sf(g)(s) = last
+      }
     }
     // pulse_data (§8.3.2/§9.3, late round 15): up to 4 additive pulses
     // on the QUANTIZED values — spec-barred from EIGHT_SHORT frames
@@ -523,7 +536,7 @@ object Aac {
     val quant = new Array[Int](1024)
     var winBase = 0
     for (g <- 0 until nGroups) {
-      for (s <- 0 until maxSfb if sectCb(g)(s) != 0) {
+      for (s <- 0 until maxSfb if sectCb(g)(s) != 0 && sectCb(g)(s) <= 12) {
         val book = books.getOrElse(sectCb(g)(s), throw new IllegalArgumentException(
           s"sect_cb ${sectCb(g)(s)} has no loaded codebook (ISO Table A transcription pending)"))
         val lo = nb(s); val hi = nb(s + 1)
@@ -585,15 +598,15 @@ object Aac {
         while (b < maxSfb && nb(b + 1) <= k) b += 1
         b
       }
-      require(s < maxSfb && sectCb(0)(s) != 0,
-        s"pulse position $k falls in an uncoded band (sect_cb 0 or past max_sfb)")
+      require(s < maxSfb && sectCb(0)(s) != 0 && sectCb(0)(s) <= 12,
+        s"pulse position $k falls in an uncoded band (sect_cb 0/intensity or past max_sfb)")
       if (quant(k) > 0) quant(k) += amp else quant(k) -= amp
     }
     // dequantization (§10.3): per-(group, sfb) exponent, SF_OFFSET = 100
     val xr = new Array[Double](1024)
     winBase = 0
     for (g <- 0 until nGroups) {
-      for (s <- 0 until maxSfb if sectCb(g)(s) != 0) {
+      for (s <- 0 until maxSfb if sectCb(g)(s) != 0 && sectCb(g)(s) <= 12) {
         val gain = math.pow(2.0, 0.25 * (sf(g)(s) - 100))
         var w = 0
         while (w < info.groupLen(g)) {
@@ -732,21 +745,29 @@ object Aac {
       msUsed = Array.tabulate(sharedInfo.numGroups, sharedInfo.maxSfb)((_, _) =>
         if (msMaskPresent == 1) r.read(1) == 1 else msMaskPresent == 2)
     }
-    def channel(): AacIcs = {
+    def channel(allowIntensity: Boolean): AacIcs = {
       val gg = r.read(8)
       val info = if (commonWindow) sharedInfo else readIcsInfoWin(r, bands, shortBands)
-      readIcsBodyWin(r, gg, info, books, sfBook, bands, shortBands)
+      readIcsBodyWin(r, gg, info, books, sfBook, bands, shortBands, allowIntensity)
     }
-    val left = channel()
-    val right = channel()
+    val left = channel(allowIntensity = false)
+    val right = channel(allowIntensity = true) // §4.6.8.2: IS lives here
     readEnd(r, "the CPE")
+    @inline def isIs(cb: Int): Boolean = cb == 14 || cb == 15
+    val hasIs = right.sectCb.exists(_.exists(isIs))
+    // intensity bands map left lines onto right lines — only a shared
+    // ics_info makes that mapping well-defined
+    require(!hasIs || commonWindow, "intensity stereo without common_window")
     val xl = left.xr.clone()
     val xr2 = right.xr.clone()
     if (commonWindow) {
       val nb = if (sharedInfo.isShort) shortBands else bands
+      // §12.2 MS over the mask-selected bands — intensity bands are
+      // excluded (there ms_used flips the IS phase instead, §4.6.8.2.3)
       var winBase = 0
       for (g <- 0 until sharedInfo.numGroups) {
-        for (s <- 0 until sharedInfo.maxSfb if msUsed(g)(s)) {
+        for (s <- 0 until sharedInfo.maxSfb
+             if msUsed(g)(s) && !isIs(right.sectCb(g)(s))) {
           var w = 0
           while (w < sharedInfo.groupLen(g)) {
             var i = (winBase + w) * sharedInfo.linesPerWindow + nb(s)
@@ -761,8 +782,36 @@ object Aac {
         }
         winBase += sharedInfo.groupLen(g)
       }
+      // §4.6.8.2.3 INTENSITY STEREO (round 16 — the last LC stereo
+      // tool): right bands coded cb 15 (in phase) / 14 (out of phase)
+      // carry no spectra; they reconstruct from the LEFT channel's
+      // dequantized lines scaled by 0.5^(is_position/4), the phase
+      // flipped by ms_used when ms_mask_present = 1. The left channel
+      // is untouched at IS bands (MS skipped them above), so `xl`
+      // here is the pure left spectrum.
+      winBase = 0
+      for (g <- 0 until sharedInfo.numGroups) {
+        for (s <- 0 until sharedInfo.maxSfb if isIs(right.sectCb(g)(s))) {
+          val scale = math.pow(0.5, 0.25 * right.sf(g)(s))
+          val base = if (right.sectCb(g)(s) == 15) 1.0 else -1.0
+          val phase =
+            if (msMaskPresent == 1 && msUsed(g)(s)) -base else base
+          val k = scale * phase
+          var w = 0
+          while (w < sharedInfo.groupLen(g)) {
+            var i = (winBase + w) * sharedInfo.linesPerWindow + nb(s)
+            val hi = (winBase + w) * sharedInfo.linesPerWindow + nb(s + 1)
+            while (i < hi) {
+              xr2(i) = xl(i) * k
+              i += 1
+            }
+            w += 1
+          }
+        }
+        winBase += sharedInfo.groupLen(g)
+      }
     }
-    // §4.6 decoder order: TNS per channel AFTER the MS matrix
+    // §4.6 decoder order: TNS per channel AFTER the stereo tools
     applyTns(xl, left.info, left.tns, bands, shortBands, tnsMaxBands)
     applyTns(xr2, right.info, right.tns, bands, shortBands, tnsMaxBands)
     Some(AacCpeIcs(commonWindow, msMaskPresent, msUsed, left, right,
@@ -1162,6 +1211,12 @@ object Aac {
     require(msMaskPresent != 1 || (msUsed.length == infos(0).numGroups &&
       msUsed.forall(_.length == infos(0).maxSfb)),
       s"ms_used needs ${infos(0).numGroups}×${infos(0).maxSfb} group-major bits")
+    // intensity (cb 14/15) is a RIGHT-channel tool under common_window
+    // (§4.6.8.2) — the decoder strict-rejects anything else
+    require(!sectCb(0).exists(_.exists(cb => cb == 14 || cb == 15)),
+      "intensity codebooks on the left channel")
+    require(commonWindow || !sectCb(1).exists(_.exists(cb => cb == 14 || cb == 15)),
+      "intensity stereo without common_window")
     val bits = new ArrayBuffer[(Int, Int)]
     def w(v: Int, n: Int): Unit = {
       require(v >= 0 && v < (1 << n), s"field value $v does not fit in $n bits")
@@ -1251,14 +1306,17 @@ object Aac {
         k += len
       }
     }
-    // scalefactors: one DPCM chain across groups
+    // scalefactors: the DPCM chain across groups, with the §4.6.8.2
+    // is_position chain (from 0) interleaved for cb-14/15 bands
     var last = globalGain
+    var lastIs = 0
     for (g <- 0 until info.numGroups; s <- 0 until maxSfb if sectCb(g)(s) != 0) {
-      val idx = sf(g)(s) - last + 60
+      val isBand = sectCb(g)(s) >= 14
+      val idx = sf(g)(s) - (if (isBand) lastIs else last) + 60
       val code = sfBook.enc.getOrElse(idx, throw new IllegalArgumentException(
         s"dpcm index $idx not codable by the sf book"))
       code.foreach(c => w(if (c == '1') 1 else 0, 1))
-      last = sf(g)(s)
+      if (isBand) lastIs = sf(g)(s) else last = sf(g)(s)
     }
     pulse match { // pulse_data_present + §8.3.2 pulse_data
       case None => w(0, 1)
@@ -1301,9 +1359,10 @@ object Aac {
     }
     w(0, 1) // gain_control_data_present
     // spectra: per group-sfb block, window-interleaved tuple stream
+    // (intensity bands cb 14/15 carry no spectral data)
     var winBase = 0
     for (g <- 0 until info.numGroups) {
-      for (s <- 0 until maxSfb if sectCb(g)(s) != 0) {
+      for (s <- 0 until maxSfb if sectCb(g)(s) != 0 && sectCb(g)(s) <= 12) {
         val book = books(sectCb(g)(s))
         val lo = nb(s); val width = nb(s + 1) - lo
         val span = width * info.groupLen(g)

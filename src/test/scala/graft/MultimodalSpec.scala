@@ -2625,6 +2625,75 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Aac.decodeCpe(cpeTns).isEmpty, "decodeCpe accepted a TNS frame")
   }
 
+  test("aac intensity stereo: 0.5^(pos/4) scaling, cb14/ms_used phase flips, the is_position DPCM chain (round 16)") {
+    import graft.multimodal.Aac
+    val maxSfb = 8
+    val gg = Seq(100, 103)
+    val info = Aac.IcsInfo(0, maxSfb, Array(1))
+    // left fully coded; right: bands 0..3 coded, 4..7 INTENSITY with
+    // cb 15/14 and positions 0, 2, -3, 4 (the DPCM chain crosses sign)
+    val leftCb = Array.fill(maxSfb)(12)
+    val rightCb = Array(12, 12, 12, 12, 15, 14, 15, 15)
+    val positions = Array(0, 2, -3, 4)
+    val sfL = Array.tabulate(maxSfb)(s => 100 + (s % 3))
+    val sfR = Array.tabulate(maxSfb)(s => if (s < 4) 103 + (s % 2) else positions(s - 4))
+    val quant = Seq.tabulate(2)(c => Array.tabulate(1024) { i =>
+      val s = i / 32
+      if (s >= maxSfb || (c == 1 && s >= 4)) 0
+      else { val m = ((i + c) % 3); if (m != 0 && (i + c) % 5 < 2) -m else m }
+    })
+    // ms mask: flips phase on IS bands 4/6, applies MS on bands 0/2
+    val msUsed = Array.tabulate(maxSfb)(s => s % 2 == 0)
+    val payload = Aac.encodeCpeWin(Seq(info, info), gg,
+      Seq(Array(leftCb), Array(rightCb)), Seq(Array(sfL), Array(sfR)),
+      quant, msMaskPresent = 1, msUsed = Array(msUsed))
+    val p = Aac.decodeCpeWin(payload).getOrElse(fail("IS CPE must decode"))
+    assert(p.right.sectCb(0).sameElements(rightCb))
+    assert((4 until 8).forall(s => p.right.sf(0)(s) == positions(s - 4)),
+      "is_position chain mismatch")
+    // IS bands: xrMs right = left (post-nothing: MS skipped there) x
+    // 0.5^(pos/4) x phase; left untouched
+    for (s <- 4 until 8; i <- 32 * s until 32 * (s + 1)) {
+      val cb15 = rightCb(s) == 15
+      val base = if (cb15) 1.0 else -1.0
+      val phase = if (msUsed(s)) -base else base
+      val want = p.left.xr(i) * math.pow(0.5, 0.25 * positions(s - 4)) * phase
+      assert(p.xrMs(1)(i) == want, s"IS band $s line $i")
+      assert(p.xrMs(0)(i) == p.left.xr(i), s"left touched at IS band $s")
+      assert(p.right.xr(i) == 0.0, "right pre-stereo xr nonzero at IS band")
+    }
+    // band 4: pos 0 + ms_used (phase-flipped cb15) -> exact NEGATED copy
+    assert((128 until 160).forall(i => p.xrMs(1)(i) == -p.left.xr(i)))
+    // coded bands: MS on the masked ones, passthrough otherwise
+    for (s <- 0 until 4; i <- 32 * s until 32 * (s + 1)) {
+      if (msUsed(s)) {
+        assert(p.xrMs(0)(i) == p.left.xr(i) + p.right.xr(i))
+        assert(p.xrMs(1)(i) == p.left.xr(i) - p.right.xr(i))
+      } else assert(p.xrMs(1)(i) == p.right.xr(i))
+    }
+    // intensity codebooks strict-reject outside a CPE right channel:
+    // an SCE with cb 15 must return None on every SCE surface
+    val sceIs = Aac.encodeSceWin(info, 100, Array(rightCb), Array(sfR),
+      quant(1))
+    assert(Aac.decodeSceWin(sceIs).isEmpty, "SCE with intensity cb accepted")
+    assert(Aac.decodeSpectra(sceIs).isEmpty)
+    // the encoder refuses IS on the left channel or without common_window
+    intercept[IllegalArgumentException](Aac.encodeCpeWin(Seq(info, info), gg,
+      Seq(Array(rightCb), Array(leftCb)), Seq(Array(sfR), Array(sfL)),
+      quant, msMaskPresent = 1, msUsed = Array(msUsed)))
+    intercept[IllegalArgumentException](Aac.encodeCpeWin(Seq(info, info), gg,
+      Seq(Array(leftCb), Array(rightCb)), Seq(Array(sfL), Array(sfR)),
+      quant, commonWindow = false))
+    // mutation fuzz: Option contract holds
+    val rnd = new scala.util.Random(131)
+    for (_ <- 0 until 300) {
+      val m = payload.clone()
+      val bit = rnd.nextInt(m.length * 8)
+      m(bit >> 3) = (m(bit >> 3) ^ (1 << (7 - (bit & 7)))).toByte
+      Aac.decodeCpeWin(m)
+    }
+  }
+
   test("aac pulse_data: sign-preserving adds at accumulated positions; barred from short frames (round 15)") {
     import graft.multimodal.Aac
     val maxSfb = 8; val gg = 100
