@@ -17,6 +17,78 @@ import org.apache.spark.sql.functions._
   * tier traits and the assembling object see them. The self-type gives
   * every tier access to the full mixed-in surface without a dependency
   * graph between the files. */
+/** Serializable home for the MP4 container gates' shared content
+  * builders (round 16): these run INSIDE mapPartitions closures, so
+  * they live on a standalone module rather than the Queries object.
+  * Content formulas here are what mp4H264OracleSql/mp4AacOracleSql
+  * restate — the single-track and interleaved-chunk fixtures differ
+  * only in container layout. */
+private[graft] object Mp4Fixtures extends Serializable {
+
+  /** The container gates' shared SPS/PPS pair (CAVLC, 2×2 MBs). */
+  private[graft] def mp4H264SpsPps(): (Array[Byte], Array[Byte]) = (
+    graft.multimodal.H264.encodeSps(
+      66, 30, spsId = 0, log2MaxFrameNumMinus4 = 0, poc = 0,
+      maxRef = 1, pwMbsMinus1 = 1, phMapMinus1 = 1,
+      frameMbsOnly = true, crop = None),
+    graft.multimodal.H264.encodePps(
+      ppsId = 0, spsId = 0, cabac = false, picInitQp = 26))
+
+  /** The container gates' shared slice content (eid = 2·id + sm — the
+    * formulas mp4H264OracleSql restates; the single-track and the
+    * interleaved-chunk fixtures differ ONLY in container layout). */
+  private[graft] def mp4H264SliceRbsp(id: Long, sm: Int,
+      sps: graft.multimodal.H264.Sps,
+      pps: graft.multimodal.H264.Pps): Array[Byte] = {
+    val eid = 2 * id + sm
+    val qp = (20 + (5 * eid) % 12).toInt
+    def mode(m: Int, blk: Int): Int = {
+      val bx = 2 * ((blk / 4) % 2) + blk % 4 % 2
+      val by = 2 * ((blk / 4) / 2) + (blk % 4) / 2
+      if (m == 1 && by == 0) Seq(1, 2, 8)(((eid + blk) % 3).toInt)
+      else if (m == 2 && bx == 0) Seq(0, 2, 3, 7)(((eid + blk) % 4).toInt)
+      else if (m == 2) ((eid + 1 + blk) % 9).toInt
+      else ((eid + blk) % 9).toInt
+    }
+    val mb0 = graft.multimodal.H264Cavlc.I16MbSpec(2, 0, 0,
+      new Array[Int](16), Array.fill(16)(new Array[Int](15)))
+    val i4 = (1 to 3).map { m =>
+      graft.multimodal.H264Cavlc.I4x4MbSpec(
+        Array.tabulate(16)(mode(m, _)), 0, ((eid + m) % 5).toInt - 2,
+        Array.tabulate(16, 16)((blk, p) =>
+          if ((eid + m + blk + p) % 7 == 0)
+            ((eid + m * (p + 2) + blk) % 5).toInt - 2
+          else 0).map(_.toArray),
+        forceCbpLuma = Some(15))
+    }
+    graft.multimodal.H264Cavlc.encodeI16x16Slice(
+      sps, pps, nalRefIdc = 3, idr = true,
+      frameNum = (eid % 16).toInt, idrPicId = (eid % 5).toInt,
+      pocLsb = (eid % 16).toInt, sliceQpDelta = qp - 26, mb0 +: i4,
+      tables = graft.multimodal.H264Cavlc.fixtureTables)
+  }
+
+  /** The M4A gates' shared raw_data_block content (the formulas
+    * mp4AacOracleSql restates). */
+  private[graft] def mp4AacRawBlock(id: Long, f: Int): Array[Byte] = {
+    val maxSfb = 8
+    val gg = (96 + (id + 5 * f) % 8).toInt
+    val sectCb = Array.fill(maxSfb)(12)
+    val sf = Array.tabulate(maxSfb)(s => (gg + (id + 3 * s + f) % 9).toInt - 4)
+    val quant = Array.tabulate(1024) { i =>
+      if (i >= 32 * maxSfb) 0
+      else {
+        val mag = ((id + i + 7 * f) % 3).toInt
+        if (mag != 0 && (id + i + f) % 5 < 2) -mag else mag
+      }
+    }
+    graft.multimodal.Aac.encodeSceWin(
+      graft.multimodal.Aac.IcsInfo(0, maxSfb, Array(1)), gg,
+      Array(sectCb), Array(sf), quant)
+  }
+
+}
+
 private[graft] trait QueriesMedia { this: Queries.type =>
 
   // ---------------------------------------------------------------------------
@@ -1497,49 +1569,17 @@ private[graft] trait QueriesMedia { this: Queries.type =>
     val src = docsTbl(spark, dir).where(col("doc_id") < 4)
       .select(col("doc_id")).as[Long]
     src.mapPartitions(_.map { id =>
-      val spsB = graft.multimodal.H264.encodeSps(
-        66, 30, spsId = 0, log2MaxFrameNumMinus4 = 0, poc = 0,
-        maxRef = 1, pwMbsMinus1 = 1, phMapMinus1 = 1,
-        frameMbsOnly = true, crop = None)
-      val ppsB = graft.multimodal.H264.encodePps(
-        ppsId = 0, spsId = 0, cabac = false, picInitQp = 26)
+      val (spsB, ppsB) = Mp4Fixtures.mp4H264SpsPps()
       val sps = graft.multimodal.H264.parseSps(spsB).get
       val pps = graft.multimodal.H264.parsePps(ppsB).get
       val lengthSize = if (id % 2 == 0) 4 else 2
-      def slice(sm: Int): Array[Byte] = {
-        val eid = 2 * id + sm
-        val qp = (20 + (5 * eid) % 12).toInt
-        def mode(m: Int, blk: Int): Int = {
-          val bx = 2 * ((blk / 4) % 2) + blk % 4 % 2
-          val by = 2 * ((blk / 4) / 2) + (blk % 4) / 2
-          if (m == 1 && by == 0) Seq(1, 2, 8)(((eid + blk) % 3).toInt)
-          else if (m == 2 && bx == 0) Seq(0, 2, 3, 7)(((eid + blk) % 4).toInt)
-          else if (m == 2) ((eid + 1 + blk) % 9).toInt
-          else ((eid + blk) % 9).toInt
-        }
-        val mb0 = graft.multimodal.H264Cavlc.I16MbSpec(2, 0, 0,
-          new Array[Int](16), Array.fill(16)(new Array[Int](15)))
-        val i4 = (1 to 3).map { m =>
-          graft.multimodal.H264Cavlc.I4x4MbSpec(
-            Array.tabulate(16)(mode(m, _)), 0, ((eid + m) % 5).toInt - 2,
-            Array.tabulate(16, 16)((blk, p) =>
-              if ((eid + m + blk + p) % 7 == 0)
-                ((eid + m * (p + 2) + blk) % 5).toInt - 2
-              else 0).map(_.toArray),
-            forceCbpLuma = Some(15))
-        }
-        graft.multimodal.H264Cavlc.encodeI16x16Slice(
-          sps, pps, nalRefIdc = 3, idr = true,
-          frameNum = (eid % 16).toInt, idrPicId = (eid % 5).toInt,
-          pocLsb = (eid % 16).toInt, sliceQpDelta = qp - 26, mb0 +: i4,
-          tables = graft.multimodal.H264Cavlc.fixtureTables)
-      }
       val avcc = graft.multimodal.H264Mp4.encodeAvcc(66, 30, lengthSize,
         Seq(graft.multimodal.H264Mp4.nalUnit(3, 7, spsB)),
         Seq(graft.multimodal.H264Mp4.nalUnit(3, 8, ppsB)))
       val stsd = graft.multimodal.H264Mp4.encodeStsdAvc1(32, 32, avcc)
       val samples = (0 until 2).map(sm => graft.multimodal.H264Mp4.sampleOf(
-        lengthSize, Seq(graft.multimodal.H264Mp4.nalUnit(3, 5, slice(sm)))))
+        lengthSize, Seq(graft.multimodal.H264Mp4.nalUnit(3, 5,
+          Mp4Fixtures.mp4H264SliceRbsp(id, sm, sps, pps)))))
       val payload = samples.flatten.toArray
       graft.multimodal.Multimodal.Asset(id, "video",
         graft.multimodal.Mp4.encodeMp4(32, 32, 1000L, 2L, 2, 0, payload,
@@ -1568,23 +1608,7 @@ private[graft] trait QueriesMedia { this: Queries.type =>
     val src = docsTbl(spark, dir).where(col("doc_id") < 6)
       .select(col("doc_id")).as[Long]
     src.mapPartitions(_.map { id =>
-      val maxSfb = 8
-      def payload(f: Int): Array[Byte] = {
-        val gg = (96 + (id + 5 * f) % 8).toInt
-        val sectCb = Array.fill(maxSfb)(12)
-        val sf = Array.tabulate(maxSfb)(s => (gg + (id + 3 * s + f) % 9).toInt - 4)
-        val quant = Array.tabulate(1024) { i =>
-          if (i >= 32 * maxSfb) 0
-          else {
-            val mag = ((id + i + 7 * f) % 3).toInt
-            if (mag != 0 && (id + i + f) % 5 < 2) -mag else mag
-          }
-        }
-        graft.multimodal.Aac.encodeSceWin(
-          graft.multimodal.Aac.IcsInfo(0, maxSfb, Array(1)), gg,
-          Array(sectCb), Array(sf), quant)
-      }
-      val samples = (0 until 2).map(payload)
+      val samples = (0 until 2).map(f => Mp4Fixtures.mp4AacRawBlock(id, f))
       val asc = graft.multimodal.AacMp4.encodeAsc((id % 13).toInt, 1)
       val stsd = graft.multimodal.AacMp4.encodeStsdMp4a(1,
         graft.multimodal.Aac.SampleRates((id % 13).toInt),
@@ -1599,6 +1623,58 @@ private[graft] trait QueriesMedia { this: Queries.type =>
 
   private[graft] def multimodalMp4Aac(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.Multimodal.mp4AacPcm(mp4AacAssets(spark, dir))
+      .toDF().orderBy(col("id"), col("channel"))
+
+  /** INTERLEAVED-CHUNK two-track MP4 fixtures (round 16 — the layout
+    * real muxers produce, and precisely what the old contiguous-from-
+    * first-chunk read would MIS-SLICE): one file carries a video track
+    * (the mp4H264 slices) and an audio track (the mp4Aac raw blocks)
+    * whose chunks alternate in mdat as [V0, A0, V1, A1], each track's
+    * stsc × stco resolving its own samples across the gaps. Content
+    * formulas are IDENTICAL to the single-track gates, so both oracles
+    * are reused verbatim — the gates pin the container slicing alone. */
+  private[graft] def mp4ChunkedAssets(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val src = docsTbl(spark, dir).where(col("doc_id") < 4)
+      .select(col("doc_id")).as[Long]
+    src.mapPartitions(_.map { id =>
+      val (spsB, ppsB) = Mp4Fixtures.mp4H264SpsPps()
+      val sps = graft.multimodal.H264.parseSps(spsB).get
+      val pps = graft.multimodal.H264.parsePps(ppsB).get
+      val lengthSize = if (id % 2 == 0) 4 else 2
+      val avcc = graft.multimodal.H264Mp4.encodeAvcc(66, 30, lengthSize,
+        Seq(graft.multimodal.H264Mp4.nalUnit(3, 7, spsB)),
+        Seq(graft.multimodal.H264Mp4.nalUnit(3, 8, ppsB)))
+      val stsdV = graft.multimodal.H264Mp4.encodeStsdAvc1(32, 32, avcc)
+      val v = (0 until 2).map(sm => graft.multimodal.H264Mp4.sampleOf(
+        lengthSize, Seq(graft.multimodal.H264Mp4.nalUnit(3, 5,
+          Mp4Fixtures.mp4H264SliceRbsp(id, sm, sps, pps)))))
+      val a = (0 until 2).map(f => Mp4Fixtures.mp4AacRawBlock(id, f))
+      val asc = graft.multimodal.AacMp4.encodeAsc((id % 13).toInt, 1)
+      val stsdA = graft.multimodal.AacMp4.encodeStsdMp4a(1,
+        graft.multimodal.Aac.SampleRates((id % 13).toInt),
+        graft.multimodal.AacMp4.encodeEsds(asc))
+      val mdat = v(0) ++ a(0) ++ v(1) ++ a(1)
+      val off = Array(0L, v(0).length.toLong, (v(0).length + a(0).length).toLong,
+        (v(0).length + a(0).length + v(1).length).toLong)
+      val tracks = Seq(
+        graft.multimodal.Mp4.TrackSpec("vide", 32, 32, stsdV,
+          Array(v(0).length, v(1).length), Array(1, 1), Array(off(0), off(2))),
+        graft.multimodal.Mp4.TrackSpec("soun", 0, 0, stsdA,
+          Array(a(0).length, a(1).length), Array(1, 1), Array(off(1), off(3))))
+      graft.multimodal.Multimodal.Asset(id, "video",
+        graft.multimodal.Mp4.encodeMp4Multi(1000L, 2L, tracks, mdat), 0, 0)
+    })
+  }
+
+  private[graft] def multimodalMp4ChunksH264(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.mp4H264Pixels(mp4ChunkedAssets(spark, dir),
+      graft.multimodal.H264Cavlc.fixtureTables,
+      graft.multimodal.H264Cabac.fixtureTables)
+      .toDF().orderBy(col("id"), col("sample"), col("mb"))
+
+  private[graft] def multimodalMp4ChunksAac(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.mp4AacPcm(mp4ChunkedAssets(spark, dir))
       .toDF().orderBy(col("id"), col("channel"))
 
   /** CHROMA-bearing Intra_16x16 pictures (late round 15): 2×2 MBs, all

@@ -23,6 +23,245 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
   // Registry
   // ---------------------------------------------------------------------------
 
+  /** The mp4-h264 container oracle (round 16), parameterized by the
+    * doc_id bound so the single-track and INTERLEAVED-chunk gates share
+    * it verbatim — the container layout is exactly what those gates
+    * differ in, and any slicing slip changes the pixels. */
+  private[graft] def mp4H264OracleSql(nIds: Int): String =
+    s"""WITH RECURSIVE ids AS (
+           |  SELECT doc_id AS id, sm.sm, 2 * doc_id + sm.sm AS eid
+           |  FROM documents, (SELECT unnest(range(0, 2)) AS sm) sm
+           |  WHERE doc_id < $nIds),
+           |qps AS (SELECT id, sm, eid, 20 + (5*eid) % 12 AS qp0,
+           |  20 + (5*eid) % 12 + (eid+1)%5 - 2 AS qp1,
+           |  20 + (5*eid) % 12 + (eid+1)%5 - 2 + (eid+2)%5 - 2 AS qp2,
+           |  20 + (5*eid) % 12 + (eid+1)%5 - 2 + (eid+2)%5 - 2 + (eid+3)%5 - 2 AS qp3
+           | FROM ids),
+           |cst AS (SELECT
+           |  [0,1,4,8,5,2,3,6,9,12,13,10,7,11,14,15] AS zz,
+           |  [[10,16,13],[11,18,14],[13,20,16],[14,23,18],[16,25,20],[18,29,23]] AS v),
+           |geo AS (
+           |  SELECT i.id, i.sm, i.eid, k.k, 1 + k.k // 16 AS m, k.k % 16 AS blk,
+           |    2*((k.k % 16 // 4) % 2) + (k.k % 16 % 4) % 2 AS bx,
+           |    2*((k.k % 16 // 4) // 2) + (k.k % 16 % 4) // 2 AS by
+           |  FROM ids i, (SELECT unnest(range(0, 48)) AS k) k),
+           |geo2 AS (
+           |  SELECT id, sm, eid, k, m, blk, 4*(m % 2) + bx AS gx, 4*(m // 2) + by AS gy,
+           |    CASE WHEN m = 1 AND by = 0 THEN
+           |           (CASE (eid + blk) % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 8 END)
+           |         WHEN m = 2 AND bx = 0 THEN
+           |           (CASE (eid + blk) % 4 WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 3 ELSE 7 END)
+           |         WHEN m = 2 THEN (eid + 1 + blk) % 9
+           |         ELSE (eid + blk) % 9 END AS md
+           |  FROM geo),
+           |geoq AS (
+           |  SELECT g.*,
+           |    g.gy > 0 AND g.gx + 1 < 8 AND
+           |      (((g.gy-1) // 4)*2 + (g.gx+1) // 4)*16
+           |        + 4*(2*(((g.gy-1) % 4) // 2) + ((g.gx+1) % 4) // 2)
+           |        + 2*(((g.gy-1) % 4) % 2) + ((g.gx+1) % 4) % 2
+           |      < ((g.gy // 4)*2 + g.gx // 4)*16
+           |        + 4*(2*((g.gy % 4) // 2) + (g.gx % 4) // 2)
+           |        + 2*((g.gy % 4) % 2) + (g.gx % 4) % 2 AS htr,
+           |    CASE g.m WHEN 1 THEN q.qp1 WHEN 2 THEN q.qp2 ELSE q.qp3 END AS qp
+           |  FROM geo2 g JOIN qps q ON q.id = g.id AND q.sm = g.sm),
+           |dq AS (SELECT g.id, g.sm, g.k,
+           |    list_transform(range(0, 16), ri ->
+           |      (CASE WHEN (g.eid + g.m + g.blk + (list_position(c.zz, ri) - 1)) % 7 = 0
+           |            THEN ((g.eid + g.m * ((list_position(c.zz, ri) - 1) + 2) + g.blk) % 5) - 2
+           |            ELSE 0 END)
+           |      * c.v[g.qp % 6 + 1]
+           |           [CASE WHEN (ri//4) % 2 = 0 AND (ri%4) % 2 = 0 THEN 1
+           |                 WHEN (ri//4) % 2 = 1 AND (ri%4) % 2 = 1 THEN 2
+           |                 ELSE 3 END]
+           |      * CAST(pow(2, g.qp // 6) AS BIGINT)) AS d
+           |  FROM geoq g, cst c),
+           |it1 AS (SELECT id, sm, k,
+           |    list_transform(range(0, 16), i -> CASE i % 4
+           |      WHEN 0 THEN (d[4*(i//4)+1] + d[4*(i//4)+3])
+           |                + (d[4*(i//4)+2] + CAST(floor(d[4*(i//4)+4] / 2.0) AS BIGINT))
+           |      WHEN 1 THEN (d[4*(i//4)+1] - d[4*(i//4)+3])
+           |                + (CAST(floor(d[4*(i//4)+2] / 2.0) AS BIGINT) - d[4*(i//4)+4])
+           |      WHEN 2 THEN (d[4*(i//4)+1] - d[4*(i//4)+3])
+           |                - (CAST(floor(d[4*(i//4)+2] / 2.0) AS BIGINT) - d[4*(i//4)+4])
+           |      ELSE (d[4*(i//4)+1] + d[4*(i//4)+3])
+           |                - (d[4*(i//4)+2] + CAST(floor(d[4*(i//4)+4] / 2.0) AS BIGINT))
+           |      END) AS h
+           |  FROM dq),
+           |res4 AS (SELECT id, sm, k,
+           |    list_transform(range(0, 16), i ->
+           |      CAST(floor(((CASE i // 4
+           |        WHEN 0 THEN (h[i%4+1] + h[i%4+9])
+           |                  + (h[i%4+5] + CAST(floor(h[i%4+13] / 2.0) AS BIGINT))
+           |        WHEN 1 THEN (h[i%4+1] - h[i%4+9])
+           |                  + (CAST(floor(h[i%4+5] / 2.0) AS BIGINT) - h[i%4+13])
+           |        WHEN 2 THEN (h[i%4+1] - h[i%4+9])
+           |                  - (CAST(floor(h[i%4+5] / 2.0) AS BIGINT) - h[i%4+13])
+           |        ELSE (h[i%4+1] + h[i%4+9])
+           |                  - (h[i%4+5] + CAST(floor(h[i%4+13] / 2.0) AS BIGINT))
+           |        END) + 32) / 64.0) AS BIGINT)) AS r
+           |  FROM it1),
+           |walk AS (
+           |  SELECT id, sm, 0 AS k, list_transform(range(0, 1024), i -> 128) AS p FROM ids
+           |  UNION ALL
+           |  SELECT s.id, s.sm, s.k + 1,
+           |    list_transform(range(0, 1024), i ->
+           |      CASE WHEN (i % 32) // 4 = s.gx AND (i // 32) // 4 = s.gy THEN
+           |        greatest(0, least(255,
+           |          (CASE s.md
+           |            WHEN 0 THEN s.tp[(i%32)%4 + 2]
+           |            WHEN 1 THEN s.lp[(i//32)%4 + 2]
+           |            WHEN 2 THEN
+           |              CASE WHEN s.gx > 0 AND s.gy > 0 THEN
+           |                (s.tp[2]+s.tp[3]+s.tp[4]+s.tp[5]+s.lp[2]+s.lp[3]+s.lp[4]+s.lp[5]+4)//8
+           |              WHEN s.gx > 0 THEN (s.lp[2]+s.lp[3]+s.lp[4]+s.lp[5]+2)//4
+           |              WHEN s.gy > 0 THEN (s.tp[2]+s.tp[3]+s.tp[4]+s.tp[5]+2)//4
+           |              ELSE 128 END
+           |            WHEN 3 THEN
+           |              CASE WHEN (i%32)%4 = 3 AND (i//32)%4 = 3
+           |                THEN (s.tp[8] + 3*s.tp[9] + 2)//4
+           |                ELSE (s.tp[(i%32)%4 + (i//32)%4 + 2]
+           |                    + 2*s.tp[(i%32)%4 + (i//32)%4 + 3]
+           |                    + s.tp[(i%32)%4 + (i//32)%4 + 4] + 2)//4 END
+           |            WHEN 4 THEN
+           |              CASE WHEN (i%32)%4 > (i//32)%4 THEN
+           |                (s.tp[(i%32)%4 - (i//32)%4] + 2*s.tp[(i%32)%4 - (i//32)%4 + 1]
+           |                 + s.tp[(i%32)%4 - (i//32)%4 + 2] + 2)//4
+           |              WHEN (i%32)%4 < (i//32)%4 THEN
+           |                (s.lp[(i//32)%4 - (i%32)%4] + 2*s.lp[(i//32)%4 - (i%32)%4 + 1]
+           |                 + s.lp[(i//32)%4 - (i%32)%4 + 2] + 2)//4
+           |              ELSE (s.tp[2] + 2*s.tp[1] + s.lp[2] + 2)//4 END
+           |            WHEN 5 THEN
+           |              CASE WHEN 2*((i%32)%4) - (i//32)%4 >= 0
+           |                    AND (2*((i%32)%4) - (i//32)%4) % 2 = 0 THEN
+           |                (s.tp[(i%32)%4 - ((i//32)%4)//2 + 1]
+           |                 + s.tp[(i%32)%4 - ((i//32)%4)//2 + 2] + 1)//2
+           |              WHEN 2*((i%32)%4) - (i//32)%4 >= 1 THEN
+           |                (s.tp[(i%32)%4 - ((i//32)%4)//2]
+           |                 + 2*s.tp[(i%32)%4 - ((i//32)%4)//2 + 1]
+           |                 + s.tp[(i%32)%4 - ((i//32)%4)//2 + 2] + 2)//4
+           |              WHEN 2*((i%32)%4) - (i//32)%4 = -1 THEN
+           |                (s.lp[2] + 2*s.tp[1] + s.tp[2] + 2)//4
+           |              ELSE (s.lp[(i//32)%4 + 1] + 2*s.lp[(i//32)%4]
+           |                    + s.lp[(i//32)%4 - 1] + 2)//4 END
+           |            WHEN 6 THEN
+           |              CASE WHEN 2*((i//32)%4) - (i%32)%4 >= 0
+           |                    AND (2*((i//32)%4) - (i%32)%4) % 2 = 0 THEN
+           |                (s.lp[(i//32)%4 - ((i%32)%4)//2 + 1]
+           |                 + s.lp[(i//32)%4 - ((i%32)%4)//2 + 2] + 1)//2
+           |              WHEN 2*((i//32)%4) - (i%32)%4 >= 1 THEN
+           |                (s.lp[(i//32)%4 - ((i%32)%4)//2]
+           |                 + 2*s.lp[(i//32)%4 - ((i%32)%4)//2 + 1]
+           |                 + s.lp[(i//32)%4 - ((i%32)%4)//2 + 2] + 2)//4
+           |              WHEN 2*((i//32)%4) - (i%32)%4 = -1 THEN
+           |                (s.lp[2] + 2*s.tp[1] + s.tp[2] + 2)//4
+           |              ELSE (s.tp[(i%32)%4 + 1] + 2*s.tp[(i%32)%4]
+           |                    + s.tp[(i%32)%4 - 1] + 2)//4 END
+           |            WHEN 7 THEN
+           |              CASE WHEN ((i//32)%4) % 2 = 0 THEN
+           |                (s.tp[(i%32)%4 + ((i//32)%4)//2 + 2]
+           |                 + s.tp[(i%32)%4 + ((i//32)%4)//2 + 3] + 1)//2
+           |              ELSE (s.tp[(i%32)%4 + ((i//32)%4)//2 + 2]
+           |                 + 2*s.tp[(i%32)%4 + ((i//32)%4)//2 + 3]
+           |                 + s.tp[(i%32)%4 + ((i//32)%4)//2 + 4] + 2)//4 END
+           |            ELSE
+           |              CASE WHEN (i%32)%4 + 2*((i//32)%4) > 5 THEN s.lp[5]
+           |              WHEN (i%32)%4 + 2*((i//32)%4) = 5 THEN (s.lp[4] + 3*s.lp[5] + 2)//4
+           |              WHEN ((i%32)%4 + 2*((i//32)%4)) % 2 = 0 THEN
+           |                (s.lp[(i//32)%4 + ((i%32)%4)//2 + 2]
+           |                 + s.lp[(i//32)%4 + ((i%32)%4)//2 + 3] + 1)//2
+           |              ELSE (s.lp[(i//32)%4 + ((i%32)%4)//2 + 2]
+           |                 + 2*s.lp[(i//32)%4 + ((i%32)%4)//2 + 3]
+           |                 + s.lp[(i//32)%4 + ((i%32)%4)//2 + 4] + 2)//4 END
+           |          END) + s.r[4*((i//32)%4) + (i%32)%4 + 1]))
+           |      ELSE s.p[i+1] END)
+           |  FROM (
+           |    SELECT w.id, w.sm, w.k, w.p, g.gx, g.gy, g.md, r.r,
+           |      list_transform(range(-1, 8), xx ->
+           |        CASE WHEN g.gy = 0 THEN 0
+           |             WHEN xx = -1 THEN
+           |               (CASE WHEN g.gx = 0 THEN 0
+           |                     ELSE w.p[(4*g.gy - 1)*32 + 4*g.gx] END)
+           |             WHEN xx > 3 AND NOT g.htr THEN w.p[(4*g.gy - 1)*32 + 4*g.gx + 4]
+           |             ELSE w.p[(4*g.gy - 1)*32 + 4*g.gx + xx + 1] END) AS tp,
+           |      list_transform(range(-1, 4), yy ->
+           |        CASE WHEN g.gx = 0 THEN 0
+           |             WHEN yy = -1 THEN
+           |               (CASE WHEN g.gy = 0 THEN 0
+           |                     ELSE w.p[(4*g.gy - 1)*32 + 4*g.gx] END)
+           |             ELSE w.p[(4*g.gy + yy)*32 + 4*g.gx] END) AS lp
+           |    FROM walk w
+           |    JOIN geoq g ON g.id = w.id AND g.sm = w.sm AND g.k = w.k
+           |    JOIN res4 r ON r.id = w.id AND r.sm = w.sm AND r.k = w.k
+           |    WHERE w.k < 48
+           |  ) s),
+           |fin AS (SELECT id, sm, p FROM walk WHERE k = 48),
+           |msum AS (SELECT id, sm, m, SUM((blk + 1) * md) AS mode_sum
+           |         FROM geoq GROUP BY id, sm, m),
+           |mbrows AS (
+           |  SELECT f.id, f.sm, mm.m AS mb,
+           |    list_transform(range(0, 256), j ->
+           |      f.p[(16*(mm.m // 2) + j // 16) * 32 + 16*(mm.m % 2) + j % 16 + 1]) AS px
+           |  FROM fin f, (SELECT unnest(range(1, 4)) AS m) mm),
+           |i4rows AS (
+           |  SELECT r.id, r.sm, r.mb, 1 AS is_i4x4, ms.mode_sum,
+           |    CASE r.mb WHEN 1 THEN q.qp1 WHEN 2 THEN q.qp2 ELSE q.qp3 END AS qp,
+           |    list_sum(r.px) AS sum_luma,
+           |    list_sum(list_transform(range(0, 256), j -> r.px[j+1] *
+           |      ((16*(r.mb // 2) + j // 16) * 32 + 16*(r.mb % 2) + j % 16 + 1))) AS wsum_luma,
+           |    list_aggregate(r.px, 'min') AS min_luma,
+           |    list_aggregate(r.px, 'max') AS max_luma
+           |  FROM mbrows r JOIN msum ms ON ms.id = r.id AND ms.sm = r.sm AND ms.m = r.mb
+           |  JOIN qps q ON q.id = r.id AND q.sm = r.sm),
+           |mb0 AS (
+           |  SELECT id, sm, 0 AS mb, 0 AS is_i4x4, 2 AS mode_sum,
+           |    qp0 AS qp, 128 * 256 AS sum_luma,
+           |    list_sum(list_transform(range(0, 256), j ->
+           |      128 * ((j // 16) * 32 + j % 16 + 1))) AS wsum_luma,
+           |    128 AS min_luma, 128 AS max_luma
+           |  FROM qps)
+           |SELECT id, sm::INT AS sample, mb::INT AS mb, 0::INT AS entropy_cabac,
+           |  (CASE WHEN id % 2 = 0 THEN 4 ELSE 2 END)::INT AS nal_len_size,
+           |  is_i4x4::INT AS is_i4x4, mode_sum::BIGINT AS mode_sum, qp::INT AS qp,
+           |  sum_luma::BIGINT AS sum_luma, wsum_luma::BIGINT AS wsum_luma,
+           |  min_luma::INT AS min_luma, max_luma::INT AS max_luma
+           |FROM (SELECT * FROM mb0 UNION ALL SELECT * FROM i4rows)
+           |ORDER BY id, sample, mb""".stripMargin
+
+  /** The mp4-aac container oracle (round 16), same sharing contract. */
+  private[graft] def mp4AacOracleSql(nIds: Int): String =
+    s"""WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < $nIds),
+           |fs AS (SELECT unnest(range(0, 2)) AS f),
+           |par AS (SELECT id, f, 96 + (id + 5*f) % 8 AS gg FROM ids, fs),
+           |co AS (SELECT p.id, p.f, d.i,
+           |         CASE WHEN d.i >= 256 THEN 0 ELSE
+           |           (CASE WHEN (p.id + d.i + p.f) % 5 < 2 THEN -1 ELSE 1 END)
+           |           * ((p.id + d.i + 7*p.f) % 3) END AS q,
+           |         p.gg + (p.id + 3*(d.i // 32) + p.f) % 9 - 4 AS sf
+           |       FROM par p, (SELECT unnest(range(0, 1024)) AS i) d),
+           |nz AS (SELECT id, f, list(struct_pack(k := i,
+           |           v := sign(q) * pow(abs(q), 4.0/3.0) * pow(2.0, 0.25*(sf - 100)))
+           |         ORDER BY i) AS l
+           |       FROM co WHERE q != 0 GROUP BY id, f),
+           |zz AS (SELECT z.id, z.f, d.n,
+           |         sin(pi()/2048.0 * (d.n + 0.5)) *
+           |         (list_sum(list_transform(z.l, s ->
+           |            s.v * cos(pi()/1024.0 * (d.n + 512.5) * (s.k + 0.5)))) / 1024.0) AS z
+           |       FROM nz z, (SELECT unnest(range(0, 2048)) AS n) d),
+           |pcm AS (SELECT a.id, a.f, a.n,
+           |          greatest(-32768, least(32767, CAST(floor(
+           |            (a.z + COALESCE(b.z, 0.0)) * 32768.0 + 0.5) AS BIGINT))) AS p
+           |        FROM zz a LEFT JOIN zz b
+           |          ON b.id = a.id AND b.f = a.f - 1 AND b.n = a.n + 1024
+           |        WHERE a.n < 1024)
+           |SELECT id, 0::INT AS channel, (id % 13)::INT AS rate_idx,
+           |  1::INT AS channels, 2::INT AS n_frames, count(*)::INT AS n_samples,
+           |  CAST(sum(CASE WHEN p = 32767 OR p = -32768 THEN 1 ELSE 0 END) AS INT) AS n_clipped,
+           |  CAST(sum(CASE WHEN p != 0 THEN 1 ELSE 0 END) AS INT) AS n_nonzero,
+           |  CAST(sum(p) AS BIGINT) AS sum_pcm, CAST(sum(abs(p)) AS BIGINT) AS abs_pcm,
+           |  CAST(sum(p * (f * 1024 + n + 1)) AS BIGINT) AS wsum_pcm
+           |FROM pcm GROUP BY id ORDER BY id""".stripMargin
+
   val registry: Seq[(String, Q)] = Seq(
     "knn_l2" -> Q(knnL2, Some(knnSql(7, 10))),
     "knn_cosine" -> Q(knnCosine, Some(
@@ -1838,255 +2077,10 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
            |  min_luma::INT AS min_luma, max_luma::INT AS max_luma
            |FROM (SELECT * FROM mb0 UNION ALL SELECT * FROM i4rows)
            |ORDER BY id, mb""".stripMargin)),
-    "multimodal_mp4_h264" -> Q(multimodalMp4H264, Some(
-      // restates mp4H264Assets END TO END (round 16 — the container
-      // path): per (id, sample) with eid = 2·id + sm, the same
-      // recursive-plane-walk reconstruction as the i4x4 gate; the
-      // container half (box walk, avcC parse, the 4-vs-2-byte NAL
-      // length prefixes, EBSP unescape, per-sample extraction) is
-      // pinned because ANY slip there yields different slice bytes and
-      // thus different pixels than this closed-form restatement.
-      raw"""WITH RECURSIVE ids AS (
-           |  SELECT doc_id AS id, sm.sm, 2 * doc_id + sm.sm AS eid
-           |  FROM documents, (SELECT unnest(range(0, 2)) AS sm) sm
-           |  WHERE doc_id < 4),
-           |qps AS (SELECT id, sm, eid, 20 + (5*eid) % 12 AS qp0,
-           |  20 + (5*eid) % 12 + (eid+1)%5 - 2 AS qp1,
-           |  20 + (5*eid) % 12 + (eid+1)%5 - 2 + (eid+2)%5 - 2 AS qp2,
-           |  20 + (5*eid) % 12 + (eid+1)%5 - 2 + (eid+2)%5 - 2 + (eid+3)%5 - 2 AS qp3
-           | FROM ids),
-           |cst AS (SELECT
-           |  [0,1,4,8,5,2,3,6,9,12,13,10,7,11,14,15] AS zz,
-           |  [[10,16,13],[11,18,14],[13,20,16],[14,23,18],[16,25,20],[18,29,23]] AS v),
-           |geo AS (
-           |  SELECT i.id, i.sm, i.eid, k.k, 1 + k.k // 16 AS m, k.k % 16 AS blk,
-           |    2*((k.k % 16 // 4) % 2) + (k.k % 16 % 4) % 2 AS bx,
-           |    2*((k.k % 16 // 4) // 2) + (k.k % 16 % 4) // 2 AS by
-           |  FROM ids i, (SELECT unnest(range(0, 48)) AS k) k),
-           |geo2 AS (
-           |  SELECT id, sm, eid, k, m, blk, 4*(m % 2) + bx AS gx, 4*(m // 2) + by AS gy,
-           |    CASE WHEN m = 1 AND by = 0 THEN
-           |           (CASE (eid + blk) % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 8 END)
-           |         WHEN m = 2 AND bx = 0 THEN
-           |           (CASE (eid + blk) % 4 WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 3 ELSE 7 END)
-           |         WHEN m = 2 THEN (eid + 1 + blk) % 9
-           |         ELSE (eid + blk) % 9 END AS md
-           |  FROM geo),
-           |geoq AS (
-           |  SELECT g.*,
-           |    g.gy > 0 AND g.gx + 1 < 8 AND
-           |      (((g.gy-1) // 4)*2 + (g.gx+1) // 4)*16
-           |        + 4*(2*(((g.gy-1) % 4) // 2) + ((g.gx+1) % 4) // 2)
-           |        + 2*(((g.gy-1) % 4) % 2) + ((g.gx+1) % 4) % 2
-           |      < ((g.gy // 4)*2 + g.gx // 4)*16
-           |        + 4*(2*((g.gy % 4) // 2) + (g.gx % 4) // 2)
-           |        + 2*((g.gy % 4) % 2) + (g.gx % 4) % 2 AS htr,
-           |    CASE g.m WHEN 1 THEN q.qp1 WHEN 2 THEN q.qp2 ELSE q.qp3 END AS qp
-           |  FROM geo2 g JOIN qps q ON q.id = g.id AND q.sm = g.sm),
-           |dq AS (SELECT g.id, g.sm, g.k,
-           |    list_transform(range(0, 16), ri ->
-           |      (CASE WHEN (g.eid + g.m + g.blk + (list_position(c.zz, ri) - 1)) % 7 = 0
-           |            THEN ((g.eid + g.m * ((list_position(c.zz, ri) - 1) + 2) + g.blk) % 5) - 2
-           |            ELSE 0 END)
-           |      * c.v[g.qp % 6 + 1]
-           |           [CASE WHEN (ri//4) % 2 = 0 AND (ri%4) % 2 = 0 THEN 1
-           |                 WHEN (ri//4) % 2 = 1 AND (ri%4) % 2 = 1 THEN 2
-           |                 ELSE 3 END]
-           |      * CAST(pow(2, g.qp // 6) AS BIGINT)) AS d
-           |  FROM geoq g, cst c),
-           |it1 AS (SELECT id, sm, k,
-           |    list_transform(range(0, 16), i -> CASE i % 4
-           |      WHEN 0 THEN (d[4*(i//4)+1] + d[4*(i//4)+3])
-           |                + (d[4*(i//4)+2] + CAST(floor(d[4*(i//4)+4] / 2.0) AS BIGINT))
-           |      WHEN 1 THEN (d[4*(i//4)+1] - d[4*(i//4)+3])
-           |                + (CAST(floor(d[4*(i//4)+2] / 2.0) AS BIGINT) - d[4*(i//4)+4])
-           |      WHEN 2 THEN (d[4*(i//4)+1] - d[4*(i//4)+3])
-           |                - (CAST(floor(d[4*(i//4)+2] / 2.0) AS BIGINT) - d[4*(i//4)+4])
-           |      ELSE (d[4*(i//4)+1] + d[4*(i//4)+3])
-           |                - (d[4*(i//4)+2] + CAST(floor(d[4*(i//4)+4] / 2.0) AS BIGINT))
-           |      END) AS h
-           |  FROM dq),
-           |res4 AS (SELECT id, sm, k,
-           |    list_transform(range(0, 16), i ->
-           |      CAST(floor(((CASE i // 4
-           |        WHEN 0 THEN (h[i%4+1] + h[i%4+9])
-           |                  + (h[i%4+5] + CAST(floor(h[i%4+13] / 2.0) AS BIGINT))
-           |        WHEN 1 THEN (h[i%4+1] - h[i%4+9])
-           |                  + (CAST(floor(h[i%4+5] / 2.0) AS BIGINT) - h[i%4+13])
-           |        WHEN 2 THEN (h[i%4+1] - h[i%4+9])
-           |                  - (CAST(floor(h[i%4+5] / 2.0) AS BIGINT) - h[i%4+13])
-           |        ELSE (h[i%4+1] + h[i%4+9])
-           |                  - (h[i%4+5] + CAST(floor(h[i%4+13] / 2.0) AS BIGINT))
-           |        END) + 32) / 64.0) AS BIGINT)) AS r
-           |  FROM it1),
-           |walk AS (
-           |  SELECT id, sm, 0 AS k, list_transform(range(0, 1024), i -> 128) AS p FROM ids
-           |  UNION ALL
-           |  SELECT s.id, s.sm, s.k + 1,
-           |    list_transform(range(0, 1024), i ->
-           |      CASE WHEN (i % 32) // 4 = s.gx AND (i // 32) // 4 = s.gy THEN
-           |        greatest(0, least(255,
-           |          (CASE s.md
-           |            WHEN 0 THEN s.tp[(i%32)%4 + 2]
-           |            WHEN 1 THEN s.lp[(i//32)%4 + 2]
-           |            WHEN 2 THEN
-           |              CASE WHEN s.gx > 0 AND s.gy > 0 THEN
-           |                (s.tp[2]+s.tp[3]+s.tp[4]+s.tp[5]+s.lp[2]+s.lp[3]+s.lp[4]+s.lp[5]+4)//8
-           |              WHEN s.gx > 0 THEN (s.lp[2]+s.lp[3]+s.lp[4]+s.lp[5]+2)//4
-           |              WHEN s.gy > 0 THEN (s.tp[2]+s.tp[3]+s.tp[4]+s.tp[5]+2)//4
-           |              ELSE 128 END
-           |            WHEN 3 THEN
-           |              CASE WHEN (i%32)%4 = 3 AND (i//32)%4 = 3
-           |                THEN (s.tp[8] + 3*s.tp[9] + 2)//4
-           |                ELSE (s.tp[(i%32)%4 + (i//32)%4 + 2]
-           |                    + 2*s.tp[(i%32)%4 + (i//32)%4 + 3]
-           |                    + s.tp[(i%32)%4 + (i//32)%4 + 4] + 2)//4 END
-           |            WHEN 4 THEN
-           |              CASE WHEN (i%32)%4 > (i//32)%4 THEN
-           |                (s.tp[(i%32)%4 - (i//32)%4] + 2*s.tp[(i%32)%4 - (i//32)%4 + 1]
-           |                 + s.tp[(i%32)%4 - (i//32)%4 + 2] + 2)//4
-           |              WHEN (i%32)%4 < (i//32)%4 THEN
-           |                (s.lp[(i//32)%4 - (i%32)%4] + 2*s.lp[(i//32)%4 - (i%32)%4 + 1]
-           |                 + s.lp[(i//32)%4 - (i%32)%4 + 2] + 2)//4
-           |              ELSE (s.tp[2] + 2*s.tp[1] + s.lp[2] + 2)//4 END
-           |            WHEN 5 THEN
-           |              CASE WHEN 2*((i%32)%4) - (i//32)%4 >= 0
-           |                    AND (2*((i%32)%4) - (i//32)%4) % 2 = 0 THEN
-           |                (s.tp[(i%32)%4 - ((i//32)%4)//2 + 1]
-           |                 + s.tp[(i%32)%4 - ((i//32)%4)//2 + 2] + 1)//2
-           |              WHEN 2*((i%32)%4) - (i//32)%4 >= 1 THEN
-           |                (s.tp[(i%32)%4 - ((i//32)%4)//2]
-           |                 + 2*s.tp[(i%32)%4 - ((i//32)%4)//2 + 1]
-           |                 + s.tp[(i%32)%4 - ((i//32)%4)//2 + 2] + 2)//4
-           |              WHEN 2*((i%32)%4) - (i//32)%4 = -1 THEN
-           |                (s.lp[2] + 2*s.tp[1] + s.tp[2] + 2)//4
-           |              ELSE (s.lp[(i//32)%4 + 1] + 2*s.lp[(i//32)%4]
-           |                    + s.lp[(i//32)%4 - 1] + 2)//4 END
-           |            WHEN 6 THEN
-           |              CASE WHEN 2*((i//32)%4) - (i%32)%4 >= 0
-           |                    AND (2*((i//32)%4) - (i%32)%4) % 2 = 0 THEN
-           |                (s.lp[(i//32)%4 - ((i%32)%4)//2 + 1]
-           |                 + s.lp[(i//32)%4 - ((i%32)%4)//2 + 2] + 1)//2
-           |              WHEN 2*((i//32)%4) - (i%32)%4 >= 1 THEN
-           |                (s.lp[(i//32)%4 - ((i%32)%4)//2]
-           |                 + 2*s.lp[(i//32)%4 - ((i%32)%4)//2 + 1]
-           |                 + s.lp[(i//32)%4 - ((i%32)%4)//2 + 2] + 2)//4
-           |              WHEN 2*((i//32)%4) - (i%32)%4 = -1 THEN
-           |                (s.lp[2] + 2*s.tp[1] + s.tp[2] + 2)//4
-           |              ELSE (s.tp[(i%32)%4 + 1] + 2*s.tp[(i%32)%4]
-           |                    + s.tp[(i%32)%4 - 1] + 2)//4 END
-           |            WHEN 7 THEN
-           |              CASE WHEN ((i//32)%4) % 2 = 0 THEN
-           |                (s.tp[(i%32)%4 + ((i//32)%4)//2 + 2]
-           |                 + s.tp[(i%32)%4 + ((i//32)%4)//2 + 3] + 1)//2
-           |              ELSE (s.tp[(i%32)%4 + ((i//32)%4)//2 + 2]
-           |                 + 2*s.tp[(i%32)%4 + ((i//32)%4)//2 + 3]
-           |                 + s.tp[(i%32)%4 + ((i//32)%4)//2 + 4] + 2)//4 END
-           |            ELSE
-           |              CASE WHEN (i%32)%4 + 2*((i//32)%4) > 5 THEN s.lp[5]
-           |              WHEN (i%32)%4 + 2*((i//32)%4) = 5 THEN (s.lp[4] + 3*s.lp[5] + 2)//4
-           |              WHEN ((i%32)%4 + 2*((i//32)%4)) % 2 = 0 THEN
-           |                (s.lp[(i//32)%4 + ((i%32)%4)//2 + 2]
-           |                 + s.lp[(i//32)%4 + ((i%32)%4)//2 + 3] + 1)//2
-           |              ELSE (s.lp[(i//32)%4 + ((i%32)%4)//2 + 2]
-           |                 + 2*s.lp[(i//32)%4 + ((i%32)%4)//2 + 3]
-           |                 + s.lp[(i//32)%4 + ((i%32)%4)//2 + 4] + 2)//4 END
-           |          END) + s.r[4*((i//32)%4) + (i%32)%4 + 1]))
-           |      ELSE s.p[i+1] END)
-           |  FROM (
-           |    SELECT w.id, w.sm, w.k, w.p, g.gx, g.gy, g.md, r.r,
-           |      list_transform(range(-1, 8), xx ->
-           |        CASE WHEN g.gy = 0 THEN 0
-           |             WHEN xx = -1 THEN
-           |               (CASE WHEN g.gx = 0 THEN 0
-           |                     ELSE w.p[(4*g.gy - 1)*32 + 4*g.gx] END)
-           |             WHEN xx > 3 AND NOT g.htr THEN w.p[(4*g.gy - 1)*32 + 4*g.gx + 4]
-           |             ELSE w.p[(4*g.gy - 1)*32 + 4*g.gx + xx + 1] END) AS tp,
-           |      list_transform(range(-1, 4), yy ->
-           |        CASE WHEN g.gx = 0 THEN 0
-           |             WHEN yy = -1 THEN
-           |               (CASE WHEN g.gy = 0 THEN 0
-           |                     ELSE w.p[(4*g.gy - 1)*32 + 4*g.gx] END)
-           |             ELSE w.p[(4*g.gy + yy)*32 + 4*g.gx] END) AS lp
-           |    FROM walk w
-           |    JOIN geoq g ON g.id = w.id AND g.sm = w.sm AND g.k = w.k
-           |    JOIN res4 r ON r.id = w.id AND r.sm = w.sm AND r.k = w.k
-           |    WHERE w.k < 48
-           |  ) s),
-           |fin AS (SELECT id, sm, p FROM walk WHERE k = 48),
-           |msum AS (SELECT id, sm, m, SUM((blk + 1) * md) AS mode_sum
-           |         FROM geoq GROUP BY id, sm, m),
-           |mbrows AS (
-           |  SELECT f.id, f.sm, mm.m AS mb,
-           |    list_transform(range(0, 256), j ->
-           |      f.p[(16*(mm.m // 2) + j // 16) * 32 + 16*(mm.m % 2) + j % 16 + 1]) AS px
-           |  FROM fin f, (SELECT unnest(range(1, 4)) AS m) mm),
-           |i4rows AS (
-           |  SELECT r.id, r.sm, r.mb, 1 AS is_i4x4, ms.mode_sum,
-           |    CASE r.mb WHEN 1 THEN q.qp1 WHEN 2 THEN q.qp2 ELSE q.qp3 END AS qp,
-           |    list_sum(r.px) AS sum_luma,
-           |    list_sum(list_transform(range(0, 256), j -> r.px[j+1] *
-           |      ((16*(r.mb // 2) + j // 16) * 32 + 16*(r.mb % 2) + j % 16 + 1))) AS wsum_luma,
-           |    list_aggregate(r.px, 'min') AS min_luma,
-           |    list_aggregate(r.px, 'max') AS max_luma
-           |  FROM mbrows r JOIN msum ms ON ms.id = r.id AND ms.sm = r.sm AND ms.m = r.mb
-           |  JOIN qps q ON q.id = r.id AND q.sm = r.sm),
-           |mb0 AS (
-           |  SELECT id, sm, 0 AS mb, 0 AS is_i4x4, 2 AS mode_sum,
-           |    qp0 AS qp, 128 * 256 AS sum_luma,
-           |    list_sum(list_transform(range(0, 256), j ->
-           |      128 * ((j // 16) * 32 + j % 16 + 1))) AS wsum_luma,
-           |    128 AS min_luma, 128 AS max_luma
-           |  FROM qps)
-           |SELECT id, sm::INT AS sample, mb::INT AS mb, 0::INT AS entropy_cabac,
-           |  (CASE WHEN id % 2 = 0 THEN 4 ELSE 2 END)::INT AS nal_len_size,
-           |  is_i4x4::INT AS is_i4x4, mode_sum::BIGINT AS mode_sum, qp::INT AS qp,
-           |  sum_luma::BIGINT AS sum_luma, wsum_luma::BIGINT AS wsum_luma,
-           |  min_luma::INT AS min_luma, max_luma::INT AS max_luma
-           |FROM (SELECT * FROM mb0 UNION ALL SELECT * FROM i4rows)
-           |ORDER BY id, sample, mb""".stripMargin)),
-    "multimodal_mp4_aac" -> Q(multimodalMp4Aac, Some(
-      // restates mp4AacAssets END TO END (round 16 — the M4A container
-      // path): the closed-form per-frame quantized spectra through
-      // dequant, the 2048-point IMDCT + sine window (nonzero struct
-      // list), and — the seam this gate exists for — the THREADED
-      // overlap-add ACROSS THE SAMPLE BOUNDARY (out_f(n) = z_f(n) +
-      // z_{f−1}(n+1024)), then the floor-form quantizer. The container
-      // half (mp4a/esds walk, AudioSpecificConfig, per-sample
-      // extraction) is pinned because any slip yields different
-      // raw_data_block bytes and thus different PCM; rate_idx pins the
-      // ASC field decode directly.
-      raw"""WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 6),
-           |fs AS (SELECT unnest(range(0, 2)) AS f),
-           |par AS (SELECT id, f, 96 + (id + 5*f) % 8 AS gg FROM ids, fs),
-           |co AS (SELECT p.id, p.f, d.i,
-           |         CASE WHEN d.i >= 256 THEN 0 ELSE
-           |           (CASE WHEN (p.id + d.i + p.f) % 5 < 2 THEN -1 ELSE 1 END)
-           |           * ((p.id + d.i + 7*p.f) % 3) END AS q,
-           |         p.gg + (p.id + 3*(d.i // 32) + p.f) % 9 - 4 AS sf
-           |       FROM par p, (SELECT unnest(range(0, 1024)) AS i) d),
-           |nz AS (SELECT id, f, list(struct_pack(k := i,
-           |           v := sign(q) * pow(abs(q), 4.0/3.0) * pow(2.0, 0.25*(sf - 100)))
-           |         ORDER BY i) AS l
-           |       FROM co WHERE q != 0 GROUP BY id, f),
-           |zz AS (SELECT z.id, z.f, d.n,
-           |         sin(pi()/2048.0 * (d.n + 0.5)) *
-           |         (list_sum(list_transform(z.l, s ->
-           |            s.v * cos(pi()/1024.0 * (d.n + 512.5) * (s.k + 0.5)))) / 1024.0) AS z
-           |       FROM nz z, (SELECT unnest(range(0, 2048)) AS n) d),
-           |pcm AS (SELECT a.id, a.f, a.n,
-           |          greatest(-32768, least(32767, CAST(floor(
-           |            (a.z + COALESCE(b.z, 0.0)) * 32768.0 + 0.5) AS BIGINT))) AS p
-           |        FROM zz a LEFT JOIN zz b
-           |          ON b.id = a.id AND b.f = a.f - 1 AND b.n = a.n + 1024
-           |        WHERE a.n < 1024)
-           |SELECT id, 0::INT AS channel, (id % 13)::INT AS rate_idx,
-           |  1::INT AS channels, 2::INT AS n_frames, count(*)::INT AS n_samples,
-           |  CAST(sum(CASE WHEN p = 32767 OR p = -32768 THEN 1 ELSE 0 END) AS INT) AS n_clipped,
-           |  CAST(sum(CASE WHEN p != 0 THEN 1 ELSE 0 END) AS INT) AS n_nonzero,
-           |  CAST(sum(p) AS BIGINT) AS sum_pcm, CAST(sum(abs(p)) AS BIGINT) AS abs_pcm,
-           |  CAST(sum(p * (f * 1024 + n + 1)) AS BIGINT) AS wsum_pcm
-           |FROM pcm GROUP BY id ORDER BY id""".stripMargin)),
+    "multimodal_mp4_h264" -> Q(multimodalMp4H264, Some(mp4H264OracleSql(4))),
+    "multimodal_mp4_chunks_h264" -> Q(multimodalMp4ChunksH264, Some(mp4H264OracleSql(4))),
+    "multimodal_mp4_chunks_aac" -> Q(multimodalMp4ChunksAac, Some(mp4AacOracleSql(4))),
+    "multimodal_mp4_aac" -> Q(multimodalMp4Aac, Some(mp4AacOracleSql(6))),
     "multimodal_h264_i16_chroma" -> Q(multimodalH264I16Chroma, Some(
       // restates h264ChromaAssets' CHROMA decode end to end (late round
       // 15): the §8.5.8 QPC mapping (incl. the table region), the 2x2

@@ -140,13 +140,14 @@ object Aac {
   // are ARGUMENTS with documented formula fixtures for the same
   // reason. The decode LOGIC (element walk, sections, DPCM, tuple/sign/
   // escape walks, 1024-sample layout, dequantization, filterbank) is
-  // complete and golden-pinned with the fixtures. Round 15: CPE
-  // (stereo channel pairs with common_window and the §12.2 MS matrix)
-  // decodes through the same ICS walk — the element real corpora are
-  // overwhelmingly made of; §8.3's LFE/DSE/PCE/FIL elements, short
-  // windows (EIGHT_SHORT_SEQUENCE — see SURVEY §2.7's corpus-impact
-  // note), KBD shape, pulse/TNS/PNS/intensity are the documented seam
-  // (strict reject, never a misparse).
+  // complete and golden-pinned with the fixtures. Rounds 15/16: CPE
+  // stereo (MS + §4.6.8.2 intensity), all four window sequences, KBD
+  // shape, TNS and pulse_data all decode through the same ICS walk.
+  // What still strict-rejects (never a misparse) is exactly the
+  // permanent set — PNS (decoder-defined noise: no exact oracle can
+  // exist), LTP (a different object type), CCE/LFE (multichannel-only
+  // elements), DSE/PCE/FIL (no spectral content) — see the SURVEY
+  // round-16 element scope table.
   // -------------------------------------------------------------------
 
   private final class BitReader(bytes: Array[Byte]) {

@@ -1,15 +1,20 @@
 package graft.multimodal
 
-/** Pure-JVM MP4 / ISO BMFF (ISO 14496-12) CONTAINER parser (round 10):
-  * moves MP4 off the documented stub path at the level a 100 TB training
-  * pipeline actually needs — box-tree walk, movie/track headers, sample
-  * tables, mdat payload — while the codec bitstream inside the samples
-  * (H.264/AAC entropy decoding) stays the documented stub, exactly like
-  * the WAV tier parses RIFF/fmt/data without DSP.
+/** Pure-JVM MP4 / ISO BMFF (ISO 14496-12) CONTAINER parser (round 10;
+  * round 16 wired the codec seam): box-tree walk, movie/track headers,
+  * sample tables with per-sample offsets resolved through stsc × stco
+  * (interleaved multi-chunk layouts slice correctly — the old
+  * contiguous-from-first-chunk read was a misparse seam on real
+  * files), mdat payload, and the raw stsd the codec glue decodes —
+  * [[H264Mp4]] (avcC → CAVLC/CABAC intra pictures) and [[AacMp4]]
+  * (esds → AAC-LC PCM).
   *
   * Scope: 32-bit box sizes, `ftyp` + `moov`(`mvhd`, `trak`(`tkhd`,
-  * `mdia`(`mdhd`, `hdlr`, `minf`/`stbl`(`stsz` uniform or per-sample,
-  * `stco`)))) + one `mdat`; version-0 full boxes. Unknown boxes are
+  * `mdia`(`mdhd`, `hdlr`, `minf`/`stbl`(`stsd` raw, `stsz` uniform or
+  * per-sample, `stsc` runs, `stco`)))) + one `mdat`; version-0 full
+  * boxes. Multi-chunk tracks REQUIRE an stsc (ambiguous otherwise);
+  * a table whose chunks and samples do not tile each other exactly
+  * rejects. Unknown boxes are
   * SKIPPED BY SIZE (that is the format's own extension contract —
   * readers must skip boxes they don't know), but structural
   * inconsistencies are strict → None, never a misparse: short/overrun
@@ -32,7 +37,8 @@ object Mp4 {
   final case class Track(kind: String, width: Int, height: Int,
                          timescale: Long, duration: Long,
                          sampleSizes: Array[Int], firstChunkOffset: Long,
-                         stsd: Array[Byte] = Array.empty)
+                         stsd: Array[Byte] = Array.empty,
+                         sampleOffsets: Array[Long] = Array.empty)
 
   /** Parsed movie: ftyp major brand, mvhd timescale/duration, tracks in
     * file order, and the raw mdat payload (the codec-stub seam).
@@ -76,12 +82,35 @@ object Mp4 {
       var w = 0; var h = 0
       var ts = -1L; var dur = -1L
       var sizes: Array[Int] = null
-      var chunkOff = -1L
+      var chunkOffs: Array[Long] = null
+      var stscRuns: Array[(Long, Long)] = null // (first_chunk, samples_per_chunk)
       var stsdBytes: Array[Byte] = Array.empty
       def stbl(s: Int, e: Int): Boolean = children(s, e) { (t, bs, be) =>
         t match {
           case "stsd" =>
             stsdBytes = java.util.Arrays.copyOfRange(bytes, bs, be)
+            true
+          case "stsc" =>
+            // §8.7.4 sample-to-chunk runs (round 16 — real files
+            // interleave tracks chunk-wise, so per-sample offsets MUST
+            // resolve through this table; the old contiguous-from-
+            // first-chunk read was a misparse seam on multi-chunk files)
+            if (be - bs < 8) return false
+            val n = be32(bytes, bs + 4)
+            if (n < 1 || be - bs < 8 + 12 * n) return false
+            stscRuns = Array.tabulate(n.toInt) { j =>
+              val fc = be32(bytes, bs + 8 + 12 * j)
+              val spc = be32(bytes, bs + 8 + 12 * j + 4)
+              if (fc < 1 || spc < 1) return false
+              (fc, spc)
+            }
+            // first run must start at chunk 1; runs strictly increasing
+            if (stscRuns.head._1 != 1) return false
+            var j = 1
+            while (j < stscRuns.length) {
+              if (stscRuns(j)._1 <= stscRuns(j - 1)._1) return false
+              j += 1
+            }
             true
           case "stsz" =>
             if (be - bs < 12) return false
@@ -112,9 +141,9 @@ object Mp4 {
             if (be - bs < 8) return false
             val n = be32(bytes, bs + 4)
             if (n < 1 || be - bs < 8 + 4 * n) return false
-            chunkOff = be32(bytes, bs + 8)
+            chunkOffs = Array.tabulate(n.toInt)(j => be32(bytes, bs + 8 + 4 * j))
             true
-          case _ => true // stsd/stts/stsc etc.: present but not extracted
+          case _ => true // stts/stsc run lengths etc.: not extracted
         }
       }
       def minf(s: Int, e: Int): Boolean = children(s, e) { (t, bs, be) =>
@@ -146,8 +175,42 @@ object Mp4 {
           case _ => true
         }
       }
-      if (!ok || kind == null || ts < 0 || sizes == null || chunkOff < 0) return false
-      tracks += Track(kind, w, h, ts, dur, sizes, chunkOff, stsdBytes)
+      if (!ok || kind == null || ts < 0 || sizes == null || chunkOffs == null) return false
+      // resolve per-sample FILE offsets through stsc × stco (round 16).
+      // Without an stsc the only sound reading is the single-chunk
+      // contiguous layout the fixtures use; multi-chunk without stsc
+      // is structurally ambiguous → reject.
+      val offsets = new Array[Long](sizes.length)
+      if (stscRuns == null) {
+        if (chunkOffs.length != 1) return false
+        var off = chunkOffs(0)
+        var i = 0
+        while (i < sizes.length) { offsets(i) = off; off += sizes(i); i += 1 }
+      } else {
+        var sample = 0
+        var run = 0
+        var chunk = 1L
+        while (chunk <= chunkOffs.length && sample < sizes.length) {
+          while (run + 1 < stscRuns.length && stscRuns(run + 1)._1 <= chunk) run += 1
+          val spc = stscRuns(run)._2
+          var off = chunkOffs((chunk - 1).toInt)
+          var j = 0L
+          while (j < spc) {
+            if (sample >= sizes.length) return false // chunk left half-used
+            offsets(sample) = off
+            off += sizes(sample)
+            sample += 1
+            j += 1
+          }
+          chunk += 1
+        }
+        if (sample != sizes.length) return false // samples without a chunk
+        // and every stco chunk must hold samples: a walk that ran out
+        // of samples before the last chunk is a desynced table (it
+        // would silently re-slice later chunks' samples contiguously)
+        if (chunk != chunkOffs.length + 1L) return false
+      }
+      tracks += Track(kind, w, h, ts, dur, sizes, chunkOffs(0), stsdBytes, offsets)
       true
     }
 
@@ -177,20 +240,20 @@ object Mp4 {
     }
     if (!ok || brand == null || mvTimescale < 0 || mdat == null || tracks.isEmpty)
       return None
-    // sample tables must point INTO the mdat payload: first chunk offset +
-    // total sample bytes within [mdatStart, fileEnd] — validated against
-    // the file, so a desynced table is a parse error, not a misread
+    // every resolved sample must land INSIDE the mdat payload —
+    // validated per sample (round 16: the stsc×stco resolution makes
+    // the old per-track contiguous-run check both too weak for
+    // interleaved layouts and unnecessary), so a desynced table is a
+    // parse error, not a misread
     val total = tracks.map(_.sampleSizes.map(_.toLong).sum).sum
     tracks.foreach { t =>
-      if (t.firstChunkOffset < mdatOff || t.firstChunkOffset > mdatOff + mdat.length)
-        return None // chunk offset must land inside the mdat payload
-      // per-track overrun: a track whose own contiguous sample run starting
-      // at its chunk offset would read past the mdat end is a desynced
-      // table — reject at parse time, not as a slice error downstream
-      // (round-10 ADVICE: the cross-track total alone let a single
-      // overrunning track through)
-      if (t.firstChunkOffset - mdatOff + t.sampleSizes.map(_.toLong).sum > mdat.length)
-        return None
+      var i = 0
+      while (i < t.sampleOffsets.length) {
+        val off = t.sampleOffsets(i)
+        if (off < mdatOff || off + t.sampleSizes(i) > mdatOff + mdat.length)
+          return None
+        i += 1
+      }
     }
     if (total > mdat.length) return None
     Some(Movie(brand, mvTimescale, mvDuration, tracks.toArray, mdat, mdatOff))
@@ -286,6 +349,9 @@ object Mp4 {
                 case None =>
                   box("stsz") { u32(0); u32(sampleSize.toLong); u32(nSamples.toLong) }
               }
+              // single run: all samples in chunk 1 (round 16 — written
+              // explicitly now that the parser resolves stsc × stco)
+              box("stsc") { u32(0); u32(1); u32(1); u32(nSamples.toLong); u32(1) }
               box("stco") { u32(0); u32(1); u32(0) } // offset patched below
             }
           }
@@ -315,5 +381,114 @@ object Mp4 {
     u32f(8L + samples.length); fin.write("mdat".getBytes("US-ASCII"))
     fin.write(samples, 0, samples.length)
     fin.toByteArray
+  }
+
+  /** One track of a MULTI-track, MULTI-chunk fixture (round 16):
+    * `chunkSampleCounts(c)` samples live in chunk c, which starts at
+    * `chunkMdatOffsets(c)` bytes into the mdat payload — the layout
+    * real muxers produce when they interleave audio and video. */
+  final case class TrackSpec(handler: String, width: Int, height: Int,
+                             stsd: Array[Byte], sampleSizes: Array[Int],
+                             chunkSampleCounts: Array[Int],
+                             chunkMdatOffsets: Array[Long])
+
+  /** Multi-track interleaved fixture encoder: same box layout as
+    * [[encodeMp4]] per trak, but with REAL stsc runs (compressed from
+    * the per-chunk counts) and multi-entry stco tables. Two-pass: box
+    * sizes are offset-independent, so the first render measures the
+    * mdat payload position and the second writes the absolute chunk
+    * offsets. */
+  def encodeMp4Multi(timescale: Long, duration: Long,
+                     tracks: Seq[TrackSpec], mdat: Array[Byte]): Array[Byte] = {
+    require(tracks.nonEmpty)
+    tracks.foreach { t =>
+      require(t.chunkSampleCounts.length == t.chunkMdatOffsets.length &&
+        t.chunkSampleCounts.sum == t.sampleSizes.length,
+        s"track ${t.handler}: chunks must tile the samples exactly")
+    }
+    def render(mdatBase: Long): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def u32(v: Long): Unit = {
+        out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+        out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+      }
+      def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+      def box(t: String)(body: => Unit): Unit = {
+        val mark = out.size()
+        u32(0); ascii(t)
+        body
+        val bytes = out.toByteArray
+        val size = bytes.length - mark
+        bytes(mark) = ((size >> 24) & 0xff).toByte
+        bytes(mark + 1) = ((size >> 16) & 0xff).toByte
+        bytes(mark + 2) = ((size >> 8) & 0xff).toByte
+        bytes(mark + 3) = (size & 0xff).toByte
+        out.reset(); out.write(bytes, 0, bytes.length)
+      }
+      box("ftyp") { ascii("isom"); u32(512); ascii("isom"); ascii("iso2") }
+      box("moov") {
+        box("mvhd") {
+          u32(0); u32(0); u32(0)
+          u32(timescale); u32(duration)
+          u32(0x00010000)
+          out.write(0x01); out.write(0); out.write(0); out.write(0)
+          u32(0); u32(0)
+          Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(m => u32(m.toLong))
+          (0 until 6).foreach(_ => u32(0))
+          u32(tracks.length + 1L)
+        }
+        tracks.zipWithIndex.foreach { case (t, ti) =>
+          box("trak") {
+            box("tkhd") {
+              u32(0x00000007); u32(0); u32(0)
+              u32(ti + 1L); u32(0); u32(duration)
+              u32(0); u32(0); u32(0); u32(0)
+              Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(m => u32(m.toLong))
+              u32(t.width.toLong << 16); u32(t.height.toLong << 16)
+            }
+            box("mdia") {
+              box("mdhd") {
+                u32(0); u32(0); u32(0)
+                u32(timescale); u32(duration)
+                u32(0x55c40000)
+              }
+              box("hdlr") {
+                u32(0); u32(0); ascii(t.handler)
+                u32(0); u32(0); u32(0); out.write(0)
+              }
+              box("minf") {
+                box("stbl") {
+                  if (t.stsd.nonEmpty) box("stsd") { out.write(t.stsd, 0, t.stsd.length) }
+                  box("stsz") {
+                    u32(0); u32(0); u32(t.sampleSizes.length.toLong)
+                    t.sampleSizes.foreach(s => u32(s.toLong))
+                  }
+                  box("stsc") {
+                    // compress equal-count runs into (first_chunk, spc)
+                    val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+                    t.chunkSampleCounts.zipWithIndex.foreach { case (c, i) =>
+                      if (runs.isEmpty || runs.last._2 != c) runs += ((i + 1, c))
+                    }
+                    u32(0); u32(runs.length.toLong)
+                    runs.foreach { case (fc, spc) =>
+                      u32(fc.toLong); u32(spc.toLong); u32(1)
+                    }
+                  }
+                  box("stco") {
+                    u32(0); u32(t.chunkMdatOffsets.length.toLong)
+                    t.chunkMdatOffsets.foreach(o => u32(mdatBase + o))
+                  }
+                }
+              }
+            }
+          }
+        }
+      }
+      u32(8L + mdat.length); ascii("mdat")
+      out.write(mdat, 0, mdat.length)
+      out.toByteArray
+    }
+    val probe = render(0L)
+    render(probe.length - mdat.length) // mdat payload starts here
   }
 }

@@ -249,12 +249,13 @@ object Multimodal {
                              sample_fp: String)
 
   /** REAL container-driven frame sampling: every `every`-th SAMPLE of the
-    * first track, sliced out of mdat at the offsets the PARSED stsz/stco
-    * tables dictate (`firstChunkOffset − mdatFileOffset` + running size
-    * sum) — the honest video analog of [[sampleFrames]], whose fixed
-    * 256-byte stride is the stub-codec convention. Per-asset flatMap, no
-    * shuffle of payload bytes; a sample table pointing outside mdat fails
-    * loudly (strict, like every decoder here). */
+    * first track, sliced out of mdat at the offsets the PARSED
+    * stsz/stsc/stco tables dictate (per-sample resolution — round 16:
+    * interleaved multi-chunk layouts slice correctly) — the honest
+    * video analog of [[sampleFrames]], whose fixed 256-byte stride is
+    * the stub-codec convention. Per-asset flatMap, no shuffle of
+    * payload bytes; a sample table pointing outside mdat rejects at
+    * parse time (strict, like every decoder here). */
   def mp4SampleFrames(assets: Dataset[Asset], every: Int): Dataset[Mp4Sample] = {
     import assets.sparkSession.implicits._
     require(every >= 1, "every must be >= 1")
@@ -263,19 +264,16 @@ object Multimodal {
         .getOrElse(throw new IllegalArgumentException(
           s"asset ${a.id}: not a supported MP4"))
       val t = m.tracks.head
-      var off = (t.firstChunkOffset - m.mdatFileOffset).toInt
-      val out = Iterator.range(0, t.sampleSizes.length).flatMap { i =>
+      Iterator.range(0, t.sampleSizes.length).flatMap { i =>
         val len = t.sampleSizes(i)
-        val start = off
-        off += len
-        if (start < 0 || start + len > m.mdat.length)
-          throw new IllegalArgumentException(
-            s"asset ${a.id}: sample $i overruns mdat")
+        // per-sample offsets resolved through stsc × stco (round 16 —
+        // interleaved multi-chunk layouts slice correctly); bounds are
+        // parse-validated
+        val start = (t.sampleOffsets(i) - m.mdatFileOffset).toInt
         if (i % every == 0)
           Iterator.single(Mp4Sample(a.id, i, len, md5OfHex(m.mdat, start, len)))
         else Iterator.empty
       }
-      out.toArray.iterator // materialize per asset: `off` is loop state
     })
   }
 
@@ -636,11 +634,9 @@ object Multimodal {
       val pps = H264.parsePps(H264Mp4.nalRbsp(cfg.pps.head))
         .getOrElse(throw new IllegalArgumentException(
           s"asset ${a.id}: undecodable avcC PPS"))
-      val base = (track.firstChunkOffset - movie.mdatFileOffset).toInt
-      var off = base
       track.sampleSizes.iterator.zipWithIndex.flatMap { case (sz, sIdx) =>
+        val off = (track.sampleOffsets(sIdx) - movie.mdatFileOffset).toInt
         val sample = java.util.Arrays.copyOfRange(movie.mdat, off, off + sz)
-        off += sz
         val pic = H264Mp4.decodeSamplePicture(sample, cfg, sps, pps, cavlc, cabac)
           .getOrElse(throw new IllegalArgumentException(
             s"asset ${a.id} sample $sIdx: undecodable intra picture"))
@@ -705,12 +701,9 @@ object Multimodal {
       val cfg = AacMp4.parseEsds(track.stsd)
         .getOrElse(throw new IllegalArgumentException(
           s"asset ${a.id}: no decodable esds AudioSpecificConfig"))
-      val base = (track.firstChunkOffset - movie.mdatFileOffset).toInt
-      var off = base
-      val samples = track.sampleSizes.map { sz =>
-        val s = java.util.Arrays.copyOfRange(movie.mdat, off, off + sz)
-        off += sz
-        s
+      val samples = track.sampleSizes.zipWithIndex.map { case (sz, i) =>
+        val off = (track.sampleOffsets(i) - movie.mdatFileOffset).toInt
+        java.util.Arrays.copyOfRange(movie.mdat, off, off + sz)
       }.toSeq
       val stream = AacMp4.toStream(samples, cfg)
       val pcm: Seq[Array[Double]] =

@@ -3682,6 +3682,91 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("mp4 interleaved chunks: stsc x stco resolves per-sample offsets across track-interleaved mdat; desynced tables reject (round 16)") {
+    import graft.multimodal.Mp4
+    // two tracks whose chunks alternate: [V0 | A0 A1 | V1 | A2] — the
+    // old contiguous-from-first-chunk read would hand the video track
+    // A0's bytes as its second sample (a silent misparse)
+    val v = Seq(Array.tabulate(40)(i => (i + 1).toByte),
+      Array.tabulate(56)(i => (i + 101).toByte))
+    val a = Seq(Array.tabulate(24)(i => (i + 61).toByte),
+      Array.tabulate(16)(i => (i + 86).toByte),
+      Array.tabulate(32)(i => (i + 201).toByte))
+    val mdat = (v(0) ++ a(0) ++ a(1) ++ v(1) ++ a(2)).toArray
+    val vOff = Array(0L, (v(0).length + a(0).length + a(1).length).toLong)
+    val aOff = Array(v(0).length.toLong,
+      (v(0).length + a(0).length + a(1).length + v(1).length).toLong)
+    val tracks = Seq(
+      Mp4.TrackSpec("vide", 16, 16, Array.empty, v.map(_.length).toArray,
+        Array(1, 1), vOff),
+      Mp4.TrackSpec("soun", 0, 0, Array.empty, a.map(_.length).toArray,
+        Array(2, 1), aOff))
+    val file = Mp4.encodeMp4Multi(1000L, 5L, tracks, mdat)
+    val m = Mp4.parseMp4(file).getOrElse(fail("interleaved file must parse"))
+    assert(m.tracks.length == 2)
+    val vt = m.tracks.find(_.kind == "vide").get
+    val at = m.tracks.find(_.kind == "soun").get
+    def slice(off: Long, len: Int): Array[Byte] = {
+      val s = (off - m.mdatFileOffset).toInt
+      java.util.Arrays.copyOfRange(m.mdat, s, s + len)
+    }
+    for (i <- v.indices)
+      assert(slice(vt.sampleOffsets(i), vt.sampleSizes(i)).sameElements(v(i)),
+        s"video sample $i mis-sliced")
+    for (i <- a.indices)
+      assert(slice(at.sampleOffsets(i), at.sampleSizes(i)).sameElements(a(i)),
+        s"audio sample $i mis-sliced")
+    // the misparse regression: contiguous reading from the first chunk
+    // would give v(1) the bytes at v(0).length (= a(0)) — prove the
+    // resolved offset differs from the contiguous assumption
+    assert(vt.sampleOffsets(1) != vt.sampleOffsets(0) + vt.sampleSizes(0),
+      "second video chunk should not be contiguous in this fixture")
+    // STRICT rejects: a chunk left half-used (stsc says 3 samples in
+    // the audio track's first chunk but stsz only has 3 total with 1
+    // in the last chunk -> samples run out mid-chunk)
+    val badTracks = tracks.updated(1,
+      tracks(1).copy(chunkSampleCounts = Array(3, 1)))
+    intercept[IllegalArgumentException](Mp4.encodeMp4Multi(1000L, 5L, badTracks, mdat))
+    // craft the same desync at the BITSTREAM level: reuse the good file
+    // and corrupt the audio stsc's samples_per_chunk from 2 to 3
+    val idx = {
+      // the second stsc box in the file belongs to the audio track
+      var p = -1; var found = 0
+      var i = 0
+      while (i < file.length - 4 && p < 0) {
+        if (file(i) == 's' && file(i + 1) == 't' && file(i + 2) == 's' && file(i + 3) == 'c') {
+          found += 1
+          if (found == 2) p = i
+        }
+        i += 1
+      }
+      p
+    }
+    assert(idx > 0, "audio stsc not found")
+    val bad = file.clone()
+    bad(idx + 4 + 4 + 4 + 4 + 3) = 3 // entry 1 samples_per_chunk LSB: 2 -> 3
+    assert(Mp4.parseMp4(bad).isEmpty, "half-used chunk accepted")
+    // multi-chunk stco WITHOUT stsc is ambiguous -> reject: excise the
+    // audio stsc box by renaming it to a skippable unknown type
+    val noStsc = file.clone()
+    noStsc(idx) = 'f'.toByte; noStsc(idx + 1) = 'r'.toByte
+    noStsc(idx + 2) = 'e'.toByte; noStsc(idx + 3) = 'e'.toByte
+    assert(Mp4.parseMp4(noStsc).isEmpty, "multi-chunk without stsc accepted")
+    // a chunk offset outside mdat rejects (validated per sample now)
+    val farTracks = tracks.updated(0,
+      tracks(0).copy(chunkMdatOffsets = Array(0L, mdat.length.toLong)))
+    assert(Mp4.parseMp4(Mp4.encodeMp4Multi(1000L, 5L, farTracks, mdat)).isEmpty,
+      "sample past mdat accepted")
+    // single-chunk legacy files (no stsc needed) still parse: the
+    // encodeMp4 path writes a one-run stsc and one-entry stco
+    val legacy = Mp4.encodeMp4(8, 8, 1000L, 2L, 2, 8,
+      Array.tabulate(16)(_.toByte))
+    val lm = Mp4.parseMp4(legacy).get
+    assert(lm.tracks.head.sampleOffsets.length == 2)
+    assert(lm.tracks.head.sampleOffsets(1) ==
+      lm.tracks.head.sampleOffsets(0) + 8)
+  }
+
   test("h264 chroma: QP mapping, 2x2 Hadamard DC scaling, flat-128 and DC-impulse known answers (round 15)") {
     import graft.multimodal.{H264, H264Cavlc}
     // QP mapping: identity below 30, table above, clamped input
