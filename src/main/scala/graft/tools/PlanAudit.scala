@@ -66,7 +66,18 @@ object PlanAudit {
       "multimodal_aac_tns", "multimodal_aac_pulse",
       "multimodal_mp3_short", "multimodal_mp3_mixed",
       "multimodal_mp3_intensity", "multimodal_mp3_reservoir",
-      "multimodal_h264_i16x16", "multimodal_h264_i16_chroma").foreach(audit)
+      "multimodal_h264_i16x16", "multimodal_h264_i16_chroma",
+      // round-16 additions. Expectations: the codec/container gates all
+      // zero joins (per-row kernels + one orderBy exchange — I4x4,
+      // CABAC, the MP4/M4A container walks and the interleaved-chunk
+      // twins, MP3 mixed intensity, AAC IS); ann_graph_sampled shares
+      // ann_graph's shape plus the broadcast of the 4-row md5-selected
+      // query set (bhj, no cartesian).
+      "multimodal_mp3_intensity_mixed", "multimodal_h264_i4x4",
+      "multimodal_h264_cabac", "multimodal_h264_cabac_core",
+      "multimodal_mp4_h264", "multimodal_mp4_aac",
+      "multimodal_mp4_chunks_h264", "multimodal_mp4_chunks_aac",
+      "multimodal_aac_is", "ann_graph_sampled").foreach(audit)
     spark.stop()
   }
 }
