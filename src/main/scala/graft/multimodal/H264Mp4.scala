@@ -121,13 +121,19 @@ object H264Mp4 {
   /** Decode one intra picture from an MP4 video sample under the avcC
     * config: find the slice NAL (type 1/5), unescape, dispatch on the
     * PPS entropy mode to the CAVLC or CABAC parser. Strict → None on
-    * a sample without exactly one slice NAL or on either parser's
-    * rejects. */
+    * a sample without exactly one slice NAL, on IN-BAND parameter-set
+    * NALs (types 7/8 inside a sample could override the avcC config
+    * this decode is keyed on — silently ignoring them would be a
+    * misparse seam; real avc1 files keep parameter sets in avcC), or
+    * on either parser's rejects. SEI/AUD/filler NALs (6/9/12) are
+    * skipped — they carry no pixels and real encoders emit them. */
   def decodeSamplePicture(sample: Array[Byte], cfg: AvcConfig,
                           sps: H264.Sps, pps: H264.Pps,
                           cavlc: H264Cavlc.CavlcTables,
                           cabac: H264Cabac.CabacTables): Option[H264Cavlc.I16Picture] = {
     splitSample(sample, cfg.nalLengthSize).flatMap { nals =>
+      if (nals.exists(n => (n(0) & 0x1f) == 7 || (n(0) & 0x1f) == 8)) None
+      else {
       val slices = nals.filter(n => (n(0) & 0x1f) == 1 || (n(0) & 0x1f) == 5)
       if (slices.length != 1) None
       else {
@@ -137,6 +143,7 @@ object H264Mp4 {
         val rbsp = H264.unescape(n, 1, n.length)
         if (pps.entropyCabac) H264Cabac.parseISlice(rbsp, sps, pps, refIdc, nalType, cabac)
         else H264Cavlc.parseI16x16Slice(rbsp, sps, pps, refIdc, nalType, cavlc)
+      }
       }
     }
   }

@@ -2361,6 +2361,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pcm(0).exists(_ != 0.0) && !pcm(0).sameElements(pcm(1)))
   }
 
+  test("aac SHORT-window intensity stereo: per-(group, sfb) positions through the grouped layout (round 16)") {
+    import graft.multimodal.Aac
+    // grouped short CPE whose right channel codes band maxSfb-1 of
+    // every group with cb 15/14 — the IS reconstruction must follow
+    // the window-group line layout exactly like the short MS path
+    val gl = Array(3, 1, 4)
+    val info = Aac.IcsInfo(2, 4, gl)
+    val gg = Seq(100, 103)
+    val isBand = info.maxSfb - 1
+    val sectCb = Seq.tabulate(2)(c => Array.tabulate(info.numGroups, info.maxSfb)(
+      (g, s) => if (c == 1 && s == isBand) { if (g % 2 == 0) 15 else 14 } else 12)
+      .map(_.toArray))
+    val positions = Array(0, 2, -3)
+    val sf = Seq.tabulate(2)(c => Array.tabulate(info.numGroups, info.maxSfb)(
+      (g, s) => if (c == 1 && s == isBand) positions(g) else gg(c) + ((3 * s + g + c) % 9) - 4)
+      .map(_.toArray))
+    val grpOfWin = gl.zipWithIndex.flatMap { case (l, g) => Seq.fill(l)(g) }
+    val quant = Seq.tabulate(2)(c => Array.tabulate(1024) { i =>
+      val w = i / 128; val s = (i % 128) / 8; val g = grpOfWin(w)
+      if (s >= info.maxSfb || (c == 1 && s == isBand)) 0
+      else { val mag = ((i + 7 * c) % 3); if (mag != 0 && (i + c) % 5 < 2) -mag else mag }
+    })
+    val msUsed = Array.tabulate(info.numGroups, info.maxSfb)((g, s) => (g + s) % 2 == 0)
+    val payload = Aac.encodeCpeWin(Seq(info, info), gg, sectCb, sf, quant,
+      commonWindow = true, msMaskPresent = 1, msUsed = msUsed.map(_.toArray))
+    val p = Aac.decodeCpeWin(payload).getOrElse(fail("short IS CPE must decode"))
+    for (g <- 0 until info.numGroups)
+      assert(p.right.sf(g)(isBand) == positions(g), s"group $g position")
+    for (i <- 0 until 1024) {
+      val g = grpOfWin(i / 128); val s = (i % 128) / 8
+      if (s == isBand) {
+        val base = if (g % 2 == 0) 1.0 else -1.0
+        val phase = if (msUsed(g)(isBand)) -base else base
+        val want = p.left.xr(i) * math.pow(0.5, 0.25 * positions(g)) * phase
+        assert(p.xrMs(1)(i) == want, s"short IS line $i (group $g)")
+        assert(p.xrMs(0)(i) == p.left.xr(i), s"left touched at IS line $i")
+      } else if (s < info.maxSfb && msUsed(g)(s)) {
+        assert(p.xrMs(0)(i) == p.left.xr(i) + p.right.xr(i), s"MS line $i")
+      }
+    }
+    // the grouped PCM path carries the IS content
+    val pcm = Aac.decodeCpePcm(payload).get
+    assert(pcm(1).exists(_ != 0.0) && !pcm(0).sameElements(pcm(1)))
+  }
+
   test("aac KBD windows: Princen-Bradley identity, monotone rise, Bessel sanity (round 15)") {
     import graft.multimodal.Dsp
     // I0 sanity against the series' well-known values
@@ -3569,6 +3614,18 @@ class MultimodalSpec extends AnyFunSuite {
       val two = H264Mp4.sampleOf(lengthSize,
         Seq(H264Mp4.nalUnit(3, 7, spsB), H264Mp4.nalUnit(3, 5, rbsp)))
       assert(H264Mp4.splitSample(two, lengthSize).get.length == 2)
+      // IN-BAND parameter sets inside a sample reject (they could
+      // override the avcC config the decode is keyed on); SEI NALs
+      // are skipped like real decoders do
+      assert(H264Mp4.decodeSamplePicture(two, cfg, sps, pps,
+        H264Cavlc.fixtureTables, H264Cabac.fixtureTables).isEmpty,
+        "in-band SPS accepted")
+      val withSei = H264Mp4.sampleOf(lengthSize,
+        Seq(H264Mp4.nalUnit(0, 6, Array[Byte](1, 2, 3)),
+          H264Mp4.nalUnit(3, 5, rbsp)))
+      assert(H264Mp4.decodeSamplePicture(withSei, cfg, sps, pps,
+        H264Cavlc.fixtureTables, H264Cabac.fixtureTables).get
+        .luma.sameElements(direct.luma), "SEI-bearing sample must decode")
       assert(H264Mp4.splitSample(two.dropRight(1), lengthSize).isEmpty,
         "truncated sample accepted")
       assert(H264Mp4.splitSample(two :+ 0x01.toByte, lengthSize).isEmpty,
