@@ -138,10 +138,26 @@ object Mp4 {
             }
             true
           case "stco" =>
+            if (chunkOffs != null) return false // duplicate offset tables
             if (be - bs < 8) return false
             val n = be32(bytes, bs + 4)
             if (n < 1 || be - bs < 8 + 4 * n) return false
             chunkOffs = Array.tabulate(n.toInt)(j => be32(bytes, bs + 8 + 4 * j))
+            true
+          case "co64" =>
+            // 64-bit chunk offsets (round 16): the table large real
+            // files carry — same semantics as stco, wider entries
+            if (chunkOffs != null) return false
+            if (be - bs < 8) return false
+            val n = be32(bytes, bs + 4)
+            if (n < 1 || be - bs < 8 + 8 * n) return false
+            chunkOffs = Array.tabulate(n.toInt) { j =>
+              val hi = be32(bytes, bs + 8 + 8 * j)
+              val lo = be32(bytes, bs + 8 + 8 * j + 4)
+              val v = (hi << 32) | lo
+              if (v < 0) return false // past any in-memory file
+              v
+            }
             true
           case _ => true // stts/stsc run lengths etc.: not extracted
         }
@@ -399,7 +415,8 @@ object Mp4 {
     * mdat payload position and the second writes the absolute chunk
     * offsets. */
   def encodeMp4Multi(timescale: Long, duration: Long,
-                     tracks: Seq[TrackSpec], mdat: Array[Byte]): Array[Byte] = {
+                     tracks: Seq[TrackSpec], mdat: Array[Byte],
+                     useCo64: Boolean = false): Array[Byte] = {
     require(tracks.nonEmpty)
     tracks.foreach { t =>
       require(t.chunkSampleCounts.length == t.chunkMdatOffsets.length &&
@@ -474,7 +491,12 @@ object Mp4 {
                       u32(fc.toLong); u32(spc.toLong); u32(1)
                     }
                   }
-                  box("stco") {
+                  if (useCo64) box("co64") {
+                    u32(0); u32(t.chunkMdatOffsets.length.toLong)
+                    t.chunkMdatOffsets.foreach { o =>
+                      u32((mdatBase + o) >> 32); u32((mdatBase + o) & 0xffffffffL)
+                    }
+                  } else box("stco") {
                     u32(0); u32(t.chunkMdatOffsets.length.toLong)
                     t.chunkMdatOffsets.foreach(o => u32(mdatBase + o))
                   }

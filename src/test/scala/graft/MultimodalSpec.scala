@@ -3822,6 +3822,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(lm.tracks.head.sampleOffsets.length == 2)
     assert(lm.tracks.head.sampleOffsets(1) ==
       lm.tracks.head.sampleOffsets(0) + 8)
+    // co64 (64-bit chunk offsets — what large real files carry): the
+    // same interleaved fixture resolves to IDENTICAL sample offsets
+    val file64 = Mp4.encodeMp4Multi(1000L, 5L, tracks, mdat, useCo64 = true)
+    val m64 = Mp4.parseMp4(file64).getOrElse(fail("co64 file must parse"))
+    val vt64 = m64.tracks.find(_.kind == "vide").get
+    for (i <- v.indices) {
+      val s = (vt64.sampleOffsets(i) - m64.mdatFileOffset).toInt
+      assert(java.util.Arrays.copyOfRange(m64.mdat, s, s + vt64.sampleSizes(i))
+        .sameElements(v(i)), s"co64 video sample $i")
+    }
+    // a truncated co64 table rejects; BOTH stco and co64 present rejects
+    val c64idx = {
+      var p = -1; var i = 0
+      while (i < file64.length - 4 && p < 0) {
+        if (file64(i) == 'c' && file64(i + 1) == 'o' && file64(i + 2) == '6' &&
+          file64(i + 3) == '4') p = i
+        i += 1
+      }
+      p
+    }
+    assert(c64idx > 0)
+    val shortC = file64.clone()
+    shortC(c64idx + 4 + 4 + 3) = 9 // entry_count 2 -> 9: table overruns its box
+    assert(Mp4.parseMp4(shortC).isEmpty, "overrunning co64 accepted")
   }
 
   test("h264 chroma: QP mapping, 2x2 Hadamard DC scaling, flat-128 and DC-impulse known answers (round 15)") {
