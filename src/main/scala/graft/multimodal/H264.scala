@@ -46,7 +46,20 @@ object H264 {
                        deblockingPresent: Boolean = false,
                        redundantPresent: Boolean = false,
                        bottomFieldPocPresent: Boolean = false,
-                       chromaQpOffset: Int = 0)
+                       chromaQpOffset: Int = 0,
+                       // round 16 — the §7.3.2.2 EXTENSION tail (present
+                       // in most high-profile PPSes): silently ignoring
+                       // it desynced nothing before I_NxN existed, but
+                       // transform_8x8_mode adds a bit per I_NxN MB, so
+                       // the flag must be parsed (the slice decoders
+                       // strict-reject it as a named scope seam) and the
+                       // second chroma QP offset must reach Cr's dequant
+                       transform8x8: Boolean = false,
+                       chromaQpOffset2: Option[Int] = None) {
+    /** Cr's §8.5 qp offset: the extension's second offset, else the
+      * shared one (§7.4.2.2: inferred equal when absent). */
+    def chromaQpOffsetCr: Int = chromaQpOffset2.getOrElse(chromaQpOffset)
+  }
 
   final case class H264Stream(nals: Seq[NalUnit], sps: Option[Sps],
                               pps: Option[Pps])
@@ -258,7 +271,35 @@ object H264 {
       val dbf = r.flag() // deblocking_filter_control_present_flag
       r.flag() // constrained_intra_pred_flag
       val red = r.flag() // redundant_pic_cnt_present_flag
-      Some(Pps(ppsId, spsId, cabac, groups, qp, dbf, red, bottomPoc, cqo))
+      // §7.3.2.2 extension (round 16): rbsp_more_data — the extension
+      // exists iff any bit BEYOND the trailing stop bit remains, i.e.
+      // the next 1-bit is not the LAST 1-bit of the RBSP. Ignoring it
+      // was a misparse seam (transform_8x8_mode changes the slice-data
+      // layout); parse it, strict-reject scaling matrices (custom
+      // quant weights are outside the flat-16 dequant scope).
+      var lastOne = -1
+      var bi = rbsp.length * 8 - 1
+      while (bi >= 0 && lastOne < 0) {
+        if (((rbsp(bi >> 3) >> (7 - (bi & 7))) & 1) == 1) lastOne = bi
+        bi -= 1
+      }
+      val pos = rbsp.length * 8 - r.bitsLeft
+      require(lastOne >= pos, "missing rbsp_stop_one_bit")
+      var t8 = false
+      var cqo2: Option[Int] = None
+      if (lastOne > pos) {
+        t8 = r.flag() // transform_8x8_mode_flag
+        require(!r.flag(), "pic_scaling_matrix out of scope") // scaling lists
+        val c2 = r.se() // second_chroma_qp_index_offset
+        require(c2 >= -12 && c2 <= 12, s"second_chroma_qp_index_offset $c2")
+        cqo2 = Some(c2)
+      }
+      require(r.flag(), "missing rbsp_stop_one_bit")
+      require(r.bitsLeft < 8, "trailing bytes after the PPS")
+      while (r.bitsLeft > 0)
+        require(!r.flag(), "nonzero rbsp_alignment after the PPS")
+      Some(Pps(ppsId, spsId, cabac, groups, qp, dbf, red, bottomPoc, cqo,
+        t8, cqo2))
     } else
       // slice-group maps sit between num_slice_groups and the tail; the
       // tail fields are unreachable without walking them (out of scope)
@@ -456,7 +497,9 @@ object H264 {
                 picInitQp: Int = 26, deblockingPresent: Boolean = false,
                 redundantPresent: Boolean = false,
                 bottomFieldPocPresent: Boolean = false,
-                chromaQpOffset: Int = 0): Array[Byte] = {
+                chromaQpOffset: Int = 0,
+                transform8x8: Boolean = false,
+                chromaQpOffset2: Option[Int] = None): Array[Byte] = {
     val w = new BitWriter
     w.ue(ppsId); w.ue(spsId)
     w.flag(cabac)
@@ -471,6 +514,13 @@ object H264 {
     w.flag(deblockingPresent)
     w.flag(false) // constrained_intra_pred_flag
     w.flag(redundantPresent)
+    // §7.3.2.2 extension (round 16): written when any extension field
+    // is set — the high-profile layout real encoders emit
+    if (transform8x8 || chromaQpOffset2.isDefined) {
+      w.flag(transform8x8)
+      w.flag(false) // pic_scaling_matrix_present_flag
+      w.se(chromaQpOffset2.getOrElse(chromaQpOffset))
+    }
     w.stopAndPad()
   }
 

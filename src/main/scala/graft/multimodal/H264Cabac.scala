@@ -318,6 +318,7 @@ object H264Cabac {
     if (!sps.frameMbsOnly) return None
     if (!pps.entropyCabac) return None
     if (pps.numSliceGroups != 1) return None
+    if (pps.transform8x8) return None // I_NxN would carry transform_size_8x8_flag
     val r = new H264Cavlc.BitReader(rbsp)
     if (r.ue() != 0) return None
     val sliceType = r.ue()
@@ -560,12 +561,12 @@ object H264Cabac {
       // ---- reconstruction through the SHARED entropy-free backend ----
       if (isI16)
         H264Cavlc.reconstructI16(luma, cb, cr, w, wc, mbx, mby, predMode,
-          chromaPredMode, qp, pps.chromaQpOffset, cbpChroma,
-          dcScan, acScan, chDcScan, chAcScan, done)
+          chromaPredMode, qp, pps.chromaQpOffset, pps.chromaQpOffsetCr,
+          cbpChroma, dcScan, acScan, chDcScan, chAcScan, done)
       else
         H264Cavlc.reconstructI4x4(luma, cb, cr, w, wc, wMbs, mbx, mby, modes,
-          chromaPredMode, qp, pps.chromaQpOffset, cbpChroma,
-          i4Scan, chDcScan, chAcScan, done)
+          chromaPredMode, qp, pps.chromaQpOffset, pps.chromaQpOffsetCr,
+          cbpChroma, i4Scan, chDcScan, chAcScan, done)
       mbCtx(mb) = MbCtx(!isI16, cbpLuma, cbpChroma, chromaPredMode, cbfDc, cbfCDc)
       mbs += H264Cavlc.I16Mb(predMode, cbpChroma, cbpLuma, chromaPredMode, qp,
         if (isI16) Array.empty else modes)

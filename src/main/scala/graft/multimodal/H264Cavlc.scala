@@ -729,11 +729,14 @@ object H264Cavlc {
     * DC-Hadamard/AC residual under the mapped QPC. */
   private[multimodal] def reconstructChroma(cb: Array[Int], cr: Array[Int],
       wc: Int, mbx: Int, mby: Int, cbpChroma: Int, chromaPredMode: Int,
-      qp: Int, chromaQpOffset: Int, chDcScan: Array[Array[Int]],
+      qp: Int, chromaQpOffset: Int, chromaQpOffsetCr: Int,
+      chDcScan: Array[Array[Int]],
       chAcScan: Array[Array[Array[Int]]]): Unit = {
-    val qpc = chromaQp(qp, chromaQpOffset)
     var comp = 0
     while (comp < 2) {
+      // per-component QPC (round 16): Cr takes the PPS extension's
+      // second_chroma_qp_index_offset when present (§8.5.8)
+      val qpc = chromaQp(qp, if (comp == 0) chromaQpOffset else chromaQpOffsetCr)
       val plane = if (comp == 0) cb else cr
       val pred = predictChroma8x8(chromaPredMode, plane, wc, mbx, mby)
       val dcC =
@@ -775,7 +778,8 @@ object H264Cavlc {
     * prediction); marks the MB's 4x4s in `done`. */
   private[multimodal] def reconstructI16(luma: Array[Int], cb: Array[Int],
       cr: Array[Int], w: Int, wc: Int, mbx: Int, mby: Int, predMode: Int,
-      chromaPredMode: Int, qp: Int, chromaQpOffset: Int, cbpChroma: Int,
+      chromaPredMode: Int, qp: Int, chromaQpOffset: Int, chromaQpOffsetCr: Int,
+      cbpChroma: Int,
       dcScan: Array[Int], acScan: Array[Array[Int]],
       chDcScan: Array[Array[Int]], chAcScan: Array[Array[Array[Int]]],
       done: Array[Array[Boolean]]): Unit = {
@@ -815,7 +819,7 @@ object H264Cavlc {
       blk += 1
     }
     reconstructChroma(cb, cr, wc, mbx, mby, cbpChroma, chromaPredMode, qp,
-      chromaQpOffset, chDcScan, chAcScan)
+      chromaQpOffset, chromaQpOffsetCr, chDcScan, chAcScan)
   }
 
   /** Full YCbCr reconstruction of one Intra_4x4 MB: per-block §8.3.1.2
@@ -825,7 +829,7 @@ object H264Cavlc {
   private[multimodal] def reconstructI4x4(luma: Array[Int], cb: Array[Int],
       cr: Array[Int], w: Int, wc: Int, wMbs: Int, mbx: Int, mby: Int,
       modes: Array[Int], chromaPredMode: Int, qp: Int, chromaQpOffset: Int,
-      cbpChroma: Int, lumaScan: Array[Array[Int]],
+      chromaQpOffsetCr: Int, cbpChroma: Int, lumaScan: Array[Array[Int]],
       chDcScan: Array[Array[Int]], chAcScan: Array[Array[Array[Int]]],
       done: Array[Array[Boolean]]): Unit = {
     var blk = 0
@@ -861,7 +865,7 @@ object H264Cavlc {
       blk += 1
     }
     reconstructChroma(cb, cr, wc, mbx, mby, cbpChroma, chromaPredMode, qp,
-      chromaQpOffset, chDcScan, chAcScan)
+      chromaQpOffset, chromaQpOffsetCr, chDcScan, chAcScan)
   }
 
   /** Parse a slice NAL's RBSP as a single-slice all-INTRA CAVLC picture
@@ -884,6 +888,7 @@ object H264Cavlc {
     if (!sps.frameMbsOnly) return None
     if (pps.entropyCabac) return None
     if (pps.numSliceGroups != 1) return None
+    if (pps.transform8x8) return None // I_NxN would carry transform_size_8x8_flag
     val r = new BitReader(rbsp)
     if (r.ue() != 0) return None // first_mb_in_slice: single-slice scope
     val sliceType = r.ue()
@@ -1038,8 +1043,8 @@ object H264Cavlc {
         }
         val (chDcScan, chAcScan) = parseChroma(cbpChroma)
         reconstructI4x4(luma, cb, cr, w, wc, wMbs, mbx, mby, modes,
-          chromaPredMode, qp, pps.chromaQpOffset, cbpChroma,
-          lumaScan, chDcScan, chAcScan, done)
+          chromaPredMode, qp, pps.chromaQpOffset, pps.chromaQpOffsetCr,
+          cbpChroma, lumaScan, chDcScan, chAcScan, done)
         mbs += I16Mb(-1, cbpChroma, cbpLuma, chromaPredMode, qp, modes)
       } else {
       require(mbType >= 1 && mbType <= 24,
@@ -1069,8 +1074,8 @@ object H264Cavlc {
       }
       val (chDcScan, chAcScan) = parseChroma(cbpChroma)
       reconstructI16(luma, cb, cr, w, wc, mbx, mby, predMode,
-        chromaPredMode, qp, pps.chromaQpOffset, cbpChroma,
-        dcScan, acScan, chDcScan, chAcScan, done)
+        chromaPredMode, qp, pps.chromaQpOffset, pps.chromaQpOffsetCr,
+        cbpChroma, dcScan, acScan, chDcScan, chAcScan, done)
       mbs += I16Mb(predMode, cbpChroma, cbpLuma, chromaPredMode, qp)
       }
       mb += 1

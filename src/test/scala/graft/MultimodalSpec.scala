@@ -3536,6 +3536,94 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("h264 pps extension: transform_8x8/second chroma offset parse; scaling matrix and 8x8 slices reject (round 16)") {
+    import graft.multimodal.{H264, H264Cavlc, H264Cabac}
+    // extension roundtrip: both fields reach the parsed Pps
+    val extB = H264.encodePps(0, 0, cabac = false, picInitQp = 28,
+      transform8x8 = true, chromaQpOffset2 = Some(-3))
+    val ext = H264.parsePps(extB).getOrElse(fail("extension PPS must parse"))
+    assert(ext.transform8x8 && ext.chromaQpOffset2.contains(-3))
+    assert(ext.chromaQpOffsetCr == -3)
+    // absent extension: Cr inherits the shared offset (§7.4.2.2)
+    val plain = H264.parsePps(H264.encodePps(0, 0, cabac = false,
+      chromaQpOffset = 5)).get
+    assert(!plain.transform8x8 && plain.chromaQpOffsetCr == 5)
+    // transform_8x8 = 0 with a second offset also round-trips
+    val ext0 = H264.parsePps(H264.encodePps(0, 0, cabac = true,
+      transform8x8 = false, chromaQpOffset2 = Some(7))).get
+    assert(!ext0.transform8x8 && ext0.chromaQpOffsetCr == 7)
+    // pic_scaling_matrix_present strict-rejects: flip the bit the
+    // encoder wrote as 0 (it directly follows transform_8x8_mode_flag)
+    // — locate it by re-encoding with the flag as the only difference
+    val withMatrix = {
+      // hand-build: same as extB but scaling flag 1 — the parser must
+      // reject rather than skip unparsed scaling lists
+      val base = H264.encodePps(0, 0, cabac = false, picInitQp = 28,
+        transform8x8 = true, chromaQpOffset2 = Some(-3))
+      // the scaling flag is the bit right after transform_8x8 (itself
+      // right after redundant_pic_cnt_present) — find it by diffing
+      // against a transform8x8=false encode of the same PPS
+      val alt = H264.encodePps(0, 0, cabac = false, picInitQp = 28,
+        transform8x8 = false, chromaQpOffset2 = Some(-3))
+      // first differing bit = the transform flag; the next bit is the
+      // scaling flag
+      var bit = -1
+      var i = 0
+      while (bit < 0 && i < base.length * 8) {
+        val b1 = (base(i >> 3) >> (7 - (i & 7))) & 1
+        val b2 = (alt(i >> 3) >> (7 - (i & 7))) & 1
+        if (b1 != b2) bit = i
+        i += 1
+      }
+      val m = base.clone()
+      val sb = bit + 1
+      m(sb >> 3) = (m(sb >> 3) ^ (1 << (7 - (sb & 7)))).toByte
+      m
+    }
+    assert(H264.parsePps(withMatrix).isEmpty, "scaling matrix accepted")
+    // a transform_8x8 PPS strict-rejects at BOTH slice parsers (I_NxN
+    // slice data would carry transform_size_8x8_flag bits this scope
+    // does not read — accepting would desync, a misparse)
+    val (sps, _) = i16SpsPps(1, 1)
+    val ok = H264Cavlc.encodeI16x16Slice(sps,
+      H264.parsePps(H264.encodePps(0, 0, cabac = false)).get, 3,
+      idr = true, 0, 0, 0, 0,
+      Seq(H264Cavlc.I16MbSpec(2, 0, 0, new Array[Int](16),
+        Array.fill(16)(new Array[Int](15)))), H264Cavlc.fixtureTables)
+    val t8pps = H264.parsePps(H264.encodePps(0, 0, cabac = false,
+      transform8x8 = true)).get
+    assert(H264Cavlc.parseI16x16Slice(ok, sps, t8pps, 3, 5,
+      H264Cavlc.fixtureTables).isEmpty, "CAVLC accepted a transform_8x8 PPS")
+    val t8cabac = H264.parsePps(H264.encodePps(0, 0, cabac = true,
+      transform8x8 = true)).get
+    val okCabac = H264Cabac.encodeISlice(sps,
+      H264.parsePps(H264.encodePps(0, 0, cabac = true)).get, 3,
+      idr = true, 0, 0, 0, 0,
+      Seq(H264Cavlc.I16MbSpec(2, 0, 0, new Array[Int](16),
+        Array.fill(16)(new Array[Int](15)))), H264Cabac.fixtureTables)
+    assert(H264Cabac.parseISlice(okCabac, sps, t8cabac, 3, 5,
+      H264Cabac.fixtureTables).isEmpty, "CABAC accepted a transform_8x8 PPS")
+    // second_chroma_qp_index_offset reaches Cr's dequant: a Cb/Cr DC
+    // impulse picture decodes Cr under its own QPC
+    val (sps2, _) = i16SpsPps(1, 1, qp = 30)
+    val ppsAsym = H264.parsePps(H264.encodePps(0, 0, cabac = false,
+      picInitQp = 30, chromaQpOffset = 0, chromaQpOffset2 = Some(-12))).get
+    val mbC = H264Cavlc.I16MbSpec(2, 0, 0, new Array[Int](16),
+      Array.fill(16)(new Array[Int](15)),
+      chromaDc = Array(Array(1, 0, 0, 0), Array(1, 0, 0, 0)),
+      forceCbpChroma = Some(1))
+    val rb = H264Cavlc.encodeI16x16Slice(sps2, ppsAsym, 3, idr = true,
+      0, 0, 0, 0, Seq(mbC), H264Cavlc.fixtureTables)
+    val pic = H264Cavlc.parseI16x16Slice(rb, sps2, ppsAsym, 3, 5,
+      H264Cavlc.fixtureTables).get
+    // qp 30: Cb QPC = chromaQp(30, 0) = table(0) = 29; Cr QPC =
+    // chromaQp(30, -12) = 18 — different dequant scales, so the two
+    // planes lift 128 by different amounts
+    val cbLift = pic.cb(0) - 128; val crLift = pic.cr(0) - 128
+    assert(cbLift > 0 && crLift > 0 && cbLift != crLift,
+      s"asymmetric chroma offsets must differ: cb +$cbLift cr +$crLift")
+  }
+
   test("h264 cabac slice: strict rejects and mutation fuzz (round 16)") {
     import graft.multimodal.{H264, H264Cavlc, H264Cabac}
     val (sps, _) = i16SpsPps(1, 1)
