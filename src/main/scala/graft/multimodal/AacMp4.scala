@@ -69,6 +69,11 @@ object AacMp4 {
             // ES_Descriptor
             if (r >= q + cs || stsd(r) != 0x03) return None
             r = descSize(stsd, r + 1).getOrElse(return None)._2
+            if (r + 3 > q + cs) return None
+            // streamDependence/URL/OCR flags signal optional fields between
+            // here and the DecoderConfigDescriptor — strict-reject so the
+            // descriptor walk never proceeds misaligned.
+            if ((stsd(r + 2) & 0xE0) != 0) return None
             r += 3 // ES_ID u16 + flags u8 (no optional fields in scope)
             // DecoderConfigDescriptor
             if (r >= q + cs || stsd(r) != 0x04) return None

@@ -116,7 +116,9 @@ object H264Cabac {
   // inline like normAdjust; the context VALUES come from ctxInit)
   // -------------------------------------------------------------------
 
-  private val CtxMbTypeI = 3     // mb_type (I slices): bin0 at +inc, tail bins +3..+5
+  private val CtxMbTypeI = 3     // mb_type (I slices): bin0 at +inc, tail bins +3..+7
+                                 // (Table 9-39 / §9.3.3.1.2: cbpLuma +3, cbpChroma +4
+                                 //  then +5, pred-mode +6 then +7)
   private val CtxQpDelta = 60    // mb_qp_delta
   private val CtxChromaMode = 64 // intra_chroma_pred_mode: bin0 +inc, tail +3
   private val CtxPrevI4 = 68     // prev_intra4x4_pred_mode_flag
@@ -380,8 +382,8 @@ object H264Cabac {
         require(c.terminate() == 0, "I_PCM out of scope") // the ctx-276 bin
         cbpLuma = if (c.decision(CtxMbTypeI + 3) == 1) 15 else 0
         if (c.decision(CtxMbTypeI + 4) == 1)
-          cbpChroma = if (c.decision(CtxMbTypeI + 4) == 1) 2 else 1
-        predMode = 2 * c.decision(CtxMbTypeI + 5) + c.decision(CtxMbTypeI + 5)
+          cbpChroma = if (c.decision(CtxMbTypeI + 5) == 1) 2 else 1
+        predMode = 2 * c.decision(CtxMbTypeI + 6) + c.decision(CtxMbTypeI + 7)
       } else {
         modes = new Array[Int](16)
         var blk = 0
@@ -706,9 +708,9 @@ object H264Cabac {
           e.terminate(0) // not I_PCM
           e.decision(CtxMbTypeI + 3, if (cbpLuma == 15) 1 else 0)
           e.decision(CtxMbTypeI + 4, if (cbpChroma != 0) 1 else 0)
-          if (cbpChroma != 0) e.decision(CtxMbTypeI + 4, if (cbpChroma == 2) 1 else 0)
-          e.decision(CtxMbTypeI + 5, (m.predMode >> 1) & 1)
-          e.decision(CtxMbTypeI + 5, m.predMode & 1)
+          if (cbpChroma != 0) e.decision(CtxMbTypeI + 5, if (cbpChroma == 2) 1 else 0)
+          e.decision(CtxMbTypeI + 6, (m.predMode >> 1) & 1)
+          e.decision(CtxMbTypeI + 7, m.predMode & 1)
           // chroma mode
           emitChromaMode(e, m.chromaPredMode, leftMb, topMb)
           // mb_qp_delta (always for I16)

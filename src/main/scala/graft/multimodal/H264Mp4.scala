@@ -121,18 +121,26 @@ object H264Mp4 {
   /** Decode one intra picture from an MP4 video sample under the avcC
     * config: find the slice NAL (type 1/5), unescape, dispatch on the
     * PPS entropy mode to the CAVLC or CABAC parser. Strict → None on
-    * a sample without exactly one slice NAL, on IN-BAND parameter-set
-    * NALs (types 7/8 inside a sample could override the avcC config
-    * this decode is keyed on — silently ignoring them would be a
-    * misparse seam; real avc1 files keep parameter sets in avcC), or
-    * on either parser's rejects. SEI/AUD/filler NALs (6/9/12) are
-    * skipped — they carry no pixels and real encoders emit them. */
+    * a sample without exactly one slice NAL, on any NAL type outside
+    * the whitelist {1, 5, 6, 9, 12} — in-band parameter sets (7/8)
+    * could override the avcC config this decode is keyed on, and data
+    * partitions / end markers / unknown types are out of scope;
+    * silently ignoring any of them would be a misparse seam (real
+    * avc1 files keep parameter sets in avcC) — or on either parser's
+    * rejects. SEI/AUD/filler NALs (6/9/12) are skipped — they carry
+    * no pixels and real encoders emit them. */
   def decodeSamplePicture(sample: Array[Byte], cfg: AvcConfig,
                           sps: H264.Sps, pps: H264.Pps,
                           cavlc: H264Cavlc.CavlcTables,
                           cabac: H264Cabac.CabacTables): Option[H264Cavlc.I16Picture] = {
     splitSample(sample, cfg.nalLengthSize).flatMap { nals =>
-      if (nals.exists(n => (n(0) & 0x1f) == 7 || (n(0) & 0x1f) == 8)) None
+      // Whitelist: slices (1/5) decode, SEI/AUD/filler (6/9/12) skip;
+      // EVERYTHING else strict-rejects — in-band parameter sets (7/8)
+      // could override the avcC config this decode is keyed on, and
+      // data partitions (2-4), end-of-seq/stream (10/11), and unknown
+      // types are out of scope. Silently dropping them would be a
+      // misparse seam.
+      if (!nals.forall(n => Set(1, 5, 6, 9, 12).contains(n(0) & 0x1f))) None
       else {
       val slices = nals.filter(n => (n(0) & 0x1f) == 1 || (n(0) & 0x1f) == 5)
       if (slices.length != 1) None

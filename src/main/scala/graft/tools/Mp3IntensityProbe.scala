@@ -74,10 +74,10 @@ object Mp3IntensityProbe {
         "a joint-stereo stream with short blocks"
     else if (a.nExact > b.nExact)
       s"variant A (band-granular, the committed rule) matches the reference " +
-        s"(${a.exactPct}%% vs ${b.exactPct}%% exact)"
+        s"(${a.exactPct}% vs ${b.exactPct}% exact)"
     else
       s"variant B (per-window) matches the reference " +
-        s"(${b.exactPct}%% vs ${a.exactPct}%% exact) — flip the " +
+        s"(${b.exactPct}% vs ${a.exactPct}% exact) — flip the " +
         "shortIsPerWindow default and update the gate oracles"
 
   def main(args: Array[String]): Unit = {

@@ -3714,6 +3714,16 @@ class MultimodalSpec extends AnyFunSuite {
       assert(H264Mp4.decodeSamplePicture(withSei, cfg, sps, pps,
         H264Cavlc.fixtureTables, H264Cabac.fixtureTables).get
         .luma.sameElements(direct.luma), "SEI-bearing sample must decode")
+      // NAL types outside the whitelist {1,5,6,9,12} strict-reject —
+      // data partitions, end-of-seq/stream, unknown types
+      for (badType <- Seq(2, 3, 4, 10, 11, 13)) {
+        val withBad = H264Mp4.sampleOf(lengthSize,
+          Seq(H264Mp4.nalUnit(0, badType, Array[Byte](0)),
+            H264Mp4.nalUnit(3, 5, rbsp)))
+        assert(H264Mp4.decodeSamplePicture(withBad, cfg, sps, pps,
+          H264Cavlc.fixtureTables, H264Cabac.fixtureTables).isEmpty,
+          s"non-whitelisted NAL type $badType accepted")
+      }
       assert(H264Mp4.splitSample(two.dropRight(1), lengthSize).isEmpty,
         "truncated sample accepted")
       assert(H264Mp4.splitSample(two :+ 0x01.toByte, lengthSize).isEmpty,
@@ -3774,6 +3784,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(AacMp4.parseEsds(asc((2 << 3) | 0, (2 << 3) | 4)).isEmpty,
       "960-frame flag accepted")
     assert(AacMp4.parseEsds(asc((2 << 3) | 0, 6 << 3)).isEmpty, "6 channels accepted")
+    // ES_Descriptor optional-field flags (streamDependence/URL/OCR)
+    // strict-reject — a set flag means optional fields follow the
+    // 3-byte ES_ID+flags and a fixed skip would walk misaligned.
+    // stsd layout: 8 (stsd head) + 8 (entry head) + 28 (audio entry)
+    // + 8 (esds box head) + 4 (FullBox) + 2 (tag 0x03 + size) +
+    // 2 (ES_ID) = byte 60 is the flags byte.
+    for (flag <- Seq(0x80, 0x40, 0x20)) {
+      val good = AacMp4.encodeStsdMp4a(2, 44100,
+        AacMp4.encodeEsds(AacMp4.encodeAsc(4, 2)))
+      assert((good(60) & 0xff) == 0, "fixture flags byte not at offset 60")
+      val bad = good.clone(); bad(60) = flag.toByte
+      assert(AacMp4.parseEsds(bad).isEmpty, f"ES flags 0x$flag%02x accepted")
+    }
     // mono container decode == direct ADTS-stream decode (the threaded
     // overlap crosses the SAMPLE boundary identically)
     def sce(f: Int): Array[Byte] = {
