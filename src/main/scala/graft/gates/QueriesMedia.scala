@@ -1593,6 +1593,53 @@ private[graft] trait QueriesMedia { this: Queries.type =>
       graft.multimodal.H264Cabac.fixtureTables)
       .toDF().orderBy(col("id"), col("sample"), col("mb"))
 
+  /** KEYFRAME-EXTRACTION fixtures (round 17 — stss): each asset is a
+    * FOUR-sample MP4 whose stss marks samples 1 and 3 (1-based) as
+    * sync. The sync samples are the mp4H264 gate's CAVLC intra slices
+    * at sm = 0 and 2 (eid = 2·id + sm, same content formulas); the
+    * NON-sync samples carry a NAL-type-1 P slice (slice_type 0) the
+    * all-intra decoders strict-reject — exactly a real file's shape,
+    * where decode-everything fails but keyframe extraction succeeds.
+    * The gate pins BOTH directions: rows exist only for sm ∈ {0, 2}
+    * (skipping works) and decoding is attempted on nothing else (one
+    * attempted P-sample decode would throw and redden the gate). */
+  private[graft] def mp4KeyframeAssets(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val src = docsTbl(spark, dir).where(col("doc_id") < 4)
+      .select(col("doc_id")).as[Long]
+    src.mapPartitions(_.map { id =>
+      val (spsB, ppsB) = Mp4Fixtures.mp4H264SpsPps()
+      val sps = graft.multimodal.H264.parseSps(spsB).get
+      val pps = graft.multimodal.H264.parsePps(ppsB).get
+      val lengthSize = if (id % 2 == 0) 4 else 2
+      val avcc = graft.multimodal.H264Mp4.encodeAvcc(66, 30, lengthSize,
+        Seq(graft.multimodal.H264Mp4.nalUnit(3, 7, spsB)),
+        Seq(graft.multimodal.H264Mp4.nalUnit(3, 8, ppsB)))
+      val stsd = graft.multimodal.H264Mp4.encodeStsdAvc1(32, 32, avcc)
+      // P-slice stub: first_mb_in_slice ue(0) + slice_type ue(0) = P —
+      // bits "11", a slice the intra parsers reject by name
+      val pStub = Array[Byte](0xC0.toByte, 0x00)
+      val samples = (0 until 4).map { sm =>
+        val nal =
+          if (sm % 2 == 0) graft.multimodal.H264Mp4.nalUnit(3, 5,
+            Mp4Fixtures.mp4H264SliceRbsp(id, sm, sps, pps))
+          else graft.multimodal.H264Mp4.nalUnit(2, 1, pStub)
+        graft.multimodal.H264Mp4.sampleOf(lengthSize, Seq(nal))
+      }
+      graft.multimodal.Multimodal.Asset(id, "video",
+        graft.multimodal.Mp4.encodeMp4(32, 32, 1000L, 4L, 4, 0,
+          samples.flatten.toArray, stsd = stsd,
+          perSampleSizes = Some(samples.map(_.length).toArray),
+          syncSamples = Some(Array(1, 3))), 0, 0)
+    })
+  }
+
+  private[graft] def multimodalMp4Keyframes(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.mp4H264Keyframes(mp4KeyframeAssets(spark, dir),
+      graft.multimodal.H264Cavlc.fixtureTables,
+      graft.multimodal.H264Cabac.fixtureTables)
+      .toDF().orderBy(col("id"), col("sample"), col("mb"))
+
   /** AAC-IN-MP4 (M4A) fixtures (round 16 — the audio container twin):
     * each asset is an ISO BMFF file whose sound track carries an
     * `mp4a`/`esds` sample description (AudioSpecificConfig: LC,

@@ -27,10 +27,10 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
     * doc_id bound so the single-track and INTERLEAVED-chunk gates share
     * it verbatim — the container layout is exactly what those gates
     * differ in, and any slicing slip changes the pixels. */
-  private[graft] def mp4H264OracleSql(nIds: Int): String =
+  private[graft] def mp4H264OracleSql(nIds: Int, sms: String = "range(0, 2)"): String =
     s"""WITH RECURSIVE ids AS (
            |  SELECT doc_id AS id, sm.sm, 2 * doc_id + sm.sm AS eid
-           |  FROM documents, (SELECT unnest(range(0, 2)) AS sm) sm
+           |  FROM documents, (SELECT unnest($sms) AS sm) sm
            |  WHERE doc_id < $nIds),
            |qps AS (SELECT id, sm, eid, 20 + (5*eid) % 12 AS qp0,
            |  20 + (5*eid) % 12 + (eid+1)%5 - 2 AS qp1,
@@ -2078,6 +2078,12 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
            |FROM (SELECT * FROM mb0 UNION ALL SELECT * FROM i4rows)
            |ORDER BY id, mb""".stripMargin)),
     "multimodal_mp4_h264" -> Q(multimodalMp4H264, Some(mp4H264OracleSql(4))),
+    // stss keyframe extraction (round 17): four samples, sync = {1, 3}
+    // 1-based → only sm 0 and 2 decode; the same content restatement
+    // as mp4_h264 over the sync sm values alone. Non-sync samples are
+    // undecodable P slices, so ANY attempted decode of them throws.
+    "multimodal_mp4_keyframes" -> Q(multimodalMp4Keyframes,
+      Some(mp4H264OracleSql(4, "[0, 2]"))),
     "multimodal_mp4_chunks_h264" -> Q(multimodalMp4ChunksH264, Some(mp4H264OracleSql(4))),
     "multimodal_mp4_chunks_aac" -> Q(multimodalMp4ChunksAac, Some(mp4AacOracleSql(4))),
     "multimodal_mp4_aac" -> Q(multimodalMp4Aac, Some(mp4AacOracleSql(6))),

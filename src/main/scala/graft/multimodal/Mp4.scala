@@ -11,8 +11,8 @@ package graft.multimodal
   *
   * Scope: 32-bit box sizes, `ftyp` + `moov`(`mvhd`, `trak`(`tkhd`,
   * `mdia`(`mdhd`, `hdlr`, `minf`/`stbl`(`stsd` raw, `stsz` uniform or
-  * per-sample, `stsc` runs, `stco`)))) + one `mdat`; version-0 full
-  * boxes. Multi-chunk tracks REQUIRE an stsc (ambiguous otherwise);
+  * per-sample, `stsc` runs, `stco`/`co64`, `stss` sync samples))))
+  * + one `mdat`; version-0 full boxes. Multi-chunk tracks REQUIRE an stsc (ambiguous otherwise);
   * a table whose chunks and samples do not tile each other exactly
   * rejects. Unknown boxes are
   * SKIPPED BY SIZE (that is the format's own extension contract —
@@ -38,7 +38,21 @@ object Mp4 {
                          timescale: Long, duration: Long,
                          sampleSizes: Array[Int], firstChunkOffset: Long,
                          stsd: Array[Byte] = Array.empty,
-                         sampleOffsets: Array[Long] = Array.empty)
+                         sampleOffsets: Array[Long] = Array.empty,
+                         syncSamples: Option[Array[Int]] = None,
+                         trackId: Long = 0) {
+    /** §8.6.2 sync-sample semantics for 0-based sample `i`: an absent
+      * stss means EVERY sample is a sync sample (all-intra tracks —
+      * real muxers omit the box then); a present stss lists the
+      * 1-based sync sample numbers, sorted (parse-validated). Real
+      * video is mostly P/B samples, so this is the seam that lets the
+      * intra decoders extract exactly the keyframes from a real file
+      * instead of rejecting it whole. */
+    def isSync(i: Int): Boolean = syncSamples match {
+      case None    => true
+      case Some(s) => java.util.Arrays.binarySearch(s, i + 1) >= 0
+    }
+  }
 
   /** Parsed movie: ftyp major brand, mvhd timescale/duration, tracks in
     * file order, and the raw mdat payload (the codec-stub seam).
@@ -63,6 +77,16 @@ object Mp4 {
     val tracks = scala.collection.mutable.ArrayBuffer.empty[Track]
     var mdat: Array[Byte] = null
     var mdatOff = -1L // payload start offset of the mdat box in the file
+    // fragmented state (round 17 — moof/tfhd/trun; the DASH/CMAF shape):
+    // trex defaults per track, accumulated per-fragment sample runs,
+    // every mdat payload range (fragmented files carry one per fragment)
+    val trex = scala.collection.mutable.Map.empty[Long, (Long, Long)] // id -> (defSize, defFlags)
+    val fragSizes = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.ArrayBuffer[Int]]
+    val fragOffs = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    val fragSync = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.ArrayBuffer[Boolean]]
+    var lastSeq = 0L
+    var nMoof = 0
+    val mdatRanges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // payload [start, end)
 
     // walk the children of [start, end); returns false on structural error
     def children(start: Int, end: Int)(f: (String, Int, Int) => Boolean): Boolean = {
@@ -80,11 +104,13 @@ object Mp4 {
     def parseTrak(start: Int, end: Int): Boolean = {
       var kind: String = null
       var w = 0; var h = 0
+      var tid = -1L
       var ts = -1L; var dur = -1L
       var sizes: Array[Int] = null
       var chunkOffs: Array[Long] = null
       var stscRuns: Array[(Long, Long)] = null // (first_chunk, samples_per_chunk)
       var stsdBytes: Array[Byte] = Array.empty
+      var sync: Array[Int] = null // stss 1-based sync sample numbers
       def stbl(s: Int, e: Int): Boolean = children(s, e) { (t, bs, be) =>
         t match {
           case "stsd" =>
@@ -141,7 +167,9 @@ object Mp4 {
             if (chunkOffs != null) return false // duplicate offset tables
             if (be - bs < 8) return false
             val n = be32(bytes, bs + 4)
-            if (n < 1 || be - bs < 8 + 4 * n) return false
+            // n == 0 is the fragmented init-segment shape (round 17):
+            // all samples arrive via moof/trun
+            if (n < 0 || be - bs < 8 + 4 * n) return false
             chunkOffs = Array.tabulate(n.toInt)(j => be32(bytes, bs + 8 + 4 * j))
             true
           case "co64" =>
@@ -150,7 +178,7 @@ object Mp4 {
             if (chunkOffs != null) return false
             if (be - bs < 8) return false
             val n = be32(bytes, bs + 4)
-            if (n < 1 || be - bs < 8 + 8 * n) return false
+            if (n < 0 || be - bs < 8 + 8 * n) return false
             chunkOffs = Array.tabulate(n.toInt) { j =>
               val hi = be32(bytes, bs + 8 + 8 * j)
               val lo = be32(bytes, bs + 8 + 8 * j + 4)
@@ -159,7 +187,28 @@ object Mp4 {
               v
             }
             true
-          case _ => true // stts/stsc run lengths etc.: not extracted
+          case "stss" =>
+            // §8.6.2 sync-sample table (round 17): the 1-based sample
+            // numbers of the sync (key) frames. Absent box = every
+            // sample is sync, per spec. Entries must be ≥ 1 and
+            // strictly increasing; the ≤ sample-count bound is checked
+            // at trak end (stsz may follow stss in box order).
+            if (sync != null) return false // duplicate stss
+            if (be - bs < 8 || bytes(bs) != 0) return false // version 0
+            val n = be32(bytes, bs + 4)
+            if (n < 0 || be - bs < 8 + 4 * n) return false
+            sync = Array.tabulate(n.toInt) { j =>
+              val v = be32(bytes, bs + 8 + 4 * j)
+              if (v < 1 || v > Int.MaxValue) return false
+              v.toInt
+            }
+            var j = 1
+            while (j < sync.length) {
+              if (sync(j) <= sync(j - 1)) return false
+              j += 1
+            }
+            true
+          case _ => true // stts run lengths etc.: not extracted
         }
       }
       def minf(s: Int, e: Int): Boolean = children(s, e) { (t, bs, be) =>
@@ -184,6 +233,7 @@ object Mp4 {
           case "tkhd" =>
             // version 0: ... width/height as 16.16 fixed at +76/+80
             if (be - bs < 84 || bytes(bs) != 0) return false
+            tid = be32(bytes, bs + 12) // track_ID (the tfhd reference key)
             w = (be32(bytes, bs + 76) >> 16).toInt
             h = (be32(bytes, bs + 80) >> 16).toInt
             true
@@ -192,6 +242,16 @@ object Mp4 {
         }
       }
       if (!ok || kind == null || ts < 0 || sizes == null || chunkOffs == null) return false
+      // empty tables (round 17): the fragmented init-segment shape —
+      // zero samples, zero chunks, samples arrive via moof/trun. A
+      // nonempty side with an empty other side is a desynced table.
+      if (sizes.isEmpty || chunkOffs.isEmpty) {
+        if (sizes.nonEmpty || chunkOffs.nonEmpty) return false
+        if (sync != null && sync.nonEmpty) return false
+        tracks += Track(kind, w, h, ts, dur, sizes, -1L, stsdBytes,
+          Array.empty[Long], Option(sync), tid)
+        return true
+      }
       // resolve per-sample FILE offsets through stsc × stco (round 16).
       // Without an stsc the only sound reading is the single-chunk
       // contiguous layout the fixtures use; multi-chunk without stsc
@@ -226,7 +286,11 @@ object Mp4 {
         // would silently re-slice later chunks' samples contiguously)
         if (chunk != chunkOffs.length + 1L) return false
       }
-      tracks += Track(kind, w, h, ts, dur, sizes, chunkOffs(0), stsdBytes, offsets)
+      // stss entries must reference real samples (deferred: stsz may
+      // come after stss in box order)
+      if (sync != null && sync.nonEmpty && sync.last > sizes.length) return false
+      tracks += Track(kind, w, h, ts, dur, sizes, chunkOffs(0), stsdBytes, offsets,
+        Option(sync), tid)
       true
     }
 
@@ -285,7 +349,8 @@ object Mp4 {
                 samples: Array[Byte],
                 stsd: Array[Byte] = Array.empty,
                 perSampleSizes: Option[Array[Int]] = None,
-                handler: String = "vide"): Array[Byte] = {
+                handler: String = "vide",
+                syncSamples: Option[Array[Int]] = None): Array[Byte] = {
     // round 16: `stsd` (raw payload, e.g. [[H264Mp4.encodeStsdAvc1]])
     // is written verbatim when nonempty; `perSampleSizes` switches stsz
     // to the per-sample entry table (variable-size NAL samples)
@@ -368,6 +433,9 @@ object Mp4 {
               // single run: all samples in chunk 1 (round 16 — written
               // explicitly now that the parser resolves stsc × stco)
               box("stsc") { u32(0); u32(1); u32(1); u32(nSamples.toLong); u32(1) }
+              syncSamples.foreach { ss =>
+                box("stss") { u32(0); u32(ss.length.toLong); ss.foreach(s => u32(s.toLong)) }
+              }
               box("stco") { u32(0); u32(1); u32(0) } // offset patched below
             }
           }
@@ -406,7 +474,8 @@ object Mp4 {
   final case class TrackSpec(handler: String, width: Int, height: Int,
                              stsd: Array[Byte], sampleSizes: Array[Int],
                              chunkSampleCounts: Array[Int],
-                             chunkMdatOffsets: Array[Long])
+                             chunkMdatOffsets: Array[Long],
+                             syncSamples: Option[Array[Int]] = None)
 
   /** Multi-track interleaved fixture encoder: same box layout as
     * [[encodeMp4]] per trak, but with REAL stsc runs (compressed from
@@ -490,6 +559,9 @@ object Mp4 {
                     runs.foreach { case (fc, spc) =>
                       u32(fc.toLong); u32(spc.toLong); u32(1)
                     }
+                  }
+                  t.syncSamples.foreach { ss =>
+                    box("stss") { u32(0); u32(ss.length.toLong); ss.foreach(s => u32(s.toLong)) }
                   }
                   if (useCo64) box("co64") {
                     u32(0); u32(t.chunkMdatOffsets.length.toLong)

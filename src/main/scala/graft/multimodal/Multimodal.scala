@@ -616,7 +616,27 @@ object Multimodal {
     * the container facts (entropy mode, length-prefix size). */
   def mp4H264Pixels(assets: Dataset[Asset],
                     cavlc: H264Cavlc.CavlcTables,
-                    cabac: H264Cabac.CabacTables): Dataset[Mp4H264Row] = {
+                    cabac: H264Cabac.CabacTables): Dataset[Mp4H264Row] =
+    mp4H264PixelsImpl(assets, cavlc, cabac, syncOnly = false)
+
+  /** Keyframe extraction (round 17): decode ONLY the track's stss
+    * sync samples — the path a real training-data corpus needs, since
+    * real video is mostly P/B samples the all-intra decoders reject.
+    * An absent stss means every sample is sync (§8.6.2), so all-intra
+    * fixtures decode identically through either entry point. Non-sync
+    * samples are SKIPPED, not decoded — a sync-marked sample that
+    * fails to decode still rejects by name (same per-sample strictness
+    * as [[mp4H264Pixels]]); rows keep the FILE sample index so the
+    * oracle pins exactly WHICH samples were extracted. */
+  def mp4H264Keyframes(assets: Dataset[Asset],
+                       cavlc: H264Cavlc.CavlcTables,
+                       cabac: H264Cabac.CabacTables): Dataset[Mp4H264Row] =
+    mp4H264PixelsImpl(assets, cavlc, cabac, syncOnly = true)
+
+  private def mp4H264PixelsImpl(assets: Dataset[Asset],
+                                cavlc: H264Cavlc.CavlcTables,
+                                cabac: H264Cabac.CabacTables,
+                                syncOnly: Boolean): Dataset[Mp4H264Row] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.flatMap { a =>
       val movie = Mp4.parseMp4(a.bytes)
@@ -634,7 +654,9 @@ object Multimodal {
       val pps = H264.parsePps(H264Mp4.nalRbsp(cfg.pps.head))
         .getOrElse(throw new IllegalArgumentException(
           s"asset ${a.id}: undecodable avcC PPS"))
-      track.sampleSizes.iterator.zipWithIndex.flatMap { case (sz, sIdx) =>
+      track.sampleSizes.iterator.zipWithIndex
+        .filter { case (_, sIdx) => !syncOnly || track.isSync(sIdx) }
+        .flatMap { case (sz, sIdx) =>
         val off = (track.sampleOffsets(sIdx) - movie.mdatFileOffset).toInt
         val sample = java.util.Arrays.copyOfRange(movie.mdat, off, off + sz)
         val pic = H264Mp4.decodeSamplePicture(sample, cfg, sps, pps, cavlc, cabac)

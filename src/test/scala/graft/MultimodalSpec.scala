@@ -2764,6 +2764,22 @@ class MultimodalSpec extends AnyFunSuite {
     // zero-takes-MINUS-amp branch explicitly (r15 ADVICE medium)
     assert(quant(69) == 0 && want(69) == -9, "zero-value pulse branch not exercised")
     assert(ics.quant.sameElements(want), "pulse adds mismatch")
+    // DIFFERENTIAL pin (round 17, r16 VERDICT #7 — the audit trail for
+    // the round-16 oracle change should be loud): the REJECTED rule
+    // (+amp on zero, the pre-r16 self-pinned bug) diverges from the
+    // faad2/ffmpeg rule on exactly this fixture, and the decode matches
+    // the latter — a regression to the old rule reddens here, not just
+    // in the (also-updated) gate oracle.
+    val wantOldRule = quant.clone()
+    var k2 = 64
+    for ((off, amp) <- ps.pulses) {
+      k2 += off
+      if (wantOldRule(k2) >= 0) wantOldRule(k2) += amp else wantOldRule(k2) -= amp
+    }
+    assert(wantOldRule(69) == 9 && want(69) == -9,
+      "fixture no longer discriminates the two pulse rules")
+    assert(!ics.quant.sameElements(wantOldRule),
+      "decode matches the rejected +amp-on-zero rule")
     // the dequantized spectrum reflects the pulsed integers
     val k0 = 64 + 3
     val g0 = math.pow(2.0, 0.25 * (gg - 100))
@@ -3957,6 +3973,153 @@ class MultimodalSpec extends AnyFunSuite {
     val shortC = file64.clone()
     shortC(c64idx + 4 + 4 + 3) = 9 // entry_count 2 -> 9: table overruns its box
     assert(Mp4.parseMp4(shortC).isEmpty, "overrunning co64 accepted")
+  }
+
+  test("mp4 stss: sync-sample table parses, absent = all-sync, keyframe decode skips non-sync; malformed tables reject (round 17)") {
+    import graft.multimodal.{Mp4, H264, H264Mp4, H264Cavlc, H264Cabac}
+    // --- parse + isSync semantics on a 4-sample file, sync = {1, 3} ---
+    val payload = Array.tabulate(4 * 8)(i => (i + 1).toByte)
+    def mk(sync: Option[Array[Int]]) =
+      Mp4.encodeMp4(16, 16, 1000L, 4L, 4, 8, payload, syncSamples = sync)
+    val t = Mp4.parseMp4(mk(Some(Array(1, 3)))).get.tracks.head
+    assert(t.syncSamples.exists(_.sameElements(Array(1, 3))))
+    assert(t.isSync(0) && !t.isSync(1) && t.isSync(2) && !t.isSync(3))
+    // absent stss: every sample is sync (§8.6.2)
+    val tAll = Mp4.parseMp4(mk(None)).get.tracks.head
+    assert(tAll.syncSamples.isEmpty && (0 until 4).forall(tAll.isSync))
+    // an EMPTY stss is valid and means NO sync samples
+    val tNone = Mp4.parseMp4(mk(Some(Array.empty[Int]))).get.tracks.head
+    assert(tNone.syncSamples.exists(_.isEmpty) && (0 until 4).forall(i => !tNone.isSync(i)))
+    // --- strict rejects ---
+    assert(Mp4.parseMp4(mk(Some(Array(0, 2)))).isEmpty, "sample number 0 accepted")
+    assert(Mp4.parseMp4(mk(Some(Array(3, 2)))).isEmpty, "non-increasing accepted")
+    assert(Mp4.parseMp4(mk(Some(Array(2, 2)))).isEmpty, "duplicate entry accepted")
+    assert(Mp4.parseMp4(mk(Some(Array(1, 5)))).isEmpty, "entry past sample count accepted")
+    // entry_count overrunning the box
+    val good = mk(Some(Array(1, 3)))
+    var sp = -1; var i = 0
+    while (i < good.length - 4 && sp < 0) {
+      if (good(i) == 's' && good(i + 1) == 't' && good(i + 2) == 's' && good(i + 3) == 's') sp = i
+      i += 1
+    }
+    assert(sp > 0, "stss not found")
+    val overrun = good.clone(); overrun(sp + 4 + 4 + 3) = 9 // count 2 -> 9
+    assert(Mp4.parseMp4(overrun).isEmpty, "overrunning stss accepted")
+    // duplicate stss BOX: wrap a second copy is awkward — corrupt version
+    val badVer = good.clone(); badVer(sp + 4) = 1
+    assert(Mp4.parseMp4(badVer).isEmpty, "stss version 1 accepted")
+
+    // --- keyframe decode path: only sync samples decode ---
+    val (spsB, ppsB) = (H264.encodeSps(66, 30, spsId = 0,
+      log2MaxFrameNumMinus4 = 0, poc = 0, maxRef = 1, pwMbsMinus1 = 1,
+      phMapMinus1 = 1, frameMbsOnly = true, crop = None),
+      H264.encodePps(ppsId = 0, spsId = 0, cabac = false, picInitQp = 26))
+    val sps = H264.parseSps(spsB).get; val pps = H264.parsePps(ppsB).get
+    val mbs = Seq.fill(4)(H264Cavlc.I16MbSpec(2, 0, 0,
+      new Array[Int](16), Array.fill(16)(new Array[Int](15))))
+    val rbsp = H264Cavlc.encodeI16x16Slice(sps, pps, 3, idr = true, 0, 0, 0, 0,
+      mbs, H264Cavlc.fixtureTables)
+    val cfg = H264Mp4.parseAvcc(H264Mp4.encodeStsdAvc1(32, 32,
+      H264Mp4.encodeAvcc(66, 30, 4, Seq(H264Mp4.nalUnit(3, 7, spsB)),
+        Seq(H264Mp4.nalUnit(3, 8, ppsB))))).get
+    val iSample = H264Mp4.sampleOf(4, Seq(H264Mp4.nalUnit(3, 5, rbsp)))
+    // a P slice (slice_type 0): the intra parsers strict-reject it
+    val pSample = H264Mp4.sampleOf(4,
+      Seq(H264Mp4.nalUnit(2, 1, Array[Byte](0xC0.toByte, 0x00))))
+    assert(H264Mp4.decodeSamplePicture(pSample, cfg, sps, pps,
+      H264Cavlc.fixtureTables, H264Cabac.fixtureTables).isEmpty,
+      "P slice decoded by the intra path")
+    assert(H264Mp4.decodeSamplePicture(iSample, cfg, sps, pps,
+      H264Cavlc.fixtureTables, H264Cabac.fixtureTables).nonEmpty)
+    // per-track sync filter is what makes the mixed file usable:
+    // samples [I P I P], stss {1, 3} -> keyframe walk decodes 0 and 2
+    val mixed = Seq(iSample, pSample, iSample, pSample)
+    val file = Mp4.encodeMp4(32, 32, 1000L, 4L, 4, 0,
+      mixed.flatten.toArray, stsd = H264Mp4.encodeStsdAvc1(32, 32,
+        H264Mp4.encodeAvcc(66, 30, 4, Seq(H264Mp4.nalUnit(3, 7, spsB)),
+          Seq(H264Mp4.nalUnit(3, 8, ppsB)))),
+      perSampleSizes = Some(mixed.map(_.length).toArray),
+      syncSamples = Some(Array(1, 3)))
+    val movie = Mp4.parseMp4(file).get
+    val vt = movie.tracks.head
+    val decoded = vt.sampleSizes.indices.filter(vt.isSync).map { sIdx =>
+      val off = (vt.sampleOffsets(sIdx) - movie.mdatFileOffset).toInt
+      val s = java.util.Arrays.copyOfRange(movie.mdat, off, off + vt.sampleSizes(sIdx))
+      sIdx -> H264Mp4.decodeSamplePicture(s, cfg, sps, pps,
+        H264Cavlc.fixtureTables, H264Cabac.fixtureTables)
+    }
+    assert(decoded.map(_._1) == Seq(0, 2))
+    assert(decoded.forall(_._2.nonEmpty), "sync samples must decode")
+    // decode-everything on the same file fails on sample 1 — the
+    // all-or-nothing shape stss rescues
+    assert(vt.sampleSizes.indices.exists { sIdx =>
+      val off = (vt.sampleOffsets(sIdx) - movie.mdatFileOffset).toInt
+      val s = java.util.Arrays.copyOfRange(movie.mdat, off, off + vt.sampleSizes(sIdx))
+      H264Mp4.decodeSamplePicture(s, cfg, sps, pps,
+        H264Cavlc.fixtureTables, H264Cabac.fixtureTables).isEmpty
+    }, "the mixed file should NOT be fully decodable")
+  }
+
+  test("H264ValidationProbe: fixture streams align EXACT against their own decode as I420; a corrupted reference localizes the diff to its MB; rejects are named (round 17)") {
+    import graft.multimodal.{H264, H264Cavlc, H264Cabac}
+    import graft.tools.H264ValidationProbe
+    // a 2x2-MB CAVLC picture with crop (l=1, r=0, t=1, b=0) -> 30x30
+    val spsB = H264.encodeSps(66, 30, spsId = 0, log2MaxFrameNumMinus4 = 0,
+      poc = 0, maxRef = 1, pwMbsMinus1 = 1, phMapMinus1 = 1,
+      frameMbsOnly = true, crop = Some((1, 0, 1, 0)))
+    val ppsB = H264.encodePps(ppsId = 0, spsId = 0, cabac = false, picInitQp = 26)
+    val sps = H264.parseSps(spsB).get; val pps = H264.parsePps(ppsB).get
+    assert(sps.width == 30 && sps.height == 30)
+    val mbs = (0 until 4).map { m =>
+      H264Cavlc.I16MbSpec(2, 0, if (m == 0) 2 else 0,
+        Array.tabulate(16)(i => if ((i + m) % 5 == 0) 1 - (i % 3) else 0),
+        Array.fill(16)(new Array[Int](15)))
+    }
+    val rbsp = H264Cavlc.encodeI16x16Slice(sps, pps, 3, idr = true, 0, 0, 0, 0,
+      mbs, H264Cavlc.fixtureTables)
+    val stream = H264.annexB(Seq((3, 7, spsB), (3, 8, ppsB), (3, 5, rbsp)))
+    val (gotSps, pics) = H264ValidationProbe.decodePictures(stream,
+      H264Cavlc.fixtureTables, H264Cabac.fixtureTables)
+    assert(gotSps == sps && pics.length == 1 && pics.head.isRight)
+    val pic = pics.head.toOption.get
+    // reference I420 frame from the decode itself, at cropped geometry
+    val w = sps.width; val h = sps.height; val stride = 16 * pic.widthMbs
+    val ref = new Array[Byte](w * h + 2 * (w / 2) * (h / 2))
+    for (y <- 0 until h; x <- 0 until w)
+      ref(y * w + x) = pic.luma((y + 2 * sps.cropTop) * stride + x + 2 * sps.cropLeft).toByte
+    for (y <- 0 until h / 2; x <- 0 until w / 2) {
+      ref(w * h + y * (w / 2) + x) =
+        pic.cb((y + sps.cropTop) * (stride / 2) + x + sps.cropLeft).toByte
+      ref(w * h + (w / 2) * (h / 2) + y * (w / 2) + x) =
+        pic.cr((y + sps.cropTop) * (stride / 2) + x + sps.cropLeft).toByte
+    }
+    val rep = H264ValidationProbe.compareFrame(0, pic, sps, ref, 0)
+    assert(rep.firstDiff.isEmpty && rep.nExact == rep.nPx, s"not exact: $rep")
+    // corrupt one luma pixel inside MB (1,1): x=20,y=20 cropped ->
+    // uncropped (22,20) -> mb (1,1) = #3
+    val bad = ref.clone(); bad(20 * w + 20) = (bad(20 * w + 20) + 7).toByte
+    val rep2 = H264ValidationProbe.compareFrame(0, pic, sps, bad, 0)
+    val d = rep2.firstDiff.getOrElse(fail("diff not detected"))
+    assert(d.plane == "Y" && d.x == 20 && d.y == 20 && d.mbx == 1 && d.mby == 1
+      && d.mb == 3, s"bad localization: $d")
+    assert(rep2.nExact == rep2.nPx - 1)
+    // CABAC twin decodes through the same probe path
+    val ppsC = H264.encodePps(ppsId = 0, spsId = 0, cabac = true, picInitQp = 26)
+    val rbspC = H264Cabac.encodeISlice(sps, H264.parsePps(ppsC).get, 3,
+      idr = true, 0, 0, 0, 0, mbs, H264Cabac.fixtureTables)
+    val streamC = H264.annexB(Seq((3, 7, spsB), (3, 8, ppsC), (3, 5, rbspC)))
+    val (_, picsC) = H264ValidationProbe.decodePictures(streamC,
+      H264Cavlc.fixtureTables, H264Cabac.fixtureTables)
+    assert(picsC.length == 1 && picsC.head.isRight)
+    assert(picsC.head.toOption.get.luma.sameElements(pic.luma),
+      "cross-coder pixels must agree through the probe path")
+    // a P slice in the stream reports Left (named reject), not a crash
+    val streamP = H264.annexB(Seq((3, 7, spsB), (3, 8, ppsB),
+      (2, 1, Array[Byte](0xC8.toByte))))
+    val (_, picsP) = H264ValidationProbe.decodePictures(streamP,
+      H264Cavlc.fixtureTables, H264Cabac.fixtureTables)
+    assert(picsP.length == 1 && picsP.head.isLeft)
+    assert(picsP.head.swap.toOption.get.contains("strict-reject"))
   }
 
   test("h264 chroma: QP mapping, 2x2 Hadamard DC scaling, flat-128 and DC-impulse known answers (round 15)") {
