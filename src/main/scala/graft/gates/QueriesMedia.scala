@@ -1724,6 +1724,60 @@ private[graft] trait QueriesMedia { this: Queries.type =>
     graft.multimodal.Multimodal.mp4AacPcm(mp4ChunkedAssets(spark, dir))
       .toDF().orderBy(col("id"), col("channel"))
 
+  /** FRAGMENTED two-track MP4 fixtures (round 17 — moof/tfhd/trun, the
+    * DASH/CMAF shape streaming-derived corpora carry): the SAME
+    * video/audio content as the chunked gates (mp4H264SliceRbsp /
+    * mp4AacRawBlock — both oracles reused verbatim), but delivered as
+    * an init segment with EMPTY sample tables + mvex/trex followed by
+    * TWO moof+mdat fragments, one video + one audio sample per
+    * fragment, resolved through default-base-is-moof + trun
+    * data_offset/sizes/flags. The gates pin the fragment walk alone —
+    * a desynced trun offset mis-slices a sample and reddens both. */
+  private[graft] def mp4FragAssets(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val src = docsTbl(spark, dir).where(col("doc_id") < 4)
+      .select(col("doc_id")).as[Long]
+    src.mapPartitions(_.map { id =>
+      val (spsB, ppsB) = Mp4Fixtures.mp4H264SpsPps()
+      val sps = graft.multimodal.H264.parseSps(spsB).get
+      val pps = graft.multimodal.H264.parsePps(ppsB).get
+      val lengthSize = if (id % 2 == 0) 4 else 2
+      val avcc = graft.multimodal.H264Mp4.encodeAvcc(66, 30, lengthSize,
+        Seq(graft.multimodal.H264Mp4.nalUnit(3, 7, spsB)),
+        Seq(graft.multimodal.H264Mp4.nalUnit(3, 8, ppsB)))
+      val stsdV = graft.multimodal.H264Mp4.encodeStsdAvc1(32, 32, avcc)
+      val v = (0 until 2).map(sm => graft.multimodal.H264Mp4.sampleOf(
+        lengthSize, Seq(graft.multimodal.H264Mp4.nalUnit(3, 5,
+          Mp4Fixtures.mp4H264SliceRbsp(id, sm, sps, pps)))))
+      val a = (0 until 2).map(f => Mp4Fixtures.mp4AacRawBlock(id, f))
+      val asc = graft.multimodal.AacMp4.encodeAsc((id % 13).toInt, 1)
+      val stsdA = graft.multimodal.AacMp4.encodeStsdMp4a(1,
+        graft.multimodal.Aac.SampleRates((id % 13).toInt),
+        graft.multimodal.AacMp4.encodeEsds(asc))
+      val tracks = Seq(
+        graft.multimodal.Mp4.FragTrack(1, "vide", 32, 32, stsdV),
+        graft.multimodal.Mp4.FragTrack(2, "soun", 0, 0, stsdA))
+      val fragments = (0 until 2).map { f =>
+        (Seq(
+          graft.multimodal.Mp4.FragRun(1, Array(v(f).length), Array(true)),
+          graft.multimodal.Mp4.FragRun(2, Array(a(f).length), Array(true))),
+          (v(f) ++ a(f)).toArray)
+      }
+      graft.multimodal.Multimodal.Asset(id, "video",
+        graft.multimodal.Mp4.encodeMp4Frag(1000L, 2L, tracks, fragments), 0, 0)
+    })
+  }
+
+  private[graft] def multimodalMp4FragH264(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.mp4H264Pixels(mp4FragAssets(spark, dir),
+      graft.multimodal.H264Cavlc.fixtureTables,
+      graft.multimodal.H264Cabac.fixtureTables)
+      .toDF().orderBy(col("id"), col("sample"), col("mb"))
+
+  private[graft] def multimodalMp4FragAac(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.mp4AacPcm(mp4FragAssets(spark, dir))
+      .toDF().orderBy(col("id"), col("channel"))
+
   /** CHROMA-bearing Intra_16x16 pictures (late round 15): 2×2 MBs, all
     * four §8.3.4 chroma prediction modes in the dependency chain (mb0
     * DC, mb1 H, mb2 V, mb3 Plane), CBP chroma forced 2 with formula DC

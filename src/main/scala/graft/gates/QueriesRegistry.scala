@@ -2086,6 +2086,11 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
       Some(mp4H264OracleSql(4, "[0, 2]"))),
     "multimodal_mp4_chunks_h264" -> Q(multimodalMp4ChunksH264, Some(mp4H264OracleSql(4))),
     "multimodal_mp4_chunks_aac" -> Q(multimodalMp4ChunksAac, Some(mp4AacOracleSql(4))),
+    // fragmented MP4 (round 17): moof/tfhd/trun delivery of the SAME
+    // content as the chunked gates — oracles reused verbatim; the
+    // gates pin the fragment walk alone
+    "multimodal_mp4_frag_h264" -> Q(multimodalMp4FragH264, Some(mp4H264OracleSql(4))),
+    "multimodal_mp4_frag_aac" -> Q(multimodalMp4FragAac, Some(mp4AacOracleSql(4))),
     "multimodal_mp4_aac" -> Q(multimodalMp4Aac, Some(mp4AacOracleSql(6))),
     "multimodal_h264_i16_chroma" -> Q(multimodalH264I16Chroma, Some(
       // restates h264ChromaAssets' CHROMA decode end to end (late round

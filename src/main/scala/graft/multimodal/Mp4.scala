@@ -12,7 +12,12 @@ package graft.multimodal
   * Scope: 32-bit box sizes, `ftyp` + `moov`(`mvhd`, `trak`(`tkhd`,
   * `mdia`(`mdhd`, `hdlr`, `minf`/`stbl`(`stsd` raw, `stsz` uniform or
   * per-sample, `stsc` runs, `stco`/`co64`, `stss` sync samples))))
-  * + one `mdat`; version-0 full boxes. Multi-chunk tracks REQUIRE an stsc (ambiguous otherwise);
+  * + one `mdat` — OR (round 17) the FRAGMENTED shape: `moov` with
+  * empty sample tables + `mvex`/`trex`, then `moof`(`mfhd`,
+  * `traf`(`tfhd`, [`tfdt`], `trun`+)) + `mdat` per fragment (explicit
+  * base offsets only — base-data-offset-present or
+  * default-base-is-moof; sample sync from trun/tfhd/trex flags).
+  * Version-0 full boxes (trun also v1). Multi-chunk tracks REQUIRE an stsc (ambiguous otherwise);
   * a table whose chunks and samples do not tile each other exactly
   * rejects. Unknown boxes are
   * SKIPPED BY SIZE (that is the format's own extension contract —
@@ -57,8 +62,11 @@ object Mp4 {
   /** Parsed movie: ftyp major brand, mvhd timescale/duration, tracks in
     * file order, and the raw mdat payload (the codec-stub seam).
     * `mdatFileOffset` is the FILE offset of the mdat payload start —
-    * `track.firstChunkOffset − mdatFileOffset` rebases the stco table
-    * into `mdat`, which is what per-sample extraction slices with. */
+    * `track.sampleOffsets(i) − mdatFileOffset` rebases into `mdat`,
+    * which is what per-sample extraction slices with. For FRAGMENTED
+    * files (round 17) `mdat` is the whole file at offset 0 (samples
+    * span one mdat box per fragment; offsets stay absolute and the
+    * same rebase arithmetic works unchanged). */
   final case class Movie(majorBrand: String, timescale: Long, duration: Long,
                          tracks: Array[Track], mdat: Array[Byte],
                          mdatFileOffset: Long)
@@ -294,6 +302,147 @@ object Mp4 {
       true
     }
 
+    // §8.8.4/.7/.8 moof → traf → tfhd/trun (round 17). Appends each
+    // sample's (size, file offset, sync) to the per-track buffers.
+    def parseMoof(start: Int, end: Int): Boolean = {
+      val moofStart = start - 8L // box header precedes the payload
+      var seqSeen = false
+      val seenTraf = scala.collection.mutable.Set.empty[Long]
+      def parseTraf(s0: Int, e0: Int): Boolean = {
+        var tid = -1L
+        var base = -1L
+        var defSize = -1L; var defFlags = -1L
+        var cursor = -1L
+        var sawTrun = false
+        val ok = children(s0, e0) { (t, bs, be) =>
+          t match {
+            case "tfhd" =>
+              if (tid >= 0) return false // duplicate tfhd
+              if (be - bs < 8 || bytes(bs) != 0) return false // version 0
+              val flags = ((bytes(bs + 1) & 0xff) << 16) |
+                ((bytes(bs + 2) & 0xff) << 8) | (bytes(bs + 3) & 0xff)
+              tid = be32(bytes, bs + 4)
+              if (!trex.contains(tid)) return false // fragmented track REQUIRES trex
+              if (seenTraf.contains(tid)) return false // one traf per track per moof
+              seenTraf += tid
+              if ((flags & 0x10000) != 0) return false // duration-is-empty: out of scope
+              var p = bs + 8
+              if ((flags & 0x01) != 0) { // base_data_offset u64
+                if (p + 8 > be) return false
+                base = (be32(bytes, p) << 32) | be32(bytes, p + 4)
+                if (base < 0 || base > bytes.length) return false
+                p += 8
+              } else if ((flags & 0x20000) != 0) base = moofStart // default-base-is-moof
+              else return false // implicit previous-traf chaining: out of scope
+              if ((flags & 0x02) != 0) { // sample_description_index
+                if (p + 4 > be) return false
+                if (be32(bytes, p) != 1) return false // only stsd entry 1 decodable
+                p += 4
+              }
+              if ((flags & 0x08) != 0) { // default_sample_duration: unused
+                if (p + 4 > be) return false
+                p += 4
+              }
+              if ((flags & 0x10) != 0) { // default_sample_size
+                if (p + 4 > be) return false
+                defSize = be32(bytes, p)
+                if (defSize < 1 || defSize > bytes.length) return false
+                p += 4
+              }
+              if ((flags & 0x20) != 0) { // default_sample_flags
+                if (p + 4 > be) return false
+                defFlags = be32(bytes, p); p += 4
+              }
+              if (p != be) return false // tfhd must tile exactly
+              cursor = base
+              true
+            case "tfdt" =>
+              // baseMediaDecodeTime: structural parse only (v0 u32 / v1 u64)
+              if (tid < 0) return false
+              val v = if (be - bs >= 4) bytes(bs) & 0xff else return false
+              if (v > 1) return false
+              if (be - bs != (if (v == 1) 12 else 8)) return false
+              true
+            case "trun" =>
+              if (tid < 0) return false // tfhd must precede its truns
+              sawTrun = true
+              if (be - bs < 8) return false
+              val ver = bytes(bs) & 0xff
+              if (ver > 1) return false
+              val flags = ((bytes(bs + 1) & 0xff) << 16) |
+                ((bytes(bs + 2) & 0xff) << 8) | (bytes(bs + 3) & 0xff)
+              val n = be32(bytes, bs + 4)
+              if (n < 1 || n > bytes.length) return false
+              var p = bs + 8
+              if ((flags & 0x01) != 0) { // data_offset (SIGNED i32, base-relative)
+                if (p + 4 > be) return false
+                cursor = base + be32(bytes, p).toInt
+                p += 4
+              }
+              // absent data_offset: this run is contiguous after the
+              // previous run (cursor already points there)
+              var firstFlags = -1L
+              if ((flags & 0x04) != 0) {
+                if ((flags & 0x400) != 0) return false // both flag forms: malformed
+                if (p + 4 > be) return false
+                firstFlags = be32(bytes, p); p += 4
+              }
+              val (trexSize, trexFlags) = trex(tid)
+              val szB = fragSizes.getOrElseUpdate(tid, scala.collection.mutable.ArrayBuffer.empty)
+              val offB = fragOffs.getOrElseUpdate(tid, scala.collection.mutable.ArrayBuffer.empty)
+              val syB = fragSync.getOrElseUpdate(tid, scala.collection.mutable.ArrayBuffer.empty)
+              var i = 0L
+              while (i < n) {
+                if ((flags & 0x100) != 0) { // sample_duration: unused
+                  if (p + 4 > be) return false
+                  p += 4
+                }
+                val sz =
+                  if ((flags & 0x200) != 0) {
+                    if (p + 4 > be) return false
+                    val s = be32(bytes, p); p += 4; s
+                  } else if (defSize >= 0) defSize
+                  else trexSize
+                if (sz < 1 || sz > bytes.length) return false
+                val sfl =
+                  if ((flags & 0x400) != 0) {
+                    if (p + 4 > be) return false
+                    val f = be32(bytes, p); p += 4; f
+                  } else if (i == 0 && firstFlags >= 0) firstFlags
+                  else if (defFlags >= 0) defFlags
+                  else trexFlags
+                if ((flags & 0x800) != 0) { // cts offset: skipped (v1 signed)
+                  if (p + 4 > be) return false
+                  p += 4
+                }
+                szB += sz.toInt
+                offB += cursor
+                syB += ((sfl & 0x10000L) == 0L) // !sample_is_non_sync_sample
+                cursor += sz
+                i += 1
+              }
+              if (p != be) return false // trun must tile exactly
+              true
+            case _ => true // sbgp/sdtp/etc.: skipped
+          }
+        }
+        ok && tid >= 0 && sawTrun
+      }
+      children(start, end) { (t, bs, be) =>
+        t match {
+          case "mfhd" =>
+            if (be - bs != 8 || bytes(bs) != 0) false
+            else {
+              val seq = be32(bytes, bs + 4)
+              if (seqSeen || seq <= lastSeq) false // strictly increasing
+              else { lastSeq = seq; seqSeen = true; true }
+            }
+          case "traf" => parseTraf(bs, be)
+          case _ => true
+        }
+      } && seqSeen
+    }
+
     val ok = children(0, bytes.length) { (t, bs, be) =>
       t match {
         case "ftyp" =>
@@ -307,36 +456,103 @@ object Mp4 {
                 if (e2 - b2 < 24 || bytes(b2) != 0) false // version 0 only
                 else { mvTimescale = be32(bytes, b2 + 12); mvDuration = be32(bytes, b2 + 16); true }
               case "trak" => parseTrak(b2, e2)
+              case "mvex" =>
+                // §8.8.1 movie-extends: trex per fragmented track —
+                // (default_sample_size, default_sample_flags); duration
+                // unused, description index must be 1 (the only stsd
+                // entry the codec glue decodes)
+                children(b2, e2) { (t3, b3, e3) =>
+                  t3 match {
+                    case "trex" =>
+                      if (e3 - b3 != 24 || bytes(b3) != 0) false
+                      else {
+                        val id = be32(bytes, b3 + 4)
+                        if (trex.contains(id)) false // duplicate trex
+                        else if (be32(bytes, b3 + 8) != 1) false
+                        else {
+                          trex(id) = (be32(bytes, b3 + 16), be32(bytes, b3 + 20))
+                          true
+                        }
+                      }
+                    case _ => true // mehd etc.: skipped
+                  }
+                }
               case _ => true
             }
           }
-        case "mdat" =>
-          if (mdat != null) return None // one mdat in scope
-          mdat = java.util.Arrays.copyOfRange(bytes, bs, be)
-          mdatOff = bs
+        case "moof" =>
+          // §8.8 movie fragment (round 17): mfhd sequence + one traf
+          // per track, each tfhd/trun run appended to the track's
+          // resolved-offset surface — same strict-tiling discipline as
+          // stsc×stco. Scope: explicit base offsets only (base-data-
+          // offset-present or default-base-is-moof — the pre-2012
+          // implicit chaining rule strict-rejects), version-0 tfhd,
+          // trun v0/v1, one traf per track per moof.
+          nMoof += 1
+          if (!parseMoof(bs, be)) return None
           true
-        case _ => true // free/skip/unknown: skipped by size, by contract
+        case "mdat" =>
+          // one mdat for progressive files; fragmented files carry one
+          // per fragment — collect every payload range, decide at the end
+          if (mdat == null) {
+            mdat = java.util.Arrays.copyOfRange(bytes, bs, be)
+            mdatOff = bs
+          }
+          mdatRanges += ((bs.toLong, be.toLong))
+          true
+        case _ => true // free/skip/styp/unknown: skipped by size, by contract
       }
     }
-    if (!ok || brand == null || mvTimescale < 0 || mdat == null || tracks.isEmpty)
+    if (!ok || brand == null || mvTimescale < 0 || mdatRanges.isEmpty || tracks.isEmpty)
       return None
-    // every resolved sample must land INSIDE the mdat payload —
-    // validated per sample (round 16: the stsc×stco resolution makes
-    // the old per-track contiguous-run check both too weak for
-    // interleaved layouts and unnecessary), so a desynced table is a
-    // parse error, not a misread
-    val total = tracks.map(_.sampleSizes.map(_.toLong).sum).sum
-    tracks.foreach { t =>
-      var i = 0
-      while (i < t.sampleOffsets.length) {
-        val off = t.sampleOffsets(i)
-        if (off < mdatOff || off + t.sampleSizes(i) > mdatOff + mdat.length)
-          return None
-        i += 1
+    if (nMoof == 0) {
+      if (mdatRanges.length != 1) return None // one mdat for progressive files
+      // every resolved sample must land INSIDE the mdat payload —
+      // validated per sample (round 16: the stsc×stco resolution makes
+      // the old per-track contiguous-run check both too weak for
+      // interleaved layouts and unnecessary), so a desynced table is a
+      // parse error, not a misread
+      val total = tracks.map(_.sampleSizes.map(_.toLong).sum).sum
+      tracks.foreach { t =>
+        var i = 0
+        while (i < t.sampleOffsets.length) {
+          val off = t.sampleOffsets(i)
+          if (off < mdatOff || off + t.sampleSizes(i) > mdatOff + mdat.length)
+            return None
+          i += 1
+        }
       }
+      if (total > mdat.length) return None
+      Some(Movie(brand, mvTimescale, mvDuration, tracks.toArray, mdat, mdatOff))
+    } else {
+      // FRAGMENTED assembly (round 17): pure-fragment scope — a moov
+      // carrying its own samples alongside moofs is out of scope (real
+      // DASH/CMAF init segments have empty tables), and tfhd dispatch
+      // needs unambiguous track ids. Every fragment sample must land
+      // inside ONE mdat payload (fragments each carry their own), and
+      // sync flags become an EXPLICIT stss-equivalent table.
+      if (tracks.exists(_.sampleSizes.nonEmpty)) return None
+      if (tracks.map(_.trackId).distinct.length != tracks.length) return None
+      if (fragSizes.keys.exists(id => !tracks.exists(_.trackId == id))) return None
+      val resolved = tracks.map { t =>
+        val sz = fragSizes.get(t.trackId).map(_.toArray).getOrElse(Array.empty[Int])
+        val off = fragOffs.get(t.trackId).map(_.toArray).getOrElse(Array.empty[Long])
+        val sy = fragSync.get(t.trackId).map(_.toArray).getOrElse(Array.empty[Boolean])
+        var i = 0
+        while (i < sz.length) {
+          if (!mdatRanges.exists { case (s, e) => off(i) >= s && off(i) + sz(i) <= e })
+            return None // sample outside every mdat payload: desynced offsets
+          i += 1
+        }
+        val syncIdx = sy.iterator.zipWithIndex.collect { case (true, j) => j + 1 }.toArray
+        t.copy(sampleSizes = sz, sampleOffsets = off,
+          firstChunkOffset = if (off.isEmpty) -1L else off(0),
+          syncSamples = Some(syncIdx))
+      }
+      // the payload surface spans multiple mdats → hand out the whole
+      // file at offset 0 (no copy; sample offsets are absolute)
+      Some(Movie(brand, mvTimescale, mvDuration, resolved.toArray, bytes, 0L))
     }
-    if (total > mdat.length) return None
-    Some(Movie(brand, mvTimescale, mvDuration, tracks.toArray, mdat, mdatOff))
   } catch { case _: Exception => None }
 
   /** Gate/fixture encoder (the operators only PARSE): a minimal valid
@@ -584,5 +800,147 @@ object Mp4 {
     }
     val probe = render(0L)
     render(probe.length - mdat.length) // mdat payload starts here
+  }
+
+  /** Init-segment track info for [[encodeMp4Frag]]. */
+  final case class FragTrack(trackId: Long, handler: String, width: Int,
+                             height: Int, stsd: Array[Byte])
+
+  /** One track's sample run inside one fragment: per-sample sizes and
+    * sync flags (true = sync; becomes trun sample_flags with bit
+    * 0x10000 = sample_is_non_sync_sample cleared/set). */
+  final case class FragRun(trackId: Long, sampleSizes: Array[Int],
+                           sync: Array[Boolean])
+
+  /** FRAGMENTED fixture encoder (round 17): `ftyp` + `moov` with EMPTY
+    * sample tables + `mvex`/`trex`, then per fragment a
+    * `moof`(`mfhd`, `traf`(`tfhd` default-base-is-moof, `trun` with
+    * explicit data_offset + per-sample sizes and flags)) + `mdat` —
+    * the DASH/CMAF single-file shape. Each fragment's runs tile its
+    * mdat payload exactly, in run order. Two-pass per moof: box sizes
+    * are offset-value-independent, so the first render measures the
+    * data offsets the second writes. */
+  def encodeMp4Frag(timescale: Long, duration: Long,
+                    tracks: Seq[FragTrack],
+                    fragments: Seq[(Seq[FragRun], Array[Byte])]): Array[Byte] = {
+    require(tracks.nonEmpty && fragments.nonEmpty)
+    require(tracks.map(_.trackId).distinct.length == tracks.length)
+    fragments.foreach { case (runs, payload) =>
+      require(runs.nonEmpty &&
+        runs.map(_.sampleSizes.map(_.toLong).sum).sum == payload.length,
+        "fragment runs must tile the mdat payload exactly")
+      runs.foreach(r => require(r.sync.length == r.sampleSizes.length))
+      require(runs.map(_.trackId).distinct.length == runs.length)
+      runs.foreach(r => require(tracks.exists(_.trackId == r.trackId)))
+    }
+    // a tiny self-contained writer per byte-level segment
+    final class W {
+      val out = new java.io.ByteArrayOutputStream()
+      def u32(v: Long): Unit = {
+        out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+        out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+      }
+      def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+      def box(t: String)(body: => Unit): Unit = {
+        val mark = out.size()
+        u32(0); ascii(t)
+        body
+        val b = out.toByteArray
+        val size = b.length - mark
+        b(mark) = ((size >> 24) & 0xff).toByte
+        b(mark + 1) = ((size >> 16) & 0xff).toByte
+        b(mark + 2) = ((size >> 8) & 0xff).toByte
+        b(mark + 3) = (size & 0xff).toByte
+        out.reset(); out.write(b, 0, b.length)
+      }
+      def bytes: Array[Byte] = out.toByteArray
+    }
+    val w = new W
+    w.box("ftyp") { w.ascii("isom"); w.u32(512); w.ascii("isom"); w.ascii("iso2") }
+    w.box("moov") {
+      w.box("mvhd") {
+        w.u32(0); w.u32(0); w.u32(0)
+        w.u32(timescale); w.u32(duration)
+        w.u32(0x00010000)
+        w.out.write(0x01); w.out.write(0); w.out.write(0); w.out.write(0)
+        w.u32(0); w.u32(0)
+        Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(m => w.u32(m.toLong))
+        (0 until 6).foreach(_ => w.u32(0))
+        w.u32(tracks.map(_.trackId).max + 1)
+      }
+      tracks.foreach { t =>
+        w.box("trak") {
+          w.box("tkhd") {
+            w.u32(0x00000007); w.u32(0); w.u32(0)
+            w.u32(t.trackId); w.u32(0); w.u32(duration)
+            w.u32(0); w.u32(0); w.u32(0); w.u32(0)
+            Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(m => w.u32(m.toLong))
+            w.u32(t.width.toLong << 16); w.u32(t.height.toLong << 16)
+          }
+          w.box("mdia") {
+            w.box("mdhd") {
+              w.u32(0); w.u32(0); w.u32(0)
+              w.u32(timescale); w.u32(duration)
+              w.u32(0x55c40000)
+            }
+            w.box("hdlr") {
+              w.u32(0); w.u32(0); w.ascii(t.handler)
+              w.u32(0); w.u32(0); w.u32(0); w.out.write(0)
+            }
+            w.box("minf") {
+              w.box("stbl") {
+                if (t.stsd.nonEmpty) w.box("stsd") { w.out.write(t.stsd, 0, t.stsd.length) }
+                w.box("stsz") { w.u32(0); w.u32(0); w.u32(0) } // zero samples
+                w.box("stco") { w.u32(0); w.u32(0) }           // zero chunks
+              }
+            }
+          }
+        }
+      }
+      w.box("mvex") {
+        tracks.foreach { t =>
+          w.box("trex") {
+            w.u32(0); w.u32(t.trackId)
+            w.u32(1) // default_sample_description_index
+            w.u32(0) // default_sample_duration
+            w.u32(0) // default_sample_size (fixture truns are explicit)
+            w.u32(0x00010000L) // default flags: non-sync (truns override)
+          }
+        }
+      }
+    }
+    var seq = 1L
+    fragments.foreach { case (runs, payload) =>
+      val runOff = runs.scanLeft(0L)((a, r) => a + r.sampleSizes.map(_.toLong).sum)
+      def moofBytes(dataOff: Int => Long): Array[Byte] = {
+        val m = new W
+        m.box("moof") {
+          m.box("mfhd") { m.u32(0); m.u32(seq) }
+          runs.zipWithIndex.foreach { case (r, ri) =>
+            m.box("traf") {
+              m.box("tfhd") {
+                m.u32(0x00020000L) // version 0, default-base-is-moof
+                m.u32(r.trackId)
+              }
+              m.box("trun") {
+                m.u32(0x601) // version 0; data-offset + size + flags present
+                m.u32(r.sampleSizes.length.toLong)
+                m.u32(dataOff(ri)) // SIGNED, but fixture offsets are positive
+                r.sampleSizes.zip(r.sync).foreach { case (sz, sy) =>
+                  m.u32(sz.toLong)
+                  m.u32(if (sy) 0L else 0x00010000L)
+                }
+              }
+            }
+          }
+        }
+        m.bytes
+      }
+      val moofSize = moofBytes(_ => 0L).length
+      w.out.write(moofBytes(ri => moofSize + 8L + runOff(ri)), 0, moofSize)
+      w.box("mdat") { w.out.write(payload, 0, payload.length) }
+      seq += 1
+    }
+    w.bytes
   }
 }

@@ -4060,6 +4060,86 @@ class MultimodalSpec extends AnyFunSuite {
     }, "the mixed file should NOT be fully decodable")
   }
 
+  test("mp4 fragmented: moof/tfhd/trun resolve per-fragment samples; sync flags become stss-equivalent; desyncs and out-of-scope shapes reject (round 17)") {
+    import graft.multimodal.Mp4
+    val v = Seq(Array.tabulate(40)(i => (i + 1).toByte),
+      Array.tabulate(56)(i => (i + 101).toByte))
+    val a = Seq(Array.tabulate(24)(i => (i + 61).toByte),
+      Array.tabulate(16)(i => (i + 86).toByte))
+    val tracks = Seq(Mp4.FragTrack(1, "vide", 16, 16, Array.empty),
+      Mp4.FragTrack(2, "soun", 0, 0, Array.empty))
+    def frag(syncV: Array[Boolean]) = (0 until 2).map { f =>
+      (Seq(Mp4.FragRun(1, Array(v(f).length), Array(syncV(f))),
+        Mp4.FragRun(2, Array(a(f).length), Array(true))),
+        (v(f) ++ a(f)).toArray)
+    }
+    val file = Mp4.encodeMp4Frag(1000L, 2L, tracks, frag(Array(true, false)))
+    val m = Mp4.parseMp4(file).getOrElse(fail("fragmented file must parse"))
+    assert(m.mdatFileOffset == 0 && (m.mdat eq null) == false)
+    val vt = m.tracks.find(_.kind == "vide").get
+    val at = m.tracks.find(_.kind == "soun").get
+    def slice(t: Mp4.Track, i: Int): Array[Byte] = {
+      val s = (t.sampleOffsets(i) - m.mdatFileOffset).toInt
+      java.util.Arrays.copyOfRange(m.mdat, s, s + t.sampleSizes(i))
+    }
+    for (i <- 0 until 2) {
+      assert(slice(vt, i).sameElements(v(i)), s"video sample $i mis-sliced")
+      assert(slice(at, i).sameElements(a(i)), s"audio sample $i mis-sliced")
+    }
+    // sync flags -> explicit stss-equivalent: video sample 2 non-sync
+    assert(vt.syncSamples.exists(_.sameElements(Array(1))))
+    assert(vt.isSync(0) && !vt.isSync(1))
+    assert(at.syncSamples.exists(_.sameElements(Array(1, 2))))
+    // ---- strict rejects, byte-level where the encoder can't express ----
+    def findNth(b: Array[Byte], t: String, nth: Int): Int = {
+      var found = 0; var i = 0
+      while (i < b.length - 4) {
+        if (b(i) == t(0) && b(i + 1) == t(1) && b(i + 2) == t(2) && b(i + 3) == t(3)) {
+          found += 1
+          if (found == nth) return i
+        }
+        i += 1
+      }
+      -1
+    }
+    // second mfhd sequence number not increasing
+    val mf2 = findNth(file, "mfhd", 2); assert(mf2 > 0)
+    val badSeq = file.clone(); badSeq(mf2 + 4 + 4 + 3) = 1 // seq 2 -> 1
+    assert(Mp4.parseMp4(badSeq).isEmpty, "non-increasing mfhd accepted")
+    // tfhd without any base form (clear default-base-is-moof)
+    val tf1 = findNth(file, "tfhd", 1); assert(tf1 > 0)
+    val noBase = file.clone(); noBase(tf1 + 4 + 1) = 0 // flags 0x020000 -> 0
+    assert(Mp4.parseMp4(noBase).isEmpty, "implicit base chaining accepted")
+    // trun data_offset pushed past the fragment's mdat
+    val tr1 = findNth(file, "trun", 1); assert(tr1 > 0)
+    val farOff = file.clone()
+    farOff(tr1 + 4 + 4 + 4 + 2) = 0x7f.toByte // data_offset huge
+    assert(Mp4.parseMp4(farOff).isEmpty, "sample outside every mdat accepted")
+    // init-segment sample tables must stay consistent: a corrupted
+    // stsz count (1 sample claimed, no entry table, no chunks) rejects
+    val stz = findNth(file, "stsz", 1); assert(stz > 0)
+    val withSamples = file.clone(); withSamples(stz + 4 + 4 + 4 + 3) = 1
+    assert(Mp4.parseMp4(withSamples).isEmpty,
+      "desynced init stsz accepted")
+    // unknown track id in tfhd
+    val badTid = file.clone(); badTid(tf1 + 4 + 4 + 3) = 9 // track 1 -> 9
+    assert(Mp4.parseMp4(badTid).isEmpty, "traf for unknown track accepted")
+    // trex removed (rename to free): fragmented track REQUIRES trex
+    val tx1 = findNth(file, "trex", 1); assert(tx1 > 0)
+    val noTrex = file.clone()
+    noTrex(tx1) = 'f'; noTrex(tx1 + 1) = 'r'; noTrex(tx1 + 2) = 'e'; noTrex(tx1 + 3) = 'e'
+    assert(Mp4.parseMp4(noTrex).isEmpty, "traf without trex accepted")
+    // trun trailing bytes (count 1 -> 0 leaves the sample entry dangling)
+    val shortTrun = file.clone(); shortTrun(tr1 + 4 + 4 + 3) = 0
+    assert(Mp4.parseMp4(shortTrun).isEmpty, "non-tiling trun accepted")
+    // encoder-level: duplicate traf per track in one moof refuses
+    intercept[IllegalArgumentException](Mp4.encodeMp4Frag(1000L, 2L, tracks,
+      Seq((Seq(Mp4.FragRun(1, Array(4), Array(true)),
+        Mp4.FragRun(1, Array(4), Array(true))), new Array[Byte](8)))))
+    // keyframe filter composes: the video track's only sync sample is 0
+    assert(vt.sampleSizes.indices.filter(vt.isSync) == Seq(0))
+  }
+
   test("H264ValidationProbe: fixture streams align EXACT against their own decode as I420; a corrupted reference localizes the diff to its MB; rejects are named (round 17)") {
     import graft.multimodal.{H264, H264Cavlc, H264Cabac}
     import graft.tools.H264ValidationProbe
