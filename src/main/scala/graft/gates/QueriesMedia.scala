@@ -1461,6 +1461,71 @@ private[graft] trait QueriesMedia { this: Queries.type =>
       graft.multimodal.H264Cavlc.fixtureTables)
       .toDF().orderBy(col("id"), col("mb"))
 
+  /** Intra_8x8 pictures (round 17 — the High-profile I-frame rung):
+    * the i4x4 gate's shape under a transform_8x8 PPS — mb0 a flat-128
+    * zero-residual I16 DC MB, mbs 1..3 Intra_8x8 with
+    * transform_size_8x8_flag = 1, four §8.3.2 modes per MB chosen
+    * availability-legal by closed form, and sparse formula residuals
+    * in 8x8 zig-zag scan order:
+    *   slice qp = 20 + (5·id)%12;  qpDelta(m) = ((id+m)%5)−2
+    *   mode(m=1, by=0) = [1,2,8][(id+b)%3]
+    *   mode(m=2, bx=0) = [0,2,3,7][(id+b)%4]
+    *   mode(m=2, else) = (id+1+3b)%9;  mode(m∈{1,3}, else) = (id+3b)%9
+    *   scan64(m)(b)(p) = ((id + m·(p+3) + b)%5)−2
+    *                      iff (id+m+b+p)%13 = 0, forceCbpLuma 15.
+    * The oracle restates the §8.3.2.2.1 reference FILTERING (the 121
+    * low-pass that distinguishes 8x8 prediction from its 4x4 twins),
+    * all nine mode formulas, normAdjust8x8 dequant (both qp branches)
+    * and the two-pass 8-point butterfly — hash-exact integers. */
+  private[graft] def h264I8x8Assets(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val src = docsTbl(spark, dir).where(col("doc_id") < 4)
+      .select(col("doc_id")).as[Long]
+    src.mapPartitions(_.map { id =>
+      val spsB = graft.multimodal.H264.encodeSps(
+        100, 40, spsId = 0, log2MaxFrameNumMinus4 = 0, poc = 0,
+        maxRef = 1, pwMbsMinus1 = 1, phMapMinus1 = 1,
+        frameMbsOnly = true, crop = None)
+      val ppsB = graft.multimodal.H264.encodePps(
+        ppsId = 0, spsId = 0, cabac = false, picInitQp = 26,
+        transform8x8 = true)
+      val sps = graft.multimodal.H264.parseSps(spsB).get
+      val pps = graft.multimodal.H264.parsePps(ppsB).get
+      val qp = (20 + (5 * id) % 12).toInt
+      def mode(m: Int, b: Int): Int = {
+        val bx = b % 2; val by = b / 2
+        if (m == 1 && by == 0) Seq(1, 2, 8)(((id + b) % 3).toInt)
+        else if (m == 2 && bx == 0) Seq(0, 2, 3, 7)(((id + b) % 4).toInt)
+        else if (m == 2) ((id + 1 + 3 * b) % 9).toInt
+        else ((id + 3 * b) % 9).toInt
+      }
+      val mb0 = graft.multimodal.H264Cavlc.I16MbSpec(2, 0, 0,
+        new Array[Int](16), Array.fill(16)(new Array[Int](15)))
+      val i8 = (1 to 3).map { m =>
+        graft.multimodal.H264Cavlc.I8x8MbSpec(
+          Array.tabulate(4)(mode(m, _)), 0, ((id + m) % 5).toInt - 2,
+          Array.tabulate(4, 64)((b, p) =>
+            if ((id + m + b + p) % 13 == 0)
+              ((id + m * (p + 3) + b) % 5).toInt - 2
+            else 0).map(_.toArray),
+          forceCbpLuma = Some(15))
+      }
+      val slice = graft.multimodal.H264Cavlc.encodeI16x16Slice(
+        sps, pps, nalRefIdc = 3, idr = true,
+        frameNum = (id % 16).toInt, idrPicId = (id % 5).toInt,
+        pocLsb = (id % 16).toInt, sliceQpDelta = qp - 26, mb0 +: i8,
+        tables = graft.multimodal.H264Cavlc.fixtureTables)
+      graft.multimodal.Multimodal.Asset(id, "video",
+        graft.multimodal.H264.annexB(
+          Seq((3, 7, spsB), (3, 8, ppsB), (3, 5, slice))), 0, 0)
+    })
+  }
+
+  private[graft] def multimodalH264I8x8(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.h264I4x4Luma(h264I8x8Assets(spark, dir),
+      graft.multimodal.H264Cavlc.fixtureTables)
+      .toDF().orderBy(col("id"), col("mb"))
+
   /** CABAC arithmetic-CORE gate (round 16, r15 VERDICT #2's
     * "stage-by-stage" pin): a deterministic schedule of DecodeDecision
     * (two contexts, 40/41) and DecodeBypass steps over md5-chain

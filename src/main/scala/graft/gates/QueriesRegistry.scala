@@ -1788,6 +1788,316 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
            |  min_luma::INT AS min_luma, max_luma::INT AS max_luma
            |FROM (SELECT * FROM mb0 UNION ALL SELECT * FROM i4rows)
            |ORDER BY id, mb""".stripMargin)),
+    "multimodal_h264_i8x8" -> Q(multimodalH264I8x8, Some(
+      // restates h264I8x8Assets' Intra_8x8 decode end to end (round
+      // 17 — the High-profile I-frame rung): mb0 a flat-128 I16 DC MB,
+      // mbs 1..3 walked RECURSIVELY one 8x8 block per iteration,
+      // restating the §8.3.2.2.1 reference FILTERING (the 121 low-pass
+      // over top/left/corner with end clamps and the substitution-
+      // then-filter top-right rule), all nine §8.3.2 prediction
+      // formulas over the FILTERED refs (corner-index −1 arms
+      // included), the §8.5.13.1 normAdjust8x8 dequant with BOTH qp
+      // branches (the rounding-add below qp 36, the shift at/above),
+      // and the §8.5.13.2 two-pass 8-point integer butterfly. All
+      // integers: hash-exact.
+      raw"""WITH RECURSIVE ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 4),
+           |qps AS (SELECT id, 20 + (5*id) % 12 AS qp0,
+           |  20 + (5*id) % 12 + (id+1)%5 - 2 AS qp1,
+           |  20 + (5*id) % 12 + (id+1)%5 - 2 + (id+2)%5 - 2 AS qp2,
+           |  20 + (5*id) % 12 + (id+1)%5 - 2 + (id+2)%5 - 2 + (id+3)%5 - 2 AS qp3
+           | FROM ids),
+           |cst AS (SELECT
+           |  [0,1,8,16,9,2,3,10,17,24,32,25,18,11,4,5,12,19,26,33,40,48,41,34,
+           |   27,20,13,6,7,14,21,28,35,42,49,56,57,50,43,36,29,22,15,23,30,37,
+           |   44,51,58,59,52,45,38,31,39,46,53,60,61,54,47,55,62,63] AS zz8,
+           |  [[20,18,32,19,25,24],[22,19,35,21,28,26],[26,23,42,24,33,31],
+           |   [28,25,45,26,35,33],[32,28,51,30,40,38],[36,32,58,34,46,43]] AS v8,
+           |  [0,3,4,3,3,1,5,1,4,5,2,5,3,1,5,1] AS cp),
+           |geo AS (
+           |  SELECT i.id, k.k, 1 + k.k // 4 AS m, k.k % 4 AS b,
+           |    (k.k % 4) % 2 AS bx, (k.k % 4) // 2 AS by
+           |  FROM ids i, (SELECT unnest(range(0, 12)) AS k) k),
+           |geo2 AS (
+           |  SELECT id, k, m, b, 2*(m % 2) + bx AS gx8, 2*(m // 2) + by AS gy8,
+           |    CASE WHEN m = 1 AND by = 0 THEN
+           |           (CASE (id + b) % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 8 END)
+           |         WHEN m = 2 AND bx = 0 THEN
+           |           (CASE (id + b) % 4 WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 3 ELSE 7 END)
+           |         WHEN m = 2 THEN (id + 1 + 3*b) % 9
+           |         ELSE (id + 3*b) % 9 END AS md
+           |  FROM geo),
+           |geoq AS (
+           |  SELECT g.*, g.gx8 > 0 AS hl, g.gy8 > 0 AS ht,
+           |    g.gx8 > 0 AND g.gy8 > 0 AS hc,
+           |    g.gy8 > 0 AND g.gx8 + 1 < 4 AND
+           |      (2*((g.gy8-1) // 2) + (g.gx8+1) // 2)*4
+           |        + ((g.gy8-1) % 2)*2 + (g.gx8+1) % 2
+           |      < (2*(g.gy8 // 2) + g.gx8 // 2)*4 + (g.gy8 % 2)*2 + g.gx8 % 2 AS htr,
+           |    CASE g.m WHEN 1 THEN q.qp1 WHEN 2 THEN q.qp2 ELSE q.qp3 END AS qp
+           |  FROM geo2 g JOIN qps q ON q.id = g.id),
+           |deq AS (SELECT g.id, g.k,
+           |    list_transform(range(0, 64), ri ->
+           |      CASE WHEN g.qp >= 36 THEN
+           |        (CASE WHEN (g.id + g.m + g.b + (list_position(c.zz8, ri) - 1)) % 13 = 0
+           |              THEN ((g.id + g.m * ((list_position(c.zz8, ri) - 1) + 3) + g.b) % 5) - 2
+           |              ELSE 0 END)
+           |        * c.v8[g.qp % 6 + 1][c.cp[4*((ri//8) % 4) + (ri%8) % 4 + 1] + 1]
+           |        * CAST(pow(2, g.qp // 6 - 6) AS BIGINT)
+           |      ELSE
+           |        CAST(floor((
+           |          (CASE WHEN (g.id + g.m + g.b + (list_position(c.zz8, ri) - 1)) % 13 = 0
+           |                THEN ((g.id + g.m * ((list_position(c.zz8, ri) - 1) + 3) + g.b) % 5) - 2
+           |                ELSE 0 END)
+           |          * c.v8[g.qp % 6 + 1][c.cp[4*((ri//8) % 4) + (ri%8) % 4 + 1] + 1]
+           |          + CAST(pow(2, 5 - g.qp // 6) AS BIGINT)
+           |        ) / pow(2, 6 - g.qp // 6)) AS BIGINT)
+           |      END) AS d
+           |  FROM geoq g, cst c),
+           |ea AS (SELECT id, k,
+           |    list_transform(range(0, 64), i -> CASE i % 8
+           |      WHEN 0 THEN d[8*(i//8)+1] + d[8*(i//8)+5]
+           |      WHEN 1 THEN -d[8*(i//8)+4] + d[8*(i//8)+6] - d[8*(i//8)+8]
+           |                  - CAST(floor(d[8*(i//8)+8] / 2.0) AS BIGINT)
+           |      WHEN 2 THEN d[8*(i//8)+1] - d[8*(i//8)+5]
+           |      WHEN 3 THEN d[8*(i//8)+2] + d[8*(i//8)+8] - d[8*(i//8)+4]
+           |                  - CAST(floor(d[8*(i//8)+4] / 2.0) AS BIGINT)
+           |      WHEN 4 THEN CAST(floor(d[8*(i//8)+3] / 2.0) AS BIGINT) - d[8*(i//8)+7]
+           |      WHEN 5 THEN -d[8*(i//8)+2] + d[8*(i//8)+8] + d[8*(i//8)+6]
+           |                  + CAST(floor(d[8*(i//8)+6] / 2.0) AS BIGINT)
+           |      WHEN 6 THEN d[8*(i//8)+3] + CAST(floor(d[8*(i//8)+7] / 2.0) AS BIGINT)
+           |      ELSE d[8*(i//8)+4] + d[8*(i//8)+6] + d[8*(i//8)+2]
+           |                  + CAST(floor(d[8*(i//8)+2] / 2.0) AS BIGINT)
+           |      END) AS e
+           |  FROM deq),
+           |eb AS (SELECT id, k,
+           |    list_transform(range(0, 64), i -> CASE i % 8
+           |      WHEN 0 THEN e[8*(i//8)+1] + e[8*(i//8)+7]
+           |      WHEN 1 THEN e[8*(i//8)+2] + CAST(floor(e[8*(i//8)+8] / 4.0) AS BIGINT)
+           |      WHEN 2 THEN e[8*(i//8)+3] + e[8*(i//8)+5]
+           |      WHEN 3 THEN e[8*(i//8)+4] + CAST(floor(e[8*(i//8)+6] / 4.0) AS BIGINT)
+           |      WHEN 4 THEN e[8*(i//8)+3] - e[8*(i//8)+5]
+           |      WHEN 5 THEN CAST(floor(e[8*(i//8)+4] / 4.0) AS BIGINT) - e[8*(i//8)+6]
+           |      WHEN 6 THEN e[8*(i//8)+1] - e[8*(i//8)+7]
+           |      ELSE e[8*(i//8)+8] - CAST(floor(e[8*(i//8)+2] / 4.0) AS BIGINT)
+           |      END) AS f
+           |  FROM ea),
+           |ec AS (SELECT id, k,
+           |    list_transform(range(0, 64), i -> CASE i % 8
+           |      WHEN 0 THEN f[8*(i//8)+1] + f[8*(i//8)+8]
+           |      WHEN 1 THEN f[8*(i//8)+3] + f[8*(i//8)+6]
+           |      WHEN 2 THEN f[8*(i//8)+5] + f[8*(i//8)+4]
+           |      WHEN 3 THEN f[8*(i//8)+7] + f[8*(i//8)+2]
+           |      WHEN 4 THEN f[8*(i//8)+7] - f[8*(i//8)+2]
+           |      WHEN 5 THEN f[8*(i//8)+5] - f[8*(i//8)+4]
+           |      WHEN 6 THEN f[8*(i//8)+3] - f[8*(i//8)+6]
+           |      ELSE f[8*(i//8)+1] - f[8*(i//8)+8]
+           |      END) AS g
+           |  FROM eb),
+           |ca AS (SELECT id, k,
+           |    list_transform(range(0, 64), i -> CASE i // 8
+           |      WHEN 0 THEN g[i%8+1] + g[32+i%8+1]
+           |      WHEN 1 THEN -g[24+i%8+1] + g[40+i%8+1] - g[56+i%8+1]
+           |                  - CAST(floor(g[56+i%8+1] / 2.0) AS BIGINT)
+           |      WHEN 2 THEN g[i%8+1] - g[32+i%8+1]
+           |      WHEN 3 THEN g[8+i%8+1] + g[56+i%8+1] - g[24+i%8+1]
+           |                  - CAST(floor(g[24+i%8+1] / 2.0) AS BIGINT)
+           |      WHEN 4 THEN CAST(floor(g[16+i%8+1] / 2.0) AS BIGINT) - g[48+i%8+1]
+           |      WHEN 5 THEN -g[8+i%8+1] + g[56+i%8+1] + g[40+i%8+1]
+           |                  + CAST(floor(g[40+i%8+1] / 2.0) AS BIGINT)
+           |      WHEN 6 THEN g[16+i%8+1] + CAST(floor(g[48+i%8+1] / 2.0) AS BIGINT)
+           |      ELSE g[24+i%8+1] + g[40+i%8+1] + g[8+i%8+1]
+           |                  + CAST(floor(g[8+i%8+1] / 2.0) AS BIGINT)
+           |      END) AS e2
+           |  FROM ec),
+           |cb2 AS (SELECT id, k,
+           |    list_transform(range(0, 64), i -> CASE i // 8
+           |      WHEN 0 THEN e2[i%8+1] + e2[48+i%8+1]
+           |      WHEN 1 THEN e2[8+i%8+1] + CAST(floor(e2[56+i%8+1] / 4.0) AS BIGINT)
+           |      WHEN 2 THEN e2[16+i%8+1] + e2[32+i%8+1]
+           |      WHEN 3 THEN e2[24+i%8+1] + CAST(floor(e2[40+i%8+1] / 4.0) AS BIGINT)
+           |      WHEN 4 THEN e2[16+i%8+1] - e2[32+i%8+1]
+           |      WHEN 5 THEN CAST(floor(e2[24+i%8+1] / 4.0) AS BIGINT) - e2[40+i%8+1]
+           |      WHEN 6 THEN e2[i%8+1] - e2[48+i%8+1]
+           |      ELSE e2[56+i%8+1] - CAST(floor(e2[8+i%8+1] / 4.0) AS BIGINT)
+           |      END) AS f2
+           |  FROM ca),
+           |res8 AS (SELECT id, k,
+           |    list_transform(range(0, 64), i ->
+           |      CAST(floor(((CASE i // 8
+           |        WHEN 0 THEN f2[i%8+1] + f2[56+i%8+1]
+           |        WHEN 1 THEN f2[16+i%8+1] + f2[40+i%8+1]
+           |        WHEN 2 THEN f2[32+i%8+1] + f2[24+i%8+1]
+           |        WHEN 3 THEN f2[48+i%8+1] + f2[8+i%8+1]
+           |        WHEN 4 THEN f2[48+i%8+1] - f2[8+i%8+1]
+           |        WHEN 5 THEN f2[32+i%8+1] - f2[24+i%8+1]
+           |        WHEN 6 THEN f2[16+i%8+1] - f2[40+i%8+1]
+           |        ELSE f2[i%8+1] - f2[56+i%8+1]
+           |        END) + 32) / 64.0) AS BIGINT)) AS r
+           |  FROM cb2),
+           |walk AS (
+           |  SELECT id, 0 AS k, list_transform(range(0, 1024), i -> 128) AS p FROM ids
+           |  UNION ALL
+           |  SELECT s.id, s.k + 1,
+           |    list_transform(range(0, 1024), i ->
+           |      CASE WHEN (i % 32) // 8 = s.gx8 AND (i // 32) // 8 = s.gy8 THEN
+           |        greatest(0, least(255,
+           |          (CASE s.md
+           |            WHEN 0 THEN s.ft[(i%32)%8 + 1]
+           |            WHEN 1 THEN s.fl[(i//32)%8 + 1]
+           |            WHEN 2 THEN s.dcv
+           |            WHEN 3 THEN
+           |              CASE WHEN (i%32)%8 = 7 AND (i//32)%8 = 7
+           |                THEN (s.ft[15] + 3*s.ft[16] + 2)//4
+           |                ELSE (s.ft[(i%32)%8 + (i//32)%8 + 1]
+           |                    + 2*s.ft[(i%32)%8 + (i//32)%8 + 2]
+           |                    + s.ft[(i%32)%8 + (i//32)%8 + 3] + 2)//4 END
+           |            WHEN 4 THEN
+           |              CASE WHEN (i%32)%8 > (i//32)%8 THEN
+           |                ((CASE WHEN (i%32)%8 - (i//32)%8 = 1 THEN s.fc
+           |                       ELSE s.ft[(i%32)%8 - (i//32)%8 - 1] END)
+           |                 + 2*s.ft[(i%32)%8 - (i//32)%8]
+           |                 + s.ft[(i%32)%8 - (i//32)%8 + 1] + 2)//4
+           |              WHEN (i%32)%8 < (i//32)%8 THEN
+           |                ((CASE WHEN (i//32)%8 - (i%32)%8 = 1 THEN s.fc
+           |                       ELSE s.fl[(i//32)%8 - (i%32)%8 - 1] END)
+           |                 + 2*s.fl[(i//32)%8 - (i%32)%8]
+           |                 + s.fl[(i//32)%8 - (i%32)%8 + 1] + 2)//4
+           |              ELSE (s.ft[1] + 2*s.fc + s.fl[1] + 2)//4 END
+           |            WHEN 5 THEN
+           |              CASE WHEN 2*((i%32)%8) - (i//32)%8 >= 0
+           |                    AND (2*((i%32)%8) - (i//32)%8) % 2 = 0 THEN
+           |                ((CASE WHEN (i%32)%8 - ((i//32)%8)//2 - 1 = -1 THEN s.fc
+           |                       ELSE s.ft[(i%32)%8 - ((i//32)%8)//2] END)
+           |                 + s.ft[(i%32)%8 - ((i//32)%8)//2 + 1] + 1)//2
+           |              WHEN 2*((i%32)%8) - (i//32)%8 >= 1 THEN
+           |                ((CASE WHEN (i%32)%8 - ((i//32)%8)//2 - 2 = -1 THEN s.fc
+           |                       ELSE s.ft[(i%32)%8 - ((i//32)%8)//2 - 1] END)
+           |                 + 2*s.ft[(i%32)%8 - ((i//32)%8)//2]
+           |                 + s.ft[(i%32)%8 - ((i//32)%8)//2 + 1] + 2)//4
+           |              WHEN 2*((i%32)%8) - (i//32)%8 = -1 THEN
+           |                (s.fl[1] + 2*s.fc + s.ft[1] + 2)//4
+           |              ELSE
+           |                (s.fl[(i//32)%8 - 2*((i%32)%8)]
+           |                 + 2*s.fl[(i//32)%8 - 2*((i%32)%8) - 1]
+           |                 + (CASE WHEN (i//32)%8 - 2*((i%32)%8) - 3 = -1 THEN s.fc
+           |                         ELSE s.fl[(i//32)%8 - 2*((i%32)%8) - 2] END) + 2)//4 END
+           |            WHEN 6 THEN
+           |              CASE WHEN 2*((i//32)%8) - (i%32)%8 >= 0
+           |                    AND (2*((i//32)%8) - (i%32)%8) % 2 = 0 THEN
+           |                ((CASE WHEN (i//32)%8 - ((i%32)%8)//2 - 1 = -1 THEN s.fc
+           |                       ELSE s.fl[(i//32)%8 - ((i%32)%8)//2] END)
+           |                 + s.fl[(i//32)%8 - ((i%32)%8)//2 + 1] + 1)//2
+           |              WHEN 2*((i//32)%8) - (i%32)%8 >= 1 THEN
+           |                ((CASE WHEN (i//32)%8 - ((i%32)%8)//2 - 2 = -1 THEN s.fc
+           |                       ELSE s.fl[(i//32)%8 - ((i%32)%8)//2 - 1] END)
+           |                 + 2*s.fl[(i//32)%8 - ((i%32)%8)//2]
+           |                 + s.fl[(i//32)%8 - ((i%32)%8)//2 + 1] + 2)//4
+           |              WHEN 2*((i//32)%8) - (i%32)%8 = -1 THEN
+           |                (s.fl[1] + 2*s.fc + s.ft[1] + 2)//4
+           |              ELSE
+           |                (s.ft[(i%32)%8 - 2*((i//32)%8)]
+           |                 + 2*s.ft[(i%32)%8 - 2*((i//32)%8) - 1]
+           |                 + (CASE WHEN (i%32)%8 - 2*((i//32)%8) - 3 = -1 THEN s.fc
+           |                         ELSE s.ft[(i%32)%8 - 2*((i//32)%8) - 2] END) + 2)//4 END
+           |            WHEN 7 THEN
+           |              CASE WHEN ((i//32)%8) % 2 = 0 THEN
+           |                (s.ft[(i%32)%8 + ((i//32)%8)//2 + 1]
+           |                 + s.ft[(i%32)%8 + ((i//32)%8)//2 + 2] + 1)//2
+           |              ELSE (s.ft[(i%32)%8 + ((i//32)%8)//2 + 1]
+           |                 + 2*s.ft[(i%32)%8 + ((i//32)%8)//2 + 2]
+           |                 + s.ft[(i%32)%8 + ((i//32)%8)//2 + 3] + 2)//4 END
+           |            ELSE
+           |              CASE WHEN (i%32)%8 + 2*((i//32)%8) > 13 THEN s.fl[8]
+           |              WHEN (i%32)%8 + 2*((i//32)%8) = 13 THEN (s.fl[7] + 3*s.fl[8] + 2)//4
+           |              WHEN ((i%32)%8 + 2*((i//32)%8)) % 2 = 0 THEN
+           |                (s.fl[(i//32)%8 + ((i%32)%8)//2 + 1]
+           |                 + s.fl[(i//32)%8 + ((i%32)%8)//2 + 2] + 1)//2
+           |              ELSE (s.fl[(i//32)%8 + ((i%32)%8)//2 + 1]
+           |                 + 2*s.fl[(i//32)%8 + ((i%32)%8)//2 + 2]
+           |                 + s.fl[(i//32)%8 + ((i%32)%8)//2 + 3] + 2)//4 END
+           |          END) + s.r[8*((i//32)%8) + (i%32)%8 + 1]))
+           |      ELSE s.p[i+1] END)
+           |  FROM (
+           |    SELECT v.id, v.k, v.p, v.gx8, v.gy8, v.md, v.r, v.ft, v.fl, v.fc,
+           |      CASE WHEN v.hl AND v.ht THEN
+           |             (list_sum(v.ft[1:8]) + list_sum(v.fl) + 8)//16
+           |           WHEN v.hl THEN (list_sum(v.fl) + 4)//8
+           |           WHEN v.ht THEN (list_sum(v.ft[1:8]) + 4)//8
+           |           ELSE 128 END AS dcv
+           |    FROM (
+           |      SELECT u.id, u.k, u.p, u.gx8, u.gy8, u.md, u.r, u.hl, u.ht, u.fc,
+           |        list_transform(range(0, 16), xx ->
+           |          CASE WHEN NOT u.ht THEN 0
+           |               WHEN xx = 0 THEN
+           |                 CASE WHEN u.hc THEN (u.rt[1] + 2*u.rt[2] + u.rt[3] + 2)//4
+           |                      ELSE (3*u.rt[2] + u.rt[3] + 2)//4 END
+           |               WHEN xx = 15 THEN (u.rt[16] + 3*u.rt[17] + 2)//4
+           |               ELSE (u.rt[xx+1] + 2*u.rt[xx+2] + u.rt[xx+3] + 2)//4 END) AS ft,
+           |        list_transform(range(0, 8), yy ->
+           |          CASE WHEN NOT u.hl THEN 0
+           |               WHEN yy = 0 THEN
+           |                 CASE WHEN u.hc THEN (u.rl[1] + 2*u.rl[2] + u.rl[3] + 2)//4
+           |                      ELSE (3*u.rl[2] + u.rl[3] + 2)//4 END
+           |               WHEN yy = 7 THEN (u.rl[8] + 3*u.rl[9] + 2)//4
+           |               ELSE (u.rl[yy+1] + 2*u.rl[yy+2] + u.rl[yy+3] + 2)//4 END) AS fl
+           |      FROM (
+           |        SELECT w.id, w.k, w.p, g.gx8, g.gy8, g.md, g.hl, g.ht, g.hc, r.r,
+           |          list_transform(range(-1, 16), xx ->
+           |            CASE WHEN NOT g.ht THEN 0
+           |                 WHEN xx = -1 THEN
+           |                   (CASE WHEN g.hc THEN w.p[(8*g.gy8 - 1)*32 + 8*g.gx8] ELSE 0 END)
+           |                 WHEN xx > 7 AND NOT g.htr THEN
+           |                   w.p[(8*g.gy8 - 1)*32 + 8*g.gx8 + 8]
+           |                 ELSE w.p[(8*g.gy8 - 1)*32 + 8*g.gx8 + xx + 1] END) AS rt,
+           |          list_transform(range(-1, 8), yy ->
+           |            CASE WHEN NOT g.hl THEN 0
+           |                 WHEN yy = -1 THEN
+           |                   (CASE WHEN g.hc THEN w.p[(8*g.gy8 - 1)*32 + 8*g.gx8] ELSE 0 END)
+           |                 ELSE w.p[(8*g.gy8 + yy)*32 + 8*g.gx8] END) AS rl,
+           |          -- filtered corner: hc in this geometry implies hl AND ht,
+           |          -- so only the both-available §8.3.2.2.1 arm is reachable
+           |          CASE WHEN g.hc THEN
+           |                 (w.p[(8*g.gy8 - 1)*32 + 8*g.gx8 + 1]
+           |                  + 2*w.p[(8*g.gy8 - 1)*32 + 8*g.gx8]
+           |                  + w.p[(8*g.gy8)*32 + 8*g.gx8] + 2)//4
+           |               ELSE 0 END AS fc
+           |        FROM walk w
+           |        JOIN geoq g ON g.id = w.id AND g.k = w.k
+           |        JOIN res8 r ON r.id = w.id AND r.k = w.k
+           |        WHERE w.k < 12
+           |      ) u
+           |    ) v
+           |  ) s),
+           |fin AS (SELECT id, p FROM walk WHERE k = 12),
+           |msum AS (SELECT id, m, SUM((b + 1) * md) AS mode_sum FROM geoq GROUP BY id, m),
+           |mbrows AS (
+           |  SELECT f.id, mm.m AS mb,
+           |    list_transform(range(0, 256), j ->
+           |      f.p[(16*(mm.m // 2) + j // 16) * 32 + 16*(mm.m % 2) + j % 16 + 1]) AS px
+           |  FROM fin f, (SELECT unnest(range(1, 4)) AS m) mm),
+           |i8rows AS (
+           |  SELECT r.id, r.mb, 2 AS is_i4x4, ms.mode_sum, 15 AS cbp_luma,
+           |    CASE r.mb WHEN 1 THEN q.qp1 WHEN 2 THEN q.qp2 ELSE q.qp3 END AS qp,
+           |    list_sum(r.px) AS sum_luma,
+           |    list_sum(list_transform(range(0, 256), j -> r.px[j+1] *
+           |      ((16*(r.mb // 2) + j // 16) * 32 + 16*(r.mb % 2) + j % 16 + 1))) AS wsum_luma,
+           |    list_aggregate(r.px, 'min') AS min_luma,
+           |    list_aggregate(r.px, 'max') AS max_luma
+           |  FROM mbrows r JOIN msum ms ON ms.id = r.id AND ms.m = r.mb
+           |  JOIN qps q ON q.id = r.id),
+           |mb0 AS (
+           |  SELECT id, 0 AS mb, 0 AS is_i4x4, 2 AS mode_sum, 0 AS cbp_luma,
+           |    qp0 AS qp, 128 * 256 AS sum_luma,
+           |    list_sum(list_transform(range(0, 256), j ->
+           |      128 * ((j // 16) * 32 + j % 16 + 1))) AS wsum_luma,
+           |    128 AS min_luma, 128 AS max_luma
+           |  FROM qps)
+           |SELECT id, mb::INT AS mb, is_i4x4::INT AS is_i4x4,
+           |  mode_sum::BIGINT AS mode_sum, cbp_luma::INT AS cbp_luma, qp::INT AS qp,
+           |  sum_luma::BIGINT AS sum_luma, wsum_luma::BIGINT AS wsum_luma,
+           |  min_luma::INT AS min_luma, max_luma::INT AS max_luma
+           |FROM (SELECT * FROM mb0 UNION ALL SELECT * FROM i8rows)
+           |ORDER BY id, mb""".stripMargin)),
     "multimodal_h264_cabac_core" -> Q(multimodalH264CabacCore, Some(
       // re-implements the §9.3.3.2 CABAC arithmetic decoding engine
       // STAGE BY STAGE in SQL (round 16, r15 VERDICT #2): context init

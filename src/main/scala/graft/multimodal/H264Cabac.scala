@@ -11,8 +11,10 @@ import scala.collection.mutable.ArrayBuffer
   * walks feeding the SAME reconstruction backend as [[H264Cavlc]]
   * (prediction, dequant, transforms — entropy-free §8.x code shared
   * verbatim). Scope mirrors the CAVLC parser: single-slice all-intra
-  * pictures mixing Intra_4x4 and Intra_16x16, 4:2:0, 8-bit,
-  * frame-coded; I_PCM, inter (P/B), and interlace strict-reject.
+  * pictures mixing Intra_4x4, Intra_8x8 (round 17 —
+  * transform_size_8x8_flag, cat-5 residuals) and Intra_16x16, 4:2:0,
+  * 8-bit, frame-coded; I_PCM, inter (P/B), and interlace
+  * strict-reject.
   *
   * TABLE PROVENANCE — the CavlcTables discipline: the CABAC state
   * machine's transcription data — Table 9-44 rangeTabLPS (64×4),
@@ -47,7 +49,9 @@ object H264Cabac {
     *  - `rangeTabLps(pState)(qIdx)`: Table 9-44, 64×4, each in 2..240;
     *  - `transIdxLps`/`transIdxMps`: Table 9-45, 64 entries in 0..63;
     *  - `ctxInit(ctxIdx)`: the (m, n) pair for every context index the
-    *    intra subset reads (0..398; 276 is the stateless terminate). */
+    *    intra subset reads (0..435 — round 17 extends past 398 for
+    *    transform_size_8x8_flag 399..401 and the cat-5 8x8 residual
+    *    contexts 402..435; 276 is the stateless terminate). */
   final case class CabacTables(rangeTabLps: Array[Array[Int]],
                                transIdxLps: Array[Int],
                                transIdxMps: Array[Int],
@@ -78,7 +82,7 @@ object H264Cabac {
       rangeTabLps = range.map(_.toArray),
       transIdxLps = Array.tabulate(64)(s => math.max(0, s - 2)),
       transIdxMps = Array.tabulate(64)(s => math.min(62, s + 1)),
-      ctxInit = (0 to 398).map(c => c -> ((c % 21) - 10, 50 + (c * 7) % 28)).toMap)
+      ctxInit = (0 to 435).map(c => c -> ((c % 21) - 10, 50 + (c * 7) % 28)).toMap)
   }
 
   /** Caller-supplied table spec (the Aac/Cavlc interchange discipline):
@@ -134,11 +138,37 @@ object H264Cabac {
   private val catCbf = Array(0, 4, 8, 12, 16)
   private val catSigLast = Array(0, 15, 29, 44, 47)
   private val catAbs = Array(0, 10, 20, 30, 39)
+  // ---- ctxBlockCat 5 (luma 8x8, round 17): its own context families,
+  // past the 0..398 block. transform_size_8x8_flag sits at 399..401.
+  private val CtxTransform8x8 = 399 // + condTermA + condTermB
+  private val CtxSig8x8 = 402       // significant_coeff_flag, frame 8x8
+  private val CtxLast8x8 = 417      // last_significant_coeff_flag, frame 8x8
+  private val CtxAbs8x8 = 426       // coeff_abs_level_minus1, cat 5
+  /** Table 9-43's frame-coded ctxIdxInc ASSIGNMENT maps for the 8x8
+    * significance scan (positions 0..62 → increment). These are
+    * context-SCHEDULE constants — which context each position reads,
+    * the same class as the Table 9-34 offsets above and the
+    * §9.3.3.1.2 two-value cells handled in code, merely tabulated
+    * because 63 positions don't reduce to a formula. They are NOT
+    * probability values (those stay in the caller's ctxInit). Like
+    * the rest of the context-index structure, they are pinned by the
+    * fixtures + cross-coder test and validated against a real encoder
+    * only through tools/H264ValidationProbe. */
+  private val sigMap8x8 = Array(
+    0, 1, 2, 3, 4, 5, 5, 4, 4, 3, 3, 4, 4, 4, 5, 5,
+    4, 4, 4, 4, 3, 3, 6, 7, 7, 7, 8, 9, 10, 9, 8, 7,
+    7, 6, 11, 12, 13, 11, 6, 7, 8, 9, 14, 10, 9, 8, 6, 11,
+    12, 13, 11, 6, 9, 14, 10, 9, 11, 12, 13, 11, 14, 10, 12)
+  private val lastMap8x8 = Array(
+    0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 2, 2, 2, 2,
+    2, 2, 2, 2, 2, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3, 3,
+    4, 4, 4, 4, 4, 4, 4, 4, 5, 5, 5, 5, 6, 6, 6)
 
   @inline private def initState(tables: CabacTables, sliceQp: Int,
                                 pState: Array[Int], valMps: Array[Boolean]): Unit = {
     var c = 0
-    while (c <= 398) {
+    while (c <= 435) {
       val (m, n) = tables.ctxInit.getOrElse(c, throw new IllegalArgumentException(
         s"ctxInit missing context $c"))
       val pre = math.max(1, math.min(126,
@@ -163,8 +193,8 @@ object H264Cabac {
       b
     }
     def bitsLeft: Int = bytes.length * 8 - bit
-    private val pState = new Array[Int](399)
-    private val valMps = new Array[Boolean](399)
+    private val pState = new Array[Int](436)
+    private val valMps = new Array[Boolean](436)
     initState(tables, sliceQp, pState, valMps)
     private var codIRange = 510
     private var codIOffset = {
@@ -226,8 +256,8 @@ object H264Cabac {
   // -------------------------------------------------------------------
 
   private[graft] final class CabacEncoder(tables: CabacTables, sliceQp: Int) {
-    private val pState = new Array[Int](399)
-    private val valMps = new Array[Boolean](399)
+    private val pState = new Array[Int](436)
+    private val valMps = new Array[Boolean](436)
     initState(tables, sliceQp, pState, valMps)
     private var low = 0
     private var range = 510
@@ -303,7 +333,8 @@ object H264Cabac {
   /** Per-MB state the context models read from neighbors. */
   private final case class MbCtx(isI4x4: Boolean, cbpLuma: Int, cbpChroma: Int,
                                  chromaMode: Int, cbfLumaDc: Boolean,
-                                 cbfChromaDc: Array[Boolean])
+                                 cbfChromaDc: Array[Boolean],
+                                 transform8x8: Boolean = false)
 
   /** Parse a slice NAL's RBSP as a single-slice all-intra CABAC
     * picture (mb_types 0 I_NxN and 1..24 Intra_16x16) under the given
@@ -320,7 +351,6 @@ object H264Cabac {
     if (!sps.frameMbsOnly) return None
     if (!pps.entropyCabac) return None
     if (pps.numSliceGroups != 1) return None
-    if (pps.transform8x8) return None // I_NxN would carry transform_size_8x8_flag
     val r = new H264Cavlc.BitReader(rbsp)
     if (r.ue() != 0) return None
     val sliceType = r.ue()
@@ -378,6 +408,8 @@ object H264Cabac {
       val isI16 = c.decision(CtxMbTypeI + incT) == 1
       var predMode = -1; var cbpLuma = 0; var cbpChroma = 0
       var modes = Array.empty[Int]
+      var modes8 = Array.empty[Int]
+      var is8x8 = false
       if (isI16) {
         require(c.terminate() == 0, "I_PCM out of scope") // the ctx-276 bin
         cbpLuma = if (c.decision(CtxMbTypeI + 3) == 1) 15 else 0
@@ -385,6 +417,34 @@ object H264Cabac {
           cbpChroma = if (c.decision(CtxMbTypeI + 5) == 1) 2 else 1
         predMode = 2 * c.decision(CtxMbTypeI + 6) + c.decision(CtxMbTypeI + 7)
       } else {
+        // transform_size_8x8_flag (round 17; §9.3.3.1.1.10: ctx 399 +
+        // neighbor flags) — present only under a transform-8x8 PPS
+        if (pps.transform8x8) {
+          val incX = leftMb.count(_.transform8x8) + topMb.count(_.transform8x8)
+          is8x8 = c.decision(CtxTransform8x8 + incX) == 1
+        }
+        if (is8x8) {
+          // four §8.3.2.1 mode signals; same prev/rem contexts as 4x4
+          modes8 = new Array[Int](4)
+          var b = 0
+          while (b < 4) {
+            val gx4 = 4 * mbx + 2 * (b % 2); val gy4 = 4 * mby + 2 * (b / 2)
+            val a = if (gx4 == 0 || modeGrid(gy4)(gx4 - 1) < 0) 2 else modeGrid(gy4)(gx4 - 1)
+            val bb = if (gy4 == 0 || modeGrid(gy4 - 1)(gx4) < 0) 2 else modeGrid(gy4 - 1)(gx4)
+            val predicted = math.min(a, bb)
+            val mode =
+              if (c.decision(CtxPrevI4) == 1) predicted
+              else {
+                val rem = c.decision(CtxRemI4) | (c.decision(CtxRemI4) << 1) |
+                  (c.decision(CtxRemI4) << 2)
+                if (rem < predicted) rem else rem + 1
+              }
+            modes8(b) = mode
+            modeGrid(gy4)(gx4) = mode; modeGrid(gy4)(gx4 + 1) = mode
+            modeGrid(gy4 + 1)(gx4) = mode; modeGrid(gy4 + 1)(gx4 + 1) = mode
+            b += 1
+          }
+        } else {
         modes = new Array[Int](16)
         var blk = 0
         while (blk < 16) {
@@ -402,6 +462,7 @@ object H264Cabac {
           modes(blk) = mode
           modeGrid(gy)(gx) = mode
           blk += 1
+        }
         }
       }
       // ---- intra_chroma_pred_mode (TU cMax 3; §9.3.3.1.1.8) ----
@@ -452,17 +513,26 @@ object H264Cabac {
         } else { prevQpDeltaNonZero = false; prevQp }
       prevQp = qp
 
-      // ---- residual_block_cabac (§9.3.2.7); returns (levels, CBF) ----
-      def residual(cat: Int, maxCoeffs: Int, ctxIdx: Int): (Array[Int], Boolean) = {
+      // ---- residual_block_cabac (§9.3.2.7); returns (levels, CBF).
+      // ctxBlockCat 5 (luma 8x8, round 17) reads the Table 9-43
+      // position→increment maps and its own sig/last/abs families;
+      // its coded_block_flag is NOT transmitted (cbp bit governs) —
+      // callers use residualLevels directly. ----
+      def residualLevels(cat: Int, maxCoeffs: Int): Array[Int] = {
         val out = new Array[Int](maxCoeffs)
-        if (c.decision(ctxIdx) == 0) return (out, false)
+        @inline def sigCtx(i: Int): Int =
+          if (cat == 5) CtxSig8x8 + sigMap8x8(i) else CtxSig + catSigLast(cat) + i
+        @inline def lastCtx(i: Int): Int =
+          if (cat == 5) CtxLast8x8 + lastMap8x8(i) else CtxLast + catSigLast(cat) + i
+        @inline def absCtx(inc: Int): Int =
+          if (cat == 5) CtxAbs8x8 + inc else CtxAbs + catAbs(cat) + inc
         val sig = new Array[Boolean](maxCoeffs)
         var last = -1
         var i = 0
         while (i < maxCoeffs - 1 && last < 0) {
-          if (c.decision(CtxSig + catSigLast(cat) + i) == 1) {
+          if (c.decision(sigCtx(i)) == 1) {
             sig(i) = true
-            if (c.decision(CtxLast + catSigLast(cat) + i) == 1) last = i
+            if (c.decision(lastCtx(i)) == 1) last = i
           }
           i += 1
         }
@@ -473,12 +543,12 @@ object H264Cabac {
           if (sig(k)) {
             val inc0 = if (gt1 != 0) 0 else math.min(4, 1 + eq1)
             var absM1 = 0
-            if (c.decision(CtxAbs + catAbs(cat) + inc0) == 1) {
+            if (c.decision(absCtx(inc0)) == 1) {
               absM1 = 1
               val incN = 5 + math.min(4, gt1)
               var cont = true
               while (cont && absM1 < 14) {
-                if (c.decision(CtxAbs + catAbs(cat) + incN) == 1) absM1 += 1
+                if (c.decision(absCtx(incN)) == 1) absM1 += 1
                 else cont = false
               }
               if (cont) {
@@ -497,7 +567,11 @@ object H264Cabac {
           }
           k -= 1
         }
-        (out, true)
+        out
+      }
+      def residual(cat: Int, maxCoeffs: Int, ctxIdx: Int): (Array[Int], Boolean) = {
+        if (c.decision(ctxIdx) == 0) (new Array[Int](maxCoeffs), false)
+        else (residualLevels(cat, maxCoeffs), true)
       }
 
       val i4Scan = Array.ofDim[Int](16, 16)
@@ -514,6 +588,26 @@ object H264Cabac {
         Array.copy(dc, 0, dcScan, 0, 16)
         cbfDc = flag
       }
+      val i8Scan = Array.ofDim[Int](4, 64)
+      if (is8x8) {
+        // cat-5 luma: one 64-coefficient block per coded 8x8, NO
+        // coded_block_flag (the cbp bit governs presence); the cbf
+        // grid cells covered by the block take the cbp bit, which is
+        // what later blocks' cat-0/2 neighbor contexts read (§9.3.3.1.1.9
+        // for a transform-8x8 neighbor)
+        var b = 0
+        while (b < 4) {
+          val coded = (cbpLuma >> b & 1) != 0
+          if (coded) i8Scan(b) = residualLevels(5, 64)
+          var i = 0
+          while (i < 4) {
+            val blk4 = 4 * b + i
+            cbfL4(4 * mby + H264Cavlc.blkY(blk4))(4 * mbx + H264Cavlc.blkX(blk4)) = coded
+            i += 1
+          }
+          b += 1
+        }
+      } else {
       var blk = 0
       while (blk < 16) {
         val gx = 4 * mbx + H264Cavlc.blkX(blk); val gy = 4 * mby + H264Cavlc.blkY(blk)
@@ -528,6 +622,7 @@ object H264Cabac {
           cbfL4(gy)(gx) = flag
         } else cbfL4(gy)(gx) = false
         blk += 1
+      }
       }
       val chDcScan = Array.ofDim[Int](2, 4)
       val chAcScan = Array.ofDim[Int](2, 4, 15)
@@ -565,13 +660,18 @@ object H264Cabac {
         H264Cavlc.reconstructI16(luma, cb, cr, w, wc, mbx, mby, predMode,
           chromaPredMode, qp, pps.chromaQpOffset, pps.chromaQpOffsetCr,
           cbpChroma, dcScan, acScan, chDcScan, chAcScan, done)
+      else if (is8x8)
+        H264Cavlc.reconstructI8x8(luma, cb, cr, w, wc, wMbs, mbx, mby, modes8,
+          chromaPredMode, qp, pps.chromaQpOffset, pps.chromaQpOffsetCr,
+          cbpChroma, i8Scan, chDcScan, chAcScan, done)
       else
         H264Cavlc.reconstructI4x4(luma, cb, cr, w, wc, wMbs, mbx, mby, modes,
           chromaPredMode, qp, pps.chromaQpOffset, pps.chromaQpOffsetCr,
           cbpChroma, i4Scan, chDcScan, chAcScan, done)
-      mbCtx(mb) = MbCtx(!isI16, cbpLuma, cbpChroma, chromaPredMode, cbfDc, cbfCDc)
+      mbCtx(mb) = MbCtx(!isI16, cbpLuma, cbpChroma, chromaPredMode, cbfDc, cbfCDc,
+        transform8x8 = is8x8)
       mbs += H264Cavlc.I16Mb(predMode, cbpChroma, cbpLuma, chromaPredMode, qp,
-        if (isI16) Array.empty else modes)
+        if (isI16) Array.empty else modes, modes8x8 = modes8)
       mb += 1
       more = c.terminate() == 0
     }
@@ -582,7 +682,7 @@ object H264Cabac {
     require(c.bitsLeft < 8, s"${c.bitsLeft} trailing bits after the CABAC flush")
     Some(H264Cavlc.I16Picture(sliceType, ppsId, frameNum, idrPicId, pocLsb,
       sliceQp, wMbs, hMbs, mbs.toSeq, luma, cb, cr))
-  } catch { case _: Exception => None }
+  } catch { case e: Exception => if (sys.props.contains("graft.h264.debug")) e.printStackTrace(); None }
 
   // -------------------------------------------------------------------
   // Fixture encoder
@@ -631,17 +731,20 @@ object H264Cabac {
     val mbCtx = new Array[MbCtx](wMbs * hMbs)
     var prevQpDeltaNonZero = false
 
-    def emitResidual(cat: Int, coeffs: Array[Int], ctxIdx: Int): Boolean = {
-      val cbf = coeffs.exists(_ != 0)
-      e.decision(ctxIdx, if (cbf) 1 else 0)
-      if (!cbf) return false
+    def emitResidualLevels(cat: Int, coeffs: Array[Int]): Unit = {
+      @inline def sigCtx(i: Int): Int =
+        if (cat == 5) CtxSig8x8 + sigMap8x8(i) else CtxSig + catSigLast(cat) + i
+      @inline def lastCtx(i: Int): Int =
+        if (cat == 5) CtxLast8x8 + lastMap8x8(i) else CtxLast + catSigLast(cat) + i
+      @inline def absCtx(inc: Int): Int =
+        if (cat == 5) CtxAbs8x8 + inc else CtxAbs + catAbs(cat) + inc
       val maxCoeffs = coeffs.length
       val last = coeffs.lastIndexWhere(_ != 0)
       var i = 0
       while (i < maxCoeffs - 1 && i <= last) {
         val s = coeffs(i) != 0
-        e.decision(CtxSig + catSigLast(cat) + i, if (s) 1 else 0)
-        if (s) e.decision(CtxLast + catSigLast(cat) + i, if (i == last) 1 else 0)
+        e.decision(sigCtx(i), if (s) 1 else 0)
+        if (s) e.decision(lastCtx(i), if (i == last) 1 else 0)
         i += 1
       }
       var gt1 = 0; var eq1 = 0
@@ -651,13 +754,13 @@ object H264Cabac {
         if (v != 0) {
           val absM1 = math.abs(v) - 1
           val inc0 = if (gt1 != 0) 0 else math.min(4, 1 + eq1)
-          e.decision(CtxAbs + catAbs(cat) + inc0, if (absM1 > 0) 1 else 0)
+          e.decision(absCtx(inc0), if (absM1 > 0) 1 else 0)
           if (absM1 > 0) {
             val incN = 5 + math.min(4, gt1)
             val prefix = math.min(absM1, 14)
             var j = 1
-            while (j < prefix) { e.decision(CtxAbs + catAbs(cat) + incN, 1); j += 1 }
-            if (prefix < 14) e.decision(CtxAbs + catAbs(cat) + incN, 0)
+            while (j < prefix) { e.decision(absCtx(incN), 1); j += 1 }
+            if (prefix < 14) e.decision(absCtx(incN), 0)
             else {
               // UEG0 suffix of absM1 - 14: t ones, a zero, t MSB-first bits
               val s = absM1 - 14
@@ -676,7 +779,12 @@ object H264Cabac {
         }
         k -= 1
       }
-      true
+    }
+    def emitResidual(cat: Int, coeffs: Array[Int], ctxIdx: Int): Boolean = {
+      val cbf = coeffs.exists(_ != 0)
+      e.decision(ctxIdx, if (cbf) 1 else 0)
+      if (cbf) emitResidualLevels(cat, coeffs)
+      cbf
     }
 
     mbs.zipWithIndex.foreach { case (spec, idx) =>
@@ -755,6 +863,10 @@ object H264Cabac {
           require(cbpChroma == 2 || chAc.forall(_.forall(_.forall(_ == 0))))
           require(cbpChroma >= 1 || chDc.forall(_.forall(_ == 0)))
           e.decision(CtxMbTypeI + incT, 0) // I_NxN
+          if (pps.transform8x8) {
+            val incX = leftMb.count(_.transform8x8) + topMb.count(_.transform8x8)
+            e.decision(CtxTransform8x8 + incX, 0) // 4x4 transform
+          }
           var blk = 0
           while (blk < 16) {
             val gx = 4 * mbx + H264Cavlc.blkX(blk); val gy = 4 * mby + H264Cavlc.blkY(blk)
@@ -821,6 +933,102 @@ object H264Cabac {
             leftMb, topMb, cbfC4)
           mbCtx(idx) = MbCtx(isI4x4 = true, cbpLuma, cbpChroma,
             m.chromaPredMode, cbfLumaDc = false, cbfCDc)
+
+        case m: H264Cavlc.I8x8MbSpec =>
+          // Intra_8x8 (round 17): I_NxN + transform_size_8x8_flag 1,
+          // four mode signals, cat-5 residuals without coded_block_flag
+          require(pps.transform8x8,
+            "I8x8MbSpec needs a PPS with transform_8x8_mode_flag")
+          require(m.modes.length == 4 && m.modes.forall(md => md >= 0 && md <= 8))
+          require(m.lumaScan64.length == 4 && m.lumaScan64.forall(_.length == 64))
+          val derived = (0 until 4).map(b =>
+            if (m.lumaScan64(b).exists(_ != 0)) 1 << b else 0).sum
+          val cbpLuma = m.forceCbpLuma.getOrElse(derived)
+          // CABAC cat-5 blocks carry NO coded_block_flag, and an
+          // all-zero significance map implies coeff 63 is significant —
+          // a coded-but-empty 8x8 is unrepresentable (unlike CAVLC,
+          // where TotalCoeff 0 expresses it)
+          require(cbpLuma == derived,
+            "CABAC cannot code an empty 8x8 block (cbp bit without coefficients)")
+          val chDc = if (m.chromaDc.isEmpty) Array.fill(2)(new Array[Int](4))
+                     else m.chromaDc
+          val chAc = if (m.chromaAc.isEmpty) Array.fill(2, 4)(new Array[Int](15))
+                     else m.chromaAc
+          val cbpChroma = m.forceCbpChroma.getOrElse(
+            if (chAc.exists(_.exists(_.exists(_ != 0)))) 2
+            else if (chDc.exists(_.exists(_ != 0))) 1
+            else 0)
+          require(cbpChroma == 2 || chAc.forall(_.forall(_.forall(_ == 0))))
+          require(cbpChroma >= 1 || chDc.forall(_.forall(_ == 0)))
+          e.decision(CtxMbTypeI + incT, 0) // I_NxN
+          val incX = leftMb.count(_.transform8x8) + topMb.count(_.transform8x8)
+          e.decision(CtxTransform8x8 + incX, 1) // 8x8 transform
+          var b = 0
+          while (b < 4) {
+            val gx4 = 4 * mbx + 2 * (b % 2); val gy4 = 4 * mby + 2 * (b / 2)
+            val a = if (gx4 == 0 || modeGrid(gy4)(gx4 - 1) < 0) 2 else modeGrid(gy4)(gx4 - 1)
+            val bb = if (gy4 == 0 || modeGrid(gy4 - 1)(gx4) < 0) 2 else modeGrid(gy4 - 1)(gx4)
+            val predicted = math.min(a, bb)
+            val mode = m.modes(b)
+            if (mode == predicted) e.decision(CtxPrevI4, 1)
+            else {
+              e.decision(CtxPrevI4, 0)
+              val rem = if (mode > predicted) mode - 1 else mode
+              e.decision(CtxRemI4, rem & 1)
+              e.decision(CtxRemI4, (rem >> 1) & 1)
+              e.decision(CtxRemI4, (rem >> 2) & 1)
+            }
+            modeGrid(gy4)(gx4) = mode; modeGrid(gy4)(gx4 + 1) = mode
+            modeGrid(gy4 + 1)(gx4) = mode; modeGrid(gy4 + 1)(gx4 + 1) = mode
+            b += 1
+          }
+          emitChromaMode(e, m.chromaPredMode, leftMb, topMb)
+          var b8 = 0
+          var cbpSoFar = 0
+          while (b8 < 4) {
+            val x8 = b8 % 2; val y8 = b8 / 2
+            val condA =
+              if (x8 == 1) 1 - (cbpSoFar >> (y8 * 2) & 1)
+              else leftMb.map(x => 1 - (x.cbpLuma >> (y8 * 2 + 1) & 1)).getOrElse(0)
+            val condB =
+              if (y8 == 1) 1 - (cbpSoFar >> x8 & 1)
+              else topMb.map(x => 1 - (x.cbpLuma >> (2 + x8) & 1)).getOrElse(0)
+            val bit = (cbpLuma >> b8) & 1
+            e.decision(CtxCbpLuma + condA + 2 * condB, bit)
+            cbpSoFar |= bit << b8
+            b8 += 1
+          }
+          val ca0 = leftMb.count(_.cbpChroma != 0) + 2 * topMb.count(_.cbpChroma != 0)
+          e.decision(CtxCbpChroma + ca0, if (cbpChroma != 0) 1 else 0)
+          if (cbpChroma != 0) {
+            val ca1 = leftMb.count(_.cbpChroma == 2) + 2 * topMb.count(_.cbpChroma == 2)
+            e.decision(CtxCbpChroma + 4 + ca1, if (cbpChroma == 2) 1 else 0)
+          }
+          if (cbpLuma != 0 || cbpChroma != 0) {
+            emitQpDelta(e, m.qpDelta, prevQpDeltaNonZero)
+            prevQpDeltaNonZero = m.qpDelta != 0
+          } else {
+            require(m.qpDelta == 0, "mb_qp_delta needs a nonzero CBP")
+            prevQpDeltaNonZero = false
+          }
+          b = 0
+          while (b < 4) {
+            val coded = (cbpLuma >> b & 1) != 0
+            if (coded) emitResidualLevels(5, m.lumaScan64(b))
+            else require(m.lumaScan64(b).forall(_ == 0),
+              "nonzero levels in an uncoded 8x8 block")
+            var i = 0
+            while (i < 4) {
+              val blk4 = 4 * b + i
+              cbfL4(4 * mby + H264Cavlc.blkY(blk4))(4 * mbx + H264Cavlc.blkX(blk4)) = coded
+              i += 1
+            }
+            b += 1
+          }
+          val cbfCDc = emitChroma(e, emitResidual, mbx, mby, cbpChroma, chDc, chAc,
+            leftMb, topMb, cbfC4)
+          mbCtx(idx) = MbCtx(isI4x4 = true, cbpLuma, cbpChroma,
+            m.chromaPredMode, cbfLumaDc = false, cbfCDc, transform8x8 = true)
       }
       e.terminate(if (idx == mbs.length - 1) 1 else 0)
     }

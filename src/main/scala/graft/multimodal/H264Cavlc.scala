@@ -32,14 +32,17 @@ import scala.collection.mutable.ArrayBuffer
   * tables.
   *
   * SCOPE (strict-reject, never misparse): CAVLC I slices mixing
-  * Intra_16x16 and — round 16 — Intra_4x4 macroblocks (all nine
-  * §8.3.1.2 prediction modes, prev_intra4x4_pred_mode signalling, the
-  * Table 9-4 me(v) CBP, per-4x4 reconstruction order with in-MB
-  * neighbor availability); coded_block_pattern chroma 0/1/2 all decode
-  * — the full YCbCr picture reconstructs. Named seams that still
-  * reject: mb_type 25 I_PCM inside this parser (I_PCM has its own
-  * parser in [[H264]]), Intra_8x8 (transform_8x8 PPS out of the parsed
-  * profile), P/B slices, CABAC. Reference analog: the opaque-binary
+  * Intra_16x16, Intra_4x4 (round 16 — all nine §8.3.1.2 prediction
+  * modes, prev_intra4x4_pred_mode signalling, the Table 9-4 me(v)
+  * CBP, per-4x4 reconstruction order with in-MB neighbor
+  * availability) and — round 17 — Intra_8x8 (transform_size_8x8_flag
+  * under a transform-8x8 PPS: §8.3.2 prediction over §8.3.2.2.1
+  * FILTERED references, the §8.5.13.1 four-4x4 CAVLC interleave,
+  * normAdjust8x8 dequant, the §8.5.13.2 8-point butterfly);
+  * coded_block_pattern chroma 0/1/2 all decode — the full YCbCr
+  * picture reconstructs. Named seams that still reject: mb_type 25
+  * I_PCM inside this parser (I_PCM has its own parser in [[H264]]),
+  * pic_scaling_matrix (flat-16 lists only, at the PPS), P/B slices. Reference analog: the opaque-binary
   * multimodal columns (SURVEY §2.7); the encoder half exists for
   * fixture assembly only, mirroring Jpeg/Mp3/Aac/H264.
   */
@@ -414,6 +417,235 @@ object H264Cavlc {
     out
   }
 
+  // -------------------------------------------------------------------
+  // 8x8 transform tier (round 17 — transform_size_8x8_flag / Intra_8x8,
+  // the High-profile I-frame rung): §8.5.13 scaling + inverse 8x8
+  // transform, §8.3.2 prediction with §8.3.2.2.1 reference filtering.
+  // -------------------------------------------------------------------
+
+  /** §8.5.6's 8x8 zig-zag scan, GENERATED by the standard diagonal
+    * walk (no transcription: the scan is an algorithm, like the 4x4
+    * one): scan position → raster index in the 8x8 block. */
+  private[graft] val zigZag8x8: Array[Int] = {
+    val out = new Array[Int](64)
+    var i = 0; var j = 0; var k = 0
+    while (k < 64) {
+      out(k) = 8 * i + j
+      if ((i + j) % 2 == 0) { // moving up-right
+        if (j == 7) i += 1
+        else if (i == 0) j += 1
+        else { i -= 1; j += 1 }
+      } else { // moving down-left
+        if (i == 7) j += 1
+        else if (j == 0) i += 1
+        else { i += 1; j -= 1 }
+      }
+      k += 1
+    }
+    out
+  }
+
+  /** §8.5.13.1 normAdjust8x8(m, k): the 6×6 scale table (36 small spec
+    * constants, shipped inline like [[normAdjust4x4]]) with the class
+    * index k from [[v8Class]]. */
+  private val normAdjust8x8: Array[Array[Int]] = Array(
+    Array(20, 18, 32, 19, 25, 24),
+    Array(22, 19, 35, 21, 28, 26),
+    Array(26, 23, 42, 24, 33, 31),
+    Array(28, 25, 45, 26, 35, 33),
+    Array(32, 28, 51, 30, 40, 38),
+    Array(36, 32, 58, 34, 46, 43))
+
+  /** §8.5.13.1's position-class pattern over (i%4, j%4). */
+  private val v8ClassPattern: Array[Int] = Array(
+    0, 3, 4, 3, 3, 1, 5, 1, 4, 5, 2, 5, 3, 1, 5, 1)
+
+  @inline private def v8Class(i: Int, j: Int): Int =
+    v8ClassPattern(4 * (i % 4) + (j % 4))
+
+  /** §8.5.13.1 8x8 AC scaling (flat weightScale 16): the two-branch
+    * spec formula — rounding term below qp 36, left shift above. */
+  @inline private[graft] def scaleAc8x8(c: Int, qp: Int, i: Int, j: Int): Int = {
+    val v = normAdjust8x8(qp % 6)(v8Class(i, j))
+    if (qp >= 36) (c * v) << (qp / 6 - 6)
+    else (c * v + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+  }
+
+  /** §8.5.13.2 inverse 8x8 transform: 64 scaled coefficients (raster)
+    * → 64 residual samples, final (x + 32) >> 6. Two passes of the
+    * integer butterfly (rows then columns). */
+  private[graft] def inverseTransform8x8(d: Array[Int]): Array[Int] = {
+    val h = new Array[Int](64)
+    @inline def butterfly(in: Int => Int, out: (Int, Int) => Unit): Unit = {
+      val e0 = in(0) + in(4)
+      val e2 = in(0) - in(4)
+      val e4 = (in(2) >> 1) - in(6)
+      val e6 = in(2) + (in(6) >> 1)
+      val b0 = e0 + e6; val b2 = e2 + e4
+      val b4 = e2 - e4; val b6 = e0 - e6
+      val e1 = -in(3) + in(5) - in(7) - (in(7) >> 1)
+      val e3 = in(1) + in(7) - in(3) - (in(3) >> 1)
+      val e5 = -in(1) + in(7) + in(5) + (in(5) >> 1)
+      val e7 = in(3) + in(5) + in(1) + (in(1) >> 1)
+      val b1 = e1 + (e7 >> 2); val b7 = e7 - (e1 >> 2)
+      val b3 = e3 + (e5 >> 2); val b5 = (e3 >> 2) - e5
+      out(0, b0 + b7); out(7, b0 - b7)
+      out(1, b2 + b5); out(6, b2 - b5)
+      out(2, b4 + b3); out(5, b4 - b3)
+      out(3, b6 + b1); out(4, b6 - b1)
+    }
+    var j = 0
+    while (j < 8) { // horizontal (rows)
+      val row = j
+      butterfly(i => d(8 * row + i), (i, v) => h(8 * row + i) = v)
+      j += 1
+    }
+    val out = new Array[Int](64)
+    var i = 0
+    while (i < 8) { // vertical (columns)
+      val col = i
+      butterfly(y => h(8 * y + col), (y, v) => out(8 * y + col) = (v + 32) >> 6)
+      i += 1
+    }
+    out
+  }
+
+  /** §8.3.2 Intra_8x8 prediction, all nine modes, INCLUDING the
+    * §8.3.2.2.1 reference-sample filtering that distinguishes the 8x8
+    * modes from their 4x4 twins: one 8x8 block at GLOBAL 8x8-grid
+    * coords (GX, GY) over the reconstructed luma plane. Availability
+    * follows decoding order (the caller's predicates); p[x,−1] for
+    * x = 8..15 substitutes p[7,−1] when the top-right block is
+    * unavailable and the top row is available, BEFORE filtering, per
+    * the spec's substitution-then-filter order. Returns 64 samples,
+    * 8x8 raster. */
+  private[graft] def predictIntra8x8(mode: Int, plane: Array[Int], w: Int,
+                                     gx8: Int, gy8: Int, hasLeft: Boolean,
+                                     hasTop: Boolean, hasCorner: Boolean,
+                                     hasTopRight: Boolean): Array[Int] = {
+    val x0 = 8 * gx8; val y0 = 8 * gy8
+    // ---- raw references (substitution for x = 8..15) ----
+    @inline def rawT(x: Int): Int =
+      if (x <= 7 || hasTopRight) plane((y0 - 1) * w + x0 + x)
+      else plane((y0 - 1) * w + x0 + 7)
+    @inline def rawL(y: Int): Int = plane((y0 + y) * w + x0 - 1)
+    @inline def rawC: Int = plane((y0 - 1) * w + x0 - 1)
+    // ---- §8.3.2.2.1 filtered references ----
+    val fT = new Array[Int](16) // p'[0..15, -1]
+    if (hasTop) {
+      fT(0) =
+        if (hasCorner) (rawC + 2 * rawT(0) + rawT(1) + 2) >> 2
+        else (3 * rawT(0) + rawT(1) + 2) >> 2
+      var x = 1
+      while (x < 15) { fT(x) = (rawT(x - 1) + 2 * rawT(x) + rawT(x + 1) + 2) >> 2; x += 1 }
+      fT(15) = (rawT(14) + 3 * rawT(15) + 2) >> 2
+    }
+    val fL = new Array[Int](8) // p'[-1, 0..7]
+    if (hasLeft) {
+      fL(0) =
+        if (hasCorner) (rawC + 2 * rawL(0) + rawL(1) + 2) >> 2
+        else (3 * rawL(0) + rawL(1) + 2) >> 2
+      var y = 1
+      while (y < 7) { fL(y) = (rawL(y - 1) + 2 * rawL(y) + rawL(y + 1) + 2) >> 2; y += 1 }
+      fL(7) = (rawL(6) + 3 * rawL(7) + 2) >> 2
+    }
+    val fC = // p'[-1, -1]
+      if (!hasCorner) 0
+      else if (hasTop && hasLeft) (rawT(0) + 2 * rawC + rawL(0) + 2) >> 2
+      else if (hasTop) (3 * rawC + rawT(0) + 2) >> 2
+      else if (hasLeft) (3 * rawC + rawL(0) + 2) >> 2
+      else rawC
+    val out = new Array[Int](64)
+    @inline def set(x: Int, y: Int, v: Int): Unit = out(8 * y + x) = v
+    mode match {
+      case 0 => // Vertical
+        require(hasTop, "Intra_8x8_Vertical needs the top row")
+        for (y <- 0 until 8; x <- 0 until 8) set(x, y, fT(x))
+      case 1 => // Horizontal
+        require(hasLeft, "Intra_8x8_Horizontal needs the left column")
+        for (y <- 0 until 8; x <- 0 until 8) set(x, y, fL(y))
+      case 2 => // DC with fallbacks (§8.3.2.2.4)
+        val dc =
+          if (hasLeft && hasTop)
+            ((0 until 8).map(fT(_)).sum + (0 until 8).map(fL(_)).sum + 8) >> 4
+          else if (hasLeft) ((0 until 8).map(fL(_)).sum + 4) >> 3
+          else if (hasTop) ((0 until 8).map(fT(_)).sum + 4) >> 3
+          else 128
+        java.util.Arrays.fill(out, dc)
+      case 3 => // Diagonal_Down_Left
+        require(hasTop, "Intra_8x8_Diagonal_Down_Left needs the top row")
+        for (y <- 0 until 8; x <- 0 until 8)
+          set(x, y,
+            if (x == 7 && y == 7) (fT(14) + 3 * fT(15) + 2) >> 2
+            else (fT(x + y) + 2 * fT(x + y + 1) + fT(x + y + 2) + 2) >> 2)
+      case 4 => // Diagonal_Down_Right
+        require(hasLeft && hasTop && hasCorner,
+          "Intra_8x8_Diagonal_Down_Right needs left, top and corner")
+        // index -1 (at |x-y| = 1) is the filtered corner
+        for (y <- 0 until 8; x <- 0 until 8) {
+          @inline def t(i: Int): Int = if (i == -1) fC else fT(i)
+          @inline def l(i: Int): Int = if (i == -1) fC else fL(i)
+          set(x, y,
+            if (x > y) (t(x - y - 2) + 2 * t(x - y - 1) + t(x - y) + 2) >> 2
+            else if (x < y) (l(y - x - 2) + 2 * l(y - x - 1) + l(y - x) + 2) >> 2
+            else (fT(0) + 2 * fC + fL(0) + 2) >> 2)
+        }
+      case 5 => // Vertical_Right
+        require(hasLeft && hasTop && hasCorner,
+          "Intra_8x8_Vertical_Right needs left, top and corner")
+        for (y <- 0 until 8; x <- 0 until 8) {
+          val zVR = 2 * x - y
+          @inline def t(i: Int): Int = if (i == -1) fC else fT(i)
+          set(x, y,
+            if (zVR >= 0 && zVR % 2 == 0)
+              (t(x - (y >> 1) - 1) + t(x - (y >> 1)) + 1) >> 1
+            else if (zVR >= 1)
+              (t(x - (y >> 1) - 2) + 2 * t(x - (y >> 1) - 1) + t(x - (y >> 1)) + 2) >> 2
+            else if (zVR == -1) (fL(0) + 2 * fC + fT(0) + 2) >> 2
+            else { // zVR <= -2; index -1 (at zVR = -2) is the corner
+              @inline def l(i: Int): Int = if (i == -1) fC else fL(i)
+              (l(y - 2 * x - 1) + 2 * l(y - 2 * x - 2) + l(y - 2 * x - 3) + 2) >> 2
+            })
+        }
+      case 6 => // Horizontal_Down
+        require(hasLeft && hasTop && hasCorner,
+          "Intra_8x8_Horizontal_Down needs left, top and corner")
+        for (y <- 0 until 8; x <- 0 until 8) {
+          val zHD = 2 * y - x
+          @inline def l(i: Int): Int = if (i == -1) fC else fL(i)
+          set(x, y,
+            if (zHD >= 0 && zHD % 2 == 0)
+              (l(y - (x >> 1) - 1) + l(y - (x >> 1)) + 1) >> 1
+            else if (zHD >= 1)
+              (l(y - (x >> 1) - 2) + 2 * l(y - (x >> 1) - 1) + l(y - (x >> 1)) + 2) >> 2
+            else if (zHD == -1) (fL(0) + 2 * fC + fT(0) + 2) >> 2
+            else { // zHD <= -2; index -1 (at zHD = -2) is the corner
+              @inline def t(i: Int): Int = if (i == -1) fC else fT(i)
+              (t(x - 2 * y - 1) + 2 * t(x - 2 * y - 2) + t(x - 2 * y - 3) + 2) >> 2
+            })
+        }
+      case 7 => // Vertical_Left
+        require(hasTop, "Intra_8x8_Vertical_Left needs the top row")
+        for (y <- 0 until 8; x <- 0 until 8)
+          set(x, y,
+            if (y % 2 == 0) (fT(x + (y >> 1)) + fT(x + (y >> 1) + 1) + 1) >> 1
+            else (fT(x + (y >> 1)) + 2 * fT(x + (y >> 1) + 1) + fT(x + (y >> 1) + 2) + 2) >> 2)
+      case 8 => // Horizontal_Up
+        require(hasLeft, "Intra_8x8_Horizontal_Up needs the left column")
+        for (y <- 0 until 8; x <- 0 until 8) {
+          val zHU = x + 2 * y
+          set(x, y,
+            if (zHU > 13) fL(7)
+            else if (zHU == 13) (fL(6) + 3 * fL(7) + 2) >> 2
+            else if (zHU % 2 == 0) (fL(y + (x >> 1)) + fL(y + (x >> 1) + 1) + 1) >> 1
+            else (fL(y + (x >> 1)) + 2 * fL(y + (x >> 1) + 1) + fL(y + (x >> 1) + 2) + 2) >> 2)
+        }
+      case other =>
+        throw new IllegalArgumentException(s"Intra8x8PredMode $other")
+    }
+    out
+  }
+
   /** Table 9-4's me(v) mapping for Intra_4x4 coded_block_pattern
     * (ChromaArrayType 1): codeNum → cbp. 48 small integers, shipped
     * inline like [[normAdjust4x4]]/[[chromaQpTable]] — a mapping
@@ -699,8 +931,10 @@ object H264Cavlc {
     * sixteen §8.3.1.2 modes in luma4x4BlkIdx order. */
   final case class I16Mb(predMode: Int, cbpChroma: Int, cbpLuma: Int,
                          chromaPredMode: Int, qp: Int,
-                         modes4x4: Array[Int] = Array.empty) {
+                         modes4x4: Array[Int] = Array.empty,
+                         modes8x8: Array[Int] = Array.empty) {
     def isI4x4: Boolean = modes4x4.nonEmpty
+    def isI8x8: Boolean = modes8x8.nonEmpty
   }
 
   /** Decoded single-slice all-Intra_16x16 picture: the LUMA plane
@@ -868,18 +1102,75 @@ object H264Cavlc {
       chromaQpOffset, chromaQpOffsetCr, chDcScan, chAcScan)
   }
 
+  /** §8.3.2 + §8.5.13 Intra_8x8 macroblock reconstruction (round 17):
+    * four 8x8 blocks in luma8x8BlkIdx raster order, each predicted
+    * from FILTERED references, dequantized through normAdjust8x8 and
+    * inverse-transformed with the 8-point butterfly. `lumaScan64` is
+    * 4 × 64 levels in 8x8 zig-zag scan order. Marks all four covered
+    * 4x4 `done` cells per block (decode-order availability for later
+    * 4x4 AND 8x8 neighbors is the same grid). */
+  private[multimodal] def reconstructI8x8(luma: Array[Int], cb: Array[Int],
+      cr: Array[Int], w: Int, wc: Int, wMbs: Int, mbx: Int, mby: Int,
+      modes: Array[Int], chromaPredMode: Int, qp: Int, chromaQpOffset: Int,
+      chromaQpOffsetCr: Int, cbpChroma: Int, lumaScan64: Array[Array[Int]],
+      chDcScan: Array[Array[Int]], chAcScan: Array[Array[Array[Int]]],
+      done: Array[Array[Boolean]]): Unit = {
+    var b = 0
+    while (b < 4) {
+      val bx = b % 2; val by = b / 2
+      val gx8 = 2 * mbx + bx; val gy8 = 2 * mby + by
+      val gx4 = 2 * gx8; val gy4 = 2 * gy8
+      val hasLeft = gx4 > 0 && done(gy4)(gx4 - 1)
+      val hasTop = gy4 > 0 && done(gy4 - 1)(gx4)
+      val hasCorner = gx4 > 0 && gy4 > 0 && done(gy4 - 1)(gx4 - 1)
+      val hasTR = gy4 > 0 && gx4 + 2 < 4 * wMbs && done(gy4 - 1)(gx4 + 2)
+      val pred = predictIntra8x8(modes(b), luma, w, gx8, gy8,
+        hasLeft, hasTop, hasCorner, hasTR)
+      val d = new Array[Int](64)
+      var p = 0
+      while (p < 64) {
+        val c = lumaScan64(b)(p)
+        if (c != 0) {
+          val ri = zigZag8x8(p)
+          d(ri) = scaleAc8x8(c, qp, ri / 8, ri % 8)
+        }
+        p += 1
+      }
+      val res = inverseTransform8x8(d)
+      var yy = 0
+      while (yy < 8) {
+        var xx = 0
+        while (xx < 8) {
+          val px = 8 * gx8 + xx; val py = 8 * gy8 + yy
+          luma(py * w + px) = clip255(pred(8 * yy + xx) + res(8 * yy + xx))
+          xx += 1
+        }
+        yy += 1
+      }
+      done(gy4)(gx4) = true; done(gy4)(gx4 + 1) = true
+      done(gy4 + 1)(gx4) = true; done(gy4 + 1)(gx4 + 1) = true
+      b += 1
+    }
+    reconstructChroma(cb, cr, wc, mbx, mby, cbpChroma, chromaPredMode, qp,
+      chromaQpOffset, chromaQpOffsetCr, chDcScan, chAcScan)
+  }
+
   /** Parse a slice NAL's RBSP as a single-slice all-INTRA CAVLC picture
     * under the given SPS/PPS and CALLER-SUPPLIED [[CavlcTables]]:
-    * macroblocks may mix Intra_16x16 (mb_type 1..24) and — round 16 —
-    * Intra_4x4 (mb_type 0: per-block §8.3.1.1 mode signalling, Table
+    * macroblocks may mix Intra_16x16 (mb_type 1..24), Intra_4x4
+    * (round 16 — mb_type 0: per-block §8.3.1.1 mode signalling, Table
     * 9-4 me(v) CBP, conditional mb_qp_delta, 16-coefficient residual
     * blocks, and the nine §8.3.1.2 prediction modes over the
-    * decode-order availability grid, reconstructing block by block in
-    * blkIdx order). Strict → None on: CABAC, non-I slices,
+    * decode-order availability grid) and — round 17 — Intra_8x8
+    * (mb_type 0 + transform_size_8x8_flag under a transform-8x8 PPS:
+    * four §8.3.2 modes over FILTERED references, the §8.5.13.1
+    * four-4x4 CAVLC interleave, normAdjust8x8 dequant and the 8-point
+    * butterfly). Strict → None on: CABAC, non-I slices,
     * multi-slice-group, chroma formats ≠ 4:2:0/8-bit, field coding,
     * mb_type 25 (I_PCM — its own parser in [[H264]]), prediction modes
     * whose neighbors are unavailable, malformed VLC walks, or trailing
-    * bits. */
+    * bits. pic_scaling_matrix stays a named reject at [[H264.parsePps]]
+    * (flat-16 lists only). */
   def parseI16x16Slice(rbsp: Array[Byte], sps: H264.Sps, pps: H264.Pps,
                        nalRefIdc: Int, nalType: Int,
                        tables: CavlcTables): Option[I16Picture] = try {
@@ -888,7 +1179,8 @@ object H264Cavlc {
     if (!sps.frameMbsOnly) return None
     if (pps.entropyCabac) return None
     if (pps.numSliceGroups != 1) return None
-    if (pps.transform8x8) return None // I_NxN would carry transform_size_8x8_flag
+    // round 17: pps.transform8x8 decodes (transform_size_8x8_flag +
+    // Intra_8x8); pic_scaling_matrix stays a named reject upstream
     val r = new BitReader(rbsp)
     if (r.ue() != 0) return None // first_mb_in_slice: single-slice scope
     val sliceType = r.ue()
@@ -988,9 +1280,82 @@ object H264Cavlc {
         (chDcScan, chAcScan)
       }
       val mbType = r.ue()
-      if (mbType == 0) {
-        // ---- I_NxN = Intra_4x4 (round 16; no transform_size_8x8 —
-        // the PPS walk in scope has no transform_8x8_mode_flag) ----
+      if (mbType == 0 && pps.transform8x8 && { val f = r.u(1); f == 1 }) {
+        // ---- I_NxN + transform_size_8x8_flag = Intra_8x8 (round 17,
+        // the High-profile I-frame rung) ----
+        // mb_pred(): four §8.3.2.1 mode signals in luma8x8BlkIdx
+        // order; the predictor reads the covering 4x4 cells (an 8x8
+        // block stores its mode in all four, so mixed 4x4/8x8
+        // neighborhoods resolve exactly as §8.3.2.1 specifies)
+        val modes = new Array[Int](4)
+        var b = 0
+        while (b < 4) {
+          val gx4 = 4 * mbx + 2 * (b % 2); val gy4 = 4 * mby + 2 * (b / 2)
+          val a = if (gx4 == 0 || modeGrid(gy4)(gx4 - 1) < 0) 2 else modeGrid(gy4)(gx4 - 1)
+          val bb = if (gy4 == 0 || modeGrid(gy4 - 1)(gx4) < 0) 2 else modeGrid(gy4 - 1)(gx4)
+          val predicted = math.min(a, bb)
+          val mode =
+            if (r.u(1) == 1) predicted // prev_intra8x8_pred_mode_flag
+            else {
+              val rem = r.u(3)
+              if (rem < predicted) rem else rem + 1
+            }
+          modes(b) = mode
+          modeGrid(gy4)(gx4) = mode; modeGrid(gy4)(gx4 + 1) = mode
+          modeGrid(gy4 + 1)(gx4) = mode; modeGrid(gy4 + 1)(gx4 + 1) = mode
+          b += 1
+        }
+        val chromaPredMode = r.ue()
+        require(chromaPredMode <= 3, s"intra_chroma_pred_mode $chromaPredMode")
+        val cbpCode = r.ue()
+        require(cbpCode < 48, s"coded_block_pattern codeNum $cbpCode")
+        val cbp = golombToIntra4x4Cbp(cbpCode)
+        val cbpLuma = cbp & 15
+        val cbpChroma = cbp >> 4
+        val qp =
+          if (cbp != 0) {
+            val qpDelta = r.se()
+            require(qpDelta >= -26 && qpDelta <= 25, s"mb_qp_delta $qpDelta")
+            (prevQp + qpDelta + 52) % 52
+          } else prevQp
+        prevQp = qp
+        // luma residual (§8.5.13.1 CAVLC interleave): each coded 8x8
+        // block arrives as FOUR 16-coefficient 4x4 CAVLC blocks; the
+        // 4x4 block i's scan position k holds 8x8 scan position 4k+i.
+        // nC and the TotalCoeff grid use the covering 4x4 cells.
+        val lumaScan64 = Array.ofDim[Int](4, 64)
+        b = 0
+        while (b < 4) {
+          if ((cbpLuma >> b & 1) != 0) {
+            var i = 0
+            while (i < 4) {
+              val blk = 4 * b + i
+              val gx = 4 * mbx + blkX(blk); val gy = 4 * mby + blkY(blk)
+              val (lv, tc) = residualBlock(r, nCOf(gx, gy), 16, tables)
+              var k = 0
+              while (k < 16) { lumaScan64(b)(4 * k + i) = lv(k); k += 1 }
+              nz(gy)(gx) = tc
+              i += 1
+            }
+          } else {
+            var i = 0
+            while (i < 4) {
+              val blk = 4 * b + i
+              nz(4 * mby + blkY(blk))(4 * mbx + blkX(blk)) = 0
+              i += 1
+            }
+          }
+          b += 1
+        }
+        val (chDcScan, chAcScan) = parseChroma(cbpChroma)
+        reconstructI8x8(luma, cb, cr, w, wc, wMbs, mbx, mby, modes,
+          chromaPredMode, qp, pps.chromaQpOffset, pps.chromaQpOffsetCr,
+          cbpChroma, lumaScan64, chDcScan, chAcScan, done)
+        mbs += I16Mb(-1, cbpChroma, cbpLuma, chromaPredMode, qp,
+          modes8x8 = modes)
+      } else if (mbType == 0) {
+        // ---- I_NxN = Intra_4x4 (round 16; the transform_size_8x8
+        // flag, when the PPS carries it, was read above as 0) ----
         // mb_pred(): sixteen §8.3.1.1 mode signals in blkIdx order;
         // the predictor is min(modeA, modeB) with unavailable or
         // non-I4x4 neighbors inferred as 2 (DC)
@@ -1085,7 +1450,7 @@ object H264Cavlc {
     require(r.bitsLeft == 0, "trailing bytes after rbsp_trailing_bits")
     Some(I16Picture(sliceType, ppsId, frameNum, idrPicId, pocLsb, sliceQp,
       wMbs, hMbs, mbs.toSeq, luma, cb, cr))
-  } catch { case _: Exception => None }
+  } catch { case e: Exception => if (sys.props.contains("graft.h264.debug")) e.printStackTrace(); None }
 
   // -------------------------------------------------------------------
   // Fixture encoder
@@ -1247,6 +1612,18 @@ object H264Cavlc {
                               chromaAc: Array[Array[Array[Int]]] = Array.empty,
                               forceCbpChroma: Option[Int] = None) extends IMbSpec
 
+  /** One Intra_8x8 macroblock's fixture inputs (round 17): the four
+    * §8.3.2 modes in luma8x8BlkIdx order and 4 × 64 levels in 8x8
+    * ZIG-ZAG SCAN order. Needs a PPS with transform_8x8_mode_flag.
+    * CBP luma derives per 8x8 block (bit b set iff block b has a
+    * nonzero level); `forceCbpLuma` may set EXTRA bits. */
+  final case class I8x8MbSpec(modes: Array[Int], chromaPredMode: Int, qpDelta: Int,
+                              lumaScan64: Array[Array[Int]],
+                              forceCbpLuma: Option[Int] = None,
+                              chromaDc: Array[Array[Int]] = Array.empty,
+                              chromaAc: Array[Array[Array[Int]]] = Array.empty,
+                              forceCbpChroma: Option[Int] = None) extends IMbSpec
+
   /** Fixture encoder for [[parseI16x16Slice]]: slice header + all-
     * Intra_16x16 CAVLC slice data, mirrored field for field. */
   def encodeI16x16Slice(sps: H264.Sps, pps: H264.Pps, nalRefIdc: Int,
@@ -1376,6 +1753,7 @@ object H264Cavlc {
           chromaCbpOf(m.chromaDc, m.chromaAc, m.forceCbpChroma)
         val cbp = cbpLuma | (cbpChroma << 4)
         w.ue(0) // mb_type I_NxN
+        if (pps.transform8x8) w.u(0, 1) // transform_size_8x8_flag: 4x4
         var blk = 0
         while (blk < 16) {
           val gx = 4 * mbx + blkX(blk); val gy = 4 * mby + blkY(blk)
@@ -1402,6 +1780,69 @@ object H264Cavlc {
             nz(gy)(gx) = emitResidualBlock(w, m.lumaScan(blk), nCOf(gx, gy), tables)
           else nz(gy)(gx) = 0
           blk += 1
+        }
+        emitChroma(mbx, mby, cbpChroma, chDc, chAc)
+
+      case (m: I8x8MbSpec, idx) =>
+        // Intra_8x8 (round 17): mb_type 0 + transform_size_8x8_flag 1,
+        // four mode signals, the §8.5.13.1 four-4x4 CAVLC interleave
+        require(pps.transform8x8,
+          "I8x8MbSpec needs a PPS with transform_8x8_mode_flag")
+        val mbx = idx % wMbs; val mby = idx / wMbs
+        require(m.modes.length == 4 && m.modes.forall(md => md >= 0 && md <= 8),
+          "four Intra_8x8 modes in 0..8")
+        require(m.lumaScan64.length == 4 && m.lumaScan64.forall(_.length == 64),
+          "luma scan64 array shapes")
+        val derived = (0 until 4).map(b =>
+          if (m.lumaScan64(b).exists(_ != 0)) 1 << b else 0).sum
+        val cbpLuma = m.forceCbpLuma.getOrElse(derived)
+        require((cbpLuma & derived) == derived && cbpLuma < 16,
+          "forceCbpLuma must cover every nonzero 8x8 block")
+        val (cbpChroma, chDc, chAc) =
+          chromaCbpOf(m.chromaDc, m.chromaAc, m.forceCbpChroma)
+        val cbp = cbpLuma | (cbpChroma << 4)
+        w.ue(0) // mb_type I_NxN
+        w.u(1, 1) // transform_size_8x8_flag
+        var b = 0
+        while (b < 4) {
+          val gx4 = 4 * mbx + 2 * (b % 2); val gy4 = 4 * mby + 2 * (b / 2)
+          val a = if (gx4 == 0 || modeGrid(gy4)(gx4 - 1) < 0) 2 else modeGrid(gy4)(gx4 - 1)
+          val bb = if (gy4 == 0 || modeGrid(gy4 - 1)(gx4) < 0) 2 else modeGrid(gy4 - 1)(gx4)
+          val predicted = math.min(a, bb)
+          val mode = m.modes(b)
+          if (mode == predicted) w.u(1, 1)
+          else {
+            w.u(0, 1)
+            w.u(if (mode > predicted) mode - 1 else mode, 3)
+          }
+          modeGrid(gy4)(gx4) = mode; modeGrid(gy4)(gx4 + 1) = mode
+          modeGrid(gy4 + 1)(gx4) = mode; modeGrid(gy4 + 1)(gx4 + 1) = mode
+          b += 1
+        }
+        w.ue(m.chromaPredMode)
+        w.ue(intra4x4CbpToGolomb(cbp))
+        if (cbp != 0) w.se(m.qpDelta)
+        else require(m.qpDelta == 0, "mb_qp_delta needs a nonzero CBP")
+        b = 0
+        while (b < 4) {
+          if ((cbpLuma >> b & 1) != 0) {
+            var i = 0
+            while (i < 4) {
+              val blk = 4 * b + i
+              val gx = 4 * mbx + blkX(blk); val gy = 4 * mby + blkY(blk)
+              val sub = Array.tabulate(16)(k => m.lumaScan64(b)(4 * k + i))
+              nz(gy)(gx) = emitResidualBlock(w, sub, nCOf(gx, gy), tables)
+              i += 1
+            }
+          } else {
+            var i = 0
+            while (i < 4) {
+              val blk = 4 * b + i
+              nz(4 * mby + blkY(blk))(4 * mbx + blkX(blk)) = 0
+              i += 1
+            }
+          }
+          b += 1
         }
         emitChroma(mbx, mby, cbpChroma, chDc, chAc)
     }

@@ -541,8 +541,13 @@ object Multimodal {
           if (m.isI4x4)
             m.modes4x4.zipWithIndex.foldLeft(0L) { case (acc, (md, b)) =>
               acc + md.toLong * (b + 1) }
+          else if (m.isI8x8)
+            m.modes8x8.zipWithIndex.foldLeft(0L) { case (acc, (md, b)) =>
+              acc + md.toLong * (b + 1) }
           else m.predMode.toLong
-        H264I4x4Row(a.id, i, if (m.isI4x4) 1 else 0, modeSum,
+        // is_i4x4: 1 = Intra_4x4, 2 = Intra_8x8 (round 17), 0 = I16
+        val kind = if (m.isI4x4) 1 else if (m.isI8x8) 2 else 0
+        H264I4x4Row(a.id, i, kind, modeSum,
           m.cbpLuma, m.qp, sum, wsum, mn, mx)
       }
     })

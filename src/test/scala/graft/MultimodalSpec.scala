@@ -3550,9 +3550,60 @@ class MultimodalSpec extends AnyFunSuite {
         a.mbs(i).modes4x4.sameElements(b.mbs(i).modes4x4)), s"seed $seed: modes")
       assert(a.luma.distinct.length > 4, "reconstruction suspiciously flat")
     }
+    // ---- round 17: Intra_8x8 through both coders (transform_8x8 PPS;
+    // pictures mixing I8x8 with I4x4 and I16 so the flag, the cat-5
+    // residual path, and the mixed-mode predictor all cross-check) ----
+    val pps8Cavlc = H264.parsePps(H264.encodePps(0, 0, cabac = false,
+      picInitQp = 28, transform8x8 = true)).get
+    val pps8Cabac = H264.parsePps(H264.encodePps(0, 0, cabac = true,
+      picInitQp = 28, transform8x8 = true)).get
+    def legal8(gx8: Int, gy8: Int, pick: Int): Int = {
+      val s = if (gx8 == 0 && gy8 == 0) Seq(2)
+        else if (gy8 == 0) Seq(1, 2, 8)
+        else if (gx8 == 0) Seq(0, 2, 3, 7)
+        else 0 to 8
+      s(pick % s.length)
+    }
+    def i8mb(mbx: Int, mby: Int, seed: Int, qpd: Int) = H264Cavlc.I8x8MbSpec(
+      Array.tabulate(4) { b =>
+        legal8(2 * mbx + b % 2, 2 * mby + b / 2, seed + 2 * b)
+      }, chromaModeAt(mbx, mby, seed), qpd,
+      Array.tabulate(4, 64)((b, p) =>
+        // CABAC cannot code an empty 8x8 (no cbf bin), so pin one
+        // nonzero per block and derive the CBP in both coders
+        if (p == 62 - b) 1
+        else if ((seed + b + p) % 11 == 0) ((seed + b * (p + 1)) % 5) - 2 else 0)
+        .map(_.toArray),
+      chromaDc = Array.tabulate(2, 4)((c2, k) =>
+        if ((seed + c2 + k) % 3 == 0) ((seed + k) % 5) - 2 else 0).map(_.toArray),
+      forceCbpChroma = Some(1))
+    for (seed <- 1 to 6) {
+      val mbs = Seq(i8mb(0, 0, seed, 2),
+        i4mb(1, 0, seed + 3, -1),
+        i16mb(seed + 5, 0, 1, chromaModeAt(0, 1, seed + 5)),
+        i8mb(1, 1, seed + 8, 0))
+      val cavlcRbsp = H264Cavlc.encodeI16x16Slice(sps, pps8Cavlc, 3, idr = true,
+        1, 2, 3, 0, mbs, H264Cavlc.fixtureTables)
+      val cabacRbsp = H264Cabac.encodeISlice(sps, pps8Cabac, 3, idr = true,
+        1, 2, 3, 0, mbs, H264Cabac.fixtureTables)
+      val a = H264Cavlc.parseI16x16Slice(cavlcRbsp, sps, pps8Cavlc, 3, 5,
+        H264Cavlc.fixtureTables).getOrElse(fail(s"8x8 seed $seed: CAVLC decode"))
+      val b = H264Cabac.parseISlice(cabacRbsp, sps, pps8Cabac, 3, 5,
+        H264Cabac.fixtureTables).getOrElse(fail(s"8x8 seed $seed: CABAC decode"))
+      assert(a.luma.sameElements(b.luma), s"8x8 seed $seed: luma differs")
+      assert(a.cb.sameElements(b.cb) && a.cr.sameElements(b.cr),
+        s"8x8 seed $seed: chroma differs")
+      assert(a.mbs.map(_.qp) == b.mbs.map(_.qp), s"8x8 seed $seed: qp chain")
+      assert((0 until 4).forall(i =>
+        a.mbs(i).modes8x8.sameElements(b.mbs(i).modes8x8) &&
+        a.mbs(i).modes4x4.sameElements(b.mbs(i).modes4x4)),
+        s"8x8 seed $seed: modes")
+      assert(a.mbs(0).isI8x8 && a.mbs(1).isI4x4 && a.mbs(3).isI8x8)
+      assert(a.luma.distinct.length > 4, "reconstruction suspiciously flat")
+    }
   }
 
-  test("h264 pps extension: transform_8x8/second chroma offset parse; scaling matrix and 8x8 slices reject (round 16)") {
+  test("h264 pps extension: transform_8x8/second chroma offset parse; scaling matrix rejects, transform_8x8 PPS decodes (round 17)") {
     import graft.multimodal.{H264, H264Cavlc, H264Cabac}
     // extension roundtrip: both fields reach the parsed Pps
     val extB = H264.encodePps(0, 0, cabac = false, picInitQp = 28,
@@ -3597,28 +3648,30 @@ class MultimodalSpec extends AnyFunSuite {
       m
     }
     assert(H264.parsePps(withMatrix).isEmpty, "scaling matrix accepted")
-    // a transform_8x8 PPS strict-rejects at BOTH slice parsers (I_NxN
-    // slice data would carry transform_size_8x8_flag bits this scope
-    // does not read — accepting would desync, a misparse)
+    // round 17: a transform_8x8 PPS now DECODES at both slice parsers
+    // (Intra_8x8 landed). An Intra_16x16-only slice carries no
+    // transform_size_8x8_flag, so it parses identically under either
+    // PPS — and byte-identically, since the I16 mb layer is unchanged.
     val (sps, _) = i16SpsPps(1, 1)
+    val i16only = Seq(H264Cavlc.I16MbSpec(2, 0, 0, new Array[Int](16),
+      Array.fill(16)(new Array[Int](15))))
     val ok = H264Cavlc.encodeI16x16Slice(sps,
       H264.parsePps(H264.encodePps(0, 0, cabac = false)).get, 3,
-      idr = true, 0, 0, 0, 0,
-      Seq(H264Cavlc.I16MbSpec(2, 0, 0, new Array[Int](16),
-        Array.fill(16)(new Array[Int](15)))), H264Cavlc.fixtureTables)
+      idr = true, 0, 0, 0, 0, i16only, H264Cavlc.fixtureTables)
     val t8pps = H264.parsePps(H264.encodePps(0, 0, cabac = false,
       transform8x8 = true)).get
-    assert(H264Cavlc.parseI16x16Slice(ok, sps, t8pps, 3, 5,
-      H264Cavlc.fixtureTables).isEmpty, "CAVLC accepted a transform_8x8 PPS")
+    val underT8 = H264Cavlc.parseI16x16Slice(ok, sps, t8pps, 3, 5,
+      H264Cavlc.fixtureTables)
+    assert(underT8.nonEmpty && underT8.get.luma.forall(_ == 128),
+      "I16-only slice must decode under a transform_8x8 PPS")
     val t8cabac = H264.parsePps(H264.encodePps(0, 0, cabac = true,
       transform8x8 = true)).get
     val okCabac = H264Cabac.encodeISlice(sps,
       H264.parsePps(H264.encodePps(0, 0, cabac = true)).get, 3,
-      idr = true, 0, 0, 0, 0,
-      Seq(H264Cavlc.I16MbSpec(2, 0, 0, new Array[Int](16),
-        Array.fill(16)(new Array[Int](15)))), H264Cabac.fixtureTables)
+      idr = true, 0, 0, 0, 0, i16only, H264Cabac.fixtureTables)
     assert(H264Cabac.parseISlice(okCabac, sps, t8cabac, 3, 5,
-      H264Cabac.fixtureTables).isEmpty, "CABAC accepted a transform_8x8 PPS")
+      H264Cabac.fixtureTables).nonEmpty,
+      "CABAC I16-only slice must decode under a transform_8x8 PPS")
     // second_chroma_qp_index_offset reaches Cr's dequant: a Cb/Cr DC
     // impulse picture decodes Cr under its own QPC
     val (sps2, _) = i16SpsPps(1, 1, qp = 30)
@@ -4058,6 +4111,92 @@ class MultimodalSpec extends AnyFunSuite {
       H264Mp4.decodeSamplePicture(s, cfg, sps, pps,
         H264Cavlc.fixtureTables, H264Cabac.fixtureTables).isEmpty
     }, "the mixed file should NOT be fully decodable")
+  }
+
+  test("h264 intra_8x8: DC-only known answers both qp branches, all nine modes round-trip, mixed 4x4/8x8 predictor, flag-0 still 4x4 (round 17)") {
+    import graft.multimodal.{H264, H264Cavlc}
+    val spsB = H264.encodeSps(100, 40, spsId = 0, log2MaxFrameNumMinus4 = 0,
+      poc = 0, maxRef = 1, pwMbsMinus1 = 1, phMapMinus1 = 1,
+      frameMbsOnly = true, crop = None)
+    val sps = H264.parseSps(spsB).get
+    val pps = H264.parsePps(H264.encodePps(0, 0, cabac = false,
+      picInitQp = 26, transform8x8 = true)).get
+    assert(pps.transform8x8)
+    def decode(mbs: Seq[H264Cavlc.IMbSpec], qpDelta0: Int = 0) = {
+      val rbsp = H264Cavlc.encodeI16x16Slice(sps, pps, 3, idr = true,
+        0, 0, 0, qpDelta0, mbs, H264Cavlc.fixtureTables)
+      H264Cavlc.parseI16x16Slice(rbsp, sps, pps, 3, 5, H264Cavlc.fixtureTables)
+    }
+    // ---- flat: all-DC 8x8 MBs, zero residual -> uniform 128 ----
+    val dcMb = H264Cavlc.I8x8MbSpec(Array(2, 2, 2, 2), 0, 0,
+      Array.fill(4)(new Array[Int](64)))
+    val flat = decode(Seq.fill(4)(dcMb)).get
+    assert(flat.luma.forall(_ == 128) && flat.mbs.forall(_.isI8x8))
+    // ---- DC-impulse known answer, BOTH §8.5.13.1 qp branches ----
+    for (qp <- Seq(20, 40)) { // 20: rounding branch; 40: shift branch
+      val c = 3
+      val scan = new Array[Int](64); scan(0) = c
+      val one = H264Cavlc.I8x8MbSpec(Array(2, 2, 2, 2), 0, qp - 26,
+        Array(scan, new Array[Int](64), new Array[Int](64), new Array[Int](64)))
+      val pic = decode(Seq(one, dcMb, dcMb, dcMb)).get
+      // v8x8(qp%6, class(0,0)) = table row col 0
+      val v = Seq(20, 22, 26, 28, 32, 36)(qp % 6)
+      val d0 = if (qp >= 36) (c * v) << (qp / 6 - 6)
+               else (c * v + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+      val res = (d0 + 32) >> 6
+      val want = math.max(0, math.min(255, 128 + res))
+      // block 0 of mb0 is the impulse; its 8x8 is uniform `want`
+      for (y <- 0 until 8; x <- 0 until 8)
+        assert(pic.luma(y * 32 + x) == want, s"qp $qp at ($x,$y)")
+      // block 1 (same MB, right) predicted from block 0's right edge
+      assert(pic.luma(0 * 32 + 8) != 0)
+    }
+    // ---- all nine modes with availability-legal placement ----
+    def mode8(m: Int, b: Int): Int = {
+      val bx = b % 2; val by = b / 2
+      if (m == 1 && by == 0) Seq(1, 2, 8)((m + b) % 3)
+      else if (m == 2 && bx == 0) Seq(0, 2, 3, 7)((m + b) % 4)
+      else if (m == 3) Seq(4, 7, 6, 5)(b) // the corner-needing quartet
+      else (m + 3 * b) % 9
+    }
+    val varied = (1 to 3).map { m =>
+      H264Cavlc.I8x8MbSpec(Array.tabulate(4)(mode8(m, _)), 0, ((m * 7) % 5) - 2,
+        Array.tabulate(4, 64)((b, p) =>
+          if ((m + b + p) % 9 == 0) ((m * (p + 2) + b) % 5) - 2 else 0)
+          .map(_.toArray),
+        forceCbpLuma = Some(15))
+    }
+    val mixed = decode(dcMb +: varied).get
+    assert(mixed.mbs.length == 4 && mixed.mbs.forall(_.isI8x8))
+    // every mode 0..8 appears across the picture
+    val used = mixed.mbs.flatMap(_.modes8x8).toSet
+    assert((0 to 8).forall(used.contains), s"modes used: $used")
+    // deterministic round-trip: re-encode the same specs -> same pixels
+    val again = decode(dcMb +: varied).get
+    assert(again.luma.sameElements(mixed.luma))
+    // ---- mixed 4x4/8x8: an I4x4 MB after an 8x8 one reads the 8x8's
+    // mode through the covering cells (and vice versa) ----
+    val i4 = H264Cavlc.I4x4MbSpec(
+      Array.tabulate(16)(i => if (i % 4 == 0) 2 else (i % 3)), 0, 0,
+      Array.fill(16)(new Array[Int](16)))
+    val mix2 = decode(Seq(dcMb, i4,
+      H264Cavlc.I8x8MbSpec(Array(2, 2, 2, 2), 2, 0, Array.fill(4)(new Array[Int](64))),
+      i4)).get
+    assert(mix2.mbs(1).isI4x4 && mix2.mbs(2).isI8x8)
+    // ---- flag 0 under a transform8x8 PPS still decodes Intra_4x4 ----
+    val i4dc = H264Cavlc.I4x4MbSpec(Array.fill(16)(2), 0, 0,
+      Array.fill(16)(new Array[Int](16)))
+    val only4 = decode(Seq(i4dc, i4, i4dc, i4)).get
+    assert(only4.mbs.forall(_.isI4x4))
+    // ---- availability reject: vertical on the top row is nonconforming ----
+    val badMode = H264Cavlc.I8x8MbSpec(Array(0, 2, 2, 2), 0, 0,
+      Array.fill(4)(new Array[Int](64)))
+    assert(decode(Seq(badMode, dcMb, dcMb, dcMb)).isEmpty,
+      "mode 0 without a top row accepted")
+    // ---- the 8x8 zig-zag is the canonical diagonal walk ----
+    val zz = H264Cavlc.zigZag8x8
+    assert(zz.length == 64 && zz.distinct.length == 64 && zz(0) == 0 &&
+      zz(1) == 1 && zz(2) == 8 && zz(3) == 16 && zz(4) == 9 && zz(63) == 63)
   }
 
   test("mp4 fragmented: moof/tfhd/trun resolve per-fragment samples; sync flags become stss-equivalent; desyncs and out-of-scope shapes reject (round 17)") {
