@@ -1699,6 +1699,40 @@ private[graft] trait QueriesMedia { this: Queries.type =>
     })
   }
 
+  /** END-TO-END media pipeline (round 17, r16 VERDICT #5 — the media
+    * analog of training_export): ONE declarative plan composing the
+    * tiers the way a training-data pipeline would —
+    *   MP4 container walk → stss keyframe extraction → intra decode →
+    *   pooled-luma embedding (all inside one mapPartitions kernel) →
+    *   brute-force dot-product KNN (broadcast self-join over the
+    *   frame set) → top-1 per frame.
+    * Integer dot products and deterministic (n_id, n_sample)
+    * tie-breaks keep the oracle hash-exact; the plan stays JOIN-FREE
+    * until the final KNN (PlanAudit pins cartesian=0 and a single
+    * broadcast join). The fixture is the keyframe gate's — P-sample
+    * files where only stss-marked samples decode. */
+  private[graft] def mediaPipelineKnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.multimodal.Multimodal.mp4KeyframeEmbeddings(
+      mp4KeyframeAssets(spark, dir),
+      graft.multimodal.H264Cavlc.fixtureTables,
+      graft.multimodal.H264Cabac.fixtureTables).toDF()
+    val other = emb.select(col("id").as("n_id"), col("sample").as("n_sample"),
+      col("v").as("nv"))
+    val pairs = emb.join(org.apache.spark.sql.functions.broadcast(other),
+        !(col("id") === col("n_id") && col("sample") === col("n_sample")))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(v, nv, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"), col("sample"))
+      .orderBy(col("dot").desc, col("n_id"), col("n_sample"))
+    pairs.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("id"), col("sample").cast("int").as("sample"),
+        col("n_id"), col("n_sample").cast("int").as("n_sample"),
+        col("dot").cast("bigint").as("dot"))
+      .orderBy(col("id"), col("sample"))
+  }
+
   private[graft] def multimodalMp4Keyframes(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.Multimodal.mp4H264Keyframes(mp4KeyframeAssets(spark, dir),
       graft.multimodal.H264Cavlc.fixtureTables,

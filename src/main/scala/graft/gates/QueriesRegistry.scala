@@ -27,7 +27,7 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
     * doc_id bound so the single-track and INTERLEAVED-chunk gates share
     * it verbatim — the container layout is exactly what those gates
     * differ in, and any slicing slip changes the pixels. */
-  private[graft] def mp4H264OracleSql(nIds: Int, sms: String = "range(0, 2)"): String =
+  private[graft] def mp4H264PlanesCte(nIds: Int, sms: String): String =
     s"""WITH RECURSIVE ids AS (
            |  SELECT doc_id AS id, sm.sm, 2 * doc_id + sm.sm AS eid
            |  FROM documents, (SELECT unnest($sms) AS sm) sm
@@ -195,7 +195,10 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
            |    JOIN res4 r ON r.id = w.id AND r.sm = w.sm AND r.k = w.k
            |    WHERE w.k < 48
            |  ) s),
-           |fin AS (SELECT id, sm, p FROM walk WHERE k = 48),
+           |fin AS (SELECT id, sm, p FROM walk WHERE k = 48)""".stripMargin
+
+  private[graft] def mp4H264OracleSql(nIds: Int, sms: String = "range(0, 2)"): String =
+    mp4H264PlanesCte(nIds, sms) + "," + s"""
            |msum AS (SELECT id, sm, m, SUM((blk + 1) * md) AS mode_sum
            |         FROM geoq GROUP BY id, sm, m),
            |mbrows AS (
@@ -2401,6 +2404,28 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
     // gates pin the fragment walk alone
     "multimodal_mp4_frag_h264" -> Q(multimodalMp4FragH264, Some(mp4H264OracleSql(4))),
     "multimodal_mp4_frag_aac" -> Q(multimodalMp4FragAac, Some(mp4AacOracleSql(4))),
+    // end-to-end media pipeline (round 17): container → stss keyframes
+    // → intra decode → pooled-luma embedding → dot-product top-1. The
+    // oracle reuses the keyframe gate's full recursive PLANE
+    // restatement, pools it, and re-ranks all pairs — so a defect
+    // anywhere in the composed pipeline (walk, sync filter, decode,
+    // pooling, scoring, tie-break) reddens the gate.
+    "media_pipeline_knn" -> Q(mediaPipelineKnn, Some(
+      mp4H264PlanesCte(4, "[0, 2]") + "," + raw"""
+           |emb AS (SELECT id, sm, list_transform(range(0, 16), e ->
+           |    list_sum(list_transform(range(0, 64), j ->
+           |      p[((e//4)*8 + (j//8))*32 + (e%4)*8 + (j%8) + 1]))) AS v
+           |  FROM fin),
+           |pairs AS (
+           |  SELECT a.id AS id, a.sm AS sample, b.id AS n_id, b.sm AS n_sample,
+           |    list_sum(list_transform(range(0, 16), t -> a.v[t+1] * b.v[t+1])) AS dot
+           |  FROM emb a, emb b
+           |  WHERE NOT (a.id = b.id AND a.sm = b.sm)),
+           |rk AS (SELECT *, row_number() OVER (PARTITION BY id, sample
+           |         ORDER BY dot DESC, n_id, n_sample) AS rn FROM pairs)
+           |SELECT id, sample::INT AS sample, n_id, n_sample::INT AS n_sample,
+           |  dot::BIGINT AS dot
+           |FROM rk WHERE rn = 1 ORDER BY id, sample""".stripMargin)),
     "multimodal_mp4_aac" -> Q(multimodalMp4Aac, Some(mp4AacOracleSql(6))),
     "multimodal_h264_i16_chroma" -> Q(multimodalH264I16Chroma, Some(
       // restates h264ChromaAssets' CHROMA decode end to end (late round

@@ -699,6 +699,59 @@ object Multimodal {
     })
   }
 
+  final case class FrameEmbedding(id: Long, sample: Int, v: Array[Long])
+
+  /** MP4 keyframes → POOLED LUMA EMBEDDINGS (round 17, the e2e media
+    * pipeline seam): decode each stss sync sample through the intra
+    * decoders and average-pool-SUM the luma plane onto a `grid`×`grid`
+    * integer vector (sums, not means — integers keep the downstream
+    * oracle hash-exact). This is the media analog of a training
+    * pipeline's embed step: container walk → keyframe pixels → fixed-
+    * dim vector, all inside one mapPartitions kernel (no shuffle until
+    * whatever KNN the caller composes on top). */
+  def mp4KeyframeEmbeddings(assets: Dataset[Asset],
+                            cavlc: H264Cavlc.CavlcTables,
+                            cabac: H264Cabac.CabacTables,
+                            grid: Int = 4): Dataset[FrameEmbedding] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      val movie = Mp4.parseMp4(a.bytes)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: not a supported MP4"))
+      val track = movie.tracks.find(_.kind == "vide")
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: no video track"))
+      val cfg = H264Mp4.parseAvcc(track.stsd)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: no decodable avcC sample description"))
+      val sps = H264.parseSps(H264Mp4.nalRbsp(cfg.sps.head)).get
+      val pps = H264.parsePps(H264Mp4.nalRbsp(cfg.pps.head)).get
+      track.sampleSizes.iterator.zipWithIndex
+        .filter { case (_, sIdx) => track.isSync(sIdx) }
+        .map { case (sz, sIdx) =>
+          val off = (track.sampleOffsets(sIdx) - movie.mdatFileOffset).toInt
+          val sample = java.util.Arrays.copyOfRange(movie.mdat, off, off + sz)
+          val pic = H264Mp4.decodeSamplePicture(sample, cfg, sps, pps, cavlc, cabac)
+            .getOrElse(throw new IllegalArgumentException(
+              s"asset ${a.id} sample $sIdx: undecodable sync sample"))
+          val w = 16 * pic.widthMbs; val h = 16 * pic.heightMbs
+          require(w % grid == 0 && h % grid == 0, "grid must tile the picture")
+          val cw = w / grid; val ch = h / grid
+          val v = new Array[Long](grid * grid)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              v((y / ch) * grid + (x / cw)) += pic.luma(y * w + x)
+              x += 1
+            }
+            y += 1
+          }
+          FrameEmbedding(a.id, sIdx, v)
+        }
+    })
+  }
+
   final case class Mp4AacRow(id: Long, channel: Int, rate_idx: Int,
                              channels: Int, n_frames: Int, n_samples: Int,
                              n_clipped: Int, n_nonzero: Int, sum_pcm: Long,

@@ -77,7 +77,15 @@ object PlanAudit {
       "multimodal_h264_cabac", "multimodal_h264_cabac_core",
       "multimodal_mp4_h264", "multimodal_mp4_aac",
       "multimodal_mp4_chunks_h264", "multimodal_mp4_chunks_aac",
-      "multimodal_aac_is", "ann_graph_sampled").foreach(audit)
+      "multimodal_aac_is", "ann_graph_sampled",
+      // round-17 additions. Expectations: keyframes/frag/i8x8 all-zero
+      // joins (per-row container+codec kernels + one orderBy exchange);
+      // media_pipeline_knn JOIN-FREE until the final KNN — exactly one
+      // broadcast join (bhj or bnlj on the inequality predicate) over
+      // the frame set, zero cartesian/smj/shj, then the window top-1.
+      "multimodal_mp4_keyframes", "multimodal_mp4_frag_h264",
+      "multimodal_mp4_frag_aac", "multimodal_h264_i8x8",
+      "media_pipeline_knn").foreach(audit)
     spark.stop()
   }
 }

@@ -1190,6 +1190,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sl.mbs.head.luma.sameElements(mb.head.luma))
   }
 
+  test("mp3 MPEG-2/2.5 (LSF): version bits strict-reject by name, never misparse (round 17 scope decision)") {
+    // r16 VERDICT #6: old corpora carry 22.05/16/11.025 kHz LSF streams
+    // (MPEG-2 ID 0b10, MPEG-2.5 0b00). LSF Layer III is a SECOND rule
+    // set (9/17-byte side info, one granule, slen[4] scalefactors, its
+    // own intensity stereo) with no in-sandbox ground truth — the same
+    // validation gap the CABAC schedule carries. DECISION: documented
+    // named reject (SURVEY round-17 scope row), like AAC LTP/CCE —
+    // this test pins that every non-MPEG-1 version value rejects at
+    // the sync walk rather than desyncing the frame-length math
+    // (LSF frames are HALF the MPEG-1 length at the same bitrate
+    // index: a misparse would slice garbage frames, not fail).
+    import graft.multimodal.Mp3
+    val good = Mp3.encodeMp3(2, 3, 2, Array.tabulate(2 * 212)(i => (i % 251).toByte))
+    assert(Mp3.parseMp3(good).nonEmpty)
+    // version field: header byte 1 bits 4..3 (0b11 = MPEG-1)
+    for (ver <- Seq(0, 1, 2)) { // 2.5, reserved, MPEG-2
+      val bad = good.clone()
+      bad(1) = ((bad(1) & 0xE7) | (ver << 3)).toByte
+      assert(Mp3.parseMp3(bad).isEmpty, s"version bits $ver accepted")
+    }
+  }
+
   test("mp3 per-frame stereo-mode discipline: mixed modes reject; intensity streams refuse PCM decode (r14 review)") {
     import graft.multimodal.Mp3
     val (si, sfs, sp) = mp3FrameSpec(1L)
@@ -3853,6 +3875,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(AacMp4.parseEsds(asc((2 << 3) | 0, (2 << 3) | 4)).isEmpty,
       "960-frame flag accepted")
     assert(AacMp4.parseEsds(asc((2 << 3) | 0, 6 << 3)).isEmpty, "6 channels accepted")
+    // explicit/reserved sampling frequencies strict-reject (round 17,
+    // r16 VERDICT #9): ASC rate index 13/14 are reserved and 15 is the
+    // explicit-frequency escape (a 24-bit rate follows, shifting every
+    // later field — skipping it would misparse the channel config)
+    for (rate <- Seq(13, 14, 15)) {
+      val b0 = (2 << 3) | (rate >> 1)
+      val b1 = ((rate & 1) << 7) | (2 << 3)
+      assert(AacMp4.parseEsds(asc(b0, b1)).isEmpty,
+        s"ASC rate index $rate accepted")
+    }
+    // ADTS twin: poke rate index 13 into a valid frame's header
+    // (sampling_frequency_index is header byte 2 bits 5..2)
+    {
+      val frame = Aac.encodeFrame(1, 4, 1, Aac.encodeSceWin(
+        Aac.IcsInfo(0, 8, Array(1)), 100, Array(Array.fill(8)(12)),
+        Array(Array.fill(8)(100)), new Array[Int](1024)))
+      assert(Aac.parse(frame).nonEmpty)
+      val bad = frame.clone()
+      bad(2) = ((bad(2) & 0xC3) | (13 << 2)).toByte
+      assert(Aac.parse(bad).isEmpty, "ADTS reserved rate index accepted")
+    }
     // ES_Descriptor optional-field flags (streamDependence/URL/OCR)
     // strict-reject — a set flag means optional fields follow the
     // 3-byte ES_ID+flags and a fixed skip would walk misaligned.
