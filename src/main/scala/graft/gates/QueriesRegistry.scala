@@ -2391,6 +2391,16 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
            |FROM (SELECT * FROM mb0 UNION ALL SELECT * FROM i4rows)
            |ORDER BY id, mb""".stripMargin)),
     "multimodal_mp4_h264" -> Q(multimodalMp4H264, Some(mp4H264OracleSql(4))),
+    // stts decode timestamps (round 17): cumulative formula deltas +
+    // the stss sync flags, integer-exact
+    "multimodal_mp4_timestamps" -> Q(multimodalMp4Timestamps, Some(
+      raw"""SELECT d.doc_id AS id, s.s::INT AS sample,
+           |  CAST(COALESCE(list_sum(list_transform(range(0, s.s), k ->
+           |    1 + (d.doc_id + k) % 7)), 0) AS BIGINT) AS dts,
+           |  (CASE WHEN s.s % 2 = 0 THEN 1 ELSE 0 END)::INT AS is_sync,
+           |  1000::BIGINT AS timescale
+           |FROM documents d, (SELECT unnest(range(0, 4)) AS s) s
+           |WHERE d.doc_id < 4 ORDER BY id, sample""".stripMargin)),
     // stss keyframe extraction (round 17): four samples, sync = {1, 3}
     // 1-based → only sm 0 and 2 decode; the same content restatement
     // as mp4_h264 over the sync sm values alone. Non-sync samples are

@@ -11,7 +11,8 @@ package graft.multimodal
   *
   * Scope: 32-bit box sizes, `ftyp` + `moov`(`mvhd`, `trak`(`tkhd`,
   * `mdia`(`mdhd`, `hdlr`, `minf`/`stbl`(`stsd` raw, `stsz` uniform or
-  * per-sample, `stsc` runs, `stco`/`co64`, `stss` sync samples))))
+  * per-sample, `stsc` runs, `stco`/`co64`, `stss` sync samples,
+  * `stts` decode timestamps))))
   * + one `mdat` — OR (round 17) the FRAGMENTED shape: `moov` with
   * empty sample tables + `mvex`/`trex`, then `moof`(`mfhd`,
   * `traf`(`tfhd`, [`tfdt`], `trun`+)) + `mdat` per fragment (explicit
@@ -45,7 +46,8 @@ object Mp4 {
                          stsd: Array[Byte] = Array.empty,
                          sampleOffsets: Array[Long] = Array.empty,
                          syncSamples: Option[Array[Int]] = None,
-                         trackId: Long = 0) {
+                         trackId: Long = 0,
+                         sampleDts: Array[Long] = Array.empty) {
     /** §8.6.2 sync-sample semantics for 0-based sample `i`: an absent
       * stss means EVERY sample is a sync sample (all-intra tracks —
       * real muxers omit the box then); a present stss lists the
@@ -119,6 +121,7 @@ object Mp4 {
       var stscRuns: Array[(Long, Long)] = null // (first_chunk, samples_per_chunk)
       var stsdBytes: Array[Byte] = Array.empty
       var sync: Array[Int] = null // stss 1-based sync sample numbers
+      var sttsRuns: Array[(Long, Long)] = null // (sample_count, sample_delta)
       def stbl(s: Int, e: Int): Boolean = children(s, e) { (t, bs, be) =>
         t match {
           case "stsd" =>
@@ -195,6 +198,22 @@ object Mp4 {
               v
             }
             true
+          case "stts" =>
+            // §8.6.1.2 decoding time-to-sample (round 17): runs of
+            // (sample_count, sample_delta); resolved to per-sample DTS
+            // at trak end (cumulative from 0, timescale units). Counts
+            // must tile the stsz sample count exactly — deferred.
+            if (sttsRuns != null) return false // duplicate stts
+            if (be - bs < 8 || bytes(bs) != 0) return false
+            val nT = be32(bytes, bs + 4)
+            if (nT < 0 || be - bs < 8 + 8 * nT) return false
+            sttsRuns = Array.tabulate(nT.toInt) { j =>
+              val cnt = be32(bytes, bs + 8 + 8 * j)
+              val delta = be32(bytes, bs + 8 + 8 * j + 4)
+              if (cnt < 1) return false // empty run: malformed
+              (cnt, delta)
+            }
+            true
           case "stss" =>
             // §8.6.2 sync-sample table (round 17): the 1-based sample
             // numbers of the sync (key) frames. Absent box = every
@@ -256,6 +275,7 @@ object Mp4 {
       if (sizes.isEmpty || chunkOffs.isEmpty) {
         if (sizes.nonEmpty || chunkOffs.nonEmpty) return false
         if (sync != null && sync.nonEmpty) return false
+        if (sttsRuns != null && sttsRuns.nonEmpty) return false
         tracks += Track(kind, w, h, ts, dur, sizes, -1L, stsdBytes,
           Array.empty[Long], Option(sync), tid)
         return true
@@ -297,8 +317,20 @@ object Mp4 {
       // stss entries must reference real samples (deferred: stsz may
       // come after stss in box order)
       if (sync != null && sync.nonEmpty && sync.last > sizes.length) return false
+      // stts runs must tile the sample count exactly; resolve to
+      // per-sample decode timestamps (cumulative, timescale units)
+      var dts: Array[Long] = Array.empty
+      if (sttsRuns != null) {
+        if (sttsRuns.map(_._1).sum != sizes.length) return false
+        dts = new Array[Long](sizes.length)
+        var t = 0L; var si = 0
+        sttsRuns.foreach { case (cnt, delta) =>
+          var j = 0L
+          while (j < cnt) { dts(si) = t; t += delta; si += 1; j += 1 }
+        }
+      }
       tracks += Track(kind, w, h, ts, dur, sizes, chunkOffs(0), stsdBytes, offsets,
-        Option(sync), tid)
+        Option(sync), tid, dts)
       true
     }
 
@@ -493,11 +525,9 @@ object Mp4 {
           true
         case "mdat" =>
           // one mdat for progressive files; fragmented files carry one
-          // per fragment — collect every payload range, decide at the end
-          if (mdat == null) {
-            mdat = java.util.Arrays.copyOfRange(bytes, bs, be)
-            mdatOff = bs
-          }
+          // per fragment — collect payload ranges only, materialize at
+          // the end (copying here would duplicate fragment payloads
+          // the fragmented branch never uses)
           mdatRanges += ((bs.toLong, be.toLong))
           true
         case _ => true // free/skip/styp/unknown: skipped by size, by contract
@@ -507,6 +537,8 @@ object Mp4 {
       return None
     if (nMoof == 0) {
       if (mdatRanges.length != 1) return None // one mdat for progressive files
+      mdatOff = mdatRanges.head._1
+      mdat = java.util.Arrays.copyOfRange(bytes, mdatOff.toInt, mdatRanges.head._2.toInt)
       // every resolved sample must land INSIDE the mdat payload —
       // validated per sample (round 16: the stsc×stco resolution makes
       // the old per-track contiguous-run check both too weak for
@@ -566,7 +598,10 @@ object Mp4 {
                 stsd: Array[Byte] = Array.empty,
                 perSampleSizes: Option[Array[Int]] = None,
                 handler: String = "vide",
-                syncSamples: Option[Array[Int]] = None): Array[Byte] = {
+                syncSamples: Option[Array[Int]] = None,
+                sampleDeltas: Option[Array[Long]] = None): Array[Byte] = {
+    sampleDeltas.foreach(d => require(d.length == nSamples,
+      "one stts delta per sample"))
     // round 16: `stsd` (raw payload, e.g. [[H264Mp4.encodeStsdAvc1]])
     // is written verbatim when nonempty; `perSampleSizes` switches stsz
     // to the per-sample entry table (variable-size NAL samples)
@@ -649,6 +684,19 @@ object Mp4 {
               // single run: all samples in chunk 1 (round 16 — written
               // explicitly now that the parser resolves stsc × stco)
               box("stsc") { u32(0); u32(1); u32(1); u32(nSamples.toLong); u32(1) }
+              sampleDeltas.foreach { ds =>
+                // compress equal-delta runs into (count, delta)
+                val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+                ds.foreach { d =>
+                  if (runs.nonEmpty && runs.last._2 == d)
+                    runs(runs.length - 1) = (runs.last._1 + 1, d)
+                  else runs += ((1L, d))
+                }
+                box("stts") {
+                  u32(0); u32(runs.length.toLong)
+                  runs.foreach { case (c2, d2) => u32(c2); u32(d2) }
+                }
+              }
               syncSamples.foreach { ss =>
                 box("stss") { u32(0); u32(ss.length.toLong); ss.foreach(s => u32(s.toLong)) }
               }

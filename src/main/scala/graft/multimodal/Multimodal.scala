@@ -734,15 +734,21 @@ object Multimodal {
           val pic = H264Mp4.decodeSamplePicture(sample, cfg, sps, pps, cavlc, cabac)
             .getOrElse(throw new IllegalArgumentException(
               s"asset ${a.id} sample $sIdx: undecodable sync sample"))
-          val w = 16 * pic.widthMbs; val h = 16 * pic.heightMbs
-          require(w % grid == 0 && h % grid == 0, "grid must tile the picture")
+          // pool the CROPPED window (§7.4.2.1.1: the frame the decoder
+          // EMITS), not the MB-padded plane — crop padding is encoder
+          // garbage that would pollute the embedding
+          val stride = 16 * pic.widthMbs
+          val w = sps.width; val h = sps.height
+          val x0 = 2 * sps.cropLeft; val y0 = 2 * sps.cropTop
+          require(w % grid == 0 && h % grid == 0,
+            s"pool grid $grid must tile the cropped ${w}x$h frame")
           val cw = w / grid; val ch = h / grid
           val v = new Array[Long](grid * grid)
           var y = 0
           while (y < h) {
             var x = 0
             while (x < w) {
-              v((y / ch) * grid + (x / cw)) += pic.luma(y * w + x)
+              v((y / ch) * grid + (x / cw)) += pic.luma((y + y0) * stride + (x + x0))
               x += 1
             }
             y += 1

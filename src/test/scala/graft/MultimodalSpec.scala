@@ -4091,6 +4091,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Mp4.parseMp4(mk(Some(Array(3, 2)))).isEmpty, "non-increasing accepted")
     assert(Mp4.parseMp4(mk(Some(Array(2, 2)))).isEmpty, "duplicate entry accepted")
     assert(Mp4.parseMp4(mk(Some(Array(1, 5)))).isEmpty, "entry past sample count accepted")
+    // ---- stts decode timestamps (round 17) ----
+    val timed = Mp4.parseMp4(Mp4.encodeMp4(16, 16, 1000L, 4L, 4, 8, payload,
+      syncSamples = Some(Array(1, 3)),
+      sampleDeltas = Some(Array(3L, 3L, 5L, 2L)))).get.tracks.head
+    assert(timed.sampleDts.sameElements(Array(0L, 3L, 6L, 11L)),
+      s"dts ${timed.sampleDts.mkString(",")}")
+    assert(mk(None) != null &&
+      Mp4.parseMp4(mk(None)).get.tracks.head.sampleDts.isEmpty,
+      "absent stts must leave sampleDts empty")
+    // stts that does not tile the sample count rejects
+    val badTime = Mp4.encodeMp4(16, 16, 1000L, 4L, 4, 8, payload,
+      sampleDeltas = Some(Array(3L, 3L, 5L, 2L)))
+    var tp = -1; var ti = 0
+    while (ti < badTime.length - 4 && tp < 0) {
+      if (badTime(ti) == 's' && badTime(ti + 1) == 't' && badTime(ti + 2) == 't'
+        && badTime(ti + 3) == 's') tp = ti
+      ti += 1
+    }
+    assert(tp > 0, "stts not found")
+    // first run count 2 -> 3: run totals 5 != 4 samples
+    val overTiled = badTime.clone(); overTiled(tp + 4 + 4 + 4 + 3) = 3
+    assert(Mp4.parseMp4(overTiled).isEmpty, "non-tiling stts accepted")
     // entry_count overrunning the box
     val good = mk(Some(Array(1, 3)))
     var sp = -1; var i = 0
