@@ -1696,9 +1696,12 @@ private[graft] trait QueriesMedia { this: Queries.type =>
           samples.flatten.toArray, stsd = stsd,
           perSampleSizes = Some(samples.map(_.length).toArray),
           syncSamples = Some(Array(1, 3)),
-          // round 17: stts with formula deltas — the timestamps gate
-          // reads them; the keyframe/pipeline gates ignore them
-          sampleDeltas = Some(Array.tabulate(4)(s => 1L + (id + s) % 7))), 0, 0)
+          // round 17: stts formula deltas + signed ctts offsets — the
+          // timestamps/ctts gates read them; the keyframe/pipeline
+          // gates ignore them. The offsets span negatives, so the
+          // fixture writes the version-1 (signed) ctts real muxers use.
+          sampleDeltas = Some(Array.tabulate(4)(s => 1L + (id + s) % 7)),
+          ctsOffsets = Some(Array.tabulate(4)(s => (id + 2L * s) % 5 - 2))), 0, 0)
     })
   }
 
@@ -1720,6 +1723,27 @@ private[graft] trait QueriesMedia { this: Queries.type =>
         (a.id, s, dts, if (t.isSync(s)) 1 else 0, t.timescale)
       }
     }).toDF("id", "sample", "dts", "is_sync", "timescale")
+      .orderBy(col("id"), col("sample"))
+  }
+
+  /** ctts composition timestamps (round 17): per-sample PTS = DTS +
+    * the signed version-1 composition offset — the B-frame reorder
+    * surface a pipeline needs to order frames by PRESENTATION time
+    * (decode order ≠ display order on real video). Oracle restates
+    * pts(s) = dts(s) + ((id + 2s) % 5 − 2) closed-form. */
+  private[graft] def multimodalMp4Ctts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mp4KeyframeAssets(spark, dir).mapPartitions(_.flatMap { a =>
+      val m = graft.multimodal.Mp4.parseMp4(a.bytes)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: not a supported MP4"))
+      val t = m.tracks.find(_.kind == "vide").get
+      require(t.samplePts.length == t.sampleSizes.length,
+        s"asset ${a.id}: ctts missing or desynced")
+      t.samplePts.iterator.zipWithIndex.map { case (pts, s) =>
+        (a.id, s, t.sampleDts(s), pts)
+      }
+    }).toDF("id", "sample", "dts", "pts")
       .orderBy(col("id"), col("sample"))
   }
 
@@ -1882,7 +1906,14 @@ private[graft] trait QueriesMedia { this: Queries.type =>
         graft.multimodal.Mp4.FragTrack(2, "soun", 0, 0, stsdA))
       val fragments = (0 until 2).map { f =>
         (Seq(
-          graft.multimodal.Mp4.FragRun(1, Array(v(f).length), Array(true)),
+          // round 17 timestamps: explicit durations + signed cts on the
+          // video run; fragment 0 anchors with tfdt, fragment 1 omits
+          // it (the parser must continue from fragment 0's end); the
+          // audio run carries neither (trex default duration 0)
+          graft.multimodal.Mp4.FragRun(1, Array(v(f).length), Array(true),
+            durations = Array(10L + (id + f) % 3),
+            cts = Array((id + f) % 3 - 1),
+            tfdt = if (f == 0) Some(id) else None),
           graft.multimodal.Mp4.FragRun(2, Array(a(f).length), Array(true))),
           (v(f) ++ a(f)).toArray)
       }
@@ -1900,6 +1931,28 @@ private[graft] trait QueriesMedia { this: Queries.type =>
   private[graft] def multimodalMp4FragAac(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.Multimodal.mp4AacPcm(mp4FragAssets(spark, dir))
       .toDF().orderBy(col("id"), col("channel"))
+
+  /** Fragmented timestamps (round 17): DTS from trun durations
+    * anchored by tfdt on fragment 0 and by CONTINUATION (previous
+    * fragment's end) on fragment 1, PTS from the signed v1 trun
+    * composition offsets; the audio track pins the trex
+    * default-duration path (no trun durations → all-zero DTS). */
+  private[graft] def multimodalMp4FragTimestamps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mp4FragAssets(spark, dir).mapPartitions(_.flatMap { a =>
+      val m = graft.multimodal.Mp4.parseMp4(a.bytes)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: not a supported fragmented MP4"))
+      m.tracks.iterator.flatMap { t =>
+        require(t.sampleDts.length == t.sampleSizes.length &&
+          t.samplePts.length == t.sampleSizes.length,
+          s"asset ${a.id} track ${t.trackId}: fragmented timestamps missing")
+        t.sampleDts.indices.map(s =>
+          (a.id, t.trackId, s, t.sampleDts(s), t.samplePts(s)))
+      }
+    }).toDF("id", "trk", "sample", "dts", "pts")
+      .orderBy(col("id"), col("trk"), col("sample"))
+  }
 
   /** CHROMA-bearing Intra_16x16 pictures (late round 15): 2×2 MBs, all
     * four §8.3.4 chroma prediction modes in the dependency chain (mb0

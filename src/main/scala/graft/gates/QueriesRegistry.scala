@@ -2401,6 +2401,17 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
            |  1000::BIGINT AS timescale
            |FROM documents d, (SELECT unnest(range(0, 4)) AS s) s
            |WHERE d.doc_id < 4 ORDER BY id, sample""".stripMargin)),
+    // ctts composition offsets (round 17): PTS = DTS + signed v1
+    // offset, closed-form over the same formula fixtures
+    "multimodal_mp4_ctts" -> Q(multimodalMp4Ctts, Some(
+      raw"""SELECT d.doc_id AS id, s.s::INT AS sample,
+           |  CAST(COALESCE(list_sum(list_transform(range(0, s.s), k ->
+           |    1 + (d.doc_id + k) % 7)), 0) AS BIGINT) AS dts,
+           |  CAST(COALESCE(list_sum(list_transform(range(0, s.s), k ->
+           |    1 + (d.doc_id + k) % 7)), 0)
+           |    + ((d.doc_id + 2 * s.s) % 5 - 2) AS BIGINT) AS pts
+           |FROM documents d, (SELECT unnest(range(0, 4)) AS s) s
+           |WHERE d.doc_id < 4 ORDER BY id, sample""".stripMargin)),
     // stss keyframe extraction (round 17): four samples, sync = {1, 3}
     // 1-based → only sm 0 and 2 decode; the same content restatement
     // as mp4_h264 over the sync sm values alone. Non-sync samples are
@@ -2414,6 +2425,21 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
     // gates pin the fragment walk alone
     "multimodal_mp4_frag_h264" -> Q(multimodalMp4FragH264, Some(mp4H264OracleSql(4))),
     "multimodal_mp4_frag_aac" -> Q(multimodalMp4FragAac, Some(mp4AacOracleSql(4))),
+    // fragmented timestamps (round 17): video DTS = tfdt anchor (frag
+    // 0) then continuation (frag 1), PTS = DTS + signed cts; audio
+    // pins the trex default-duration (0) path
+    "multimodal_mp4_frag_timestamps" -> Q(multimodalMp4FragTimestamps, Some(
+      raw"""SELECT d.doc_id AS id, t.t::BIGINT AS trk, s.s::INT AS sample,
+           |  CAST(CASE WHEN t.t = 2 THEN 0
+           |    WHEN s.s = 0 THEN d.doc_id
+           |    ELSE d.doc_id + 10 + (d.doc_id % 3) END AS BIGINT) AS dts,
+           |  CAST(CASE WHEN t.t = 2 THEN 0
+           |    WHEN s.s = 0 THEN d.doc_id + (d.doc_id % 3) - 1
+           |    ELSE d.doc_id + 10 + (d.doc_id % 3)
+           |      + ((d.doc_id + 1) % 3) - 1 END AS BIGINT) AS pts
+           |FROM documents d, (SELECT unnest(range(1, 3)) AS t) t,
+           |  (SELECT unnest(range(0, 2)) AS s) s
+           |WHERE d.doc_id < 4 ORDER BY id, trk, sample""".stripMargin)),
     // end-to-end media pipeline (round 17): container → stss keyframes
     // → intra decode → pooled-luma embedding → dot-product top-1. The
     // oracle reuses the keyframe gate's full recursive PLANE

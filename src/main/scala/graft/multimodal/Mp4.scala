@@ -12,12 +12,15 @@ package graft.multimodal
   * Scope: 32-bit box sizes, `ftyp` + `moov`(`mvhd`, `trak`(`tkhd`,
   * `mdia`(`mdhd`, `hdlr`, `minf`/`stbl`(`stsd` raw, `stsz` uniform or
   * per-sample, `stsc` runs, `stco`/`co64`, `stss` sync samples,
-  * `stts` decode timestamps))))
+  * `stts` decode timestamps, `ctts` composition offsets))))
   * + one `mdat` — OR (round 17) the FRAGMENTED shape: `moov` with
   * empty sample tables + `mvex`/`trex`, then `moof`(`mfhd`,
   * `traf`(`tfhd`, [`tfdt`], `trun`+)) + `mdat` per fragment (explicit
   * base offsets only — base-data-offset-present or
-  * default-base-is-moof; sample sync from trun/tfhd/trex flags).
+  * default-base-is-moof; sample sync from trun/tfhd/trex flags;
+  * per-sample DTS from trun/tfhd/trex durations anchored by `tfdt` —
+  * or the previous fragment's end when absent — and PTS from the trun
+  * composition offsets, v1 signed).
   * Version-0 full boxes (trun also v1). Multi-chunk tracks REQUIRE an stsc (ambiguous otherwise);
   * a table whose chunks and samples do not tile each other exactly
   * rejects. Unknown boxes are
@@ -47,7 +50,8 @@ object Mp4 {
                          sampleOffsets: Array[Long] = Array.empty,
                          syncSamples: Option[Array[Int]] = None,
                          trackId: Long = 0,
-                         sampleDts: Array[Long] = Array.empty) {
+                         sampleDts: Array[Long] = Array.empty,
+                         samplePts: Array[Long] = Array.empty) {
     /** §8.6.2 sync-sample semantics for 0-based sample `i`: an absent
       * stss means EVERY sample is a sync sample (all-intra tracks —
       * real muxers omit the box then); a present stss lists the
@@ -90,10 +94,16 @@ object Mp4 {
     // fragmented state (round 17 — moof/tfhd/trun; the DASH/CMAF shape):
     // trex defaults per track, accumulated per-fragment sample runs,
     // every mdat payload range (fragmented files carry one per fragment)
-    val trex = scala.collection.mutable.Map.empty[Long, (Long, Long)] // id -> (defSize, defFlags)
+    val trex = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)] // id -> (defDur, defSize, defFlags)
     val fragSizes = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.ArrayBuffer[Int]]
     val fragOffs = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
     val fragSync = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.ArrayBuffer[Boolean]]
+    // fragmented timestamps (round 17): per-sample DTS/PTS from trun
+    // durations + composition offsets, anchored by tfdt (or the running
+    // end of the previous fragment when tfdt is absent)
+    val fragDts = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    val fragPts = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    val nextDts = scala.collection.mutable.Map.empty[Long, Long] // id -> decode-time cursor
     var lastSeq = 0L
     var nMoof = 0
     val mdatRanges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // payload [start, end)
@@ -122,6 +132,7 @@ object Mp4 {
       var stsdBytes: Array[Byte] = Array.empty
       var sync: Array[Int] = null // stss 1-based sync sample numbers
       var sttsRuns: Array[(Long, Long)] = null // (sample_count, sample_delta)
+      var cttsRuns: Array[(Long, Long)] = null // (sample_count, composition offset)
       def stbl(s: Int, e: Int): Boolean = children(s, e) { (t, bs, be) =>
         t match {
           case "stsd" =>
@@ -214,6 +225,27 @@ object Mp4 {
               (cnt, delta)
             }
             true
+          case "ctts" =>
+            // §8.6.1.3 composition time-to-sample (round 17): runs of
+            // (sample_count, sample_offset) — the B-frame reorder
+            // surface. Version 0 carries unsigned offsets, version 1
+            // signed (the negative-offset form modern muxers write);
+            // PTS(i) = DTS(i) + offset(i), resolved at trak end.
+            // Requires stts (an offset without a decode-time basis is
+            // meaningless) — checked deferred, box order is free.
+            if (cttsRuns != null) return false // duplicate ctts
+            if (be - bs < 8) return false
+            val verC = bytes(bs) & 0xff
+            if (verC > 1) return false
+            val nC = be32(bytes, bs + 4)
+            if (nC < 0 || be - bs < 8 + 8 * nC) return false
+            cttsRuns = Array.tabulate(nC.toInt) { j =>
+              val cnt = be32(bytes, bs + 8 + 8 * j)
+              val raw = be32(bytes, bs + 8 + 8 * j + 4)
+              if (cnt < 1) return false // empty run: malformed
+              (cnt, if (verC == 1) raw.toInt.toLong else raw)
+            }
+            true
           case "stss" =>
             // §8.6.2 sync-sample table (round 17): the 1-based sample
             // numbers of the sync (key) frames. Absent box = every
@@ -276,6 +308,7 @@ object Mp4 {
         if (sizes.nonEmpty || chunkOffs.nonEmpty) return false
         if (sync != null && sync.nonEmpty) return false
         if (sttsRuns != null && sttsRuns.nonEmpty) return false
+        if (cttsRuns != null && cttsRuns.nonEmpty) return false
         tracks += Track(kind, w, h, ts, dur, sizes, -1L, stsdBytes,
           Array.empty[Long], Option(sync), tid)
         return true
@@ -329,8 +362,21 @@ object Mp4 {
           while (j < cnt) { dts(si) = t; t += delta; si += 1; j += 1 }
         }
       }
+      // ctts runs must tile the sample count too, and need stts as the
+      // decode-time basis: PTS(i) = DTS(i) + offset(i)
+      var pts: Array[Long] = Array.empty
+      if (cttsRuns != null) {
+        if (dts.isEmpty) return false // ctts without stts: no DTS basis
+        if (cttsRuns.map(_._1).sum != sizes.length) return false
+        pts = new Array[Long](sizes.length)
+        var si = 0
+        cttsRuns.foreach { case (cnt, off) =>
+          var j = 0L
+          while (j < cnt) { pts(si) = dts(si) + off; si += 1; j += 1 }
+        }
+      }
       tracks += Track(kind, w, h, ts, dur, sizes, chunkOffs(0), stsdBytes, offsets,
-        Option(sync), tid, dts)
+        Option(sync), tid, dts, pts)
       true
     }
 
@@ -343,8 +389,9 @@ object Mp4 {
       def parseTraf(s0: Int, e0: Int): Boolean = {
         var tid = -1L
         var base = -1L
-        var defSize = -1L; var defFlags = -1L
+        var defSize = -1L; var defFlags = -1L; var defDur = -1L
         var cursor = -1L
+        var tCursor = -1L // decode-time cursor (set at first need)
         var sawTrun = false
         val ok = children(s0, e0) { (t, bs, be) =>
           t match {
@@ -371,9 +418,9 @@ object Mp4 {
                 if (be32(bytes, p) != 1) return false // only stsd entry 1 decodable
                 p += 4
               }
-              if ((flags & 0x08) != 0) { // default_sample_duration: unused
+              if ((flags & 0x08) != 0) { // default_sample_duration
                 if (p + 4 > be) return false
-                p += 4
+                defDur = be32(bytes, p); p += 4
               }
               if ((flags & 0x10) != 0) { // default_sample_size
                 if (p + 4 > be) return false
@@ -389,11 +436,21 @@ object Mp4 {
               cursor = base
               true
             case "tfdt" =>
-              // baseMediaDecodeTime: structural parse only (v0 u32 / v1 u64)
-              if (tid < 0) return false
+              // §8.8.12 baseMediaDecodeTime (round 17, now a VALUE, not
+              // just structure): the authoritative DTS of the traf's
+              // first sample. Must precede the traf's truns — a tfdt
+              // after samples were already stamped would retroactively
+              // move them (strict-reject, never a misparse).
+              if (tid < 0 || sawTrun) return false
               val v = if (be - bs >= 4) bytes(bs) & 0xff else return false
               if (v > 1) return false
               if (be - bs != (if (v == 1) 12 else 8)) return false
+              tCursor =
+                if (v == 1) {
+                  val t = (be32(bytes, bs + 4) << 32) | be32(bytes, bs + 8)
+                  if (t < 0) return false // past any representable time
+                  t
+                } else be32(bytes, bs + 4)
               true
             case "trun" =>
               if (tid < 0) return false // tfhd must precede its truns
@@ -419,16 +476,23 @@ object Mp4 {
                 if (p + 4 > be) return false
                 firstFlags = be32(bytes, p); p += 4
               }
-              val (trexSize, trexFlags) = trex(tid)
+              val (trexDur, trexSize, trexFlags) = trex(tid)
               val szB = fragSizes.getOrElseUpdate(tid, scala.collection.mutable.ArrayBuffer.empty)
               val offB = fragOffs.getOrElseUpdate(tid, scala.collection.mutable.ArrayBuffer.empty)
               val syB = fragSync.getOrElseUpdate(tid, scala.collection.mutable.ArrayBuffer.empty)
+              val dtsB = fragDts.getOrElseUpdate(tid, scala.collection.mutable.ArrayBuffer.empty)
+              val ptsB = fragPts.getOrElseUpdate(tid, scala.collection.mutable.ArrayBuffer.empty)
+              // decode-time anchor: tfdt if the traf carried one, else
+              // continue from the track's previous fragment end
+              if (tCursor < 0) tCursor = nextDts.getOrElse(tid, 0L)
               var i = 0L
               while (i < n) {
-                if ((flags & 0x100) != 0) { // sample_duration: unused
-                  if (p + 4 > be) return false
-                  p += 4
-                }
+                val dur =
+                  if ((flags & 0x100) != 0) { // sample_duration
+                    if (p + 4 > be) return false
+                    val d = be32(bytes, p); p += 4; d
+                  } else if (defDur >= 0) defDur
+                  else trexDur
                 val sz =
                   if ((flags & 0x200) != 0) {
                     if (p + 4 > be) return false
@@ -443,14 +507,19 @@ object Mp4 {
                   } else if (i == 0 && firstFlags >= 0) firstFlags
                   else if (defFlags >= 0) defFlags
                   else trexFlags
-                if ((flags & 0x800) != 0) { // cts offset: skipped (v1 signed)
-                  if (p + 4 > be) return false
-                  p += 4
-                }
+                val cts =
+                  if ((flags & 0x800) != 0) { // composition offset
+                    if (p + 4 > be) return false
+                    val raw = be32(bytes, p); p += 4
+                    if (ver == 1) raw.toInt.toLong else raw // v1 signed
+                  } else 0L
                 szB += sz.toInt
                 offB += cursor
                 syB += ((sfl & 0x10000L) == 0L) // !sample_is_non_sync_sample
+                dtsB += tCursor
+                ptsB += tCursor + cts
                 cursor += sz
+                tCursor += dur
                 i += 1
               }
               if (p != be) return false // trun must tile exactly
@@ -458,7 +527,10 @@ object Mp4 {
             case _ => true // sbgp/sdtp/etc.: skipped
           }
         }
-        ok && tid >= 0 && sawTrun
+        if (ok && tid >= 0 && sawTrun) {
+          nextDts(tid) = tCursor // next fragment continues here (no tfdt)
+          true
+        } else false
       }
       children(start, end) { (t, bs, be) =>
         t match {
@@ -502,7 +574,8 @@ object Mp4 {
                         if (trex.contains(id)) false // duplicate trex
                         else if (be32(bytes, b3 + 8) != 1) false
                         else {
-                          trex(id) = (be32(bytes, b3 + 16), be32(bytes, b3 + 20))
+                          trex(id) = (be32(bytes, b3 + 12),
+                            be32(bytes, b3 + 16), be32(bytes, b3 + 20))
                           true
                         }
                       }
@@ -579,7 +652,12 @@ object Mp4 {
         val syncIdx = sy.iterator.zipWithIndex.collect { case (true, j) => j + 1 }.toArray
         t.copy(sampleSizes = sz, sampleOffsets = off,
           firstChunkOffset = if (off.isEmpty) -1L else off(0),
-          syncSamples = Some(syncIdx))
+          syncSamples = Some(syncIdx),
+          // fragmented timestamps are always defined (trex's default
+          // duration is a required field), unlike the optional
+          // progressive stts/ctts
+          sampleDts = fragDts.get(t.trackId).map(_.toArray).getOrElse(Array.empty[Long]),
+          samplePts = fragPts.get(t.trackId).map(_.toArray).getOrElse(Array.empty[Long]))
       }
       // the payload surface spans multiple mdats → hand out the whole
       // file at offset 0 (no copy; sample offsets are absolute)
@@ -599,9 +677,16 @@ object Mp4 {
                 perSampleSizes: Option[Array[Int]] = None,
                 handler: String = "vide",
                 syncSamples: Option[Array[Int]] = None,
-                sampleDeltas: Option[Array[Long]] = None): Array[Byte] = {
+                sampleDeltas: Option[Array[Long]] = None,
+                ctsOffsets: Option[Array[Long]] = None): Array[Byte] = {
     sampleDeltas.foreach(d => require(d.length == nSamples,
       "one stts delta per sample"))
+    ctsOffsets.foreach { o =>
+      require(o.length == nSamples, "one ctts offset per sample")
+      require(sampleDeltas.nonEmpty, "ctts needs stts (the DTS basis)")
+      o.foreach(v => require(v >= Int.MinValue && v <= Int.MaxValue,
+        "ctts offset out of 32-bit range"))
+    }
     // round 16: `stsd` (raw payload, e.g. [[H264Mp4.encodeStsdAvc1]])
     // is written verbatim when nonempty; `perSampleSizes` switches stsz
     // to the per-sample entry table (variable-size NAL samples)
@@ -695,6 +780,21 @@ object Mp4 {
                 box("stts") {
                   u32(0); u32(runs.length.toLong)
                   runs.foreach { case (c2, d2) => u32(c2); u32(d2) }
+                }
+              }
+              ctsOffsets.foreach { os =>
+                // compress equal-offset runs; version 1 iff any offset
+                // is negative (the signed form), else version 0
+                val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+                os.foreach { o =>
+                  if (runs.nonEmpty && runs.last._2 == o)
+                    runs(runs.length - 1) = (runs.last._1 + 1, o)
+                  else runs += ((1L, o))
+                }
+                val ver = if (os.exists(_ < 0)) 1L else 0L
+                box("ctts") {
+                  u32(ver << 24); u32(runs.length.toLong)
+                  runs.foreach { case (c2, o2) => u32(c2); u32(o2 & 0xffffffffL) }
                 }
               }
               syncSamples.foreach { ss =>
@@ -856,9 +956,17 @@ object Mp4 {
 
   /** One track's sample run inside one fragment: per-sample sizes and
     * sync flags (true = sync; becomes trun sample_flags with bit
-    * 0x10000 = sample_is_non_sync_sample cleared/set). */
+    * 0x10000 = sample_is_non_sync_sample cleared/set). Round 17
+    * timestamps: `durations` (empty = omit the trun duration field —
+    * trex's default 0 applies), `cts` composition offsets (empty =
+    * omit; any negative → trun version 1), `tfdt` the traf's explicit
+    * baseMediaDecodeTime (None = omit the box — the parser continues
+    * from the track's previous fragment end). */
   final case class FragRun(trackId: Long, sampleSizes: Array[Int],
-                           sync: Array[Boolean])
+                           sync: Array[Boolean],
+                           durations: Array[Long] = Array.empty,
+                           cts: Array[Long] = Array.empty,
+                           tfdt: Option[Long] = None)
 
   /** FRAGMENTED fixture encoder (round 17): `ftyp` + `moov` with EMPTY
     * sample tables + `mvex`/`trex`, then per fragment a
@@ -878,6 +986,12 @@ object Mp4 {
         runs.map(_.sampleSizes.map(_.toLong).sum).sum == payload.length,
         "fragment runs must tile the mdat payload exactly")
       runs.foreach(r => require(r.sync.length == r.sampleSizes.length))
+      runs.foreach(r => require(r.durations.isEmpty ||
+        r.durations.length == r.sampleSizes.length, "one duration per sample"))
+      runs.foreach(r => require(r.cts.isEmpty ||
+        r.cts.length == r.sampleSizes.length, "one cts offset per sample"))
+      runs.foreach(_.cts.foreach(v =>
+        require(v >= Int.MinValue && v <= Int.MaxValue, "cts out of 32-bit range")))
       require(runs.map(_.trackId).distinct.length == runs.length)
       runs.foreach(r => require(tracks.exists(_.trackId == r.trackId)))
     }
@@ -970,13 +1084,24 @@ object Mp4 {
                 m.u32(0x00020000L) // version 0, default-base-is-moof
                 m.u32(r.trackId)
               }
+              r.tfdt.foreach { t =>
+                m.box("tfdt") { m.u32(0); m.u32(t) } // version 0 u32
+              }
               m.box("trun") {
-                m.u32(0x601) // version 0; data-offset + size + flags present
+                val trunFlags = 0x601L | // data-offset + size + flags
+                  (if (r.durations.nonEmpty) 0x100L else 0L) |
+                  (if (r.cts.nonEmpty) 0x800L else 0L)
+                val trunVer = if (r.cts.exists(_ < 0)) 1L else 0L
+                m.u32((trunVer << 24) | trunFlags)
                 m.u32(r.sampleSizes.length.toLong)
                 m.u32(dataOff(ri)) // SIGNED, but fixture offsets are positive
-                r.sampleSizes.zip(r.sync).foreach { case (sz, sy) =>
-                  m.u32(sz.toLong)
-                  m.u32(if (sy) 0L else 0x00010000L)
+                var si = 0
+                while (si < r.sampleSizes.length) {
+                  if (r.durations.nonEmpty) m.u32(r.durations(si))
+                  m.u32(r.sampleSizes(si).toLong)
+                  m.u32(if (r.sync(si)) 0L else 0x00010000L)
+                  if (r.cts.nonEmpty) m.u32(r.cts(si) & 0xffffffffL)
+                  si += 1
                 }
               }
             }

@@ -4113,6 +4113,53 @@ class MultimodalSpec extends AnyFunSuite {
     // first run count 2 -> 3: run totals 5 != 4 samples
     val overTiled = badTime.clone(); overTiled(tp + 4 + 4 + 4 + 3) = 3
     assert(Mp4.parseMp4(overTiled).isEmpty, "non-tiling stts accepted")
+    // ---- ctts composition offsets (round 17) ----
+    // negative offsets -> version 1 (signed); PTS = DTS + offset
+    val cttsT = Mp4.parseMp4(Mp4.encodeMp4(16, 16, 1000L, 4L, 4, 8, payload,
+      sampleDeltas = Some(Array(3L, 3L, 5L, 2L)),
+      ctsOffsets = Some(Array(2L, -1L, -1L, 0L)))).get.tracks.head
+    assert(cttsT.samplePts.sameElements(Array(2L, 2L, 5L, 11L)),
+      s"pts ${cttsT.samplePts.mkString(",")}")
+    // all-nonnegative offsets -> version 0 (unsigned) round-trips too
+    val cttsV0 = Mp4.parseMp4(Mp4.encodeMp4(16, 16, 1000L, 4L, 4, 8, payload,
+      sampleDeltas = Some(Array(3L, 3L, 5L, 2L)),
+      ctsOffsets = Some(Array(0L, 4L, 4L, 1L)))).get.tracks.head
+    assert(cttsV0.samplePts.sameElements(Array(0L, 7L, 10L, 12L)),
+      s"v0 pts ${cttsV0.samplePts.mkString(",")}")
+    assert(timed.samplePts.isEmpty, "absent ctts must leave samplePts empty")
+    // ctts without stts: no DTS basis -> reject. Craft it by swapping
+    // the stts box type to a skipped unknown type in a valid file.
+    val noBasis = Mp4.encodeMp4(16, 16, 1000L, 4L, 4, 8, payload,
+      sampleDeltas = Some(Array(3L, 3L, 5L, 2L)),
+      ctsOffsets = Some(Array(1L, 1L, 1L, 1L)))
+    var bp = -1; var bi = 0
+    while (bi < noBasis.length - 4 && bp < 0) {
+      if (noBasis(bi) == 's' && noBasis(bi + 1) == 't' && noBasis(bi + 2) == 't'
+        && noBasis(bi + 3) == 's') bp = bi
+      bi += 1
+    }
+    assert(bp > 0, "stts not found")
+    noBasis(bp) = 'x'
+    assert(Mp4.parseMp4(noBasis).isEmpty, "ctts without stts accepted")
+    // a ctts run that does not tile the sample count rejects: find the
+    // single-run-compressed table (offsets all equal -> one run of 4)
+    // and shrink its count
+    val cttsBad = Mp4.encodeMp4(16, 16, 1000L, 4L, 4, 8, payload,
+      sampleDeltas = Some(Array(3L, 3L, 5L, 2L)),
+      ctsOffsets = Some(Array(1L, 1L, 1L, 1L)))
+    var cp = -1; var ci = 0
+    while (ci < cttsBad.length - 4 && cp < 0) {
+      if (cttsBad(ci) == 'c' && cttsBad(ci + 1) == 't' && cttsBad(ci + 2) == 't'
+        && cttsBad(ci + 3) == 's') cp = ci
+      ci += 1
+    }
+    assert(cp > 0, "ctts not found")
+    cttsBad(cp + 4 + 4 + 4 + 3) = 3 // run count 4 -> 3: totals 3 != 4
+    assert(Mp4.parseMp4(cttsBad).isEmpty, "non-tiling ctts accepted")
+    // ctts version >= 2 rejects
+    val cttsVer = cttsBad.clone(); cttsVer(cp + 4 + 4 + 4 + 3) = 4 // restore count
+    cttsVer(cp + 4) = 2
+    assert(Mp4.parseMp4(cttsVer).isEmpty, "ctts version 2 accepted")
     // entry_count overrunning the box
     val good = mk(Some(Array(1, 3)))
     var sp = -1; var i = 0
@@ -4342,6 +4389,54 @@ class MultimodalSpec extends AnyFunSuite {
         Mp4.FragRun(1, Array(4), Array(true))), new Array[Byte](8)))))
     // keyframe filter composes: the video track's only sync sample is 0
     assert(vt.sampleSizes.indices.filter(vt.isSync) == Seq(0))
+    // ---- fragmented timestamps (round 17): tfdt anchor, continuation,
+    // trun durations + signed cts, trex default-duration fallback ----
+    val timedFrags = (0 until 2).map { f =>
+      (Seq(Mp4.FragRun(1, Array(v(f).length), Array(true),
+        durations = Array(10L + f), cts = Array(2L * f - 1),
+        tfdt = if (f == 0) Some(5L) else None),
+        Mp4.FragRun(2, Array(a(f).length), Array(true))),
+        (v(f) ++ a(f)).toArray)
+    }
+    val timedFile = Mp4.encodeMp4Frag(1000L, 2L, tracks, timedFrags)
+    val tm = Mp4.parseMp4(timedFile).getOrElse(fail("timed fragmented file must parse"))
+    val tv = tm.tracks.find(_.kind == "vide").get
+    val ta = tm.tracks.find(_.kind == "soun").get
+    // frag 0: dts = tfdt 5; frag 1: no tfdt -> continues at 5 + 10
+    assert(tv.sampleDts.sameElements(Array(5L, 15L)), s"dts ${tv.sampleDts.mkString(",")}")
+    // pts = dts + cts: 5 + (-1), 15 + (+1)
+    assert(tv.samplePts.sameElements(Array(4L, 16L)), s"pts ${tv.samplePts.mkString(",")}")
+    // audio: no trun durations, no tfdt -> trex default duration 0
+    assert(ta.sampleDts.sameElements(Array(0L, 0L)) &&
+      ta.samplePts.sameElements(Array(0L, 0L)))
+    // the untimed file still resolves DTS (all zero) — fragmented
+    // durations are always defined, unlike the optional stts
+    assert(vt.sampleDts.sameElements(Array(0L, 0L)))
+    // trun version 0 reads the SAME cts bytes unsigned (0xFFFFFFFF)
+    val trT = findNth(timedFile, "trun", 1); assert(trT > 0)
+    val v0cts = timedFile.clone(); v0cts(trT + 4) = 0
+    val v0parsed = Mp4.parseMp4(v0cts).getOrElse(fail("v0-cts file must parse"))
+    assert(v0parsed.tracks.find(_.kind == "vide").get.samplePts(0) == 5L + 0xffffffffL,
+      "v0 cts must read unsigned")
+    // tfdt AFTER the traf's trun rejects (it would retroactively move
+    // already-stamped samples): swap the tfdt and trun boxes in place
+    val td = findNth(timedFile, "tfdt", 1); assert(td > 0)
+    val tfdtStart = td - 4 // box size precedes the type
+    val tfdtBox = java.util.Arrays.copyOfRange(timedFile, tfdtStart, tfdtStart + 16)
+    val trunStart = tfdtStart + 16
+    assert(new String(timedFile, trunStart + 4, 4, "US-ASCII") == "trun")
+    val trunSize = ((timedFile(trunStart) & 0xff) << 24) |
+      ((timedFile(trunStart + 1) & 0xff) << 16) |
+      ((timedFile(trunStart + 2) & 0xff) << 8) | (timedFile(trunStart + 3) & 0xff)
+    val lateTfdt = timedFile.clone()
+    System.arraycopy(timedFile, trunStart, lateTfdt, tfdtStart, trunSize)
+    System.arraycopy(tfdtBox, 0, lateTfdt, tfdtStart + trunSize, 16)
+    assert(Mp4.parseMp4(lateTfdt).isEmpty, "tfdt after trun accepted")
+    // tfhd claiming a default-duration field it does not carry rejects
+    // (the box must tile exactly)
+    val tfT = findNth(timedFile, "tfhd", 1); assert(tfT > 0)
+    val phantomDur = timedFile.clone(); phantomDur(tfT + 4 + 3) = 0x08
+    assert(Mp4.parseMp4(phantomDur).isEmpty, "non-tiling tfhd accepted")
   }
 
   test("H264ValidationProbe: fixture streams align EXACT against their own decode as I420; a corrupted reference localizes the diff to its MB; rejects are named (round 17)") {
