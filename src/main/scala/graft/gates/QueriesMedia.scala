@@ -1747,6 +1747,91 @@ private[graft] trait QueriesMedia { this: Queries.type =>
       .orderBy(col("id"), col("sample"))
   }
 
+  /** MULTI-SLICE H.264 fixture (round 17): a 2x2-MB picture split at a
+    * MID-ROW boundary — slice 0 = {mb0}, slice 1 = {mb1, mb2, mb3} —
+    * so the first MB of slice 1 has a DECODED left neighbor that is
+    * nonetheless UNAVAILABLE (other slice). mb0 is Intra_16x16 DC with
+    * a DC-only residual (flat at a closed-form value ≠ 128): a decoder
+    * that wrongly treats mb0 as available would fold that value into
+    * mb1/mb2's DC prediction instead of the 128 fallback, and the
+    * hash-exact oracle reddens. Slice 1 is all Intra_4x4 with modes
+    * drawn from the per-position LEGAL sets under slice-bound
+    * availability; each slice carries its own QP chain. */
+  private[graft] def h264MultiSliceAssets(spark: SparkSession, dir: String,
+                                          cabac: Boolean) = {
+    import spark.implicits._
+    val src = docsTbl(spark, dir).where(col("doc_id") < 4)
+      .select(col("doc_id")).as[Long]
+    src.mapPartitions(_.map { id =>
+      import graft.multimodal.{H264, H264Cavlc, H264Cabac}
+      val eid = id.toInt
+      val spsB = H264.encodeSps(66, 30, 0, 0, 0, 1, 1, 1,
+        frameMbsOnly = true, crop = None)
+      val ppsB = H264.encodePps(0, 0, cabac = cabac, picInitQp = 26)
+      val sps = H264.parseSps(spsB).get
+      val pps = H264.parsePps(ppsB).get
+      val mb0 = H264Cavlc.I16MbSpec(2, 0, ((eid + 1) % 5) - 2,
+        Array.tabulate(16)(k => if (k == 0) 3 + eid % 4 else 0),
+        Array.fill(16)(new Array[Int](15)))
+      // per-position legal I4x4 modes under slice-1 availability:
+      // mb1/mb2 see no outside-slice neighbor (fresh corner); mb3's
+      // blk (0,0) lacks only the corner (it is in mb0)
+      def msMode(mbIdx: Int, bx: Int, by: Int, pick: Int): Int = {
+        val s =
+          if (mbIdx == 3) {
+            if (bx == 0 && by == 0) Seq(0, 1, 2, 3, 7, 8) else 0 to 8
+          }
+          else if (bx == 0 && by == 0) Seq(2)
+          else if (by == 0) Seq(1, 2, 8)
+          else if (bx == 0) Seq(0, 2, 3, 7)
+          else 0 to 8
+        s(pick % s.length)
+      }
+      def msI4(mbIdx: Int, qpd: Int) = H264Cavlc.I4x4MbSpec(
+        Array.tabulate(16) { blk =>
+          val bx = 2 * ((blk / 4) % 2) + blk % 4 % 2
+          val by = 2 * ((blk / 4) / 2) + (blk % 4) / 2
+          msMode(mbIdx, bx, by, eid + blk)
+        },
+        if (mbIdx == 3) eid % 4 else 0, qpd,
+        Array.tabulate(16, 16)((blk, p) =>
+          if ((eid + mbIdx + blk + p) % 7 == 0)
+            ((eid + mbIdx * (p + 2) + blk) % 5) - 2 else 0).map(_.toArray),
+        forceCbpLuma = Some(15))
+      val sl1 = Seq(msI4(1, ((eid + 3) % 5) - 2), msI4(2, ((eid + 4) % 5) - 2),
+        msI4(3, ((eid + 1) % 5) - 2))
+      val d0 = (eid % 5) - 2; val d1 = ((eid + 2) % 5) - 2
+      val (s0, s1) =
+        if (cabac) (
+          H264Cabac.encodeISlice(sps, pps, 3, idr = true, 1, 2, 3, d0,
+            Seq(mb0), H264Cabac.fixtureTables, firstMb = 0),
+          H264Cabac.encodeISlice(sps, pps, 3, idr = true, 1, 2, 3, d1,
+            sl1, H264Cabac.fixtureTables, firstMb = 1))
+        else (
+          H264Cavlc.encodeI16x16Slice(sps, pps, 3, idr = true, 1, 2, 3, d0,
+            Seq(mb0), H264Cavlc.fixtureTables, firstMb = 0),
+          H264Cavlc.encodeI16x16Slice(sps, pps, 3, idr = true, 1, 2, 3, d1,
+            sl1, H264Cavlc.fixtureTables, firstMb = 1))
+      graft.multimodal.Multimodal.Asset(id, "video",
+        H264.annexB(Seq((3, 7, spsB), (3, 8, ppsB), (3, 5, s0), (3, 5, s1))),
+        0, 0)
+    })
+  }
+
+  private[graft] def multimodalH264MultiSlice(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.h264MultiSliceLuma(
+      h264MultiSliceAssets(spark, dir, cabac = false),
+      graft.multimodal.H264Cavlc.fixtureTables,
+      graft.multimodal.H264Cabac.fixtureTables, cabac = false)
+      .toDF().orderBy(col("id"), col("mb"))
+
+  private[graft] def multimodalH264MultiSliceCabac(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.h264MultiSliceLuma(
+      h264MultiSliceAssets(spark, dir, cabac = true),
+      graft.multimodal.H264Cavlc.fixtureTables,
+      graft.multimodal.H264Cabac.fixtureTables, cabac = true)
+      .toDF().orderBy(col("id"), col("mb"))
+
   /** END-TO-END media pipeline (round 17, r16 VERDICT #5 — the media
     * analog of training_export): ONE declarative plan composing the
     * tiers the way a training-data pipeline would —

@@ -197,6 +197,227 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
            |  ) s),
            |fin AS (SELECT id, sm, p FROM walk WHERE k = 48)""".stripMargin
 
+  /** Oracle for the MULTI-SLICE gates (round 17): slice 0 = {mb0, an
+    * I16 DC MB flat at a closed-form §8.5.10 DC value}, slice 1 =
+    * {mb1..mb3, I4x4} restated by the same recursive plane walk as the
+    * single-slice oracles but with SLICE-BOUND availability — a
+    * neighbor cell inside mb0 is unavailable (lav/tav/cav/htr exclude
+    * the mb0 region), exactly like the picture edge. `cabacFlag` only
+    * stamps the entropy column: both coders decode to identical
+    * pixels (the cross-coder contract), so the twin gates share this
+    * restatement. */
+  private[graft] def multiSliceOracleSql(nIds: Int, cabacFlag: Int): String =
+    raw"""WITH RECURSIVE ids AS (
+           |  SELECT doc_id AS id, doc_id AS eid FROM documents WHERE doc_id < $nIds),
+           |qps AS (SELECT id, eid,
+           |  26 + (eid % 5) - 2 + ((eid+1) % 5) - 2 AS qp0,
+           |  26 + ((eid+2) % 5) - 2 + ((eid+3) % 5) - 2 AS qp1,
+           |  26 + ((eid+2) % 5) - 2 + ((eid+3) % 5) - 2 + ((eid+4) % 5) - 2 AS qp2,
+           |  26 + ((eid+2) % 5) - 2 + ((eid+3) % 5) - 2 + ((eid+4) % 5) - 2
+           |     + ((eid+1) % 5) - 2 AS qp3
+           | FROM ids),
+           |cst AS (SELECT
+           |  [0,1,4,8,5,2,3,6,9,12,13,10,7,11,14,15] AS zz,
+           |  [[10,16,13],[11,18,14],[13,20,16],[14,23,18],[16,25,20],[18,29,23]] AS v,
+           |  [1,2,8] AS mrow, [0,2,3,7] AS mcol, [0,1,2,3,7,8] AS mc3),
+           |geo AS (
+           |  SELECT i.id, i.eid, k.k, 1 + k.k // 16 AS m, k.k % 16 AS blk,
+           |    2*((k.k % 16 // 4) % 2) + (k.k % 16 % 4) % 2 AS bx,
+           |    2*((k.k % 16 // 4) // 2) + (k.k % 16 % 4) // 2 AS by
+           |  FROM ids i, (SELECT unnest(range(0, 48)) AS k) k),
+           |geo2 AS (
+           |  SELECT g.id, g.eid, g.k, g.m, g.blk,
+           |    4*(g.m % 2) + g.bx AS gx, 4*(g.m // 2) + g.by AS gy,
+           |    CASE WHEN g.m <= 2 AND g.bx = 0 AND g.by = 0 THEN 2
+           |         WHEN g.m <= 2 AND g.by = 0 THEN c.mrow[(g.eid + g.blk) % 3 + 1]
+           |         WHEN g.m <= 2 AND g.bx = 0 THEN c.mcol[(g.eid + g.blk) % 4 + 1]
+           |         WHEN g.m = 3 AND g.bx = 0 AND g.by = 0
+           |           THEN c.mc3[(g.eid + g.blk) % 6 + 1]
+           |         ELSE (g.eid + g.blk) % 9 END AS md
+           |  FROM geo g, cst c),
+           |geoq AS (
+           |  SELECT g.*,
+           |    g.gx > 0 AND NOT (g.gx <= 4 AND g.gy <= 3) AS lav,
+           |    g.gy > 0 AND NOT (g.gy <= 4 AND g.gx <= 3) AS tav,
+           |    g.gx > 0 AND g.gy > 0 AND NOT (g.gx <= 4 AND g.gy <= 4) AS cav,
+           |    g.gy > 0 AND g.gx + 1 < 8 AND NOT (g.gx <= 2 AND g.gy <= 4) AND
+           |      (((g.gy-1) // 4)*2 + (g.gx+1) // 4)*16
+           |        + 4*(2*(((g.gy-1) % 4) // 2) + ((g.gx+1) % 4) // 2)
+           |        + 2*(((g.gy-1) % 4) % 2) + ((g.gx+1) % 4) % 2
+           |      < ((g.gy // 4)*2 + g.gx // 4)*16
+           |        + 4*(2*((g.gy % 4) // 2) + (g.gx % 4) // 2)
+           |        + 2*((g.gy % 4) % 2) + (g.gx % 4) % 2 AS htr,
+           |    CASE g.m WHEN 1 THEN q.qp1 WHEN 2 THEN q.qp2 ELSE q.qp3 END AS qp
+           |  FROM geo2 g JOIN qps q ON q.id = g.id),
+           |dq AS (SELECT g.id, g.k,
+           |    list_transform(range(0, 16), ri ->
+           |      (CASE WHEN (g.eid + g.m + g.blk + (list_position(c.zz, ri) - 1)) % 7 = 0
+           |            THEN ((g.eid + g.m * ((list_position(c.zz, ri) - 1) + 2) + g.blk) % 5) - 2
+           |            ELSE 0 END)
+           |      * c.v[g.qp % 6 + 1]
+           |           [CASE WHEN (ri//4) % 2 = 0 AND (ri%4) % 2 = 0 THEN 1
+           |                 WHEN (ri//4) % 2 = 1 AND (ri%4) % 2 = 1 THEN 2
+           |                 ELSE 3 END]
+           |      * CAST(pow(2, g.qp // 6) AS BIGINT)) AS d
+           |  FROM geoq g, cst c),
+           |it1 AS (SELECT id, k,
+           |    list_transform(range(0, 16), i -> CASE i % 4
+           |      WHEN 0 THEN (d[4*(i//4)+1] + d[4*(i//4)+3])
+           |                + (d[4*(i//4)+2] + CAST(floor(d[4*(i//4)+4] / 2.0) AS BIGINT))
+           |      WHEN 1 THEN (d[4*(i//4)+1] - d[4*(i//4)+3])
+           |                + (CAST(floor(d[4*(i//4)+2] / 2.0) AS BIGINT) - d[4*(i//4)+4])
+           |      WHEN 2 THEN (d[4*(i//4)+1] - d[4*(i//4)+3])
+           |                - (CAST(floor(d[4*(i//4)+2] / 2.0) AS BIGINT) - d[4*(i//4)+4])
+           |      ELSE (d[4*(i//4)+1] + d[4*(i//4)+3])
+           |                - (d[4*(i//4)+2] + CAST(floor(d[4*(i//4)+4] / 2.0) AS BIGINT))
+           |      END) AS h
+           |  FROM dq),
+           |res4 AS (SELECT id, k,
+           |    list_transform(range(0, 16), i ->
+           |      CAST(floor(((CASE i // 4
+           |        WHEN 0 THEN (h[i%4+1] + h[i%4+9])
+           |                  + (h[i%4+5] + CAST(floor(h[i%4+13] / 2.0) AS BIGINT))
+           |        WHEN 1 THEN (h[i%4+1] - h[i%4+9])
+           |                  + (CAST(floor(h[i%4+5] / 2.0) AS BIGINT) - h[i%4+13])
+           |        WHEN 2 THEN (h[i%4+1] - h[i%4+9])
+           |                  - (CAST(floor(h[i%4+5] / 2.0) AS BIGINT) - h[i%4+13])
+           |        ELSE (h[i%4+1] + h[i%4+9])
+           |                  - (h[i%4+5] + CAST(floor(h[i%4+13] / 2.0) AS BIGINT))
+           |        END) + 32) / 64.0) AS BIGINT)) AS r
+           |  FROM it1),
+           |walk AS (
+           |  SELECT id, 0 AS k, list_transform(range(0, 1024), i -> 128) AS p FROM ids
+           |  UNION ALL
+           |  SELECT s.id, s.k + 1,
+           |    list_transform(range(0, 1024), i ->
+           |      CASE WHEN (i % 32) // 4 = s.gx AND (i // 32) // 4 = s.gy THEN
+           |        greatest(0, least(255,
+           |          (CASE s.md
+           |            WHEN 0 THEN s.tp[(i%32)%4 + 2]
+           |            WHEN 1 THEN s.lp[(i//32)%4 + 2]
+           |            WHEN 2 THEN
+           |              CASE WHEN s.lav AND s.tav THEN
+           |                (s.tp[2]+s.tp[3]+s.tp[4]+s.tp[5]+s.lp[2]+s.lp[3]+s.lp[4]+s.lp[5]+4)//8
+           |              WHEN s.lav THEN (s.lp[2]+s.lp[3]+s.lp[4]+s.lp[5]+2)//4
+           |              WHEN s.tav THEN (s.tp[2]+s.tp[3]+s.tp[4]+s.tp[5]+2)//4
+           |              ELSE 128 END
+           |            WHEN 3 THEN
+           |              CASE WHEN (i%32)%4 = 3 AND (i//32)%4 = 3
+           |                THEN (s.tp[8] + 3*s.tp[9] + 2)//4
+           |                ELSE (s.tp[(i%32)%4 + (i//32)%4 + 2]
+           |                    + 2*s.tp[(i%32)%4 + (i//32)%4 + 3]
+           |                    + s.tp[(i%32)%4 + (i//32)%4 + 4] + 2)//4 END
+           |            WHEN 4 THEN
+           |              CASE WHEN (i%32)%4 > (i//32)%4 THEN
+           |                (s.tp[(i%32)%4 - (i//32)%4] + 2*s.tp[(i%32)%4 - (i//32)%4 + 1]
+           |                 + s.tp[(i%32)%4 - (i//32)%4 + 2] + 2)//4
+           |              WHEN (i%32)%4 < (i//32)%4 THEN
+           |                (s.lp[(i//32)%4 - (i%32)%4] + 2*s.lp[(i//32)%4 - (i%32)%4 + 1]
+           |                 + s.lp[(i//32)%4 - (i%32)%4 + 2] + 2)//4
+           |              ELSE (s.tp[2] + 2*s.tp[1] + s.lp[2] + 2)//4 END
+           |            WHEN 5 THEN
+           |              CASE WHEN 2*((i%32)%4) - (i//32)%4 >= 0
+           |                    AND (2*((i%32)%4) - (i//32)%4) % 2 = 0 THEN
+           |                (s.tp[(i%32)%4 - ((i//32)%4)//2 + 1]
+           |                 + s.tp[(i%32)%4 - ((i//32)%4)//2 + 2] + 1)//2
+           |              WHEN 2*((i%32)%4) - (i//32)%4 >= 1 THEN
+           |                (s.tp[(i%32)%4 - ((i//32)%4)//2]
+           |                 + 2*s.tp[(i%32)%4 - ((i//32)%4)//2 + 1]
+           |                 + s.tp[(i%32)%4 - ((i//32)%4)//2 + 2] + 2)//4
+           |              WHEN 2*((i%32)%4) - (i//32)%4 = -1 THEN
+           |                (s.lp[2] + 2*s.tp[1] + s.tp[2] + 2)//4
+           |              ELSE (s.lp[(i//32)%4 + 1] + 2*s.lp[(i//32)%4]
+           |                    + s.lp[(i//32)%4 - 1] + 2)//4 END
+           |            WHEN 6 THEN
+           |              CASE WHEN 2*((i//32)%4) - (i%32)%4 >= 0
+           |                    AND (2*((i//32)%4) - (i%32)%4) % 2 = 0 THEN
+           |                (s.lp[(i//32)%4 - ((i%32)%4)//2 + 1]
+           |                 + s.lp[(i//32)%4 - ((i%32)%4)//2 + 2] + 1)//2
+           |              WHEN 2*((i//32)%4) - (i%32)%4 >= 1 THEN
+           |                (s.lp[(i//32)%4 - ((i%32)%4)//2]
+           |                 + 2*s.lp[(i//32)%4 - ((i%32)%4)//2 + 1]
+           |                 + s.lp[(i//32)%4 - ((i%32)%4)//2 + 2] + 2)//4
+           |              WHEN 2*((i//32)%4) - (i%32)%4 = -1 THEN
+           |                (s.lp[2] + 2*s.tp[1] + s.tp[2] + 2)//4
+           |              ELSE (s.tp[(i%32)%4 + 1] + 2*s.tp[(i%32)%4]
+           |                    + s.tp[(i%32)%4 - 1] + 2)//4 END
+           |            WHEN 7 THEN
+           |              CASE WHEN ((i//32)%4) % 2 = 0 THEN
+           |                (s.tp[(i%32)%4 + ((i//32)%4)//2 + 2]
+           |                 + s.tp[(i%32)%4 + ((i//32)%4)//2 + 3] + 1)//2
+           |              ELSE (s.tp[(i%32)%4 + ((i//32)%4)//2 + 2]
+           |                 + 2*s.tp[(i%32)%4 + ((i//32)%4)//2 + 3]
+           |                 + s.tp[(i%32)%4 + ((i//32)%4)//2 + 4] + 2)//4 END
+           |            ELSE
+           |              CASE WHEN (i%32)%4 + 2*((i//32)%4) > 5 THEN s.lp[5]
+           |              WHEN (i%32)%4 + 2*((i//32)%4) = 5 THEN (s.lp[4] + 3*s.lp[5] + 2)//4
+           |              WHEN ((i%32)%4 + 2*((i//32)%4)) % 2 = 0 THEN
+           |                (s.lp[(i//32)%4 + ((i%32)%4)//2 + 2]
+           |                 + s.lp[(i//32)%4 + ((i%32)%4)//2 + 3] + 1)//2
+           |              ELSE (s.lp[(i//32)%4 + ((i%32)%4)//2 + 2]
+           |                 + 2*s.lp[(i//32)%4 + ((i%32)%4)//2 + 3]
+           |                 + s.lp[(i//32)%4 + ((i%32)%4)//2 + 4] + 2)//4 END
+           |          END) + s.r[4*((i//32)%4) + (i%32)%4 + 1]))
+           |      ELSE s.p[i+1] END)
+           |  FROM (
+           |    SELECT w.id, w.k, w.p, g.gx, g.gy, g.md, g.lav, g.tav, r.r,
+           |      list_transform(range(-1, 8), xx ->
+           |        CASE WHEN NOT g.tav THEN 0
+           |             WHEN xx = -1 THEN
+           |               (CASE WHEN NOT g.cav THEN 0
+           |                     ELSE w.p[(4*g.gy - 1)*32 + 4*g.gx] END)
+           |             WHEN xx > 3 AND NOT g.htr THEN w.p[(4*g.gy - 1)*32 + 4*g.gx + 4]
+           |             ELSE w.p[(4*g.gy - 1)*32 + 4*g.gx + xx + 1] END) AS tp,
+           |      list_transform(range(-1, 4), yy ->
+           |        CASE WHEN NOT g.lav THEN 0
+           |             WHEN yy = -1 THEN
+           |               (CASE WHEN NOT g.cav THEN 0
+           |                     ELSE w.p[(4*g.gy - 1)*32 + 4*g.gx] END)
+           |             ELSE w.p[(4*g.gy + yy)*32 + 4*g.gx] END) AS lp
+           |    FROM walk w
+           |    JOIN geoq g ON g.id = w.id AND g.k = w.k
+           |    JOIN res4 r ON r.id = w.id AND r.k = w.k
+           |    WHERE w.k < 48
+           |  ) s),
+           |fin AS (SELECT id, p FROM walk WHERE k = 48),
+           |mb0v AS (SELECT q.id, q.qp0,
+           |    greatest(0, least(255, 128 +
+           |      ((((3 + q.eid % 4) * 16 * c.v[q.qp0 % 6 + 1][1]
+           |         + CAST(pow(2, 5 - q.qp0 // 6) AS BIGINT))
+           |        // CAST(pow(2, 6 - q.qp0 // 6) AS BIGINT)) + 32) // 64)) AS l0
+           |  FROM qps q, cst c),
+           |mb0 AS (SELECT id, 0 AS mb, 0 AS slc, 0 AS is_i4x4,
+           |    CAST(2 AS BIGINT) AS mode_sum, qp0 AS qp,
+           |    l0 * 256 AS sum_luma,
+           |    l0 * (SELECT list_sum(list_transform(range(0, 256), j ->
+           |      (j // 16) * 32 + j % 16 + 1))) AS wsum_luma,
+           |    l0 AS min_luma, l0 AS max_luma
+           |  FROM mb0v),
+           |msum AS (SELECT id, m, SUM((blk + 1) * md) AS mode_sum
+           |         FROM geoq GROUP BY id, m),
+           |mbrows AS (
+           |  SELECT f.id, mm.m AS mb,
+           |    list_transform(range(0, 256), j ->
+           |      f.p[(16*(mm.m // 2) + j // 16) * 32 + 16*(mm.m % 2) + j % 16 + 1]) AS px
+           |  FROM fin f, (SELECT unnest(range(1, 4)) AS m) mm),
+           |i4rows AS (
+           |  SELECT r.id, r.mb, 1 AS slc, 1 AS is_i4x4, ms.mode_sum,
+           |    CASE r.mb WHEN 1 THEN q.qp1 WHEN 2 THEN q.qp2 ELSE q.qp3 END AS qp,
+           |    list_sum(r.px) AS sum_luma,
+           |    list_sum(list_transform(range(0, 256), j -> r.px[j+1] *
+           |      ((16*(r.mb // 2) + j // 16) * 32 + 16*(r.mb % 2) + j % 16 + 1))) AS wsum_luma,
+           |    list_aggregate(r.px, 'min') AS min_luma,
+           |    list_aggregate(r.px, 'max') AS max_luma
+           |  FROM mbrows r JOIN msum ms ON ms.id = r.id AND ms.m = r.mb
+           |  JOIN qps q ON q.id = r.id)
+           |SELECT id, mb::INT AS mb, slc::INT AS slc,
+           |  $cabacFlag::INT AS entropy_cabac, is_i4x4::INT AS is_i4x4,
+           |  mode_sum::BIGINT AS mode_sum, qp::INT AS qp,
+           |  sum_luma::BIGINT AS sum_luma, wsum_luma::BIGINT AS wsum_luma,
+           |  min_luma::INT AS min_luma, max_luma::INT AS max_luma
+           |FROM (SELECT * FROM mb0 UNION ALL SELECT * FROM i4rows)
+           |ORDER BY id, mb""".stripMargin
+
   private[graft] def mp4H264OracleSql(nIds: Int, sms: String = "range(0, 2)"): String =
     mp4H264PlanesCte(nIds, sms) + "," + s"""
            |msum AS (SELECT id, sm, m, SUM((blk + 1) * md) AS mode_sum
@@ -2391,6 +2612,16 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
            |FROM (SELECT * FROM mb0 UNION ALL SELECT * FROM i4rows)
            |ORDER BY id, mb""".stripMargin)),
     "multimodal_mp4_h264" -> Q(multimodalMp4H264, Some(mp4H264OracleSql(4))),
+    // MULTI-SLICE pictures (round 17): a mid-row slice boundary makes
+    // the first MB of slice 1 border a DECODED-but-UNAVAILABLE
+    // neighbor; the oracle's plane walk excludes the mb0 region from
+    // every availability predicate. CABAC twin shares the restatement
+    // (cross-coder pixel equality), differing only in the entropy
+    // column and the bitstream actually decoded.
+    "multimodal_h264_multislice" -> Q(multimodalH264MultiSlice,
+      Some(multiSliceOracleSql(4, 0))),
+    "multimodal_h264_multislice_cabac" -> Q(multimodalH264MultiSliceCabac,
+      Some(multiSliceOracleSql(4, 1))),
     // stts decode timestamps (round 17): cumulative formula deltas +
     // the stss sync flags, integer-exact
     "multimodal_mp4_timestamps" -> Q(multimodalMp4Timestamps, Some(

@@ -343,65 +343,61 @@ object H264Cabac {
     * 4:2:0/8-bit, field coding, I_PCM, malformed bin walks, an
     * end_of_slice that fires early or late, or more than a byte of
     * flush slack after the final terminate. */
-  def parseISlice(rbsp: Array[Byte], sps: H264.Sps, pps: H264.Pps,
-                  nalRefIdc: Int, nalType: Int,
-                  tables: CabacTables): Option[H264Cavlc.I16Picture] = try {
-    if (nalType != 1 && nalType != 5) return None
-    if (sps.chromaFormatIdc != 1 || sps.bitDepthLuma != 8) return None
-    if (!sps.frameMbsOnly) return None
-    if (!pps.entropyCabac) return None
-    if (pps.numSliceGroups != 1) return None
+  /** Accumulates one picture across its CABAC slices (round 17 — the
+    * multi-slice seam, mirroring [[H264Cavlc.parseI16x16Picture]]):
+    * planes are picture-level; the arithmetic engine AND its context
+    * models re-initialize per slice (§9.3.1, at the slice's own QP),
+    * and every availability surface (mb_type/cbp/chroma-mode context
+    * increments, coded_block_flag neighbors, mode prediction, §8.3
+    * reconstruction) is slice-bound — MBs of a previous slice are
+    * unavailable, exactly like the picture edge. */
+  private final class CabacPicture(sps: H264.Sps, pps: H264.Pps,
+                                   tables: CabacTables) {
+    val wMbs = sps.picWidthInMbs; val hMbs = sps.picHeightInMapUnits
+    private val w = 16 * wMbs; private val wc = 8 * wMbs
+    private val luma = new Array[Int](w * 16 * hMbs)
+    private val cb = new Array[Int](wc * 8 * hMbs)
+    private val cr = new Array[Int](wc * 8 * hMbs)
+    private val mbCtx = new Array[MbCtx](wMbs * hMbs) // reads gated by firstMb
+    private val mbsOut = new ArrayBuffer[H264Cavlc.I16Mb](wMbs * hMbs)
+    private var nextMb = 0
+    private var meta: H264Cavlc.SliceHeaderI = null
+    private var metaNalType = -1
+
+    def decodeSlice(rbsp: Array[Byte], nalRefIdc: Int, nalType: Int): Boolean = {
     val r = new H264Cavlc.BitReader(rbsp)
-    if (r.ue() != 0) return None
-    val sliceType = r.ue()
-    if (sliceType != 2 && sliceType != 7) return None // I slices: no cabac_init_idc
-    val ppsId = r.ue()
-    if (ppsId != pps.ppsId) return None
-    val frameNum = r.u(sps.log2MaxFrameNum)
-    val idr = nalType == 5
-    val idrPicId = if (idr) r.ue() else 0
-    var pocLsb = 0
-    if (sps.pocType == 0) {
-      pocLsb = r.u(sps.log2MaxPocLsb)
-      if (pps.bottomFieldPocPresent) r.se()
-    }
-    else if (sps.pocType != 2) return None
-    if (pps.redundantPresent && r.ue() != 0) return None
-    if (nalRefIdc != 0) {
-      if (idr) { r.u(1); r.u(1) }
-      else if (r.u(1) == 1) return None
-    }
-    val sliceQp = pps.picInitQp + r.se()
-    require(sliceQp >= 0 && sliceQp <= 51, s"slice QP $sliceQp out of 0..51")
-    if (pps.deblockingPresent) {
-      val idc = r.ue()
-      if (idc != 1) { r.se(); r.se() }
-    }
+    val h0 = H264Cavlc.parseSliceHeaderI(r, sps, pps, nalRefIdc, nalType)
+      .getOrElse(return false)
+    if (h0.firstMb != nextMb || nextMb >= wMbs * hMbs) return false
+    if (meta == null) { meta = h0; metaNalType = nalType }
+    else if (nalType != metaNalType || h0.sliceType != meta.sliceType ||
+      h0.frameNum != meta.frameNum || h0.idrPicId != meta.idrPicId ||
+      h0.pocLsb != meta.pocLsb) return false // one picture, one identity
+    val firstMb = h0.firstMb
+    val sliceQp = h0.sliceQp
     while (!r.aligned) require(r.u(1) == 1, "cabac_alignment_one_bit is 0")
     val c = new CabacDecoder(rbsp, rbsp.length * 8 - r.bitsLeft, tables, sliceQp)
 
-    val wMbs = sps.picWidthInMbs; val hMbs = sps.picHeightInMapUnits
-    val w = 16 * wMbs; val h = 16 * hMbs
-    val luma = new Array[Int](w * h)
-    val wc = 8 * wMbs
-    val cb = new Array[Int](wc * 8 * hMbs)
-    val cr = new Array[Int](wc * 8 * hMbs)
+    // slice-local availability state (fresh per slice; §9.3.1 also
+    // re-initializes every context model at the slice QP above)
     val done = Array.fill(4 * hMbs, 4 * wMbs)(false)
     val modeGrid = Array.fill(4 * hMbs, 4 * wMbs)(-1)
-    // per-4x4 coded_block_flag grids (§9.3.3.1.1.9 neighbors)
+    // per-4x4 coded_block_flag grids (§9.3.3.1.1.9 neighbors; a cell
+    // of a previous slice is UNAVAILABLE → condTermFlag 1 for intra)
     val cbfL4 = Array.fill(4 * hMbs, 4 * wMbs)(false)
     val cbfC4 = Array.fill(2, 2 * hMbs, 2 * wMbs)(false)
-    val mbCtx = new Array[MbCtx](wMbs * hMbs)
-    val mbs = new ArrayBuffer[H264Cavlc.I16Mb](wMbs * hMbs)
+    val mbs = mbsOut
     var prevQp = sliceQp
     var prevQpDeltaNonZero = false
-    var mb = 0
+    var mb = firstMb
     var more = true
     while (more) {
       require(mb < wMbs * hMbs, "slice data past the last macroblock")
       val mbx = mb % wMbs; val mby = mb / wMbs
-      val leftMb = if (mbx > 0) Some(mbCtx(mb - 1)) else None
-      val topMb = if (mby > 0) Some(mbCtx(mb - wMbs)) else None
+      val leftMb = if (mbx > 0 && mb - 1 >= firstMb) Some(mbCtx(mb - 1)) else None
+      val topMb = if (mby > 0 && mb - wMbs >= firstMb) Some(mbCtx(mb - wMbs)) else None
+      val mbLeftIn = leftMb.isDefined
+      val mbTopIn = topMb.isDefined
 
       // ---- mb_type (Table 9-36; §9.3.3.1.1.3 bin0 increment) ----
       val incT = leftMb.count(!_.isI4x4) + topMb.count(!_.isI4x4)
@@ -613,8 +609,10 @@ object H264Cabac {
         val gx = 4 * mbx + H264Cavlc.blkX(blk); val gy = 4 * mby + H264Cavlc.blkY(blk)
         val coded = if (isI16) cbpLuma == 15 else (cbpLuma >> (blk / 4) & 1) != 0
         if (coded) {
-          val condA = if (gx == 0) 1 else (if (cbfL4(gy)(gx - 1)) 1 else 0)
-          val condB = if (gy == 0) 1 else (if (cbfL4(gy - 1)(gx)) 1 else 0)
+          val condA = if (gx == 0 || (gy >> 2) * wMbs + ((gx - 1) >> 2) < firstMb) 1
+            else (if (cbfL4(gy)(gx - 1)) 1 else 0)
+          val condB = if (gy == 0 || ((gy - 1) >> 2) * wMbs + (gx >> 2) < firstMb) 1
+            else (if (cbfL4(gy - 1)(gx)) 1 else 0)
           val cat = if (isI16) 1 else 2
           val n = if (isI16) 15 else 16
           val (lv, flag) = residual(cat, n, CtxCbf + catCbf(cat) + condA + 2 * condB)
@@ -644,8 +642,10 @@ object H264Cabac {
         while (cblk < 4) {
           val gx = 2 * mbx + cblk % 2; val gy = 2 * mby + cblk / 2
           if (cbpChroma == 2) {
-            val condA = if (gx == 0) 1 else (if (cbfC4(comp)(gy)(gx - 1)) 1 else 0)
-            val condB = if (gy == 0) 1 else (if (cbfC4(comp)(gy - 1)(gx)) 1 else 0)
+            val condA = if (gx == 0 || (gy >> 1) * wMbs + ((gx - 1) >> 1) < firstMb) 1
+              else (if (cbfC4(comp)(gy)(gx - 1)) 1 else 0)
+            val condB = if (gy == 0 || ((gy - 1) >> 1) * wMbs + (gx >> 1) < firstMb) 1
+              else (if (cbfC4(comp)(gy - 1)(gx)) 1 else 0)
             val (lv, flag) = residual(4, 15, CtxCbf + catCbf(4) + condA + 2 * condB)
             chAcScan(comp)(cblk) = lv
             cbfC4(comp)(gy)(gx) = flag
@@ -659,15 +659,15 @@ object H264Cabac {
       if (isI16)
         H264Cavlc.reconstructI16(luma, cb, cr, w, wc, mbx, mby, predMode,
           chromaPredMode, qp, pps.chromaQpOffset, pps.chromaQpOffsetCr,
-          cbpChroma, dcScan, acScan, chDcScan, chAcScan, done)
+          cbpChroma, dcScan, acScan, chDcScan, chAcScan, done, mbLeftIn, mbTopIn)
       else if (is8x8)
         H264Cavlc.reconstructI8x8(luma, cb, cr, w, wc, wMbs, mbx, mby, modes8,
           chromaPredMode, qp, pps.chromaQpOffset, pps.chromaQpOffsetCr,
-          cbpChroma, i8Scan, chDcScan, chAcScan, done)
+          cbpChroma, i8Scan, chDcScan, chAcScan, done, mbLeftIn, mbTopIn)
       else
         H264Cavlc.reconstructI4x4(luma, cb, cr, w, wc, wMbs, mbx, mby, modes,
           chromaPredMode, qp, pps.chromaQpOffset, pps.chromaQpOffsetCr,
-          cbpChroma, i4Scan, chDcScan, chAcScan, done)
+          cbpChroma, i4Scan, chDcScan, chAcScan, done, mbLeftIn, mbTopIn)
       mbCtx(mb) = MbCtx(!isI16, cbpLuma, cbpChroma, chromaPredMode, cbfDc, cbfCDc,
         transform8x8 = is8x8)
       mbs += H264Cavlc.I16Mb(predMode, cbpChroma, cbpLuma, chromaPredMode, qp,
@@ -675,14 +675,50 @@ object H264Cabac {
       mb += 1
       more = c.terminate() == 0
     }
-    require(mb == wMbs * hMbs, "end_of_slice before the last macroblock")
+    require(mb > firstMb, "slice with no macroblocks")
     // flush slack: the encoder's terminal flush emits exactly the bits
     // the decoder's 9-bit preload never consumed, so at most the
     // byte-alignment padding remains (measured in the roundtrip tests)
     require(c.bitsLeft < 8, s"${c.bitsLeft} trailing bits after the CABAC flush")
-    Some(H264Cavlc.I16Picture(sliceType, ppsId, frameNum, idrPicId, pocLsb,
-      sliceQp, wMbs, hMbs, mbs.toSeq, luma, cb, cr))
+    nextMb = mb
+    true
+    }
+
+    /** The finished picture — None unless the slices covered every
+      * macroblock exactly; picture-level fields are the first slice's. */
+    def result(): Option[H264Cavlc.I16Picture] = {
+      if (meta == null || nextMb != wMbs * hMbs) return None
+      Some(H264Cavlc.I16Picture(meta.sliceType, pps.ppsId, meta.frameNum,
+        meta.idrPicId, meta.pocLsb, meta.sliceQp, wMbs, hMbs,
+        mbsOut.toSeq, luma, cb, cr))
+    }
+  }
+
+  /** Parse one picture from its CABAC slice NALs, in decode order —
+    * (nal_ref_idc, nal_unit_type, RBSP) per slice; slices must tile
+    * the picture exactly and agree on the picture identity. The
+    * engine, context models, and every availability surface are
+    * per-slice; everything else matches [[parseISlice]]. */
+  def parseIPicture(slices: Seq[(Int, Int, Array[Byte])],
+                    sps: H264.Sps, pps: H264.Pps,
+                    tables: CabacTables): Option[H264Cavlc.I16Picture] = try {
+    if (slices.isEmpty) return None
+    if (sps.chromaFormatIdc != 1 || sps.bitDepthLuma != 8) return None
+    if (!sps.frameMbsOnly) return None
+    if (!pps.entropyCabac) return None
+    if (pps.numSliceGroups != 1) return None
+    val pic = new CabacPicture(sps, pps, tables)
+    slices.foreach { case (refIdc, nalType, rbsp) =>
+      if (nalType != 1 && nalType != 5) return None
+      if (!pic.decodeSlice(rbsp, refIdc, nalType)) return None
+    }
+    pic.result()
   } catch { case e: Exception => if (sys.props.contains("graft.h264.debug")) e.printStackTrace(); None }
+
+  def parseISlice(rbsp: Array[Byte], sps: H264.Sps, pps: H264.Pps,
+                  nalRefIdc: Int, nalType: Int,
+                  tables: CabacTables): Option[H264Cavlc.I16Picture] =
+    parseIPicture(Seq((nalRefIdc, nalType, rbsp)), sps, pps, tables)
 
   // -------------------------------------------------------------------
   // Fixture encoder
@@ -696,12 +732,13 @@ object H264Cabac {
                    idr: Boolean, frameNum: Int, idrPicId: Int,
                    pocLsb: Int, sliceQpDelta: Int,
                    mbs: Seq[H264Cavlc.IMbSpec], tables: CabacTables,
-                   deblockIdc: Int = 1): Array[Byte] = {
-    require(mbs.length == sps.picWidthInMbs * sps.picHeightInMapUnits,
-      "fixture slice must cover the whole picture")
+                   deblockIdc: Int = 1, firstMb: Int = 0): Array[Byte] = {
+    require(firstMb >= 0 && mbs.nonEmpty &&
+      firstMb + mbs.length <= sps.picWidthInMbs * sps.picHeightInMapUnits,
+      "fixture slice must fit inside the picture")
     require(pps.entropyCabac, "CABAC fixture needs a CABAC PPS")
     val hw = new H264Cavlc.BitWriter
-    hw.ue(0) // first_mb_in_slice
+    hw.ue(firstMb) // first_mb_in_slice
     hw.ue(7) // slice_type I
     hw.ue(pps.ppsId)
     hw.u(frameNum, sps.log2MaxFrameNum)
@@ -787,10 +824,11 @@ object H264Cabac {
       cbf
     }
 
-    mbs.zipWithIndex.foreach { case (spec, idx) =>
+    mbs.zipWithIndex.foreach { case (spec, i0) =>
+      val idx = firstMb + i0 // absolute MB index (round 17 multi-slice)
       val mbx = idx % wMbs; val mby = idx / wMbs
-      val leftMb = if (mbx > 0) Some(mbCtx(idx - 1)) else None
-      val topMb = if (mby > 0) Some(mbCtx(idx - wMbs)) else None
+      val leftMb = if (mbx > 0 && idx - 1 >= firstMb) Some(mbCtx(idx - 1)) else None
+      val topMb = if (mby > 0 && idx - wMbs >= firstMb) Some(mbCtx(idx - wMbs)) else None
       val incT = leftMb.count(!_.isI4x4) + topMb.count(!_.isI4x4)
       spec match {
         case m: H264Cavlc.I16MbSpec =>
@@ -832,15 +870,17 @@ object H264Cabac {
           while (blk < 16) {
             val gx = 4 * mbx + H264Cavlc.blkX(blk); val gy = 4 * mby + H264Cavlc.blkY(blk)
             if (cbpLuma == 15) {
-              val cA = if (gx == 0) 1 else (if (cbfL4(gy)(gx - 1)) 1 else 0)
-              val cB = if (gy == 0) 1 else (if (cbfL4(gy - 1)(gx)) 1 else 0)
+              val cA = if (gx == 0 || (gy >> 2) * wMbs + ((gx - 1) >> 2) < firstMb) 1
+                else (if (cbfL4(gy)(gx - 1)) 1 else 0)
+              val cB = if (gy == 0 || ((gy - 1) >> 2) * wMbs + (gx >> 2) < firstMb) 1
+                else (if (cbfL4(gy - 1)(gx)) 1 else 0)
               cbfL4(gy)(gx) = emitResidual(1, m.acScan(blk),
                 CtxCbf + catCbf(1) + cA + 2 * cB)
             } else cbfL4(gy)(gx) = false
             blk += 1
           }
           val cbfCDc = emitChroma(e, emitResidual, mbx, mby, cbpChroma, chDc, chAc,
-            leftMb, topMb, cbfC4)
+            leftMb, topMb, cbfC4, wMbs, firstMb)
           mbCtx(idx) = MbCtx(isI4x4 = false, cbpLuma, cbpChroma,
             m.chromaPredMode, cbfDc, cbfCDc)
         case m: H264Cavlc.I4x4MbSpec =>
@@ -918,8 +958,10 @@ object H264Cabac {
           while (blk2 < 16) {
             val gx = 4 * mbx + H264Cavlc.blkX(blk2); val gy = 4 * mby + H264Cavlc.blkY(blk2)
             if ((cbpLuma >> (blk2 / 4) & 1) != 0) {
-              val cA = if (gx == 0) 1 else (if (cbfL4(gy)(gx - 1)) 1 else 0)
-              val cB = if (gy == 0) 1 else (if (cbfL4(gy - 1)(gx)) 1 else 0)
+              val cA = if (gx == 0 || (gy >> 2) * wMbs + ((gx - 1) >> 2) < firstMb) 1
+                else (if (cbfL4(gy)(gx - 1)) 1 else 0)
+              val cB = if (gy == 0 || ((gy - 1) >> 2) * wMbs + (gx >> 2) < firstMb) 1
+                else (if (cbfL4(gy - 1)(gx)) 1 else 0)
               cbfL4(gy)(gx) = emitResidual(2, m.lumaScan(blk2),
                 CtxCbf + catCbf(2) + cA + 2 * cB)
             } else {
@@ -930,7 +972,7 @@ object H264Cabac {
             blk2 += 1
           }
           val cbfCDc = emitChroma(e, emitResidual, mbx, mby, cbpChroma, chDc, chAc,
-            leftMb, topMb, cbfC4)
+            leftMb, topMb, cbfC4, wMbs, firstMb)
           mbCtx(idx) = MbCtx(isI4x4 = true, cbpLuma, cbpChroma,
             m.chromaPredMode, cbfLumaDc = false, cbfCDc)
 
@@ -1026,11 +1068,11 @@ object H264Cabac {
             b += 1
           }
           val cbfCDc = emitChroma(e, emitResidual, mbx, mby, cbpChroma, chDc, chAc,
-            leftMb, topMb, cbfC4)
+            leftMb, topMb, cbfC4, wMbs, firstMb)
           mbCtx(idx) = MbCtx(isI4x4 = true, cbpLuma, cbpChroma,
             m.chromaPredMode, cbfLumaDc = false, cbfCDc, transform8x8 = true)
       }
-      e.terminate(if (idx == mbs.length - 1) 1 else 0)
+      e.terminate(if (i0 == mbs.length - 1) 1 else 0)
     }
     e.assemble(hw.rawBits)
   }
@@ -1069,7 +1111,8 @@ object H264Cabac {
                          mbx: Int, mby: Int, cbpChroma: Int,
                          chDc: Array[Array[Int]], chAc: Array[Array[Array[Int]]],
                          leftMb: Option[MbCtx], topMb: Option[MbCtx],
-                         cbfC4: Array[Array[Array[Boolean]]]): Array[Boolean] = {
+                         cbfC4: Array[Array[Array[Boolean]]],
+                         wMbs: Int, firstMb: Int): Array[Boolean] = {
     val cbfCDc = Array(false, false)
     if (cbpChroma >= 1) {
       var comp = 0
@@ -1087,8 +1130,10 @@ object H264Cabac {
       while (cblk < 4) {
         val gx = 2 * mbx + cblk % 2; val gy = 2 * mby + cblk / 2
         if (cbpChroma == 2) {
-          val cA = if (gx == 0) 1 else (if (cbfC4(comp)(gy)(gx - 1)) 1 else 0)
-          val cB = if (gy == 0) 1 else (if (cbfC4(comp)(gy - 1)(gx)) 1 else 0)
+          val cA = if (gx == 0 || (gy >> 1) * wMbs + ((gx - 1) >> 1) < firstMb) 1
+            else (if (cbfC4(comp)(gy)(gx - 1)) 1 else 0)
+          val cB = if (gy == 0 || ((gy - 1) >> 1) * wMbs + (gx >> 1) < firstMb) 1
+            else (if (cbfC4(comp)(gy - 1)(gx)) 1 else 0)
           cbfC4(comp)(gy)(gx) = emitResidual(4, chAc(comp)(cblk),
             CtxCbf + catCbf(4) + cA + 2 * cB)
         } else cbfC4(comp)(gy)(gx) = false

@@ -254,6 +254,21 @@ object H264Cavlc {
     }
     def bitsLeft: Int = bytes.length * 8 - bit
     def aligned: Boolean = (bit & 7) == 0
+    /** §7.2 more_rbsp_data(): true iff data remains BEFORE the
+      * rbsp_stop_one_bit — the last 1-bit of the RBSP (round 17, the
+      * multi-slice seam: CAVLC slice data has no macroblock count, a
+      * slice ends exactly when only the trailing bits remain). */
+    private val stopBitPos: Int = {
+      var last = bytes.length - 1
+      while (last >= 0 && bytes(last) == 0) last -= 1
+      if (last < 0) -1
+      else {
+        var lsb = 0
+        while (((bytes(last) >> lsb) & 1) == 0) lsb += 1
+        last * 8 + (7 - lsb)
+      }
+    }
+    def moreRbspData: Boolean = bit < stopBitPos
   }
 
   private def readVlc[T](r: BitReader, codes: Map[String, T], maxLen: Int,
@@ -697,10 +712,15 @@ object H264Cavlc {
     * 2 Vertical, 3 Plane). `plane` is the component's reconstructed
     * w/2-wide plane; availability follows raster decode order. */
   private[graft] def predictChroma8x8(mode: Int, plane: Array[Int], w: Int,
-                                      mbx: Int, mby: Int): Array[Int] = {
+                                      mbx: Int, mby: Int,
+                                      leftInSlice: Boolean = true,
+                                      topInSlice: Boolean = true): Array[Int] = {
     val x0 = 8 * mbx; val y0 = 8 * mby
-    val hasLeft = mbx > 0
-    val hasTop = mby > 0
+    // round 17 (multi-slice): a neighbor MB in another slice is
+    // UNAVAILABLE for intra prediction (§8.3's availability is
+    // slice-bound), exactly like the picture edge
+    val hasLeft = mbx > 0 && leftInSlice
+    val hasTop = mby > 0 && topInSlice
     @inline def top(x: Int): Int = plane((y0 - 1) * w + x0 + x)
     @inline def left(y: Int): Int = plane((y0 + y) * w + x0 - 1)
     val out = new Array[Int](64)
@@ -766,10 +786,13 @@ object H264Cavlc {
     * left iff mbx > 0, top iff mby > 0. Throws if `mode` needs an
     * unavailable neighbor (a conforming stream never codes that). */
   private[graft] def predictIntra16x16(mode: Int, plane: Array[Int], w: Int,
-                                       mbx: Int, mby: Int): Array[Int] = {
+                                       mbx: Int, mby: Int,
+                                       leftInSlice: Boolean = true,
+                                       topInSlice: Boolean = true): Array[Int] = {
     val x0 = 16 * mbx; val y0 = 16 * mby
-    val hasLeft = mbx > 0
-    val hasTop = mby > 0
+    // round 17 (multi-slice): slice-bound availability, like the edge
+    val hasLeft = mbx > 0 && leftInSlice
+    val hasTop = mby > 0 && topInSlice
     @inline def top(x: Int): Int = plane((y0 - 1) * w + x0 + x)
     @inline def left(y: Int): Int = plane((y0 + y) * w + x0 - 1)
     val out = new Array[Int](256)
@@ -965,14 +988,16 @@ object H264Cavlc {
       wc: Int, mbx: Int, mby: Int, cbpChroma: Int, chromaPredMode: Int,
       qp: Int, chromaQpOffset: Int, chromaQpOffsetCr: Int,
       chDcScan: Array[Array[Int]],
-      chAcScan: Array[Array[Array[Int]]]): Unit = {
+      chAcScan: Array[Array[Array[Int]]],
+      leftInSlice: Boolean = true, topInSlice: Boolean = true): Unit = {
     var comp = 0
     while (comp < 2) {
       // per-component QPC (round 16): Cr takes the PPS extension's
       // second_chroma_qp_index_offset when present (§8.5.8)
       val qpc = chromaQp(qp, if (comp == 0) chromaQpOffset else chromaQpOffsetCr)
       val plane = if (comp == 0) cb else cr
-      val pred = predictChroma8x8(chromaPredMode, plane, wc, mbx, mby)
+      val pred = predictChroma8x8(chromaPredMode, plane, wc, mbx, mby,
+        leftInSlice, topInSlice)
       val dcC =
         if (cbpChroma >= 1) chromaDcTransform(chDcScan(comp), qpc)
         else new Array[Int](4)
@@ -1016,14 +1041,16 @@ object H264Cavlc {
       cbpChroma: Int,
       dcScan: Array[Int], acScan: Array[Array[Int]],
       chDcScan: Array[Array[Int]], chAcScan: Array[Array[Array[Int]]],
-      done: Array[Array[Boolean]]): Unit = {
+      done: Array[Array[Boolean]],
+      leftInSlice: Boolean = true, topInSlice: Boolean = true): Unit = {
     // DC: zig-zag → 4x4 raster → inverse Hadamard → scale
     val dcRaster = new Array[Int](16)
     var k = 0
     while (k < 16) { dcRaster(zigZag4x4(k)) = dcScan(k); k += 1 }
     val f = inverseHadamard4x4(dcRaster)
     val dc = f.map(scaleLumaDc(_, qp))
-    val pred = predictIntra16x16(predMode, luma, w, mbx, mby)
+    val pred = predictIntra16x16(predMode, luma, w, mbx, mby,
+      leftInSlice, topInSlice)
     var blk = 0
     while (blk < 16) {
       val bx = blkX(blk); val by = blkY(blk)
@@ -1053,7 +1080,8 @@ object H264Cavlc {
       blk += 1
     }
     reconstructChroma(cb, cr, wc, mbx, mby, cbpChroma, chromaPredMode, qp,
-      chromaQpOffset, chromaQpOffsetCr, chDcScan, chAcScan)
+      chromaQpOffset, chromaQpOffsetCr, chDcScan, chAcScan,
+      leftInSlice, topInSlice)
   }
 
   /** Full YCbCr reconstruction of one Intra_4x4 MB: per-block §8.3.1.2
@@ -1065,7 +1093,8 @@ object H264Cavlc {
       modes: Array[Int], chromaPredMode: Int, qp: Int, chromaQpOffset: Int,
       chromaQpOffsetCr: Int, cbpChroma: Int, lumaScan: Array[Array[Int]],
       chDcScan: Array[Array[Int]], chAcScan: Array[Array[Array[Int]]],
-      done: Array[Array[Boolean]]): Unit = {
+      done: Array[Array[Boolean]],
+      leftInSlice: Boolean = true, topInSlice: Boolean = true): Unit = {
     var blk = 0
     while (blk < 16) {
       val bx = blkX(blk); val by = blkY(blk)
@@ -1099,7 +1128,8 @@ object H264Cavlc {
       blk += 1
     }
     reconstructChroma(cb, cr, wc, mbx, mby, cbpChroma, chromaPredMode, qp,
-      chromaQpOffset, chromaQpOffsetCr, chDcScan, chAcScan)
+      chromaQpOffset, chromaQpOffsetCr, chDcScan, chAcScan,
+      leftInSlice, topInSlice)
   }
 
   /** §8.3.2 + §8.5.13 Intra_8x8 macroblock reconstruction (round 17):
@@ -1114,7 +1144,8 @@ object H264Cavlc {
       modes: Array[Int], chromaPredMode: Int, qp: Int, chromaQpOffset: Int,
       chromaQpOffsetCr: Int, cbpChroma: Int, lumaScan64: Array[Array[Int]],
       chDcScan: Array[Array[Int]], chAcScan: Array[Array[Array[Int]]],
-      done: Array[Array[Boolean]]): Unit = {
+      done: Array[Array[Boolean]],
+      leftInSlice: Boolean = true, topInSlice: Boolean = true): Unit = {
     var b = 0
     while (b < 4) {
       val bx = b % 2; val by = b / 2
@@ -1152,7 +1183,8 @@ object H264Cavlc {
       b += 1
     }
     reconstructChroma(cb, cr, wc, mbx, mby, cbpChroma, chromaPredMode, qp,
-      chromaQpOffset, chromaQpOffsetCr, chDcScan, chAcScan)
+      chromaQpOffset, chromaQpOffsetCr, chDcScan, chAcScan,
+      leftInSlice, topInSlice)
   }
 
   /** Parse a slice NAL's RBSP as a single-slice all-INTRA CAVLC picture
@@ -1170,19 +1202,23 @@ object H264Cavlc {
     * mb_type 25 (I_PCM — its own parser in [[H264]]), prediction modes
     * whose neighbors are unavailable, malformed VLC walks, or trailing
     * bits. pic_scaling_matrix stays a named reject at [[H264.parsePps]]
-    * (flat-16 lists only). */
-  def parseI16x16Slice(rbsp: Array[Byte], sps: H264.Sps, pps: H264.Pps,
-                       nalRefIdc: Int, nalType: Int,
-                       tables: CavlcTables): Option[I16Picture] = try {
-    if (nalType != 1 && nalType != 5) return None
-    if (sps.chromaFormatIdc != 1 || sps.bitDepthLuma != 8) return None
-    if (!sps.frameMbsOnly) return None
-    if (pps.entropyCabac) return None
-    if (pps.numSliceGroups != 1) return None
-    // round 17: pps.transform8x8 decodes (transform_size_8x8_flag +
-    // Intra_8x8); pic_scaling_matrix stays a named reject upstream
-    val r = new BitReader(rbsp)
-    if (r.ue() != 0) return None // first_mb_in_slice: single-slice scope
+    * (flat-16 lists only). The doc above describes the shared slice
+    * walk; [[parseI16x16Slice]] is the single-slice entry (the one
+    * slice must cover the whole picture) and [[parseI16x16Picture]]
+    * the multi-slice one. */
+  /** One I-slice header's decoded fields (§7.3.3 within the supported
+    * scope) — round 17, the multi-slice seam. */
+  private[graft] final case class SliceHeaderI(
+    firstMb: Int, sliceType: Int, frameNum: Int, idrPicId: Int,
+    pocLsb: Int, sliceQp: Int)
+
+  /** Parse one I-slice header off `r` (shared by CAVLC and CABAC —
+    * the header is entropy-coder-independent). None on out-of-scope
+    * or malformed fields; first_mb_in_slice is RETURNED, the caller
+    * enforces coverage. */
+  private[graft] def parseSliceHeaderI(r: BitReader, sps: H264.Sps,
+      pps: H264.Pps, nalRefIdc: Int, nalType: Int): Option[SliceHeaderI] = try {
+    val firstMb = r.ue()
     val sliceType = r.ue()
     if (sliceType != 2 && sliceType != 7) return None // I slices only
     val ppsId = r.ue()
@@ -1207,49 +1243,87 @@ object H264Cavlc {
       val idc = r.ue()
       if (idc != 1) { r.se(); r.se() }
     }
-    // slice_data: raster MB walk, all Intra_16x16
+    Some(SliceHeaderI(firstMb, sliceType, frameNum, idrPicId, pocLsb, sliceQp))
+  } catch { case _: Exception => None }
+
+  /** Accumulates one picture across its CAVLC slices (round 17 —
+    * real encoders split pictures into slices for parallelism and
+    * error resilience). Planes are picture-level; EVERY availability
+    * surface is slice-bound per §8.3/§9.2.1: the nC/done/modeGrid
+    * grids are allocated FRESH per slice, and MB-level neighbors gate
+    * on `mbIndex >= firstMb` (slices cover contiguous raster ranges,
+    * so same-slice ⇔ index ≥ the slice's first MB). */
+  private final class CavlcPicture(sps: H264.Sps, pps: H264.Pps,
+                                   tables: CavlcTables) {
     val wMbs = sps.picWidthInMbs; val hMbs = sps.picHeightInMapUnits
-    val w = 16 * wMbs; val h = 16 * hMbs
-    val luma = new Array[Int](w * h)
-    val wc = 8 * wMbs
-    val cb = new Array[Int](wc * 8 * hMbs)
-    val cr = new Array[Int](wc * 8 * hMbs)
-    // per-4x4 TotalCoeff grid for the §9.2.1 nC context
-    val nz = Array.fill(4 * hMbs, 4 * wMbs)(0)
-    def nCOf(gx: Int, gy: Int): Int = {
-      val a = if (gx > 0) Some(nz(gy)(gx - 1)) else None
-      val b = if (gy > 0) Some(nz(gy - 1)(gx)) else None
-      (a, b) match {
-        case (Some(na), Some(nb)) => (na + nb + 1) >> 1
-        case (Some(na), None) => na
-        case (None, Some(nb)) => nb
-        case (None, None) => 0
+    private val w = 16 * wMbs; private val wc = 8 * wMbs
+    private val luma = new Array[Int](w * 16 * hMbs)
+    private val cb = new Array[Int](wc * 8 * hMbs)
+    private val cr = new Array[Int](wc * 8 * hMbs)
+    private val mbsOut = new ArrayBuffer[I16Mb](wMbs * hMbs)
+    private var nextMb = 0
+    private var meta: SliceHeaderI = null
+    private var metaNalType = -1
+
+    /** Decode one slice NAL's RBSP; false on any reject (including a
+      * first_mb that is not exactly the next undecoded MB, or slice
+      * headers disagreeing on the picture identity). */
+    def decodeSlice(rbsp: Array[Byte], nalRefIdc: Int, nalType: Int): Boolean = {
+      val r = new BitReader(rbsp)
+      val h = parseSliceHeaderI(r, sps, pps, nalRefIdc, nalType)
+        .getOrElse(return false)
+      if (h.firstMb != nextMb || nextMb >= wMbs * hMbs) return false
+      if (meta == null) { meta = h; metaNalType = nalType }
+      else if (nalType != metaNalType || h.sliceType != meta.sliceType ||
+        h.frameNum != meta.frameNum || h.idrPicId != meta.idrPicId ||
+        h.pocLsb != meta.pocLsb) return false // one picture, one identity
+      val firstMb = h.firstMb
+      val sliceQp = h.sliceQp
+      // ---- slice-local availability state (fresh per slice) ----
+      // per-4x4 TotalCoeff grid for the §9.2.1 nC context; a neighbor
+      // cell in another slice is UNAVAILABLE (None), not zero
+      val nz = Array.fill(4 * hMbs, 4 * wMbs)(0)
+      def nCOf(gx: Int, gy: Int): Int = {
+        val a = if (gx > 0 && (gy >> 2) * wMbs + ((gx - 1) >> 2) >= firstMb)
+          Some(nz(gy)(gx - 1)) else None
+        val b = if (gy > 0 && ((gy - 1) >> 2) * wMbs + (gx >> 2) >= firstMb)
+          Some(nz(gy - 1)(gx)) else None
+        (a, b) match {
+          case (Some(na), Some(nb)) => (na + nb + 1) >> 1
+          case (Some(na), None) => na
+          case (None, Some(nb)) => nb
+          case (None, None) => 0
+        }
       }
-    }
-    // per-component chroma 4x4 TotalCoeff grids (2×2 blocks per MB)
-    val nzC = Array.fill(2, 2 * hMbs, 2 * wMbs)(0)
-    def nCOfC(comp: Int, gx: Int, gy: Int): Int = {
-      val a = if (gx > 0) Some(nzC(comp)(gy)(gx - 1)) else None
-      val b = if (gy > 0) Some(nzC(comp)(gy - 1)(gx)) else None
-      (a, b) match {
-        case (Some(na), Some(nb)) => (na + nb + 1) >> 1
-        case (Some(na), None) => na
-        case (None, Some(nb)) => nb
-        case (None, None) => 0
+      // per-component chroma 4x4 TotalCoeff grids (2×2 blocks per MB)
+      val nzC = Array.fill(2, 2 * hMbs, 2 * wMbs)(0)
+      def nCOfC(comp: Int, gx: Int, gy: Int): Int = {
+        val a = if (gx > 0 && (gy >> 1) * wMbs + ((gx - 1) >> 1) >= firstMb)
+          Some(nzC(comp)(gy)(gx - 1)) else None
+        val b = if (gy > 0 && ((gy - 1) >> 1) * wMbs + (gx >> 1) >= firstMb)
+          Some(nzC(comp)(gy - 1)(gx)) else None
+        (a, b) match {
+          case (Some(na), Some(nb)) => (na + nb + 1) >> 1
+          case (Some(na), None) => na
+          case (None, Some(nb)) => nb
+          case (None, None) => 0
+        }
       }
-    }
-    // round 16 (I_NxN): per-4x4 grids threading across macroblocks —
-    // `done` marks reconstructed luma 4x4s (the §8.3.1.2 availability
-    // predicate under single-slice raster + blkIdx decode order) and
-    // `modeGrid` holds each I4x4 block's prediction mode (−1 = not an
-    // Intra_4x4 block, which §8.3.1.1 infers as DC for the predictor)
-    val done = Array.fill(4 * hMbs, 4 * wMbs)(false)
-    val modeGrid = Array.fill(4 * hMbs, 4 * wMbs)(-1)
-    val mbs = new ArrayBuffer[I16Mb](wMbs * hMbs)
-    var prevQp = sliceQp
-    var mb = 0
-    while (mb < wMbs * hMbs) {
+      // round 16 (I_NxN): per-4x4 grids threading across macroblocks —
+      // `done` marks luma 4x4s reconstructed IN THIS SLICE (§8.3.1.2
+      // availability is slice-bound) and `modeGrid` holds each I4x4
+      // block's prediction mode (−1 = not an I4x4 block of this slice,
+      // which §8.3.1.1 infers as DC for the predictor)
+      val done = Array.fill(4 * hMbs, 4 * wMbs)(false)
+      val modeGrid = Array.fill(4 * hMbs, 4 * wMbs)(-1)
+      val mbs = mbsOut
+      var prevQp = sliceQp
+      var mb = firstMb
+      while (r.moreRbspData) {
+      require(mb < wMbs * hMbs, "slice data past the last macroblock")
       val mbx = mb % wMbs; val mby = mb / wMbs
+      val mbLeftIn = mbx > 0 && mb - 1 >= firstMb
+      val mbTopIn = mby > 0 && mb - wMbs >= firstMb
       // shared chroma halves (§7.3.5.3 parse order and the §8.3.4 +
       // §8.5.11 reconstruction) — identical for I16 and I4x4 MBs
       def parseChroma(cbpChroma: Int): (Array[Array[Int]], Array[Array[Array[Int]]]) = {
@@ -1350,7 +1424,7 @@ object H264Cavlc {
         val (chDcScan, chAcScan) = parseChroma(cbpChroma)
         reconstructI8x8(luma, cb, cr, w, wc, wMbs, mbx, mby, modes,
           chromaPredMode, qp, pps.chromaQpOffset, pps.chromaQpOffsetCr,
-          cbpChroma, lumaScan64, chDcScan, chAcScan, done)
+          cbpChroma, lumaScan64, chDcScan, chAcScan, done, mbLeftIn, mbTopIn)
         mbs += I16Mb(-1, cbpChroma, cbpLuma, chromaPredMode, qp,
           modes8x8 = modes)
       } else if (mbType == 0) {
@@ -1409,7 +1483,7 @@ object H264Cavlc {
         val (chDcScan, chAcScan) = parseChroma(cbpChroma)
         reconstructI4x4(luma, cb, cr, w, wc, wMbs, mbx, mby, modes,
           chromaPredMode, qp, pps.chromaQpOffset, pps.chromaQpOffsetCr,
-          cbpChroma, lumaScan, chDcScan, chAcScan, done)
+          cbpChroma, lumaScan, chDcScan, chAcScan, done, mbLeftIn, mbTopIn)
         mbs += I16Mb(-1, cbpChroma, cbpLuma, chromaPredMode, qp, modes)
       } else {
       require(mbType >= 1 && mbType <= 24,
@@ -1440,17 +1514,61 @@ object H264Cavlc {
       val (chDcScan, chAcScan) = parseChroma(cbpChroma)
       reconstructI16(luma, cb, cr, w, wc, mbx, mby, predMode,
         chromaPredMode, qp, pps.chromaQpOffset, pps.chromaQpOffsetCr,
-        cbpChroma, dcScan, acScan, chDcScan, chAcScan, done)
+        cbpChroma, dcScan, acScan, chDcScan, chAcScan, done, mbLeftIn, mbTopIn)
       mbs += I16Mb(predMode, cbpChroma, cbpLuma, chromaPredMode, qp)
       }
       mb += 1
+      }
+      require(mb > firstMb, "slice with no macroblocks")
+      require(r.u(1) == 1, "missing rbsp_stop_one_bit")
+      while (!r.aligned) require(r.u(1) == 0, "nonzero rbsp_alignment_zero_bit")
+      require(r.bitsLeft == 0, "trailing bytes after rbsp_trailing_bits")
+      nextMb = mb
+      true
     }
-    require(r.u(1) == 1, "missing rbsp_stop_one_bit")
-    while (!r.aligned) require(r.u(1) == 0, "nonzero rbsp_alignment_zero_bit")
-    require(r.bitsLeft == 0, "trailing bytes after rbsp_trailing_bits")
-    Some(I16Picture(sliceType, ppsId, frameNum, idrPicId, pocLsb, sliceQp,
-      wMbs, hMbs, mbs.toSeq, luma, cb, cr))
+
+    /** The finished picture — None unless the slices covered every
+      * macroblock exactly. Picture-level fields (sliceType, sliceQp)
+      * are the FIRST slice's. */
+    def result(): Option[I16Picture] = {
+      if (meta == null || nextMb != wMbs * hMbs) return None
+      Some(I16Picture(meta.sliceType, pps.ppsId, meta.frameNum,
+        meta.idrPicId, meta.pocLsb, meta.sliceQp, wMbs, hMbs,
+        mbsOut.toSeq, luma, cb, cr))
+    }
+  }
+
+  /** Parse one picture from its CAVLC slice NALs, in decode order:
+    * `slices` is (nal_ref_idc, nal_unit_type, RBSP) per slice. Slices
+    * must tile the picture exactly (each first_mb_in_slice is the
+    * next undecoded MB; the last slice ends at the last MB) and agree
+    * on the picture identity (frame_num, idr_pic_id, POC lsb, NAL
+    * type). All §8.3 intra prediction and §9.2.1 nC availability is
+    * SLICE-bound — macroblocks of a previous slice are unavailable
+    * neighbors, exactly like the picture edge. Everything else
+    * (codec scope, strictness) matches [[parseI16x16Slice]]. */
+  def parseI16x16Picture(slices: Seq[(Int, Int, Array[Byte])],
+                         sps: H264.Sps, pps: H264.Pps,
+                         tables: CavlcTables): Option[I16Picture] = try {
+    if (slices.isEmpty) return None
+    if (sps.chromaFormatIdc != 1 || sps.bitDepthLuma != 8) return None
+    if (!sps.frameMbsOnly) return None
+    if (pps.entropyCabac) return None
+    if (pps.numSliceGroups != 1) return None
+    // round 17: pps.transform8x8 decodes (transform_size_8x8_flag +
+    // Intra_8x8); pic_scaling_matrix stays a named reject upstream
+    val pic = new CavlcPicture(sps, pps, tables)
+    slices.foreach { case (refIdc, nalType, rbsp) =>
+      if (nalType != 1 && nalType != 5) return None
+      if (!pic.decodeSlice(rbsp, refIdc, nalType)) return None
+    }
+    pic.result()
   } catch { case e: Exception => if (sys.props.contains("graft.h264.debug")) e.printStackTrace(); None }
+
+  def parseI16x16Slice(rbsp: Array[Byte], sps: H264.Sps, pps: H264.Pps,
+                       nalRefIdc: Int, nalType: Int,
+                       tables: CavlcTables): Option[I16Picture] =
+    parseI16x16Picture(Seq((nalRefIdc, nalType, rbsp)), sps, pps, tables)
 
   // -------------------------------------------------------------------
   // Fixture encoder
@@ -1624,17 +1742,22 @@ object H264Cavlc {
                               chromaAc: Array[Array[Array[Int]]] = Array.empty,
                               forceCbpChroma: Option[Int] = None) extends IMbSpec
 
-  /** Fixture encoder for [[parseI16x16Slice]]: slice header + all-
-    * Intra_16x16 CAVLC slice data, mirrored field for field. */
+  /** Fixture encoder for [[parseI16x16Slice]]/[[parseI16x16Picture]]:
+    * slice header + all-intra CAVLC slice data, mirrored field for
+    * field. Round 17: `firstMb` + a PARTIAL `mbs` covering
+    * [firstMb, firstMb + mbs.length) encodes one slice of a
+    * multi-slice picture — availability (nC, mode prediction) is
+    * slice-bound exactly as the parser reads it. */
   def encodeI16x16Slice(sps: H264.Sps, pps: H264.Pps, nalRefIdc: Int,
                         idr: Boolean, frameNum: Int, idrPicId: Int,
                         pocLsb: Int, sliceQpDelta: Int,
                         mbs: Seq[IMbSpec], tables: CavlcTables,
-                        deblockIdc: Int = 1): Array[Byte] = {
-    require(mbs.length == sps.picWidthInMbs * sps.picHeightInMapUnits,
-      "fixture slice must cover the whole picture")
+                        deblockIdc: Int = 1, firstMb: Int = 0): Array[Byte] = {
+    require(firstMb >= 0 && mbs.nonEmpty &&
+      firstMb + mbs.length <= sps.picWidthInMbs * sps.picHeightInMapUnits,
+      "fixture slice must fit inside the picture")
     val w = new BitWriter
-    w.ue(0) // first_mb_in_slice
+    w.ue(firstMb) // first_mb_in_slice
     w.ue(7) // slice_type: I (all slices of the picture are I)
     w.ue(pps.ppsId)
     w.u(frameNum, sps.log2MaxFrameNum)
@@ -1654,10 +1777,14 @@ object H264Cavlc {
       if (deblockIdc != 1) { w.se(0); w.se(0) }
     }
     val wMbs = sps.picWidthInMbs; val hMbs = sps.picHeightInMapUnits
+    // slice-bound availability, mirroring the parser (round 17): a
+    // neighbor cell in a previous slice is unavailable, not zero
     val nz = Array.fill(4 * hMbs, 4 * wMbs)(0)
     def nCOf(gx: Int, gy: Int): Int = {
-      val a = if (gx > 0) Some(nz(gy)(gx - 1)) else None
-      val b = if (gy > 0) Some(nz(gy - 1)(gx)) else None
+      val a = if (gx > 0 && (gy >> 2) * wMbs + ((gx - 1) >> 2) >= firstMb)
+        Some(nz(gy)(gx - 1)) else None
+      val b = if (gy > 0 && ((gy - 1) >> 2) * wMbs + (gx >> 2) >= firstMb)
+        Some(nz(gy - 1)(gx)) else None
       (a, b) match {
         case (Some(na), Some(nb)) => (na + nb + 1) >> 1
         case (Some(na), None) => na
@@ -1667,8 +1794,10 @@ object H264Cavlc {
     }
     val nzC = Array.fill(2, 2 * hMbs, 2 * wMbs)(0)
     def nCOfC(comp: Int, gx: Int, gy: Int): Int = {
-      val a = if (gx > 0) Some(nzC(comp)(gy)(gx - 1)) else None
-      val b = if (gy > 0) Some(nzC(comp)(gy - 1)(gx)) else None
+      val a = if (gx > 0 && (gy >> 1) * wMbs + ((gx - 1) >> 1) >= firstMb)
+        Some(nzC(comp)(gy)(gx - 1)) else None
+      val b = if (gy > 0 && ((gy - 1) >> 1) * wMbs + (gx >> 1) >= firstMb)
+        Some(nzC(comp)(gy - 1)(gx)) else None
       (a, b) match {
         case (Some(na), Some(nb)) => (na + nb + 1) >> 1
         case (Some(na), None) => na
@@ -1711,7 +1840,7 @@ object H264Cavlc {
     }
     mbs.zipWithIndex.foreach {
       case (m: I16MbSpec, idx) =>
-        val mbx = idx % wMbs; val mby = idx / wMbs
+        val mbx = (firstMb + idx) % wMbs; val mby = (firstMb + idx) / wMbs
         require(m.dcScan.length == 16 && m.acScan.length == 16 &&
           m.acScan.forall(_.length == 15), "scan array shapes")
         val cbpLuma = m.forceCbpLuma.getOrElse(
@@ -1738,7 +1867,7 @@ object H264Cavlc {
       case (m: I4x4MbSpec, idx) =>
         // Intra_4x4 (round 16): mb_type 0, per-block mode signalling
         // against the same §8.3.1.1 predictor the decoder derives
-        val mbx = idx % wMbs; val mby = idx / wMbs
+        val mbx = (firstMb + idx) % wMbs; val mby = (firstMb + idx) / wMbs
         require(m.modes.length == 16 && m.modes.forall(md => md >= 0 && md <= 8),
           "sixteen Intra_4x4 modes in 0..8")
         require(m.lumaScan.length == 16 && m.lumaScan.forall(_.length == 16),
@@ -1788,7 +1917,7 @@ object H264Cavlc {
         // four mode signals, the §8.5.13.1 four-4x4 CAVLC interleave
         require(pps.transform8x8,
           "I8x8MbSpec needs a PPS with transform_8x8_mode_flag")
-        val mbx = idx % wMbs; val mby = idx / wMbs
+        val mbx = (firstMb + idx) % wMbs; val mby = (firstMb + idx) / wMbs
         require(m.modes.length == 4 && m.modes.forall(md => md >= 0 && md <= 8),
           "four Intra_8x8 modes in 0..8")
         require(m.lumaScan64.length == 4 && m.lumaScan64.forall(_.length == 64),

@@ -119,9 +119,11 @@ object H264Mp4 {
   def nalRbsp(nal: Array[Byte]): Array[Byte] = H264.unescape(nal, 1, nal.length)
 
   /** Decode one intra picture from an MP4 video sample under the avcC
-    * config: find the slice NAL (type 1/5), unescape, dispatch on the
-    * PPS entropy mode to the CAVLC or CABAC parser. Strict → None on
-    * a sample without exactly one slice NAL, on any NAL type outside
+    * config: collect the slice NALs (type 1/5) in order, unescape,
+    * dispatch on the PPS entropy mode to the CAVLC or CABAC
+    * PICTURE-level parser (round 17: a sample may carry the picture
+    * as several slices; they must tile it exactly). Strict → None on
+    * a sample without any slice NAL, on any NAL type outside
     * the whitelist {1, 5, 6, 9, 12} — in-band parameter sets (7/8)
     * could override the avcC config this decode is keyed on, and data
     * partitions / end markers / unknown types are out of scope;
@@ -142,15 +144,17 @@ object H264Mp4 {
       // misparse seam.
       if (!nals.forall(n => Set(1, 5, 6, 9, 12).contains(n(0) & 0x1f))) None
       else {
+      // round 17: a sample may carry the picture as SEVERAL slice NALs
+      // (real encoders slice for parallelism/error resilience) — all
+      // slices feed the picture-level parser, which enforces exact
+      // coverage and slice-bound availability
       val slices = nals.filter(n => (n(0) & 0x1f) == 1 || (n(0) & 0x1f) == 5)
-      if (slices.length != 1) None
+      if (slices.isEmpty) None
       else {
-        val n = slices.head
-        val refIdc = (n(0) >> 5) & 3
-        val nalType = n(0) & 0x1f
-        val rbsp = H264.unescape(n, 1, n.length)
-        if (pps.entropyCabac) H264Cabac.parseISlice(rbsp, sps, pps, refIdc, nalType, cabac)
-        else H264Cavlc.parseI16x16Slice(rbsp, sps, pps, refIdc, nalType, cavlc)
+        val parts = slices.map(n =>
+          ((n(0) >> 5) & 3, n(0) & 0x1f, H264.unescape(n, 1, n.length)))
+        if (pps.entropyCabac) H264Cabac.parseIPicture(parts, sps, pps, cabac)
+        else H264Cavlc.parseI16x16Picture(parts, sps, pps, cavlc)
       }
       }
     }

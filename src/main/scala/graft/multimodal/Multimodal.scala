@@ -602,6 +602,75 @@ object Multimodal {
     })
   }
 
+  final case class H264MultiSliceRow(id: Long, mb: Int, slc: Int,
+                                     entropy_cabac: Int, is_i4x4: Int,
+                                     mode_sum: Long, qp: Int, sum_luma: Long,
+                                     wsum_luma: Long, min_luma: Int,
+                                     max_luma: Int)
+
+  /** H.264 MULTI-SLICE intra decode to pixels (round 17): every slice
+    * NAL of the picture feeds [[H264Cavlc.parseI16x16Picture]] /
+    * [[H264Cabac.parseIPicture]], which enforce exact coverage and
+    * SLICE-BOUND availability — a macroblock of a previous slice is an
+    * unavailable neighbor for intra prediction, nC, and every CABAC
+    * context increment, exactly like the picture edge. `slc` is each
+    * MB's slice index derived from the slice headers' first_mb values
+    * (pinning the slice map itself); luma aggregates as in
+    * [[h264I4x4Luma]]. */
+  def h264MultiSliceLuma(assets: Dataset[Asset],
+                         cavlcT: H264Cavlc.CavlcTables,
+                         cabacT: H264Cabac.CabacTables,
+                         cabac: Boolean): Dataset[H264MultiSliceRow] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      val s = H264.parse(a.bytes)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: not a supported H.264 stream"))
+      val sps = s.sps.get; val pps = s.pps.get
+      val sliceNals = s.nals.filter(n => n.nalType == 1 || n.nalType == 5)
+      require(sliceNals.length >= 2,
+        s"asset ${a.id}: expected a multi-slice picture")
+      val parts = sliceNals.map(n => (n.nalRefIdc, n.nalType, n.rbsp))
+      val pic = (if (cabac) H264Cabac.parseIPicture(parts, sps, pps, cabacT)
+                 else H264Cavlc.parseI16x16Picture(parts, sps, pps, cavlcT))
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: not a multi-slice intra picture"))
+      val firstMbs = parts.map { case (ri, nt, rb) =>
+        H264Cavlc.parseSliceHeaderI(new H264Cavlc.BitReader(rb), sps, pps, ri, nt)
+          .getOrElse(throw new IllegalArgumentException(
+            s"asset ${a.id}: unreadable slice header")).firstMb
+      }
+      val w = 16 * pic.widthMbs
+      pic.mbs.iterator.zipWithIndex.map { case (m, i) =>
+        val mbx = i % pic.widthMbs; val mby = i / pic.widthMbs
+        var sum = 0L; var wsum = 0L
+        var mn = 255; var mx = 0
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            val px = 16 * mbx + x; val py = 16 * mby + y
+            val v = pic.luma(py * w + px)
+            sum += v
+            wsum += v.toLong * (py * w + px + 1)
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            x += 1
+          }
+          y += 1
+        }
+        val modeSum =
+          if (m.isI4x4)
+            m.modes4x4.zipWithIndex.foldLeft(0L) { case (acc, (md, b)) =>
+              acc + md.toLong * (b + 1) }
+          else m.predMode.toLong
+        H264MultiSliceRow(a.id, i, firstMbs.count(_ <= i) - 1,
+          if (cabac) 1 else 0, if (m.isI4x4) 1 else 0, modeSum,
+          m.qp, sum, wsum, mn, mx)
+      }
+    })
+  }
+
   final case class CabacCoreRow(id: Long, step: Int, kind: Int, bin: Int,
                                 range_after: Int, offset_after: Int)
 

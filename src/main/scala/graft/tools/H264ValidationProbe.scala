@@ -136,17 +136,30 @@ object H264ValidationProbe {
         sys.error("not a parseable Annex-B stream"))
       val sps = stream.sps.getOrElse(sys.error("stream carries no SPS"))
       val pps = stream.pps.getOrElse(sys.error("stream carries no PPS"))
-      val outs = stream.nals.zipWithIndex
+      // round 17: group consecutive slice NALs into ACCESS UNITS — a
+      // slice whose first_mb_in_slice is 0 starts a new picture (real
+      // encoder streams are multi-slice); each unit feeds the
+      // picture-level parser, which enforces exact coverage
+      val aus = scala.collection.mutable.ArrayBuffer
+        .empty[Vector[(Int, Int, Array[Byte], Int)]]
+      stream.nals.zipWithIndex
         .filter { case (n, _) => n.nalType == 1 || n.nalType == 5 }
-        .map { case (n, k) =>
-          val pic =
-            if (pps.entropyCabac)
-              H264Cabac.parseISlice(n.rbsp, sps, pps, n.nalRefIdc, n.nalType, cabac)
-            else
-              H264Cavlc.parseI16x16Slice(n.rbsp, sps, pps, n.nalRefIdc, n.nalType, cavlc)
-          pic.toRight(s"NAL $k (type ${n.nalType}): strict-reject " +
-            "(out of intra scope — SURVEY §8 ladder)")
+        .foreach { case (n, k) =>
+          val firstMb = H264Cavlc.parseSliceHeaderI(
+            new H264Cavlc.BitReader(n.rbsp), sps, pps, n.nalRefIdc, n.nalType)
+            .map(_.firstMb)
+          val entry = (n.nalRefIdc, n.nalType, n.rbsp, k)
+          if (aus.isEmpty || firstMb.contains(0)) aus += Vector(entry)
+          else aus(aus.length - 1) = aus.last :+ entry
         }
+      val outs = aus.toSeq.map { au =>
+        val parts = au.map { case (ri, nt, rb, _) => (ri, nt, rb) }
+        val pic =
+          if (pps.entropyCabac) H264Cabac.parseIPicture(parts, sps, pps, cabac)
+          else H264Cavlc.parseI16x16Picture(parts, sps, pps, cavlc)
+        pic.toRight(s"NAL(s) ${au.head._4}..${au.last._4}: strict-reject " +
+          "(out of intra scope — SURVEY §8 ladder)")
+      }
       (sps, outs)
     }
   }

@@ -85,7 +85,12 @@ object PlanAudit {
       // the frame set, zero cartesian/smj/shj, then the window top-1.
       "multimodal_mp4_keyframes", "multimodal_mp4_frag_h264",
       "multimodal_mp4_frag_aac", "multimodal_h264_i8x8",
-      "media_pipeline_knn").foreach(audit)
+      "media_pipeline_knn",
+      // round-17 timestamp + multi-slice batch: all per-row kernels,
+      // zero joins, one orderBy exchange each
+      "multimodal_mp4_timestamps", "multimodal_mp4_ctts",
+      "multimodal_mp4_frag_timestamps", "multimodal_h264_multislice",
+      "multimodal_h264_multislice_cabac").foreach(audit)
     spark.stop()
   }
 }

@@ -4641,6 +4641,183 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException]( // not prefix-free
       H264Cavlc.parseCavlcSpec("runbefore 1\n0 0\n01 1"))
   }
+
+  test("h264 multi-slice pictures: slice-bound availability, CAVLC/CABAC parity, row-aligned slices equal stacked pictures, malformed slice sets reject (round 17)") {
+    import graft.multimodal.{H264, H264Cavlc, H264Cabac, H264Mp4}
+    val tC = H264Cavlc.fixtureTables
+    val tB = H264Cabac.fixtureTables
+    val (sps, ppsCavlc) = i16SpsPps(2, 2, qp = 28)
+    val ppsCabac = H264.parsePps(H264.encodePps(0, 0, cabac = true,
+      picInitQp = 28)).get
+
+    // ---- A: MID-ROW boundary — slice 0 = {mb0}, slice 1 = {mb1..3}.
+    // mb0 is I16 DC with a DC-only residual, so its plane is flat at a
+    // value ≠ 128; if slice 1 wrongly treated mb0 as available, mb1's
+    // DC prediction would average mb0's pixels instead of falling back
+    // to 128 — the pin below would redden.
+    val mb0 = H264Cavlc.I16MbSpec(2, 0, 1, // DC pred, qp 26+1
+      Array.tabulate(16)(k => if (k == 0) 5 else 0),
+      Array.fill(16)(new Array[Int](15)))
+    // slice-1 I4x4 mode legality: mb1 and mb2 see NO outside-slice
+    // neighbors (fresh corner); mb3's blk (0,0) lacks only the corner
+    def msMode(mbIdx: Int, bx: Int, by: Int, pick: Int): Int = {
+      val s =
+        if (mbIdx == 3) { if (bx == 0 && by == 0) Seq(0, 1, 2, 3, 7, 8) else 0 to 8 }
+        else if (bx == 0 && by == 0) Seq(2)
+        else if (by == 0) Seq(1, 2, 8)
+        else if (bx == 0) Seq(0, 2, 3, 7)
+        else 0 to 8
+      s(pick % s.length)
+    }
+    def msI4(mbIdx: Int, seed: Int, qpd: Int, blk0Zero: Boolean) = H264Cavlc.I4x4MbSpec(
+      Array.tabulate(16) { blk =>
+        val bx = 2 * ((blk / 4) % 2) + blk % 4 % 2
+        val by = 2 * ((blk / 4) / 2) + (blk % 4) / 2
+        msMode(mbIdx, bx, by, seed + blk)
+      },
+      if (mbIdx == 3) seed % 4 else 0, // chroma: mb1/mb2 have no neighbors
+      qpd,
+      Array.tabulate(16, 16)((blk, p) =>
+        if (blk0Zero && blk == 0) 0
+        else if ((seed + blk + p) % 6 == 0) ((seed + blk * (p + 1)) % 5) - 2 else 0)
+        .map(_.toArray),
+      forceCbpLuma = Some(15))
+    for (seed <- 1 to 5) {
+      val sl1 = Seq(msI4(1, seed, -2, blk0Zero = true),
+        msI4(2, seed + 3, 0, blk0Zero = false),
+        msI4(3, seed + 7, 2, blk0Zero = false))
+      val s0c = H264Cavlc.encodeI16x16Slice(sps, ppsCavlc, 3, idr = true,
+        1, 2, 3, -2, Seq(mb0), tC, firstMb = 0)
+      val s1c = H264Cavlc.encodeI16x16Slice(sps, ppsCavlc, 3, idr = true,
+        1, 2, 3, 1, sl1, tC, firstMb = 1)
+      val a = H264Cavlc.parseI16x16Picture(Seq((3, 5, s0c), (3, 5, s1c)),
+        sps, ppsCavlc, tC).getOrElse(fail(s"seed $seed: CAVLC multi-slice decode"))
+      // mb0 flat at the closed-form DC value (slice QP 26, delta +1)
+      val l0 = {
+        val s = H264Cavlc.scaleLumaDc(5, 27)
+        math.min(255, math.max(0, 128 + ((s + 32) >> 6)))
+      }
+      assert(l0 != 128, "fixture must make mb0 distinguishable from the DC fallback")
+      for (y <- 0 until 16; x <- 0 until 16)
+        assert(a.luma(y * 32 + x) == l0, s"mb0 pixel ($x,$y)")
+      // mb1's blk (0,0): DC with NO available neighbors (left is mb0,
+      // another slice; top is the picture edge) and zero residual
+      for (y <- 0 until 4; x <- 16 until 20)
+        assert(a.luma(y * 32 + x) == 128, s"seed $seed: mb1 blk0 read across the slice")
+      // slice 0: 28−2 then mb0's +1; slice 1 RESTARTS at 28+1 = 29,
+      // then −2 / 0 / +2 across mb1..3
+      assert(a.mbs.map(_.qp) == Seq(27, 27, 27, 29), s"seed $seed: qp chains")
+      // CABAC parity on the same slice set (fresh engine + contexts per slice)
+      val s0b = H264Cabac.encodeISlice(sps, ppsCabac, 3, idr = true,
+        1, 2, 3, -2, Seq(mb0), tB, firstMb = 0)
+      val s1b = H264Cabac.encodeISlice(sps, ppsCabac, 3, idr = true,
+        1, 2, 3, 1, sl1, tB, firstMb = 1)
+      val b = H264Cabac.parseIPicture(Seq((3, 5, s0b), (3, 5, s1b)),
+        sps, ppsCabac, tB).getOrElse(fail(s"seed $seed: CABAC multi-slice decode"))
+      assert(a.luma.sameElements(b.luma), s"seed $seed: cross-coder luma")
+      assert(a.cb.sameElements(b.cb) && a.cr.sameElements(b.cr),
+        s"seed $seed: cross-coder chroma")
+      assert(a.mbs.map(_.qp) == b.mbs.map(_.qp))
+      // single-slice decode of the SAME specs must differ at mb1 (it
+      // sees mb0's flat l0 plane as its left neighbor there)
+      val whole = H264Cavlc.encodeI16x16Slice(sps, ppsCavlc, 3, idr = true,
+        1, 2, 3, -2, mb0 +: sl1.map(m => m.copy(qpDelta = m.qpDelta)), tC)
+      H264Cavlc.parseI16x16Slice(whole, sps, ppsCavlc, 3, 5, tC) match {
+        case Some(w) => assert(!w.luma.sameElements(a.luma),
+          "slice boundary must change prediction")
+        case None => // some seeds pick modes illegal single-slice (left
+          // available changes the predictor): a reject is fine too
+      }
+      // the MP4 sample seam: one sample, TWO slice NALs
+      val avcc = H264Mp4.encodeAvcc(66, 30, 4,
+        Seq(H264Mp4.nalUnit(3, 7, H264.encodeSps(66, 30, 0, 0, 0, 1, 1, 1,
+          frameMbsOnly = true, crop = None))),
+        Seq(H264Mp4.nalUnit(3, 8, H264.encodePps(0, 0, cabac = false, picInitQp = 28))))
+      val cfg = H264Mp4.parseAvcc(
+        H264Mp4.encodeStsdAvc1(32, 32, avcc)).getOrElse(fail("avcc"))
+      val sample = H264Mp4.sampleOf(4, Seq(
+        H264Mp4.nalUnit(3, 5, s0c), H264Mp4.nalUnit(3, 5, s1c)))
+      val viaMp4 = H264Mp4.decodeSamplePicture(sample, cfg, sps, ppsCavlc, tC, tB)
+        .getOrElse(fail(s"seed $seed: MP4 two-slice sample"))
+      assert(viaMp4.luma.sameElements(a.luma), s"seed $seed: MP4 path differs")
+    }
+
+    // ---- B: ROW-ALIGNED slices ≡ stacked independent pictures (the
+    // strongest oracle-free pin: a slice's availability is exactly a
+    // fresh picture's, so full-row slices must decode identically to
+    // standalone pictures of those rows) ----
+    val (sps21, _) = i16SpsPps(2, 1, qp = 28)
+    def rowMode(bxInPic: Int, byInRow: Int, pick: Int): Int = {
+      val s = if (bxInPic == 0 && byInRow == 0) Seq(2)
+        else if (byInRow == 0) Seq(1, 2, 8)
+        else if (bxInPic == 0) Seq(0, 2, 3, 7)
+        else 0 to 8
+      s(pick % s.length)
+    }
+    def rowI4(mbxInRow: Int, seed: Int, qpd: Int) = H264Cavlc.I4x4MbSpec(
+      Array.tabulate(16) { blk =>
+        val bx = 2 * ((blk / 4) % 2) + blk % 4 % 2
+        val by = 2 * ((blk / 4) / 2) + (blk % 4) / 2
+        rowMode(4 * mbxInRow + bx, by, seed + blk)
+      },
+      if (mbxInRow == 0) 0 else seed % 2, // DC, or DC/H on the right MB
+      qpd,
+      Array.tabulate(16, 16)((blk, p) =>
+        if ((seed + blk + p) % 6 == 0) ((seed + blk * (p + 1)) % 5) - 2 else 0)
+        .map(_.toArray),
+      forceCbpLuma = Some(15))
+    for (seed <- 1 to 3) {
+      val top = Seq(rowI4(0, seed, 1), rowI4(1, seed + 2, -1))
+      val bot = Seq(rowI4(0, seed + 5, 0), rowI4(1, seed + 8, 2))
+      val sTop = H264Cavlc.encodeI16x16Slice(sps, ppsCavlc, 3, idr = true,
+        1, 2, 3, -1, top, tC, firstMb = 0)
+      val sBot = H264Cavlc.encodeI16x16Slice(sps, ppsCavlc, 3, idr = true,
+        1, 2, 3, 2, bot, tC, firstMb = 2)
+      val multi = H264Cavlc.parseI16x16Picture(Seq((3, 5, sTop), (3, 5, sBot)),
+        sps, ppsCavlc, tC).getOrElse(fail(s"seed $seed: row-sliced decode"))
+      val pTop = H264Cavlc.parseI16x16Slice(
+        H264Cavlc.encodeI16x16Slice(sps21, ppsCavlc, 3, idr = true, 1, 2, 3, -1,
+          top, tC), sps21, ppsCavlc, 3, 5, tC).getOrElse(fail("top picture"))
+      val pBot = H264Cavlc.parseI16x16Slice(
+        H264Cavlc.encodeI16x16Slice(sps21, ppsCavlc, 3, idr = true, 1, 2, 3, 2,
+          bot, tC), sps21, ppsCavlc, 3, 5, tC).getOrElse(fail("bottom picture"))
+      assert(java.util.Arrays.equals(multi.luma.take(32 * 16), pTop.luma),
+        s"seed $seed: top rows")
+      assert(java.util.Arrays.equals(multi.luma.drop(32 * 16), pBot.luma),
+        s"seed $seed: bottom rows")
+      assert(java.util.Arrays.equals(multi.cb.take(16 * 8), pTop.cb) &&
+        java.util.Arrays.equals(multi.cb.drop(16 * 8), pBot.cb),
+        s"seed $seed: cb rows")
+      assert(multi.mbs.map(_.qp) == (pTop.mbs.map(_.qp) ++ pBot.mbs.map(_.qp)),
+        s"seed $seed: qp chains restart per slice")
+    }
+
+    // ---- C: malformed slice sets reject, never misparse ----
+    val s0 = H264Cavlc.encodeI16x16Slice(sps, ppsCavlc, 3, idr = true,
+      1, 2, 3, -2, Seq(mb0), tC, firstMb = 0)
+    val s1 = H264Cavlc.encodeI16x16Slice(sps, ppsCavlc, 3, idr = true,
+      1, 2, 3, 1, Seq(msI4(1, 1, -2, blk0Zero = true), msI4(2, 4, 0, blk0Zero = false),
+        msI4(3, 8, 2, blk0Zero = false)), tC, firstMb = 1)
+    // coverage gap: slice 1 missing
+    assert(H264Cavlc.parseI16x16Picture(Seq((3, 5, s0)), sps, ppsCavlc, tC).isEmpty)
+    // overlap: slice 0 twice
+    assert(H264Cavlc.parseI16x16Picture(Seq((3, 5, s0), (3, 5, s0)),
+      sps, ppsCavlc, tC).isEmpty)
+    // wrong order
+    assert(H264Cavlc.parseI16x16Picture(Seq((3, 5, s1), (3, 5, s0)),
+      sps, ppsCavlc, tC).isEmpty)
+    // a mid-picture slice through the SINGLE-slice API rejects
+    assert(H264Cavlc.parseI16x16Slice(s1, sps, ppsCavlc, 3, 5, tC).isEmpty)
+    // picture-identity mismatch: slice 1 with a different frame_num
+    val s1Wrong = H264Cavlc.encodeI16x16Slice(sps, ppsCavlc, 3, idr = true,
+      7, 2, 3, 1, Seq(msI4(1, 1, -2, blk0Zero = true), msI4(2, 4, 0, blk0Zero = false),
+        msI4(3, 8, 2, blk0Zero = false)), tC, firstMb = 1)
+    assert(H264Cavlc.parseI16x16Picture(Seq((3, 5, s0), (3, 5, s1Wrong)),
+      sps, ppsCavlc, tC).isEmpty, "frame_num mismatch accepted")
+    // encoder refuses a slice past the picture
+    intercept[IllegalArgumentException](H264Cavlc.encodeI16x16Slice(sps, ppsCavlc,
+      3, idr = true, 1, 2, 3, 0, Seq(mb0, mb0), tC, firstMb = 3))
+  }
 }
 
 /** Big-endian helper shared by the MP4 spec's byte surgery. */
