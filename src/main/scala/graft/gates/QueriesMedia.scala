@@ -1904,6 +1904,38 @@ private[graft] trait QueriesMedia { this: Queries.type =>
     graft.multimodal.Multimodal.mp4AacPcm(mp4AacAssets(spark, dir))
       .toDF().orderBy(col("id"), col("channel"))
 
+  /** GAPLESS m4a fixtures (round 17): the mp4Aac content plus a §8.6.6
+    * edit list — one leading EMPTY edit (presentation delay E) and one
+    * normal edit (media_time D, duration L), the iTunes priming shape.
+    * mvhd/mdhd timescale = the sample rate, so D/E/L are sample
+    * counts; D and L are formula-derived and stay inside the
+    * 2048-sample decode. */
+  private[graft] def mp4GaplessAssets(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val src = docsTbl(spark, dir).where(col("doc_id") < 4)
+      .select(col("doc_id")).as[Long]
+    src.mapPartitions(_.map { id =>
+      val samples = (0 until 2).map(f => Mp4Fixtures.mp4AacRawBlock(id, f))
+      val asc = graft.multimodal.AacMp4.encodeAsc((id % 13).toInt, 1)
+      val rate = graft.multimodal.Aac.SampleRates((id % 13).toInt)
+      val stsd = graft.multimodal.AacMp4.encodeStsdMp4a(1, rate,
+        graft.multimodal.AacMp4.encodeEsds(asc))
+      val d = 64 + (id * 37) % 256
+      val l = 2048 - d - (id * 29) % 200
+      val e = (id + 1) * 10
+      graft.multimodal.Multimodal.Asset(id, "audio",
+        graft.multimodal.Mp4.encodeMp4(0, 0, rate.toLong, 2L, 2, 0,
+          samples.flatten.toArray, stsd = stsd,
+          perSampleSizes = Some(samples.map(_.length).toArray),
+          handler = "soun",
+          edits = Some(Seq((e, -1L), (l, d)))), 0, 0)
+    })
+  }
+
+  private[graft] def multimodalMp4Gapless(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.mp4AacPcmGapless(mp4GaplessAssets(spark, dir))
+      .toDF().orderBy(col("id"), col("channel"))
+
   /** INTERLEAVED-CHUNK two-track MP4 fixtures (round 16 — the layout
     * real muxers produce, and precisely what the old contiguous-from-
     * first-chunk read would MIS-SLICE): one file carries a video track

@@ -2656,6 +2656,46 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
     // gates pin the fragment walk alone
     "multimodal_mp4_frag_h264" -> Q(multimodalMp4FragH264, Some(mp4H264OracleSql(4))),
     "multimodal_mp4_frag_aac" -> Q(multimodalMp4FragAac, Some(mp4AacOracleSql(4))),
+    // GAPLESS trim (round 17): the elst edit window [D, D+L) applied
+    // to the decoded PCM — the oracle reuses the AAC PCM restatement
+    // filtered to the window, weights re-based to the trimmed index
+    "multimodal_mp4_gapless" -> Q(multimodalMp4Gapless, Some(
+      s"""WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 4),
+           |fs AS (SELECT unnest(range(0, 2)) AS f),
+           |par AS (SELECT id, f, 96 + (id + 5*f) % 8 AS gg FROM ids, fs),
+           |co AS (SELECT p.id, p.f, d.i,
+           |         CASE WHEN d.i >= 256 THEN 0 ELSE
+           |           (CASE WHEN (p.id + d.i + p.f) % 5 < 2 THEN -1 ELSE 1 END)
+           |           * ((p.id + d.i + 7*p.f) % 3) END AS q,
+           |         p.gg + (p.id + 3*(d.i // 32) + p.f) % 9 - 4 AS sf
+           |       FROM par p, (SELECT unnest(range(0, 1024)) AS i) d),
+           |nz AS (SELECT id, f, list(struct_pack(k := i,
+           |           v := sign(q) * pow(abs(q), 4.0/3.0) * pow(2.0, 0.25*(sf - 100)))
+           |         ORDER BY i) AS l
+           |       FROM co WHERE q != 0 GROUP BY id, f),
+           |zz AS (SELECT z.id, z.f, d.n,
+           |         sin(pi()/2048.0 * (d.n + 0.5)) *
+           |         (list_sum(list_transform(z.l, s ->
+           |            s.v * cos(pi()/1024.0 * (d.n + 512.5) * (s.k + 0.5)))) / 1024.0) AS z
+           |       FROM nz z, (SELECT unnest(range(0, 2048)) AS n) d),
+           |pcm AS (SELECT a.id, a.f, a.n,
+           |          greatest(-32768, least(32767, CAST(floor(
+           |            (a.z + COALESCE(b.z, 0.0)) * 32768.0 + 0.5) AS BIGINT))) AS p
+           |        FROM zz a LEFT JOIN zz b
+           |          ON b.id = a.id AND b.f = a.f - 1 AND b.n = a.n + 1024
+           |        WHERE a.n < 1024),
+           |trim AS (SELECT id, 64 + (id * 37) % 256 AS d,
+           |           2048 - (64 + (id * 37) % 256) - (id * 29) % 200 AS l
+           |         FROM ids)
+           |SELECT p.id, 0::INT AS channel,
+           |  ((p.id + 1) * 10)::BIGINT AS delay_ts,
+           |  t.d::BIGINT AS media_time, t.l::INT AS n_samples,
+           |  CAST(sum(p.p) AS BIGINT) AS sum_pcm,
+           |  CAST(sum(abs(p.p)) AS BIGINT) AS abs_pcm,
+           |  CAST(sum(p.p * (p.f * 1024 + p.n - t.d + 1)) AS BIGINT) AS wsum_pcm
+           |FROM pcm p JOIN trim t ON t.id = p.id
+           |WHERE p.f * 1024 + p.n >= t.d AND p.f * 1024 + p.n < t.d + t.l
+           |GROUP BY p.id, t.d, t.l ORDER BY p.id""".stripMargin)),
     // fragmented timestamps (round 17): video DTS = tfdt anchor (frag
     // 0) then continuation (frag 1), PTS = DTS + signed cts; audio
     // pins the trex default-duration (0) path

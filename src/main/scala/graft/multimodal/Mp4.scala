@@ -51,7 +51,10 @@ object Mp4 {
                          syncSamples: Option[Array[Int]] = None,
                          trackId: Long = 0,
                          sampleDts: Array[Long] = Array.empty,
-                         samplePts: Array[Long] = Array.empty) {
+                         samplePts: Array[Long] = Array.empty,
+                         editDelay: Long = 0,
+                         editMediaTime: Long = -1,
+                         editDuration: Long = -1) {
     /** §8.6.2 sync-sample semantics for 0-based sample `i`: an absent
       * stss means EVERY sample is a sync sample (all-intra tracks —
       * real muxers omit the box then); a present stss lists the
@@ -133,6 +136,7 @@ object Mp4 {
       var sync: Array[Int] = null // stss 1-based sync sample numbers
       var sttsRuns: Array[(Long, Long)] = null // (sample_count, sample_delta)
       var cttsRuns: Array[(Long, Long)] = null // (sample_count, composition offset)
+      var elst: Array[(Long, Long, Long)] = null // (segment_duration, media_time, rate)
       def stbl(s: Int, e: Int): Boolean = children(s, e) { (t, bs, be) =>
         t match {
           case "stsd" =>
@@ -297,10 +301,56 @@ object Mp4 {
             h = (be32(bytes, bs + 80) >> 16).toInt
             true
           case "mdia" => mdia(bs, be)
+          case "edts" =>
+            children(bs, be) { (t2, b2, e2) =>
+              t2 match {
+                case "elst" =>
+                  // §8.6.6 edit list (round 17): the presentation-
+                  // offset / gapless-trim surface real m4a files carry
+                  // (AAC priming). segment_duration is MOVIE-timescale,
+                  // media_time MEDIA-timescale (−1 = empty edit, a
+                  // presentation delay). media_rate must be 1.0 —
+                  // dwell (rate 0) and slow-motion edits reject.
+                  if (elst != null) return false // duplicate elst
+                  if (e2 - b2 < 8) return false
+                  val verE = bytes(b2) & 0xff
+                  if (verE > 1) return false
+                  val nE = be32(bytes, b2 + 4)
+                  val entSz = if (verE == 1) 20 else 12
+                  if (nE < 1 || e2 - b2 < 8 + entSz * nE) return false
+                  elst = Array.tabulate(nE.toInt) { j =>
+                    val p = b2 + 8 + entSz * j
+                    if (verE == 1) {
+                      val dur = (be32(bytes, p) << 32) | be32(bytes, p + 4)
+                      val mt = (be32(bytes, p + 8) << 32) | be32(bytes, p + 12)
+                      if (dur < 0) return false // past any representable time
+                      (dur, mt, be32(bytes, p + 16))
+                    } else
+                      (be32(bytes, p), be32(bytes, p + 4).toInt.toLong,
+                        be32(bytes, p + 8))
+                  }
+                  if (elst.exists(_._3 != 0x00010000L)) return false
+                  true
+                case _ => true
+              }
+            }
           case _ => true
         }
       }
       if (!ok || kind == null || ts < 0 || sizes == null || chunkOffs == null) return false
+      // §8.6.6 edit-list scope (round 17): [optional leading EMPTY
+      // edit (media_time −1 — a presentation delay)] + [exactly one
+      // normal edit]. Multi-segment lists and negative media times
+      // other than −1 reject by name.
+      var editDelay = 0L; var editMediaTime = -1L; var editDuration = -1L
+      if (elst != null) {
+        val (empties, rest) = elst.span(_._2 == -1L)
+        if (empties.length > 1 || rest.length != 1) return false
+        if (rest.head._2 < 0) return false
+        editDelay = empties.headOption.map(_._1).getOrElse(0L)
+        editMediaTime = rest.head._2
+        editDuration = rest.head._1
+      }
       // empty tables (round 17): the fragmented init-segment shape —
       // zero samples, zero chunks, samples arrive via moof/trun. A
       // nonempty side with an empty other side is a desynced table.
@@ -310,7 +360,9 @@ object Mp4 {
         if (sttsRuns != null && sttsRuns.nonEmpty) return false
         if (cttsRuns != null && cttsRuns.nonEmpty) return false
         tracks += Track(kind, w, h, ts, dur, sizes, -1L, stsdBytes,
-          Array.empty[Long], Option(sync), tid)
+          Array.empty[Long], Option(sync), tid,
+          editDelay = editDelay, editMediaTime = editMediaTime,
+          editDuration = editDuration)
         return true
       }
       // resolve per-sample FILE offsets through stsc × stco (round 16).
@@ -376,7 +428,9 @@ object Mp4 {
         }
       }
       tracks += Track(kind, w, h, ts, dur, sizes, chunkOffs(0), stsdBytes, offsets,
-        Option(sync), tid, dts, pts)
+        Option(sync), tid, dts, pts,
+        editDelay = editDelay, editMediaTime = editMediaTime,
+        editDuration = editDuration)
       true
     }
 
@@ -678,7 +732,8 @@ object Mp4 {
                 handler: String = "vide",
                 syncSamples: Option[Array[Int]] = None,
                 sampleDeltas: Option[Array[Long]] = None,
-                ctsOffsets: Option[Array[Long]] = None): Array[Byte] = {
+                ctsOffsets: Option[Array[Long]] = None,
+                edits: Option[Seq[(Long, Long)]] = None): Array[Byte] = {
     sampleDeltas.foreach(d => require(d.length == nSamples,
       "one stts delta per sample"))
     ctsOffsets.foreach { o =>
@@ -741,6 +796,17 @@ object Mp4 {
           u32(0); u32(0) // layer+group, volume+reserved
           Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(m => u32(m.toLong))
           u32(width.toLong << 16); u32(height.toLong << 16) // 16.16 fixed
+        }
+        edits.foreach { es =>
+          // (segment_duration, media_time) pairs, version 0, rate 1.0
+          box("edts") {
+            box("elst") {
+              u32(0); u32(es.length.toLong)
+              es.foreach { case (dur, mt) =>
+                u32(dur); u32(mt & 0xffffffffL); u32(0x00010000L)
+              }
+            }
+          }
         }
         box("mdia") {
           box("mdhd") {

@@ -884,6 +884,69 @@ object Multimodal {
     })
   }
 
+  final case class Mp4GaplessRow(id: Long, channel: Int, delay_ts: Long,
+                                 media_time: Long, n_samples: Int,
+                                 sum_pcm: Long, abs_pcm: Long, wsum_pcm: Long)
+
+  /** GAPLESS M4A decode (round 17): [[mp4AacPcm]]'s decode with the
+    * track's §8.6.6 edit list APPLIED — the iTunes-style trim that
+    * drops the AAC priming samples (media_time) and keeps exactly
+    * segment_duration samples, the semantics a training pipeline needs
+    * so encoder delay does not shift every downstream audio feature.
+    * The fixture holds mvhd timescale == mdhd timescale == sample
+    * rate, so both edit fields are sample counts; a leading EMPTY edit
+    * (pure presentation delay) is surfaced as `delay_ts`, not applied
+    * to the PCM. Strict: a file without a normal edit, or an edit
+    * window outside the decoded PCM, throws. */
+  def mp4AacPcmGapless(assets: Dataset[Asset],
+                       books: Map[Int, Aac.AacBook] = Aac.fixtureBooks,
+                       sfBook: Aac.SfBook = Aac.fixtureSfBook,
+                       bands: Array[Int] = Aac.fixtureBandsLong,
+                       shortBands: Array[Int] = Aac.fixtureBandsShort): Dataset[Mp4GaplessRow] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      val movie = Mp4.parseMp4(a.bytes)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: not a supported MP4"))
+      val track = movie.tracks.find(_.kind == "soun")
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: no audio track"))
+      require(track.editMediaTime >= 0,
+        s"asset ${a.id}: no edit list to apply")
+      require(movie.timescale == track.timescale,
+        s"asset ${a.id}: movie/media timescale mismatch — trim units ambiguous")
+      val cfg = AacMp4.parseEsds(track.stsd)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: no decodable esds AudioSpecificConfig"))
+      val samples = track.sampleSizes.zipWithIndex.map { case (sz, i) =>
+        val off = (track.sampleOffsets(i) - movie.mdatFileOffset).toInt
+        java.util.Arrays.copyOfRange(movie.mdat, off, off + sz)
+      }.toSeq
+      val stream = AacMp4.toStream(samples, cfg)
+      val pcm: Seq[Array[Double]] =
+        if (cfg.channels == 1)
+          Seq(Aac.decodePcmStream(stream, books, sfBook, bands, shortBands)
+            .getOrElse(throw new IllegalArgumentException(
+              s"asset ${a.id}: undecodable mono AAC stream")))
+        else
+          Aac.decodeCpePcmStream(stream, books, sfBook, bands, shortBands)
+            .getOrElse(throw new IllegalArgumentException(
+              s"asset ${a.id}: undecodable stereo AAC stream"))
+      val d = track.editMediaTime
+      val l = track.editDuration
+      pcm.zipWithIndex.map { case (xs, ch) =>
+        require(d + l <= xs.length && l >= 0,
+          s"asset ${a.id}: edit window [$d, ${d + l}) outside the ${xs.length}-sample PCM")
+        val t = xs.slice(d.toInt, (d + l).toInt).map(Mp3.pcm16)
+        Mp4GaplessRow(a.id, ch, track.editDelay, d, t.length,
+          t.foldLeft(0L)(_ + _),
+          t.foldLeft(0L)((acc, v) => acc + math.abs(v)),
+          t.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+            acc + v.toLong * (i + 1) })
+      }
+    })
+  }
+
   final case class H264ChromaRow(id: Long, mb: Int, chroma_pred_mode: Int,
                                  cbp_chroma: Int, qpc: Int,
                                  sum_cb: Long, wsum_cb: Long,

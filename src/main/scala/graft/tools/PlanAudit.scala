@@ -90,7 +90,8 @@ object PlanAudit {
       // zero joins, one orderBy exchange each
       "multimodal_mp4_timestamps", "multimodal_mp4_ctts",
       "multimodal_mp4_frag_timestamps", "multimodal_h264_multislice",
-      "multimodal_h264_multislice_cabac").foreach(audit)
+      "multimodal_h264_multislice_cabac",
+      "multimodal_mp4_gapless").foreach(audit)
     spark.stop()
   }
 }

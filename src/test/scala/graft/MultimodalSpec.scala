@@ -4160,6 +4160,44 @@ class MultimodalSpec extends AnyFunSuite {
     val cttsVer = cttsBad.clone(); cttsVer(cp + 4 + 4 + 4 + 3) = 4 // restore count
     cttsVer(cp + 4) = 2
     assert(Mp4.parseMp4(cttsVer).isEmpty, "ctts version 2 accepted")
+    // ---- elst edit lists (round 17): empty-edit delay + normal edit ----
+    val edited = Mp4.parseMp4(Mp4.encodeMp4(16, 16, 1000L, 4L, 4, 8, payload,
+      edits = Some(Seq((40L, -1L), (300L, 100L))))).get.tracks.head
+    assert(edited.editDelay == 40 && edited.editMediaTime == 100 &&
+      edited.editDuration == 300, "empty+normal edit mis-resolved")
+    val edited2 = Mp4.parseMp4(Mp4.encodeMp4(16, 16, 1000L, 4L, 4, 8, payload,
+      edits = Some(Seq((300L, 100L))))).get.tracks.head
+    assert(edited2.editDelay == 0 && edited2.editMediaTime == 100 &&
+      edited2.editDuration == 300, "normal-only edit mis-resolved")
+    assert(timed.editMediaTime == -1 && timed.editDelay == 0,
+      "absent elst must leave the defaults")
+    // out-of-scope shapes reject by name
+    assert(Mp4.parseMp4(Mp4.encodeMp4(16, 16, 1000L, 4L, 4, 8, payload,
+      edits = Some(Seq((100L, 0L), (100L, 1024L))))).isEmpty,
+      "multi-segment edit list accepted")
+    assert(Mp4.parseMp4(Mp4.encodeMp4(16, 16, 1000L, 4L, 4, 8, payload,
+      edits = Some(Seq((10L, -1L), (10L, -1L), (300L, 0L))))).isEmpty,
+      "two empty edits accepted")
+    assert(Mp4.parseMp4(Mp4.encodeMp4(16, 16, 1000L, 4L, 4, 8, payload,
+      edits = Some(Seq((10L, -1L))))).isEmpty, "delay-only edit list accepted")
+    assert(Mp4.parseMp4(Mp4.encodeMp4(16, 16, 1000L, 4L, 4, 8, payload,
+      edits = Some(Seq((10L, -5L))))).isEmpty,
+      "negative media_time (not -1) accepted")
+    // dwell (rate 0) rejects: clear the 1.0 in the entry's media_rate
+    val dwell = Mp4.encodeMp4(16, 16, 1000L, 4L, 4, 8, payload,
+      edits = Some(Seq((300L, 100L))))
+    var ep = -1; var ei = 0
+    while (ei < dwell.length - 4 && ep < 0) {
+      if (dwell(ei) == 'e' && dwell(ei + 1) == 'l' && dwell(ei + 2) == 's'
+        && dwell(ei + 3) == 't') ep = ei
+      ei += 1
+    }
+    assert(ep > 0, "elst not found")
+    val dwell2 = dwell.clone(); dwell2(ep + 4 + 8 + 8 + 1) = 0 // rate 1.0 -> 0
+    assert(Mp4.parseMp4(dwell2).isEmpty, "dwell edit accepted")
+    // elst version >= 2 rejects
+    val evBad = dwell.clone(); evBad(ep + 4) = 2
+    assert(Mp4.parseMp4(evBad).isEmpty, "elst version 2 accepted")
     // entry_count overrunning the box
     val good = mk(Some(Array(1, 3)))
     var sp = -1; var i = 0
