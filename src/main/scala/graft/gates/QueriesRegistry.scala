@@ -2060,19 +2060,21 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
            |    CASE g.m WHEN 1 THEN q.qp1 WHEN 2 THEN q.qp2 ELSE q.qp3 END AS qp
            |  FROM geo2 g JOIN qps q ON q.id = g.id),
            |deq AS (SELECT g.id, g.k,
+           |    -- LevelScale8x8 = 16 (flat weightScale) x normAdjust8x8:
+           |    -- the x16 does NOT cancel against the 8x8 shifts
            |    list_transform(range(0, 64), ri ->
            |      CASE WHEN g.qp >= 36 THEN
            |        (CASE WHEN (g.id + g.m + g.b + (list_position(c.zz8, ri) - 1)) % 13 = 0
            |              THEN ((g.id + g.m * ((list_position(c.zz8, ri) - 1) + 3) + g.b) % 5) - 2
            |              ELSE 0 END)
-           |        * c.v8[g.qp % 6 + 1][c.cp[4*((ri//8) % 4) + (ri%8) % 4 + 1] + 1]
+           |        * 16 * c.v8[g.qp % 6 + 1][c.cp[4*((ri//8) % 4) + (ri%8) % 4 + 1] + 1]
            |        * CAST(pow(2, g.qp // 6 - 6) AS BIGINT)
            |      ELSE
            |        CAST(floor((
            |          (CASE WHEN (g.id + g.m + g.b + (list_position(c.zz8, ri) - 1)) % 13 = 0
            |                THEN ((g.id + g.m * ((list_position(c.zz8, ri) - 1) + 3) + g.b) % 5) - 2
            |                ELSE 0 END)
-           |          * c.v8[g.qp % 6 + 1][c.cp[4*((ri//8) % 4) + (ri%8) % 4 + 1] + 1]
+           |          * 16 * c.v8[g.qp % 6 + 1][c.cp[4*((ri//8) % 4) + (ri%8) % 4 + 1] + 1]
            |          + CAST(pow(2, 5 - g.qp // 6) AS BIGINT)
            |        ) / pow(2, 6 - g.qp // 6)) AS BIGINT)
            |      END) AS d

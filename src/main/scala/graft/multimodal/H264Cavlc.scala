@@ -479,11 +479,19 @@ object H264Cavlc {
     v8ClassPattern(4 * (i % 4) + (j % 4))
 
   /** §8.5.13.1 8x8 AC scaling (flat weightScale 16): the two-branch
-    * spec formula — rounding term below qp 36, left shift above. */
+    * spec formula — rounding term below qp 36, left shift above.
+    * LevelScale8x8(m, i, j) = weightScale(i, j) · normAdjust8x8(m, …)
+    * — the ×16 does NOT cancel against the 8x8 shifts the way the 4x4
+    * path's ×16 cancels the −4 shift (round-17 fix: the first cut
+    * dropped it, dequantizing every 8x8 residual 16× too small — at
+    * qp 0 a level of 1 scaled to 0. Self-pinned: the fixture encoder,
+    * the cross-coder test, and the gate oracle all shared the
+    * convention, so only an energy audit against the 4x4 path could
+    * see it; the oracle was corrected WITH this fix). */
   @inline private[graft] def scaleAc8x8(c: Int, qp: Int, i: Int, j: Int): Int = {
-    val v = normAdjust8x8(qp % 6)(v8Class(i, j))
-    if (qp >= 36) (c * v) << (qp / 6 - 6)
-    else (c * v + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+    val ls = 16 * normAdjust8x8(qp % 6)(v8Class(i, j))
+    if (qp >= 36) (c * ls) << (qp / 6 - 6)
+    else (c * ls + (1 << (5 - qp / 6))) >> (6 - qp / 6)
   }
 
   /** §8.5.13.2 inverse 8x8 transform: 64 scaled coefficients (raster)

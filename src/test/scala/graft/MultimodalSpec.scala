@@ -4289,10 +4289,11 @@ class MultimodalSpec extends AnyFunSuite {
       val one = H264Cavlc.I8x8MbSpec(Array(2, 2, 2, 2), 0, qp - 26,
         Array(scan, new Array[Int](64), new Array[Int](64), new Array[Int](64)))
       val pic = decode(Seq(one, dcMb, dcMb, dcMb)).get
-      // v8x8(qp%6, class(0,0)) = table row col 0
+      // LevelScale8x8 = 16 (flat weightScale) x normAdjust8x8 row col 0
+      // (round-17 fix: the x16 does not cancel against the 8x8 shifts)
       val v = Seq(20, 22, 26, 28, 32, 36)(qp % 6)
-      val d0 = if (qp >= 36) (c * v) << (qp / 6 - 6)
-               else (c * v + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+      val d0 = if (qp >= 36) (c * 16 * v) << (qp / 6 - 6)
+               else (c * 16 * v + (1 << (5 - qp / 6))) >> (6 - qp / 6)
       val res = (d0 + 32) >> 6
       val want = math.max(0, math.min(255, 128 + res))
       // block 0 of mb0 is the impulse; its 8x8 is uniform `want`
