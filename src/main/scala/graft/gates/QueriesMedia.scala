@@ -1832,6 +1832,68 @@ private[graft] trait QueriesMedia { this: Queries.type =>
       graft.multimodal.H264Cabac.fixtureTables, cabac = true)
       .toDF().orderBy(col("id"), col("mb"))
 
+  /** SCALING-MATRIX fixture (round 17): a 2x2-MB single-slice CAVLC
+    * picture whose PPS carries STREAM-CARRIED per-plane weight
+    * matrices (formula-derived, no transcription constants) — mb0 is
+    * I16 DC with luma-DC and chroma-DC residuals (routing wY(0,0),
+    * wCb(0,0), wCr(0,0) through the §8.5.10/.11 DC paths), mbs 1..3
+    * are I4x4 with the full wY matrix on every AC coefficient. The QP
+    * chain straddles 24, so BOTH §8.5.12.1 branches run — including
+    * the sub-24 rounding term the flat path never needed. */
+  private[graft] def h264ScalingAssets(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val src = docsTbl(spark, dir).where(col("doc_id") < 4)
+      .select(col("doc_id")).as[Long]
+    src.mapPartitions(_.map { id =>
+      import graft.multimodal.{H264, H264Cavlc}
+      val eid = id.toInt
+      val wY = Array.tabulate(16)(r => 8 + (eid + 3 * (r / 4) + 5 * (r % 4)) % 17)
+      val wCb = Array.tabulate(16)(r => 9 + (eid + (r / 4) + 2 * (r % 4)) % 13)
+      val wCr = Array.tabulate(16)(r => 10 + (eid + 2 * (r / 4) + (r % 4)) % 11)
+      val spsB = H264.encodeSps(66, 30, 0, 0, 0, 1, 1, 1,
+        frameMbsOnly = true, crop = None)
+      val ppsB = H264.encodePps(0, 0, cabac = false, picInitQp = 26,
+        scaling4 = Seq(wY, wCb, wCr))
+      val sps = H264.parseSps(spsB).get
+      val pps = H264.parsePps(ppsB).get
+      val mb0 = H264Cavlc.I16MbSpec(2, 0, ((eid + 1) % 5) - 2,
+        Array.tabulate(16)(k => if (k == 0) 3 + eid % 4 else 0),
+        Array.fill(16)(new Array[Int](15)),
+        chromaDc = Array(
+          Array(2 + eid % 3, 0, 0, 0), Array(1 + eid % 4, 0, 0, 0)),
+        forceCbpChroma = Some(1))
+      def i4(m: Int, qpd: Int) = H264Cavlc.I4x4MbSpec(
+        Array.tabulate(16) { blk =>
+          val bx = 2 * ((blk / 4) % 2) + blk % 4 % 2
+          val by = 2 * ((blk / 4) / 2) + (blk % 4) / 2
+          // single-slice availability-legal modes (the mp4 fixture's
+          // conventions — the oracle restates the same formulas)
+          if (m == 1 && by == 0)
+            Seq(1, 2, 8)((eid + blk) % 3)
+          else if (m == 2 && bx == 0)
+            Seq(0, 2, 3, 7)((eid + blk) % 4)
+          else if (m == 2) (eid + 1 + blk) % 9
+          else (eid + blk) % 9
+        },
+        0, qpd,
+        Array.tabulate(16, 16)((blk, p) =>
+          if ((eid + m + blk + p) % 7 == 0)
+            ((eid + m * (p + 2) + blk) % 5) - 2 else 0).map(_.toArray),
+        forceCbpLuma = Some(15))
+      val mbs = Seq(mb0, i4(1, ((eid + 2) % 5) - 2), i4(2, ((eid + 3) % 5) - 2),
+        i4(3, ((eid + 4) % 5) - 2))
+      val rbsp = H264Cavlc.encodeI16x16Slice(sps, pps, 3, idr = true,
+        1, 2, 3, (eid % 7) - 5, mbs, H264Cavlc.fixtureTables)
+      graft.multimodal.Multimodal.Asset(id, "video",
+        H264.annexB(Seq((3, 7, spsB), (3, 8, ppsB), (3, 5, rbsp))), 0, 0)
+    })
+  }
+
+  private[graft] def multimodalH264Scaling(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.h264ScalingLuma(h264ScalingAssets(spark, dir),
+      graft.multimodal.H264Cavlc.fixtureTables)
+      .toDF().orderBy(col("id"), col("mb"))
+
   /** END-TO-END media pipeline (round 17, r16 VERDICT #5 — the media
     * analog of training_export): ONE declarative plan composing the
     * tiers the way a training-data pipeline would —

@@ -2624,6 +2624,249 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
       Some(multiSliceOracleSql(4, 0))),
     "multimodal_h264_multislice_cabac" -> Q(multimodalH264MultiSliceCabac,
       Some(multiSliceOracleSql(4, 1))),
+    // STREAM-CARRIED scaling matrices (round 17): the recursive plane
+    // walk with the literal §8.5.12.1 two-branch dequant — LevelScale
+    // = w(i,j)·normAdjust with the REAL sub-24 rounding term — plus
+    // closed-form I16 luma-DC and per-component chroma-DC restatements
+    // of §8.5.10/.11 under their own weight entries
+    "multimodal_h264_scaling" -> Q(multimodalH264Scaling, Some(
+      raw"""WITH RECURSIVE ids AS (
+           |  SELECT doc_id AS id, doc_id AS eid FROM documents WHERE doc_id < 4),
+           |qps AS (SELECT id, eid,
+           |  26 + (eid % 7) - 5 + ((eid+1) % 5) - 2 AS qp0,
+           |  26 + (eid % 7) - 5 + ((eid+1) % 5) - 2 + ((eid+2) % 5) - 2 AS qp1,
+           |  26 + (eid % 7) - 5 + ((eid+1) % 5) - 2 + ((eid+2) % 5) - 2
+           |     + ((eid+3) % 5) - 2 AS qp2,
+           |  26 + (eid % 7) - 5 + ((eid+1) % 5) - 2 + ((eid+2) % 5) - 2
+           |     + ((eid+3) % 5) - 2 + ((eid+4) % 5) - 2 AS qp3
+           | FROM ids),
+           |cst AS (SELECT
+           |  [0,1,4,8,5,2,3,6,9,12,13,10,7,11,14,15] AS zz,
+           |  [[10,16,13],[11,18,14],[13,20,16],[14,23,18],[16,25,20],[18,29,23]] AS v),
+           |geo AS (
+           |  SELECT i.id, i.eid, k.k, 1 + k.k // 16 AS m, k.k % 16 AS blk,
+           |    2*((k.k % 16 // 4) % 2) + (k.k % 16 % 4) % 2 AS bx,
+           |    2*((k.k % 16 // 4) // 2) + (k.k % 16 % 4) // 2 AS by
+           |  FROM ids i, (SELECT unnest(range(0, 48)) AS k) k),
+           |geo2 AS (
+           |  SELECT id, eid, k, m, blk, 4*(m % 2) + bx AS gx, 4*(m // 2) + by AS gy,
+           |    CASE WHEN m = 1 AND by = 0 THEN
+           |           (CASE (eid + blk) % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 8 END)
+           |         WHEN m = 2 AND bx = 0 THEN
+           |           (CASE (eid + blk) % 4 WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 3 ELSE 7 END)
+           |         WHEN m = 2 THEN (eid + 1 + blk) % 9
+           |         ELSE (eid + blk) % 9 END AS md
+           |  FROM geo),
+           |geoq AS (
+           |  SELECT g.*,
+           |    g.gy > 0 AND g.gx + 1 < 8 AND
+           |      (((g.gy-1) // 4)*2 + (g.gx+1) // 4)*16
+           |        + 4*(2*(((g.gy-1) % 4) // 2) + ((g.gx+1) % 4) // 2)
+           |        + 2*(((g.gy-1) % 4) % 2) + ((g.gx+1) % 4) % 2
+           |      < ((g.gy // 4)*2 + g.gx // 4)*16
+           |        + 4*(2*((g.gy % 4) // 2) + (g.gx % 4) // 2)
+           |        + 2*((g.gy % 4) % 2) + (g.gx % 4) % 2 AS htr,
+           |    CASE g.m WHEN 1 THEN q.qp1 WHEN 2 THEN q.qp2 ELSE q.qp3 END AS qp
+           |  FROM geo2 g JOIN qps q ON q.id = g.id),
+           |dq AS (SELECT g.id, g.k,
+           |    -- §8.5.12.1 with LevelScale = w(i,j)·normAdjust: the
+           |    -- literal two-branch formula (sub-24 rounding is real)
+           |    list_transform(range(0, 16), ri ->
+           |      CASE WHEN g.qp >= 24 THEN
+           |        (CASE WHEN (g.eid + g.m + g.blk + (list_position(c.zz, ri) - 1)) % 7 = 0
+           |              THEN ((g.eid + g.m * ((list_position(c.zz, ri) - 1) + 2) + g.blk) % 5) - 2
+           |              ELSE 0 END)
+           |        * (8 + (g.eid + 3*(ri//4) + 5*(ri%4)) % 17)
+           |        * c.v[g.qp % 6 + 1]
+           |             [CASE WHEN (ri//4) % 2 = 0 AND (ri%4) % 2 = 0 THEN 1
+           |                   WHEN (ri//4) % 2 = 1 AND (ri%4) % 2 = 1 THEN 2
+           |                   ELSE 3 END]
+           |        * CAST(pow(2, g.qp // 6 - 4) AS BIGINT)
+           |      ELSE
+           |        CAST(floor((
+           |          (CASE WHEN (g.eid + g.m + g.blk + (list_position(c.zz, ri) - 1)) % 7 = 0
+           |                THEN ((g.eid + g.m * ((list_position(c.zz, ri) - 1) + 2) + g.blk) % 5) - 2
+           |                ELSE 0 END)
+           |          * (8 + (g.eid + 3*(ri//4) + 5*(ri%4)) % 17)
+           |          * c.v[g.qp % 6 + 1]
+           |               [CASE WHEN (ri//4) % 2 = 0 AND (ri%4) % 2 = 0 THEN 1
+           |                     WHEN (ri//4) % 2 = 1 AND (ri%4) % 2 = 1 THEN 2
+           |                     ELSE 3 END]
+           |          + CAST(pow(2, 3 - g.qp // 6) AS BIGINT)
+           |        ) / pow(2, 4 - g.qp // 6)) AS BIGINT)
+           |      END) AS d
+           |  FROM geoq g, cst c),
+           |it1 AS (SELECT id, k,
+           |    list_transform(range(0, 16), i -> CASE i % 4
+           |      WHEN 0 THEN (d[4*(i//4)+1] + d[4*(i//4)+3])
+           |                + (d[4*(i//4)+2] + CAST(floor(d[4*(i//4)+4] / 2.0) AS BIGINT))
+           |      WHEN 1 THEN (d[4*(i//4)+1] - d[4*(i//4)+3])
+           |                + (CAST(floor(d[4*(i//4)+2] / 2.0) AS BIGINT) - d[4*(i//4)+4])
+           |      WHEN 2 THEN (d[4*(i//4)+1] - d[4*(i//4)+3])
+           |                - (CAST(floor(d[4*(i//4)+2] / 2.0) AS BIGINT) - d[4*(i//4)+4])
+           |      ELSE (d[4*(i//4)+1] + d[4*(i//4)+3])
+           |                - (d[4*(i//4)+2] + CAST(floor(d[4*(i//4)+4] / 2.0) AS BIGINT))
+           |      END) AS h
+           |  FROM dq),
+           |res4 AS (SELECT id, k,
+           |    list_transform(range(0, 16), i ->
+           |      CAST(floor(((CASE i // 4
+           |        WHEN 0 THEN (h[i%4+1] + h[i%4+9])
+           |                  + (h[i%4+5] + CAST(floor(h[i%4+13] / 2.0) AS BIGINT))
+           |        WHEN 1 THEN (h[i%4+1] - h[i%4+9])
+           |                  + (CAST(floor(h[i%4+5] / 2.0) AS BIGINT) - h[i%4+13])
+           |        WHEN 2 THEN (h[i%4+1] - h[i%4+9])
+           |                  - (CAST(floor(h[i%4+5] / 2.0) AS BIGINT) - h[i%4+13])
+           |        ELSE (h[i%4+1] + h[i%4+9])
+           |                  - (h[i%4+5] + CAST(floor(h[i%4+13] / 2.0) AS BIGINT))
+           |        END) + 32) / 64.0) AS BIGINT)) AS r
+           |  FROM it1),
+           |mb0v AS (SELECT q.id, q.eid, q.qp0,
+           |    greatest(0, least(255, 128 +
+           |      (((3 + q.eid % 4) * (8 + q.eid % 17) * c.v[q.qp0 % 6 + 1][1]
+           |         + CAST(pow(2, 5 - q.qp0 // 6) AS BIGINT))
+           |        // CAST(pow(2, 6 - q.qp0 // 6) AS BIGINT) + 32) // 64)) AS l0,
+           |    greatest(0, least(255, 128 +
+           |      (((2 + q.eid % 3) * (9 + q.eid % 13) * c.v[q.qp0 % 6 + 1][1]
+           |         * CAST(pow(2, q.qp0 // 6) AS BIGINT)) // 32 + 32) // 64)) AS c0b,
+           |    greatest(0, least(255, 128 +
+           |      (((1 + q.eid % 4) * (10 + q.eid % 11) * c.v[q.qp0 % 6 + 1][1]
+           |         * CAST(pow(2, q.qp0 // 6) AS BIGINT)) // 32 + 32) // 64)) AS c0r
+           |  FROM qps q, cst c),
+           |walk AS (
+           |  -- initial plane: mb0 is already reconstructed FLAT at l0
+           |  -- (the walk covers mbs 1..3, whose predictions read mb0's
+           |  -- edge pixels)
+           |  SELECT v.id, 0 AS k, list_transform(range(0, 1024), i ->
+           |    CASE WHEN (i % 32) < 16 AND (i // 32) < 16 THEN v.l0
+           |         ELSE 128 END) AS p
+           |  FROM mb0v v
+           |  UNION ALL
+           |  SELECT s.id, s.k + 1,
+           |    list_transform(range(0, 1024), i ->
+           |      CASE WHEN (i % 32) // 4 = s.gx AND (i // 32) // 4 = s.gy THEN
+           |        greatest(0, least(255,
+           |          (CASE s.md
+           |            WHEN 0 THEN s.tp[(i%32)%4 + 2]
+           |            WHEN 1 THEN s.lp[(i//32)%4 + 2]
+           |            WHEN 2 THEN
+           |              CASE WHEN s.gx > 0 AND s.gy > 0 THEN
+           |                (s.tp[2]+s.tp[3]+s.tp[4]+s.tp[5]+s.lp[2]+s.lp[3]+s.lp[4]+s.lp[5]+4)//8
+           |              WHEN s.gx > 0 THEN (s.lp[2]+s.lp[3]+s.lp[4]+s.lp[5]+2)//4
+           |              WHEN s.gy > 0 THEN (s.tp[2]+s.tp[3]+s.tp[4]+s.tp[5]+2)//4
+           |              ELSE 128 END
+           |            WHEN 3 THEN
+           |              CASE WHEN (i%32)%4 = 3 AND (i//32)%4 = 3
+           |                THEN (s.tp[8] + 3*s.tp[9] + 2)//4
+           |                ELSE (s.tp[(i%32)%4 + (i//32)%4 + 2]
+           |                    + 2*s.tp[(i%32)%4 + (i//32)%4 + 3]
+           |                    + s.tp[(i%32)%4 + (i//32)%4 + 4] + 2)//4 END
+           |            WHEN 4 THEN
+           |              CASE WHEN (i%32)%4 > (i//32)%4 THEN
+           |                (s.tp[(i%32)%4 - (i//32)%4] + 2*s.tp[(i%32)%4 - (i//32)%4 + 1]
+           |                 + s.tp[(i%32)%4 - (i//32)%4 + 2] + 2)//4
+           |              WHEN (i%32)%4 < (i//32)%4 THEN
+           |                (s.lp[(i//32)%4 - (i%32)%4] + 2*s.lp[(i//32)%4 - (i%32)%4 + 1]
+           |                 + s.lp[(i//32)%4 - (i%32)%4 + 2] + 2)//4
+           |              ELSE (s.tp[2] + 2*s.tp[1] + s.lp[2] + 2)//4 END
+           |            WHEN 5 THEN
+           |              CASE WHEN 2*((i%32)%4) - (i//32)%4 >= 0
+           |                    AND (2*((i%32)%4) - (i//32)%4) % 2 = 0 THEN
+           |                (s.tp[(i%32)%4 - ((i//32)%4)//2 + 1]
+           |                 + s.tp[(i%32)%4 - ((i//32)%4)//2 + 2] + 1)//2
+           |              WHEN 2*((i%32)%4) - (i//32)%4 >= 1 THEN
+           |                (s.tp[(i%32)%4 - ((i//32)%4)//2]
+           |                 + 2*s.tp[(i%32)%4 - ((i//32)%4)//2 + 1]
+           |                 + s.tp[(i%32)%4 - ((i//32)%4)//2 + 2] + 2)//4
+           |              WHEN 2*((i%32)%4) - (i//32)%4 = -1 THEN
+           |                (s.lp[2] + 2*s.tp[1] + s.tp[2] + 2)//4
+           |              ELSE (s.lp[(i//32)%4 + 1] + 2*s.lp[(i//32)%4]
+           |                    + s.lp[(i//32)%4 - 1] + 2)//4 END
+           |            WHEN 6 THEN
+           |              CASE WHEN 2*((i//32)%4) - (i%32)%4 >= 0
+           |                    AND (2*((i//32)%4) - (i%32)%4) % 2 = 0 THEN
+           |                (s.lp[(i//32)%4 - ((i%32)%4)//2 + 1]
+           |                 + s.lp[(i//32)%4 - ((i%32)%4)//2 + 2] + 1)//2
+           |              WHEN 2*((i//32)%4) - (i%32)%4 >= 1 THEN
+           |                (s.lp[(i//32)%4 - ((i%32)%4)//2]
+           |                 + 2*s.lp[(i//32)%4 - ((i%32)%4)//2 + 1]
+           |                 + s.lp[(i//32)%4 - ((i%32)%4)//2 + 2] + 2)//4
+           |              WHEN 2*((i//32)%4) - (i%32)%4 = -1 THEN
+           |                (s.lp[2] + 2*s.tp[1] + s.tp[2] + 2)//4
+           |              ELSE (s.tp[(i%32)%4 + 1] + 2*s.tp[(i%32)%4]
+           |                    + s.tp[(i%32)%4 - 1] + 2)//4 END
+           |            WHEN 7 THEN
+           |              CASE WHEN ((i//32)%4) % 2 = 0 THEN
+           |                (s.tp[(i%32)%4 + ((i//32)%4)//2 + 2]
+           |                 + s.tp[(i%32)%4 + ((i//32)%4)//2 + 3] + 1)//2
+           |              ELSE (s.tp[(i%32)%4 + ((i//32)%4)//2 + 2]
+           |                 + 2*s.tp[(i%32)%4 + ((i//32)%4)//2 + 3]
+           |                 + s.tp[(i%32)%4 + ((i//32)%4)//2 + 4] + 2)//4 END
+           |            ELSE
+           |              CASE WHEN (i%32)%4 + 2*((i//32)%4) > 5 THEN s.lp[5]
+           |              WHEN (i%32)%4 + 2*((i//32)%4) = 5 THEN (s.lp[4] + 3*s.lp[5] + 2)//4
+           |              WHEN ((i%32)%4 + 2*((i//32)%4)) % 2 = 0 THEN
+           |                (s.lp[(i//32)%4 + ((i%32)%4)//2 + 2]
+           |                 + s.lp[(i//32)%4 + ((i%32)%4)//2 + 3] + 1)//2
+           |              ELSE (s.lp[(i//32)%4 + ((i%32)%4)//2 + 2]
+           |                 + 2*s.lp[(i//32)%4 + ((i%32)%4)//2 + 3]
+           |                 + s.lp[(i//32)%4 + ((i%32)%4)//2 + 4] + 2)//4 END
+           |          END) + s.r[4*((i//32)%4) + (i%32)%4 + 1]))
+           |      ELSE s.p[i+1] END)
+           |  FROM (
+           |    SELECT w.id, w.k, w.p, g.gx, g.gy, g.md, r.r,
+           |      list_transform(range(-1, 8), xx ->
+           |        CASE WHEN g.gy = 0 THEN 0
+           |             WHEN xx = -1 THEN
+           |               (CASE WHEN g.gx = 0 THEN 0
+           |                     ELSE w.p[(4*g.gy - 1)*32 + 4*g.gx] END)
+           |             WHEN xx > 3 AND NOT g.htr THEN w.p[(4*g.gy - 1)*32 + 4*g.gx + 4]
+           |             ELSE w.p[(4*g.gy - 1)*32 + 4*g.gx + xx + 1] END) AS tp,
+           |      list_transform(range(-1, 4), yy ->
+           |        CASE WHEN g.gx = 0 THEN 0
+           |             WHEN yy = -1 THEN
+           |               (CASE WHEN g.gy = 0 THEN 0
+           |                     ELSE w.p[(4*g.gy - 1)*32 + 4*g.gx] END)
+           |             ELSE w.p[(4*g.gy + yy)*32 + 4*g.gx] END) AS lp
+           |    FROM walk w
+           |    JOIN geoq g ON g.id = w.id AND g.k = w.k
+           |    JOIN res4 r ON r.id = w.id AND r.k = w.k
+           |    WHERE w.k < 48
+           |  ) s),
+           |fin AS (SELECT id, p FROM walk WHERE k = 48),
+           |mb0 AS (SELECT v.id, 0 AS mb, 0 AS is_i4x4,
+           |    CAST(2 AS BIGINT) AS mode_sum, v.qp0 AS qp,
+           |    v.l0 * 256 AS sum_luma,
+           |    v.l0 * (SELECT list_sum(list_transform(range(0, 256), j ->
+           |      (j // 16) * 32 + j % 16 + 1))) AS wsum_luma,
+           |    v.l0 AS min_luma, v.l0 AS max_luma,
+           |    v.c0b * 64 AS sum_cb, v.c0r * 64 AS sum_cr
+           |  FROM mb0v v),
+           |msum AS (SELECT id, m, SUM((blk + 1) * md) AS mode_sum
+           |         FROM geoq GROUP BY id, m),
+           |mbrows AS (
+           |  SELECT f.id, mm.m AS mb,
+           |    list_transform(range(0, 256), j ->
+           |      f.p[(16*(mm.m // 2) + j // 16) * 32 + 16*(mm.m % 2) + j % 16 + 1]) AS px
+           |  FROM fin f, (SELECT unnest(range(1, 4)) AS m) mm),
+           |i4rows AS (
+           |  SELECT r.id, r.mb, 1 AS is_i4x4, ms.mode_sum,
+           |    CASE r.mb WHEN 1 THEN q.qp1 WHEN 2 THEN q.qp2 ELSE q.qp3 END AS qp,
+           |    list_sum(r.px) AS sum_luma,
+           |    list_sum(list_transform(range(0, 256), j -> r.px[j+1] *
+           |      ((16*(r.mb // 2) + j // 16) * 32 + 16*(r.mb % 2) + j % 16 + 1))) AS wsum_luma,
+           |    list_aggregate(r.px, 'min') AS min_luma,
+           |    list_aggregate(r.px, 'max') AS max_luma,
+           |    v.c0b * 64 AS sum_cb, v.c0r * 64 AS sum_cr
+           |  FROM mbrows r JOIN msum ms ON ms.id = r.id AND ms.m = r.mb
+           |  JOIN qps q ON q.id = r.id JOIN mb0v v ON v.id = r.id)
+           |SELECT id, mb::INT AS mb, is_i4x4::INT AS is_i4x4,
+           |  mode_sum::BIGINT AS mode_sum, qp::INT AS qp,
+           |  sum_luma::BIGINT AS sum_luma, wsum_luma::BIGINT AS wsum_luma,
+           |  min_luma::INT AS min_luma, max_luma::INT AS max_luma,
+           |  sum_cb::BIGINT AS sum_cb, sum_cr::BIGINT AS sum_cr
+           |FROM (SELECT * FROM mb0 UNION ALL SELECT * FROM i4rows)
+           |ORDER BY id, mb""".stripMargin)),
     // stts decode timestamps (round 17): cumulative formula deltas +
     // the stss sync flags, integer-exact
     "multimodal_mp4_timestamps" -> Q(multimodalMp4Timestamps, Some(

@@ -38,6 +38,16 @@ object H264 {
       cropLeft: Int, cropRight: Int, cropTop: Int, cropBottom: Int,
       width: Int, height: Int, log2MaxPocLsb: Int = 0)
 
+  /** Stream-carried INTRA scaling lists (round 17, §7.3.2.1.1 decoded
+    * to RASTER order): `w4Y`/`w4Cb`/`w4Cr` are the 4x4 intra weight
+    * matrices (Cb/Cr fall back to the previous intra list per Table
+    * 7-2 rule A when absent), `w8Y` the 8x8 intra matrix (present iff
+    * the PPS has transform_8x8_mode). Inter lists are walked
+    * bit-exactly but unused — the intra decoders never dequantize
+    * inter blocks. */
+  final case class ScalingLists(w4Y: Array[Int], w4Cb: Array[Int],
+                                w4Cr: Array[Int], w8Y: Option[Array[Int]])
+
   /** Picture parameter set — identification, entropy mode (the switch
     * that decides which §9 decoder the seam would need), and (round 14)
     * the §7.3.2.2 tail fields the slice-header walk branches on. */
@@ -55,7 +65,14 @@ object H264 {
                        // strict-reject it as a named scope seam) and the
                        // second chroma QP offset must reach Cr's dequant
                        transform8x8: Boolean = false,
-                       chromaQpOffset2: Option[Int] = None) {
+                       chromaQpOffset2: Option[Int] = None,
+                       // round 17 — STREAM-CARRIED scaling lists (the
+                       // High-profile custom-quant surface). Only the
+                       // intra lists feed the intra decoders' dequant;
+                       // the "use default matrix" forms (Table 7-3/7-4
+                       // transcription constants) stay named rejects
+                       // per the provenance discipline.
+                       scaling: Option[ScalingLists] = None) {
     /** Cr's §8.5 qp offset: the extension's second offset, else the
       * shared one (§7.4.2.2: inferred equal when absent). */
     def chromaQpOffsetCr: Int = chromaQpOffset2.getOrElse(chromaQpOffset)
@@ -287,9 +304,59 @@ object H264 {
       require(lastOne >= pos, "missing rbsp_stop_one_bit")
       var t8 = false
       var cqo2: Option[Int] = None
+      var scal: Option[ScalingLists] = None
       if (lastOne > pos) {
         t8 = r.flag() // transform_8x8_mode_flag
-        require(!r.flag(), "pic_scaling_matrix out of scope") // scaling lists
+        if (r.flag()) { // pic_scaling_matrix_present_flag (round 17)
+          // §7.3.2.1.1 scaling lists, STREAM-CARRIED values only: the
+          // delta_scale chains decode from the bits; the
+          // use-default-matrix escape (first nextScale hitting 0) and
+          // the Table 7-2 rule-A fall-back to a DEFAULT matrix (lists
+          // 0/6 absent) are Table 7-3/7-4 transcription constants →
+          // named rejects. Lists 1/2 fall back to the PREVIOUS intra
+          // list (stream-derived → fine); inter lists are walked but
+          // unused by the intra decoders.
+          def scalingList(size: Int, scan: Array[Int]): Array[Int] = {
+            val w = new Array[Int](size)
+            var lastScale = 8; var nextScale = 8
+            var j = 0
+            while (j < size) {
+              if (nextScale != 0) {
+                nextScale = (lastScale + r.se() + 256) % 256
+                require(j > 0 || nextScale != 0,
+                  "use_default_scaling_matrix (Table 7-3/7-4) out of scope")
+              }
+              w(scan(j)) = if (nextScale == 0) lastScale else nextScale
+              lastScale = w(scan(j))
+              j += 1
+            }
+            w
+          }
+          val n = if (t8) 8 else 6
+          val present = new Array[Boolean](n)
+          val lists = new Array[Array[Int]](n)
+          var i = 0
+          while (i < n) {
+            if (r.flag()) {
+              present(i) = true
+              lists(i) = scalingList(if (i < 6) 16 else 64,
+                if (i < 6) H264Cavlc.zigZag4x4 else H264Cavlc.zigZag8x8)
+            }
+            i += 1
+          }
+          require(present(0),
+            "fall-back to the default 4x4 intra matrix (Table 7-3) out of scope")
+          val w4Y = lists(0)
+          val w4Cb = if (present(1)) lists(1) else w4Y
+          val w4Cr = if (present(2)) lists(2) else w4Cb
+          val w8Y =
+            if (t8) {
+              require(present(6),
+                "fall-back to the default 8x8 intra matrix (Table 7-4) out of scope")
+              Some(lists(6))
+            } else None
+          scal = Some(ScalingLists(w4Y, w4Cb, w4Cr, w8Y))
+        }
         val c2 = r.se() // second_chroma_qp_index_offset
         require(c2 >= -12 && c2 <= 12, s"second_chroma_qp_index_offset $c2")
         cqo2 = Some(c2)
@@ -299,7 +366,7 @@ object H264 {
       while (r.bitsLeft > 0)
         require(!r.flag(), "nonzero rbsp_alignment after the PPS")
       Some(Pps(ppsId, spsId, cabac, groups, qp, dbf, red, bottomPoc, cqo,
-        t8, cqo2))
+        t8, cqo2, scal))
     } else
       // slice-group maps sit between num_slice_groups and the tail; the
       // tail fields are unreachable without walking them (out of scope)
@@ -499,7 +566,13 @@ object H264 {
                 bottomFieldPocPresent: Boolean = false,
                 chromaQpOffset: Int = 0,
                 transform8x8: Boolean = false,
-                chromaQpOffset2: Option[Int] = None): Array[Byte] = {
+                chromaQpOffset2: Option[Int] = None,
+                // round 17: intra scaling lists to WRITE (raster
+                // order): up to (w4Y, w4Cb, w4Cr); absent tail lists
+                // fall back per Table 7-2 rule A on parse. `scaling8`
+                // needs transform8x8. Inter list flags are written 0.
+                scaling4: Seq[Array[Int]] = Nil,
+                scaling8: Option[Array[Int]] = None): Array[Byte] = {
     val w = new BitWriter
     w.ue(ppsId); w.ue(spsId)
     w.flag(cabac)
@@ -516,9 +589,43 @@ object H264 {
     w.flag(redundantPresent)
     // §7.3.2.2 extension (round 16): written when any extension field
     // is set — the high-profile layout real encoders emit
-    if (transform8x8 || chromaQpOffset2.isDefined) {
+    val hasScaling = scaling4.nonEmpty || scaling8.isDefined
+    require(scaling8.isEmpty || transform8x8, "scaling8 needs transform8x8")
+    require(scaling4.length <= 3 && scaling4.forall(_.length == 16) &&
+      scaling8.forall(_.length == 64), "scaling list shapes")
+    require(!hasScaling || scaling4.nonEmpty,
+      "scaling needs at least the 4x4 intra Y list")
+    require((scaling4 ++ scaling8).forall(_.forall(v => v >= 1 && v <= 255)),
+      "scaling weights must be 1..255")
+    if (transform8x8 || chromaQpOffset2.isDefined || hasScaling) {
       w.flag(transform8x8)
-      w.flag(false) // pic_scaling_matrix_present_flag
+      w.flag(hasScaling) // pic_scaling_matrix_present_flag
+      if (hasScaling) {
+        def deltaChain(ws: Array[Int], scan: Array[Int]): Unit = {
+          var lastScale = 8
+          var j = 0
+          while (j < ws.length) {
+            w.se(ws(scan(j)) - lastScale) // delta_scale
+            lastScale = ws(scan(j))
+            j += 1
+          }
+        }
+        val n = if (transform8x8) 8 else 6
+        var i = 0
+        while (i < n) {
+          val list: Option[Array[Int]] =
+            if (i < 3) scaling4.lift(i)
+            else if (i == 6) scaling8
+            else None // inter lists (3..5, 7): absent
+          list match {
+            case Some(ws) =>
+              w.flag(true)
+              deltaChain(ws, if (i < 6) H264Cavlc.zigZag4x4 else H264Cavlc.zigZag8x8)
+            case None => w.flag(false)
+          }
+          i += 1
+        }
+      }
       w.se(chromaQpOffset2.getOrElse(chromaQpOffset))
     }
     w.stopAndPad()

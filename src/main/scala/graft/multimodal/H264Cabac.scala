@@ -659,15 +659,15 @@ object H264Cabac {
       if (isI16)
         H264Cavlc.reconstructI16(luma, cb, cr, w, wc, mbx, mby, predMode,
           chromaPredMode, qp, pps.chromaQpOffset, pps.chromaQpOffsetCr,
-          cbpChroma, dcScan, acScan, chDcScan, chAcScan, done, mbLeftIn, mbTopIn)
+          cbpChroma, dcScan, acScan, chDcScan, chAcScan, done, mbLeftIn, mbTopIn, pps.scaling)
       else if (is8x8)
         H264Cavlc.reconstructI8x8(luma, cb, cr, w, wc, wMbs, mbx, mby, modes8,
           chromaPredMode, qp, pps.chromaQpOffset, pps.chromaQpOffsetCr,
-          cbpChroma, i8Scan, chDcScan, chAcScan, done, mbLeftIn, mbTopIn)
+          cbpChroma, i8Scan, chDcScan, chAcScan, done, mbLeftIn, mbTopIn, pps.scaling)
       else
         H264Cavlc.reconstructI4x4(luma, cb, cr, w, wc, wMbs, mbx, mby, modes,
           chromaPredMode, qp, pps.chromaQpOffset, pps.chromaQpOffsetCr,
-          cbpChroma, i4Scan, chDcScan, chAcScan, done, mbLeftIn, mbTopIn)
+          cbpChroma, i4Scan, chDcScan, chAcScan, done, mbLeftIn, mbTopIn, pps.scaling)
       mbCtx(mb) = MbCtx(!isI16, cbpLuma, cbpChroma, chromaPredMode, cbfDc, cbfCDc,
         transform8x8 = is8x8)
       mbs += H264Cavlc.I16Mb(predMode, cbpChroma, cbpLuma, chromaPredMode, qp,

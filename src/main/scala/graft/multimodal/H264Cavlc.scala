@@ -392,8 +392,13 @@ object H264Cavlc {
 
   /** §8.5.10 DC scaling after the Hadamard: flat weightScale 16, so
     * LevelScale(qP%6, 0, 0) = 16·normAdjust(qP%6, 0). */
-  private[graft] def scaleLumaDc(f: Int, qp: Int): Int = {
-    val ls = 16 * normAdjust4x4(qp % 6)(0)
+  private[graft] def scaleLumaDc(f: Int, qp: Int): Int =
+    scaleLumaDcW(f, qp, 16)
+
+  /** §8.5.10 DC scaling with an explicit weightScale(0,0) (round 17 —
+    * the scaling-matrix path; `w00` = 16 is the flat case). */
+  private[graft] def scaleLumaDcW(f: Int, qp: Int, w00: Int): Int = {
+    val ls = w00 * normAdjust4x4(qp % 6)(0)
     if (qp >= 36) (f * ls) << (qp / 6 - 6)
     else (f * ls + (1 << (5 - qp / 6))) >> (6 - qp / 6)
   }
@@ -403,6 +408,18 @@ object H264Cavlc {
     * weightScale is flat 16 (the added rounding term never carries). */
   @inline private[graft] def scaleAc(c: Int, qp: Int, i: Int, j: Int): Int =
     (c * normAdjust4x4(qp % 6)(vClass(i, j))) << (qp / 6)
+
+  /** §8.5.12.1 AC scaling under a STREAM-CARRIED weight matrix (round
+    * 17): LevelScale4x4 = w(i,j)·normAdjust, the literal two-branch
+    * spec formula — for non-16 weights the ×16-cancels-the-shift
+    * simplification above no longer applies and the sub-24 rounding
+    * term is real. `w` is the 16-entry raster matrix. */
+  @inline private[graft] def scaleAcW(c: Int, qp: Int, i: Int, j: Int,
+                                      w: Array[Int]): Int = {
+    val ls = w(4 * i + j) * normAdjust4x4(qp % 6)(vClass(i, j))
+    if (qp >= 24) (c * ls) << (qp / 6 - 4)
+    else (c * ls + (1 << (3 - qp / 6))) >> (4 - qp / 6)
+  }
 
   /** §8.5.12.2 inverse 4x4 core transform: 16 scaled coefficients
     * (raster) → 16 residual samples, final (x + 32) >> 6. */
@@ -490,6 +507,15 @@ object H264Cavlc {
     * see it; the oracle was corrected WITH this fix). */
   @inline private[graft] def scaleAc8x8(c: Int, qp: Int, i: Int, j: Int): Int = {
     val ls = 16 * normAdjust8x8(qp % 6)(v8Class(i, j))
+    if (qp >= 36) (c * ls) << (qp / 6 - 6)
+    else (c * ls + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+  }
+
+  /** §8.5.13.1 8x8 AC scaling under a stream-carried 64-entry raster
+    * weight matrix (round 17). */
+  @inline private[graft] def scaleAc8x8W(c: Int, qp: Int, i: Int, j: Int,
+                                         w: Array[Int]): Int = {
+    val ls = w(8 * i + j) * normAdjust8x8(qp % 6)(v8Class(i, j))
     if (qp >= 36) (c * ls) << (qp / 6 - 6)
     else (c * ls + (1 << (5 - qp / 6))) >> (6 - qp / 6)
   }
@@ -699,13 +725,14 @@ object H264Cavlc {
   /** §8.5.11 chroma DC: 2x2 Hadamard (raster c00 c01 c10 c11) then
     * flat-list scaling d = ((f · 16·normAdjust(qPC%6, 0)) << (qPC/6))
     * >> 5 — exact integers. */
-  private[graft] def chromaDcTransform(c: Array[Int], qpc: Int): Array[Int] = {
+  private[graft] def chromaDcTransform(c: Array[Int], qpc: Int,
+                                       w00: Int = 16): Array[Int] = {
     val f = Array(
       c(0) + c(1) + c(2) + c(3),
       c(0) - c(1) + c(2) - c(3),
       c(0) + c(1) - c(2) - c(3),
       c(0) - c(1) - c(2) + c(3))
-    val ls = 16 * normAdjust4x4(qpc % 6)(0)
+    val ls = w00 * normAdjust4x4(qpc % 6)(0)
     f.map(v => ((v * ls) << (qpc / 6)) >> 5)
   }
 
@@ -997,17 +1024,21 @@ object H264Cavlc {
       qp: Int, chromaQpOffset: Int, chromaQpOffsetCr: Int,
       chDcScan: Array[Array[Int]],
       chAcScan: Array[Array[Array[Int]]],
-      leftInSlice: Boolean = true, topInSlice: Boolean = true): Unit = {
+      leftInSlice: Boolean = true, topInSlice: Boolean = true,
+      scaling: Option[H264.ScalingLists] = None): Unit = {
     var comp = 0
     while (comp < 2) {
       // per-component QPC (round 16): Cr takes the PPS extension's
       // second_chroma_qp_index_offset when present (§8.5.8)
       val qpc = chromaQp(qp, if (comp == 0) chromaQpOffset else chromaQpOffsetCr)
+      // round 17: the per-component intra chroma weight matrix
+      val wC = scaling.map(s => if (comp == 0) s.w4Cb else s.w4Cr).orNull
       val plane = if (comp == 0) cb else cr
       val pred = predictChroma8x8(chromaPredMode, plane, wc, mbx, mby,
         leftInSlice, topInSlice)
       val dcC =
-        if (cbpChroma >= 1) chromaDcTransform(chDcScan(comp), qpc)
+        if (cbpChroma >= 1)
+          chromaDcTransform(chDcScan(comp), qpc, if (wC == null) 16 else wC(0))
         else new Array[Int](4)
       var cblk = 0
       while (cblk < 4) {
@@ -1018,7 +1049,9 @@ object H264Cavlc {
         while (p < 16) {
           val ri = zigZag4x4(p)
           val c = chAcScan(comp)(cblk)(p - 1)
-          if (c != 0) d(ri) = scaleAc(c, qpc, ri / 4, ri % 4)
+          if (c != 0) d(ri) =
+            if (wC == null) scaleAc(c, qpc, ri / 4, ri % 4)
+            else scaleAcW(c, qpc, ri / 4, ri % 4, wC)
           p += 1
         }
         val res = inverseTransform4x4(d)
@@ -1050,13 +1083,15 @@ object H264Cavlc {
       dcScan: Array[Int], acScan: Array[Array[Int]],
       chDcScan: Array[Array[Int]], chAcScan: Array[Array[Array[Int]]],
       done: Array[Array[Boolean]],
-      leftInSlice: Boolean = true, topInSlice: Boolean = true): Unit = {
+      leftInSlice: Boolean = true, topInSlice: Boolean = true,
+      scaling: Option[H264.ScalingLists] = None): Unit = {
+    val wY = scaling.map(_.w4Y).orNull // round 17: intra luma weights
     // DC: zig-zag → 4x4 raster → inverse Hadamard → scale
     val dcRaster = new Array[Int](16)
     var k = 0
     while (k < 16) { dcRaster(zigZag4x4(k)) = dcScan(k); k += 1 }
     val f = inverseHadamard4x4(dcRaster)
-    val dc = f.map(scaleLumaDc(_, qp))
+    val dc = f.map(scaleLumaDcW(_, qp, if (wY == null) 16 else wY(0)))
     val pred = predictIntra16x16(predMode, luma, w, mbx, mby,
       leftInSlice, topInSlice)
     var blk = 0
@@ -1069,7 +1104,9 @@ object H264Cavlc {
       while (p < 16) {
         val ri = zigZag4x4(p)
         val c = acScan(blk)(p - 1)
-        if (c != 0) d(ri) = scaleAc(c, qp, ri / 4, ri % 4)
+        if (c != 0) d(ri) =
+          if (wY == null) scaleAc(c, qp, ri / 4, ri % 4)
+          else scaleAcW(c, qp, ri / 4, ri % 4, wY)
         p += 1
       }
       val res = inverseTransform4x4(d)
@@ -1089,7 +1126,7 @@ object H264Cavlc {
     }
     reconstructChroma(cb, cr, wc, mbx, mby, cbpChroma, chromaPredMode, qp,
       chromaQpOffset, chromaQpOffsetCr, chDcScan, chAcScan,
-      leftInSlice, topInSlice)
+      leftInSlice, topInSlice, scaling)
   }
 
   /** Full YCbCr reconstruction of one Intra_4x4 MB: per-block §8.3.1.2
@@ -1102,7 +1139,9 @@ object H264Cavlc {
       chromaQpOffsetCr: Int, cbpChroma: Int, lumaScan: Array[Array[Int]],
       chDcScan: Array[Array[Int]], chAcScan: Array[Array[Array[Int]]],
       done: Array[Array[Boolean]],
-      leftInSlice: Boolean = true, topInSlice: Boolean = true): Unit = {
+      leftInSlice: Boolean = true, topInSlice: Boolean = true,
+      scaling: Option[H264.ScalingLists] = None): Unit = {
+    val wY = scaling.map(_.w4Y).orNull // round 17: intra luma weights
     var blk = 0
     while (blk < 16) {
       val bx = blkX(blk); val by = blkY(blk)
@@ -1118,7 +1157,9 @@ object H264Cavlc {
       while (p < 16) {
         val ri = zigZag4x4(p)
         val c = lumaScan(blk)(p)
-        if (c != 0) d(ri) = scaleAc(c, qp, ri / 4, ri % 4)
+        if (c != 0) d(ri) =
+          if (wY == null) scaleAc(c, qp, ri / 4, ri % 4)
+          else scaleAcW(c, qp, ri / 4, ri % 4, wY)
         p += 1
       }
       val res = inverseTransform4x4(d)
@@ -1137,7 +1178,7 @@ object H264Cavlc {
     }
     reconstructChroma(cb, cr, wc, mbx, mby, cbpChroma, chromaPredMode, qp,
       chromaQpOffset, chromaQpOffsetCr, chDcScan, chAcScan,
-      leftInSlice, topInSlice)
+      leftInSlice, topInSlice, scaling)
   }
 
   /** §8.3.2 + §8.5.13 Intra_8x8 macroblock reconstruction (round 17):
@@ -1153,7 +1194,11 @@ object H264Cavlc {
       chromaQpOffsetCr: Int, cbpChroma: Int, lumaScan64: Array[Array[Int]],
       chDcScan: Array[Array[Int]], chAcScan: Array[Array[Array[Int]]],
       done: Array[Array[Boolean]],
-      leftInSlice: Boolean = true, topInSlice: Boolean = true): Unit = {
+      leftInSlice: Boolean = true, topInSlice: Boolean = true,
+      scaling: Option[H264.ScalingLists] = None): Unit = {
+    // round 17: a scaling PPS with transform8x8 always carries the 8x8
+    // intra list (the parse rejects otherwise)
+    val w8 = scaling.map(_.w8Y.get).orNull
     var b = 0
     while (b < 4) {
       val bx = b % 2; val by = b / 2
@@ -1171,7 +1216,9 @@ object H264Cavlc {
         val c = lumaScan64(b)(p)
         if (c != 0) {
           val ri = zigZag8x8(p)
-          d(ri) = scaleAc8x8(c, qp, ri / 8, ri % 8)
+          d(ri) =
+            if (w8 == null) scaleAc8x8(c, qp, ri / 8, ri % 8)
+            else scaleAc8x8W(c, qp, ri / 8, ri % 8, w8)
         }
         p += 1
       }
@@ -1192,7 +1239,7 @@ object H264Cavlc {
     }
     reconstructChroma(cb, cr, wc, mbx, mby, cbpChroma, chromaPredMode, qp,
       chromaQpOffset, chromaQpOffsetCr, chDcScan, chAcScan,
-      leftInSlice, topInSlice)
+      leftInSlice, topInSlice, scaling)
   }
 
   /** Parse a slice NAL's RBSP as a single-slice all-INTRA CAVLC picture
@@ -1432,7 +1479,7 @@ object H264Cavlc {
         val (chDcScan, chAcScan) = parseChroma(cbpChroma)
         reconstructI8x8(luma, cb, cr, w, wc, wMbs, mbx, mby, modes,
           chromaPredMode, qp, pps.chromaQpOffset, pps.chromaQpOffsetCr,
-          cbpChroma, lumaScan64, chDcScan, chAcScan, done, mbLeftIn, mbTopIn)
+          cbpChroma, lumaScan64, chDcScan, chAcScan, done, mbLeftIn, mbTopIn, pps.scaling)
         mbs += I16Mb(-1, cbpChroma, cbpLuma, chromaPredMode, qp,
           modes8x8 = modes)
       } else if (mbType == 0) {
@@ -1491,7 +1538,7 @@ object H264Cavlc {
         val (chDcScan, chAcScan) = parseChroma(cbpChroma)
         reconstructI4x4(luma, cb, cr, w, wc, wMbs, mbx, mby, modes,
           chromaPredMode, qp, pps.chromaQpOffset, pps.chromaQpOffsetCr,
-          cbpChroma, lumaScan, chDcScan, chAcScan, done, mbLeftIn, mbTopIn)
+          cbpChroma, lumaScan, chDcScan, chAcScan, done, mbLeftIn, mbTopIn, pps.scaling)
         mbs += I16Mb(-1, cbpChroma, cbpLuma, chromaPredMode, qp, modes)
       } else {
       require(mbType >= 1 && mbType <= 24,
@@ -1522,7 +1569,7 @@ object H264Cavlc {
       val (chDcScan, chAcScan) = parseChroma(cbpChroma)
       reconstructI16(luma, cb, cr, w, wc, mbx, mby, predMode,
         chromaPredMode, qp, pps.chromaQpOffset, pps.chromaQpOffsetCr,
-        cbpChroma, dcScan, acScan, chDcScan, chAcScan, done, mbLeftIn, mbTopIn)
+        cbpChroma, dcScan, acScan, chDcScan, chAcScan, done, mbLeftIn, mbTopIn, pps.scaling)
       mbs += I16Mb(predMode, cbpChroma, cbpLuma, chromaPredMode, qp)
       }
       mb += 1

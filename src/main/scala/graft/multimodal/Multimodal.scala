@@ -671,6 +671,74 @@ object Multimodal {
     })
   }
 
+  final case class H264ScalingRow(id: Long, mb: Int, is_i4x4: Int,
+                                  mode_sum: Long, qp: Int, sum_luma: Long,
+                                  wsum_luma: Long, min_luma: Int,
+                                  max_luma: Int, sum_cb: Long, sum_cr: Long)
+
+  /** H.264 intra decode under STREAM-CARRIED scaling matrices (round
+    * 17): the same slice walk as [[h264I4x4Luma]] but the PPS carries
+    * explicit per-plane weight matrices, so every dequant runs the
+    * literal §8.5.10/.11/.12 two-branch LevelScale = w·normAdjust
+    * formulas (the flat path's shift-cancellation shortcuts no longer
+    * apply, including the real sub-24 rounding term). Rows add the
+    * per-MB chroma sums — the fixture routes the Cb/Cr weight
+    * matrices through the chroma DC path. */
+  def h264ScalingLuma(assets: Dataset[Asset],
+                      tables: H264Cavlc.CavlcTables): Dataset[H264ScalingRow] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      val s = H264.parse(a.bytes)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: not a supported H.264 stream"))
+      val sps = s.sps.get; val pps = s.pps.get
+      require(pps.scaling.isDefined, s"asset ${a.id}: no scaling matrices")
+      val sliceNal = s.nals.find(n => n.nalType == 1 || n.nalType == 5).get
+      val pic = H264Cavlc.parseI16x16Slice(sliceNal.rbsp, sps, pps,
+          sliceNal.nalRefIdc, sliceNal.nalType, tables)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: not a single-slice intra CAVLC picture"))
+      val w = 16 * pic.widthMbs; val wc = 8 * pic.widthMbs
+      pic.mbs.iterator.zipWithIndex.map { case (m, i) =>
+        val mbx = i % pic.widthMbs; val mby = i / pic.widthMbs
+        var sum = 0L; var wsum = 0L
+        var mn = 255; var mx = 0
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            val px = 16 * mbx + x; val py = 16 * mby + y
+            val v = pic.luma(py * w + px)
+            sum += v
+            wsum += v.toLong * (py * w + px + 1)
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            x += 1
+          }
+          y += 1
+        }
+        var sCb = 0L; var sCr = 0L
+        var cy = 0
+        while (cy < 8) {
+          var cx = 0
+          while (cx < 8) {
+            val p = (8 * mby + cy) * wc + 8 * mbx + cx
+            sCb += pic.cb(p); sCr += pic.cr(p)
+            cx += 1
+          }
+          cy += 1
+        }
+        val modeSum =
+          if (m.isI4x4)
+            m.modes4x4.zipWithIndex.foldLeft(0L) { case (acc, (md, b)) =>
+              acc + md.toLong * (b + 1) }
+          else m.predMode.toLong
+        H264ScalingRow(a.id, i, if (m.isI4x4) 1 else 0, modeSum,
+          m.qp, sum, wsum, mn, mx, sCb, sCr)
+      }
+    })
+  }
+
   final case class CabacCoreRow(id: Long, step: Int, kind: Int, bin: Int,
                                 range_after: Int, offset_after: Int)
 

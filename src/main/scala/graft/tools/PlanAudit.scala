@@ -91,7 +91,7 @@ object PlanAudit {
       "multimodal_mp4_timestamps", "multimodal_mp4_ctts",
       "multimodal_mp4_frag_timestamps", "multimodal_h264_multislice",
       "multimodal_h264_multislice_cabac",
-      "multimodal_mp4_gapless").foreach(audit)
+      "multimodal_mp4_gapless", "multimodal_h264_scaling").foreach(audit)
     spark.stop()
   }
 }

@@ -4681,6 +4681,160 @@ class MultimodalSpec extends AnyFunSuite {
       H264Cavlc.parseCavlcSpec("runbefore 1\n0 0\n01 1"))
   }
 
+  test("h264 scaling matrices: stream-carried lists parse with rule-A fall-backs, dequant applies per-plane weights, cross-coder parity; default-matrix forms reject (round 17)") {
+    import graft.multimodal.{H264, H264Cavlc, H264Cabac}
+    val wY = Array.tabulate(16)(r => 8 + (3 * (r / 4) + 5 * (r % 4)) % 17)
+    val wCb = Array.tabulate(16)(r => 9 + ((r / 4) + 2 * (r % 4)) % 13)
+    val wCr = Array.tabulate(16)(r => 10 + (2 * (r / 4) + (r % 4)) % 11)
+    val w8 = Array.tabulate(64)(r => 6 + (2 * (r / 8) + 3 * (r % 8)) % 21)
+    // ---- PPS round-trip + Table 7-2 rule-A fall-backs ----
+    val pps = H264.parsePps(H264.encodePps(0, 0, cabac = false,
+      picInitQp = 26, scaling4 = Seq(wY, wCb, wCr))).get
+    val sc = pps.scaling.get
+    assert(sc.w4Y.sameElements(wY) && sc.w4Cb.sameElements(wCb) &&
+      sc.w4Cr.sameElements(wCr) && sc.w8Y.isEmpty)
+    val pps1 = H264.parsePps(H264.encodePps(0, 0, cabac = false,
+      scaling4 = Seq(wY))).get
+    assert(pps1.scaling.get.w4Cb.sameElements(wY) &&
+      pps1.scaling.get.w4Cr.sameElements(wY), "rule-A intra fall-back")
+    val pps8 = H264.parsePps(H264.encodePps(0, 0, cabac = false,
+      picInitQp = 26, transform8x8 = true, scaling4 = Seq(wY),
+      scaling8 = Some(w8))).get
+    assert(pps8.scaling.get.w8Y.get.sameElements(w8) && pps8.transform8x8)
+    // transform8x8 + scaling WITHOUT the 8x8 list → the fall-back is
+    // the DEFAULT 8x8 matrix (Table 7-4 constants) → reject
+    assert(H264.parsePps(H264.encodePps(0, 0, cabac = false,
+      transform8x8 = true, scaling4 = Seq(wY))).isEmpty,
+      "default 8x8 matrix fall-back accepted")
+    // use_default_scaling_matrix escape (first delta drives nextScale
+    // to 0) and the absent-list-0 default fall-back: hand-built PPSes
+    class W { // minimal local RBSP writer
+      val bits = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+      def u(v: Int, n: Int): Unit =
+        (n - 1 to 0 by -1).foreach(i => bits += ((v >> i & 1) == 1))
+      def ue(v: Int): Unit = {
+        val z = 31 - Integer.numberOfLeadingZeros(v + 1)
+        u(0, z); u(1, 1); if (z > 0) u(v + 1 - (1 << z), z)
+      }
+      def se(v: Int): Unit = ue(if (v > 0) 2 * v - 1 else -2 * v)
+      def done(): Array[Byte] = {
+        bits += true
+        while (bits.length % 8 != 0) bits += false
+        bits.grouped(8).map(_.zipWithIndex.foldLeft(0) { case (a, (b, i)) =>
+          a | (if (b) 0x80 >> i else 0) }.toByte).toArray
+      }
+    }
+    def ppsHead(w: W): Unit = {
+      w.ue(0); w.ue(0); w.u(0, 1); w.u(0, 1) // ids, cavlc, bottomPoc
+      w.ue(0); w.ue(0); w.ue(0) // groups, ref idx defaults
+      w.u(0, 1); w.u(0, 2) // weighting
+      w.se(0); w.se(0); w.se(0) // qp, qs, cqo
+      w.u(0, 1); w.u(0, 1); w.u(0, 1) // dbf, cip, redundant
+    }
+    val ud = new W
+    ppsHead(ud)
+    ud.u(0, 1); ud.u(1, 1) // transform8x8 0, scaling present
+    ud.u(1, 1); ud.se(-8) // list 0 present; delta -8 → nextScale 0 at j 0
+    (1 until 6).foreach(_ => ud.u(0, 1))
+    ud.se(0)
+    assert(H264.parsePps(ud.done()).isEmpty, "use_default escape accepted")
+    val noL0 = new W
+    ppsHead(noL0)
+    noL0.u(0, 1); noL0.u(1, 1)
+    (0 until 6).foreach(_ => noL0.u(0, 1)) // every list absent
+    noL0.se(0)
+    assert(H264.parsePps(noL0.done()).isEmpty,
+      "default 4x4 intra fall-back accepted")
+    // ---- dequant: the SAME slice bytes decode DIFFERENTLY under a
+    // scaling PPS vs the flat one (scaling is dequant-only) ----
+    val (sps, ppsFlat) = i16SpsPps(2, 2, qp = 26)
+    def i16dc(dcv: Int) = H264Cavlc.I16MbSpec(2, 0, 0,
+      Array.tabulate(16)(k => if (k == 0) dcv else 0),
+      Array.fill(16)(new Array[Int](15)),
+      chromaDc = Array(Array(3, 0, 0, 0), Array(2, 0, 0, 0)),
+      forceCbpChroma = Some(1))
+    val rbsp = H264Cavlc.encodeI16x16Slice(sps, ppsFlat, 3, idr = true,
+      0, 0, 0, 0, Seq.fill(4)(i16dc(4)), H264Cavlc.fixtureTables)
+    val flatPic = H264Cavlc.parseI16x16Slice(rbsp, sps, ppsFlat, 3, 5,
+      H264Cavlc.fixtureTables).get
+    val scalPic = H264Cavlc.parseI16x16Slice(rbsp, sps, pps, 3, 5,
+      H264Cavlc.fixtureTables).get
+    assert(!scalPic.luma.sameElements(flatPic.luma), "wY ignored")
+    assert(!scalPic.cb.sameElements(flatPic.cb), "wCb ignored")
+    assert(!scalPic.cr.sameElements(flatPic.cr), "wCr ignored")
+    // known answer, computed longhand: qp 26 (qp%6=2 → normAdjust 13),
+    // DC ls = wY(0,0)·13; d = (4·ls + 2) >> 2; mb0 luma flat 128 + (d+32)>>6
+    val lsDc = wY(0) * 13
+    val l0 = 128 + (((4 * lsDc + 2) >> 2) + 32 >> 6)
+    for (y <- 0 until 16; x <- 0 until 16)
+      assert(scalPic.luma(y * 32 + x) == l0, s"mb0 ($x,$y)")
+    // chroma DC per component: ls = wC(0,0)·normAdjust(qpc%6=2 → 13)
+    val c0b = 128 + ((((3 * wCb(0) * 13) << 4) >> 5) + 32 >> 6)
+    val c0r = 128 + ((((2 * wCr(0) * 13) << 4) >> 5) + 32 >> 6)
+    assert(scalPic.cb(0) == c0b && scalPic.cr(0) == c0r, "chroma DC weights")
+    // ---- 4x4 AC rounding branch (qp < 24) under wY ----
+    val ppsLow = H264.parsePps(H264.encodePps(0, 0, cabac = false,
+      picInitQp = 20, scaling4 = Seq(wY, wCb, wCr))).get
+    val i4 = H264Cavlc.I4x4MbSpec(Array.fill(16)(2), 0, 0,
+      Array.tabulate(16, 16)((blk, p) =>
+        if (blk == 0 && p == 1 ) 3 else 0).map(_.toArray),
+      forceCbpLuma = Some(15))
+    val low = H264Cavlc.parseI16x16Slice(
+      H264Cavlc.encodeI16x16Slice(sps, ppsLow, 3, idr = true, 0, 0, 0, 0,
+        Seq(i4, i4, i4, i4), H264Cavlc.fixtureTables),
+      sps, ppsLow, 3, 5, H264Cavlc.fixtureTables).get
+    // scan pos 1 → raster (0,1), class 2 → qp20 normAdjust row (13,20,16)
+    // → 16; ls = wY(0,1)·16; d = (3·ls + 2^0) >> 1 — the REAL rounding
+    // term the flat path never needed
+    val lsAc = wY(1) * 16
+    val dAc = (3 * lsAc + 1) >> 1
+    // block (0,0) of mb0: residual row 0 = inverse transform of
+    // d(1)=dAc — pixel (0,0) gets 128 + ((dAc + (dAc>>1)... use the
+    // decoder-independent full transform on a delta at raster 1:
+    val dArr = new Array[Int](16); dArr(1) = dAc
+    val res = H264Cavlc.inverseTransform4x4(dArr)
+    for (x <- 0 until 4)
+      assert(low.luma(x) == math.max(0, math.min(255, 128 + res(x))),
+        s"AC rounding branch at x=$x")
+    // ---- 8x8 under w8 ----
+    val pps8c = H264.parsePps(H264.encodePps(0, 0, cabac = false,
+      picInitQp = 26, transform8x8 = true, scaling4 = Seq(wY),
+      scaling8 = Some(w8))).get
+    val scan8 = new Array[Int](64); scan8(0) = 2
+    val i8 = H264Cavlc.I8x8MbSpec(Array(2, 2, 2, 2), 0, 0,
+      Array(scan8, new Array[Int](64), new Array[Int](64), new Array[Int](64)))
+    val pic8 = H264Cavlc.parseI16x16Slice(
+      H264Cavlc.encodeI16x16Slice(sps, pps8c, 3, idr = true, 0, 0, 0, 0,
+        Seq(i8, i8, i8, i8), H264Cavlc.fixtureTables),
+      sps, pps8c, 3, 5, H264Cavlc.fixtureTables).get
+    // qp 26: qp%6=2 → normAdjust8x8 row (26,23,42,24,33,31) class(0,0)=0
+    // → 26; ls = w8(0)·26; d = (2·ls + 2^1) >> 2; block flat (d+32)>>6
+    val ls8 = w8(0) * 26
+    val want8 = math.max(0, math.min(255,
+      128 + ((((2 * ls8 + 2) >> 2) + 32) >> 6)))
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert(pic8.luma(y * 32 + x) == want8, s"8x8 ($x,$y)")
+    // ---- cross-coder parity under scaling ----
+    val ppsCb = H264.parsePps(H264.encodePps(0, 0, cabac = true,
+      picInitQp = 26, transform8x8 = true, scaling4 = Seq(wY, wCb, wCr),
+      scaling8 = Some(w8))).get
+    val ppsCv = H264.parsePps(H264.encodePps(0, 0, cabac = false,
+      picInitQp = 26, transform8x8 = true, scaling4 = Seq(wY, wCb, wCr),
+      scaling8 = Some(w8))).get
+    val mix = Seq(i16dc(4), i4, i8, i16dc(-3))
+    val a = H264Cavlc.parseI16x16Slice(
+      H264Cavlc.encodeI16x16Slice(sps, ppsCv, 3, idr = true, 0, 0, 0, 0,
+        mix, H264Cavlc.fixtureTables), sps, ppsCv, 3, 5,
+      H264Cavlc.fixtureTables).get
+    val b = H264Cabac.parseISlice(
+      H264Cabac.encodeISlice(sps, ppsCb, 3, idr = true, 0, 0, 0, 0,
+        mix, H264Cabac.fixtureTables), sps, ppsCb, 3, 5,
+      H264Cabac.fixtureTables).get
+    assert(a.luma.sameElements(b.luma) && a.cb.sameElements(b.cb) &&
+      a.cr.sameElements(b.cr), "cross-coder parity under scaling")
+    assert(a.luma.distinct.length > 2, "suspiciously flat")
+  }
+
   test("h264 multi-slice pictures: slice-bound availability, CAVLC/CABAC parity, row-aligned slices equal stacked pictures, malformed slice sets reject (round 17)") {
     import graft.multimodal.{H264, H264Cavlc, H264Cabac, H264Mp4}
     val tC = H264Cavlc.fixtureTables
