@@ -1889,6 +1889,33 @@ private[graft] trait QueriesMedia { this: Queries.type =>
     })
   }
 
+  /** MULTI-PICTURE Annex-B streams (round 17): the mp4 container
+    * gates' EXACT per-(id, sm) slice content delivered instead as one
+    * elementary stream of two IDR access units — the oracle is the
+    * same restatement with the sample axis read as the FRAME axis, so
+    * any access-unit mis-grouping shuffles frames and reddens. */
+  private[graft] def h264StreamAssets(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val src = docsTbl(spark, dir).where(col("doc_id") < 4)
+      .select(col("doc_id")).as[Long]
+    src.mapPartitions(_.map { id =>
+      val (spsB, ppsB) = Mp4Fixtures.mp4H264SpsPps()
+      val sps = graft.multimodal.H264.parseSps(spsB).get
+      val pps = graft.multimodal.H264.parsePps(ppsB).get
+      val frames = (0 until 2).map(sm =>
+        (3, 5, Mp4Fixtures.mp4H264SliceRbsp(id, sm, sps, pps)))
+      graft.multimodal.Multimodal.Asset(id, "video",
+        graft.multimodal.H264.annexB(
+          Seq((3, 7, spsB), (3, 8, ppsB)) ++ frames), 0, 0)
+    })
+  }
+
+  private[graft] def multimodalH264Stream(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.h264StreamLuma(h264StreamAssets(spark, dir),
+      graft.multimodal.H264Cavlc.fixtureTables,
+      graft.multimodal.H264Cabac.fixtureTables)
+      .toDF().orderBy(col("id"), col("frame"), col("mb"))
+
   private[graft] def multimodalH264Scaling(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.Multimodal.h264ScalingLuma(h264ScalingAssets(spark, dir),
       graft.multimodal.H264Cavlc.fixtureTables)

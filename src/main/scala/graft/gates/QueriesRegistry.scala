@@ -2624,6 +2624,41 @@ private[graft] trait QueriesRegistry { this: Queries.type =>
       Some(multiSliceOracleSql(4, 0))),
     "multimodal_h264_multislice_cabac" -> Q(multimodalH264MultiSliceCabac,
       Some(multiSliceOracleSql(4, 1))),
+    // MULTI-PICTURE Annex-B streams (round 17): the mp4 gates' slice
+    // content as one elementary stream of two access units — the
+    // shared planes CTE's sample axis IS the frame axis
+    "multimodal_h264_stream" -> Q(multimodalH264Stream, Some(
+      mp4H264PlanesCte(4, "range(0, 2)") + "," + raw"""
+           |msum AS (SELECT id, sm, m, SUM((blk + 1) * md) AS mode_sum
+           |         FROM geoq GROUP BY id, sm, m),
+           |mbrows AS (
+           |  SELECT f.id, f.sm, mm.m AS mb,
+           |    list_transform(range(0, 256), j ->
+           |      f.p[(16*(mm.m // 2) + j // 16) * 32 + 16*(mm.m % 2) + j % 16 + 1]) AS px
+           |  FROM fin f, (SELECT unnest(range(1, 4)) AS m) mm),
+           |i4rows AS (
+           |  SELECT r.id, r.sm, r.mb, 1 AS is_i4x4, ms.mode_sum,
+           |    CASE r.mb WHEN 1 THEN q.qp1 WHEN 2 THEN q.qp2 ELSE q.qp3 END AS qp,
+           |    list_sum(r.px) AS sum_luma,
+           |    list_sum(list_transform(range(0, 256), j -> r.px[j+1] *
+           |      ((16*(r.mb // 2) + j // 16) * 32 + 16*(r.mb % 2) + j % 16 + 1))) AS wsum_luma,
+           |    list_aggregate(r.px, 'min') AS min_luma,
+           |    list_aggregate(r.px, 'max') AS max_luma
+           |  FROM mbrows r JOIN msum ms ON ms.id = r.id AND ms.sm = r.sm AND ms.m = r.mb
+           |  JOIN qps q ON q.id = r.id AND q.sm = r.sm),
+           |mb0 AS (
+           |  SELECT id, sm, 0 AS mb, 0 AS is_i4x4, 2 AS mode_sum,
+           |    qp0 AS qp, 128 * 256 AS sum_luma,
+           |    list_sum(list_transform(range(0, 256), j ->
+           |      128 * ((j // 16) * 32 + j % 16 + 1))) AS wsum_luma,
+           |    128 AS min_luma, 128 AS max_luma
+           |  FROM qps)
+           |SELECT id, sm::INT AS frame, mb::INT AS mb, 1::INT AS n_slices,
+           |  is_i4x4::INT AS is_i4x4, mode_sum::BIGINT AS mode_sum, qp::INT AS qp,
+           |  sum_luma::BIGINT AS sum_luma, wsum_luma::BIGINT AS wsum_luma,
+           |  min_luma::INT AS min_luma, max_luma::INT AS max_luma
+           |FROM (SELECT * FROM mb0 UNION ALL SELECT * FROM i4rows)
+           |ORDER BY id, frame, mb""".stripMargin)),
     // STREAM-CARRIED scaling matrices (round 17): the recursive plane
     // walk with the literal §8.5.12.1 two-branch dequant — LevelScale
     // = w(i,j)·normAdjust with the REAL sub-24 rounding term — plus

@@ -671,6 +671,76 @@ object Multimodal {
     })
   }
 
+  final case class H264StreamRow(id: Long, frame: Int, mb: Int,
+                                 n_slices: Int, is_i4x4: Int, mode_sum: Long,
+                                 qp: Int, sum_luma: Long, wsum_luma: Long,
+                                 min_luma: Int, max_luma: Int)
+
+  /** MULTI-PICTURE Annex-B elementary streams (round 17): a video
+    * stream is a SEQUENCE of access units — consecutive slice NALs
+    * group into pictures (a slice with first_mb_in_slice 0 starts a
+    * new one, the same §7.4.1.2.4 boundary the validation probe
+    * uses), and each unit feeds the multi-slice picture parser. One
+    * row per (frame, macroblock) with the [[h264I4x4Luma]] aggregates
+    * plus the unit's slice count — the oracle pins WHICH frame each
+    * pixel landed in, so a dropped or merged access unit reddens. */
+  def h264StreamLuma(assets: Dataset[Asset],
+                     cavlcT: H264Cavlc.CavlcTables,
+                     cabacT: H264Cabac.CabacTables): Dataset[H264StreamRow] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      val s = H264.parse(a.bytes)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asset ${a.id}: not a supported H.264 stream"))
+      val sps = s.sps.get; val pps = s.pps.get
+      val aus = scala.collection.mutable.ArrayBuffer
+        .empty[Vector[(Int, Int, Array[Byte])]]
+      s.nals.filter(n => n.nalType == 1 || n.nalType == 5).foreach { n =>
+        val firstMb = H264Cavlc.parseSliceHeaderI(
+          new H264Cavlc.BitReader(n.rbsp), sps, pps, n.nalRefIdc, n.nalType)
+          .getOrElse(throw new IllegalArgumentException(
+            s"asset ${a.id}: unreadable slice header")).firstMb
+        val entry = (n.nalRefIdc, n.nalType, n.rbsp)
+        if (aus.isEmpty || firstMb == 0) aus += Vector(entry)
+        else aus(aus.length - 1) = aus.last :+ entry
+      }
+      require(aus.nonEmpty, s"asset ${a.id}: no access units")
+      aus.iterator.zipWithIndex.flatMap { case (au, f) =>
+        val pic = (if (pps.entropyCabac) H264Cabac.parseIPicture(au, sps, pps, cabacT)
+                   else H264Cavlc.parseI16x16Picture(au, sps, pps, cavlcT))
+          .getOrElse(throw new IllegalArgumentException(
+            s"asset ${a.id} frame $f: undecodable access unit"))
+        val w = 16 * pic.widthMbs
+        pic.mbs.iterator.zipWithIndex.map { case (m, i) =>
+          val mbx = i % pic.widthMbs; val mby = i / pic.widthMbs
+          var sum = 0L; var wsum = 0L
+          var mn = 255; var mx = 0
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 16) {
+              val px = 16 * mbx + x; val py = 16 * mby + y
+              val v = pic.luma(py * w + px)
+              sum += v
+              wsum += v.toLong * (py * w + px + 1)
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              x += 1
+            }
+            y += 1
+          }
+          val modeSum =
+            if (m.isI4x4)
+              m.modes4x4.zipWithIndex.foldLeft(0L) { case (acc, (md, b)) =>
+                acc + md.toLong * (b + 1) }
+            else m.predMode.toLong
+          H264StreamRow(a.id, f, i, au.length, if (m.isI4x4) 1 else 0,
+            modeSum, m.qp, sum, wsum, mn, mx)
+        }
+      }
+    })
+  }
+
   final case class H264ScalingRow(id: Long, mb: Int, is_i4x4: Int,
                                   mode_sum: Long, qp: Int, sum_luma: Long,
                                   wsum_luma: Long, min_luma: Int,

@@ -91,7 +91,8 @@ object PlanAudit {
       "multimodal_mp4_timestamps", "multimodal_mp4_ctts",
       "multimodal_mp4_frag_timestamps", "multimodal_h264_multislice",
       "multimodal_h264_multislice_cabac",
-      "multimodal_mp4_gapless", "multimodal_h264_scaling").foreach(audit)
+      "multimodal_mp4_gapless", "multimodal_h264_scaling",
+      "multimodal_h264_stream").foreach(audit)
     spark.stop()
   }
 }

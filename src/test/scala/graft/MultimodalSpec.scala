@@ -5010,6 +5010,26 @@ class MultimodalSpec extends AnyFunSuite {
     // encoder refuses a slice past the picture
     intercept[IllegalArgumentException](H264Cavlc.encodeI16x16Slice(sps, ppsCavlc,
       3, idr = true, 1, 2, 3, 0, Seq(mb0, mb0), tC, firstMb = 3))
+    // ---- D: an elementary STREAM whose second access unit is
+    // multi-slice: AU grouping (first_mb 0 starts a picture) yields
+    // two pictures, the second equal to the direct multi-slice decode
+    val spsB = H264.encodeSps(66, 30, 0, 0, 0, 1, 1, 1,
+      frameMbsOnly = true, crop = None)
+    val ppsB = H264.encodePps(0, 0, cabac = false, picInitQp = 28)
+    val dcSpec = H264Cavlc.I16MbSpec(2, 0, 0, new Array[Int](16),
+      Array.fill(16)(new Array[Int](15)))
+    val f0 = H264Cavlc.encodeI16x16Slice(sps, ppsCavlc, 3, idr = true,
+      1, 2, 3, 0, Seq.fill(4)(dcSpec), tC)
+    val stream = H264.annexB(Seq((3, 7, spsB), (3, 8, ppsB),
+      (3, 5, f0), (3, 5, s0), (3, 5, s1)))
+    val (_, pics) = graft.tools.H264ValidationProbe.decodePictures(stream, tC, tB)
+    assert(pics.length == 2 && pics.forall(_.isRight),
+      "stream must group into two decodable access units")
+    val direct = H264Cavlc.parseI16x16Picture(Seq((3, 5, s0), (3, 5, s1)),
+      sps, ppsCavlc, tC).get
+    assert(pics(1).toOption.get.luma.sameElements(direct.luma),
+      "multi-slice access unit inside a stream differs from direct decode")
+    assert(pics(0).toOption.get.luma.forall(_ == 128))
   }
 }
 
