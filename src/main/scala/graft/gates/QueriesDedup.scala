@@ -88,7 +88,7 @@ private[graft] trait QueriesDedup { this: Queries.type =>
   })
 
   private[graft] def incrementalCut(spark: SparkSession, dir: String): Long =
-    math.ceil(0.9 * docsTbl(spark, dir).count()).toLong
+    math.ceil(0.9 * tblCount(spark, dir, "documents")).toLong
 
   private[graft] def memoizedJaccardIndex(spark: SparkSession, dir: String): Dedup.JaccardIndex =
     jaccardIndexCache.get(spark, dir) {
@@ -265,7 +265,7 @@ private[graft] trait QueriesDedup { this: Queries.type =>
 
   private[graft] def dedupSemanticIncremental(spark: SparkSession, dir: String): DataFrame = {
     val e = tbl(spark, dir, "embeddings")
-    val cut = math.ceil(0.9 * e.count()).toLong
+    val cut = math.ceil(0.9 * tblCount(spark, dir, "embeddings")).toLong
     val ix = semIndexCache.get(spark, dir) {
       val built = Dedup.buildSemanticIndex(
         e.where(col("vec_id") < cut), "vec_id", "embedding",
@@ -320,7 +320,7 @@ private[graft] trait QueriesDedup { this: Queries.type =>
 
   private[graft] def dedupEmbeddingIncremental(spark: SparkSession, dir: String): DataFrame = {
     val e = tbl(spark, dir, "embeddings")
-    val cut = math.ceil(0.9 * e.count()).toLong
+    val cut = math.ceil(0.9 * tblCount(spark, dir, "embeddings")).toLong
     val ix = embIndexCache.get(spark, dir) {
       val built = Dedup.buildEmbeddingIndex(
         e.where(col("vec_id") < cut), "vec_id", "embedding", threshold = 0.35,

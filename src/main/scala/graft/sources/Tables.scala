@@ -11,8 +11,24 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   */
 object Tables {
 
+  /** Memoized table HANDLES per (session, dir, name) — round-17, guide §6
+    * (file-listing/metadata caching): `spark.read.parquet` pays directory
+    * listing + parquet-footer schema inference on EVERY call (measured
+    * 65–91 ms per handle at sf0.1), and the gate surface re-created 1–3
+    * handles per query run. A catalog-backed deployment gets this for
+    * free (table metadata is cached; Iceberg/Delta avoid listing
+    * entirely — guide §6); this map is the bare-path equivalent. Only the
+    * resolved LOGICAL handle is cached — nothing is persisted, every
+    * action re-scans the parquet files. Bounded: #tables × #sf-dirs ×
+    * #sessions, all ≤ a handful per process. */
+  private val handles =
+    scala.collection.mutable.HashMap.empty[(SparkSession, String, String), DataFrame]
+
   def parquet(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    handles.synchronized {
+      handles.getOrElseUpdate((spark, dir, name),
+        spark.read.parquet(s"$dir/$name.parquet"))
+    }
 
   /** The events table's `ts` column has shipped under two physical parquet
     * schemas, so this reader dispatches on the ACTUAL post-read dtype
