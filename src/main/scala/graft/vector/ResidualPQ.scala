@@ -18,10 +18,13 @@ import org.apache.spark.storage.StorageLevel
   * in [[PQIndex.searchExact]] (d̂ = ‖q − (centroid + ĉ(r))‖² is the
   * distance to the full reconstruction, so √d̂ ± err brackets ‖q − x‖ by
   * the triangle inequality) — a provable candidate superset from a
-  * codes-only pass, float-reranked. d̂ is computed RELATIONALLY: a
-  * (cluster, s, code) → partial-distance frame (nlist·m·|book| narrow
-  * rows, built driver-side per query like FAISS's per-probe ADC tables,
-  * broadcast) joined to the exploded codes.
+  * codes-only pass, float-reranked. The exact rung computes d̂ as one
+  * codegen'd per-row fold over a flat ADC-table literal (see
+  * `exactBounds`); the approximate ADC rungs ([[search]]/[[searchBatch]])
+  * keep the RELATIONAL form — a (cluster, s, code) → partial-distance
+  * frame (nlist·m·|book| narrow rows, built driver-side per query like
+  * FAISS's per-probe ADC tables, broadcast) joined to the exploded codes —
+  * because there the probed-cluster restriction rides the join keys.
   *
   * Scope: build + exact search + incremental [[append]] + [[ResidualPQ.save]]/
   * [[ResidualPQ.load]] persistence + diagnostics — the full lifecycle
@@ -250,18 +253,49 @@ final class ResidualPQ(val codes: DataFrame, // (id, cluster, codes, err)
       .limit(k)
   }
 
+  /** Bounds via ONE codegen'd projection (round 17, guide §2.4 "remove
+    * shuffles outright"): the old relational d̂ exploded the codes (m rows
+    * per vector), broadcast-joined a per-query 32 k-row LocalRelation and
+    * re-keyed the exploded rows by id through an Exchange — a corpus×m
+    * shuffle PER QUERY whose only job was summing m lookups that live on
+    * the same row. The ADC table is still computed driver-side per query
+    * (FAISS's per-probe discipline, nlist·m·|book| doubles) but ships as
+    * one flat array literal; d̂ folds the m subspace lookups in fixed
+    * s-order inside the row — no Generate, no join, no Exchange, and the
+    * scan stays a single WholeStageCodegen span at ANY corpus size. The
+    * superset proof is arithmetic-order-independent, and the old shuffle
+    * sum's merge order was not even deterministic — the fixed fold is
+    * strictly tighter pinning. Plan diff in plans/r17 (facade_ivfpq_knn,
+    * knn_prefilter_ivfpq): Generate+BHJ+2×HashAggregate+Exchange → Project. */
   private def exactBounds(query: Array[Double]): DataFrame = {
-    val qd = qdFrame(query)
-    val dhat = codes
-      .select(col("id"), col("cluster"), col("err"),
-        posexplode(col("codes")).as(Seq("s", "code")))
-      .join(broadcast(qd), Seq("cluster", "s", "code"))
-      .groupBy(col("id"))
-      .agg(sum(col("d2")).as("dhat"), first(col("err")).as("err"))
-    val ad = sqrt(col("dhat"))
-    dhat.select(col("id"),
-      pow(greatest(lit(0.0), ad - col("err")), lit(2.0)).as("dlo"),
-      pow(ad + col("err"), lit(2.0)).as("dhi"))
+    val kk = codebooks.map(_.length).max
+    val maxCluster = centroids.map(_._1).max
+    val flat = new Array[Double]((maxCluster + 1) * m * kk)
+    for ((c, cen) <- centroids; s <- 0 until m; (book, j) <- codebooks(s).zipWithIndex) {
+      var d = 0.0
+      var i = 0
+      while (i < subDim) {
+        val x = (query(s * subDim + i) - cen(s * subDim + i)) - book(i)
+        d += x * x; i += 1
+      }
+      flat(c * m * kk + s * kk + j) = d
+    }
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val mm = m
+    val kkc = kk
+    codes.select(col("id").cast("long"), col("cluster").cast("int"),
+        col("codes").cast("array<int>"), col("err").cast("double"))
+      .as[(Long, Int, Seq[Int], Double)]
+      .mapPartitions(_.map { case (id, cluster, cs, err) =>
+        var dhat = 0.0
+        var s = 0
+        while (s < mm) { dhat += flat(cluster * mm * kkc + s * kkc + cs(s)); s += 1 }
+        val ad = math.sqrt(dhat)
+        val lo = math.max(0.0, ad - err)
+        (id, lo * lo, (ad + err) * (ad + err))
+      })
+      .toDF("id", "dlo", "dhi")
   }
 
   /** Pass-1 survivor count — the pruning diagnostic. */
