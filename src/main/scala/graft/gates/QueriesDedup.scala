@@ -177,7 +177,15 @@ private[graft] trait QueriesDedup { this: Queries.type =>
           prefixes = p(loaded.prefixes)), tmp)
       }
     }._1
-    Dedup.jaccardPairsIncremental(ix, docs.where(col("doc_id") >= cut), "doc_id", "text")
+    // AQE-off scoped materialization (round 17, see [[noAqe]]): the
+    // per-run incremental funnel is batch-bounded by contract, and AQE's
+    // per-exchange stage jobs were a third of its wall. The checkpointed
+    // result (the gate's pair rows) is produced fresh on every call —
+    // nothing is reused across runs.
+    noAqe(spark)(
+      Dedup.jaccardPairsIncremental(ix, docs.where(col("doc_id") >= cut),
+          "doc_id", "text")
+        .localCheckpoint(true))
   }
 
   /** Memoized persisted banded-signature frame (one row per doc × band) —
@@ -330,7 +338,11 @@ private[graft] trait QueriesDedup { this: Queries.type =>
       built.copy(rows = p(built.rows), buckets = p(built.buckets),
         bucketCounts = p(built.bucketCounts))
     }
-    Dedup.embeddingPairsIncremental(ix, e.where(col("vec_id") >= cut),
-      "vec_id", "embedding")
+    // AQE-off scoped materialization — same rationale and measurement as
+    // dedup_incremental_durable's (see [[noAqe]]); fresh result per call.
+    noAqe(spark)(
+      Dedup.embeddingPairsIncremental(ix, e.where(col("vec_id") >= cut),
+          "vec_id", "embedding")
+        .localCheckpoint(true))
   }
 }

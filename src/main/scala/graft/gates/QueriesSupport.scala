@@ -61,6 +61,28 @@ private[graft] trait QueriesSupport { this: Queries.type =>
 
   private[graft] val r4 = (c: Column) => round(c, 4)
 
+  /** Runs `f` (plan construction + eager materialization) with AQE off,
+    * restoring the previous setting — round 17, the GraphIndex coverage-
+    * walk discipline applied to the BATCH-BOUNDED incremental dedup
+    * funnels: their frames are a few rows per incoming doc, so runtime
+    * re-planning buys nothing, while AQE's per-exchange query-stage
+    * materialization adds a driver-synchronized job round per broadcast/
+    * shuffle of an already-tiny plan (measured in-JVM, interleaved arms:
+    * dedup_incremental_durable 21 jobs → 13, median 4.24 → 3.00 s;
+    * dedup_embedding_incremental 19 → 10 jobs, 2.19 → 1.62 s — the
+    * AqeFunnelProbe tool). Guarded by the JVM-global
+    * [[graft.vector.GraphIndex.aqeLock]] so two toggle sites can never
+    * restore each other's midflight value. The caller must materialize
+    * inside `f` (the returned frame's execution is what the toggle must
+    * cover); corpus-scale plans KEEP AQE — this is only for funnels whose
+    * per-batch boundedness is a documented contract. */
+  private[graft] def noAqe[T](spark: SparkSession)(f: => T): T =
+    graft.vector.GraphIndex.aqeLock.synchronized {
+      val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try f finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+
   // Memo itself lives at package level (graft.Memo) since r8 so the
   // streaming gates share the same bounded-eviction discipline.
   private[graft] val memoMax = Memo.defaultMax

@@ -344,9 +344,13 @@ final class GraphIndex(val edges: DataFrame, val vectors: DataFrame,
 
 object GraphIndex {
 
-  /** Guards the coverage walk's session-global AQE save/restore — see the
-    * toggle site in `searchBatch`. */
-  private[vector] val aqeLock = new Object
+  /** Guards every session-global AQE save/restore in the repo — the
+    * coverage walk's toggle site in `searchBatch`, and (round 17)
+    * `Queries.noAqe`'s scoped materialization of the batch-bounded
+    * incremental dedup funnels. One JVM-global lock: interleaved
+    * save/restore pairs from two sites could otherwise restore each
+    * other's midflight "false" (round-8 review finding). */
+  private[graft] val aqeLock = new Object
 
   // ---- persistence (S3/S4 for the graph artifact, matching the other
   // index families: parquet frames + a tiny params frame) ----
